@@ -1,0 +1,66 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Test-table access + the deterministic synthetic vector derivations shared
+  * (as SQL text) between the Spark queries and the DuckDB oracle, so both
+  * engines do bit-identical double arithmetic (SURVEY §7: float determinism).
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  // ---- synthetic 8-d vectors from lineitem (FIXTURES.md §4) ----------------
+
+  val liDims: Int = 8
+
+  /** SQL fragments (valid in both Spark SQL and DuckDB) for each dimension. */
+  val liDimSql: Seq[String] = Seq(
+    "CAST(l_quantity AS DOUBLE)",
+    "CAST(l_extendedprice/1000 AS DOUBLE)",
+    "CAST(l_discount*10 AS DOUBLE)",
+    "CAST(l_tax*10 AS DOUBLE)",
+    "CAST(l_partkey%97 AS DOUBLE)",
+    "CAST(l_suppkey%89 AS DOUBLE)",
+    "CAST(l_linenumber AS DOUBLE)",
+    "CAST(l_orderkey%101 AS DOUBLE)")
+
+  val liIdSql: String = "l_orderkey*10 + l_linenumber"
+
+  /** Rows used as the query set — small, deterministic, present at every SF. */
+  val liQueryPredSql: String = "l_orderkey % 300 = 0 AND l_linenumber = 1"
+
+  /** `(id BIGINT, vec ARRAY<DOUBLE>)` over all of lineitem. */
+  def lineitemVectors(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem").select(
+      expr(liIdSql).as("id"),
+      expr(liDimSql.mkString("array(", ", ", ")")).as("vec"))
+
+  /** `(query_id BIGINT, qvec ARRAY<DOUBLE>)` — the query subset. */
+  def lineitemQueries(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem").filter(expr(liQueryPredSql)).select(
+      expr(liIdSql).as("query_id"),
+      expr(liDimSql.mkString("array(", ", ", ")")).as("qvec"))
+
+  // ---- embeddings table (64-d float vectors, 500 rows) ---------------------
+
+  val embDims: Int = 64
+
+  /** `(id BIGINT, vec ARRAY<DOUBLE>, label INT)` — cast to double once so all
+    * downstream arithmetic matches the DuckDB oracle bit-for-bit. */
+  def embeddingVectors(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "embeddings").select(
+      col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("vec"),
+      col("label"))
+
+  /** Query subset of the embeddings: every 50th vector (10 queries). */
+  val embQueryPredSql: String = "vec_id % 50 = 0"
+
+  def embeddingQueries(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "embeddings").filter(expr(embQueryPredSql)).select(
+      col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qvec"))
+}

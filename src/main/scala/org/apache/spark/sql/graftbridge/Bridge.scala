@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `new Column(expr)` constructor; the classic
+  * bridge lives in `org.apache.spark.sql.classic.ExpressionUtils`, which is
+  * `private[sql]`. This shim (inside the sql package tree) re-exports the two
+  * conversions the graft engine needs to register custom Catalyst expressions.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+
+class DistanceSpec extends SparkSpec {
+
+  private lazy val pairs = {
+    val e = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    val q = Tables.embeddingQueries(spark, sfDir)
+    broadcast(q).crossJoin(e).limit(2000).cache()
+  }
+
+  test("L2Distance matches built-in reference form") {
+    val diff = pairs.select(
+      abs(l2Distance(col("qvec"), col("vec")) -
+        l2DistanceRef(col("qvec"), col("vec"))).as("d"))
+      .agg(max("d")).head.getDouble(0)
+    assert(diff == 0.0, s"codegen vs reference L2 differ by $diff")
+  }
+
+  test("InnerProduct matches built-in reference form") {
+    val diff = pairs.select(
+      abs(innerProduct(col("qvec"), col("vec")) -
+        innerProductRef(col("qvec"), col("vec"))).as("d"))
+      .agg(max("d")).head.getDouble(0)
+    assert(diff == 0.0, s"codegen vs reference IP differ by $diff")
+  }
+
+  test("CosineSimilarity = dot/(norm*norm) and bounded in [-1,1]") {
+    val r = pairs.select(
+      cosineSimilarity(col("qvec"), col("vec")).as("c"),
+      (innerProductRef(col("qvec"), col("vec")) /
+        (l2Norm(col("qvec")) * l2Norm(col("vec")))).as("ref"))
+    val diff = r.select(abs(col("c") - col("ref")).as("d"))
+      .agg(max("d")).head.getDouble(0)
+    assert(diff < 1e-12)
+    val bounds = r.agg(min("c"), max("c")).head
+    assert(bounds.getDouble(0) >= -1.0 - 1e-9 && bounds.getDouble(1) <= 1.0 + 1e-9)
+  }
+
+  test("self-distance: L2(v,v)=0, cosine(v,v)=1") {
+    val e = Tables.embeddingVectors(spark, sfDir).limit(50)
+    val r = e.select(l2Distance(col("vec"), col("vec")).as("l2"),
+      cosineSimilarity(col("vec"), col("vec")).as("cos"))
+    val row = r.agg(max("l2"), min("cos")).head
+    assert(row.getDouble(0) == 0.0)
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("float arrays accepted (embeddings raw float column)") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("embedding").as("vec")).limit(10)
+    val n = e.select(l2Distance(col("vec"), col("vec"))).count()
+    assert(n == 10)
+  }
+}
