@@ -35,6 +35,144 @@ object OracleGen {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Grouped (unique-id) lineitem vector CTE body: dim-wise min over
+    * duplicate (orderkey, linenumber) rows — matches Tables.groupedVectors. */
+  private def groupedCte(pred: Option[String], idAlias: String,
+                         p: String): String = {
+    val dims = Tables.liDimSql.zipWithIndex
+      .map { case (e, i) => s"min($e) AS $p$i" }.mkString(", ")
+    val where = pred.map(w => s" WHERE $w").getOrElse("")
+    s"SELECT ${Tables.liIdSql} AS $idAlias, $dims FROM lineitem$where " +
+      s"GROUP BY ${Tables.liIdSql}"
+  }
+
+  private def dataCte = groupedCte(None, "id", "v")
+  private def centsCte = groupedCte(Some(Tables.liCentroidPredSql), "cid", "c")
+  private def qCte = groupedCte(Some(Tables.liQueryPredSql), "query_id", "q")
+  private val l2 = Metric.L2
+
+  /** Deterministic argmin assignment CTE (ties → lowest cid, matching the
+    * strict-< fold in KMeans.assignColumn). Expects `data` and `cents`. */
+  private def assignCte: String =
+    s"""SELECT id, cid AS cluster_id FROM (
+       |  SELECT d.id, c.cid,
+       |    row_number() OVER (PARTITION BY d.id
+       |      ORDER BY ${l2.sqlExpr("d.v", "c.c", Tables.liDims)} ASC, c.cid ASC) AS rn
+       |  FROM data d CROSS JOIN cents c) WHERE rn = 1""".stripMargin
+
+  /** k-means assignment of every (deduped) lineitem vector. */
+  def kmeansAssign: String =
+    s"""WITH data AS ($dataCte),
+       |cents AS ($centsCte),
+       |assign AS ($assignCte)
+       |SELECT id, cluster_id FROM assign ORDER BY id""".stripMargin
+
+  /** Cluster sizes of the assignment (IVF build / A4). */
+  def clusterSizes: String =
+    s"""WITH data AS ($dataCte),
+       |cents AS ($centsCte),
+       |assign AS ($assignCte)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS cnt FROM assign
+       |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
+  /** IVF probe search: nProbes best clusters per query, then top-k inside. */
+  def ivfSearch(k: Int, nProbes: Int): String = {
+    val d = Tables.liDims
+    s"""WITH data AS ($dataCte),
+       |cents AS ($centsCte),
+       |q AS ($qCte),
+       |assign AS ($assignCte),
+       |probes AS (
+       |  SELECT query_id, cid AS cluster_id FROM (
+       |    SELECT q.query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${l2.sqlExpr("q.q", "c.c", d)} ASC, c.cid ASC) AS rn
+       |    FROM q CROSS JOIN cents c) WHERE rn <= $nProbes),
+       |cand AS (
+       |  SELECT p.query_id, a.id,
+       |    ${l2.sqlExpr("q.q", "d.v", d)} AS dist
+       |  FROM probes p
+       |  JOIN assign a ON a.cluster_id = p.cluster_id
+       |  JOIN data d ON d.id = a.id
+       |  JOIN q ON q.query_id = p.query_id),
+       |ranked AS (
+       |  SELECT query_id, id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rnk
+       |  FROM cand)
+       |SELECT query_id, rnk, neighbor_id FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Medioid: argmin distance to the (rounded) per-dim mean. */
+  def medioid(meanScale: Int): String = {
+    val d = Tables.liDims
+    val means = (0 until d)
+      .map(i => s"round(avg(v$i), $meanScale) AS m$i").mkString(", ")
+    s"""WITH data AS ($dataCte),
+       |m AS (SELECT $means FROM data),
+       |scored AS (
+       |  SELECT id, ${l2.sqlExpr("data.v", "m.m", d)} AS dist
+       |  FROM data CROSS JOIN m)
+       |SELECT id AS medioid_id FROM scored ORDER BY dist ASC, id ASC LIMIT 1""".stripMargin
+  }
+
+  /** Scalar-quantization codes from a global min/max affine codec. */
+  def sqCodes(bits: Int): String = {
+    val d = Tables.liDims
+    val levels = (1 << bits) - 1
+    val lo = (0 until d).map(i => s"min(v$i)").mkString("least(", ", ", ")")
+    val hi = (0 until d).map(i => s"max(v$i)").mkString("greatest(", ", ", ")")
+    val unpivot = (0 until d)
+      .map(i => s"SELECT id, $i AS pos, v$i AS v FROM data")
+      .mkString(" UNION ALL ")
+    s"""WITH data AS ($dataCte),
+       |mm AS (SELECT $lo AS lo, $hi AS hi FROM data),
+       |u AS ($unpivot)
+       |SELECT u.id, CAST(u.pos AS BIGINT) AS pos,
+       |  CAST(floor((u.v - mm.lo) / ((mm.hi - mm.lo)/$levels.0) + 0.5) AS BIGINT) AS code
+       |FROM u CROSS JOIN mm ORDER BY id, pos""".stripMargin
+  }
+
+  /** Recall machinery (A7): per-query |IVF top-k ∩ exact flat top-k| — i.e.
+    * the IVF index's recall against exhaustive groundtruth, zero-match
+    * queries included. */
+  def recallIvfVsFlat(k: Int, nProbes: Int): String = {
+    val d = Tables.liDims
+    s"""WITH data AS ($dataCte),
+       |cents AS ($centsCte),
+       |q AS ($qCte),
+       |assign AS ($assignCte),
+       |truth AS (
+       |  SELECT query_id, id FROM (
+       |    SELECT q.query_id, dt.id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${l2.sqlExpr("q.q", "dt.v", d)} ASC, dt.id ASC) AS rn
+       |    FROM q CROSS JOIN data dt) WHERE rn <= $k),
+       |probes AS (
+       |  SELECT query_id, cid AS cluster_id FROM (
+       |    SELECT q.query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${l2.sqlExpr("q.q", "c.c", d)} ASC, c.cid ASC) AS rn
+       |    FROM q CROSS JOIN cents c) WHERE rn <= $nProbes),
+       |ivfr AS (
+       |  SELECT query_id, id FROM (
+       |    SELECT p.query_id, a.id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY ${l2.sqlExpr("q.q", "d.v", d)} ASC, a.id ASC) AS rnk
+       |    FROM probes p
+       |    JOIN assign a ON a.cluster_id = p.cluster_id
+       |    JOIN data d ON d.id = a.id
+       |    JOIN q ON q.query_id = p.query_id) WHERE rnk <= $k),
+       |m AS (
+       |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS matches
+       |  FROM truth t JOIN ivfr i ON i.query_id = t.query_id AND i.id = t.id
+       |  GROUP BY t.query_id)
+       |SELECT q2.query_id, CAST(coalesce(m.matches, 0) AS BIGINT) AS matches
+       |FROM (SELECT DISTINCT query_id FROM q) q2
+       |LEFT JOIN m ON m.query_id = q2.query_id
+       |ORDER BY q2.query_id""".stripMargin
+  }
+
   private def embDimExprs: Seq[String] =
     (1 to Tables.embDims).map(i => s"CAST(embedding[$i] AS DOUBLE)")
 

@@ -44,6 +44,43 @@ object Tables {
       expr(liIdSql).as("query_id"),
       expr(liDimSql.mkString("array(", ", ", ")")).as("qvec"))
 
+  /** lineitem has duplicate (l_orderkey, l_linenumber) rows, so `id` above is
+    * not unique. Operators needing unique ids (k-means, IVF, medioid) use the
+    * grouped form: one row per id, each dim = min over duplicates — an
+    * order-insensitive, engine-portable dedup. */
+  val liCentroidPredSql: String = "l_orderkey % 400 = 1 AND l_linenumber = 1"
+
+  private def groupedVectors(spark: SparkSession, sfDir: String,
+                             pred: Option[String], idName: String): DataFrame = {
+    val base = table(spark, sfDir, "lineitem")
+    val filtered = pred.map(p => base.filter(expr(p))).getOrElse(base)
+    val aggs = liDimSql.zipWithIndex.map { case (e, i) =>
+      min(expr(e)).as(s"v$i") }
+    filtered
+      .groupBy(expr(liIdSql).as(idName))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idName),
+        array((0 until liDims).map(i => col(s"v$i")): _*).as(
+          if (idName == "query_id") "qvec" else "vec"))
+  }
+
+  /** `(id, vec)` with unique ids (dim-wise min over duplicate rows). */
+  def lineitemVectorsDedup(spark: SparkSession, sfDir: String): DataFrame =
+    groupedVectors(spark, sfDir, None, "id")
+
+  /** `(query_id, qvec)` deduped query subset. */
+  def lineitemQueriesDedup(spark: SparkSession, sfDir: String): DataFrame =
+    groupedVectors(spark, sfDir, Some(liQueryPredSql), "query_id")
+
+  /** Deterministic centroid seed set, collected (small at every SF). */
+  def lineitemCentroids(spark: SparkSession, sfDir: String)
+      : Seq[(Long, Seq[Double])] =
+    groupedVectors(spark, sfDir, Some(liCentroidPredSql), "id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+      .toIndexedSeq
+      .sortBy(_._1)
+
   // ---- embeddings table (64-d float vectors, 500 rows) ---------------------
 
   val embDims: Int = 64

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Metric
+
+/** IVF (inverted-file) index (SURVEY §2 J3, B5): k-means partitioning +
+  * probe-n-clusters search — the reference's cluster pruning
+  * (include/svs/index/ivf/index.h:284-332) expressed as Spark partition
+  * pruning. At scale the clustered table is written `partitionBy(cluster_id)`
+  * so a probe equi-join scans only the probed partitions; queries and the
+  * probe list stay broadcast-small, so nothing large ever shuffles.
+  */
+object IvfIndex {
+
+  /** Assign every row to its nearest centroid (map-only projection). */
+  def cluster(data: DataFrame, centroids: Seq[(Long, Seq[Double])]): DataFrame =
+    KMeans.assign(data, centroids)
+
+  /** Persist the clustered table partitioned by cluster_id — probe joins
+    * then prune partitions at the source (DPP). */
+  def writeClustered(clustered: DataFrame, path: String): Unit =
+    clustered.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+  def readClustered(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Probe search: score centroids per query, keep nProbes best clusters,
+    * scan only those clusters, keep k best rows.
+    *
+    * queries(query_id, qvec); clustered(id, vec, cluster_id).
+    * Output: (query_id, rnk, neighbor_id, dist) best-first. */
+  def search(queries: DataFrame, clustered: DataFrame,
+             centroids: Seq[(Long, Seq[Double])], k: Int, nProbes: Int,
+             metric: Metric): DataFrame = {
+    // (a) per-query nProbes best centroids — centroid list is small, so this
+    // is a fold over a literal array, no join. Centroid selection always uses
+    // L2-or-metric distance per the reference (ivf searches centroids with
+    // the same metric); ordering follows the metric.
+    val centArr = array(centroids.sortBy(_._1).map { case (cid, cvec) =>
+      struct(lit(cid).as("cid"), typedlit(cvec).as("cvec"))
+    }: _*)
+    val scored = queries.select(col("query_id"), col("qvec"),
+      explode(centArr).as("c"))
+      .select(col("query_id"), col("qvec"), col("c.cid").as("cluster_id"),
+        metric.column(col("qvec"), col("c.cvec")).as("cdist"))
+    val probes = TopK.perKey(scored, Seq("query_id"), col("cluster_id"),
+        col("cdist"), nProbes, metric.ascending)
+      .select(col("query_id"), col("neighbor_id").as("cluster_id"))
+      .join(queries, Seq("query_id"))  // re-attach qvec (broadcast-small)
+
+    // (b) partition-pruned scan: equi-join on cluster_id, broadcast probes.
+    val cand = broadcast(probes).join(clustered, Seq("cluster_id"))
+      .select(col("query_id"), col("id"),
+        metric.column(col("qvec"), col("vec")).as("dist"))
+    TopK.perKey(cand, Seq("query_id"), col("id"), col("dist"), k,
+      metric.ascending)
+  }
+}

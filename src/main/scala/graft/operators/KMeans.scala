@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Elementwise vector mean with map-side partial merge — the shuffle moves
+  * one (sum, count) pair per group instead of N·D exploded rows. Used by
+  * Lloyd's recompute step and the medioid mean (SURVEY §2 A2/A5). */
+case class VecAvgBuf(var sum: Array[Double], var n: Long)
+
+class VectorAvgAggregator(dims: Int)
+    extends Aggregator[Seq[Double], VecAvgBuf, Seq[Double]] {
+  override def zero: VecAvgBuf = VecAvgBuf(new Array[Double](dims), 0L)
+  override def reduce(b: VecAvgBuf, v: Seq[Double]): VecAvgBuf = {
+    var i = 0; while (i < dims) { b.sum(i) += v(i); i += 1 }
+    b.n += 1; b
+  }
+  override def merge(a: VecAvgBuf, c: VecAvgBuf): VecAvgBuf = {
+    var i = 0; while (i < dims) { a.sum(i) += c.sum(i); i += 1 }
+    a.n += c.n; a
+  }
+  override def finish(b: VecAvgBuf): Seq[Double] =
+    if (b.n == 0) Seq.empty else b.sum.toSeq.map(_ / b.n)
+  override def bufferEncoder: Encoder[VecAvgBuf] = Encoders.product[VecAvgBuf]
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}
+
+/** K-means operators (SURVEY §2 A2-A4): map-only assignment against a small
+  * broadcast centroid set + Lloyd's training loop. Mirrors the reference's
+  * minibatch k-means (include/svs/index/ivf/kmeans.h:29-130) where batch
+  * assignment distances are one GEMM — here the per-row fold over a literal
+  * centroid array stays inside whole-stage codegen, no shuffle at all. */
+object KMeans {
+
+  /** Argmin-centroid as a pure projection: fold over a literal array of
+    * (cid, cvec) structs with strict `<` — first minimum wins, so ties break
+    * to the lowest cid deterministically. Scales to any data size: the only
+    * data movement is the scan itself. */
+  def assignColumn(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column = {
+    val centArr = array(centroids.sortBy(_._1).map { case (cid, cvec) =>
+      struct(lit(cid).as("cid"), typedlit(cvec).as("cvec"))
+    }: _*)
+    val init = struct(lit(-1L).as("cid"), lit(Double.PositiveInfinity).as("d"))
+    aggregate(centArr, init, (acc, c) => {
+      val d = VectorFunctions.l2Distance(vec, c.getField("cvec"))
+      when(d < acc.getField("d"),
+        struct(c.getField("cid").as("cid"), d.as("d"))).otherwise(acc)
+    }).getField("cid")
+  }
+
+  /** data(id, vec) → data + cluster_id. */
+  def assign(data: DataFrame, centroids: Seq[(Long, Seq[Double])],
+             vecCol: String = "vec"): DataFrame =
+    data.withColumn("cluster_id", assignColumn(col(vecCol), centroids))
+
+  /** Lloyd's iterations: assign (map-only) then per-cluster mean (one
+    * partial-merged aggregate). Empty clusters keep their previous centroid.
+    * Returns final centroids; `data` is scanned `iters` times — at 100 TB
+    * callers should pass a sampled training fraction, as the reference does
+    * (training_fraction, ivf/common.h:30-36). */
+  def lloyd(data: DataFrame, init: Seq[(Long, Seq[Double])], iters: Int,
+            dims: Int, vecCol: String = "vec"): Seq[(Long, Seq[Double])] = {
+    val avgAgg = udaf(new VectorAvgAggregator(dims))
+    var cents = init
+    for (_ <- 0 until iters) {
+      val assigned = assign(data, cents, vecCol)
+      val means = assigned.groupBy("cluster_id")
+        .agg(avgAgg(col(vecCol)).as("mean"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1))
+        .toMap
+      cents = cents.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+    }
+    cents
+  }
+
+  /** Sum of squared distances to the assigned centroid (training metric). */
+  def inertia(data: DataFrame, cents: Seq[(Long, Seq[Double])],
+              vecCol: String = "vec"): Double = {
+    val centArr = array(cents.sortBy(_._1).map { case (cid, cvec) =>
+      struct(lit(cid).as("cid"), typedlit(cvec).as("cvec"))
+    }: _*)
+    val init = lit(Double.PositiveInfinity)
+    val best = aggregate(centArr, init, (acc, c) =>
+      least(acc, VectorFunctions.l2Distance(col(vecCol), c.getField("cvec"))))
+    data.select(sum(best).as("i")).head.getDouble(0)
+  }
+}
