@@ -1,0 +1,179 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.{Dedup, TextAnalysis}
+
+/** DuckDB oracle SQL for the text-analysis / dedup operators, generated from
+  * the same constants (profiles, hash params) as the Spark implementations. */
+object OracleGenText {
+
+  private val toksCte =
+    "SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents"
+
+  def tokenStats: String =
+    s"""WITH t AS ($toksCte)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def qualityScore: String = {
+    val stops = inList(TextAnalysis.stopwords)
+    s"""WITH t AS ($toksCte)
+       |SELECT doc_id, CAST(floor(1000.0 * (
+       |  0.5 * (1.0 - CAST(len(list_filter(toks, x -> list_contains($stops, x))) AS DOUBLE) / len(toks)) +
+       |  0.4 * least(1.0, len(toks) / 100.0) +
+       |  0.1 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) / length(text))
+       |)) AS BIGINT) AS score
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  def langId: String = {
+    val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
+      s"len(list_filter(toks, x -> list_contains(${inList(words)}, x))) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.langProfiles.map(_._1)
+    // first-max in alphabetical order == the Spark strict-> fold
+    val cases = langs.init.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("\n  ")
+    s"""WITH t AS ($toksCte),
+       |s AS (SELECT doc_id,
+       |  $scores
+       |FROM t)
+       |SELECT doc_id, CASE $cases ELSE '${langs.last}' END AS pred_lang
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  def fingerprint: String =
+    s"""WITH t AS ($toksCte),
+       |c AS (SELECT doc_id,
+       |  list_transform(toks, x -> CAST(ascii(x)*100 + length(x) AS BIGINT)) AS codes
+       |FROM t)
+       |SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+       |    (acc, x) -> (acc * 131 + x) % ${TextAnalysis.FpMod}) AS fp
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  def dedupExactPrefix: String =
+    s"""WITH t AS ($toksCte)
+       |SELECT toks[1] || ' ' || toks[2] AS key,
+       |  min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS cnt
+       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val gramsCte =
+    """SELECT doc_id, list_distinct([toks[i] || '_' || toks[i+1]
+      |  for i in range(1, len(toks))]) AS gs FROM t""".stripMargin
+
+  def ngramJaccardPairs(threshold: Double): String =
+    s"""WITH t AS ($toksCte),
+       |g AS (SELECT doc_id, codes AS gs FROM ($codesCte)),
+       |sz AS (SELECT doc_id, len(gs) AS sz FROM g),
+       |inv AS (SELECT doc_id, unnest(gs) AS gr FROM g),
+       |sh AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+       |  FROM inv a JOIN inv b ON a.gr = b.gr AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT da AS doc_a, db AS doc_b FROM sh
+       |JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= $threshold
+       |ORDER BY 1, 2""".stripMargin
+
+  private val codesCte =
+    """SELECT doc_id, list_distinct([
+      |  (ascii(toks[i])*100 + length(toks[i])) * 100003
+      |    + ascii(toks[i+1])*100 + length(toks[i+1])
+      |  for i in range(1, len(toks))]) AS codes FROM t""".stripMargin
+
+  private def sigExprs: Seq[String] =
+    Dedup.minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(codes, x -> ($a * x + $b) % ${Dedup.MinhashP})) AS sig$i"
+    }
+
+  def minhashSignatures: String = {
+    val sel = sigExprs.mkString(",\n  ")
+    val unions = (0 until Dedup.NumHashes)
+      .map(i => s"SELECT doc_id, CAST($i AS BIGINT) AS i, sig$i AS sig FROM s")
+      .mkString("\nUNION ALL ")
+    s"""WITH t AS ($toksCte),
+       |c AS ($codesCte),
+       |s AS (SELECT doc_id,
+       |  $sel
+       |FROM c)
+       |$unions
+       |ORDER BY doc_id, i""".stripMargin
+  }
+
+  def minhashLshPairs: String = {
+    val sel = sigExprs.mkString(",\n  ")
+    val bands = (0 until Dedup.NumBands).map { j =>
+      val key = (0 until Dedup.RowsPerBand)
+        .map(r => s"sig${j * Dedup.RowsPerBand + r}")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $j AS band, $key AS key FROM s"
+    }.mkString("\nUNION ALL ")
+    s"""WITH t AS ($toksCte),
+       |c AS ($codesCte),
+       |s AS (SELECT doc_id,
+       |  $sel
+       |FROM c),
+       |bands AS ($bands)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  def simhash: String = {
+    val votes = (0 until Dedup.SimhashBits)
+      .map(j => s"sum(CASE WHEN (hv >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n  ")
+    val value = (0 until Dedup.SimhashBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH t AS ($toksCte),
+       |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |h AS (SELECT doc_id,
+       |  (ascii(tok)*100 + length(tok)) * ${Dedup.SimhashMult} % ${Dedup.SimhashMod} AS hv
+       |FROM u),
+       |b AS (SELECT doc_id,
+       |  $votes
+       |FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($value AS BIGINT) AS simhash
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- embedding near-dup ---------------------------------------------------
+
+  private def embCols(p: String): String =
+    (0 until Tables.embDims)
+      .map(i => s"CAST(embedding[${i + 1}] AS DOUBLE) AS $p$i").mkString(", ")
+
+  private def cosine(p1: String, p2: String): String =
+    graft.core.Metric.Cosine.sqlExpr(p1, p2, Tables.embDims)
+
+  def embNearDupExact(threshold: Double): String =
+    s"""WITH e AS (SELECT vec_id AS id, ${embCols("v")} FROM embeddings)
+       |SELECT a.id AS id_a, b.id AS id_b
+       |FROM e a JOIN e b ON a.id < b.id
+       |WHERE ${cosine("a.v", "b.v")} >= $threshold
+       |ORDER BY 1, 2""".stripMargin
+
+  def embNearDupLsh(threshold: Double): String = {
+    val dot = (0 until Tables.embDims)
+      .map(i => s"e.v$i * p.v$i").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id AS id, ${embCols("v")} FROM embeddings),
+       |p AS (SELECT CAST(pow(2, vec_id/125.0) AS BIGINT) AS pw, ${embCols("v")}
+       |  FROM embeddings WHERE vec_id % 125 = 0 AND vec_id < 500),
+       |b AS (SELECT e.id,
+       |  sum(CASE WHEN $dot > 0 THEN p.pw ELSE 0 END) AS bucket
+       |FROM e CROSS JOIN p GROUP BY e.id),
+       |eb AS (SELECT e.*, b.bucket FROM e JOIN b ON b.id = e.id)
+       |SELECT a.id AS id_a, c.id AS id_b
+       |FROM eb a JOIN eb c ON a.bucket = c.bucket AND a.id < c.id
+       |WHERE ${cosine("a.v", "c.v")} >= $threshold
+       |ORDER BY 1, 2""".stripMargin
+  }
+}

@@ -81,6 +81,81 @@ object SparkEntry {
       .orderBy("cluster_id")
   }
 
+  // ---- text analysis / dedup (documents + embeddings tables) ------------
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  private def tokenStatsQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(TextAnalysis.tokens(col("text"))).as("n_tokens"),
+      TextAnalysis.distinctTokenCount(TextAnalysis.tokens(col("text")))
+        .as("n_distinct"))
+      .orderBy("doc_id")
+
+  private def qualityQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("score")).orderBy("doc_id")
+
+  private def langIdQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("pred_lang")).orderBy("doc_id")
+
+  private def fingerprintQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id")
+
+  private def dedupExactQ(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    Dedup.exactByKey(docs(s, dir),
+        concat_ws(" ", element_at(toks, 1), element_at(toks, 2)),
+        col("doc_id"))
+      .orderBy("key")
+  }
+
+  private val JaccardT = 0.5
+  private val CosineT = 0.4
+
+  private def docGrams(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id").as("id"),
+      Dedup.wordNGrams(TextAnalysis.tokens(col("text")), 2).as("grams"))
+
+  private def jaccardPairsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsBitset(
+      docCodes(s, dir).withColumnRenamed("codes", "grams"), JaccardT)
+      .orderBy("doc_a", "doc_b")
+
+  private def docCodes(s: SparkSession, dir: String): DataFrame =
+    Dedup.shingleCodeTable(docs(s, dir))
+
+  private def minhashSigsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(docCodes(s, dir)).orderBy("doc_id", "i")
+
+  private def minhashLshQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docCodes(s, dir)).orderBy("doc_a", "doc_b")
+
+  private def simhashQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir).select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("toks"))).orderBy("doc_id")
+
+  private def embNearDupExactQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupExact(
+        Tables.embeddingVectors(s, dir).select("id", "vec"), CosineT)
+      .orderBy("id_a", "id_b")
+
+  private def lshPlanes(s: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
+    Tables.embeddingVectors(s, dir).filter(col("id") % 125 === 0 && col("id") < 500)
+      .select("id", "vec").collect()
+      .map(r => (1L << (r.getLong(0) / 125).toInt) ->
+        r.getSeq[Double](1).toIndexedSeq)
+      .toIndexedSeq.sortBy(_._1)
+
+  private def embNearDupLshQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupLsh(
+        Tables.embeddingVectors(s, dir).select("id", "vec"),
+        lshPlanes(s, dir), CosineT)
+      .orderBy("id_a", "id_b")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_flat_knn_l2" -> (knnLineitem(Metric.L2) _),
     "q02_flat_knn_ip" -> (knnLineitem(Metric.IP) _),
@@ -94,6 +169,17 @@ object SparkEntry {
     "q10_recall_ivf_vs_flat" -> (recallQ _),
     "q11_cluster_sizes" -> (clusterSizesQ _),
     "q12_kmeans_train" -> (kmeansTrainQ _),  // iterative: rows-only check
+    "q13_token_stats" -> (tokenStatsQ _),
+    "q14_quality_score" -> (qualityQ _),
+    "q15_lang_id" -> (langIdQ _),
+    "q16_fingerprint" -> (fingerprintQ _),
+    "q17_dedup_exact_prefix" -> (dedupExactQ _),
+    "q18_ngram_jaccard_pairs" -> (jaccardPairsQ _),
+    "q19_minhash_signatures" -> (minhashSigsQ _),
+    "q20_minhash_lsh_pairs" -> (minhashLshQ _),
+    "q21_simhash" -> (simhashQ _),
+    "q22_emb_neardup_exact" -> (embNearDupExactQ _),
+    "q23_emb_neardup_lsh" -> (embNearDupLshQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -108,5 +194,16 @@ object SparkEntry {
     "q09_sq_codes" -> OracleGen.sqCodes(8),
     "q10_recall_ivf_vs_flat" -> OracleGen.recallIvfVsFlat(K, NProbes),
     "q11_cluster_sizes" -> OracleGen.clusterSizes,
+    "q13_token_stats" -> OracleGenText.tokenStats,
+    "q14_quality_score" -> OracleGenText.qualityScore,
+    "q15_lang_id" -> OracleGenText.langId,
+    "q16_fingerprint" -> OracleGenText.fingerprint,
+    "q17_dedup_exact_prefix" -> OracleGenText.dedupExactPrefix,
+    "q18_ngram_jaccard_pairs" -> OracleGenText.ngramJaccardPairs(JaccardT),
+    "q19_minhash_signatures" -> OracleGenText.minhashSignatures,
+    "q20_minhash_lsh_pairs" -> OracleGenText.minhashLshPairs,
+    "q21_simhash" -> OracleGenText.simhash,
+    "q22_emb_neardup_exact" -> OracleGenText.embNearDupExact(CosineT),
+    "q23_emb_neardup_lsh" -> OracleGenText.embNearDupLsh(CosineT),
   )
 }

@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for training-data pipelines: exact key dedup,
+  * n-gram Jaccard similarity join, MinHash+LSH, SimHash, and embedding-cosine
+  * near-dup (exact + random-hyperplane LSH). All shuffles are on
+  * key/shingle/bucket — never a full cross join at scale (the exact-pair
+  * variants exist as oracles for the bucketed paths). */
+object Dedup {
+
+  // ---- exact -----------------------------------------------------------
+
+  /** Group by a derived key; keep the minimum id as the canonical row.
+    * Output: (key, keep_id, cnt). One shuffle on the key — at 100 TB this is
+    * the standard hash-dedup, map-side partial aggregation applies. */
+  def exactByKey(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("key"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("cnt"))
+
+  // ---- n-gram machinery ------------------------------------------------
+
+  /** Distinct word n-grams of a token array, joined with '_'. */
+  def wordNGrams(toks: Column, n: Int): Column = {
+    val grams = transform(sequence(lit(1), size(toks) - lit(n - 1)),
+      i => concat_ws("_", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(grams))
+  }
+
+  /** Distinct numeric 2-gram shingle codes (MinHash input):
+    * code = tokenCode(t_i)·100003 + tokenCode(t_{i+1}). */
+  def shingleCodes2(toks: Column): Column = {
+    def code(t: Column) = TextAnalysis.tokenCode(t)
+    val grams = transform(sequence(lit(1), size(toks) - lit(1)),
+      i => code(element_at(toks, i)) * lit(100003L) +
+        code(element_at(toks, i + lit(1))))
+    when(size(toks) < 2, array().cast("array<bigint>"))
+      .otherwise(array_distinct(grams))
+  }
+
+  /** (doc_id, text) → (id, codes): distinct 2-gram shingle codes computed in
+    * one JVM pass (identical arithmetic to shingleCodes2 / the oracle). */
+  def shingleCodeTable(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ", -1)
+        @inline def tc(t: String): Long =
+          (if (t.isEmpty) 0L else t.codePointAt(0).toLong) * 100L + t.length
+        val codes = new java.util.LinkedHashSet[Long]()
+        var i = 0
+        while (i < toks.length - 1) {
+          codes.add(tc(toks(i)) * 100003L + tc(toks(i + 1)))
+          i += 1
+        }
+        import scala.jdk.CollectionConverters._
+        (id, codes.asScala.toSeq)
+      }.toDF("id", "codes")
+  }
+
+  /** Prefix-filtered Jaccard join (ppjoin-lite) — the 100 TB path. Each doc
+    * indexes only its `|d| - ceil(t·|d|) + 1` globally-rarest shingles
+    * (ordered by document frequency, then code): any pair with J ≥ t must
+    * collide inside these prefixes, so the inverted index skips the hot
+    * shingles that dominate the naive join. Candidates are then verified with
+    * the exact Jaccard over the full sets.
+    * Input: docs(id, grams). Output: (doc_a, doc_b), doc_a < doc_b. */
+  def jaccardPairsPrefix(docs: DataFrame, threshold: Double): DataFrame = {
+    val inv = docs.select(col("id"), explode(col("grams")).as("g"))
+    val dfreq = inv.groupBy("g").agg(count(lit(1)).as("df"))
+    val sz = docs.select(col("id"), size(col("grams")).as("sz"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("g"))
+    // prefix length with integer arithmetic: sz - ceil(t*sz) + 1 for t=1/2^k
+    // generalized: ceil(t*sz) computed on doubles is exact for t with short
+    // binary expansions; keep double ceil (same in DuckDB)
+    val pref = inv.join(dfreq, "g").join(sz, "id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("id", "g")
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .distinct()
+    val ga = docs.select(col("id").as("doc_a"), col("grams").as("gs_a"))
+    val gb = docs.select(col("id").as("doc_b"), col("grams").as("gs_b"))
+    cand.join(ga, "doc_a").join(gb, "doc_b")
+      .withColumn("c", size(array_intersect(col("gs_a"), col("gs_b"))))
+      .filter(col("c").cast("double") /
+        (size(col("gs_a")) + size(col("gs_b")) - col("c")) >= threshold)
+      .select("doc_a", "doc_b")
+  }
+
+  /** Exact all-pairs Jaccard for small-to-medium corpora with a *small
+    * shingle universe* (where prefix filtering cannot prune): dictionary-
+    * encode shingles into bitsets, broadcast, and sweep pair blocks with
+    * AND+popcount — ~10⁸ word-ops/s per core. Distributed over row blocks;
+    * the broadcast must fit in executor memory (fine to ~100k docs × small
+    * vocab). For web-scale corpora use jaccardPairsPrefix / minhashLshPairs.
+    * Input: docs(id, grams). Output: (doc_a, doc_b), doc_a < doc_b. */
+  def jaccardPairsBitset(docs: DataFrame, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val local = docs.select(col("id").cast("long"),
+        col("grams").cast("array<bigint>"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    val dict = scala.collection.mutable.HashMap[Long, Int]()
+    local.foreach(_._2.foreach(c => dict.getOrElseUpdate(c, dict.size)))
+    val words = (dict.size + 63) / 64
+    val ids = local.map(_._1)
+    val sizes = local.map(_._2.distinct.length)
+    val bits = local.map { case (_, cs) =>
+      val b = new Array[Long](words)
+      cs.foreach { c => val i = dict(c); b(i >> 6) |= 1L << (i & 63) }
+      b
+    }
+    val bc = spark.sparkContext.broadcast((ids, sizes, bits))
+    val n = ids.length
+    spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { iter =>
+        val (ids, sizes, bits) = bc.value
+        iter.flatMap { ii =>
+          val i = ii.toInt
+          val bi = bits(i)
+          (i + 1 until ids.length).iterator.flatMap { j =>
+            val bj = bits(j)
+            var c = 0
+            var w = 0
+            while (w < bi.length) {
+              c += java.lang.Long.bitCount(bi(w) & bj(w)); w += 1
+            }
+            val jac = c.toDouble / (sizes(i) + sizes(j) - c)
+            if (jac >= threshold) Iterator.single((ids(i), ids(j))) else Iterator.empty
+          }
+        }
+      }.toDF("doc_a", "doc_b")
+  }
+
+  /** Jaccard similarity join via inverted index: explode shingles, equi-join
+    * on the shingle, count shared per pair, filter by threshold. The join key
+    * is the shingle — no cross join; skewed (ultra-common) shingles should be
+    * frequency-capped upstream at extreme scale.
+    * Input: docs(id, grams). Output: (doc_a, doc_b), doc_a < doc_b. */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sizes = docs.select(col("id"), size(col("grams")).as("sz"))
+    val inv = docs.select(col("id"), explode(col("grams")).as("g"))
+    val shared = inv.as("x").join(inv.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    shared
+      .join(sizes.withColumnRenamed("id", "doc_a")
+        .withColumnRenamed("sz", "sza"), "doc_a")
+      .join(sizes.withColumnRenamed("id", "doc_b")
+        .withColumnRenamed("sz", "szb"), "doc_b")
+      .filter(col("c").cast("double") / (col("sza") + col("szb") - col("c"))
+        >= threshold)
+      .select("doc_a", "doc_b")
+  }
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  val MinhashP = 2147483647L
+  val NumHashes = 16
+  val NumBands = 4
+  val RowsPerBand: Int = NumHashes / NumBands
+
+  /** Deterministic affine hash parameters (a_i, b_i), identical in oracle. */
+  val minhashParams: Seq[(Long, Long)] = (0 until NumHashes).map { i =>
+    val a = ((1103515245L * (i + 1) + 12345L) % (MinhashP - 1)) + 1L
+    val b = (69069L * (i + 1) + 1L) % MinhashP
+    (a, b)
+  }
+
+  /** docs(id, codes) → (id, sigs ARRAY<BIGINT>[H]) via a typed-map JVM kernel
+    * (Spark higher-order functions evaluate interpreted — the kernel keeps
+    * minhashing a cheap single pass; arithmetic identical to the oracle). */
+  def minhashSigTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val params = minhashParams.toArray
+    val p = MinhashP
+    docs.select(col("id").cast("long"), col("codes").cast("array<bigint>"))
+      .as[(Long, Seq[Long])]
+      .map { case (id, cs) =>
+        val sigs = Array.fill(params.length)(Long.MaxValue)
+        cs.foreach { c =>
+          var i = 0
+          while (i < params.length) {
+            val (a, b) = params(i)
+            val v = (a * c + b) % p
+            if (v < sigs(i)) sigs(i) = v
+            i += 1
+          }
+        }
+        (id, sigs.toSeq)
+      }.toDF("doc_id", "sigs")
+  }
+
+  /** docs(id, codes) → exploded (doc_id, i, sig) signature table. */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSigTable(docs)
+      .select(col("doc_id"), posexplode(col("sigs")))
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
+        col("col").as("sig"))
+
+  /** LSH candidate pairs: docs sharing any band (band = RowsPerBand
+    * consecutive sigs). The only shuffle is on (band, key) — the classic
+    * scale path. */
+  def minhashLshPairs(docs: DataFrame): DataFrame = {
+    val sigs = minhashSigTable(docs)
+    val bands = (0 until NumBands).map { j =>
+      val keyCols = (1 to RowsPerBand)
+        .map(r => element_at(col("sigs"), j * RowsPerBand + r))
+      sigs.select(col("doc_id").as("id"), lit(j).as("band"),
+        concat_ws("_", keyCols: _*).as("key"))
+    }.reduce(_ unionAll _)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .distinct()
+  }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  val SimhashBits = 16
+  val SimhashMult = 40503L
+  val SimhashMod = 65536L
+
+  /** 16-bit SimHash over the (frequency-weighted) token stream: per-bit
+    * majority vote of token hashes. docs(doc_id, toks) → (doc_id, simhash). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val h = docs.select(col("doc_id"), explode(col("toks")).as("t"))
+      .select(col("doc_id"),
+        (TextAnalysis.tokenCode(col("t")) * lit(SimhashMult) % lit(SimhashMod))
+          .as("hv"))
+    val votes = (0 until SimhashBits).map { j =>
+      sum(when(shiftright(col("hv"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val value = (0 until SimhashBits).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    h.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), value.cast("long").as("simhash"))
+  }
+
+  // ---- embedding near-dup --------------------------------------------------
+
+  /** Exact cosine near-dup pairs (oracle / small-N path): full self-join.
+    * data(id, vec) → (id_a, id_b) with cosine ≥ threshold, id_a < id_b. */
+  def embeddingNearDupExact(data: DataFrame, threshold: Double): DataFrame =
+    data.as("x").join(data.as("y"), col("x.id") < col("y.id"))
+      .filter(VectorFunctions.cosineSimilarity(col("x.vec"), col("y.vec"))
+        >= threshold)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+
+  /** Random-hyperplane LSH bucket id: bit i = [dot(vec, plane_i) > 0].
+    * planes: (power-of-two weight, plane vector) literals. */
+  def hyperplaneBucket(vec: Column, planes: Seq[(Long, Seq[Double])]): Column =
+    planes.map { case (pw, pvec) =>
+      when(VectorFunctions.innerProduct(vec, typedlit(pvec)) > 0, lit(pw))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed near-dup: only same-bucket pairs are compared — the scale
+    * path (bucket join instead of cross join); recall < 1 by construction. */
+  def embeddingNearDupLsh(data: DataFrame, planes: Seq[(Long, Seq[Double])],
+                          threshold: Double): DataFrame = {
+    val b = data.withColumn("bucket", hyperplaneBucket(col("vec"), planes))
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .filter(VectorFunctions.cosineSimilarity(col("x.vec"), col("y.vec"))
+        >= threshold)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+  }
+}

@@ -5,15 +5,19 @@ import org.apache.spark.sql.functions._
 import graft.core.Metric
 
 /** Exhaustive k-NN join (SURVEY §2 J1) — the reference's flat index
-  * (include/svs/index/flat/flat.h:321-464) re-expressed as a broadcast
-  * nested-loop join + bounded top-k aggregate:
+  * (include/svs/index/flat/flat.h:321-464) re-expressed for Spark.
   *
-  *   broadcast(queries) ⨯ data → distance → partial top-k per partition
-  *   (the analog of the reference's per-tile inserts, flat.h:338-375)
-  *   → shuffle O(|Q|·k) → final merge.
+  * Fast path (`search`): the query batch (contract: broadcast-small, exactly
+  * like the reference's in-memory query matrix) is broadcast to executors;
+  * each data partition is scanned once with per-query bounded heaps — the
+  * analog of the reference's per-tile inserts (flat.h:338-375). Only
+  * |partitions|·|Q|·k partial rows shuffle to the final merge. The big side
+  * streams; nothing large shuffles or collects, so the plan survives 100 TB:
+  * scan → map → tiny exchange.
   *
-  * The big side (data) is never shuffled and never collected — at 100 TB the
-  * scan streams through executors once; only per-query k-row partials move.
+  * The declarative variant (`searchViaAggregate`) and the window variant
+  * (`searchViaWindow`) keep the same semantics for cross-checks; all three
+  * produce bit-identical output (same double fold order, ties by id).
   *
   * Input: queries(query_id, qvec), data(id, vec). Output best-first:
   * (query_id, rnk, neighbor_id, dist).
@@ -22,6 +26,55 @@ object FlatKnn {
 
   def search(queries: DataFrame, data: DataFrame, k: Int, metric: Metric)
       : DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col("query_id").cast("long"), col("qvec").cast("array<double>"))
+      .collect()
+    val qIds = qRows.map(_.getLong(0))
+    val qVecs = qRows.map(_.getSeq[Double](1).toArray)
+    val bc = spark.sparkContext.broadcast((qIds, qVecs))
+    val asc = metric.ascending
+    val m = metric
+
+    val partials = data
+      .select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .queryExecution.toRdd
+      .mapPartitions { iter =>
+        val (ids, vecs) = bc.value
+        val nq = ids.length
+        val heaps = Array.fill(nq)(new LocalTopK(k, asc))
+        var buf: Array[Double] = null
+        while (iter.hasNext) {
+          val row = iter.next()
+          if (!row.isNullAt(0) && !row.isNullAt(1)) {
+            val id = row.getLong(0)
+            val arr = row.getArray(1)
+            val d = arr.numElements()
+            if (buf == null || buf.length != d) buf = new Array[Double](d)
+            var i = 0
+            while (i < d) { buf(i) = arr.getDouble(i); i += 1 }
+            var q = 0
+            while (q < nq) {
+              heaps(q).insert(m.compute(vecs(q), buf), id)
+              q += 1
+            }
+          }
+        }
+        (0 until nq).iterator.flatMap { q =>
+          val h = heaps(q)
+          (0 until h.n).iterator.map(i => (ids(q), h.ids(i), h.dists(i)))
+        }
+      }
+      .toDF("query_id", "id", "dist")
+    // final merge: |partitions|·|Q|·k rows — window rank is exact and cheap
+    TopK.perKeyViaWindow(partials, Seq("query_id"), col("id"), col("dist"), k,
+      asc)
+  }
+
+  /** Declarative reference: broadcast NL join + bounded top-k aggregate. */
+  def searchViaAggregate(queries: DataFrame, data: DataFrame, k: Int,
+                         metric: Metric): DataFrame = {
     val pairs = broadcast(queries).crossJoin(data)
       .select(col("query_id"), col("id"),
         metric.column(col("qvec"), col("vec")).as("dist"))

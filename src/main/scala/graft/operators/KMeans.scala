@@ -35,20 +35,15 @@ class VectorAvgAggregator(dims: Int)
   * centroid array stays inside whole-stage codegen, no shuffle at all. */
 object KMeans {
 
-  /** Argmin-centroid as a pure projection: fold over a literal array of
-    * (cid, cvec) structs with strict `<` — first minimum wins, so ties break
-    * to the lowest cid deterministically. Scales to any data size: the only
-    * data movement is the scan itself. */
+  /** Argmin-centroid as a pure projection (codegen'd NearestCentroid
+    * expression; strict `<` so ties break to the lowest cid). Scales to any
+    * data size: the only data movement is the scan itself. */
   def assignColumn(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column = {
-    val centArr = array(centroids.sortBy(_._1).map { case (cid, cvec) =>
-      struct(lit(cid).as("cid"), typedlit(cvec).as("cvec"))
-    }: _*)
-    val init = struct(lit(-1L).as("cid"), lit(Double.PositiveInfinity).as("d"))
-    aggregate(centArr, init, (acc, c) => {
-      val d = VectorFunctions.l2Distance(vec, c.getField("cvec"))
-      when(d < acc.getField("d"),
-        struct(c.getField("cid").as("cid"), d.as("d"))).otherwise(acc)
-    }).getField("cid")
+    val sorted = centroids.sortBy(_._1)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.NearestCentroid(
+        org.apache.spark.sql.graftbridge.Bridge.expression(vec),
+        sorted.map(_._1).toArray, sorted.map(_._2.toArray).toArray))
   }
 
   /** data(id, vec) → data + cluster_id. */

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * stats, quality scoring, language-ID heuristic, and rolling-hash document
+  * fingerprinting. Every function is a pure Column expression (whole-stage
+  * codegen, no UDFs) whose arithmetic is reproducible verbatim in the DuckDB
+  * oracle — integer or fixed-fold-order double only. */
+object TextAnalysis {
+
+  /** Hash-fold modulus (large prime < 2^30 so acc*131+code stays in long). */
+  val FpMod = 1000000007L
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(toks: Column): Column = size(toks).cast("long")
+
+  def distinctTokenCount(toks: Column): Column =
+    size(array_distinct(toks)).cast("long")
+
+  def stopwordCount(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedlit(stops), t))).cast("long")
+
+  val stopwords: Seq[String] = Seq("the", "a")
+
+  /** Deterministic quality score in [0, 1000]:
+    * 0.5·(1−stopword_ratio) + 0.4·min(1, n_tokens/100) + 0.1·(1−punct_ratio),
+    * scaled and floored. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = tokenCount(toks)
+    val stopRatio = stopwordCount(toks, stopwords).cast("double") / n
+    val lenScore = least(lit(1.0), n / lit(100.0))
+    val punct = (length(text) -
+      length(regexp_replace(text, "[.!?,;:]", ""))).cast("double")
+    val punctRatio = punct / length(text)
+    floor(lit(1000.0) * (lit(0.5) * (lit(1.0) - stopRatio) +
+      lit(0.4) * lenScore + lit(0.1) * (lit(1.0) - punctRatio))).cast("long")
+  }
+
+  /** Language profiles, alphabetical — order is the tie-break. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("window", "batch", "merge"),
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("data", "row", "stream"),
+    "fr" -> Seq("table", "value", "sort"),
+    "zh" -> Seq("spark", "vector", "hash"))
+
+  /** n-gram-profile language ID: count token hits per profile, argmax with
+    * ties to the alphabetically-first language (strict-> fold). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val init = struct(lit(-1L).as("score"), lit("").as("lang"))
+    langProfiles.foldLeft(init: Column) { case (acc, (lang, words)) =>
+      val s = stopwordCount(toks, words)
+      when(s > acc.getField("score"),
+        struct(s.as("score"), lit(lang).as("lang"))).otherwise(acc)
+    }.getField("lang")
+  }
+
+  /** Per-token numeric code (engine-portable: ascii = first-codepoint). */
+  def tokenCode(t: Column): Column =
+    (ascii(t) * lit(100) + length(t)).cast("long")
+
+  /** Rolling-hash fingerprint over the token stream:
+    * h ← (h·131 + code(t)) mod FpMod, left fold from 0. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => (acc * lit(131L) + tokenCode(t)) % lit(FpMod))
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Dedup, TextAnalysis}
+
+class DedupTextSpec extends SparkSpec {
+
+  private lazy val docs = Tables.table(spark, sfDir, "documents").cache()
+
+  private lazy val grams = docs.select(col("doc_id").as("id"),
+    Dedup.wordNGrams(TextAnalysis.tokens(col("text")), 2).as("grams")).cache()
+
+  private lazy val codes = docs.select(col("doc_id").as("id"),
+    Dedup.shingleCodes2(TextAnalysis.tokens(col("text"))).as("codes")).cache()
+
+  test("wordNGrams: counts and short-doc edge case") {
+    import spark.implicits._
+    val df = Seq("a b c d", "x", "").toDF("text")
+      .select(Dedup.wordNGrams(TextAnalysis.tokens(col("text")), 2).as("g"))
+    val sizes = df.select(size(col("g"))).as[Int].collect().toSeq
+    assert(sizes == Seq(3, 0, 0))
+  }
+
+  test("langId returns a profile language for every doc") {
+    import spark.implicits._
+    val langs = docs.select(TextAnalysis.langId(col("text"))).as[String]
+      .distinct().collect().toSet
+    assert(langs.nonEmpty &&
+      langs.subsetOf(TextAnalysis.langProfiles.map(_._1).toSet))
+  }
+
+  test("fingerprint: deterministic and mostly distinct") {
+    import spark.implicits._
+    val fps = docs.select(TextAnalysis.fingerprint(col("text"))).as[Long]
+      .collect()
+    assert(fps.distinct.length > fps.length * 9 / 10)
+    val fps2 = docs.select(TextAnalysis.fingerprint(col("text"))).as[Long]
+      .collect()
+    assert(fps.toSeq == fps2.toSeq)
+  }
+
+  test("jaccard pairs found by inverted index match brute force") {
+    import spark.implicits._
+    val fast = Dedup.jaccardPairs(grams, 0.5)
+      .as[(Long, Long)].collect().toSet
+    // brute force on collected gram sets
+    val local = grams.as[(Long, Seq[String])].collect()
+    val slow = (for {
+      (a, ga) <- local; (b, gb) <- local if a < b
+      inter = ga.toSet.intersect(gb.toSet).size
+      j = inter.toDouble / (ga.size + gb.size - inter)
+      if j >= 0.5
+    } yield (a, b)).toSet
+    assert(fast == slow && fast.nonEmpty)
+  }
+
+  test("three jaccard implementations agree (inverted / prefix / bitset)") {
+    import spark.implicits._
+    val codes = Dedup.shingleCodeTable(docs)
+      .withColumnRenamed("codes", "grams")
+    val naive = Dedup.jaccardPairs(codes, 0.5).as[(Long, Long)].collect().toSet
+    val prefix = Dedup.jaccardPairsPrefix(codes, 0.5)
+      .as[(Long, Long)].collect().toSet
+    val bitset = Dedup.jaccardPairsBitset(codes, 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(naive == prefix && naive == bitset && naive.nonEmpty)
+  }
+
+  test("shingleCodeTable kernel matches the Column-expression form") {
+    import spark.implicits._
+    val kernel = Dedup.shingleCodeTable(docs)
+      .as[(Long, Seq[Long])].collect().toMap.view.mapValues(_.toSet).toMap
+    val expr = docs.select(col("doc_id"),
+        Dedup.shingleCodes2(TextAnalysis.tokens(col("text"))).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap.view.mapValues(_.toSet).toMap
+    assert(kernel == expr)
+  }
+
+  test("minhash LSH candidates cover most true near-dup pairs") {
+    import spark.implicits._
+    val truth = Dedup.jaccardPairs(grams, 0.5).as[(Long, Long)].collect().toSet
+    val cand = Dedup.minhashLshPairs(codes).as[(Long, Long)].collect().toSet
+    val covered = truth.intersect(cand).size
+    assert(covered >= truth.size * 7 / 10,
+      s"LSH covered $covered of ${truth.size} true pairs")
+  }
+
+  test("simhash: near-dup pairs closer in hamming than random pairs") {
+    import spark.implicits._
+    val sh = Dedup.simhash(docs.select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("toks")))
+      .as[(Long, Long)].collect().toMap
+    val dups = Dedup.jaccardPairs(grams, 0.5).as[(Long, Long)].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val dupAvg = dups.map { case (a, b) => ham(sh(a), sh(b)) }.sum.toDouble /
+      dups.length
+    val ids = sh.keys.toSeq.sorted.take(60)
+    val rnd = for (a <- ids; b <- ids if a < b) yield ham(sh(a), sh(b))
+    val rndAvg = rnd.sum.toDouble / rnd.length
+    assert(dupAvg < rndAvg, s"dup=$dupAvg rnd=$rndAvg")
+  }
+
+  test("embedding LSH near-dups are a subset of exact near-dups") {
+    import spark.implicits._
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    val planes = data.filter(col("id") % 125 === 0).collect()
+      .map(r => (1L << (r.getLong(0) / 125).toInt) ->
+        r.getSeq[Double](1).toIndexedSeq).toIndexedSeq.sortBy(_._1)
+    val exact = Dedup.embeddingNearDupExact(data, 0.4)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupLsh(data, planes, 0.4)
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact) && lsh.nonEmpty && exact.nonEmpty)
+  }
+
+  test("exact dedup: keep_id is the min id and counts sum to total") {
+    import spark.implicits._
+    val toks = TextAnalysis.tokens(col("text"))
+    val d = Dedup.exactByKey(docs,
+      concat_ws(" ", element_at(toks, 1), element_at(toks, 2)), col("doc_id"))
+    val total = d.agg(sum("cnt")).as[Long].head()
+    assert(total == docs.count())
+    assert(d.filter(col("cnt") > 1).count() > 0)
+  }
+}
