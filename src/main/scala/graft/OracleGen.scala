@@ -176,6 +176,42 @@ object OracleGen {
   private def embDimExprs: Seq[String] =
     (1 to Tables.embDims).map(i => s"CAST(embedding[$i] AS DOUBLE)")
 
+  /** Sharded-Vamana search with an exhaustive beam window ≡ exact top-k over
+    * the nProbes label-shards nearest by (rounded) label-centroid distance —
+    * the SQL-expressible form of q24_vamana_search. */
+  def vamanaShardedKnn(k: Int, nProbes: Int): String = {
+    val d = Tables.embDims
+    val centAvgs = (0 until d).map(i => s"round(avg(v$i), 6) AS c$i")
+      .mkString(", ")
+    s"""WITH data AS (
+       |  SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+       |         ${dimCols("v", embDimExprs)}
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}
+       |  FROM embeddings WHERE ${Tables.embQueryPredSql}),
+       |cents AS (SELECT label AS cid, $centAvgs FROM data GROUP BY label),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${l2.sqlExpr("q.q", "c.c", d)} ASC, c.cid ASC) AS rn
+       |    FROM q CROSS JOIN cents c) WHERE rn <= $nProbes),
+       |cand AS (
+       |  SELECT p.query_id, dt.id,
+       |    ${l2.sqlExpr("q.q", "dt.v", d)} AS dist
+       |  FROM probes p
+       |  JOIN data dt ON dt.label = p.cid
+       |  JOIN q ON q.query_id = p.query_id),
+       |ranked AS (
+       |  SELECT query_id, id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist ASC, id ASC) AS rnk
+       |  FROM cand)
+       |SELECT query_id, rnk, neighbor_id FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** kNN over the 64-d embeddings table (DuckDB lists are 1-indexed). */
   def embeddingKnn(metric: Metric, k: Int): String = {
     val d = Tables.embDims

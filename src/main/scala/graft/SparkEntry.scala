@@ -156,6 +156,60 @@ object SparkEntry {
         lshPlanes(s, dir), CosineT)
       .orderBy("id_a", "id_b")
 
+  // ---- Vamana graph index (J2/B1-B4) over label-sharded embeddings --------
+
+  private val VamanaProbes = 3
+  private val VamanaParams = graft.operators.VamanaKernel.BuildParams(
+    maxDegree = 24, buildWindow = 48)
+
+  /** Embeddings with cluster_id = label: a deterministic 10-way sharding. */
+  private def embLabelClustered(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddingVectors(s, dir)
+      .select(col("id"), col("vec"), col("label").cast("long").as("cluster_id"))
+
+  /** Per-label centroids, rounded to 6 decimals so Spark and DuckDB agree
+    * despite different summation orders (same trick as q08_medioid). */
+  private def embLabelCentroids(s: SparkSession, dir: String)
+      : Seq[(Long, Seq[Double])] =
+    embLabelClustered(s, dir)
+      .select(col("cluster_id"), posexplode(col("vec")))
+      .groupBy("cluster_id", "pos").agg(round(avg("col"), 6).as("m"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (cid, xs) =>
+        cid -> xs.sortBy(_._2).map(_._3).toIndexedSeq }
+      .toIndexedSeq.sortBy(_._1)
+
+  /** Exhaustive-window sharded Vamana search: with the beam window covering
+    * the whole shard the walk visits the entry's full connected component, so
+    * the result equals exact top-k over the probed shards — which the DuckDB
+    * oracle expresses directly. Verifies build connectivity + walk + probe
+    * routing end-to-end. */
+  private def vamanaSearchQ(s: SparkSession, dir: String): DataFrame = {
+    val clustered = embLabelClustered(s, dir)
+    val graph = Vamana.buildSharded(clustered, VamanaParams, Metric.L2)
+    Vamana.searchSharded(Tables.embeddingQueries(s, dir), clustered, graph,
+        embLabelCentroids(s, dir), K, searchWindow = 1 << 14,
+        nProbes = VamanaProbes, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Realistic-window recall vs exact flat groundtruth (rows-only check;
+    * VamanaSpec asserts the recall floor). */
+  private def vamanaRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val clustered = embLabelClustered(s, dir)
+    val data = Tables.embeddingVectors(s, dir).select("id", "vec")
+    val q = Tables.embeddingQueries(s, dir)
+    val graph = Vamana.buildSharded(clustered, VamanaParams, Metric.L2)
+    val approx = Vamana.searchSharded(q, clustered, graph,
+      embLabelCentroids(s, dir), K, searchWindow = 40,
+      nProbes = VamanaProbes, Metric.L2)
+    val truth = FlatKnn.search(q, data, K, Metric.L2)
+    Recall.matchesPerQueryComplete(approx, truth).orderBy("query_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_flat_knn_l2" -> (knnLineitem(Metric.L2) _),
     "q02_flat_knn_ip" -> (knnLineitem(Metric.IP) _),
@@ -180,6 +234,8 @@ object SparkEntry {
     "q21_simhash" -> (simhashQ _),
     "q22_emb_neardup_exact" -> (embNearDupExactQ _),
     "q23_emb_neardup_lsh" -> (embNearDupLshQ _),
+    "q24_vamana_search" -> (vamanaSearchQ _),
+    "q25_vamana_recall" -> (vamanaRecallQ _),  // approximate: rows-only check
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -205,5 +261,6 @@ object SparkEntry {
     "q21_simhash" -> OracleGenText.simhash,
     "q22_emb_neardup_exact" -> OracleGenText.embNearDupExact(CosineT),
     "q23_emb_neardup_lsh" -> OracleGenText.embNearDupLsh(CosineT),
+    "q24_vamana_search" -> OracleGen.vamanaShardedKnn(K, VamanaProbes),
   )
 }

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Metric
+import graft.operators.VamanaKernel.BuildParams
+
+/** Distributed Vamana index (SURVEY §2 J2/B1-B4) as a **sharded graph**: rows
+  * are routed to shards (k-means clusters, reusing IVF's A2-A4 machinery), a
+  * local Vamana graph is built per shard inside `flatMapGroups`, and search
+  * probes the nProbes nearest shards per query, runs the executor-local greedy
+  * beam walk on each, and merges with the bounded top-k.
+  *
+  * Scale rationale (SURVEY §7 hard parts): the reference's greedy search
+  * (include/svs/index/vamana/greedy_search.h:124-203) is a sequential pointer
+  * chase — antithetical to bulk dataflow. Sharding keeps each walk local to
+  * one executor while Spark parallelizes across shards × queries; at 100 TB
+  * each shard's (vectors + graph) stays executor-memory-sized via the k-means
+  * fanout (hierarchical at extreme scale), graphs are built once in parallel
+  * with zero driver involvement, and only |Q|·nProbes·k partial rows shuffle
+  * at search time. A single-shard build (`buildSingle`) reproduces the
+  * reference's whole-dataset graph semantics exactly.
+  *
+  * Graph table schema: (cluster_id, id, entry_id, neighbors Array[Long]) —
+  * SURVEY §1.4's adjacency mapping; `entry_id` is the shard medioid
+  * (core/medioid.h:292).
+  */
+object Vamana {
+
+  /** Build one Vamana graph per cluster. clustered: (id, vec, cluster_id). */
+  def buildSharded(clustered: DataFrame, params: BuildParams, metric: Metric)
+      : DataFrame = {
+    val spark = clustered.sparkSession
+    import spark.implicits._
+    clustered
+      .select(col("cluster_id").cast("long"), col("id").cast("long"),
+        col("vec").cast("array<double>"))
+      .as[(Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cid, it) =>
+        // deterministic slot order: ascending external id
+        val rows = it.toArray.sortBy(_._2)
+        val ids = rows.map(_._2)
+        val vecs = rows.map(_._3)
+        val (adj, entry) = VamanaKernel.build(vecs, params, metric)
+        val entryId = ids(entry)
+        ids.indices.iterator.map { i =>
+          (cid, ids(i), entryId, adj(i).map(ids(_)))
+        }
+      }
+      .toDF("cluster_id", "id", "entry_id", "neighbors")
+  }
+
+  /** Whole-dataset single graph — the reference's exact shape (one entry
+    * point, one adjacency). Only for shards that fit one executor. */
+  def buildSingle(data: DataFrame, params: BuildParams, metric: Metric)
+      : DataFrame =
+    buildSharded(data.withColumn("cluster_id", lit(0L)), params, metric)
+
+  /** Probe-and-walk search. queries(query_id, qvec) must be broadcast-small
+    * (the reference holds the query batch in memory too); clustered and graph
+    * are the `buildSharded` inputs/outputs. nProbes clusters per query are
+    * chosen by centroid distance exactly like IVF (J3a); the per-shard walk
+    * uses `searchWindow ≥ k`. Output: (query_id, rnk, neighbor_id, dist). */
+  def searchSharded(queries: DataFrame, clustered: DataFrame, graph: DataFrame,
+                    centroids: Seq[(Long, Seq[Double])], k: Int,
+                    searchWindow: Int, nProbes: Int, metric: Metric)
+      : DataFrame = {
+    val spark = clustered.sparkSession
+    import spark.implicits._
+    require(searchWindow >= k, "searchWindow must be ≥ k")
+
+    // (a) per-query probe list — tiny; computed on the driver so the probe
+    // map broadcasts with the query vectors attached.
+    val qRows = queries
+      .select(col("query_id").cast("long"), col("qvec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cents = centroids.sortBy(_._1).map { case (i, v) => (i, v.toArray) }
+    val probesByCluster: Map[Long, Array[(Long, Array[Double])]] = qRows
+      .flatMap { case (qid, qvec) =>
+        val top = new LocalTopK(nProbes, metric.ascending)
+        cents.foreach { case (cid, cvec) =>
+          top.insert(metric.compute(qvec, cvec), cid)
+        }
+        (0 until top.n).map(i => (top.ids(i), (qid, qvec)))
+      }
+      .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2) }
+    val bc = spark.sparkContext.broadcast(probesByCluster)
+    val probedIds = probesByCluster.keys.toSeq
+
+    // (b) partition-pruned co-group: only probed clusters are read at all
+    // (isin filter reaches the parquet scan when clustered is partitioned by
+    // cluster_id), then each shard walks its local graph for its queries.
+    val shard = clustered
+      .filter(col("cluster_id").isin(probedIds: _*))
+      .join(graph, Seq("cluster_id", "id"))
+      .select(col("cluster_id").cast("long"), col("id").cast("long"),
+        col("vec").cast("array<double>"), col("entry_id").cast("long"),
+        col("neighbors").cast("array<long>"))
+      .as[(Long, Long, Array[Double], Long, Array[Long])]
+
+    val m = metric
+    val partials = shard
+      .groupByKey(_._1)
+      .flatMapGroups { (cid, it) =>
+        val qs = bc.value.getOrElse(cid, Array.empty[(Long, Array[Double])])
+        if (qs.isEmpty) Iterator.empty
+        else {
+          val rows = it.toArray.sortBy(_._2)
+          val ids = rows.map(_._2)
+          val slotOf = new java.util.HashMap[Long, Integer](rows.length * 2)
+          ids.indices.foreach(i => slotOf.put(ids(i), i))
+          val vecs = rows.map(_._3)
+          val entrySlot = slotOf.get(rows(0)._4).intValue()
+          val adj = rows.map(_._5.map(n => slotOf.get(n).intValue()))
+          qs.iterator.flatMap { case (qid, qvec) =>
+            val buf = VamanaKernel.greedySearch(adj, vecs, entrySlot, qvec,
+              searchWindow, m)
+            (0 until math.min(k, buf.n)).iterator.map { i =>
+              (qid, ids(buf.slots(i)), buf.dists(i))
+            }
+          }
+        }
+      }
+      .toDF("query_id", "id", "dist")
+
+    // (c) merge: |Q|·nProbes·k rows — window rank is exact and cheap
+    TopK.perKeyViaWindow(partials, Seq("query_id"), col("id"), col("dist"), k,
+      metric.ascending)
+  }
+
+  /** Out-degree distribution of a graph table (SURVEY §2 A8). */
+  def degreeStats(graph: DataFrame): DataFrame =
+    graph.select(col("cluster_id"),
+        size(col("neighbors")).cast("long").as("degree"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("nodes"), max("degree").as("max_degree"),
+        min("degree").as("min_degree"),
+        sum("degree").as("total_edges"))
+}

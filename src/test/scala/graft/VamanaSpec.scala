@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Metric, Tables}
+import graft.operators.{FlatKnn, Vamana, VamanaKernel}
+import graft.operators.VamanaKernel.BuildParams
+import scala.collection.mutable.ArrayBuffer
+
+class VamanaSpec extends SparkSpec {
+
+  private def randVecs(n: Int, d: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(n)(Array.fill(d)(rng.nextDouble()))
+  }
+
+  test("robustPrune keeps ≤ maxDegree, drops self and duplicates, best first") {
+    val vecs = randVecs(50, 4, seed = 7)
+    val node = 0
+    val pool = new ArrayBuffer[(Int, Double)]
+    (0 until 50).foreach { s =>
+      pool += ((s, Metric.L2.compute(vecs(node), vecs(s))))
+    }
+    pool += ((3, Metric.L2.compute(vecs(node), vecs(3)))) // duplicate
+    val kept = VamanaKernel.robustPrune(node, pool, alpha = 1.2, maxDegree = 8,
+      vecs, Metric.L2)
+    assert(kept.length <= 8)
+    assert(!kept.contains(node))
+    assert(kept.distinct.length === kept.length)
+    // first kept neighbor is the global nearest (never dominated)
+    val nearest = (1 until 50).minBy(s => Metric.L2.compute(vecs(node), vecs(s)))
+    assert(kept.head === nearest)
+  }
+
+  test("robustPrune with alpha=inf keeps exactly min(pool, maxDegree) nearest") {
+    val vecs = randVecs(30, 4, seed = 11)
+    val pool = new ArrayBuffer[(Int, Double)]
+    (1 until 30).foreach { s =>
+      pool += ((s, Metric.L2.compute(vecs(0), vecs(s))))
+    }
+    // huge alpha → domination threshold unreachable → plain nearest-k
+    val kept = VamanaKernel.robustPrune(0, pool, alpha = 1e18, maxDegree = 5,
+      vecs, Metric.L2)
+    val nearest5 = (1 until 30).sortBy(s => Metric.L2.compute(vecs(0), vecs(s)))
+      .take(5)
+    assert(kept.toSeq === nearest5)
+  }
+
+  test("local build: degrees bounded, graph connected enough for exact recall " +
+      "with full window") {
+    val vecs = randVecs(200, 8, seed = 3)
+    val (adj, entry) = VamanaKernel.build(vecs,
+      BuildParams(maxDegree = 16, buildWindow = 32), Metric.L2)
+    assert(adj.forall(_.length <= 16))
+    assert(adj.count(_.nonEmpty) === 200)
+    // with a window covering the whole set, greedy search from the medioid
+    // must find the true nearest neighbor of every point (graph connectivity)
+    var hits = 0
+    (0 until 200).foreach { i =>
+      val buf = VamanaKernel.greedySearch(adj, vecs, entry, vecs(i), 200,
+        Metric.L2)
+      if (buf.slots(0) == i) hits += 1
+    }
+    assert(hits === 200)
+  }
+
+  test("greedy search recall@10 ≥ 0.9 at window 40 on 500 random vectors") {
+    val vecs = randVecs(500, 16, seed = 42)
+    val (adj, entry) = VamanaKernel.build(vecs,
+      BuildParams(maxDegree = 24, buildWindow = 48), Metric.L2)
+    val queries = randVecs(20, 16, seed = 99)
+    var inter = 0
+    queries.foreach { q =>
+      val approx = VamanaKernel.greedySearch(adj, vecs, entry, q, 40, Metric.L2)
+      val approxIds = (0 until math.min(10, approx.n)).map(approx.slots).toSet
+      val exact = vecs.indices.sortBy(i => Metric.L2.compute(q, vecs(i)))
+        .take(10).toSet
+      inter += approxIds.intersect(exact).size
+    }
+    val recall = inter.toDouble / (10 * queries.length)
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("sharded build+search on embeddings: deterministic and recall ≥ 0.8") {
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    // 4 shards from the first 4 embedding vectors as seed centroids
+    val cents = data.filter(col("id") < 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val clustered = graft.operators.KMeans.assign(data, cents)
+    val graph = Vamana.buildSharded(clustered,
+      BuildParams(maxDegree = 24, buildWindow = 48), Metric.L2).cache()
+
+    val truth = FlatKnn.search(queries, data, 10, Metric.L2)
+    val nq = queries.count()
+    def recallAt(nProbes: Int): Double = {
+      val res = Vamana.searchSharded(queries, clustered, graph, cents, k = 10,
+        searchWindow = 40, nProbes = nProbes, Metric.L2)
+      val hits = res.select("query_id", "neighbor_id")
+        .intersect(truth.select("query_id", "neighbor_id")).count()
+      hits.toDouble / (10 * nq)
+    }
+    // probing every shard isolates graph quality from probe routing
+    val fullRecall = recallAt(4)
+    assert(fullRecall >= 0.9, s"full-probe recall $fullRecall")
+    // partial probes lose only what routing misses
+    val partialRecall = recallAt(2)
+    assert(partialRecall >= 0.5 && partialRecall <= fullRecall,
+      s"partial-probe recall $partialRecall vs $fullRecall")
+
+    // determinism: rebuild produces the identical graph
+    val graph2 = Vamana.buildSharded(clustered,
+      BuildParams(maxDegree = 24, buildWindow = 48), Metric.L2)
+    assert(graph.orderBy("cluster_id", "id").collect().toSeq ===
+      graph2.orderBy("cluster_id", "id").collect().toSeq)
+  }
+
+  test("degreeStats reports bounded max degree") {
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+      .filter(col("id") < 100)
+    val graph = Vamana.buildSingle(data,
+      BuildParams(maxDegree = 12, buildWindow = 24), Metric.L2)
+    val stats = Vamana.degreeStats(graph).collect()
+    assert(stats.length === 1)
+    assert(stats(0).getAs[Long]("max_degree") <= 12)
+    assert(stats(0).getAs[Long]("nodes") === 100)
+  }
+}
