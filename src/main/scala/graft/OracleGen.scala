@@ -212,6 +212,65 @@ object OracleGen {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Multi-vector label search (multi.h semantics): per-label min distance,
+    * then the top-k labels per query; best_id is the label's closest vector
+    * (ties by id). */
+  def multiLabelKnn(k: Int): String = {
+    val d = Tables.embDims
+    s"""WITH data AS (
+       |  SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+       |         ${dimCols("v", embDimExprs)}
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}
+       |  FROM embeddings WHERE ${Tables.embQueryPredSql}),
+       |pairs AS (
+       |  SELECT q.query_id, d.label, d.id,
+       |         ${l2.sqlExpr("q.q", "d.v", d)} AS dist
+       |  FROM q CROSS JOIN data d),
+       |best AS (
+       |  SELECT query_id, label, id AS best_id, dist,
+       |    row_number() OVER (PARTITION BY query_id, label
+       |      ORDER BY dist ASC, id ASC) AS rn
+       |  FROM pairs),
+       |ranked AS (
+       |  SELECT query_id, label, best_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist ASC, label ASC) AS rnk
+       |  FROM best WHERE rn = 1)
+       |SELECT query_id, rnk, label, best_id FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Flat embedding kNN with an excluded (tombstoned) id predicate (P8). */
+  def embeddingKnnExcluding(metric: Metric, k: Int, excludePred: String)
+      : String = {
+    val d = Tables.embDims
+    s"""WITH data AS (
+       |  SELECT vec_id AS id, ${dimCols("v", embDimExprs)}
+       |  FROM embeddings WHERE NOT ($excludePred)),
+       |q AS (
+       |  SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}
+       |  FROM embeddings WHERE ${Tables.embQueryPredSql}),
+       |pairs AS (
+       |  SELECT q.query_id, d.id,
+       |         ${metric.sqlExpr("q.q", "d.v", d)} AS dist
+       |  FROM q CROSS JOIN data d),
+       |ranked AS (
+       |  SELECT query_id, id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY dist ${if (metric.ascending) "ASC" else "DESC"}, id ASC) AS rnk
+       |  FROM pairs)
+       |SELECT query_id, rnk, neighbor_id FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Post-consolidation contents of the dynamic table (M1-M4 round trip):
+    * everything appended minus the soft-deleted ids. */
+  def dynConsolidated(deletePred: String): String =
+    s"""SELECT vec_id AS id, CAST(label AS BIGINT) AS label FROM embeddings
+       |WHERE NOT ($deletePred) ORDER BY id""".stripMargin
+
   /** kNN over the 64-d embeddings table (DuckDB lists are 1-indexed). */
   def embeddingKnn(metric: Metric, k: Int): String = {
     val d = Tables.embDims

@@ -210,6 +210,44 @@ object SparkEntry {
     Recall.matchesPerQueryComplete(approx, truth).orderBy("query_id")
   }
 
+  // ---- dynamic / mutation surface (M1-M4), multi-vector labels -------------
+
+  private val LabelK = 5
+
+  /** Per-query top-5 labels by min distance over each label's vectors. */
+  private def multiLabelQ(s: SparkSession, dir: String): DataFrame =
+    MultiVector.searchByLabel(Tables.embeddingQueries(s, dir),
+        Tables.embeddingVectors(s, dir)
+          .select(col("id"), col("vec"), col("label").cast("long").as("label")),
+        LabelK, Metric.L2)
+      .orderBy("query_id", "rnk")
+
+  /** Flat kNN with a soft-deleted (tombstoned) id set excluded (P8/M2). */
+  private def tombstoneKnnQ(s: SparkSession, dir: String): DataFrame = {
+    val data = Tables.embeddingVectors(s, dir).select("id", "vec")
+    FlatKnn.searchWithTombstones(Tables.embeddingQueries(s, dir), data,
+        data.filter(col("id") % 7 === 0).select("id"), K, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Dynamic-table lifecycle round trip: two segment appends, a soft-delete
+    * batch, consolidate (physical rewrite), then read back (M1-M4). */
+  private def dynConsolidateQ(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_dyn_q28"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val tbl = new DynamicVectorTable(s, root)
+    val emb = Tables.embeddingVectors(s, dir)
+      .select(col("id"), col("vec"), col("label").cast("long").as("label"))
+    tbl.addPoints(emb.filter(col("id") < 250))
+    tbl.addPoints(emb.filter(col("id") >= 250))
+    tbl.deleteIds(emb.filter(col("id") % 9 === 0).select("id"))
+    tbl.consolidate()
+    tbl.current.select("id", "label").orderBy("id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_flat_knn_l2" -> (knnLineitem(Metric.L2) _),
     "q02_flat_knn_ip" -> (knnLineitem(Metric.IP) _),
@@ -236,6 +274,9 @@ object SparkEntry {
     "q23_emb_neardup_lsh" -> (embNearDupLshQ _),
     "q24_vamana_search" -> (vamanaSearchQ _),
     "q25_vamana_recall" -> (vamanaRecallQ _),  // approximate: rows-only check
+    "q26_multilabel_knn" -> (multiLabelQ _),
+    "q27_tombstone_knn" -> (tombstoneKnnQ _),
+    "q28_dyn_consolidate" -> (dynConsolidateQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -262,5 +303,9 @@ object SparkEntry {
     "q22_emb_neardup_exact" -> OracleGenText.embNearDupExact(CosineT),
     "q23_emb_neardup_lsh" -> OracleGenText.embNearDupLsh(CosineT),
     "q24_vamana_search" -> OracleGen.vamanaShardedKnn(K, VamanaProbes),
+    "q26_multilabel_knn" -> OracleGen.multiLabelKnn(LabelK),
+    "q27_tombstone_knn" -> OracleGen.embeddingKnnExcluding(Metric.L2, K,
+      "vec_id % 7 = 0"),
+    "q28_dyn_consolidate" -> OracleGen.dynConsolidated("vec_id % 9 = 0"),
   )
 }

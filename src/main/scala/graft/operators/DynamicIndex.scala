@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Metric
+
+/** Mutable vector dataset (SURVEY §2 M1-M4): the Spark re-expression of the
+  * reference's dynamic index surface (include/svs/index/vamana/
+  * dynamic_index.h:630-849). Storage is a directory of append-only parquet
+  * segments plus a tombstone table — the slot-metadata lifecycle
+  * (Empty/Valid/Deleted, dynamic_index.h:69-76) becomes segment files +
+  * anti-joined tombstones; external ids persist end-to-end so no
+  * IDTranslator is needed (SURVEY §1.4).
+  *
+  * Layout: `root/segments/seg-<n>/` parquet dirs, `root/tombstones/ts-<n>/`
+  * parquet dirs of `(id)`. All operations are idempotent rewrites or appends;
+  * at scale each segment write is a normal distributed parquet job and
+  * `consolidate` is the compaction batch (dynamic_index.h:950,
+  * core/compact.h).
+  */
+final class DynamicVectorTable(spark: SparkSession, root: String) {
+
+  private val fs = new Path(root).getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def list(sub: String): Seq[String] = {
+    val p = new Path(root, sub)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.toString).sorted.toSeq
+  }
+
+  private def nextName(sub: String, prefix: String): String = {
+    val n = list(sub).size
+    s"$root/$sub/$prefix-$n%05d".format(n)
+  }
+
+  /** M1 add_points: append a new segment of `(id, vec, ...)` rows. */
+  def addPoints(df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(nextName("segments", "seg"))
+
+  /** M2 delete_entries: soft delete — append ids to the tombstone set. The
+    * rows stay in their segments (still traversed by any index build) but are
+    * filtered from every read, mirroring the reference's Deleted slots
+    * (bindings docstring dynamic_vamana.cpp:196-198). */
+  def deleteIds(ids: DataFrame): Unit =
+    ids.select(col("id").cast("long")).write.mode("overwrite")
+      .parquet(nextName("tombstones", "ts"))
+
+  private def readAll(paths: Seq[String]): Option[DataFrame] =
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+
+  /** All live rows: segments minus tombstones (P8 anti-join). */
+  def current: DataFrame = {
+    val segs = readAll(list("segments"))
+      .getOrElse(sys.error(s"empty dynamic table at $root"))
+    readAll(list("tombstones"))
+      .map(ts => segs.join(ts.select("id"), Seq("id"), "left_anti"))
+      .getOrElse(segs)
+  }
+
+  /** Raw rows including soft-deleted ones (what an index build traverses). */
+  def allRows: DataFrame =
+    readAll(list("segments")).getOrElse(sys.error(s"empty table at $root"))
+
+  def tombstones: Option[DataFrame] = readAll(list("tombstones"))
+
+  /** M3/M4 consolidate + compact: physically rewrite live rows as one
+    * segment and drop the tombstones. In Spark the two reference steps
+    * (graph patching + id-space defrag) collapse into a single rewrite —
+    * external ids persist, so no renumbering. */
+  def consolidate(): Unit = {
+    val live = current.cache()
+    live.count() // materialize before deleting inputs
+    val tmp = s"$root/consolidating"
+    live.write.mode("overwrite").parquet(tmp)
+    list("segments").foreach(p => fs.delete(new Path(p), true))
+    list("tombstones").foreach(p => fs.delete(new Path(p), true))
+    fs.rename(new Path(tmp), new Path(s"$root/segments/seg-00000"))
+    live.unpersist()
+  }
+
+  def segmentCount: Int = list("segments").size
+}
+
+/** Multi-vector labels (SURVEY §1.3 / index/vamana/multi.h:155): one label
+  * maps to many vectors; search returns the best distance per label and the
+  * top-k *labels* per query (multi.h:340 TotalOrder(min)). */
+object MultiVector {
+
+  /** queries(query_id, qvec); data(id, vec, label). Output best-first:
+    * (query_id, rnk, label, best_id) where best_id is the label's closest
+    * vector (ties by id).
+    *
+    * Scale shape: broadcast queries × data is a map-only projection; the
+    * per-(query,label) min is a bounded aggregate Catalyst computes with
+    * map-side partials, so the shuffle carries |partitions|·|Q|·|labels|
+    * rows, never the pair count. */
+  def searchByLabel(queries: DataFrame, data: DataFrame, k: Int,
+                    metric: Metric): DataFrame = {
+    val pairs = broadcast(queries).crossJoin(data)
+      .select(col("query_id"), col("label"), col("id"),
+        metric.column(col("qvec"), col("vec")).as("dist"))
+    // per-label min distance; struct min breaks distance ties by smaller id
+    val perLabel = pairs.groupBy("query_id", "label")
+      .agg(min(struct(
+        (if (metric.ascending) col("dist") else -col("dist")).as("d"),
+        col("id"))).as("best"))
+      .select(col("query_id"), col("label"),
+        (if (metric.ascending) col("best.d") else -col("best.d")).as("dist"),
+        col("best.id").as("best_id"))
+    TopK.perKeyViaWindow(perLabel, Seq("query_id"), col("label"), col("dist"),
+        k, metric.ascending)
+      .withColumnRenamed("neighbor_id", "label")
+      .join(perLabel.select("query_id", "label", "best_id"),
+        Seq("query_id", "label"))
+      .select("query_id", "rnk", "label", "best_id")
+  }
+}
+
+/** Paginated batch iterator (SURVEY §2 M5 — index/vamana/iterator.h:81-220):
+  * successive `next(batchSize)` calls yield further neighbors, never
+  * repeating ids, by anti-joining the already-returned set. Driver-side
+  * stateful orchestration over distributed searches, like the reference's
+  * restartable schedule. */
+final class BatchIterator(queries: DataFrame, data: DataFrame, metric: Metric) {
+  private var returned: Option[DataFrame] = None
+
+  def next(batchSize: Int): DataFrame = {
+    // exclusion must be per query, so anti-join candidate pairs, not data
+    val res = returned match {
+      case None =>
+        FlatKnn.search(queries, data, batchSize, metric)
+      case Some(r) =>
+        val excluded = r.select(col("query_id"), col("neighbor_id"))
+        val all = FlatKnn.search(queries, data,
+          batchSize + excluded.groupBy("query_id").count()
+            .agg(max("count")).collect()(0).getLong(0).toInt, metric)
+        val kept = all.join(excluded, Seq("query_id", "neighbor_id"),
+          "left_anti")
+        TopK.perKeyViaWindow(kept.withColumnRenamed("neighbor_id", "nid"),
+          Seq("query_id"), col("nid"), col("dist"), batchSize,
+          metric.ascending)
+    }
+    val out = res.select("query_id", "rnk", "neighbor_id", "dist").cache()
+    out.count()
+    returned = returned match {
+      case None => Some(out.select("query_id", "neighbor_id"))
+      case Some(r) => Some(r.union(out.select("query_id", "neighbor_id")))
+    }
+    out
+  }
+}

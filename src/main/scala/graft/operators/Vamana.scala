@@ -130,6 +130,29 @@ object Vamana {
       metric.ascending)
   }
 
+  /** Incremental mutation (SURVEY §2 M1-M3 for the graph index): apply a
+    * batch of additions (already routed: (id, vec, cluster_id)) and deletions
+    * to a sharded index by rebuilding ONLY the touched shards — the Spark
+    * form of the reference's incremental insert + consolidate
+    * (dynamic_index.h:630-745,950): work is proportional to the delta's
+    * shard fanout, not the index size, and untouched graph rows pass through
+    * byte-identical. Returns (newClustered, newGraph). */
+  def updateShards(clustered: DataFrame, graph: DataFrame, added: DataFrame,
+                   deletedIds: DataFrame, params: BuildParams, metric: Metric)
+      : (DataFrame, DataFrame) = {
+    val touched = added.select("cluster_id")
+      .union(clustered.join(deletedIds.select("id"), Seq("id"))
+        .select("cluster_id"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val newClustered = clustered
+      .join(deletedIds.select("id"), Seq("id"), "left_anti")
+      .unionByName(added)
+    val rebuilt = buildSharded(
+      newClustered.filter(col("cluster_id").isin(touched: _*)), params, metric)
+    val untouched = graph.filter(!col("cluster_id").isin(touched: _*))
+    (newClustered, untouched.unionByName(rebuilt))
+  }
+
   /** Out-degree distribution of a graph table (SURVEY §2 A8). */
   def degreeStats(graph: DataFrame): DataFrame =
     graph.select(col("cluster_id"),

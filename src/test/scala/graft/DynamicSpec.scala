@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.core.{Metric, Tables}
+import graft.operators._
+import graft.operators.VamanaKernel.BuildParams
+import graft.streaming.StreamingIngest
+
+class DynamicSpec extends SparkSpec {
+
+  private def freshRoot(name: String): String = {
+    val root = s"/tmp/graft_test_$name"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    root
+  }
+
+  private def emb = Tables.embeddingVectors(spark, sfDir)
+    .select(col("id"), col("vec"), col("label").cast("long").as("label"))
+
+  test("dynamic table: append, soft delete, consolidate") {
+    val root = freshRoot("dyn")
+    val tbl = new DynamicVectorTable(spark, root)
+    tbl.addPoints(emb.filter(col("id") < 250))
+    tbl.addPoints(emb.filter(col("id") >= 250))
+    assert(tbl.segmentCount === 2)
+    assert(tbl.current.count() === 500)
+
+    tbl.deleteIds(emb.filter(col("id") % 9 === 0).select("id"))
+    val live = tbl.current.count()
+    assert(live === 500 - 56) // ids 0,9,...,495
+    assert(tbl.allRows.count() === 500) // soft delete: rows still present
+
+    tbl.consolidate()
+    assert(tbl.segmentCount === 1)
+    assert(tbl.tombstones.isEmpty)
+    assert(tbl.current.count() === live)
+  }
+
+  test("search with tombstones never returns deleted ids") {
+    val data = emb.select("id", "vec")
+    val ts = data.filter(col("id") % 7 === 0).select("id")
+    val res = FlatKnn.searchWithTombstones(
+      Tables.embeddingQueries(spark, sfDir), data, ts, 10, Metric.L2)
+    assert(res.filter(col("neighbor_id") % 7 === 0).count() === 0)
+    assert(res.count() === Tables.embeddingQueries(spark, sfDir).count() * 10)
+  }
+
+  test("multi-label search: per-label min, labels ranked, best_id correct") {
+    val q = Tables.embeddingQueries(spark, sfDir).filter(col("query_id") === 0)
+    val res = MultiVector.searchByLabel(q, emb, 5, Metric.L2).collect()
+    assert(res.length === 5)
+    assert(res.map(_.getAs[Long]("rnk")).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(res.map(_.getAs[Long]("label")).distinct.length === 5)
+    // brute-force check of rank-1
+    val qv = q.collect()(0).getSeq[Double](1).toArray
+    val all = emb.collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)) }
+    val bestByLabel = all.groupBy(_._3).view.mapValues { vs =>
+      vs.map(v => (Metric.L2.compute(qv, v._2), v._1)).min }.toMap
+    val (bd, bid) = bestByLabel.values.min
+    val top = bestByLabel.minBy { case (l, (d, i)) => (d, l) }
+    assert(res(0).getAs[Long]("label") === top._1)
+    assert(res(0).getAs[Long]("best_id") === top._2._2)
+  }
+
+  test("batch iterator pages without repeats and in global order") {
+    val q = Tables.embeddingQueries(spark, sfDir).filter(col("query_id") === 0)
+    val data = emb.select("id", "vec")
+    val it = new BatchIterator(q, data, Metric.L2)
+    val b1 = it.next(5).collect().map(_.getAs[Long]("neighbor_id"))
+    val b2 = it.next(5).collect().map(_.getAs[Long]("neighbor_id"))
+    assert(b1.length === 5 && b2.length === 5)
+    assert(b1.toSet.intersect(b2.toSet).isEmpty)
+    // union of two pages == exact top-10
+    val exact = FlatKnn.search(q, data, 10, Metric.L2)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert((b1 ++ b2).toSet === exact)
+  }
+
+  test("vamana updateShards rebuilds only touched shards") {
+    val data = emb.select("id", "vec").filter(col("id") < 400)
+    val cents = data.filter(col("id") < 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val clustered = KMeans.assign(data, cents)
+    val params = BuildParams(maxDegree = 16, buildWindow = 32)
+    val graph = Vamana.buildSharded(clustered, params, Metric.L2).cache()
+
+    // delta: add the rows 400..449 (routed), delete ids 0..9
+    val added = KMeans.assign(
+      emb.select("id", "vec").filter(col("id") >= 400 && col("id") < 450),
+      cents)
+    val deleted = spark.range(10).toDF("id")
+    val (newClustered, newGraph) =
+      Vamana.updateShards(clustered, graph, added, deleted, params, Metric.L2)
+
+    assert(newClustered.count() === 400 - 10 + 50)
+    // graph covers exactly the live rows
+    assert(newGraph.count() === newClustered.count())
+    // untouched shards byte-identical
+    val touched = added.select("cluster_id")
+      .union(clustered.join(deleted, Seq("id")).select("cluster_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val untouchedOld = graph
+      .filter(!col("cluster_id").isin(touched.toSeq: _*))
+      .orderBy("cluster_id", "id").collect().toSeq
+    val untouchedNew = newGraph
+      .filter(!col("cluster_id").isin(touched.toSeq: _*))
+      .orderBy("cluster_id", "id").collect().toSeq
+    assert(untouchedOld === untouchedNew)
+    // search still works against the updated index
+    val res = Vamana.searchSharded(Tables.embeddingQueries(spark, sfDir),
+      newClustered, newGraph, cents, 10, 40, 4, Metric.L2)
+    assert(res.filter(col("neighbor_id") < 10).count() === 0)
+  }
+
+  test("streaming ingest appends micro-batches as segments") {
+    val root = freshRoot("stream")
+    val ckpt = freshRoot("stream_ckpt")
+    val tbl = new DynamicVectorTable(spark, root)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val stream = mem.toDF().toDF("id", "vec")
+    val query = StreamingIngest.attach(stream, tbl, ckpt)
+    try {
+      mem.addData((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0)))
+      query.processAllAvailable()
+      assert(tbl.current.count() === 2)
+      mem.addData((3L, Seq(5.0, 6.0)))
+      query.processAllAvailable()
+      assert(tbl.segmentCount === 2)
+      assert(tbl.current.orderBy("id").collect().map(_.getLong(0)).toSeq ===
+        Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+}
