@@ -271,6 +271,36 @@ object OracleGen {
     s"""SELECT vec_id AS id, CAST(label AS BIGINT) AS label FROM embeddings
        |WHERE NOT ($deletePred) ORDER BY id""".stripMargin
 
+  /** fvecs round trip is bit-exact for float32 sources, so the oracle is the
+    * identity claim over the original table. */
+  def fvecsRoundtrip: String =
+    s"""SELECT vec_id AS id, CAST(len(embedding) AS BIGINT) AS dims,
+       |CAST(1 AS BIGINT) AS matches FROM embeddings ORDER BY id""".stripMargin
+
+  /** Synthetic LCG dataset kNN — DuckDB regenerates the dataset from the
+    * same integer formula (graft.sources.SyntheticData.valueSql). */
+  def syntheticKnn(n: Long, dims: Int, stride: Long, k: Int): String = {
+    import graft.sources.SyntheticData.valueSql
+    val dataDims = (0 until dims)
+      .map(d => s"${valueSql("id", d.toString)} AS v$d").mkString(", ")
+    val qDims = (0 until dims)
+      .map(d => s"${valueSql("id", d.toString)} AS q$d").mkString(", ")
+    s"""WITH data AS (SELECT id, $dataDims FROM range($n) t(id)),
+       |q AS (SELECT id AS query_id, $qDims FROM range($n) t(id)
+       |      WHERE id % $stride = 0),
+       |pairs AS (
+       |  SELECT q.query_id, d.id,
+       |    ${l2.sqlExpr("q.q", "d.v", dims)} AS dist
+       |  FROM q CROSS JOIN data d),
+       |ranked AS (
+       |  SELECT query_id, id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist ASC, id ASC) AS rnk
+       |  FROM pairs)
+       |SELECT query_id, rnk, neighbor_id FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** kNN over the 64-d embeddings table (DuckDB lists are 1-indexed). */
   def embeddingKnn(metric: Metric, k: Int): String = {
     val d = Tables.embDims

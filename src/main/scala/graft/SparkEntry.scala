@@ -248,6 +248,41 @@ object SparkEntry {
     tbl.current.select("id", "label").orderBy("id")
   }
 
+  // ---- IO surface (S1-S8) --------------------------------------------------
+
+  /** fvecs write→read round trip: embeddings are float32 at the source, so
+    * the trip is bit-exact; `matches` compares the read-back vector to the
+    * original element-wise. Read-back ids are dense (path, row)-ordered,
+    * which equals vec_id because embeddings ids are dense and the write is
+    * range-partitioned by id. */
+  private def fvecsRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_fvecs_q29"
+    val orig = Tables.embeddingVectors(s, dir).select("id", "vec")
+    graft.sources.VecsIO.write(
+      orig.repartitionByRange(4, col("id")), out, graft.sources.VecsIO.F32)
+    val back = graft.sources.VecsIO.read(s, s"$out/*.fvecs")
+      .withColumnRenamed("vec", "vec_back")
+    orig.join(back, Seq("id"))
+      .select(col("id"), size(col("vec")).cast("long").as("dims"),
+        when(col("vec") === col("vec_back"), 1L).otherwise(0L).as("matches"))
+      .orderBy("id")
+  }
+
+  private val SynN = 10000L
+  private val SynDims = 16
+  private val SynStride = 500L
+
+  /** Synthetic-generator kNN (S8): deterministic LCG dataset + exact flat
+    * groundtruth; DuckDB reproduces the generator formula bit-for-bit. */
+  private def syntheticKnnQ(s: SparkSession, dir: String): DataFrame = {
+    val data = graft.sources.SyntheticData.generate(s, SynN, SynDims)
+    val q = graft.sources.SyntheticData.generateQueries(s, SynN, SynDims,
+      SynStride)
+    FlatKnn.search(q, data, K, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_flat_knn_l2" -> (knnLineitem(Metric.L2) _),
     "q02_flat_knn_ip" -> (knnLineitem(Metric.IP) _),
@@ -277,6 +312,8 @@ object SparkEntry {
     "q26_multilabel_knn" -> (multiLabelQ _),
     "q27_tombstone_knn" -> (tombstoneKnnQ _),
     "q28_dyn_consolidate" -> (dynConsolidateQ _),
+    "q29_fvecs_roundtrip" -> (fvecsRoundtripQ _),
+    "q30_synthetic_knn" -> (syntheticKnnQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -307,5 +344,7 @@ object SparkEntry {
     "q27_tombstone_knn" -> OracleGen.embeddingKnnExcluding(Metric.L2, K,
       "vec_id % 7 = 0"),
     "q28_dyn_consolidate" -> OracleGen.dynConsolidated("vec_id % 9 = 0"),
+    "q29_fvecs_roundtrip" -> OracleGen.fvecsRoundtrip,
+    "q30_synthetic_knn" -> OracleGen.syntheticKnn(SynN, SynDims, SynStride, K),
   )
 }

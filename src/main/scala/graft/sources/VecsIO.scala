@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `*vecs` family readers/writers (SURVEY §2 S1/S2 — reference
+  * core/io/vecs.h:137-253): per-row layout is a little-endian `int32 dim`
+  * header followed by `dim` payload elements (float32 for `.fvecs`, int32 for
+  * `.ivecs`, uint8 for `.bvecs`). Files parallelize naturally one-per-task
+  * via `binaryFile` (a vecs *dataset* at scale is a directory of shards, each
+  * well under `maxPartitionBytes`); canonical storage stays Parquet — vecs is
+  * the ingest/egress compatibility format, exactly the reference's posture
+  * (convert_vecs_to_svs, bindings/python/src/python_bindings.cpp:196-212).
+  *
+  * Row ids are assigned densely in (file path, row-in-file) order, matching
+  * the reference's implicit dense indexing; per-file bases come from the
+  * fixed row stride, so id assignment needs no extra pass.
+  */
+object VecsIO {
+
+  sealed trait ElType { def bytes: Int; def ext: String }
+  case object F32 extends ElType { val bytes = 4; val ext = "fvecs" }
+  case object I32 extends ElType { val bytes = 4; val ext = "ivecs" }
+  case object U8 extends ElType { val bytes = 1; val ext = "bvecs" }
+
+  def elTypeFor(path: String): ElType =
+    if (path.endsWith(".fvecs")) F32
+    else if (path.endsWith(".ivecs")) I32
+    else if (path.endsWith(".bvecs")) U8
+    else sys.error(s"not a vecs path: $path")
+
+  private def decode(bytes: Array[Byte], el: ElType): Iterator[Array[Double]] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    new Iterator[Array[Double]] {
+      def hasNext: Boolean = bb.remaining() >= 4
+      def next(): Array[Double] = {
+        val d = bb.getInt
+        require(d > 0 && bb.remaining() >= d * el.bytes,
+          s"corrupt vecs row: dim=$d remaining=${bb.remaining()}")
+        val out = new Array[Double](d)
+        var i = 0
+        el match {
+          case F32 => while (i < d) { out(i) = bb.getFloat.toDouble; i += 1 }
+          case I32 => while (i < d) { out(i) = bb.getInt.toDouble; i += 1 }
+          case U8 => while (i < d) { out(i) = (bb.get & 0xff).toDouble; i += 1 }
+        }
+        out
+      }
+    }
+  }
+
+  /** Read a vecs file/glob into `(id BIGINT, vec ARRAY<DOUBLE>)`. `dims` must
+    * be uniform (checked); ids are dense in (path, row) order. */
+  def read(spark: SparkSession, path: String,
+           elType: Option[ElType] = None): DataFrame = {
+    import spark.implicits._
+    val el = elType.getOrElse(elTypeFor(path))
+    val files = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("length"), col("content"))
+    // row stride is fixed per dataset: probe dim from the first 4 bytes
+    val heads = files.select(col("path"), col("length"),
+        substring(col("content"), 1, 4).as("head"))
+      .collect()
+      .map { r =>
+        val dim = ByteBuffer.wrap(r.getAs[Array[Byte]]("head"))
+          .order(ByteOrder.LITTLE_ENDIAN).getInt
+        (r.getString(0), r.getLong(1), dim)
+      }
+      .sortBy(_._1)
+    val stride = heads.headOption.map { case (_, _, d) => 4L + d.toLong * el.bytes }
+      .getOrElse(sys.error(s"no vecs files at $path"))
+    heads.foreach { case (p, len, _) =>
+      require(len % stride == 0, s"$p length $len not a multiple of $stride") }
+    val bases = heads.scanLeft(0L) { case (acc, (_, len, _)) =>
+      acc + len / stride }
+    val baseByPath = heads.map(_._1).zip(bases).toMap
+    val bc = spark.sparkContext.broadcast(baseByPath)
+    files.select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val base = bc.value(p)
+        decode(bytes, el).zipWithIndex.map { case (v, i) => (base + i, v) }
+      }
+      .toDF("id", "vec")
+  }
+
+  /** Write `(id, vec)` rows as vecs shards `part-NNNNN.<ext>` under `dir`,
+    * one per partition (ordered by id within each). Use
+    * `df.repartitionByRange(n, col("id"))` upstream for globally ordered
+    * shards. */
+  def write(df: DataFrame, dir: String, el: ElType): Unit = {
+    val spark = df.sparkSession
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf.value)
+    fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    df.select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .sortWithinPartitions("id")
+      .rdd
+      .mapPartitionsWithIndex { case (pi, iter) =>
+        if (iter.isEmpty) Iterator.empty
+        else {
+          val out = new Path(dir, f"part-$pi%05d.${el.ext}")
+          val os = out.getFileSystem(conf.value).create(out, true)
+          iter.foreach { row =>
+            val v = row.getSeq[Double](1)
+            val bb = ByteBuffer.allocate(4 + v.length * el.bytes)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            bb.putInt(v.length)
+            el match {
+              case F32 => v.foreach(x => bb.putFloat(x.toFloat))
+              case I32 => v.foreach(x => bb.putInt(x.toInt))
+              case U8 => v.foreach(x => bb.put(x.toInt.toByte))
+            }
+            os.write(bb.array())
+          }
+          os.close()
+          Iterator.single(pi)
+        }
+      }
+      .count()
+  }
+
+  /** Headerless dense binary (SURVEY §2 S4 — core/io/binary.h): fixed-stride
+    * rows of `dims` elements, no per-row header. */
+  def readRawBinary(spark: SparkSession, path: String, dims: Int, el: ElType)
+      : DataFrame = {
+    import spark.implicits._
+    val stride = dims.toLong * el.bytes
+    val files = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("length"), col("content"))
+    val sizes = files.select("path", "length").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    sizes.foreach { case (p, len) =>
+      require(len % stride == 0, s"$p length $len not a multiple of $stride") }
+    val bases = sizes.scanLeft(0L) { case (acc, (_, len)) => acc + len / stride }
+    val baseByPath = sizes.map(_._1).zip(bases).toMap
+    val bc = spark.sparkContext.broadcast(baseByPath)
+    files.select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val n = bytes.length / stride
+        val base = bc.value(p)
+        (0L until n).iterator.map { r =>
+          val out = new Array[Double](dims)
+          var i = 0
+          el match {
+            case F32 => while (i < dims) { out(i) = bb.getFloat.toDouble; i += 1 }
+            case I32 => while (i < dims) { out(i) = bb.getInt.toDouble; i += 1 }
+            case U8 => while (i < dims) { out(i) = (bb.get & 0xff).toDouble; i += 1 }
+          }
+          (base + r, out)
+        }
+      }
+      .toDF("id", "vec")
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.sources.{SyntheticData, VecsIO, VectorTable}
+
+class SourcesSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val root = s"/tmp/graft_test_src_$name"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    root
+  }
+
+  test("fvecs round trip is bit-exact for float32 data") {
+    val dir = freshDir("fvecs")
+    val orig = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    VecsIO.write(orig.repartitionByRange(3, col("id")), dir, VecsIO.F32)
+    val back = VecsIO.read(spark, s"$dir/*.fvecs")
+    assert(back.count() === orig.count())
+    val joined = orig.join(back.withColumnRenamed("vec", "vec2"), Seq("id"))
+    assert(joined.filter(col("vec") =!= col("vec2")).count() === 0)
+  }
+
+  test("ivecs and bvecs round trips preserve integral values") {
+    val dir1 = freshDir("ivecs")
+    val dir2 = freshDir("bvecs")
+    import spark.implicits._
+    val df = Seq((0L, Seq(1.0, -5.0, 1000000.0)), (1L, Seq(7.0, 0.0, -1.0)))
+      .toDF("id", "vec")
+    VecsIO.write(df.coalesce(1), dir1, VecsIO.I32)
+    val backI = VecsIO.read(spark, s"$dir1/*.ivecs").orderBy("id").collect()
+    assert(backI(0).getSeq[Double](1) === Seq(1.0, -5.0, 1000000.0))
+    val bdf = Seq((0L, Seq(0.0, 255.0, 17.0))).toDF("id", "vec")
+    VecsIO.write(bdf.coalesce(1), dir2, VecsIO.U8)
+    val backB = VecsIO.read(spark, s"$dir2/*.bvecs").collect()
+    assert(backB(0).getSeq[Double](1) === Seq(0.0, 255.0, 17.0))
+  }
+
+  test("multi-file vecs read assigns dense ids in path order") {
+    val dir = freshDir("multifile")
+    val orig = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    VecsIO.write(orig.repartitionByRange(5, col("id")), dir, VecsIO.F32)
+    val back = VecsIO.read(spark, s"$dir/*.fvecs")
+    assert(back.select("id").distinct().count() === 500)
+    assert(back.agg(min("id"), max("id")).collect()(0).toSeq ===
+      Seq(0L, 499L))
+  }
+
+  test("raw binary reader decodes fixed-stride rows") {
+    val dir = freshDir("rawbin")
+    val p = new org.apache.hadoop.fs.Path(dir, "data.bin")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    val bb = java.nio.ByteBuffer.allocate(2 * 3 * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(1.5f, 2.5f, 3.5f, -1.0f, 0.0f, 9.0f).foreach(bb.putFloat)
+    os.write(bb.array()); os.close()
+    val back = VecsIO.readRawBinary(spark, s"$dir/data.bin", 3, VecsIO.F32)
+      .orderBy("id").collect()
+    assert(back.length === 2)
+    assert(back(0).getSeq[Double](1) === Seq(1.5, 2.5, 3.5))
+    assert(back(1).getSeq[Double](1) === Seq(-1.0, 0.0, 9.0))
+  }
+
+  test("VectorTable save/load round trip with sidecar checks") {
+    val dir = freshDir("vtable")
+    val df = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    val meta = VectorTable.save(df, dir, eltype = "float32",
+      metric = "cosine")
+    assert(meta.dims === 64 && meta.count === 500)
+    val loaded = VectorTable.load(spark, dir, expectDims = Some(64),
+      expectElType = Some("float32"))
+    assert(loaded.count() === 500)
+    // expectation mismatches fail loudly (Matcher semantics)
+    intercept[IllegalArgumentException] {
+      VectorTable.load(spark, dir, expectDims = Some(128)) }
+    intercept[IllegalArgumentException] {
+      VectorTable.load(spark, dir, expectElType = Some("int8")) }
+  }
+
+  test("open dispatches by extension (S6)") {
+    val dir = freshDir("dispatch")
+    val df = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    VectorTable.save(df, dir)
+    assert(VectorTable.open(spark, dir).count() === 500)
+    val vdir = freshDir("dispatch_vecs")
+    VecsIO.write(df.coalesce(1), vdir, VecsIO.F32)
+    assert(VectorTable.open(spark, s"$vdir/part-00000.fvecs").count() === 500)
+  }
+
+  test("convert narrows element type and records it (S7)") {
+    val dir = freshDir("convert")
+    import spark.implicits._
+    val df = Seq((0L, Seq(1.000000059604644775390625, 2.0)))
+      .toDF("id", "vec") // value not representable in float32
+    val meta = VectorTable.convert(df, dir, "float")
+    assert(meta.eltype === "float")
+    val v = VectorTable.load(spark, dir).collect()(0).getSeq[Double](1)
+    assert(v(0) === 1.0f.toDouble) // narrowed
+  }
+
+  test("synthetic generator is deterministic and in [0,1)") {
+    val a = SyntheticData.generate(spark, 1000, 8)
+    val b = SyntheticData.generate(spark, 1000, 8)
+    assert(a.orderBy("id").collect().toSeq === b.orderBy("id").collect().toSeq)
+    val stats = a.select(explode(col("vec")).as("v"))
+      .agg(min("v"), max("v")).collect()(0)
+    assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) < 1.0)
+  }
+}
