@@ -301,6 +301,89 @@ object OracleGen {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Two-level inverted search (J4): nearest-leader assignment, ε-expanded
+    * leader probe (keep leaders ≤ eps × k-th best leader distance), then
+    * top-k over the probed clusters. `leaderPred` filters `data` rows by
+    * their `id` column. */
+  def invertedSearch(k: Int, nLeaders: Int, eps: Double, leaderPred: String)
+      : String = {
+    val d = Tables.embDims
+    val lCols = (0 until d).map(i => s"v$i AS c$i").mkString(", ")
+    s"""WITH data AS (
+       |  SELECT vec_id AS id, ${dimCols("v", embDimExprs)}
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}
+       |  FROM embeddings WHERE ${Tables.embQueryPredSql}),
+       |leaders AS (SELECT id AS lid, $lCols FROM data WHERE $leaderPred),
+       |assign AS (
+       |  SELECT id, lid AS leader_id FROM (
+       |    SELECT dt.id, l.lid,
+       |      row_number() OVER (PARTITION BY dt.id
+       |        ORDER BY ${l2.sqlExpr("dt.v", "l.c", d)} ASC, l.lid ASC) AS rn
+       |    FROM data dt CROSS JOIN leaders l) WHERE rn = 1),
+       |lscore AS (
+       |  SELECT q.query_id, l.lid,
+       |    ${l2.sqlExpr("q.q", "l.c", d)} AS ldist
+       |  FROM q CROSS JOIN leaders l),
+       |kth AS (
+       |  SELECT query_id, ldist AS dk FROM (
+       |    SELECT query_id, ldist,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY ldist ASC, lid ASC) AS rn
+       |    FROM lscore) WHERE rn = least($nLeaders,
+       |      (SELECT count(*) FROM leaders))),
+       |probes AS (
+       |  SELECT s.query_id, s.lid FROM lscore s
+       |  JOIN kth ON kth.query_id = s.query_id
+       |  WHERE s.ldist <= $eps * kth.dk),
+       |cand AS (
+       |  SELECT p.query_id, a.id,
+       |    ${l2.sqlExpr("q.q", "dt.v", d)} AS dist
+       |  FROM probes p
+       |  JOIN assign a ON a.leader_id = p.lid
+       |  JOIN data dt ON dt.id = a.id
+       |  JOIN q ON q.query_id = p.query_id),
+       |ranked AS (
+       |  SELECT query_id, id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist ASC, id ASC) AS rnk
+       |  FROM cand)
+       |SELECT query_id, rnk, neighbor_id FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Hierarchical two-level k-means assignment (A3): level-1 centroids, then
+    * the nearest level-2 seed within the level-1 group (-1 if the group has
+    * no seed). */
+  def hierKmeans: String = {
+    val d = Tables.liDims
+    val seedsCte = groupedCte(Some(Tables.liL2SeedPredSql), "sid", "s")
+    s"""WITH data AS ($dataCte),
+       |cents AS ($centsCte),
+       |seeds AS ($seedsCte),
+       |assign AS ($assignCte),
+       |sassign AS (
+       |  SELECT sid, cid AS cluster_id FROM (
+       |    SELECT s.sid, c.cid,
+       |      row_number() OVER (PARTITION BY s.sid
+       |        ORDER BY ${l2.sqlExpr("s.s", "c.c", d)} ASC, c.cid ASC) AS rn
+       |    FROM seeds s CROSS JOIN cents c) WHERE rn = 1),
+       |best AS (
+       |  SELECT id, sid FROM (
+       |    SELECT a.id, sa.sid,
+       |      row_number() OVER (PARTITION BY a.id
+       |        ORDER BY ${l2.sqlExpr("dt.v", "s.s", d)} ASC, sa.sid ASC) AS rn
+       |    FROM assign a
+       |    JOIN data dt ON dt.id = a.id
+       |    JOIN sassign sa ON sa.cluster_id = a.cluster_id
+       |    JOIN seeds s ON s.sid = sa.sid) WHERE rn = 1)
+       |SELECT a.id, a.cluster_id AS l1_cluster,
+       |  CAST(coalesce(b.sid, -1) AS BIGINT) AS l2_cluster
+       |FROM assign a LEFT JOIN best b ON b.id = a.id
+       |ORDER BY a.id""".stripMargin
+  }
+
   /** kNN over the 64-d embeddings table (DuckDB lists are 1-indexed). */
   def embeddingKnn(metric: Metric, k: Int): String = {
     val d = Tables.embDims

@@ -283,6 +283,32 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  // ---- inverted two-level (J4/B6) + hierarchical k-means (A3) -------------
+
+  private val InvLeaderMod = 25L
+  private val InvLeaderRes = 7L
+  private val InvNLeaders = 3
+  private val InvEps = 1.2
+
+  private def invLeaders(s: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
+    Inverted.pickLeaders(Tables.embeddingVectors(s, dir).select("id", "vec"),
+      col("id") % InvLeaderMod === InvLeaderRes)
+
+  private def invertedSearchQ(s: SparkSession, dir: String): DataFrame = {
+    val data = Tables.embeddingVectors(s, dir).select("id", "vec")
+    val leaders = invLeaders(s, dir)
+    val clustered = Inverted.cluster(data, leaders)
+    Inverted.search(Tables.embeddingQueries(s, dir), clustered, leaders,
+        K, InvNLeaders, InvEps, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
+  private def hierKmeansQ(s: SparkSession, dir: String): DataFrame =
+    KMeans.hierarchicalAssign(Tables.lineitemVectorsDedup(s, dir),
+        Tables.lineitemCentroids(s, dir), Tables.lineitemL2Seeds(s, dir))
+      .orderBy("id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_flat_knn_l2" -> (knnLineitem(Metric.L2) _),
     "q02_flat_knn_ip" -> (knnLineitem(Metric.IP) _),
@@ -314,6 +340,8 @@ object SparkEntry {
     "q28_dyn_consolidate" -> (dynConsolidateQ _),
     "q29_fvecs_roundtrip" -> (fvecsRoundtripQ _),
     "q30_synthetic_knn" -> (syntheticKnnQ _),
+    "q31_inverted_search" -> (invertedSearchQ _),
+    "q32_hier_kmeans" -> (hierKmeansQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -346,5 +374,8 @@ object SparkEntry {
     "q28_dyn_consolidate" -> OracleGen.dynConsolidated("vec_id % 9 = 0"),
     "q29_fvecs_roundtrip" -> OracleGen.fvecsRoundtrip,
     "q30_synthetic_knn" -> OracleGen.syntheticKnn(SynN, SynDims, SynStride, K),
+    "q31_inverted_search" -> OracleGen.invertedSearch(K, InvNLeaders, InvEps,
+      s"id % $InvLeaderMod = $InvLeaderRes"),
+    "q32_hier_kmeans" -> OracleGen.hierKmeans,
   )
 }

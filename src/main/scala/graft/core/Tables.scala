@@ -72,6 +72,12 @@ object Tables {
   def lineitemQueriesDedup(spark: SparkSession, sfDir: String): DataFrame =
     groupedVectors(spark, sfDir, Some(liQueryPredSql), "query_id")
 
+  /** Level-2 seed rows for hierarchical k-means (A3). */
+  val liL2SeedPredSql: String = "l_orderkey % 40 = 1 AND l_linenumber = 1"
+
+  def lineitemL2Seeds(spark: SparkSession, sfDir: String): DataFrame =
+    groupedVectors(spark, sfDir, Some(liL2SeedPredSql), "id")
+
   /** Deterministic centroid seed set, collected (small at every SF). */
   def lineitemCentroids(spark: SparkSession, sfDir: String)
       : Seq[(Long, Seq[Double])] =

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Metric
+
+/** Two-level inverted index (SURVEY §2 J4/B6 — reference
+  * include/svs/index/inverted/memory_based.h:334-448, clustering.h:47-96):
+  * a subset of rows become cluster *leaders*; every row is assigned to its
+  * nearest leader; search scores the leaders first, then scans only the
+  * clusters whose leader is within `epsilon ×` the k-th best leader distance
+  * (ε-expansion, memory_search_params.h:31-40).
+  *
+  * Spark shape: leaders are broadcast-small (like IVF centroids), assignment
+  * is the map-only NearestCentroid projection, and the ε-filter + probe join
+  * prune partitions exactly like IVF — the reference's Vamana-over-leaders
+  * refinement is an optimization for huge leader sets and can be layered on
+  * by routing leader scoring through Vamana.searchSharded.
+  */
+object Inverted {
+
+  /** Deterministic leader pick (the reference uses PickRandomly,
+    * inverted/memory_based.h:522 — a seeded random subset; any fixed subset
+    * has the same semantics). */
+  def pickLeaders(data: DataFrame, pred: org.apache.spark.sql.Column)
+      : Seq[(Long, Seq[Double])] =
+    data.filter(pred).select("id", "vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+      .toIndexedSeq.sortBy(_._1)
+
+  /** B6: assign every row to its nearest leader → (id, vec, leader_id). */
+  def cluster(data: DataFrame, leaders: Seq[(Long, Seq[Double])]): DataFrame =
+    KMeans.assign(data, leaders).withColumnRenamed("cluster_id", "leader_id")
+
+  /** J4 search with ε-expansion. For each query: score all leaders, find the
+    * `nLeaders`-th best leader distance `dk`, keep every leader with
+    * dist ≤ epsilon·dk (L2; for similarity metrics dist ≥ dk/epsilon), scan
+    * exactly those clusters, return the k best rows.
+    *
+    * Output: (query_id, rnk, neighbor_id, dist) best-first. */
+  def search(queries: DataFrame, clustered: DataFrame,
+             leaders: Seq[(Long, Seq[Double])], k: Int, nLeaders: Int,
+             epsilon: Double, metric: Metric): DataFrame = {
+    val spark = clustered.sparkSession
+    import spark.implicits._
+    // driver-side leader scoring: queries and leaders are both small
+    val qRows = queries
+      .select(col("query_id").cast("long"), col("qvec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val lArr = leaders.map { case (lid, v) => (lid, v.toArray) }
+    val probe = qRows.flatMap { case (qid, qvec) =>
+      val scored = lArr.map { case (lid, lv) =>
+        (lid, metric.compute(qvec, lv)) }
+      val ordered = scored.sortBy { case (lid, d) =>
+        (if (metric.ascending) d else -d, lid) }
+      val dk = ordered(math.min(nLeaders, ordered.length) - 1)._2
+      val keep =
+        if (metric.ascending) ordered.takeWhile(_._2 <= epsilon * dk)
+        else ordered.takeWhile(_._2 >= dk / epsilon)
+      keep.map { case (lid, _) => (qid, lid) }
+    }
+    val probeDf = probe.toSeq.toDF("query_id", "leader_id")
+      .join(queries, Seq("query_id"))
+
+    val cand = broadcast(probeDf).join(clustered, Seq("leader_id"))
+      .select(col("query_id"), col("id"),
+        metric.column(col("qvec"), col("vec")).as("dist"))
+    TopK.perKeyViaWindow(cand, Seq("query_id"), col("id"), col("dist"), k,
+      metric.ascending)
+  }
+}
+
+/** Search-window calibration (SURVEY §2 B7 — reference
+  * index/vamana/calibrate.h:91-160): binary-search the smallest beam window
+  * whose recall against exact groundtruth reaches `targetRecall`. Pure driver
+  * orchestration over distributed searches, like the reference's
+  * experimental_calibrate. */
+object Calibrate {
+
+  /** Returns (window, recall-at-window). `search(window)` must yield
+    * (query_id, rnk, neighbor_id, ...); truth likewise with exactly k rows
+    * per query. */
+  def calibrateWindow(search: Int => DataFrame, truth: DataFrame, k: Int,
+                      targetRecall: Double, minWindow: Int, maxWindow: Int)
+      : (Int, Double) = {
+    val truthPairs = truth.select("query_id", "neighbor_id").cache()
+    val nq = truthPairs.select("query_id").distinct().count()
+    def recallAt(w: Int): Double = {
+      val hits = search(w).select("query_id", "neighbor_id")
+        .intersect(truthPairs).count()
+      hits.toDouble / (k * nq)
+    }
+    var lo = minWindow
+    var hi = maxWindow
+    var best = (maxWindow, recallAt(maxWindow))
+    if (best._2 < targetRecall) return best // unreachable target: report max
+    while (lo < hi) {
+      val mid = lo + (hi - lo) / 2
+      val r = recallAt(mid)
+      if (r >= targetRecall) { best = (mid, r); hi = mid }
+      else lo = mid + 1
+    }
+    best
+  }
+}
+
+/** Row reconstruction + point distance lookup (SURVEY §2 P10/P11 —
+  * index/vamana/index.h:630-668, orchestrators/vamana.h:260-266). */
+object Reconstruct {
+
+  /** Return the original vectors for an id list: `ids(id) ⋈ data`. */
+  def reconstruct(ids: DataFrame, data: DataFrame): DataFrame =
+    ids.select("id").join(data, Seq("id"))
+
+  /** Distance between one stored row and a literal query vector. */
+  def getDistance(data: DataFrame, id: Long, qvec: Seq[Double],
+                  metric: Metric): DataFrame =
+    data.filter(col("id") === id)
+      .select(col("id"),
+        metric.column(typedlit(qvec), col("vec")).as("dist"))
+}

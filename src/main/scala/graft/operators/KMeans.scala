@@ -72,6 +72,35 @@ object KMeans {
     cents
   }
 
+  /** Hierarchical (two-level) assignment (SURVEY §2 A3 — reference
+    * index/ivf/hierarchical_kmeans.h): rows go to a level-1 centroid, then to
+    * the nearest level-2 seed *within that group*. Seeds are themselves rows
+    * (id, vec); a group with no seed yields l2_cluster = -1. Scale shape: the
+    * per-group argmin is a broadcast join on l1_cluster followed by a
+    * map-side-combined min aggregate — data is scanned once, and the shuffle
+    * carries one row per (id). */
+  def hierarchicalAssign(data: DataFrame, l1: Seq[(Long, Seq[Double])],
+                         l2Seeds: DataFrame): DataFrame = {
+    val l1Assigned = assign(data, l1)
+      .withColumnRenamed("cluster_id", "l1_cluster")
+    val seedsAssigned = assign(
+        l2Seeds.select(col("id").as("seed_id"), col("vec").as("seed_vec")),
+        l1, vecCol = "seed_vec")
+      .withColumnRenamed("cluster_id", "l1_cluster")
+    val pairs = l1Assigned.join(broadcast(seedsAssigned), Seq("l1_cluster"),
+        "left")
+      .select(col("id"), col("l1_cluster"),
+        when(col("seed_id").isNull, lit(-1L)).otherwise(col("seed_id"))
+          .as("seed_id"),
+        when(col("seed_id").isNull, lit(0.0))
+          .otherwise(graft.functions.VectorFunctions
+            .l2Distance(col("vec"), col("seed_vec"))).as("sdist"))
+    pairs.groupBy("id", "l1_cluster")
+      .agg(min(struct(col("sdist"), col("seed_id"))).as("best"))
+      .select(col("id"), col("l1_cluster"),
+        col("best.seed_id").as("l2_cluster"))
+  }
+
   /** Sum of squared distances to the assigned centroid (training metric). */
   def inertia(data: DataFrame, cents: Seq[(Long, Seq[Double])],
               vecCol: String = "vec"): Double = {
