@@ -176,4 +176,21 @@ object OracleGenText {
        |WHERE ${cosine("a.v", "c.v")} >= $threshold
        |ORDER BY 1, 2""".stripMargin
   }
+
+  /** Multimodal decode stats: the stub codec's samples are the utf-8 payload
+    * bytes, so for ASCII documents the checksum fold equals the per-char
+    * ascii fold; width/height derive from the byte length exactly as
+    * Multimodal.pack does. */
+  def mediaDecode: String =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_bytes,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(text, ''),
+       |      c -> CAST(ascii(c) AS BIGINT))),
+       |    (a, x) -> (a * 131 + x) % ${graft.operators.Multimodal.FpMod}
+       |  ) AS checksum,
+       |  CAST(greatest(1, length(text) % 64) AS BIGINT) AS width,
+       |  CAST(greatest(1, length(text) // greatest(1, length(text) % 64))
+       |    AS BIGINT) AS height
+       |FROM documents ORDER BY doc_id""".stripMargin
 }

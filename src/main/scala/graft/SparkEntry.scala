@@ -309,6 +309,14 @@ object SparkEntry {
         Tables.lineitemCentroids(s, dir), Tables.lineitemL2Seeds(s, dir))
       .orderBy("id")
 
+  // ---- multimodal binary columns (stub codec, real plumbing) --------------
+
+  /** Decode stats over the packed media table (batch-wise mapPartitions
+    * kernel; checksum fold reproducible in SQL for ASCII payloads). */
+  private def mediaDecodeQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeStats(Multimodal.pack(docs(s, dir)))
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_flat_knn_l2" -> (knnLineitem(Metric.L2) _),
     "q02_flat_knn_ip" -> (knnLineitem(Metric.IP) _),
@@ -342,6 +350,7 @@ object SparkEntry {
     "q30_synthetic_knn" -> (syntheticKnnQ _),
     "q31_inverted_search" -> (invertedSearchQ _),
     "q32_hier_kmeans" -> (hierKmeansQ _),
+    "q33_media_decode" -> (mediaDecodeQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -377,5 +386,6 @@ object SparkEntry {
     "q31_inverted_search" -> OracleGen.invertedSearch(K, InvNLeaders, InvEps,
       s"id % $InvLeaderMod = $InvLeaderRes"),
     "q32_hier_kmeans" -> OracleGen.hierKmeans,
+    "q33_media_decode" -> OracleGenText.mediaDecode,
   )
 }
