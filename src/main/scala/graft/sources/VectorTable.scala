@@ -126,4 +126,17 @@ object SyntheticData {
       : DataFrame =
     generate(spark, n, dims).filter(col("id") % stride === 0)
       .select(col("id").as("query_id"), col("vec").as("qvec"))
+
+  /** Well-mixed generator for geometry-sensitive benchmarks: the plain LCG's
+    * dims form an arithmetic progression mod 1 (a 1-D manifold — trivially
+    * searchable), so recall experiments need this Murmur3-hashed variant
+    * instead. Deterministic and fully distributed (codegen'd `hash`). */
+  def generateMixed(spark: SparkSession, n: Long, dims: Int, seed: Int = 0)
+      : DataFrame = {
+    val dimExprs = (0 until dims).map { d =>
+      (pmod(hash(col("id"), lit(d), lit(seed)).cast("long"),
+        lit(2147483648L)).cast("double") / lit(2147483648.0))
+    }
+    spark.range(n).select(col("id"), array(dimExprs: _*).as("vec"))
+  }
 }
