@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftbridge.Bridge
+import graft.functions.{CosineSimilarity, InnerProduct, L2Distance}
+
+/** The engine's SQL extension surface (SURVEY §2.9): the reference exposes
+  * its kernels through C++ customization-point objects + a runtime
+  * dispatcher (lib/dispatcher.h, orchestrators/manager.h); the Spark-native
+  * equivalent is Catalyst expressions registered in the FunctionRegistry so
+  * any SQL string — `SELECT l2_distance(a.vec, b.vec)` — hits the same
+  * codegen'd kernels as the DataFrame API.
+  *
+  * Two ways in:
+  *  - config: `spark.sql.extensions=graft.GraftExtensions` (cluster-wide)
+  *  - programmatic: `GraftFunctions.register(spark)` on a live session
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftExtensions].getCanonicalName, null, name, usage, ""),
+        builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def binary(f: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a, b) => f(a, b)
+    case args => throw new IllegalArgumentException(
+      s"expected 2 arguments, got ${args.length}")
+  }
+
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("l2_distance", "l2_distance(a, b) - squared Euclidean distance",
+      binary(L2Distance)),
+    ("inner_product", "inner_product(a, b) - dot-product similarity",
+      binary(InnerProduct)),
+    ("cosine_similarity", "cosine_similarity(a, b) - cosine similarity",
+      binary(CosineSimilarity)))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, usage, builder) =>
+      Bridge.registerFunction(spark, name, usage, builder) }
+}

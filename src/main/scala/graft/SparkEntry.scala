@@ -317,6 +317,24 @@ object SparkEntry {
     Multimodal.decodeStats(Multimodal.pack(docs(s, dir)))
       .orderBy("doc_id")
 
+  // ---- SQL extension surface (§2.9) ---------------------------------------
+
+  /** kNN expressed as a SQL string over the registered distance function —
+    * exercises FunctionRegistry registration + parser + codegen'd kernel. */
+  private def sqlKnnQ(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.embeddingVectors(s, dir).select("id", "vec")
+      .createOrReplaceTempView("graft_data")
+    Tables.embeddingQueries(s, dir).createOrReplaceTempView("graft_q")
+    s.sql(
+      s"""SELECT query_id, rnk, neighbor_id FROM (
+         |  SELECT q.query_id, d.id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY l2_distance(q.qvec, d.vec) ASC, d.id ASC) AS rnk
+         |  FROM graft_q q CROSS JOIN graft_data d) t
+         |WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_flat_knn_l2" -> (knnLineitem(Metric.L2) _),
     "q02_flat_knn_ip" -> (knnLineitem(Metric.IP) _),
@@ -351,6 +369,7 @@ object SparkEntry {
     "q31_inverted_search" -> (invertedSearchQ _),
     "q32_hier_kmeans" -> (hierKmeansQ _),
     "q33_media_decode" -> (mediaDecodeQ _),
+    "q34_sql_knn" -> (sqlKnnQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -387,5 +406,6 @@ object SparkEntry {
       s"id % $InvLeaderMod = $InvLeaderRes"),
     "q32_hier_kmeans" -> OracleGen.hierKmeans,
     "q33_media_decode" -> OracleGenText.mediaDecode,
+    "q34_sql_knn" -> OracleGen.embeddingKnn(Metric.L2, K),
   )
 }

@@ -1,0 +1,183 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Metric
+import graft.operators._
+import graft.operators.VamanaKernel.BuildParams
+
+/** Type-erased index orchestrator (SURVEY §2.9 — the reference's
+  * `orchestrators/manager.h:58-103` + runtime dispatcher `lib/dispatcher.h`):
+  * every index family implements one trait; `VectorIndex.open(spark, dir)`
+  * reads the sidecar and dispatches on `index_type`, the schema-driven
+  * pattern match that replaces the reference's (eltype, extent, distance)
+  * template dispatch. Persistence mirrors the reference's directory
+  * save/load: parquet components + one JSON sidecar (S5).
+  */
+trait VectorIndex {
+  def indexType: String
+  def metric: Metric
+  /** queries(query_id, qvec) → (query_id, rnk, neighbor_id, dist). */
+  def search(queries: DataFrame, k: Int): DataFrame
+  def save(dir: String): Unit
+}
+
+object VectorIndex {
+
+  private[graft] def metricOf(name: String): Metric =
+    Metric.all.find(_.name == name)
+      .getOrElse(sys.error(s"unknown metric $name"))
+
+  private[graft] def writeJson(spark: SparkSession, dir: String,
+                               json: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(dir, "index.json"), true)
+    out.write(json.getBytes(StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  private[graft] def readJson(spark: SparkSession, dir: String): String = {
+    val p = new Path(dir, "index.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no index sidecar at $p")
+    val in = fs.open(p)
+    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    in.readFully(bytes); in.close()
+    new String(bytes, StandardCharsets.UTF_8)
+  }
+
+  private[graft] def field(json: String, key: String): String = {
+    val p = ("\"" + key + "\"\\s*:\\s*(\"([^\"]*)\"|[-0-9.]+)").r
+    p.findFirstMatchIn(json) match {
+      case Some(m) => Option(m.group(2)).getOrElse(m.group(1))
+      case None => sys.error(s"index sidecar missing $key")
+    }
+  }
+
+  private[graft] def writeVecs(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  private[graft] def readCentroids(spark: SparkSession, path: String)
+      : Seq[(Long, Seq[Double])] =
+    spark.read.parquet(path).select("id", "vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+      .toIndexedSeq.sortBy(_._1)
+
+  /** Runtime dispatch on the persisted `index_type`. */
+  def open(spark: SparkSession, dir: String): VectorIndex = {
+    val json = readJson(spark, dir)
+    val m = metricOf(field(json, "metric"))
+    field(json, "index_type") match {
+      case "flat" =>
+        FlatVectorIndex(spark.read.parquet(s"$dir/data"), m)
+      case "ivf" =>
+        IvfVectorIndex(spark.read.parquet(s"$dir/data"),
+          readCentroids(spark, s"$dir/centroids"),
+          field(json, "n_probes").toInt, m)
+      case "vamana" =>
+        VamanaVectorIndex(spark.read.parquet(s"$dir/data"),
+          spark.read.parquet(s"$dir/graph"),
+          readCentroids(spark, s"$dir/centroids"),
+          field(json, "search_window").toInt,
+          field(json, "n_probes").toInt, m)
+      case "inverted" =>
+        InvertedVectorIndex(spark.read.parquet(s"$dir/data"),
+          readCentroids(spark, s"$dir/leaders"),
+          field(json, "n_leaders").toInt,
+          field(json, "epsilon").toDouble, m)
+      case t => sys.error(s"unknown index_type $t")
+    }
+  }
+}
+
+/** Exhaustive scan (J1). */
+case class FlatVectorIndex(data: DataFrame, metric: Metric)
+    extends VectorIndex {
+  val indexType = "flat"
+  def search(queries: DataFrame, k: Int): DataFrame =
+    FlatKnn.search(queries, data.select("id", "vec"), k, metric)
+  def save(dir: String): Unit = {
+    VectorIndex.writeVecs(data, s"$dir/data")
+    VectorIndex.writeJson(data.sparkSession, dir,
+      s"""{"index_type":"flat","metric":"${metric.name}"}""")
+  }
+}
+
+/** Probe search over a k-means clustering (J3). */
+case class IvfVectorIndex(clustered: DataFrame,
+                          centroids: Seq[(Long, Seq[Double])], nProbes: Int,
+                          metric: Metric) extends VectorIndex {
+  val indexType = "ivf"
+  def search(queries: DataFrame, k: Int): DataFrame =
+    IvfIndex.search(queries, clustered, centroids, k, nProbes, metric)
+  def save(dir: String): Unit = {
+    val spark = clustered.sparkSession
+    import spark.implicits._
+    VectorIndex.writeVecs(clustered, s"$dir/data")
+    VectorIndex.writeVecs(centroids.toDF("id", "vec"), s"$dir/centroids")
+    VectorIndex.writeJson(spark, dir,
+      s"""{"index_type":"ivf","metric":"${metric.name}",""" +
+        s""""n_probes":$nProbes}""")
+  }
+
+  /** B5 build entry: train (or take) centroids, assign, wrap. */
+}
+
+object IvfVectorIndex {
+  def build(data: DataFrame, centroids: Seq[(Long, Seq[Double])],
+            nProbes: Int, metric: Metric): IvfVectorIndex =
+    IvfVectorIndex(KMeans.assign(data, centroids), centroids, nProbes, metric)
+}
+
+/** Sharded Vamana graph search (J2). */
+case class VamanaVectorIndex(clustered: DataFrame, graph: DataFrame,
+                             centroids: Seq[(Long, Seq[Double])],
+                             searchWindow: Int, nProbes: Int, metric: Metric)
+    extends VectorIndex {
+  val indexType = "vamana"
+  def search(queries: DataFrame, k: Int): DataFrame =
+    Vamana.searchSharded(queries, clustered, graph, centroids, k,
+      math.max(searchWindow, k), nProbes, metric)
+  def save(dir: String): Unit = {
+    val spark = clustered.sparkSession
+    import spark.implicits._
+    VectorIndex.writeVecs(clustered, s"$dir/data")
+    VectorIndex.writeVecs(graph, s"$dir/graph")
+    VectorIndex.writeVecs(centroids.toDF("id", "vec"), s"$dir/centroids")
+    VectorIndex.writeJson(spark, dir,
+      s"""{"index_type":"vamana","metric":"${metric.name}",""" +
+        s""""search_window":$searchWindow,"n_probes":$nProbes}""")
+  }
+}
+
+object VamanaVectorIndex {
+  def build(data: DataFrame, centroids: Seq[(Long, Seq[Double])],
+            params: BuildParams, searchWindow: Int, nProbes: Int,
+            metric: Metric): VamanaVectorIndex = {
+    val clustered = KMeans.assign(data, centroids)
+    VamanaVectorIndex(clustered,
+      Vamana.buildSharded(clustered, params, metric), centroids,
+      searchWindow, nProbes, metric)
+  }
+}
+
+/** Two-level inverted search (J4). */
+case class InvertedVectorIndex(clustered: DataFrame,
+                               leaders: Seq[(Long, Seq[Double])],
+                               nLeaders: Int, epsilon: Double, metric: Metric)
+    extends VectorIndex {
+  val indexType = "inverted"
+  def search(queries: DataFrame, k: Int): DataFrame =
+    Inverted.search(queries, clustered, leaders, k, nLeaders, epsilon, metric)
+  def save(dir: String): Unit = {
+    val spark = clustered.sparkSession
+    import spark.implicits._
+    VectorIndex.writeVecs(clustered, s"$dir/data")
+    VectorIndex.writeVecs(leaders.toDF("id", "vec"), s"$dir/leaders")
+    VectorIndex.writeJson(spark, dir,
+      s"""{"index_type":"inverted","metric":"${metric.name}",""" +
+        s""""n_leaders":$nLeaders,"epsilon":$epsilon}""")
+  }
+}

@@ -12,4 +12,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a Catalyst expression as a SQL function on a live session —
+    * `sessionState` is `private[sql]`, hence this shim's package. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                       usage: String,
+                       builder: Seq[Expression] => Expression): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      builder.getClass.getCanonicalName, null, name, usage, "")
+    cs.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+  }
 }
