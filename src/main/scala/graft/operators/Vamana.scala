@@ -130,6 +130,60 @@ object Vamana {
       metric.ascending)
   }
 
+  /** Bulk-synchronous (Pregel-style) greedy search — the pure-dataflow
+    * reference semantics from SURVEY §7: all queries advance one hop per
+    * round (frontier ⋈ graph → explode neighbors → score → per-query top-W),
+    * converging when no query's window improves. Pays one shuffle per hop, so
+    * it is the *cross-check* path; `searchSharded` is the production path.
+    * Single-graph input (one cluster). Output: (query_id, rnk, neighbor_id,
+    * dist). */
+  def searchBsp(queries: DataFrame, data: DataFrame, graph: DataFrame, k: Int,
+                searchWindow: Int, metric: Metric, maxHops: Int = 64)
+      : DataFrame = {
+    val spark = data.sparkSession
+    require(searchWindow >= k)
+    val entryId = graph.select("entry_id").first().getLong(0)
+    val adj = graph.select(col("id"), col("neighbors"))
+    val dataV = data.select(col("id"), col("vec"))
+
+    def score(cand: DataFrame): DataFrame =
+      cand.join(dataV, Seq("id"))
+        .join(queries, Seq("query_id"))
+        .select(col("query_id"), col("id"),
+          metric.column(col("qvec"), col("vec")).as("dist"))
+
+    // window state: per query the best ≤W scored nodes; frontier: nodes not
+    // yet expanded. Seed both with the entry point.
+    var window = score(queries.select(col("query_id"))
+      .withColumn("id", lit(entryId))).cache()
+    var frontier = window.select("query_id", "id").cache()
+    var scored = frontier.cache()
+    var hops = 0
+    while (hops < maxHops && frontier.count() > 0) {
+      val expanded = frontier.join(adj, Seq("id"))
+        .select(col("query_id"), explode(col("neighbors")).as("id"))
+        .distinct()
+        .join(scored, Seq("query_id", "id"), "left_anti")
+      val newScores = score(expanded)
+      scored = scored.union(newScores.select("query_id", "id"))
+        .localCheckpoint()
+      val merged = TopK.perKeyViaWindow(window.union(newScores),
+          Seq("query_id"), col("id"), col("dist"), searchWindow,
+          metric.ascending)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("dist"))
+        .localCheckpoint()
+      // next frontier: window entries newly scored this round (the BSP analog
+      // of "best unexpanded" — expanding all unexpanded window nodes per
+      // round preserves the convergence property)
+      frontier = merged.join(newScores.select("query_id", "id"),
+        Seq("query_id", "id")).select("query_id", "id").localCheckpoint()
+      window = merged
+      hops += 1
+    }
+    TopK.perKeyViaWindow(window, Seq("query_id"), col("id"), col("dist"), k,
+      metric.ascending)
+  }
+
   /** Incremental mutation (SURVEY §2 M1-M3 for the graph index): apply a
     * batch of additions (already routed: (id, vec, cluster_id)) and deletions
     * to a sharded index by rebuilding ONLY the touched shards — the Spark

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Metric, Tables}
+import graft.operators._
+import graft.operators.VamanaKernel.BuildParams
+
+/** Scale-hygiene assertions: the physical plans the engine relies on at
+  * 100 TB must actually materialize — partition pruning at the source and
+  * partial (pre-shuffle) top-k limits. */
+class PlanSpec extends SparkSpec {
+
+  test("IVF partitioned storage prunes partitions at the parquet scan") {
+    val path = "/tmp/graft_test_plan_ivf"
+    val cents = Tables.lineitemCentroids(spark, sfDir)
+    val clustered = IvfIndex.cluster(
+      Tables.lineitemVectorsDedup(spark, sfDir), cents)
+    IvfIndex.writeClustered(clustered, path)
+    val stored = IvfIndex.readClustered(spark, path)
+    val probeIds = cents.take(2).map(_._1)
+    val probed = stored.filter(col("cluster_id").isin(probeIds: _*))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    assert(plan.contains("cluster_id") &&
+      plan.contains(s"IN (${probeIds.mkString(",")})"), plan.take(500))
+    // and the probe actually reads only those clusters
+    val expect = clustered.filter(col("cluster_id").isin(probeIds: _*)).count()
+    assert(probed.count() === expect)
+  }
+
+  test("flat kNN merge pre-limits per partition before the shuffle") {
+    val q = Tables.embeddingQueries(spark, sfDir)
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    val res = FlatKnn.search(q, data, 10, Metric.L2)
+    val plan = res.queryExecution.executedPlan.toString
+    // WindowGroupLimit(Partial) before the Exchange = map-side top-k
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+    assert(plan.contains("Partial"), plan.take(800))
+  }
+
+  test("BSP vamana search with exhaustive window equals exact top-k") {
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+      .filter(col("id") < 200)
+    val q = Tables.embeddingQueries(spark, sfDir).limit(3)
+    val graph = Vamana.buildSingle(data,
+      BuildParams(maxDegree = 16, buildWindow = 32), Metric.L2).cache()
+    val bsp = Vamana.searchBsp(q, data, graph, k = 10, searchWindow = 200,
+      Metric.L2)
+    val exact = FlatKnn.search(q, data, 10, Metric.L2)
+    assert(bsp.select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().toSeq ===
+      exact.select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk").collect().toSeq)
+  }
+
+  test("BSP vamana at realistic window reaches the local walk's recall") {
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+      .filter(col("id") < 200)
+    val q = Tables.embeddingQueries(spark, sfDir).limit(3)
+    val graph = Vamana.buildSingle(data,
+      BuildParams(maxDegree = 16, buildWindow = 32), Metric.L2).cache()
+    val clustered = data.withColumn("cluster_id", lit(0L))
+    val cents = Seq(0L -> Seq.fill(64)(0.0))
+    val truth = FlatKnn.search(q, data, 10, Metric.L2)
+      .select("query_id", "neighbor_id").cache()
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("query_id", "neighbor_id").intersect(truth).count()
+        .toDouble / truth.count()
+    val rBsp = recall(Vamana.searchBsp(q, data, graph, 10, 30, Metric.L2))
+    val rLocal = recall(Vamana.searchSharded(q, clustered, graph, cents, 10,
+      30, 1, Metric.L2))
+    // BSP expands every unexpanded window node per round — strictly more
+    // exploration than the sequential best-first walk at equal window
+    assert(rBsp >= rLocal - 1e-9, s"bsp $rBsp < local $rLocal")
+    assert(rBsp >= 0.8, s"bsp recall $rBsp")
+  }
+}
