@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.Metric
+import graft.operators.{FlatKnn, IvfIndex, KMeans}
+import graft.sources.SyntheticData
+
+/** Scale probe beyond the driver's sf0.1: 1M × 64-d vectors (→ 100M
+  * query-point distance computations for the flat path), exercising exactly
+  * the plans that run at 100 TB — materialized parquet scan → partition-local
+  * bounded heaps → k·partitions-row shuffle; and IVF probe search reading
+  * only probed partitions. Run: `sbt "runMain graft.ScaleBench"`. */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1000000").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dims = 64
+    val k = 10
+    val nq = 100
+    val path = "/tmp/graft_scale_data"
+
+    // materialize to parquet so the bench measures scan+search, not codegen
+    // of the generator (at 100 TB the input is always storage)
+    SyntheticData.generateMixed(spark, n, dims)
+      .repartition(cpus.toInt * 4)
+      .write.mode("overwrite").parquet(path)
+    val data = spark.read.parquet(path)
+    val queries = SyntheticData.generateMixed(spark, n + nq, dims)
+      .filter(col("id") >= n)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (_, warm) = time(data.count()) // page cache warm + row count check
+
+    val (_, tFlat) = time {
+      FlatKnn.search(queries, data, k, Metric.L2).count() }
+    val pairsPerSec = n.toDouble * nq / tFlat
+
+    // IVF: 256 centroids from a deterministic sample, 8 probes
+    val cents0 = data.filter(col("id") % (n / 256) === 0)
+      .limit(256).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val (cents, tTrain) = time(KMeans.lloyd(
+      data.sample(0.05, seed = 7), cents0, iters = 2, dims))
+    val (clusteredPath, tPart) = time {
+      val p = "/tmp/graft_scale_ivf"
+      IvfIndex.writeClustered(KMeans.assign(data, cents), p); p }
+    val stored = IvfIndex.readClustered(spark, clusteredPath)
+    val (_, tIvf) = time {
+      IvfIndex.search(queries, stored, cents, k, nProbes = 8,
+        Metric.L2).count() }
+
+    println(s"""{"experiment":"scale_bench","n":$n,"dims":$dims,"nq":$nq,""" +
+      s""""count_sec":$warm,"flat_knn_sec":$tFlat,""" +
+      s""""flat_pairs_per_sec":${pairsPerSec.toLong},""" +
+      s""""kmeans_train_sec":$tTrain,"partition_write_sec":$tPart,""" +
+      s""""ivf_search_sec":$tIvf}""")
+    spark.stop()
+  }
+}

@@ -18,9 +18,13 @@ object IvfIndex {
     KMeans.assign(data, centroids)
 
   /** Persist the clustered table partitioned by cluster_id — probe joins
-    * then prune partitions at the source (DPP). */
+    * then prune partitions at the source (DPP). Rows are shuffled onto their
+    * cluster first so each partition directory holds one file instead of
+    * one-per-task (task_count × cluster_count small files would dominate
+    * both write and scan time at any scale). */
   def writeClustered(clustered: DataFrame, path: String): Unit =
-    clustered.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    clustered.repartition(col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
   def readClustered(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -49,8 +53,14 @@ object IvfIndex {
       .select(col("query_id"), col("neighbor_id").as("cluster_id"))
       .join(queries, Seq("query_id"))  // re-attach qvec (broadcast-small)
 
-    // (b) partition-pruned scan: equi-join on cluster_id, broadcast probes.
-    val cand = broadcast(probes).join(clustered, Seq("cluster_id"))
+    // (b) partition-pruned scan: the distinct probed-cluster set is tiny, so
+    // prune statically with an isin (reaches PartitionFilters on partitioned
+    // storage — PlanSpec asserts it) before the broadcast equi-join.
+    val probedIds = probes.select("cluster_id").distinct().collect()
+      .map(_.getLong(0)).toSeq
+    val cand = broadcast(probes)
+      .join(clustered.filter(col("cluster_id").isin(probedIds: _*)),
+        Seq("cluster_id"))
       .select(col("query_id"), col("id"),
         metric.column(col("qvec"), col("vec")).as("dist"))
     TopK.perKey(cand, Seq("query_id"), col("id"), col("dist"), k,
