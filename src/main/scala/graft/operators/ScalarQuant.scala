@@ -40,4 +40,21 @@ object ScalarQuant {
     encode(data, p).select(col("id"), posexplode(col("codes")))
       .select(col("id"), col("pos").cast("long").as("pos"),
         col("col").as("code"))
+
+  /** Distance-on-compressed kNN (the reference's decode-free shortcut,
+    * quantization/scalar/scalar.h:58-130): under the shared affine codec,
+    * L2(decode(a), decode(b)) = scale² · Σ(codeA−codeB)², so ranking on raw
+    * code distances is exact — queries are encoded with the same codec and
+    * searched directly against the code table; reported `dist` is rescaled
+    * to the decoded metric. L2 only (IP/cosine need the bias cross-terms —
+    * decode first for those). */
+  def searchQuantized(queries: DataFrame, encoded: DataFrame, p: Params,
+                      k: Int): DataFrame = {
+    val encQ = queries.select(col("query_id"),
+      encodeColumn(col("qvec"), p).cast("array<double>").as("qvec"))
+    val encD = encoded.select(col("id"),
+      col("codes").cast("array<double>").as("vec"))
+    FlatKnn.search(encQ, encD, k, graft.core.Metric.L2)
+      .withColumn("dist", col("dist") * lit(p.scale * p.scale))
+  }
 }
