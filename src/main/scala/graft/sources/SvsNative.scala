@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Native `.svs` (V1) binary compatibility reader/writer (SURVEY §2 S3 —
+  * reference include/svs/core/io/native.h, v1 namespace): a 1024-byte header
+  * — little-endian `u64 magic (0xcad4a6b2579980fe)`, 16-byte UUID,
+  * `u64 num_vectors`, `u64 dims`, zero padding — followed by the dense
+  * row-major payload. The element type is not in the header (the reference
+  * carries it in the TOML config; here the caller passes it). Parquet remains
+  * the engine's canonical format; this exists to import/export the
+  * reference's fixtures. */
+object SvsNative {
+
+  val HeaderSize = 1024
+  val Magic: Long = 0xcad4a6b2579980feL
+
+  case class SvsHeader(uuid: Array[Byte], numVectors: Long, dims: Long)
+
+  def readHeader(bytes: Array[Byte]): SvsHeader = {
+    require(bytes.length >= HeaderSize, s"file shorter than $HeaderSize-byte header")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getLong
+    require(magic == Magic,
+      f"bad magic 0x$magic%016x (expected 0x$Magic%016x) — not a v1 .svs file")
+    val uuid = new Array[Byte](16)
+    bb.get(uuid)
+    SvsHeader(uuid, bb.getLong, bb.getLong)
+  }
+
+  /** Read one `.svs` file into `(id BIGINT, vec ARRAY<DOUBLE>)`. */
+  def read(spark: SparkSession, path: String,
+           el: VecsIO.ElType = VecsIO.F32): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val h = readHeader(bytes)
+        val n = h.numVectors.toInt
+        val d = h.dims.toInt
+        require(bytes.length >= HeaderSize + n.toLong * d * el.bytes,
+          s"payload truncated: ${bytes.length} bytes for $n x $d")
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        bb.position(HeaderSize)
+        (0 until n).iterator.map { r =>
+          val out = new Array[Double](d)
+          var i = 0
+          el match {
+            case VecsIO.F32 =>
+              while (i < d) { out(i) = bb.getFloat.toDouble; i += 1 }
+            case VecsIO.I32 =>
+              while (i < d) { out(i) = bb.getInt.toDouble; i += 1 }
+            case VecsIO.U8 =>
+              while (i < d) { out(i) = (bb.get & 0xff).toDouble; i += 1 }
+          }
+          (r.toLong, out)
+        }
+      }
+      .toDF("id", "vec")
+  }
+
+  /** Write `(id, vec)` rows (collected in id order — V1 is a single dense
+    * file, a fixture/export format, not bulk storage) to one `.svs` file.
+    * The UUID slot derives deterministically from (count, dims). */
+  def write(df: DataFrame, path: String,
+            el: VecsIO.ElType = VecsIO.F32): Unit = {
+    val spark = df.sparkSession
+    val rows = df.select(col("id").cast("long"),
+        col("vec").cast("array<double>"))
+      .orderBy("id").collect()
+    require(rows.nonEmpty, "refusing to write an empty .svs file")
+    val d = rows(0).getSeq[Double](1).length
+    val bb = ByteBuffer.allocate(HeaderSize + rows.length * d * el.bytes)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(Magic)
+    val uuid = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      .putLong(rows.length.toLong).putLong(d.toLong).array()
+    bb.put(uuid)
+    bb.putLong(rows.length.toLong)
+    bb.putLong(d.toLong)
+    bb.position(HeaderSize)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      require(v.length == d, s"ragged row ${r.getLong(0)}")
+      el match {
+        case VecsIO.F32 => v.foreach(x => bb.putFloat(x.toFloat))
+        case VecsIO.I32 => v.foreach(x => bb.putInt(x.toInt))
+        case VecsIO.U8 => v.foreach(x => bb.put(x.toInt.toByte))
+      }
+    }
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    os.write(bb.array())
+    os.close()
+  }
+}

@@ -102,6 +102,35 @@ class SourcesSpec extends SparkSpec {
     assert(v(0) === 1.0f.toDouble) // narrowed
   }
 
+  test(".svs v1 round trip preserves vectors and header fields") {
+    val dir = freshDir("svs")
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(101.0, 102.0, 103.0, 104.0, 105.0)),
+      (1L, Seq(106.0, 107.0, 108.0, 109.0, 110.0))).toDF("id", "vec")
+    graft.sources.SvsNative.write(df, s"$dir/out.svs")
+    val back = graft.sources.SvsNative.read(spark, s"$dir/out.svs")
+      .orderBy("id").collect()
+    assert(back.length === 2)
+    assert(back(0).getSeq[Double](1) === Seq(101.0, 102.0, 103.0, 104.0, 105.0))
+    assert(back(1).getSeq[Double](1) === Seq(106.0, 107.0, 108.0, 109.0, 110.0))
+    // a corrupted magic is rejected loudly
+    val e = intercept[Exception] {
+      graft.sources.SvsNative.readHeader(new Array[Byte](1024)) }
+    assert(e.getMessage.contains("magic"))
+  }
+
+  test(".svs reader decodes the reference's committed v1 fixture") {
+    val fixture = "/root/reference/data/schemas/test_v1.svs"
+    assume(new java.io.File(fixture).exists(), "reference fixture not mounted")
+    val rows = graft.sources.SvsNative.read(spark, fixture)
+      .orderBy("id").collect()
+    // header says 2 x 5; payload is 101.0f..110.0f (verified by hex dump)
+    assert(rows.length === 2)
+    assert(rows(0).getSeq[Double](1) === Seq(101.0, 102.0, 103.0, 104.0, 105.0))
+    assert(rows(1).getSeq[Double](1) === Seq(106.0, 107.0, 108.0, 109.0, 110.0))
+  }
+
   test("synthetic generator is deterministic and in [0,1)") {
     val a = SyntheticData.generate(spark, 1000, 8)
     val b = SyntheticData.generate(spark, 1000, 8)
