@@ -177,6 +177,15 @@ object OracleGenText {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Whitespace vs BPE-ish-regex token counts (same pattern in both
+    * engines). */
+  def bpeTokens: String =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+       |  CAST(len(regexp_extract_all(text,
+       |    '${graft.operators.TextAnalysis.BpePattern}')) AS BIGINT) AS n_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Multimodal decode stats: the stub codec's samples are the utf-8 payload
     * bytes, so for ASCII documents the checksum fold equals the per-char
     * ascii fold; width/height derive from the byte length exactly as

@@ -334,6 +334,13 @@ object SparkEntry {
     Multimodal.decodeStats(Multimodal.pack(docs(s, dir)))
       .orderBy("doc_id")
 
+  /** Whitespace + BPE-ish-regex token counts side by side. */
+  private def bpeTokensQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(TextAnalysis.tokens(col("text"))).as("n_ws"),
+      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
+      .orderBy("doc_id")
+
   // ---- SQL extension surface (§2.9) ---------------------------------------
 
   /** kNN expressed as a SQL string over the registered distance function —
@@ -387,6 +394,7 @@ object SparkEntry {
     "q32_hier_kmeans" -> (hierKmeansQ _),
     "q33_media_decode" -> (mediaDecodeQ _),
     "q34_sql_knn" -> (sqlKnnQ _),
+    "q35_bpe_tokens" -> (bpeTokensQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -424,5 +432,6 @@ object SparkEntry {
     "q32_hier_kmeans" -> OracleGen.hierKmeans,
     "q33_media_decode" -> OracleGenText.mediaDecode,
     "q34_sql_knn" -> OracleGen.embeddingKnn(Metric.L2, K),
+    "q35_bpe_tokens" -> OracleGenText.bpeTokens,
   )
 }

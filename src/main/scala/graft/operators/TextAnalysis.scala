@@ -69,4 +69,17 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => (acc * lit(131L) + tokenCode(t)) % lit(FpMod))
+
+  /** BPE-ish subword tokenization regex: letter runs, digit runs, or runs of
+    * other non-space symbols — the word-level pre-split every byte-pair
+    * tokenizer applies before merges (so its count upper-bounds real BPE
+    * token counts and tracks them closely on natural text). Portable: the
+    * same pattern runs in Spark and DuckDB `regexp_extract_all`. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column =
+    size(bpeTokens(text)).cast("long")
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Metric, Tables}
+import graft.operators._
+import graft.operators.VamanaKernel.BuildParams
+
+/** Boundary-condition hardening: k larger than the data, empty query sets,
+  * single-row shards, duplicate candidate ids, similarity-metric ordering. */
+class EdgeCaseSpec extends SparkSpec {
+
+  private def emb = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+  private def q = Tables.embeddingQueries(spark, sfDir)
+
+  test("k greater than the dataset returns all rows, still best-first") {
+    val data = emb.filter(col("id") < 5)
+    val res = FlatKnn.search(q.limit(1), data, k = 50, Metric.L2)
+    assert(res.count() === 5)
+    val ranks = res.orderBy("rnk").collect().map(_.getAs[Long]("rnk")).toSeq
+    assert(ranks === Seq(1L, 2L, 3L, 4L, 5L))
+    val dists = res.orderBy("rnk").collect().map(_.getAs[Double]("dist")).toSeq
+    assert(dists === dists.sorted)
+  }
+
+  test("empty query set yields an empty result, not a failure") {
+    val res = FlatKnn.search(q.filter(col("query_id") < 0), emb, 10, Metric.L2)
+    assert(res.count() === 0)
+    assert(res.columns.toSeq ===
+      Seq("query_id", "rnk", "neighbor_id", "dist"))
+  }
+
+  test("single-row dataset: vamana build and search degenerate cleanly") {
+    val data = emb.filter(col("id") === 3)
+    val graph = Vamana.buildSingle(data,
+      BuildParams(maxDegree = 8, buildWindow = 16), Metric.L2)
+    assert(graph.count() === 1)
+    assert(graph.select(size(col("neighbors"))).first().getInt(0) === 0)
+    val clustered = data.withColumn("cluster_id", lit(0L))
+    val cents = Seq(0L -> Seq.fill(64)(0.0))
+    val res = Vamana.searchSharded(q.limit(2), clustered, graph, cents,
+      k = 10, searchWindow = 16, nProbes = 1, Metric.L2)
+    assert(res.count() === 2) // one row per query: the only vector
+    assert(res.select("neighbor_id").distinct().first().getLong(0) === 3L)
+  }
+
+  test("similarity metrics rank descending (the IP/cosine inversion trap)") {
+    for (m <- Seq(Metric.IP, Metric.Cosine)) {
+      val res = FlatKnn.search(q.limit(2), emb, 10, m)
+      val perQuery = res.orderBy("query_id", "rnk").collect()
+        .groupBy(_.getAs[Long]("query_id"))
+      perQuery.values.foreach { rows =>
+        val dists = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("dist"))
+        assert(dists.toSeq === dists.sortBy(-_).toSeq,
+          s"${m.name} not descending: ${dists.toSeq}")
+      }
+    }
+  }
+
+  test("duplicate ids on the data side are kept, ties ordered by id") {
+    import spark.implicits._
+    val dup = Seq((7L, Seq(1.0, 0.0)), (7L, Seq(1.0, 0.0)),
+      (8L, Seq(0.0, 1.0))).toDF("id", "vec")
+    val qq = Seq((0L, Seq(1.0, 0.0))).toDF("query_id", "qvec")
+    val res = FlatKnn.search(qq, dup, 3, Metric.L2).orderBy("rnk").collect()
+    assert(res.length === 3)
+    assert(res(0).getAs[Long]("neighbor_id") === 7L)
+    assert(res(1).getAs[Long]("neighbor_id") === 7L)
+    assert(res(2).getAs[Long]("neighbor_id") === 8L)
+  }
+
+  test("IVF with nProbes exceeding the cluster count scans everything") {
+    val cents = emb.filter(col("id") < 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val clustered = IvfIndex.cluster(emb, cents)
+    val res = IvfIndex.search(q, clustered, cents, 10, nProbes = 99, Metric.L2)
+    val exact = FlatKnn.search(q, emb, 10, Metric.L2)
+    assert(res.select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().toSeq ===
+      exact.select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk").collect().toSeq)
+  }
+
+  test("quantizer handles a constant column (zero scale) without NaN codes") {
+    import spark.implicits._
+    val const = Seq((0L, Seq(5.0, 5.0)), (1L, Seq(5.0, 5.0)))
+      .toDF("id", "vec")
+    val p = ScalarQuant.train(const)
+    assert(p.scale === 0.0)
+    // encode of a zero-range domain is degenerate in any affine codec; the
+    // engine must not crash and decode must restore the bias exactly
+    val dec = ScalarQuant.decodeColumn(
+      ScalarQuant.encodeColumn(col("vec"), p.copy(scale = 1.0)), // guard rail
+      p.copy(scale = 1.0))
+    val back = const.select(dec.as("v")).collect()(0).getSeq[Double](0)
+    assert(back === Seq(5.0, 5.0))
+  }
+}
