@@ -384,6 +384,63 @@ object OracleGen {
        |ORDER BY a.id""".stripMargin
   }
 
+  /** IVF probe + compressed-scan + full-precision reorder (k_reorder) over
+    * label-sharded embeddings with the global-min/max SQ codec. */
+  def ivfReorder(k: Int, nProbes: Int, kReorder: Int): String = {
+    val d = Tables.embDims
+    val centAvgs = (0 until d).map(i => s"round(avg(v$i), 6) AS c$i")
+      .mkString(", ")
+    val lo = (0 until d).map(i => s"min(v$i)").mkString("least(", ", ", ")")
+    val hi = (0 until d).map(i => s"max(v$i)").mkString("greatest(", ", ", ")")
+    def codes(src: String, out: String) = (0 until d)
+      .map(i => s"floor(($src$i - mm.lo) / ((mm.hi - mm.lo)/255.0) + 0.5) " +
+        s"AS $out$i").mkString(", ")
+    s"""WITH data AS (
+       |  SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+       |         ${dimCols("v", embDimExprs)}
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}
+       |  FROM embeddings WHERE ${Tables.embQueryPredSql}),
+       |cents AS (SELECT label AS cid, $centAvgs FROM data GROUP BY label),
+       |mm AS (SELECT $lo AS lo, $hi AS hi FROM data),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${l2.sqlExpr("q.q", "c.c", d)} ASC, c.cid ASC) AS rn
+       |    FROM q CROSS JOIN cents c) WHERE rn <= $nProbes),
+       |dcodes AS (SELECT id, label, ${codes("v", "e")}
+       |  FROM data CROSS JOIN mm),
+       |qcodes AS (SELECT query_id, ${codes("q", "e")}
+       |  FROM q CROSS JOIN mm),
+       |coarse AS (
+       |  SELECT p.query_id, dc.id,
+       |    ${l2.sqlExpr("qc.e", "dc.e", d)} AS cdist
+       |  FROM probes p
+       |  JOIN dcodes dc ON dc.label = p.cid
+       |  JOIN qcodes qc ON qc.query_id = p.query_id),
+       |short AS (
+       |  SELECT query_id, id FROM (
+       |    SELECT query_id, id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cdist ASC, id ASC) AS rn
+       |    FROM coarse) WHERE rn <= ${kReorder * k}),
+       |fine AS (
+       |  SELECT s.query_id, s.id,
+       |    ${l2.sqlExpr("q.q", "dt.v", d)} AS dist
+       |  FROM short s
+       |  JOIN data dt ON dt.id = s.id
+       |  JOIN q ON q.query_id = s.query_id),
+       |ranked AS (
+       |  SELECT query_id, id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist ASC, id ASC) AS rnk
+       |  FROM fine)
+       |SELECT query_id, rnk, neighbor_id FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** kNN over the 64-d embeddings table (DuckDB lists are 1-indexed). */
   def embeddingKnn(metric: Metric, k: Int): String = {
     val d = Tables.embDims

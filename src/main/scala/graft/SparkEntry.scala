@@ -341,6 +341,20 @@ object SparkEntry {
       TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
       .orderBy("doc_id")
 
+  private val KReorder = 3
+
+  /** IVF probe + SQ-compressed scan + full-precision reorder (k_reorder)
+    * over the label-sharded embeddings. */
+  private def ivfReorderQ(s: SparkSession, dir: String): DataFrame = {
+    val clustered = embLabelClustered(s, dir)
+    val p = ScalarQuant.train(
+      Tables.embeddingVectors(s, dir).select("id", "vec"))
+    IvfIndex.searchWithReorder(Tables.embeddingQueries(s, dir), clustered,
+        embLabelCentroids(s, dir), p, K, VamanaProbes, KReorder)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   // ---- SQL extension surface (§2.9) ---------------------------------------
 
   /** kNN expressed as a SQL string over the registered distance function —
@@ -395,6 +409,7 @@ object SparkEntry {
     "q33_media_decode" -> (mediaDecodeQ _),
     "q34_sql_knn" -> (sqlKnnQ _),
     "q35_bpe_tokens" -> (bpeTokensQ _),
+    "q36_ivf_reorder" -> (ivfReorderQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -433,5 +448,6 @@ object SparkEntry {
     "q33_media_decode" -> OracleGenText.mediaDecode,
     "q34_sql_knn" -> OracleGen.embeddingKnn(Metric.L2, K),
     "q35_bpe_tokens" -> OracleGenText.bpeTokens,
+    "q36_ivf_reorder" -> OracleGen.ivfReorder(K, VamanaProbes, KReorder),
   )
 }

@@ -66,4 +66,54 @@ object IvfIndex {
     TopK.perKey(cand, Seq("query_id"), col("id"), col("dist"), k,
       metric.ascending)
   }
+
+  /** Probe search with compressed-scan + full-precision reorder (the
+    * reference's `k_reorder`, ivf/common.h:151-166): cluster scan ranks
+    * candidates by the scalar-quantized code-space distance (monotone in the
+    * decoded L2 — ScalarQuant.searchQuantized algebra), keeps the
+    * `kReorder·k` best, then re-ranks exactly those at full precision. At
+    * scale the compressed pass reads ¼ the bytes (int8 codes vs f64) and the
+    * full-precision pass touches only `|Q|·kReorder·k` rows. L2 only. */
+  def searchWithReorder(queries: DataFrame, clustered: DataFrame,
+                        centroids: Seq[(Long, Seq[Double])],
+                        p: ScalarQuant.Params, k: Int, nProbes: Int,
+                        kReorder: Int): DataFrame = {
+    val metric = graft.core.Metric.L2
+    val centArr = array(centroids.sortBy(_._1).map { case (cid, cvec) =>
+      struct(lit(cid).as("cid"), typedlit(cvec).as("cvec"))
+    }: _*)
+    val scored = queries.select(col("query_id"), col("qvec"),
+      explode(centArr).as("c"))
+      .select(col("query_id"), col("qvec"), col("c.cid").as("cluster_id"),
+        metric.column(col("qvec"), col("c.cvec")).as("cdist"))
+    val probes = TopK.perKey(scored, Seq("query_id"), col("cluster_id"),
+        col("cdist"), nProbes, metric.ascending)
+      .select(col("query_id"), col("neighbor_id").as("cluster_id"))
+      .join(queries, Seq("query_id"))
+    val probedIds = probes.select("cluster_id").distinct().collect()
+      .map(_.getLong(0)).toSeq
+
+    // compressed pass: distances on int codes (both sides share the codec)
+    val qCodes = ScalarQuant.encodeColumn(col("qvec"), p)
+      .cast("array<double>")
+    val dCodes = ScalarQuant.encodeColumn(col("vec"), p)
+      .cast("array<double>")
+    val candCoarse = broadcast(probes)
+      .join(clustered.filter(col("cluster_id").isin(probedIds: _*)),
+        Seq("cluster_id"))
+      .select(col("query_id"), col("id"),
+        metric.column(qCodes, dCodes).as("cdist"))
+    val shortlist = TopK.perKey(candCoarse, Seq("query_id"), col("id"),
+        col("cdist"), kReorder * k, ascending = true)
+      .select(col("query_id"), col("neighbor_id").as("id"))
+
+    // full-precision reorder of the shortlist only
+    val fine = shortlist
+      .join(clustered.select("id", "vec"), Seq("id"))
+      .join(queries.select("query_id", "qvec"), Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        metric.column(col("qvec"), col("vec")).as("dist"))
+    TopK.perKeyViaWindow(fine, Seq("query_id"), col("id"), col("dist"), k,
+      ascending = true)
+  }
 }
