@@ -118,11 +118,81 @@ object MultiVector {
   }
 }
 
+object MultiVectorApprox {
+
+  /** Multi-label search over any [[graft.VectorIndex]] (the reference's
+    * MultiMutableVamanaIndex, index/vamana/multi.h:155,340): retrieve
+    * `fanout·k` vector-level candidates from the index, reduce to per-label
+    * minima, return the top-k labels. Exact per-label minima are only
+    * guaranteed when every surviving label's best vector is inside the
+    * candidate set — raise `fanout` (the reference over-fetches and dedupes
+    * by label the same way, multi.h:60-123). */
+  def searchByLabel(index: graft.VectorIndex, queries: DataFrame,
+                    labels: DataFrame, k: Int, fanout: Int): DataFrame = {
+    val metric = index.metric
+    val cand = index.search(queries, fanout * k)
+      .join(labels.select(col("id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
+    val perLabel = cand.groupBy("query_id", "label")
+      .agg(min(struct(
+        (if (metric.ascending) col("dist") else -col("dist")).as("d"),
+        col("neighbor_id").as("id"))).as("best"))
+      .select(col("query_id"), col("label"),
+        (if (metric.ascending) col("best.d") else -col("best.d")).as("dist"),
+        col("best.id").as("best_id"))
+    TopK.perKeyViaWindow(perLabel, Seq("query_id"), col("label"), col("dist"),
+        k, metric.ascending)
+      .withColumnRenamed("neighbor_id", "label")
+      .join(perLabel.select("query_id", "label", "best_id"),
+        Seq("query_id", "label"))
+      .select("query_id", "rnk", "label", "best_id")
+  }
+}
+
 /** Paginated batch iterator (SURVEY §2 M5 — index/vamana/iterator.h:81-220):
   * successive `next(batchSize)` calls yield further neighbors, never
   * repeating ids, by anti-joining the already-returned set. Driver-side
   * stateful orchestration over distributed searches, like the reference's
   * restartable schedule. */
+/** Window-growth schedule for index-backed iteration (the reference's
+  * DefaultSchedule/LinearSchedule, index/vamana/iterator_schedule.h:80,123):
+  * batch `b` searches with window `base + b·step`, so later pages — which
+  * must see past the already-returned neighbors — get a wider beam. */
+final class VamanaBatchIterator(index: graft.VectorIndex,
+                                mkIndexAt: Int => graft.VectorIndex,
+                                queries: DataFrame, baseWindow: Int,
+                                windowStep: Int) {
+  def this(mk: Int => graft.VectorIndex, queries: DataFrame, baseWindow: Int,
+           windowStep: Int) = this(mk(baseWindow), mk, queries, baseWindow,
+    windowStep)
+
+  private var returned: Option[DataFrame] = None
+  private var batch = 0
+
+  def next(batchSize: Int): DataFrame = {
+    val window = baseWindow + batch * windowStep
+    val idx = if (batch == 0) index else mkIndexAt(window)
+    val fetch = batchSize * (batch + 1)
+    val res = returned match {
+      case None => idx.search(queries, batchSize)
+      case Some(r) =>
+        val kept = idx.search(queries, fetch + batchSize)
+          .join(r, Seq("query_id", "neighbor_id"), "left_anti")
+          .withColumnRenamed("neighbor_id", "nid")
+        TopK.perKeyViaWindow(kept, Seq("query_id"), col("nid"), col("dist"),
+          batchSize, idx.metric.ascending)
+    }
+    val out = res.select("query_id", "rnk", "neighbor_id", "dist").cache()
+    out.count()
+    returned = returned match {
+      case None => Some(out.select("query_id", "neighbor_id"))
+      case Some(r) => Some(r.union(out.select("query_id", "neighbor_id")))
+    }
+    batch += 1
+    out
+  }
+}
+
 final class BatchIterator(queries: DataFrame, data: DataFrame, metric: Metric) {
   private var returned: Option[DataFrame] = None
 

@@ -116,6 +116,43 @@ class DynamicSpec extends SparkSpec {
     assert(res.filter(col("neighbor_id") < 10).count() === 0)
   }
 
+  test("multi-label over a Vamana index converges to the exact answer at " +
+      "high fanout") {
+    val cents = emb.filter(col("id") < 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val idx = VamanaVectorIndex.build(emb.select("id", "vec"), cents,
+      graft.operators.VamanaKernel.BuildParams(maxDegree = 24,
+        buildWindow = 48),
+      searchWindow = 500, nProbes = 4, Metric.L2)
+    val q = Tables.embeddingQueries(spark, sfDir).limit(3)
+    val approx = MultiVectorApprox.searchByLabel(idx, q, emb, 5, fanout = 20)
+    val exact = MultiVector.searchByLabel(q, emb, 5, Metric.L2)
+    assert(approx.select("query_id", "rnk", "label", "best_id")
+      .orderBy("query_id", "rnk").collect().toSeq ===
+      exact.select("query_id", "rnk", "label", "best_id")
+        .orderBy("query_id", "rnk").collect().toSeq)
+  }
+
+  test("vamana batch iterator grows its window and never repeats ids") {
+    val data = emb.select("id", "vec")
+    val cents = emb.filter(col("id") < 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val clustered = KMeans.assign(data, cents)
+    val graph = Vamana.buildSharded(clustered,
+      graft.operators.VamanaKernel.BuildParams(maxDegree = 24,
+        buildWindow = 48), Metric.L2).cache()
+    def mk(window: Int): graft.VectorIndex =
+      graft.VamanaVectorIndex(clustered, graph, cents, window, 4, Metric.L2)
+    val q = Tables.embeddingQueries(spark, sfDir).limit(2)
+    val it = new VamanaBatchIterator(mk, q, baseWindow = 20, windowStep = 20)
+    val b1 = it.next(5).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b2 = it.next(5).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b1.size === 10 && b2.size === 10)
+    assert(b1.intersect(b2).isEmpty)
+  }
+
   test("streaming ingest appends micro-batches as segments") {
     val root = freshRoot("stream")
     val ckpt = freshRoot("stream_ckpt")
