@@ -58,6 +58,24 @@ object GoldenRecall {
     val rjson = recalls.map { case (w, r) => s""""w$w":$r""" }.mkString(",")
     println(s"""{"experiment":"golden_recall_vamana","n":$n,"dims":$dims,""" +
       s""""build_sec":$buildSec,$rjson}""")
+
+    // IVF probe sweep on the same dataset (the reference's second golden
+    // grid, ivf_reference.toml): recall@10 rises monotonically with
+    // n_probes and reaches 1.0 when every cluster is probed.
+    val seed0 = data.filter(col("id") % (n / 100) === 0).limit(100).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val ivfCents = graft.operators.KMeans.lloyd(
+      data.sample(0.1, seed = 11), seed0, iters = 3, dims)
+    val ivfClustered = graft.operators.KMeans.assign(data, ivfCents).cache()
+    val ivfRecalls = Seq(1, 2, 4, 8, 16).map { p =>
+      val res = graft.operators.IvfIndex.search(queries, ivfClustered,
+        ivfCents, k, p, Metric.L2)
+      val hits = res.select("query_id", "neighbor_id").intersect(truth).count()
+      p -> hits.toDouble / (k * nq)
+    }
+    val ijson = ivfRecalls.map { case (p, r) => s""""p$p":$r""" }.mkString(",")
+    println(s"""{"experiment":"golden_recall_ivf","n":$n,"dims":$dims,""" +
+      s""""clusters":100,$ijson}""")
     spark.stop()
   }
 }

@@ -31,6 +31,16 @@ object VectorFunctions {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
 
+  /** Unit-normalize a vector column at ingest (zero vectors pass through
+    * unchanged). With both sides normalized, cosine similarity becomes a
+    * plain inner product — the reference's fixed-argument optimization
+    * (cosine.h:102,204 `maybe_fix_argument`): one multiply-add per element
+    * in the hot loop instead of three. */
+  def normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n === 0.0, a).otherwise(transform(a, x => x / n))
+  }
+
   /** Register SQL names so `spark.sql("SELECT l2_distance(a,b) ...")` works. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

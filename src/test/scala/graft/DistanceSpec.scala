@@ -49,6 +49,27 @@ class DistanceSpec extends SparkSpec {
     assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("normalized inner product reproduces cosine ranking exactly " +
+      "(fixed-argument fast path)") {
+    import graft.core.Metric
+    import graft.operators.FlatKnn
+    val e = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    val q = Tables.embeddingQueries(spark, sfDir)
+    val eN = e.select(col("id"), normalize(col("vec")).as("vec"))
+    val qN = q.select(col("query_id"), normalize(col("qvec")).as("qvec"))
+    val viaIp = FlatKnn.search(qN, eN, 10, Metric.IP)
+    val viaCos = FlatKnn.search(q, e, 10, Metric.Cosine)
+    assert(viaIp.select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().toSeq ===
+      viaCos.select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk").collect().toSeq)
+    // normalized vectors have unit norm
+    val norms = eN.select(l2Norm(col("vec")).as("n"))
+      .agg(min("n"), max("n")).head
+    assert(math.abs(norms.getDouble(0) - 1.0) < 1e-12 &&
+      math.abs(norms.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("float arrays accepted (embeddings raw float column)") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("embedding").as("vec")).limit(10)
