@@ -49,6 +49,16 @@ object ScaleBench {
       FlatKnn.search(queries, data, k, Metric.L2).count() }
     val pairsPerSec = n.toDouble * nq / tFlat
 
+    // float32 storage: half the bytes on disk and through the scan; the
+    // kernel widens per-register, so results are bit-identical to a cast
+    val pathF32 = "/tmp/graft_scale_data_f32"
+    data.select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .write.mode("overwrite").parquet(pathF32)
+    val dataF32 = spark.read.parquet(pathF32)
+    dataF32.count()
+    val (_, tFlat32) = time {
+      FlatKnn.search(queries, dataF32, k, Metric.L2).count() }
+
     // IVF: 256 centroids from a deterministic sample, 8 probes
     val cents0 = data.filter(col("id") % (n / 256) === 0)
       .limit(256).collect()
@@ -65,6 +75,7 @@ object ScaleBench {
 
     println(s"""{"experiment":"scale_bench","n":$n,"dims":$dims,"nq":$nq,""" +
       s""""count_sec":$warm,"flat_knn_sec":$tFlat,""" +
+      s""""flat_knn_f32_sec":$tFlat32,""" +
       s""""flat_pairs_per_sec":${pairsPerSec.toLong},""" +
       s""""kmeans_train_sec":$tTrain,"partition_write_sec":$tPart,""" +
       s""""ivf_search_sec":$tIvf}""")

@@ -37,8 +37,19 @@ object FlatKnn {
     val asc = metric.ascending
     val m = metric
 
-    val partials = data
-      .select(col("id").cast("long"), col("vec").cast("array<double>"))
+    // scan the source element type as-is: float32 vectors read half the
+    // bytes; widening to double happens per-register in the copy loop (free)
+    // rather than in a cast projection (memory traffic)
+    val projected = data.select(col("id").cast("long"), col("vec"))
+    val isFloat = projected.schema("vec").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => false
+      case t => sys.error(s"vec must be ARRAY<FLOAT|DOUBLE>, got $t")
+    }
+
+    val partials = projected
       .queryExecution.toRdd
       .mapPartitions { iter =>
         val (ids, vecs) = bc.value
@@ -53,7 +64,11 @@ object FlatKnn {
             val d = arr.numElements()
             if (buf == null || buf.length != d) buf = new Array[Double](d)
             var i = 0
-            while (i < d) { buf(i) = arr.getDouble(i); i += 1 }
+            if (isFloat) {
+              while (i < d) { buf(i) = arr.getFloat(i).toDouble; i += 1 }
+            } else {
+              while (i < d) { buf(i) = arr.getDouble(i); i += 1 }
+            }
             var q = 0
             while (q < nq) {
               heaps(q).insert(m.compute(vecs(q), buf), id)

@@ -56,6 +56,16 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("float32-stored vectors search identically to their double cast") {
+    val f32 = emb.select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val viaFloat = FlatKnn.search(q, f32, 10, Metric.L2)
+    val viaCast = FlatKnn.search(q,
+      f32.select(col("id"), col("vec").cast("array<double>").as("vec")),
+      10, Metric.L2)
+    assert(viaFloat.orderBy("query_id", "rnk").collect().toSeq ===
+      viaCast.orderBy("query_id", "rnk").collect().toSeq)
+  }
+
   test("duplicate ids on the data side are kept, ties ordered by id") {
     import spark.implicits._
     val dup = Seq((7L, Seq(1.0, 0.0)), (7L, Seq(1.0, 0.0)),
