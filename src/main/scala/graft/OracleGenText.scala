@@ -177,6 +177,71 @@ object OracleGenText {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** SimHash near-dup pairs by exact popcount (naive oracle for the banded
+    * Spark path). */
+  def simhashPairs(maxHamming: Int): String = {
+    val votes = (0 until Dedup.SimhashBits)
+      .map(j => s"sum(CASE WHEN (hv >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n  ")
+    val value = (0 until Dedup.SimhashBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH t AS ($toksCte),
+       |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |h AS (SELECT doc_id,
+       |  (ascii(tok)*100 + length(tok)) * ${Dedup.SimhashMult} % ${Dedup.SimhashMod} AS hv
+       |FROM u),
+       |b AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $value AS simhash FROM b)
+       |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |FROM sh a JOIN sh c ON a.doc_id < c.doc_id
+       |WHERE bit_count(xor(a.simhash, c.simhash)) <= $maxHamming
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Hourly tumbling event-time windows (batch twin of the streaming agg). */
+  def eventWindows: String =
+    s"""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+       |    AS window_start,
+       |  event_type,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+       |    AS value_cents
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization. */
+  def sessions(gapMinutes: Int): String =
+    s"""WITH g AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |      OR CAST(floor(epoch(ts)) AS BIGINT) -
+       |         CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) >
+       |         ${gapMinutes * 60} THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, ts,
+       |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM g)
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(min(floor(epoch(ts))) AS BIGINT) AS start_epoch,
+       |  CAST(max(floor(epoch(ts))) AS BIGINT) AS end_epoch
+       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Bounded per-user event-type paths. */
+  def userPaths(maxLen: Int): String =
+    s"""WITH r AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS rn
+       |  FROM events)
+       |SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+       |  CAST(count(*) AS BIGINT) AS path_len
+       |FROM r WHERE rn <= $maxLen GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
   /** Whitespace vs BPE-ish-regex token counts (same pattern in both
     * engines). */
   def bpeTokens: String =

@@ -355,6 +355,32 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  // ---- events table: time-dimension pipeline ops --------------------------
+
+  private val SimhashMaxHamming = 1
+  private val SimhashBands = 2
+  private val SessionGapMin = 30
+  private val PathLen = 8
+
+  private def simhashPairsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("toks")),
+      SimhashMaxHamming, SimhashBands).orderBy("doc_a", "doc_b")
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  private def eventWindowsQ(s: SparkSession, dir: String): DataFrame =
+    EventOps.tumblingCounts(events(s, dir))
+      .orderBy("window_start", "event_type")
+
+  private def sessionsQ(s: SparkSession, dir: String): DataFrame =
+    EventOps.sessionize(events(s, dir), SessionGapMin)
+      .orderBy("user_id", "session_id")
+
+  private def userPathsQ(s: SparkSession, dir: String): DataFrame =
+    EventOps.userPaths(events(s, dir), PathLen).orderBy("user_id")
+
   // ---- SQL extension surface (§2.9) ---------------------------------------
 
   /** kNN expressed as a SQL string over the registered distance function —
@@ -410,6 +436,10 @@ object SparkEntry {
     "q34_sql_knn" -> (sqlKnnQ _),
     "q35_bpe_tokens" -> (bpeTokensQ _),
     "q36_ivf_reorder" -> (ivfReorderQ _),
+    "q37_simhash_pairs" -> (simhashPairsQ _),
+    "q38_event_windows" -> (eventWindowsQ _),
+    "q39_sessions" -> (sessionsQ _),
+    "q40_user_paths" -> (userPathsQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -449,5 +479,9 @@ object SparkEntry {
     "q34_sql_knn" -> OracleGen.embeddingKnn(Metric.L2, K),
     "q35_bpe_tokens" -> OracleGenText.bpeTokens,
     "q36_ivf_reorder" -> OracleGen.ivfReorder(K, VamanaProbes, KReorder),
+    "q37_simhash_pairs" -> OracleGenText.simhashPairs(SimhashMaxHamming),
+    "q38_event_windows" -> OracleGenText.eventWindows,
+    "q39_sessions" -> OracleGenText.sessions(SessionGapMin),
+    "q40_user_paths" -> OracleGenText.userPaths(PathLen),
   )
 }

@@ -87,6 +87,17 @@ object Tables {
       .toIndexedSeq
       .sortBy(_._1)
 
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark rejects by default;
+    * read the nanos as long (legacy conf) and rebuild a timestamp column.
+    * All fixture values are whole microseconds (checked), so the conversion
+    * is lossless. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts",
+        timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
   // ---- embeddings table (64-d float vectors, 500 rows) ---------------------
 
   val embDims: Int = 64

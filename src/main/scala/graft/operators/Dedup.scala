@@ -252,6 +252,36 @@ object Dedup {
       .select(col("doc_id"), value.cast("long").as("simhash"))
   }
 
+  /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ maxHamming.
+    * Scale path is a banded equi-join (split the hash into `nBands` bit
+    * bands; by pigeonhole any pair within `nBands − 1` hamming shares one
+    * exact band), then the exact popcount filter on the candidates — the
+    * same band-then-verify shape as MinHash-LSH. Requires
+    * `nBands > maxHamming` for losslessness. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int, nBands: Int)
+      : DataFrame = {
+    require(nBands > maxHamming, "need nBands > maxHamming (pigeonhole)")
+    require(SimhashBits % nBands == 0)
+    val bandBits = SimhashBits / nBands
+    val mask = (1L << bandBits) - 1
+    val sh = simhash(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))
+            .as("key"))
+      }: _*)).as("bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bk.band") === col("b.bk.band") &&
+          col("a.bk.key") === col("b.bk.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+      .filter(expr("bit_count(ha ^ hb)") <= maxHamming)
+      .select("doc_a", "doc_b")
+  }
+
   // ---- embedding near-dup --------------------------------------------------
 
   /** Exact cosine near-dup pairs (oracle / small-N path): full self-join.

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.core.Tables
+import graft.operators.EventOps
+
+class EventOpsSpec extends SparkSpec {
+
+  private def events = Tables.events(spark, sfDir)
+
+  test("sessionize: gaps over the threshold split sessions; totals conserved") {
+    val s = EventOps.sessionize(events, 30).cache()
+    assert(s.agg(sum("n_events")).head.getLong(0) === events.count())
+    // session bounds ordered and non-overlapping per user
+    val bad = s.as("a").join(s.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_id") === col("b.session_id") - 1)
+      .filter(col("b.start_epoch") - col("a.end_epoch") <= 30 * 60).count()
+    assert(bad === 0, "adjacent sessions closer than the gap")
+    assert(s.filter(col("start_epoch") > col("end_epoch")).count() === 0)
+  }
+
+  test("tumbling windows partition all events exactly once") {
+    val w = EventOps.tumblingCounts(events)
+    assert(w.agg(sum("n_events")).head.getLong(0) === events.count())
+    // window starts are whole hours
+    assert(w.filter(col("window_start") % 3600 =!= 0).count() === 0)
+  }
+
+  test("user paths are ordered prefixes with bounded length") {
+    val p = EventOps.userPaths(events, 8)
+    assert(p.filter(col("path_len") > 8).count() === 0)
+    assert(p.count() === events.select("user_id").distinct().count())
+  }
+
+  test("streaming windowed aggregation with watermark equals the batch form") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = streamDf
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").cast("long").as("window_start"),
+        col("event_type"), col("n_events"))
+    val q = agg.writeStream.format("memory").queryName("evt_agg")
+      .outputMode("complete").start()
+    try {
+      val rows = Seq(
+        ("2024-01-01 00:10:00", "click", 1.0),
+        ("2024-01-01 00:50:00", "click", 2.0),
+        ("2024-01-01 01:10:00", "view", 3.0),
+        ("2024-01-01 01:20:00", "click", 4.0))
+        .map { case (t, e, v) => (Timestamp.valueOf(t), e, v) }
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streaming = spark.sql(
+          "SELECT window_start, event_type, n_events FROM evt_agg")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batch = EventOps.tumblingCounts(
+          rows.toDF("ts", "event_type", "value"))
+        .select("window_start", "event_type", "n_events")
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streaming === batch)
+      assert(streaming.map(_.getLong(2)).sum === 4L)
+    } finally q.stop()
+  }
+}
