@@ -177,6 +177,23 @@ object OracleGenText {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Content-hashed train/val/test split (same fold as the fingerprint
+    * oracle). */
+  def datasetSplit(valPct: Int, testPct: Int): String =
+    s"""WITH t AS ($toksCte),
+       |c AS (SELECT doc_id,
+       |  list_transform(toks, x -> CAST(ascii(x)*100 + length(x) AS BIGINT)) AS codes
+       |FROM t),
+       |fp AS (SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+       |    (acc, x) -> (acc * 131 + x) % ${TextAnalysis.FpMod}) % 100 AS bucket
+       |FROM c)
+       |SELECT doc_id,
+       |  CASE WHEN bucket < $testPct THEN 'test'
+       |       WHEN bucket < ${testPct + valPct} THEN 'val'
+       |       ELSE 'train' END AS split
+       |FROM fp ORDER BY doc_id""".stripMargin
+
   /** SimHash near-dup pairs by exact popcount (naive oracle for the banded
     * Spark path). */
   def simhashPairs(maxHamming: Int): String = {

@@ -381,6 +381,16 @@ object SparkEntry {
   private def userPathsQ(s: SparkSession, dir: String): DataFrame =
     EventOps.userPaths(events(s, dir), PathLen).orderBy("user_id")
 
+  private val ValPct = 10
+  private val TestPct = 10
+
+  /** Content-hashed train/val/test split (leakage-safe: duplicate texts
+    * share a split). */
+  private def datasetSplitQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        TextAnalysis.datasetSplit(col("text"), ValPct, TestPct).as("split"))
+      .orderBy("doc_id")
+
   // ---- SQL extension surface (§2.9) ---------------------------------------
 
   /** kNN expressed as a SQL string over the registered distance function —
@@ -440,6 +450,7 @@ object SparkEntry {
     "q38_event_windows" -> (eventWindowsQ _),
     "q39_sessions" -> (sessionsQ _),
     "q40_user_paths" -> (userPathsQ _),
+    "q41_dataset_split" -> (datasetSplitQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -483,5 +494,6 @@ object SparkEntry {
     "q38_event_windows" -> OracleGenText.eventWindows,
     "q39_sessions" -> OracleGenText.sessions(SessionGapMin),
     "q40_user_paths" -> OracleGenText.userPaths(PathLen),
+    "q41_dataset_split" -> OracleGenText.datasetSplit(ValPct, TestPct),
   )
 }

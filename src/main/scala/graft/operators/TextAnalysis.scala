@@ -70,6 +70,18 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => (acc * lit(131L) + tokenCode(t)) % lit(FpMod))
 
+  /** Deterministic dataset split for training pipelines: bucket = content
+    * fingerprint mod 100, mapped to train/val/test by cumulative percentage.
+    * Content-hashed (not id-hashed) so exact duplicates always land in the
+    * same split — the property that prevents train/test leakage. Engine
+    * portable: the fingerprint fold is the q16 oracle arithmetic. */
+  def datasetSplit(text: Column, valPct: Int, testPct: Int): Column = {
+    val bucket = fingerprint(text) % 100
+    when(bucket < testPct, "test")
+      .when(bucket < testPct + valPct, "val")
+      .otherwise("train")
+  }
+
   /** BPE-ish subword tokenization regex: letter runs, digit runs, or runs of
     * other non-space symbols — the word-level pre-split every byte-pair
     * tokenizer applies before merges (so its count upper-bounds real BPE
