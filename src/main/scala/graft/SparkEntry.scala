@@ -19,14 +19,14 @@ object SparkEntry {
   private def knnLineitem(metric: Metric)(s: SparkSession, dir: String)
       : DataFrame =
     FlatKnn.search(Tables.lineitemQueries(s, dir),
-        Tables.lineitemVectors(s, dir), K, metric)
+        liVectors(s, dir), K, metric)
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 
   private def knnEmbeddings(metric: Metric)(s: SparkSession, dir: String)
       : DataFrame =
     FlatKnn.search(Tables.embeddingQueries(s, dir),
-        Tables.embeddingVectors(s, dir).select("id", "vec"), K, metric)
+        embVectors(s, dir).select("id", "vec"), K, metric)
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 
@@ -42,6 +42,12 @@ object SparkEntry {
 
   private def liDedup(s: SparkSession, dir: String): DataFrame =
     memoized("li_dedup", dir) { Tables.lineitemVectorsDedup(s, dir).cache() }
+
+  private def liVectors(s: SparkSession, dir: String): DataFrame =
+    memoized("li_vectors", dir) { Tables.lineitemVectors(s, dir).cache() }
+
+  private def embVectors(s: SparkSession, dir: String): DataFrame =
+    memoized("emb_vectors", dir) { Tables.embeddingVectors(s, dir).cache() }
 
   private def liClustered(s: SparkSession, dir: String): DataFrame =
     memoized("li_clustered", dir) {
@@ -83,7 +89,7 @@ object SparkEntry {
   }
 
   private def kmeansTrainQ(s: SparkSession, dir: String): DataFrame = {
-    val data = Tables.embeddingVectors(s, dir).select("id", "vec")
+    val data = embVectors(s, dir).select("id", "vec")
     val init = Tables.embeddingQueries(s, dir).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     val cents = KMeans.lloyd(data, init, iters = 3, dims = Tables.embDims)
@@ -151,11 +157,11 @@ object SparkEntry {
 
   private def embNearDupExactQ(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupExact(
-        Tables.embeddingVectors(s, dir).select("id", "vec"), CosineT)
+        embVectors(s, dir).select("id", "vec"), CosineT)
       .orderBy("id_a", "id_b")
 
   private def lshPlanes(s: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
-    Tables.embeddingVectors(s, dir).filter(col("id") % 125 === 0 && col("id") < 500)
+    embVectors(s, dir).filter(col("id") % 125 === 0 && col("id") < 500)
       .select("id", "vec").collect()
       .map(r => (1L << (r.getLong(0) / 125).toInt) ->
         r.getSeq[Double](1).toIndexedSeq)
@@ -163,7 +169,7 @@ object SparkEntry {
 
   private def embNearDupLshQ(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupLsh(
-        Tables.embeddingVectors(s, dir).select("id", "vec"),
+        embVectors(s, dir).select("id", "vec"),
         lshPlanes(s, dir), CosineT)
       .orderBy("id_a", "id_b")
 
@@ -175,7 +181,7 @@ object SparkEntry {
 
   /** Embeddings with cluster_id = label: a deterministic 10-way sharding. */
   private def embLabelClustered(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddingVectors(s, dir)
+    embVectors(s, dir)
       .select(col("id"), col("vec"), col("label").cast("long").as("cluster_id"))
 
   /** Per-label centroids, rounded to 6 decimals so Spark and DuckDB agree
@@ -217,7 +223,7 @@ object SparkEntry {
     * VamanaSpec asserts the recall floor). */
   private def vamanaRecallQ(s: SparkSession, dir: String): DataFrame = {
     val clustered = embLabelClustered(s, dir)
-    val data = Tables.embeddingVectors(s, dir).select("id", "vec")
+    val data = embVectors(s, dir).select("id", "vec")
     val q = Tables.embeddingQueries(s, dir)
     val graph = embGraph(s, dir)
     val approx = Vamana.searchSharded(q, clustered, graph,
@@ -234,14 +240,14 @@ object SparkEntry {
   /** Per-query top-5 labels by min distance over each label's vectors. */
   private def multiLabelQ(s: SparkSession, dir: String): DataFrame =
     MultiVector.searchByLabel(Tables.embeddingQueries(s, dir),
-        Tables.embeddingVectors(s, dir)
+        embVectors(s, dir)
           .select(col("id"), col("vec"), col("label").cast("long").as("label")),
         LabelK, Metric.L2)
       .orderBy("query_id", "rnk")
 
   /** Flat kNN with a soft-deleted (tombstoned) id set excluded (P8/M2). */
   private def tombstoneKnnQ(s: SparkSession, dir: String): DataFrame = {
-    val data = Tables.embeddingVectors(s, dir).select("id", "vec")
+    val data = embVectors(s, dir).select("id", "vec")
     FlatKnn.searchWithTombstones(Tables.embeddingQueries(s, dir), data,
         data.filter(col("id") % 7 === 0).select("id"), K, Metric.L2)
       .select("query_id", "rnk", "neighbor_id")
@@ -256,7 +262,7 @@ object SparkEntry {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     val tbl = new DynamicVectorTable(s, root)
-    val emb = Tables.embeddingVectors(s, dir)
+    val emb = embVectors(s, dir)
       .select(col("id"), col("vec"), col("label").cast("long").as("label"))
     tbl.addPoints(emb.filter(col("id") < 250))
     tbl.addPoints(emb.filter(col("id") >= 250))
@@ -274,7 +280,7 @@ object SparkEntry {
     * range-partitioned by id. */
   private def fvecsRoundtripQ(s: SparkSession, dir: String): DataFrame = {
     val out = "/tmp/graft_fvecs_q29"
-    val orig = Tables.embeddingVectors(s, dir).select("id", "vec")
+    val orig = embVectors(s, dir).select("id", "vec")
     graft.sources.VecsIO.write(
       orig.repartitionByRange(4, col("id")), out, graft.sources.VecsIO.F32)
     val back = graft.sources.VecsIO.read(s, s"$out/*.fvecs")
@@ -308,11 +314,11 @@ object SparkEntry {
   private val InvEps = 1.2
 
   private def invLeaders(s: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
-    Inverted.pickLeaders(Tables.embeddingVectors(s, dir).select("id", "vec"),
+    Inverted.pickLeaders(embVectors(s, dir).select("id", "vec"),
       col("id") % InvLeaderMod === InvLeaderRes)
 
   private def invertedSearchQ(s: SparkSession, dir: String): DataFrame = {
-    val data = Tables.embeddingVectors(s, dir).select("id", "vec")
+    val data = embVectors(s, dir).select("id", "vec")
     val leaders = invLeaders(s, dir)
     val clustered = Inverted.cluster(data, leaders)
     Inverted.search(Tables.embeddingQueries(s, dir), clustered, leaders,
@@ -348,7 +354,7 @@ object SparkEntry {
   private def ivfReorderQ(s: SparkSession, dir: String): DataFrame = {
     val clustered = embLabelClustered(s, dir)
     val p = ScalarQuant.train(
-      Tables.embeddingVectors(s, dir).select("id", "vec"))
+      embVectors(s, dir).select("id", "vec"))
     IvfIndex.searchWithReorder(Tables.embeddingQueries(s, dir), clustered,
         embLabelCentroids(s, dir), p, K, VamanaProbes, KReorder)
       .select("query_id", "rnk", "neighbor_id")
@@ -397,7 +403,7 @@ object SparkEntry {
     * exercises FunctionRegistry registration + parser + codegen'd kernel. */
   private def sqlKnnQ(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    Tables.embeddingVectors(s, dir).select("id", "vec")
+    embVectors(s, dir).select("id", "vec")
       .createOrReplaceTempView("graft_data")
     Tables.embeddingQueries(s, dir).createOrReplaceTempView("graft_q")
     s.sql(
