@@ -17,7 +17,7 @@ import graft.functions.{CosineSimilarity, InnerProduct, L2Distance}
   *  - programmatic: `GraftFunctions.register(spark)` on a live session
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[GraftExtensions].getCanonicalName, null, name, usage, ""),
         builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.KnnPartialStrategy)
+  }
 }
 
 object GraftFunctions {
