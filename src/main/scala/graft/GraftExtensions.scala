@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectPlannerStrategy(_ => graft.plans.KnnPartialStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.KnnRewriteRule)
   }
 }
 

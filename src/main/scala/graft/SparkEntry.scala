@@ -400,9 +400,12 @@ object SparkEntry {
   // ---- SQL extension surface (§2.9) ---------------------------------------
 
   /** kNN expressed as a SQL string over the registered distance function —
-    * exercises FunctionRegistry registration + parser + codegen'd kernel. */
+    * exercises FunctionRegistry registration + parser + codegen'd kernel,
+    * and the KnnRewriteRule turns the window-rank cross join into the
+    * KnnPartial heap-scan plan (bit-identical results, KnnPlanSpec). */
   private def sqlKnnQ(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
+    graft.plans.KnnJoinApi.install(s)
     embVectors(s, dir).select("id", "vec")
       .createOrReplaceTempView("graft_data")
     Tables.embeddingQueries(s, dir).createOrReplaceTempView("graft_q")

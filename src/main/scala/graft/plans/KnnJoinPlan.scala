@@ -124,12 +124,17 @@ object KnnJoinApi {
   import org.apache.spark.sql.functions.col
   import org.apache.spark.sql.graftbridge.Bridge
 
-  /** Ensure the strategy is installed on this session (idempotent). The
-    * config route is `spark.sql.extensions=graft.GraftExtensions`. */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Ensure the strategy + rewrite rule are installed on this session
+    * (idempotent). The config route is
+    * `spark.sql.extensions=graft.GraftExtensions`. */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(KnnPartialStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ KnnPartialStrategy
+    if (!spark.experimental.extraOptimizations.contains(KnnRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ KnnRewriteRule
+  }
 
   /** Plan-native kNN join: a [[KnnPartial]] logical node (visible in
     * `explain`) merged exactly by a declarative window rank. Output:

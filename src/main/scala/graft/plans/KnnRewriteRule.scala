@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import graft.core.Metric
+import graft.functions.{CosineSimilarity, InnerProduct, L2Distance}
+
+/** The SURVEY §4 stretch rule: rewrite the canonical SQL top-k-by-distance
+  * pattern
+  *
+  * {{{
+  * Filter(rnk <= k,
+  *   Window(row_number [qid] [dist asc|desc, id asc],
+  *     [WindowGroupLimit]
+  *       Project(..., dist_expr AS _w0, ...,
+  *         Join(queries, data, Cross))))
+  * }}}
+  *
+  * into the same tree with the cross join replaced by a [[KnnPartial]] node:
+  * each data partition then contributes at most k candidates per query
+  * instead of its full row count, while the Window/Filter stay untouched and
+  * exact. Fires only when every guard holds (single row_number window over
+  * one query-side partition attribute, distance expression between one
+  * attribute from each join side, tie-break by the data-side id, sort
+  * direction matching the metric, literal bound); otherwise the plan is left
+  * alone. Result rows are identical — the distance kernel, fold order, and
+  * tie-breaks are the same code paths.
+  */
+object KnnRewriteRule extends Rule[LogicalPlan] {
+
+  private def metricOf(e: Expression): Option[(Metric, Expression, Expression)] =
+    e match {
+      case L2Distance(a, b) => Some((Metric.L2, a, b))
+      case InnerProduct(a, b) => Some((Metric.IP, a, b))
+      case CosineSimilarity(a, b) => Some((Metric.Cosine, a, b))
+      case _ => None
+    }
+
+  private def limitOf(cond: Expression, rnk: Attribute): Option[Int] =
+    cond match {
+      case LessThanOrEqual(a: Attribute, Literal(v: Int, _))
+        if a.semanticEquals(rnk) => Some(v)
+      case LessThan(a: Attribute, Literal(v: Int, _))
+        if a.semanticEquals(rnk) => Some(v - 1)
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond,
+        w @ Window(Seq(al @ Alias(WindowExpression(RowNumber(), _), _)),
+          Seq(partAttr: Attribute), orderSpec, wChild, _)) =>
+      val rewritten = for {
+        k <- limitOf(cond, al.toAttribute)
+        // optional WindowGroupLimit between Window and the Project
+        (wgl, proj) <- wChild match {
+          case g @ WindowGroupLimit(_, _, _, _, p: Project) => Some((Some(g), p))
+          case p: Project => Some((None, p))
+          case _ => None
+        }
+        join <- proj.child match {
+          case j @ Join(_, _, Cross | Inner, None, _) => Some(j)
+          case _ => None
+        }
+        // the single distance alias in the projection
+        distAliases = proj.projectList.collect {
+          case a @ Alias(e, _) if metricOf(e).isDefined => a
+        }
+        distAlias <- if (distAliases.length == 1) Some(distAliases.head)
+          else None
+        (metric, qv, dv) <- metricOf(distAlias.child)
+        qvecAttr <- qv match { case a: Attribute => Some(a); case _ => None }
+        vecAttr <- dv match { case a: Attribute => Some(a); case _ => None }
+        // query vector from the left (queries) side, data vector from right
+        if join.left.outputSet.contains(qvecAttr) &&
+          join.right.outputSet.contains(vecAttr) &&
+          join.left.outputSet.contains(partAttr)
+        // order: dist (direction matching the metric), tie by data-side id
+        idAttr <- orderSpec match {
+          case Seq(SortOrder(d: Attribute, dir, _, _),
+              SortOrder(id: Attribute, Ascending, _, _))
+            if d.semanticEquals(distAlias.toAttribute) &&
+              ((dir == Ascending) == metric.ascending) &&
+              join.right.outputSet.contains(id) => Some(id)
+          case _ => None
+        }
+        // every other projected column must be the partition attr or the id
+        if proj.projectList.forall {
+          case a: Attribute => a.semanticEquals(partAttr) ||
+            a.semanticEquals(idAttr)
+          case a: Alias if a.exprId == distAlias.exprId => true
+          case Alias(child: Attribute, _) => child.semanticEquals(partAttr) ||
+            child.semanticEquals(idAttr)
+          case _ => false
+        }
+      } yield {
+        val distAttr = AttributeReference("dist",
+          org.apache.spark.sql.types.DoubleType, nullable = false)()
+        val knn = KnnPartial(
+          Project(Seq(partAttr, qvecAttr), join.left),
+          Project(Seq(idAttr, vecAttr), join.right),
+          k, metric.name,
+          output = Seq(partAttr, idAttr, distAttr))
+        // rebuild the projection on top, distance alias now just renames the
+        // produced dist column (exprIds preserved so Window/Filter bind)
+        val newProjList = proj.projectList.map {
+          case a: Alias if a.exprId == distAlias.exprId =>
+            Alias(distAttr, a.name)(a.exprId, a.qualifier,
+              a.explicitMetadata, a.nonInheritableMetadataKeys)
+          case other => other
+        }
+        val newProj = Project(newProjList, knn)
+        val newChild = wgl.map(g => g.copy(child = newProj)).getOrElse(newProj)
+        f.copy(child = w.copy(child = newChild))
+      }
+      rewritten.getOrElse(f)
+  }
+}

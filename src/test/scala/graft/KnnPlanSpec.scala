@@ -32,6 +32,54 @@ class KnnPlanSpec extends SparkSpec {
       plan.take(800))
   }
 
+  private def sqlKnn(k: Int): org.apache.spark.sql.DataFrame = {
+    GraftFunctions.register(spark)
+    emb.createOrReplaceTempView("kp_data")
+    q.createOrReplaceTempView("kp_q")
+    spark.sql(
+      s"""SELECT query_id, rnk, neighbor_id FROM (
+         |  SELECT q.query_id, d.id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY l2_distance(q.qvec, d.vec) ASC, d.id ASC) AS rnk
+         |  FROM kp_q q CROSS JOIN kp_data d) t
+         |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  test("optimizer rule rewrites SQL window-rank kNN onto KnnPartial with " +
+      "identical results") {
+    // without the rule: plain cross-join plan
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.KnnRewriteRule)
+    val plain = sqlKnn(10)
+    assert(!plain.queryExecution.optimizedPlan.toString.contains("KnnPartial"))
+    val plainRows = plain.collect().toSeq
+
+    KnnJoinApi.install(spark)
+    val rewritten = sqlKnn(10)
+    assert(rewritten.queryExecution.optimizedPlan.toString
+      .contains("KnnPartial"),
+      rewritten.queryExecution.optimizedPlan.toString.take(1200))
+    assert(rewritten.collect().toSeq === plainRows)
+  }
+
+  test("rewrite rule leaves non-matching window queries alone") {
+    KnnJoinApi.install(spark)
+    // rank() instead of row_number(): must not rewrite
+    GraftFunctions.register(spark)
+    emb.createOrReplaceTempView("kp_data")
+    q.createOrReplaceTempView("kp_q")
+    val df = spark.sql(
+      """SELECT query_id, rnk, neighbor_id FROM (
+        |  SELECT q.query_id, d.id AS neighbor_id,
+        |    rank() OVER (PARTITION BY q.query_id
+        |      ORDER BY l2_distance(q.qvec, d.vec) ASC, d.id ASC) AS rnk
+        |  FROM kp_q q CROSS JOIN kp_data d) t
+        |WHERE rnk <= 3""".stripMargin)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("KnnPartial"))
+    assert(df.count() === q.count() * 3)
+  }
+
   test("float32 data works through the plan node (cast in the child plan)") {
     val f32 = emb.select(col("id"), col("vec").cast("array<float>").as("vec"))
     val viaPlan = KnnJoinApi.knnJoin(q, f32, 5, Metric.L2)
