@@ -180,8 +180,14 @@ object VamanaKernel {
     best
   }
 
+  /** pruneTo < maxDegree leaves headroom so reverse edges accumulate before
+    * triggering a re-prune (reference prune_to, build_params.h:48-74 —
+    * goldens use 28 vs degree 32). pruneTo ≤ 0 means maxDegree. */
   case class BuildParams(maxDegree: Int = 32, buildWindow: Int = 64,
-                         alpha: Double = 1.2, maxCandidatePool: Int = 750)
+                         alpha: Double = 1.2, maxCandidatePool: Int = 750,
+                         pruneTo: Int = 0) {
+    def pruneTarget: Int = if (pruneTo > 0) pruneTo else maxDegree
+  }
 
   /** Incremental Vamana build (vamana_build.h:164-320): two passes (α=1.0
     * then final α, index.h:428-430). Each node in slot order: greedy-search
@@ -210,7 +216,7 @@ object VamanaKernel {
           else pool.sortBy { case (s, d) =>
             (if (metric.ascending) d else -d, s)
           }.take(params.maxCandidatePool)
-        adj(node) = robustPrune(node, bounded, alpha, params.maxDegree,
+        adj(node) = robustPrune(node, bounded, alpha, params.pruneTarget,
           vecs, metric)
         // reverse edges, applied immediately
         val nbs = adj(node)
