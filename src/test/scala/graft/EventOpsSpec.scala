@@ -35,6 +35,47 @@ class EventOpsSpec extends SparkSpec {
     assert(p.count() === events.select("user_id").distinct().count())
   }
 
+  test("stateful streaming sessionization closes sessions on gap and " +
+      "timeout, matching batch semantics") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingSessionize
+    val mem = MemoryStream[(Timestamp, Long, Long)]
+    val stream = mem.toDF().toDF("ts", "user_id", "event_id")
+    val out = StreamingSessionize.sessions(stream, gapMinutes = 30,
+      watermarkMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      // batch 1: user 7 has two events 10 min apart (one open session)
+      mem.addData((t("2024-01-01 00:00:00"), 7L, 1L),
+        (t("2024-01-01 00:10:00"), 7L, 2L))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sess_out").count() === 0) // still open
+      // batch 2: event 2 hours later → closes session 1, opens session 2
+      mem.addData((t("2024-01-01 02:00:00"), 7L, 3L))
+      q.processAllAvailable()
+      val closed = spark.sql("SELECT * FROM sess_out").as[
+        StreamingSessionize.ClosedSession].collect()
+      assert(closed.length === 1)
+      assert(closed(0) === StreamingSessionize.ClosedSession(7L, 1L, 2L,
+        t("2024-01-01 00:00:00").getTime / 1000,
+        t("2024-01-01 00:10:00").getTime / 1000))
+      // batch 3: far-future event for ANOTHER user advances the watermark
+      // past session 2's timeout → session 2 closes via EventTimeTimeout
+      mem.addData((t("2024-01-01 09:00:00"), 99L, 4L))
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01 10:00:00"), 99L, 5L))
+      q.processAllAvailable()
+      val after = spark.sql("SELECT * FROM sess_out WHERE user_id = 7")
+        .as[StreamingSessionize.ClosedSession].collect()
+      assert(after.length === 2)
+      assert(after.map(_.session_id).sorted.toSeq === Seq(1L, 2L))
+      assert(after.find(_.session_id == 2L).get.n_events === 1L)
+    } finally q.stop()
+  }
+
   test("streaming windowed aggregation with watermark equals the batch form") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
