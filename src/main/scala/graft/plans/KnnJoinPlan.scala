@@ -141,6 +141,7 @@ object KnnJoinApi {
     * (query_id, rnk, neighbor_id, dist) best-first. */
   def knnJoin(queries: DataFrame, data: DataFrame, k: Int, metric: Metric)
       : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val spark = data.sparkSession
     install(spark)
     val qPlan = Bridge.logicalPlan(queries.select(

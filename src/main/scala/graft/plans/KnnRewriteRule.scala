@@ -53,6 +53,7 @@ object KnnRewriteRule extends Rule[LogicalPlan] {
           Seq(partAttr: Attribute), orderSpec, wChild, _)) =>
       val rewritten = for {
         k <- limitOf(cond, al.toAttribute)
+        if k >= 1 // rnk < 1 selects nothing; leave the degenerate plan alone
         // optional WindowGroupLimit between Window and the Project
         (wgl, proj) <- wChild match {
           case g @ WindowGroupLimit(_, _, _, _, p: Project) => Some((Some(g), p))

@@ -63,6 +63,24 @@ class KnnPlanSpec extends SparkSpec {
     assert(rewritten.collect().toSeq === plainRows)
   }
 
+  test("degenerate rnk < 1 bound is left alone (no zero-k crash)") {
+    KnnJoinApi.install(spark)
+    GraftFunctions.register(spark)
+    emb.createOrReplaceTempView("kp_data")
+    q.createOrReplaceTempView("kp_q")
+    val df = spark.sql(
+      """SELECT query_id, rnk, neighbor_id FROM (
+        |  SELECT q.query_id, d.id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY l2_distance(q.qvec, d.vec) ASC, d.id ASC) AS rnk
+        |  FROM kp_q q CROSS JOIN kp_data d) t
+        |WHERE rnk < 1""".stripMargin)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("KnnPartial"))
+    assert(df.count() === 0)
+    intercept[IllegalArgumentException] {
+      KnnJoinApi.knnJoin(q, emb, 0, graft.core.Metric.L2) }
+  }
+
   test("rewrite rule leaves non-matching window queries alone") {
     KnnJoinApi.install(spark)
     // rank() instead of row_number(): must not rewrite
