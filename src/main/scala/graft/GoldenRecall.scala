@@ -36,28 +36,36 @@ object GoldenRecall {
       .filter(col("id") >= n)
       .select(col("id").as("query_id"), col("vec").as("qvec"))
 
-    val t0 = System.nanoTime()
-    val graph = Vamana.buildSingle(data,
-      BuildParams(maxDegree = 64, buildWindow = 128, alpha = 1.2),
-      Metric.L2).cache()
-    graph.count()
-    val buildSec = (System.nanoTime() - t0) / 1e9
-
     val truth = FlatKnn.search(queries, data, k, Metric.L2)
       .select("query_id", "neighbor_id").cache()
     truth.count()
-
     val clustered = data.withColumn("cluster_id", lit(0L))
     val cents = Seq(0L -> Seq.fill(dims)(0.5))
-    val recalls = Seq(10, 20, 30, 40).map { w =>
-      val res = Vamana.searchSharded(queries, clustered, graph, cents, k,
-        searchWindow = w, nProbes = 1, Metric.L2)
-      val hits = res.select("query_id", "neighbor_id").intersect(truth).count()
-      w -> hits.toDouble / (k * nq)
+
+    // build-config grid, vamana_reference.toml style: the flagship config
+    // plus the goldens' smaller one
+    val configs = Seq(
+      ("deg64_w128", BuildParams(maxDegree = 64, buildWindow = 128,
+        alpha = 1.2)),
+      ("deg32_w64", BuildParams(maxDegree = 32, buildWindow = 64,
+        alpha = 1.2, pruneTo = 28)))
+    configs.foreach { case (label, params) =>
+      val t0 = System.nanoTime()
+      val graph = Vamana.buildSingle(data, params, Metric.L2).cache()
+      graph.count()
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val recalls = Seq(10, 20, 30, 40).map { w =>
+        val res = Vamana.searchSharded(queries, clustered, graph, cents, k,
+          searchWindow = w, nProbes = 1, Metric.L2)
+        val hits = res.select("query_id", "neighbor_id").intersect(truth)
+          .count()
+        w -> hits.toDouble / (k * nq)
+      }
+      graph.unpersist()
+      val rjson = recalls.map { case (w, r) => s""""w$w":$r""" }.mkString(",")
+      println(s"""{"experiment":"golden_recall_vamana","config":"$label",""" +
+        s""""n":$n,"dims":$dims,"build_sec":$buildSec,$rjson}""")
     }
-    val rjson = recalls.map { case (w, r) => s""""w$w":$r""" }.mkString(",")
-    println(s"""{"experiment":"golden_recall_vamana","n":$n,"dims":$dims,""" +
-      s""""build_sec":$buildSec,$rjson}""")
 
     // IVF probe sweep on the same dataset (the reference's second golden
     // grid, ivf_reference.toml): recall@10 rises monotonically with
