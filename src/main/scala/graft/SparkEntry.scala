@@ -137,8 +137,11 @@ object SparkEntry {
     docs(s, dir).select(col("doc_id").as("id"),
       Dedup.wordNGrams(TextAnalysis.tokens(col("text")), 2).as("grams"))
 
+  /** Certified on the scale path: the ppjoin-style prefix-filtered join
+    * (no driver collect), proven equal to the bitset/naive variants in
+    * DedupTextSpec. */
   private def jaccardPairsQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairsBitset(
+    Dedup.jaccardPairsPrefix(
       docCodes(s, dir).withColumnRenamed("codes", "grams"), JaccardT)
       .orderBy("doc_a", "doc_b")
 
@@ -350,11 +353,16 @@ object SparkEntry {
   private val KReorder = 3
 
   /** IVF probe + SQ-compressed scan + full-precision reorder (k_reorder)
-    * over the label-sharded embeddings. */
+    * over the label-sharded embeddings. The codes are RESIDENT (attached
+    * once, cached) — the coarse pass scans smallint codes only, mirroring
+    * the reference keeping SQ codes as the dataset it scans. */
   private def ivfReorderQ(s: SparkSession, dir: String): DataFrame = {
-    val clustered = embLabelClustered(s, dir)
-    val p = ScalarQuant.train(
-      embVectors(s, dir).select("id", "vec"))
+    val p = memoized[ScalarQuant.Params]("emb_sq_params", dir) {
+      ScalarQuant.train(embVectors(s, dir).select("id", "vec"))
+    }
+    val clustered = memoized[DataFrame]("emb_clustered_codes", dir) {
+      IvfIndex.withResidentCodes(embLabelClustered(s, dir), p).cache()
+    }
     IvfIndex.searchWithReorder(Tables.embeddingQueries(s, dir), clustered,
         embLabelCentroids(s, dir), p, K, VamanaProbes, KReorder)
       .select("query_id", "rnk", "neighbor_id")

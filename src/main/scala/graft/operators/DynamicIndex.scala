@@ -32,7 +32,7 @@ final class DynamicVectorTable(spark: SparkSession, root: String) {
 
   private def nextName(sub: String, prefix: String): String = {
     val n = list(sub).size
-    s"$root/$sub/$prefix-$n%05d".format(n)
+    f"$root%s/$sub%s/$prefix%s-$n%05d"
   }
 
   /** M1 add_points: append a new segment of `(id, vec, ...)` rows. */

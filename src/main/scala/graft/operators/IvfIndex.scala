@@ -29,6 +29,21 @@ object IvfIndex {
   def readClustered(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Attach a resident scalar-quantized `codes` column — the Spark analog of
+    * the reference keeping the SQ codes as the dataset it scans
+    * (quantization/scalar/scalar.h:364). Stored as ARRAY<SMALLINT> (codes fit
+    * 0..2^bits-1), so a codes-only scan reads a fraction of the vector bytes
+    * and column pruning keeps `vec` untouched until the reorder pass. */
+  def withResidentCodes(clustered: DataFrame, p: ScalarQuant.Params): DataFrame =
+    clustered.withColumn("codes",
+      ScalarQuant.encodeColumn(col("vec"), p).cast("array<smallint>"))
+
+  /** writeClustered + resident codes: the on-disk layout for
+    * [[searchWithReorder]]. */
+  def writeClustered(clustered: DataFrame, path: String,
+                     codec: ScalarQuant.Params): Unit =
+    writeClustered(withResidentCodes(clustered, codec), path)
+
   /** Probe search: score centroids per query, keep nProbes best clusters,
     * scan only those clusters, keep k best rows.
     *
@@ -68,16 +83,22 @@ object IvfIndex {
   }
 
   /** Probe search with compressed-scan + full-precision reorder (the
-    * reference's `k_reorder`, ivf/common.h:151-166): cluster scan ranks
-    * candidates by the scalar-quantized code-space distance (monotone in the
-    * decoded L2 — ScalarQuant.searchQuantized algebra), keeps the
-    * `kReorder·k` best, then re-ranks exactly those at full precision. At
-    * scale the compressed pass reads ¼ the bytes (int8 codes vs f64) and the
-    * full-precision pass touches only `|Q|·kReorder·k` rows. L2 only. */
+    * reference's `k_reorder`, ivf/common.h:151-166): the coarse pass scans
+    * the RESIDENT `codes` column (attach with [[withResidentCodes]] or
+    * persist with `writeClustered(path, codec)`) and ranks by code-space
+    * distance (monotone in the decoded L2 — ScalarQuant.searchQuantized
+    * algebra), keeps the `kReorder·k` best, then re-ranks exactly those at
+    * full precision. Column pruning means the coarse pass never reads `vec`:
+    * it touches the smallint codes only (¼ the bytes of f64), and the
+    * full-precision pass reads `|Q|·kReorder·k` rows. L2 only. */
   def searchWithReorder(queries: DataFrame, clustered: DataFrame,
                         centroids: Seq[(Long, Seq[Double])],
                         p: ScalarQuant.Params, k: Int, nProbes: Int,
                         kReorder: Int): DataFrame = {
+    require(clustered.columns.contains("codes"),
+      "searchWithReorder scans resident SQ codes: attach a codes column via " +
+        "IvfIndex.withResidentCodes(clustered, p) or persist with " +
+        "writeClustered(clustered, path, codec)")
     val metric = graft.core.Metric.L2
     val centArr = array(centroids.sortBy(_._1).map { case (cid, cvec) =>
       struct(lit(cid).as("cid"), typedlit(cvec).as("cvec"))
@@ -93,16 +114,17 @@ object IvfIndex {
     val probedIds = probes.select("cluster_id").distinct().collect()
       .map(_.getLong(0)).toSeq
 
-    // compressed pass: distances on int codes (both sides share the codec)
+    // compressed pass: distances on the stored codes (queries encoded with
+    // the same codec on the fly — the query batch is tiny); the scan prunes
+    // to (cluster_id, id, codes), never touching vec
     val qCodes = ScalarQuant.encodeColumn(col("qvec"), p)
       .cast("array<double>")
-    val dCodes = ScalarQuant.encodeColumn(col("vec"), p)
-      .cast("array<double>")
     val candCoarse = broadcast(probes)
-      .join(clustered.filter(col("cluster_id").isin(probedIds: _*)),
+      .join(clustered.filter(col("cluster_id").isin(probedIds: _*))
+          .select("cluster_id", "id", "codes"),
         Seq("cluster_id"))
       .select(col("query_id"), col("id"),
-        metric.column(qCodes, dCodes).as("cdist"))
+        metric.column(qCodes, col("codes").cast("array<double>")).as("cdist"))
     val shortlist = TopK.perKey(candCoarse, Seq("query_id"), col("id"),
         col("cdist"), kReorder * k, ascending = true)
       .select(col("query_id"), col("neighbor_id").as("id"))

@@ -21,7 +21,10 @@ object ScalarQuant {
       max(array_max(col(vecCol))).as("hi")).head
     val (lo, hi) = (row.getDouble(0), row.getDouble(1))
     val levels = (1 << bits) - 1
-    Params(scale = (hi - lo) / levels, bias = lo, bits = bits)
+    // constant data (hi == lo) would give scale = 0 and NaN codes from the
+    // 0/0 in encodeColumn; scale 1 encodes every value to code 0 instead
+    val scale = if (hi > lo) (hi - lo) / levels else 1.0
+    Params(scale = scale, bias = lo, bits = bits)
   }
 
   def encodeColumn(vec: Column, p: Params): Column =

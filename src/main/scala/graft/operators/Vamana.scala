@@ -112,8 +112,20 @@ object Vamana {
           val slotOf = new java.util.HashMap[Long, Integer](rows.length * 2)
           ids.indices.foreach(i => slotOf.put(ids(i), i))
           val vecs = rows.map(_._3)
-          val entrySlot = slotOf.get(rows(0)._4).intValue()
-          val adj = rows.map(_._5.map(n => slotOf.get(n).intValue()))
+          val entrySlot = {
+            val e = slotOf.get(rows(0)._4)
+            require(e != null, s"vamana shard $cid: entry id ${rows(0)._4} " +
+              "not present in the clustered rows (stale graph vs data?)")
+            e.intValue()
+          }
+          // a graph row may reference a neighbor absent from the joined rows
+          // (e.g. a tombstone-filtered table searched with a stale graph);
+          // drop the dangling edge instead of dying with an opaque NPE —
+          // matching the reference's skip-deleted posture during traversal
+          val adj = rows.map(_._5.flatMap { n =>
+            val s = slotOf.get(n)
+            if (s == null) None else Some(s.intValue())
+          })
           qs.iterator.flatMap { case (qid, qvec) =>
             val buf = VamanaKernel.greedySearch(adj, vecs, entrySlot, qvec,
               searchWindow, m)

@@ -59,9 +59,25 @@ case class KnnPartialExec(queries: SparkPlan, data: SparkPlan, k: Int,
     .AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
 
+  /** True for ARRAY<FLOAT>, false for ARRAY<DOUBLE>; anything else is a bug
+    * in the rewrite guards (the rule must not hand us other types). */
+  private def floatElems(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) => false
+      case other => sys.error(s"KnnPartialExec: unsupported vector type $other")
+    }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val metric = Metric.all.find(_.name == metricName)
       .getOrElse(sys.error(s"unknown metric $metricName"))
+    // element-type-aware reads: ARRAY<FLOAT> is 4-byte-packed in ArrayData,
+    // so a getDouble read would return garbage (same dual-path as
+    // FlatKnn.search; float→double widening matches the distance
+    // expressions' per-element (double) cast, so results stay bit-identical)
+    val qFloat = floatElems(queries.output(1).dataType)
+    val dFloat = floatElems(data.output(1).dataType)
     // query side is broadcast-small by contract (the reference's in-memory
     // query batch); data side streams partition-local
     val qCollected = queries.executeCollect().map { row =>
@@ -69,7 +85,8 @@ case class KnnPartialExec(queries: SparkPlan, data: SparkPlan, k: Int,
       val d = arr.numElements()
       val v = new Array[Double](d)
       var i = 0
-      while (i < d) { v(i) = arr.getDouble(i); i += 1 }
+      if (qFloat) while (i < d) { v(i) = arr.getFloat(i).toDouble; i += 1 }
+      else while (i < d) { v(i) = arr.getDouble(i); i += 1 }
       (row.getLong(0), v)
     }
     val bc = sparkContext.broadcast(qCollected)
@@ -89,7 +106,8 @@ case class KnnPartialExec(queries: SparkPlan, data: SparkPlan, k: Int,
           val d = arr.numElements()
           if (buf == null || buf.length != d) buf = new Array[Double](d)
           var i = 0
-          while (i < d) { buf(i) = arr.getDouble(i); i += 1 }
+          if (dFloat) while (i < d) { buf(i) = arr.getFloat(i).toDouble; i += 1 }
+          else while (i < d) { buf(i) = arr.getDouble(i); i += 1 }
           var q = 0
           while (q < nq) { heaps(q).insert(metric.compute(qs(q)._2, buf), id)
             q += 1 }

@@ -38,6 +38,16 @@ object KnnRewriteRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** KnnPartialExec reads vectors element-type-aware (float or double) and
+    * ids with getLong; only rewrite when the attribute types match what the
+    * exec can read — anything else stays on the unrewritten exact plan. */
+  private def vecTypeOk(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType |
+      org.apache.spark.sql.types.DoubleType, _) => true
+    case _ => false
+  }
+
   private def limitOf(cond: Expression, rnk: Attribute): Option[Int] =
     cond match {
       case LessThanOrEqual(a: Attribute, Literal(v: Int, _))
@@ -77,13 +87,16 @@ object KnnRewriteRule extends Rule[LogicalPlan] {
         if join.left.outputSet.contains(qvecAttr) &&
           join.right.outputSet.contains(vecAttr) &&
           join.left.outputSet.contains(partAttr)
+        if vecTypeOk(qvecAttr) && vecTypeOk(vecAttr) &&
+          partAttr.dataType == org.apache.spark.sql.types.LongType
         // order: dist (direction matching the metric), tie by data-side id
         idAttr <- orderSpec match {
           case Seq(SortOrder(d: Attribute, dir, _, _),
               SortOrder(id: Attribute, Ascending, _, _))
             if d.semanticEquals(distAlias.toAttribute) &&
               ((dir == Ascending) == metric.ascending) &&
-              join.right.outputSet.contains(id) => Some(id)
+              join.right.outputSet.contains(id) &&
+              id.dataType == org.apache.spark.sql.types.LongType => Some(id)
           case _ => None
         }
         // every other projected column must be the partition attr or the id

@@ -31,6 +31,22 @@ object VecsIO {
     else if (path.endsWith(".bvecs")) U8
     else sys.error(s"not a vecs path: $path")
 
+  /** Expand a glob/dir into concrete file paths driver-side. Passing
+    * concrete files (not a glob) to the binaryFile source avoids Spark's
+    * `FileStreamSink: Assume no metadata directory` WARN-with-stack, which
+    * sbt surfaces as `[error]` lines in bench/verify output. */
+  private def resolve(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    val files = matches.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+      else Seq(st)
+    }.map(_.getPath.toString).sorted
+    require(files.nonEmpty, s"no files at $path")
+    files
+  }
+
   private def decode(bytes: Array[Byte], el: ElType): Iterator[Array[Double]] = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     new Iterator[Array[Double]] {
@@ -57,7 +73,7 @@ object VecsIO {
            elType: Option[ElType] = None): DataFrame = {
     import spark.implicits._
     val el = elType.getOrElse(elTypeFor(path))
-    val files = spark.read.format("binaryFile").load(path)
+    val files = spark.read.format("binaryFile").load(resolve(spark, path): _*)
       .select(col("path"), col("length"), col("content"))
     // row stride is fixed per dataset: probe dim from the first 4 bytes
     val heads = files.select(col("path"), col("length"),
@@ -130,7 +146,7 @@ object VecsIO {
       : DataFrame = {
     import spark.implicits._
     val stride = dims.toLong * el.bytes
-    val files = spark.read.format("binaryFile").load(path)
+    val files = spark.read.format("binaryFile").load(resolve(spark, path): _*)
       .select(col("path"), col("length"), col("content"))
     val sizes = files.select("path", "length").collect()
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)

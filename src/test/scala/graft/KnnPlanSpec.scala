@@ -108,4 +108,33 @@ class KnnPlanSpec extends SparkSpec {
       .orderBy("query_id", "rnk").collect().toSeq
     assert(viaPlan === viaOp)
   }
+
+  test("SQL rewrite over ARRAY<FLOAT> vectors returns the exact rows " +
+      "(element-type-aware exec, no double-read corruption)") {
+    KnnJoinApi.install(spark)
+    GraftFunctions.register(spark)
+    emb.select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .createOrReplaceTempView("kp_data_f32")
+    q.select(col("query_id"), col("qvec").cast("array<float>").as("qvec"))
+      .createOrReplaceTempView("kp_q_f32")
+    val df = spark.sql(
+      """SELECT query_id, rnk, neighbor_id FROM (
+        |  SELECT q.query_id, d.id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY l2_distance(q.qvec, d.vec) ASC, d.id ASC) AS rnk
+        |  FROM kp_q_f32 q CROSS JOIN kp_data_f32 d) t
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)
+    assert(df.queryExecution.optimizedPlan.toString.contains("KnnPartial"),
+      df.queryExecution.optimizedPlan.toString.take(1200))
+    // float32-truncated inputs widen back to the same doubles on both the
+    // rewritten and exact paths, so the result must match an unrewritten
+    // flat search over the same float32 table
+    val f32 = emb.select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val qf32 = q.select(col("query_id"),
+      col("qvec").cast("array<float>").as("qvec"))
+    val exact = FlatKnn.search(qf32, f32, 5, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(df.collect().toSeq === exact)
+  }
 }
