@@ -441,6 +441,168 @@ object OracleGen {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Half-float codec invariants (S7/P5): every per-row count must equal the
+    * dimension count — idempotency and error-bound checks are computed on the
+    * Spark side (DuckDB has no IEEE-754 bit surgery), the oracle asserts
+    * they hold at every position. */
+  def halfRoundtrip: String =
+    s"""SELECT vec_id AS id, CAST(len(embedding) AS BIGINT) AS dims,
+       |CAST(len(embedding) AS BIGINT) AS f16_idem,
+       |CAST(len(embedding) AS BIGINT) AS f16_close,
+       |CAST(len(embedding) AS BIGINT) AS bf16_idem,
+       |CAST(len(embedding) AS BIGINT) AS bf16_close
+       |FROM embeddings ORDER BY id""".stripMargin
+
+  /** Row reconstruction (P10): the reconstructed vectors' left-fold element
+    * sums, micro-rounded — recomputed with the identical fold order. */
+  def reconstructSum(pred: String): String = {
+    val vsum = (0 until Tables.embDims).map(i => s"v$i").mkString(" + ")
+    s"""WITH data AS (
+       |  SELECT vec_id AS id, ${dimCols("v", embDimExprs)}
+       |  FROM embeddings WHERE $pred)
+       |SELECT id, CAST(${Tables.embDims} AS BIGINT) AS dims,
+       |  CAST(floor(($vsum) * 1000000.0 + 0.5) AS BIGINT) AS vsum_micro
+       |FROM data ORDER BY id""".stripMargin
+  }
+
+  /** Batch point-distance lookup (P11): L2 between each query vector and the
+    * stored row at id = query_id + 1, micro-rounded. */
+  def pointDistance: String = {
+    val d = Tables.embDims
+    s"""WITH data AS (
+       |  SELECT vec_id AS id, ${dimCols("v", embDimExprs)}
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}
+       |  FROM embeddings WHERE ${Tables.embQueryPredSql})
+       |SELECT d.id,
+       |  CAST(floor((${l2.sqlExpr("q.q", "d.v", d)}) * 1000000.0 + 0.5)
+       |    AS BIGINT) AS dist_micro
+       |FROM q JOIN data d ON d.id = q.query_id + 1
+       |ORDER BY d.id""".stripMargin
+  }
+
+  /** Graph degree stats (A8): per-shard node counts equal the label counts
+    * (the build keeps every row); the degree-bound flags are build
+    * invariants asserted to hold. */
+  def degreeStats: String =
+    s"""SELECT CAST(label AS BIGINT) AS cluster_id,
+       |CAST(count(*) AS BIGINT) AS nodes,
+       |CAST(1 AS BIGINT) AS deg_le_cap, CAST(1 AS BIGINT) AS min_ge_one
+       |FROM embeddings GROUP BY label ORDER BY cluster_id""".stripMargin
+
+  /** Batch-iterator pages (M5): page p of size k = ranks pk+1..pk+k of the
+    * exact ranking, re-ranked 1..k within the page. */
+  def batchPages(k: Int, pages: Int): String = {
+    val d = Tables.embDims
+    s"""WITH data AS (
+       |  SELECT vec_id AS id, ${dimCols("v", embDimExprs)}
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}
+       |  FROM embeddings WHERE ${Tables.embQueryPredSql}),
+       |pairs AS (
+       |  SELECT q.query_id, d.id,
+       |         ${l2.sqlExpr("q.q", "d.v", d)} AS dist
+       |  FROM q CROSS JOIN data d),
+       |ranked AS (
+       |  SELECT query_id, id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY dist ASC, id ASC) AS rnk
+       |  FROM pairs)
+       |SELECT query_id,
+       |  CAST(floor((rnk - 1) / CAST($k AS DOUBLE)) AS BIGINT) AS page,
+       |  CAST((rnk - 1) % $k + 1 AS BIGINT) AS rnk, neighbor_id
+       |FROM ranked WHERE rnk <= ${k * pages}
+       |ORDER BY query_id, page, rnk""".stripMargin
+  }
+
+  /** Calibration invariants (B7): a correct calibration achieves the target,
+    * is minimal, and stays within the window bound — flags computed Spark-
+    * side, asserted here. */
+  def calibrateFlags: String =
+    "SELECT CAST(1 AS BIGINT) AS achieved, CAST(1 AS BIGINT) AS minimal, " +
+      "CAST(1 AS BIGINT) AS bounded"
+
+  /** Post-mutation sharded search (M6): exact top-k over the probed shards
+    * of the updated universe (deleted rows removed, added duplicates under
+    * offset ids), with centroids recomputed over the update. */
+  def updateShardsKnn(k: Int, nProbes: Int, offset: Long, addPred: String,
+                      delPred: String): String = {
+    val d = Tables.embDims
+    val centAvgs = (0 until d).map(i => s"round(avg(v$i), 6) AS c$i")
+      .mkString(", ")
+    s"""WITH data AS (
+       |  SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+       |         ${dimCols("v", embDimExprs)}
+       |  FROM embeddings WHERE NOT ($delPred)
+       |  UNION ALL
+       |  SELECT vec_id + $offset AS id, CAST(label AS BIGINT) AS label,
+       |         ${dimCols("v", embDimExprs)}
+       |  FROM embeddings WHERE $addPred),
+       |q AS (
+       |  SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}
+       |  FROM embeddings WHERE ${Tables.embQueryPredSql}),
+       |cents AS (SELECT label AS cid, $centAvgs FROM data GROUP BY label),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${l2.sqlExpr("q.q", "c.c", d)} ASC, c.cid ASC) AS rn
+       |    FROM q CROSS JOIN cents c) WHERE rn <= $nProbes),
+       |cand AS (
+       |  SELECT p.query_id, dt.id,
+       |    ${l2.sqlExpr("q.q", "dt.v", d)} AS dist
+       |  FROM probes p
+       |  JOIN data dt ON dt.label = p.cid
+       |  JOIN q ON q.query_id = p.query_id),
+       |ranked AS (
+       |  SELECT query_id, id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist ASC, id ASC) AS rnk
+       |  FROM cand)
+       |SELECT query_id, rnk, neighbor_id FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Lloyd k-means training (A2), `iters` rounds unrolled: assign by argmin
+    * (ties → lowest cid), recompute 6-decimal-rounded means (empty clusters
+    * keep the previous centroid), then final-assignment cluster sizes —
+    * mirrors KMeans.lloyd(roundTo = 6) exactly. */
+  def kmeansTrain(iters: Int): String = {
+    val d = Tables.embDims
+    val dataCte =
+      s"SELECT vec_id AS id, ${dimCols("v", embDimExprs)} FROM embeddings"
+    val initCte = s"SELECT vec_id AS cid, ${dimCols("c", embDimExprs)} " +
+      s"FROM embeddings WHERE ${Tables.embQueryPredSql}"
+    def assignCte(centName: String): String =
+      s"""SELECT id, cid AS cluster_id FROM (
+         |    SELECT dt.id, c.cid,
+         |      row_number() OVER (PARTITION BY dt.id
+         |        ORDER BY ${l2.sqlExpr("dt.v", "c.c", d)} ASC, c.cid ASC) AS rn
+         |    FROM data dt CROSS JOIN $centName c) WHERE rn = 1""".stripMargin
+    def meansCte(assignName: String, prevName: String): String = {
+      val avgCols = (0 until d).map(i => s"round(avg(dt.v$i), 6) AS m$i")
+        .mkString(", ")
+      val outCols = (0 until d).map(i => s"coalesce(m.m$i, p.c$i) AS c$i")
+        .mkString(", ")
+      s"""SELECT p.cid, $outCols FROM $prevName p LEFT JOIN (
+         |    SELECT a.cluster_id, $avgCols
+         |    FROM $assignName a JOIN data dt ON dt.id = a.id
+         |    GROUP BY a.cluster_id) m ON m.cluster_id = p.cid""".stripMargin
+    }
+    val iterCtes = (1 to iters).flatMap { n =>
+      Seq(s"a$n AS (${assignCte(s"c${n - 1}")})",
+        s"c$n AS (${meansCte(s"a$n", s"c${n - 1}")})")
+    }
+    s"""WITH data AS ($dataCte),
+       |c0 AS ($initCte),
+       |${iterCtes.mkString(",\n")},
+       |fin AS (${assignCte(s"c$iters")})
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS cnt FROM fin
+       |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+  }
+
   /** kNN over the 64-d embeddings table (DuckDB lists are 1-indexed). */
   def embeddingKnn(metric: Metric, k: Int): String = {
     val d = Tables.embDims

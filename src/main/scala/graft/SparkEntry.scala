@@ -88,11 +88,19 @@ object SparkEntry {
     Recall.matchesPerQueryComplete(ivf, truth).orderBy("query_id")
   }
 
+  private val LloydIters = 3
+
+  /** Lloyd training with 6-decimal-rounded means: rounding makes the
+    * centroids engine-portable (summation order differs between Spark's
+    * partial-merge aggregate and DuckDB's avg), so the full iterative
+    * training loop is oracle-checkable — DuckDB replays the same three
+    * unrolled assign/recompute rounds bit-for-bit. */
   private def kmeansTrainQ(s: SparkSession, dir: String): DataFrame = {
     val data = embVectors(s, dir).select("id", "vec")
     val init = Tables.embeddingQueries(s, dir).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
-    val cents = KMeans.lloyd(data, init, iters = 3, dims = Tables.embDims)
+    val cents = KMeans.lloyd(data, init, iters = LloydIters,
+      dims = Tables.embDims, roundTo = 6)
     KMeans.assign(data, cents)
       .groupBy("cluster_id").agg(count(lit(1)).as("cnt"))
       .orderBy("cluster_id")
@@ -187,11 +195,10 @@ object SparkEntry {
     embVectors(s, dir)
       .select(col("id"), col("vec"), col("label").cast("long").as("cluster_id"))
 
-  /** Per-label centroids, rounded to 6 decimals so Spark and DuckDB agree
+  /** Per-cluster centroids, rounded to 6 decimals so Spark and DuckDB agree
     * despite different summation orders (same trick as q08_medioid). */
-  private def embLabelCentroids(s: SparkSession, dir: String)
-      : Seq[(Long, Seq[Double])] =
-    embLabelClustered(s, dir)
+  private def labelCentroidsOf(clustered: DataFrame): Seq[(Long, Seq[Double])] =
+    clustered
       .select(col("cluster_id"), posexplode(col("vec")))
       .groupBy("cluster_id", "pos").agg(round(avg("col"), 6).as("m"))
       .collect()
@@ -200,6 +207,10 @@ object SparkEntry {
       .map { case (cid, xs) =>
         cid -> xs.sortBy(_._2).map(_._3).toIndexedSeq }
       .toIndexedSeq.sortBy(_._1)
+
+  private def embLabelCentroids(s: SparkSession, dir: String)
+      : Seq[(Long, Seq[Double])] =
+    labelCentroidsOf(embLabelClustered(s, dir))
 
   /** Exhaustive-window sharded Vamana search: with the beam window covering
     * the whole shard the walk visits the entry's full connected component, so
@@ -405,6 +416,192 @@ object SparkEntry {
         TextAnalysis.datasetSplit(col("text"), ValPct, TestPct).as("split"))
       .orderBy("doc_id")
 
+  // ---- round-2: oracle certification of the spec-only operators -----------
+
+  /** .svs native-file write→read round trip (S3): float32 payload is
+    * bit-exact for the float32-sourced embeddings; .svs row ids are dense in
+    * id order, which equals vec_id (dense ids). */
+  private def svsRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_svs_q42/emb.svs"
+    val orig = embVectors(s, dir).select("id", "vec")
+    graft.sources.SvsNative.write(orig, out, graft.sources.VecsIO.F32)
+    val back = graft.sources.SvsNative.read(s, out)
+      .withColumnRenamed("vec", "vec_back")
+    orig.join(back, Seq("id"))
+      .select(col("id"), size(col("vec")).cast("long").as("dims"),
+        when(col("vec") === col("vec_back"), 1L).otherwise(0L).as("matches"))
+      .orderBy("id")
+  }
+
+  /** Headerless raw-binary write→read round trip (S4). */
+  private def rawBinRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_rawbin_q43"
+    val orig = embVectors(s, dir).select("id", "vec")
+    graft.sources.VecsIO.writeRawBinary(
+      orig.repartitionByRange(4, col("id")), out, Tables.embDims,
+      graft.sources.VecsIO.F32)
+    val back = graft.sources.VecsIO.readRawBinary(s, s"$out/*.bin",
+        Tables.embDims, graft.sources.VecsIO.F32)
+      .withColumnRenamed("vec", "vec_back")
+    orig.join(back, Seq("id"))
+      .select(col("id"), size(col("vec")).cast("long").as("dims"),
+        when(col("vec") === col("vec_back"), 1L).otherwise(0L).as("matches"))
+      .orderBy("id")
+  }
+
+  /** Directory save/load with sidecar schema check + S6 auto-dispatch
+    * (open() routes a non-vecs path through the sidecar-checked load). */
+  private def tableSaveLoadQ(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_vtable_q44"
+    val orig = embVectors(s, dir).select("id", "vec")
+    val meta = graft.sources.VectorTable.save(orig, out, eltype = "float64")
+    val metaOk = meta.dims == Tables.embDims && meta.count == orig.count() &&
+      meta.schema == graft.sources.VectorTable.SchemaName
+    val back = graft.sources.VectorTable.open(s, out)
+      .withColumnRenamed("vec", "vec_back")
+    orig.join(back.select("id", "vec_back"), Seq("id"))
+      .select(col("id"), size(col("vec")).cast("long").as("dims"),
+        (when(col("vec") === col("vec_back"), 1L).otherwise(0L) *
+          lit(if (metaOk) 1L else 0L)).as("matches"))
+      .orderBy("id")
+  }
+
+  /** f16/bf16 codec certification (S7/P5): per row, counts of positions where
+    * (a) re-encoding the decoded value reproduces the identical bit pattern
+    * (idempotency — exact integer compare) and (b) the decode error is within
+    * the IEEE half-ULP bound (f16 round-to-nearest: |v|·2⁻¹¹ or the 2⁻²⁴
+    * subnormal floor; bf16 truncation: |v|·2⁻⁷). All counts must equal dims,
+    * which the oracle asserts. */
+  private def halfRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HalfFloat._
+    val v = col("vec")
+    val enc16 = float16Encode(v)
+    val dec16 = float16Decode(enc16).cast("array<double>")
+    val idem16 = float16Encode(float16Decode(enc16))
+    val enc8 = bfloat16Encode(v)
+    val dec8 = bfloat16Decode(enc8).cast("array<double>")
+    val idem8 = bfloat16Encode(bfloat16Decode(enc8))
+    def cnt(b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      size(filter(b, x => x)).cast("long")
+    embVectors(s, dir).select(col("id"),
+        size(v).cast("long").as("dims"),
+        cnt(zip_with(enc16, idem16, (a, b) => a === b)).as("f16_idem"),
+        cnt(zip_with(v, dec16, (a, b) => abs(a - b) <=
+          greatest(abs(a) * lit(4.8828125e-4), lit(5.9604645e-8))))
+          .as("f16_close"),
+        cnt(zip_with(enc8, idem8, (a, b) => a === b)).as("bf16_idem"),
+        cnt(zip_with(v, dec8, (a, b) => abs(a - b) <=
+          greatest(abs(a) * lit(7.8125e-3), lit(1e-38)))).as("bf16_close"))
+      .orderBy("id")
+  }
+
+  /** Row reconstruction (P10): fetch stored vectors for an id subset; the
+    * left-fold element sum (micro-rounded) is the content witness DuckDB
+    * recomputes with the same fold order. */
+  private def reconstructQ(s: SparkSession, dir: String): DataFrame = {
+    val data = embVectors(s, dir).select("id", "vec")
+    val ids = data.filter(col("id") % 11 === 3).select("id")
+    val vsum = (1 until Tables.embDims)
+      .foldLeft(col("vec").getItem(0))((acc, i) => acc + col("vec").getItem(i))
+    Reconstruct.reconstruct(ids, data)
+      .select(col("id"), size(col("vec")).cast("long").as("dims"),
+        floor(vsum * lit(1000000.0) + lit(0.5)).cast("long").as("vsum_micro"))
+      .orderBy("id")
+  }
+
+  /** Batch point-distance lookup (P11): distance between each query vector
+    * and the stored row with id = query_id + 1. */
+  private def pointDistanceQ(s: SparkSession, dir: String): DataFrame = {
+    val data = embVectors(s, dir).select("id", "vec")
+    val lookups = Tables.embeddingQueries(s, dir)
+      .select((col("query_id") + 1).as("id"), col("qvec"))
+    Reconstruct.getDistances(lookups, data, Metric.L2)
+      .select(col("id"),
+        floor(col("dist") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("dist_micro"))
+      .orderBy("id")
+  }
+
+  /** Graph degree stats (A8) over the built Vamana shards: per-shard node
+    * counts are exact (= label counts); degree bounds are the build
+    * invariants (≤ maxDegree, ≥ 1 whenever the shard has ≥ 2 nodes). */
+  private def degreeStatsQ(s: SparkSession, dir: String): DataFrame =
+    Vamana.degreeStats(embGraph(s, dir))
+      .select(col("cluster_id"), col("nodes"),
+        when(col("max_degree") <= VamanaParams.maxDegree, 1L).otherwise(0L)
+          .as("deg_le_cap"),
+        when(col("min_degree") >= 1 || col("nodes") <= 1, 1L).otherwise(0L)
+          .as("min_ge_one"))
+      .orderBy("cluster_id")
+
+  private val Pages = 3
+
+  /** Batch iterator (M5): three successive pages never repeat ids and their
+    * union equals the exact top-(3·k) — which is precisely what the oracle's
+    * paged ranking expresses. */
+  private def batchPagesQ(s: SparkSession, dir: String): DataFrame = {
+    val it = new BatchIterator(Tables.embeddingQueries(s, dir),
+      embVectors(s, dir).select("id", "vec"), Metric.L2)
+    (0 until Pages).map { p =>
+      it.next(K).select(col("query_id"), lit(p.toLong).as("page"),
+        col("rnk"), col("neighbor_id"))
+    }.reduce(_ unionByName _).orderBy("query_id", "page", "rnk")
+  }
+
+  private val CalTarget = 0.95
+  private val CalMaxWindow = 64
+
+  /** Search-window calibration (B7): binary-search the smallest window with
+    * recall ≥ target against the probed-shard-exact groundtruth; the output
+    * flags (achieved / minimal / bounded) are invariants of a correct
+    * calibration, asserted by the oracle. */
+  private def calibrateQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clustered = embLabelClustered(s, dir)
+    val graph = embGraph(s, dir)
+    val cents = embLabelCentroids(s, dir)
+    val q = Tables.embeddingQueries(s, dir)
+    def searchAt(w: Int): DataFrame =
+      Vamana.searchSharded(q, clustered, graph, cents, K, w, VamanaProbes,
+        Metric.L2)
+    val truth = searchAt(1 << 14).select("query_id", "neighbor_id").cache()
+    val (w, rec) = Calibrate.calibrateWindow(searchAt, truth, K, CalTarget,
+      K, CalMaxWindow)
+    val minimal =
+      if (w <= K) 1L
+      else {
+        val nq = truth.select("query_id").distinct().count()
+        val below = searchAt(w - 1).select("query_id", "neighbor_id")
+          .intersect(truth).count().toDouble / (K * nq)
+        if (below < CalTarget) 1L else 0L
+      }
+    Seq((if (rec >= CalTarget) 1L else 0L, minimal,
+      if (w <= CalMaxWindow) 1L else 0L))
+      .toDF("achieved", "minimal", "bounded")
+  }
+
+  private val UpdOffset = 1000000L
+
+  /** Dynamic sharded-index mutation (M6): add a batch (duplicates under new
+    * ids), soft-delete a batch, rebuild only the touched shards, then search
+    * with an exhaustive window — equal to exact top-k over the probed shards
+    * of the updated universe, which the oracle expresses directly. */
+  private def updateShardsQ(s: SparkSession, dir: String): DataFrame = {
+    val clustered = embLabelClustered(s, dir)
+    val graph = embGraph(s, dir)
+    val added = embVectors(s, dir).filter(col("id") % 10 === 4)
+      .select((col("id") + UpdOffset).as("id"), col("vec"),
+        col("label").cast("long").as("cluster_id"))
+    val deleted = embVectors(s, dir).filter(col("id") % 13 === 5).select("id")
+    val (nc, ng) = Vamana.updateShards(clustered, graph, added, deleted,
+      VamanaParams, Metric.L2)
+    Vamana.searchSharded(Tables.embeddingQueries(s, dir), nc, ng,
+        labelCentroidsOf(nc), K, searchWindow = 1 << 14,
+        nProbes = VamanaProbes, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   // ---- SQL extension surface (§2.9) ---------------------------------------
 
   /** kNN expressed as a SQL string over the registered distance function —
@@ -438,7 +635,7 @@ object SparkEntry {
     "q09_sq_codes" -> (sqCodesQ _),
     "q10_recall_ivf_vs_flat" -> (recallQ _),
     "q11_cluster_sizes" -> (clusterSizesQ _),
-    "q12_kmeans_train" -> (kmeansTrainQ _),  // iterative: rows-only check
+    "q12_kmeans_train" -> (kmeansTrainQ _),
     "q13_token_stats" -> (tokenStatsQ _),
     "q14_quality_score" -> (qualityQ _),
     "q15_lang_id" -> (langIdQ _),
@@ -468,6 +665,16 @@ object SparkEntry {
     "q39_sessions" -> (sessionsQ _),
     "q40_user_paths" -> (userPathsQ _),
     "q41_dataset_split" -> (datasetSplitQ _),
+    "q42_svs_roundtrip" -> (svsRoundtripQ _),
+    "q43_rawbin_roundtrip" -> (rawBinRoundtripQ _),
+    "q44_table_saveload" -> (tableSaveLoadQ _),
+    "q45_half_roundtrip" -> (halfRoundtripQ _),
+    "q46_reconstruct" -> (reconstructQ _),
+    "q47_point_distance" -> (pointDistanceQ _),
+    "q48_degree_stats" -> (degreeStatsQ _),
+    "q49_batch_pages" -> (batchPagesQ _),
+    "q50_calibrate" -> (calibrateQ _),
+    "q51_update_shards" -> (updateShardsQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -482,6 +689,7 @@ object SparkEntry {
     "q09_sq_codes" -> OracleGen.sqCodes(8),
     "q10_recall_ivf_vs_flat" -> OracleGen.recallIvfVsFlat(K, NProbes),
     "q11_cluster_sizes" -> OracleGen.clusterSizes,
+    "q12_kmeans_train" -> OracleGen.kmeansTrain(LloydIters),
     "q13_token_stats" -> OracleGenText.tokenStats,
     "q14_quality_score" -> OracleGenText.qualityScore,
     "q15_lang_id" -> OracleGenText.langId,
@@ -512,5 +720,16 @@ object SparkEntry {
     "q39_sessions" -> OracleGenText.sessions(SessionGapMin),
     "q40_user_paths" -> OracleGenText.userPaths(PathLen),
     "q41_dataset_split" -> OracleGenText.datasetSplit(ValPct, TestPct),
+    "q42_svs_roundtrip" -> OracleGen.fvecsRoundtrip,
+    "q43_rawbin_roundtrip" -> OracleGen.fvecsRoundtrip,
+    "q44_table_saveload" -> OracleGen.fvecsRoundtrip,
+    "q45_half_roundtrip" -> OracleGen.halfRoundtrip,
+    "q46_reconstruct" -> OracleGen.reconstructSum("vec_id % 11 = 3"),
+    "q47_point_distance" -> OracleGen.pointDistance,
+    "q48_degree_stats" -> OracleGen.degreeStats,
+    "q49_batch_pages" -> OracleGen.batchPages(K, Pages),
+    "q50_calibrate" -> OracleGen.calibrateFlags,
+    "q51_update_shards" -> OracleGen.updateShardsKnn(K, VamanaProbes,
+      UpdOffset, "vec_id % 10 = 4", "vec_id % 13 = 5"),
   )
 }

@@ -119,4 +119,14 @@ object Reconstruct {
     data.filter(col("id") === id)
       .select(col("id"),
         metric.column(typedlit(qvec), col("vec")).as("dist"))
+
+  /** Batch point-distance lookup: `lookups(id, qvec) ⋈ data(id, vec)` →
+    * (id, dist) — the vectorized form of [[getDistance]] (the reference's
+    * per-call get_distance in a loop; here one broadcast join scans data
+    * once for the whole lookup batch). */
+  def getDistances(lookups: DataFrame, data: DataFrame, metric: Metric)
+      : DataFrame =
+    broadcast(lookups.select(col("id"), col("qvec")))
+      .join(data.select(col("id"), col("vec")), Seq("id"))
+      .select(col("id"), metric.column(col("qvec"), col("vec")).as("dist"))
 }

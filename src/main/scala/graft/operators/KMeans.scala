@@ -57,15 +57,24 @@ object KMeans {
     * callers should pass a sampled training fraction, as the reference does
     * (training_fraction, ivf/common.h:30-36). */
   def lloyd(data: DataFrame, init: Seq[(Long, Seq[Double])], iters: Int,
-            dims: Int, vecCol: String = "vec"): Seq[(Long, Seq[Double])] = {
+            dims: Int, vecCol: String = "vec",
+            roundTo: Int = -1): Seq[(Long, Seq[Double])] = {
     val avgAgg = udaf(new VectorAvgAggregator(dims))
+    // `roundTo >= 0` rounds each mean element (HALF_UP, the same semantics
+    // as Spark SQL / DuckDB round) so another engine summing the same values
+    // in a different order lands on identical centroids — the cross-engine
+    // determinism trick used for label centroids/medioid (round(avg, 6))
+    def r(x: Double): Double =
+      if (roundTo < 0) x
+      else BigDecimal(x).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
     var cents = init
     for (_ <- 0 until iters) {
       val assigned = assign(data, cents, vecCol)
       val means = assigned.groupBy("cluster_id")
         .agg(avgAgg(col(vecCol)).as("mean"))
         .collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1))
+        .map(row => row.getLong(0) -> row.getSeq[Double](1).map(r))
         .toMap
       cents = cents.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
     }

@@ -140,6 +140,45 @@ object VecsIO {
       .count()
   }
 
+  /** Headerless dense binary writer (S4 egress, core/io/binary.h): one
+    * `part-NNNNN.bin` shard per partition, fixed-stride rows, no per-row
+    * header. Rows must all have `dims` elements. */
+  def writeRawBinary(df: DataFrame, dir: String, dims: Int, el: ElType): Unit = {
+    val spark = df.sparkSession
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf.value)
+    fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    df.select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .sortWithinPartitions("id")
+      .rdd
+      .mapPartitionsWithIndex { case (pi, iter) =>
+        if (iter.isEmpty) Iterator.empty
+        else {
+          val out = new Path(dir, f"part-$pi%05d.bin")
+          val os = out.getFileSystem(conf.value).create(out, true)
+          iter.foreach { row =>
+            val v = row.getSeq[Double](1)
+            require(v.length == dims,
+              s"row ${row.getLong(0)}: ${v.length} dims, expected $dims")
+            val bb = ByteBuffer.allocate(dims * el.bytes)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            el match {
+              case F32 => v.foreach(x => bb.putFloat(x.toFloat))
+              case I32 => v.foreach(x => bb.putInt(x.toInt))
+              case U8 => v.foreach(x => bb.put(x.toInt.toByte))
+            }
+            os.write(bb.array())
+          }
+          os.close()
+          Iterator.single(pi)
+        }
+      }
+      .count()
+  }
+
   /** Headerless dense binary (SURVEY §2 S4 — core/io/binary.h): fixed-stride
     * rows of `dims` elements, no per-row header. */
   def readRawBinary(spark: SparkSession, path: String, dims: Int, el: ElType)

@@ -95,12 +95,15 @@ class EdgeCaseSpec extends SparkSpec {
     val const = Seq((0L, Seq(5.0, 5.0)), (1L, Seq(5.0, 5.0)))
       .toDF("id", "vec")
     val p = ScalarQuant.train(const)
-    assert(p.scale === 0.0)
-    // encode of a zero-range domain is degenerate in any affine codec; the
-    // engine must not crash and decode must restore the bias exactly
+    // zero-range domain: train guards scale to 1.0 so every code is 0 and
+    // decode restores the bias exactly — no 0/0 NaN anywhere
+    assert(p.scale === 1.0)
+    val codes = const.select(
+      ScalarQuant.encodeColumn(col("vec"), p).as("c"))
+      .collect()(0).getSeq[Long](0)
+    assert(codes === Seq(0L, 0L))
     val dec = ScalarQuant.decodeColumn(
-      ScalarQuant.encodeColumn(col("vec"), p.copy(scale = 1.0)), // guard rail
-      p.copy(scale = 1.0))
+      ScalarQuant.encodeColumn(col("vec"), p), p)
     val back = const.select(dec.as("v")).collect()(0).getSeq[Double](0)
     assert(back === Seq(5.0, 5.0))
   }
