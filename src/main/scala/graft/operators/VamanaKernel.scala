@@ -182,22 +182,26 @@ object VamanaKernel {
 
   /** pruneTo < maxDegree leaves headroom so reverse edges accumulate before
     * triggering a re-prune (reference prune_to, build_params.h:48-74 —
-    * goldens use 28 vs degree 32). pruneTo ≤ 0 means maxDegree. */
+    * goldens use 28 vs degree 32). pruneTo ≤ 0 means maxDegree.
+    * batchSize is the parallel insert-batch width (vamana_build.h:251-281);
+    * 1 reproduces the fully sequential insert order. */
   case class BuildParams(maxDegree: Int = 32, buildWindow: Int = 64,
                          alpha: Double = 1.2, maxCandidatePool: Int = 750,
-                         pruneTo: Int = 0) {
+                         pruneTo: Int = 0, batchSize: Int = 64) {
     def pruneTarget: Int = if (pruneTo > 0) pruneTo else maxDegree
   }
 
-  /** Incremental Vamana build (vamana_build.h:164-320): two passes (α=1.0
-    * then final α, index.h:428-430). Each node in slot order: greedy-search
-    * the current graph from the medioid collecting the candidate pool,
-    * robust-prune to the adjacency, then insert reverse edges immediately,
-    * re-pruning any node exceeding maxDegree (vamana_build.h:483-570 — the
-    * reference batches the backedge flush only to amortize locks, which the
-    * sequential local build doesn't need; applying them per node means every
-    * later search sees the freshest graph). Deterministic: slot order, no
-    * randomness. */
+  /** Batched Vamana build (vamana_build.h:164-320,251-281): two passes
+    * (α=1.0 then final α, index.h:428-430). Nodes are processed in
+    * slot-ordered batches — the reference's parallel insert model: every
+    * node in a batch greedy-searches the graph **frozen at the batch
+    * boundary** (these searches run concurrently; the graph is read-only
+    * during the phase), then the batch's adjacencies and reverse edges are
+    * applied sequentially in slot order, re-pruning any node that exceeds
+    * maxDegree. Deterministic regardless of thread schedule: parallel work
+    * writes only its own slot's result, and all mutation happens in the
+    * fixed-order apply phase — so rebuilt graphs stay bit-identical.
+    * batchSize = 1 degenerates to the classic sequential insert loop. */
   def build(vecs: Array[Array[Double]], params: BuildParams, metric: Metric)
       : (Array[Array[Int]], Int) = {
     val n = vecs.length
@@ -205,38 +209,75 @@ object VamanaKernel {
     if (n == 1) return (adj, 0)
     val entry = medioid(vecs)
     val passes = if (params.alpha == 1.0) Seq(1.0) else Seq(1.0, params.alpha)
-    for (alpha <- passes) {
-      var node = 0
-      while (node < n) {
-        val pool = greedySearchCollect(adj, vecs, entry, vecs(node),
-          params.buildWindow, metric)
-        // bounded candidate pool (build_params.h max_candidate_pool_size)
-        val bounded =
-          if (pool.length <= params.maxCandidatePool) pool
-          else pool.sortBy { case (s, d) =>
-            (if (metric.ascending) d else -d, s)
-          }.take(params.maxCandidatePool)
-        adj(node) = robustPrune(node, bounded, alpha, params.pruneTarget,
-          vecs, metric)
-        // reverse edges, applied immediately
-        val nbs = adj(node)
-        var i = 0
-        while (i < nbs.length) {
-          val dst = nbs(i)
-          if (!adj(dst).contains(node)) {
-            adj(dst) = adj(dst) :+ node
-            if (adj(dst).length > params.maxDegree) {
-              val rp = new ArrayBuffer[(Int, Double)](adj(dst).length)
-              adj(dst).foreach { s =>
-                rp += ((s, metric.compute(vecs(dst), vecs(s))))
-              }
-              adj(dst) = robustPrune(dst, rp, alpha, params.maxDegree,
-                vecs, metric)
-            }
-          }
-          i += 1
+    val batch = math.max(1, params.batchSize)
+    for ((alpha, pass) <- passes.zipWithIndex) {
+      var start = 0
+      while (start < n) {
+        // first-pass ramp-up (1, 1, 2, 4, … batch): a full-width batch on a
+        // near-empty graph would hand every node the same trivial {entry}
+        // pool and starve connectivity; growing the batch with the graph
+        // keeps early pools as rich as the sequential insert order's
+        val effBatch =
+          if (pass == 0) math.min(batch, math.max(1, start)) else batch
+        val end = math.min(start + effBatch, n)
+        // parallel phase: candidate generation + prune against the frozen
+        // graph; each index writes only pruned(i - start)
+        val pruned = new Array[Array[Int]](end - start)
+        val range = java.util.stream.IntStream.range(start, end)
+        (if (end - start > 1) range.parallel() else range).forEach { node =>
+          val pool = greedySearchCollect(adj, vecs, entry, vecs(node),
+            params.buildWindow, metric)
+          // bounded candidate pool (build_params.h max_candidate_pool_size)
+          val bounded =
+            if (pool.length <= params.maxCandidatePool) pool
+            else pool.sortBy { case (s, d) =>
+              (if (metric.ascending) d else -d, s)
+            }.take(params.maxCandidatePool)
+          pruned(node - start) = robustPrune(node, bounded, alpha,
+            params.pruneTarget, vecs, metric)
         }
-        node += 1
+        // apply phase, slot order: all adjacencies first (so a later batch
+        // member doesn't clobber reverse edges inserted toward it by an
+        // earlier one), then reverse edges appended with overflow deferred —
+        // the reference's batched backedge flush (vamana_build.h:483-570):
+        // one re-prune per overflowing node per batch, not per edge
+        var node = start
+        while (node < end) {
+          adj(node) = pruned(node - start); node += 1
+        }
+        val overflowed = new java.util.TreeSet[Integer]()
+        node = start
+        while (node < end) {
+          val nbs = pruned(node - start)
+          var i = 0
+          while (i < nbs.length) {
+            val dst = nbs(i)
+            if (!adj(dst).contains(node)) {
+              adj(dst) = adj(dst) :+ node
+              if (adj(dst).length > params.maxDegree) overflowed.add(dst)
+            }
+            i += 1
+          }
+          node += 1
+        }
+        // parallel re-prune of the overflowing nodes: each thread reads and
+        // writes only its own slot (overflow is bounded by maxDegree +
+        // batchSize), so this is deterministic too
+        val overs = new Array[Int](overflowed.size())
+        var oi0 = 0
+        val oit = overflowed.iterator()
+        while (oit.hasNext) { overs(oi0) = oit.next().intValue(); oi0 += 1 }
+        val oRange = java.util.stream.IntStream.range(0, overs.length)
+        (if (overs.length > 1) oRange.parallel() else oRange).forEach { oi =>
+          val dst = overs(oi)
+          val rp = new ArrayBuffer[(Int, Double)](adj(dst).length)
+          adj(dst).foreach { s =>
+            rp += ((s, metric.compute(vecs(dst), vecs(s))))
+          }
+          adj(dst) = robustPrune(dst, rp, alpha, params.maxDegree,
+            vecs, metric)
+        }
+        start = end
       }
     }
     (adj, entry)
