@@ -1,23 +1,130 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Metric
-import graft.operators.{FlatKnn, Vamana, VamanaKernel}
+import graft.operators.{FlatKnn, Inverted, Vamana, VamanaKernel}
 import graft.operators.VamanaKernel.BuildParams
 import graft.sources.SyntheticData
 
-/** Golden-recall parity run (BASELINE.md): rebuild the reference's flagship
-  * experiment — 10k×128 synthetic uniform vectors, Vamana degree 64, build
-  * window 128, α=1.2, L2 — and report recall@10 at search windows
-  * 10/20/30/40. Reference goldens: 0.5664 / 0.7397 / 0.8288 / 0.8837
-  * (examples/python/example_vamana.py:33-46) with ±0.05 tolerance.
+/** Golden-recall parity grids (BASELINE.md), mirroring the reference's
+  * committed machine-readable goldens (`vamana_reference.toml`,
+  * `ivf_reference.toml`, `inverted_reference.toml`): (build config, search
+  * config) → recall rows over a deterministic synthetic dataset.
   *
-  * Run: `sbt "runMain graft.GoldenRecall"`. Prints one JSON line.
+  * The flagship experiment reproduces `examples/python/example_vamana.py:
+  * 33-46,112-130` — 10k × 128-d synthetic vectors, Vamana degree 64, window
+  * 128, α=1.2, L2, 100 held-out queries, recall@10 at windows 10/20/30/40 —
+  * whose published goldens are 0.5664/0.7397/0.8288/0.8837 (±0.05).
+  *
+  * Everything here is exactly deterministic: Murmur3-hashed data, no RNG
+  * state, no `sample()` (whose output depends on partitioning), exact
+  * distributed searches. `main` prints one JSON line per grid row AND writes
+  * the full grid to `goldens/golden_grid.json` (override with
+  * SPARK_GRAFT_GOLDEN_OUT) — the committed artifact that GoldenSpec
+  * regression-pins.
   */
 object GoldenRecall {
+
+  case class Row(family: String, config: String, param: String, value: Int,
+                 recall: Double, buildSec: Double)
+
+  /** Dataset + queries + exact truth for one (n, dims, nq) shape. */
+  def dataset(spark: SparkSession, n: Long, dims: Int, nq: Int, k: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val data = SyntheticData.generateMixed(spark, n, dims)
+    val queries = SyntheticData.generateMixed(spark, n + nq, dims)
+      .filter(col("id") >= n)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val truth = FlatKnn.search(queries, data, k, Metric.L2)
+      .select("query_id", "neighbor_id").cache()
+    truth.count()
+    (data, queries, truth)
+  }
+
+  private def recallOf(res: DataFrame, truth: DataFrame, k: Int, nq: Int)
+      : Double =
+    res.select("query_id", "neighbor_id").intersect(truth).count()
+      .toDouble / (k.toLong * nq)
+
+  /** Vamana grid: one single-shard build per config, recall per window. */
+  def vamanaGrid(data: DataFrame, queries: DataFrame, truth: DataFrame,
+                 dims: Int, k: Int, nq: Int,
+                 configs: Seq[(String, BuildParams)], windows: Seq[Int])
+      : Seq[Row] = {
+    val clustered = data.withColumn("cluster_id", lit(0L))
+    val cents = Seq(0L -> Seq.fill(dims)(0.5))
+    configs.flatMap { case (label, params) =>
+      val t0 = System.nanoTime()
+      val graph = Vamana.buildSingle(data, params, Metric.L2).cache()
+      graph.count()
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val rows = windows.map { w =>
+        val res = Vamana.searchSharded(queries, clustered, graph, cents, k,
+          searchWindow = w, nProbes = 1, Metric.L2)
+        Row("vamana", label, "window", w, recallOf(res, truth, k, nq),
+          buildSec)
+      }
+      graph.unpersist()
+      rows
+    }
+  }
+
+  /** IVF grid: deterministic seed subset (id-striped, partitioning-proof),
+    * Lloyd-trained centroids, recall per n_probes. */
+  def ivfGrid(data: DataFrame, queries: DataFrame, truth: DataFrame,
+              dims: Int, k: Int, nq: Int, n: Long, clusters: Int,
+              probes: Seq[Int]): Seq[Row] = {
+    val seed0 = data.filter(col("id") % (n / clusters) === 0).limit(clusters)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val t0 = System.nanoTime()
+    val train = data.filter(col("id") % 10 === 1) // fixed 10% training stripe
+    val cents = graft.operators.KMeans.lloyd(train, seed0, iters = 3, dims)
+    val clustered = graft.operators.KMeans.assign(data, cents).cache()
+    clustered.count()
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val rows = probes.map { p =>
+      val res = graft.operators.IvfIndex.search(queries, clustered, cents, k,
+        p, Metric.L2)
+      Row("ivf", s"c$clusters", "n_probes", p, recallOf(res, truth, k, nq),
+        buildSec)
+    }
+    clustered.unpersist()
+    rows
+  }
+
+  /** Inverted (two-level) grid: id-striped leaders, recall per n_leaders at
+    * fixed ε — the `inverted_reference.toml` shape. */
+  def invertedGrid(data: DataFrame, queries: DataFrame, truth: DataFrame,
+                   k: Int, nq: Int, n: Long, leaderCount: Int, eps: Double,
+                   nLeaders: Seq[Int]): Seq[Row] = {
+    val t0 = System.nanoTime()
+    val leaders = Inverted.pickLeaders(data,
+      col("id") % (n / leaderCount) === 3)
+    val clustered = Inverted.cluster(data, leaders).cache()
+    clustered.count()
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val rows = nLeaders.map { nl =>
+      val res = Inverted.search(queries, clustered, leaders, k, nl, eps,
+        Metric.L2)
+      Row("inverted", s"l$leaderCount-eps$eps", "n_leaders", nl,
+        recallOf(res, truth, k, nq), buildSec)
+    }
+    clustered.unpersist()
+    rows
+  }
+
+  def rowJson(r: Row): String =
+    s"""{"family":"${r.family}","config":"${r.config}",""" +
+      s""""param":"${r.param}","value":${r.value},"recall":${r.recall},""" +
+      s""""build_sec":${r.buildSec}}"""
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val out = sys.env.getOrElse("SPARK_GRAFT_GOLDEN_OUT",
+      "goldens/golden_grid.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,61 +136,27 @@ object GoldenRecall {
     val dims = 128
     val nq = 100
     val k = 10
-    val data = SyntheticData.generateMixed(spark, n, dims)
-    // query set disjoint in spirit: the last nq ids (reference uses a held
-    // out test slice of its query file)
-    val queries = SyntheticData.generateMixed(spark, n + nq, dims)
-      .filter(col("id") >= n)
-      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val (data, queries, truth) = dataset(spark, n, dims, nq, k)
 
-    val truth = FlatKnn.search(queries, data, k, Metric.L2)
-      .select("query_id", "neighbor_id").cache()
-    truth.count()
-    val clustered = data.withColumn("cluster_id", lit(0L))
-    val cents = Seq(0L -> Seq.fill(dims)(0.5))
+    val rows =
+      vamanaGrid(data, queries, truth, dims, k, nq,
+        Seq(
+          ("deg64_w128", BuildParams(maxDegree = 64, buildWindow = 128,
+            alpha = 1.2)),
+          ("deg32_w64", BuildParams(maxDegree = 32, buildWindow = 64,
+            alpha = 1.2, pruneTo = 28))),
+        windows = Seq(10, 20, 30, 40)) ++
+      ivfGrid(data, queries, truth, dims, k, nq, n, clusters = 100,
+        probes = Seq(1, 2, 4, 8, 16)) ++
+      invertedGrid(data, queries, truth, k, nq, n, leaderCount = 100,
+        eps = 1.2, nLeaders = Seq(1, 2, 4, 8))
 
-    // build-config grid, vamana_reference.toml style: the flagship config
-    // plus the goldens' smaller one
-    val configs = Seq(
-      ("deg64_w128", BuildParams(maxDegree = 64, buildWindow = 128,
-        alpha = 1.2)),
-      ("deg32_w64", BuildParams(maxDegree = 32, buildWindow = 64,
-        alpha = 1.2, pruneTo = 28)))
-    configs.foreach { case (label, params) =>
-      val t0 = System.nanoTime()
-      val graph = Vamana.buildSingle(data, params, Metric.L2).cache()
-      graph.count()
-      val buildSec = (System.nanoTime() - t0) / 1e9
-      val recalls = Seq(10, 20, 30, 40).map { w =>
-        val res = Vamana.searchSharded(queries, clustered, graph, cents, k,
-          searchWindow = w, nProbes = 1, Metric.L2)
-        val hits = res.select("query_id", "neighbor_id").intersect(truth)
-          .count()
-        w -> hits.toDouble / (k * nq)
-      }
-      graph.unpersist()
-      val rjson = recalls.map { case (w, r) => s""""w$w":$r""" }.mkString(",")
-      println(s"""{"experiment":"golden_recall_vamana","config":"$label",""" +
-        s""""n":$n,"dims":$dims,"build_sec":$buildSec,$rjson}""")
-    }
-
-    // IVF probe sweep on the same dataset (the reference's second golden
-    // grid, ivf_reference.toml): recall@10 rises monotonically with
-    // n_probes and reaches 1.0 when every cluster is probed.
-    val seed0 = data.filter(col("id") % (n / 100) === 0).limit(100).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
-    val ivfCents = graft.operators.KMeans.lloyd(
-      data.sample(0.1, seed = 11), seed0, iters = 3, dims)
-    val ivfClustered = graft.operators.KMeans.assign(data, ivfCents).cache()
-    val ivfRecalls = Seq(1, 2, 4, 8, 16).map { p =>
-      val res = graft.operators.IvfIndex.search(queries, ivfClustered,
-        ivfCents, k, p, Metric.L2)
-      val hits = res.select("query_id", "neighbor_id").intersect(truth).count()
-      p -> hits.toDouble / (k * nq)
-    }
-    val ijson = ivfRecalls.map { case (p, r) => s""""p$p":$r""" }.mkString(",")
-    println(s"""{"experiment":"golden_recall_ivf","n":$n,"dims":$dims,""" +
-      s""""clusters":100,$ijson}""")
+    rows.foreach(r => println(rowJson(r)))
+    val json = rows.map(rowJson).mkString(
+      s"""{"n":$n,"dims":$dims,"nq":$nq,"k":$k,"rows":[\n""", ",\n", "\n]}\n")
+    Option(Paths.get(out).getParent).foreach(Files.createDirectories(_))
+    Files.writeString(Paths.get(out), json)
+    println(s"""{"golden_grid_written":"$out","rows":${rows.length}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.operators.VamanaKernel.BuildParams
+
+/** Regression pin against the committed golden-grid artifact
+  * (goldens/golden_grid.json, written by `runMain graft.GoldenRecall`):
+  * re-runs a sampled subset of the grid on the same deterministic dataset
+  * and requires the recalls to reproduce within ±0.01. The grid is exactly
+  * deterministic (hashed synthetic data, no RNG, exact searches), so any
+  * drift means an algorithmic change — regenerate the artifact deliberately
+  * when that is intended. */
+class GoldenSpec extends SparkSpec {
+
+  private val N = 10000L
+  private val Dims = 128
+  private val Nq = 100
+  private val K = 10
+
+  private lazy val grid: String = new String(
+    Files.readAllBytes(Paths.get("goldens/golden_grid.json")))
+
+  private def pinned(family: String, config: String, value: Int): Double = {
+    val re = ("\\{\"family\":\"" + family + "\",\"config\":\"" + config +
+      "\",\"param\":\"[^\"]+\",\"value\":" + value +
+      ",\"recall\":([0-9.eE+-]+)").r
+    re.findFirstMatchIn(grid).map(_.group(1).toDouble)
+      .getOrElse(fail(s"no golden row for $family/$config/$value"))
+  }
+
+  test("sampled golden-grid rows reproduce the committed artifact (±0.01)") {
+    val (data, queries, truth) =
+      GoldenRecall.dataset(spark, N, Dims, Nq, K)
+    val vam = GoldenRecall.vamanaGrid(data, queries, truth, Dims, K, Nq,
+      Seq(("deg32_w64", BuildParams(maxDegree = 32, buildWindow = 64,
+        alpha = 1.2, pruneTo = 28))), windows = Seq(10, 40))
+    vam.foreach { r =>
+      val p = pinned("vamana", r.config, r.value)
+      assert(math.abs(r.recall - p) <= 0.01,
+        s"vamana ${r.config} w${r.value}: ${r.recall} vs pinned $p")
+    }
+    val ivf = GoldenRecall.ivfGrid(data, queries, truth, Dims, K, Nq, N,
+      clusters = 100, probes = Seq(4))
+    ivf.foreach { r =>
+      val p = pinned("ivf", r.config, r.value)
+      assert(math.abs(r.recall - p) <= 0.01,
+        s"ivf p${r.value}: ${r.recall} vs pinned $p")
+    }
+    val inv = GoldenRecall.invertedGrid(data, queries, truth, K, Nq, N,
+      leaderCount = 100, eps = 1.2, nLeaders = Seq(2))
+    inv.foreach { r =>
+      val p = pinned("inverted", r.config, r.value)
+      assert(math.abs(r.recall - p) <= 0.01,
+        s"inverted nl${r.value}: ${r.recall} vs pinned $p")
+    }
+    truth.unpersist()
+  }
+}
