@@ -57,6 +57,56 @@ object Vamana {
       : DataFrame =
     buildSharded(data.withColumn("cluster_id", lit(0L)), params, metric)
 
+  /** Skew hardening for [[buildSharded]]: any cluster holding more than
+    * `maxRows` rows (a hot key — one 10× shard would otherwise pin one task
+    * while the rest of the cluster idles) is split into ceil(size/maxRows)
+    * equal sub-shards by deterministic rank round-robin. Every cluster id is
+    * remapped to `cid·splitBase (+ subIdx)`, and split clusters get
+    * per-sub-shard mean centroids (rounded, engine-portable) so probe
+    * routing keeps working — a hot region's sub-centroids are near-equal,
+    * so raise nProbes to sweep them. Returns (clustered', centroids').
+    * Deterministic: rank order is by ascending id. */
+  def splitOversized(clustered: DataFrame,
+                     centroids: Seq[(Long, Seq[Double])], maxRows: Long,
+                     splitBase: Long = 1024)
+      : (DataFrame, Seq[(Long, Seq[Double])]) = {
+    require(maxRows >= 1, "maxRows must be >= 1")
+    val sizes = clustered.groupBy("cluster_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val kOf: Map[Long, Long] = sizes.collect {
+      case (cid, s) if s > maxRows => cid -> ((s + maxRows - 1) / maxRows)
+    }
+    if (kOf.isEmpty) (clustered, centroids)
+    else {
+      require(kOf.values.max <= splitBase,
+        s"split fanout ${kOf.values.max} exceeds splitBase $splitBase")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy("id")
+      val kCol = coalesce(
+        element_at(typedlit(kOf), col("cluster_id")), lit(1L))
+      val reclustered = clustered
+        .withColumn("rn", row_number().over(w).cast("long") - 1)
+        .withColumn("cluster_id",
+          col("cluster_id") * splitBase + col("rn") % kCol)
+        .drop("rn")
+      val keptCents = centroids.collect {
+        case (cid, v) if !kOf.contains(cid) => (cid * splitBase, v)
+      }
+      val subCents = reclustered
+        .filter(element_at(typedlit(kOf),
+          floor(col("cluster_id") / lit(splitBase)).cast("long")).isNotNull)
+        .select(col("cluster_id"), posexplode(col("vec")))
+        .groupBy("cluster_id", "pos").agg(round(avg("col"), 6).as("m"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (cid, xs) =>
+          cid -> xs.sortBy(_._2).map(_._3).toIndexedSeq }
+        .toSeq
+      (reclustered, (keptCents ++ subCents).sortBy(_._1))
+    }
+  }
+
   /** Probe-and-walk search. queries(query_id, qvec) must be broadcast-small
     * (the reference holds the query batch in memory too); clustered and graph
     * are the `buildSharded` inputs/outputs. nProbes clusters per query are
