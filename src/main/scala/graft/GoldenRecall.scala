@@ -138,6 +138,17 @@ object GoldenRecall {
     val k = 10
     val (data, queries, truth) = dataset(spark, n, dims, nq, k)
 
+    // LVQ-compressed twin of the flagship config: build + search over the
+    // level-1 reconstruction (full precision never read), recall judged
+    // against the UNCOMPRESSED truth — the reference's compressed-recall
+    // golden shape (example_vamana.py:47-61); must stay within ±0.05 of the
+    // uncompressed grid at equal windows.
+    val lvqP = graft.operators.Lvq.Params(
+      graft.operators.Lvq.trainMean(data))
+    val dec1 = graft.operators.Lvq.decode(
+      graft.operators.Lvq.encode(data, lvqP), lvqP, twoLevel = false).cache()
+    dec1.count()
+
     val rows =
       vamanaGrid(data, queries, truth, dims, k, nq,
         Seq(
@@ -146,6 +157,11 @@ object GoldenRecall {
           ("deg32_w64", BuildParams(maxDegree = 32, buildWindow = 64,
             alpha = 1.2, pruneTo = 28))),
         windows = Seq(10, 20, 30, 40)) ++
+      vamanaGrid(dec1, queries, truth, dims, k, nq,
+        Seq(("deg64_w128_lvq8", BuildParams(maxDegree = 64,
+          buildWindow = 128, alpha = 1.2))),
+        windows = Seq(10, 20, 30, 40))
+        .map(r => r.copy(family = "vamana_lvq")) ++
       ivfGrid(data, queries, truth, dims, k, nq, n, clusters = 100,
         probes = Seq(1, 2, 4, 8, 16)) ++
       invertedGrid(data, queries, truth, k, nq, n, leaderCount = 100,

@@ -603,6 +603,87 @@ object OracleGen {
        |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
   }
 
+  /** Shared CTE chain for the LVQ-style two-level residual codec (mirrors
+    * graft.operators.Lvq.encode exactly, including parenthesization, so the
+    * doubles are bit-identical): mean-center, per-vector affine SQ (255
+    * levels), residual, second per-vector affine SQ. */
+  private def lvqCtes: String = {
+    val d = Tables.embDims
+    val ms = (0 until d).map(i => s"round(avg(v$i), 6) AS m$i").mkString(", ")
+    val us = (0 until d).map(i => s"v$i - m$i AS u$i").mkString(", ")
+    val loHi1 = s"${(0 until d).map(i => s"u$i").mkString("least(", ", ", ")")} AS lo1, " +
+      s"${(0 until d).map(i => s"u$i").mkString("greatest(", ", ", ")")} AS hi1"
+    val c1s = (0 until d)
+      .map(i => s"floor((u$i - lo1) / s1 + 0.5) AS c1_$i").mkString(", ")
+    val rs = (0 until d)
+      .map(i => s"u$i - (lo1 + s1 * c1_$i) AS r$i").mkString(", ")
+    val loHi2 = s"${(0 until d).map(i => s"r$i").mkString("least(", ", ", ")")} AS lo2, " +
+      s"${(0 until d).map(i => s"r$i").mkString("greatest(", ", ", ")")} AS hi2"
+    val c2s = (0 until d)
+      .map(i => s"floor((r$i - lo2) / s2 + 0.5) AS c2_$i").mkString(", ")
+    s"""data AS (
+       |  SELECT vec_id AS id, ${dimCols("v", embDimExprs)} FROM embeddings),
+       |m AS (SELECT $ms FROM data),
+       |u AS (SELECT id, $us FROM data CROSS JOIN m),
+       |l1 AS (SELECT *, $loHi1 FROM u),
+       |p1 AS (SELECT *, CASE WHEN hi1 > lo1 THEN (hi1 - lo1) / 255.0
+       |  ELSE 1.0 END AS s1 FROM l1),
+       |cl1 AS (SELECT *, $c1s FROM p1),
+       |r AS (SELECT *, $rs FROM cl1),
+       |l2 AS (SELECT *, $loHi2 FROM r),
+       |p2 AS (SELECT *, CASE WHEN hi2 > lo2 THEN (hi2 - lo2) / 255.0
+       |  ELSE 1.0 END AS s2 FROM l2),
+       |cl2 AS (SELECT *, $c2s FROM p2)""".stripMargin
+  }
+
+  /** LVQ two-level codes, exploded (id, pos, code1, code2). */
+  def lvqCodes: String = {
+    val d = Tables.embDims
+    val unpivot = (0 until d)
+      .map(i => s"SELECT id, $i AS pos, CAST(c1_$i AS BIGINT) AS code1, " +
+        s"CAST(c2_$i AS BIGINT) AS code2 FROM cl2")
+      .mkString(" UNION ALL ")
+    s"""WITH $lvqCtes,
+       |unp AS ($unpivot)
+       |SELECT id, CAST(pos AS BIGINT) AS pos, code1, code2 FROM unp
+       |ORDER BY id, pos""".stripMargin
+  }
+
+  /** LVQ two-pass compressed search: coarse exhaustive rank on the level-1
+    * reconstruction, exact re-rank of kReorder·k on level-1 + residual. */
+  def lvqSearch(k: Int, kReorder: Int): String = {
+    val d = Tables.embDims
+    val w1 = (0 until d)
+      .map(i => s"m$i + (lo1 + s1 * c1_$i) AS w$i").mkString(", ")
+    val w2 = (0 until d)
+      .map(i => s"(m$i + (lo1 + s1 * c1_$i)) + (lo2 + s2 * c2_$i) AS x$i")
+      .mkString(", ")
+    s"""WITH $lvqCtes,
+       |dec AS (SELECT id, $w1, $w2 FROM cl2 CROSS JOIN m),
+       |q AS (
+       |  SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}
+       |  FROM embeddings WHERE ${Tables.embQueryPredSql}),
+       |coarse AS (
+       |  SELECT q.query_id, dc.id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${l2.sqlExpr("q.q", "dc.w", d)} ASC, dc.id ASC) AS rn
+       |  FROM q CROSS JOIN dec dc),
+       |short AS (SELECT query_id, id FROM coarse WHERE rn <= ${kReorder * k}),
+       |fine AS (
+       |  SELECT s.query_id, s.id,
+       |    ${l2.sqlExpr("q.q", "dc.x", d)} AS dist
+       |  FROM short s
+       |  JOIN dec dc ON dc.id = s.id
+       |  JOIN q ON q.query_id = s.query_id),
+       |ranked AS (
+       |  SELECT query_id, id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist ASC, id ASC) AS rnk
+       |  FROM fine)
+       |SELECT query_id, rnk, neighbor_id FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** kNN over the 64-d embeddings table (DuckDB lists are 1-indexed). */
   def embeddingKnn(metric: Metric, k: Int): String = {
     val d = Tables.embDims

@@ -602,6 +602,32 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** Memoized LVQ codec (mean + encoded table) over the embeddings. */
+  private def lvqParams(s: SparkSession, dir: String): Lvq.Params =
+    memoized[Lvq.Params]("lvq_params", dir) {
+      Lvq.Params(Lvq.trainMean(embVectors(s, dir).select("id", "vec")))
+    }
+
+  private def lvqEncoded(s: SparkSession, dir: String): DataFrame =
+    memoized[DataFrame]("lvq_encoded", dir) {
+      Lvq.encode(embVectors(s, dir).select("id", "vec"),
+        lvqParams(s, dir)).cache()
+    }
+
+  /** LVQ two-level residual codes (the public-paper codec): bit-exact
+    * integer codes replayed by the oracle's identical affine chain. */
+  private def lvqCodesQ(s: SparkSession, dir: String): DataFrame =
+    Lvq.encodeExploded(embVectors(s, dir).select("id", "vec"),
+      lvqParams(s, dir)).orderBy("id", "pos")
+
+  /** LVQ compressed search: coarse level-1 scan + two-level re-rank — full
+    * precision never read. */
+  private def lvqSearchQ(s: SparkSession, dir: String): DataFrame =
+    Lvq.search(Tables.embeddingQueries(s, dir), lvqEncoded(s, dir),
+        lvqParams(s, dir), K, KReorder)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+
   // ---- SQL extension surface (§2.9) ---------------------------------------
 
   /** kNN expressed as a SQL string over the registered distance function —
@@ -675,6 +701,8 @@ object SparkEntry {
     "q49_batch_pages" -> (batchPagesQ _),
     "q50_calibrate" -> (calibrateQ _),
     "q51_update_shards" -> (updateShardsQ _),
+    "q52_lvq_codes" -> (lvqCodesQ _),
+    "q53_lvq_search" -> (lvqSearchQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -731,5 +759,7 @@ object SparkEntry {
     "q50_calibrate" -> OracleGen.calibrateFlags,
     "q51_update_shards" -> OracleGen.updateShardsKnn(K, VamanaProbes,
       UpdOffset, "vec_id % 10 = 4", "vec_id % 13 = 5"),
+    "q52_lvq_codes" -> OracleGen.lvqCodes,
+    "q53_lvq_search" -> OracleGen.lvqSearch(K, KReorder),
   )
 }
