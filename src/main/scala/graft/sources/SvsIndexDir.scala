@@ -1,0 +1,298 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Import/export of the reference's saved Vamana index directories
+  * (reference `index/vamana/index.h:782-818`: three directories — config,
+  * graph, data — each holding an `svs_config.toml` plus, for graph/data, a
+  * native `.svs` blob):
+  *
+  *  - config: `vamana_index_parameters` table — entry_point + build/search
+  *    parameters (`data/test_dataset/vamana_config.toml` is the committed
+  *    fixture of this shape).
+  *  - graph: `default_graph` table (`core/graph/graph.h:277-304`) over a v1
+  *    `.svs` blob of `uint32` rows with `dims = max_degree + 1`; each row is
+  *    `[degree, n_0 … n_{degree-1}, 0-pad]` (`graph.h:51-79`).
+  *  - data: `uncompressed_data` table (`core/data/simple.h`) over a v1
+  *    `.svs` blob of `eltype` elements (float32/float16/bfloat16/float64).
+  *
+  * A user migrating from the reference imports an existing index instead of
+  * rebuilding; `save` writes the same layout back for the reverse trip.
+  * Blobs are single dense files (the reference's fixture/export format, not
+  * bulk storage) — convert to parquet once imported if the index will live
+  * in this engine.
+  */
+object SvsIndexDir {
+
+  case class VamanaConfig(entryPoint: Long, alpha: Double, maxDegree: Int,
+                          windowSize: Int, maxCandidatePool: Int,
+                          pruneTo: Int)
+
+  case class ComponentMeta(schema: String, fields: Map[String, String])
+
+  // ---- minimal TOML field scraper -----------------------------------------
+  // The reference configs are flat `key = value` tables under nested
+  // [object...] headers with unique keys per file, so a line scraper
+  // suffices; values keep their last occurrence.
+
+  private def readText(spark: SparkSession, p: Path): String = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"missing $p")
+    val in = fs.open(p)
+    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    in.readFully(bytes); in.close()
+    new String(bytes, StandardCharsets.UTF_8)
+  }
+
+  private val KeyVal = """^\s*([A-Za-z0-9_]+)\s*=\s*(.+?)\s*$""".r
+
+  def parseToml(text: String): Map[String, String] =
+    text.linesIterator.collect {
+      case KeyVal(k, v) =>
+        k -> v.stripPrefix("'").stripSuffix("'")
+          .stripPrefix("\"").stripSuffix("\"")
+    }.toMap
+
+  private def configToml(spark: SparkSession, dir: String): Map[String, String] = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val candidates = Seq("svs_config.toml", "vamana_config.toml")
+      .map(new Path(d, _)).filter(fs.exists) ++ {
+      if (fs.exists(d) && fs.getFileStatus(d).isDirectory)
+        fs.listStatus(d).map(_.getPath)
+          .filter(_.getName.endsWith(".toml")).toSeq
+      else Seq.empty
+    }
+    require(candidates.nonEmpty, s"no TOML in $dir")
+    parseToml(readText(spark, candidates.head))
+  }
+
+  /** Parse a `vamana_index_parameters` config directory (or file). */
+  def loadConfig(spark: SparkSession, dir: String): VamanaConfig = {
+    val t = configToml(spark, dir)
+    require(t.get("__schema__").forall(s =>
+      s == "vamana_index_parameters" || s == "vamana index parameters") ||
+      t.contains("entry_point"), s"not a vamana index config: $dir")
+    VamanaConfig(
+      entryPoint = t("entry_point").toLong,
+      alpha = t.get("alpha").map(_.toDouble).getOrElse(1.2),
+      maxDegree = t.get("graph_max_degree").map(_.toInt).getOrElse(0),
+      windowSize = t.get("window_size").map(_.toInt).getOrElse(0),
+      maxCandidatePool =
+        t.get("max_candidate_pool_size").map(_.toInt).getOrElse(0),
+      pruneTo = t.get("prune_to").map(_.toInt).getOrElse(0))
+  }
+
+  private def readBlob(spark: SparkSession, dir: String, name: String)
+      : Array[Byte] = {
+    val p = new Path(new Path(dir), name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    in.readFully(bytes); in.close()
+    bytes
+  }
+
+  /** Load a saved `default_graph` directory → (id BIGINT, neighbors
+    * ARRAY<BIGINT>), ids dense row order. */
+  def loadGraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = configToml(spark, dir)
+    require(t.get("__schema__").forall(_ == "default_graph") ||
+      t.contains("max_degree"), s"not a graph dir: $dir")
+    require(t.get("eltype").forall(_ == "uint32"),
+      s"unsupported graph index type ${t.get("eltype")}")
+    val maxDegree = t("max_degree").toInt
+    val bytes = readBlob(spark, dir, t("binary_file"))
+    val h = SvsNative.readHeader(bytes)
+    require(h.dims == maxDegree + 1,
+      s"graph blob dims ${h.dims} != max_degree+1 ${maxDegree + 1}")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    bb.position(SvsNative.HeaderSize)
+    val rows = (0 until h.numVectors.toInt).map { r =>
+      val deg = bb.getInt
+      require(deg >= 0 && deg <= maxDegree, s"row $r: degree $deg")
+      val nbs = new Array[Long](deg)
+      var i = 0
+      while (i < deg) { nbs(i) = bb.getInt.toLong & 0xffffffffL; i += 1 }
+      var skip = maxDegree - deg
+      while (skip > 0) { bb.getInt; skip -= 1 }
+      (r.toLong, nbs.toSeq)
+    }
+    spark.createDataset(rows).toDF("id", "neighbors")
+  }
+
+  /** Load a saved `uncompressed_data` directory → (id BIGINT, vec
+    * ARRAY<DOUBLE>), ids dense row order. f16/bf16 payloads widen through
+    * the same conversions as graft.functions.Binary16. */
+  def loadData(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = configToml(spark, dir)
+    val dims = t("dims").toInt
+    val el = t.getOrElse("eltype", "float32")
+    val bytes = readBlob(spark, dir, t("binary_file"))
+    val h = SvsNative.readHeader(bytes)
+    require(h.dims == dims, s"data blob dims ${h.dims} != $dims")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    bb.position(SvsNative.HeaderSize)
+    val rows = (0 until h.numVectors.toInt).map { r =>
+      val v = new Array[Double](dims)
+      var i = 0
+      el match {
+        case "float32" =>
+          while (i < dims) { v(i) = bb.getFloat.toDouble; i += 1 }
+        case "float64" =>
+          while (i < dims) { v(i) = bb.getDouble; i += 1 }
+        case "float16" =>
+          while (i < dims) {
+            v(i) = graft.functions.Binary16.halfToFloat(bb.getShort).toDouble
+            i += 1 }
+        case "bfloat16" =>
+          while (i < dims) {
+            v(i) = java.lang.Float
+              .intBitsToFloat((bb.getShort & 0xffff) << 16).toDouble
+            i += 1 }
+        case other => sys.error(s"unsupported data eltype $other")
+      }
+      (r.toLong, v.toSeq)
+    }
+    spark.createDataset(rows).toDF("id", "vec")
+  }
+
+  /** Import a full saved index. `root` either contains `config`, `graph`,
+    * `data` subdirectories (the bindings' conventional layout) or the three
+    * directories are given explicitly. Returns a ready-to-search
+    * [[graft.VamanaVectorIndex]] (single shard, the reference's
+    * whole-dataset graph shape). */
+  def load(spark: SparkSession, root: String): graft.VamanaVectorIndex =
+    load(spark, s"$root/config", s"$root/graph", s"$root/data")
+
+  def load(spark: SparkSession, configDir: String, graphDir: String,
+           dataDir: String): graft.VamanaVectorIndex = {
+    val cfg = loadConfig(spark, configDir)
+    val data = loadData(spark, dataDir)
+    val graph = loadGraph(spark, graphDir)
+    val dims = data.select(size(col("vec"))).first().getInt(0)
+    val clustered = data.withColumn("cluster_id", lit(0L))
+    val graphTable = graph
+      .withColumn("cluster_id", lit(0L))
+      .withColumn("entry_id", lit(cfg.entryPoint))
+      .select("cluster_id", "id", "entry_id", "neighbors")
+    graft.VamanaVectorIndex(clustered, graphTable,
+      Seq(0L -> Seq.fill(dims)(0.0)),
+      searchWindow = math.max(cfg.windowSize, 1), nProbes = 1,
+      graft.core.Metric.L2)
+  }
+
+  // ---- export (the reverse trip) ------------------------------------------
+
+  private def writeText(spark: SparkSession, p: Path, text: String): Unit = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    os.write(text.getBytes(StandardCharsets.UTF_8))
+    os.close()
+  }
+
+  /** Write (config, graph, data) in the reference's directory layout under
+    * `root/{config,graph,data}`. `graph` must be a single-shard graph table
+    * (cluster_id, id, entry_id, neighbors) with dense ids 0..n-1; vectors
+    * are written float32. */
+  def save(spark: SparkSession, root: String, data: DataFrame,
+           graph: DataFrame, params: graft.operators.VamanaKernel.BuildParams)
+      : Unit = {
+    val entry = graph.select("entry_id").first().getLong(0)
+    // config
+    writeText(spark, new Path(s"$root/config/svs_config.toml"),
+      s"""__version__ = 'v0.0.2'
+         |
+         |[object]
+         |__schema__ = 'vamana_index_parameters'
+         |__version__ = 'v0.0.3'
+         |entry_point = $entry
+         |name = 'vamana index parameters'
+         |
+         |    [object.build_parameters]
+         |    __schema__ = 'vamana_build_parameters'
+         |    __version__ = 'v0.0.1'
+         |    alpha = ${params.alpha}
+         |    graph_max_degree = ${params.maxDegree}
+         |    max_candidate_pool_size = ${params.maxCandidatePool}
+         |    name = 'vamana build parameters'
+         |    prune_to = ${params.pruneTarget}
+         |    use_full_search_history = true
+         |    window_size = ${params.buildWindow}
+         |
+         |    [object.search_parameters]
+         |    __schema__ = 'vamana_search_parameters'
+         |    __version__ = 'v0.0.1'
+         |    prefetch_lookahead = 0
+         |    prefetch_step = 0
+         |    search_buffer_capacity = 0
+         |    search_buffer_visited_set = false
+         |    search_window_size = 0
+         |""".stripMargin)
+
+    // data blob (float32 v1 .svs) + component toml
+    val dataRows = data.select(col("id").cast("long"),
+        col("vec").cast("array<double>")).orderBy("id").collect()
+    val dims = dataRows(0).getSeq[Double](1).length
+    SvsNative.write(data, s"$root/data/data_0.svs", VecsIO.F32)
+    writeText(spark, new Path(s"$root/data/svs_config.toml"),
+      s"""__version__ = 'v0.0.2'
+         |
+         |[object]
+         |__schema__ = 'uncompressed_data'
+         |__version__ = 'v0.0.0'
+         |binary_file = 'data_0.svs'
+         |dims = $dims
+         |eltype = 'float32'
+         |name = 'uncompressed'
+         |num_vectors = ${dataRows.length}
+         |uuid = '00000000-0000-0000-0000-000000000000'
+         |""".stripMargin)
+
+    // graph blob: uint32 rows [degree, neighbors..., pad] with
+    // dims = max_degree + 1
+    val graphRows = graph.select(col("id").cast("long"),
+        col("neighbors").cast("array<long>")).orderBy("id").collect()
+    val maxDegree = params.maxDegree
+    val bb = ByteBuffer.allocate(SvsNative.HeaderSize +
+        graphRows.length * (maxDegree + 1) * 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(SvsNative.Magic)
+    bb.put(new Array[Byte](16))
+    bb.putLong(graphRows.length.toLong)
+    bb.putLong(maxDegree.toLong + 1)
+    bb.position(SvsNative.HeaderSize)
+    graphRows.foreach { r =>
+      val nbs = r.getSeq[Long](1)
+      require(nbs.length <= maxDegree,
+        s"row ${r.getLong(0)}: degree ${nbs.length} > $maxDegree")
+      bb.putInt(nbs.length)
+      nbs.foreach(nb => bb.putInt(nb.toInt))
+      var pad = maxDegree - nbs.length
+      while (pad > 0) { bb.putInt(0); pad -= 1 }
+    }
+    val gp = new Path(s"$root/graph/graph_0.svs")
+    val gfs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gos = gfs.create(gp, true)
+    gos.write(bb.array()); gos.close()
+    writeText(spark, new Path(s"$root/graph/svs_config.toml"),
+      s"""__version__ = 'v0.0.2'
+         |
+         |[object]
+         |__schema__ = 'default_graph'
+         |__version__ = 'v0.0.0'
+         |binary_file = 'graph_0.svs'
+         |eltype = 'uint32'
+         |max_degree = $maxDegree
+         |name = 'graph'
+         |num_vertices = ${graphRows.length}
+         |uuid = '00000000-0000-0000-0000-000000000000'
+         |""".stripMargin)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Metric, Tables}
+import graft.operators.Vamana
+import graft.operators.VamanaKernel.BuildParams
+import graft.sources.SvsIndexDir
+
+class IndexImportSpec extends SparkSpec {
+
+  test("parses the reference's committed vamana_config.toml fixture") {
+    val cfg = SvsIndexDir.loadConfig(spark,
+      "/root/reference/data/test_dataset/vamana_config.toml"
+        .stripSuffix("/vamana_config.toml"))
+    assert(cfg.entryPoint === 9426L)
+    assert(cfg.maxDegree === 128)
+    assert(cfg.windowSize === 200)
+    assert(cfg.pruneTo === 128)
+    assert(math.abs(cfg.alpha - 1.2) < 1e-6)
+    assert(cfg.maxCandidatePool === 1000)
+  }
+
+  test("index directory round trip through the reference byte format " +
+      "hash-matches the in-memory search") {
+    val root = "/tmp/graft_svsindex_spec"
+    val params = BuildParams(maxDegree = 16, buildWindow = 32)
+    val data = Tables.embeddingVectors(spark, sfDir)
+      .select("id", "vec").filter(col("id") < 100)
+    val graph = Vamana.buildSingle(data, params, Metric.L2).cache()
+    SvsIndexDir.save(spark, root, data, graph, params)
+
+    val imported = SvsIndexDir.load(spark, root)
+    val q = Tables.embeddingQueries(spark, sfDir)
+    val viaImport = imported.search(q, 10)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().toSeq
+
+    val inMem = VamanaVectorIndex(
+      data.withColumn("cluster_id", lit(0L)), graph,
+      Seq(0L -> Seq.fill(Tables.embDims)(0.0)),
+      searchWindow = params.buildWindow, nProbes = 1, Metric.L2)
+      .search(q, 10)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().toSeq
+
+    assert(viaImport === inMem)
+    assert(viaImport.nonEmpty)
+
+    // imported config reproduces the build parameters we exported
+    val cfg = SvsIndexDir.loadConfig(spark, s"$root/config")
+    assert(cfg.maxDegree === 16)
+    assert(cfg.windowSize === 32)
+
+    // vectors survive the float32 blob bit-exactly
+    val back = SvsIndexDir.loadData(spark, s"$root/data")
+      .withColumnRenamed("vec", "vec_back")
+    val mismatches = data.join(back, Seq("id"))
+      .filter(not(col("vec") === col("vec_back"))).count()
+    assert(mismatches === 0L)
+  }
+}
