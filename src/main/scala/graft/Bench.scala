@@ -40,24 +40,46 @@ object Bench {
         spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count() }
       SparkEntry.entry(spark).limit(1).count()
     } catch { case _: Throwable => () }
+    // repeated-run protocol (reference benchmark/search.h:69-96 records
+    // latency vectors per config): reps > 1 reports the median per query in
+    // "queries" plus the full vector + p90 in "latency"/"p90"
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None } catch {
-          case e: Throwable =>
-            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
-        }
-        (name, (System.nanoTime() - t0) / 1e9, err)
+        var err: Option[String] = None
+        val times = (0 until reps).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count() catch {
+            case e: Throwable => err = Some(Option(e.getMessage)
+              .getOrElse(e.getClass.getName).take(300))
+          }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        val median = times(times.length / 2)
+        (name, median, times, err)
     }
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + f"$v%.6f" }
+    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + f"$v%.6f" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
-      .mkString("{", ",", "}")
+    val errs = results.collect {
+      case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val extra =
+      if (reps == 1) ""
+      else {
+        val lat = results.map { case (k, _, ts, _) =>
+          jstr(k) + ":" + ts.map(t => f"$t%.6f").mkString("[", ",", "]")
+        }.mkString("{", ",", "}")
+        val p90 = results.map { case (k, _, ts, _) =>
+          jstr(k) + ":" + f"${ts((ts.length * 9) / 10 min (ts.length - 1))}%.6f"
+        }.mkString("{", ",", "}")
+        s""","reps":$reps,"latency":$lat,"p90":$p90"""
+      }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"n_queries":${results.size},""" +
-      s""""n_errors":${results.count(_._3.isDefined)},"sf":${jstr(sfDir)}}"""
+      s""""n_errors":${results.count(_._4.isDefined)}$extra,""" +
+      s""""sf":${jstr(sfDir)}}"""
     println(json)
     try Files.writeString(Paths.get(outFile), json + "\n")
     catch { case e: Throwable =>

@@ -103,6 +103,36 @@ object Calibrate {
     }
     best
   }
+
+  /** Split-buffer calibration (the reference's second tuning axis,
+    * index/vamana/calibrate.h:40-77 + search_buffer.h:39-77): phase 1 finds
+    * the minimal TIED window `w1` reaching `targetRecall`; phase 2 fixes the
+    * buffer capacity at `w1` and shrinks the expansion window below it while
+    * recall holds — fewer expansions for the same retained set. `search`
+    * takes (window, capacity). Returns (window, capacity, recall). */
+  def calibrateWindowAndCapacity(search: (Int, Int) => DataFrame,
+                                 truth: DataFrame, k: Int,
+                                 targetRecall: Double, minWindow: Int,
+                                 maxWindow: Int): (Int, Int, Double) = {
+    val (w1, r1) = calibrateWindow(w => search(w, 0), truth, k, targetRecall,
+      minWindow, maxWindow)
+    if (r1 < targetRecall) return (w1, w1, r1) // unreachable: report max
+    val truthPairs = truth.select("query_id", "neighbor_id")
+    val nq = truthPairs.select("query_id").distinct().count()
+    def recallAt(w: Int): Double =
+      search(w, w1).select("query_id", "neighbor_id").intersect(truthPairs)
+        .count().toDouble / (k.toLong * nq)
+    var lo = math.max(k, minWindow / 2)
+    var hi = w1
+    var best = (w1, w1, r1)
+    while (lo < hi) {
+      val mid = lo + (hi - lo) / 2
+      val r = recallAt(mid)
+      if (r >= targetRecall) { best = (mid, w1, r); hi = mid }
+      else lo = mid + 1
+    }
+    best
+  }
 }
 
 /** Row reconstruction + point distance lookup (SURVEY §2 P10/P11 —

@@ -114,8 +114,8 @@ object Vamana {
     * uses `searchWindow ≥ k`. Output: (query_id, rnk, neighbor_id, dist). */
   def searchSharded(queries: DataFrame, clustered: DataFrame, graph: DataFrame,
                     centroids: Seq[(Long, Seq[Double])], k: Int,
-                    searchWindow: Int, nProbes: Int, metric: Metric)
-      : DataFrame = {
+                    searchWindow: Int, nProbes: Int, metric: Metric,
+                    searchCapacity: Int = 0): DataFrame = {
     val spark = clustered.sparkSession
     import spark.implicits._
     require(searchWindow >= k, "searchWindow must be ≥ k")
@@ -178,7 +178,7 @@ object Vamana {
           })
           qs.iterator.flatMap { case (qid, qvec) =>
             val buf = VamanaKernel.greedySearch(adj, vecs, entrySlot, qvec,
-              searchWindow, m)
+              searchWindow, m, searchCapacity)
             (0 until math.min(k, buf.n)).iterator.map { i =>
               (qid, ids(buf.slots(i)), buf.dists(i))
             }

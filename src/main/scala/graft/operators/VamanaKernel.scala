@@ -45,10 +45,12 @@ object VamanaKernel {
       if (n < capacity) n += 1
     }
 
-    /** Index of the best not-yet-expanded entry, or -1 when converged. */
-    def nextUnexpanded(): Int = {
+    /** Index of the best not-yet-expanded entry among the first `limit`
+      * kept entries, or -1 when converged. */
+    def nextUnexpanded(limit: Int = Int.MaxValue): Int = {
+      val m = math.min(n, limit)
       var i = 0
-      while (i < n) { if (!expanded(i)) return i; i += 1 }
+      while (i < m) { if (!expanded(i)) return i; i += 1 }
       -1
     }
   }
@@ -56,15 +58,23 @@ object VamanaKernel {
   /** Greedy beam search (greedy_search.h:124-203): seed with `entry`, expand
     * the best unexpanded buffer entry's adjacency, score unseen neighbors,
     * insert, until the buffer converges. Returns the buffer (best-first).
-    * `scored` bitset prevents re-scoring (the reference's visited filter). */
+    * `scored` bitset prevents re-scoring (the reference's visited filter).
+    *
+    * `capacity` ≥ window turns on the reference's SPLIT search buffer
+    * (search_buffer.h:39-77 roi/capacity split, search_buffer_capacity):
+    * the buffer RETAINS the best `capacity` scored candidates while only
+    * the best `window` govern expansion/termination — recall of the
+    * retained set improves without paying for a wider walk. capacity ≤
+    * window (the default 0) reproduces the tied buffer exactly. */
   def greedySearch(adj: Array[Array[Int]], vecs: Array[Array[Double]],
-                   entry: Int, q: Array[Double], window: Int, metric: Metric)
-      : BeamBuffer = {
-    val buf = new BeamBuffer(window, metric.ascending)
+                   entry: Int, q: Array[Double], window: Int, metric: Metric,
+                   capacity: Int = 0): BeamBuffer = {
+    val cap = math.max(window, capacity)
+    val buf = new BeamBuffer(cap, metric.ascending)
     val scored = new java.util.BitSet(vecs.length)
     scored.set(entry)
     buf.insert(metric.compute(q, vecs(entry)), entry)
-    var cur = buf.nextUnexpanded()
+    var cur = buf.nextUnexpanded(window)
     while (cur >= 0) {
       buf.expanded(cur) = true
       val nbs = adj(buf.slots(cur))
@@ -77,7 +87,7 @@ object VamanaKernel {
         }
         i += 1
       }
-      cur = buf.nextUnexpanded()
+      cur = buf.nextUnexpanded(window)
     }
     buf
   }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Metric, Tables}
+import graft.operators.{Calibrate, FlatKnn, KMeans, Vamana, VamanaKernel}
+import graft.operators.VamanaKernel.BuildParams
+
+/** Split search-buffer (capacity > window) semantics + the two-axis
+  * calibration (reference calibrate.h:40-77 / search_buffer.h:39-77). */
+class CalibrateSpec extends SparkSpec {
+
+  private def randVecs(n: Int, d: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(n)(Array.fill(d)(rng.nextDouble()))
+  }
+
+  test("capacity == window reproduces the tied buffer exactly; " +
+      "capacity > window only improves the retained top-k") {
+    val vecs = randVecs(400, 16, seed = 5)
+    val (adj, entry) = VamanaKernel.build(vecs,
+      BuildParams(maxDegree = 16, buildWindow = 32), Metric.L2)
+    val queries = randVecs(25, 16, seed = 31)
+    val k = 10
+    var tiedHits = 0
+    var splitHits = 0
+    queries.foreach { q =>
+      val exact = vecs.indices.sortBy(i => Metric.L2.compute(q, vecs(i)))
+        .take(k).toSet
+      val tied = VamanaKernel.greedySearch(adj, vecs, entry, q, 12, Metric.L2)
+      val tiedExplicit = VamanaKernel.greedySearch(adj, vecs, entry, q, 12,
+        Metric.L2, capacity = 12)
+      assert((0 until tied.n).map(i => (tied.slots(i), tied.dists(i))) ===
+        (0 until tiedExplicit.n).map(i =>
+          (tiedExplicit.slots(i), tiedExplicit.dists(i))))
+      val split = VamanaKernel.greedySearch(adj, vecs, entry, q, 12,
+        Metric.L2, capacity = 48)
+      tiedHits += (0 until math.min(k, tied.n)).map(tied.slots)
+        .count(exact)
+      splitHits += (0 until math.min(k, split.n)).map(split.slots)
+        .count(exact)
+    }
+    assert(splitHits >= tiedHits,
+      s"split buffer lost recall: $splitHits < $tiedHits")
+  }
+
+  test("two-axis calibration: shrunken expansion window at held capacity " +
+      "still meets the recall target") {
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    val q = Tables.embeddingQueries(spark, sfDir)
+    val cents = data.filter(col("id") < 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val clustered = KMeans.assign(data, cents)
+    val graph = Vamana.buildSharded(clustered,
+      BuildParams(maxDegree = 24, buildWindow = 48), Metric.L2).cache()
+    val k = 10
+    val truth = FlatKnn.search(q, data, k, Metric.L2)
+      .select("query_id", "neighbor_id").cache()
+    val target = 0.9
+    def searchAt(w: Int, cap: Int) =
+      Vamana.searchSharded(q, clustered, graph, cents, k, w,
+        nProbes = 4, Metric.L2, searchCapacity = cap)
+    val (w, cap, rec) = Calibrate.calibrateWindowAndCapacity(searchAt,
+      truth, k, target, minWindow = k, maxWindow = 128)
+    assert(rec >= target, s"recall $rec below $target")
+    assert(w <= cap, s"window $w should not exceed capacity $cap")
+    // the split run at the calibrated point reproduces the recall
+    val check = searchAt(w, cap).select("query_id", "neighbor_id")
+      .intersect(truth).count().toDouble / (k * q.count())
+    assert(math.abs(check - rec) < 1e-9)
+  }
+}
