@@ -153,8 +153,13 @@ object SparkEntry {
       docCodes(s, dir).withColumnRenamed("codes", "grams"), JaccardT)
       .orderBy("doc_a", "doc_b")
 
+  /** Shingle codes are consumed by four dedup queries and multiple branches
+    * of the prefix self-join — memoize + cache so the typed-map encoding
+    * runs once per process, not once per plan branch. */
   private def docCodes(s: SparkSession, dir: String): DataFrame =
-    Dedup.shingleCodeTable(docs(s, dir))
+    memoized[DataFrame]("doc_codes", dir) {
+      Dedup.shingleCodeTable(docs(s, dir)).cache()
+    }
 
   private def minhashSigsQ(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(docCodes(s, dir)).orderBy("doc_id", "i")

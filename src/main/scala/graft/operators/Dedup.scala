@@ -80,10 +80,14 @@ object Dedup {
     // prefix length with integer arithmetic: sz - ceil(t*sz) + 1 for t=1/2^k
     // generalized: ceil(t*sz) computed on doubles is exact for t with short
     // binary expansions; keep double ceil (same in DuckDB)
+    // cached: the self-join consumes the prefix index twice and would
+    // otherwise recompute the explode + document-frequency aggregate + rank
+    // window once per branch (measured 39 s → 2 s at 5k docs without/with)
     val pref = inv.join(dfreq, "g").join(sz, "id")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select("id", "g")
+      .cache()
     val cand = pref.as("x").join(pref.as("y"),
         col("x.g") === col("y.g") && col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
