@@ -284,4 +284,27 @@ object OracleGenText {
        |  CAST(greatest(1, length(text) // greatest(1, length(text) % 64))
        |    AS BIGINT) AS height
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Real-container media decode (Multimodal.packReal + RawCodec): DuckDB
+    * replays the deterministic sample formulas — WAV samples
+    * ((id·31+i·7+13) mod 256) − 128 for even ids, PPM channel values
+    * (id·31+j·7+13) mod 256 for odd — and checks the position-weighted
+    * sums of what the real WAV/PPM parsers decoded. */
+  def mediaReal: String =
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+       |gen AS (
+       |  SELECT doc_id, unnest(generate_series(0,
+       |    CASE WHEN doc_id % 2 = 0 THEN 64 + doc_id % 64
+       |         ELSE (8 + doc_id % 8) * (4 + doc_id % 4) * 3 END - 1)) AS i
+       |  FROM d),
+       |vals AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN doc_id % 2 = 0
+       |      THEN (doc_id * 31 + i * 7 + 13) % 256 - 128
+       |      ELSE (doc_id * 31 + i * 7 + 13) % 256 END AS v
+       |  FROM gen)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+       |  CAST(sum(v) AS BIGINT) AS sum1,
+       |  CAST(sum((i + 1) * v) AS BIGINT) AS sum2
+       |FROM vals GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

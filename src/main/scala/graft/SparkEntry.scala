@@ -359,6 +359,13 @@ object SparkEntry {
     Multimodal.decodeStats(Multimodal.pack(docs(s, dir)))
       .orderBy("doc_id")
 
+  /** Real-container media decode (q54): actual WAV/PPM bytes through the
+    * pure-JVM parsers, position-weighted sample sums checked by the
+    * oracle's replay of the generator formula. */
+  private def mediaRealQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeSums(Multimodal.packReal(docs(s, dir)))
+      .orderBy("doc_id")
+
   /** Whitespace + BPE-ish-regex token counts side by side. */
   private def bpeTokensQ(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -708,6 +715,7 @@ object SparkEntry {
     "q51_update_shards" -> (updateShardsQ _),
     "q52_lvq_codes" -> (lvqCodesQ _),
     "q53_lvq_search" -> (lvqSearchQ _),
+    "q54_media_real" -> (mediaRealQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -766,5 +774,6 @@ object SparkEntry {
       UpdOffset, "vec_id % 10 = 4", "vec_id % 13 = 5"),
     "q52_lvq_codes" -> OracleGen.lvqCodes,
     "q53_lvq_search" -> OracleGen.lvqSearch(K, KReorder),
+    "q54_media_real" -> OracleGenText.mediaReal,
   )
 }

@@ -41,6 +41,119 @@ object Multimodal {
       content.map(_ & 0xff)
   }
 
+  /** REAL codec for uncompressed container formats, pure JVM — no media
+    * libraries required: RIFF/WAVE PCM audio (8/16-bit) and binary PPM
+    * (P6) images parse from actual container bytes. Compressed formats
+    * (JPEG/MP3/H.264) still need external libs and stay on [[StubCodec]]. */
+  object RawCodec extends MediaCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    def decode(content: Array[Byte], meta: MediaMeta): Array[Int] =
+      meta.format match {
+        case "audio/wav" => decodeWav(content)._1
+        case "image/ppm" => decodePpm(content)._1
+        case _ => StubCodec.decode(content, meta)
+      }
+
+    /** Parse a RIFF/WAVE file → (samples, sampleRate, channels, bits).
+      * PCM only; 16-bit signed LE or 8-bit unsigned; chunk-walks so extra
+      * chunks (LIST, fact) are skipped like a real reader. */
+    def decodeWav(bytes: Array[Byte]): (Array[Int], Int, Int, Int) = {
+      require(bytes.length >= 44, s"wav: ${bytes.length} bytes is too short")
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int): String =
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      require(tag(0) == "RIFF" && tag(8) == "WAVE",
+        s"wav: bad container tags ${tag(0)}/${tag(8)}")
+      var channels = 0; var rate = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0
+      var pos = 12
+      while (pos + 8 <= bytes.length && (bits == 0 || dataOff < 0)) {
+        val cid = tag(pos)
+        val clen = bb.getInt(pos + 4)
+        if (cid == "fmt ") {
+          val audioFormat = bb.getShort(pos + 8) & 0xffff
+          require(audioFormat == 1, s"wav: not PCM (format $audioFormat)")
+          channels = bb.getShort(pos + 10) & 0xffff
+          rate = bb.getInt(pos + 12)
+          bits = bb.getShort(pos + 22) & 0xffff
+        } else if (cid == "data") { dataOff = pos + 8; dataLen = clen }
+        pos += 8 + clen + (clen & 1) // chunks are word-aligned
+      }
+      require(bits != 0 && dataOff >= 0, "wav: missing fmt/data chunk")
+      require(dataOff + dataLen <= bytes.length, "wav: truncated data chunk")
+      val out = bits match {
+        case 16 =>
+          Array.tabulate(dataLen / 2)(i => bb.getShort(dataOff + 2 * i).toInt)
+        case 8 =>
+          Array.tabulate(dataLen)(i => bytes(dataOff + i) & 0xff)
+        case other => sys.error(s"wav: unsupported bit depth $other")
+      }
+      (out, rate, channels, bits)
+    }
+
+    /** Write 16-bit mono PCM WAV. */
+    def encodeWav(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = ByteBuffer.allocate(44 + dataLen)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16) // block align, bits
+      bb.put("data".getBytes).putInt(dataLen)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+
+    /** Parse a binary PPM (P6, maxval ≤ 255) → (flattened RGB, w, h).
+      * Handles comments and arbitrary whitespace like a real reader. */
+    def decodePpm(bytes: Array[Byte]): (Array[Int], Int, Int) = {
+      var pos = 0
+      def skipWs(): Unit = {
+        var go = true
+        while (go && pos < bytes.length) {
+          val c = bytes(pos).toChar
+          if (c == '#') { while (pos < bytes.length &&
+            bytes(pos).toChar != '\n') pos += 1 }
+          else if (c.isWhitespace) pos += 1
+          else go = false
+        }
+      }
+      def token(): String = {
+        skipWs()
+        val start = pos
+        while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
+        new String(bytes, start, pos - start,
+          java.nio.charset.StandardCharsets.US_ASCII)
+      }
+      require(token() == "P6", "ppm: not a binary P6 file")
+      val w = token().toInt
+      val h = token().toInt
+      val maxval = token().toInt
+      require(maxval > 0 && maxval <= 255, s"ppm: unsupported maxval $maxval")
+      pos += 1 // single whitespace after maxval
+      val n = w * h * 3
+      require(pos + n <= bytes.length,
+        s"ppm: truncated pixel data (${bytes.length - pos} of $n)")
+      (Array.tabulate(n)(i => bytes(pos + i) & 0xff), w, h)
+    }
+
+    /** Write a binary P6 PPM from flattened RGB. */
+    def encodePpm(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+      require(rgb.length == w * h * 3, s"ppm: ${rgb.length} != ${w * h * 3}")
+      val header = s"P6\n$w $h\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + rgb.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var i = 0
+      while (i < rgb.length) {
+        out(header.length + i) = rgb(i).toByte; i += 1 }
+      out
+    }
+  }
+
   /** Synthesize a media table from the documents fixture: utf-8 payload
     * bytes, modality round-robin by id, metadata derived deterministically
     * from the payload length. Stands in for `binaryFile` ingest of a real
@@ -67,6 +180,55 @@ object Multimodal {
           durationMs = bytes.length.toLong * 1000 / 8000)
         MediaRow(id, modality, bytes, meta)
       }
+  }
+
+  /** Deterministic REAL-format media table: even doc_ids carry an actual
+    * 16-bit PCM WAV whose samples follow
+    * `s_i = ((id·31 + i·7 + 13) mod 256) − 128` (n = 64 + id mod 64), odd
+    * doc_ids an actual P6 PPM with channel values
+    * `c_j = (id·31 + j·7 + 13) mod 256` (w = 8 + id mod 8, h = 4 + id mod
+    * 4). The container bytes are real (exercised by [[RawCodec]]'s
+    * parsers); the sample formula is what the DuckDB oracle replays
+    * without needing a media stack. */
+  def packReal(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      if (id % 2 == 0) {
+        val n = (64 + id % 64).toInt
+        val samples = Array.tabulate(n)(i =>
+          ((id * 31 + i * 7 + 13) % 256 - 128).toInt)
+        MediaRow(id, "audio", RawCodec.encodeWav(samples, 8000),
+          MediaMeta("audio/wav", 0, 0, 8000, n * 1000L / 8000))
+      } else {
+        val w = (8 + id % 8).toInt
+        val h = (4 + id % 4).toInt
+        val rgb = Array.tabulate(w * h * 3)(j =>
+          ((id * 31 + j * 7 + 13) % 256).toInt)
+        MediaRow(id, "image", RawCodec.encodePpm(w, h, rgb),
+          MediaMeta("image/ppm", w, h, 0, 0))
+      }
+    }
+  }
+
+  /** Decode every row (real parsers) and emit position-weighted sample
+    * sums — integers the oracle reproduces from the generator formula:
+    * (doc_id, n_samples, sum1 = Σ v_i, sum2 = Σ (i+1)·v_i). */
+  def decodeSums(media: Dataset[MediaRow], codec: MediaCodec = RawCodec,
+                 batchSize: Int = DefaultBatch): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      batched(it, batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val v = codec.decode(r.content, r.meta)
+          var s1 = 0L; var s2 = 0L; var i = 0
+          while (i < v.length) {
+            s1 += v(i); s2 += (i + 1).toLong * v(i); i += 1 }
+          (r.doc_id, v.length.toLong, s1, s2)
+        }
+      }
+    }.toDF("doc_id", "n_samples", "sum1", "sum2")
   }
 
   /** Group an iterator into bounded batches — the `mapInPandas` batch shape;

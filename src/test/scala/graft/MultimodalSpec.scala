@@ -79,4 +79,56 @@ class MultimodalSpec extends SparkSpec {
     assert(selfRows.join(r1, Seq("query_id"))
       .filter(col("dist") =!= col("best")).count() === 0)
   }
+
+  test("RawCodec WAV round trip is exact across the full 16-bit range") {
+    import graft.operators.Multimodal.RawCodec
+    val samples = Array(-32768, -1, 0, 1, 127, -128, 32767, 12345, -12345)
+    val bytes = RawCodec.encodeWav(samples, 44100)
+    val (back, rate, channels, bits) = RawCodec.decodeWav(bytes)
+    assert(back.toSeq === samples.toSeq)
+    assert((rate, channels, bits) === ((44100, 1, 16)))
+    // non-PCM and truncated containers are rejected with real errors
+    val broken = bytes.clone(); broken(20) = 3 // audioFormat = 3 (float)
+    intercept[IllegalArgumentException] { RawCodec.decodeWav(broken) }
+    intercept[IllegalArgumentException] {
+      RawCodec.decodeWav(bytes.take(30)) }
+  }
+
+  test("RawCodec PPM round trip is exact and survives header comments") {
+    import graft.operators.Multimodal.RawCodec
+    val (w, h) = (5, 3)
+    val rgb = Array.tabulate(w * h * 3)(i => (i * 17) % 256)
+    val bytes = RawCodec.encodePpm(w, h, rgb)
+    val (back, bw, bh) = RawCodec.decodePpm(bytes)
+    assert((bw, bh) === ((w, h)))
+    assert(back.toSeq === rgb.toSeq)
+    // a commented header parses like any real PPM reader would accept
+    val commented = ("P6\n# made by a test\n5 3\n255\n"
+      .getBytes("US-ASCII") ++ bytes.drop("P6\n5 3\n255\n".length))
+    val (back2, w2, h2) = RawCodec.decodePpm(commented)
+    assert((w2, h2) === ((w, h)))
+    assert(back2.toSeq === rgb.toSeq)
+    intercept[IllegalArgumentException] {
+      RawCodec.decodePpm("P5\n1 1\n255\nx".getBytes("US-ASCII")) }
+  }
+
+  test("packReal produces genuine containers the real parsers decode to " +
+      "the generator formula") {
+    val real = Multimodal.packReal(Tables.table(spark, sfDir, "documents"))
+    val sums = Multimodal.decodeSums(real).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(sums.size === 500)
+    sums.foreach { case (id, (n, s1, s2)) =>
+      val expectN =
+        if (id % 2 == 0) 64 + id % 64 else (8 + id % 8) * (4 + id % 4) * 3
+      assert(n === expectN, s"doc $id")
+      def v(i: Long): Long =
+        if (id % 2 == 0) (id * 31 + i * 7 + 13) % 256 - 128
+        else (id * 31 + i * 7 + 13) % 256
+      val e1 = (0L until n).map(v).sum
+      val e2 = (0L until n).map(i => (i + 1) * v(i)).sum
+      assert(s1 === e1 && s2 === e2, s"doc $id sums")
+    }
+  }
 }
