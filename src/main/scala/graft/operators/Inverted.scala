@@ -62,12 +62,62 @@ object Inverted {
     }
     val probeDf = probe.toSeq.toDF("query_id", "leader_id")
       .join(queries, Seq("query_id"))
+    probeAndRank(probeDf, clustered, k, metric)
+  }
 
+  /** Shared probe tail: broadcast the (query, leader) probe list against the
+    * clustered table and keep the k best rows per query. */
+  private def probeAndRank(probeDf: DataFrame, clustered: DataFrame, k: Int,
+                           metric: Metric): DataFrame = {
     val cand = broadcast(probeDf).join(clustered, Seq("leader_id"))
       .select(col("query_id"), col("id"),
         metric.column(col("qvec"), col("vec")).as("dist"))
     TopK.perKeyViaWindow(cand, Seq("query_id"), col("id"), col("dist"), k,
       metric.ascending)
+  }
+
+  /** J4 search with the leader scoring routed through a Vamana graph over
+    * the leaders — the reference's actual design for large leader sets
+    * (inverted/memory_based.h:334 builds the primary index over the
+    * leaders; driver-side exhaustive scoring in [[search]] matches the
+    * reference's small-leader-set behavior but becomes the bottleneck as
+    * leaders grow). ε-expansion semantics are identical: dk is the
+    * `nLeaders`-th best *retrieved* leader distance, and every retrieved
+    * leader within `epsilon·dk` (L2) is probed. With `leaderWindow` ≥ the
+    * leader count the retrieved ranking is exact, making this equal to
+    * [[search]]; realistic windows trade leader-ranking exactness for a
+    * fully distributed, constant-driver-work probe phase. */
+  def searchWithLeaderIndex(queries: DataFrame, clustered: DataFrame,
+                            leaders: Seq[(Long, Seq[Double])], k: Int,
+                            nLeaders: Int, epsilon: Double, metric: Metric,
+                            leaderWindow: Int = 0, fetchLeaders: Int = 0,
+                            params: VamanaKernel.BuildParams =
+                              VamanaKernel.BuildParams(maxDegree = 16,
+                                buildWindow = 32)): DataFrame = {
+    val spark = clustered.sparkSession
+    import spark.implicits._
+    val dims = leaders.head._2.length
+    val ldf = leaders.toDF("id", "vec")
+    val lClustered = ldf.withColumn("cluster_id", lit(0L))
+    val graph = Vamana.buildSharded(lClustered, params, metric)
+    // over-fetch so the ε-expansion has candidates beyond the k-th leader
+    val fetch =
+      if (fetchLeaders > 0) math.min(leaders.length, fetchLeaders)
+      else math.min(leaders.length, math.max(nLeaders * 4, nLeaders + 8))
+    val window =
+      if (leaderWindow > 0) leaderWindow else math.max(2 * fetch, 32)
+    val scored = Vamana.searchSharded(queries, lClustered, graph,
+      Seq(0L -> Seq.fill(dims)(0.0)), fetch, window, nProbes = 1, metric)
+    val dk = scored.groupBy("query_id")
+      .agg((if (metric.ascending) max(when(col("rnk") <= nLeaders,
+          col("dist")))
+        else min(when(col("rnk") <= nLeaders, col("dist")))).as("dk"))
+    val keep = scored.join(dk, Seq("query_id"))
+      .filter(if (metric.ascending) col("dist") <= col("dk") * epsilon
+        else col("dist") >= col("dk") / epsilon)
+      .select(col("query_id"), col("neighbor_id").as("leader_id"))
+    val probeDf = keep.join(queries, Seq("query_id"))
+    probeAndRank(probeDf, clustered, k, metric)
   }
 }
 

@@ -38,6 +38,32 @@ class InvertedSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("vamana-over-leaders search equals the driver-scored search at " +
+      "exhaustive leader window, and holds a recall floor realistically") {
+    val leaders = Inverted.pickLeaders(emb, col("id") % 25 === 7)
+    val clustered = Inverted.cluster(emb, leaders)
+    val viaExact = Inverted.search(q, clustered, leaders, 10, 3, 1.2,
+      Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().toSeq
+    // exhaustive window + full fetch: the graph retrieval reproduces the
+    // exact leader ranking, so the results must be identical
+    val viaGraph = Inverted.searchWithLeaderIndex(q, clustered, leaders, 10,
+        3, 1.2, Metric.L2, leaderWindow = 1 << 12,
+        fetchLeaders = leaders.length)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(viaGraph === viaExact)
+    // realistic window: distributed leader routing keeps a recall floor
+    val approx = Inverted.searchWithLeaderIndex(q, clustered, leaders, 10,
+      3, 1.2, Metric.L2)
+    val exact = FlatKnn.search(q, emb, 10, Metric.L2)
+    val recall = approx.select("query_id", "neighbor_id")
+      .intersect(exact.select("query_id", "neighbor_id")).count()
+      .toDouble / (10 * q.count())
+    assert(recall > 0.3, s"recall $recall")
+  }
+
   test("calibrate finds minimal window reaching target recall") {
     val data = emb.filter(col("id") < 300)
     val cents = data.filter(col("id") < 2).collect()
