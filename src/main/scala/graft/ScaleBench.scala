@@ -73,12 +73,36 @@ object ScaleBench {
       IvfIndex.search(queries, stored, cents, k, nProbes = 8,
         Metric.L2).count() }
 
+    // Vamana at scale: size-bounded sharding (splitOversized enforces the
+    // per-task cap) + batched-parallel graph build per shard — the exact
+    // 100 TB shape: shard fanout across the cluster, parallel batches
+    // inside each shard, probe-routed search touching nProbes shards.
+    import graft.operators.Vamana
+    import graft.operators.VamanaKernel.BuildParams
+    val maxRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_SHARD", "20000").toLong
+    val (splitRes, tSplit) = time {
+      val (s, c) = Vamana.splitOversized(stored, cents, maxRows)
+      (s.cache(), c)
+    }
+    val (split, splitCents) = splitRes
+    split.count()
+    val vParams = BuildParams(maxDegree = 32, buildWindow = 64)
+    val (graph, tBuild) = time {
+      val g = Vamana.buildSharded(split, vParams, Metric.L2).cache()
+      g.count(); g
+    }
+    val (_, tVamana) = time {
+      Vamana.searchSharded(queries, split, graph, splitCents, k,
+        searchWindow = 64, nProbes = 8, Metric.L2).count() }
+
     println(s"""{"experiment":"scale_bench","n":$n,"dims":$dims,"nq":$nq,""" +
       s""""count_sec":$warm,"flat_knn_sec":$tFlat,""" +
       s""""flat_knn_f32_sec":$tFlat32,""" +
       s""""flat_pairs_per_sec":${pairsPerSec.toLong},""" +
       s""""kmeans_train_sec":$tTrain,"partition_write_sec":$tPart,""" +
-      s""""ivf_search_sec":$tIvf}""")
+      s""""ivf_search_sec":$tIvf,""" +
+      s""""vamana_split_sec":$tSplit,"vamana_shards":${splitCents.length},""" +
+      s""""vamana_build_sec":$tBuild,"vamana_search_sec":$tVamana}""")
     spark.stop()
   }
 }

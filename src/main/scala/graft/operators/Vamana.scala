@@ -71,12 +71,14 @@ object Vamana {
                      splitBase: Long = 1024)
       : (DataFrame, Seq[(Long, Seq[Double])]) = {
     require(maxRows >= 1, "maxRows must be >= 1")
-    val sizes = clustered.groupBy("cluster_id").count().collect()
+    // partitioned-parquet round trips read cluster_id back as INT; widen
+    val cl = clustered.withColumn("cluster_id", col("cluster_id").cast("long"))
+    val sizes = cl.groupBy("cluster_id").count().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     val kOf: Map[Long, Long] = sizes.collect {
       case (cid, s) if s > maxRows => cid -> ((s + maxRows - 1) / maxRows)
     }
-    if (kOf.isEmpty) (clustered, centroids)
+    if (kOf.isEmpty) (cl, centroids)
     else {
       require(kOf.values.max <= splitBase,
         s"split fanout ${kOf.values.max} exceeds splitBase $splitBase")
@@ -84,7 +86,7 @@ object Vamana {
         .partitionBy("cluster_id").orderBy("id")
       val kCol = coalesce(
         element_at(typedlit(kOf), col("cluster_id")), lit(1L))
-      val reclustered = clustered
+      val reclustered = cl
         .withColumn("rn", row_number().over(w).cast("long") - 1)
         .withColumn("cluster_id",
           col("cluster_id") * splitBase + col("rn") % kCol)

@@ -234,6 +234,9 @@ object VamanaKernel {
         // graph; each index writes only pruned(i - start)
         val pruned = new Array[Array[Int]](end - start)
         val range = java.util.stream.IntStream.range(start, end)
+        // parallel even when many shards build concurrently: the shared
+        // pool interleaves batch work across shard tasks (measured 1.4×
+        // on 256 × 4k-row shards vs inline; 15× on one big shard)
         (if (end - start > 1) range.parallel() else range).forEach { node =>
           val pool = greedySearchCollect(adj, vecs, entry, vecs(node),
             params.buildWindow, metric)
