@@ -40,6 +40,30 @@ object Bench {
         spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count() }
       SparkEntry.entry(spark).limit(1).count()
     } catch { case _: Throwable => () }
+    // per-query shuffle/spill accounting: plan-quality telemetry for the
+    // artifact (a query whose shuffle bytes grow superlinearly with SF is a
+    // scale bug even when its wall-clock looks fine)
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val spilled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            spilled.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
+    def metricsSnapshot(): (Long, Long, Long) = {
+      org.apache.spark.sql.graftbridge.Bridge
+        .drainListeners(spark.sparkContext)
+      (shufRead.get(), shufWrite.get(), spilled.get())
+    }
+
     // repeated-run protocol (reference benchmark/search.h:69-96 records
     // latency vectors per config): reps > 1 reports the median per query in
     // "queries" plus the full vector + p90 in "latency"/"p90"
@@ -47,6 +71,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         var err: Option[String] = None
+        val (r0, w0, s0) = metricsSnapshot()
         val times = (0 until reps).map { _ =>
           val t0 = System.nanoTime()
           try fn(spark, sfDir).count() catch {
@@ -55,25 +80,30 @@ object Bench {
           }
           (System.nanoTime() - t0) / 1e9
         }.sorted
+        val (r1, w1, s1) = metricsSnapshot()
         val median = times(times.length / 2)
-        (name, median, times, err)
+        (name, median, times, err, (r1 - r0, w1 - w0, s1 - s0))
     }
-    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + f"$v%.6f" }
+    val qs = results.map { case (k, v, _, _, _) => jstr(k) + ":" + f"$v%.6f" }
       .mkString("{", ",", "}")
     val errs = results.collect {
-      case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e)
+      case (k, _, _, Some(e), _) => jstr(k) + ":" + jstr(e)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val shuffle = results.map { case (k, _, _, _, (r, w, s)) =>
+      jstr(k) + s""":{"read":$r,"write":$w,"spill":$s}"""
+    }.mkString("{", ",", "}")
     val extra =
-      if (reps == 1) ""
+      if (reps == 1) s""","shuffle_bytes":$shuffle"""
       else {
-        val lat = results.map { case (k, _, ts, _) =>
+        val lat = results.map { case (k, _, ts, _, _) =>
           jstr(k) + ":" + ts.map(t => f"$t%.6f").mkString("[", ",", "]")
         }.mkString("{", ",", "}")
-        val p90 = results.map { case (k, _, ts, _) =>
+        val p90 = results.map { case (k, _, ts, _, _) =>
           jstr(k) + ":" + f"${ts((ts.length * 9) / 10 min (ts.length - 1))}%.6f"
         }.mkString("{", ",", "}")
-        s""","reps":$reps,"latency":$lat,"p90":$p90"""
+        s""","reps":$reps,"latency":$lat,"p90":$p90""" +
+          s""","shuffle_bytes":$shuffle"""
       }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

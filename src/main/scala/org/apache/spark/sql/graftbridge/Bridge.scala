@@ -26,6 +26,11 @@ object Bridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Drain the async listener bus so per-query metric snapshots are
+    * complete (`listenerBus` is `private[spark]`, hence this shim). */
+  def drainListeners(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Register a Catalyst expression as a SQL function on a live session —
     * `sessionState` is `private[sql]`, hence this shim's package. */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
