@@ -76,6 +76,51 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark late-data semantics: stragglers beyond the allowed " +
+      "lateness are dropped, in-watermark stragglers are kept") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").cast("long").as("window_start"),
+        col("n_events"))
+    // append mode: a window row is emitted once, when the watermark passes
+    // its end — exactly the finalize-and-drop contract under test
+    val q = agg.writeStream.format("memory").queryName("late_agg")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    def epoch(s: String) = t(s).getTime / 1000
+    try {
+      mem.addData((t("2024-01-01 00:10:00"), "a"),
+        (t("2024-01-01 00:20:00"), "a"))
+      q.processAllAvailable()
+      // advance the watermark to 02:00 → the 00:00 window finalizes at 2
+      mem.addData((t("2024-01-01 03:00:00"), "a"))
+      q.processAllAvailable()
+      // straggler far below the watermark: must be DROPPED (the 00:00
+      // window was finalized without it); straggler above the watermark:
+      // must be KEPT (02:30 joins the 02:00 window)
+      mem.addData((t("2024-01-01 00:30:00"), "late"),
+        (t("2024-01-01 02:30:00"), "ok"))
+      q.processAllAvailable()
+      // push the watermark past every open window to flush them
+      mem.addData((t("2024-01-01 06:00:00"), "a"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+          "SELECT window_start, n_events FROM late_agg")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows(epoch("2024-01-01 00:00:00")) === 2L,
+        "dropped straggler must not reopen a finalized window")
+      assert(rows(epoch("2024-01-01 02:00:00")) === 1L,
+        "in-watermark straggler must be kept")
+      assert(rows(epoch("2024-01-01 03:00:00")) === 1L)
+      assert(!rows.contains(epoch("2024-01-01 00:30:00")))
+    } finally q.stop()
+  }
+
   test("streaming windowed aggregation with watermark equals the batch form") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
