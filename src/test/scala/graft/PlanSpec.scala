@@ -28,6 +28,39 @@ class PlanSpec extends SparkSpec {
     assert(probed.count() === expect)
   }
 
+  test("reorder coarse pass scans the codes column only, never vec " +
+      "(column pruning reaches the parquet scan)") {
+    val path = "/tmp/graft_test_plan_codes"
+    val emb = Tables.embeddingVectors(spark, sfDir)
+    val clustered = emb.select(col("id"), col("vec"),
+      col("label").cast("long").as("cluster_id"))
+    val p = ScalarQuant.train(emb.select("id", "vec"))
+    IvfIndex.writeClustered(clustered, path, p)
+    val stored = IvfIndex.readClustered(spark, path)
+    val cents = clustered.select(col("cluster_id"), posexplode(col("vec")))
+      .groupBy("cluster_id", "pos").agg(round(avg("col"), 6).as("m"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (c, xs) => c -> xs.sortBy(_._2).map(_._3).toIndexedSeq }
+      .toIndexedSeq.sortBy(_._1)
+    val res = IvfIndex.searchWithReorder(
+      Tables.embeddingQueries(spark, sfDir), stored, cents, p,
+      k = 5, nProbes = 2, kReorder = 3)
+    val plan = res.queryExecution.executedPlan.toString
+    // two scans of the stored table: the coarse one must read codes and
+    // NOT vec; the fine one reads (id, vec) for the shortlist only
+    val scans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains(path)).toSeq
+    assert(scans.nonEmpty, plan.take(1200))
+    // match on ReadSchema (the pruned column set), not the whole line —
+    // the storage path itself contains the word "codes"
+    val coarse = scans.filter(_.contains("codes:array"))
+    assert(coarse.nonEmpty, s"no codes-reading scan:\n${scans.mkString("\n")}")
+    assert(coarse.forall(l => !l.contains("vec:array")),
+      s"coarse scan reads vec:\n${coarse.mkString("\n")}")
+    assert(res.count() > 0)
+  }
+
   test("flat kNN merge pre-limits per partition before the shuffle") {
     val q = Tables.embeddingQueries(spark, sfDir)
     val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
