@@ -18,14 +18,14 @@ object SparkEntry {
 
   private def knnLineitem(metric: Metric)(s: SparkSession, dir: String)
       : DataFrame =
-    FlatKnn.search(Tables.lineitemQueries(s, dir),
+    FlatKnn.search(liQueries(s, dir),
         liVectors(s, dir), K, metric)
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 
   private def knnEmbeddings(metric: Metric)(s: SparkSession, dir: String)
       : DataFrame =
-    FlatKnn.search(Tables.embeddingQueries(s, dir),
+    FlatKnn.search(embQueries(s, dir),
         embVectors(s, dir).select("id", "vec"), K, metric)
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
@@ -46,6 +46,19 @@ object SparkEntry {
   private def liVectors(s: SparkSession, dir: String): DataFrame =
     memoized("li_vectors", dir) { Tables.lineitemVectors(s, dir).cache() }
 
+  // query batches are collected by every search; cache them so each of the
+  // ~20 kNN-shaped queries doesn't pay a full base-table parquet scan just
+  // to gather its (tiny) query set
+  private def liQueries(s: SparkSession, dir: String): DataFrame =
+    memoized("li_queries", dir) { Tables.lineitemQueries(s, dir).cache() }
+
+  private def liQueriesDedup(s: SparkSession, dir: String): DataFrame =
+    memoized("li_queries_dedup", dir) {
+      Tables.lineitemQueriesDedup(s, dir).cache() }
+
+  private def embQueries(s: SparkSession, dir: String): DataFrame =
+    memoized("emb_queries", dir) { Tables.embeddingQueries(s, dir).cache() }
+
   private def embVectors(s: SparkSession, dir: String): DataFrame =
     memoized("emb_vectors", dir) { Tables.embeddingVectors(s, dir).cache() }
 
@@ -64,7 +77,7 @@ object SparkEntry {
       .orderBy("cluster_id")
 
   private def ivfSearchQ(s: SparkSession, dir: String): DataFrame =
-    IvfIndex.search(Tables.lineitemQueriesDedup(s, dir), liClustered(s, dir),
+    IvfIndex.search(liQueriesDedup(s, dir), liClustered(s, dir),
         Tables.lineitemCentroids(s, dir), K, NProbes, Metric.L2)
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
@@ -80,7 +93,7 @@ object SparkEntry {
 
   private def recallQ(s: SparkSession, dir: String): DataFrame = {
     val data = liDedup(s, dir)
-    val q = Tables.lineitemQueriesDedup(s, dir)
+    val q = liQueriesDedup(s, dir)
     val cents = Tables.lineitemCentroids(s, dir)
     val ivf = IvfIndex.search(q, liClustered(s, dir), cents,
       K, NProbes, Metric.L2)
@@ -97,7 +110,7 @@ object SparkEntry {
     * unrolled assign/recompute rounds bit-for-bit. */
   private def kmeansTrainQ(s: SparkSession, dir: String): DataFrame = {
     val data = embVectors(s, dir).select("id", "vec")
-    val init = Tables.embeddingQueries(s, dir).collect()
+    val init = embQueries(s, dir).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     val cents = KMeans.lloyd(data, init, iters = LloydIters,
       dims = Tables.embDims, roundTo = 6)
@@ -231,7 +244,7 @@ object SparkEntry {
   private def vamanaSearchQ(s: SparkSession, dir: String): DataFrame = {
     val clustered = embLabelClustered(s, dir)
     val graph = embGraph(s, dir)
-    Vamana.searchSharded(Tables.embeddingQueries(s, dir), clustered, graph,
+    Vamana.searchSharded(embQueries(s, dir), clustered, graph,
         embLabelCentroids(s, dir), K, searchWindow = 1 << 14,
         nProbes = VamanaProbes, Metric.L2)
       .select("query_id", "rnk", "neighbor_id")
@@ -243,7 +256,7 @@ object SparkEntry {
   private def vamanaRecallQ(s: SparkSession, dir: String): DataFrame = {
     val clustered = embLabelClustered(s, dir)
     val data = embVectors(s, dir).select("id", "vec")
-    val q = Tables.embeddingQueries(s, dir)
+    val q = embQueries(s, dir)
     val graph = embGraph(s, dir)
     val approx = Vamana.searchSharded(q, clustered, graph,
       embLabelCentroids(s, dir), K, searchWindow = 40,
@@ -258,7 +271,7 @@ object SparkEntry {
 
   /** Per-query top-5 labels by min distance over each label's vectors. */
   private def multiLabelQ(s: SparkSession, dir: String): DataFrame =
-    MultiVector.searchByLabel(Tables.embeddingQueries(s, dir),
+    MultiVector.searchByLabel(embQueries(s, dir),
         embVectors(s, dir)
           .select(col("id"), col("vec"), col("label").cast("long").as("label")),
         LabelK, Metric.L2)
@@ -267,7 +280,7 @@ object SparkEntry {
   /** Flat kNN with a soft-deleted (tombstoned) id set excluded (P8/M2). */
   private def tombstoneKnnQ(s: SparkSession, dir: String): DataFrame = {
     val data = embVectors(s, dir).select("id", "vec")
-    FlatKnn.searchWithTombstones(Tables.embeddingQueries(s, dir), data,
+    FlatKnn.searchWithTombstones(embQueries(s, dir), data,
         data.filter(col("id") % 7 === 0).select("id"), K, Metric.L2)
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
@@ -340,7 +353,7 @@ object SparkEntry {
     val data = embVectors(s, dir).select("id", "vec")
     val leaders = invLeaders(s, dir)
     val clustered = Inverted.cluster(data, leaders)
-    Inverted.search(Tables.embeddingQueries(s, dir), clustered, leaders,
+    Inverted.search(embQueries(s, dir), clustered, leaders,
         K, InvNLeaders, InvEps, Metric.L2)
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
@@ -386,7 +399,7 @@ object SparkEntry {
     val clustered = memoized[DataFrame]("emb_clustered_codes", dir) {
       IvfIndex.withResidentCodes(embLabelClustered(s, dir), p).cache()
     }
-    IvfIndex.searchWithReorder(Tables.embeddingQueries(s, dir), clustered,
+    IvfIndex.searchWithReorder(embQueries(s, dir), clustered,
         embLabelCentroids(s, dir), p, K, VamanaProbes, KReorder)
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
@@ -525,7 +538,7 @@ object SparkEntry {
     * and the stored row with id = query_id + 1. */
   private def pointDistanceQ(s: SparkSession, dir: String): DataFrame = {
     val data = embVectors(s, dir).select("id", "vec")
-    val lookups = Tables.embeddingQueries(s, dir)
+    val lookups = embQueries(s, dir)
       .select((col("query_id") + 1).as("id"), col("qvec"))
     Reconstruct.getDistances(lookups, data, Metric.L2)
       .select(col("id"),
@@ -552,7 +565,7 @@ object SparkEntry {
     * union equals the exact top-(3·k) — which is precisely what the oracle's
     * paged ranking expresses. */
   private def batchPagesQ(s: SparkSession, dir: String): DataFrame = {
-    val it = new BatchIterator(Tables.embeddingQueries(s, dir),
+    val it = new BatchIterator(embQueries(s, dir),
       embVectors(s, dir).select("id", "vec"), Metric.L2)
     (0 until Pages).map { p =>
       it.next(K).select(col("query_id"), lit(p.toLong).as("page"),
@@ -572,7 +585,7 @@ object SparkEntry {
     val clustered = embLabelClustered(s, dir)
     val graph = embGraph(s, dir)
     val cents = embLabelCentroids(s, dir)
-    val q = Tables.embeddingQueries(s, dir)
+    val q = embQueries(s, dir)
     def searchAt(w: Int): DataFrame =
       Vamana.searchSharded(q, clustered, graph, cents, K, w, VamanaProbes,
         Metric.L2)
@@ -607,7 +620,7 @@ object SparkEntry {
     val deleted = embVectors(s, dir).filter(col("id") % 13 === 5).select("id")
     val (nc, ng) = Vamana.updateShards(clustered, graph, added, deleted,
       VamanaParams, Metric.L2)
-    Vamana.searchSharded(Tables.embeddingQueries(s, dir), nc, ng,
+    Vamana.searchSharded(embQueries(s, dir), nc, ng,
         labelCentroidsOf(nc), K, searchWindow = 1 << 14,
         nProbes = VamanaProbes, Metric.L2)
       .select("query_id", "rnk", "neighbor_id")
@@ -635,7 +648,7 @@ object SparkEntry {
   /** LVQ compressed search: coarse level-1 scan + two-level re-rank — full
     * precision never read. */
   private def lvqSearchQ(s: SparkSession, dir: String): DataFrame =
-    Lvq.search(Tables.embeddingQueries(s, dir), lvqEncoded(s, dir),
+    Lvq.search(embQueries(s, dir), lvqEncoded(s, dir),
         lvqParams(s, dir), K, KReorder)
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
@@ -651,7 +664,7 @@ object SparkEntry {
     graft.plans.KnnJoinApi.install(s)
     embVectors(s, dir).select("id", "vec")
       .createOrReplaceTempView("graft_data")
-    Tables.embeddingQueries(s, dir).createOrReplaceTempView("graft_q")
+    embQueries(s, dir).createOrReplaceTempView("graft_q")
     s.sql(
       s"""SELECT query_id, rnk, neighbor_id FROM (
          |  SELECT q.query_id, d.id AS neighbor_id,
