@@ -603,6 +603,57 @@ object OracleGen {
        |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
   }
 
+  /** Decode-free IP/cosine over scalar-quantization codes
+    * (ScalarQuant.searchOnCodes): the identical affine algebra —
+    * IP(dec a, dec b) = s²·dot + s·b·(Σa+Σb) + d·b², norms from Σc/Σc² —
+    * replayed with the same expression structure for bit-identical
+    * doubles. */
+  def sqCodeSearch(metric: Metric, k: Int): String = {
+    val d = Tables.embDims
+    val lo = (0 until d).map(i => s"min(v$i)").mkString("least(", ", ", ")")
+    val hi = (0 until d).map(i => s"max(v$i)")
+      .mkString("greatest(", ", ", ")")
+    def codes(src: String, out: String) = (0 until d)
+      .map(i => s"floor(($src$i - b) / s + 0.5) AS $out$i").mkString(", ")
+    val csum = (0 until d).map(i => s"c$i").mkString("(", " + ", ")")
+    val csumsq = (0 until d).map(i => s"c$i * c$i").mkString("(", " + ", ")")
+    val qsum = (0 until d).map(i => s"e$i").mkString("(", " + ", ")")
+    val qsumsq = (0 until d).map(i => s"e$i * e$i").mkString("(", " + ", ")")
+    val dot = (0 until d).map(i => s"qs.e$i * ds.c$i").mkString(" + ")
+    val ip = s"(s * s) * ($dot) + (s * b) * (qs.qsum + ds.csum) + " +
+      s"$d.0 * (b * b)"
+    val dist = metric match {
+      case Metric.IP => ip
+      case _ =>
+        s"($ip) / (sqrt((s * s) * qs.qsumsq + (2 * s * b) * qs.qsum + " +
+          s"$d.0 * (b * b)) * sqrt((s * s) * ds.csumsq + " +
+          s"(2 * s * b) * ds.csum + $d.0 * (b * b)))"
+    }
+    s"""WITH data AS (
+       |  SELECT vec_id AS id, ${dimCols("v", embDimExprs)}
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}
+       |  FROM embeddings WHERE ${Tables.embQueryPredSql}),
+       |mm AS (SELECT $lo AS lo, $hi AS hi FROM data),
+       |pp AS (SELECT CASE WHEN hi > lo THEN (hi - lo) / 255.0
+       |  ELSE 1.0 END AS s, lo AS b FROM mm),
+       |dc AS (SELECT id, ${codes("v", "c")} FROM data CROSS JOIN pp),
+       |ds AS (SELECT *, $csum AS csum, $csumsq AS csumsq FROM dc),
+       |qc AS (SELECT query_id, ${codes("q", "e")} FROM q CROSS JOIN pp),
+       |qs AS (SELECT *, $qsum AS qsum, $qsumsq AS qsumsq FROM qc),
+       |pairs AS (
+       |  SELECT qs.query_id, ds.id, $dist AS dist
+       |  FROM qs CROSS JOIN ds CROSS JOIN pp),
+       |ranked AS (
+       |  SELECT query_id, id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist DESC, id ASC) AS rnk
+       |  FROM pairs)
+       |SELECT query_id, rnk, neighbor_id FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Shared CTE chain for the LVQ-style two-level residual codec (mirrors
     * graft.operators.Lvq.encode exactly, including parenthesization, so the
     * doubles are bit-identical): mean-center, per-vector affine SQ (255

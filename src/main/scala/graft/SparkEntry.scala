@@ -372,6 +372,28 @@ object SparkEntry {
     Multimodal.decodeStats(Multimodal.pack(docs(s, dir)))
       .orderBy("doc_id")
 
+  /** SQ code table with the per-row sums that unlock decode-free IP/cosine
+    * (q55/q56). */
+  private def sqEncSums(s: SparkSession, dir: String): DataFrame =
+    memoized[DataFrame]("sq_enc_sums", dir) {
+      val p = memoized[ScalarQuant.Params]("emb_sq_params", dir) {
+        ScalarQuant.train(embVectors(s, dir).select("id", "vec"))
+      }
+      ScalarQuant.encodeWithSums(embVectors(s, dir).select("id", "vec"), p)
+        .cache()
+    }
+
+  private def sqCodeSearchQ(metric: Metric)(s: SparkSession, dir: String)
+      : DataFrame = {
+    val p = memoized[ScalarQuant.Params]("emb_sq_params", dir) {
+      ScalarQuant.train(embVectors(s, dir).select("id", "vec"))
+    }
+    ScalarQuant.searchOnCodes(embQueries(s, dir), sqEncSums(s, dir), p, K,
+        metric)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   /** Real-container media decode (q54): actual WAV/PPM bytes through the
     * pure-JVM parsers, position-weighted sample sums checked by the
     * oracle's replay of the generator formula. */
@@ -729,6 +751,8 @@ object SparkEntry {
     "q52_lvq_codes" -> (lvqCodesQ _),
     "q53_lvq_search" -> (lvqSearchQ _),
     "q54_media_real" -> (mediaRealQ _),
+    "q55_sq_ip_codes" -> (sqCodeSearchQ(Metric.IP) _),
+    "q56_sq_cos_codes" -> (sqCodeSearchQ(Metric.Cosine) _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -788,5 +812,7 @@ object SparkEntry {
     "q52_lvq_codes" -> OracleGen.lvqCodes,
     "q53_lvq_search" -> OracleGen.lvqSearch(K, KReorder),
     "q54_media_real" -> OracleGenText.mediaReal,
+    "q55_sq_ip_codes" -> OracleGen.sqCodeSearch(Metric.IP, K),
+    "q56_sq_cos_codes" -> OracleGen.sqCodeSearch(Metric.Cosine, K),
   )
 }

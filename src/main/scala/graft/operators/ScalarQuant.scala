@@ -49,8 +49,7 @@ object ScalarQuant {
     * L2(decode(a), decode(b)) = scale² · Σ(codeA−codeB)², so ranking on raw
     * code distances is exact — queries are encoded with the same codec and
     * searched directly against the code table; reported `dist` is rescaled
-    * to the decoded metric. L2 only (IP/cosine need the bias cross-terms —
-    * decode first for those). */
+    * to the decoded metric. L2 path; IP/cosine use [[searchOnCodes]]. */
   def searchQuantized(queries: DataFrame, encoded: DataFrame, p: Params,
                       k: Int): DataFrame = {
     val encQ = queries.select(col("query_id"),
@@ -59,5 +58,59 @@ object ScalarQuant {
       col("codes").cast("array<double>").as("vec"))
     FlatKnn.search(encQ, encD, k, graft.core.Metric.L2)
       .withColumn("dist", col("dist") * lit(p.scale * p.scale))
+  }
+
+  /** Code table with per-row code sums — the sidecar scalars that make the
+    * IP/cosine bias cross-terms computable without decoding:
+    * (id, codes, csum = Σc, csumsq = Σc²). */
+  def encodeWithSums(data: DataFrame, p: Params): DataFrame =
+    encode(data, p).select(col("id"), col("codes"),
+      aggregate(col("codes"), lit(0L), (a, c) => a + c).as("csum"),
+      aggregate(col("codes"), lit(0L), (a, c) => a + c * c).as("csumsq"))
+
+  /** Decode-free inner-product / cosine on codes (the reference's SQDataset
+    * supports every metric over codes, scalar.h:58-130): with
+    * dec(x) = s·x + b,
+    *
+    *   IP(dec a, dec b)  = s²·dot(a,b) + s·b·(Σa + Σb) + d·b²
+    *   ‖dec v‖²          = s²·Σv² + 2·s·b·Σv + d·b²
+    *
+    * so both metrics need only the integer code dot product plus the
+    * precomputed per-row sums from [[encodeWithSums]] — full precision is
+    * never read. The dot runs through the codegen'd InnerProduct kernel;
+    * ranking is exact under the shared codec (identical algebra on both
+    * sides of the oracle). Output: (query_id, rnk, neighbor_id, dist) with
+    * dist the decoded-space similarity, best (largest) first. */
+  def searchOnCodes(queries: DataFrame, encodedS: DataFrame, p: Params,
+                    k: Int, metric: graft.core.Metric): DataFrame = {
+    import graft.core.Metric
+    require(metric == Metric.IP || metric == Metric.Cosine,
+      s"searchOnCodes handles IP/cosine; use searchQuantized for L2")
+    val s = p.scale
+    val b = p.bias
+    val qdf = queries.select(col("query_id"),
+        encodeColumn(col("qvec"), p).as("qcodes"))
+      .withColumn("qsum", aggregate(col("qcodes"), lit(0L), (a, c) => a + c))
+      .withColumn("qsumsq",
+        aggregate(col("qcodes"), lit(0L), (a, c) => a + c * c))
+    val pairs = broadcast(qdf).crossJoin(
+      encodedS.select(col("id"), col("codes"), col("csum"), col("csumsq")))
+    val d = size(col("codes")).cast("double")
+    val dot = Metric.IP.column(col("qcodes").cast("array<double>"),
+      col("codes").cast("array<double>"))
+    val ip = lit(s * s) * dot +
+      lit(s * b) * (col("qsum") + col("csum")) + d * lit(b * b)
+    val dist = metric match {
+      case Metric.IP => ip
+      case _ =>
+        val qn = sqrt(lit(s * s) * col("qsumsq") +
+          lit(2 * s * b) * col("qsum") + d * lit(b * b))
+        val vn = sqrt(lit(s * s) * col("csumsq") +
+          lit(2 * s * b) * col("csum") + d * lit(b * b))
+        ip / (qn * vn)
+    }
+    TopK.perKeyViaWindow(
+      pairs.select(col("query_id"), col("id"), dist.as("dist")),
+      Seq("query_id"), col("id"), col("dist"), k, ascending = false)
   }
 }

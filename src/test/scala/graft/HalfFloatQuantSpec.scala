@@ -85,4 +85,30 @@ class HalfFloatQuantSpec extends SparkSpec {
       .intersect(full.select("query_id", "neighbor_id")).count()
     assert(hits.toDouble / full.count() >= 0.9)
   }
+
+  test("decode-free IP/cosine on codes ranks like searching the decoded " +
+      "vectors (affine bias algebra)") {
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    val q = Tables.embeddingQueries(spark, sfDir)
+    val p = ScalarQuant.train(data)
+    val encS = ScalarQuant.encodeWithSums(data, p).cache()
+    // reference result: decode the codes, then search the decoded table —
+    // the algebra must produce the same ranking without decoding
+    val decoded = ScalarQuant.encode(data, p)
+      .select(col("id"),
+        ScalarQuant.decodeColumn(col("codes"), p).as("vec"))
+    val decQ = q.select(col("query_id"),
+      ScalarQuant.decodeColumn(
+        ScalarQuant.encodeColumn(col("qvec"), p), p).as("qvec"))
+    for (m <- Seq(Metric.IP, Metric.Cosine)) {
+      val onCodes = ScalarQuant.searchOnCodes(q, encS, p, 10, m)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk").collect().toSeq
+      val viaDecode = FlatKnn.search(decQ, decoded, 10, m)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk").collect().toSeq
+      assert(onCodes === viaDecode, s"metric ${m.name}")
+    }
+    encS.unpersist()
+  }
 }
