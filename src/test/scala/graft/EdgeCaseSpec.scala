@@ -29,6 +29,42 @@ class EdgeCaseSpec extends SparkSpec {
       Seq("query_id", "rnk", "neighbor_id", "dist"))
   }
 
+  test("LVQ encodes a single-row and a constant-vector table without NaNs") {
+    import spark.implicits._
+    val one = Seq((7L, (0 until 8).map(_.toDouble))).toDF("id", "vec")
+    val pOne = Lvq.Params(Lvq.trainMean(one))
+    val decOne = Lvq.decode(Lvq.encode(one, pOne), pOne, twoLevel = true)
+      .collect()(0).getSeq[Double](1)
+    // one row: mean == vec, residuals 0 → reconstruction is exact
+    assert(decOne === (0 until 8).map(_.toDouble))
+    val const = Seq((0L, Seq(3.0, 3.0, 3.0)), (1L, Seq(3.0, 3.0, 3.0)))
+      .toDF("id", "vec")
+    val pC = Lvq.Params(Lvq.trainMean(const))
+    val backC = Lvq.decode(Lvq.encode(const, pC), pC, twoLevel = true)
+      .collect().map(_.getSeq[Double](1))
+    assert(backC.forall(_ === Seq(3.0, 3.0, 3.0)))
+  }
+
+  test("splitOversized with maxRows = 1 degenerates to singleton shards " +
+      "and still searches exactly") {
+    val data = emb.filter(col("id") < 20)
+    val clustered = data.withColumn("cluster_id", lit(0L))
+    val cents = Seq(0L -> Seq.fill(64)(0.0))
+    val (split, splitCents) = Vamana.splitOversized(clustered, cents, 1L)
+    val sizes = split.groupBy("cluster_id").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ === 1L) && sizes.length === 20)
+    val graph = Vamana.buildSharded(split,
+      BuildParams(maxDegree = 4, buildWindow = 8), Metric.L2)
+    val res = Vamana.searchSharded(q.limit(2), split, graph, splitCents,
+        k = 5, searchWindow = 8, nProbes = splitCents.length, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().toSeq
+    val exact = FlatKnn.search(q.limit(2), data, 5, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(res === exact)
+  }
+
   test("single-row dataset: vamana build and search degenerate cleanly") {
     val data = emb.filter(col("id") === 3)
     val graph = Vamana.buildSingle(data,

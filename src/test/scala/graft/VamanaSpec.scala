@@ -114,6 +114,31 @@ class VamanaSpec extends SparkSpec {
       graph2.orderBy("cluster_id", "id").collect().toSeq)
   }
 
+  test("similarity metrics (IP/cosine, descending) build and search " +
+      "correctly: exhaustive window equals exact top-k") {
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+      .filter(col("id") < 150)
+    val q = Tables.embeddingQueries(spark, sfDir).limit(5)
+    for (m <- Seq(Metric.IP, Metric.Cosine)) {
+      val graph = Vamana.buildSingle(data,
+        BuildParams(maxDegree = 16, buildWindow = 32), m).cache()
+      val clustered = data.withColumn("cluster_id", lit(0L))
+      val cents = Seq(0L -> Seq.fill(64)(0.0))
+      val res = Vamana.searchSharded(q, clustered, graph, cents, k = 10,
+          searchWindow = 1 << 12, nProbes = 1, m)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk").collect().toSeq
+      val exact = FlatKnn.search(q, data, 10, m)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk").collect().toSeq
+      assert(res === exact, s"metric ${m.name}")
+      // the mirrored α-rule keeps degrees bounded for similarity metrics too
+      val stats = Vamana.degreeStats(graph).collect()(0)
+      assert(stats.getAs[Long]("max_degree") <= 16, s"metric ${m.name}")
+      graph.unpersist()
+    }
+  }
+
   test("degreeStats reports bounded max degree") {
     val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
       .filter(col("id") < 100)
