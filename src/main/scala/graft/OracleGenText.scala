@@ -259,6 +259,19 @@ object OracleGenText {
        |FROM r WHERE rn <= $maxLen GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
+  /** Event-time interval self-join: per-event count + value-cents sum of
+    * the same user's events in the strictly preceding window. */
+  def recentContext(windowMinutes: Int): String =
+    s"""SELECT l.event_id, l.user_id,
+       |  CAST(count(r.event_id) AS BIGINT) AS n_recent,
+       |  CAST(coalesce(sum(CAST(round(r.value * 100) AS BIGINT)), 0)
+       |    AS BIGINT) AS recent_value_cents
+       |FROM events l LEFT JOIN events r
+       |  ON l.user_id = r.user_id
+       |  AND floor(epoch(r.ts)) >= floor(epoch(l.ts)) - ${windowMinutes * 60}
+       |  AND floor(epoch(r.ts)) < floor(epoch(l.ts))
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Whitespace vs BPE-ish-regex token counts (same pattern in both
     * engines). */
   def bpeTokens: String =

@@ -453,6 +453,12 @@ object SparkEntry {
   private def userPathsQ(s: SparkSession, dir: String): DataFrame =
     EventOps.userPaths(events(s, dir), PathLen).orderBy("user_id")
 
+  /** Event-time interval self-join (batch twin of the stream-stream join;
+    * EventOpsSpec proves streaming ≡ batch pair-for-pair). */
+  private def recentContextQ(s: SparkSession, dir: String): DataFrame =
+    EventOps.recentContext(events(s, dir), SessionGapMin)
+      .orderBy("event_id", "user_id")
+
   private val ValPct = 10
   private val TestPct = 10
 
@@ -753,6 +759,7 @@ object SparkEntry {
     "q54_media_real" -> (mediaRealQ _),
     "q55_sq_ip_codes" -> (sqCodeSearchQ(Metric.IP) _),
     "q56_sq_cos_codes" -> (sqCodeSearchQ(Metric.Cosine) _),
+    "q57_event_context" -> (recentContextQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -814,5 +821,6 @@ object SparkEntry {
     "q54_media_real" -> OracleGenText.mediaReal,
     "q55_sq_ip_codes" -> OracleGen.sqCodeSearch(Metric.IP, K),
     "q56_sq_cos_codes" -> OracleGen.sqCodeSearch(Metric.Cosine, K),
+    "q57_event_context" -> OracleGenText.recentContext(SessionGapMin),
   )
 }

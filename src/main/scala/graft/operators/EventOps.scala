@@ -45,6 +45,41 @@ object EventOps {
         max(col("ts").cast("long")).as("end_epoch"))
   }
 
+  /** Event-time interval self-join: for each event, the count and integer
+    * value-sum of the SAME user's events in the strictly preceding
+    * `windowMinutes`. Events with no preceding context keep a zero row.
+    * Batch twin of `StreamingEventJoin.recentContextPairs` — the plan is an
+    * equi-join on `user_id` with a time-range residual, so Spark
+    * co-partitions both sides by user and never materializes a cross
+    * product. */
+  def recentContext(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val winSec = windowMinutes * 60L
+    val l = events.select(col("event_id"), col("user_id"),
+      col("ts").cast("long").as("e"))
+    val r = events.select(col("user_id").as("r_user"),
+      col("ts").cast("long").as("r_e"), col("value").as("r_value"))
+    l.join(r, col("user_id") === col("r_user") &&
+        col("r_e") >= col("e") - winSec && col("r_e") < col("e"), "left")
+      .groupBy("event_id", "user_id")
+      .agg(count(col("r_e")).as("n_recent"),
+        coalesce(sum(round(col("r_value") * 100).cast("long")), lit(0L))
+          .as("recent_value_cents"))
+  }
+
+  /** The raw joined pairs behind [[recentContext]] — `(event_id,
+    * recent_event_id)` for every same-user event in the strictly preceding
+    * window. This is the form the streaming twin emits. */
+  def recentContextPairs(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val winSec = windowMinutes * 60L
+    val l = events.select(col("event_id"), col("user_id"),
+      col("ts").cast("long").as("e"))
+    val r = events.select(col("event_id").as("recent_event_id"),
+      col("user_id").as("r_user"), col("ts").cast("long").as("r_e"))
+    l.join(r, col("user_id") === col("r_user") &&
+        col("r_e") >= col("e") - winSec && col("r_e") < col("e"))
+      .select("event_id", "recent_event_id")
+  }
+
   /** Per-user ordered event-type path (bounded), for behavioral n-grams.
     * collect_list order is not guaranteed, so steps carry their rank and are
     * sorted inside the aggregate. */

@@ -121,6 +121,57 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join emits exactly the batch recent-context " +
+      "pairs, including across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingEventJoin
+    val mem = MemoryStream[(Timestamp, Long, Long)]
+    val stream = mem.toDF().toDF("ts", "user_id", "event_id")
+    val out = StreamingEventJoin.recentContextPairs(stream,
+      windowMinutes = 30, watermarkMinutes = 15)
+    val q = out.writeStream.format("memory").queryName("ctx_pairs")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    val rows = Seq(
+      // user 1: three events inside one 30-min span + one far later
+      (t("2024-01-01 00:00:00"), 1L, 10L),
+      (t("2024-01-01 00:10:00"), 1L, 11L),
+      (t("2024-01-01 00:25:00"), 1L, 12L),
+      (t("2024-01-01 05:00:00"), 1L, 13L),
+      // user 2: exactly-at-window-edge pair (30 min apart → included) and
+      // a same-timestamp pair (strictly-preceding → excluded)
+      (t("2024-01-01 01:00:00"), 2L, 20L),
+      (t("2024-01-01 01:30:00"), 2L, 21L),
+      (t("2024-01-01 01:30:00"), 2L, 22L))
+    try {
+      val (first, rest) = rows.splitAt(3)
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(rest: _*) // later arrivals must still match batch-1 state
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM ctx_pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.operators.EventOps.recentContextPairs(
+          rows.toDF("ts", "user_id", "event_id"), 30)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+      assert(batch === Set((11L, 10L), (12L, 10L), (12L, 11L),
+        (21L, 20L), (22L, 20L)))
+    } finally q.stop()
+  }
+
+  test("recent-context counts agree with the pairs form and keep " +
+      "zero-context events") {
+    val ctx = EventOps.recentContext(events, 30).cache()
+    assert(ctx.count() === events.count(), "left join must keep every event")
+    val fromPairs = EventOps.recentContextPairs(events, 30)
+      .groupBy("event_id").count()
+    val joined = ctx.join(fromPairs, Seq("event_id"), "left")
+      .filter(coalesce(col("count"), lit(0L)) =!= col("n_recent")).count()
+    assert(joined === 0, "n_recent must equal the pair multiplicity")
+  }
+
   test("streaming windowed aggregation with watermark equals the batch form") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
