@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Pass the forked run's stdout straight through (no "[info] " prefix):
+// the bench driver line-parses JSON out of the process output, and the
+// logger prefix breaks `json.loads` on the line.
+run / outputStrategy := Some(StdoutOutput)

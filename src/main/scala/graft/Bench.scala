@@ -99,8 +99,10 @@ object Bench {
         val lat = results.map { case (k, _, ts, _, _) =>
           jstr(k) + ":" + ts.map(t => f"$t%.6f").mkString("[", ",", "]")
         }.mkString("{", ",", "}")
+        // nearest-rank p90: ceil(0.9·n)-1 (reps=10 → index 8, not the max)
         val p90 = results.map { case (k, _, ts, _, _) =>
-          jstr(k) + ":" + f"${ts((ts.length * 9) / 10 min (ts.length - 1))}%.6f"
+          val idx = (math.ceil(0.9 * ts.length).toInt - 1).max(0)
+          jstr(k) + ":" + f"${ts(idx)}%.6f"
         }.mkString("{", ",", "}")
         s""","reps":$reps,"latency":$lat,"p90":$p90""" +
           s""","shuffle_bytes":$shuffle"""
@@ -110,10 +112,28 @@ object Bench {
       s""""errors":$errs,"n_queries":${results.size},""" +
       s""""n_errors":${results.count(_._4.isDefined)}$extra,""" +
       s""""sf":${jstr(sfDir)}}"""
-    println(json)
     try Files.writeString(Paths.get(outFile), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // The driver keeps only the last ~2.4 KB of stdout and line-parses JSON
+    // out of that tail, so the stdout copy must (a) stay SHORT — qNN keys
+    // (every query name starts with a unique qNN prefix), 3 decimals, no
+    // shuffle/latency maps — and (b) start the line with `{`: sbt's logger
+    // prefixes System.out with "[info] ", which is exactly why rounds 1–2
+    // came back parsed:null. Writing to FileDescriptor.out bypasses sbt's
+    // System.out redirection and lands unprefixed. The full-fidelity
+    // artifact is the file above.
+    val qsShort = results.map { case (k, v, _, _, _) =>
+      jstr(k.takeWhile(_ != '_')) + ":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+      s""""queries":$qsShort,"n_errors":${results.count(_._4.isDefined)},""" +
+      s""""sf":${jstr(sfDir)}}"""
+    val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+    raw.write(("\n" + compact + "\n").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    raw.flush()
     spark.stop()
   }
 }

@@ -101,13 +101,32 @@ object Dedup {
         col("x.g") === col("y.g") && col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .distinct()
-    val vocab = dfreq.count()
-    if (vocab <= BitsetVocabMax) {
+    // The bitset verify dictionary-encodes gram codes — only valid for
+    // integral gram types (string n-grams take the array_intersect verify).
+    val integralGrams = docs.schema("grams").dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) => et match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+      case _ => false
+    }
+    // cheap small-vocab gate: a bounded sample can prove the vocabulary
+    // LARGE without aggregating the corpus; only when the sample stays under
+    // the cap do we pay the exact distinct count (at 100 TB the sample
+    // overflows the cap and exits without a full scan)
+    val smallVocab = integralGrams &&
+      inv.select("g").limit(65536).distinct().count() <= BitsetVocabMax &&
+      dfreq.count() <= BitsetVocabMax
+    val verified = if (smallVocab) {
       // small shingle universe: prefix filtering cannot prune (every
       // "rare" shingle is still common), so the candidate set is
       // near-quadratic and verify dominates — dictionary-encode sets into
       // broadcast-indexed bitsets and verify with AND+popcount
-      val dict = dfreq.select("g").collect().map(_.getLong(0)).sorted
+      val dict = dfreq.select("g").collect()
+        .map(_.get(0).asInstanceOf[Number].longValue).sorted
         .zipWithIndex.toMap
       val words = (dict.size + 63) / 64
       val bcDict = spark.sparkContext.broadcast(dict)
@@ -143,6 +162,20 @@ object Dedup {
           (size(col("gs_a")) + size(col("gs_b")) - col("c")) >= threshold)
         .select("doc_a", "doc_b")
     }
+    // Materialize the (duplicate-pair-sized, i.e. small) result so the
+    // builder caches can be freed — repeated calls would otherwise
+    // accumulate cached dfreq/pref partitions in executor storage.
+    val out = verified.cache()
+    val n = out.count()
+    dfreq.unpersist(false)
+    pref.unpersist(false)
+    if (n <= 1000000L) {
+      val rows = out.collect()
+      val schema = out.schema
+      out.unpersist(false)
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+    } else out
   }
 
   /** Exact all-pairs Jaccard for small-to-medium corpora with a *small

@@ -78,6 +78,9 @@ object Multimodal {
           rate = bb.getInt(pos + 12)
           bits = bb.getShort(pos + 22) & 0xffff
         } else if (cid == "data") { dataOff = pos + 8; dataLen = clen }
+        // a corrupt/negative chunk length must fail loudly, not wedge the
+        // executor task in a non-advancing loop
+        require(clen >= 0, s"wav: negative $cid chunk length $clen")
         pos += 8 + clen + (clen & 1) // chunks are word-aligned
       }
       require(bits != 0 && dataOff >= 0, "wav: missing fmt/data chunk")

@@ -18,16 +18,22 @@ object StreamingEventJoin {
 
   /** events: streaming (ts TIMESTAMP, user_id, event_id). Output:
     * `(event_id, recent_event_id)`. `watermarkMinutes` is the allowed
-    * out-of-order lateness; it is independent of `windowMinutes`. */
+    * out-of-order lateness; it is independent of `windowMinutes`.
+    *
+    * Both sides are truncated to whole seconds (`date_trunc`) before the
+    * join: the batch twin compares `ts.cast("long")` (second-floored), and
+    * without the truncation sub-second events diverge at the strict `<` and
+    * window edges (0.4 s apart in the same second: batch excludes, raw
+    * timestamps would include). */
   def recentContextPairs(events: DataFrame, windowMinutes: Int,
                          watermarkMinutes: Int): DataFrame = {
     val l = events
-      .select(col("ts").as("l_ts"), col("user_id").as("l_user"),
-        col("event_id"))
+      .select(date_trunc("second", col("ts")).as("l_ts"),
+        col("user_id").as("l_user"), col("event_id"))
       .withWatermark("l_ts", s"$watermarkMinutes minutes")
     val r = events
-      .select(col("ts").as("r_ts"), col("user_id").as("r_user"),
-        col("event_id").as("recent_event_id"))
+      .select(date_trunc("second", col("ts")).as("r_ts"),
+        col("user_id").as("r_user"), col("event_id").as("recent_event_id"))
       .withWatermark("r_ts", s"$watermarkMinutes minutes")
     l.join(r,
       col("l_user") === col("r_user") &&

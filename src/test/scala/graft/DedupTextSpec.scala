@@ -67,6 +67,32 @@ class DedupTextSpec extends SparkSpec {
     assert(naive == prefix && naive == bitset && naive.nonEmpty)
   }
 
+  test("prefix join accepts string grams with a tiny vocabulary " +
+      "(bitset dictionary-encode must not fire on non-integral grams)") {
+    import spark.implicits._
+    // ~20 distinct string grams over 60 docs — well under BitsetVocabMax,
+    // so an element-type-blind small-vocab gate would ClassCastException
+    val vocab = ('a' to 't').map(c => s"w_$c")
+    val sdocs = (0L until 60L).map { i =>
+      val gs = (0 until 6).map(j => vocab(((i % 7) + j * 3).toInt % vocab.size))
+      (i, gs.distinct)
+    }.toDF("id", "grams")
+    val prefix = Dedup.jaccardPairsPrefix(sdocs, 0.5)
+      .as[(Long, Long)].collect().toSet
+    val naive = Dedup.jaccardPairs(sdocs, 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(prefix === naive && prefix.nonEmpty)
+  }
+
+  test("prefix join with string grams from real documents matches the " +
+      "inverted-index join") {
+    import spark.implicits._
+    val prefix = Dedup.jaccardPairsPrefix(grams, 0.5)
+      .as[(Long, Long)].collect().toSet
+    val naive = Dedup.jaccardPairs(grams, 0.5).as[(Long, Long)].collect().toSet
+    assert(prefix === naive && prefix.nonEmpty)
+  }
+
   test("shingleCodeTable kernel matches the Column-expression form") {
     import spark.implicits._
     val kernel = Dedup.shingleCodeTable(docs)

@@ -143,7 +143,15 @@ class EventOpsSpec extends SparkSpec {
       // a same-timestamp pair (strictly-preceding → excluded)
       (t("2024-01-01 01:00:00"), 2L, 20L),
       (t("2024-01-01 01:30:00"), 2L, 21L),
-      (t("2024-01-01 01:30:00"), 2L, 22L))
+      (t("2024-01-01 01:30:00"), 2L, 22L),
+      // user 3: sub-second timestamps — the batch twin compares second-
+      // truncated epochs, so events 0.4 s apart in the SAME second are not
+      // "strictly preceding" (30↛31), and the window edge is measured on
+      // truncated seconds (33 is 30 min after 30/31 once truncated)
+      (t("2024-01-01 02:00:00.4"), 3L, 30L),
+      (t("2024-01-01 02:00:00.8"), 3L, 31L),
+      (t("2024-01-01 02:30:00.2"), 3L, 32L),
+      (t("2024-01-01 02:30:00.9"), 3L, 33L))
     try {
       val (first, rest) = rows.splitAt(3)
       mem.addData(first: _*)
@@ -157,7 +165,8 @@ class EventOpsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(streamed === batch)
       assert(batch === Set((11L, 10L), (12L, 10L), (12L, 11L),
-        (21L, 20L), (22L, 20L)))
+        (21L, 20L), (22L, 20L),
+        (32L, 30L), (32L, 31L), (33L, 30L), (33L, 31L)))
     } finally q.stop()
   }
 
