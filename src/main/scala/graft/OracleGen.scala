@@ -735,6 +735,64 @@ object OracleGen {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** IVF probe + LVQ coarse scan + two-level re-rank (q58): probes pick the
+    * nProbes nearest label-cluster centroids, the coarse pass ranks the
+    * probed clusters on the level-1 reconstruction w (identical association
+    * to Lvq1Distance: m + (lo1 + s1·c1)), the shortlist re-ranks on the
+    * two-level reconstruction x. */
+  def lvqIvfReorder(k: Int, nProbes: Int, kReorder: Int): String = {
+    val d = Tables.embDims
+    val centAvgs = (0 until d).map(i => s"round(avg(d.v$i), 6) AS c$i")
+      .mkString(", ")
+    val w1 = (0 until d)
+      .map(i => s"m$i + (lo1 + s1 * c1_$i) AS w$i").mkString(", ")
+    val w2 = (0 until d)
+      .map(i => s"(m$i + (lo1 + s1 * c1_$i)) + (lo2 + s2 * c2_$i) AS x$i")
+      .mkString(", ")
+    s"""WITH $lvqCtes,
+       |lab AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT l.label AS cid, $centAvgs
+       |  FROM data d JOIN lab l ON l.id = d.id GROUP BY l.label),
+       |dec AS (SELECT id, $w1, $w2 FROM cl2 CROSS JOIN m),
+       |q AS (
+       |  SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}
+       |  FROM embeddings WHERE ${Tables.embQueryPredSql}),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${l2.sqlExpr("q.q", "c.c", d)} ASC, c.cid ASC) AS rn
+       |    FROM q CROSS JOIN cents c) WHERE rn <= $nProbes),
+       |coarse AS (
+       |  SELECT p.query_id, dc.id,
+       |    ${l2.sqlExpr("q.q", "dc.w", d)} AS cdist
+       |  FROM probes p
+       |  JOIN lab l ON l.label = p.cid
+       |  JOIN dec dc ON dc.id = l.id
+       |  JOIN q ON q.query_id = p.query_id),
+       |short AS (
+       |  SELECT query_id, id FROM (
+       |    SELECT query_id, id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cdist ASC, id ASC) AS rn
+       |    FROM coarse) WHERE rn <= ${kReorder * k}),
+       |fine AS (
+       |  SELECT s.query_id, s.id,
+       |    ${l2.sqlExpr("q.q", "dc.x", d)} AS dist
+       |  FROM short s
+       |  JOIN dec dc ON dc.id = s.id
+       |  JOIN q ON q.query_id = s.query_id),
+       |ranked AS (
+       |  SELECT query_id, id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist ASC, id ASC) AS rnk
+       |  FROM fine)
+       |SELECT query_id, rnk, neighbor_id FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** kNN over the 64-d embeddings table (DuckDB lists are 1-indexed). */
   def embeddingKnn(metric: Metric, k: Int): String = {
     val d = Tables.embDims

@@ -681,6 +681,21 @@ object SparkEntry {
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 
+  /** IVF probe + LVQ coarse scan + two-level re-rank (q58): cluster
+    * partition pruning composed with the residual codec as the resident
+    * representation — the coarse pass ranks with the codegen'd
+    * Lvq1Distance over (c1, lo1, s1) only; `vec` is never read. */
+  private def ivfLvqReorderQ(s: SparkSession, dir: String): DataFrame = {
+    val p = lvqParams(s, dir)
+    val clustered = memoized[DataFrame]("emb_clustered_lvq", dir) {
+      IvfIndex.withResidentLvq(embLabelClustered(s, dir), p).cache()
+    }
+    IvfIndex.searchWithLvqReorder(embQueries(s, dir), clustered,
+        embLabelCentroids(s, dir), p, K, VamanaProbes, KReorder)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   // ---- SQL extension surface (§2.9) ---------------------------------------
 
   /** kNN expressed as a SQL string over the registered distance function —
@@ -760,6 +775,7 @@ object SparkEntry {
     "q55_sq_ip_codes" -> (sqCodeSearchQ(Metric.IP) _),
     "q56_sq_cos_codes" -> (sqCodeSearchQ(Metric.Cosine) _),
     "q57_event_context" -> (recentContextQ _),
+    "q58_ivf_lvq_reorder" -> (ivfLvqReorderQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -822,5 +838,7 @@ object SparkEntry {
     "q55_sq_ip_codes" -> OracleGen.sqCodeSearch(Metric.IP, K),
     "q56_sq_cos_codes" -> OracleGen.sqCodeSearch(Metric.Cosine, K),
     "q57_event_context" -> OracleGenText.recentContext(SessionGapMin),
+    "q58_ivf_lvq_reorder" -> OracleGen.lvqIvfReorder(K, VamanaProbes,
+      KReorder),
   )
 }

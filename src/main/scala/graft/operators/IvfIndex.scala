@@ -82,6 +82,77 @@ object IvfIndex {
       metric.ascending)
   }
 
+  /** Attach resident LVQ two-level code columns
+    * (`c1, lo1, s1, c2, lo2, s2`) — the IVF+LVQ on-disk layout: the coarse
+    * pass scans level-1 codes, re-ranking reads the level-2 residual, and
+    * full precision is never touched. At scale persist with
+    * [[writeClustered]] after attaching (cluster-partitioned parquet). */
+  def withResidentLvq(clustered: DataFrame, p: Lvq.Params): DataFrame =
+    clustered.join(Lvq.encode(clustered.select("id", "vec"), p), Seq("id"))
+
+  /** IVF probe + LVQ-compressed coarse scan + two-level re-rank: the
+    * reference's IVF-over-compressed-data composition with the LVQ codec as
+    * the resident representation. The coarse pass prunes to the probed
+    * cluster partitions and scans `(c1, lo1, s1)` only, ranking with the
+    * codegen'd [[graft.functions.Lvq1Distance]] (distance evaluated on the
+    * codes — no decode column ever materializes); the `kReorder·k`
+    * shortlist is re-ranked on the level-1+2 reconstruction. Full-precision
+    * `vec` is never read in either pass. L2 only. */
+  def searchWithLvqReorder(queries: DataFrame, clustered: DataFrame,
+                           centroids: Seq[(Long, Seq[Double])],
+                           p: Lvq.Params, k: Int, nProbes: Int,
+                           kReorder: Int): DataFrame = {
+    require(clustered.columns.contains("c1"),
+      "searchWithLvqReorder scans resident LVQ codes: attach them via " +
+        "IvfIndex.withResidentLvq(clustered, p)")
+    val metric = graft.core.Metric.L2
+    val centArr = array(centroids.sortBy(_._1).map { case (cid, cvec) =>
+      struct(lit(cid).as("cid"), typedlit(cvec).as("cvec"))
+    }: _*)
+    val scored = queries.select(col("query_id"), col("qvec"),
+      explode(centArr).as("c"))
+      .select(col("query_id"), col("qvec"), col("c.cid").as("cluster_id"),
+        metric.column(col("qvec"), col("c.cvec")).as("cdist"))
+    val probes = TopK.perKey(scored, Seq("query_id"), col("cluster_id"),
+        col("cdist"), nProbes, metric.ascending)
+      .select(col("query_id"), col("neighbor_id").as("cluster_id"))
+      .join(queries, Seq("query_id"))
+    val probedIds = probes.select("cluster_id").distinct().collect()
+      .map(_.getLong(0)).toSeq
+
+    // coarse pass: partition-pruned scan of (cluster_id, id, c1, lo1, s1)
+    // ranked by code-space L2 — column pruning keeps c2/lo2/s2/vec unread
+    val coarseDist = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.Lvq1Distance(
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          col("qvec").cast("array<double>")),
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("c1")),
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("lo1")),
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("s1")),
+        p.mean.toArray))
+    val candCoarse = broadcast(probes)
+      .join(clustered.filter(col("cluster_id").isin(probedIds: _*))
+          .select("cluster_id", "id", "c1", "lo1", "s1"),
+        Seq("cluster_id"))
+      .select(col("query_id"), col("id"), coarseDist.as("cdist"))
+    val shortlist = TopK.perKey(candCoarse, Seq("query_id"), col("id"),
+        col("cdist"), kReorder * k, ascending = true)
+      .select(col("query_id"), col("neighbor_id").as("id"))
+
+    // re-rank on the two-level reconstruction of just the shortlisted rows
+    val encShort = clustered
+      .select("id", "c1", "lo1", "s1", "c2", "lo2", "s2")
+      .join(shortlist.select("id").distinct(), Seq("id"))
+    val d2 = Lvq.decode(encShort, p, twoLevel = true)
+    val fine = shortlist
+      .join(d2, Seq("id"))
+      .join(queries.select("query_id", "qvec"), Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        metric.column(col("qvec"), col("vec")).as("dist"))
+    TopK.perKeyViaWindow(fine, Seq("query_id"), col("id"), col("dist"), k,
+      ascending = true)
+  }
+
   /** Probe search with compressed-scan + full-precision reorder (the
     * reference's `k_reorder`, ivf/common.h:151-166): the coarse pass scans
     * the RESIDENT `codes` column (attach with [[withResidentCodes]] or

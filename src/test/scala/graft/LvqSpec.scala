@@ -49,6 +49,30 @@ class LvqSpec extends SparkSpec {
       s"only $hits/${exact.size} rows matched exact")
   }
 
+  test("IVF+LVQ reorder with all clusters probed equals the exhaustive " +
+      "two-pass LVQ search (codegen'd code-space distance is exact)") {
+    import graft.operators.IvfIndex
+    val clustered = Tables.embeddingVectors(spark, sfDir)
+      .select(col("id"), col("vec"), col("label").cast("long").as("cluster_id"))
+    val withLvq = IvfIndex.withResidentLvq(clustered, p).cache()
+    val centroids = clustered.select(col("cluster_id"), posexplode(col("vec")))
+      .groupBy("cluster_id", "pos").agg(round(avg("col"), 6).as("m"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq) }
+      .toSeq
+    val nClusters = centroids.size
+    val ivf = IvfIndex.searchWithLvqReorder(q, withLvq, centroids, p,
+        k = 10, nProbes = nClusters, kReorder = 3)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().toSeq
+    val exhaustive = Lvq.search(q, Lvq.encode(data, p), p, 10, kReorder = 3)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(ivf === exhaustive)
+    withLvq.unpersist()
+  }
+
   test("encode is deterministic and codes fit 8 bits") {
     val a = Lvq.encodeExploded(data, p).orderBy("id", "pos").collect().toSeq
     val b = Lvq.encodeExploded(data, p).orderBy("id", "pos").collect().toSeq

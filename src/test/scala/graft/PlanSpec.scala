@@ -61,6 +61,37 @@ class PlanSpec extends SparkSpec {
     assert(res.count() > 0)
   }
 
+  test("IVF+LVQ coarse pass scans level-1 code columns only — " +
+      "never vec, never the level-2 residual") {
+    val path = "/tmp/graft_test_plan_lvq"
+    val emb = Tables.embeddingVectors(spark, sfDir)
+    val clustered = emb.select(col("id"), col("vec"),
+      col("label").cast("long").as("cluster_id"))
+    val p = graft.operators.Lvq.Params(
+      graft.operators.Lvq.trainMean(emb.select("id", "vec")))
+    IvfIndex.writeClustered(IvfIndex.withResidentLvq(clustered, p), path)
+    val stored = IvfIndex.readClustered(spark, path)
+    val cents = clustered.select(col("cluster_id"), posexplode(col("vec")))
+      .groupBy("cluster_id", "pos").agg(round(avg("col"), 6).as("m"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (c, xs) => c -> xs.sortBy(_._2).map(_._3).toIndexedSeq }
+      .toIndexedSeq.sortBy(_._1)
+    val res = IvfIndex.searchWithLvqReorder(
+      Tables.embeddingQueries(spark, sfDir), stored, cents, p,
+      k = 5, nProbes = 2, kReorder = 3)
+    val plan = res.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains(path)).toSeq
+    assert(scans.nonEmpty, plan.take(1200))
+    val coarse = scans.filter(_.contains("c1:array"))
+    assert(coarse.nonEmpty, s"no c1-reading scan:\n${scans.mkString("\n")}")
+    assert(coarse.exists(l => !l.contains("vec:array") &&
+        !l.contains("c2:array")),
+      s"coarse scan reads vec or the residual level:\n${coarse.mkString("\n")}")
+    assert(res.count() > 0)
+  }
+
   test("flat kNN merge pre-limits per partition before the shuffle") {
     val q = Tables.embeddingQueries(spark, sfDir)
     val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
