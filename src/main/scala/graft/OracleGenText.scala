@@ -216,6 +216,51 @@ object OracleGenText {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Composite training-data pipeline (q60): quality + language gate →
+    * fingerprint exact-dedup → token count + content-hashed split — the
+    * q14/q15/q16/q41 folds composed end-to-end, exactly as the Spark
+    * pipeline runs them. */
+  def pipeline(qMin: Long, valPct: Int, testPct: Int): String = {
+    val stops = inList(TextAnalysis.stopwords)
+    val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
+      s"len(list_filter(toks, x -> list_contains(${inList(words)}, x))) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.langProfiles.map(_._1)
+    val cases = langs.init.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("\n  ")
+    s"""WITH t AS ($toksCte),
+       |f AS (SELECT doc_id, toks, text,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(toks, x -> CAST(ascii(x)*100 + length(x) AS BIGINT))),
+       |    (acc, x) -> (acc * 131 + x) % ${TextAnalysis.FpMod}) AS fp
+       |FROM t),
+       |s AS (SELECT doc_id,
+       |  $scores
+       |FROM t),
+       |lang AS (SELECT doc_id, CASE $cases ELSE '${langs.last}' END AS pred_lang
+       |FROM s),
+       |q AS (SELECT doc_id, CAST(floor(1000.0 * (
+       |  0.5 * (1.0 - CAST(len(list_filter(toks, x -> list_contains($stops, x))) AS DOUBLE) / len(toks)) +
+       |  0.4 * least(1.0, len(toks) / 100.0) +
+       |  0.1 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) / length(text))
+       |)) AS BIGINT) AS score FROM t),
+       |gated AS (
+       |  SELECT f.doc_id, f.fp, CAST(len(f.toks) AS BIGINT) AS n_tokens,
+       |    q.score
+       |  FROM f JOIN lang ON lang.doc_id = f.doc_id
+       |  JOIN q ON q.doc_id = f.doc_id
+       |  WHERE q.score >= $qMin AND lang.pred_lang = 'en'),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY fp)
+       |SELECT g.doc_id, g.n_tokens, g.score,
+       |  CASE WHEN g.fp % 100 < $testPct THEN 'test'
+       |       WHEN g.fp % 100 < ${testPct + valPct} THEN 'val'
+       |       ELSE 'train' END AS split
+       |FROM gated g JOIN keep ON keep.doc_id = g.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+  }
+
   /** Hourly tumbling event-time windows (batch twin of the streaming agg). */
   def eventWindows: String =
     s"""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)

@@ -696,6 +696,67 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** Streaming kNN (q59): the q01 query set fed as two MemoryStream
+    * micro-batches against the static lineitem vector table
+    * ([[graft.streaming.StreamingKnn.attachFlat]]). kNN against a static
+    * index is per-query independent, so the union of micro-batch results
+    * is pair-for-pair equal to the one-shot batch search and the query
+    * shares q01's oracle. Micro-batches split on query_id boundaries
+    * (lineitem query ids repeat; a straddling id would top-k twice). */
+  private def streamKnnQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val stream = mem.toDF().toDF("query_id", "qvec")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-knn").toString
+    val data = liVectors(s, dir)
+    val q = graft.streaming.StreamingKnn.attachFlat(stream, data, K,
+      Metric.L2, ckpt) { res =>
+      val rows = res.select("query_id", "rnk", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      buf.synchronized { buf ++= rows }
+    }
+    val groups = liQueries(s, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .groupBy(_._1).toSeq.sortBy(_._1).map(_._2.toSeq)
+    try {
+      val (a, b) = groups.splitAt(groups.length / 2)
+      mem.addData(a.flatten)
+      q.processAllAvailable()
+      mem.addData(b.flatten)
+      q.processAllAvailable()
+    } finally q.stop()
+    buf.toSeq.toDF("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
+  private val QMin = 500L
+
+  /** Composite training-data pipeline (q60): quality + language gate (map,
+    * duplicate-invariant so it commutes with dedup) → exact dedup by
+    * content fingerprint (the single shuffle) → token count +
+    * leakage-safe content-hashed split — the end-to-end corpus-build
+    * shape, every stage reusing a certified operator. */
+  private def pipelineQ(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val gated = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.qualityScore(col("text")).as("score"),
+        TextAnalysis.langId(col("text")).as("pred_lang"),
+        TextAnalysis.tokenCount(toks).as("n_tokens"),
+        TextAnalysis.datasetSplit(col("text"), ValPct, TestPct).as("split"))
+      .filter(col("score") >= QMin && col("pred_lang") === "en")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
+    gated.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "n_tokens", "score", "split")
+      .orderBy("doc_id")
+  }
+
   // ---- SQL extension surface (§2.9) ---------------------------------------
 
   /** kNN expressed as a SQL string over the registered distance function —
@@ -776,6 +837,8 @@ object SparkEntry {
     "q56_sq_cos_codes" -> (sqCodeSearchQ(Metric.Cosine) _),
     "q57_event_context" -> (recentContextQ _),
     "q58_ivf_lvq_reorder" -> (ivfLvqReorderQ _),
+    "q59_stream_knn" -> (streamKnnQ _),
+    "q60_pipeline" -> (pipelineQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -840,5 +903,7 @@ object SparkEntry {
     "q57_event_context" -> OracleGenText.recentContext(SessionGapMin),
     "q58_ivf_lvq_reorder" -> OracleGen.lvqIvfReorder(K, VamanaProbes,
       KReorder),
+    "q59_stream_knn" -> OracleGen.lineitemKnn(Metric.L2, K),
+    "q60_pipeline" -> OracleGenText.pipeline(QMin, ValPct, TestPct),
   )
 }
