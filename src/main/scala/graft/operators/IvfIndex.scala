@@ -44,6 +44,37 @@ object IvfIndex {
                      codec: ScalarQuant.Params): Unit =
     writeClustered(withResidentCodes(clustered, codec), path)
 
+  /** Driver-side probe selection: per query, the nProbes best centroids by
+    * the metric. The query batch and centroid list are both broadcast-small
+    * by the reference's own contract (its query matrix and centroid table
+    * live in memory, index/ivf/index.h:284-332), so scoring them on the
+    * driver replaces two Spark jobs (explode-aggregate + distinct-collect)
+    * per search call with a microsecond loop. Ordering (metric, ties to
+    * smaller cluster id) is identical to the TopK aggregate it replaces,
+    * and `Metric.compute` keeps the Catalyst fold order bit-for-bit.
+    * Returns (probe rows (query_id, cluster_id, qvec), distinct probed ids
+    * for partition pruning). */
+  private def selectProbes(queries: DataFrame,
+                           centroids: Seq[(Long, Seq[Double])], nProbes: Int,
+                           metric: Metric): (DataFrame, Seq[Long]) = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col("query_id").cast("long"), col("qvec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cents = centroids.sortBy(_._1).map { case (i, v) => (i, v.toArray) }
+    val rows = qRows.toSeq.flatMap { case (qid, qvec) =>
+      val top = new LocalTopK(nProbes, metric.ascending)
+      cents.foreach { case (cid, cvec) =>
+        top.insert(metric.compute(qvec, cvec), cid)
+      }
+      (0 until top.n).map(i => (qid, top.ids(i), qvec.toSeq))
+    }
+    (rows.toDF("query_id", "cluster_id", "qvec"),
+      rows.map(_._2).distinct.sorted)
+  }
+
   /** Probe search: score centroids per query, keep nProbes best clusters,
     * scan only those clusters, keep k best rows.
     *
@@ -52,27 +83,10 @@ object IvfIndex {
   def search(queries: DataFrame, clustered: DataFrame,
              centroids: Seq[(Long, Seq[Double])], k: Int, nProbes: Int,
              metric: Metric): DataFrame = {
-    // (a) per-query nProbes best centroids — centroid list is small, so this
-    // is a fold over a literal array, no join. Centroid selection always uses
-    // L2-or-metric distance per the reference (ivf searches centroids with
-    // the same metric); ordering follows the metric.
-    val centArr = array(centroids.sortBy(_._1).map { case (cid, cvec) =>
-      struct(lit(cid).as("cid"), typedlit(cvec).as("cvec"))
-    }: _*)
-    val scored = queries.select(col("query_id"), col("qvec"),
-      explode(centArr).as("c"))
-      .select(col("query_id"), col("qvec"), col("c.cid").as("cluster_id"),
-        metric.column(col("qvec"), col("c.cvec")).as("cdist"))
-    val probes = TopK.perKey(scored, Seq("query_id"), col("cluster_id"),
-        col("cdist"), nProbes, metric.ascending)
-      .select(col("query_id"), col("neighbor_id").as("cluster_id"))
-      .join(queries, Seq("query_id"))  // re-attach qvec (broadcast-small)
-
-    // (b) partition-pruned scan: the distinct probed-cluster set is tiny, so
-    // prune statically with an isin (reaches PartitionFilters on partitioned
+    val (probes, probedIds) = selectProbes(queries, centroids, nProbes, metric)
+    // partition-pruned scan: the probed-cluster set is tiny, so prune
+    // statically with an isin (reaches PartitionFilters on partitioned
     // storage — PlanSpec asserts it) before the broadcast equi-join.
-    val probedIds = probes.select("cluster_id").distinct().collect()
-      .map(_.getLong(0)).toSeq
     val cand = broadcast(probes)
       .join(clustered.filter(col("cluster_id").isin(probedIds: _*)),
         Seq("cluster_id"))
@@ -106,19 +120,7 @@ object IvfIndex {
       "searchWithLvqReorder scans resident LVQ codes: attach them via " +
         "IvfIndex.withResidentLvq(clustered, p)")
     val metric = graft.core.Metric.L2
-    val centArr = array(centroids.sortBy(_._1).map { case (cid, cvec) =>
-      struct(lit(cid).as("cid"), typedlit(cvec).as("cvec"))
-    }: _*)
-    val scored = queries.select(col("query_id"), col("qvec"),
-      explode(centArr).as("c"))
-      .select(col("query_id"), col("qvec"), col("c.cid").as("cluster_id"),
-        metric.column(col("qvec"), col("c.cvec")).as("cdist"))
-    val probes = TopK.perKey(scored, Seq("query_id"), col("cluster_id"),
-        col("cdist"), nProbes, metric.ascending)
-      .select(col("query_id"), col("neighbor_id").as("cluster_id"))
-      .join(queries, Seq("query_id"))
-    val probedIds = probes.select("cluster_id").distinct().collect()
-      .map(_.getLong(0)).toSeq
+    val (probes, probedIds) = selectProbes(queries, centroids, nProbes, metric)
 
     // coarse pass: partition-pruned scan of (cluster_id, id, c1, lo1, s1)
     // ranked by code-space L2 — column pruning keeps c2/lo2/s2/vec unread
@@ -171,19 +173,7 @@ object IvfIndex {
         "IvfIndex.withResidentCodes(clustered, p) or persist with " +
         "writeClustered(clustered, path, codec)")
     val metric = graft.core.Metric.L2
-    val centArr = array(centroids.sortBy(_._1).map { case (cid, cvec) =>
-      struct(lit(cid).as("cid"), typedlit(cvec).as("cvec"))
-    }: _*)
-    val scored = queries.select(col("query_id"), col("qvec"),
-      explode(centArr).as("c"))
-      .select(col("query_id"), col("qvec"), col("c.cid").as("cluster_id"),
-        metric.column(col("qvec"), col("c.cvec")).as("cdist"))
-    val probes = TopK.perKey(scored, Seq("query_id"), col("cluster_id"),
-        col("cdist"), nProbes, metric.ascending)
-      .select(col("query_id"), col("neighbor_id").as("cluster_id"))
-      .join(queries, Seq("query_id"))
-    val probedIds = probes.select("cluster_id").distinct().collect()
-      .map(_.getLong(0)).toSeq
+    val (probes, probedIds) = selectProbes(queries, centroids, nProbes, metric)
 
     // compressed pass: distances on the stored codes (queries encoded with
     // the same codec on the fly — the query batch is tiny); the scan prunes
