@@ -610,13 +610,13 @@ object SparkEntry {
     * calibration, asserted by the oracle. */
   private def calibrateQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val clustered = embLabelClustered(s, dir)
-    val graph = embGraph(s, dir)
     val cents = embLabelCentroids(s, dir)
     val q = embQueries(s, dir)
+    // calibration runs ~log2(maxWindow) searches over the SAME shards: pay
+    // the clustered ⋈ graph co-location shuffle once, walk per window
+    val pre = Vamana.prepareShards(embLabelClustered(s, dir), embGraph(s, dir))
     def searchAt(w: Int): DataFrame =
-      Vamana.searchSharded(q, clustered, graph, cents, K, w, VamanaProbes,
-        Metric.L2)
+      Vamana.searchPrepared(q, pre, cents, K, w, VamanaProbes, Metric.L2)
     val truth = searchAt(1 << 14).select("query_id", "neighbor_id").cache()
     val (w, rec) = Calibrate.calibrateWindow(searchAt, truth, K, CalTarget,
       K, CalMaxWindow)
@@ -628,9 +628,12 @@ object SparkEntry {
           .intersect(truth).count().toDouble / (K * nq)
         if (below < CalTarget) 1L else 0L
       }
-    Seq((if (rec >= CalTarget) 1L else 0L, minimal,
+    val out = Seq((if (rec >= CalTarget) 1L else 0L, minimal,
       if (w <= CalMaxWindow) 1L else 0L))
       .toDF("achieved", "minimal", "bounded")
+    truth.unpersist()
+    pre.unpersist()
+    out
   }
 
   private val UpdOffset = 1000000L

@@ -144,13 +144,17 @@ object Calibrate {
     var lo = minWindow
     var hi = maxWindow
     var best = (maxWindow, recallAt(maxWindow))
-    if (best._2 < targetRecall) return best // unreachable target: report max
+    if (best._2 < targetRecall) { // unreachable target: report max
+      truthPairs.unpersist()
+      return best
+    }
     while (lo < hi) {
       val mid = lo + (hi - lo) / 2
       val r = recallAt(mid)
       if (r >= targetRecall) { best = (mid, r); hi = mid }
       else lo = mid + 1
     }
+    truthPairs.unpersist()
     best
   }
 

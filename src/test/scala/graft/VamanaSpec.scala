@@ -114,6 +114,29 @@ class VamanaSpec extends SparkSpec {
       graph2.orderBy("cluster_id", "id").collect().toSeq)
   }
 
+  test("searchPrepared over prepareShards equals searchSharded exactly " +
+      "across windows (the repeated-search/calibration path)") {
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    val cents = data.filter(col("id") < 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val clustered = graft.operators.KMeans.assign(data, cents)
+    val graph = Vamana.buildSharded(clustered,
+      BuildParams(maxDegree = 24, buildWindow = 48), Metric.L2).cache()
+    val pre = Vamana.prepareShards(clustered, graph)
+    for (w <- Seq(10, 24, 64)) {
+      val viaPrepared = Vamana.searchPrepared(queries, pre, cents, k = 10,
+          searchWindow = w, nProbes = 2, Metric.L2)
+        .orderBy("query_id", "rnk").collect().toSeq
+      val viaSharded = Vamana.searchSharded(queries, clustered, graph, cents,
+          k = 10, searchWindow = w, nProbes = 2, Metric.L2)
+        .orderBy("query_id", "rnk").collect().toSeq
+      assert(viaPrepared === viaSharded, s"window $w")
+    }
+    pre.unpersist()
+    graph.unpersist()
+  }
+
   test("similarity metrics (IP/cosine, descending) build and search " +
       "correctly: exhaustive window equals exact top-k") {
     val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
