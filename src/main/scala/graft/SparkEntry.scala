@@ -736,6 +736,40 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** Streaming exact dedup (stream twin of q17): the same docs fed through
+    * [[graft.streaming.StreamingDedup]] in two micro-batches split so most
+    * keys span both and higher ids arrive first — the commutative (min, sum)
+    * state merge must still converge to the batch groupBy result. */
+  private def streamDedupQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val toks = TextAnalysis.tokens(col("text"))
+    val rows = docs(s, dir)
+      .select(concat_ws(" ", element_at(toks, 1), element_at(toks, 2))
+        .as("key"), col("doc_id").as("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val stream = mem.toDF().toDF("key", "id")
+    val acc = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-dedup").toString
+    val q = graft.streaming.StreamingDedup.attachExact(stream, ckpt) { b =>
+      val ups = b.select("key", "keep_id", "cnt").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      acc.synchronized { ups.foreach { case (k, v) => acc(k) = v } }
+    }
+    try {
+      val (odd, even) = rows.partition(_._2 % 2 == 1)
+      mem.addData(odd.toSeq)
+      q.processAllAvailable()
+      mem.addData(even.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    acc.toSeq.map { case (k, (kid, c)) => (k, kid, c) }
+      .toDF("key", "keep_id", "cnt").orderBy("key")
+  }
+
   private val QMin = 500L
 
   /** Composite training-data pipeline (q60): quality + language gate (map,
@@ -842,6 +876,7 @@ object SparkEntry {
     "q58_ivf_lvq_reorder" -> (ivfLvqReorderQ _),
     "q59_stream_knn" -> (streamKnnQ _),
     "q60_pipeline" -> (pipelineQ _),
+    "q61_stream_dedup" -> (streamDedupQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -908,5 +943,6 @@ object SparkEntry {
       KReorder),
     "q59_stream_knn" -> OracleGen.lineitemKnn(Metric.L2, K),
     "q60_pipeline" -> OracleGenText.pipeline(QMin, ValPct, TestPct),
+    "q61_stream_dedup" -> OracleGenText.dedupExactPrefix,
   )
 }
