@@ -520,6 +520,14 @@ object OracleGen {
   /** Calibration invariants (B7): a correct calibration achieves the target,
     * is minimal, and stays within the window bound — flags computed Spark-
     * side, asserted here. */
+  /** q25 invariant flags: a correct realistic-window search yields one row
+    * per query with its pinned floor met (the spark side computes
+    * matches ≥ floor; the oracle asserts the all-ones expectation over the
+    * exact query-id set). */
+  def vamanaRecallFlags: String =
+    s"SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS ge_floor " +
+      s"FROM embeddings WHERE ${Tables.embQueryPredSql} ORDER BY query_id"
+
   def calibrateFlags: String =
     "SELECT CAST(1 AS BIGINT) AS achieved, CAST(1 AS BIGINT) AS minimal, " +
       "CAST(1 AS BIGINT) AS bounded"
