@@ -517,9 +517,6 @@ object OracleGen {
        |ORDER BY query_id, page, rnk""".stripMargin
   }
 
-  /** Calibration invariants (B7): a correct calibration achieves the target,
-    * is minimal, and stays within the window bound — flags computed Spark-
-    * side, asserted here. */
   /** q25 invariant flags: a correct realistic-window search yields one row
     * per query with its pinned floor met (the spark side computes
     * matches ≥ floor; the oracle asserts the all-ones expectation over the
@@ -528,6 +525,9 @@ object OracleGen {
     s"SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS ge_floor " +
       s"FROM embeddings WHERE ${Tables.embQueryPredSql} ORDER BY query_id"
 
+  /** Calibration invariants (B7): a correct calibration achieves the target,
+    * is minimal, and stays within the window bound — flags computed Spark-
+    * side, asserted here. */
   def calibrateFlags: String =
     "SELECT CAST(1 AS BIGINT) AS achieved, CAST(1 AS BIGINT) AS minimal, " +
       "CAST(1 AS BIGINT) AS bounded"

@@ -365,4 +365,34 @@ object OracleGenText {
        |  CAST(sum(v) AS BIGINT) AS sum1,
        |  CAST(sum((i + 1) * v) AS BIGINT) AS sum2
        |FROM vals GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Compressed-container decode (Multimodal.packPng + ImageIoCodec): PNG
+    * is lossless, so DuckDB replays the generator formula
+    * `c_j = (id·31 + j·7 + 13) mod 256` over w·h·3 samples (w = 8 + id mod
+    * 8, h = 4 + id mod 4) and checks the position-weighted sums of what the
+    * JDK ImageIO decoder read back from real PNG bytes. */
+  def mediaPng: String =
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+       |gen AS (
+       |  SELECT doc_id, unnest(generate_series(0,
+       |    (8 + doc_id % 8) * (4 + doc_id % 4) * 3 - 1)) AS i
+       |  FROM d),
+       |vals AS (
+       |  SELECT doc_id, i, (doc_id * 31 + i * 7 + 13) % 256 AS v
+       |  FROM gen)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+       |  CAST(sum(v) AS BIGINT) AS sum1,
+       |  CAST(sum((i + 1) * v) AS BIGINT) AS sum2
+       |FROM vals GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** JPEG decode invariants (Multimodal.packJpeg + jpegDecodeFlags): JPEG
+    * is lossy, so the oracle asserts the invariant flags — exact decoded
+    * sample count (w·h·3 from the generator geometry), geometry round-trip,
+    * and bounded per-sample error — all expected 1. */
+  def mediaJpegFlags: String =
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST((16 + doc_id % 8) * (8 + doc_id % 4) * 3 AS BIGINT)
+       |    AS n_samples,
+       |  CAST(1 AS BIGINT) AS dims_ok, CAST(1 AS BIGINT) AS err_ok
+       |FROM documents ORDER BY doc_id""".stripMargin
 }

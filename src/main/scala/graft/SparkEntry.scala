@@ -255,24 +255,48 @@ object SparkEntry {
     * the deterministic sharded build with −2 slack, the same
     * invariant-flag-oracle pattern as q50/the reference's pinned recall
     * goldens (data/test_dataset/reference/vamana_reference.toml:44-59,
-    * asserted ±ε in tests/integration/vamana/index_search.cpp:136-200). */
+    * asserted ±ε in tests/integration/vamana/index_search.cpp:136-200).
+    *
+    * Loading fails loudly (like GoldenSpec): a missing/empty/unparseable
+    * floors file throws rather than silently degrading every floor to 0 and
+    * making the certification vacuous. `SPARK_GRAFT_Q25_REGEN=1` is the
+    * explicit regeneration escape hatch (all floors 0; run q25, re-apply the
+    * −2 slack to the measured matches, rewrite the file). */
+  private def q25RegenMode: Boolean =
+    sys.env.get("SPARK_GRAFT_Q25_REGEN").exists(_.nonEmpty)
+
   private lazy val q25Floors: Map[(String, Long), Long] = {
     val p = java.nio.file.Paths.get("goldens/q25_floors.json")
-    if (!java.nio.file.Files.exists(p)) Map.empty
-    else {
-      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      val re = """\{"sf":"([^"]+)","query_id":(\d+),"floor":(\d+)\}""".r
-      re.findAllMatchIn(s)
-        .map(m => (m.group(1), m.group(2).toLong) -> m.group(3).toLong)
-        .toMap
+    // Files.readAllBytes throws NoSuchFileException on a missing file —
+    // same loud failure as GoldenSpec's golden-grid load.
+    val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    import org.json4s._
+    val floors = org.json4s.jackson.JsonMethods.parse(s) \ "floors" match {
+      case JArray(entries) =>
+        entries.map { e =>
+          (e \ "sf", e \ "query_id", e \ "floor") match {
+            case (JString(sf), JInt(qid), JInt(f)) =>
+              (sf, qid.toLong) -> f.toLong
+            case other =>
+              throw new IllegalStateException(
+                s"$p: malformed floors entry $other")
+          }
+        }.toMap
+      case other =>
+        throw new IllegalStateException(s"$p: expected a 'floors' array, " +
+          s"got ${other.getClass.getSimpleName}")
     }
+    if (floors.isEmpty)
+      throw new IllegalStateException(s"$p parsed to zero floors entries")
+    floors
   }
 
   /** Realistic-window recall vs exact flat groundtruth, certified via
     * invariant flags: per-query `matches ≥ floor` as 0/1, floors pinned in
     * goldens/q25_floors.json (deterministic build ⇒ deterministic matches;
-    * unknown sf dirs fall back to floor 0). VamanaSpec additionally asserts
-    * the aggregate recall floor; GoldenSpec pins the recall grid ±0.01. */
+    * an sf dir with no pinned floors throws unless SPARK_GRAFT_Q25_REGEN is
+    * set). VamanaSpec additionally asserts the aggregate recall floor;
+    * GoldenSpec pins the recall grid ±0.01. */
   private def vamanaRecallQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val clustered = embLabelClustered(s, dir)
@@ -285,9 +309,15 @@ object SparkEntry {
     val truth = FlatKnn.search(q, data, K, Metric.L2)
     val matches = Recall.matchesPerQueryComplete(approx, truth)
     val sfName = new java.io.File(dir).getName
-    val floors = q25Floors.collect {
-      case ((sf, qid), f) if sf == sfName => (qid, f)
-    }.toSeq
+    val floors =
+      if (q25RegenMode) Seq.empty[(Long, Long)]
+      else q25Floors.collect {
+        case ((sf, qid), f) if sf == sfName => (qid, f)
+      }.toSeq
+    if (floors.isEmpty && !q25RegenMode)
+      throw new IllegalStateException(
+        s"goldens/q25_floors.json has no entries for sf dir '$sfName'; " +
+          "set SPARK_GRAFT_Q25_REGEN=1 to run floor-less for regeneration")
     val fdf =
       if (floors.isEmpty) matches.select(col("query_id"), lit(0L).as("floor"))
       else floors.toDF("query_id", "floor")
@@ -450,6 +480,24 @@ object SparkEntry {
     * oracle's replay of the generator formula. */
   private def mediaRealQ(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeSums(Multimodal.packReal(docs(s, dir)))
+      .orderBy("doc_id")
+
+  /** Compressed-container decode (q63): real PNG bytes through the JDK
+    * ImageIO decoder; lossless, so the oracle replays exact sample sums. */
+  private def mediaPngQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeSums(Multimodal.packPng(docs(s, dir)),
+        Multimodal.ImageIoCodec)
+      .orderBy("doc_id")
+
+  /** Tolerated per-sample error for q64's JPEG invariants: gray gradients
+    * at quality 1.0 measure maxErr ≤ 2 locally; 8 leaves decoder headroom
+    * while still certifying a real lossy decode. */
+  private val JpegTol = 8
+
+  /** Lossy-compressed decode invariants (q64): real JPEG bytes through
+    * ImageIO, certified via the q50/q25 invariant-flag pattern. */
+  private def mediaJpegQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.jpegDecodeFlags(Multimodal.packJpeg(docs(s, dir)), JpegTol)
       .orderBy("doc_id")
 
   /** Whitespace + BPE-ish-regex token counts side by side. */
@@ -929,6 +977,8 @@ object SparkEntry {
     "q60_pipeline" -> (pipelineQ _),
     "q61_stream_dedup" -> (streamDedupQ _),
     "q62_inverted_leader_index" -> (invertedLeaderIdxQ _),
+    "q63_png_decode" -> (mediaPngQ _),
+    "q64_jpeg_flags" -> (mediaJpegQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -999,5 +1049,7 @@ object SparkEntry {
     "q61_stream_dedup" -> OracleGenText.dedupExactPrefix,
     "q62_inverted_leader_index" -> OracleGen.invertedSearch(K, InvNLeaders,
       InvEps, s"id % $InvLeaderMod = $InvLeaderRes"),
+    "q63_png_decode" -> OracleGenText.mediaPng,
+    "q64_jpeg_flags" -> OracleGenText.mediaJpegFlags,
   )
 }

@@ -164,18 +164,13 @@ object Dedup {
     }
     // Materialize the (duplicate-pair-sized, i.e. small) result so the
     // builder caches can be freed — repeated calls would otherwise
-    // accumulate cached dfreq/pref partitions in executor storage.
-    val out = verified.cache()
-    val n = out.count()
+    // accumulate cached dfreq/pref partitions in executor storage. An eager
+    // local checkpoint truncates the lineage on the executors, so the input
+    // caches can be dropped without a driver round-trip.
+    val out = verified.localCheckpoint(eager = true)
     dfreq.unpersist(false)
     pref.unpersist(false)
-    if (n <= 1000000L) {
-      val rows = out.collect()
-      val schema = out.schema
-      out.unpersist(false)
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), schema)
-    } else out
+    out
   }
 
   /** Exact all-pairs Jaccard for small-to-medium corpora with a *small

@@ -64,13 +64,20 @@ object IvfIndex {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val cents = centroids.sortBy(_._1).map { case (i, v) => (i, v.toArray) }
-    val rows = qRows.toSeq.flatMap { case (qid, qvec) =>
-      val top = new LocalTopK(nProbes, metric.ascending)
-      cents.foreach { case (cid, cvec) =>
-        top.insert(metric.compute(qvec, cvec), cid)
-      }
-      (0 until top.n).map(i => (qid, top.ids(i), qvec.toSeq))
+    // Parallel over queries only; each query's fold over centroids stays
+    // sequential in centroid-id order, so per-query output is bit-identical
+    // to the serial loop (index-ordered gather keeps global order too).
+    val perQuery = new Array[Seq[(Long, Long, Seq[Double])]](qRows.length)
+    java.util.stream.IntStream.range(0, qRows.length).parallel().forEach {
+      i =>
+        val (qid, qvec) = qRows(i)
+        val top = new LocalTopK(nProbes, metric.ascending)
+        cents.foreach { case (cid, cvec) =>
+          top.insert(metric.compute(qvec, cvec), cid)
+        }
+        perQuery(i) = (0 until top.n).map(j => (qid, top.ids(j), qvec.toSeq))
     }
+    val rows = perQuery.toSeq.flatten
     (rows.toDF("query_id", "cluster_id", "qvec"),
       rows.map(_._2).distinct.sorted)
   }

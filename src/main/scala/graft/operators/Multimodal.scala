@@ -157,6 +157,90 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for *compressed* image formats via the JDK's own
+    * `javax.imageio` (ships in every JRE — no external media library):
+    * PNG (lossless, so decoded samples replay the generator formula
+    * exactly) and JPEG (lossy — certified through invariant flags, see
+    * [[jpegDecodeFlags]]). Non-image formats delegate to [[RawCodec]].
+    * Video container decode remains on [[StubCodec]]. */
+  object ImageIoCodec extends MediaCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+    javax.imageio.ImageIO.setUseCache(false) // no disk cache in executors
+
+    def decode(content: Array[Byte], meta: MediaMeta): Array[Int] =
+      meta.format match {
+        case "image/png" | "image/jpeg" => decodeImage(content)._1
+        case _ => RawCodec.decode(content, meta)
+      }
+
+    /** Decode any ImageIO-supported container → (flattened row-major RGB,
+      * w, h). */
+    def decodeImage(bytes: Array[Byte]): (Array[Int], Int, Int) = {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, "imageio: unrecognized image container")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Int](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val px = img.getRGB(x, y)
+          val j = 3 * (y * w + x)
+          out(j) = (px >> 16) & 0xff
+          out(j + 1) = (px >> 8) & 0xff
+          out(j + 2) = px & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (out, w, h)
+    }
+
+    private def toImage(w: Int, h: Int, rgb: Array[Int]): BufferedImage = {
+      require(rgb.length == w * h * 3,
+        s"imageio: ${rgb.length} != ${w * h * 3}")
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val j = 3 * (y * w + x)
+          img.setRGB(x, y, (rgb(j) << 16) | (rgb(j + 1) << 8) | rgb(j + 2))
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    /** Encode flattened RGB as PNG (lossless). */
+    def encodePng(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(toImage(w, h, rgb), "png", bos)
+      bos.toByteArray
+    }
+
+    /** Encode flattened RGB as JPEG at the given quality (lossy). */
+    def encodeJpeg(w: Int, h: Int, rgb: Array[Int],
+                   quality: Float = 1.0f): Array[Byte] = {
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      val bos = new ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null,
+        new javax.imageio.IIOImage(toImage(w, h, rgb), null, null), params)
+      writer.dispose()
+      ios.close()
+      bos.toByteArray
+    }
+  }
+
   /** Synthesize a media table from the documents fixture: utf-8 payload
     * bytes, modality round-robin by id, metadata derived deterministically
     * from the payload length. Stands in for `binaryFile` ingest of a real
@@ -212,6 +296,92 @@ object Multimodal {
           MediaMeta("image/ppm", w, h, 0, 0))
       }
     }
+  }
+
+  /** Deterministic *compressed* media table: every doc_id carries an actual
+    * PNG (encoded by the JDK's ImageIO) whose flattened RGB follows the same
+    * formula as [[packReal]]'s PPM branch — `c_j = (id·31 + j·7 + 13) mod
+    * 256`, w = 8 + id mod 8, h = 4 + id mod 4. PNG is lossless, so the
+    * decode of real compressed container bytes replays the formula exactly
+    * and the DuckDB oracle can hash-check the sample sums. */
+  def packPng(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val w = (8 + id % 8).toInt
+      val h = (4 + id % 4).toInt
+      val rgb = Array.tabulate(w * h * 3)(j =>
+        ((id * 31 + j * 7 + 13) % 256).toInt)
+      MediaRow(id, "image", ImageIoCodec.encodePng(w, h, rgb),
+        MediaMeta("image/png", w, h, 0, 0))
+    }
+  }
+
+  /** JPEG gray-gradient generator: `g(x,y) = (id·7 + 2x + 3y) mod 200 + 20`
+    * at w = 16 + id mod 8, h = 8 + id mod 4, encoded at quality 1.0.
+    * Gray (R=G=B) kills chroma-subsampling error and the gentle gradient
+    * keeps DCT quantization error to a few counts — certified via
+    * [[jpegDecodeFlags]] invariants rather than exact sums (JPEG is
+    * lossy by nature). */
+  def packJpeg(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val w = (16 + id % 8).toInt
+      val h = (8 + id % 4).toInt
+      MediaRow(id, "image", ImageIoCodec.encodeJpeg(w, h, jpegRgb(id, w, h)),
+        MediaMeta("image/jpeg", w, h, 0, 0))
+    }
+  }
+
+  private def jpegRgb(id: Long, w: Int, h: Int): Array[Int] = {
+    val rgb = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((id * 7 + 2 * x + 3 * y) % 200 + 20).toInt
+        val j = 3 * (y * w + x)
+        rgb(j) = g; rgb(j + 1) = g; rgb(j + 2) = g
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
+
+  /** Lossy-decode certification (q50/q25's invariant-flag pattern): decode
+    * the real JPEG bytes, regenerate the pre-compression samples from the
+    * [[packJpeg]] formula, and emit per-row invariants the oracle asserts —
+    * (doc_id, n_samples, dims_ok, err_ok) where n_samples is the decoded
+    * length (the oracle recomputes w·h·3 from the formula), dims_ok checks
+    * the container round-tripped the geometry, and err_ok checks every
+    * decoded sample is within `tol` of its pre-compression value. */
+  def jpegDecodeFlags(media: Dataset[MediaRow], tol: Int,
+                      batchSize: Int = DefaultBatch): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      batched(it, batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (v, w, h) = ImageIoCodec.decodeImage(r.content)
+          val expected = jpegRgb(r.doc_id, r.meta.width, r.meta.height)
+          val dimsOk = w == r.meta.width && h == r.meta.height &&
+            v.length == expected.length
+          var maxErr = 0
+          if (dimsOk) {
+            var i = 0
+            while (i < v.length) {
+              val e = math.abs(v(i) - expected(i))
+              if (e > maxErr) maxErr = e
+              i += 1
+            }
+          }
+          (r.doc_id, v.length.toLong, if (dimsOk) 1L else 0L,
+            if (dimsOk && maxErr <= tol) 1L else 0L)
+        }
+      }
+    }.toDF("doc_id", "n_samples", "dims_ok", "err_ok")
   }
 
   /** Decode every row (real parsers) and emit position-weighted sample

@@ -168,15 +168,22 @@ object Vamana {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val cents = centroids.sortBy(_._1).map { case (i, v) => (i, v.toArray) }
-    qRows
-      .flatMap { case (qid, qvec) =>
+    // Parallel over queries; per-query centroid fold stays sequential in
+    // centroid-id order and results are gathered in query order, so the
+    // routing is bit-identical to the serial loop.
+    val perQuery =
+      new Array[Seq[(Long, (Long, Array[Double]))]](qRows.length)
+    java.util.stream.IntStream.range(0, qRows.length).parallel().forEach {
+      i =>
+        val (qid, qvec) = qRows(i)
         val top = new LocalTopK(nProbes, metric.ascending)
         cents.foreach { case (cid, cvec) =>
           top.insert(metric.compute(qvec, cvec), cid)
         }
-        (0 until top.n).map(i => (top.ids(i), (qid, qvec)))
-      }
-      .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2) }
+        perQuery(i) = (0 until top.n).map(j => (top.ids(j), (qid, qvec)))
+    }
+    perQuery.toSeq.flatten
+      .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2).toArray }
   }
 
   /** Executor-local beam walk over one shard's rows (sorted ascending by id)

@@ -137,4 +137,69 @@ class KnnPlanSpec extends SparkSpec {
       .orderBy("query_id", "rnk").collect().toSeq
     assert(df.collect().toSeq === exact)
   }
+
+  private def sqlLimitKnn(dataView: String, qView: String, k: Int) =
+    spark.sql(
+      s"""SELECT d.id AS neighbor_id,
+         |  l2_distance(q.qvec, d.vec) AS dist
+         |FROM $qView q CROSS JOIN $dataView d
+         |ORDER BY dist ASC, neighbor_id ASC
+         |LIMIT $k""".stripMargin)
+      .select("neighbor_id")
+
+  test("ORDER BY dist LIMIT k rewrites onto KnnPartial with identical " +
+      "rows, double and float") {
+    GraftFunctions.register(spark)
+    emb.createOrReplaceTempView("kp_data")
+    // single-query left side: the literal SURVEY §4 stretch pattern
+    q.limit(1).createOrReplaceTempView("kp_q1")
+    emb.select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .createOrReplaceTempView("kp_data_f32")
+    q.limit(1)
+      .select(col("query_id"), col("qvec").cast("array<float>").as("qvec"))
+      .createOrReplaceTempView("kp_q1_f32")
+    for ((d, qv) <- Seq(("kp_data", "kp_q1"), ("kp_data_f32", "kp_q1_f32"))) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.KnnRewriteRule)
+      val plain = sqlLimitKnn(d, qv, 7)
+      assert(!plain.queryExecution.optimizedPlan.toString
+        .contains("KnnPartial"))
+      val plainRows = plain.collect().toSeq
+
+      KnnJoinApi.install(spark)
+      val rewritten = sqlLimitKnn(d, qv, 7)
+      val opt = rewritten.queryExecution.optimizedPlan.toString
+      assert(opt.contains("KnnPartial"), s"$d: ${opt.take(1200)}")
+      // the merge plans as the bounded TakeOrderedAndProject, not a sort
+      assert(rewritten.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"))
+      assert(rewritten.collect().toSeq === plainRows, s"$d rows")
+    }
+  }
+
+  test("ORDER BY LIMIT rewrite fires for multi-query tops and skips " +
+      "non-matching sorts") {
+    KnnJoinApi.install(spark)
+    GraftFunctions.register(spark)
+    emb.createOrReplaceTempView("kp_data")
+    q.createOrReplaceTempView("kp_q")
+    // multi-query left: global top-k over all (query, row) pairs
+    val multi = spark.sql(
+      """SELECT q.query_id, d.id AS neighbor_id,
+        |  l2_distance(q.qvec, d.vec) AS dist
+        |FROM kp_q q CROSS JOIN kp_data d
+        |ORDER BY dist ASC, neighbor_id ASC LIMIT 9""".stripMargin)
+      .select("query_id", "neighbor_id")
+    assert(multi.queryExecution.optimizedPlan.toString
+      .contains("KnnPartial"))
+    assert(multi.count() === 9)
+    // missing id tie-break: left alone (boundary ties would be ambiguous)
+    val noTie = spark.sql(
+      """SELECT d.id AS neighbor_id, l2_distance(q.qvec, d.vec) AS dist
+        |FROM kp_q q CROSS JOIN kp_data d
+        |ORDER BY dist ASC LIMIT 9""".stripMargin)
+    assert(!noTie.queryExecution.optimizedPlan.toString
+      .contains("KnnPartial"))
+  }
 }

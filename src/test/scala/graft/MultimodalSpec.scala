@@ -131,4 +131,58 @@ class MultimodalSpec extends SparkSpec {
       assert(s1 === e1 && s2 === e2, s"doc $id sums")
     }
   }
+
+  test("ImageIoCodec PNG round trip is bit-exact (lossless container)") {
+    import graft.operators.Multimodal.ImageIoCodec
+    for (id <- Seq(0L, 3L, 17L, 254L)) {
+      val w = (8 + id % 8).toInt
+      val h = (4 + id % 4).toInt
+      val rgb = Array.tabulate(w * h * 3)(j =>
+        ((id * 31 + j * 7 + 13) % 256).toInt)
+      val (back, bw, bh) = ImageIoCodec.decodeImage(
+        ImageIoCodec.encodePng(w, h, rgb))
+      assert((bw, bh) === ((w, h)))
+      assert(back.toSeq === rgb.toSeq, s"doc $id")
+    }
+    intercept[IllegalArgumentException] {
+      ImageIoCodec.decodeImage(Array[Byte](1, 2, 3, 4)) }
+  }
+
+  test("packPng decodes through real PNG bytes to the generator formula") {
+    val sums = Multimodal.decodeSums(
+        Multimodal.packPng(Tables.table(spark, sfDir, "documents")),
+        Multimodal.ImageIoCodec)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(sums.size === 500)
+    sums.foreach { case (id, (n, s1, s2)) =>
+      val expectN = (8 + id % 8) * (4 + id % 4) * 3
+      def v(i: Long): Long = (id * 31 + i * 7 + 13) % 256
+      assert(n === expectN, s"doc $id")
+      assert(s1 === (0L until n).map(v).sum, s"doc $id sum1")
+      assert(s2 === (0L until n).map(i => (i + 1) * v(i)).sum,
+        s"doc $id sum2")
+    }
+  }
+
+  test("JPEG decode is dimension-exact, error-bounded, and deterministic") {
+    import graft.operators.Multimodal.ImageIoCodec
+    val media = Multimodal.packJpeg(Tables.table(spark, sfDir, "documents"))
+    val flags = Multimodal.jpegDecodeFlags(media, tol = 8).collect()
+    assert(flags.length === 500)
+    flags.foreach { r =>
+      assert(r.getLong(2) === 1L, s"doc ${r.getLong(0)} dims")
+      assert(r.getLong(3) === 1L, s"doc ${r.getLong(0)} err")
+    }
+    // decode is a pure function of the bytes (no ImageIO global state)
+    val one = media.filter(col("doc_id") === 42).collect()(0)
+    assert(ImageIoCodec.decode(one.content, one.meta).toSeq ===
+      ImageIoCodec.decode(one.content, one.meta).toSeq)
+    // non-image formats delegate to the RawCodec parsers
+    val wav = Multimodal.RawCodec.encodeWav(Array(1, -2, 3), 8000)
+    assert(ImageIoCodec.decode(wav,
+        Multimodal.MediaMeta("audio/wav", 0, 0, 8000, 0)).toSeq ===
+      Seq(1, -2, 3))
+  }
 }
