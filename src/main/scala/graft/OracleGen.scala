@@ -215,6 +215,40 @@ object OracleGen {
   /** Multi-vector label search (multi.h semantics): per-label min distance,
     * then the top-k labels per query; best_id is the label's closest vector
     * (ties by id). */
+  /** Paged multi-label ranking (q66): the exact per-label ranking split
+    * into `pages` pages of `k` with per-page rank renumbering — the
+    * no-label-repeat iterator's output when its candidate ranking is
+    * exact. */
+  def multiLabelPages(k: Int, pages: Int): String = {
+    val d = Tables.embDims
+    s"""WITH data AS (
+       |  SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+       |         ${dimCols("v", embDimExprs)}
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}
+       |  FROM embeddings WHERE ${Tables.embQueryPredSql}),
+       |pairs AS (
+       |  SELECT q.query_id, d.label, d.id,
+       |         ${l2.sqlExpr("q.q", "d.v", d)} AS dist
+       |  FROM q CROSS JOIN data d),
+       |best AS (
+       |  SELECT query_id, label, id AS best_id, dist,
+       |    row_number() OVER (PARTITION BY query_id, label
+       |      ORDER BY dist ASC, id ASC) AS rn
+       |  FROM pairs),
+       |ranked AS (
+       |  SELECT query_id, label, best_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist ASC, label ASC) AS rnk
+       |  FROM best WHERE rn = 1)
+       |SELECT query_id,
+       |  CAST(floor((rnk - 1) / CAST($k AS DOUBLE)) AS BIGINT) AS page,
+       |  CAST((rnk - 1) % $k + 1 AS BIGINT) AS rnk, label, best_id
+       |FROM ranked WHERE rnk <= ${k * pages}
+       |ORDER BY query_id, page, rnk""".stripMargin
+  }
+
   def multiLabelKnn(k: Int): String = {
     val d = Tables.embDims
     s"""WITH data AS (

@@ -700,6 +700,34 @@ object SparkEntry {
     }.reduce(_ unionByName _).orderBy("query_id", "page", "rnk")
   }
 
+  /** IVF batch iterator pages (q65): with every cluster probed the probe
+    * scan is the exact ranking, so successive no-repeat pages equal the
+    * exact top-k·pages split into pages — q49's oracle shape on the IVF
+    * iterator (reference index/ivf/iterator.h). */
+  private def ivfPagesQ(s: SparkSession, dir: String): DataFrame = {
+    val cents = embLabelCentroids(s, dir)
+    val it = new IvfBatchIterator(embQueries(s, dir),
+      embLabelClustered(s, dir), cents, Metric.L2, baseProbes = cents.size)
+    (0 until Pages).map { p =>
+      it.next(K).select(col("query_id"), lit(p.toLong).as("page"),
+        col("rnk"), col("neighbor_id"))
+    }.reduce(_ unionByName _).orderBy("query_id", "page", "rnk")
+  }
+
+  /** Paged multi-label search with cross-batch label dedupe (q66): pages of
+    * the exact per-label ranking, labels never repeating across pages
+    * (reference index/vamana/multi.h:60-123). */
+  private def multiLabelPagesQ(s: SparkSession, dir: String): DataFrame = {
+    val it = new MultiLabelBatchIterator(embQueries(s, dir),
+      embVectors(s, dir)
+        .select(col("id"), col("vec"), col("label").cast("long").as("label")),
+      Metric.L2)
+    (0 until 2).map { p =>
+      it.next(LabelK).select(col("query_id"), lit(p.toLong).as("page"),
+        col("rnk"), col("label"), col("best_id"))
+    }.reduce(_ unionByName _).orderBy("query_id", "page", "rnk")
+  }
+
   private val CalTarget = 0.95
   private val CalMaxWindow = 64
 
@@ -979,6 +1007,8 @@ object SparkEntry {
     "q62_inverted_leader_index" -> (invertedLeaderIdxQ _),
     "q63_png_decode" -> (mediaPngQ _),
     "q64_jpeg_flags" -> (mediaJpegQ _),
+    "q65_ivf_pages" -> (ivfPagesQ _),
+    "q66_multilabel_pages" -> (multiLabelPagesQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1051,5 +1081,7 @@ object SparkEntry {
       InvEps, s"id % $InvLeaderMod = $InvLeaderRes"),
     "q63_png_decode" -> OracleGenText.mediaPng,
     "q64_jpeg_flags" -> OracleGenText.mediaJpegFlags,
+    "q65_ivf_pages" -> OracleGen.batchPages(K, Pages),
+    "q66_multilabel_pages" -> OracleGen.multiLabelPages(LabelK, 2),
   )
 }

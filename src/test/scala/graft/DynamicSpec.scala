@@ -153,6 +153,94 @@ class DynamicSpec extends SparkSpec {
     assert(b1.intersect(b2).isEmpty)
   }
 
+  test("iterator schedules replay the reference growth laws and invariants") {
+    val d = DefaultSchedule(baseWindow = 10, baseCapacity = 20, batchSize = 5)
+    assert((0 to 3).map(d.windowFor) === Seq(10, 15, 20, 25))
+    assert((0 to 3).map(d.capacityFor) === Seq(20, 25, 30, 35))
+    assert((0 to 3).map(d.batchSizeFor) === Seq(5, 5, 5, 5))
+    val l = LinearSchedule(baseWindow = 10, baseCapacity = 20,
+      scaleWindow = 3, scaleCapacity = 7, batchSizeStart = 2,
+      scaleBatchSize = 1)
+    assert((0 to 2).map(l.windowFor) === Seq(10, 13, 16))
+    assert((0 to 2).map(l.capacityFor) === Seq(20, 27, 34))
+    assert((0 to 2).map(l.batchSizeFor) === Seq(2, 3, 4))
+    // capacity scaling slower than window scaling: the reference throws
+    intercept[IllegalArgumentException] {
+      LinearSchedule(10, 20, scaleWindow = 5, scaleCapacity = 3,
+        batchSizeStart = 2, scaleBatchSize = 0) }
+    intercept[IllegalArgumentException] { DefaultSchedule(10, 20, 0) }
+  }
+
+  test("scheduled batch iterator pages grow by the schedule and equal the " +
+      "exact ranking under an exhaustive window") {
+    val data = emb.select("id", "vec")
+    val cents = emb.filter(col("id") < 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val clustered = KMeans.assign(data, cents)
+    val graph = Vamana.buildSharded(clustered,
+      graft.operators.VamanaKernel.BuildParams(maxDegree = 24,
+        buildWindow = 48), Metric.L2).cache()
+    // exhaustive window: every page is a slice of the exact ranking, so
+    // LinearSchedule's growing page sizes (2, 3, 4) tile ranks 1..9
+    def mk(window: Int, capacity: Int): graft.VectorIndex =
+      graft.VamanaVectorIndex(clustered, graph, cents,
+        math.max(window, 1 << 14), 4, Metric.L2)
+    val q = Tables.embeddingQueries(spark, sfDir).limit(2)
+    val it = new ScheduledBatchIterator(mk, q,
+      LinearSchedule(20, 20, 10, 10, batchSizeStart = 2, scaleBatchSize = 1))
+    val pages = (0 until 3).map(_ => it.next()
+      .select("query_id", "rnk", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    assert(pages.map(_.length) === Seq(4, 6, 8)) // 2 queries × (2, 3, 4)
+    val exact = FlatKnn.search(q, data, 9, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // flatten pages back to global ranks: page offsets 0, 2, 5
+    val flat = pages(0) ++
+      pages(1).map { case (q0, r, n) => (q0, r + 2, n) } ++
+      pages(2).map { case (q0, r, n) => (q0, r + 5, n) }
+    assert(flat.sortBy(x => (x._1, x._2)).toSeq ===
+      exact.sortBy(x => (x._1, x._2)).toSeq)
+  }
+
+  test("ivf batch iterator grows probes, never repeats, and recall never " +
+      "degrades to zero on later pages") {
+    val data = emb.select("id", "vec")
+    val cents = emb.filter(col("id") < 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val clustered = KMeans.assign(data, cents).cache()
+    val q = Tables.embeddingQueries(spark, sfDir).limit(2)
+    // start at 2 probes of 8: later pages widen coverage like the reference
+    val it = new IvfBatchIterator(q, clustered, cents, Metric.L2,
+      baseProbes = 2)
+    val b1 = it.next(5).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b2 = it.next(5).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b1.size === 10 && b2.size === 10)
+    assert(b1.intersect(b2).isEmpty)
+  }
+
+  test("multi-label batch iterator pages tile the exact label ranking " +
+      "without repeating labels") {
+    val q = Tables.embeddingQueries(spark, sfDir).limit(3)
+    val it = new MultiLabelBatchIterator(q, emb, Metric.L2)
+    val p1 = it.next(2).select("query_id", "rnk", "label", "best_id")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val p2 = it.next(2).select("query_id", "rnk", "label", "best_id")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exact = MultiVector.searchByLabel(q, emb, 4, Metric.L2)
+      .select("query_id", "rnk", "label", "best_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val flat = p1 ++ p2.map { case (q0, r, l, b) => (q0, r + 2, l, b) }
+    assert(flat.sortBy(x => (x._1, x._2)).toSeq ===
+      exact.sortBy(x => (x._1, x._2)).toSeq)
+    assert(p1.map(x => (x._1, x._3)).toSet
+      .intersect(p2.map(x => (x._1, x._3)).toSet).isEmpty)
+  }
+
   test("streaming ingest appends micro-batches as segments") {
     val root = freshRoot("stream")
     val ckpt = freshRoot("stream_ckpt")
