@@ -51,12 +51,27 @@ object StreamingSessionize {
             sorted.foreach { case (_, ts, _) =>
               val t = ts.getTime / 1000
               cur match {
-                case Some(s) if t - s.lastEpoch <= gapSec =>
-                  cur = Some(s.copy(lastEpoch = t, count = s.count + 1))
-                case Some(s) =>
+                case Some(s) if t >= s.startEpoch - gapSec &&
+                    t - s.lastEpoch <= gapSec =>
+                  // in-order extension OR an in-watermark straggler inside
+                  // the session's gap envelope: widen the bounds min/max —
+                  // the batch twin sorts first, so its bounds are exactly
+                  // the min/max of the merged events
+                  cur = Some(s.copy(
+                    startEpoch = math.min(s.startEpoch, t),
+                    lastEpoch = math.max(s.lastEpoch, t),
+                    count = s.count + 1))
+                case Some(s) if t > s.lastEpoch + gapSec =>
                   closed ::= ClosedSession(user, s.sessionId, s.count,
                     s.startEpoch, s.lastEpoch)
                   cur = Some(OpenSession(s.sessionId + 1, t, t, 1))
+                case Some(s) =>
+                  // straggler older than the open session's envelope
+                  // (t < start − gap): the batch twin orders it as its own
+                  // EARLIER session — emit it closed under the open
+                  // session's id and shift the open session's id up one
+                  closed ::= ClosedSession(user, s.sessionId, 1, t, t)
+                  cur = Some(s.copy(sessionId = s.sessionId + 1))
                 case None =>
                   cur = Some(OpenSession(1, t, t, 1))
               }

@@ -170,6 +170,111 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize late-data matrix: below-watermark stragglers are " +
+      "dropped, in-watermark stragglers merge with batch-equal bounds") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingSessionize
+    val mem = MemoryStream[(Timestamp, Long, Long)]
+    val stream = mem.toDF().toDF("ts", "user_id", "event_id")
+    // gap 30 min, lateness 60 min
+    val out = StreamingSessionize.sessions(stream, gapMinutes = 30,
+      watermarkMinutes = 60)
+    val q = out.writeStream.format("memory").queryName("late_sess")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    def e(s: String) = t(s).getTime / 1000
+    try {
+      // user 1 opens a session [02:00, 02:10]
+      mem.addData((t("2024-01-01 02:00:00"), 1L, 1L),
+        (t("2024-01-01 02:10:00"), 1L, 2L))
+      q.processAllAvailable()
+      // IN-WATERMARK straggler 02:05 (watermark is 01:10): merges into the
+      // open session without corrupting bounds; straggler 01:55 widens the
+      // session START backwards — batch sorts first, bounds are min/max
+      mem.addData((t("2024-01-01 02:05:00"), 1L, 3L),
+        (t("2024-01-01 01:55:00"), 1L, 4L))
+      q.processAllAvailable()
+      // another user pushes the watermark to 03:10 > 02:10 + gap → user 1's
+      // session times out and finalizes
+      mem.addData((t("2024-01-01 04:10:00"), 9L, 5L))
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01 04:20:00"), 9L, 6L))
+      q.processAllAvailable()
+      val s1 = spark.sql("SELECT * FROM late_sess WHERE user_id = 1")
+        .as[StreamingSessionize.ClosedSession].collect()
+      assert(s1.length === 1)
+      assert(s1(0) === StreamingSessionize.ClosedSession(1L, 1L, 4L,
+        e("2024-01-01 01:55:00"), e("2024-01-01 02:10:00")))
+      // batch twin on the same four events agrees exactly
+      val batch = EventOps.sessionize(Seq(
+          (t("2024-01-01 02:00:00"), 1L, 1L),
+          (t("2024-01-01 02:10:00"), 1L, 2L),
+          (t("2024-01-01 02:05:00"), 1L, 3L),
+          (t("2024-01-01 01:55:00"), 1L, 4L))
+        .toDF("ts", "user_id", "event_id"), 30)
+        .select("user_id", "session_id", "n_events", "start_epoch",
+          "end_epoch").collect()
+      assert(batch.length === 1)
+      assert((batch(0).getLong(2), batch(0).getLong(3),
+        batch(0).getLong(4)) ===
+        ((4L, e("2024-01-01 01:55:00"), e("2024-01-01 02:10:00"))))
+      // BELOW-watermark straggler for user 1 (watermark now 03:20): must be
+      // dropped — no reopened/extra session appears after a final flush
+      mem.addData((t("2024-01-01 02:07:00"), 1L, 7L))
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01 08:00:00"), 9L, 8L))
+      q.processAllAvailable()
+      val after = spark.sql("SELECT * FROM late_sess WHERE user_id = 1")
+        .collect()
+      assert(after.length === 1,
+        "a below-watermark straggler must not create or reopen a session")
+    } finally q.stop()
+  }
+
+  test("interval-join late-data matrix: in-watermark stragglers pair in " +
+      "both directions, below-watermark stragglers contribute nothing") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingEventJoin
+    val mem = MemoryStream[(Timestamp, Long, Long)]
+    val stream = mem.toDF().toDF("ts", "user_id", "event_id")
+    val out = StreamingEventJoin.recentContextPairs(stream,
+      windowMinutes = 60, watermarkMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("late_pairs")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      mem.addData((t("2024-01-01 00:00:00"), 1L, 1L),
+        (t("2024-01-01 00:10:00"), 1L, 2L))
+      q.processAllAvailable()
+      // watermark → 23:40 prev day; advance it with a later event
+      mem.addData((t("2024-01-01 02:00:00"), 1L, 3L))
+      q.processAllAvailable()
+      // watermark now 01:30. e4@00:20 is BELOW it → dropped on both join
+      // sides; e5@01:45 is above it → pairs with e3 (01:45 ∈ [01:00,02:00))
+      mem.addData((t("2024-01-01 00:20:00"), 1L, 4L),
+        (t("2024-01-01 01:45:00"), 1L, 5L))
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01 06:00:00"), 1L, 6L))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM late_pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch twin over the KEPT events (e4 dropped by the watermark)
+      val batch = EventOps.recentContextPairs(Seq(
+          (t("2024-01-01 00:00:00"), 1L, 1L),
+          (t("2024-01-01 00:10:00"), 1L, 2L),
+          (t("2024-01-01 02:00:00"), 1L, 3L),
+          (t("2024-01-01 01:45:00"), 1L, 5L),
+          (t("2024-01-01 06:00:00"), 1L, 6L))
+        .toDF("ts", "user_id", "event_id"), 60)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+      assert(streamed === Set((2L, 1L), (3L, 5L)),
+        "late e4 must contribute no pairs; in-watermark e5 must pair")
+    } finally q.stop()
+  }
+
   test("recent-context counts agree with the pairs form and keep " +
       "zero-context events") {
     val ctx = EventOps.recentContext(events, 30).cache()
