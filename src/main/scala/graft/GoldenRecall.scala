@@ -116,6 +116,65 @@ object GoldenRecall {
     rows
   }
 
+  /** IVF∘LVQ grid (the q58 composition): the same clustering as [[ivfGrid]]
+    * with resident LVQ code columns, coarse-scanned on level-1 codes and
+    * re-ranked on the two-level reconstruction; recall judged against the
+    * UNCOMPRESSED truth — the reference's compressed-recall golden shape
+    * composed with cluster probing. */
+  def ivfLvqGrid(data: DataFrame, queries: DataFrame, truth: DataFrame,
+                 dims: Int, k: Int, nq: Int, n: Long, clusters: Int,
+                 probes: Seq[Int], kReorder: Int = 3): Seq[Row] = {
+    val seed0 = data.filter(col("id") % (n / clusters) === 0).limit(clusters)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val t0 = System.nanoTime()
+    val train = data.filter(col("id") % 10 === 1)
+    val cents = graft.operators.KMeans.lloyd(train, seed0, iters = 3, dims)
+    val lvqP = graft.operators.Lvq.Params(
+      graft.operators.Lvq.trainMean(data))
+    val clustered = graft.operators.IvfIndex.withResidentLvq(
+      graft.operators.KMeans.assign(data, cents), lvqP).cache()
+    clustered.count()
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val rows = probes.map { p =>
+      val res = graft.operators.IvfIndex.searchWithLvqReorder(queries,
+        clustered, cents, lvqP, k, p, kReorder)
+      Row("ivf_lvq", s"c${clusters}_lvq8", "n_probes", p,
+        recallOf(res, truth, k, nq), buildSec)
+    }
+    clustered.unpersist()
+    rows
+  }
+
+  /** Capacity-split calibration golden (the reference's split-buffer tuning
+    * axis, index/vamana/calibrate.h:40-77): phase 1 finds the minimal tied
+    * window reaching `target`, phase 2 shrinks the expansion window at
+    * fixed capacity — two rows pinning the calibrated (window, capacity)
+    * and the recall they achieve, over the flagship single-shard build.
+    * Searches run on a [[Vamana.prepareShards]] dataset, so the ~2·log₂
+    * sweep pays one shuffle total. */
+  def calibrationRows(data: DataFrame, queries: DataFrame, truth: DataFrame,
+                      dims: Int, k: Int, target: Double): Seq[Row] = {
+    val clustered = data.withColumn("cluster_id", lit(0L))
+    val cents = Seq(0L -> Seq.fill(dims)(0.5))
+    val t0 = System.nanoTime()
+    val graph = Vamana.buildSingle(data,
+      BuildParams(maxDegree = 64, buildWindow = 128, alpha = 1.2),
+      Metric.L2).cache()
+    graph.count()
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val prepared = Vamana.prepareShards(clustered, graph)
+    val (w, cap, rec) = graft.operators.Calibrate.calibrateWindowAndCapacity(
+      (wi, c) => Vamana.searchPrepared(queries, prepared, cents, k, wi, 1,
+        Metric.L2, c),
+      truth, k, target, minWindow = k, maxWindow = 128)
+    prepared.unpersist()
+    graph.unpersist()
+    val config = s"deg64_w128_t$target"
+    Seq(Row("calibration", config, "window", w, rec, buildSec),
+      Row("calibration", config, "capacity", cap, rec, buildSec))
+  }
+
   def rowJson(r: Row): String =
     s"""{"family":"${r.family}","config":"${r.config}",""" +
       s""""param":"${r.param}","value":${r.value},"recall":${r.recall},""" +
@@ -164,8 +223,11 @@ object GoldenRecall {
         .map(r => r.copy(family = "vamana_lvq")) ++
       ivfGrid(data, queries, truth, dims, k, nq, n, clusters = 100,
         probes = Seq(1, 2, 4, 8, 16)) ++
+      ivfLvqGrid(data, queries, truth, dims, k, nq, n, clusters = 100,
+        probes = Seq(1, 2, 4, 8, 16)) ++
       invertedGrid(data, queries, truth, k, nq, n, leaderCount = 100,
-        eps = 1.2, nLeaders = Seq(1, 2, 4, 8))
+        eps = 1.2, nLeaders = Seq(1, 2, 4, 8)) ++
+      calibrationRows(data, queries, truth, dims, k, target = 0.85)
 
     rows.foreach(r => println(rowJson(r)))
     val json = rows.map(rowJson).mkString(

@@ -103,6 +103,57 @@ object ScaleBench {
       s""""ivf_search_sec":$tIvf,""" +
       s""""vamana_split_sec":$tSplit,"vamana_shards":${splitCents.length},""" +
       s""""vamana_build_sec":$tBuild,"vamana_search_sec":$tVamana}""")
+
+    // Worst-case hot-shard probe (opt-in: SPARK_GRAFT_SCALE_ONESHARD=1):
+    // build ONE Vamana graph over the whole 1M×128 dataset — the un-split
+    // pathological shard — then the same data through splitOversized, and
+    // compare build times and full-probe recall. This is the measurement
+    // behind the SCALE.md claim that splitOversized bounds worst-case
+    // per-shard build time: the single-shard build is the upper bound a
+    // 100 TB deployment would hit if it skipped the split.
+    if (sys.env.get("SPARK_GRAFT_SCALE_ONESHARD").exists(_.nonEmpty)) {
+      val dims2 = 128
+      val bp = BuildParams(maxDegree = 32, buildWindow = 64, alpha = 1.2,
+        pruneTo = 28)
+      val d2 = SyntheticData.generateMixed(spark, n, dims2)
+        .repartition(cpus.toInt * 4).cache()
+      d2.count()
+      val q2 = SyntheticData.generateMixed(spark, n + nq, dims2)
+        .filter(col("id") >= n)
+        .select(col("id").as("query_id"), col("vec").as("qvec"))
+      val truth = FlatKnn.search(q2, d2, k, Metric.L2)
+        .select("query_id", "neighbor_id").cache()
+      truth.count()
+      def recallOf(res: org.apache.spark.sql.DataFrame): Double =
+        res.select("query_id", "neighbor_id").intersect(truth).count()
+          .toDouble / (k.toLong * nq)
+      val one = d2.withColumn("cluster_id", lit(0L)).cache()
+      val oneCents = Seq(0L -> Seq.fill(dims2)(0.5))
+      val (g1, tOne) = time {
+        val g = Vamana.buildSharded(one, bp, Metric.L2).cache()
+        g.count(); g
+      }
+      val (r1, tS1) = time(recallOf(Vamana.searchSharded(q2, one, g1,
+        oneCents, k, searchWindow = 64, nProbes = 1, Metric.L2)))
+      g1.unpersist()
+      val ((spl, splCents), tSpl) = time {
+        val r = Vamana.splitOversized(one, oneCents, maxRows)
+        r._1.cache().count(); r
+      }
+      val (g2, tMany) = time {
+        val g = Vamana.buildSharded(spl, bp, Metric.L2).cache()
+        g.count(); g
+      }
+      val (r2, tS2) = time(recallOf(Vamana.searchSharded(q2, spl, g2,
+        splCents, k, searchWindow = 64, nProbes = splCents.length,
+        Metric.L2)))
+      println(s"""{"experiment":"one_shard_probe","n":$n,"dims":$dims2,""" +
+        s""""build_params":"deg32_w64","one_shard_build_sec":$tOne,""" +
+        s""""one_shard_recall":$r1,"one_shard_search_sec":$tS1,""" +
+        s""""split_sec":$tSpl,"split_shards":${splCents.length},""" +
+        s""""split_build_sec":$tMany,"split_recall":$r2,""" +
+        s""""split_search_sec":$tS2}""")
+    }
     spark.stop()
   }
 }

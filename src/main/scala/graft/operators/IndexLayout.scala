@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Metric
+
+/** The single documented entry point for the clustered on-disk index layout
+  * (the reference's serialized index directory: data + codec config in one
+  * place, svs/index/ivf/index.h + its save/load schema): cluster-partitioned
+  * parquet with the chosen codec's resident code columns attached at write
+  * time, plus a `layout.json` sidecar recording the codec and its trained
+  * parameters. `open` re-reads both, so a search over the layout can never
+  * run against data whose codes were attached with different parameters —
+  * the mistake this API removes.
+  *
+  * Layout on disk:
+  * {{{
+  * <path>/data/cluster_id=<c>/part-*.parquet   (codes resident per codec)
+  * <path>/centroids/part-*.parquet
+  * <path>/layout.json
+  * }}}
+  */
+object IndexLayout {
+
+  /** Resident-code codec for the coarse scan. */
+  sealed trait Codec
+  /** Full-precision layout: no code columns, coarse pass reads `vec`. */
+  case object Uncompressed extends Codec
+  /** Scalar quantization: resident `codes` ARRAY<SMALLINT> column
+    * ([[IvfIndex.withResidentCodes]]); decode-free L2/IP/cosine scans. */
+  final case class Sq(p: ScalarQuant.Params) extends Codec
+  /** LVQ two-level residual codec: resident `(c1, lo1, s1, c2, lo2, s2)`
+    * columns ([[IvfIndex.withResidentLvq]]). */
+  final case class LvqC(p: Lvq.Params) extends Codec
+
+  final case class Layout(clustered: DataFrame,
+                          centroids: Seq[(Long, Seq[Double])], codec: Codec)
+
+  /** Write the clustered table (id, vec, cluster_id) + centroids + codec in
+    * one call: attaches the codec's resident columns, then persists
+    * cluster-partitioned so probe joins prune partitions at the source. */
+  def write(clustered: DataFrame, centroids: Seq[(Long, Seq[Double])],
+            path: String, codec: Codec = Uncompressed): Unit = {
+    val spark = clustered.sparkSession
+    import spark.implicits._
+    val withCodes = codec match {
+      case Uncompressed => clustered
+      case Sq(p) => IvfIndex.withResidentCodes(clustered, p)
+      case LvqC(p) => IvfIndex.withResidentLvq(clustered, p)
+    }
+    IvfIndex.writeClustered(withCodes, s"$path/data")
+    centroids.toDF("id", "vec").write.mode("overwrite")
+      .parquet(s"$path/centroids")
+    val codecJson = codec match {
+      case Uncompressed => """{"type":"none"}"""
+      case Sq(p) =>
+        s"""{"type":"sq","scale":${p.scale},"bias":${p.bias},""" +
+          s""""bits":${p.bits}}"""
+      case LvqC(p) =>
+        s"""{"type":"lvq","bits1":${p.bits1},"bits2":${p.bits2},""" +
+          s""""mean":[${p.mean.mkString(",")}]}"""
+    }
+    writeSidecar(spark, s"$path/layout.json", s"""{"codec":$codecJson}""")
+  }
+
+  /** Re-open a written layout: clustered data with its resident codes, the
+    * centroid table, and the codec parameters the codes were built with. */
+  def open(spark: SparkSession, path: String): Layout = {
+    val json = readSidecar(spark, s"$path/layout.json")
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val c = org.json4s.jackson.JsonMethods.parse(json) \ "codec"
+    val codec = (c \ "type").extract[String] match {
+      case "none" => Uncompressed
+      case "sq" => Sq(ScalarQuant.Params((c \ "scale").extract[Double],
+        (c \ "bias").extract[Double], (c \ "bits").extract[Int]))
+      case "lvq" => LvqC(Lvq.Params((c \ "mean").extract[Seq[Double]],
+        (c \ "bits1").extract[Int], (c \ "bits2").extract[Int]))
+      case t => sys.error(s"unknown layout codec '$t' in $path/layout.json")
+    }
+    Layout(spark.read.parquet(s"$path/data"),
+      spark.read.parquet(s"$path/centroids").select("id", "vec").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+        .toIndexedSeq.sortBy(_._1),
+      codec)
+  }
+
+  /** Search the layout with the codec-matched coarse scan: SQ layouts run
+    * the decode-free code scan + full-precision reorder, LVQ layouts the
+    * two-level re-rank, uncompressed layouts the plain probe join. */
+  def search(layout: Layout, queries: DataFrame, k: Int, nProbes: Int,
+             metric: Metric, kReorder: Int = 3): DataFrame = layout.codec match {
+    case Uncompressed =>
+      IvfIndex.search(queries, layout.clustered, layout.centroids, k,
+        nProbes, metric)
+    case Sq(p) =>
+      require(metric == Metric.L2, "SQ layout reorder search is L2-only")
+      IvfIndex.searchWithReorder(queries, layout.clustered, layout.centroids,
+        p, k, nProbes, kReorder)
+    case LvqC(p) =>
+      require(metric == Metric.L2, "LVQ layout search is L2-only")
+      IvfIndex.searchWithLvqReorder(queries, layout.clustered,
+        layout.centroids, p, k, nProbes, kReorder)
+  }
+
+  private def writeSidecar(spark: SparkSession, path: String,
+                           json: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  private def readSidecar(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no layout sidecar at $p")
+    val in = fs.open(p)
+    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    in.readFully(bytes); in.close()
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+}

@@ -75,6 +75,45 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("IndexLayout round-trips each codec through disk with search " +
+      "results equal to the in-memory attach path") {
+    import graft.operators.{IndexLayout, IvfIndex, KMeans, Lvq, ScalarQuant}
+    val cents = emb.filter(col("id") < 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val clustered = KMeans.assign(emb, cents).cache()
+    val sqP = ScalarQuant.train(emb)
+    val lvqP = Lvq.Params(Lvq.trainMean(emb))
+    val cases: Seq[(String, IndexLayout.Codec, () => Seq[Any])] = Seq(
+      ("none", IndexLayout.Uncompressed, () =>
+        IvfIndex.search(q, clustered, cents, 5, 2, Metric.L2)
+          .select("query_id", "rnk", "neighbor_id")
+          .orderBy("query_id", "rnk").collect().toSeq),
+      ("sq", IndexLayout.Sq(sqP), () =>
+        IvfIndex.searchWithReorder(q,
+            IvfIndex.withResidentCodes(clustered, sqP), cents, sqP, 5, 2, 3)
+          .select("query_id", "rnk", "neighbor_id")
+          .orderBy("query_id", "rnk").collect().toSeq),
+      ("lvq", IndexLayout.LvqC(lvqP), () =>
+        IvfIndex.searchWithLvqReorder(q,
+            IvfIndex.withResidentLvq(clustered, lvqP), cents, lvqP, 5, 2, 3)
+          .select("query_id", "rnk", "neighbor_id")
+          .orderBy("query_id", "rnk").collect().toSeq))
+    cases.foreach { case (name, codec, direct) =>
+      val dir = freshDir(s"layout_$name")
+      IndexLayout.write(clustered, cents, dir, codec)
+      val layout = IndexLayout.open(spark, dir)
+      assert(layout.codec === codec, s"$name codec round-trip")
+      assert(layout.centroids === cents, s"$name centroid round-trip")
+      val viaLayout = IndexLayout.search(layout, q, 5, 2, Metric.L2)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk").collect().toSeq
+      assert(viaLayout === direct(), s"$name search mismatch through disk")
+    }
+    // a layout whose sidecar is missing fails loudly, not with floor-0 data
+    intercept[IllegalArgumentException] {
+      IndexLayout.open(spark, freshDir("layout_missing")) }
+  }
+
   test("open fails loudly on a missing or unknown index") {
     val dir = freshDir("broken")
     intercept[IllegalArgumentException] { VectorIndex.open(spark, dir) }

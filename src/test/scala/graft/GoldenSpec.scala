@@ -53,6 +53,49 @@ class GoldenSpec extends SparkSpec {
       assert(math.abs(r.recall - p) <= 0.01,
         s"inverted nl${r.value}: ${r.recall} vs pinned $p")
     }
+    val lvq = GoldenRecall.ivfLvqGrid(data, queries, truth, Dims, K, Nq, N,
+      clusters = 100, probes = Seq(4))
+    lvq.foreach { r =>
+      val p = pinned("ivf_lvq", r.config, r.value)
+      assert(math.abs(r.recall - p) <= 0.01,
+        s"ivf_lvq p${r.value}: ${r.recall} vs pinned $p")
+      // compressed-vs-uncompressed parity at the same probes (the
+      // reference's compressed-golden criterion, ±0.05)
+      val unc = pinned("ivf", "c100", r.value)
+      assert(math.abs(r.recall - unc) <= 0.05,
+        s"ivf_lvq p${r.value} drifted from uncompressed: ${r.recall} vs $unc")
+    }
+    truth.unpersist()
+  }
+
+  private def pinnedParam(family: String, config: String, param: String)
+      : (Int, Double) = {
+    val re = ("\\{\"family\":\"" + family + "\",\"config\":\"" + config +
+      "\",\"param\":\"" + param + "\",\"value\":(\\d+)" +
+      ",\"recall\":([0-9.eE+-]+)").r
+    re.findFirstMatchIn(grid)
+      .map(m => (m.group(1).toInt, m.group(2).toDouble))
+      .getOrElse(fail(s"no golden row for $family/$config/$param"))
+  }
+
+  test("capacity-split calibration reproduces the pinned (window, " +
+      "capacity, recall)") {
+    val (data, queries, truth) =
+      GoldenRecall.dataset(spark, N, Dims, Nq, K)
+    val rows = GoldenRecall.calibrationRows(data, queries, truth, Dims, K,
+      target = 0.85)
+    val (pw, pr) = pinnedParam("calibration", "deg64_w128_t0.85", "window")
+    val (pc, _) = pinnedParam("calibration", "deg64_w128_t0.85", "capacity")
+    val w = rows.find(_.param == "window").get
+    val c = rows.find(_.param == "capacity").get
+    // the calibrated settings are part of the golden: the binary search is
+    // deterministic, so the exact (window, capacity) must reproduce
+    assert(w.value === pw, s"calibrated window ${w.value} vs pinned $pw")
+    assert(c.value === pc, s"calibrated capacity ${c.value} vs pinned $pc")
+    assert(math.abs(w.recall - pr) <= 0.01,
+      s"calibration recall ${w.recall} vs pinned $pr")
+    assert(w.value <= c.value, "split buffer: window must not exceed capacity")
+    assert(w.recall >= 0.85, "calibration must reach its target")
     truth.unpersist()
   }
 }

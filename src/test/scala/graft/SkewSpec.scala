@@ -52,6 +52,35 @@ class SkewSpec extends SparkSpec {
       split.orderBy("id").collect().toSeq)
   }
 
+  test("the recall grid holds on a split shard: full-probe search over " +
+      "splitOversized sub-shards stays within tolerance of the pinned " +
+      "single-shard golden") {
+    val (data, queries, truth) =
+      GoldenRecall.dataset(spark, 10000L, 128, 100, 10)
+    val one = data.withColumn("cluster_id", lit(0L))
+    val oneCents = Seq(0L -> Seq.fill(128)(0.5))
+    // 10k rows / maxRows 2000 → 5 rank-striped sub-shards
+    val (split, splitCents) = Vamana.splitOversized(one, oneCents, 2000L)
+    assert(splitCents.length === 5)
+    val bp = BuildParams(maxDegree = 32, buildWindow = 64, alpha = 1.2,
+      pruneTo = 28)
+    val graph = Vamana.buildSharded(split.cache(), bp, Metric.L2).cache()
+    val res = Vamana.searchSharded(queries, split, graph, splitCents, 10,
+      searchWindow = 40, nProbes = splitCents.length, Metric.L2)
+    val recall = res.select("query_id", "neighbor_id")
+      .intersect(truth.select("query_id", "neighbor_id")).count() / 1000.0
+    // pinned deg32_w64 w40 single-shard golden from goldens/golden_grid.json
+    val grid = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("goldens/golden_grid.json")))
+    val pinned = ("\"family\":\"vamana\",\"config\":\"deg32_w64\"," +
+      "\"param\":\"window\",\"value\":40,\"recall\":([0-9.eE+-]+)").r
+      .findFirstMatchIn(grid).map(_.group(1).toDouble)
+      .getOrElse(fail("no deg32_w64 w40 golden row"))
+    assert(recall >= pinned - 0.05,
+      s"split-shard recall $recall fell below pinned $pinned - 0.05")
+    graph.unpersist(); split.unpersist(); truth.unpersist()
+  }
+
   test("no-op when nothing is oversized") {
     val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
     val clustered = data.withColumn("cluster_id", col("id") % 10)
