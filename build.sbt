@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The SIMD distance kernels (src/main/java/graft/simd) use the JDK Vector
+// API, an incubator module on JDK 17: javac needs it to compile, forked
+// JVMs need it to load the class. Java compiles first so scalac reads the
+// classfile (whose signatures are plain primitives/arrays) instead of
+// parsing the incubator imports. Runtime absence of the module is handled
+// gracefully (graft.core.SimdSupport probes and falls back to scalar).
+compileOrder := CompileOrder.JavaThenScala
+javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -24,6 +32,7 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "--add-modules", "jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

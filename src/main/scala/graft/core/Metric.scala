@@ -69,5 +69,38 @@ object Metric {
     }
   }
 
+  /** SIMD twin of a scalar metric (JDK Vector API kernels,
+    * graft.simd.SimdKernels): same ordering, same Column/SQL forms, but
+    * `compute` runs the lane-accumulated kernel — the analog of the
+    * reference's AVX-512 distance dispatch
+    * (core/distance/euclidean.h:216-328). Fold order differs from the
+    * scalar kernel, so values can differ in the last ulp; the
+    * oracle-certified paths therefore stay scalar and this is the opt-in
+    * production kernel (SimdSpec pins SIMD-vs-scalar agreement).
+    *
+    * Constructed via `Metric.simd`, which falls back to the scalar metric
+    * when the JVM lacks `--add-modules jdk.incubator.vector`. */
+  final case class SimdOf(base: Metric) extends Metric {
+    val name: String = base.name + "_simd"
+    val ascending: Boolean = base.ascending
+    def column(a: Column, b: Column): Column = base.column(a, b)
+    def sqlExpr(p1: String, p2: String, dims: Int): String =
+      base.sqlExpr(p1, p2, dims)
+    def compute(a: Array[Double], b: Array[Double]): Double = base match {
+      case L2         => graft.simd.SimdKernels.l2(a, b)
+      case IP         => graft.simd.SimdKernels.ip(a, b)
+      case Cosine     => graft.simd.SimdKernels.cosine(a, b)
+      case s: SimdOf  => s.compute(a, b)
+    }
+  }
+
+  /** The SIMD variant of `m` when the Vector API is available in this JVM,
+    * otherwise `m` itself (graceful scalar fallback). */
+  def simd(m: Metric): Metric =
+    if (SimdSupport.available) m match {
+      case s: SimdOf => s
+      case base      => SimdOf(base)
+    } else m
+
   val all: Seq[Metric] = Seq(L2, IP, Cosine)
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Metric, SimdSupport, Tables}
+import graft.operators.FlatKnn
+
+/** The SIMD kernels (graft.simd.SimdKernels, JDK Vector API) are the opt-in
+  * production twins of the scalar fold kernels: this suite pins their
+  * agreement contract — near-ulp value agreement across dims (including
+  * non-lane-multiple tails), determinism, graceful wrap/unwrap, and
+  * end-to-end top-k agreement with the certified scalar path. The certified
+  * oracle paths themselves stay scalar (bit-identical to DuckDB); this is
+  * the same tolerance-not-bit-exactness contract the reference applies to
+  * its own AVX kernels. */
+class SimdSpec extends SparkSpec {
+
+  test("Vector API module is present in the test JVM") {
+    // build.sbt adds --add-modules jdk.incubator.vector to forked JVMs; if
+    // that flag is ever lost this fails loudly instead of silently testing
+    // the scalar fallback.
+    assert(SimdSupport.available,
+      "jdk.incubator.vector not loadable — check build.sbt javaOptions")
+    assert(SimdSupport.lanes >= 2, s"suspicious lane count ${SimdSupport.lanes}")
+  }
+
+  private def randVec(rnd: scala.util.Random, d: Int): Array[Double] =
+    Array.fill(d)(rnd.nextDouble() * 2.0 - 1.0)
+
+  test("SIMD kernels agree with the scalar fold near-ulp across dims") {
+    val rnd = new scala.util.Random(42)
+    // dims straddle lane boundaries: tails of every length get exercised
+    for (d <- Seq(1, 2, 3, 7, 8, 9, 15, 16, 17, 31, 63, 64, 65, 128, 300);
+         _ <- 0 until 20) {
+      val a = randVec(rnd, d)
+      val b = randVec(rnd, d)
+      for (m <- Metric.all) {
+        val scalar = m.compute(a, b)
+        val simd = Metric.SimdOf(m).compute(a, b)
+        val scale = math.max(1.0, math.abs(scalar))
+        assert(math.abs(simd - scalar) / scale < 1e-12,
+          s"${m.name} d=$d scalar=$scalar simd=$simd")
+      }
+    }
+  }
+
+  test("SIMD kernels are deterministic (fixed lane order, no data races)") {
+    val rnd = new scala.util.Random(7)
+    val a = randVec(rnd, 129)
+    val b = randVec(rnd, 129)
+    for (m <- Metric.all) {
+      val s = Metric.SimdOf(m)
+      val first = s.compute(a, b)
+      assert((0 until 100).forall(_ => s.compute(a, b) == first),
+        s"${m.name} SIMD kernel not bit-stable across calls")
+    }
+  }
+
+  test("cosine zero-norm convention matches the scalar kernel") {
+    val z = Array.fill(16)(0.0)
+    val v = Array.tabulate(16)(_.toDouble)
+    assert(Metric.SimdOf(Metric.Cosine).compute(z, v) == 0.0)
+    assert(Metric.SimdOf(Metric.Cosine).compute(v, z) == 0.0)
+    assert(Metric.SimdOf(Metric.Cosine).compute(z, z) == 0.0)
+  }
+
+  test("Metric.simd wraps once, preserves ordering/column/SQL forms") {
+    val s = Metric.simd(Metric.L2)
+    assert(s == Metric.SimdOf(Metric.L2))
+    assert(Metric.simd(s) == s, "double-wrap")
+    assert(s.ascending == Metric.L2.ascending)
+    assert(Metric.simd(Metric.IP).ascending == Metric.IP.ascending)
+    for (m <- Metric.all)
+      assert(Metric.SimdOf(m).sqlExpr("a", "b", 4) == m.sqlExpr("a", "b", 4))
+  }
+
+  test("flat kNN with the SIMD kernel matches the certified scalar path") {
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    val q = Tables.embeddingQueries(spark, sfDir)
+    for (m <- Seq(Metric.L2, Metric.Cosine)) {
+      val scalar = FlatKnn.search(q, data, 10, m)
+        .select("query_id", "rnk", "neighbor_id", "dist")
+        .orderBy("query_id", "rnk").collect()
+      val simd = FlatKnn.search(q, data, 10, Metric.simd(m))
+        .select("query_id", "rnk", "neighbor_id", "dist")
+        .orderBy("query_id", "rnk").collect()
+      assert(scalar.length == simd.length)
+      scalar.zip(simd).foreach { case (a, b) =>
+        assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1))
+        // same neighbor at each rank, or an adjacent swap of a near-tie
+        // whose distances agree within ulp noise of the fold reorder
+        if (a.getLong(2) != b.getLong(2)) {
+          val scale = math.max(1.0, math.abs(a.getDouble(3)))
+          assert(math.abs(a.getDouble(3) - b.getDouble(3)) / scale < 1e-9,
+            s"${m.name} rank ${a.getLong(1)}: ids ${a.getLong(2)} vs " +
+              s"${b.getLong(2)} with non-tied dists")
+        }
+      }
+    }
+  }
+}
