@@ -18,7 +18,12 @@ run / fork := true
 // parsing the incubator imports. Runtime absence of the module is handled
 // gracefully (graft.core.SimdSupport probes and falls back to scalar).
 compileOrder := CompileOrder.JavaThenScala
-javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")
+javacOptions ++= Seq("--add-modules", "jdk.incubator.vector", "-encoding", "UTF-8")
+// sbt's in-process javac loads jdk.incubator.vector classes into the
+// unnamed module and dies with IllegalAccessError (java.base does not
+// export jdk.internal.vm.vector to it). Setting javaHome makes sbt fork
+// a real `javac` process, which resolves --add-modules correctly.
+javaHome := Some(file(sys.props("java.home")))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

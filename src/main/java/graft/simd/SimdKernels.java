@@ -26,17 +26,27 @@ import jdk.incubator.vector.VectorSpecies;
  * --add-modules jdk.incubator.vector.
  */
 public final class SimdKernels {
-    private static final VectorSpecies<Double> S = DoubleVector.SPECIES_PREFERRED;
+    // Typed Object, not VectorSpecies: sbt/zinc's API extraction loads this
+    // class reflectively in the build JVM (no --add-modules there), and any
+    // incubator type in a declared field/method signature triggers an
+    // IllegalAccessError at class-load. Method BODIES are never inspected by
+    // reflection, so the species lives behind an Object field and each
+    // kernel casts it locally.
+    private static final Object SPECIES = DoubleVector.SPECIES_PREFERRED;
 
     private SimdKernels() {}
 
     /** Lane count of the preferred species (8 on AVX-512, 4 on AVX2). */
     public static int lanes() {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
         return S.length();
     }
 
     /** Squared L2 distance, lane-accumulated then reduced. */
     public static double l2(double[] a, double[] b) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
         int n = a.length;
         int bound = S.loopBound(n);
         DoubleVector acc = DoubleVector.zero(S);
@@ -57,6 +67,8 @@ public final class SimdKernels {
 
     /** Inner product, lane-accumulated then reduced. */
     public static double ip(double[] a, double[] b) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
         int n = a.length;
         int bound = S.loopBound(n);
         DoubleVector acc = DoubleVector.zero(S);
@@ -79,6 +91,8 @@ public final class SimdKernels {
      * Returns 0 when either norm is zero (scalar-kernel convention).
      */
     public static double cosine(double[] a, double[] b) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
         int n = a.length;
         int bound = S.loopBound(n);
         DoubleVector dot = DoubleVector.zero(S);
