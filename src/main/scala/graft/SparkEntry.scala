@@ -1009,6 +1009,9 @@ object SparkEntry {
     "q64_jpeg_flags" -> (mediaJpegQ _),
     "q65_ivf_pages" -> (ivfPagesQ _),
     "q66_multilabel_pages" -> (multiLabelPagesQ _),
+    "q67_simd_knn_l2" -> (knnLineitem(Metric.simd(Metric.L2)) _),
+    "q68_simd_knn_ip" -> (knnLineitem(Metric.simd(Metric.IP)) _),
+    "q69_simd_knn_cos" -> (knnLineitem(Metric.simd(Metric.Cosine)) _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1083,5 +1086,18 @@ object SparkEntry {
     "q64_jpeg_flags" -> OracleGenText.mediaJpegFlags,
     "q65_ivf_pages" -> OracleGen.batchPages(K, Pages),
     "q66_multilabel_pages" -> OracleGen.multiLabelPages(LabelK, 2),
+    // q67-q69 run the JDK-Vector-API kernels (graft.simd.SimdKernels, the
+    // analog of the reference's AVX dispatch, core/distance/euclidean.h:216)
+    // against the SAME scalar DuckDB oracle as q01-q03: the output drops
+    // distances and compares (query_id, rnk, neighbor_id) only, so the
+    // certification is exact-id-ranking agreement. Ties (duplicate vectors)
+    // stay exact ties under the lane-reordered fold — identical inputs give
+    // identical doubles in either kernel — so the id ASC tiebreak is stable;
+    // a rank flip would need two DISTINCT vectors within one ulp of the same
+    // distance. On a JVM without the Vector API module, Metric.simd falls
+    // back to the scalar kernel and the queries degrade to q01-q03 twins.
+    "q67_simd_knn_l2" -> OracleGen.lineitemKnn(Metric.L2, K),
+    "q68_simd_knn_ip" -> OracleGen.lineitemKnn(Metric.IP, K),
+    "q69_simd_knn_cos" -> OracleGen.lineitemKnn(Metric.Cosine, K),
   )
 }
