@@ -395,4 +395,30 @@ object OracleGenText {
        |    AS n_samples,
        |  CAST(1 AS BIGINT) AS dims_ok, CAST(1 AS BIGINT) AS err_ok
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Video container decode (Multimodal.packY4m + RawCodec.decodeY4m):
+    * Y4M is uncompressed, so DuckDB replays the luma formula
+    * `v_j = (id·31 + j·7 + 13) mod 256` over f·w·h samples (w = 8 + id mod
+    * 8, h = 4 + id mod 4, f = 2 + id mod 3) and checks the per-frame
+    * weighted sum `Σ (1 + j / (w·h))·v_j` — which only matches if the
+    * Spark-side parser segmented frames at the real FRAME markers. */
+  def mediaY4m: String =
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+       |geo AS (
+       |  SELECT doc_id, (8 + doc_id % 8) * (4 + doc_id % 4) AS frame_len,
+       |         2 + doc_id % 3 AS f
+       |  FROM d),
+       |gen AS (
+       |  SELECT doc_id, frame_len, f,
+       |    unnest(generate_series(0, f * frame_len - 1)) AS j
+       |  FROM geo),
+       |vals AS (
+       |  SELECT doc_id, f, j, j // frame_len AS frame_idx,
+       |    (doc_id * 31 + j * 7 + 13) % 256 AS v
+       |  FROM gen)
+       |SELECT doc_id, CAST(max(f) AS BIGINT) AS n_frames,
+       |  CAST(count(*) AS BIGINT) AS n_samples,
+       |  CAST(sum(v) AS BIGINT) AS sum1,
+       |  CAST(sum((1 + frame_idx) * v) AS BIGINT) AS sum_frame
+       |FROM vals GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

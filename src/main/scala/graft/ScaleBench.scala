@@ -104,6 +104,40 @@ object ScaleBench {
       s""""vamana_split_sec":$tSplit,"vamana_shards":${splitCents.length},""" +
       s""""vamana_build_sec":$tBuild,"vamana_search_sec":$tVamana}""")
 
+    // SIMD twins (opt-in: SPARK_GRAFT_SCALE_SIMD=1): the same split, same
+    // params, kernels routed through the Vector API (Metric.simd). The flat
+    // path is scan-bound so the win there is modest; the Vamana build is
+    // kernel-bound (per-node beam searches + robust prune inside each
+    // shard), which is where the 2-3.6x per-pair kernel rate (KernelBench)
+    // should surface as wall-clock. Recall of both graphs is scored against
+    // the exact flat result to show the SIMD-built graph is as good.
+    if (sys.env.get("SPARK_GRAFT_SCALE_SIMD").exists(_.nonEmpty)) {
+      val simdL2 = Metric.simd(Metric.L2)
+      val truth = FlatKnn.search(queries, data, k, Metric.L2)
+        .select("query_id", "neighbor_id").cache()
+      truth.count()
+      def recallOf(res: org.apache.spark.sql.DataFrame): Double =
+        res.select("query_id", "neighbor_id").intersect(truth).count()
+          .toDouble / (k.toLong * nq)
+      val (_, tFlatSimd) = time {
+        FlatKnn.search(queries, data, k, simdL2).count() }
+      val (gSimd, tBuildSimd) = time {
+        val g = Vamana.buildSharded(split, vParams, simdL2).cache()
+        g.count(); g
+      }
+      val (rSimd, tVamanaSimd) = time {
+        recallOf(Vamana.searchSharded(queries, split, gSimd, splitCents, k,
+          searchWindow = 64, nProbes = 8, simdL2)) }
+      val rScalar = recallOf(Vamana.searchSharded(queries, split, graph,
+        splitCents, k, searchWindow = 64, nProbes = 8, Metric.L2))
+      println(s"""{"experiment":"scale_bench_simd","n":$n,"dims":$dims,""" +
+        s""""flat_knn_simd_sec":$tFlatSimd,""" +
+        s""""vamana_build_simd_sec":$tBuildSimd,""" +
+        s""""vamana_search_simd_sec":$tVamanaSimd,""" +
+        s""""vamana_recall_simd":$rSimd,"vamana_recall_scalar":$rScalar,""" +
+        s""""build_speedup":${tBuild / tBuildSimd}}""")
+    }
+
     // Worst-case hot-shard probe (opt-in: SPARK_GRAFT_SCALE_ONESHARD=1):
     // build ONE Vamana graph over the whole 1M×128 dataset — the un-split
     // pathological shard — then the same data through splitOversized, and

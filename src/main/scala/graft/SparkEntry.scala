@@ -489,6 +489,13 @@ object SparkEntry {
         Multimodal.ImageIoCodec)
       .orderBy("doc_id")
 
+  /** Video-container decode (q70): real YUV4MPEG2 bytes through RawCodec's
+    * Y4M parser; the per-frame weighted sum certifies the parser segmented
+    * frames at the container's actual FRAME markers. */
+  private def mediaY4mQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.y4mStats(Multimodal.packY4m(docs(s, dir)))
+      .orderBy("doc_id")
+
   /** Tolerated per-sample error for q64's JPEG invariants: gray gradients
     * at quality 1.0 measure maxErr ≤ 2 locally; 8 leaves decoder headroom
     * while still certifying a real lossy decode. */
@@ -1012,6 +1019,7 @@ object SparkEntry {
     "q67_simd_knn_l2" -> (knnLineitem(Metric.simd(Metric.L2)) _),
     "q68_simd_knn_ip" -> (knnLineitem(Metric.simd(Metric.IP)) _),
     "q69_simd_knn_cos" -> (knnLineitem(Metric.simd(Metric.Cosine)) _),
+    "q70_y4m_frames" -> (mediaY4mQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1099,5 +1107,6 @@ object SparkEntry {
     "q67_simd_knn_l2" -> OracleGen.lineitemKnn(Metric.L2, K),
     "q68_simd_knn_ip" -> OracleGen.lineitemKnn(Metric.IP, K),
     "q69_simd_knn_cos" -> OracleGen.lineitemKnn(Metric.Cosine, K),
+    "q70_y4m_frames" -> OracleGenText.mediaY4m,
   )
 }

@@ -42,9 +42,11 @@ object Multimodal {
   }
 
   /** REAL codec for uncompressed container formats, pure JVM — no media
-    * libraries required: RIFF/WAVE PCM audio (8/16-bit) and binary PPM
-    * (P6) images parse from actual container bytes. Compressed formats
-    * (JPEG/MP3/H.264) still need external libs and stay on [[StubCodec]]. */
+    * libraries required: RIFF/WAVE PCM audio (8/16-bit), binary PPM (P6)
+    * images, and YUV4MPEG2 (.y4m) video parse from actual container bytes.
+    * Compressed codecs (MP3/H.264) still need external libs and stay on
+    * [[StubCodec]]; compressed *images* (PNG/JPEG) decode for real via
+    * [[ImageIoCodec]]. */
   object RawCodec extends MediaCodec {
     import java.nio.{ByteBuffer, ByteOrder}
 
@@ -52,6 +54,7 @@ object Multimodal {
       meta.format match {
         case "audio/wav" => decodeWav(content)._1
         case "image/ppm" => decodePpm(content)._1
+        case "video/y4m" => decodeY4m(content)._1
         case _ => StubCodec.decode(content, meta)
       }
 
@@ -155,6 +158,88 @@ object Multimodal {
         out(header.length + i) = rgb(i).toByte; i += 1 }
       out
     }
+
+    /** Parse a YUV4MPEG2 (.y4m) stream → (samples, w, h, n_frames). The
+      * uncompressed video container: an ASCII parameter line, then per
+      * frame a `FRAME`[params] line + raw planar pixel data. Colorspaces
+      * supported: `Cmono` (luma only, w·h bytes/frame), `C444`
+      * (3·w·h) and the `C420*` family (w·h·3/2) — frame size comes from
+      * the PARSED header, not caller metadata, like a real reader.
+      * Unknown parameter tags (F/I/A/X) are skipped per spec. */
+    def decodeY4m(bytes: Array[Byte]): (Array[Int], Int, Int, Int) = {
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      var pos = 0
+      def line(): String = {
+        val start = pos
+        while (pos < bytes.length && bytes(pos) != '\n'.toByte) pos += 1
+        require(pos < bytes.length, "y4m: unterminated header line")
+        pos += 1
+        new String(bytes, start, pos - 1 - start, ascii)
+      }
+      val header = line().split(' ')
+      require(header.nonEmpty && header(0) == "YUV4MPEG2",
+        s"y4m: bad magic '${header.headOption.getOrElse("")}'")
+      var w = -1; var h = -1; var cs = "420jpeg" // spec default
+      header.iterator.drop(1).filter(_.nonEmpty).foreach { p =>
+        p.charAt(0) match {
+          case 'W' => w = p.substring(1).toInt
+          case 'H' => h = p.substring(1).toInt
+          case 'C' => cs = p.substring(1)
+          case _   => () // F (rate), I (interlace), A (aspect), X (app)
+        }
+      }
+      require(w > 0 && h > 0, s"y4m: missing or bad geometry W$w H$h")
+      val frameLen =
+        if (cs == "mono") w * h
+        else if (cs == "444") w * h * 3
+        else if (cs.startsWith("420")) {
+          require(w % 2 == 0 && h % 2 == 0,
+            s"y4m: C$cs needs even geometry, got ${w}x$h")
+          w * h * 3 / 2
+        } else sys.error(s"y4m: unsupported colorspace C$cs")
+      val out = scala.collection.mutable.ArrayBuilder.make[Int]
+      var nFrames = 0
+      while (pos < bytes.length) {
+        val fl = line()
+        require(fl == "FRAME" || fl.startsWith("FRAME "),
+          s"y4m: expected FRAME marker, got '$fl'")
+        require(pos + frameLen <= bytes.length,
+          s"y4m: truncated frame $nFrames " +
+            s"(${bytes.length - pos} of $frameLen bytes)")
+        var i = 0
+        while (i < frameLen) { out += (bytes(pos + i) & 0xff); i += 1 }
+        pos += frameLen
+        nFrames += 1
+      }
+      (out.result(), w, h, nFrames)
+    }
+
+    /** Write a Cmono YUV4MPEG2 stream: `luma` holds n_frames·w·h samples
+      * in frame order. */
+    def encodeY4m(w: Int, h: Int, nFrames: Int, luma: Array[Int])
+        : Array[Byte] = {
+      require(luma.length == nFrames * w * h,
+        s"y4m: ${luma.length} != $nFrames*$w*$h")
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono\n".getBytes(ascii)
+      val marker = "FRAME\n".getBytes(ascii)
+      val frameLen = w * h
+      val out = new Array[Byte](
+        header.length + nFrames * (marker.length + frameLen))
+      System.arraycopy(header, 0, out, 0, header.length)
+      var pos = header.length
+      var f = 0
+      while (f < nFrames) {
+        System.arraycopy(marker, 0, out, pos, marker.length)
+        pos += marker.length
+        var i = 0
+        while (i < frameLen) {
+          out(pos + i) = luma(f * frameLen + i).toByte; i += 1 }
+        pos += frameLen
+        f += 1
+      }
+      out
+    }
   }
 
   /** REAL codec for *compressed* image formats via the JDK's own
@@ -162,7 +247,7 @@ object Multimodal {
     * PNG (lossless, so decoded samples replay the generator formula
     * exactly) and JPEG (lossy — certified through invariant flags, see
     * [[jpegDecodeFlags]]). Non-image formats delegate to [[RawCodec]].
-    * Video container decode remains on [[StubCodec]]. */
+    * Video containers parse via [[RawCodec]]'s Y4M reader. */
   object ImageIoCodec extends MediaCodec {
     import java.awt.image.BufferedImage
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
@@ -332,6 +417,55 @@ object Multimodal {
       MediaRow(id, "image", ImageIoCodec.encodeJpeg(w, h, jpegRgb(id, w, h)),
         MediaMeta("image/jpeg", w, h, 0, 0))
     }
+  }
+
+  /** Deterministic real-video table: every doc_id carries an actual
+    * YUV4MPEG2 stream (Cmono) with f = 2 + id mod 3 frames of
+    * w = 8 + id mod 8 by h = 4 + id mod 4 luma, sample j (global across
+    * frames) = `(id·31 + j·7 + 13) mod 256` — the container bytes are real
+    * (header + per-frame FRAME markers, exercised by [[RawCodec]]'s Y4M
+    * parser); the sample formula is what the DuckDB oracle replays. */
+  def packY4m(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val w = (8 + id % 8).toInt
+      val h = (4 + id % 4).toInt
+      val f = (2 + id % 3).toInt
+      val luma = Array.tabulate(f * w * h)(j =>
+        ((id * 31 + j * 7 + 13) % 256).toInt)
+      MediaRow(id, "video", RawCodec.encodeY4m(w, h, f, luma),
+        MediaMeta("video/y4m", w, h, 0, f * 40L))
+    }
+  }
+
+  /** Per-document video decode + frame-boundary stats over real Y4M bytes:
+    * (doc_id, n_frames, n_samples, sum1, sum_frame), where `sum_frame`
+    * weights each sample by (1 + its frame index). Geometry and frame
+    * boundaries come from the PARSED container header — not row metadata —
+    * so a correct sum_frame certifies the parser found the FRAME markers
+    * where the encoder put them. Same batched-mapPartitions shape as
+    * [[decodeSums]] (bounded memory per task at any partition size). */
+  def y4mStats(media: Dataset[MediaRow], batchSize: Int = DefaultBatch)
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "video").as[MediaRow]
+      .mapPartitions { it =>
+        batched(it, batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val (v, w, h, nf) = RawCodec.decodeY4m(r.content)
+            val frameLen = w * h
+            var s1 = 0L; var sf = 0L; var i = 0
+            while (i < v.length) {
+              s1 += v(i)
+              sf += (1L + i / frameLen) * v(i)
+              i += 1
+            }
+            (r.doc_id, nf.toLong, v.length.toLong, s1, sf)
+          }
+        }
+      }.toDF("doc_id", "n_frames", "n_samples", "sum1", "sum_frame")
   }
 
   private def jpegRgb(id: Long, w: Int, h: Int): Array[Int] = {

@@ -185,4 +185,59 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.MediaMeta("audio/wav", 0, 0, 8000, 0)).toSeq ===
       Seq(1, -2, 3))
   }
+
+  test("RawCodec Y4M round trip is exact and rejects malformed streams") {
+    import graft.operators.Multimodal.RawCodec
+    val (w, h, f) = (6, 4, 3)
+    val luma = Array.tabulate(f * w * h)(i => (i * 13) % 256)
+    val bytes = RawCodec.encodeY4m(w, h, f, luma)
+    val (back, bw, bh, bf) = RawCodec.decodeY4m(bytes)
+    assert((bw, bh, bf) === ((w, h, f)))
+    assert(back.toSeq === luma.toSeq)
+    // frame params after the FRAME marker are skipped like a real reader
+    val withParam = new String(bytes, "ISO-8859-1")
+      .replaceFirst("FRAME\n", "FRAME Ixyz\n").getBytes("ISO-8859-1")
+    assert(RawCodec.decodeY4m(withParam)._1.toSeq === luma.toSeq)
+    // unknown header tags (X...) are skipped; C420 frame size is 3/2 w*h
+    val c420 = ("YUV4MPEG2 W2 H2 F25:1 Xmeta C420jpeg\nFRAME\n"
+      .getBytes("US-ASCII") ++ Array.tabulate(6)(_.toByte))
+    val (v420, _, _, f420) = RawCodec.decodeY4m(c420)
+    assert(f420 === 1 && v420.length === 6)
+    intercept[IllegalArgumentException] { // bad magic
+      RawCodec.decodeY4m("JUNK W2 H2\n".getBytes("US-ASCII")) }
+    intercept[IllegalArgumentException] { // truncated frame payload
+      RawCodec.decodeY4m(bytes.dropRight(1)) }
+    intercept[IllegalArgumentException] { // missing geometry
+      RawCodec.decodeY4m("YUV4MPEG2 Cmono\nFRAME\n".getBytes("US-ASCII")) }
+  }
+
+  test("packY4m produces genuine containers whose parsed frame boundaries " +
+      "match the generator") {
+    import spark.implicits._
+    val docs = Seq((0L, ""), (1L, ""), (5L, "")).toDF("doc_id", "text")
+    val media = Multimodal.packY4m(docs).collect()
+    for (r <- media) {
+      val id = r.doc_id
+      val (v, w, h, nf) = Multimodal.RawCodec.decodeY4m(r.content)
+      assert((w, h, nf) ===
+        (((8 + id % 8).toInt, (4 + id % 4).toInt, (2 + id % 3).toInt)))
+      assert(v.toSeq === Seq.tabulate(nf * w * h)(j =>
+        ((id * 31 + j * 7 + 13) % 256).toInt))
+    }
+    // the stats operator reproduces the formula-derived aggregates
+    val stats = Multimodal.y4mStats(Multimodal.packY4m(docs))
+      .orderBy("doc_id").collect()
+    assert(stats.length === 3)
+    for (row <- stats) {
+      val id = row.getLong(0)
+      val (w, h, f) = ((8 + id % 8).toInt, (4 + id % 4).toInt,
+        (2 + id % 3).toInt)
+      val vals = Seq.tabulate(f * w * h)(j => (id * 31 + j * 7 + 13) % 256)
+      assert(row.getLong(1) === f.toLong)
+      assert(row.getLong(2) === (f * w * h).toLong)
+      assert(row.getLong(3) === vals.sum)
+      assert(row.getLong(4) === vals.zipWithIndex
+        .map { case (v, j) => (1L + j / (w * h)) * v }.sum)
+    }
+  }
 }
