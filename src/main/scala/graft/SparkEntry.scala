@@ -496,6 +496,39 @@ object SparkEntry {
     Multimodal.y4mStats(Multimodal.packY4m(docs(s, dir)))
       .orderBy("doc_id")
 
+  /** Streaming multimodal ingest (q71, stream twin of q70): the same real
+    * Y4M containers fed through [[graft.streaming.StreamingMedia]] in two
+    * micro-batches (odd split: ~1/3 then the rest). Media decode is
+    * per-document independent, so the union of micro-batch stats equals
+    * the batch operator's output and the query shares q70's oracle. */
+  private def streamY4mQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Multimodal.MediaRow]
+    val buf =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-y4m").toString
+    val q = graft.streaming.StreamingMedia.attachY4mStats(mem.toDF(), ckpt) {
+      res =>
+        val rows = res.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4)))
+        buf.synchronized { buf ++= rows }
+    }
+    val media = Multimodal.packY4m(docs(s, dir)).collect()
+    try {
+      val (a, b) = media.splitAt(media.length / 3)
+      mem.addData(a.toSeq)
+      q.processAllAvailable()
+      mem.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    buf.toSeq
+      .toDF("doc_id", "n_frames", "n_samples", "sum1", "sum_frame")
+      .orderBy("doc_id")
+  }
+
   /** Tolerated per-sample error for q64's JPEG invariants: gray gradients
     * at quality 1.0 measure maxErr ≤ 2 locally; 8 leaves decoder headroom
     * while still certifying a real lossy decode. */
@@ -1020,6 +1053,7 @@ object SparkEntry {
     "q68_simd_knn_ip" -> (knnLineitem(Metric.simd(Metric.IP)) _),
     "q69_simd_knn_cos" -> (knnLineitem(Metric.simd(Metric.Cosine)) _),
     "q70_y4m_frames" -> (mediaY4mQ _),
+    "q71_stream_y4m" -> (streamY4mQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1108,5 +1142,6 @@ object SparkEntry {
     "q68_simd_knn_ip" -> OracleGen.lineitemKnn(Metric.IP, K),
     "q69_simd_knn_cos" -> OracleGen.lineitemKnn(Metric.Cosine, K),
     "q70_y4m_frames" -> OracleGenText.mediaY4m,
+    "q71_stream_y4m" -> OracleGenText.mediaY4m,
   )
 }
