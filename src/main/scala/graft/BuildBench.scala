@@ -1,0 +1,43 @@
+package graft
+
+import graft.core.Metric
+import graft.operators.VamanaKernel
+import graft.operators.VamanaKernel.{BuildParams, BuildStats}
+
+/** Single-shard Vamana build profiler: wall-clock + per-phase breakdown
+  * (search/prune vs adjacency apply vs overflow re-prune) for the scalar
+  * and SIMD kernels — the measurement behind SCALE.md's build-cost
+  * attribution. No Spark: this is the per-task kernel a 100 TB build runs
+  * once per shard inside `Vamana.buildSharded`.
+  * Run: `sbt "runMain graft.BuildBench"`.
+  * Env: SPARK_GRAFT_BUILD_N (default 20000), SPARK_GRAFT_BUILD_DIMS (64).
+  */
+object BuildBench {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_BUILD_N", "20000").toInt
+    val dims = sys.env.getOrElse("SPARK_GRAFT_BUILD_DIMS", "64").toInt
+    val batchSize = sys.env.getOrElse("SPARK_GRAFT_BUILD_BATCH", "64").toInt
+    val rnd = new scala.util.Random(7)
+    val vecs = Array.fill(n)(Array.fill(dims)(rnd.nextDouble() * 2 - 1))
+    val params = BuildParams(maxDegree = 32, buildWindow = 64, alpha = 1.2,
+      pruneTo = 28, batchSize = batchSize)
+    for (m <- Seq(Metric.L2, Metric.simd(Metric.L2))) {
+      // one untimed warmup at n/4 so JIT state matches a long-running task
+      VamanaKernel.build(vecs.take(n / 4), params, m)
+      val stats = new BuildStats
+      val t0 = System.nanoTime()
+      val (adj, _) = VamanaKernel.build(vecs, params, m, stats)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val deg = adj.iterator.map(_.length.toLong).sum.toDouble / n
+      println(f"""{"experiment":"build_bench","n":$n,"dims":$dims,""" +
+        f""""batch":$batchSize,"metric":"${m.name}","wall_sec":$wall%.3f,""" +
+        f""""search_sec":${stats.search.sum / 1e9}%.3f,""" +
+        f""""greedy_cpu_sec":${stats.greedyCpu.sum / 1e9}%.3f,""" +
+        f""""prune_cpu_sec":${stats.pruneCpu.sum / 1e9}%.3f,""" +
+        f""""apply_sec":${stats.apply.sum / 1e9}%.3f,""" +
+        f""""overflow_sec":${stats.overflow.sum / 1e9}%.3f,""" +
+        f""""dist_calls":${stats.distCalls.sum},""" +
+        f""""mean_degree":$deg%.2f}""")
+    }
+  }
+}

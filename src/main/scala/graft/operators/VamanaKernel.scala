@@ -16,6 +16,75 @@ import scala.collection.mutable.ArrayBuffer
   */
 object VamanaKernel {
 
+  /** Growable primitive (slot, dist) pair buffer — the allocation-free
+    * candidate pool. The tupled version allocated one (Int, Double) per
+    * scored candidate (BuildBench: 63M per 20k-shard build, a measurable
+    * slice of the 32-thread build's CPU in GC-pressured bookkeeping); this
+    * holds one object per SEARCH with two flat arrays, matching the
+    * reference's pooled candidate storage (vamana_build.h:327-479 reuses a
+    * per-thread buffer). Sort order (dist, then slot; descending dist for
+    * similarity metrics) is a strict total order over unique slots, so the
+    * in-place quicksort reproduces the stable-sort order bit for bit. */
+  final class CandidatePool(initial: Int) {
+    var slots = new Array[Int](math.max(4, initial))
+    var dists = new Array[Double](math.max(4, initial))
+    var n = 0
+
+    def add(s: Int, d: Double): Unit = {
+      if (n == slots.length) {
+        slots = java.util.Arrays.copyOf(slots, n * 2)
+        dists = java.util.Arrays.copyOf(dists, n * 2)
+      }
+      slots(n) = s; dists(n) = d; n += 1
+    }
+
+    @inline private def less(i: Int, j: Int, asc: Boolean): Boolean = {
+      val di = dists(i); val dj = dists(j)
+      if (di != dj) { if (asc) di < dj else di > dj }
+      else slots(i) < slots(j)
+    }
+
+    @inline private def swap(i: Int, j: Int): Unit = {
+      val s = slots(i); slots(i) = slots(j); slots(j) = s
+      val d = dists(i); dists(i) = dists(j); dists(j) = d
+    }
+
+    /** In-place best-first sort by (dist asc|desc, slot asc). */
+    def sortBestFirst(asc: Boolean): Unit = quick(0, n - 1, asc)
+
+    private def quick(lo0: Int, hi0: Int, asc: Boolean): Unit = {
+      var lo = lo0; var hi = hi0
+      while (hi - lo > 16) {
+        // median-of-three pivot (sorted/reversed inputs stay O(n log n))
+        val mid = lo + (hi - lo) / 2
+        if (less(mid, lo, asc)) swap(mid, lo)
+        if (less(hi, lo, asc)) swap(hi, lo)
+        if (less(hi, mid, asc)) swap(hi, mid)
+        swap(mid, hi - 1) // pivot parked at hi-1
+        val p = hi - 1
+        var i = lo; var j = p
+        var done = false
+        while (!done) {
+          i += 1
+          while (less(i, p, asc)) i += 1
+          j -= 1
+          while (j > lo && less(p, j, asc)) j -= 1
+          if (i >= j) done = true else swap(i, j)
+        }
+        swap(i, p) // pivot into place
+        // recurse on the smaller side, loop on the larger (bounded stack)
+        if (i - lo < hi - i) { quick(lo, i - 1, asc); lo = i + 1 }
+        else { quick(i + 1, hi, asc); hi = i - 1 }
+      }
+      var i = lo + 1 // insertion sort for small ranges
+      while (i <= hi) {
+        var j = i
+        while (j > lo && less(j, j - 1, asc)) { swap(j, j - 1); j -= 1 }
+        i += 1
+      }
+    }
+  }
+
   /** Fixed-capacity best-first search buffer with per-entry expanded flags —
     * the analog of the reference SearchBuffer (search_buffer.h:104): a sorted
     * array of (dist, slot) where search proceeds until every kept entry has
@@ -97,13 +166,13 @@ object VamanaKernel {
     * history, build_params.h:70-74). */
   def greedySearchCollect(adj: Array[Array[Int]], vecs: Array[Array[Double]],
                           entry: Int, q: Array[Double], window: Int,
-                          metric: Metric): ArrayBuffer[(Int, Double)] = {
-    val pool = new ArrayBuffer[(Int, Double)]
+                          metric: Metric): CandidatePool = {
+    val pool = new CandidatePool(4 * window)
     val buf = new BeamBuffer(window, metric.ascending)
     val scored = new java.util.BitSet(vecs.length)
     scored.set(entry)
     val d0 = metric.compute(q, vecs(entry))
-    pool += ((entry, d0))
+    pool.add(entry, d0)
     buf.insert(d0, entry)
     var cur = buf.nextUnexpanded()
     while (cur >= 0) {
@@ -115,7 +184,7 @@ object VamanaKernel {
         if (!scored.get(nb)) {
           scored.set(nb)
           val d = metric.compute(q, vecs(nb))
-          pool += ((nb, d))
+          pool.add(nb, d)
           buf.insert(d, nb)
         }
         i += 1
@@ -134,23 +203,46 @@ object VamanaKernel {
   def robustPrune(node: Int, pool: ArrayBuffer[(Int, Double)], alpha: Double,
                   maxDegree: Int, vecs: Array[Array[Double]], metric: Metric)
       : Array[Int] = {
+    val cp = new CandidatePool(pool.length)
+    pool.foreach { case (s, d) => cp.add(s, d) }
+    robustPrune(node, cp, alpha, maxDegree, vecs, metric)
+  }
+
+  /** Primitive-pool variant (the build's hot path — no per-candidate
+    * allocation; mutates `pool` by compacting and sorting it in place).
+    * Pool entries from [[greedySearchCollect]] are slot-unique by the
+    * visited bitset, so the in-place dedup keeps the same survivors the
+    * tupled filter kept. */
+  def robustPrune(node: Int, pool: CandidatePool, alpha: Double,
+                  maxDegree: Int, vecs: Array[Array[Double]], metric: Metric)
+      : Array[Int] = {
     val asc = metric.ascending
-    // sort best-first, dedup, drop self
+    // compact in place: drop self and duplicate slots, preserving order
     val seen = new java.util.BitSet(vecs.length)
-    val cand = pool.filter { case (s, _) =>
-      if (s == node || seen.get(s)) false else { seen.set(s); true }
-    }.sortBy { case (s, d) => (if (asc) d else -d, s) }
-    val kept = new ArrayBuffer[Int](maxDegree)
-    val alive = Array.fill(cand.length)(true)
+    var w = 0; var r = 0
+    while (r < pool.n) {
+      val s = pool.slots(r)
+      if (s != node && !seen.get(s)) {
+        seen.set(s)
+        pool.slots(w) = s; pool.dists(w) = pool.dists(r); w += 1
+      }
+      r += 1
+    }
+    pool.n = w
+    pool.sortBestFirst(asc)
+    val kept = new Array[Int](math.min(maxDegree, w))
+    var nk = 0
+    val alive = new Array[Boolean](w)
+    java.util.Arrays.fill(alive, true)
     var i = 0
-    while (i < cand.length && kept.length < maxDegree) {
+    while (i < w && nk < maxDegree) {
       if (alive(i)) {
-        val (p, _) = cand(i)
-        kept += p
+        val p = pool.slots(i)
+        kept(nk) = p; nk += 1
         var j = i + 1
-        while (j < cand.length) {
+        while (j < w) {
           if (alive(j)) {
-            val (c, dNodeC) = cand(j)
+            val c = pool.slots(j); val dNodeC = pool.dists(j)
             val dPC = metric.compute(vecs(p), vecs(c))
             val dominated =
               if (asc) alpha * dPC <= dNodeC
@@ -162,7 +254,7 @@ object VamanaKernel {
       }
       i += 1
     }
-    kept.toArray
+    if (nk == kept.length) kept else java.util.Arrays.copyOf(kept, nk)
   }
 
   /** Medioid entry point (core/medioid.h:270-300): per-dimension mean, then
@@ -212,8 +304,30 @@ object VamanaKernel {
     * writes only its own slot's result, and all mutation happens in the
     * fixed-order apply phase — so rebuilt graphs stay bit-identical.
     * batchSize = 1 degenerates to the classic sequential insert loop. */
+  /** Per-phase wall-clock accumulator for [[build]] (nanos, accumulated at
+    * batch granularity — a few thousand timer reads per build, so the
+    * instrumentation itself is free). `search` covers the parallel
+    * candidate-generation + prune phase; `apply` the slot-ordered adjacency
+    * writes + reverse-edge appends; `overflow` the parallel re-prune of
+    * over-degree nodes. The profiling surface behind
+    * `sbt "runMain graft.BuildBench"` (SCALE.md). */
+  final class BuildStats {
+    val search = new java.util.concurrent.atomic.LongAdder
+    val apply = new java.util.concurrent.atomic.LongAdder
+    val overflow = new java.util.concurrent.atomic.LongAdder
+    val distCalls = new java.util.concurrent.atomic.LongAdder
+    /** CPU nanos (summed across worker threads, so ≥ the wall share)
+      * inside greedySearchCollect / robustPrune during the search phase —
+      * attribution within `search`'s wall time. */
+    val greedyCpu = new java.util.concurrent.atomic.LongAdder
+    val pruneCpu = new java.util.concurrent.atomic.LongAdder
+  }
+
   def build(vecs: Array[Array[Double]], params: BuildParams, metric: Metric)
-      : (Array[Array[Int]], Int) = {
+      : (Array[Array[Int]], Int) = build(vecs, params, metric, null)
+
+  def build(vecs: Array[Array[Double]], params: BuildParams, metric: Metric,
+            stats: BuildStats): (Array[Array[Int]], Int) = {
     val n = vecs.length
     val adj = Array.fill(n)(Array.empty[Int])
     if (n == 1) return (adj, 0)
@@ -232,28 +346,37 @@ object VamanaKernel {
         val end = math.min(start + effBatch, n)
         // parallel phase: candidate generation + prune against the frozen
         // graph; each index writes only pruned(i - start)
+        val tSearch0 = System.nanoTime()
         val pruned = new Array[Array[Int]](end - start)
         val range = java.util.stream.IntStream.range(start, end)
         // parallel even when many shards build concurrently: the shared
         // pool interleaves batch work across shard tasks (measured 1.4×
         // on 256 × 4k-row shards vs inline; 15× on one big shard)
         (if (end - start > 1) range.parallel() else range).forEach { node =>
+          val tg0 = if (stats != null) System.nanoTime() else 0L
           val pool = greedySearchCollect(adj, vecs, entry, vecs(node),
             params.buildWindow, metric)
-          // bounded candidate pool (build_params.h max_candidate_pool_size)
-          val bounded =
-            if (pool.length <= params.maxCandidatePool) pool
-            else pool.sortBy { case (s, d) =>
-              (if (metric.ascending) d else -d, s)
-            }.take(params.maxCandidatePool)
-          pruned(node - start) = robustPrune(node, bounded, alpha,
+          if (stats != null) stats.distCalls.add(pool.n.toLong)
+          // bounded candidate pool (build_params.h max_candidate_pool_size):
+          // sort-then-truncate keeps the best maxCandidatePool by (dist, slot)
+          if (pool.n > params.maxCandidatePool) {
+            pool.sortBestFirst(metric.ascending)
+            pool.n = params.maxCandidatePool
+          }
+          val tp0 = if (stats != null) {
+            val t = System.nanoTime(); stats.greedyCpu.add(t - tg0); t
+          } else 0L
+          pruned(node - start) = robustPrune(node, pool, alpha,
             params.pruneTarget, vecs, metric)
+          if (stats != null) stats.pruneCpu.add(System.nanoTime() - tp0)
         }
+        if (stats != null) stats.search.add(System.nanoTime() - tSearch0)
         // apply phase, slot order: all adjacencies first (so a later batch
         // member doesn't clobber reverse edges inserted toward it by an
         // earlier one), then reverse edges appended with overflow deferred —
         // the reference's batched backedge flush (vamana_build.h:483-570):
         // one re-prune per overflowing node per batch, not per edge
+        val tApply0 = System.nanoTime()
         var node = start
         while (node < end) {
           adj(node) = pruned(node - start); node += 1
@@ -273,9 +396,11 @@ object VamanaKernel {
           }
           node += 1
         }
+        if (stats != null) stats.apply.add(System.nanoTime() - tApply0)
         // parallel re-prune of the overflowing nodes: each thread reads and
         // writes only its own slot (overflow is bounded by maxDegree +
         // batchSize), so this is deterministic too
+        val tOver0 = System.nanoTime()
         val overs = new Array[Int](overflowed.size())
         var oi0 = 0
         val oit = overflowed.iterator()
@@ -283,13 +408,14 @@ object VamanaKernel {
         val oRange = java.util.stream.IntStream.range(0, overs.length)
         (if (overs.length > 1) oRange.parallel() else oRange).forEach { oi =>
           val dst = overs(oi)
-          val rp = new ArrayBuffer[(Int, Double)](adj(dst).length)
+          val rp = new CandidatePool(adj(dst).length)
           adj(dst).foreach { s =>
-            rp += ((s, metric.compute(vecs(dst), vecs(s))))
+            rp.add(s, metric.compute(vecs(dst), vecs(s)))
           }
           adj(dst) = robustPrune(dst, rp, alpha, params.maxDegree,
             vecs, metric)
         }
+        if (stats != null) stats.overflow.add(System.nanoTime() - tOver0)
         start = end
       }
     }
