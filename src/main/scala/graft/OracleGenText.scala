@@ -30,23 +30,28 @@ object OracleGenText {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
-  def langId: String = {
-    val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
+  private def langScoresSql: String =
+    TextAnalysis.langProfiles.map { case (lang, words) =>
       s"len(list_filter(toks, x -> list_contains(${inList(words)}, x))) AS s_$lang"
     }.mkString(",\n  ")
+
+  // first-max in alphabetical order == the Spark strict-> fold
+  private def langCaseSql: String = {
     val langs = TextAnalysis.langProfiles.map(_._1)
-    // first-max in alphabetical order == the Spark strict-> fold
     val cases = langs.init.map { l =>
       val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
       s"WHEN $geAll THEN '$l'"
     }.mkString("\n  ")
+    s"CASE $cases ELSE '${langs.last}' END"
+  }
+
+  def langId: String =
     s"""WITH t AS ($toksCte),
        |s AS (SELECT doc_id,
-       |  $scores
+       |  $langScoresSql
        |FROM t)
-       |SELECT doc_id, CASE $cases ELSE '${langs.last}' END AS pred_lang
+       |SELECT doc_id, $langCaseSql AS pred_lang
        |FROM s ORDER BY doc_id""".stripMargin
-  }
 
   def fingerprint: String =
     s"""WITH t AS ($toksCte),
@@ -395,6 +400,31 @@ object OracleGenText {
        |    AS n_samples,
        |  CAST(1 AS BIGINT) AS dims_ok, CAST(1 AS BIGINT) AS err_ok
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Stratified sample (TextAnalysis.stratifiedSample): language strata,
+    * per-stratum winners = the n smallest (fingerprint, doc_id) — replayed
+    * here as a window rank over the same fold arithmetic as q15 (strata)
+    * and q16 (fingerprint). The Spark side computes it with the bounded
+    * top-k partial-merge aggregate, so agreement certifies that the
+    * distributed heap merge equals the global sort semantics. */
+  def stratifiedSample(n: Int): String =
+    s"""WITH t AS ($toksCte),
+       |s AS (SELECT doc_id, $langScoresSql FROM t),
+       |lang AS (SELECT doc_id, $langCaseSql AS stratum FROM s),
+       |c AS (SELECT doc_id,
+       |  list_transform(toks, x -> CAST(ascii(x)*100 + length(x) AS BIGINT)) AS codes
+       |FROM t),
+       |f AS (SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+       |    (acc, x) -> (acc * 131 + x) % ${TextAnalysis.FpMod}) AS fp
+       |FROM c),
+       |r AS (SELECT lang.stratum, f.doc_id,
+       |  row_number() OVER (PARTITION BY lang.stratum
+       |    ORDER BY f.fp, f.doc_id) AS rnk
+       |FROM lang JOIN f ON lang.doc_id = f.doc_id)
+       |SELECT stratum, CAST(rnk AS BIGINT) AS rnk, doc_id
+       |FROM r WHERE rnk <= $n
+       |ORDER BY stratum, rnk""".stripMargin
 
   /** Video container decode (Multimodal.packY4m + RawCodec.decodeY4m):
     * Y4M is uncompressed, so DuckDB replays the luma formula

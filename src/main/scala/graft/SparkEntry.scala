@@ -143,6 +143,18 @@ object SparkEntry {
     docs(s, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id")
 
+  /** Per-language sample size for q72 (small enough that every stratum is
+    * truncated at sf0.01, so the heap-vs-window agreement is exercised). */
+  private val StratumK = 30
+
+  /** Stratified sample (q72): language strata, content-hash ranked, via the
+    * bounded top-k partial-merge aggregate — corpus rebalancing that never
+    * funnels a whole stratum through one reducer. */
+  private def stratifiedSampleQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stratifiedSample(docs(s, dir),
+        TextAnalysis.langId(col("text")), StratumK)
+      .orderBy("stratum", "rnk")
+
   private def dedupExactQ(s: SparkSession, dir: String): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
     Dedup.exactByKey(docs(s, dir),
@@ -1054,6 +1066,7 @@ object SparkEntry {
     "q69_simd_knn_cos" -> (knnLineitem(Metric.simd(Metric.Cosine)) _),
     "q70_y4m_frames" -> (mediaY4mQ _),
     "q71_stream_y4m" -> (streamY4mQ _),
+    "q72_stratified_sample" -> (stratifiedSampleQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1143,5 +1156,6 @@ object SparkEntry {
     "q69_simd_knn_cos" -> OracleGen.lineitemKnn(Metric.Cosine, K),
     "q70_y4m_frames" -> OracleGenText.mediaY4m,
     "q71_stream_y4m" -> OracleGenText.mediaY4m,
+    "q72_stratified_sample" -> OracleGenText.stratifiedSample(StratumK),
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
@@ -80,6 +80,28 @@ object TextAnalysis {
     when(bucket < testPct, "test")
       .when(bucket < testPct + valPct, "val")
       .otherwise("train")
+  }
+
+  /** Deterministic stratified sampling (corpus rebalancing): within each
+    * stratum keep the `perStratum` rows with the smallest
+    * (content-fingerprint, doc_id) — a reproducible, physical-order-free
+    * sample computed with the bounded top-k partial-merge aggregate
+    * ([[TopK.perKey]]), so the exchange carries |strata|·k partials and
+    * never a full stratum (contrast a per-stratum window rank, which
+    * funnels every row of a stratum through one reducer — the skew trap
+    * when one language dominates a 100 TB corpus). Content-hash ranking is
+    * engine-portable: the DuckDB oracle replays the same sample with a
+    * window over the identical fingerprint. Output
+    * (stratum, rnk, doc_id), rnk = 1..perStratum best-first. */
+  def stratifiedSample(docs: DataFrame, stratum: Column, perStratum: Int,
+                       text: Column = col("text")): DataFrame = {
+    val base = docs.select(col("doc_id").cast("long"),
+      stratum.as("stratum"),
+      // fp < 2^53, so the double-valued order column is exact
+      fingerprint(text).cast("double").as("fp"))
+    TopK.perKey(base, Seq("stratum"), col("doc_id"), col("fp"), perStratum,
+        ascending = true)
+      .select(col("stratum"), col("rnk"), col("neighbor_id").as("doc_id"))
   }
 
   /** BPE-ish subword tokenization regex: letter runs, digit runs, or runs of

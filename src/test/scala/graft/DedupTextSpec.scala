@@ -149,4 +149,34 @@ class DedupTextSpec extends SparkSpec {
     assert(total == docs.count())
     assert(d.filter(col("cnt") > 1).count() > 0)
   }
+
+  test("stratifiedSample: heap aggregate equals per-stratum window rank, " +
+      "reproducible under repartition") {
+    import spark.implicits._
+    val n = 7
+    val strata = TextAnalysis.langId(col("text"))
+    val got = TextAnalysis.stratifiedSample(docs, strata, n)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    // reference semantics: global window rank within each stratum
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy(col("fp"), col("doc_id"))
+    val ref = docs.select(col("doc_id").cast("long"),
+        strata.as("stratum"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= n)
+      .select("stratum", "rnk", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(got === ref)
+    assert(got.nonEmpty && got.map(_._1).distinct.length > 1,
+      "expected several strata")
+    // physical layout must not change the sample
+    val reshuffled = TextAnalysis.stratifiedSample(
+        docs.repartition(17), strata, n)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(reshuffled === got)
+  }
 }
