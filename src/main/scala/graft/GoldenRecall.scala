@@ -51,18 +51,18 @@ object GoldenRecall {
   /** Vamana grid: one single-shard build per config, recall per window. */
   def vamanaGrid(data: DataFrame, queries: DataFrame, truth: DataFrame,
                  dims: Int, k: Int, nq: Int,
-                 configs: Seq[(String, BuildParams)], windows: Seq[Int])
-      : Seq[Row] = {
+                 configs: Seq[(String, BuildParams)], windows: Seq[Int],
+                 metric: Metric = Metric.L2): Seq[Row] = {
     val clustered = data.withColumn("cluster_id", lit(0L))
     val cents = Seq(0L -> Seq.fill(dims)(0.5))
     configs.flatMap { case (label, params) =>
       val t0 = System.nanoTime()
-      val graph = Vamana.buildSingle(data, params, Metric.L2).cache()
+      val graph = Vamana.buildSingle(data, params, metric).cache()
       graph.count()
       val buildSec = (System.nanoTime() - t0) / 1e9
       val rows = windows.map { w =>
         val res = Vamana.searchSharded(queries, clustered, graph, cents, k,
-          searchWindow = w, nProbes = 1, Metric.L2)
+          searchWindow = w, nProbes = 1, metric)
         Row("vamana", label, "window", w, recallOf(res, truth, k, nq),
           buildSec)
       }
@@ -221,6 +221,16 @@ object GoldenRecall {
           buildWindow = 128, alpha = 1.2))),
         windows = Seq(10, 20, 30, 40))
         .map(r => r.copy(family = "vamana_lvq")) ++
+      // SIMD-kernel twin of the goldens config: graph built AND searched
+      // with the Vector API fold. Last-ulp distance differences can flip
+      // individual prune decisions, so the graph is not bit-identical to
+      // the scalar one — this family pins that its RECALL is (the
+      // production-safety evidence for Metric.simd at build time).
+      vamanaGrid(data, queries, truth, dims, k, nq,
+        Seq(("deg32_w64_simd", BuildParams(maxDegree = 32, buildWindow = 64,
+          alpha = 1.2, pruneTo = 28))),
+        windows = Seq(10, 20, 30, 40), metric = Metric.simd(Metric.L2))
+        .map(r => r.copy(family = "vamana_simd")) ++
       ivfGrid(data, queries, truth, dims, k, nq, n, clusters = 100,
         probes = Seq(1, 2, 4, 8, 16)) ++
       ivfLvqGrid(data, queries, truth, dims, k, nq, n, clusters = 100,

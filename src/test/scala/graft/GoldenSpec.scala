@@ -65,6 +65,22 @@ class GoldenSpec extends SparkSpec {
       assert(math.abs(r.recall - unc) <= 0.05,
         s"ivf_lvq p${r.value} drifted from uncompressed: ${r.recall} vs $unc")
     }
+    // SIMD-built/searched graph: recall pinned AND within the scalar
+    // family's tolerance band (build-time Metric.simd production safety)
+    if (graft.core.SimdSupport.available) {
+      val simd = GoldenRecall.vamanaGrid(data, queries, truth, Dims, K, Nq,
+        Seq(("deg32_w64_simd", BuildParams(maxDegree = 32, buildWindow = 64,
+          alpha = 1.2, pruneTo = 28))), windows = Seq(40),
+        metric = graft.core.Metric.simd(graft.core.Metric.L2))
+      simd.foreach { r =>
+        val p = pinned("vamana_simd", r.config, r.value)
+        assert(math.abs(r.recall - p) <= 0.01,
+          s"vamana_simd w${r.value}: ${r.recall} vs pinned $p")
+        val scalar = pinned("vamana", "deg32_w64", r.value)
+        assert(math.abs(r.recall - scalar) <= 0.05,
+          s"vamana_simd w${r.value} drifted from scalar: ${r.recall} vs $scalar")
+      }
+    }
     truth.unpersist()
   }
 
