@@ -1,7 +1,9 @@
 package graft.simd;
 
 import jdk.incubator.vector.DoubleVector;
+import jdk.incubator.vector.FloatVector;
 import jdk.incubator.vector.VectorOperators;
+import jdk.incubator.vector.VectorShape;
 import jdk.incubator.vector.VectorSpecies;
 
 /**
@@ -33,6 +35,24 @@ public final class SimdKernels {
     // reflection, so the species lives behind an Object field and each
     // kernel casts it locally.
     private static final Object SPECIES = DoubleVector.SPECIES_PREFERRED;
+
+    // Float species with the SAME lane count as the preferred double
+    // species (half the vector bit width), so a float load + F2D convert
+    // feeds the double fma in identical 8-element groups — the mixed
+    // kernels below are therefore bit-identical to the double kernels on
+    // pre-widened copies. Null when the half-width shape does not exist
+    // (1-lane double species), where the scalar tail loop covers everything
+    // and equals the 1-lane fold exactly.
+    private static final Object FSPECIES = halfWidthFloatSpecies();
+
+    private static Object halfWidthFloatSpecies() {
+        VectorSpecies<Double> s = DoubleVector.SPECIES_PREFERRED;
+        int half = s.vectorShape().vectorBitSize() / 2;
+        if (half < 64) {
+            return null;
+        }
+        return VectorSpecies.of(float.class, VectorShape.forBitSize(half));
+    }
 
     private SimdKernels() {}
 
@@ -102,6 +122,167 @@ public final class SimdKernels {
         for (; i < bound; i += S.length()) {
             DoubleVector va = DoubleVector.fromArray(S, a, i);
             DoubleVector vb = DoubleVector.fromArray(S, b, i);
+            dot = va.fma(vb, dot);
+            na = va.fma(va, na);
+            nb = vb.fma(vb, nb);
+        }
+        double sd = dot.reduceLanes(VectorOperators.ADD);
+        double sa = na.reduceLanes(VectorOperators.ADD);
+        double sb = nb.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            double x = a[i];
+            double y = b[i];
+            sd += x * y;
+            sa += x * x;
+            sb += y * y;
+        }
+        if (sa == 0.0 || sb == 0.0) {
+            return 0.0;
+        }
+        return sd / (Math.sqrt(sa) * Math.sqrt(sb));
+    }
+
+    // ---- mixed-precision kernels (f32-resident rows, double arithmetic) --
+    // Widen-at-load via F2D shape conversion; group structure matches the
+    // double kernels exactly, so results are bit-identical to running the
+    // double kernel on a pre-widened copy of the float array.
+
+    /** Load lane group i..i+lanes from a float array as a DoubleVector. */
+    private static DoubleVector widen(VectorSpecies<Double> s, Object fsObj,
+                                      float[] b, int i) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Float> fs = (VectorSpecies<Float>) fsObj;
+        return (DoubleVector) FloatVector.fromArray(fs, b, i)
+            .convertShape(VectorOperators.F2D, s, 0);
+    }
+
+    /** Squared L2, double query vs float row. */
+    public static double l2DF(double[] a, float[] b) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
+        int n = a.length;
+        int bound = FSPECIES == null ? 0 : S.loopBound(n);
+        DoubleVector acc = DoubleVector.zero(S);
+        int i = 0;
+        for (; i < bound; i += S.length()) {
+            DoubleVector va = DoubleVector.fromArray(S, a, i);
+            DoubleVector vb = widen(S, FSPECIES, b, i);
+            DoubleVector d = va.sub(vb);
+            acc = d.fma(d, acc);
+        }
+        double s = acc.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            double d = a[i] - (double) b[i];
+            s += d * d;
+        }
+        return s;
+    }
+
+    /** Squared L2, float row vs float row. */
+    public static double l2FF(float[] a, float[] b) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
+        int n = a.length;
+        int bound = FSPECIES == null ? 0 : S.loopBound(n);
+        DoubleVector acc = DoubleVector.zero(S);
+        int i = 0;
+        for (; i < bound; i += S.length()) {
+            DoubleVector va = widen(S, FSPECIES, a, i);
+            DoubleVector vb = widen(S, FSPECIES, b, i);
+            DoubleVector d = va.sub(vb);
+            acc = d.fma(d, acc);
+        }
+        double s = acc.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            double d = (double) a[i] - (double) b[i];
+            s += d * d;
+        }
+        return s;
+    }
+
+    /** Inner product, double query vs float row. */
+    public static double ipDF(double[] a, float[] b) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
+        int n = a.length;
+        int bound = FSPECIES == null ? 0 : S.loopBound(n);
+        DoubleVector acc = DoubleVector.zero(S);
+        int i = 0;
+        for (; i < bound; i += S.length()) {
+            DoubleVector va = DoubleVector.fromArray(S, a, i);
+            acc = va.fma(widen(S, FSPECIES, b, i), acc);
+        }
+        double s = acc.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            s += a[i] * (double) b[i];
+        }
+        return s;
+    }
+
+    /** Inner product, float row vs float row. */
+    public static double ipFF(float[] a, float[] b) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
+        int n = a.length;
+        int bound = FSPECIES == null ? 0 : S.loopBound(n);
+        DoubleVector acc = DoubleVector.zero(S);
+        int i = 0;
+        for (; i < bound; i += S.length()) {
+            acc = widen(S, FSPECIES, a, i).fma(widen(S, FSPECIES, b, i), acc);
+        }
+        double s = acc.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            s += (double) a[i] * (double) b[i];
+        }
+        return s;
+    }
+
+    /** Cosine similarity, double query vs float row. */
+    public static double cosineDF(double[] a, float[] b) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
+        int n = a.length;
+        int bound = FSPECIES == null ? 0 : S.loopBound(n);
+        DoubleVector dot = DoubleVector.zero(S);
+        DoubleVector na = DoubleVector.zero(S);
+        DoubleVector nb = DoubleVector.zero(S);
+        int i = 0;
+        for (; i < bound; i += S.length()) {
+            DoubleVector va = DoubleVector.fromArray(S, a, i);
+            DoubleVector vb = widen(S, FSPECIES, b, i);
+            dot = va.fma(vb, dot);
+            na = va.fma(va, na);
+            nb = vb.fma(vb, nb);
+        }
+        double sd = dot.reduceLanes(VectorOperators.ADD);
+        double sa = na.reduceLanes(VectorOperators.ADD);
+        double sb = nb.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            double x = a[i];
+            double y = b[i];
+            sd += x * y;
+            sa += x * x;
+            sb += y * y;
+        }
+        if (sa == 0.0 || sb == 0.0) {
+            return 0.0;
+        }
+        return sd / (Math.sqrt(sa) * Math.sqrt(sb));
+    }
+
+    /** Cosine similarity, float row vs float row. */
+    public static double cosineFF(float[] a, float[] b) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
+        int n = a.length;
+        int bound = FSPECIES == null ? 0 : S.loopBound(n);
+        DoubleVector dot = DoubleVector.zero(S);
+        DoubleVector na = DoubleVector.zero(S);
+        DoubleVector nb = DoubleVector.zero(S);
+        int i = 0;
+        for (; i < bound; i += S.length()) {
+            DoubleVector va = widen(S, FSPECIES, a, i);
+            DoubleVector vb = widen(S, FSPECIES, b, i);
             dot = va.fma(vb, dot);
             na = va.fma(va, na);
             nb = vb.fma(vb, nb);

@@ -18,19 +18,28 @@ object BuildBench {
     val dims = sys.env.getOrElse("SPARK_GRAFT_BUILD_DIMS", "64").toInt
     val batchSize = sys.env.getOrElse("SPARK_GRAFT_BUILD_BATCH", "64").toInt
     val rnd = new scala.util.Random(7)
-    val vecs = Array.fill(n)(Array.fill(dims)(rnd.nextDouble() * 2 - 1))
+    // generate as float32 so f32/f64 stores hold identical values (the f32
+    // build is then bit-identical to the f64 one; this bench isolates the
+    // residency/bandwidth effect alone)
+    val vecsF = Array.fill(n)(Array.fill(dims)(rnd.nextFloat() * 2f - 1f))
+    val vecs = vecsF.map(_.map(_.toDouble))
+    val f32 = sys.env.get("SPARK_GRAFT_BUILD_F32").exists(_.nonEmpty)
     val params = BuildParams(maxDegree = 32, buildWindow = 64, alpha = 1.2,
       pruneTo = 28, batchSize = batchSize)
     for (m <- Seq(Metric.L2, Metric.simd(Metric.L2))) {
+      def store(take: Int): VamanaKernel.VecStore =
+        if (f32) new VamanaKernel.FloatStore(vecsF.take(take))
+        else new VamanaKernel.DoubleStore(vecs.take(take))
       // one untimed warmup at n/4 so JIT state matches a long-running task
-      VamanaKernel.build(vecs.take(n / 4), params, m)
+      VamanaKernel.build(store(n / 4), params, m, null)
       val stats = new BuildStats
       val t0 = System.nanoTime()
-      val (adj, _) = VamanaKernel.build(vecs, params, m, stats)
+      val (adj, _) = VamanaKernel.build(store(n), params, m, stats)
       val wall = (System.nanoTime() - t0) / 1e9
       val deg = adj.iterator.map(_.length.toLong).sum.toDouble / n
       println(f"""{"experiment":"build_bench","n":$n,"dims":$dims,""" +
-        f""""batch":$batchSize,"metric":"${m.name}","wall_sec":$wall%.3f,""" +
+        f""""batch":$batchSize,"f32":$f32,""" +
+        f""""metric":"${m.name}","wall_sec":$wall%.3f,""" +
         f""""search_sec":${stats.search.sum / 1e9}%.3f,""" +
         f""""greedy_cpu_sec":${stats.greedyCpu.sum / 1e9}%.3f,""" +
         f""""prune_cpu_sec":${stats.pruneCpu.sum / 1e9}%.3f,""" +

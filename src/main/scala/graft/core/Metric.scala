@@ -18,6 +18,15 @@ sealed trait Metric {
   /** JVM kernel with the exact fold order of the Catalyst expression (so the
     * mapPartitions fast path is bit-identical to the declarative path). */
   def compute(a: Array[Double], b: Array[Double]): Double
+
+  /** Mixed-precision kernels over float32-resident rows: each float widens
+    * to double at the point of use, then the arithmetic is the same double
+    * fold — bit-identical to `compute` on pre-widened copies, at half the
+    * resident bytes (the lever that makes f32 graph builds cache-friendly;
+    * see VamanaKernel.VecStore). Default implementations widen per element
+    * inline; SimdOf overrides with Vector API mixed kernels. */
+  def computeDF(a: Array[Double], b: Array[Float]): Double
+  def computeFF(a: Array[Float], b: Array[Float]): Double
 }
 
 object Metric {
@@ -32,6 +41,17 @@ object Metric {
       while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
       acc
     }
+    def computeDF(a: Array[Double], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    def computeFF(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
   }
 
   case object IP extends Metric {
@@ -43,6 +63,16 @@ object Metric {
     def compute(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def computeDF(a: Array[Double], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i).toDouble; i += 1 }
+      acc
+    }
+    def computeFF(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
       acc
     }
   }
@@ -62,6 +92,24 @@ object Metric {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
         val x = a(i); val y = b(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def computeDF(a: Array[Double], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i); val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def computeFF(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
         dot += x * y; na += x * x; nb += y * y; i += 1
       }
       if (na == 0.0 || nb == 0.0) 0.0
@@ -91,6 +139,18 @@ object Metric {
       case IP         => graft.simd.SimdKernels.ip(a, b)
       case Cosine     => graft.simd.SimdKernels.cosine(a, b)
       case s: SimdOf  => s.compute(a, b)
+    }
+    def computeDF(a: Array[Double], b: Array[Float]): Double = base match {
+      case L2         => graft.simd.SimdKernels.l2DF(a, b)
+      case IP         => graft.simd.SimdKernels.ipDF(a, b)
+      case Cosine     => graft.simd.SimdKernels.cosineDF(a, b)
+      case s: SimdOf  => s.computeDF(a, b)
+    }
+    def computeFF(a: Array[Float], b: Array[Float]): Double = base match {
+      case L2         => graft.simd.SimdKernels.l2FF(a, b)
+      case IP         => graft.simd.SimdKernels.ipFF(a, b)
+      case Cosine     => graft.simd.SimdKernels.cosineFF(a, b)
+      case s: SimdOf  => s.computeFF(a, b)
     }
   }
 

@@ -27,28 +27,60 @@ import graft.operators.VamanaKernel.BuildParams
   */
 object Vamana {
 
-  /** Build one Vamana graph per cluster. clustered: (id, vec, cluster_id). */
+  /** Build one Vamana graph per cluster. clustered: (id, vec, cluster_id).
+    *
+    * Element-type aware: an `ARRAY<FLOAT>` source keeps shard vectors
+    * RESIDENT as float32 (`VamanaKernel.FloatStore`) — half the task
+    * memory, twice the rows per cache line through the memory-bound build —
+    * while all arithmetic widens per element into the identical double
+    * fold, so the graph is bit-identical to casting the source to
+    * `ARRAY<DOUBLE>` first (F32BuildSpec asserts this; the reference makes
+    * the same float32-native choice, core/data/simple.h). */
   def buildSharded(clustered: DataFrame, params: BuildParams, metric: Metric)
       : DataFrame = {
     val spark = clustered.sparkSession
     import spark.implicits._
-    clustered
-      .select(col("cluster_id").cast("long"), col("id").cast("long"),
-        col("vec").cast("array<double>"))
-      .as[(Long, Long, Array[Double])]
-      .groupByKey(_._1)
-      .flatMapGroups { (cid, it) =>
-        // deterministic slot order: ascending external id
-        val rows = it.toArray.sortBy(_._2)
-        val ids = rows.map(_._2)
-        val vecs = rows.map(_._3)
-        val (adj, entry) = VamanaKernel.build(vecs, params, metric)
-        val entryId = ids(entry)
-        ids.indices.iterator.map { i =>
-          (cid, ids(i), entryId, adj(i).map(ids(_)))
-        }
-      }
-      .toDF("cluster_id", "id", "entry_id", "neighbors")
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val isFloat = clustered.schema("vec").dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    val built =
+      if (isFloat)
+        clustered
+          .select(col("cluster_id").cast("long"), col("id").cast("long"),
+            col("vec"))
+          .as[(Long, Long, Array[Float])]
+          .groupByKey(_._1)
+          .flatMapGroups { (cid, it) =>
+            val rows = it.toArray.sortBy(_._2)
+            emitGraph(cid, rows.map(_._2),
+              new VamanaKernel.FloatStore(rows.map(_._3)), params, metric)
+          }
+      else
+        clustered
+          .select(col("cluster_id").cast("long"), col("id").cast("long"),
+            col("vec").cast("array<double>"))
+          .as[(Long, Long, Array[Double])]
+          .groupByKey(_._1)
+          .flatMapGroups { (cid, it) =>
+            // deterministic slot order: ascending external id
+            val rows = it.toArray.sortBy(_._2)
+            emitGraph(cid, rows.map(_._2),
+              new VamanaKernel.DoubleStore(rows.map(_._3)), params, metric)
+          }
+    built.toDF("cluster_id", "id", "entry_id", "neighbors")
+  }
+
+  private def emitGraph(cid: Long, ids: Array[Long],
+                        store: VamanaKernel.VecStore, params: BuildParams,
+                        metric: Metric)
+      : Iterator[(Long, Long, Long, Array[Long])] = {
+    val (adj, entry) = VamanaKernel.build(store, params, metric, null)
+    val entryId = ids(entry)
+    ids.indices.iterator.map { i =>
+      (cid, ids(i), entryId, adj(i).map(ids(_)))
+    }
   }
 
   /** Whole-dataset single graph — the reference's exact shape (one entry

@@ -16,6 +16,58 @@ import scala.collection.mutable.ArrayBuffer
   */
 object VamanaKernel {
 
+  /** Element-typed resident vector storage for the build kernels — the
+    * Spark-side analog of the reference's elementwise-typed data
+    * abstraction (core/data/simple.h:102-155, where the same build
+    * templates run over float32 or float64 storage). [[DoubleStore]]
+    * wraps `Array[Array[Double]]`; [[FloatStore]] keeps rows resident as
+    * float32 — HALF the bytes, so twice the rows fit in cache during the
+    * (memory-bound, BuildBench-measured) graph build — while every
+    * distance widens at the point of use into the identical double fold
+    * (`Metric.computeDF/FF`). Graphs built from an f32 source are
+    * therefore bit-identical to building on a pre-widened copy. */
+  sealed trait VecStore {
+    def n: Int
+    /** Widened copy of row i (used once per node as its search query). */
+    def row(i: Int): Array[Double]
+    def dist(metric: Metric, q: Array[Double], i: Int): Double
+    def distPair(metric: Metric, i: Int, j: Int): Double
+    /** acc(j) += row(i)(j) for the medioid mean. */
+    def addInto(acc: Array[Double], i: Int): Unit
+  }
+
+  final class DoubleStore(vecs: Array[Array[Double]]) extends VecStore {
+    def n: Int = vecs.length
+    def row(i: Int): Array[Double] = vecs(i)
+    def dist(metric: Metric, q: Array[Double], i: Int): Double =
+      metric.compute(q, vecs(i))
+    def distPair(metric: Metric, i: Int, j: Int): Double =
+      metric.compute(vecs(i), vecs(j))
+    def addInto(acc: Array[Double], i: Int): Unit = {
+      val v = vecs(i); var j = 0
+      while (j < v.length) { acc(j) += v(j); j += 1 }
+    }
+  }
+
+  final class FloatStore(vecs: Array[Array[Float]]) extends VecStore {
+    def n: Int = vecs.length
+    def row(i: Int): Array[Double] = {
+      val v = vecs(i)
+      val out = new Array[Double](v.length)
+      var j = 0
+      while (j < v.length) { out(j) = v(j).toDouble; j += 1 }
+      out
+    }
+    def dist(metric: Metric, q: Array[Double], i: Int): Double =
+      metric.computeDF(q, vecs(i))
+    def distPair(metric: Metric, i: Int, j: Int): Double =
+      metric.computeFF(vecs(i), vecs(j))
+    def addInto(acc: Array[Double], i: Int): Unit = {
+      val v = vecs(i); var j = 0
+      while (j < v.length) { acc(j) += v(j).toDouble; j += 1 }
+    }
+  }
+
   /** Growable primitive (slot, dist) pair buffer — the allocation-free
     * candidate pool. The tupled version allocated one (Int, Double) per
     * scored candidate (BuildBench: 63M per 20k-shard build, a measurable
@@ -164,14 +216,14 @@ object VamanaKernel {
   /** Greedy search that also returns every scored (slot, dist) pair — the
     * build-time candidate pool (vamana_build.h:327-479 with full search
     * history, build_params.h:70-74). */
-  def greedySearchCollect(adj: Array[Array[Int]], vecs: Array[Array[Double]],
+  def greedySearchCollect(adj: Array[Array[Int]], store: VecStore,
                           entry: Int, q: Array[Double], window: Int,
                           metric: Metric): CandidatePool = {
     val pool = new CandidatePool(4 * window)
     val buf = new BeamBuffer(window, metric.ascending)
-    val scored = new java.util.BitSet(vecs.length)
+    val scored = new java.util.BitSet(store.n)
     scored.set(entry)
-    val d0 = metric.compute(q, vecs(entry))
+    val d0 = store.dist(metric, q, entry)
     pool.add(entry, d0)
     buf.insert(d0, entry)
     var cur = buf.nextUnexpanded()
@@ -183,7 +235,7 @@ object VamanaKernel {
         val nb = nbs(i)
         if (!scored.get(nb)) {
           scored.set(nb)
-          val d = metric.compute(q, vecs(nb))
+          val d = store.dist(metric, q, nb)
           pool.add(nb, d)
           buf.insert(d, nb)
         }
@@ -205,7 +257,7 @@ object VamanaKernel {
       : Array[Int] = {
     val cp = new CandidatePool(pool.length)
     pool.foreach { case (s, d) => cp.add(s, d) }
-    robustPrune(node, cp, alpha, maxDegree, vecs, metric)
+    robustPrune(node, cp, alpha, maxDegree, new DoubleStore(vecs), metric)
   }
 
   /** Primitive-pool variant (the build's hot path — no per-candidate
@@ -214,11 +266,11 @@ object VamanaKernel {
     * visited bitset, so the in-place dedup keeps the same survivors the
     * tupled filter kept. */
   def robustPrune(node: Int, pool: CandidatePool, alpha: Double,
-                  maxDegree: Int, vecs: Array[Array[Double]], metric: Metric)
+                  maxDegree: Int, store: VecStore, metric: Metric)
       : Array[Int] = {
     val asc = metric.ascending
     // compact in place: drop self and duplicate slots, preserving order
-    val seen = new java.util.BitSet(vecs.length)
+    val seen = new java.util.BitSet(store.n)
     var w = 0; var r = 0
     while (r < pool.n) {
       val s = pool.slots(r)
@@ -243,7 +295,7 @@ object VamanaKernel {
         while (j < w) {
           if (alive(j)) {
             val c = pool.slots(j); val dNodeC = pool.dists(j)
-            val dPC = metric.compute(vecs(p), vecs(c))
+            val dPC = store.distPair(metric, p, c)
             val dominated =
               if (asc) alpha * dPC <= dNodeC
               else dPC >= alpha * dNodeC
@@ -259,23 +311,21 @@ object VamanaKernel {
 
   /** Medioid entry point (core/medioid.h:270-300): per-dimension mean, then
     * the slot nearest (L2) to that mean. */
-  def medioid(vecs: Array[Array[Double]]): Int = {
-    val n = vecs.length
-    val d = vecs(0).length
+  def medioid(vecs: Array[Array[Double]]): Int = medioid(new DoubleStore(vecs))
+
+  def medioid(store: VecStore): Int = {
+    val n = store.n
+    val d = store.row(0).length
     val mean = new Array[Double](d)
     var i = 0
-    while (i < n) {
-      val v = vecs(i); var j = 0
-      while (j < d) { mean(j) += v(j); j += 1 }
-      i += 1
-    }
+    while (i < n) { store.addInto(mean, i); i += 1 }
     var j = 0
     while (j < d) { mean(j) /= n; j += 1 }
     var best = 0
     var bestD = Double.MaxValue
     i = 0
     while (i < n) {
-      val dist = Metric.L2.compute(mean, vecs(i))
+      val dist = store.dist(Metric.L2, mean, i)
       if (dist < bestD) { bestD = dist; best = i }
       i += 1
     }
@@ -324,14 +374,19 @@ object VamanaKernel {
   }
 
   def build(vecs: Array[Array[Double]], params: BuildParams, metric: Metric)
-      : (Array[Array[Int]], Int) = build(vecs, params, metric, null)
+      : (Array[Array[Int]], Int) = build(new DoubleStore(vecs), params,
+    metric, null)
 
   def build(vecs: Array[Array[Double]], params: BuildParams, metric: Metric,
+            stats: BuildStats): (Array[Array[Int]], Int) =
+    build(new DoubleStore(vecs), params, metric, stats)
+
+  def build(store: VecStore, params: BuildParams, metric: Metric,
             stats: BuildStats): (Array[Array[Int]], Int) = {
-    val n = vecs.length
+    val n = store.n
     val adj = Array.fill(n)(Array.empty[Int])
     if (n == 1) return (adj, 0)
-    val entry = medioid(vecs)
+    val entry = medioid(store)
     val passes = if (params.alpha == 1.0) Seq(1.0) else Seq(1.0, params.alpha)
     val batch = math.max(1, params.batchSize)
     for ((alpha, pass) <- passes.zipWithIndex) {
@@ -354,7 +409,7 @@ object VamanaKernel {
         // on 256 × 4k-row shards vs inline; 15× on one big shard)
         (if (end - start > 1) range.parallel() else range).forEach { node =>
           val tg0 = if (stats != null) System.nanoTime() else 0L
-          val pool = greedySearchCollect(adj, vecs, entry, vecs(node),
+          val pool = greedySearchCollect(adj, store, entry, store.row(node),
             params.buildWindow, metric)
           if (stats != null) stats.distCalls.add(pool.n.toLong)
           // bounded candidate pool (build_params.h max_candidate_pool_size):
@@ -367,7 +422,7 @@ object VamanaKernel {
             val t = System.nanoTime(); stats.greedyCpu.add(t - tg0); t
           } else 0L
           pruned(node - start) = robustPrune(node, pool, alpha,
-            params.pruneTarget, vecs, metric)
+            params.pruneTarget, store, metric)
           if (stats != null) stats.pruneCpu.add(System.nanoTime() - tp0)
         }
         if (stats != null) stats.search.add(System.nanoTime() - tSearch0)
@@ -410,10 +465,10 @@ object VamanaKernel {
           val dst = overs(oi)
           val rp = new CandidatePool(adj(dst).length)
           adj(dst).foreach { s =>
-            rp.add(s, metric.compute(vecs(dst), vecs(s)))
+            rp.add(s, store.distPair(metric, dst, s))
           }
           adj(dst) = robustPrune(dst, rp, alpha, params.maxDegree,
-            vecs, metric)
+            store, metric)
         }
         if (stats != null) stats.overflow.add(System.nanoTime() - tOver0)
         start = end
