@@ -53,6 +53,34 @@ object KernelBench {
           f""""simd_pairs_per_sec":${simd.toLong},""" +
           f""""speedup":${simd / scalar}%.3f}""")
       }
+      // mixed-precision twins (f32-resident rows, double arithmetic) —
+      // the FloatStore build path's per-pair kernels
+      val vecsF = vecs.map(_.map(_.toFloat))
+      val qF = q.map(_.toFloat)
+      def benchFF(m: Metric): Double = {
+        var best = Double.MaxValue
+        var sink = 0.0
+        for (_ <- 0 until rounds) {
+          val t0 = System.nanoTime()
+          var rep = 0
+          while (rep < reps) {
+            var i = 0
+            while (i < n) { sink += m.computeFF(qF, vecsF(i)); i += 1 }
+            rep += 1
+          }
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        if (sink == Double.MinPositiveValue) print("")
+        n.toDouble * reps / best
+      }
+      for (base <- Metric.all) {
+        val ff = benchFF(base)
+        val ffSimd = benchFF(Metric.SimdOf(base))
+        println(f"""{"dims":$d,"metric":"${base.name}_f32",""" +
+          f""""scalar_pairs_per_sec":${ff.toLong},""" +
+          f""""simd_pairs_per_sec":${ffSimd.toLong},""" +
+          f""""speedup":${ffSimd / ff}%.3f}""")
+      }
     }
   }
 }
