@@ -163,24 +163,53 @@ object Vamana {
     // (b) partition-pruned co-group: only probed clusters are read at all
     // (isin filter reaches the parquet scan when clustered is partitioned by
     // cluster_id), then each shard walks its local graph for its queries.
-    val shard = clustered
+    // Element-type aware like buildSharded: ARRAY<FLOAT> sources stay
+    // float-resident through the walk (half the per-task bytes; identical
+    // double fold via the mixed kernels, F32BuildSpec asserts equality).
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val isFloat = clustered.schema("vec").dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    val pruned = clustered
       .filter(col("cluster_id").isin(probedIds: _*))
       .join(graph, Seq("cluster_id", "id"))
-      .select(col("cluster_id").cast("long"), col("id").cast("long"),
-        col("vec").cast("array<double>"), col("entry_id").cast("long"),
-        col("neighbors").cast("array<long>"))
-      .as[(Long, Long, Array[Double], Long, Array[Long])]
 
     val m = metric
-    val partials = shard
-      .groupByKey(_._1)
-      .flatMapGroups { (cid, it) =>
-        val qs = bc.value.getOrElse(cid, Array.empty[(Long, Array[Double])])
-        if (qs.isEmpty) Iterator.empty
-        else walkShard(cid, it.toArray.sortBy(_._2), qs, k, searchWindow,
-          searchCapacity, m)
-      }
-      .toDF("query_id", "id", "dist")
+    val partials = (
+      if (isFloat)
+        pruned
+          .select(col("cluster_id").cast("long"), col("id").cast("long"),
+            col("vec"), col("entry_id").cast("long"),
+            col("neighbors").cast("array<long>"))
+          .as[(Long, Long, Array[Float], Long, Array[Long])]
+          .groupByKey(_._1)
+          .flatMapGroups { (cid, it) =>
+            val qs = bc.value.getOrElse(cid,
+              Array.empty[(Long, Array[Double])])
+            if (qs.isEmpty) Iterator.empty
+            else {
+              val rows = it.toArray.sortBy(_._2)
+              walkShardCore(cid, rows.map(_._2),
+                new VamanaKernel.FloatStore(rows.map(_._3)), rows(0)._4,
+                rows.map(_._5), qs, k, searchWindow, searchCapacity, m)
+            }
+          }
+      else
+        pruned
+          .select(col("cluster_id").cast("long"), col("id").cast("long"),
+            col("vec").cast("array<double>"), col("entry_id").cast("long"),
+            col("neighbors").cast("array<long>"))
+          .as[(Long, Long, Array[Double], Long, Array[Long])]
+          .groupByKey(_._1)
+          .flatMapGroups { (cid, it) =>
+            val qs = bc.value.getOrElse(cid,
+              Array.empty[(Long, Array[Double])])
+            if (qs.isEmpty) Iterator.empty
+            else walkShard(cid, it.toArray.sortBy(_._2), qs, k, searchWindow,
+              searchCapacity, m)
+          }
+      ).toDF("query_id", "id", "dist")
 
     // (c) merge: |Q|·nProbes·k rows — window rank is exact and cheap
     TopK.perKeyViaWindow(partials, Seq("query_id"), col("id"), col("dist"), k,
@@ -226,14 +255,25 @@ object Vamana {
                           Array[Long])],
                         qs: Array[(Long, Array[Double])], k: Int,
                         searchWindow: Int, searchCapacity: Int, m: Metric)
+      : Iterator[(Long, Long, Double)] =
+    walkShardCore(cid, rows.map(_._2),
+      new VamanaKernel.DoubleStore(rows.map(_._3)), rows(0)._4,
+      rows.map(_._5), qs, k, searchWindow, searchCapacity, m)
+
+  /** Element-type-erased shard walk shared by the f64 and f32 search
+    * paths: slot resolution, dangling-edge drops, and the per-query greedy
+    * walk over a [[VamanaKernel.VecStore]]. */
+  private def walkShardCore(cid: Long, ids: Array[Long],
+                            store: VamanaKernel.VecStore, entryId: Long,
+                            neighborIds: Array[Array[Long]],
+                            qs: Array[(Long, Array[Double])], k: Int,
+                            searchWindow: Int, searchCapacity: Int, m: Metric)
       : Iterator[(Long, Long, Double)] = {
-    val ids = rows.map(_._2)
-    val slotOf = new java.util.HashMap[Long, Integer](rows.length * 2)
+    val slotOf = new java.util.HashMap[Long, Integer](ids.length * 2)
     ids.indices.foreach(i => slotOf.put(ids(i), i))
-    val vecs = rows.map(_._3)
     val entrySlot = {
-      val e = slotOf.get(rows(0)._4)
-      require(e != null, s"vamana shard $cid: entry id ${rows(0)._4} " +
+      val e = slotOf.get(entryId)
+      require(e != null, s"vamana shard $cid: entry id $entryId " +
         "not present in the clustered rows (stale graph vs data?)")
       e.intValue()
     }
@@ -241,12 +281,12 @@ object Vamana {
     // (e.g. a tombstone-filtered table searched with a stale graph);
     // drop the dangling edge instead of dying with an opaque NPE —
     // matching the reference's skip-deleted posture during traversal
-    val adj = rows.map(_._5.flatMap { n =>
+    val adj = neighborIds.map(_.flatMap { n =>
       val s = slotOf.get(n)
       if (s == null) None else Some(s.intValue())
     })
     qs.iterator.flatMap { case (qid, qvec) =>
-      val buf = VamanaKernel.greedySearch(adj, vecs, entrySlot, qvec,
+      val buf = VamanaKernel.greedySearch(adj, store, entrySlot, qvec,
         searchWindow, m, searchCapacity)
       (0 until math.min(k, buf.n)).iterator.map { i =>
         (qid, ids(buf.slots(i)), buf.dists(i))

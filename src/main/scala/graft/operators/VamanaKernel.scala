@@ -189,12 +189,18 @@ object VamanaKernel {
     * window (the default 0) reproduces the tied buffer exactly. */
   def greedySearch(adj: Array[Array[Int]], vecs: Array[Array[Double]],
                    entry: Int, q: Array[Double], window: Int, metric: Metric,
-                   capacity: Int = 0): BeamBuffer = {
+                   capacity: Int = 0): BeamBuffer =
+    greedySearch(adj, new DoubleStore(vecs), entry, q, window, metric,
+      capacity)
+
+  def greedySearch(adj: Array[Array[Int]], store: VecStore,
+                   entry: Int, q: Array[Double], window: Int, metric: Metric,
+                   capacity: Int): BeamBuffer = {
     val cap = math.max(window, capacity)
     val buf = new BeamBuffer(cap, metric.ascending)
-    val scored = new java.util.BitSet(vecs.length)
+    val scored = new java.util.BitSet(store.n)
     scored.set(entry)
-    buf.insert(metric.compute(q, vecs(entry)), entry)
+    buf.insert(store.dist(metric, q, entry), entry)
     var cur = buf.nextUnexpanded(window)
     while (cur >= 0) {
       buf.expanded(cur) = true
@@ -204,7 +210,7 @@ object VamanaKernel {
         val nb = nbs(i)
         if (!scored.get(nb)) {
           scored.set(nb)
-          buf.insert(metric.compute(q, vecs(nb)), nb)
+          buf.insert(store.dist(metric, q, nb), nb)
         }
         i += 1
       }

@@ -93,6 +93,23 @@ class F32BuildSpec extends SparkSpec {
         r.getSeq[Long](3).toSeq)).toSeq.sortBy(t => (t._1, t._2))
     assert(gF === gD)
     assert(gF.nonEmpty)
+
+    // the search path dispatches too: float-resident walks return results
+    // bit-identical to the double walks over the same graph
+    val graphDf = Vamana.buildSharded(asF32, params, Metric.L2).cache()
+    val dims = base.select("vec").head.getSeq[Double](0).length
+    val cents = (0L until 4L).map(c => c -> Seq.fill(dims)(0.0))
+    val queries = Tables.embeddingQueries(s, sfDir).limit(5)
+    def run(clustered: org.apache.spark.sql.DataFrame) =
+      Vamana.searchSharded(queries, clustered, graphDf, cents, k = 5,
+        searchWindow = 16, nProbes = 4, Metric.L2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq.sorted
+    val sF = run(asF32)
+    val sD = run(asF64)
+    assert(sF === sD)
+    assert(sF.nonEmpty)
+    graphDf.unpersist()
     base.unpersist()
   }
 }
