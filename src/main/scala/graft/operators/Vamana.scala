@@ -319,6 +319,32 @@ object Vamana {
       .cache()
   }
 
+  /** f32-resident twin of [[prepareShards]]: the cached index layout holds
+    * float32 vectors — HALF the executor storage memory for the prepared
+    * dataset (the residency that sizes a calibration session at 100 TB) —
+    * and [[searchPreparedF32]] walks it with the mixed kernels for
+    * bit-identical results. Requires an `ARRAY<FLOAT>` vec column. */
+  def prepareShardsF32(clustered: DataFrame, graph: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, Long, Array[Float], Long,
+          Array[Long])] = {
+    val spark = clustered.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    require(clustered.schema("vec").dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }, "prepareShardsF32 requires an ARRAY<FLOAT> vec column")
+    clustered
+      .join(graph, Seq("cluster_id", "id"))
+      .select(col("cluster_id").cast("long"), col("id").cast("long"),
+        col("vec"), col("entry_id").cast("long"),
+        col("neighbors").cast("array<long>"))
+      .as[(Long, Long, Array[Float], Long, Array[Long])]
+      .repartition(col("cluster_id"))
+      .sortWithinPartitions("cluster_id", "id")
+      .cache()
+  }
+
   /** [[searchSharded]] semantics over a [[prepareShards]] dataset: identical
     * results (same walk kernel, same merge), no per-call shard shuffle. */
   def searchPrepared(queries: DataFrame,
@@ -326,7 +352,30 @@ object Vamana {
                        Array[Double], Long, Array[Long])],
                      centroids: Seq[(Long, Seq[Double])], k: Int,
                      searchWindow: Int, nProbes: Int, metric: Metric,
-                     searchCapacity: Int = 0): DataFrame = {
+                     searchCapacity: Int = 0): DataFrame =
+    searchPreparedImpl[Array[Double]](queries, prepared,
+      vs => new VamanaKernel.DoubleStore(vs), centroids, k, searchWindow,
+      nProbes, metric, searchCapacity)
+
+  /** [[searchPrepared]] over an f32-resident [[prepareShardsF32]] dataset —
+    * same walk via the mixed kernels, bit-identical output. */
+  def searchPreparedF32(queries: DataFrame,
+                        prepared: org.apache.spark.sql.Dataset[(Long, Long,
+                          Array[Float], Long, Array[Long])],
+                        centroids: Seq[(Long, Seq[Double])], k: Int,
+                        searchWindow: Int, nProbes: Int, metric: Metric,
+                        searchCapacity: Int = 0): DataFrame =
+    searchPreparedImpl[Array[Float]](queries, prepared,
+      vs => new VamanaKernel.FloatStore(vs), centroids, k, searchWindow,
+      nProbes, metric, searchCapacity)
+
+  private def searchPreparedImpl[V: scala.reflect.ClassTag](
+      queries: DataFrame,
+      prepared: org.apache.spark.sql.Dataset[(Long, Long, V, Long,
+        Array[Long])],
+      mkStore: Array[V] => VamanaKernel.VecStore,
+      centroids: Seq[(Long, Seq[Double])], k: Int, searchWindow: Int,
+      nProbes: Int, metric: Metric, searchCapacity: Int): DataFrame = {
     val spark = prepared.sparkSession
     import spark.implicits._
     require(searchWindow >= k, "searchWindow must be ≥ k")
@@ -342,14 +391,18 @@ object Vamana {
         def next(): Iterator[(Long, Long, Double)] = {
           val cid = rowsIt.head._1
           val run = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Long, Array[Double], Long, Array[Long])]
+            .empty[(Long, Long, V, Long, Array[Long])]
           while (rowsIt.hasNext && rowsIt.head._1 == cid)
             run += rowsIt.next()
           val qs = bc.value
             .getOrElse(cid, Array.empty[(Long, Array[Double])])
           if (qs.isEmpty) Iterator.empty[(Long, Long, Double)]
-          else walkShard(cid, run.toArray, qs, k, searchWindow,
-            searchCapacity, m)
+          else {
+            val rows = run.toArray
+            walkShardCore(cid, rows.map(_._2), mkStore(rows.map(_._3)),
+              rows(0)._4, rows.map(_._5), qs, k, searchWindow,
+              searchCapacity, m)
+          }
         }
       }.flatten
     }.toDF("query_id", "id", "dist")

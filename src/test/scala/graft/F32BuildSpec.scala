@@ -109,6 +109,24 @@ class F32BuildSpec extends SparkSpec {
     val sD = run(asF64)
     assert(sF === sD)
     assert(sF.nonEmpty)
+
+    // the f32-resident prepared layout (half the cached-index memory)
+    // walks to the same results as the f64 prepared layout
+    val preD = Vamana.prepareShards(asF64, graphDf)
+    val preF = Vamana.prepareShardsF32(asF32, graphDf)
+    val pD = Vamana.searchPrepared(queries, preD, cents, 5, 16, 4, Metric.L2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    val pF = Vamana.searchPreparedF32(queries, preF, cents, 5, 16, 4,
+        Metric.L2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    assert(pF === pD)
+    assert(pD === sD, "prepared path drifted from searchSharded")
+    intercept[IllegalArgumentException] {
+      Vamana.prepareShardsF32(asF64, graphDf) // wrong element type
+    }
+    preD.unpersist(); preF.unpersist()
     graphDf.unpersist()
     base.unpersist()
   }
