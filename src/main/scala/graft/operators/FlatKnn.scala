@@ -55,24 +55,35 @@ object FlatKnn {
         val (ids, vecs) = bc.value
         val nq = ids.length
         val heaps = Array.fill(nq)(new LocalTopK(k, asc))
+        // float32 rows stay float through the kernel: computeDF widens per
+        // element inside the fold, bit-identical to widening the buffer
+        // first (F32BuildSpec), with half the buffer bytes — and the SIMD
+        // mixed kernel runs ~2x the f64 SIMD rate (KernelBench)
         var buf: Array[Double] = null
+        var fbuf: Array[Float] = null
         while (iter.hasNext) {
           val row = iter.next()
           if (!row.isNullAt(0) && !row.isNullAt(1)) {
             val id = row.getLong(0)
             val arr = row.getArray(1)
             val d = arr.numElements()
-            if (buf == null || buf.length != d) buf = new Array[Double](d)
-            var i = 0
-            if (isFloat) {
-              while (i < d) { buf(i) = arr.getFloat(i).toDouble; i += 1 }
-            } else {
-              while (i < d) { buf(i) = arr.getDouble(i); i += 1 }
-            }
             var q = 0
-            while (q < nq) {
-              heaps(q).insert(m.compute(vecs(q), buf), id)
-              q += 1
+            if (isFloat) {
+              if (fbuf == null || fbuf.length != d) fbuf = new Array[Float](d)
+              var i = 0
+              while (i < d) { fbuf(i) = arr.getFloat(i); i += 1 }
+              while (q < nq) {
+                heaps(q).insert(m.computeDF(vecs(q), fbuf), id)
+                q += 1
+              }
+            } else {
+              if (buf == null || buf.length != d) buf = new Array[Double](d)
+              var i = 0
+              while (i < d) { buf(i) = arr.getDouble(i); i += 1 }
+              while (q < nq) {
+                heaps(q).insert(m.compute(vecs(q), buf), id)
+                q += 1
+              }
             }
           }
         }

@@ -97,20 +97,33 @@ case class KnnPartialExec(queries: SparkPlan, data: SparkPlan, k: Int,
       val qs = bc.value
       val nq = qs.length
       val heaps = Array.fill(nq)(new LocalTopK(kk, asc))
+      // float rows stay float through the kernel (computeDF widens per
+      // element inside the fold — bit-identical to widening the buffer,
+      // same dual-path as FlatKnn.search)
       var buf: Array[Double] = null
+      var fbuf: Array[Float] = null
       while (iter.hasNext) {
         val row = iter.next()
         if (!row.isNullAt(0) && !row.isNullAt(1)) {
           val id = row.getLong(0)
           val arr = row.getArray(1)
           val d = arr.numElements()
-          if (buf == null || buf.length != d) buf = new Array[Double](d)
-          var i = 0
-          if (dFloat) while (i < d) { buf(i) = arr.getFloat(i).toDouble; i += 1 }
-          else while (i < d) { buf(i) = arr.getDouble(i); i += 1 }
           var q = 0
-          while (q < nq) { heaps(q).insert(metric.compute(qs(q)._2, buf), id)
-            q += 1 }
+          if (dFloat) {
+            if (fbuf == null || fbuf.length != d) fbuf = new Array[Float](d)
+            var i = 0
+            while (i < d) { fbuf(i) = arr.getFloat(i); i += 1 }
+            while (q < nq) {
+              heaps(q).insert(metric.computeDF(qs(q)._2, fbuf), id)
+              q += 1 }
+          } else {
+            if (buf == null || buf.length != d) buf = new Array[Double](d)
+            var i = 0
+            while (i < d) { buf(i) = arr.getDouble(i); i += 1 }
+            while (q < nq) {
+              heaps(q).insert(metric.compute(qs(q)._2, buf), id)
+              q += 1 }
+          }
         }
       }
       val proj = UnsafeProjection.create(schema.toArray)

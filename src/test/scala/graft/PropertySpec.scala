@@ -130,4 +130,50 @@ class PropertySpec extends AnyFunSuite {
         buf.slots(i) >= 0 && buf.slots(i) < vecs.length))
     }
   }
+
+  test("CandidatePool.sortBestFirst equals the stable tupled sort for any " +
+      "pool, both orderings") {
+    val g = for {
+      n <- Gen.choose(0, 400)
+      seed <- Gen.choose(0L, 1000000L)
+      asc <- Gen.oneOf(true, false)
+      // small value range forces many exact distance ties (the id
+      // tiebreak path) and duplicate (dist, slot) patterns
+      coarse <- Gen.oneOf(true, false)
+    } yield (n, seed, asc, coarse)
+    forAll(g) { case (n, seed, asc, coarse) =>
+      val rng = new scala.util.Random(seed)
+      val pool = new VamanaKernel.CandidatePool(4)
+      val ref = new ArrayBuffer[(Int, Double)]
+      (0 until n).foreach { _ =>
+        val s = rng.nextInt(n + 1)
+        val d = if (coarse) rng.nextInt(4).toDouble else rng.nextDouble()
+        pool.add(s, d)
+        ref += ((s, d))
+      }
+      pool.sortBestFirst(asc)
+      val expect = ref.sortBy { case (s, d) => (if (asc) d else -d, s) }
+      val got = (0 until pool.n).map(i => (pool.slots(i), pool.dists(i)))
+      assert(got === expect.toSeq)
+    }
+  }
+
+  test("mixed-precision kernels equal compute on widened copies for any " +
+      "input (property form)") {
+    val g = for {
+      d <- Gen.choose(1, 200)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (d, seed)
+    forAll(g, cases = 50) { case (d, seed) =>
+      val rng = new scala.util.Random(seed)
+      val af = Array.fill(d)(rng.nextFloat() * 2f - 1f)
+      val bf = Array.fill(d)(rng.nextFloat() * 2f - 1f)
+      val ad = af.map(_.toDouble)
+      val bd = bf.map(_.toDouble)
+      for (m <- Metric.all) {
+        assert(m.computeFF(af, bf) == m.compute(ad, bd))
+        assert(m.computeDF(ad, bf) == m.compute(ad, bd))
+      }
+    }
+  }
 }
