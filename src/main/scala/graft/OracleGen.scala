@@ -14,10 +14,23 @@ object OracleGen {
     exprs.zipWithIndex.map { case (e, i) => s"$e AS $prefix$i" }.mkString(", ")
 
   /** kNN over the synthetic lineitem vectors. */
-  def lineitemKnn(metric: Metric, k: Int): String = {
+  def lineitemKnn(metric: Metric, k: Int): String =
+    lineitemKnnDims(metric, k, Tables.liDimSql)
+
+  /** f32-storage twin (q73/q74): the DATA dims round through REAL exactly
+    * as Spark's `cast("array<float>")` does (IEEE round-to-nearest), then
+    * the distance arithmetic is double on both sides — certifying the
+    * float-resident scan branch + mixed computeDF kernel end-to-end.
+    * Queries stay full-precision double, as in the engine. */
+  def lineitemKnnF32(metric: Metric, k: Int): String =
+    lineitemKnnDims(metric, k,
+      Tables.liDimSql.map(e => s"CAST(CAST($e AS REAL) AS DOUBLE)"))
+
+  private def lineitemKnnDims(metric: Metric, k: Int,
+                              dataDims: Seq[String]): String = {
     val d = Tables.liDims
     s"""WITH data AS (
-       |  SELECT ${Tables.liIdSql} AS id, ${dimCols("v", Tables.liDimSql)}
+       |  SELECT ${Tables.liIdSql} AS id, ${dimCols("v", dataDims)}
        |  FROM lineitem),
        |q AS (
        |  SELECT ${Tables.liIdSql} AS query_id, ${dimCols("q", Tables.liDimSql)}

@@ -23,6 +23,19 @@ object SparkEntry {
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 
+  /** f32-storage twin of q01 (q73/q74): the data side is ARRAY<FLOAT>, so
+    * the scan runs the float-resident branch and the mixed computeDF
+    * kernel; the oracle rounds its data dims through REAL identically. */
+  private def knnLineitemF32(metric: Metric)(s: SparkSession, dir: String)
+      : DataFrame =
+    FlatKnn.search(liQueries(s, dir),
+        memoized[DataFrame]("li_vectors_f32", dir) {
+          Tables.lineitemVectors(s, dir)
+            .withColumn("vec", col("vec").cast("array<float>")).cache()
+        }, K, metric)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+
   private def knnEmbeddings(metric: Metric)(s: SparkSession, dir: String)
       : DataFrame =
     FlatKnn.search(embQueries(s, dir),
@@ -1067,6 +1080,8 @@ object SparkEntry {
     "q70_y4m_frames" -> (mediaY4mQ _),
     "q71_stream_y4m" -> (streamY4mQ _),
     "q72_stratified_sample" -> (stratifiedSampleQ _),
+    "q73_f32_knn_l2" -> (knnLineitemF32(Metric.L2) _),
+    "q74_f32_simd_knn" -> (knnLineitemF32(Metric.simd(Metric.L2)) _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1157,5 +1172,11 @@ object SparkEntry {
     "q70_y4m_frames" -> OracleGenText.mediaY4m,
     "q71_stream_y4m" -> OracleGenText.mediaY4m,
     "q72_stratified_sample" -> OracleGenText.stratifiedSample(StratumK),
+    // q73: float32 data storage against a REAL-rounded DuckDB replay —
+    // hash-exact (the mixed kernel widens per element into the same double
+    // fold). q74: the SIMD mixed kernel against the same oracle (exact
+    // id-ranking agreement, the q67 contract).
+    "q73_f32_knn_l2" -> OracleGen.lineitemKnnF32(Metric.L2, K),
+    "q74_f32_simd_knn" -> OracleGen.lineitemKnnF32(Metric.L2, K),
   )
 }
