@@ -21,20 +21,27 @@ abstract class VectorDistanceExpression extends BinaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
 
-  protected def elementType: DataType =
-    left.dataType match {
-      case ArrayType(et, _) => et
-      case _                => NullType
-    }
+  private def elemOf(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case _                => NullType
+  }
 
+  protected def elementType: DataType = elemOf(left)
+  protected def rightElementType: DataType = elemOf(right)
+
+  // Mixed ARRAY<FLOAT>/ARRAY<DOUBLE> args are fine: each element widens to
+  // double at the point of use and the fold is always double, so a mixed
+  // pair computes exactly what it would after casting the float side up
+  // (the Metric.computeDF contract) with no cast projection materialized.
   override def checkInputDataTypes(): TypeCheckResult = {
     (left.dataType, right.dataType) match {
       case (ArrayType(l, _), ArrayType(r, _))
-          if l == r && (l == FloatType || l == DoubleType) =>
+          if (l == FloatType || l == DoubleType) &&
+            (r == FloatType || r == DoubleType) =>
         TypeCheckResult.TypeCheckSuccess
       case _ =>
         TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires two ARRAY<FLOAT> or two ARRAY<DOUBLE> args, " +
+          s"$prettyName requires ARRAY<FLOAT>/ARRAY<DOUBLE> args, " +
             s"got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
     }
   }
@@ -51,13 +58,18 @@ abstract class VectorDistanceExpression extends BinaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => genLoop(a, b, ev.value, ctx))
 
-  protected def getter: String = elementType match {
-    case FloatType => "getFloat"
-    case _         => "getDouble"
-  }
+  private def getterOf(et: DataType): String =
+    if (et == FloatType) "getFloat" else "getDouble"
+
+  protected def getter: String = getterOf(elementType)
+  protected def getterR: String = getterOf(rightElementType)
 
   @inline protected final def elemAt(arr: ArrayData, i: Int): Double =
     if (elementType == FloatType) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  @inline protected final def elemAtR(arr: ArrayData, i: Int): Double =
+    if (rightElementType == FloatType) arr.getFloat(i).toDouble
+    else arr.getDouble(i)
 }
 
 /** Squared Euclidean distance: sum_i (a_i - b_i)^2.
@@ -77,7 +89,7 @@ case class L2Distance(left: Expression, right: Expression)
        |int $n = $a.numElements();
        |double $acc = 0.0;
        |for (int $i = 0; $i < $n; $i++) {
-       |  double $d = (double)$a.$getter($i) - (double)$b.$getter($i);
+       |  double $d = (double)$a.$getter($i) - (double)$b.$getterR($i);
        |  $acc += $d * $d;
        |}
        |$result = $acc;
@@ -88,7 +100,7 @@ case class L2Distance(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     val n = a.numElements()
-    while (i < n) { val d = elemAt(a, i) - elemAt(b, i); acc += d * d; i += 1 }
+    while (i < n) { val d = elemAt(a, i) - elemAtR(b, i); acc += d * d; i += 1 }
     acc
   }
 
@@ -112,7 +124,7 @@ case class InnerProduct(left: Expression, right: Expression)
        |int $n = $a.numElements();
        |double $acc = 0.0;
        |for (int $i = 0; $i < $n; $i++) {
-       |  $acc += (double)$a.$getter($i) * (double)$b.$getter($i);
+       |  $acc += (double)$a.$getter($i) * (double)$b.$getterR($i);
        |}
        |$result = $acc;
      """.stripMargin
@@ -122,7 +134,7 @@ case class InnerProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     val n = a.numElements()
-    while (i < n) { acc += elemAt(a, i) * elemAt(b, i); i += 1 }
+    while (i < n) { acc += elemAt(a, i) * elemAtR(b, i); i += 1 }
     acc
   }
 
@@ -153,7 +165,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
        |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
        |for (int $i = 0; $i < $n; $i++) {
        |  double $x = (double)$a.$getter($i);
-       |  double $y = (double)$b.$getter($i);
+       |  double $y = (double)$b.$getterR($i);
        |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
        |}
        |$result = ($na == 0.0 || $nb == 0.0)
@@ -166,7 +178,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var i = 0
     val n = a.numElements()
     while (i < n) {
-      val x = elemAt(a, i); val y = elemAt(b, i)
+      val x = elemAt(a, i); val y = elemAtR(b, i)
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0

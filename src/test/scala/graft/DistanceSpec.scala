@@ -76,4 +76,23 @@ class DistanceSpec extends SparkSpec {
     val n = e.select(l2Distance(col("vec"), col("vec"))).count()
     assert(n == 10)
   }
+
+  test("mixed double x float args equal the cast-up pair bit for bit " +
+      "(all three kernels, both orders)") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("embedding").cast("array<float>").as("f"))
+      .withColumn("d", reverse(col("f")).cast("array<double>"))
+      .limit(50).cache()
+    for (fn <- Seq(l2Distance _, innerProduct _, cosineSimilarity _)) {
+      val mixedDF = e.select(fn(col("d"), col("f"))).collect().map(_.getDouble(0))
+      val mixedFD = e.select(fn(col("f"), col("d"))).collect().map(_.getDouble(0))
+      val cast = e.select(fn(col("d"), col("f").cast("array<double>")))
+        .collect().map(_.getDouble(0))
+      val castR = e.select(fn(col("f").cast("array<double>"), col("d")))
+        .collect().map(_.getDouble(0))
+      assert(mixedDF.toSeq === cast.toSeq)
+      assert(mixedFD.toSeq === castR.toSeq)
+    }
+    e.unpersist()
+  }
 }

@@ -102,6 +102,21 @@ class EdgeCaseSpec extends SparkSpec {
       viaCast.orderBy("query_id", "rnk").collect().toSeq)
   }
 
+  test("IVF search over a float32 clustered table equals the double cast") {
+    val cents = emb.filter(col("id") % 7 === 0).limit(4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val f32 = emb.select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val c32 = IvfIndex.cluster(f32, cents)
+    val c64 = IvfIndex.cluster(
+      f32.select(col("id"), col("vec").cast("array<double>").as("vec")),
+      cents)
+    def run(cl: org.apache.spark.sql.DataFrame) =
+      IvfIndex.search(q, cl, cents, 5, nProbes = 2, Metric.L2)
+        .orderBy("query_id", "rnk").collect().toSeq
+    assert(run(c32) === run(c64))
+    assert(run(c32).nonEmpty)
+  }
+
   test("duplicate ids on the data side are kept, ties ordered by id") {
     import spark.implicits._
     val dup = Seq((7L, Seq(1.0, 0.0)), (7L, Seq(1.0, 0.0)),
