@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.graftbridge.Bridge
-import graft.functions.{CosineSimilarity, InnerProduct, L2Distance}
+import graft.functions.{CosineSimilarity, CosineSimilaritySimd, InnerProduct,
+  InnerProductSimd, L2Distance, L2DistanceSimd}
 
 /** The engine's SQL extension surface (SURVEY §2.9): the reference exposes
   * its kernels through C++ customization-point objects + a runtime
@@ -45,7 +46,19 @@ object GraftFunctions {
     ("inner_product", "inner_product(a, b) - dot-product similarity",
       binary(InnerProduct)),
     ("cosine_similarity", "cosine_similarity(a, b) - cosine similarity",
-      binary(CosineSimilarity)))
+      binary(CosineSimilarity)),
+    // SIMD twins (JDK Vector API kernels; scalar fallback without the
+    // module). Lane folds may differ from the scalar functions in the last
+    // ulp — opt-in production variants, certified on id-ranking agreement.
+    ("l2_distance_simd",
+      "l2_distance_simd(a, b) - squared Euclidean distance (SIMD kernel)",
+      binary(L2DistanceSimd)),
+    ("inner_product_simd",
+      "inner_product_simd(a, b) - dot-product similarity (SIMD kernel)",
+      binary(InnerProductSimd)),
+    ("cosine_similarity_simd",
+      "cosine_similarity_simd(a, b) - cosine similarity (SIMD kernel)",
+      binary(CosineSimilaritySimd)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, usage, builder) =>

@@ -36,6 +36,29 @@ object SparkEntry {
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 
+  /** Fully float32-resident twin of q05 (q75/q76): both the query batch and
+    * the data side keep the embeddings parquet's native ARRAY<FLOAT>, so the
+    * scan runs `Metric.computeFF` (scalar: bit-identical to widening both
+    * sides first, F32BuildSpec; SIMD: the f32 lane kernels at ~2x the mixed
+    * rate). Oracle: same as q05 — DuckDB reads the REAL columns and widens,
+    * exactly the FF fold. */
+  private def knnEmbeddingsF32(metric: Metric)(s: SparkSession, dir: String)
+      : DataFrame =
+    FlatKnn.search(
+      memoized[DataFrame]("emb_queries_f32", dir) {
+        Tables.table(s, dir, "embeddings")
+          .filter(expr(Tables.embQueryPredSql))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+          .cache()
+      },
+      memoized[DataFrame]("emb_vectors_f32", dir) {
+        Tables.table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+          .cache()
+      }, K, metric)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+
   private def knnEmbeddings(metric: Metric)(s: SparkSession, dir: String)
       : DataFrame =
     FlatKnn.search(embQueries(s, dir),
@@ -389,6 +412,44 @@ object SparkEntry {
     tbl.deleteIds(emb.filter(col("id") % 9 === 0).select("id"))
     tbl.consolidate()
     tbl.current.select("id", "label").orderBy("id")
+  }
+
+  /** q78: the dynamic lifecycle on float32 storage (M1-M4) — segments keep
+    * the embeddings parquet's native ARRAY<FLOAT> through append, soft
+    * delete, and consolidate (half the segment bytes of the f64 twin), and
+    * the post-consolidate search runs fully f32-resident (float queries +
+    * float rows → Metric.computeFF, bit-identical to the widened fold).
+    * Oracle: exact kNN excluding the deleted ids. */
+  private def dynF32Q(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_dyn_q78"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val tbl = new DynamicVectorTable(s, root)
+    val emb = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    tbl.addPoints(emb.filter(col("id") < 250))
+    tbl.addPoints(emb.filter(col("id") >= 250))
+    tbl.deleteIds(emb.filter(col("id") % 9 === 0).select("id"))
+    tbl.consolidate()
+    val live = tbl.current
+    // fail loudly if any lifecycle step silently widened the storage
+    require(live.schema("vec").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = true) ||
+      live.schema("vec").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false),
+      s"dynamic table lost f32 residency: ${live.schema("vec").dataType}")
+    FlatKnn.search(
+      memoized[DataFrame]("emb_queries_f32", dir) {
+        Tables.table(s, dir, "embeddings")
+          .filter(expr(Tables.embQueryPredSql))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+          .cache()
+      }, live.select("id", "vec"), K, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
   }
 
   // ---- IO surface (S1-S8) --------------------------------------------------
@@ -1007,6 +1068,26 @@ object SparkEntry {
          |WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** q77: the SQL surface on the SIMD kernels — same query text as q34 but
+    * through `l2_distance_simd`, which the KnnRewriteRule rewrites to the
+    * KnnPartial heap scan running the Vector-API lane kernels. Certified on
+    * exact id-ranking agreement with the scalar DuckDB oracle (the q67
+    * contract: a rank flip needs two DISTINCT vectors within one ulp). */
+  private def sqlKnnSimdQ(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    graft.plans.KnnJoinApi.install(s)
+    embVectors(s, dir).select("id", "vec")
+      .createOrReplaceTempView("graft_data")
+    embQueries(s, dir).createOrReplaceTempView("graft_q")
+    s.sql(
+      s"""SELECT query_id, rnk, neighbor_id FROM (
+         |  SELECT q.query_id, d.id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY l2_distance_simd(q.qvec, d.vec) ASC, d.id ASC) AS rnk
+         |  FROM graft_q q CROSS JOIN graft_data d) t
+         |WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_flat_knn_l2" -> (knnLineitem(Metric.L2) _),
     "q02_flat_knn_ip" -> (knnLineitem(Metric.IP) _),
@@ -1082,6 +1163,10 @@ object SparkEntry {
     "q72_stratified_sample" -> (stratifiedSampleQ _),
     "q73_f32_knn_l2" -> (knnLineitemF32(Metric.L2) _),
     "q74_f32_simd_knn" -> (knnLineitemF32(Metric.simd(Metric.L2)) _),
+    "q75_f32_emb_knn" -> (knnEmbeddingsF32(Metric.L2) _),
+    "q76_f32_simd_emb_knn" -> (knnEmbeddingsF32(Metric.simd(Metric.L2)) _),
+    "q77_sql_knn_simd" -> (sqlKnnSimdQ _),
+    "q78_dyn_f32" -> (dynF32Q _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1178,5 +1263,20 @@ object SparkEntry {
     // id-ranking agreement, the q67 contract).
     "q73_f32_knn_l2" -> OracleGen.lineitemKnnF32(Metric.L2, K),
     "q74_f32_simd_knn" -> OracleGen.lineitemKnnF32(Metric.L2, K),
+    // q75/q76: the fully f32-resident embeddings scan (float queries AND
+    // float data → computeFF) against the SAME oracle as q05 — DuckDB widens
+    // the parquet REAL columns to double exactly as the FF fold does, so the
+    // scalar path is hash-exact and the SIMD path is certified on exact
+    // id-ranking agreement (the q67 contract).
+    "q75_f32_emb_knn" -> OracleGen.embeddingKnn(Metric.L2, K),
+    "q76_f32_simd_emb_knn" -> OracleGen.embeddingKnn(Metric.L2, K),
+    // q77: SQL through l2_distance_simd (rewritten to the KnnPartial scan on
+    // the lane kernels) against the scalar q34 oracle — id-ranking contract.
+    "q77_sql_knn_simd" -> OracleGen.embeddingKnn(Metric.L2, K),
+    // q78: M1-M4 on f32 segments + f32-resident post-consolidate search —
+    // hash-exact against the exact kNN over the non-deleted rows (FF fold ≡
+    // widened fold; DuckDB widens the same REAL values).
+    "q78_dyn_f32" -> OracleGen.embeddingKnnExcluding(Metric.L2, K,
+      "vec_id % 9 = 0"),
   )
 }

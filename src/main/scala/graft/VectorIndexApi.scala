@@ -27,8 +27,8 @@ trait VectorIndex {
 object VectorIndex {
 
   private[graft] def metricOf(name: String): Metric =
-    Metric.all.find(_.name == name)
-      .getOrElse(sys.error(s"unknown metric $name"))
+    Metric.byName(name) // includes "_simd" twins, so a saved SIMD-metric
+      .getOrElse(sys.error(s"unknown metric $name")) // index reopens
 
   private[graft] def writeJson(spark: SparkSession, dir: String,
                                json: String): Unit = {

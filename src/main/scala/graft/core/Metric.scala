@@ -163,4 +163,11 @@ object Metric {
     } else m
 
   val all: Seq[Metric] = Seq(L2, IP, Cosine)
+
+  /** Resolve a metric by name, including the `_simd` twins ("l2_simd" etc.).
+    * A `_simd` name on a JVM without the Vector API resolves to the scalar
+    * base — the same graceful fallback as `simd(m)`. */
+  def byName(n: String): Option[Metric] =
+    all.find(_.name == n).orElse(
+      all.find(_.name + "_simd" == n).map(simd))
 }

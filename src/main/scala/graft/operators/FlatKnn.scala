@@ -28,12 +28,32 @@ object FlatKnn {
       : DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
-    val qRows = queries
-      .select(col("query_id").cast("long"), col("qvec").cast("array<double>"))
-      .collect()
-    val qIds = qRows.map(_.getLong(0))
-    val qVecs = qRows.map(_.getSeq[Double](1).toArray)
-    val bc = spark.sparkContext.broadcast((qIds, qVecs))
+    // queries from a float32 source stay float: computeFF widens per element
+    // into the same double fold as computeDF on pre-widened copies
+    // (F32BuildSpec bit-identity), so keeping them narrow changes no result —
+    // and the f32 SIMD kernels run ~2x the mixed-kernel rate (KernelBench)
+    val qIsFloat = queries.schema("qvec").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    val (qIds, qVecs, qVecsF) =
+      if (qIsFloat) {
+        val qRows = queries
+          .select(col("query_id").cast("long"), col("qvec")).collect()
+        val ids = qRows.map(_.getLong(0))
+        val f = qRows.map(_.getSeq[Float](1).toArray)
+        (ids, f.map(_.map(_.toDouble)), f)
+      } else {
+        val qRows = queries
+          .select(col("query_id").cast("long"),
+            col("qvec").cast("array<double>"))
+          .collect()
+        (qRows.map(_.getLong(0)),
+          qRows.map(_.getSeq[Double](1).toArray),
+          null: Array[Array[Float]])
+      }
+    val bc = spark.sparkContext.broadcast((qIds, qVecs, qVecsF))
     val asc = metric.ascending
     val m = metric
 
@@ -52,8 +72,9 @@ object FlatKnn {
     val partials = projected
       .queryExecution.toRdd
       .mapPartitions { iter =>
-        val (ids, vecs) = bc.value
+        val (ids, vecs, vecsF) = bc.value
         val nq = ids.length
+        val allFloat = isFloat && vecsF != null
         val heaps = Array.fill(nq)(new LocalTopK(k, asc))
         // float32 rows stay float through the kernel: computeDF widens per
         // element inside the fold, bit-identical to widening the buffer
@@ -72,9 +93,16 @@ object FlatKnn {
               if (fbuf == null || fbuf.length != d) fbuf = new Array[Float](d)
               var i = 0
               while (i < d) { fbuf(i) = arr.getFloat(i); i += 1 }
-              while (q < nq) {
-                heaps(q).insert(m.computeDF(vecs(q), fbuf), id)
-                q += 1
+              if (allFloat) {
+                while (q < nq) {
+                  heaps(q).insert(m.computeFF(vecsF(q), fbuf), id)
+                  q += 1
+                }
+              } else {
+                while (q < nq) {
+                  heaps(q).insert(m.computeDF(vecs(q), fbuf), id)
+                  q += 1
+                }
               }
             } else {
               if (buf == null || buf.length != d) buf = new Array[Double](d)

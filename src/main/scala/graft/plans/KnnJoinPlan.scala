@@ -70,7 +70,7 @@ case class KnnPartialExec(queries: SparkPlan, data: SparkPlan, k: Int,
     }
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val metric = Metric.all.find(_.name == metricName)
+    val metric = Metric.byName(metricName)
       .getOrElse(sys.error(s"unknown metric $metricName"))
     // element-type-aware reads: ARRAY<FLOAT> is 4-byte-packed in ArrayData,
     // so a getDouble read would return garbage (same dual-path as

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import graft.core.Metric
-import graft.functions.{CosineSimilarity, InnerProduct, L2Distance}
+import graft.functions.{CosineSimilarity, CosineSimilaritySimd, InnerProduct,
+  InnerProductSimd, L2Distance, L2DistanceSimd}
 
 /** The SURVEY §4 stretch rule: rewrite the canonical SQL top-k-by-distance
   * pattern
@@ -35,6 +36,13 @@ object KnnRewriteRule extends Rule[LogicalPlan] {
       case L2Distance(a, b) => Some((Metric.L2, a, b))
       case InnerProduct(a, b) => Some((Metric.IP, a, b))
       case CosineSimilarity(a, b) => Some((Metric.Cosine, a, b))
+      // SIMD twins rewrite to the KnnPartial scan running the SAME lane
+      // kernels (Metric.SimdOf routes to graft.simd.SimdKernels, exactly
+      // what the expression's SimdCall target invokes), so the rewrite
+      // stays value-identical to the unrewritten window plan
+      case L2DistanceSimd(a, b) => Some((Metric.simd(Metric.L2), a, b))
+      case InnerProductSimd(a, b) => Some((Metric.simd(Metric.IP), a, b))
+      case CosineSimilaritySimd(a, b) => Some((Metric.simd(Metric.Cosine), a, b))
       case _ => None
     }
 

@@ -54,6 +54,38 @@ class F32BuildSpec extends SparkSpec {
     }
   }
 
+  test("FlatKnn with float queries AND float data (FF path) is bit-identical " +
+      "to the widened-double search") {
+    val s = spark
+    val raw = Tables.table(s, sfDir, "embeddings")
+    val qF = raw.filter(expr(Tables.embQueryPredSql))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val dF = raw.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qD = qF.withColumn("qvec", col("qvec").cast("array<double>"))
+    val dD = dF.withColumn("vec", col("vec").cast("array<double>"))
+    for (m <- Metric.all) {
+      def run(q: org.apache.spark.sql.DataFrame,
+              d: org.apache.spark.sql.DataFrame) =
+        graft.operators.FlatKnn.search(q, d, 7, m)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSeq.sorted
+      val ff = run(qF, dF)  // float queries, float data → computeFF
+      val df = run(qD, dF)  // double queries, float data → computeDF
+      val dd = run(qD, dD)  // widened both sides → compute
+      assert(ff === dd, s"${m.name}: FF drifted from the double fold")
+      assert(df === dd, s"${m.name}: DF drifted from the double fold")
+      assert(ff.nonEmpty)
+      if (SimdSupport.available) {
+        // the SIMD FF twin must agree on the id ranking (lane fold may
+        // differ in the last ulp, so distances are not compared)
+        val sf = graft.operators.FlatKnn.search(qF, dF, 7, Metric.simd(m))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSeq.sorted
+        assert(sf === ff.map(t => (t._1, t._2, t._3)), s"${m.name} simd ids")
+      }
+    }
+  }
+
   test("FloatStore build is bit-identical to DoubleStore build") {
     val vecsF = randVecs(600, 24, seed = 5)
     val vecsD = vecsF.map(_.map(_.toDouble))

@@ -73,6 +73,75 @@ class SimdSpec extends SparkSpec {
       assert(Metric.SimdOf(m).sqlExpr("a", "b", 4) == m.sqlExpr("a", "b", 4))
   }
 
+  test("SIMD SQL expressions compute the exact lane-kernel values on " +
+      "double, float, and mixed columns") {
+    val s = spark
+    GraftFunctions.register(s)
+    val rnd = new scala.util.Random(99)
+    val rows = Seq.tabulate(40) { i =>
+      val d = Seq(3, 8, 17, 64)(i % 4)
+      (i.toLong, Seq.fill(d)(rnd.nextDouble() * 2 - 1),
+        Seq.fill(d)(rnd.nextDouble() * 2 - 1))
+    }
+    import s.implicits._
+    val base = rows.toDF("id", "a", "b")
+    val cases = Seq(
+      ("d", "d"), ("f", "f"), ("d", "f"), ("f", "d"))
+    for ((lt, rt) <- cases) {
+      val df = base
+        .withColumn("a", if (lt == "f") col("a").cast("array<float>") else col("a"))
+        .withColumn("b", if (rt == "f") col("b").cast("array<float>") else col("b"))
+      df.createOrReplaceTempView("simd_expr_t")
+      val got = s.sql(
+        """SELECT id, l2_distance_simd(a, b), inner_product_simd(a, b),
+          |cosine_similarity_simd(a, b) FROM simd_expr_t ORDER BY id""".stripMargin)
+        .collect()
+      // expected: the same SimdKernels calls on the (possibly f32-rounded)
+      // values the columns actually hold
+      val rounded = df.select("id", "a", "b").orderBy("id").collect().map { r =>
+        (r.getLong(0), r.getSeq[Any](1).map {
+          case f: Float => f.toDouble; case d: Double => d }.toArray,
+          r.getSeq[Any](2).map {
+            case f: Float => f.toDouble; case d: Double => d }.toArray)
+      }
+      got.zip(rounded).foreach { case (g, (id, a, b)) =>
+        assert(g.getLong(0) == id)
+        assert(g.getDouble(1) == Metric.SimdOf(Metric.L2).compute(a, b),
+          s"l2 $lt/$rt id=$id")
+        assert(g.getDouble(2) == Metric.SimdOf(Metric.IP).compute(a, b),
+          s"ip $lt/$rt id=$id")
+        assert(g.getDouble(3) == Metric.SimdOf(Metric.Cosine).compute(a, b),
+          s"cos $lt/$rt id=$id")
+      }
+    }
+  }
+
+  test("SQL kNN via l2_distance_simd rewrites onto KnnPartial and matches " +
+      "the scalar SQL kNN id-for-id") {
+    val s = spark
+    GraftFunctions.register(s)
+    graft.plans.KnnJoinApi.install(s)
+    Tables.embeddingVectors(s, sfDir).select("id", "vec")
+      .createOrReplaceTempView("simd_knn_data")
+    Tables.embeddingQueries(s, sfDir).createOrReplaceTempView("simd_knn_q")
+    def knnSql(fn: String) = s.sql(
+      s"""SELECT query_id, rnk, neighbor_id FROM (
+         |  SELECT q.query_id, d.id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY $fn(q.qvec, d.vec) ASC, d.id ASC) AS rnk
+         |  FROM simd_knn_q q CROSS JOIN simd_knn_data d) t
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)
+    val simdDf = knnSql("l2_distance_simd")
+    assert(simdDf.queryExecution.optimizedPlan.toString.contains("KnnPartial"),
+      "l2_distance_simd window pattern did not rewrite")
+    val simd = simdDf.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val scalar = knnSql("l2_distance").collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(simd == scalar)
+    assert(simd.nonEmpty)
+  }
+
   test("flat kNN with the SIMD kernel matches the certified scalar path") {
     val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
     val q = Tables.embeddingQueries(spark, sfDir)
