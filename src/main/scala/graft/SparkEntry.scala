@@ -568,6 +568,14 @@ object SparkEntry {
     Multimodal.decodeSums(Multimodal.packReal(docs(s, dir)))
       .orderBy("doc_id")
 
+  /** q79: the q54 decode through the mapInPandas-shaped columnar batch API
+    * (BatchApi.mapInBatches — declared output schema, bounded columnar
+    * batches) with the same RawCodec kernel; must be row-identical to the
+    * mapPartitions form, so it shares q54's oracle. */
+  private def mediaBatchApiQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeSumsBatchApi(Multimodal.packReal(docs(s, dir)))
+      .orderBy("doc_id")
+
   /** Compressed-container decode (q63): real PNG bytes through the JDK
     * ImageIO decoder; lossless, so the oracle replays exact sample sums. */
   private def mediaPngQ(s: SparkSession, dir: String): DataFrame =
@@ -1167,6 +1175,7 @@ object SparkEntry {
     "q76_f32_simd_emb_knn" -> (knnEmbeddingsF32(Metric.simd(Metric.L2)) _),
     "q77_sql_knn_simd" -> (sqlKnnSimdQ _),
     "q78_dyn_f32" -> (dynF32Q _),
+    "q79_media_batch_api" -> (mediaBatchApiQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1278,5 +1287,8 @@ object SparkEntry {
     // widened fold; DuckDB widens the same REAL values).
     "q78_dyn_f32" -> OracleGen.embeddingKnnExcluding(Metric.L2, K,
       "vec_id % 9 = 0"),
+    // q79: q54's decode kernel through the mapInPandas-shaped BatchApi —
+    // same oracle, certifying the columnar-batch contract end to end.
+    "q79_media_batch_api" -> OracleGenText.mediaReal,
   )
 }

@@ -544,6 +544,48 @@ object Multimodal {
   private def batched[T](it: Iterator[T], batchSize: Int)
       : Iterator[Seq[T]] = it.grouped(batchSize)
 
+  /** [[decodeSums]] re-expressed through [[BatchApi.mapInBatches]] — the
+    * literal `mapInPandas` contract (declared output schema, columnar
+    * batches in, columnar batches out) with the same decode kernel inside.
+    * Certified against the same oracle as the mapPartitions form (q79 vs
+    * q54): the two shapes must be row-identical. A Python model UDF slots
+    * into this exact seam. */
+  def decodeSumsBatchApi(media: Dataset[MediaRow], codec: MediaCodec = RawCodec,
+                         batchSize: Int = DefaultBatch): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sum1", LongType, nullable = false),
+      StructField("sum2", LongType, nullable = false)))
+    BatchApi.mapInBatches(media.toDF(), outSchema, batchSize) { batches =>
+      batches.map { b =>
+        val ids = b("doc_id")
+        val contents = b("content")
+        val metas = b("meta")
+        val n = b.size
+        val ns = new Array[Any](n)
+        val s1 = new Array[Any](n)
+        val s2 = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          val m = metas(i).asInstanceOf[Row]
+          val meta = MediaMeta(m.getAs[String]("format"),
+            m.getAs[Int]("width"), m.getAs[Int]("height"),
+            m.getAs[Int]("sampleRate"), m.getAs[Long]("durationMs"))
+          val v = codec.decode(contents(i).asInstanceOf[Array[Byte]], meta)
+          var a1 = 0L; var a2 = 0L; var j = 0
+          while (j < v.length) { a1 += v(j); a2 += (j + 1).toLong * v(j); j += 1 }
+          ns(i) = v.length.toLong; s1(i) = a1; s2(i) = a2
+          i += 1
+        }
+        BatchApi.ColumnarBatch.of("doc_id" -> ids, "n_samples" -> ns,
+          "sum1" -> s1, "sum2" -> s2)
+      }
+    }
+  }
+
   val DefaultBatch = 256
 
   /** Decode every row and emit per-row stats
