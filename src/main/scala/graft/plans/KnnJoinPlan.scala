@@ -79,15 +79,21 @@ case class KnnPartialExec(queries: SparkPlan, data: SparkPlan, k: Int,
     val qFloat = floatElems(queries.output(1).dataType)
     val dFloat = floatElems(data.output(1).dataType)
     // query side is broadcast-small by contract (the reference's in-memory
-    // query batch); data side streams partition-local
+    // query batch); data side streams partition-local. Float queries keep a
+    // float copy too: when the data side is also float the scan runs
+    // computeFF — bit-identical to the widened fold (F32BuildSpec), and the
+    // f32 SIMD kernels double the mixed-kernel rate.
     val qCollected = queries.executeCollect().map { row =>
       val arr = row.getArray(1)
       val d = arr.numElements()
       val v = new Array[Double](d)
+      var vf: Array[Float] = null
       var i = 0
-      if (qFloat) while (i < d) { v(i) = arr.getFloat(i).toDouble; i += 1 }
-      else while (i < d) { v(i) = arr.getDouble(i); i += 1 }
-      (row.getLong(0), v)
+      if (qFloat) {
+        vf = new Array[Float](d)
+        while (i < d) { vf(i) = arr.getFloat(i); v(i) = vf(i).toDouble; i += 1 }
+      } else while (i < d) { v(i) = arr.getDouble(i); i += 1 }
+      (row.getLong(0), v, vf)
     }
     val bc = sparkContext.broadcast(qCollected)
     val asc = metric.ascending
@@ -96,6 +102,7 @@ case class KnnPartialExec(queries: SparkPlan, data: SparkPlan, k: Int,
     data.execute().mapPartitions { iter =>
       val qs = bc.value
       val nq = qs.length
+      val allFloat = qs.forall(_._3 != null)
       val heaps = Array.fill(nq)(new LocalTopK(kk, asc))
       // float rows stay float through the kernel (computeDF widens per
       // element inside the fold — bit-identical to widening the buffer,
@@ -113,9 +120,15 @@ case class KnnPartialExec(queries: SparkPlan, data: SparkPlan, k: Int,
             if (fbuf == null || fbuf.length != d) fbuf = new Array[Float](d)
             var i = 0
             while (i < d) { fbuf(i) = arr.getFloat(i); i += 1 }
-            while (q < nq) {
-              heaps(q).insert(metric.computeDF(qs(q)._2, fbuf), id)
-              q += 1 }
+            if (allFloat) {
+              while (q < nq) {
+                heaps(q).insert(metric.computeFF(qs(q)._3, fbuf), id)
+                q += 1 }
+            } else {
+              while (q < nq) {
+                heaps(q).insert(metric.computeDF(qs(q)._2, fbuf), id)
+                q += 1 }
+            }
           } else {
             if (buf == null || buf.length != d) buf = new Array[Double](d)
             var i = 0
@@ -175,12 +188,19 @@ object KnnJoinApi {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = data.sparkSession
     install(spark)
+    // ARRAY<FLOAT> columns pass through uncast: the exec reads them
+    // element-type-aware (and all-float pairs take the FF kernel, which is
+    // bit-identical to the widened fold) — a cast projection here would
+    // double the scan bytes for nothing
+    def vecCol(df: DataFrame, c: String) = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => col(c).as(c)
+      case _ => col(c).cast("array<double>").as(c)
+    }
     val qPlan = Bridge.logicalPlan(queries.select(
-      col("query_id").cast("long").as("query_id"),
-      col("qvec").cast("array<double>").as("qvec")))
+      col("query_id").cast("long").as("query_id"), vecCol(queries, "qvec")))
     val dPlan = Bridge.logicalPlan(data.select(
-      col("id").cast("long").as("id"),
-      col("vec").cast("array<double>").as("vec")))
+      col("id").cast("long").as("id"), vecCol(data, "vec")))
     val partial = Bridge.ofRows(spark, KnnPartial(qPlan, dPlan, k,
       metric.name))
     graft.operators.TopK.perKeyViaWindow(partial, Seq("query_id"), col("id"),

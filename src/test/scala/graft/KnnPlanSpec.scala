@@ -22,6 +22,29 @@ class KnnPlanSpec extends SparkSpec {
     }
   }
 
+  test("plan-native kNN keeps float32 pairs uncast and matches the widened " +
+      "plan bit-for-bit") {
+    val raw = Tables.table(spark, sfDir, "embeddings")
+    val qF = raw.filter(expr(Tables.embQueryPredSql))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val dF = raw.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val viaF32 = KnnJoinApi.knnJoin(qF, dF, 6, Metric.L2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    val viaF64 = KnnJoinApi.knnJoin(
+      qF.withColumn("qvec", col("qvec").cast("array<double>")),
+      dF.withColumn("vec", col("vec").cast("array<double>")), 6, Metric.L2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    assert(viaF32 === viaF64)
+    assert(viaF32.nonEmpty)
+    // the float plan reads the source arrays directly — no cast projection
+    val plan = KnnJoinApi.knnJoin(qF, dF, 6, Metric.L2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("KnnPartial"))
+    assert(!plan.contains("cast(vec"), plan.take(1200))
+  }
+
   test("the custom exec node appears in the physical plan") {
     val df = KnnJoinApi.knnJoin(q, emb, 5, Metric.L2)
     val plan = df.queryExecution.executedPlan.toString
