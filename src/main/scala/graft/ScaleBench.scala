@@ -59,6 +59,13 @@ object ScaleBench {
     val (_, tFlat32) = time {
       FlatKnn.search(queries, dataF32, k, Metric.L2).count() }
 
+    // fully f32-resident scan (float queries AND float rows → computeFF):
+    // same bytes as the f32 scan; isolates the FF-vs-DF kernel effect
+    val queriesF32 = queries
+      .select(col("query_id"), col("qvec").cast("array<float>").as("qvec"))
+    val (_, tFlatFF) = time {
+      FlatKnn.search(queriesF32, dataF32, k, Metric.L2).count() }
+
     // IVF: 256 centroids from a deterministic sample, 8 probes
     val cents0 = data.filter(col("id") % (n / 256) === 0)
       .limit(256).collect()
@@ -97,7 +104,7 @@ object ScaleBench {
 
     println(s"""{"experiment":"scale_bench","n":$n,"dims":$dims,"nq":$nq,""" +
       s""""count_sec":$warm,"flat_knn_sec":$tFlat,""" +
-      s""""flat_knn_f32_sec":$tFlat32,""" +
+      s""""flat_knn_f32_sec":$tFlat32,"flat_knn_ff_sec":$tFlatFF,""" +
       s""""flat_pairs_per_sec":${pairsPerSec.toLong},""" +
       s""""kmeans_train_sec":$tTrain,"partition_write_sec":$tPart,""" +
       s""""ivf_search_sec":$tIvf,""" +
@@ -121,6 +128,9 @@ object ScaleBench {
           .toDouble / (k.toLong * nq)
       val (_, tFlatSimd) = time {
         FlatKnn.search(queries, data, k, simdL2).count() }
+      // the f32 SIMD lane kernels on fully-float pairs — the fastest scan
+      val (_, tFlatFFSimd) = time {
+        FlatKnn.search(queriesF32, dataF32, k, simdL2).count() }
       val (gSimd, tBuildSimd) = time {
         val g = Vamana.buildSharded(split, vParams, simdL2).cache()
         g.count(); g
@@ -144,6 +154,7 @@ object ScaleBench {
         splitCents, k, searchWindow = 64, nProbes = 8, simdL2))
       println(s"""{"experiment":"scale_bench_simd","n":$n,"dims":$dims,""" +
         s""""flat_knn_simd_sec":$tFlatSimd,""" +
+        s""""flat_knn_ff_simd_sec":$tFlatFFSimd,""" +
         s""""vamana_build_simd_sec":$tBuildSimd,""" +
         s""""vamana_search_simd_sec":$tVamanaSimd,""" +
         s""""vamana_recall_simd":$rSimd,"vamana_recall_scalar":$rScalar,""" +

@@ -66,6 +66,23 @@ object SparkEntry {
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 
+  /** q80: cosine top-k through ingest-time normalization + IP ranking (the
+    * reference's fixed-argument cosine optimization) — certified on exact
+    * id-ranking agreement with q04's direct-cosine oracle: ordering is
+    * mathematically identical (|q| is constant per query, data norms are 1),
+    * so only a rounding-induced near-tie flip could diverge, the q67
+    * contract. Runs on embeddings, whose ids are unique — the operator's
+    * documented requirement (duplicate query_ids would merge heaps whose
+    * |q| scale factors differ). The normalized table is built once and
+    * cached — the persist-at-ingest shape. */
+  private def knnCosNormalizedQ(s: SparkSession, dir: String): DataFrame =
+    FlatKnn.search(embQueries(s, dir),
+      memoized[DataFrame]("emb_vectors_cosnorm", dir) {
+        FlatKnn.normalizeData(embVectors(s, dir).select("id", "vec")).cache()
+      }, K, Metric.IP)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+
   private val NProbes = 3
 
   /** Build-once caches (index built once, searched many times — the
@@ -1176,6 +1193,7 @@ object SparkEntry {
     "q77_sql_knn_simd" -> (sqlKnnSimdQ _),
     "q78_dyn_f32" -> (dynF32Q _),
     "q79_media_batch_api" -> (mediaBatchApiQ _),
+    "q80_cos_normalized" -> (knnCosNormalizedQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1290,5 +1308,9 @@ object SparkEntry {
     // q79: q54's decode kernel through the mapInPandas-shaped BatchApi —
     // same oracle, certifying the columnar-batch contract end to end.
     "q79_media_batch_api" -> OracleGenText.mediaReal,
+    // q80: normalized-IP cosine against the direct-cosine q04 oracle —
+    // id-ranking contract (ordering identical up to rounding of the
+    // normalization).
+    "q80_cos_normalized" -> OracleGen.embeddingKnn(Metric.Cosine, K),
   )
 }

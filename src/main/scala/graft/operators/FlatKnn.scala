@@ -146,6 +146,31 @@ object FlatKnn {
       metric.ascending)
   }
 
+  /** Unit-normalize the data side at ingest (zero vectors pass through).
+    * At scale this runs once and persists — every subsequent cosine search
+    * then pays one fused multiply-add chain per pair instead of three
+    * accumulators + two sqrts. */
+  def normalizeData(data: DataFrame): DataFrame =
+    data.withColumn("vec",
+      graft.functions.VectorFunctions.normalize(col("vec")))
+
+  /** Cosine top-k via the reference's fixed-argument optimization
+    * (core/distance/cosine.h:102,204 `maybe_fix_argument`): with the data
+    * side unit-normalized, per-query cosine ordering equals inner-product
+    * ordering (cos(q,d) = ip(q, d/|d|)/|q| and |q| is constant within a
+    * query), so the top-k ids and ranks match the direct cosine scan while
+    * the hot loop drops the norms and sqrts. The returned `dist` is the
+    * inner product against the normalized row — cosine scaled by |q|;
+    * divide by `l2Norm(qvec)` once per query if the true value is needed.
+    * REQUIRES unique query_ids: with duplicate ids the per-row |q| scale
+    * factors differ, so merged candidates stop being cosine-comparable
+    * (DistanceSpec exercises exactly this). Production pipelines persist
+    * [[normalizeData]]'s output and call `search(..., Metric.IP)`
+    * directly. */
+  def searchCosineNormalized(queries: DataFrame, data: DataFrame, k: Int)
+      : DataFrame =
+    search(queries, normalizeData(data), k, Metric.IP)
+
   /** Search excluding a tombstone set (SURVEY §2 P8 soft-delete filter):
     * anti-join data against `tombstones(id)` before the scan — predicate
     * pushdown into kNN, free in Spark. */

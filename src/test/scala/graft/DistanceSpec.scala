@@ -77,6 +77,28 @@ class DistanceSpec extends SparkSpec {
     assert(n == 10)
   }
 
+  test("cosine top-k via normalized-IP matches the direct cosine ranking") {
+    import graft.core.Metric
+    import graft.operators.FlatKnn
+    // unique query_ids only (the operator's documented contract): the
+    // deduped lineitem fixtures, not the raw ones — duplicate query rows
+    // carry different |q| scale factors and break merged comparability
+    for ((q, d) <- Seq(
+      (Tables.embeddingQueries(spark, sfDir),
+        Tables.embeddingVectors(spark, sfDir).select("id", "vec")),
+      (Tables.lineitemQueriesDedup(spark, sfDir),
+        Tables.lineitemVectorsDedup(spark, sfDir)))) {
+      val direct = FlatKnn.search(q, d, 9, Metric.Cosine)
+        .select("query_id", "rnk", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      val viaIp = FlatKnn.searchCosineNormalized(q, d, 9)
+        .select("query_id", "rnk", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      assert(viaIp === direct)
+      assert(viaIp.nonEmpty)
+    }
+  }
+
   test("mixed double x float args equal the cast-up pair bit for bit " +
       "(all three kernels, both orders)") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
