@@ -36,12 +36,12 @@ object SparkEntry {
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 
-  /** Fully float32-resident twin of q05 (q75/q76): both the query batch and
-    * the data side keep the embeddings parquet's native ARRAY<FLOAT>, so the
-    * scan runs `Metric.computeFF` (scalar: bit-identical to widening both
-    * sides first, F32BuildSpec; SIMD: the f32 lane kernels at ~2x the mixed
-    * rate). Oracle: same as q05 — DuckDB reads the REAL columns and widens,
-    * exactly the FF fold. */
+  /** Fully float32-sourced twin of q05 (q75/q76): both the query batch and
+    * the data side keep the embeddings parquet's native ARRAY<FLOAT> — no
+    * cast projection anywhere in the plan; queries widen once at collect
+    * and the scan runs the mixed DF kernel (bit-identical to widening
+    * everything, F32BuildSpec). Oracle: same as q05 — DuckDB reads the REAL
+    * columns and widens identically. */
   private def knnEmbeddingsF32(metric: Metric)(s: SparkSession, dir: String)
       : DataFrame =
     FlatKnn.search(
@@ -434,8 +434,8 @@ object SparkEntry {
   /** q78: the dynamic lifecycle on float32 storage (M1-M4) — segments keep
     * the embeddings parquet's native ARRAY<FLOAT> through append, soft
     * delete, and consolidate (half the segment bytes of the f64 twin), and
-    * the post-consolidate search runs fully f32-resident (float queries +
-    * float rows → Metric.computeFF, bit-identical to the widened fold).
+    * the post-consolidate search reads float rows and float queries with no
+    * cast projection (bit-identical to the widened fold, F32BuildSpec).
     * Oracle: exact kNN excluding the deleted ids. */
   private def dynF32Q(s: SparkSession, dir: String): DataFrame = {
     val root = "/tmp/graft_dyn_q78"

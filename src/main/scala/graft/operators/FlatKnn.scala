@@ -28,32 +28,31 @@ object FlatKnn {
       : DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
-    // queries from a float32 source stay float: computeFF widens per element
-    // into the same double fold as computeDF on pre-widened copies
-    // (F32BuildSpec bit-identity), so keeping them narrow changes no result —
-    // and the f32 SIMD kernels run ~2x the mixed-kernel rate (KernelBench)
+    // queries from a float32 source are accepted as-is (no cast projection
+    // in the plan) and widened ONCE here at collect: the query batch is
+    // broadcast-small and cache-resident during the scan, so the mixed DF
+    // kernel — double query loads from L1, float row loads from the scan —
+    // beats the all-float FF kernel, which pays an extra per-element widen
+    // per pair (measured at 1M×64-d: FF 1.81 s vs DF 1.25 s; SCALE.md).
+    // computeFF stays the right kernel where BOTH sides are resident rows
+    // (the f32 graph builds). Results are bit-identical either way
+    // (F32BuildSpec).
     val qIsFloat = queries.schema("qvec").dataType match {
       case org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType, _) => true
       case _ => false
     }
-    val (qIds, qVecs, qVecsF) =
-      if (qIsFloat) {
-        val qRows = queries
-          .select(col("query_id").cast("long"), col("qvec")).collect()
-        val ids = qRows.map(_.getLong(0))
-        val f = qRows.map(_.getSeq[Float](1).toArray)
-        (ids, f.map(_.map(_.toDouble)), f)
-      } else {
-        val qRows = queries
-          .select(col("query_id").cast("long"),
-            col("qvec").cast("array<double>"))
-          .collect()
-        (qRows.map(_.getLong(0)),
-          qRows.map(_.getSeq[Double](1).toArray),
-          null: Array[Array[Float]])
-      }
-    val bc = spark.sparkContext.broadcast((qIds, qVecs, qVecsF))
+    val qRows =
+      if (qIsFloat)
+        queries.select(col("query_id").cast("long"), col("qvec")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      else
+        queries.select(col("query_id").cast("long"),
+            col("qvec").cast("array<double>")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qIds = qRows.map(_._1)
+    val qVecs = qRows.map(_._2)
+    val bc = spark.sparkContext.broadcast((qIds, qVecs))
     val asc = metric.ascending
     val m = metric
 
@@ -72,9 +71,8 @@ object FlatKnn {
     val partials = projected
       .queryExecution.toRdd
       .mapPartitions { iter =>
-        val (ids, vecs, vecsF) = bc.value
+        val (ids, vecs) = bc.value
         val nq = ids.length
-        val allFloat = isFloat && vecsF != null
         val heaps = Array.fill(nq)(new LocalTopK(k, asc))
         // float32 rows stay float through the kernel: computeDF widens per
         // element inside the fold, bit-identical to widening the buffer
@@ -93,16 +91,9 @@ object FlatKnn {
               if (fbuf == null || fbuf.length != d) fbuf = new Array[Float](d)
               var i = 0
               while (i < d) { fbuf(i) = arr.getFloat(i); i += 1 }
-              if (allFloat) {
-                while (q < nq) {
-                  heaps(q).insert(m.computeFF(vecsF(q), fbuf), id)
-                  q += 1
-                }
-              } else {
-                while (q < nq) {
-                  heaps(q).insert(m.computeDF(vecs(q), fbuf), id)
-                  q += 1
-                }
+              while (q < nq) {
+                heaps(q).insert(m.computeDF(vecs(q), fbuf), id)
+                q += 1
               }
             } else {
               if (buf == null || buf.length != d) buf = new Array[Double](d)

@@ -79,21 +79,18 @@ case class KnnPartialExec(queries: SparkPlan, data: SparkPlan, k: Int,
     val qFloat = floatElems(queries.output(1).dataType)
     val dFloat = floatElems(data.output(1).dataType)
     // query side is broadcast-small by contract (the reference's in-memory
-    // query batch); data side streams partition-local. Float queries keep a
-    // float copy too: when the data side is also float the scan runs
-    // computeFF — bit-identical to the widened fold (F32BuildSpec), and the
-    // f32 SIMD kernels double the mixed-kernel rate.
+    // query batch); data side streams partition-local. Float queries widen
+    // ONCE here: the batch is cache-resident during the scan, so the mixed
+    // DF kernel beats all-float FF, which pays an extra per-element widen
+    // per pair (measured; see FlatKnn.search and SCALE.md).
     val qCollected = queries.executeCollect().map { row =>
       val arr = row.getArray(1)
       val d = arr.numElements()
       val v = new Array[Double](d)
-      var vf: Array[Float] = null
       var i = 0
-      if (qFloat) {
-        vf = new Array[Float](d)
-        while (i < d) { vf(i) = arr.getFloat(i); v(i) = vf(i).toDouble; i += 1 }
-      } else while (i < d) { v(i) = arr.getDouble(i); i += 1 }
-      (row.getLong(0), v, vf)
+      if (qFloat) while (i < d) { v(i) = arr.getFloat(i).toDouble; i += 1 }
+      else while (i < d) { v(i) = arr.getDouble(i); i += 1 }
+      (row.getLong(0), v)
     }
     val bc = sparkContext.broadcast(qCollected)
     val asc = metric.ascending
@@ -102,7 +99,6 @@ case class KnnPartialExec(queries: SparkPlan, data: SparkPlan, k: Int,
     data.execute().mapPartitions { iter =>
       val qs = bc.value
       val nq = qs.length
-      val allFloat = qs.forall(_._3 != null)
       val heaps = Array.fill(nq)(new LocalTopK(kk, asc))
       // float rows stay float through the kernel (computeDF widens per
       // element inside the fold — bit-identical to widening the buffer,
@@ -120,15 +116,9 @@ case class KnnPartialExec(queries: SparkPlan, data: SparkPlan, k: Int,
             if (fbuf == null || fbuf.length != d) fbuf = new Array[Float](d)
             var i = 0
             while (i < d) { fbuf(i) = arr.getFloat(i); i += 1 }
-            if (allFloat) {
-              while (q < nq) {
-                heaps(q).insert(metric.computeFF(qs(q)._3, fbuf), id)
-                q += 1 }
-            } else {
-              while (q < nq) {
-                heaps(q).insert(metric.computeDF(qs(q)._2, fbuf), id)
-                q += 1 }
-            }
+            while (q < nq) {
+              heaps(q).insert(metric.computeDF(qs(q)._2, fbuf), id)
+              q += 1 }
           } else {
             if (buf == null || buf.length != d) buf = new Array[Double](d)
             var i = 0

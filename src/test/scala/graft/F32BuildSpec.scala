@@ -54,7 +54,11 @@ class F32BuildSpec extends SparkSpec {
     }
   }
 
-  test("FlatKnn with float queries AND float data (FF path) is bit-identical " +
+  // FlatKnn accepts float query batches directly (no cast projection) and
+  // widens them once at collect — the scan then runs the DF kernel, which
+  // beats FF when the query batch is cache-resident (SCALE.md measurement).
+  // Either kernel is bit-identical to the widened double fold; this pins it.
+  test("FlatKnn with float queries AND float data is bit-identical " +
       "to the widened-double search") {
     val s = spark
     val raw = Tables.table(s, sfDir, "embeddings")
