@@ -342,11 +342,26 @@ object VamanaKernel {
     * triggering a re-prune (reference prune_to, build_params.h:48-74 —
     * goldens use 28 vs degree 32). pruneTo ≤ 0 means maxDegree.
     * batchSize is the parallel insert-batch width (vamana_build.h:251-281);
-    * 1 reproduces the fully sequential insert order. */
+    * 1 reproduces the fully sequential insert order; ≤ 0 (the default)
+    * auto-selects from the shard size: 64 below [[BuildParams.AutoWide]]
+    * nodes (what every committed golden pins), 256 at or above it — the
+    * SCALE.md grid measured −23…−26% wall at 100k–200k × 128–768-d with
+    * unchanged mean degree. Set it explicitly to reproduce a specific
+    * graph. */
   case class BuildParams(maxDegree: Int = 32, buildWindow: Int = 64,
                          alpha: Double = 1.2, maxCandidatePool: Int = 750,
-                         pruneTo: Int = 0, batchSize: Int = 64) {
+                         pruneTo: Int = 0, batchSize: Int = 0) {
     def pruneTarget: Int = if (pruneTo > 0) pruneTo else maxDegree
+    /** Effective insert-batch width for an n-node shard. */
+    def batchFor(n: Int): Int =
+      if (batchSize > 0) batchSize
+      else if (n >= BuildParams.AutoWide) 256
+      else 64
+  }
+
+  object BuildParams {
+    /** Shard size at which the auto batch width steps 64 → 256. */
+    val AutoWide = 50000
   }
 
   /** Batched Vamana build (vamana_build.h:164-320,251-281): two passes
@@ -394,7 +409,7 @@ object VamanaKernel {
     if (n == 1) return (adj, 0)
     val entry = medioid(store)
     val passes = if (params.alpha == 1.0) Seq(1.0) else Seq(1.0, params.alpha)
-    val batch = math.max(1, params.batchSize)
+    val batch = math.max(1, params.batchFor(n))
     for ((alpha, pass) <- passes.zipWithIndex) {
       var start = 0
       while (start < n) {

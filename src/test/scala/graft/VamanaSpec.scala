@@ -13,6 +13,25 @@ class VamanaSpec extends SparkSpec {
     Array.fill(n)(Array.fill(d)(rng.nextDouble()))
   }
 
+  test("auto batch width: explicit wins, 64 below the threshold, 256 at it, " +
+      "and the default-params graph equals the explicit-64 graph on small " +
+      "shards") {
+    val p = BuildParams()
+    assert(p.batchSize == 0)
+    assert(p.batchFor(1000) == 64)
+    assert(p.batchFor(BuildParams.AutoWide - 1) == 64)
+    assert(p.batchFor(BuildParams.AutoWide) == 256)
+    assert(p.copy(batchSize = 32).batchFor(BuildParams.AutoWide) == 32)
+    // every committed golden/certified artifact builds shards far below the
+    // threshold, so the default change is bit-neutral there — prove it
+    val vecs = randVecs(400, 16, seed = 3)
+    val (adjAuto, eAuto) = VamanaKernel.build(vecs, p, Metric.L2)
+    val (adj64, e64) = VamanaKernel.build(vecs, p.copy(batchSize = 64),
+      Metric.L2)
+    assert(eAuto == e64)
+    assert(adjAuto.map(_.toSeq).toSeq === adj64.map(_.toSeq).toSeq)
+  }
+
   test("robustPrune keeps ≤ maxDegree, drops self and duplicates, best first") {
     val vecs = randVecs(50, 4, seed = 7)
     val node = 0
