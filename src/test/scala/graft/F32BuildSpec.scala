@@ -73,11 +73,13 @@ class F32BuildSpec extends SparkSpec {
         graft.operators.FlatKnn.search(q, d, 7, m)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
             r.getDouble(3))).toSeq.sorted
-      val ff = run(qF, dF)  // float queries, float data → computeFF
+      val ff = run(qF, dF)  // float queries, float data
       val df = run(qD, dF)  // double queries, float data → computeDF
+      val fd = run(qF, dD)  // float queries, double data
       val dd = run(qD, dD)  // widened both sides → compute
-      assert(ff === dd, s"${m.name}: FF drifted from the double fold")
+      assert(ff === dd, s"${m.name}: float/float drifted from the double fold")
       assert(df === dd, s"${m.name}: DF drifted from the double fold")
+      assert(fd === dd, s"${m.name}: float-query/double-data drifted")
       assert(ff.nonEmpty)
       if (SimdSupport.available) {
         // the SIMD FF twin must agree on the id ranking (lane fold may
