@@ -115,6 +115,15 @@ object DedupBench {
     }
     stage("simhash")(tSim)
 
+    // the 60-bit wide variant runs at FULL corpus size — 2^60 hash space
+    // removes the 16-bit saturation, so candidates stay ~planted dups
+    val (nSimW, tSimW) = time {
+      Dedup.simhashWidePairs(
+        docs.select(col("doc_id"), TextAnalysis.tokens(col("text"))
+          .as("toks")), maxHamming = 3, nBands = 4).count()
+    }
+    stage("simhash-wide")(tSimW)
+
     val (nJac, tJac) = time {
       Dedup.jaccardPairsPrefix(
         codes.withColumnRenamed("codes", "grams"), 0.8).count()
@@ -128,6 +137,7 @@ object DedupBench {
       s""""shingle_prep_sec":$tCodes,""" +
       s""""minhash_lsh_sec":$tLsh,"minhash_pairs":$nLsh,""" +
       s""""simhash_n":$simN,"simhash_sec":$tSim,"simhash_pairs":$nSim,""" +
+      s""""simhash_wide_sec":$tSimW,"simhash_wide_pairs":$nSimW,""" +
       s""""jaccard_prefix_sec":$tJac,"jaccard_pairs":$nJac,""" +
       s""""planted_exact_dups":$exactDupDocs}""")
     codes.unpersist()

@@ -221,6 +221,45 @@ object OracleGenText {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  private def simhashWideCtes: String = {
+    val hvs = Dedup.SimhashWideMults.zipWithIndex.map { case (m, k) =>
+      s"(ascii(tok)*100 + length(tok)) * $m % ${Dedup.SimhashWideSubMod} AS hv$k"
+    }.mkString(",\n  ")
+    val votes = (0 until Dedup.SimhashWideBits).map { j =>
+      val k = j / Dedup.SimhashWideSubBits
+      val jj = j % Dedup.SimhashWideSubBits
+      s"sum(CASE WHEN (hv$k >> $jj) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(",\n  ")
+    val value = (0 until Dedup.SimhashWideBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""t AS ($toksCte),
+       |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |h AS (SELECT doc_id,
+       |  $hvs
+       |FROM u),
+       |b AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM b)"""
+      .stripMargin
+  }
+
+  /** 60-bit wide SimHash values (q81): four 15-bit sub-hashes with distinct
+    * multipliers — same replayable modular arithmetic as the 16-bit oracle,
+    * 60 vote columns. */
+  def simhashWide: String =
+    s"""WITH $simhashWideCtes
+       |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin
+
+  /** Wide-SimHash pairs (q82): brute-force hamming filter over the wide
+    * hashes — the banded Spark join must find exactly this set (pigeonhole
+    * losslessness). */
+  def simhashWidePairs(maxHamming: Int): String =
+    s"""WITH $simhashWideCtes
+       |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |FROM sh a JOIN sh c ON a.doc_id < c.doc_id
+       |WHERE bit_count(xor(a.simhash, c.simhash)) <= $maxHamming
+       |ORDER BY 1, 2""".stripMargin
+
   /** Composite training-data pipeline (q60): quality + language gate →
     * fingerprint exact-dedup → token count + content-hashed split — the
     * q14/q15/q16/q41 folds composed end-to-end, exactly as the Spark

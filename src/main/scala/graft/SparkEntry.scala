@@ -249,6 +249,19 @@ object SparkEntry {
     Dedup.simhash(docs(s, dir).select(col("doc_id"),
       TextAnalysis.tokens(col("text")).as("toks"))).orderBy("doc_id")
 
+  /** q81/q82: the 60-bit wide SimHash — the 16-bit variant's scale twin
+    * (DedupBench measures the 16-bit hamming-ball saturation past ~20k
+    * docs; 2^60 hash space removes it). q81 hash-checks the values, q82
+    * the banded pigeonhole pairs against a brute-force hamming oracle. */
+  private def simhashWideQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashWide(docs(s, dir).select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("toks"))).orderBy("doc_id")
+
+  private def simhashWidePairsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashWidePairs(docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("toks")),
+      SimhashMaxHamming, nBands = 4).orderBy("doc_a", "doc_b")
+
   private def embNearDupExactQ(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupExact(
         embVectors(s, dir).select("id", "vec"), CosineT)
@@ -1194,6 +1207,8 @@ object SparkEntry {
     "q78_dyn_f32" -> (dynF32Q _),
     "q79_media_batch_api" -> (mediaBatchApiQ _),
     "q80_cos_normalized" -> (knnCosNormalizedQ _),
+    "q81_simhash_wide" -> (simhashWideQ _),
+    "q82_simhash_wide_pairs" -> (simhashWidePairsQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1312,5 +1327,11 @@ object SparkEntry {
     // id-ranking contract (ordering identical up to rounding of the
     // normalization).
     "q80_cos_normalized" -> OracleGen.embeddingKnn(Metric.Cosine, K),
+    // q81/q82: wide (60-bit) SimHash — hash-exact values and pairs; the
+    // Spark side runs the banded pigeonhole join, the oracle brute-forces
+    // the hamming filter, so a match proves banding losslessness too.
+    "q81_simhash_wide" -> OracleGenText.simhashWide,
+    "q82_simhash_wide_pairs" -> OracleGenText.simhashWidePairs(
+      SimhashMaxHamming),
   )
 }

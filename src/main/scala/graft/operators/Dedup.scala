@@ -335,12 +335,18 @@ object Dedup {
     * same band-then-verify shape as MinHash-LSH. Requires
     * `nBands > maxHamming` for losslessness. */
   def simhashPairs(docs: DataFrame, maxHamming: Int, nBands: Int)
-      : DataFrame = {
+      : DataFrame =
+    bandedHammingPairs(simhash(docs), SimhashBits, maxHamming, nBands)
+
+  /** Pigeonhole band join + popcount verify over any (doc_id, simhash)
+    * table with `bits` significant bits — shared by the 16-bit and wide
+    * variants. */
+  private def bandedHammingPairs(sh: DataFrame, bits: Int, maxHamming: Int,
+                                 nBands: Int): DataFrame = {
     require(nBands > maxHamming, "need nBands > maxHamming (pigeonhole)")
-    require(SimhashBits % nBands == 0)
-    val bandBits = SimhashBits / nBands
+    require(bits % nBands == 0, s"$nBands bands must divide $bits bits")
+    val bandBits = bits / nBands
     val mask = (1L << bandBits) - 1
-    val sh = simhash(docs)
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
@@ -357,6 +363,48 @@ object Dedup {
       .filter(expr("bit_count(ha ^ hb)") <= maxHamming)
       .select("doc_a", "doc_b")
   }
+
+  // ---- wide SimHash (the scale twin) ---------------------------------------
+
+  /** 60-bit SimHash: four 15-bit sub-hashes with distinct multipliers,
+    * concatenated. 2^60 hash space removes the 16-bit variant's saturation
+    * (DedupBench measures the hamming-ball blowup past ~20k docs), while
+    * every per-token hash stays small modular arithmetic the DuckDB oracle
+    * replays exactly — same certification contract as [[simhash]], 60 vote
+    * columns instead of 16. */
+  val SimhashWideSubBits = 15
+  val SimhashWideSubMod = 1L << SimhashWideSubBits
+  val SimhashWideMults = Seq(40503L, 48271L, 69621L, 16807L)
+  val SimhashWideBits: Int = SimhashWideSubBits * SimhashWideMults.length
+
+  /** docs(doc_id, toks) → (doc_id, simhash) with 60 significant bits. */
+  def simhashWide(docs: DataFrame): DataFrame = {
+    val hvs = SimhashWideMults.zipWithIndex.map { case (m, k) =>
+      (TextAnalysis.tokenCode(col("t")) * lit(m) % lit(SimhashWideSubMod))
+        .as(s"hv$k")
+    }
+    val h = docs.select(col("doc_id"), explode(col("toks")).as("t"))
+      .select(col("doc_id") +: hvs: _*)
+    val votes = (0 until SimhashWideBits).map { j =>
+      val k = j / SimhashWideSubBits
+      val jj = j % SimhashWideSubBits
+      sum(when(shiftright(col(s"hv$k"), jj) % 2 === 1, 1).otherwise(-1))
+        .as(s"s$j")
+    }
+    // bits are disjoint, so the sum never exceeds 2^60 — no overflow
+    val value = (0 until SimhashWideBits).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    h.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), value.cast("long").as("simhash"))
+  }
+
+  /** Wide-SimHash near-dup pairs — the banded pigeonhole join over the
+    * 60-bit hashes; nBands must divide 60 (e.g. 4 bands × 15 bits for
+    * maxHamming ≤ 3). */
+  def simhashWidePairs(docs: DataFrame, maxHamming: Int, nBands: Int)
+      : DataFrame =
+    bandedHammingPairs(simhashWide(docs), SimhashWideBits, maxHamming, nBands)
 
   // ---- embedding near-dup --------------------------------------------------
 

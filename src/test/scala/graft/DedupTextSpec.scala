@@ -127,6 +127,35 @@ class DedupTextSpec extends SparkSpec {
     assert(dupAvg < rndAvg, s"dup=$dupAvg rnd=$rndAvg")
   }
 
+  test("wide simhash: banded pairs equal brute-force hamming pairs, and " +
+      "60 bits separate random docs the 16-bit hash cannot") {
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val sh = Dedup.simhashWide(toks).as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // pigeonhole losslessness: banded join == brute force at maxHamming 3
+    val banded = Dedup.simhashWidePairs(toks, maxHamming = 3, nBands = 4)
+      .as[(Long, Long)].collect().toSet
+    val ids = sh.keys.toSeq.sorted
+    val brute = (for (a <- ids; b <- ids if a < b && ham(sh(a), sh(b)) <= 3)
+      yield (a, b)).toSet
+    assert(banded === brute)
+    // every bit index 0..59 is populated somewhere (sub-hashes all live)
+    val orAll = sh.values.reduce(_ | _)
+    assert(java.lang.Long.bitCount(orAll) > 40, orAll.toBinaryString)
+    assert((orAll >>> Dedup.SimhashWideBits) == 0, "bits above 60 set")
+    // wide hashes separate random docs far better than 16-bit ones
+    val sh16 = Dedup.simhash(toks).as[(Long, Long)].collect().toMap
+    val sample = ids.take(50)
+    val pairs = for (a <- sample; b <- sample if a < b) yield (a, b)
+    val wideAvg = pairs.map { case (a, b) => ham(sh(a), sh(b)) }.sum.toDouble /
+      pairs.length
+    val narrowAvg = pairs.map { case (a, b) =>
+      ham(sh16(a), sh16(b)) }.sum.toDouble / pairs.length
+    assert(wideAvg > 2 * narrowAvg, s"wide=$wideAvg narrow=$narrowAvg")
+  }
+
   test("embedding LSH near-dups are a subset of exact near-dups") {
     import spark.implicits._
     val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
