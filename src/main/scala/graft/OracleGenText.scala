@@ -182,6 +182,26 @@ object OracleGenText {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Multi-probe LSH pairs (q83): same buckets as [[embNearDupLsh]], pairs
+    * whose buckets differ in AT MOST ONE plane bit — the brute-force form
+    * of the Spark side's probe-exploded equi-join. */
+  def embNearDupLshMultiProbe(threshold: Double): String = {
+    val dot = (0 until Tables.embDims)
+      .map(i => s"e.v$i * p.v$i").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id AS id, ${embCols("v")} FROM embeddings),
+       |p AS (SELECT CAST(pow(2, vec_id/125.0) AS BIGINT) AS pw, ${embCols("v")}
+       |  FROM embeddings WHERE vec_id % 125 = 0 AND vec_id < 500),
+       |b AS (SELECT e.id,
+       |  sum(CASE WHEN $dot > 0 THEN p.pw ELSE 0 END) AS bucket
+       |FROM e CROSS JOIN p GROUP BY e.id),
+       |eb AS (SELECT e.*, b.bucket FROM e JOIN b ON b.id = e.id)
+       |SELECT a.id AS id_a, c.id AS id_b
+       |FROM eb a JOIN eb c
+       |  ON bit_count(xor(a.bucket, c.bucket)) <= 1 AND a.id < c.id
+       |WHERE ${cosine("a.v", "c.v")} >= $threshold
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** Content-hashed train/val/test split (same fold as the fingerprint
     * oracle). */
   def datasetSplit(valPct: Int, testPct: Int): String =

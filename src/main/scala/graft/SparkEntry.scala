@@ -280,6 +280,16 @@ object SparkEntry {
         lshPlanes(s, dir), CosineT)
       .orderBy("id_a", "id_b")
 
+  /** q83: multi-probe LSH — each row also probes every single-plane flip of
+    * its bucket, recovering the near-dups that straddle one hyperplane (the
+    * single-bucket join's common miss) while staying a bucket equi-join.
+    * Oracle brute-forces hamming(bucket_a, bucket_b) ≤ 1. */
+  private def embNearDupLshMpQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupLshMultiProbe(
+        embVectors(s, dir).select("id", "vec"),
+        lshPlanes(s, dir), CosineT)
+      .orderBy("id_a", "id_b")
+
   // ---- Vamana graph index (J2/B1-B4) over label-sharded embeddings --------
 
   private val VamanaProbes = 3
@@ -1209,6 +1219,7 @@ object SparkEntry {
     "q80_cos_normalized" -> (knnCosNormalizedQ _),
     "q81_simhash_wide" -> (simhashWideQ _),
     "q82_simhash_wide_pairs" -> (simhashWidePairsQ _),
+    "q83_emb_neardup_multiprobe" -> (embNearDupLshMpQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1333,5 +1344,9 @@ object SparkEntry {
     "q81_simhash_wide" -> OracleGenText.simhashWide,
     "q82_simhash_wide_pairs" -> OracleGenText.simhashWidePairs(
       SimhashMaxHamming),
+    // q83: multi-probe LSH pairs, hash-exact against the brute-force
+    // hamming<=1 bucket-pair oracle.
+    "q83_emb_neardup_multiprobe" -> OracleGenText.embNearDupLshMultiProbe(
+      CosineT),
   )
 }

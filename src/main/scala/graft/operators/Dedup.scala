@@ -435,4 +435,28 @@ object Dedup {
         >= threshold)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
   }
+
+  /** Multi-probe LSH near-dup: one side additionally probes every
+    * single-plane flip of its bucket, so any pair whose hyperplane signs
+    * differ on AT MOST ONE plane is compared — recall strictly contains the
+    * single-bucket join's (near-dups that straddle one boundary are the
+    * common miss) at (nPlanes+1)× the candidate volume, still a plain
+    * bucket equi-join: one shuffle, no cross product. Each qualifying pair
+    * matches exactly one probe (flip values are distinct powers of two),
+    * so no dedup pass is needed. */
+  def embeddingNearDupLshMultiProbe(data: DataFrame,
+                                    planes: Seq[(Long, Seq[Double])],
+                                    threshold: Double): DataFrame = {
+    val b = data.withColumn("bucket", hyperplaneBucket(col("vec"), planes))
+    val probes = b.select(col("id"), col("vec"),
+        explode(array((lit(0L) +: planes.map(p => lit(p._1))): _*)).as("flip"),
+        col("bucket"))
+      .select(col("id"), col("vec"),
+        col("bucket").bitwiseXOR(col("flip")).as("probe"))
+    b.as("x").join(probes.as("y"),
+        col("x.bucket") === col("y.probe") && col("x.id") < col("y.id"))
+      .filter(VectorFunctions.cosineSimilarity(col("x.vec"), col("y.vec"))
+        >= threshold)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+  }
 }

@@ -167,6 +167,15 @@ class DedupTextSpec extends SparkSpec {
     val lsh = Dedup.embeddingNearDupLsh(data, planes, 0.4)
       .as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact) && lsh.nonEmpty && exact.nonEmpty)
+    // multi-probe strictly widens the net: contains the single-bucket
+    // pairs, stays within the exact set, emits no duplicate rows
+    val mp = Dedup.embeddingNearDupLshMultiProbe(data, planes, 0.4)
+      .as[(Long, Long)].collect()
+    assert(mp.length == mp.toSet.size, "duplicate pair rows")
+    assert(lsh.subsetOf(mp.toSet))
+    assert(mp.toSet.subsetOf(exact))
+    assert(mp.toSet.size > lsh.size,
+      s"multi-probe (${mp.length}) should beat single-bucket (${lsh.size})")
   }
 
   test("exact dedup: keep_id is the min id and counts sum to total") {
