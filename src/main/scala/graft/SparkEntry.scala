@@ -1071,6 +1071,39 @@ object SparkEntry {
       .toDF("key", "keep_id", "cnt").orderBy("key")
   }
 
+  /** q84: streaming wide-SimHash near-dup pairs over two micro-batches
+    * (odd doc_ids arrive first), set-accumulated across bands — must equal
+    * the batch [[Dedup.simhashWidePairs]] result, so it shares q82's
+    * brute-force hamming oracle. Arrival-order-proof: a pair is emitted
+    * when its later doc arrives, and the accumulated SET is order- and
+    * batch-boundary-invariant. */
+  private def streamSimhashQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val acc = scala.collection.mutable.HashSet.empty[(Long, Long)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-simhash").toString
+    val q = graft.streaming.StreamingSimhash.attachWidePairs(stream,
+      SimhashMaxHamming, nBands = 4, ckpt) { b =>
+      val ps = b.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      acc.synchronized { ps.foreach(acc += _) }
+    }
+    try {
+      val (odd, even) = rows.partition(_._1 % 2 == 1)
+      mem.addData(odd.toSeq)
+      q.processAllAvailable()
+      mem.addData(even.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    acc.toSeq.toDF("doc_a", "doc_b").orderBy("doc_a", "doc_b")
+  }
+
   private val QMin = 500L
 
   /** Composite training-data pipeline (q60): quality + language gate (map,
@@ -1220,6 +1253,7 @@ object SparkEntry {
     "q81_simhash_wide" -> (simhashWideQ _),
     "q82_simhash_wide_pairs" -> (simhashWidePairsQ _),
     "q83_emb_neardup_multiprobe" -> (embNearDupLshMpQ _),
+    "q84_stream_simhash" -> (streamSimhashQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1348,5 +1382,8 @@ object SparkEntry {
     // hamming<=1 bucket-pair oracle.
     "q83_emb_neardup_multiprobe" -> OracleGenText.embNearDupLshMultiProbe(
       CosineT),
+    // q84: the streaming wide-SimHash pair stream ≡ the batch operator,
+    // certified against the same brute-force hamming oracle as q82.
+    "q84_stream_simhash" -> OracleGenText.simhashWidePairs(SimhashMaxHamming),
   )
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Dedup, TextAnalysis}
+import graft.streaming.StreamingSimhash
+
+/** Streaming wide-SimHash near-dup pairs: the emitted pair SET must equal
+  * the batch operator regardless of arrival order or micro-batch
+  * boundaries, and the per-row hash must be bit-identical to the batch
+  * column fold. */
+class StreamingSimhashSpec extends SparkSpec {
+
+  private def runStream(batches: Seq[Seq[(Long, String)]])
+      : Set[(Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val acc = scala.collection.mutable.HashSet.empty[(Long, Long)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-simhash-stream").toString
+    val q = StreamingSimhash.attachWidePairs(stream, maxHamming = 3,
+      nBands = 4, ckpt) { b =>
+      val ps = b.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      acc.synchronized { ps.foreach(acc += _) }
+    }
+    try {
+      batches.foreach { g => mem.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    acc.toSet
+  }
+
+  private lazy val corpus = Tables.table(spark, sfDir, "documents")
+    .select(col("doc_id").cast("long"), col("text"))
+    .limit(200).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  private lazy val batchPairs = {
+    import spark.implicits._
+    Dedup.simhashWidePairs(
+        corpus.toDF("doc_id", "text").select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("toks")),
+        maxHamming = 3, nBands = 4)
+      .as[(Long, Long)].collect().toSet
+  }
+
+  test("per-row wideHash is bit-identical to the batch column fold") {
+    import spark.implicits._
+    val batch = Dedup.simhashWide(corpus.toDF("doc_id", "text")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")))
+      .as[(Long, Long)].collect().toMap
+    corpus.foreach { case (id, text) =>
+      assert(StreamingSimhash.wideHash(text.split(" ", -1).toIndexedSeq)
+        == batch(id), s"doc $id")
+    }
+  }
+
+  test("streamed pair set equals the batch join across batch boundaries " +
+      "and arrival orders") {
+    val (odd, even) = corpus.partition(_._1 % 2 == 1)
+    assert(runStream(Seq(odd, even)) === batchPairs)
+    assert(runStream(Seq(even.reverse, odd.reverse)) === batchPairs)
+    assert(runStream(Seq(corpus)) === batchPairs, "single batch")
+    assert(batchPairs.nonEmpty,
+      "corpus has no near-dup pairs — test is vacuous")
+  }
+}
