@@ -1104,6 +1104,37 @@ object SparkEntry {
     acc.toSeq.toDF("doc_a", "doc_b").orderBy("doc_a", "doc_b")
   }
 
+  /** q85: streaming multi-probe embedding near-dup over two micro-batches
+    * (odd ids first), set-accumulated — must equal the batch
+    * [[Dedup.embeddingNearDupLshMultiProbe]] pairs, so it shares q83's
+    * brute-force hamming oracle. */
+  private def streamNearDupQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = embVectors(s, dir).select("id", "vec")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val stream = mem.toDF().toDF("id", "vec")
+    val acc = scala.collection.mutable.HashSet.empty[(Long, Long)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-neardup").toString
+    val q = graft.streaming.StreamingNearDup.attachMultiProbe(stream,
+      lshPlanes(s, dir), CosineT, ckpt) { b =>
+      val ps = b.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      acc.synchronized { ps.foreach(acc += _) }
+    }
+    try {
+      val (odd, even) = rows.partition(_._1 % 2 == 1)
+      mem.addData(odd.toSeq)
+      q.processAllAvailable()
+      mem.addData(even.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    acc.toSeq.toDF("id_a", "id_b").orderBy("id_a", "id_b")
+  }
+
   private val QMin = 500L
 
   /** Composite training-data pipeline (q60): quality + language gate (map,
@@ -1254,6 +1285,7 @@ object SparkEntry {
     "q82_simhash_wide_pairs" -> (simhashWidePairsQ _),
     "q83_emb_neardup_multiprobe" -> (embNearDupLshMpQ _),
     "q84_stream_simhash" -> (streamSimhashQ _),
+    "q85_stream_neardup" -> (streamNearDupQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1385,5 +1417,8 @@ object SparkEntry {
     // q84: the streaming wide-SimHash pair stream ≡ the batch operator,
     // certified against the same brute-force hamming oracle as q82.
     "q84_stream_simhash" -> OracleGenText.simhashWidePairs(SimhashMaxHamming),
+    // q85: streaming multi-probe near-dup ≡ the batch operator, certified
+    // against q83's brute-force hamming<=1 oracle.
+    "q85_stream_neardup" -> OracleGenText.embNearDupLshMultiProbe(CosineT),
   )
 }

@@ -67,4 +67,39 @@ class StreamingSimhashSpec extends SparkSpec {
     assert(batchPairs.nonEmpty,
       "corpus has no near-dup pairs — test is vacuous")
   }
+
+  test("streaming multi-probe embedding near-dup equals the batch join " +
+      "across batch splits and orders") {
+    import spark.implicits._
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    val planes = data.filter(col("id") % 125 === 0).collect()
+      .map(r => (1L << (r.getLong(0) / 125).toInt) ->
+        r.getSeq[Double](1).toIndexedSeq).toIndexedSeq.sortBy(_._1)
+    val batch = Dedup.embeddingNearDupLshMultiProbe(data, planes, 0.4)
+      .as[(Long, Long)].collect().toSet
+    val rows = data.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    def run(batches: Seq[Seq[(Long, Seq[Double])]]): Set[(Long, Long)] = {
+      val s = spark
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = MemoryStream[(Long, Seq[Double])]
+      val stream = mem.toDF().toDF("id", "vec")
+      val acc = scala.collection.mutable.HashSet.empty[(Long, Long)]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-neardup-stream").toString
+      val q = graft.streaming.StreamingNearDup.attachMultiProbe(stream,
+        planes, 0.4, ckpt) { b =>
+        val ps = b.select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        acc.synchronized { ps.foreach(acc += _) }
+      }
+      try batches.foreach { g => mem.addData(g); q.processAllAvailable() }
+      finally q.stop()
+      acc.toSet
+    }
+    val (lo, hi) = rows.partition(_._1 < 250)
+    assert(run(Seq(lo, hi)) === batch)
+    assert(run(Seq(hi.reverse, lo.reverse)) === batch)
+    assert(batch.nonEmpty)
+  }
 }
