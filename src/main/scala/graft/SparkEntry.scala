@@ -1159,6 +1159,88 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---- LeanVec: learned dim-reduction + two-pass search -------------------
+
+  private val LeanVecDims = 16
+  private val LeanVecReorder = 8
+  /** Variance captured by 16 of 64 PCA directions — near-isotropic synthetic
+    * embeddings put it at ≈ r/d = 0.25; floor leaves margin below that. */
+  private val LeanVecVarFloor = 0.15
+  private val LeanVecRecallFloor = 0.60
+
+  private def leanVecModel(s: SparkSession, dir: String): LeanVec.Model =
+    memoized[LeanVec.Model]("leanvec_model", dir) {
+      LeanVec.train(embVectors(s, dir).select("id", "vec"), LeanVecDims)
+    }
+
+  private def leanVecReduced(s: SparkSession, dir: String): DataFrame =
+    memoized[DataFrame]("leanvec_reduced", dir) {
+      LeanVec.transform(embVectors(s, dir).select("id", "vec"),
+        leanVecModel(s, dir)).cache()
+    }
+
+  private def leanVecQueriesReduced(s: SparkSession, dir: String): DataFrame =
+    memoized[DataFrame]("leanvec_queries_reduced", dir) {
+      LeanVec.transform(embQueries(s, dir), leanVecModel(s, dir),
+        idCol = "query_id", vecCol = "qvec", outCol = "qvec").cache()
+    }
+
+  /** q86: LeanVec two-pass search with an EXHAUSTIVE reorder window — the
+    * shortlist covers the whole table, so the exact-metric reorder provably
+    * returns exact top-k for any projection (q24's exhaustive-window
+    * argument), hash-certifying the train→transform→coarse→reorder plumbing
+    * against the plain exact-kNN oracle. */
+  private def leanVecExhaustiveQ(s: SparkSession, dir: String): DataFrame = {
+    val data = embVectors(s, dir).select("id", "vec")
+    val n = data.count()
+    val kr = ((n + K - 1) / K).toInt
+    LeanVec.searchPrepared(leanVecQueriesReduced(s, dir),
+        leanVecReduced(s, dir), embQueries(s, dir), data, K, kr, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** q87: LeanVec model + realistic-window quality invariants as 0/1 flags
+    * (the q50 pattern): kept directions orthonormal (‖PPᵀ−I‖∞ < 1e-9),
+    * captured variance ≥ floor, and recall@k at the realistic
+    * `LeanVecReorder·k` window ≥ floor vs exact groundtruth. */
+  private def leanVecFlagsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = leanVecModel(s, dir)
+    val data = embVectors(s, dir).select("id", "vec")
+    val approx = LeanVec.searchPrepared(leanVecQueriesReduced(s, dir),
+      leanVecReduced(s, dir), embQueries(s, dir), data, K, LeanVecReorder,
+      Metric.L2)
+    val truth = FlatKnn.search(embQueries(s, dir), data, K, Metric.L2)
+    val recall = Recall.recallAtK(approx, truth, K)
+    Seq((
+      if (m.orthoDefect < 1e-9) 1L else 0L,
+      if (m.varianceFraction >= LeanVecVarFloor) 1L else 0L,
+      if (recall >= LeanVecRecallFloor) 1L else 0L
+    )).toDF("ortho_ok", "var_ok", "recall_ok")
+  }
+
+  /** q88: the LeanVec∘LVQ composed storage (reference's LeanVec4x8 kind —
+    * 4-bit level-1 codes over REDUCED dims drive the coarse scan; full
+    * precision only re-ranks), again at the exhaustive window so the result
+    * is provably exact and shares q86's oracle. */
+  private def leanVecLvqQ(s: SparkSession, dir: String): DataFrame = {
+    val data = embVectors(s, dir).select("id", "vec")
+    val n = data.count()
+    val kr = ((n + K - 1) / K).toInt
+    val reduced = leanVecReduced(s, dir)
+    val lvqP = memoized[Lvq.Params]("leanvec_lvq_params", dir) {
+      Lvq.Params(Lvq.trainMean(reduced), bits1 = 4, bits2 = 8)
+    }
+    val enc = memoized[DataFrame]("leanvec_lvq_codes", dir) {
+      Lvq.encode(reduced, lvqP).cache()
+    }
+    LeanVec.searchLvq(embQueries(s, dir), enc, lvqP, leanVecModel(s, dir),
+        data, K, kr, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   // ---- SQL extension surface (§2.9) ---------------------------------------
 
   /** kNN expressed as a SQL string over the registered distance function —
@@ -1286,6 +1368,9 @@ object SparkEntry {
     "q83_emb_neardup_multiprobe" -> (embNearDupLshMpQ _),
     "q84_stream_simhash" -> (streamSimhashQ _),
     "q85_stream_neardup" -> (streamNearDupQ _),
+    "q86_leanvec_exact" -> (leanVecExhaustiveQ _),
+    "q87_leanvec_flags" -> (leanVecFlagsQ _),
+    "q88_leanvec_lvq" -> (leanVecLvqQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1420,5 +1505,16 @@ object SparkEntry {
     // q85: streaming multi-probe near-dup ≡ the batch operator, certified
     // against q83's brute-force hamming<=1 oracle.
     "q85_stream_neardup" -> OracleGenText.embNearDupLshMultiProbe(CosineT),
+    // q86: LeanVec with exhaustive reorder window ≡ exact kNN (any
+    // projection), so it shares the plain exact-kNN oracle.
+    "q86_leanvec_exact" -> OracleGen.embeddingKnn(Metric.L2, K),
+    // q87: invariant flags (q50 pattern) — Spark computes orthonormality /
+    // variance-capture / realistic-window recall, oracle asserts all 1.
+    "q87_leanvec_flags" ->
+      ("SELECT CAST(1 AS BIGINT) AS ortho_ok, CAST(1 AS BIGINT) AS var_ok, " +
+        "CAST(1 AS BIGINT) AS recall_ok"),
+    // q88: LeanVec∘LVQ composition at the exhaustive window — provably
+    // exact, same oracle as q86.
+    "q88_leanvec_lvq" -> OracleGen.embeddingKnn(Metric.L2, K),
   )
 }
