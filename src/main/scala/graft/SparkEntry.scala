@@ -1241,6 +1241,101 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** Reduced embeddings + label sharding for the graph-over-reduced-vectors
+    * composition (cluster_id = label, the q24 sharding). */
+  private def leanVecClustered(s: SparkSession, dir: String): DataFrame =
+    memoized[DataFrame]("leanvec_clustered", dir) {
+      leanVecReduced(s, dir)
+        .join(embVectors(s, dir)
+          .select(col("id"), col("label").cast("long").as("cluster_id")),
+          Seq("id"))
+        .cache()
+    }
+
+  private def leanVecGraph(s: SparkSession, dir: String): DataFrame =
+    memoized[DataFrame]("leanvec_graph", dir) {
+      Vamana.buildSharded(leanVecClustered(s, dir), VamanaParams,
+        Metric.L2).cache()
+    }
+
+  /** q89: the reference's PRIMARY LeanVec deployment — a Vamana graph built
+    * over the REDUCED vectors drives the coarse pass, full precision only
+    * re-ranks (bindings/cpp/src/dynamic_vamana_index_leanvec_impl.h:34-138:
+    * LeanVec storage under a Vamana index). Exhaustive certification: all
+    * shards probed with a whole-shard beam window and coarse k = n, so the
+    * walk returns every row of each shard's connected component; the
+    * exact-metric re-rank of that shortlist equals exact kNN — which also
+    * certifies per-shard graph CONNECTIVITY of the reduced-space build (a
+    * lost row would break the hash). */
+  private def leanVecVamanaQ(s: SparkSession, dir: String): DataFrame = {
+    val data = embVectors(s, dir).select("id", "vec")
+    val n = data.count().toInt
+    val clustered = leanVecClustered(s, dir)
+    val centroids = labelCentroidsOf(clustered)
+    val coarse = Vamana.searchSharded(leanVecQueriesReduced(s, dir),
+        clustered, leanVecGraph(s, dir), centroids, n,
+        searchWindow = 1 << 14, nProbes = centroids.size, Metric.L2)
+      .select(col("query_id"), col("neighbor_id").as("id"))
+    LeanVec.rerank(coarse, embQueries(s, dir), data, K, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** q90: query-aware (OOD) LeanVec — separate data/query projections from
+    * alternating closed-form least squares on the two second-moment
+    * matrices (reference training_impl.h:104-115
+    * `compute_leanvec_matrices_ood`), coarse-scanned via the MIPS-style
+    * augmentation under the certified FlatKnn IP heap. Exhaustive reorder
+    * window ⇒ provably exact for ANY (A, B), hash-certifying the
+    * train→augment→coarse→rerank plumbing. */
+  private def leanVecOodModel(s: SparkSession, dir: String): LeanVec.OodModel =
+    memoized[LeanVec.OodModel]("leanvec_ood_model", dir) {
+      LeanVec.trainOod(embVectors(s, dir).select("id", "vec"),
+        embQueries(s, dir), LeanVecDims)
+    }
+
+  private def leanVecOodQ(s: SparkSession, dir: String): DataFrame = {
+    val data = embVectors(s, dir).select("id", "vec")
+    val n = data.count()
+    val kr = ((n + K - 1) / K).toInt
+    LeanVec.searchOod(embQueries(s, dir), data, leanVecOodModel(s, dir),
+        K, kr)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** q91: the dynamic LeanVec lifecycle (reference
+    * dynamic_vamana_index_leanvec_impl.h — leanvec PRIMARY storage +
+    * full-precision secondary inside a mutable index): segments carry
+    * (vec, rvec) with the reduction applied AT INGEST per added batch;
+    * add→add→delete→consolidate, then coarse-over-rvec + full re-rank at
+    * the exhaustive window ≡ exact kNN over the surviving rows. */
+  private def leanVecDynQ(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_dyn_q91"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val tbl = new DynamicVectorTable(s, root)
+    val m = leanVecModel(s, dir)
+    val emb = embVectors(s, dir).select("id", "vec")
+    def seg(df: DataFrame): DataFrame =
+      df.join(LeanVec.transform(df, m, outCol = "rvec"), Seq("id"))
+    tbl.addPoints(seg(emb.filter(col("id") < 250)))
+    tbl.addPoints(seg(emb.filter(col("id") >= 250)))
+    tbl.deleteIds(emb.filter(col("id") % 9 === 0).select("id"))
+    tbl.consolidate()
+    val live = tbl.current
+    require(live.schema.fieldNames.contains("rvec"),
+      "dynamic table lost the reduced column through consolidate")
+    val n = live.count()
+    val kr = ((n + K - 1) / K).toInt
+    LeanVec.searchPrepared(leanVecQueriesReduced(s, dir),
+        live.select(col("id"), col("rvec").as("vec")),
+        embQueries(s, dir), live.select("id", "vec"), K, kr, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   // ---- SQL extension surface (§2.9) ---------------------------------------
 
   /** kNN expressed as a SQL string over the registered distance function —
@@ -1371,6 +1466,9 @@ object SparkEntry {
     "q86_leanvec_exact" -> (leanVecExhaustiveQ _),
     "q87_leanvec_flags" -> (leanVecFlagsQ _),
     "q88_leanvec_lvq" -> (leanVecLvqQ _),
+    "q89_leanvec_vamana" -> (leanVecVamanaQ _),
+    "q90_leanvec_ood" -> (leanVecOodQ _),
+    "q91_leanvec_dynamic" -> (leanVecDynQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1516,5 +1614,17 @@ object SparkEntry {
     // q88: LeanVec∘LVQ composition at the exhaustive window — provably
     // exact, same oracle as q86.
     "q88_leanvec_lvq" -> OracleGen.embeddingKnn(Metric.L2, K),
+    // q89: Vamana graph over reduced vectors, all shards probed at a
+    // whole-shard window + exhaustive coarse k ⇒ the full-precision rerank
+    // is provably exact (and certifies reduced-space graph connectivity).
+    "q89_leanvec_vamana" -> OracleGen.embeddingKnn(Metric.L2, K),
+    // q90: OOD-trained two-matrix LeanVec at the exhaustive window —
+    // exact for any (A, B) pair, same oracle.
+    "q90_leanvec_ood" -> OracleGen.embeddingKnn(Metric.L2, K),
+    // q91: dynamic lifecycle with transform-at-ingest reduced segments —
+    // exhaustive-window search over the post-consolidate table ≡ exact kNN
+    // over the non-deleted rows.
+    "q91_leanvec_dynamic" -> OracleGen.embeddingKnnExcluding(Metric.L2, K,
+      "vec_id % 9 = 0"),
   )
 }
