@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Metric
-import graft.operators.{FlatKnn, Inverted, Vamana, VamanaKernel}
+import graft.operators.{FlatKnn, Inverted, LeanVec, Vamana, VamanaKernel}
 import graft.operators.VamanaKernel.BuildParams
 import graft.sources.SyntheticData
 
@@ -180,6 +180,57 @@ object GoldenRecall {
       s""""param":"${r.param}","value":${r.value},"recall":${r.recall},""" +
       s""""build_sec":${r.buildSec}}"""
 
+  /** LeanVec grid: one PCA training pass at `rDims`, recall per reorder
+    * window (the quality axis of the two-pass search — coarse keeps
+    * k_reorder·k candidates, full precision re-ranks). The `leanvec_ood`
+    * twin runs the query-aware two-matrix training on the same data and
+    * must track the self-query family (in-distribution queries). */
+  def leanvecGrid(data: DataFrame, queries: DataFrame, truth: DataFrame,
+                  k: Int, nq: Int, rDims: Int, kReorders: Seq[Int])
+      : Seq[Row] = {
+    val t0 = System.nanoTime()
+    val m = LeanVec.train(data, rDims)
+    val rd = LeanVec.transform(data, m).cache()
+    rd.count()
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val rq = LeanVec.transform(queries, m, idCol = "query_id",
+      vecCol = "qvec", outCol = "qvec")
+    val plain = kReorders.map { kr =>
+      val res = LeanVec.searchPrepared(rq, rd, queries, data, k, kr)
+      Row("leanvec", s"r$rDims", "k_reorder", kr,
+        recallOf(res, truth, k, nq), buildSec)
+    }
+    rd.unpersist()
+    val t1 = System.nanoTime()
+    val mo = LeanVec.trainOod(data, queries, rDims)
+    val ad = LeanVec.augmentOodData(data, mo).cache()
+    ad.count()
+    val buildOod = (System.nanoTime() - t1) / 1e9
+    val aq = LeanVec.augmentOodQueries(queries, mo)
+    val ood = kReorders.map { kr =>
+      val res = LeanVec.searchOodPrepared(aq, ad, queries, data, k, kr)
+      Row("leanvec_ood", s"r$rDims", "k_reorder", kr,
+        recallOf(res, truth, k, nq), buildOod)
+    }
+    ad.unpersist()
+    // Same PCA subspace through the norm-carrying augmented surrogate
+    // (A = B = P): isolates how much of leanvec_ood's win over leanvec is
+    // the EXACT ‖x̃‖² term in the coarse score (big on flat-spectrum data,
+    // where the discarded-subspace norm dominates L2) vs the two-matrix
+    // training itself.
+    val mpa = LeanVec.OodModel(m.mean, m.proj, m.proj, Array.empty)
+    val pd = LeanVec.augmentOodData(data, mpa).cache()
+    pd.count()
+    val pq = LeanVec.augmentOodQueries(queries, mpa)
+    val pcaAug = kReorders.map { kr =>
+      val res = LeanVec.searchOodPrepared(pq, pd, queries, data, k, kr)
+      Row("leanvec_pca_aug", s"r$rDims", "k_reorder", kr,
+        recallOf(res, truth, k, nq), buildSec)
+    }
+    pd.unpersist()
+    plain ++ ood ++ pcaAug
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val out = sys.env.getOrElse("SPARK_GRAFT_GOLDEN_OUT",
@@ -237,6 +288,8 @@ object GoldenRecall {
         probes = Seq(1, 2, 4, 8, 16)) ++
       invertedGrid(data, queries, truth, k, nq, n, leaderCount = 100,
         eps = 1.2, nLeaders = Seq(1, 2, 4, 8)) ++
+      leanvecGrid(data, queries, truth, k, nq, rDims = 32,
+        kReorders = Seq(2, 4, 8, 16)) ++
       calibrationRows(data, queries, truth, dims, k, target = 0.85)
 
     rows.foreach(r => println(rowJson(r)))

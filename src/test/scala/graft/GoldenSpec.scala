@@ -65,6 +65,15 @@ class GoldenSpec extends SparkSpec {
       assert(math.abs(r.recall - unc) <= 0.05,
         s"ivf_lvq p${r.value} drifted from uncompressed: ${r.recall} vs $unc")
     }
+    // LeanVec two-pass families at one reorder window: plain PCA coarse,
+    // OOD two-matrix coarse, and the PCA+norm-augmented control
+    val lv = GoldenRecall.leanvecGrid(data, queries, truth, K, Nq,
+      rDims = 32, kReorders = Seq(8))
+    lv.foreach { r =>
+      val p = pinned(r.family, r.config, r.value)
+      assert(math.abs(r.recall - p) <= 0.01,
+        s"${r.family} kr${r.value}: ${r.recall} vs pinned $p")
+    }
     // SIMD-built/searched graph: recall pinned AND within the scalar
     // family's tolerance band (build-time Metric.simd production safety)
     if (graft.core.SimdSupport.available) {
