@@ -130,6 +130,21 @@ object DedupBench {
     }
     stage("jaccard-prefix")(tJac)
 
+    // 3-gram order: the density fix for single-script corpora (run with
+    // SPARK_GRAFT_DEDUP_CHARS=52 to see the 2-gram join degenerate while
+    // this one keeps pruning)
+    val (codes3, tCodes3) = time {
+      val c = Dedup.shingleCodeTable(docs, n = 3).cache()
+      c.count(); c
+    }
+    stage("shingle3-prep")(tCodes3)
+    val (nJac3, tJac3) = time {
+      Dedup.jaccardPairsPrefix(
+        codes3.withColumnRenamed("codes", "grams"), 0.8).count()
+    }
+    stage("jaccard3-prefix")(tJac3)
+    codes3.unpersist()
+
     val exactDupDocs = n / 17 // sanity floor: planted verbatim copies
     println(s"""{"experiment":"dedup_bench","n_docs":$n,"vocab":$vocab,""" +
       s""""first_chars":$firstChars,""" +
@@ -139,6 +154,8 @@ object DedupBench {
       s""""simhash_n":$simN,"simhash_sec":$tSim,"simhash_pairs":$nSim,""" +
       s""""simhash_wide_sec":$tSimW,"simhash_wide_pairs":$nSimW,""" +
       s""""jaccard_prefix_sec":$tJac,"jaccard_pairs":$nJac,""" +
+      s""""shingle3_prep_sec":$tCodes3,""" +
+      s""""jaccard3_prefix_sec":$tJac3,"jaccard3_pairs":$nJac3,""" +
       s""""planted_exact_dups":$exactDupDocs}""")
     codes.unpersist()
     spark.stop()

@@ -73,6 +73,28 @@ object OracleGenText {
     """SELECT doc_id, list_distinct([toks[i] || '_' || toks[i+1]
       |  for i in range(1, len(toks))]) AS gs FROM t""".stripMargin
 
+  /** The q93 oracle: identical pair/verify SQL over 3-gram Horner codes —
+    * the dense-vocabulary shingle order (Dedup.shingleCodeTable n=3). */
+  def ngramJaccardPairs3(threshold: Double): String =
+    s"""WITH t AS ($toksCte),
+       |g AS (SELECT doc_id, codes AS gs FROM ($codes3Cte)),
+       |sz AS (SELECT doc_id, len(gs) AS sz FROM g),
+       |inv AS (SELECT doc_id, unnest(gs) AS gr FROM g),
+       |sh AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+       |  FROM inv a JOIN inv b ON a.gr = b.gr AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT da AS doc_a, db AS doc_b FROM sh
+       |JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= $threshold
+       |ORDER BY 1, 2""".stripMargin
+
+  private val codes3Cte =
+    """SELECT doc_id, list_distinct([
+      |  ((ascii(toks[i])*100 + length(toks[i])) * 100003
+      |     + ascii(toks[i+1])*100 + length(toks[i+1])) * 100003
+      |    + ascii(toks[i+2])*100 + length(toks[i+2])
+      |  for i in range(1, len(toks)-1)]) AS codes FROM t""".stripMargin
+
   def ngramJaccardPairs(threshold: Double): String =
     s"""WITH t AS ($toksCte),
        |g AS (SELECT doc_id, codes AS gs FROM ($codesCte)),

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.core.Metric
-import graft.operators.{FlatKnn, IvfIndex, KMeans}
+import graft.operators.{FlatKnn, IvfIndex, KMeans, LeanVec}
 import graft.sources.SyntheticData
 
 /** Scale probe beyond the driver's sf0.1: 1M × 64-d vectors (→ 100M
@@ -66,6 +66,30 @@ object ScaleBench {
     val (_, tFlatFF) = time {
       FlatKnn.search(queriesF32, dataF32, k, Metric.L2).count() }
 
+    // LeanVec (OOD-trained, r=16 of 64): the coarse pass scans a PERSISTED
+    // augmented table of r+1 doubles per row (~4x fewer bytes than the f64
+    // scan), full precision reads only the |Q|·kReorder·k shortlist — the
+    // bandwidth-cut shape the reference deploys LeanVec for.
+    val truth = FlatKnn.search(queries, data, k, Metric.L2)
+      .select("query_id", "neighbor_id").cache()
+    truth.count()
+    val (lvModel, tLvTrain) = time(
+      LeanVec.trainOod(data, queries, rDims = 16))
+    val pathLv = "/tmp/graft_scale_leanvec"
+    LeanVec.augmentOodData(data, lvModel)
+      .write.mode("overwrite").parquet(pathLv)
+    val augData = spark.read.parquet(pathLv)
+    augData.count()
+    val augQ = LeanVec.augmentOodQueries(queries, lvModel)
+    val (lvRes, tLv) = time {
+      val r = LeanVec.searchOodPrepared(augQ, augData, queries, data, k,
+          kReorder = 8)
+        .select("query_id", "neighbor_id").cache()
+      r.count(); r
+    }
+    val lvRecall = lvRes.intersect(truth).count().toDouble / (k.toLong * nq)
+    lvRes.unpersist(); truth.unpersist()
+
     // IVF: 256 centroids from a deterministic sample, 8 probes
     val cents0 = data.filter(col("id") % (n / 256) === 0)
       .limit(256).collect()
@@ -106,6 +130,8 @@ object ScaleBench {
       s""""count_sec":$warm,"flat_knn_sec":$tFlat,""" +
       s""""flat_knn_f32_sec":$tFlat32,"flat_knn_ff_sec":$tFlatFF,""" +
       s""""flat_pairs_per_sec":${pairsPerSec.toLong},""" +
+      s""""leanvec_train_sec":$tLvTrain,"leanvec_search_sec":$tLv,""" +
+      s""""leanvec_recall":$lvRecall,""" +
       s""""kmeans_train_sec":$tTrain,"partition_write_sec":$tPart,""" +
       s""""ivf_search_sec":$tIvf,""" +
       s""""vamana_split_sec":$tSplit,"vamana_shards":${splitCents.length},""" +

@@ -239,6 +239,20 @@ object SparkEntry {
       Dedup.shingleCodeTable(docs(s, dir)).cache()
     }
 
+  /** q93: the prefix-filtered Jaccard join on 3-GRAM shingles — the
+    * density lever for single-script corpora where the 2-gram shingle
+    * space is dense and prefix filtering cannot prune (DedupBench measured
+    * 305 s for the 2-gram join on a dense-vocab corpus whose multilingual
+    * twin takes ~15 s; the 3-gram order re-sparsifies the space and
+    * restores the pruning). Same operator, same verify — only the shingle
+    * order changes; certified against the same brute-force DuckDB shape
+    * over 3-gram Horner codes. */
+  private def jaccardPairs3Q(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsPrefix(
+      Dedup.shingleCodeTable(docs(s, dir), n = 3)
+        .withColumnRenamed("codes", "grams"), JaccardT)
+      .orderBy("doc_a", "doc_b")
+
   private def minhashSigsQ(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(docCodes(s, dir)).orderBy("doc_id", "i")
 
@@ -1336,6 +1350,70 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** q92: IVF∘LeanVec through the one-call on-disk layout (reference
+    * example_ivf_with_compression_leanvec.cpp — clustering on uncompressed
+    * data, LeanVec storage within; model persisted like
+    * LeanVecTrainingDataImpl.save, training_impl.h:68-79): write the
+    * label-clustered embeddings with a resident reduced column + model
+    * sidecar, REOPEN from disk, search with every cluster probed and an
+    * exhaustive reorder window ⇒ provably exact. Certifies the disk round
+    * trip of the model (shortest-round-trip doubles) and the probe→coarse→
+    * rerank plumbing in one hash. */
+  private def leanVecIvfLayoutQ(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_layout_q92"
+    val clustered = embLabelClustered(s, dir)
+    val centroids = embLabelCentroids(s, dir)
+    IndexLayout.write(clustered, centroids, path,
+      IndexLayout.LeanVecC(leanVecModel(s, dir)))
+    val layout = IndexLayout.open(s, path)
+    val n = clustered.count().toInt
+    val kr = (n + K - 1) / K
+    IndexLayout.search(layout, embQueries(s, dir), K,
+        nProbes = centroids.size, Metric.L2, kReorder = kr)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** q94: STREAMING dynamic-LeanVec ingest (stream twin of q91): embeddings
+    * arrive in two micro-batches through [[graft.streaming.StreamingIngest]]
+    * with `reduce = Some(model)`, so every segment gets its `rvec` column
+    * at ingest; the post-stream coarse-over-rvec + full re-rank at the
+    * exhaustive window must equal exact kNN — proving the streamed segments
+    * carry reductions identical to the batch transform's. */
+  private def leanVecStreamIngestQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val root = "/tmp/graft_dyn_q94"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val tbl = new DynamicVectorTable(s, root)
+    val m = leanVecModel(s, dir)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-leanvec").toString
+    val q = graft.streaming.StreamingIngest.attach(
+      mem.toDF().toDF("id", "vec"), tbl, ckpt, reduce = Some(m))
+    val rows = embVectors(s, dir).select("id", "vec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    try {
+      val (a, b) = rows.partition(_._1 < 250)
+      mem.addData(a.toSeq)
+      q.processAllAvailable()
+      mem.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = tbl.current
+    val n = live.count()
+    val kr = ((n + K - 1) / K).toInt
+    LeanVec.searchPrepared(leanVecQueriesReduced(s, dir),
+        live.select(col("id"), col("rvec").as("vec")),
+        embQueries(s, dir), live.select("id", "vec"), K, kr, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   // ---- SQL extension surface (§2.9) ---------------------------------------
 
   /** kNN expressed as a SQL string over the registered distance function —
@@ -1469,6 +1547,9 @@ object SparkEntry {
     "q89_leanvec_vamana" -> (leanVecVamanaQ _),
     "q90_leanvec_ood" -> (leanVecOodQ _),
     "q91_leanvec_dynamic" -> (leanVecDynQ _),
+    "q92_leanvec_ivf_layout" -> (leanVecIvfLayoutQ _),
+    "q93_jaccard_3gram" -> (jaccardPairs3Q _),
+    "q94_leanvec_stream_ingest" -> (leanVecStreamIngestQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1626,5 +1707,14 @@ object SparkEntry {
     // over the non-deleted rows.
     "q91_leanvec_dynamic" -> OracleGen.embeddingKnnExcluding(Metric.L2, K,
       "vec_id % 9 = 0"),
+    // q92: IVF∘LeanVec disk layout, all clusters probed at the exhaustive
+    // reorder window ⇒ exact; certifies the model sidecar round trip too.
+    "q92_leanvec_ivf_layout" -> OracleGen.embeddingKnn(Metric.L2, K),
+    // q93: 3-gram prefix Jaccard join vs the brute-force DuckDB join over
+    // the same Horner-fold 3-gram codes.
+    "q93_jaccard_3gram" -> OracleGenText.ngramJaccardPairs3(JaccardT),
+    // q94: streamed reduce-at-ingest segments searched at the exhaustive
+    // window ≡ exact kNN (no deletes in this twin — full table live).
+    "q94_leanvec_stream_ingest" -> OracleGen.embeddingKnn(Metric.L2, K),
   )
 }

@@ -41,10 +41,17 @@ object Dedup {
       .otherwise(array_distinct(grams))
   }
 
-  /** (doc_id, text) → (id, codes): distinct 2-gram shingle codes computed in
-    * one JVM pass (identical arithmetic to shingleCodes2 / the oracle). */
+  /** (doc_id, text) → (id, codes): distinct n-gram shingle codes computed
+    * in one JVM pass (Horner fold base 100003, identical arithmetic to
+    * shingleCodes2 / the oracle at n=2). The shingle ORDER is the density
+    * lever for the prefix join: on single-script corpora whose 2-gram
+    * space is dense (every shingle common, prefix filter can't prune —
+    * SCALE.md "Dedup at scale"), n=3 re-sparsifies the space and restores
+    * the pruning. tokenCode ≤ ~1.1e8 and base 100003² ≈ 1e10 keep n=3
+    * inside Long range. */
   def shingleCodeTable(docs: DataFrame, idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text", n: Int = 2): DataFrame = {
+    require(n == 2 || n == 3, s"shingle order $n not in {2, 3}")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol))
@@ -55,8 +62,11 @@ object Dedup {
           (if (t.isEmpty) 0L else t.codePointAt(0).toLong) * 100L + t.length
         val codes = new java.util.LinkedHashSet[Long]()
         var i = 0
-        while (i < toks.length - 1) {
-          codes.add(tc(toks(i)) * 100003L + tc(toks(i + 1)))
+        while (i < toks.length - (n - 1)) {
+          var c = tc(toks(i))
+          var j = 1
+          while (j < n) { c = c * 100003L + tc(toks(i + j)); j += 1 }
+          codes.add(c)
           i += 1
         }
         import scala.jdk.CollectionConverters._

@@ -31,6 +31,11 @@ object IndexLayout {
   /** LVQ two-level residual codec: resident `(c1, lo1, s1, c2, lo2, s2)`
     * columns ([[IvfIndex.withResidentLvq]]). */
   final case class LvqC(p: Lvq.Params) extends Codec
+  /** LeanVec learned reduction: resident `rvec` r-dim column
+    * ([[IvfIndex.withResidentLeanVec]]); the trained model (mean +
+    * projection + spectrum) persists in the sidecar — the reference's
+    * LeanVecTrainingData save/load (training_impl.h:68-79). */
+  final case class LeanVecC(m: LeanVec.Model) extends Codec
 
   final case class Layout(clustered: DataFrame,
                           centroids: Seq[(Long, Seq[Double])], codec: Codec)
@@ -46,6 +51,7 @@ object IndexLayout {
       case Uncompressed => clustered
       case Sq(p) => IvfIndex.withResidentCodes(clustered, p)
       case LvqC(p) => IvfIndex.withResidentLvq(clustered, p)
+      case LeanVecC(m) => IvfIndex.withResidentLeanVec(clustered, m)
     }
     IvfIndex.writeClustered(withCodes, s"$path/data")
     centroids.toDF("id", "vec").write.mode("overwrite")
@@ -58,6 +64,13 @@ object IndexLayout {
       case LvqC(p) =>
         s"""{"type":"lvq","bits1":${p.bits1},"bits2":${p.bits2},""" +
           s""""mean":[${p.mean.mkString(",")}]}"""
+      case LeanVecC(m) =>
+        // Double.toString is shortest-round-trip, so the model reopens
+        // bit-exactly and re-derived reductions match the resident column
+        s"""{"type":"leanvec","mean":[${m.mean.mkString(",")}],""" +
+          s""""proj":[${m.proj.map(r => s"[${r.mkString(",")}]")
+            .mkString(",")}],""" +
+          s""""eigvals":[${m.eigvals.mkString(",")}]}"""
     }
     writeSidecar(spark, s"$path/layout.json", s"""{"codec":$codecJson}""")
   }
@@ -75,6 +88,10 @@ object IndexLayout {
         (c \ "bias").extract[Double], (c \ "bits").extract[Int]))
       case "lvq" => LvqC(Lvq.Params((c \ "mean").extract[Seq[Double]],
         (c \ "bits1").extract[Int], (c \ "bits2").extract[Int]))
+      case "leanvec" => LeanVecC(LeanVec.Model(
+        (c \ "mean").extract[Seq[Double]].toArray,
+        (c \ "proj").extract[Seq[Seq[Double]]].map(_.toArray).toArray,
+        (c \ "eigvals").extract[Seq[Double]].toArray))
       case t => sys.error(s"unknown layout codec '$t' in $path/layout.json")
     }
     Layout(spark.read.parquet(s"$path/data"),
@@ -100,6 +117,10 @@ object IndexLayout {
       require(metric == Metric.L2, "LVQ layout search is L2-only")
       IvfIndex.searchWithLvqReorder(queries, layout.clustered,
         layout.centroids, p, k, nProbes, kReorder)
+    case LeanVecC(m) =>
+      require(metric == Metric.L2, "LeanVec layout search is L2-only")
+      IvfIndex.searchWithLeanVecReorder(queries, layout.clustered,
+        layout.centroids, m, k, nProbes, kReorder)
   }
 
   private def writeSidecar(spark: SparkSession, path: String,

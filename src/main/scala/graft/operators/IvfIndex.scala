@@ -162,6 +162,47 @@ object IvfIndex {
       ascending = true)
   }
 
+  /** Attach a resident LeanVec reduced column `rvec` — the IVF+LeanVec
+    * on-disk layout (reference example_ivf_with_compression_leanvec.cpp:
+    * 38-60: clustering built on uncompressed data, LeanVec storage within):
+    * the coarse pass scans r-dim reductions, full precision only re-ranks. */
+  def withResidentLeanVec(clustered: DataFrame, m: LeanVec.Model): DataFrame =
+    clustered.join(
+      LeanVec.transform(clustered.select("id", "vec"), m, outCol = "rvec"),
+      Seq("id"))
+
+  /** IVF probe + LeanVec coarse scan + full-precision reorder: probe
+    * selection runs on the full-dim centroids (the reference builds
+    * clustering on uncompressed data), the coarse pass scans ONLY
+    * `(cluster_id, id, rvec)` of the probed partitions ranked by reduced
+    * L2, and the `kReorder·k` shortlist re-ranks on true vectors — an
+    * r/d bandwidth cut on the scan-dominated pass. L2 only. */
+  def searchWithLeanVecReorder(queries: DataFrame, clustered: DataFrame,
+                               centroids: Seq[(Long, Seq[Double])],
+                               m: LeanVec.Model, k: Int, nProbes: Int,
+                               kReorder: Int): DataFrame = {
+    require(clustered.columns.contains("rvec"),
+      "searchWithLeanVecReorder scans a resident reduced column: attach " +
+        "it via IvfIndex.withResidentLeanVec(clustered, m)")
+    val metric = graft.core.Metric.L2
+    val (probes, probedIds) = selectProbes(queries, centroids, nProbes,
+      metric)
+    val rq = LeanVec.transform(queries, m, idCol = "query_id",
+      vecCol = "qvec", outCol = "rqvec")
+    val candCoarse = broadcast(probes.drop("qvec")
+        .join(rq, Seq("query_id")))
+      .join(clustered.filter(col("cluster_id").isin(probedIds: _*))
+          .select("cluster_id", "id", "rvec"),
+        Seq("cluster_id"))
+      .select(col("query_id"), col("id"),
+        metric.column(col("rqvec"), col("rvec")).as("cdist"))
+    val shortlist = TopK.perKey(candCoarse, Seq("query_id"), col("id"),
+        col("cdist"), kReorder * k, ascending = true)
+      .select(col("query_id"), col("neighbor_id").as("id"))
+    LeanVec.rerank(shortlist, queries, clustered.select("id", "vec"), k,
+      metric)
+  }
+
   /** Probe search with compressed-scan + full-precision reorder (the
     * reference's `k_reorder`, ivf/common.h:151-166): the coarse pass scans
     * the RESIDENT `codes` column (attach with [[withResidentCodes]] or

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.operators.{DynamicVectorTable, KMeans}
+import graft.operators.{DynamicVectorTable, KMeans, LeanVec}
 
 /** Structured Streaming ingest (SURVEY §2 M1/M6): the reference's
   * `add_points` surface (include/svs/index/vamana/dynamic_index.h:630-745)
@@ -17,9 +17,15 @@ import graft.operators.{DynamicVectorTable, KMeans}
 object StreamingIngest {
 
   /** Attach a streaming `(id, vec, ...)` DataFrame to a dynamic table.
-    * Returns the running query; callers own its lifecycle. */
+    * With `centroids`, rows route to their nearest cluster (dynamic IVF);
+    * with `reduce`, each micro-batch also gets its LeanVec `rvec` column
+    * computed AT INGEST (the dynamic-LeanVec storage shape, reference
+    * dynamic_vamana_index_leanvec_impl.h — new points are reduced with the
+    * trained matrices as they arrive, so coarse searches see them on the
+    * next batch). Returns the running query; callers own its lifecycle. */
   def attach(stream: DataFrame, table: DynamicVectorTable, checkpoint: String,
-             centroids: Option[Seq[(Long, Seq[Double])]] = None)
+             centroids: Option[Seq[(Long, Seq[Double])]] = None,
+             reduce: Option[LeanVec.Model] = None)
       : StreamingQuery =
     stream.writeStream
       .outputMode("append")
@@ -29,7 +35,13 @@ object StreamingIngest {
           case Some(c) => KMeans.assign(batch, c)
           case None => batch
         }
-        table.addPoints(routed)
+        val stored = reduce match {
+          case Some(m) => routed.join(
+            LeanVec.transform(routed.select("id", "vec"), m,
+              outCol = "rvec"), Seq("id"))
+          case None => routed
+        }
+        table.addPoints(stored)
       }
       .start()
 }

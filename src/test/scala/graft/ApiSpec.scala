@@ -83,6 +83,7 @@ class ApiSpec extends SparkSpec {
     val clustered = KMeans.assign(emb, cents).cache()
     val sqP = ScalarQuant.train(emb)
     val lvqP = Lvq.Params(Lvq.trainMean(emb))
+    val lvM = graft.operators.LeanVec.train(emb, 4)
     val cases: Seq[(String, IndexLayout.Codec, () => Seq[Any])] = Seq(
       ("none", IndexLayout.Uncompressed, () =>
         IvfIndex.search(q, clustered, cents, 5, 2, Metric.L2)
@@ -97,12 +98,29 @@ class ApiSpec extends SparkSpec {
         IvfIndex.searchWithLvqReorder(q,
             IvfIndex.withResidentLvq(clustered, lvqP), cents, lvqP, 5, 2, 3)
           .select("query_id", "rnk", "neighbor_id")
+          .orderBy("query_id", "rnk").collect().toSeq),
+      ("leanvec", IndexLayout.LeanVecC(lvM), () =>
+        IvfIndex.searchWithLeanVecReorder(q,
+            IvfIndex.withResidentLeanVec(clustered, lvM), cents, lvM,
+            5, 2, 3)
+          .select("query_id", "rnk", "neighbor_id")
           .orderBy("query_id", "rnk").collect().toSeq))
     cases.foreach { case (name, codec, direct) =>
       val dir = freshDir(s"layout_$name")
       IndexLayout.write(clustered, cents, dir, codec)
       val layout = IndexLayout.open(spark, dir)
-      assert(layout.codec === codec, s"$name codec round-trip")
+      (layout.codec, codec) match {
+        case (IndexLayout.LeanVecC(a), IndexLayout.LeanVecC(b)) =>
+          // Model holds Arrays; compare element-wise (and bit-EXACT:
+          // the sidecar writes shortest-round-trip doubles)
+          assert(a.mean.toSeq === b.mean.toSeq, s"$name mean round-trip")
+          assert(a.proj.map(_.toSeq).toSeq === b.proj.map(_.toSeq).toSeq,
+            s"$name projection round-trip")
+          assert(a.eigvals.toSeq === b.eigvals.toSeq,
+            s"$name eigvals round-trip")
+        case _ =>
+          assert(layout.codec === codec, s"$name codec round-trip")
+      }
       assert(layout.centroids === cents, s"$name centroid round-trip")
       val viaLayout = IndexLayout.search(layout, q, 5, 2, Metric.L2)
         .select("query_id", "rnk", "neighbor_id")
