@@ -95,6 +95,33 @@ object OracleGenText {
       |    + ascii(toks[i+2])*100 + length(toks[i+2])
       |  for i in range(1, len(toks)-1)]) AS codes FROM t""".stripMargin
 
+  /** The q95 oracle: dedup groups = connected components of the 2-gram
+    * Jaccard pair graph (same pair SQL as q18), closed transitively with a
+    * recursive CTE, then the keep flag per document. Certifies
+    * Components.dedupApply end-to-end: pair generation, star-contraction
+    * component ids (≡ min reachable id), and canonical selection. */
+  def dedupGroups(threshold: Double): String =
+    s"""WITH RECURSIVE t AS ($toksCte),
+       |g AS (SELECT doc_id, codes AS gs FROM ($codesCte)),
+       |sz AS (SELECT doc_id, len(gs) AS sz FROM g),
+       |inv AS (SELECT doc_id, unnest(gs) AS gr FROM g),
+       |sh AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+       |  FROM inv a JOIN inv b ON a.gr = b.gr AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT da AS doc_a, db AS doc_b FROM sh
+       |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       |  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= $threshold),
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |r AS (SELECT u AS node, u AS reach FROM e
+       |  UNION SELECT r.node, e.v FROM r JOIN e ON r.reach = e.u),
+       |cc AS (SELECT node, min(reach) AS comp FROM r GROUP BY node)
+       |SELECT d.doc_id, CAST(coalesce(cc.comp, d.doc_id) AS BIGINT) AS comp,
+       |  CAST(CASE WHEN coalesce(cc.comp, d.doc_id) = d.doc_id
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   def ngramJaccardPairs(threshold: Double): String =
     s"""WITH t AS ($toksCte),
        |g AS (SELECT doc_id, codes AS gs FROM ($codesCte)),

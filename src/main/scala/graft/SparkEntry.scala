@@ -253,6 +253,18 @@ object SparkEntry {
         .withColumnRenamed("codes", "grams"), JaccardT)
       .orderBy("doc_a", "doc_b")
 
+  /** q95: dedup GROUPS — connected components (alternating large-star/
+    * small-star, Components.scala) over the certified q18 pair graph, then
+    * canonical-member selection: every doc with its component id and a
+    * 0/1 keep flag. The step a corpus-dedup pipeline runs between "pairs
+    * found" and "rows dropped"; oracle closes the same pair SQL with a
+    * recursive CTE. */
+  private def dedupGroupsQ(s: SparkSession, dir: String): DataFrame =
+    Components.dedupApply(docs(s, dir),
+        Dedup.jaccardPairsPrefix(
+          docCodes(s, dir).withColumnRenamed("codes", "grams"), JaccardT))
+      .orderBy("doc_id")
+
   private def minhashSigsQ(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(docCodes(s, dir)).orderBy("doc_id", "i")
 
@@ -1550,6 +1562,7 @@ object SparkEntry {
     "q92_leanvec_ivf_layout" -> (leanVecIvfLayoutQ _),
     "q93_jaccard_3gram" -> (jaccardPairs3Q _),
     "q94_leanvec_stream_ingest" -> (leanVecStreamIngestQ _),
+    "q95_dedup_groups" -> (dedupGroupsQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1716,5 +1729,9 @@ object SparkEntry {
     // q94: streamed reduce-at-ingest segments searched at the exhaustive
     // window ≡ exact kNN (no deletes in this twin — full table live).
     "q94_leanvec_stream_ingest" -> OracleGen.embeddingKnn(Metric.L2, K),
+    // q95: components of the q18 pair graph via recursive-CTE closure +
+    // per-doc keep flags — certifies star-contraction grouping and
+    // canonical selection in one hash.
+    "q95_dedup_groups" -> OracleGenText.dedupGroups(JaccardT),
   )
 }
