@@ -122,6 +122,46 @@ object OracleGenText {
        |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** The q96 oracle: benchmark decontamination — per-document count of
+    * distinct 3-gram codes shared with the deterministic benchmark subset
+    * (doc_id % 97 = 0) plus the 0/1 flag, same Horner-code arithmetic as
+    * q93. */
+  def decontaminationFlags: String =
+    s"""WITH t AS ($toksCte),
+       |c AS ($codes3Cte),
+       |bench AS (SELECT DISTINCT unnest(codes) AS gram FROM c
+       |  WHERE doc_id % 97 = 0),
+       |inv AS (SELECT doc_id, unnest(codes) AS gram FROM c),
+       |h AS (SELECT doc_id, count(*) AS hits FROM inv
+       |  JOIN bench USING (gram) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |  CAST(CASE WHEN coalesce(h.hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS contaminated
+       |FROM documents d LEFT JOIN h USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** The q97 oracle: Gopher-style repetition metrics — duplicate-token and
+    * duplicate-2-gram milli-fractions and the top-2-gram occurrence count
+    * (identical double arithmetic: 1000.0 * intDiff / intTotal, floored). */
+  def repetitionMetrics: String =
+    s"""WITH t AS ($toksCte),
+       |g AS (SELECT doc_id, toks,
+       |  CASE WHEN len(toks) < 2 THEN [] ELSE
+       |    [toks[i] || '_' || toks[i+1] for i in range(1, len(toks))] END
+       |    AS gs FROM t),
+       |top AS (SELECT doc_id, max(c) AS topc FROM (
+       |  SELECT doc_id, gr, count(*) AS c FROM
+       |    (SELECT doc_id, unnest(gs) AS gr FROM g)
+       |  GROUP BY 1, 2) GROUP BY 1)
+       |SELECT g.doc_id,
+       |  CAST(floor(1000.0 * (len(toks) - len(list_distinct(toks)))
+       |    / len(toks)) AS BIGINT) AS dup_tok_milli,
+       |  CAST(CASE WHEN len(gs) = 0 THEN 0 ELSE
+       |    floor(1000.0 * (len(gs) - len(list_distinct(gs))) / len(gs)) END
+       |    AS BIGINT) AS dup_gram_milli,
+       |  CAST(coalesce(topc, 0) AS BIGINT) AS top_gram_cnt
+       |FROM g LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin
+
   def ngramJaccardPairs(threshold: Double): String =
     s"""WITH t AS ($toksCte),
        |g AS (SELECT doc_id, codes AS gs FROM ($codesCte)),

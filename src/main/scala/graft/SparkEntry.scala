@@ -265,6 +265,20 @@ object SparkEntry {
           docCodes(s, dir).withColumnRenamed("codes", "grams"), JaccardT))
       .orderBy("doc_id")
 
+  /** q96: benchmark decontamination — the corpus flagged against the
+    * 3-gram codes of the deterministic benchmark subset (doc_id % 97 = 0);
+    * broadcast semi-join, no shuffle of the corpus side. */
+  private def decontaminateQ(s: SparkSession, dir: String): DataFrame = {
+    val codes3 = Dedup.shingleCodeTable(docs(s, dir), n = 3)
+    Decontaminate.flags(codes3, codes3.filter(col("id") % 97 === 0))
+      .orderBy("doc_id")
+  }
+
+  /** q97: Gopher-style repetition quality filters — duplicate-token /
+    * duplicate-2-gram milli-fractions + top-2-gram count per doc. */
+  private def repetitionQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionMetrics(docs(s, dir)).orderBy("doc_id")
+
   private def minhashSigsQ(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(docCodes(s, dir)).orderBy("doc_id", "i")
 
@@ -1563,6 +1577,8 @@ object SparkEntry {
     "q93_jaccard_3gram" -> (jaccardPairs3Q _),
     "q94_leanvec_stream_ingest" -> (leanVecStreamIngestQ _),
     "q95_dedup_groups" -> (dedupGroupsQ _),
+    "q96_decontaminate" -> (decontaminateQ _),
+    "q97_repetition" -> (repetitionQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1733,5 +1749,11 @@ object SparkEntry {
     // per-doc keep flags — certifies star-contraction grouping and
     // canonical selection in one hash.
     "q95_dedup_groups" -> OracleGenText.dedupGroups(JaccardT),
+    // q96: per-doc distinct-3-gram overlap with the benchmark subset —
+    // identical Horner-code arithmetic to q93's oracle.
+    "q96_decontaminate" -> OracleGenText.decontaminationFlags,
+    // q97: duplicate-token/-2-gram milli-fractions + top-gram count,
+    // identical floor(1000.0 * a / b) double arithmetic.
+    "q97_repetition" -> OracleGenText.repetitionMetrics,
   )
 }

@@ -116,4 +116,37 @@ object TextAnalysis {
 
   def bpeTokenCount(text: Column): Column =
     size(bpeTokens(text)).cast("long")
+
+  /** Gopher-style repetition metrics (the duplicate-text quality filters of
+    * Rae et al. 2021's data pipeline): per document, the duplicate-token
+    * fraction, the duplicate-2-gram fraction (both floored to milli-units)
+    * and the occurrence count of the document's most frequent 2-gram.
+    * Everything but the top-gram count is codegen'd built-ins evaluated
+    * next to the scan; the top-gram count is an explode + count keyed by
+    * (doc, gram) — the shuffle carries one row per gram occurrence and
+    * partial-aggregates map-side, so the 100 TB pass is scan-bound. */
+  def repetitionMetrics(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val grams = when(n < 2, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), n - 1),
+        i => concat_ws("_", element_at(toks, i), element_at(toks, i + 1))))
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      toks.as("toks"), grams.as("grams"))
+    val gn = size(col("grams"))
+    val tn = size(col("toks"))
+    val metrics = base.select(col("doc_id"),
+      floor(lit(1000.0) * (tn - size(array_distinct(col("toks")))) / tn)
+        .cast("long").as("dup_tok_milli"),
+      when(gn === 0, 0L).otherwise(
+        floor(lit(1000.0) * (gn - size(array_distinct(col("grams")))) / gn)
+          .cast("long")).as("dup_gram_milli"))
+    val top = base.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_gram_cnt"))
+    metrics.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_tok_milli"), col("dup_gram_milli"),
+        coalesce(col("top_gram_cnt"), lit(0L)).as("top_gram_cnt"))
+  }
 }

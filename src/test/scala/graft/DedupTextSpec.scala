@@ -217,4 +217,39 @@ class DedupTextSpec extends SparkSpec {
       .toSeq.sorted
     assert(reshuffled === got)
   }
+
+  test("Decontaminate.flags: bench docs self-flag; disjoint corpus clean") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(1L, 2L, 3L)), (1L, Seq(4L, 5L)), (2L, Seq(3L, 9L)))
+      .toDF("id", "codes")
+    val bench = Seq((100L, Seq(3L, 7L))).toDF("id", "codes")
+    val got = graft.operators.Decontaminate.flags(corpus, bench)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 1L, 1L), (1L, 0L, 0L), (2L, 1L, 1L)))
+    // bench drawn from the corpus: flagged rows are a superset of bench ids
+    val self = graft.operators.Decontaminate
+      .flags(corpus, corpus.filter(col("id") === 0L))
+    assert(self.filter(col("doc_id") === 0L && col("contaminated") === 1L)
+      .count() == 1)
+  }
+
+  test("repetitionMetrics: hand-computed fractions and edge cases") {
+    import spark.implicits._
+    val in = Seq(
+      (0L, "a a a a"),        // dup_tok 3/4=750; grams a_a x3 dup 2/3=666 top 3
+      (1L, "a b c d"),        // all distinct: 0 / 0 / top 1
+      (2L, "x"),              // single token: 0 / no grams -> 0 / 0
+      (3L, "a b a b a")       // toks 5 distinct 2 -> 600; grams a_b,b_a,a_b,b_a -> 500, top 2
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionMetrics(in).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      (0L, 750L, 666L, 3L),
+      (1L, 0L, 0L, 1L),
+      (2L, 0L, 0L, 0L),
+      (3L, 600L, 500L, 2L)))
+  }
 }
