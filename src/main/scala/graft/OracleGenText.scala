@@ -220,6 +220,29 @@ object OracleGenText {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** The q98 oracle: multi-probe (leave-one-out band key) MinHash-LSH —
+    * same signature arithmetic as q19/q20, keys drop one row per band. */
+  def minhashLshPairsMultiProbe: String = {
+    val sel = sigExprs.mkString(",\n  ")
+    val r = Dedup.RowsPerBand
+    val probes = (for { j <- 0 until Dedup.NumBands; l <- 0 until r } yield {
+      val key = (0 until r).filter(_ != l)
+        .map(i => s"sig${j * r + i}")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, ${j * r + l} AS probe, $key AS key FROM s"
+    }).mkString("\nUNION ALL ")
+    s"""WITH t AS ($toksCte),
+       |c AS ($codesCte),
+       |s AS (SELECT doc_id,
+       |  $sel
+       |FROM c),
+       |probes AS ($probes)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM probes a JOIN probes b
+       |  ON a.probe = b.probe AND a.key = b.key AND a.doc_id < b.doc_id
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   def simhash: String = {
     val votes = (0 until Dedup.SimhashBits)
       .map(j => s"sum(CASE WHEN (hv >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")

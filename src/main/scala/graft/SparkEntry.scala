@@ -285,6 +285,12 @@ object SparkEntry {
   private def minhashLshQ(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(docCodes(s, dir)).orderBy("doc_a", "doc_b")
 
+  /** q98: multi-probe MinHash-LSH — leave-one-out band keys over the q19
+    * signature table; strict superset of q20's pairs (DedupTextSpec). */
+  private def minhashLshMpQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairsMultiProbe(docCodes(s, dir))
+      .orderBy("doc_a", "doc_b")
+
   private def simhashQ(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir).select(col("doc_id"),
       TextAnalysis.tokens(col("text")).as("toks"))).orderBy("doc_id")
@@ -1579,6 +1585,7 @@ object SparkEntry {
     "q95_dedup_groups" -> (dedupGroupsQ _),
     "q96_decontaminate" -> (decontaminateQ _),
     "q97_repetition" -> (repetitionQ _),
+    "q98_minhash_multiprobe" -> (minhashLshMpQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1755,5 +1762,7 @@ object SparkEntry {
     // q97: duplicate-token/-2-gram milli-fractions + top-gram count,
     // identical floor(1000.0 * a / b) double arithmetic.
     "q97_repetition" -> OracleGenText.repetitionMetrics,
+    // q98: leave-one-out band-key minhash probes, same sig arithmetic.
+    "q98_minhash_multiprobe" -> OracleGenText.minhashLshPairsMultiProbe,
   )
 }

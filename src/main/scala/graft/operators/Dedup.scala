@@ -315,6 +315,33 @@ object Dedup {
       .distinct()
   }
 
+  /** Multi-probe MinHash-LSH: candidate pairs are docs agreeing on every
+    * signature row of some band EXCEPT one — the leave-one-out band keys,
+    * the minhash analog of the single-plane bucket flips in
+    * [[embeddingNearDupLshMultiProbe]]. A pair with Jaccard s collides on
+    * a probe with probability s^(r−1) instead of s^r, lifting
+    * near-threshold recall with the SAME signature table and the same
+    * (probe, key) equi-join shape — no new hash passes, no cross join;
+    * keys per doc grow from b to b·r. Any full-band agreement implies
+    * agreement on each of its leave-one-out keys, so the output is a
+    * strict superset of [[minhashLshPairs]] (spec'd). */
+  def minhashLshPairsMultiProbe(docs: DataFrame): DataFrame = {
+    val sigs = minhashSigTable(docs)
+    val keys = (for { j <- 0 until NumBands; l <- 0 until RowsPerBand }
+      yield {
+        val keyCols = (0 until RowsPerBand).filter(_ != l)
+          .map(r => element_at(col("sigs"), j * RowsPerBand + r + 1))
+        sigs.select(col("doc_id").as("id"),
+          lit(j * RowsPerBand + l).as("probe"),
+          concat_ws("_", keyCols: _*).as("key"))
+      }).reduce(_ unionAll _)
+    keys.as("x").join(keys.as("y"),
+        col("x.probe") === col("y.probe") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .distinct()
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   val SimhashBits = 16

@@ -218,6 +218,17 @@ class DedupTextSpec extends SparkSpec {
     assert(reshuffled === got)
   }
 
+  test("multi-probe minhash pairs are a superset of single-band pairs " +
+      "with higher candidate recall") {
+    import spark.implicits._
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    val single = pairSet(Dedup.minhashLshPairs(codes))
+    val multi = pairSet(Dedup.minhashLshPairsMultiProbe(codes))
+    assert(single.subsetOf(multi))
+    assert(multi.size >= single.size)
+  }
+
   test("Decontaminate.flags: bench docs self-flag; disjoint corpus clean") {
     import spark.implicits._
     val corpus = Seq(
