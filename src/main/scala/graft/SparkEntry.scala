@@ -1150,6 +1150,38 @@ object SparkEntry {
     acc.toSeq.toDF("doc_a", "doc_b").orderBy("doc_a", "doc_b")
   }
 
+  /** q99: streaming MinHash-LSH near-dup pairs over two micro-batches (odd
+    * doc_ids first), set-accumulated across bands — must equal the batch
+    * [[graft.operators.Dedup.minhashLshPairs]] result, so it shares q20's
+    * signature-replay oracle. Completes the streaming dedup family:
+    * exact (q61), SimHash (q84), embedding LSH (q85), MinHash (this). */
+  private def streamMinhashQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val acc = scala.collection.mutable.HashSet.empty[(Long, Long)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-minhash").toString
+    val q = graft.streaming.StreamingMinhash.attachLshPairs(stream, ckpt) {
+      b =>
+        val ps = b.select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        acc.synchronized { ps.foreach(acc += _) }
+    }
+    try {
+      val (odd, even) = rows.partition(_._1 % 2 == 1)
+      mem.addData(odd.toSeq)
+      q.processAllAvailable()
+      mem.addData(even.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    acc.toSeq.toDF("doc_a", "doc_b").orderBy("doc_a", "doc_b")
+  }
+
   /** q85: streaming multi-probe embedding near-dup over two micro-batches
     * (odd ids first), set-accumulated — must equal the batch
     * [[Dedup.embeddingNearDupLshMultiProbe]] pairs, so it shares q83's
@@ -1586,6 +1618,7 @@ object SparkEntry {
     "q96_decontaminate" -> (decontaminateQ _),
     "q97_repetition" -> (repetitionQ _),
     "q98_minhash_multiprobe" -> (minhashLshMpQ _),
+    "q99_stream_minhash" -> (streamMinhashQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1764,5 +1797,8 @@ object SparkEntry {
     "q97_repetition" -> OracleGenText.repetitionMetrics,
     // q98: leave-one-out band-key minhash probes, same sig arithmetic.
     "q98_minhash_multiprobe" -> OracleGenText.minhashLshPairsMultiProbe,
+    // q99: the streaming MinHash-LSH pair stream ≡ the batch operator,
+    // certified against the same signature-replay SQL as q20.
+    "q99_stream_minhash" -> OracleGenText.minhashLshPairs,
   )
 }

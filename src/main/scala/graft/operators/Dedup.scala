@@ -54,24 +54,31 @@ object Dedup {
     require(n == 2 || n == 3, s"shingle order $n not in {2, 3}")
     val spark = docs.sparkSession
     import spark.implicits._
+    val order = n
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val toks = text.split(" ", -1)
-        @inline def tc(t: String): Long =
-          (if (t.isEmpty) 0L else t.codePointAt(0).toLong) * 100L + t.length
-        val codes = new java.util.LinkedHashSet[Long]()
-        var i = 0
-        while (i < toks.length - (n - 1)) {
-          var c = tc(toks(i))
-          var j = 1
-          while (j < n) { c = c * 100003L + tc(toks(i + j)); j += 1 }
-          codes.add(c)
-          i += 1
-        }
-        import scala.jdk.CollectionConverters._
-        (id, codes.asScala.toSeq)
-      }.toDF("id", "codes")
+      .map { case (id, text) => (id, shingleCodesOf(text, order)) }
+      .toDF("id", "codes")
+  }
+
+  /** Row kernel behind [[shingleCodeTable]]: the distinct n-gram Horner
+    * codes of one text, insertion-ordered. Shared by the streaming twin so
+    * stream and batch signatures are bit-identical. */
+  def shingleCodesOf(text: String, n: Int): Seq[Long] = {
+    val toks = text.split(" ", -1)
+    @inline def tc(t: String): Long =
+      (if (t.isEmpty) 0L else t.codePointAt(0).toLong) * 100L + t.length
+    val codes = new java.util.LinkedHashSet[Long]()
+    var i = 0
+    while (i < toks.length - (n - 1)) {
+      var c = tc(toks(i))
+      var j = 1
+      while (j < n) { c = c * 100003L + tc(toks(i + j)); j += 1 }
+      codes.add(c)
+      i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    codes.asScala.toSeq
   }
 
   /** Prefix-filtered Jaccard join (ppjoin-lite) — the 100 TB path. Each doc
@@ -271,23 +278,29 @@ object Dedup {
   def minhashSigTable(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val params = minhashParams.toArray
-    val p = MinhashP
     docs.select(col("id").cast("long"), col("codes").cast("array<bigint>"))
       .as[(Long, Seq[Long])]
-      .map { case (id, cs) =>
-        val sigs = Array.fill(params.length)(Long.MaxValue)
-        cs.foreach { c =>
-          var i = 0
-          while (i < params.length) {
-            val (a, b) = params(i)
-            val v = (a * c + b) % p
-            if (v < sigs(i)) sigs(i) = v
-            i += 1
-          }
-        }
-        (id, sigs.toSeq)
-      }.toDF("doc_id", "sigs")
+      .map { case (id, cs) => (id, minhashSigsOf(cs).toSeq) }
+      .toDF("doc_id", "sigs")
+  }
+
+  /** Row kernel behind [[minhashSigTable]]: the H minhash values of one
+    * shingle-code set (affine hashes mod MinhashP, min-folded). Shared by
+    * the streaming twin. */
+  def minhashSigsOf(cs: Seq[Long]): Array[Long] = {
+    val params = minhashParams.toArray
+    val p = MinhashP
+    val sigs = Array.fill(params.length)(Long.MaxValue)
+    cs.foreach { c =>
+      var i = 0
+      while (i < params.length) {
+        val (a, b) = params(i)
+        val v = (a * c + b) % p
+        if (v < sigs(i)) sigs(i) = v
+        i += 1
+      }
+    }
+    sigs
   }
 
   /** docs(id, codes) → exploded (doc_id, i, sig) signature table. */
