@@ -145,6 +145,21 @@ object DedupBench {
     stage("jaccard3-prefix")(tJac3)
     codes3.unpersist()
 
+    // dedup-group formation: star-contraction components over the union of
+    // the wide-simhash and minhash pair sets (the full pipeline's "pairs →
+    // groups → keep flags" tail), measured with rounds-to-convergence
+    val (ccStats, tCc) = time {
+      val pairs = Dedup.simhashWidePairs(
+          docs.select(col("doc_id"), TextAnalysis.tokens(col("text"))
+            .as("toks")), maxHamming = 3, nBands = 4)
+        .unionByName(Dedup.minhashLshPairs(codes)).distinct()
+      val (comps, rounds) =
+        graft.operators.Components.connectedComponentsRounds(pairs)
+      val nGroups = comps.agg(countDistinct("comp")).head().getLong(0)
+      (comps.count(), nGroups, rounds)
+    }
+    stage("components")(tCc)
+
     val exactDupDocs = n / 17 // sanity floor: planted verbatim copies
     println(s"""{"experiment":"dedup_bench","n_docs":$n,"vocab":$vocab,""" +
       s""""first_chars":$firstChars,""" +
@@ -156,6 +171,8 @@ object DedupBench {
       s""""jaccard_prefix_sec":$tJac,"jaccard_pairs":$nJac,""" +
       s""""shingle3_prep_sec":$tCodes3,""" +
       s""""jaccard3_prefix_sec":$tJac3,"jaccard3_pairs":$nJac3,""" +
+      s""""components_sec":$tCc,"dup_nodes":${ccStats._1},""" +
+      s""""dup_groups":${ccStats._2},"cc_rounds":${ccStats._3},""" +
       s""""planted_exact_dups":$exactDupDocs}""")
     codes.unpersist()
     spark.stop()
