@@ -162,6 +162,42 @@ object OracleGenText {
        |  CAST(coalesce(topc, 0) AS BIGINT) AS top_gram_cnt
        |FROM g LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** The q100 oracle: PII scan over the deterministically PII-enriched
+    * corpus (phones on doc_id % 5, emails on % 7, URLs on % 11 — same
+    * concat arithmetic Spark-side), counts + redacted text with the same
+    * patterns and the same replacement order. DuckDB regexp_replace needs
+    * the explicit 'g' flag to match Spark's replace-all. */
+  def piiScan: String = {
+    // single-quoted DuckDB literals pass backslashes through verbatim, so
+    // the Scala pattern strings embed unchanged
+    val email = TextAnalysis.EmailPattern
+    val phone = TextAnalysis.PhonePattern
+    val url = TextAnalysis.UrlPattern
+    s"""WITH mixed AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' call ' ||
+       |      CAST(10 + doc_id % 90 AS VARCHAR) || '-' ||
+       |      CAST(100 + doc_id % 900 AS VARCHAR) || '-' ||
+       |      CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0
+       |      THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0
+       |      THEN ' see https://ex.com/d/' || CAST(doc_id AS VARCHAR)
+       |      ELSE '' END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone,
+       |  CAST(len(regexp_extract_all(t, '$url')) AS BIGINT) AS n_url,
+       |  regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$email', '<EMAIL>', 'g'),
+       |    '$url', '<URL>', 'g'),
+       |    '$phone', '<PHONE>', 'g') AS redacted
+       |FROM mixed ORDER BY doc_id""".stripMargin
+  }
+
   def ngramJaccardPairs(threshold: Double): String =
     s"""WITH t AS ($toksCte),
        |g AS (SELECT doc_id, codes AS gs FROM ($codesCte)),

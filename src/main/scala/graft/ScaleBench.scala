@@ -88,7 +88,7 @@ object ScaleBench {
       r.count(); r
     }
     val lvRecall = lvRes.intersect(truth).count().toDouble / (k.toLong * nq)
-    lvRes.unpersist(); truth.unpersist()
+    lvRes.unpersist()
 
     // IVF: 256 centroids from a deterministic sample, 8 probes
     val cents0 = data.filter(col("id") % (n / 256) === 0)
@@ -103,6 +103,56 @@ object ScaleBench {
     val (_, tIvf) = time {
       IvfIndex.search(queries, stored, cents, k, nProbes = 8,
         Metric.L2).count() }
+
+    // IVF∘LeanVec layout (q92's path at 1M): the composition where the r/d
+    // byte cut applies to the DOMINANT pass — coarse scan AND rerank are
+    // both partition-pruned to the probed clusters, unlike the full-table
+    // rerank of the two-pass scan above. Written + reopened from disk so
+    // the measurement includes the layout's scan shape. Probed twice:
+    // on the raw ISOTROPIC uniform data (no low-rank structure — LeanVec's
+    // documented worst case, recall ≈ floor) and on an ANISOTROPIC twin
+    // (per-dim exp decay, intrinsic dim ≪ d — the embedding-like case the
+    // reference deploys LeanVec for).
+    import graft.operators.{IndexLayout, LeanVec => LV}
+    def layoutProbe(dataX: org.apache.spark.sql.DataFrame,
+                    queriesX: org.apache.spark.sql.DataFrame,
+                    tag: String): (Double, Double, Double) = {
+      val truthX = FlatKnn.search(queriesX, dataX, k, Metric.L2)
+        .select("query_id", "neighbor_id").cache()
+      truthX.count()
+      val init = dataX.filter(col("id") % (n / 256) === 0)
+        .limit(256).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+        .toIndexedSeq
+      val centsX = KMeans.lloyd(dataX.sample(0.05, seed = 7), init,
+        iters = 2, dims)
+      val (layout, tw) = time {
+        val m = LV.train(dataX, rDims = 16)
+        val p = s"/tmp/graft_scale_leanvec_ivf_$tag"
+        IndexLayout.write(KMeans.assign(dataX, centsX), centsX, p,
+          IndexLayout.LeanVecC(m))
+        IndexLayout.open(spark, p)
+      }
+      val (res, ts) = time {
+        val r = IndexLayout.search(layout, queriesX, k, nProbes = 8,
+            Metric.L2, kReorder = 8)
+          .select("query_id", "neighbor_id").cache()
+        r.count(); r
+      }
+      val rec = res.intersect(truthX).count().toDouble / (k.toLong * nq)
+      res.unpersist(); truthX.unpersist()
+      (tw, ts, rec)
+    }
+    val (tLvIvfWrite, tLvIvf, lvIvfRecall) = layoutProbe(data, queries, "iso")
+    // anisotropic twin: dim j scaled by exp(-j/8) — top ~16 dims carry
+    // nearly all variance, the regime dimensionality reduction assumes
+    def decay(vecCol: String) = transform(col(vecCol),
+      (x, i) => x * exp(i.cast("double") * lit(-0.125)))
+    val dataA = data.select(col("id"), decay("vec").as("vec"))
+    val queriesA = queries.select(col("query_id"), decay("qvec").as("qvec"))
+    val (tLvIvfWriteA, tLvIvfA, lvIvfRecallA) =
+      layoutProbe(dataA, queriesA, "aniso")
+    truth.unpersist()
 
     // Vamana at scale: size-bounded sharding (splitOversized enforces the
     // per-task cap) + batched-parallel graph build per shard — the exact
@@ -134,6 +184,12 @@ object ScaleBench {
       s""""leanvec_recall":$lvRecall,""" +
       s""""kmeans_train_sec":$tTrain,"partition_write_sec":$tPart,""" +
       s""""ivf_search_sec":$tIvf,""" +
+      s""""leanvec_ivf_write_sec":$tLvIvfWrite,""" +
+      s""""leanvec_ivf_search_sec":$tLvIvf,""" +
+      s""""leanvec_ivf_recall":$lvIvfRecall,""" +
+      s""""leanvec_ivf_aniso_write_sec":$tLvIvfWriteA,""" +
+      s""""leanvec_ivf_aniso_search_sec":$tLvIvfA,""" +
+      s""""leanvec_ivf_aniso_recall":$lvIvfRecallA,""" +
       s""""vamana_split_sec":$tSplit,"vamana_shards":${splitCents.length},""" +
       s""""vamana_build_sec":$tBuild,"vamana_search_sec":$tVamana}""")
 

@@ -279,6 +279,29 @@ object SparkEntry {
   private def repetitionQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionMetrics(docs(s, dir)).orderBy("doc_id")
 
+  /** q100: PII scan + redaction over a deterministically PII-enriched
+    * corpus (synthetic phone/email/URL spliced onto doc_id % 5/7/11 — the
+    * parquet fixtures carry no PII, so the query plants some the oracle
+    * replays exactly); counts AND the redacted text are hash-certified,
+    * pinning pattern semantics and replacement order across engines. */
+  private def piiScanQ(s: SparkSession, dir: String): DataFrame = {
+    val mixed = docs(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 5 === 0, concat(lit(" call "),
+          (lit(10) + col("doc_id") % 90).cast("string"), lit("-"),
+          (lit(100) + col("doc_id") % 900).cast("string"), lit("-"),
+          (lit(1000) + col("doc_id") % 9000).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit(" mail u"),
+          col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, concat(lit(" see https://ex.com/d/"),
+          col("doc_id").cast("string"))).otherwise(lit("")))
+        .as("text"))
+    TextAnalysis.piiScan(mixed).orderBy("doc_id")
+  }
+
   private def minhashSigsQ(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(docCodes(s, dir)).orderBy("doc_id", "i")
 
@@ -1619,6 +1642,7 @@ object SparkEntry {
     "q97_repetition" -> (repetitionQ _),
     "q98_minhash_multiprobe" -> (minhashLshMpQ _),
     "q99_stream_minhash" -> (streamMinhashQ _),
+    "q100_pii_scan" -> (piiScanQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1800,5 +1824,7 @@ object SparkEntry {
     // q99: the streaming MinHash-LSH pair stream ≡ the batch operator,
     // certified against the same signature-replay SQL as q20.
     "q99_stream_minhash" -> OracleGenText.minhashLshPairs,
+    // q100: PII counts + redacted text, same patterns and replace order.
+    "q100_pii_scan" -> OracleGenText.piiScan,
   )
 }

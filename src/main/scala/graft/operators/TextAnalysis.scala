@@ -117,6 +117,36 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(bpeTokens(text)).cast("long")
 
+  // ---- PII scan ---------------------------------------------------------
+
+  /** Portable PII patterns (identical semantics under Java regex and RE2 —
+    * no lookaround, no backreferences): the scrubbing pass every published
+    * corpus pipeline runs before training (e.g. the email/phone/URL
+    * removal described in the C4 and Dolma dataset papers). */
+  val EmailPattern = "[A-Za-z0-9._]+@[A-Za-z0-9.]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]+(-[0-9]+){2,}"
+  val UrlPattern = "https?://[^ ]+"
+
+  /** Per-document PII counts + the redacted text (emails → `<EMAIL>`, then
+    * URLs → `<URL>`, then phone-shaped digit runs → `<PHONE>`; replacement
+    * order is part of the contract — an email inside a URL redacts as
+    * email first). Pure codegen'd regexp expressions next to the scan —
+    * the 100 TB pass is one map over the corpus, no shuffle. */
+  def piiScan(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def cnt(p: String) =
+      size(regexp_extract_all(t, lit(p), lit(0))).cast("long")
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      cnt(EmailPattern).as("n_email"),
+      cnt(PhonePattern).as("n_phone"),
+      cnt(UrlPattern).as("n_url"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        EmailPattern, "<EMAIL>"),
+        UrlPattern, "<URL>"),
+        PhonePattern, "<PHONE>").as("redacted"))
+  }
+
   /** Gopher-style repetition metrics (the duplicate-text quality filters of
     * Rae et al. 2021's data pipeline): per document, the duplicate-token
     * fraction, the duplicate-2-gram fraction (both floored to milli-units)

@@ -246,6 +246,21 @@ class DedupTextSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("piiScan: counts and ordered redaction on hand-built text") {
+    import spark.implicits._
+    val in = Seq(
+      (0L, "reach me at bob.smith@corp.example or 12-345-6789 ok"),
+      (1L, "see https://a.b/c?x=1 and mail root@a.io"),
+      (2L, "clean text only")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScan(in).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(got(0) == (0L, 1L, 1L, 0L, "reach me at <EMAIL> or <PHONE> ok"))
+    assert(got(1) == (1L, 1L, 0L, 1L, "see <URL> and mail <EMAIL>"))
+    assert(got(2) == (2L, 0L, 0L, 0L, "clean text only"))
+  }
+
   test("repetitionMetrics: hand-computed fractions and edge cases") {
     import spark.implicits._
     val in = Seq(
