@@ -92,6 +92,30 @@ class PlanSpec extends SparkSpec {
     assert(res.count() > 0)
   }
 
+  test("decontamination joins the corpus against a BROADCAST gram set — " +
+      "the 100 TB side is never shuffled") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val codes3 = Dedup.shingleCodeTable(docs, n = 3)
+    val out = Decontaminate.flags(codes3, codes3.filter(col("id") % 97 === 0))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    // the gram-hit join itself must not be a sort-merge join (the final
+    // per-doc left join against the tiny hit table may be anything)
+    val gramJoin = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("gram"))
+    assert(gramJoin.forall(!_.contains("SortMergeJoin")), gramJoin.toString)
+  }
+
+  test("piiScan is a single codegen'd map over the scan — no shuffle") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val out = TextAnalysis.piiScan(docs)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+    // "*(n)" is toString's whole-stage-codegen marker
+    assert(plan.contains("*(1)"), plan.take(800))
+  }
+
   test("flat kNN merge pre-limits per partition before the shuffle") {
     val q = Tables.embeddingQueries(spark, sfDir)
     val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
