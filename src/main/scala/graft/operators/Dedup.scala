@@ -95,30 +95,19 @@ object Dedup {
     * tiny vocabulary makes the candidate set near-quadratic). */
   val BitsetVocabMax = 4096
 
+  /** Corpus-size cap for the FULL bitset all-pairs sweep: up to this many
+    * docs, small-vocab inputs skip the prefix machinery entirely (the
+    * broadcast is ≤ ~100k × 512 B). Above it, small-vocab inputs still get
+    * prefix candidates with the bitset verify. */
+  val BitsetDocsMax = 100000L
+
   def jaccardPairsPrefix(docs: DataFrame, threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val inv = docs.select(col("id"), explode(col("grams")).as("g"))
     val dfreq = inv.groupBy("g").agg(count(lit(1)).as("df")).cache()
     val sz = docs.select(col("id"), size(col("grams")).as("sz"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("df"), col("g"))
-    // prefix length with integer arithmetic: sz - ceil(t*sz) + 1 for t=1/2^k
-    // generalized: ceil(t*sz) computed on doubles is exact for t with short
-    // binary expansions; keep double ceil (same in DuckDB)
-    // cached: the self-join consumes the prefix index twice and would
-    // otherwise recompute the explode + document-frequency aggregate + rank
-    // window once per branch (measured 39 s → 2 s at 5k docs without/with)
-    val pref = inv.join(dfreq, "g").join(sz, "id")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("id", "g")
-      .cache()
-    val cand = pref.as("x").join(pref.as("y"),
-        col("x.g") === col("y.g") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
-      .distinct()
-    // The bitset verify dictionary-encodes gram codes — only valid for
+    // The bitset paths dictionary-encode gram codes — only valid for
     // integral gram types (string n-grams take the array_intersect verify).
     val integralGrams = docs.schema("grams").dataType match {
       case org.apache.spark.sql.types.ArrayType(et, _) => et match {
@@ -137,6 +126,35 @@ object Dedup {
     val smallVocab = integralGrams &&
       inv.select("g").limit(65536).distinct().count() <= BitsetVocabMax &&
       dfreq.count() <= BitsetVocabMax
+    // Dense-vocab small corpus: prefix filtering cannot prune (JaccardProfile
+    // measured 7.9M candidates from 5k docs at 753 distinct shingles — the
+    // candidate shuffle IS the cost), so skip it wholesale and run the
+    // blocked bitset all-pairs sweep (proven ≡ in DedupTextSpec). Bounded:
+    // the doc-count probe pays limit(cap+1) rows, never a full count at
+    // scale, and only after smallVocab already held.
+    if (smallVocab &&
+        docs.select("id").limit(BitsetDocsMax.toInt + 1).count()
+          <= BitsetDocsMax) {
+      dfreq.unpersist(false)
+      return jaccardPairsBitset(docs, threshold)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("g"))
+    // prefix length with integer arithmetic: sz - ceil(t*sz) + 1 for t=1/2^k
+    // generalized: ceil(t*sz) computed on doubles is exact for t with short
+    // binary expansions; keep double ceil (same in DuckDB)
+    // cached: the self-join consumes the prefix index twice and would
+    // otherwise recompute the explode + document-frequency aggregate + rank
+    // window once per branch (measured 39 s → 2 s at 5k docs without/with)
+    val pref = inv.join(dfreq, "g").join(sz, "id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("id", "g")
+      .cache()
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .distinct()
     val verified = if (smallVocab) {
       // small shingle universe: prefix filtering cannot prune (every
       // "rare" shingle is still common), so the candidate set is
