@@ -658,4 +658,55 @@ object OracleGenText {
        |  CAST(sum(v) AS BIGINT) AS sum1,
        |  CAST(sum((1 + frame_idx) * v) AS BIGINT) AS sum_frame
        |FROM vals GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Shared CTE chain for the exact-substring queries: every width-`w`
+    * token window keyed by its literal substring, duplicated keys
+    * (count ≥ 2 corpus-wide), and the per-doc gaps-and-islands merge into
+    * maximal spans — the same window semantics SubstringDedup runs. */
+  private def dupSpanCtes(w: Int): String =
+    s"""t AS ($toksCte),
+       |p AS (SELECT doc_id, toks,
+       |  unnest(generate_series(1, len(toks) - ${w - 1})) AS pos FROM t),
+       |wn AS (SELECT doc_id, pos,
+       |  array_to_string(toks[pos:pos+${w - 1}], ' ') AS gram FROM p),
+       |d AS (SELECT gram FROM wn GROUP BY gram HAVING count(*) >= 2),
+       |dw AS (SELECT doc_id, pos, pos + ${w - 1} AS e
+       |  FROM wn SEMI JOIN d USING (gram)),
+       |g AS (SELECT doc_id, pos, e,
+       |  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
+       |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      -1) + 1 THEN 1 ELSE 0 END AS brk
+       |  FROM dw),
+       |isl AS (SELECT doc_id, pos, e,
+       |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM g),
+       |sp AS (SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+       |  FROM isl GROUP BY doc_id, grp)""".stripMargin
+
+  /** q101: maximal duplicated token spans (ExactSubstr relaxation). */
+  def dupSpans(w: Int): String =
+    s"""WITH ${dupSpanCtes(w)}
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(span_start AS BIGINT) AS span_start,
+       |  CAST(span_end AS BIGINT) AS span_end,
+       |  CAST(span_end - span_start + 1 AS BIGINT) AS span_len
+       |FROM sp ORDER BY doc_id, span_start""".stripMargin
+
+  /** q102: span removal — clean text with duplicated runs deleted; every
+    * doc appears (fully-removed docs keep an empty string). */
+  def dupSpanRemoval(w: Int): String =
+    s"""WITH ${dupSpanCtes(w)},
+       |tk0 AS (SELECT doc_id, toks,
+       |  unnest(generate_series(1, len(toks))) AS pos FROM t),
+       |tk AS (SELECT doc_id, pos, toks[pos] AS tok FROM tk0),
+       |cov AS (SELECT tk.doc_id, tk.pos, tk.tok,
+       |  (s.span_start IS NOT NULL) AS covered
+       |  FROM tk LEFT JOIN sp s ON tk.doc_id = s.doc_id
+       |    AND tk.pos BETWEEN s.span_start AND s.span_end)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  coalesce(string_agg(CASE WHEN NOT covered THEN tok END, ' '
+       |    ORDER BY pos), '') AS clean_text,
+       |  CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS removed_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_tokens
+       |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -302,6 +302,21 @@ object SparkEntry {
     TextAnalysis.piiScan(mixed).orderBy("doc_id")
   }
 
+  /** q101: exact-substring dedup (Lee et al. ACL'22, rolling-window
+    * relaxation) — maximal token spans duplicated anywhere in the corpus.
+    * The span-level pass document-level dedup misses: boilerplate and
+    * quoted passages shared between docs that are not near-duplicates. */
+  private def dupSpansQ(s: SparkSession, dir: String): DataFrame =
+    SubstringDedup.duplicateSpans(docs(s, dir))
+      .orderBy("doc_id", "span_start")
+
+  /** q102: span REMOVAL — the corpus rewritten with duplicated runs
+    * deleted; clean text, removed and total token counts all
+    * hash-certified (pins tokenization, span boundaries, and
+    * reconstruction order across engines). */
+  private def dupSpanRemovalQ(s: SparkSession, dir: String): DataFrame =
+    SubstringDedup.removeSpans(docs(s, dir)).orderBy("doc_id")
+
   private def minhashSigsQ(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(docCodes(s, dir)).orderBy("doc_id", "i")
 
@@ -1643,6 +1658,8 @@ object SparkEntry {
     "q98_minhash_multiprobe" -> (minhashLshMpQ _),
     "q99_stream_minhash" -> (streamMinhashQ _),
     "q100_pii_scan" -> (piiScanQ _),
+    "q101_dup_spans" -> (dupSpansQ _),
+    "q102_dup_span_removal" -> (dupSpanRemovalQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1826,5 +1843,11 @@ object SparkEntry {
     "q99_stream_minhash" -> OracleGenText.minhashLshPairs,
     // q100: PII counts + redacted text, same patterns and replace order.
     "q100_pii_scan" -> OracleGenText.piiScan,
+    // q101/q102: ExactSubstr span dedup — window keys are literal w-token
+    // substrings, so the oracle replays them with list slicing; the
+    // gaps-and-islands merge uses identical window-function semantics.
+    "q101_dup_spans" -> OracleGenText.dupSpans(SubstringDedup.DefaultW),
+    "q102_dup_span_removal" ->
+      OracleGenText.dupSpanRemoval(SubstringDedup.DefaultW),
   )
 }
