@@ -160,6 +160,29 @@ object DedupBench {
     }
     stage("components")(tCc)
 
+    // exact-substring span dedup at full corpus size: window keying +
+    // dup-key semi-join + per-doc island merge (the q101 scale path; the
+    // planted verbatim copies guarantee whole-doc spans, the near-dup
+    // perturbations leave shorter shared runs between edits)
+    val (ssStats, tSs) = time {
+      val sp = graft.operators.SubstringDedup
+        .duplicateSpans(docs, w = 20).cache()
+      val nSpans = sp.count()
+      val nDocs = sp.select(countDistinct("doc_id")).head().getLong(0)
+      sp.unpersist(false)
+      (nSpans, nDocs)
+    }
+    stage("substring-spans")(tSs)
+
+    // hashed window keys: identical span output (xxhash64 collisions are
+    // 2^-64 per co-partitioned pair), 8-byte shuffle keys instead of the
+    // ~140-byte gram strings
+    val (nSpansH, tSsH) = time {
+      graft.operators.SubstringDedup
+        .duplicateSpans(docs, w = 20, hashKeys = true).count()
+    }
+    stage("substring-spans-hash")(tSsH)
+
     val exactDupDocs = n / 17 // sanity floor: planted verbatim copies
     println(s"""{"experiment":"dedup_bench","n_docs":$n,"vocab":$vocab,""" +
       s""""first_chars":$firstChars,""" +
@@ -173,6 +196,9 @@ object DedupBench {
       s""""jaccard3_prefix_sec":$tJac3,"jaccard3_pairs":$nJac3,""" +
       s""""components_sec":$tCc,"dup_nodes":${ccStats._1},""" +
       s""""dup_groups":${ccStats._2},"cc_rounds":${ccStats._3},""" +
+      s""""substring_spans_sec":$tSs,"substring_spans":${ssStats._1},""" +
+      s""""substring_span_docs":${ssStats._2},""" +
+      s""""substring_spans_hash_sec":$tSsH,"substring_spans_hash":$nSpansH,""" +
       s""""planted_exact_dups":$exactDupDocs}""")
     codes.unpersist()
     spark.stop()

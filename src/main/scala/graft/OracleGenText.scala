@@ -140,6 +140,34 @@ object OracleGenText {
        |FROM documents d LEFT JOIN h USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q103: fuzzy (MinHash-LSH) decontamination — q96's scale twin. Same
+    * benchmark subset rule and flag shape; hit = band-key collision with
+    * any benchmark doc, replaying q20's signature and band arithmetic. */
+  def decontaminationFuzzyFlags: String = {
+    val sel = sigExprs.mkString(",\n  ")
+    val bands = (0 until Dedup.NumBands).map { j =>
+      val key = (0 until Dedup.RowsPerBand)
+        .map(r => s"sig${j * Dedup.RowsPerBand + r}")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $j AS band, $key AS key FROM s"
+    }.mkString("\nUNION ALL ")
+    s"""WITH t AS ($toksCte),
+       |c AS ($codesCte),
+       |s AS (SELECT doc_id,
+       |  $sel
+       |FROM c),
+       |bands AS ($bands),
+       |bench AS (SELECT DISTINCT band, key FROM bands WHERE doc_id % 97 = 0),
+       |h AS (SELECT b.doc_id, count(*) AS band_hits
+       |  FROM bands b JOIN bench USING (band, key) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(h.band_hits, 0) AS BIGINT) AS band_hits,
+       |  CAST(CASE WHEN coalesce(h.band_hits, 0) > 0 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS contaminated
+       |FROM documents d LEFT JOIN h USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** The q97 oracle: Gopher-style repetition metrics — duplicate-token and
     * duplicate-2-gram milli-fractions and the top-2-gram occurrence count
     * (identical double arithmetic: 1000.0 * intDiff / intTotal, floored). */

@@ -274,6 +274,15 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** q103: FUZZY decontamination — q96's scale twin: corpus docs flagged
+    * when near-duplicate (MinHash band collision) to a benchmark doc, the
+    * fuzzy variant of the GPT-3-appendix recipe. Benchmark band keys
+    * broadcast; the corpus side never shuffles raw text. */
+  private def decontaminateFuzzyQ(s: SparkSession, dir: String): DataFrame =
+    Decontaminate.fuzzyFlags(docCodes(s, dir),
+        docCodes(s, dir).filter(col("id") % 97 === 0))
+      .orderBy("doc_id")
+
   /** q97: Gopher-style repetition quality filters — duplicate-token /
     * duplicate-2-gram milli-fractions + top-2-gram count per doc. */
   private def repetitionQ(s: SparkSession, dir: String): DataFrame =
@@ -1660,6 +1669,7 @@ object SparkEntry {
     "q100_pii_scan" -> (piiScanQ _),
     "q101_dup_spans" -> (dupSpansQ _),
     "q102_dup_span_removal" -> (dupSpanRemovalQ _),
+    "q103_decontaminate_fuzzy" -> (decontaminateFuzzyQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1849,5 +1859,8 @@ object SparkEntry {
     "q101_dup_spans" -> OracleGenText.dupSpans(SubstringDedup.DefaultW),
     "q102_dup_span_removal" ->
       OracleGenText.dupSpanRemoval(SubstringDedup.DefaultW),
+    // q103: fuzzy decontamination — band-collision flags vs the q96
+    // benchmark subset, replaying q20's minhash band arithmetic.
+    "q103_decontaminate_fuzzy" -> OracleGenText.decontaminationFuzzyFlags,
   )
 }

@@ -149,10 +149,24 @@ object Dedup {
     val pref = inv.join(dfreq, "g").join(sz, "id")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("id", "g")
+      .select("id", "g", "sz", "rn")
       .cache()
+    // ppjoin prunes on top of the prefix match, both evaluated inside the
+    // equi-join before the distinct (so pruned pairs never shuffle):
+    // - length filter: J ≥ t forces t·sz_a ≤ sz_b ≤ sz_a/t
+    // - positional filter: all common grams sit at rank ≥ rn in each doc's
+    //   (df, g)-sorted list, so overlap ≤ 1 + min(sz−rn); a qualifying pair
+    //   needs overlap ≥ t/(1+t)·(sz_a+sz_b), and at the pair's FIRST common
+    //   prefix gram the bound is loosest — any J ≥ t pair survives there,
+    //   so filtering per match then distinct keeps a superset of true pairs
+    val minOverlap =
+      ceil(lit(threshold / (1 + threshold)) * (col("x.sz") + col("y.sz")))
     val cand = pref.as("x").join(pref.as("y"),
-        col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+        col("x.g") === col("y.g") && col("x.id") < col("y.id") &&
+        lit(threshold) * col("x.sz") <= col("y.sz") &&
+        lit(threshold) * col("y.sz") <= col("x.sz") &&
+        least(col("x.sz") - col("x.rn"), col("y.sz") - col("y.rn")) + 1 >=
+          minOverlap)
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .distinct()
     val verified = if (smallVocab) {
@@ -328,17 +342,24 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("long").as("i"),
         col("col").as("sig"))
 
-  /** LSH candidate pairs: docs sharing any band (band = RowsPerBand
-    * consecutive sigs). The only shuffle is on (band, key) — the classic
-    * scale path. */
-  def minhashLshPairs(docs: DataFrame): DataFrame = {
+  /** docs(id, codes) → (id, band, key): each doc's NumBands LSH band keys
+    * (band = RowsPerBand consecutive sigs, '_'-joined). The shared keying
+    * behind the pair join and the fuzzy-decontamination semi-join. */
+  def minhashBandKeys(docs: DataFrame): DataFrame = {
     val sigs = minhashSigTable(docs)
-    val bands = (0 until NumBands).map { j =>
+    (0 until NumBands).map { j =>
       val keyCols = (1 to RowsPerBand)
         .map(r => element_at(col("sigs"), j * RowsPerBand + r))
       sigs.select(col("doc_id").as("id"), lit(j).as("band"),
         concat_ws("_", keyCols: _*).as("key"))
     }.reduce(_ unionAll _)
+  }
+
+  /** LSH candidate pairs: docs sharing any band (band = RowsPerBand
+    * consecutive sigs). The only shuffle is on (band, key) — the classic
+    * scale path. */
+  def minhashLshPairs(docs: DataFrame): DataFrame = {
+    val bands = minhashBandKeys(docs)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))

@@ -60,12 +60,24 @@ object SubstringDedup {
     * (across docs or repeated within one). */
   def duplicateSpans(docs: DataFrame, w: Int = DefaultW,
                      idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text",
+                     hashKeys: Boolean = false): DataFrame = {
     val win = windows(docs, w, idCol, textCol)
-    // duplicated keys: total occurrences ≥ 2 (map-side partial count)
-    val dup = win.groupBy("gram").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2).select("gram")
-    val marked = win.join(dup, Seq("gram"), "left_semi")
+    // hashKeys: the 100 TB lever — shuffle an 8-byte fingerprint instead of
+    // the ~w·token_len gram string (a false dup window needs an xxhash64
+    // collision among co-partitioned keys; at 2^-64 per pair it never
+    // decides a corpus). The certified queries keep string keys, which the
+    // oracle replays exactly; DedupBench measures both.
+    val keyed =
+      if (hashKeys) win.select(col("id"), col("pos"),
+        xxhash64(col("gram")).as("k"))
+      else win.withColumnRenamed("gram", "k")
+    // duplicated keys via one partition-count window — a single shuffle on
+    // the key, replacing the groupBy + semi-join pair (which re-evaluated
+    // the explode subtree on both sides and shuffled it twice)
+    val marked = keyed
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("k")))
+      .filter(col("cnt") >= 2)
       .select(col("id"), col("pos"), (col("pos") + w - 1).as("e"))
     // gaps-and-islands interval merge, per doc: a window starts a new span
     // iff its start exceeds the running max end of its predecessors + 1
@@ -94,8 +106,9 @@ object SubstringDedup {
     * and docs shorter than `w` (untouched). */
   def removeSpans(docs: DataFrame, w: Int = DefaultW,
                   idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
-    val spans = duplicateSpans(docs, w, idCol, textCol)
+                  textCol: String = "text",
+                  hashKeys: Boolean = false): DataFrame = {
+    val spans = duplicateSpans(docs, w, idCol, textCol, hashKeys)
       .select(col("doc_id").as("sid"), col("span_start"), col("span_end"))
     val toks = docs
       .select(col(idCol).cast("long").as("id"),

@@ -246,6 +246,27 @@ class DedupTextSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("Decontaminate.fuzzyFlags: verbatim copy hits all bands; " +
+      "exact gram-hit flags are a superset of fuzzy flags on the corpus") {
+    import spark.implicits._
+    // a corpus doc that IS a benchmark doc shares every minhash sig, so
+    // every band key collides: band_hits == NumBands deterministically
+    val bench = codes.filter(col("id") === 7L)
+    val fuzzy = graft.operators.Decontaminate.fuzzyFlags(codes, bench)
+    val self = fuzzy.filter(col("doc_id") === 7L).head()
+    assert(self.getLong(1) == Dedup.NumBands.toLong &&
+      self.getLong(2) == 1L)
+    // a band collision needs RowsPerBand simultaneous sig matches — far
+    // stronger evidence than sharing ONE gram, so fuzzy-flagged docs must
+    // be a subset of the exact gram-hit flags against the same bench set
+    val exact = graft.operators.Decontaminate.flags(codes, bench)
+    val fuzzyIds = fuzzy.filter(col("contaminated") === 1L)
+      .select("doc_id").as[Long].collect().toSet
+    val exactIds = exact.filter(col("contaminated") === 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fuzzyIds.subsetOf(exactIds), s"fuzzy-only: ${fuzzyIds -- exactIds}")
+  }
+
   test("piiScan: counts and ordered redaction on hand-built text") {
     import spark.implicits._
     val in = Seq(

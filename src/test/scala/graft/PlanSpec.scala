@@ -107,6 +107,20 @@ class PlanSpec extends SparkSpec {
     assert(gramJoin.forall(!_.contains("SortMergeJoin")), gramJoin.toString)
   }
 
+  test("fuzzy decontamination joins corpus band keys against a BROADCAST " +
+      "benchmark key set — the 100 TB side is never sort-merge joined") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val codes2 = Dedup.shingleCodeTable(docs, n = 2)
+    val out = Decontaminate.fuzzyFlags(codes2,
+      codes2.filter(col("id") % 97 === 0))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // the (band, key) collision join must not sort-merge the corpus side
+    val keyJoin = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("band"))
+    assert(keyJoin.forall(!_.contains("SortMergeJoin")), keyJoin.toString)
+  }
+
   test("piiScan is a single codegen'd map over the scan — no shuffle") {
     val docs = Tables.table(spark, sfDir, "documents")
     val out = TextAnalysis.piiScan(docs)

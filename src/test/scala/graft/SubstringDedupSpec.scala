@@ -74,6 +74,13 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("hashKeys variant is span-identical to string keys on the corpus") {
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+    val s1 = SubstringDedup.duplicateSpans(docs)
+    val s2 = SubstringDedup.duplicateSpans(docs, hashKeys = true)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+  }
+
   test("corpus invariants at sfDir: spans within bounds, removal total") {
     val docs = graft.core.Tables.table(spark, sfDir, "documents")
     val sp = SubstringDedup.duplicateSpans(docs).cache()
