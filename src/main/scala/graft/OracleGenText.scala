@@ -342,6 +342,30 @@ object OracleGenText {
        |WHERE ${cosine("a.v", "b.v")} >= $threshold
        |ORDER BY 1, 2""".stripMargin
 
+  /** q104: SemDeDup — k-means-blocked semantic dedup. Assignment replays
+    * the NearestCentroid arithmetic (L2 ASC, cid ASC tie-break, the q06
+    * contract); within a cluster dup_of = min smaller id at cosine ≥ t. */
+  def semanticDedup(threshold: Double, every: Int, k: Int): String = {
+    val l2 = graft.core.Metric.L2
+    s"""WITH e AS (SELECT vec_id AS id, ${embCols("v")} FROM embeddings),
+       |cents AS (SELECT CAST(vec_id // $every AS BIGINT) AS cid, ${embCols("c")}
+       |  FROM embeddings WHERE vec_id % $every = 0 AND vec_id < ${every * k}),
+       |assign AS (SELECT id, cid AS cluster_id FROM (
+       |  SELECT e.id, c.cid,
+       |    row_number() OVER (PARTITION BY e.id
+       |      ORDER BY ${l2.sqlExpr("e.v", "c.c", Tables.embDims)} ASC, c.cid ASC)
+       |      AS rn
+       |  FROM e CROSS JOIN cents c) WHERE rn = 1),
+       |ea AS (SELECT e.*, a.cluster_id FROM e JOIN assign a USING (id)),
+       |dup AS (SELECT x.id, min(y.id) AS dup_of
+       |  FROM ea x JOIN ea y ON x.cluster_id = y.cluster_id AND y.id < x.id
+       |  WHERE ${cosine("x.v", "y.v")} >= $threshold GROUP BY x.id)
+       |SELECT a.id, CAST(a.cluster_id AS BIGINT) AS cluster_id,
+       |  CAST(coalesce(dup.dup_of, -1) AS BIGINT) AS dup_of,
+       |  CAST(CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM assign a LEFT JOIN dup USING (id) ORDER BY a.id""".stripMargin
+  }
+
   def embNearDupLsh(threshold: Double): String = {
     val dot = (0 until Tables.embDims)
       .map(i => s"e.v$i * p.v$i").mkString(" + ")

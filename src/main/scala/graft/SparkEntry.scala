@@ -383,6 +383,27 @@ object SparkEntry {
         lshPlanes(s, dir), CosineT)
       .orderBy("id_a", "id_b")
 
+  /** q104 centroids: 8 deterministic seed rows (every 37th embedding below
+    * 296), cid = id/37 — oracle-replayable like [[lshPlanes]]. */
+  private val SemEvery = 37
+  private val SemK = 8
+  private def semanticCentroids(s: SparkSession,
+                                dir: String): Seq[(Long, Seq[Double])] =
+    embVectors(s, dir)
+      .filter(col("id") % SemEvery === 0 && col("id") < SemEvery * SemK)
+      .select("id", "vec").collect()
+      .map(r => (r.getLong(0) / SemEvery, r.getSeq[Double](1).toIndexedSeq))
+      .toIndexedSeq.sortBy(_._1)
+
+  /** q104: SemDeDup — semantic dedup with k-means blocking: the cosine
+    * comparison runs only within a cluster, the scale path for embedding
+    * dedup (vs q22's all-pairs). Assignment is the certified
+    * NearestCentroid codegen map; keep-first semantics per cluster. */
+  private def semanticDedupQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(embVectors(s, dir).select("id", "vec"),
+        semanticCentroids(s, dir), CosineT)
+      .orderBy("id")
+
   // ---- Vamana graph index (J2/B1-B4) over label-sharded embeddings --------
 
   private val VamanaProbes = 3
@@ -1670,6 +1691,7 @@ object SparkEntry {
     "q101_dup_spans" -> (dupSpansQ _),
     "q102_dup_span_removal" -> (dupSpanRemovalQ _),
     "q103_decontaminate_fuzzy" -> (decontaminateFuzzyQ _),
+    "q104_semantic_dedup" -> (semanticDedupQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1862,5 +1884,9 @@ object SparkEntry {
     // q103: fuzzy decontamination — band-collision flags vs the q96
     // benchmark subset, replaying q20's minhash band arithmetic.
     "q103_decontaminate_fuzzy" -> OracleGenText.decontaminationFuzzyFlags,
+    // q104: SemDeDup — cluster-blocked semantic dedup, q06's assignment
+    // contract + q22's cosine arithmetic.
+    "q104_semantic_dedup" ->
+      OracleGenText.semanticDedup(CosineT, SemEvery, SemK),
   )
 }

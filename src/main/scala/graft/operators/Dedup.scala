@@ -548,4 +548,36 @@ object Dedup {
         >= threshold)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup — the
+    * k-means partition turns the quadratic cosine comparison into
+    * per-cluster blocks, the standard way the embedding-dedup stage of a
+    * pretraining pipeline survives web scale (cross-cluster near-dups are
+    * the accepted recall loss; centroid count tunes block size). Within a
+    * cluster a doc is a semantic duplicate when some SMALLER-id cluster-mate
+    * has cosine ≥ threshold ("keep first" — deterministic, order-free).
+    *
+    * Output per doc: (id, cluster_id, dup_of, keep) with dup_of the minimum
+    * such partner id (−1 when none) and keep = [dup_of = −1].
+    *
+    * 100 TB shape: assignment is a codegen'd map over the scan
+    * ([[KMeans.assignColumn]], centroid literals broadcast in the closure);
+    * the only shuffle keys on cluster_id. Per-cluster work is
+    * (n/K)²·d — K grows with the corpus to hold block size constant, and a
+    * hot cluster is exactly the skew-join case AQE splits. */
+  def semanticDedup(data: DataFrame, centroids: Seq[(Long, Seq[Double])],
+                    threshold: Double): DataFrame = {
+    val a = data.select(col("id"), col("vec"),
+      KMeans.assignColumn(col("vec"), centroids).as("cluster_id"))
+    val dup = a.as("x").join(a.as("y"),
+        col("x.cluster_id") === col("y.cluster_id") &&
+          col("y.id") < col("x.id") &&
+          VectorFunctions.cosineSimilarity(col("x.vec"), col("y.vec"))
+            >= threshold)
+      .groupBy(col("x.id").as("id")).agg(min(col("y.id")).as("dup_of"))
+    a.select("id", "cluster_id").join(dup, Seq("id"), "left")
+      .select(col("id"), col("cluster_id"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("keep"))
+  }
 }

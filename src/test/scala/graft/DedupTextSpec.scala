@@ -267,6 +267,39 @@ class DedupTextSpec extends SparkSpec {
     assert(fuzzyIds.subsetOf(exactIds), s"fuzzy-only: ${fuzzyIds -- exactIds}")
   }
 
+  test("semanticDedup: keep-first within clusters, dups a subset of the " +
+      "all-pairs near-dup set, verbatim copy always deduped") {
+    import spark.implicits._
+    val vecs = Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val cents = vecs.filter(col("id") % 37 === 0 && col("id") < 296)
+      .collect().map(r => (r.getLong(0) / 37, r.getSeq[Double](1).toIndexedSeq))
+      .toIndexedSeq.sortBy(_._1)
+    val out = graft.operators.Dedup.semanticDedup(vecs, cents, 0.4).cache()
+    // every doc appears once; keep == [dup_of == -1]; dup_of < id when set
+    assert(out.count() == vecs.count())
+    assert(out.filter((col("keep") === 1L) =!= (col("dup_of") === -1L))
+      .count() == 0)
+    assert(out.filter(col("dup_of") =!= -1L && col("dup_of") >= col("id"))
+      .count() == 0)
+    // cluster blocking only LOSES pairs vs the exact all-pairs join, so
+    // semantically-deduped ids must all be flagged by the exact join too
+    val semDups = out.filter(col("keep") === 0L)
+      .select("id").as[Long].collect().toSet
+    val exactDups = graft.operators.Dedup
+      .embeddingNearDupExact(vecs, 0.4)
+      .select(col("id_b")).as[Long].collect().toSet
+    assert(semDups.subsetOf(exactDups), s"sem-only: ${semDups -- exactDups}")
+    // a verbatim copy lands in its original's cluster at cosine 1
+    val copy = vecs.filter(col("id") === 11L)
+      .select((col("id") + 100000L).as("id"), col("vec"))
+    val withCopy = graft.operators.Dedup
+      .semanticDedup(vecs.unionAll(copy), cents, 0.4)
+    assert(withCopy.filter(col("id") === 100011L).head().getLong(3) == 0L)
+    out.unpersist()
+  }
+
   test("piiScan: counts and ordered redaction on hand-built text") {
     import spark.implicits._
     val in = Seq(
