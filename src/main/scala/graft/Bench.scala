@@ -68,8 +68,21 @@ object Bench {
     // latency vectors per config): reps > 1 reports the median per query in
     // "queries" plus the full vector + p90 in "latency"/"p90"
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // Bisect levers (regression adjudication): ONLY= comma-separated qNN
+    // prefixes restricts the run; CLEAR_MEMOS=1 drops SparkEntry's memoized
+    // caches before every query (isolates cache-eviction/GC interference at
+    // the cost of rebuilding shared tables per query).
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").filter(_.nonEmpty)
+        .map(_.split(",").map(_.trim.takeWhile(_ != '_')).toSet)
+    val clearEach = sys.env.get("SPARK_GRAFT_BENCH_CLEAR_MEMOS")
+      .exists(v => v == "1" || v == "true")
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter {
+      case (name, _) => only.forall(_.contains(name.takeWhile(_ != '_')))
+    }
+    val results = selected.map {
       case (name, fn) =>
+        if (clearEach) SparkEntry.clearMemos()
         var err: Option[String] = None
         val (r0, w0, s0) = metricsSnapshot()
         val times = (0 until reps).map { _ =>

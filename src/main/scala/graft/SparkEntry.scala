@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Metric, Tables}
 import graft.operators._
@@ -92,6 +92,20 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(String, String), Any]
   private def memoized[T](kind: String, dir: String)(mk: => T): T =
     memo.getOrElseUpdate((kind, dir), mk).asInstanceOf[T]
+
+  /** Drop every memoized cache (benchmark hygiene: a long single-JVM run
+    * over all 104 queries otherwise accumulates every family's cached
+    * frames, and storage-pool eviction + GC pressure taxes later queries —
+    * the r5 bench regression cluster). Unpersists cached Datasets eagerly;
+    * non-Dataset memo values (quantizer params, graphs) are just dropped. */
+  def clearMemos(): Unit = {
+    memo.values.foreach {
+      case d: Dataset[_] => try d.unpersist(blocking = false) catch {
+        case _: Throwable => () }
+      case _ => ()
+    }
+    memo.clear()
+  }
 
   private def liDedup(s: SparkSession, dir: String): DataFrame =
     memoized("li_dedup", dir) { Tables.lineitemVectorsDedup(s, dir).cache() }
