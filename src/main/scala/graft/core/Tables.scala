@@ -87,15 +87,21 @@ object Tables {
       .toIndexedSeq
       .sortBy(_._1)
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark rejects by default;
-    * read the nanos as long (legacy conf) and rebuild a timestamp column.
-    * All fixture values are whole microseconds (checked), so the conversion
-    * is lossless. */
+  /** events.parquet has shipped `ts` as either TIMESTAMP(NANOS) — which
+    * Spark rejects unless read as long (legacy conf) — or plain
+    * timestamp[us] (read as TIMESTAMP_NTZ). Normalize both to a session-TZ
+    * TimestampType column; all fixture values are whole microseconds
+    * (checked), so either conversion is lossless. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts",
-        timestamp_micros((col("ts") / 1000).cast("long")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   // ---- embeddings table (64-d float vectors, 500 rows) ---------------------

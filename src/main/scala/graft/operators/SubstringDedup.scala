@@ -112,13 +112,13 @@ object SubstringDedup {
       .select(col("doc_id").as("sid"), col("span_start"), col("span_end"))
     val toks = docs
       .select(col(idCol).cast("long").as("id"),
-        posexplode(TextAnalysis.tokens(col(textCol))))
+        posexplode(TextAnalysis.tokens(coalesce(col(textCol), lit("")))))
       .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("tok"))
     // equi-join on doc id + range filter; spans within a doc are disjoint
     // (merged islands), so each token matches at most one span and the left
     // join preserves exactly one row per token
-    toks.join(spans,
+    val cleaned = toks.join(spans,
         toks("id") === spans("sid") &&
           col("pos").between(col("span_start"), col("span_end")), "left")
       .withColumn("covered", col("span_start").isNotNull)
@@ -130,5 +130,16 @@ object SubstringDedup {
           .as("clean_text"),
         sum(when(col("covered"), 1L).otherwise(0L)).as("removed_tokens"),
         count(lit(1)).as("n_tokens"))
+    // "every input doc appears" includes docs whose text is NULL or
+    // tokenizes to nothing (posexplode over an empty array emits no rows,
+    // which would drop the doc): restore them with empty-output defaults.
+    // The join keys on doc_id, the same key the groupBy above shuffled on,
+    // so AQE plans it shuffle-free on the already-partitioned side.
+    docs.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
 }

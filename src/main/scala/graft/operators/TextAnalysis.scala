@@ -131,7 +131,15 @@ object TextAnalysis {
     * URLs → `<URL>`, then phone-shaped digit runs → `<PHONE>`; replacement
     * order is part of the contract — an email inside a URL redacts as
     * email first). Pure codegen'd regexp expressions next to the scan —
-    * the 100 TB pass is one map over the corpus, no shuffle. */
+    * the 100 TB pass is one map over the corpus, no shuffle.
+    *
+    * Count semantics: `n_email`/`n_phone`/`n_url` are INDEPENDENT matches
+    * against the RAW text, while redaction is sequential — so categories
+    * may overlap (a digit run inside a URL counts in `n_phone` yet appears
+    * as `<URL>` in `redacted`, and `PhonePattern` also matches ISO dates
+    * like 2021-01-01). Counts answer "how much PII-shaped content exists",
+    * not "how many tokens were substituted"; pipelines that need the
+    * latter should diff token counts against `redacted`. */
   def piiScan(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
     val t = col(textCol)

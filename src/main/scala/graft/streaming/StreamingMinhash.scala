@@ -52,8 +52,12 @@ object StreamingMinhash {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (_: (Int, String), rows: Iterator[(Int, String, Long)],
          st: GroupState[Seq[Long]]) =>
-          val fresh = rows.map(_._3).toArray.sorted
+          // distinct: a doc_id replayed twice in one micro-batch must not
+          // self-pair (batch minhashLshPairs's x.id < y.id never does) nor
+          // be stored twice in state
           val seen = st.getOption.getOrElse(Seq.empty)
+          val seenSet = seen.toSet
+          val fresh = rows.map(_._3).toArray.distinct.sorted
           val out = Seq.newBuilder[(Long, Long)]
           var i = 0
           while (i < fresh.length) {
@@ -62,12 +66,13 @@ object StreamingMinhash {
               if (oid != id)
                 out += (if (oid < id) (oid, id) else (id, oid))
             }
-            // earlier rows of this batch are sorted, so pair is ordered
+            // earlier rows of this batch are sorted+distinct, so pair is
+            // ordered and never a self-pair
             var p = 0
             while (p < i) { out += ((fresh(p), id)); p += 1 }
             i += 1
           }
-          st.update(seen ++ fresh)
+          st.update(seen ++ fresh.filterNot(seenSet))
           out.result().iterator
       }
       .toDF("doc_a", "doc_b")

@@ -86,8 +86,13 @@ object StreamingSimhash {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (_: (Int, Long), rows: Iterator[(Int, Long, Long, Long)],
          st: GroupState[Seq[(Long, Long)]]) =>
-          val fresh = rows.map(r => (r._3, r._4)).toArray.sortBy(_._1)
+          // distinct by id: a doc_id replayed twice in one micro-batch has
+          // hamming(h,h)=0 and would self-pair (the batch operator cannot
+          // produce (id,id)); it must also not be stored twice in state
           val seen = st.getOption.getOrElse(Seq.empty)
+          val seenIds = seen.map(_._1).toSet
+          val fresh = rows.map(r => (r._3, r._4)).toArray
+            .distinctBy(_._1).sortBy(_._1)
           val out = Seq.newBuilder[(Long, Long)]
           var i = 0
           while (i < fresh.length) {
@@ -98,7 +103,8 @@ object StreamingSimhash {
                   java.lang.Long.bitCount(oh ^ h) <= mh)
                 out += (if (oid < id) (oid, id) else (id, oid))
             }
-            // vs earlier rows of this same batch (sorted, so a < b)
+            // vs earlier rows of this same batch (sorted+distinct, so a < b
+            // and never a self-pair)
             var p = 0
             while (p < i) {
               val (pid, ph) = fresh(p)
@@ -108,7 +114,7 @@ object StreamingSimhash {
             }
             i += 1
           }
-          st.update(seen ++ fresh)
+          st.update(seen ++ fresh.filterNot(f => seenIds(f._1)))
           out.result().iterator
       }
       .toDF("doc_a", "doc_b")

@@ -63,4 +63,13 @@ class StreamingMinhashSpec extends SparkSpec {
     assert(runStream(Seq(a, b)) == batchPairs)
     assert(runStream(Seq(b.reverse, a.reverse)) == batchPairs)
   }
+
+  test("source replay (duplicate doc rows in- and cross-batch) emits no " +
+      "self-pairs and still equals the batch operator") {
+    val (a, b) = corpus.partition(_._1 % 2 == 1)
+    // every doc twice within its batch, plus batch a fully replayed later
+    val got = runStream(Seq(a ++ a, b ++ b.take(20), a.take(10)))
+    assert(got.forall { case (x, y) => x < y }, "self or unordered pair")
+    assert(got == batchPairs)
+  }
 }

@@ -68,6 +68,15 @@ class StreamingSimhashSpec extends SparkSpec {
       "corpus has no near-dup pairs — test is vacuous")
   }
 
+  test("source replay (duplicate doc rows in- and cross-batch) emits no " +
+      "self-pairs and still equals the batch join") {
+    val (odd, even) = corpus.partition(_._1 % 2 == 1)
+    // hamming(h,h)=0 would self-pair without the pid != id guard
+    val got = runStream(Seq(odd ++ odd, even ++ even.take(20), odd.take(10)))
+    assert(got.forall { case (x, y) => x < y }, "self or unordered pair")
+    assert(got === batchPairs)
+  }
+
   test("streaming multi-probe embedding near-dup equals the batch join " +
       "across batch splits and orders") {
     import spark.implicits._

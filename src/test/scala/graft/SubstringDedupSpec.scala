@@ -59,6 +59,19 @@ class SubstringDedupSpec extends SparkSpec {
       out(1).getLong(3) == 8L)
   }
 
+  test("NULL-text and empty docs survive removal with empty output") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"n$i").mkString(" ")
+    val d = Seq((1L, shared), (2L, shared), (3L, null.asInstanceOf[String]),
+      (4L, "")).toDF("doc_id", "text")
+    val out = SubstringDedup.removeSpans(d, 8).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L),
+      "every input doc must appear, including NULL/empty text")
+    Seq(2, 3).foreach { i =>
+      assert(out(i).getString(1) == "" && out(i).getLong(2) == 0L)
+    }
+  }
+
   test("removal is consistent: kept + removed = total, spans excised") {
     val shared = (1 to 10).map(i => s"c$i").mkString(" ")
     val d = df(
