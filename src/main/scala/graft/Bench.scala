@@ -46,6 +46,7 @@ object Bench {
     val shufRead = new java.util.concurrent.atomic.AtomicLong
     val shufWrite = new java.util.concurrent.atomic.AtomicLong
     val spilled = new java.util.concurrent.atomic.AtomicLong
+    val gcTime = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -55,6 +56,7 @@ object Bench {
             shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
             shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
             spilled.addAndGet(m.diskBytesSpilled)
+            gcTime.addAndGet(m.jvmGCTime)
           }
         }
       })
@@ -80,6 +82,12 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter {
       case (name, _) => only.forall(_.contains(name.takeWhile(_ != '_')))
     }
+    // STORAGE=1: per-query block-manager telemetry (persistent-RDD count +
+    // storage bytes AFTER the query) — the r5 regression diagnosis tool: a
+    // monotonically growing curve means cached/checkpointed state leaks
+    // across queries and later queries pay the GC/eviction tax.
+    val storageLog = sys.env.get("SPARK_GRAFT_BENCH_STORAGE")
+      .exists(v => v == "1" || v == "true")
     val results = selected.map {
       case (name, fn) =>
         if (clearEach) SparkEntry.clearMemos()
@@ -94,6 +102,31 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }.sorted
         val (r1, w1, s1) = metricsSnapshot()
+        // post-query hygiene (untimed): local checkpoints are terminal
+        // result/round materializations (Dedup pair epilogues, Components
+        // rounds, BSP search state) that nothing re-reads once the query's
+        // count() returned — but their blocks outlive the query and taxed
+        // late-alphabet queries in long 104-query sessions (the r5 bench
+        // regression cluster). Memoized shared frames use .cache(), never
+        // localCheckpoint (keep it that way), so sweeping only
+        // locally-checkpointed RDDs preserves every memo.
+        spark.sparkContext.getPersistentRDDs.values.foreach { r =>
+          if (org.apache.spark.rdd.GraftRddBridge.isLocallyCheckpointed(r))
+            r.unpersist(blocking = false)
+        }
+        if (storageLog) {
+          val sc = spark.sparkContext
+          val nRdds = sc.getPersistentRDDs.size
+          val mem = sc.getExecutorMemoryStatus.values
+            .map { case (max, free) => max - free }.sum
+          val heap = {
+            val rt = Runtime.getRuntime
+            rt.totalMemory() - rt.freeMemory()
+          }
+          System.err.println(
+            f"[bench-storage] $name rdds=$nRdds mem=$mem heap=$heap " +
+            f"gcms=${gcTime.get()}")
+        }
         val median = times(times.length / 2)
         (name, median, times, err, (r1 - r0, w1 - w0, s1 - s0))
     }

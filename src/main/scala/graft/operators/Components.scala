@@ -51,16 +51,35 @@ object Components {
       .map(e => (math.max(e._1, e._2), math.min(e._1, e._2)))
       .distinct()
       .localCheckpoint(eager = true)
+    // Convergence fingerprint: (count, XOR of per-edge xxhash64) in ONE
+    // aggregate job over the (checkpointed) round output. Equal
+    // fingerprints trigger the exact `except` certification ONCE — the
+    // prior per-round `count + except` paid a full extra shuffle every
+    // round whose counts matched, which is exactly the common final
+    // rounds. XOR over a DISTINCT edge set collides only if two different
+    // sets share count and 64-bit hash-xor (≈2⁻⁶⁴); a collision is not a
+    // correctness risk — `except` still arbitrates, we just loop again.
+    def fingerprint(d: Dataset[(Long, Long)]): (Long, Long) = {
+      val r = d.toDF("a", "b")
+        .agg(count(lit(1)),
+          coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)))
+        .first()
+      (r.getLong(0), r.getLong(1))
+    }
+    var cur = fingerprint(edges)
     var rounds = 0
     var converged = false
     while (!converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
       rounds += 1
-      // Convergence = identical edge set (both are distinct sets, so
-      // equal counts + empty difference suffices).
-      converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      val ns = fingerprint(next)
+      converged = ns == cur && next.except(edges).isEmpty
+      // the superseded round's blocks are dead the moment `next` is
+      // materialized (eager checkpoint above) — free them so an iterative
+      // caller holds at most two edge sets in executor storage
+      edges.unpersist(blocking = false)
       edges = next
+      cur = ns
     }
     // At the fixpoint every edge is (node, componentMin); roots have no
     // outgoing edge and are their own component.

@@ -433,11 +433,17 @@ object Vamana {
           metric.column(col("qvec"), col("vec")).as("dist"))
 
     // window state: per query the best ≤W scored nodes; frontier: nodes not
-    // yet expanded. Seed both with the entry point.
+    // yet expanded. Seed both with the entry point. Every loop state is an
+    // EAGER local checkpoint so the superseded round's blocks can be freed
+    // immediately — the lazy-checkpoint version leaked ~3 RDDs per hop into
+    // executor storage for the life of the session.
     var window = score(queries.select(col("query_id"))
-      .withColumn("id", lit(entryId))).cache()
-    var frontier = window.select("query_id", "id").cache()
-    var scored = frontier.cache()
+      .withColumn("id", lit(entryId))).localCheckpoint(eager = true)
+    var frontier = window.select("query_id", "id")
+      .localCheckpoint(eager = true)
+    // same rows as the seed frontier — share the checkpoint (unpersist is
+    // idempotent, so the round-1 double-unpersist is harmless)
+    var scored = frontier
     var hops = 0
     while (hops < maxHops && frontier.count() > 0) {
       val expanded = frontier.join(adj, Seq("id"))
@@ -445,23 +451,35 @@ object Vamana {
         .distinct()
         .join(scored, Seq("query_id", "id"), "left_anti")
       val newScores = score(expanded)
-      scored = scored.union(newScores.select("query_id", "id"))
-        .localCheckpoint()
+      val scoredNext = scored.union(newScores.select("query_id", "id"))
+        .localCheckpoint(eager = true)
       val merged = TopK.perKeyViaWindow(window.union(newScores),
           Seq("query_id"), col("id"), col("dist"), searchWindow,
           metric.ascending)
         .select(col("query_id"), col("neighbor_id").as("id"), col("dist"))
-        .localCheckpoint()
+        .localCheckpoint(eager = true)
       // next frontier: window entries newly scored this round (the BSP analog
       // of "best unexpanded" — expanding all unexpanded window nodes per
       // round preserves the convergence property)
-      frontier = merged.join(newScores.select("query_id", "id"),
-        Seq("query_id", "id")).select("query_id", "id").localCheckpoint()
+      val frontierNext = merged.join(newScores.select("query_id", "id"),
+        Seq("query_id", "id")).select("query_id", "id")
+        .localCheckpoint(eager = true)
+      scored.unpersist(blocking = false)
+      window.unpersist(blocking = false)
+      frontier.unpersist(blocking = false)
+      scored = scoredNext
       window = merged
+      frontier = frontierNext
       hops += 1
     }
-    TopK.perKeyViaWindow(window, Seq("query_id"), col("id"), col("dist"), k,
-      metric.ascending)
+    // materialize the (|Q|·k)-row result so the loop state can be freed
+    // before returning — the caller holds only the small final checkpoint
+    val out = TopK.perKeyViaWindow(window, Seq("query_id"), col("id"),
+      col("dist"), k, metric.ascending).localCheckpoint(eager = true)
+    scored.unpersist(blocking = false)
+    window.unpersist(blocking = false)
+    frontier.unpersist(blocking = false)
+    out
   }
 
   /** Incremental mutation (SURVEY §2 M1-M3 for the graph index): apply a

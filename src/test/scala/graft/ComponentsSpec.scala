@@ -54,6 +54,12 @@ class ComponentsSpec extends SparkSpec {
     // Diameter is 199; star-contraction must beat it by an order of
     // magnitude (log²-round convergence is the operator's scale claim).
     assert(rounds <= 15, s"took $rounds rounds on a 199-hop path")
+    // Convergence detection fires exactly when next == edges in both the
+    // original (count + per-round except) and the fingerprint form
+    // (count+hash-xor, except once at equality), so round counts are
+    // identical by construction; pin the deterministic value so a future
+    // detection change that alters rounds is caught here.
+    assert(rounds == 9, s"round count drifted: $rounds")
   }
 
   test("empty and single-pair inputs") {
