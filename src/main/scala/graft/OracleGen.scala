@@ -626,16 +626,34 @@ object OracleGen {
     * mirrors KMeans.lloyd(roundTo = 6) exactly. */
   def kmeansTrain(iters: Int): String = {
     val d = Tables.embDims
+    s"""WITH ${lloydCtes(iters)},
+       |fin AS (${lloydAssignCte(s"c$iters", d)})
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS cnt FROM fin
+       |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+  }
+
+  /** The q06/q12 assignment contract as a CTE body: argmin L2 over
+    * `centName` (ties → lowest cid) for every row of `data`. */
+  def lloydAssignCte(centName: String, d: Int): String = {
+    val l2 = Metric.L2
+    s"""SELECT id, cid AS cluster_id FROM (
+       |    SELECT dt.id, c.cid,
+       |      row_number() OVER (PARTITION BY dt.id
+       |        ORDER BY ${l2.sqlExpr("dt.v", "c.c", d)} ASC, c.cid ASC) AS rn
+       |    FROM data dt CROSS JOIN $centName c) WHERE rn = 1""".stripMargin
+  }
+
+  /** The unrolled Lloyd CTE chain (shared by q12 and q105): `data` (id,
+    * v0..), `c0` (init = embedding queries), then a1/c1 … a_iters/c_iters —
+    * c_iters are the trained 6-decimal-rounded centroids, mirroring
+    * `KMeans.lloyd(roundTo = 6)` exactly. */
+  def lloydCtes(iters: Int): String = {
+    val d = Tables.embDims
     val dataCte =
       s"SELECT vec_id AS id, ${dimCols("v", embDimExprs)} FROM embeddings"
     val initCte = s"SELECT vec_id AS cid, ${dimCols("c", embDimExprs)} " +
       s"FROM embeddings WHERE ${Tables.embQueryPredSql}"
-    def assignCte(centName: String): String =
-      s"""SELECT id, cid AS cluster_id FROM (
-         |    SELECT dt.id, c.cid,
-         |      row_number() OVER (PARTITION BY dt.id
-         |        ORDER BY ${l2.sqlExpr("dt.v", "c.c", d)} ASC, c.cid ASC) AS rn
-         |    FROM data dt CROSS JOIN $centName c) WHERE rn = 1""".stripMargin
+    def assignCte(centName: String): String = lloydAssignCte(centName, d)
     def meansCte(assignName: String, prevName: String): String = {
       val avgCols = (0 until d).map(i => s"round(avg(dt.v$i), 6) AS m$i")
         .mkString(", ")
@@ -650,12 +668,9 @@ object OracleGen {
       Seq(s"a$n AS (${assignCte(s"c${n - 1}")})",
         s"c$n AS (${meansCte(s"a$n", s"c${n - 1}")})")
     }
-    s"""WITH data AS ($dataCte),
+    s"""data AS ($dataCte),
        |c0 AS ($initCte),
-       |${iterCtes.mkString(",\n")},
-       |fin AS (${assignCte(s"c$iters")})
-       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS cnt FROM fin
-       |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+       |${iterCtes.mkString(",\n")}""".stripMargin
   }
 
   /** Decode-free IP/cosine over scalar-quantization codes

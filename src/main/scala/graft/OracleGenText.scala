@@ -366,6 +366,25 @@ object OracleGenText {
        |FROM assign a LEFT JOIN dup USING (id) ORDER BY a.id""".stripMargin
   }
 
+  /** q105: SemDeDup on TRAINED centroids — the operator's real contract
+    * (k-means blocking, reference clustering reuse ivf/kmeans.h:29-130):
+    * the Lloyd CTE chain from q12 (6-decimal-rounded means, certified)
+    * feeds the same blocked-cosine dedup as q104, certifying the
+    * `KMeans.lloyd ∘ Dedup.semanticDedup` composition end-to-end. */
+  def semanticDedupTrained(threshold: Double, iters: Int): String = {
+    val d = Tables.embDims
+    s"""WITH ${OracleGen.lloydCtes(iters)},
+       |assign AS (${OracleGen.lloydAssignCte(s"c$iters", d)}),
+       |ea AS (SELECT data.*, a.cluster_id FROM data JOIN assign a USING (id)),
+       |dup AS (SELECT x.id, min(y.id) AS dup_of
+       |  FROM ea x JOIN ea y ON x.cluster_id = y.cluster_id AND y.id < x.id
+       |  WHERE ${cosine("x.v", "y.v")} >= $threshold GROUP BY x.id)
+       |SELECT a.id, CAST(a.cluster_id AS BIGINT) AS cluster_id,
+       |  CAST(coalesce(dup.dup_of, -1) AS BIGINT) AS dup_of,
+       |  CAST(CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM assign a LEFT JOIN dup USING (id) ORDER BY a.id""".stripMargin
+  }
+
   def embNearDupLsh(threshold: Double): String = {
     val dot = (0 until Tables.embDims)
       .map(i => s"e.v$i * p.v$i").mkString(" + ")

@@ -333,6 +333,17 @@ object SparkEntry {
     SubstringDedup.duplicateSpans(docs(s, dir))
       .orderBy("doc_id", "span_start")
 
+  /** q106: the hashed-key substring-dedup path (`hashKeys = true`) — the
+    * declared 100 TB shuffle-width lever: windows shuffle an 8-byte
+    * xxhash64 fingerprint instead of the w-token gram string. Any key
+    * function that is injective on the corpus's grams yields identical
+    * duplicated-window sets, so the STRING-key oracle (q101's) certifies
+    * it bit-for-bit — an xxhash64 collision would surface as a span
+    * mismatch here. */
+  private def dupSpansHashedQ(s: SparkSession, dir: String): DataFrame =
+    SubstringDedup.duplicateSpans(docs(s, dir), hashKeys = true)
+      .orderBy("doc_id", "span_start")
+
   /** q102: span REMOVAL — the corpus rewritten with duplicated runs
     * deleted; clean text, removed and total token counts all
     * hash-certified (pins tokenization, span boundaries, and
@@ -417,6 +428,22 @@ object SparkEntry {
     Dedup.semanticDedup(embVectors(s, dir).select("id", "vec"),
         semanticCentroids(s, dir), CosineT)
       .orderBy("id")
+
+  /** q105: SemDeDup on TRAINED centroids — q104 blocks on seed rows; the
+    * operator's production contract is blocking on a k-means model
+    * (reference: clustering reuse, ivf/kmeans.h:29-130). Composes the
+    * certified Lloyd loop (q12: 6-decimal-rounded means, engine-portable)
+    * with the blocked dedup, certifying train → assign → dedup
+    * end-to-end. */
+  private def semanticDedupTrainedQ(s: SparkSession, dir: String)
+      : DataFrame = {
+    val data = embVectors(s, dir).select("id", "vec")
+    val init = embQueries(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val cents = KMeans.lloyd(data, init, iters = LloydIters,
+      dims = Tables.embDims, roundTo = 6)
+    Dedup.semanticDedup(data, cents, CosineT).orderBy("id")
+  }
 
   // ---- Vamana graph index (J2/B1-B4) over label-sharded embeddings --------
 
@@ -1706,6 +1733,8 @@ object SparkEntry {
     "q102_dup_span_removal" -> (dupSpanRemovalQ _),
     "q103_decontaminate_fuzzy" -> (decontaminateFuzzyQ _),
     "q104_semantic_dedup" -> (semanticDedupQ _),
+    "q105_semantic_dedup_trained" -> (semanticDedupTrainedQ _),
+    "q106_dup_spans_hashed" -> (dupSpansHashedQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1902,5 +1931,13 @@ object SparkEntry {
     // contract + q22's cosine arithmetic.
     "q104_semantic_dedup" ->
       OracleGenText.semanticDedup(CosineT, SemEvery, SemK),
+    // q105: SemDeDup on Lloyd-trained centroids — q12's unrolled training
+    // CTEs feeding q104's blocked-dedup arithmetic.
+    "q105_semantic_dedup_trained" ->
+      OracleGenText.semanticDedupTrained(CosineT, LloydIters),
+    // q106: hashed-key spans must equal string-key spans (q101's oracle) —
+    // the hash is an internal shuffle key, not an output.
+    "q106_dup_spans_hashed" ->
+      OracleGenText.dupSpans(graft.operators.SubstringDedup.DefaultW),
   )
 }
