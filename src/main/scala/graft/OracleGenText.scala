@@ -679,6 +679,17 @@ object OracleGenText {
        |  CAST(1 AS BIGINT) AS dims_ok, CAST(1 AS BIGINT) AS err_ok
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q107: MJPEG-AVI decode invariants — frame count/geometry/sample count
+    * replayed from the packAvi formula; dims_ok/err_ok must hold for
+    * every row (real RIFF walk + real JPEG decode on the Spark side). */
+  def mediaAviFlags: String =
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+       |  CAST((2 + doc_id % 3) * (16 + doc_id % 8) * (8 + doc_id % 4) * 3
+       |    AS BIGINT) AS n_samples,
+       |  CAST(1 AS BIGINT) AS dims_ok, CAST(1 AS BIGINT) AS err_ok
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Stratified sample (TextAnalysis.stratifiedSample): language strata,
     * per-stratum winners = the n smallest (fingerprint, doc_id) — replayed
     * here as a window rank over the same fold arithmetic as q15 (strata)

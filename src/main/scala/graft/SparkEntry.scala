@@ -829,6 +829,14 @@ object SparkEntry {
     Multimodal.jpegDecodeFlags(Multimodal.packJpeg(docs(s, dir)), JpegTol)
       .orderBy("doc_id")
 
+  /** Compressed-VIDEO decode invariants (q107): real MJPEG AVI containers
+    * (RIFF walk + per-frame ImageIO JPEG) — frame count, geometry, and
+    * sample count from the PARSED container, per-sample error ≤ JpegTol
+    * against the generator formula. Closes the last media stub. */
+  private def mediaAviQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mjpegDecodeFlags(Multimodal.packAvi(docs(s, dir)), JpegTol)
+      .orderBy("doc_id")
+
   /** Whitespace + BPE-ish-regex token counts side by side. */
   private def bpeTokensQ(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -1735,6 +1743,7 @@ object SparkEntry {
     "q104_semantic_dedup" -> (semanticDedupQ _),
     "q105_semantic_dedup_trained" -> (semanticDedupTrainedQ _),
     "q106_dup_spans_hashed" -> (dupSpansHashedQ _),
+    "q107_mjpeg_flags" -> (mediaAviQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1939,5 +1948,8 @@ object SparkEntry {
     // the hash is an internal shuffle key, not an output.
     "q106_dup_spans_hashed" ->
       OracleGenText.dupSpans(graft.operators.SubstringDedup.DefaultW),
+    // q107: MJPEG AVI decode — container-derived frame/geometry/sample
+    // invariants, q64's lossy-decode certification pattern.
+    "q107_mjpeg_flags" -> OracleGenText.mediaAviFlags,
   )
 }

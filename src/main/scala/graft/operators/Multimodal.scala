@@ -9,13 +9,13 @@ import org.apache.spark.sql.functions._
   * inside `mapPartitions` (the Scala analog of Pandas-UDF `mapInPandas`:
   * same schema contract, same bounded-batch shape, codegen-free kernel).
   *
-  * ==== STUB CODEC ====
-  * No image/audio libraries exist in this environment, so [[StubCodec]] is a
-  * clearly-marked deterministic fake: it treats the payload bytes themselves
-  * as decoded samples (1 byte = 1 gray pixel / PCM sample). The Spark-side
-  * plumbing — schema, partitioning, batch iteration, metadata propagation,
-  * and the downstream join into vector search — is real and tested; swapping
-  * in a real codec (e.g. javacv) only replaces the `decode` body.
+  * Every shipped container format decodes for REAL, pure-JVM: WAV and PPM
+  * ([[RawCodec]]), Y4M video, PNG/JPEG via the JDK's ImageIO, and MJPEG
+  * AVI (RIFF walk + per-frame ImageIO) — no external media library.
+  * [[StubCodec]] survives only as the plumbing-contract codec for the
+  * self-declared `fake/`-prefixed fixture formats of [[pack]]; formats
+  * outside both sets error loudly. Codecs needing system libraries (MP3,
+  * H.264) would implement [[MediaCodec]] the same way, e.g. via javacv.
   */
 object Multimodal {
 
@@ -35,8 +35,12 @@ object Multimodal {
   }
 
   object StubCodec extends MediaCodec {
-    // STUB: identity "decode" — byte i is sample i (0..255). Real codecs
-    // would parse meta.format here.
+    // Plumbing-contract codec, reachable ONLY for the self-declared
+    // `fake/`-prefixed fixture formats ([[pack]]): byte i is sample i,
+    // which is what their oracle replays. Every real container format
+    // (WAV, PPM, Y4M, PNG, JPEG, MJPEG-AVI) decodes for real via
+    // [[RawCodec]]/[[ImageIoCodec]]; unknown real formats now ERROR
+    // instead of silently falling back here.
     def decode(content: Array[Byte], meta: MediaMeta): Array[Int] =
       content.map(_ & 0xff)
   }
@@ -44,9 +48,9 @@ object Multimodal {
   /** REAL codec for uncompressed container formats, pure JVM — no media
     * libraries required: RIFF/WAVE PCM audio (8/16-bit), binary PPM (P6)
     * images, and YUV4MPEG2 (.y4m) video parse from actual container bytes.
-    * Compressed codecs (MP3/H.264) still need external libs and stay on
-    * [[StubCodec]]; compressed *images* (PNG/JPEG) decode for real via
-    * [[ImageIoCodec]]. */
+    * Compressed images (PNG/JPEG) and MJPEG AVI video route to
+    * [[ImageIoCodec]]; entropy codecs needing system libraries (MP3,
+    * H.264) are out of scope and error loudly. */
   object RawCodec extends MediaCodec {
     import java.nio.{ByteBuffer, ByteOrder}
 
@@ -55,7 +59,12 @@ object Multimodal {
         case "audio/wav" => decodeWav(content)._1
         case "image/ppm" => decodePpm(content)._1
         case "video/y4m" => decodeY4m(content)._1
-        case _ => StubCodec.decode(content, meta)
+        case "image/png" | "image/jpeg" | "video/avi" =>
+          ImageIoCodec.decode(content, meta)
+        // the self-declared plumbing fixtures ([[pack]]) — payload bytes
+        // ARE the samples, by contract
+        case f if f.startsWith("fake/") => StubCodec.decode(content, meta)
+        case other => sys.error(s"unsupported media format: $other")
       }
 
     /** Parse a RIFF/WAVE file → (samples, sampleRate, channels, bits).
@@ -257,6 +266,7 @@ object Multimodal {
     def decode(content: Array[Byte], meta: MediaMeta): Array[Int] =
       meta.format match {
         case "image/png" | "image/jpeg" => decodeImage(content)._1
+        case "video/avi" => decodeAvi(content)._1
         case _ => RawCodec.decode(content, meta)
       }
 
@@ -305,6 +315,94 @@ object Multimodal {
       val bos = new ByteArrayOutputStream()
       javax.imageio.ImageIO.write(toImage(w, h, rgb), "png", bos)
       bos.toByteArray
+    }
+
+    /** Parse an MJPEG AVI (RIFF 'AVI ' container, JPEG frames in '..dc' /
+      * '..db' movi chunks) → (concatenated row-major RGB across frames,
+      * w, h, n_frames). Geometry comes from the PARSED 'avih' main header
+      * (dwWidth/dwHeight at offsets 32/36) and every decoded frame must
+      * match it — like a real reader. Word-aligned chunk walking per the
+      * RIFF spec (odd-sized chunks carry one pad byte). This closes the
+      * compressed-video gap with zero external dependencies: the container
+      * walk is ~40 lines and each frame is a JPEG the JDK already
+      * decodes. */
+    def decodeAvi(bytes: Array[Byte]): (Array[Int], Int, Int, Int) = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int): String = new String(bytes, off, 4, ascii)
+      require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+        "avi: bad RIFF/AVI magic")
+      var w = -1; var h = -1; var nFrames = 0
+      val out = scala.collection.mutable.ArrayBuilder.make[Int]
+      def walk(start: Int, end: Int): Unit = {
+        var pos = start
+        while (pos + 8 <= end) {
+          val id = tag(pos)
+          val size = bb.getInt(pos + 4)
+          require(size >= 0 && pos + 8 + size <= end,
+            s"avi: chunk '$id' overruns container")
+          if (id == "LIST") walk(pos + 12, pos + 8 + size)
+          else if (id == "avih") {
+            require(size >= 40, "avi: short main header")
+            w = bb.getInt(pos + 8 + 32)
+            h = bb.getInt(pos + 8 + 36)
+          } else if (id.length == 4 &&
+              (id.endsWith("dc") || id.endsWith("db"))) {
+            require(w > 0 && h > 0, "avi: frame chunk before main header")
+            val frame = java.util.Arrays.copyOfRange(bytes, pos + 8,
+              pos + 8 + size)
+            val (rgb, fw, fh) = decodeImage(frame)
+            require(fw == w && fh == h,
+              s"avi: frame $nFrames is ${fw}x$fh, header says ${w}x$h")
+            out ++= rgb
+            nFrames += 1
+          }
+          pos += 8 + size + (size & 1)
+        }
+      }
+      walk(12, bytes.length)
+      require(w > 0 && h > 0, "avi: no main header found")
+      (out.result(), w, h, nFrames)
+    }
+
+    /** Write a minimal MJPEG AVI: RIFF('AVI ' LIST('hdrl' avih
+      * LIST('strl' strh strf)) LIST('movi' '00dc'…)) — a real container
+      * any AVI-aware reader walks (index-free, which the format allows). */
+    def encodeAvi(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      val framePad = frames.map(f => 8 + f.length + (f.length & 1))
+      val moviPayload = 4 + framePad.sum
+      val strlPayload = 4 + (8 + 56) + (8 + 40)
+      val hdrlPayload = 4 + (8 + 56) + (8 + strlPayload)
+      val riffPayload = 4 + (8 + hdrlPayload) + (8 + moviPayload)
+      val bb = ByteBuffer.allocate(8 + riffPayload)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      def fourcc(s: String): Unit = bb.put(s.getBytes(ascii))
+      fourcc("RIFF"); bb.putInt(riffPayload); fourcc("AVI ")
+      fourcc("LIST"); bb.putInt(hdrlPayload); fourcc("hdrl")
+      fourcc("avih"); bb.putInt(56)
+      bb.putInt(40000).putInt(0).putInt(0).putInt(0) // usec/frame, bps, pad, flags
+        .putInt(frames.length).putInt(0).putInt(1).putInt(0) // total, init, streams, bufsz
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0) // geometry + reserved
+      fourcc("LIST"); bb.putInt(strlPayload); fourcc("strl")
+      fourcc("strh"); bb.putInt(56)
+      fourcc("vids"); fourcc("MJPG")
+      bb.putInt(0).putInt(0).putInt(0) // flags, prio/lang, initial
+        .putInt(1).putInt(25).putInt(0).putInt(frames.length) // scale, rate, start, length
+        .putInt(0).putInt(-1).putInt(0) // bufsz, quality, samplesize
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+      fourcc("strf"); bb.putInt(40)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      fourcc("MJPG")
+      bb.putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+      fourcc("LIST"); bb.putInt(moviPayload); fourcc("movi")
+      frames.foreach { f =>
+        fourcc("00dc"); bb.putInt(f.length); bb.put(f)
+        if ((f.length & 1) == 1) bb.put(0.toByte)
+      }
+      bb.array()
     }
 
     /** Encode flattened RGB as JPEG at the given quality (lossy). */
@@ -468,6 +566,81 @@ object Multimodal {
       }.toDF("doc_id", "n_frames", "n_samples", "sum1", "sum_frame")
   }
 
+  /** Deterministic COMPRESSED-video table: every doc_id carries an actual
+    * MJPEG AVI — f = 2 + id mod 3 JPEG frames of w = 16 + id mod 8 by
+    * h = 8 + id mod 4, frame k's gray gradient
+    * `g(x,y,k) = (id·7 + 2x + 3y + 11k) mod 200 + 20` encoded at quality
+    * 1.0 inside a real RIFF container. Certified like q64: lossy frames →
+    * invariant flags, exact geometry/frame-count/sample-count. */
+  def packAvi(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val w = (16 + id % 8).toInt
+      val h = (8 + id % 4).toInt
+      val f = (2 + id % 3).toInt
+      val frames = (0 until f).map(k =>
+        ImageIoCodec.encodeJpeg(w, h, aviFrameRgb(id, k, w, h)))
+      MediaRow(id, "video", ImageIoCodec.encodeAvi(w, h, frames),
+        MediaMeta("video/avi", w, h, 0, f * 40L))
+    }
+  }
+
+  private def aviFrameRgb(id: Long, k: Int, w: Int, h: Int): Array[Int] = {
+    val rgb = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((id * 7 + 2 * x + 3 * y + 11 * k) % 200 + 20).toInt
+        val j = 3 * (y * w + x)
+        rgb(j) = g; rgb(j + 1) = g; rgb(j + 2) = g
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
+
+  /** Compressed-video decode certification (q64's invariant-flag pattern
+    * over the AVI container): walk the RIFF structure, JPEG-decode every
+    * frame, and emit (doc_id, n_frames, n_samples, dims_ok, err_ok) —
+    * frame count and geometry from the PARSED container, err_ok asserting
+    * every decoded sample within `tol` of its [[aviFrameRgb]]
+    * pre-compression value. */
+  def mjpegDecodeFlags(media: Dataset[MediaRow], tol: Int,
+                       batchSize: Int = DefaultBatch): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      batched(it, batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (v, w, h, nf) = ImageIoCodec.decodeAvi(r.content)
+          val frameLen = w * h * 3
+          val dimsOk = w == r.meta.width && h == r.meta.height &&
+            v.length == nf * frameLen
+          var maxErr = 0
+          if (dimsOk) {
+            var k = 0
+            while (k < nf) {
+              val expected = aviFrameRgb(r.doc_id, k, w, h)
+              var i = 0
+              while (i < frameLen) {
+                val e = math.abs(v(k * frameLen + i) - expected(i))
+                if (e > maxErr) maxErr = e
+                i += 1
+              }
+              k += 1
+            }
+          }
+          (r.doc_id, nf.toLong, v.length.toLong,
+            if (dimsOk) 1L else 0L,
+            if (dimsOk && maxErr <= tol) 1L else 0L)
+        }
+      }
+    }.toDF("doc_id", "n_frames", "n_samples", "dims_ok", "err_ok")
+  }
+
   private def jpegRgb(id: Long, w: Int, h: Int): Array[Int] = {
     val rgb = new Array[Int](w * h * 3)
     var y = 0
@@ -592,7 +765,7 @@ object Multimodal {
     * (doc_id, n_bytes, checksum, width, height): checksum is the
     * (acc·131 + sample) mod FpMod left fold over decoded samples —
     * reproducible in the DuckDB oracle for ASCII payloads. */
-  def decodeStats(media: Dataset[MediaRow], codec: MediaCodec = StubCodec,
+  def decodeStats(media: Dataset[MediaRow], codec: MediaCodec = RawCodec,
                   batchSize: Int = DefaultBatch): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -616,7 +789,7 @@ object Multimodal {
     * metadata plus the resized payload checksum. Real pipelines put actual
     * pixel resampling in the same kernel slot. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int,
-             codec: MediaCodec = StubCodec,
+             codec: MediaCodec = RawCodec,
              batchSize: Int = DefaultBatch): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -649,7 +822,7 @@ object Multimodal {
     * (stub for time-based frame extraction); emits
     * (doc_id, frame_idx, frame_checksum). */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int,
-                   codec: MediaCodec = StubCodec,
+                   codec: MediaCodec = RawCodec,
                    batchSize: Int = DefaultBatch): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -673,7 +846,7 @@ object Multimodal {
     * Output (id, vec) plugs directly into FlatKnn / IVF / Vamana — the
     * media→embedding→ANN pipeline end to end. */
   def extractFeatures(media: Dataset[MediaRow], dims: Int,
-                      codec: MediaCodec = StubCodec,
+                      codec: MediaCodec = RawCodec,
                       batchSize: Int = DefaultBatch): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -211,6 +211,50 @@ class MultimodalSpec extends SparkSpec {
       RawCodec.decodeY4m("YUV4MPEG2 Cmono\nFRAME\n".getBytes("US-ASCII")) }
   }
 
+  test("AVI MJPEG round trip: real RIFF container, per-frame JPEG decode " +
+      "within tolerance, malformed containers rejected") {
+    val io = Multimodal.ImageIoCodec
+    // 2-frame 16x8 gray gradients through encode → container → decode
+    val w = 16; val h = 8
+    val mk = (k: Int) => Array.tabulate(w * h * 3) { j =>
+      val p = j / 3; val x = p % w; val y = p / w
+      ((2 * x + 3 * y + 11 * k) % 200 + 20)
+    }
+    val frames = (0 until 2).map(k => io.encodeJpeg(w, h, mk(k)))
+    val avi = io.encodeAvi(w, h, frames)
+    val (v, dw, dh, nf) = io.decodeAvi(avi)
+    assert((dw, dh, nf) === ((w, h, 2)))
+    assert(v.length === 2 * w * h * 3)
+    (0 until 2).foreach { k =>
+      val exp = mk(k)
+      val got = v.slice(k * w * h * 3, (k + 1) * w * h * 3)
+      val maxErr = got.zip(exp).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxErr <= 8, s"frame $k maxErr $maxErr")
+    }
+    // odd-sized chunks are word-aligned: a 1-byte-odd JPEG still walks
+    assert(frames.exists(_.length % 2 == 1) ||
+      io.decodeAvi(io.encodeAvi(w, h, frames)) != null)
+    intercept[IllegalArgumentException] {
+      io.decodeAvi("RIFX0000AVI ".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      io.decodeAvi(java.util.Arrays.copyOf(avi, avi.length - 10))
+    }
+  }
+
+  test("mjpegDecodeFlags certifies every packAvi row (dims + error bound)") {
+    import spark.implicits._
+    val flags = Multimodal.mjpegDecodeFlags(
+        Multimodal.packAvi(docs.limit(60)), tol = 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(flags.length === 60)
+    flags.foreach { case (id, nf, ns, dimsOk, errOk) =>
+      assert(nf === 2 + id % 3, s"doc $id")
+      assert(ns === nf * (16 + id % 8) * (8 + id % 4) * 3, s"doc $id")
+      assert(dimsOk === 1L && errOk === 1L, s"doc $id")
+    }
+  }
+
   test("packY4m produces genuine containers whose parsed frame boundaries " +
       "match the generator") {
     import spark.implicits._
