@@ -22,9 +22,40 @@ trait VectorIndex {
   /** queries(query_id, qvec) → (query_id, rnk, neighbor_id, dist). */
   def search(queries: DataFrame, k: Int): DataFrame
   def save(dir: String): Unit
+
+  /** Materialize a search under a named, cancellable job group — the Spark
+    * analog of the reference's cancel predicate (`index/flat/flat.h:
+    * 286-290` checks it between scan tiles; `tests/integration/
+    * cancel.cpp`). Every job the search launches joins `jobGroup`;
+    * [[VectorIndex.cancel]] from any other thread aborts them promptly
+    * (interrupt-on-cancel, the per-tile granularity being Spark's task),
+    * the action fails with a cancellation SparkException, the session
+    * stays reusable, and no partial state stays cached. `action` is where
+    * the caller materializes (collect / count / write). */
+  def searchCancellable[T](queries: DataFrame, k: Int, jobGroup: String)
+      (action: DataFrame => T): T =
+    VectorIndex.runCancellable(queries.sparkSession, jobGroup,
+      s"graft $indexType search (cancellable)")(action(search(queries, k)))
 }
 
 object VectorIndex {
+
+  /** Run `body` (driver-side actions included) inside `jobGroup` with
+    * interrupt-on-cancel, restoring the thread's previous group after.
+    * Multi-job searches (IVF probe maps, iterative graph walks) are
+    * covered wholesale: every job launched from this thread during `body`
+    * belongs to the group. */
+  def runCancellable[T](spark: SparkSession, jobGroup: String,
+                        desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    sc.setJobGroup(jobGroup, desc, interruptOnCancel = true)
+    try body finally sc.clearJobGroup()
+  }
+
+  /** Abort every running/pending job of `jobGroup` (thread-safe; callable
+    * from any thread, like the reference's concurrent cancel functor). */
+  def cancel(spark: SparkSession, jobGroup: String): Unit =
+    spark.sparkContext.cancelJobGroup(jobGroup)
 
   private[graft] def metricOf(name: String): Metric =
     Metric.byName(name) // includes "_simd" twins, so a saved SIMD-metric

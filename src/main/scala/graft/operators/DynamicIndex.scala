@@ -161,7 +161,8 @@ object MultiVectorApprox {
 final class VamanaBatchIterator(index: graft.VectorIndex,
                                 mkIndexAt: Int => graft.VectorIndex,
                                 queries: DataFrame, baseWindow: Int,
-                                windowStep: Int) {
+                                windowStep: Int,
+                                jobGroup: Option[String] = None) {
   def this(mk: Int => graft.VectorIndex, queries: DataFrame, baseWindow: Int,
            windowStep: Int) = this(mk(baseWindow), mk, queries, baseWindow,
     windowStep)
@@ -169,7 +170,16 @@ final class VamanaBatchIterator(index: graft.VectorIndex,
   private var returned: Option[DataFrame] = None
   private var batch = 0
 
-  def next(batchSize: Int): DataFrame = {
+  /** See [[BatchIterator.next]]: page runs inside the cancellable job
+    * group when one is set; a cancelled page leaves no cached residue. */
+  def next(batchSize: Int): DataFrame = jobGroup match {
+    case Some(g) =>
+      graft.VectorIndex.runCancellable(queries.sparkSession, g,
+        "graft vamana iterator page")(nextPage(batchSize))
+    case None => nextPage(batchSize)
+  }
+
+  private def nextPage(batchSize: Int): DataFrame = {
     val window = baseWindow + batch * windowStep
     val idx = if (batch == 0) index else mkIndexAt(window)
     val fetch = batchSize * (batch + 1)
@@ -183,7 +193,9 @@ final class VamanaBatchIterator(index: graft.VectorIndex,
           batchSize, idx.metric.ascending)
     }
     val out = res.select("query_id", "rnk", "neighbor_id", "dist").cache()
-    out.count()
+    try out.count() catch {
+      case t: Throwable => out.unpersist(blocking = true); throw t
+    }
     returned = returned match {
       case None => Some(out.select("query_id", "neighbor_id"))
       case Some(r) => Some(r.union(out.select("query_id", "neighbor_id")))
@@ -193,10 +205,23 @@ final class VamanaBatchIterator(index: graft.VectorIndex,
   }
 }
 
-final class BatchIterator(queries: DataFrame, data: DataFrame, metric: Metric) {
+final class BatchIterator(queries: DataFrame, data: DataFrame, metric: Metric,
+                          jobGroup: Option[String] = None) {
   private var returned: Option[DataFrame] = None
 
-  def next(batchSize: Int): DataFrame = {
+  /** Page materialization, optionally inside a cancellable job group (the
+    * reference's batch iterator takes the same cancel predicate as
+    * search). A cancelled page unpersists its partial cache before
+    * rethrowing, so the iterator can be resumed or dropped with no
+    * executor-storage residue. */
+  def next(batchSize: Int): DataFrame = jobGroup match {
+    case Some(g) =>
+      graft.VectorIndex.runCancellable(queries.sparkSession, g,
+        "graft batch iterator page")(nextPage(batchSize))
+    case None => nextPage(batchSize)
+  }
+
+  private def nextPage(batchSize: Int): DataFrame = {
     // exclusion must be per query, so anti-join candidate pairs, not data
     val res = returned match {
       case None =>
@@ -213,7 +238,9 @@ final class BatchIterator(queries: DataFrame, data: DataFrame, metric: Metric) {
           metric.ascending)
     }
     val out = res.select("query_id", "rnk", "neighbor_id", "dist").cache()
-    out.count()
+    try out.count() catch {
+      case t: Throwable => out.unpersist(blocking = true); throw t
+    }
     returned = returned match {
       case None => Some(out.select("query_id", "neighbor_id"))
       case Some(r) => Some(r.union(out.select("query_id", "neighbor_id")))
