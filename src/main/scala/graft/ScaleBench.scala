@@ -295,6 +295,34 @@ object ScaleBench {
         s""""split_build_sec":$tMany,"split_recall":$r2,""" +
         s""""split_search_sec":$tS2}""")
     }
+
+    // GEMM-shaped probe scoring crossover (reference BLAS batch scoring,
+    // index/ivf/common.h:242-303): per-query sweep vs cache-tiled at
+    // growing |Q|×|C|, outputs asserted identical. Driver-side kernels —
+    // no Spark jobs — because that is where probe selection runs.
+    if (sys.env.get("SPARK_GRAFT_SCALE_PROBESCORE").contains("1")) {
+      import graft.operators.BatchScore
+      val d = 64
+      def mkRows(n: Int, seed: Long): Array[(Long, Array[Double])] =
+        Array.tabulate(n) { i =>
+          val r = new scala.util.Random(seed + i)
+          (i.toLong, Array.fill(d)(r.nextDouble()))
+        }
+      Seq((1000, 20000), (10000, 100000), (20000, 200000)).foreach {
+        case (nQ, nC) =>
+          val q = mkRows(nQ, 1L); val c = mkRows(nC, 777L).toIndexedSeq
+          val (a, tSweep) = time(
+            BatchScore.probeTopKSweep(q, c, 8, Metric.L2))
+          val (b, tTile) = time(
+            BatchScore.probeTopKTiled(q, c, 8, Metric.L2))
+          require(a.zip(b).forall { case (x, y) => x.sameElements(y) },
+            "tiled != sweep")
+          println(s"""{"experiment":"probe_score","n_queries":$nQ,""" +
+            s""""n_centroids":$nC,"dims":$d,"sweep_sec":$tSweep,""" +
+            s""""tiled_sec":$tTile,""" +
+            s""""auto_tiled":${nQ.toLong * nC >= BatchScore.GemmPairThreshold}}""")
+      }
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.core.Metric
+
+/** GEMM-shaped batch scoring of a query block against a centroid table —
+  * the Spark-side analog of the reference's BLAS batch centroid scoring
+  * (`index/ivf/common.h:242-303`, which tiles queries × centroids through
+  * a matrix multiply).
+  *
+  * The per-pair arithmetic here is EXACTLY `Metric.compute` — the win is
+  * loop ORDER, not a different expression, so results (and therefore probe
+  * routing and every certified query) are bit-identical to the per-query
+  * sweep. The per-query sweep streams the whole centroid table from RAM
+  * once per query: at 10k × 100k × 64-d that is ~500 GB of memory traffic.
+  * Tiling queries×centroids into cache-resident blocks (a `qB`-query tile
+  * holds its slice of Q in L1/L2 while a `cB`-centroid tile is reused
+  * across all of it) re-reads the centroid table once per query TILE —
+  * a ~qB-fold traffic cut, which is the entire BLAS-level-3 trick minus
+  * the FMA reassociation a true GEMM would add (rejected here: it would
+  * change summation order and break oracle parity).
+  *
+  * [[probeTopK]] auto-engages blocking past [[GemmPairThreshold]] pairs;
+  * below it the straightforward parallel per-query loop wins (no tile
+  * bookkeeping, and certified workloads are all far below the
+  * threshold). ScaleBench's `probe_score_*` rows measure the crossover.
+  */
+object BatchScore {
+
+  /** Engage tiling when |Q|·|C| reaches ~16M scored pairs (empirically
+    * where the centroid table stops fitting comfortably in cache and the
+    * per-query sweep turns bandwidth-bound; see SCALE.md). */
+  val GemmPairThreshold: Long = 1L << 24
+
+  /** Query-tile height: 8 KiB/row at 64-d keeps a tile ≲ L2. */
+  val QBlock = 128
+  /** Centroid-tile width: reused across the whole query tile. */
+  val CBlock = 2048
+
+  /** Per-query top-`nProbes` centroids (rank order, ties to smaller id —
+    * LocalTopK semantics, identical to the TopK aggregate). Picks the
+    * tiled or per-query path by problem size; both are bit-identical. */
+  def probeTopK(qRows: Array[(Long, Array[Double])],
+                cents: IndexedSeq[(Long, Array[Double])], nProbes: Int,
+                metric: Metric): Array[Array[Long]] =
+    if (qRows.length.toLong * cents.length < GemmPairThreshold)
+      probeTopKSweep(qRows, cents, nProbes, metric)
+    else probeTopKTiled(qRows, cents, nProbes, metric)
+
+  /** The parallel per-query sweep (small-problem path). */
+  private[graft] def probeTopKSweep(qRows: Array[(Long, Array[Double])],
+      cents: IndexedSeq[(Long, Array[Double])], nProbes: Int,
+      metric: Metric): Array[Array[Long]] = {
+    val out = new Array[Array[Long]](qRows.length)
+    java.util.stream.IntStream.range(0, qRows.length).parallel().forEach {
+      i =>
+        val top = new LocalTopK(nProbes, metric.ascending)
+        val qvec = qRows(i)._2
+        cents.foreach { case (cid, cvec) =>
+          top.insert(metric.compute(qvec, cvec), cid)
+        }
+        out(i) = java.util.Arrays.copyOf(top.ids, top.n)
+    }
+    out
+  }
+
+  /** The cache-tiled path (large problems). */
+  private[graft] def probeTopKTiled(qRows: Array[(Long, Array[Double])],
+      cents: IndexedSeq[(Long, Array[Double])], nProbes: Int,
+      metric: Metric): Array[Array[Long]] = {
+    val out = new Array[Array[Long]](qRows.length)
+    locally {
+      val centsArr = cents.toArray
+      val nQB = (qRows.length + QBlock - 1) / QBlock
+      // parallel over query tiles; within a tile, centroid tiles stream
+      // sequentially and every centroid row is reused across the whole
+      // tile while cache-hot. Per-query insert order over centroids is
+      // unchanged (c-tiles ascend in the same global order), so the heap
+      // state — and thus tie behavior — matches the per-query sweep.
+      java.util.stream.IntStream.range(0, nQB).parallel().forEach { qb =>
+        val q0 = qb * QBlock
+        val q1 = math.min(q0 + QBlock, qRows.length)
+        val tops = Array.fill(q1 - q0)(
+          new LocalTopK(nProbes, metric.ascending))
+        var c0 = 0
+        while (c0 < centsArr.length) {
+          val c1 = math.min(c0 + CBlock, centsArr.length)
+          var i = q0
+          while (i < q1) {
+            val qvec = qRows(i)._2
+            val top = tops(i - q0)
+            var j = c0
+            while (j < c1) {
+              val (cid, cvec) = centsArr(j)
+              top.insert(metric.compute(qvec, cvec), cid)
+              j += 1
+            }
+            i += 1
+          }
+          c0 = c1
+        }
+        var i = q0
+        while (i < q1) {
+          val top = tops(i - q0)
+          out(i) = java.util.Arrays.copyOf(top.ids, top.n)
+          i += 1
+        }
+      }
+    }
+    out
+  }
+}

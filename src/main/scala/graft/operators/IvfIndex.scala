@@ -63,21 +63,15 @@ object IvfIndex {
       .select(col("query_id").cast("long"), col("qvec").cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val cents = centroids.sortBy(_._1).map { case (i, v) => (i, v.toArray) }
-    // Parallel over queries only; each query's fold over centroids stays
-    // sequential in centroid-id order, so per-query output is bit-identical
-    // to the serial loop (index-ordered gather keeps global order too).
-    val perQuery = new Array[Seq[(Long, Long, Seq[Double])]](qRows.length)
-    java.util.stream.IntStream.range(0, qRows.length).parallel().forEach {
-      i =>
-        val (qid, qvec) = qRows(i)
-        val top = new LocalTopK(nProbes, metric.ascending)
-        cents.foreach { case (cid, cvec) =>
-          top.insert(metric.compute(qvec, cvec), cid)
-        }
-        perQuery(i) = (0 until top.n).map(j => (qid, top.ids(j), qvec.toSeq))
+    val cents = centroids.sortBy(_._1)
+      .map { case (i, v) => (i, v.toArray) }.toIndexedSeq
+    // Shared probe kernel: parallel per-query sweep at certified sizes,
+    // GEMM-style query×centroid tiling past BatchScore.GemmPairThreshold —
+    // both bit-identical (same per-pair fold, same centroid order).
+    val probeIds = BatchScore.probeTopK(qRows, cents, nProbes, metric)
+    val rows = qRows.toSeq.zipWithIndex.flatMap { case ((qid, qvec), i) =>
+      probeIds(i).map(cid => (qid, cid, qvec.toSeq))
     }
-    val rows = perQuery.toSeq.flatten
     (rows.toDF("query_id", "cluster_id", "qvec"),
       rows.map(_._2).distinct.sorted)
   }

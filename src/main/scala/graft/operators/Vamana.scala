@@ -228,22 +228,14 @@ object Vamana {
       .select(col("query_id").cast("long"), col("qvec").cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val cents = centroids.sortBy(_._1).map { case (i, v) => (i, v.toArray) }
-    // Parallel over queries; per-query centroid fold stays sequential in
-    // centroid-id order and results are gathered in query order, so the
-    // routing is bit-identical to the serial loop.
-    val perQuery =
-      new Array[Seq[(Long, (Long, Array[Double]))]](qRows.length)
-    java.util.stream.IntStream.range(0, qRows.length).parallel().forEach {
-      i =>
-        val (qid, qvec) = qRows(i)
-        val top = new LocalTopK(nProbes, metric.ascending)
-        cents.foreach { case (cid, cvec) =>
-          top.insert(metric.compute(qvec, cvec), cid)
-        }
-        perQuery(i) = (0 until top.n).map(j => (top.ids(j), (qid, qvec)))
-    }
-    perQuery.toSeq.flatten
+    val cents = centroids.sortBy(_._1)
+      .map { case (i, v) => (i, v.toArray) }.toIndexedSeq
+    // Shared probe kernel (BatchScore): per-query sweep or GEMM-style
+    // tiling by size, bit-identical either way.
+    val probeIds = BatchScore.probeTopK(qRows, cents, nProbes, metric)
+    qRows.toSeq.zipWithIndex
+      .flatMap { case ((qid, qvec), i) =>
+        probeIds(i).map(cid => (cid, (qid, qvec))) }
       .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2).toArray }
   }
 
