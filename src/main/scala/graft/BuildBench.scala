@@ -38,7 +38,8 @@ object BuildBench {
       val wall = (System.nanoTime() - t0) / 1e9
       val deg = adj.iterator.map(_.length.toLong).sum.toDouble / n
       println(f"""{"experiment":"build_bench","n":$n,"dims":$dims,""" +
-        f""""batch":$batchSize,"f32":$f32,""" +
+        f""""batch":$batchSize,"batch_effective":${stats.batchWidth.get},""" +
+        f""""f32":$f32,""" +
         f""""metric":"${m.name}","wall_sec":$wall%.3f,""" +
         f""""search_sec":${stats.search.sum / 1e9}%.3f,""" +
         f""""greedy_cpu_sec":${stats.greedyCpu.sum / 1e9}%.3f,""" +

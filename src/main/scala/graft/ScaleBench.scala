@@ -308,7 +308,8 @@ object ScaleBench {
           val r = new scala.util.Random(seed + i)
           (i.toLong, Array.fill(d)(r.nextDouble()))
         }
-      Seq((1000, 20000), (10000, 100000), (20000, 200000)).foreach {
+      Seq((1000, 20000), (4000, 40000), (10000, 100000), (20000, 200000))
+        .foreach {
         case (nQ, nC) =>
           val q = mkRows(nQ, 1L); val c = mkRows(nC, 777L).toIndexedSeq
           val (a, tSweep) = time(

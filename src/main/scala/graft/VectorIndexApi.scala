@@ -165,7 +165,8 @@ object IvfVectorIndex {
 /** Sharded Vamana graph search (J2). */
 case class VamanaVectorIndex(clustered: DataFrame, graph: DataFrame,
                              centroids: Seq[(Long, Seq[Double])],
-                             searchWindow: Int, nProbes: Int, metric: Metric)
+                             searchWindow: Int, nProbes: Int, metric: Metric,
+                             buildParams: Option[BuildParams] = None)
     extends VectorIndex {
   val indexType = "vamana"
   def search(queries: DataFrame, k: Int): DataFrame =
@@ -177,9 +178,21 @@ case class VamanaVectorIndex(clustered: DataFrame, graph: DataFrame,
     VectorIndex.writeVecs(clustered, s"$dir/data")
     VectorIndex.writeVecs(graph, s"$dir/graph")
     VectorIndex.writeVecs(centroids.toDF("id", "vec"), s"$dir/centroids")
+    // Build provenance, when known: with batch_size = 0 (auto) the
+    // EFFECTIVE insert-batch width is shard-size-dependent (64 below
+    // auto_wide nodes, 256 at or above), so recording the policy +
+    // threshold makes any rebuild reproduce the graph bit-for-bit even
+    // after the corpus grows past the step.
+    val buildJson = buildParams.map { p =>
+      s""","build_params":{"max_degree":${p.maxDegree},""" +
+        s""""build_window":${p.buildWindow},"alpha":${p.alpha},""" +
+        s""""max_candidate_pool":${p.maxCandidatePool},""" +
+        s""""prune_to":${p.pruneTo},"batch_size":${p.batchSize},""" +
+        s""""auto_wide":${BuildParams.AutoWide}}"""
+    }.getOrElse("")
     VectorIndex.writeJson(spark, dir,
       s"""{"index_type":"vamana","metric":"${metric.name}",""" +
-        s""""search_window":$searchWindow,"n_probes":$nProbes}""")
+        s""""search_window":$searchWindow,"n_probes":$nProbes$buildJson}""")
   }
 }
 
@@ -190,7 +203,7 @@ object VamanaVectorIndex {
     val clustered = KMeans.assign(data, centroids)
     VamanaVectorIndex(clustered,
       Vamana.buildSharded(clustered, params, metric), centroids,
-      searchWindow, nProbes, metric)
+      searchWindow, nProbes, metric, Some(params))
   }
 }
 

@@ -27,6 +27,15 @@ sealed trait Metric {
     * inline; SimdOf overrides with Vector API mixed kernels. */
   def computeDF(a: Array[Double], b: Array[Float]): Double
   def computeFF(a: Array[Float], b: Array[Float]): Double
+
+  /** `compute(a, flat[off, off+a.length))` without materializing the slice
+    * — the kernel for FLAT (structure-of-arrays) batch layouts
+    * (BatchScore): same per-element fold in the same order, so results are
+    * bit-identical to `compute` on a copied row. Scalar metrics override
+    * with a direct offset loop; the default copies (correct for any
+    * metric, including SIMD twins whose lane kernels are length-anchored). */
+  def computeAt(a: Array[Double], flat: Array[Double], off: Int): Double =
+    compute(a, java.util.Arrays.copyOfRange(flat, off, off + a.length))
 }
 
 object Metric {
@@ -52,6 +61,13 @@ object Metric {
         val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
       acc
     }
+    override def computeAt(a: Array[Double], flat: Array[Double],
+                           off: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i) - flat(off + i); acc += d * d; i += 1 }
+      acc
+    }
   }
 
   case object IP extends Metric {
@@ -73,6 +89,12 @@ object Metric {
     def computeFF(a: Array[Float], b: Array[Float]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    override def computeAt(a: Array[Double], flat: Array[Double],
+                           off: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * flat(off + i); i += 1 }
       acc
     }
   }
@@ -110,6 +132,16 @@ object Metric {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
         val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override def computeAt(a: Array[Double], flat: Array[Double],
+                           off: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i); val y = flat(off + i)
         dot += x * y; na += x * x; nb += y * y; i += 1
       }
       if (na == 0.0 || nb == 0.0) 0.0

@@ -26,10 +26,11 @@ import graft.core.Metric
   */
 object BatchScore {
 
-  /** Engage tiling when |Q|·|C| reaches ~16M scored pairs (empirically
-    * where the centroid table stops fitting comfortably in cache and the
-    * per-query sweep turns bandwidth-bound; see SCALE.md). */
-  val GemmPairThreshold: Long = 1L << 24
+  /** Engage tiling when |Q|·|C| reaches ~134M scored pairs — measured
+    * crossover (SCALE.md probe_score rows): at 1k×20k (20M pairs) the
+    * flat-pack overhead still loses to the sweep; by 10k×100k (1G pairs,
+    * the reference's BLAS regime) tiling wins 1.35× and grows with size. */
+  val GemmPairThreshold: Long = 1L << 27
 
   /** Query-tile height: 8 KiB/row at 64-d keeps a tile ≲ L2. */
   val QBlock = 128
@@ -63,47 +64,65 @@ object BatchScore {
     out
   }
 
-  /** The cache-tiled path (large problems). */
+  /** The cache-tiled path (large problems): centroids are first packed
+    * into ONE flat primitive array (structure-of-arrays — the layout a
+    * BLAS call would demand, and what removes the per-row pointer chase
+    * that keeps the tuple-array sweep compute-bound), then query tiles ×
+    * centroid tiles stream with the tile cache-hot. `Metric.computeAt`
+    * runs the identical fold at an offset, so results stay bit-identical
+    * to the sweep. */
   private[graft] def probeTopKTiled(qRows: Array[(Long, Array[Double])],
       cents: IndexedSeq[(Long, Array[Double])], nProbes: Int,
       metric: Metric): Array[Array[Long]] = {
     val out = new Array[Array[Long]](qRows.length)
-    locally {
-      val centsArr = cents.toArray
-      val nQB = (qRows.length + QBlock - 1) / QBlock
-      // parallel over query tiles; within a tile, centroid tiles stream
-      // sequentially and every centroid row is reused across the whole
-      // tile while cache-hot. Per-query insert order over centroids is
-      // unchanged (c-tiles ascend in the same global order), so the heap
-      // state — and thus tie behavior — matches the per-query sweep.
-      java.util.stream.IntStream.range(0, nQB).parallel().forEach { qb =>
-        val q0 = qb * QBlock
-        val q1 = math.min(q0 + QBlock, qRows.length)
-        val tops = Array.fill(q1 - q0)(
-          new LocalTopK(nProbes, metric.ascending))
-        var c0 = 0
-        while (c0 < centsArr.length) {
-          val c1 = math.min(c0 + CBlock, centsArr.length)
-          var i = q0
-          while (i < q1) {
-            val qvec = qRows(i)._2
-            val top = tops(i - q0)
-            var j = c0
-            while (j < c1) {
-              val (cid, cvec) = centsArr(j)
-              top.insert(metric.compute(qvec, cvec), cid)
-              j += 1
-            }
-            i += 1
-          }
-          c0 = c1
-        }
+    if (cents.isEmpty || qRows.isEmpty) {
+      java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], 0, out.length,
+        Array.empty[Long])
+      return out
+    }
+    val d = cents.head._2.length
+    val nC = cents.length
+    val cIds = new Array[Long](nC)
+    val flat = new Array[Double](nC * d)
+    var j = 0
+    while (j < nC) {
+      val (cid, cvec) = cents(j)
+      cIds(j) = cid
+      System.arraycopy(cvec, 0, flat, j * d, d)
+      j += 1
+    }
+    val nQB = (qRows.length + QBlock - 1) / QBlock
+    // parallel over query tiles; within a tile, centroid tiles stream
+    // sequentially and every centroid row is reused across the whole
+    // tile while cache-hot. Per-query insert order over centroids is
+    // unchanged (c-tiles ascend in the same global order), so the heap
+    // state — and thus tie behavior — matches the per-query sweep.
+    java.util.stream.IntStream.range(0, nQB).parallel().forEach { qb =>
+      val q0 = qb * QBlock
+      val q1 = math.min(q0 + QBlock, qRows.length)
+      val tops = Array.fill(q1 - q0)(
+        new LocalTopK(nProbes, metric.ascending))
+      var c0 = 0
+      while (c0 < nC) {
+        val c1 = math.min(c0 + CBlock, nC)
         var i = q0
         while (i < q1) {
+          val qvec = qRows(i)._2
           val top = tops(i - q0)
-          out(i) = java.util.Arrays.copyOf(top.ids, top.n)
+          var cj = c0
+          while (cj < c1) {
+            top.insert(metric.computeAt(qvec, flat, cj * d), cIds(cj))
+            cj += 1
+          }
           i += 1
         }
+        c0 = c1
+      }
+      var i = q0
+      while (i < q1) {
+        val top = tops(i - q0)
+        out(i) = java.util.Arrays.copyOf(top.ids, top.n)
+        i += 1
       }
     }
     out

@@ -387,6 +387,10 @@ object VamanaKernel {
     val apply = new java.util.concurrent.atomic.LongAdder
     val overflow = new java.util.concurrent.atomic.LongAdder
     val distCalls = new java.util.concurrent.atomic.LongAdder
+    /** EFFECTIVE insert-batch width this build ran with (resolved from
+      * `BuildParams.batchFor(n)` — records which side of the AutoWide step
+      * an auto-width build landed on, so it can be reproduced exactly). */
+    val batchWidth = new java.util.concurrent.atomic.AtomicInteger(0)
     /** CPU nanos (summed across worker threads, so ≥ the wall share)
       * inside greedySearchCollect / robustPrune during the search phase —
       * attribution within `search`'s wall time. */
@@ -410,6 +414,7 @@ object VamanaKernel {
     val entry = medioid(store)
     val passes = if (params.alpha == 1.0) Seq(1.0) else Seq(1.0, params.alpha)
     val batch = math.max(1, params.batchFor(n))
+    if (stats != null) stats.batchWidth.set(batch)
     for ((alpha, pass) <- passes.zipWithIndex) {
       var start = 0
       while (start < n) {
