@@ -352,8 +352,47 @@ object OracleGen {
     * leader probe (keep leaders ≤ eps × k-th best leader distance), then
     * top-k over the probed clusters. `leaderPred` filters `data` rows by
     * their `id` column. */
+  /** q108: [[invertedSearch]] over the REPLICATED clustering — assignment
+    * keeps every leader within (1+epsRep)·d_nearest capped at maxReplicas
+    * (ties → smaller lid), candidates dedupe by (query, id) before
+    * ranking. epsRep = 0 ∧ maxReplicas = 1 degenerates to q31's
+    * single-assignment oracle. */
+  def invertedSearchReplicated(k: Int, nLeaders: Int, eps: Double,
+                               leaderPred: String, epsRep: Double,
+                               maxReplicas: Int): String = {
+    val d = Tables.embDims
+    val assignCte =
+      s"""SELECT id, lid AS leader_id FROM (
+         |    SELECT dt.id, l.lid,
+         |      ${l2.sqlExpr("dt.v", "l.c", d)} AS adist,
+         |      row_number() OVER (PARTITION BY dt.id
+         |        ORDER BY ${l2.sqlExpr("dt.v", "l.c", d)} ASC, l.lid ASC)
+         |        AS rn,
+         |      min(${l2.sqlExpr("dt.v", "l.c", d)}) OVER (PARTITION BY dt.id)
+         |        AS dmin
+         |    FROM data dt CROSS JOIN leaders l)
+         |  WHERE rn <= $maxReplicas
+         |    AND adist <= (1.0 + $epsRep) * dmin""".stripMargin
+    invertedSearchWith(k, nLeaders, eps, leaderPred, assignCte,
+      dedup = true)
+  }
+
   def invertedSearch(k: Int, nLeaders: Int, eps: Double, leaderPred: String)
       : String = {
+    val d = Tables.embDims
+    val assignCte =
+      s"""SELECT id, lid AS leader_id FROM (
+         |    SELECT dt.id, l.lid,
+         |      row_number() OVER (PARTITION BY dt.id
+         |        ORDER BY ${l2.sqlExpr("dt.v", "l.c", d)} ASC, l.lid ASC) AS rn
+         |    FROM data dt CROSS JOIN leaders l) WHERE rn = 1""".stripMargin
+    invertedSearchWith(k, nLeaders, eps, leaderPred, assignCte,
+      dedup = false)
+  }
+
+  private def invertedSearchWith(k: Int, nLeaders: Int, eps: Double,
+                                 leaderPred: String, assignCte: String,
+                                 dedup: Boolean): String = {
     val d = Tables.embDims
     val lCols = (0 until d).map(i => s"v$i AS c$i").mkString(", ")
     s"""WITH data AS (
@@ -364,11 +403,7 @@ object OracleGen {
        |  FROM embeddings WHERE ${Tables.embQueryPredSql}),
        |leaders AS (SELECT id AS lid, $lCols FROM data WHERE $leaderPred),
        |assign AS (
-       |  SELECT id, lid AS leader_id FROM (
-       |    SELECT dt.id, l.lid,
-       |      row_number() OVER (PARTITION BY dt.id
-       |        ORDER BY ${l2.sqlExpr("dt.v", "l.c", d)} ASC, l.lid ASC) AS rn
-       |    FROM data dt CROSS JOIN leaders l) WHERE rn = 1),
+       |$assignCte),
        |lscore AS (
        |  SELECT q.query_id, l.lid,
        |    ${l2.sqlExpr("q.q", "l.c", d)} AS ldist
@@ -385,7 +420,7 @@ object OracleGen {
        |  JOIN kth ON kth.query_id = s.query_id
        |  WHERE s.ldist <= $eps * kth.dk),
        |cand AS (
-       |  SELECT p.query_id, a.id,
+       |  SELECT ${if (dedup) "DISTINCT" else ""} p.query_id, a.id,
        |    ${l2.sqlExpr("q.q", "dt.v", d)} AS dist
        |  FROM probes p
        |  JOIN assign a ON a.leader_id = p.lid

@@ -721,6 +721,26 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** q108: J4 over the REPLICATED (copied-leaves) clustering — the
+    * reference's epsilon/max_replicas assignment expansion
+    * (inverted/clustering.h:49-56) + DenseClusteredDataset storage
+    * (memory_based.h:202-236): boundary rows are copied into every leader
+    * within (1+ε_rep)· their nearest-leader distance, search dedups
+    * replicated hits by id. */
+  private val InvRepEps = 0.25
+  private val InvRepMax = 3
+
+  private def invertedReplicatedQ(s: SparkSession, dir: String): DataFrame = {
+    val data = embVectors(s, dir).select("id", "vec")
+    val leaders = invLeaders(s, dir)
+    val clustered = Inverted.clusterReplicated(data, leaders, InvRepEps,
+      InvRepMax)
+    Inverted.searchReplicated(embQueries(s, dir), clustered, leaders,
+        K, InvNLeaders, InvEps, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   private def hierKmeansQ(s: SparkSession, dir: String): DataFrame =
     KMeans.hierarchicalAssign(liDedup(s, dir),
         Tables.lineitemCentroids(s, dir), Tables.lineitemL2Seeds(s, dir))
@@ -1744,6 +1764,7 @@ object SparkEntry {
     "q105_semantic_dedup_trained" -> (semanticDedupTrainedQ _),
     "q106_dup_spans_hashed" -> (dupSpansHashedQ _),
     "q107_mjpeg_flags" -> (mediaAviQ _),
+    "q108_inverted_replicated" -> (invertedReplicatedQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1951,5 +1972,10 @@ object SparkEntry {
     // q107: MJPEG AVI decode — container-derived frame/geometry/sample
     // invariants, q64's lossy-decode certification pattern.
     "q107_mjpeg_flags" -> OracleGenText.mediaAviFlags,
+    // q108: copied-leaves (replicated) inverted clustering + dedup'd
+    // ε-expansion search.
+    "q108_inverted_replicated" -> OracleGen.invertedSearchReplicated(K,
+      InvNLeaders, InvEps, s"id % $InvLeaderMod = $InvLeaderRes",
+      InvRepEps, InvRepMax),
   )
 }

@@ -32,6 +32,73 @@ object Inverted {
   def cluster(data: DataFrame, leaders: Seq[(Long, Seq[Double])]): DataFrame =
     KMeans.assign(data, leaders).withColumnRenamed("cluster_id", "leader_id")
 
+  /** B6 with the reference's REPLICA expansion
+    * (`ClusteringParameters.epsilon_` / `max_replicas_`,
+    * inverted/clustering.h:49-56): a row is COPIED into every leader whose
+    * distance is within `(1+epsilon)·` its nearest-leader distance, capped
+    * at the `maxReplicas` closest (ties → smaller leader id). This is the
+    * copied-leaves clustered dataset (`DenseClusteredDataset`,
+    * memory_based.h:202-236): boundary rows physically live in every
+    * nearby cluster, so an ε-probe of one cluster sees them without a
+    * second lookup — recall of a wider probe at ≤ maxReplicas× the
+    * storage. In Spark the replicated output written
+    * `partitionBy(leader_id)` ([[IvfIndex.writeClustered]] shape) IS the
+    * dense layout: each cluster partition holds its own (copied) leaf
+    * vectors, and the sparse id-list variant is just this table without
+    * `vec` plus a join back to the monolithic data — strictly worse under
+    * partition pruning, which is why only dense ships.
+    *
+    * Kernel shape: leaders are flat-packed and broadcast in the closure;
+    * the per-row scan is `Metric.computeAt` over the packed table (no
+    * per-leader allocation), distances bit-equal to [[cluster]]'s
+    * NearestCentroid — so `maxReplicas = 1, epsilon = 0` reproduces
+    * [[cluster]] exactly (InvertedSpec pins this). */
+  def clusterReplicated(data: DataFrame, leaders: Seq[(Long, Seq[Double])],
+                        epsilon: Double, maxReplicas: Int,
+                        metric: Metric = Metric.L2): DataFrame = {
+    require(maxReplicas >= 1, "maxReplicas must be >= 1")
+    val spark = data.sparkSession
+    import spark.implicits._
+    val lIds = leaders.map(_._1).toArray
+    val d = leaders.head._2.length
+    val flat = new Array[Double](leaders.length * d)
+    leaders.zipWithIndex.foreach { case ((_, v), j) =>
+      var i = 0
+      while (i < d) { flat(j * d + i) = v(i); i += 1 }
+    }
+    val asc = metric.ascending
+    data.select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, vec) =>
+        val top = new LocalTopK(maxReplicas, asc)
+        var j = 0
+        while (j < lIds.length) {
+          top.insert(metric.computeAt(vec, flat, j * d), lIds(j))
+          j += 1
+        }
+        val dBest = top.dists(0)
+        val bound = if (asc) (1.0 + epsilon) * dBest
+          else dBest / (1.0 + epsilon)
+        (0 until top.n).iterator
+          .filter(r => if (asc) top.dists(r) <= bound
+            else top.dists(r) >= bound)
+          .map(r => (id, vec.toSeq, top.ids(r)))
+      }
+      .toDF("id", "vec", "leader_id")
+  }
+
+  /** J4 ε-expansion search over a REPLICATED clustering: identical probe
+    * semantics to [[search]], with one extra dedup — a row copied into two
+    * probed clusters must rank once, not twice (the reference's search
+    * dedups by visited id the same way). Copies carry identical distances,
+    * so the dedup is deterministic. */
+  def searchReplicated(queries: DataFrame, clustered: DataFrame,
+                       leaders: Seq[(Long, Seq[Double])], k: Int,
+                       nLeaders: Int, epsilon: Double, metric: Metric)
+      : DataFrame =
+    search(queries, clustered, leaders, k, nLeaders, epsilon, metric,
+      dedupIds = true)
+
   /** J4 search with ε-expansion. For each query: score all leaders, find the
     * `nLeaders`-th best leader distance `dk`, keep every leader with
     * dist ≤ epsilon·dk (L2; for similarity metrics dist ≥ dk/epsilon), scan
@@ -40,7 +107,8 @@ object Inverted {
     * Output: (query_id, rnk, neighbor_id, dist) best-first. */
   def search(queries: DataFrame, clustered: DataFrame,
              leaders: Seq[(Long, Seq[Double])], k: Int, nLeaders: Int,
-             epsilon: Double, metric: Metric): DataFrame = {
+             epsilon: Double, metric: Metric,
+             dedupIds: Boolean = false): DataFrame = {
     val spark = clustered.sparkSession
     import spark.implicits._
     // driver-side leader scoring: queries and leaders are both small
@@ -62,16 +130,20 @@ object Inverted {
     }
     val probeDf = probe.toSeq.toDF("query_id", "leader_id")
       .join(queries, Seq("query_id"))
-    probeAndRank(probeDf, clustered, k, metric)
+    probeAndRank(probeDf, clustered, k, metric, dedupIds)
   }
 
   /** Shared probe tail: broadcast the (query, leader) probe list against the
-    * clustered table and keep the k best rows per query. */
+    * clustered table and keep the k best rows per query. `dedupIds` drops
+    * replicated-row copies reached via multiple probed clusters (copies
+    * carry identical distances, so any survivor is the same row). */
   private def probeAndRank(probeDf: DataFrame, clustered: DataFrame, k: Int,
-                           metric: Metric): DataFrame = {
-    val cand = broadcast(probeDf).join(clustered, Seq("leader_id"))
+                           metric: Metric,
+                           dedupIds: Boolean = false): DataFrame = {
+    val cand0 = broadcast(probeDf).join(clustered, Seq("leader_id"))
       .select(col("query_id"), col("id"),
         metric.column(col("qvec"), col("vec")).as("dist"))
+    val cand = if (dedupIds) cand0.dropDuplicates("query_id", "id") else cand0
     TopK.perKeyViaWindow(cand, Seq("query_id"), col("id"), col("dist"), k,
       metric.ascending)
   }

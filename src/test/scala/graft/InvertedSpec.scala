@@ -38,6 +38,42 @@ class InvertedSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("replicated clustering: (eps=0, max=1) ≡ single assignment; " +
+      "replicas bounded; dedup'd search recall ≥ single-assignment recall") {
+    val leaders = Inverted.pickLeaders(emb, col("id") % 25 === 7)
+    val single = Inverted.cluster(emb, leaders)
+      .select("id", "leader_id")
+    val degenerate = Inverted.clusterReplicated(emb, leaders, 0.0, 1)
+      .select("id", "leader_id")
+    assert(degenerate.exceptAll(single).isEmpty &&
+      single.exceptAll(degenerate).isEmpty)
+    val rep = Inverted.clusterReplicated(emb, leaders, 0.25, 3).cache()
+    // every row appears 1..3 times, each copy under a distinct leader
+    val counts = rep.groupBy("id").count()
+    assert(counts.filter(col("count") < 1 || col("count") > 3).count() === 0)
+    assert(rep.count() > single.count(), "expected some replication")
+    assert(rep.dropDuplicates("id", "leader_id").count() === rep.count())
+    // nearest leader is always among a row's replicas
+    assert(single.exceptAll(rep.select("id", "leader_id")).isEmpty)
+    // dedup'd search returns k unique rows and never does worse than the
+    // single-assignment probe at the same (nLeaders, eps)
+    val exact = FlatKnn.search(q, emb, 10, Metric.L2)
+      .select("query_id", "neighbor_id")
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double =
+      res.select("query_id", "neighbor_id").intersect(exact).count()
+        .toDouble / (10 * q.count())
+    val repRes = Inverted.searchReplicated(q, rep, leaders, 10, 3, 1.2,
+      Metric.L2).cache()
+    assert(repRes.groupBy("query_id", "neighbor_id").count()
+      .filter(col("count") > 1).count() === 0, "duplicate ids in top-k")
+    val rSingle = recallOf(
+      Inverted.search(q, single.join(emb, "id"), leaders, 10, 3, 1.2,
+        Metric.L2))
+    val rRep = recallOf(repRes)
+    assert(rRep >= rSingle, s"replicated $rRep < single $rSingle")
+    rep.unpersist()
+  }
+
   test("vamana-over-leaders search equals the driver-scored search at " +
       "exhaustive leader window, and holds a recall floor realistically") {
     val leaders = Inverted.pickLeaders(emb, col("id") % 25 === 7)
