@@ -19,16 +19,22 @@ object OracleGenText {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  def qualityScore: String = {
+  /** The qualityScore arithmetic as a SQL expression over the `t` CTE's
+    * (toks, text) — shared by the q14 oracle and the q116 quality-weighted
+    * sampling oracle. */
+  private def scoreExprSql: String = {
     val stops = inList(TextAnalysis.stopwords)
-    s"""WITH t AS ($toksCte)
-       |SELECT doc_id, CAST(floor(1000.0 * (
+    s"""CAST(floor(1000.0 * (
        |  0.5 * (1.0 - CAST(len(list_filter(toks, x -> list_contains($stops, x))) AS DOUBLE) / len(toks)) +
        |  0.4 * least(1.0, len(toks) / 100.0) +
        |  0.1 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) / length(text))
-       |)) AS BIGINT) AS score
-       |FROM t ORDER BY doc_id""".stripMargin
+       |)) AS BIGINT)""".stripMargin
   }
+
+  def qualityScore: String =
+    s"""WITH t AS ($toksCte)
+       |SELECT doc_id, $scoreExprSql AS score
+       |FROM t ORDER BY doc_id""".stripMargin
 
   private def langScoresSql: String =
     TextAnalysis.langProfiles.map { case (lang, words) =>
@@ -791,4 +797,148 @@ object OracleGenText {
        |    AS removed_tokens,
        |  CAST(count(*) AS BIGINT) AS n_tokens
        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- mixture / packing / quality-gate oracles (q109–q115) -------------
+
+  import graft.operators.Mixture
+
+  /** The q109/q110 row hash replayed in SQL — same Lehmer arithmetic as
+    * [[Mixture.rowHash]]. */
+  private def hashSql(seed: Long): String =
+    Mixture.rowHashSql("doc_id", seed)
+
+  private def rateThresholdCase(rates: Map[String, Double],
+      default: Double): String = {
+    val whens = rates.toSeq.sortBy(_._1).map { case (dom, r) =>
+      s"WHEN '$dom' THEN ${Mixture.rateThreshold(r)}"
+    }.mkString(" ")
+    s"CASE source $whens ELSE ${Mixture.rateThreshold(default)} END"
+  }
+
+  /** q109: shuffle-free per-domain rate sampling. */
+  def mixtureRate(rates: Map[String, Double], default: Double,
+      seed: Long): String =
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ${hashSql(seed)} < ${rateThresholdCase(rates, default)}
+       |ORDER BY doc_id""".stripMargin
+
+  /** q116: quality-weighted sampling — keep probability proportional to
+    * the document's quality score (score/1000 as the rate); the
+    * upweight-good-documents recipe composed from two certified pieces. */
+  def qualityWeightedSample(seed: Long): String =
+    s"""WITH t AS ($toksCte),
+       |s AS (SELECT doc_id, $scoreExprSql AS score FROM t)
+       |SELECT doc_id, score FROM s
+       |WHERE ${hashSql(seed)} <
+       |  CAST(floor(score / 1000.0 * ${Mixture.HashMod}.0) AS BIGINT)
+       |ORDER BY doc_id""".stripMargin
+
+  /** q110: exact per-domain rebalance — full rank per domain (the oracle
+    * need not replicate the oversampling shortcut; output is identical). */
+  def mixtureRebalance(targets: Map[String, Long], seed: Long): String = {
+    val doms = targets.keys.toSeq.sorted.map(d => s"'$d'").mkString(", ")
+    val tgtCase = targets.toSeq.sortBy(_._1).map { case (d, t) =>
+      s"WHEN '$d' THEN $t"
+    }.mkString("CASE source ", " ", " ELSE 0 END")
+    s"""WITH h AS (SELECT doc_id, source, ${hashSql(seed)} AS hh
+       |  FROM documents WHERE source IN ($doms)),
+       |r AS (SELECT doc_id, source,
+       |  row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rnk
+       |  FROM h)
+       |SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk FROM r
+       |WHERE rnk <= $tgtCase ORDER BY source, rnk""".stripMargin
+  }
+
+  /** Shared CTEs for the greedy-packing oracles: per-source doc streams in
+    * doc_id order, the greedy first-fit recurrence as a recursive CTE. */
+  private def packCtes(capacity: Long): String =
+    s"""t AS (SELECT doc_id, source,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS sz
+       |  FROM documents),
+       |o AS (SELECT *, row_number() OVER (PARTITION BY source
+       |  ORDER BY doc_id) AS rn FROM t),
+       |r AS (
+       |  SELECT source, doc_id, sz, rn, CAST(0 AS BIGINT) AS bin,
+       |    sz AS fill FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.source, o.doc_id, o.sz, o.rn,
+       |    CASE WHEN r.fill + o.sz > $capacity AND r.fill > 0
+       |      THEN r.bin + 1 ELSE r.bin END,
+       |    CASE WHEN r.fill + o.sz > $capacity AND r.fill > 0
+       |      THEN o.sz ELSE r.fill + o.sz END
+       |  FROM o JOIN r ON o.source = r.source AND o.rn = r.rn + 1)""".stripMargin
+
+  /** q111: greedy sequence packing (single-shard streams). */
+  def packGreedy(capacity: Long): String =
+    s"""WITH RECURSIVE ${packCtes(capacity)}
+       |SELECT doc_id, source, CAST(0 AS INTEGER) AS shard,
+       |  sz AS n_tokens, bin
+       |FROM r ORDER BY source, doc_id""".stripMargin
+
+  /** q112: per-bin fill statistics over the q111 packing. */
+  def packBinStats(capacity: Long): String =
+    s"""WITH RECURSIVE ${packCtes(capacity)}
+       |SELECT source, CAST(0 AS INTEGER) AS shard, bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(sz) AS BIGINT) AS bin_sz,
+       |  CAST(floor(sum(sz) * 1000.0 / $capacity.0) AS BIGINT)
+       |    AS util_permille
+       |FROM r GROUP BY source, bin ORDER BY source, bin""".stripMargin
+
+  /** q115: size-targeted output sharding via window cumulative sum. */
+  def shardByRunningSize(target: Long): String =
+    s"""SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       |  CAST(floor(CAST(sum(n_chars) OVER (PARTITION BY source
+       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |      CURRENT ROW) - n_chars AS DOUBLE) / $target.0) AS BIGINT)
+       |    AS out_shard
+       |FROM documents ORDER BY source, doc_id""".stripMargin
+
+  /** q113: C4-style heuristic gate — same integer-exact arithmetic as
+    * TextAnalysis.c4Filters. */
+  def c4Filters: String = {
+    val bad = TextAnalysis.badWords.map(w =>
+      s"list_contains(toks, '$w')").mkString(" OR ")
+    val boiler = TextAnalysis.boilerplatePhrases.map(p =>
+      s"contains(lower(text), '$p')").mkString(" OR ")
+    s"""WITH t AS ($toksCte),
+       |s AS (SELECT doc_id, text, toks,
+       |  CAST(len(toks) AS BIGINT) AS n_words,
+       |  CAST(length(text) - (len(toks) - 1) AS BIGINT) AS sum_word_len
+       |FROM t),
+       |f AS (SELECT doc_id, n_words, sum_word_len,
+       |  (n_words >= ${TextAnalysis.C4MinWords}
+       |    AND n_words <= ${TextAnalysis.C4MaxWords}) AS words_ok,
+       |  (sum_word_len >= ${TextAnalysis.C4MeanWordLenMin} * n_words
+       |    AND sum_word_len <= ${TextAnalysis.C4MeanWordLenMax} * n_words)
+       |    AS mean_len_ok,
+       |  ($bad) AS has_bad_word,
+       |  ($boiler) AS has_boilerplate,
+       |  (contains(text, '{') OR contains(text, '}')) AS has_brace
+       |FROM s)
+       |SELECT doc_id, n_words, sum_word_len, words_ok, mean_len_ok,
+       |  has_bad_word, has_boilerplate, has_brace,
+       |  (words_ok AND mean_len_ok AND NOT has_bad_word
+       |    AND NOT has_boilerplate AND NOT has_brace) AS kept
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** q114: Bloom decontamination summary — n_docs/n_exact replayed
+    * exactly; the two Bloom invariants pinned true (computed from data on
+    * the Spark side, the q25/q50 certification pattern). */
+  def bloomDecontamination: String =
+    s"""WITH t AS ($toksCte),
+       |c AS ($codes3Cte),
+       |bench AS (SELECT DISTINCT unnest(codes) AS gram FROM c
+       |  WHERE doc_id % 97 = 0),
+       |inv AS (SELECT doc_id, unnest(codes) AS gram FROM c),
+       |h AS (SELECT doc_id, count(*) AS hits FROM inv
+       |  JOIN bench USING (gram) GROUP BY doc_id),
+       |per AS (SELECT d.doc_id,
+       |  CASE WHEN coalesce(h.hits, 0) > 0 THEN 1 ELSE 0 END AS cont
+       |  FROM documents d LEFT JOIN h USING (doc_id))
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(cont) AS BIGINT) AS n_exact,
+       |  true AS no_false_neg, true AS fp_ok
+       |FROM per""".stripMargin
 }

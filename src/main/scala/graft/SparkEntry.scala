@@ -297,6 +297,115 @@ object SparkEntry {
         docCodes(s, dir).filter(col("id") % 97 === 0))
       .orderBy("doc_id")
 
+  /** q114: BLOOM decontamination — q96's very-large-benchmark twin: the
+    * benchmark gram set is folded into a fixed-size Bloom bit array (KB–MB
+    * regardless of benchmark size) and membership is a pure codegen'd
+    * Column next to the corpus scan. One summary row certifies n_docs +
+    * n_exact against the SQL oracle and pins the two Bloom invariants
+    * (zero false negatives; FP rate within bound) the q25/q50 way. */
+  private def bloomDecontaminateQ(s: SparkSession, dir: String): DataFrame = {
+    val codes3 = Dedup.shingleCodeTable(docs(s, dir), n = 3)
+    Decontaminate.bloomFlags(codes3, codes3.filter(col("id") % 97 === 0))
+  }
+
+  // ---- mixture / packing (training-data pipeline shaping) ---------------
+
+  /** Per-domain keep-rates for q109 (sources absent from the map fall back
+    * to the default rate). Thresholds are floor(rate · HashMod), computed
+    * identically here and in the oracle SQL generator. */
+  private[graft] val MixtureRates =
+    Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.1)
+  private[graft] val MixtureDefaultRate = 0.25
+  private[graft] val MixtureSeed = 5L
+
+  /** q109: deterministic domain-mixture downsampling — keep each document
+    * iff its Lehmer row-hash clears the per-source rate threshold. Pure
+    * shuffle-free scan filter (the 100 TB mixture-shaping default); the
+    * oracle replays the identical modular arithmetic. */
+  private def mixtureRateQ(s: SparkSession, dir: String): DataFrame =
+    Mixture.sampleByRate(docs(s, dir), col("doc_id"),
+        Mixture.domainRates(col("source"), MixtureRates, MixtureDefaultRate),
+        MixtureSeed)
+      .select("doc_id", "source").orderBy("doc_id")
+
+  /** q116: quality-weighted sampling — keep probability proportional to
+    * the certified quality score (rate = score/1000): the upweight-good-
+    * documents recipe as a composition of two certified operators, still
+    * one shuffle-free scan filter. */
+  private def qualityWeightedSampleQ(s: SparkSession, dir: String)
+      : DataFrame =
+    Mixture.sampleByRate(
+        docs(s, dir).select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("score")),
+        col("doc_id"), col("score") / lit(1000.0), MixtureSeed)
+      .select("doc_id", "score").orderBy("doc_id")
+
+  /** Exact per-source targets for q110: includes a target equal to the
+    * domain size (src3 = 25 at sf0.01) and one above it (src4) so the
+    * clamp paths certify; unlisted sources drop to 0. */
+  private[graft] val MixtureTargets =
+    Map("src0" -> 10L, "src1" -> 15L, "src2" -> 5L, "src3" -> 25L,
+      "src4" -> 40L)
+
+  /** q110: exact per-domain rebalance — deterministic uniform sample
+    * without replacement of exactly min(target, |domain|) docs per source,
+    * ranked by (row-hash, id). The window runs over the oversampled-
+    * threshold survivors only, so its cost is O(target) per domain
+    * regardless of corpus size. */
+  private def mixtureRebalanceQ(s: SparkSession, dir: String): DataFrame =
+    Mixture.rebalanceExact(docs(s, dir), col("doc_id"), col("source"),
+        MixtureTargets, MixtureSeed)
+      .select(col("doc_id"), col("source"), col("rnk").cast("long").as("rnk"))
+      .orderBy("source", "rnk")
+
+  private[graft] val PackCapacity = 128L
+
+  private def docSizes(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(TextAnalysis.tokens(col("text")))
+        .as("n_tokens"))
+
+  /** q111: greedy sequence packing — per-source document streams packed
+    * into 128-token context bins, first-fit-in-order; one co-locating
+    * shuffle then a streaming constant-memory pass. Oracle replays the
+    * greedy recurrence as a recursive CTE. */
+  private def packGreedyQ(s: SparkSession, dir: String): DataFrame =
+    Packing.packGreedy(docSizes(s, dir), "source", "doc_id", "n_tokens",
+        PackCapacity)
+      .select(col("doc_id"), col("source"), col("shard").cast("int")
+        .as("shard"), col("n_tokens"), col("bin"))
+      .orderBy("source", "doc_id")
+
+  /** q112: per-bin fill statistics over the q111 packing — doc count,
+    * token sum, and floor-permille utilization per bin. */
+  private def packBinStatsQ(s: SparkSession, dir: String): DataFrame =
+    Packing.binStats(
+        Packing.packGreedy(docSizes(s, dir), "source", "doc_id", "n_tokens",
+          PackCapacity),
+        "source", "n_tokens", PackCapacity)
+      .select(col("source"), col("shard").cast("int").as("shard"),
+        col("bin"), col("n_docs"), col("bin_sz"), col("util_permille"))
+      .orderBy("source", "bin")
+
+  private[graft] val ShardTargetChars = 4000L
+
+  /** q115: size-targeted output sharding — shard = floor(preceding
+    * cumulative chars / target) per source in doc_id order; the
+    * uniform-output-file recipe as one window cumulative sum. */
+  private def shardBySizeQ(s: SparkSession, dir: String): DataFrame =
+    Packing.shardByRunningSize(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "doc_id", "n_chars", ShardTargetChars)
+      .select("doc_id", "source", "n_chars", "out_shard")
+      .orderBy("source", "doc_id")
+
+  /** q113: C4-style heuristic quality gate — per-document signal columns
+    * (word-count bounds, integer-exact mean-word-length bounds, blocklist
+    * word, boilerplate phrase, brace) and the final kept flag; one
+    * shuffle-free codegen'd map over the corpus. */
+  private def c4FiltersQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.c4Filters(docs(s, dir)).orderBy("doc_id")
+
   /** q97: Gopher-style repetition quality filters — duplicate-token /
     * duplicate-2-gram milli-fractions + top-2-gram count per doc. */
   private def repetitionQ(s: SparkSession, dir: String): DataFrame =
@@ -1765,6 +1874,14 @@ object SparkEntry {
     "q106_dup_spans_hashed" -> (dupSpansHashedQ _),
     "q107_mjpeg_flags" -> (mediaAviQ _),
     "q108_inverted_replicated" -> (invertedReplicatedQ _),
+    "q109_mixture_rate" -> (mixtureRateQ _),
+    "q110_mixture_rebalance" -> (mixtureRebalanceQ _),
+    "q111_pack_greedy" -> (packGreedyQ _),
+    "q112_pack_binstats" -> (packBinStatsQ _),
+    "q113_c4_filters" -> (c4FiltersQ _),
+    "q114_bloom_decontaminate" -> (bloomDecontaminateQ _),
+    "q115_shard_by_size" -> (shardBySizeQ _),
+    "q116_quality_weighted_sample" -> (qualityWeightedSampleQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1977,5 +2094,26 @@ object SparkEntry {
     "q108_inverted_replicated" -> OracleGen.invertedSearchReplicated(K,
       InvNLeaders, InvEps, s"id % $InvLeaderMod = $InvLeaderRes",
       InvRepEps, InvRepMax),
+    // q109/q110: domain-mixture shaping — Lehmer row-hash rate filter and
+    // exact per-domain rebalance, identical modular arithmetic in SQL.
+    "q109_mixture_rate" -> OracleGenText.mixtureRate(MixtureRates,
+      MixtureDefaultRate, MixtureSeed),
+    "q110_mixture_rebalance" -> OracleGenText.mixtureRebalance(
+      MixtureTargets, MixtureSeed),
+    // q111/q112: greedy sequence packing — the first-fit recurrence
+    // replayed as a recursive CTE, per-doc bins and per-bin fill stats.
+    "q111_pack_greedy" -> OracleGenText.packGreedy(PackCapacity),
+    "q112_pack_binstats" -> OracleGenText.packBinStats(PackCapacity),
+    // q113: C4-style heuristic quality gate, integer-exact signals.
+    "q113_c4_filters" -> OracleGenText.c4Filters,
+    // q114: Bloom decontamination — counts replayed, Bloom invariants
+    // pinned true (q25/q50 pattern).
+    "q114_bloom_decontaminate" -> OracleGenText.bloomDecontamination,
+    // q115: size-targeted output sharding via window cumulative sum.
+    "q115_shard_by_size" -> OracleGenText.shardByRunningSize(
+      ShardTargetChars),
+    // q116: quality-weighted sampling — rate = certified score / 1000.
+    "q116_quality_weighted_sample" ->
+      OracleGenText.qualityWeightedSample(MixtureSeed),
   )
 }

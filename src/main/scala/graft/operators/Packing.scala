@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sequence packing for training-data pipelines: assign documents to
+  * fixed-capacity bins (context windows) or size-targeted output shards.
+  * The standard step between filtering/dedup and tokenized-batch writing —
+  * packing short documents together raises training-token utilization, and
+  * size-targeted shards keep output files uniform for the data loader.
+  *
+  * Both operators are deterministic functions of (group, order) — a
+  * re-partitioned or re-run pipeline produces identical bin assignments —
+  * and their arithmetic replays exactly in the DuckDB oracle (greedy packing
+  * via a recursive CTE, shard assignment via a window cumulative sum).
+  *
+  * Scale shape: one shuffle to co-locate each packing stream, then a
+  * STREAMING per-partition pass — constant memory, no per-group
+  * materialization, no driver involvement. A "stream" is `groupCol` alone
+  * (bit-reproducible global packing per domain) or `(groupCol, shard)` with
+  * `shards > 1` — hash-split substreams that pack independently, the 100 TB
+  * shape: a trillion-doc domain becomes `shards` embarrassingly-parallel
+  * sequential scans with identical fill statistics, at the cost of bin
+  * numbering being per-shard. */
+object Packing {
+
+  /** Greedy first-fit-in-order packing: walk each stream's rows in
+    * `orderCol` order, open a new bin whenever the next document would
+    * overflow `capacity` (a document larger than the capacity gets a bin of
+    * its own). Emits (groupCol, shard, orderCol, sizeCol, bin) with bins
+    * numbered from 0 per stream.
+    *
+    * Implementation: `repartition` on the stream key co-locates each stream
+    * in one partition, `sortWithinPartitions` orders rows without a second
+    * shuffle (Spark sorts per-partition only — no global range exchange),
+    * and a single iterator pass assigns bins. */
+  def packGreedy(df: DataFrame, groupCol: String, orderCol: String,
+      sizeCol: String, capacity: Long, shards: Int = 1): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(shards >= 1, "shards must be >= 1")
+    val shardCol =
+      if (shards == 1) lit(0)
+      else pmod(Mixture.rowHash(col(orderCol), seed = 7L), lit(shards))
+        .cast("int")
+    val prepared = df.select(
+        col(groupCol).cast("string").as("grp"),
+        shardCol.as("shard"),
+        col(orderCol).cast("long").as("ord"),
+        col(sizeCol).cast("long").as("sz"))
+      .repartition(col("grp"), col("shard"))
+      .sortWithinPartitions(col("grp"), col("shard"), col("ord"))
+    val outSchema = StructType(Seq(
+      StructField("grp", StringType), StructField("shard", IntegerType),
+      StructField("ord", LongType), StructField("sz", LongType),
+      StructField("bin", LongType)))
+    val packed = prepared.mapPartitions { it =>
+      var curGrp: String = null
+      var curShard = Int.MinValue
+      var bin = 0L
+      var fill = 0L
+      it.map { r =>
+        val (g, sh, ord, sz) =
+          (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))
+        if (g != curGrp || sh != curShard) {
+          curGrp = g; curShard = sh; bin = 0L; fill = 0L
+        } else if (fill + sz > capacity && fill > 0) {
+          bin += 1L; fill = 0L
+        }
+        fill += sz
+        Row(g, sh, ord, sz, bin)
+      }
+    }(Encoders.row(outSchema))
+    packed
+      .withColumnRenamed("grp", groupCol)
+      .withColumnRenamed("ord", orderCol)
+      .withColumnRenamed("sz", sizeCol)
+  }
+
+  /** Per-bin fill statistics over [[packGreedy]] output: documents, tokens,
+    * and utilization (permille of capacity, floored — integer-typed so the
+    * oracle hash compare is float-safe). */
+  def binStats(packed: DataFrame, groupCol: String, sizeCol: String,
+      capacity: Long): DataFrame =
+    packed.groupBy(col(groupCol), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(sizeCol)).as("bin_sz"))
+      .withColumn("util_permille",
+        floor(col("bin_sz") * lit(1000.0) / lit(capacity.toDouble))
+          .cast("long"))
+
+  /** Size-targeted output sharding: assign each document to output shard
+    * floor(preceding_cumulative_size / target) within its group, in
+    * `orderCol` order. Documents straddle shard boundaries (every shard
+    * except the last holds ≥ target once closed) — the file-sizing recipe
+    * for uniform output parquet, expressible as one window cumulative sum
+    * (fully SQL-replayable, no recursion). */
+  def shardByRunningSize(df: DataFrame, groupCol: String, orderCol: String,
+      sizeCol: String, target: Long): DataFrame = {
+    require(target > 0, "target must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(groupCol), col(orderCol),
+        col(sizeCol).cast("long").as(sizeCol))
+      .withColumn("out_shard",
+        floor((sum(col(sizeCol)).over(w) - col(sizeCol))
+          .cast("double") / lit(target.toDouble)).cast("long"))
+  }
+}

@@ -187,4 +187,52 @@ object TextAnalysis {
       .select(col("doc_id"), col("dup_tok_milli"), col("dup_gram_milli"),
         coalesce(col("top_gram_cnt"), lit(0L)).as("top_gram_cnt"))
   }
+
+  // ---- C4-style heuristic quality filters -------------------------------
+
+  /** Blocklist for [[c4Filters]] — stand-in for the C4 "bad words" list. */
+  val badWords: Seq[String] = Seq("badword", "blockme")
+
+  /** Phrases whose presence drops a page in the C4 recipe. */
+  val boilerplatePhrases: Seq[String] = Seq("lorem ipsum", "javascript")
+
+  val C4MinWords = 20L
+  val C4MaxWords = 50000L
+  val C4MeanWordLenMin = 2L   // milli-free integer bounds: mean in [2, 12]
+  val C4MeanWordLenMax = 12L
+
+  /** The C4 paper's per-document heuristic gate (Raffel et al. 2020 §2.2),
+    * restated as integer-exact Column arithmetic: word-count bounds, mean
+    * word length bounds, no `{` / `}` (code page), no blocklist word, no
+    * boilerplate phrase. Emits one row per document with each signal and
+    * the final `kept` flag — pipelines filter on `kept` but audit the
+    * per-signal columns. Everything is codegen'd built-ins evaluated next
+    * to the scan: the 100 TB pass is one shuffle-free map, and the
+    * mean-word-length comparison is cross-multiplied so no floats appear
+    * anywhere. */
+  def c4Filters(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = size(toks).cast("long")
+    // sum of word lengths = chars minus separators
+    val sumLen = (length(t) - (size(toks) - 1)).cast("long")
+    val lower = org.apache.spark.sql.functions.lower(t)
+    val hasBad = badWords.map(w =>
+      array_contains(toks, w)).reduce(_ || _)
+    val hasBoiler = boilerplatePhrases.map(p =>
+      lower.contains(p)).reduce(_ || _)
+    val hasBrace = t.contains("{") || t.contains("}")
+    val wordsOk = nWords >= C4MinWords && nWords <= C4MaxWords
+    // mean word length in [min, max] without division:
+    // min*n <= sumLen <= max*n
+    val meanOk = sumLen >= lit(C4MeanWordLenMin) * nWords &&
+      sumLen <= lit(C4MeanWordLenMax) * nWords
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      nWords.as("n_words"), sumLen.as("sum_word_len"),
+      wordsOk.as("words_ok"), meanOk.as("mean_len_ok"),
+      hasBad.as("has_bad_word"), hasBoiler.as("has_boilerplate"),
+      hasBrace.as("has_brace"),
+      (wordsOk && meanOk && !hasBad && !hasBoiler && !hasBrace).as("kept"))
+  }
 }
