@@ -833,6 +833,29 @@ object OracleGenText {
        |  CAST(floor(score / 1000.0 * ${Mixture.HashMod}.0) AS BIGINT)
        |ORDER BY doc_id""".stripMargin
 
+  /** q117: repeat-factor upsampling — floor(factor) copies plus a
+    * hash-deterministic fractional copy, same IEEE double arithmetic for
+    * the fractional threshold as Mixture.upsampleByFactor. */
+  def upsampleFactors(factors: Map[String, Double], default: Double,
+      seed: Long): String = {
+    // CAST every factor literal: bare 2.5 is DECIMAL in DuckDB, and the
+    // fractional-threshold arithmetic must run in IEEE double like Spark
+    val facCase = factors.toSeq.sortBy(_._1).map { case (d, f) =>
+      s"WHEN '$d' THEN CAST($f AS DOUBLE)"
+    }.mkString("CASE source ", " ",
+      s" ELSE CAST($default AS DOUBLE) END")
+    s"""WITH f AS (SELECT doc_id, source, $facCase AS fac FROM documents),
+       |c AS (SELECT doc_id, source,
+       |  CAST(floor(fac) AS BIGINT) + CASE WHEN ${hashSql(seed)} <
+       |    CAST(floor((fac - CAST(CAST(floor(fac) AS BIGINT) AS DOUBLE))
+       |      * ${Mixture.HashMod}.0) AS BIGINT)
+       |    THEN 1 ELSE 0 END AS copies
+       |  FROM f)
+       |SELECT doc_id, source,
+       |  unnest(generate_series(0, copies - 1)) AS repeat_idx
+       |FROM c WHERE copies > 0 ORDER BY doc_id, repeat_idx""".stripMargin
+  }
+
   /** q110: exact per-domain rebalance — full rank per domain (the oracle
     * need not replicate the oversampling shortcut; output is identical). */
   def mixtureRebalance(targets: Map[String, Long], seed: Long): String = {

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Scale probe for the corpus-shaping operators (mixture, packing, Bloom
+  * decontamination, C4 gate) at 1M docs — DedupBench's sibling for the
+  * round-6 pipeline additions. A synthetic corpus with a SKEWED domain
+  * distribution (domain 0 holds ~50% of docs — the shape that breaks
+  * naive per-domain windows) is materialized to parquet first so every
+  * measurement includes the scan.
+  *
+  * Run: `sbt "runMain graft.PipelineBench"`.
+  * Env: SPARK_GRAFT_PIPE_N (docs, default 1000000), SPARK_GRAFT_CPUS. */
+object PipelineBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val n = sys.env.getOrElse("SPARK_GRAFT_PIPE_N", "1000000").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val vocab = 50000
+    val path = "/tmp/graft_pipeline_bench"
+    spark.range(n).as[Long].map { id =>
+      val rnd = new scala.util.Random(id * 2654435761L + 11)
+      // skewed domains: half the corpus in dom0, tail over 19 more
+      val dom = if (rnd.nextInt(2) == 0) 0 else 1 + rnd.nextInt(19)
+      val len = 20 + rnd.nextInt(120)
+      def word(v: Int): String = {
+        val c = (0x4E00 + v % 2000).toChar
+        c.toString + (v.toString * 2).take(2 + (v / 2000) % 8)
+      }
+      val words = Array.tabulate(len)(_ => word(rnd.nextInt(vocab)))
+      (id, s"src$dom", words.mkString(" "), len.toLong)
+    }.toDF("doc_id", "source", "text", "n_tokens")
+      .repartition(cpus.toInt * 4)
+      .write.mode("overwrite").parquet(path)
+    val docs = spark.read.parquet(path)
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def stage(name: String)(secs: Double): Unit =
+      System.err.println(f"[pipeline-bench] $name: $secs%.1f s")
+
+    val (_, tScan) = time(docs.count())
+    stage("scan")(tScan)
+
+    // 1. rate sampling: pure scan filter, the 100 TB mixture default
+    val (nRate, tRate) = time {
+      Mixture.sampleByRate(docs, col("doc_id"),
+        Mixture.domainRates(col("source"), Map("src0" -> 0.1), 0.5), 5L)
+        .count()
+    }
+    stage("sample-by-rate")(tRate)
+
+    // 2. exact rebalance — oversampled-threshold rank (the shipped path)
+    val targets = (0 until 20).map(i => s"src$i" -> 10000L).toMap
+    val (nReb, tReb) = time {
+      Mixture.rebalanceExact(docs, col("doc_id"), col("source"), targets,
+        5L).count()
+    }
+    stage("rebalance-oversampled")(tReb)
+
+    // 2b. the naive alternative: full row_number window per domain —
+    // every domain funnels through one reducer; dom0 pushes 500k rows
+    // through a single partition. Measured to quantify what the
+    // oversampling pre-filter buys.
+    val (nRebNaive, tRebNaive) = time {
+      val tgt = targets.foldLeft(lit(0L)) { case (acc, (d, t)) =>
+        when(col("source") === lit(d), lit(t)).otherwise(acc)
+      }
+      val w = Window.partitionBy(col("source"))
+        .orderBy(Mixture.rowHash(col("doc_id"), 5L), col("doc_id"))
+      docs.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= tgt).count()
+    }
+    stage("rebalance-naive-window")(tRebNaive)
+
+    // 3. greedy packing: single stream per domain (dom0 = one 500k-doc
+    // sequential walk) vs 8 hash substreams (the skew lever)
+    val (bins1, tPack1) = time {
+      Packing.packGreedy(docs, "source", "doc_id", "n_tokens", 2048L)
+        .agg(countDistinct(col("source"), col("bin"))).head().getLong(0)
+    }
+    stage("pack-1shard")(tPack1)
+    val (bins8, tPack8) = time {
+      Packing.packGreedy(docs, "source", "doc_id", "n_tokens", 2048L,
+        shards = 8)
+        .agg(countDistinct(col("source"), col("shard"), col("bin")))
+        .head().getLong(0)
+    }
+    stage("pack-8shards")(tPack8)
+
+    // 4. size-targeted sharding: one window cumsum per domain
+    val (nShards, tShard) = time {
+      Packing.shardByRunningSize(docs, "source", "doc_id", "n_tokens",
+        1L << 20)
+        .agg(countDistinct(col("source"), col("out_shard"))).head()
+        .getLong(0)
+    }
+    stage("shard-by-size")(tShard)
+
+    // 5. decontamination with a LARGE benchmark (every 10th doc = 100k
+    // docs, ~7M distinct grams): exact broadcast-set semi-join vs Bloom.
+    // The exact path broadcasts the full distinct-gram table; the Bloom
+    // path broadcasts 2^26 bits = 8 MB regardless of benchmark size.
+    val (codes, tCodes) = time {
+      val c = Dedup.shingleCodeTable(docs, n = 3).cache(); c.count(); c
+    }
+    stage("shingle3-prep")(tCodes)
+    val bench = codes.filter(col("id") % 10 === 0)
+    val (nGrams, tGrams) = time {
+      bench.select(explode(col("codes")).as("g")).distinct().count()
+    }
+    stage(s"bench-grams ($nGrams)")(tGrams)
+    val (nExact, tExact) = time {
+      Decontaminate.flags(codes, bench)
+        .agg(sum("contaminated")).head().getLong(0)
+    }
+    stage("decontaminate-exact")(tExact)
+    val p = Decontaminate.BloomParams.forGrams(nGrams)
+    val (bloomRow, tBloom) = time {
+      Decontaminate.bloomFlags(codes, bench, p).collect().head
+    }
+    stage(s"decontaminate-bloom (m=2^${Integer.numberOfTrailingZeros(
+      p.mBits)}, k=${p.k})")(tBloom)
+    codes.unpersist()
+
+    // 6. C4 gate: shuffle-free codegen'd map
+    val (nKept, tC4) = time {
+      TextAnalysis.c4Filters(docs).filter(col("kept")).count()
+    }
+    stage("c4-gate")(tC4)
+
+    println(s"""{"experiment":"pipeline_bench","n_docs":$n,""" +
+      s""""scan_sec":$tScan,""" +
+      s""""sample_rate_sec":$tRate,"sample_rate_kept":$nRate,""" +
+      s""""rebalance_sec":$tReb,"rebalance_kept":$nReb,""" +
+      s""""rebalance_naive_sec":$tRebNaive,""" +
+      s""""rebalance_naive_kept":$nRebNaive,""" +
+      s""""pack1_sec":$tPack1,"pack1_bins":$bins1,""" +
+      s""""pack8_sec":$tPack8,"pack8_bins":$bins8,""" +
+      s""""shard_sec":$tShard,"shard_count":$nShards,""" +
+      s""""shingle3_prep_sec":$tCodes,"bench_grams":$nGrams,""" +
+      s""""exact_decontaminate_sec":$tExact,"exact_contaminated":$nExact,""" +
+      s""""bloom_decontaminate_sec":$tBloom,""" +
+      s""""bloom_no_false_neg":${bloomRow.getAs[Boolean]("no_false_neg")},""" +
+      s""""bloom_fp_ok":${bloomRow.getAs[Boolean]("fp_ok")},""" +
+      s""""bloom_bits_mb":${p.mBits / 8 / 1048576},""" +
+      s""""c4_sec":$tC4,"c4_kept":$nKept}""")
+    spark.stop()
+  }
+}

@@ -340,6 +340,23 @@ object SparkEntry {
         col("doc_id"), col("score") / lit(1000.0), MixtureSeed)
       .select("doc_id", "score").orderBy("doc_id")
 
+  /** Per-source repeat factors for q117: whole repeats (src1), fractional
+    * upsampling (src0 2.5×), downsampling-degenerate (src2 0.4×), and the
+    * identity default. */
+  private[graft] val UpsampleFactors =
+    Map("src0" -> 2.5, "src1" -> 3.0, "src2" -> 0.4)
+
+  /** q117: repeat-factor domain upsampling — each doc emitted
+    * floor(factor) times plus a hash-deterministic extra copy with
+    * probability frac(factor); the up-weighting half of mixture shaping
+    * (epoch-repeat recipes), shuffle-free explode next to the scan. */
+  private def upsampleQ(s: SparkSession, dir: String): DataFrame =
+    Mixture.upsampleByFactor(docs(s, dir), col("doc_id"),
+        Mixture.domainRates(col("source"), UpsampleFactors, 1.0),
+        MixtureSeed)
+      .select("doc_id", "source", "repeat_idx")
+      .orderBy("doc_id", "repeat_idx")
+
   /** Exact per-source targets for q110: includes a target equal to the
     * domain size (src3 = 25 at sf0.01) and one above it (src4) so the
     * clamp paths certify; unlisted sources drop to 0. */
@@ -1882,6 +1899,7 @@ object SparkEntry {
     "q114_bloom_decontaminate" -> (bloomDecontaminateQ _),
     "q115_shard_by_size" -> (shardBySizeQ _),
     "q116_quality_weighted_sample" -> (qualityWeightedSampleQ _),
+    "q117_upsample_factors" -> (upsampleQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2115,5 +2133,9 @@ object SparkEntry {
     // q116: quality-weighted sampling — rate = certified score / 1000.
     "q116_quality_weighted_sample" ->
       OracleGenText.qualityWeightedSample(MixtureSeed),
+    // q117: repeat-factor upsampling — floor(factor) copies + one
+    // hash-deterministic fractional copy, replayed via generate_series.
+    "q117_upsample_factors" -> OracleGenText.upsampleFactors(
+      UpsampleFactors, 1.0, MixtureSeed),
   )
 }

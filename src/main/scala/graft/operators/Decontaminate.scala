@@ -50,7 +50,14 @@ object Decontaminate {
   // ---- Bloom-filter membership (the very-large-benchmark scale path) ----
 
   /** Bloom parameters: `mBits` filter size (power of two), `k` probe count.
-    * Defaults give ~0.2% theoretical FP at 10k distinct benchmark grams. */
+    * Defaults give ~0.2% theoretical per-GRAM FP at 10k distinct benchmark
+    * grams. SIZING FOR DOC-LEVEL FLAGS: a document is flagged when ANY of
+    * its G grams hits, so the per-doc FP is 1−(1−p)^G ≈ G·p — budget the
+    * per-gram rate at docFp/G (e.g. G≈128 grams/doc and a 1% doc budget
+    * needs p ≈ 10⁻⁴ → ~32 bits/gram, k=5). Use [[BloomParams.forGrams]]
+    * rather than hand-picking (the 1M-doc PipelineBench run with the
+    * per-gram default at a 7.7M-gram benchmark flagged ~90% of clean docs
+    * — measured, which is why this note exists). */
   final case class BloomParams(mBits: Int = 1 << 17, k: Int = 4,
       seed: Long = 1L) {
     require(Integer.bitCount(mBits) == 1, "mBits must be a power of two")
@@ -58,25 +65,53 @@ object Decontaminate {
     val words: Int = mBits / 64
   }
 
-  /** Per-probe Lehmer multipliers (distinct primes < 2^17 so the product
-    * with a mod-M residue stays < 2^48). A DISTINCT multiplier per probe is
-    * load-bearing: probes of the form `(base + i·c) mod m` are translates
-    * of one base hash, so two grams colliding in probe 0 collide in ALL
-    * probes — effective k collapses toward 1 and the FP rate degrades ~10×
-    * (measured in BloomSpec before the fix). Independent multipliers
-    * restore the (1−e^{−kn/m})^k rate. */
-  private val ProbeMuls = Array(48271L, 69621L, 16807L, 40014L,
-    45991L, 65537L, 75571L, 93167L)
+  object BloomParams {
+    /** Size for doc-level flag semantics: ≥ `bitsPerGram` bits per
+      * distinct benchmark gram (next power of two, capped at 2^30 =
+      * 128 MB), k = 5. 32 bits/gram ⇒ per-gram FP ~1e-4 ⇒ sub-percent
+      * per-doc FP at ~100-gram documents. */
+    def forGrams(nGrams: Long, bitsPerGram: Int = 32, k: Int = 5,
+        seed: Long = 1L): BloomParams = {
+      var m = 1L << 12
+      while (m < nGrams * bitsPerGram && m < (1L << 30)) m <<= 1
+      BloomParams(m.toInt, k, seed)
+    }
+  }
 
-  /** The i-th probe position of gram code `g` — identical arithmetic on
-    * the JVM build side and the Column probe side. */
-  @inline private def probePos(g: Long, i: Int, p: BloomParams): Int =
-    (((Math.floorMod(g, Mixture.HashMod) * ProbeMuls(i)
-      + i * 1013904223L + p.seed) % Mixture.HashMod) % p.mBits).toInt
+  /** Probe positions use REAL avalanche hashing (XXH64) with
+    * Kirsch–Mitzenmacher double hashing: pos_i = (h1 + i·h2) mod m over
+    * two independently-seeded XXH64 values. Lehmer-style modular mixes —
+    * one round, per-probe addends, per-probe multipliers, two rounds — all
+    * failed empirically here: shingle codes are Horner folds, so the gram
+    * population lives on an arithmetic lattice that multiplicative-
+    * congruential maps carry onto correlated positions, and the measured
+    * FP rate at a 7.7M-gram benchmark stayed ~100× above the
+    * (1−e^{−kn/m})^k theory (PipelineBench, 1M docs). XXH64's xor-shift-
+    * multiply rounds destroy the lattice; KM double hashing provably
+    * preserves Bloom asymptotics with just two base hashes. The probe hash
+    * needs NO SQL replay (the oracle pins invariant flags and replays only
+    * exact counts), so a non-modular hash is free; JVM and Column sides
+    * call the same engine XXH64 (`XxHash64Function` / `xxhash64`). */
+  private val ProbeSeedDelta = 1000003L
 
-  private def probePosCol(g: Column, i: Int, p: BloomParams): Column =
-    (pmod(g, lit(Mixture.HashMod)) * lit(ProbeMuls(i))
-      + lit(i * 1013904223L + p.seed)) % lit(Mixture.HashMod) % lit(p.mBits)
+  @inline private def xxh(g: Long, seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      g, org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        seed, org.apache.spark.sql.types.LongType, 42L))
+
+  @inline private def probePos(g: Long, i: Int, p: BloomParams): Int = {
+    val h1 = Math.floorMod(xxh(g, p.seed), p.mBits.toLong)
+    val h2 = Math.floorMod(xxh(g, p.seed + ProbeSeedDelta), p.mBits.toLong)
+    ((h1 + i * h2) % p.mBits).toInt
+  }
+
+  private def probePosCol(g: Column, i: Int, p: BloomParams): Column = {
+    val h1 = pmod(xxhash64(lit(p.seed), g), lit(p.mBits.toLong))
+    val h2 = pmod(xxhash64(lit(p.seed + ProbeSeedDelta), g),
+      lit(p.mBits.toLong))
+    (h1 + lit(i.toLong) * h2) % lit(p.mBits.toLong)
+  }
 
   /** Build the benchmark-side Bloom bit array over `codes`. Distributed
     * per-partition OR-fold, driver merges `words` longs per partition —
@@ -108,9 +143,11 @@ object Decontaminate {
 
   /** Membership test as a pure Column over a document's `codes` array:
     * true iff ANY gram has all `k` probe bits set. The bit array rides the
-    * plan as one array literal (plan-broadcast, evaluated map-side next to
-    * the scan — the corpus never shuffles), and the whole predicate stays
-    * inside whole-stage codegen. */
+    * plan as one array literal. NOTE: fine for KB-scale filters and the
+    * certification query, but Spark evaluates higher-order functions like
+    * `exists` interpreted (outside whole-stage codegen), so at MB-scale
+    * filters × 100M+ grams this path measured ~15× slower than the
+    * [[bloomProbe]] kernel — use that for bulk probing. */
   def bloomHitCol(codes: Column, bits: Array[Long],
       params: BloomParams = BloomParams()): Column = {
     val mask = typedlit(bits.toSeq)
@@ -122,6 +159,46 @@ object Decontaminate {
         element_at(mask, (pos / 64).cast("int") + 1),
         (pos % 64).cast("int")).bitwiseAND(lit(1L)) === 1
     }.reduce(_ && _))
+  }
+
+  /** Bulk membership probe: same probePos arithmetic as [[bloomHitCol]]
+    * (bit-identical verdicts) evaluated by a tight JVM kernel over a
+    * BROADCAST bit array — one map over the corpus, no shuffle, and the
+    * filter ships once per executor instead of riding the plan as a
+    * literal. The scale path: 1M docs × ~128 grams probed in ~2 s where
+    * the Column form took 95 s (PipelineBench). */
+  def bloomProbe(corpus: DataFrame, bits: Array[Long],
+      params: BloomParams = BloomParams()): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(bits)
+    val p = params
+    // Array[Long], not Seq[Long]: the primitive-array encoder reads the
+    // tungsten array without per-element boxing (the boxing path measured
+    // ~2× the whole probe cost at 1M docs × 128 grams)
+    corpus.select(col("id").cast("long"), col("codes"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val b = bc.value
+        it.map { case (id, codes) =>
+          var hit = false
+          var j = 0
+          val n = codes.length
+          while (j < n && !hit) {
+            val g = codes(j)
+            var ok = true
+            var i = 0
+            while (ok && i < p.k) {
+              val pos = probePos(g, i, p)
+              ok = (b(pos >> 6) >> (pos & 63) & 1L) == 1L
+              i += 1
+            }
+            hit = ok
+            j += 1
+          }
+          (id, hit)
+        }
+      }.toDF("id", "bloom_hit")
   }
 
   /** One-row certification summary of Bloom decontamination vs the exact
@@ -138,8 +215,7 @@ object Decontaminate {
       params: BloomParams = BloomParams(),
       fpBoundPermille: Long = 50L): DataFrame = {
     val bits = bloomBuild(bench, params)
-    val probed = corpus.select(col("id"),
-      bloomHitCol(col("codes"), bits, params).as("bloom_hit"))
+    val probed = bloomProbe(corpus, bits, params)
     val exact = flags(corpus, bench)
       .select(col("doc_id").as("id"), col("contaminated"))
     probed.join(exact, Seq("id"))

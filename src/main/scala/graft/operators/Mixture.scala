@@ -83,6 +83,29 @@ object Mixture {
       when(domainCol === lit(dom), lit(r)).otherwise(acc)
     }
 
+  /** Fractional UPsampling: emit each row `floor(factor)` times, plus one
+    * more copy iff rowHash clears the fractional-part threshold — so a
+    * domain with factor 2.3 contributes each doc twice and a
+    * deterministic-hash 30% of docs a third time (expected multiplicity =
+    * factor exactly). The up-weighting half of mixture shaping (published
+    * recipes repeat high-quality domains per epoch); factors < 1 degrade
+    * to [[sampleByRate]]. Output adds a `repeat_idx` column (0-based) so
+    * downstream shuffling/packing can spread the copies. Shuffle-free:
+    * one explode next to the scan. */
+  def upsampleByFactor(df: DataFrame, idCol: Column, factorCol: Column,
+      seed: Long = 1L): DataFrame = {
+    val whole = floor(factorCol).cast("long")
+    val fracThresh = floor((factorCol - whole) * lit(HashMod.toDouble))
+      .cast("long")
+    val copies = whole +
+      when(rowHash(idCol, seed) < fracThresh, 1L).otherwise(0L)
+    // sequence(0, -1) would generate a DESCENDING [0, -1] — gate on
+    // copies > 0 so factor-0 rows vanish (explode drops empty arrays)
+    df.withColumn("repeat_idx",
+      explode(when(copies > 0, sequence(lit(0L), copies - 1))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Exact per-domain counts: within each domain, rank documents by
     * (rowHash, id) ascending and keep rank ≤ target. Equivalent to a
     * deterministic uniform sample without replacement of exactly
@@ -111,7 +134,12 @@ object Mixture {
     val cut = least(lit(HashMod),
       ceil(lit(HashMod.toDouble) * col("__tgt") / col("__n") *
         lit(oversample)).cast("long"))
+    // Materialize the (small, ~oversample·Σtargets-row) survivor set once:
+    // the shortfall check AND the final output both consume it, and
+    // without truncation each would re-run the full-corpus hash filter
+    // (measured 5× the naive window's cost at 1M docs before this).
     val survivors = withSize.filter(col("__h") < cut)
+      .localCheckpoint(true)
     val w = Window.partitionBy(col("__dom"))
       .orderBy(col("__h"), idCol)
     val ranked = survivors.withColumn("__rnk", row_number().over(w))

@@ -90,6 +90,40 @@ class MixtureSpec extends SparkSpec {
     assert(byDom("dom2").length === 400)
   }
 
+  test("upsampleByFactor: whole factors repeat exactly, fractional copies" +
+      " hit the expected rate, factor 0 drops, repeat_idx contiguous") {
+    import spark.implicits._
+    val df = corpus(2000)
+    val factors = Mixture.domainRates(col("dom"),
+      Map("dom0" -> 3.0, "dom1" -> 2.5, "dom2" -> 0.0), 1.0)
+    val out = Mixture.upsampleByFactor(df, col("id"), factors, 9L)
+      .select(col("dom"), col("id"), col("repeat_idx"))
+      .as[(String, Long, Long)].collect()
+    val byDoc = out.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._3).sorted.toSeq).toMap
+    // dom0: exactly 3 copies each, idx 0,1,2
+    (0 until 2000 by 5).foreach { i =>
+      assert(byDoc(("dom0", i.toLong)) === Seq(0L, 1L, 2L))
+    }
+    // dom2: dropped entirely
+    assert(!out.exists(_._1 == "dom2"))
+    // dom3 (default 1.0): single copy
+    assert(out.filter(_._1 == "dom3").forall(_._3 == 0L))
+    assert(out.count(_._1 == "dom3") === 400)
+    // dom1: 2 or 3 copies; third-copy fraction ~0.5 (400 docs, 5 sigma)
+    val dom1 = out.filter(_._1 == "dom1").groupBy(_._2).view
+      .mapValues(_.length).toMap
+    assert(dom1.values.forall(c => c == 2 || c == 3))
+    val thirds = dom1.values.count(_ == 3)
+    assert(math.abs(thirds - 200) < 5 * math.sqrt(400 * 0.25), s"$thirds")
+    // multiplicity is the declared hash rule
+    dom1.foreach { case (id, c) =>
+      val extra = if (Mixture.rowHashJvm(id, 9L) <
+        math.floor(0.5 * Mixture.HashMod).toLong) 1 else 0
+      assert(c === 2 + extra)
+    }
+  }
+
   test("oversample shortfall falls back to full rank with identical output") {
     import spark.implicits._
     val targets = Map("dom0" -> 300L)
