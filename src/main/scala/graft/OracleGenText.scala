@@ -946,6 +946,62 @@ object OracleGenText {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  // ---- BPE training oracles (q118/q119) ---------------------------------
+
+  /** Shared CTE chain: word-frequency table, canonical symbol strings
+    * (one leading/trailing space, double gaps, `</w>` marker), then `m`
+    * unrolled merge rounds — per round, pair counts weighted by word freq,
+    * argmax with (cnt DESC, pair ASC) tie-break, and the plain
+    * `replace(' x  y ' → ' xy ')` rewrite, exactly the engine's
+    * arithmetic. */
+  private def bpeCtes(m: Int): String = {
+    val init =
+      s"""wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY w),
+         |v0 AS (SELECT w, freq,
+         |  ' ' || array_to_string([w[i:i] FOR i IN range(1, length(w)+1)],
+         |    '  ') || '  </w> ' AS s FROM wf)""".stripMargin
+    val rounds = (1 to m).map { r =>
+      s"""p$r AS (SELECT pr, sum(freq) AS cnt FROM (
+         |  SELECT freq, unnest([syms[i] || chr(1) || syms[i+1]
+         |    FOR i IN range(1, len(syms))]) AS pr
+         |  FROM (SELECT freq, string_split(trim(s), '  ') AS syms
+         |        FROM v${r - 1})) GROUP BY pr),
+         |b$r AS (SELECT pr, cnt FROM p$r ORDER BY cnt DESC, pr ASC
+         |  LIMIT 1),
+         |v$r AS (SELECT w, freq, replace(s,
+         |  ' ' || string_split(pr, chr(1))[1] || '  ' ||
+         |    string_split(pr, chr(1))[2] || ' ',
+         |  ' ' || replace(pr, chr(1), '') || ' ') AS s
+         |  FROM v${r - 1}, b$r)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
+  /** q118: the learned merge table — full m-round replay. */
+  def bpeTrain(m: Int): String = {
+    val union = (1 to m)
+      .map(r => s"SELECT $r AS round, pr, cnt FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeCtes(m)}
+       |SELECT CAST(round AS INTEGER) AS round,
+       |  string_split(pr, chr(1))[1] AS lhs,
+       |  string_split(pr, chr(1))[2] AS rhs,
+       |  CAST(cnt AS BIGINT) AS cnt
+       |FROM ($union) ORDER BY round""".stripMargin
+  }
+
+  /** q119: per-document token counts under the learned merges. */
+  def bpeTokenCounts(m: Int): String =
+    s"""WITH ${bpeCtes(m)}
+       |SELECT doc_id, CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT)
+       |  AS n_bpe_tokens
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents) d
+       |JOIN v$m USING (w)
+       |WHERE w <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q114: Bloom decontamination summary — n_docs/n_exact replayed
     * exactly; the two Bloom invariants pinned true (computed from data on
     * the Spark side, the q25/q50 certification pattern). */

@@ -423,6 +423,31 @@ object SparkEntry {
   private def c4FiltersQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.c4Filters(docs(s, dir)).orderBy("doc_id")
 
+  // ---- BPE vocabulary training ------------------------------------------
+
+  private[graft] val BpeMerges = 6
+
+  private def bpeTrained(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    memoized[(DataFrame, DataFrame)](s"bpe_$BpeMerges", dir) {
+      val (m, v) = Bpe.train(docs(s, dir), BpeMerges)
+      (m, v)
+    }
+
+  /** q118: distributed BPE vocabulary training — the learned merge table,
+    * certified by a FULL 6-round SQL replay (pair counts → argmax →
+    * rewrite per round, the q12 k-means pattern for an iterative text
+    * algorithm). */
+  private def bpeTrainQ(s: SparkSession, dir: String): DataFrame =
+    bpeTrained(s, dir)._1.orderBy("round")
+
+  /** q119: per-document token counts under the learned BPE merges —
+    * corpus explode + broadcast join against the vocabulary-sized symbol
+    * table. */
+  private def bpeTokenCountsQ(s: SparkSession, dir: String): DataFrame =
+    Bpe.tokenCounts(docs(s, dir), bpeTrained(s, dir)._2)
+      .orderBy("doc_id")
+
   /** q97: Gopher-style repetition quality filters — duplicate-token /
     * duplicate-2-gram milli-fractions + top-2-gram count per doc. */
   private def repetitionQ(s: SparkSession, dir: String): DataFrame =
@@ -1900,6 +1925,8 @@ object SparkEntry {
     "q115_shard_by_size" -> (shardBySizeQ _),
     "q116_quality_weighted_sample" -> (qualityWeightedSampleQ _),
     "q117_upsample_factors" -> (upsampleQ _),
+    "q118_bpe_train" -> (bpeTrainQ _),
+    "q119_bpe_tokens" -> (bpeTokenCountsQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2137,5 +2164,9 @@ object SparkEntry {
     // hash-deterministic fractional copy, replayed via generate_series.
     "q117_upsample_factors" -> OracleGenText.upsampleFactors(
       UpsampleFactors, 1.0, MixtureSeed),
+    // q118/q119: BPE training replayed round-by-round in SQL; token
+    // counts via the final vocab table.
+    "q118_bpe_train" -> OracleGenText.bpeTrain(BpeMerges),
+    "q119_bpe_tokens" -> OracleGenText.bpeTokenCounts(BpeMerges),
   )
 }
