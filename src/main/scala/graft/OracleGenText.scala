@@ -1029,6 +1029,26 @@ object OracleGenText {
        |    / len(ps)) AS BIGINT) AS lm_score_nano
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** q121: sliding-window chunking — same integer chunk-count formula and
+    * 1-based list slicing as Packing.chunkByTokens (the ceil runs through
+    * double division in BOTH engines for bit parity). */
+  def chunking(maxTokens: Int, overlap: Int): String = {
+    val stride = maxTokens - overlap
+    s"""WITH t AS ($toksCte),
+       |c AS (SELECT doc_id, toks, len(toks) AS n,
+       |  CASE WHEN len(toks) <= $maxTokens THEN 1
+       |    ELSE 1 + CAST(floor((len(toks) - $maxTokens + ${stride - 1})
+       |      / $stride.0) AS INTEGER) END AS k FROM t),
+       |e AS (SELECT doc_id, toks, n, unnest(range(k)) AS i FROM c)
+       |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       |  CAST(least($maxTokens, n - i * $stride) AS BIGINT)
+       |    AS n_chunk_tokens,
+       |  array_to_string(toks[i * $stride + 1 :
+       |    i * $stride + least($maxTokens, n - i * $stride)], ' ')
+       |    AS chunk_text
+       |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   /** q114: Bloom decontamination summary — n_docs/n_exact replayed
     * exactly; the two Bloom invariants pinned true (computed from data on
     * the Spark side, the q25/q50 certification pattern). */

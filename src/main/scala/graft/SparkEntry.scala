@@ -416,6 +416,17 @@ object SparkEntry {
       .select("doc_id", "source", "n_chars", "out_shard")
       .orderBy("source", "doc_id")
 
+  private[graft] val ChunkMaxTokens = 40
+  private[graft] val ChunkOverlap = 8
+
+  /** q121: sliding-window chunking — split long docs into
+    * max-40-token chunks with 8-token overlap (the split-before-packing
+    * step); chunk text itself is hash-certified. */
+  private def chunkQ(s: SparkSession, dir: String): DataFrame =
+    Packing.chunkByTokens(docs(s, dir), "doc_id", "text",
+        ChunkMaxTokens, ChunkOverlap)
+      .orderBy("doc_id", "chunk_idx")
+
   /** q113: C4-style heuristic quality gate — per-document signal columns
     * (word-count bounds, integer-exact mean-word-length bounds, blocklist
     * word, boilerplate phrase, brace) and the final kept flag; one
@@ -1937,6 +1948,7 @@ object SparkEntry {
     "q118_bpe_train" -> (bpeTrainQ _),
     "q119_bpe_tokens" -> (bpeTokenCountsQ _),
     "q120_lm_score" -> (lmScoreQ _),
+    "q121_chunking" -> (chunkQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2181,5 +2193,8 @@ object SparkEntry {
     // q120: bigram-LM mean-probability score — counts, division, ordered
     // fold; all exactly-rounded IEEE so the doubles hash-match.
     "q120_lm_score" -> OracleGenText.lmScore,
+    // q121: sliding-window chunking — integer chunk-count arithmetic +
+    // list slicing, chunk text hash-certified.
+    "q121_chunking" -> OracleGenText.chunking(ChunkMaxTokens, ChunkOverlap),
   )
 }

@@ -89,6 +89,33 @@ object Packing {
         floor(col("bin_sz") * lit(1000.0) / lit(capacity.toDouble))
           .cast("long"))
 
+  /** Sliding-window document chunking — the split-before-packing step for
+    * documents longer than the training context: chunk i covers tokens
+    * [i·stride, i·stride + maxTokens) with stride = maxTokens − overlap,
+    * so consecutive chunks share `overlap` tokens. Chunk count =
+    * 1 + ceil((n − maxTokens)/stride) for n > maxTokens, else 1 — pure
+    * integer arithmetic, shuffle-free posexplode next to the scan, fully
+    * oracle-replayable (including the chunk text itself). */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val nChunks = when(n <= maxTokens, lit(1)).otherwise(
+      lit(1) + floor((n - maxTokens + stride - 1) / lit(stride))
+        .cast("int"))
+    val chunked = df.select(col(idCol).cast("long").as("doc_id"),
+      toks.as("__toks"), posexplode(sequence(lit(0), nChunks - 1)))
+    val start = col("col") * stride
+    val len = least(lit(maxTokens), size(col("__toks")) - start)
+    chunked.select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+      len.cast("long").as("n_chunk_tokens"),
+      array_join(slice(col("__toks"), start + 1, len), " ")
+        .as("chunk_text"))
+  }
+
   /** Size-targeted output sharding: assign each document to output shard
     * floor(preceding_cumulative_size / target) within its group, in
     * `orderCol` order. Documents straddle shard boundaries (every shard

@@ -127,6 +127,41 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("chunkByTokens: chunks cover the doc with exact overlap and " +
+      "reassemble to the original text") {
+    import spark.implicits._
+    val r = new scala.util.Random(9L)
+    val docs = (0 until 200).map { i =>
+      val n = 1 + r.nextInt(150)
+      (i.toLong, Array.tabulate(n)(j => s"t${i}_$j").mkString(" "))
+    }
+    val (max, ov) = (40, 8)
+    val out = Packing.chunkByTokens(docs.toDF("doc_id", "text"),
+        "doc_id", "text", max, ov)
+      .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Int, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val stride = max - ov
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val chunks = out(id)
+      // chunk_idx contiguous from 0
+      assert(chunks.map(_._2).toSeq === chunks.indices.toSeq)
+      chunks.foreach { case (_, ci, n, ct) =>
+        val expect = toks.slice(ci * stride,
+          math.min(ci * stride + max, toks.length))
+        assert(ct.split(" ").toSeq === expect.toSeq, s"doc $id chunk $ci")
+        assert(n === expect.length && n <= max)
+      }
+      // first chunk + non-overlap tails reassemble the doc exactly
+      val reassembled = chunks.head._4.split(" ").toSeq ++
+        chunks.tail.toSeq.flatMap(c => c._4.split(" ").drop(ov).toSeq)
+      assert(reassembled === toks.toSeq, s"doc $id reassembly")
+      // every token covered at least once
+      assert(chunks.map(_._3).sum >= toks.length)
+    }
+  }
+
   test("shardByRunningSize: shard = floor(preceding cumsum / target)," +
       " monotone per group, closed shards meet the target") {
     import spark.implicits._
