@@ -1049,6 +1049,27 @@ object OracleGenText {
        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  /** q122: dataset-card per-domain statistics — reuses the langId CASE. */
+  def corpusStats: String =
+    s"""WITH t AS ($toksCte),
+       |d AS (SELECT doc_id, toks FROM t),
+       |s AS (SELECT doc_id,
+       |  $langScoresSql
+       |FROM t),
+       |l AS (SELECT doc_id, $langCaseSql AS pred_lang FROM s),
+       |j AS (SELECT doc.source AS domain,
+       |  CAST(len(d.toks) AS BIGINT) AS n_toks, l.pred_lang
+       |  FROM documents doc JOIN d ON doc.doc_id = d.doc_id
+       |  JOIN l ON doc.doc_id = l.doc_id)
+       |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(min(n_toks) AS BIGINT) AS min_tokens,
+       |  CAST(max(n_toks) AS BIGINT) AS max_tokens,
+       |  CAST(floor(sum(n_toks) * 1000.0 / count(*)) AS BIGINT)
+       |    AS mean_tokens_milli,
+       |  CAST(count(DISTINCT pred_lang) AS BIGINT) AS n_langs
+       |FROM j GROUP BY domain ORDER BY domain""".stripMargin
+
   /** q114: Bloom decontamination summary — n_docs/n_exact replayed
     * exactly; the two Bloom invariants pinned true (computed from data on
     * the Spark side, the q25/q50 certification pattern). */

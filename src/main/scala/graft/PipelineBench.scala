@@ -100,6 +100,12 @@ object PipelineBench {
         .head().getLong(0)
     }
     stage("pack-8shards")(tPack8)
+    // best-fit-decreasing: utilization vs first-fit, same capacity
+    val (binsBfd, tBfd) = time {
+      Packing.packBestFit(docs, "source", "doc_id", "n_tokens", 2048L)
+        .agg(countDistinct(col("source"), col("bin"))).head().getLong(0)
+    }
+    stage(s"pack-bestfit ($binsBfd vs $bins1 bins)")(tBfd)
 
     // 4. size-targeted sharding: one window cumsum per domain
     val (nShards, tShard) = time {
@@ -163,6 +169,7 @@ object PipelineBench {
       s""""rebalance_naive_kept":$nRebNaive,""" +
       s""""pack1_sec":$tPack1,"pack1_bins":$bins1,""" +
       s""""pack8_sec":$tPack8,"pack8_bins":$bins8,""" +
+      s""""bfd_sec":$tBfd,"bfd_bins":$binsBfd,""" +
       s""""shard_sec":$tShard,"shard_count":$nShards,""" +
       s""""shingle3_prep_sec":$tCodes,"bench_grams":$nGrams,""" +
       s""""exact_decontaminate_sec":$tExact,"exact_contaminated":$nExact,""" +

@@ -416,6 +416,11 @@ object SparkEntry {
       .select("doc_id", "source", "n_chars", "out_shard")
       .orderBy("source", "doc_id")
 
+  /** q122: dataset-card statistics — per-source doc/token counts, length
+    * spread and language mix; one map-side-combined aggregation. */
+  private def corpusStatsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusStats(docs(s, dir)).orderBy("domain")
+
   private[graft] val ChunkMaxTokens = 40
   private[graft] val ChunkOverlap = 8
 
@@ -1949,6 +1954,7 @@ object SparkEntry {
     "q119_bpe_tokens" -> (bpeTokenCountsQ _),
     "q120_lm_score" -> (lmScoreQ _),
     "q121_chunking" -> (chunkQ _),
+    "q122_corpus_stats" -> (corpusStatsQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2196,5 +2202,7 @@ object SparkEntry {
     // q121: sliding-window chunking — integer chunk-count arithmetic +
     // list slicing, chunk text hash-certified.
     "q121_chunking" -> OracleGenText.chunking(ChunkMaxTokens, ChunkOverlap),
+    // q122: dataset-card per-domain statistics.
+    "q122_corpus_stats" -> OracleGenText.corpusStats,
   )
 }

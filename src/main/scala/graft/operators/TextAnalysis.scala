@@ -188,6 +188,26 @@ object TextAnalysis {
         coalesce(col("top_gram_cnt"), lit(0L)).as("top_gram_cnt"))
   }
 
+  /** Dataset-card statistics: per-domain corpus aggregates (doc/token
+    * counts, length spread, language mix) — the numbers a published
+    * dataset reports. One map-side-combined groupBy over the corpus;
+    * integer-exact (mean floored) for the oracle hash. */
+  def corpusStats(docs: DataFrame, domainCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(col(domainCol).as("domain"),
+        tokenCount(toks).as("n_toks"),
+        langId(col(textCol)).as("pred_lang"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        min("n_toks").as("min_tokens"),
+        max("n_toks").as("max_tokens"),
+        floor(sum("n_toks") * lit(1000.0) / count(lit(1))).cast("long")
+          .as("mean_tokens_milli"),
+        countDistinct("pred_lang").as("n_langs"))
+  }
+
   // ---- C4-style heuristic quality filters -------------------------------
 
   /** Blocklist for [[c4Filters]] — stand-in for the C4 "bad words" list. */

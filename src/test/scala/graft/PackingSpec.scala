@@ -107,6 +107,69 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  /** Reference best-fit-decreasing packer over one stream. */
+  private def refBfd(rows: Seq[(Long, Long)], cap: Long)
+      : Map[Long, Long] = {          // ord -> bin
+    val open = scala.collection.mutable.TreeMap[Long,
+      scala.collection.mutable.TreeSet[Long]]()
+    var next = 0L
+    rows.sortBy { case (ord, sz) => (-sz, ord) }.map { case (ord, sz) =>
+      val fit = open.rangeFrom(sz).headOption
+      val bin = fit match {
+        case Some((rem, ids)) =>
+          val b = ids.head
+          ids.remove(b); if (ids.isEmpty) open.remove(rem)
+          val nr = rem - sz
+          if (nr > 0) open.getOrElseUpdate(nr,
+            scala.collection.mutable.TreeSet()) += b
+          b
+        case None =>
+          val b = next; next += 1
+          val nr = cap - sz
+          if (nr > 0) open.getOrElseUpdate(nr,
+            scala.collection.mutable.TreeSet()) += b
+          b
+      }
+      ord -> bin
+    }.toMap
+  }
+
+  test("packBestFit matches the reference BFD packer and never overflows") {
+    import spark.implicits._
+    val rows = randomDocs(2500, 7L)
+    val cap = 256L
+    val out = Packing.packBestFit(rows.toDF("ord", "grp", "sz"),
+        "grp", "ord", "sz", cap)
+      .select("grp", "ord", "sz", "bin")
+      .as[(String, Long, Long, Long)].collect()
+    rows.groupBy(_._2).foreach { case (g, rs) =>
+      val expect = refBfd(rs.map(r => (r._1, r._3)), cap)
+      out.filter(_._1 == g).foreach { r =>
+        assert(r._4 === expect(r._2), s"group $g ord ${r._2}")
+      }
+    }
+    out.groupBy(r => (r._1, r._4)).foreach { case ((g, b), docs) =>
+      if (docs.length > 1)
+        assert(docs.map(_._3).sum <= cap, s"bin ($g,$b) overflows")
+    }
+  }
+
+  test("packBestFit uses no more bins than first-fit-in-order on random " +
+      "corpora (the utilization claim)") {
+    import spark.implicits._
+    for (seed <- 10L to 12L) {
+      val df = randomDocs(2000, seed).toDF("ord", "grp", "sz")
+      def bins(d: org.apache.spark.sql.DataFrame) = d
+        .groupBy("grp").agg(countDistinct("bin").as("b"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val greedy = bins(Packing.packGreedy(df, "grp", "ord", "sz", 200L))
+      val bfd = bins(Packing.packBestFit(df, "grp", "ord", "sz", 200L))
+      greedy.keys.foreach { g =>
+        assert(bfd(g) <= greedy(g), s"seed $seed group $g")
+      }
+    }
+  }
+
   test("binStats aggregates are consistent with the per-doc assignment") {
     import spark.implicits._
     val df = randomDocs(1500, 5L).toDF("ord", "grp", "sz")
