@@ -1049,6 +1049,64 @@ object OracleGenText {
        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  /** q123: the corpus-shaping pipeline end-to-end — C4 gate ∘ LM-score
+    * floor ∘ deterministic rate sampling ∘ greedy packing, one SQL replay
+    * composing the q113/q120/q109/q111 pieces over the SURVIVOR stream. */
+  def shapingPipeline(lmFloorNano: Long, rate: Double, seed: Long,
+      capacity: Long): String = {
+    val bad = TextAnalysis.badWords.map(w =>
+      s"list_contains(toks, '$w')").mkString(" OR ")
+    val boiler = TextAnalysis.boilerplatePhrases.map(p =>
+      s"contains(lower(text), '$p')").mkString(" OR ")
+    s"""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ')
+       |    AS toks, text FROM documents),
+       |c4 AS (SELECT doc_id FROM t WHERE
+       |  len(toks) >= ${TextAnalysis.C4MinWords}
+       |  AND len(toks) <= ${TextAnalysis.C4MaxWords}
+       |  AND length(text) - (len(toks) - 1) >=
+       |    ${TextAnalysis.C4MeanWordLenMin} * len(toks)
+       |  AND length(text) - (len(toks) - 1) <=
+       |    ${TextAnalysis.C4MeanWordLenMax} * len(toks)
+       |  AND NOT ($bad) AND NOT ($boiler)
+       |  AND NOT (contains(text, '{') OR contains(text, '}'))),
+       |pr AS (SELECT doc_id, unnest([{'pos': i, 'w1': toks[i],
+       |    'w2': toks[i+1]} FOR i IN range(1, len(toks))]) AS s FROM t),
+       |p0 AS (SELECT doc_id, s.pos AS pos, s.w1 AS w1, s.w2 AS w2
+       |  FROM pr),
+       |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM p0
+       |  GROUP BY w1, w2),
+       |ug AS (SELECT w1, sum(c2) AS c1 FROM bg GROUP BY w1),
+       |probs AS (SELECT doc_id, pos,
+       |  coalesce(CAST(c2 AS DOUBLE) / c1, CAST(0 AS DOUBLE)) AS p
+       |  FROM p0 LEFT JOIN bg USING (w1, w2) LEFT JOIN ug USING (w1)),
+       |lm AS (SELECT doc_id, CAST(floor(CAST(1000000000 AS DOUBLE) *
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_sort(list({'pos': pos, 'p': p})),
+       |        x -> x.p)), (a, b) -> a + b) / count(*)) AS BIGINT)
+       |    AS score FROM probs GROUP BY doc_id),
+       |kept AS (SELECT d.doc_id, d.source,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS sz
+       |  FROM documents d
+       |  SEMI JOIN c4 USING (doc_id)
+       |  JOIN lm USING (doc_id)
+       |  WHERE lm.score >= $lmFloorNano
+       |    AND ${hashSql(seed)} < ${Mixture.rateThreshold(rate)}),
+       |o AS (SELECT *, row_number() OVER (PARTITION BY source
+       |  ORDER BY doc_id) AS rn FROM kept),
+       |r AS (
+       |  SELECT source, doc_id, sz, rn, CAST(0 AS BIGINT) AS bin,
+       |    sz AS fill FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.source, o.doc_id, o.sz, o.rn,
+       |    CASE WHEN r.fill + o.sz > $capacity AND r.fill > 0
+       |      THEN r.bin + 1 ELSE r.bin END,
+       |    CASE WHEN r.fill + o.sz > $capacity AND r.fill > 0
+       |      THEN o.sz ELSE r.fill + o.sz END
+       |  FROM o JOIN r ON o.source = r.source AND o.rn = r.rn + 1)
+       |SELECT doc_id, source, sz AS n_tokens, bin FROM r
+       |ORDER BY source, doc_id""".stripMargin
+  }
+
   /** q122: dataset-card per-domain statistics — reuses the langId CASE. */
   def corpusStats: String =
     s"""WITH t AS ($toksCte),

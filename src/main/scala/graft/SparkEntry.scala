@@ -432,6 +432,34 @@ object SparkEntry {
         ChunkMaxTokens, ChunkOverlap)
       .orderBy("doc_id", "chunk_idx")
 
+  private[graft] val ShapingLmFloorNano = 33000000L
+  private[graft] val ShapingRate = 0.6
+  private[graft] val ShapingCapacity = 256L
+
+  /** q123: the corpus-shaping pipeline END-TO-END in one certified plan —
+    * C4 heuristic gate ∘ LM-score floor ∘ deterministic rate sampling ∘
+    * greedy context packing (q113 ∘ q120 ∘ q109 ∘ q111 composed over the
+    * survivor stream); the oracle replays the whole composition. */
+  private def shapingPipelineQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val c4ok = TextAnalysis.c4Filters(d).filter(col("kept"))
+      .select("doc_id")
+    val (bg, ug) = LmScore.trainBigrams(d)
+    val lm = LmScore.scoreMeanProb(d, bg, ug)
+    val kept = d.join(c4ok, Seq("doc_id"))
+      .join(lm, Seq("doc_id"))
+      .filter(col("lm_score_nano") >= ShapingLmFloorNano)
+    val sampled = Mixture.sampleByRate(kept, col("doc_id"),
+        lit(ShapingRate), MixtureSeed)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(TextAnalysis.tokens(col("text")))
+          .as("n_tokens"))
+    Packing.packGreedy(sampled, "source", "doc_id", "n_tokens",
+        ShapingCapacity)
+      .select("doc_id", "source", "n_tokens", "bin")
+      .orderBy("source", "doc_id")
+  }
+
   /** q113: C4-style heuristic quality gate — per-document signal columns
     * (word-count bounds, integer-exact mean-word-length bounds, blocklist
     * word, boilerplate phrase, brace) and the final kept flag; one
@@ -1955,6 +1983,7 @@ object SparkEntry {
     "q120_lm_score" -> (lmScoreQ _),
     "q121_chunking" -> (chunkQ _),
     "q122_corpus_stats" -> (corpusStatsQ _),
+    "q123_shaping_pipeline" -> (shapingPipelineQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2204,5 +2233,8 @@ object SparkEntry {
     "q121_chunking" -> OracleGenText.chunking(ChunkMaxTokens, ChunkOverlap),
     // q122: dataset-card per-domain statistics.
     "q122_corpus_stats" -> OracleGenText.corpusStats,
+    // q123: gate ∘ LM floor ∘ sample ∘ pack — one composed replay.
+    "q123_shaping_pipeline" -> OracleGenText.shapingPipeline(
+      ShapingLmFloorNano, ShapingRate, MixtureSeed, ShapingCapacity),
   )
 }
