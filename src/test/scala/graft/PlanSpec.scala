@@ -130,6 +130,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1)"), plan.take(800))
   }
 
+  test("mixture sampling, upsampling, C4 gate, and chunking are " +
+      "shuffle-free codegen'd scans") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val plans = Seq(
+      "sampleByRate" -> graft.operators.Mixture.sampleByRate(docs,
+        col("doc_id"), lit(0.5)),
+      "upsample" -> graft.operators.Mixture.upsampleByFactor(docs,
+        col("doc_id"), lit(2.5)),
+      "c4" -> TextAnalysis.c4Filters(docs),
+      "chunk" -> graft.operators.Packing.chunkByTokens(docs, "doc_id",
+        "text", 40, 8))
+    plans.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name: ${plan.take(600)}")
+    }
+  }
+
+  test("greedy packing is exactly one co-locating exchange + an in-" +
+      "partition sort (no global range sort)") {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val packed = graft.operators.Packing.packGreedy(docs, "source",
+      "doc_id", "n_chars", 4000L)
+    val plan = packed.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length === 1, plan.take(800))
+    assert(!plan.contains("rangepartitioning"), plan.take(800))
+    assert(plan.contains("Sort ") || plan.contains("Sort["), plan.take(800))
+  }
+
   test("flat kNN merge pre-limits per partition before the shuffle") {
     val q = Tables.embeddingQueries(spark, sfDir)
     val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
