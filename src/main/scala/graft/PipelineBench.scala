@@ -161,6 +161,32 @@ object PipelineBench {
     }
     stage("bpe-encode")(tBpeEnc)
 
+    // 8. bigram-LM training + scoring: count tables are vocab²-bounded,
+    // the corpus side is one explode + join + per-doc ordered fold
+    val ((nBg, lmBg, lmUg), tLmTrain) = time {
+      val (bg, ug) = LmScore.trainBigrams(docs)
+      val b = bg.cache(); val u = ug.cache()
+      (b.count(), b, u)
+    }
+    stage(s"lm-train ($nBg bigrams)")(tLmTrain)
+    val (nScored, tLmScore) = time {
+      LmScore.scoreMeanProb(docs, lmBg, lmUg).count()
+    }
+    stage("lm-score")(tLmScore)
+    lmBg.unpersist(); lmUg.unpersist()
+    // hashed-key lever: 8-byte fingerprints instead of string-pair keys
+    val ((nBgH, lmBgH, lmUgH), tLmTrainH) = time {
+      val (bg, ug) = LmScore.trainBigramsHashed(docs)
+      val b = bg.cache(); val u = ug.cache()
+      (b.count(), b, u)
+    }
+    stage(s"lm-train-hashed ($nBgH bigrams)")(tLmTrainH)
+    val (_, tLmScoreH) = time {
+      LmScore.scoreMeanProb(docs, lmBgH, lmUgH, hashKeys = true).count()
+    }
+    stage("lm-score-hashed")(tLmScoreH)
+    lmBgH.unpersist(); lmUgH.unpersist()
+
     println(s"""{"experiment":"pipeline_bench","n_docs":$n,""" +
       s""""scan_sec":$tScan,""" +
       s""""sample_rate_sec":$tRate,"sample_rate_kept":$nRate,""" +
@@ -179,7 +205,11 @@ object PipelineBench {
       s""""bloom_bits_mb":${p.mBits / 8 / 1048576},""" +
       s""""c4_sec":$tC4,"c4_kept":$nKept,""" +
       s""""bpe_m":$bpeM,"bpe_train_sec":$tBpe,"bpe_merges":$nMerges,""" +
-      s""""bpe_encode_sec":$tBpeEnc}""")
+      s""""bpe_encode_sec":$tBpeEnc,""" +
+      s""""lm_bigrams":$nBg,"lm_train_sec":$tLmTrain,""" +
+      s""""lm_score_sec":$tLmScore,"lm_scored":$nScored,""" +
+      s""""lm_train_hashed_sec":$tLmTrainH,""" +
+      s""""lm_score_hashed_sec":$tLmScoreH}""")
     spark.stop()
   }
 }

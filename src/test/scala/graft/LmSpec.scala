@@ -72,6 +72,35 @@ class LmSpec extends SparkSpec {
     assert(got(0L) > got(1L)) // doc 1 is mostly unseen transitions
   }
 
+  test("hashed-key scoring equals string-key scoring (the shuffle-width " +
+      "lever)") {
+    val docs = Seq(
+      "the cat sat on the mat and the cat ran",
+      "a dog sat on a log",
+      "the dog and the cat sat",
+      "mat log dog cat the a on the")
+    val df = corpusDF(docs)
+    val (bg, ug) = LmScore.trainBigrams(df)
+    val (bgH, ugH) = LmScore.trainBigramsHashed(df)
+    val str = LmScore.scoreMeanProb(df, bg, ug).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hsh = LmScore.scoreMeanProb(df, bgH, ugH, hashKeys = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hsh === str)
+  }
+
+  test("hashed-key scoring equals string-key scoring on the documents " +
+      "corpus") {
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+    val (bg, ug) = LmScore.trainBigrams(docs)
+    val (bgH, ugH) = LmScore.trainBigramsHashed(docs)
+    val str = LmScore.scoreMeanProb(docs, bg, ug).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hsh = LmScore.scoreMeanProb(docs, bgH, ugH, hashKeys = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hsh === str)
+  }
+
   test("perplexity is strictly anti-monotone with mean log-prob on the " +
       "same model (transcendental variant, spec-certified)") {
     val docs = Seq(
