@@ -17,11 +17,6 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** corpus(id, codes) × bench(id, codes) → (doc_id, hits, contaminated):
-    * per corpus document, the number of its distinct shingle codes that
-    * appear anywhere in the benchmark set, and a 0/1 flag. `codes` are the
-    * distinct n-gram shingle codes of [[Dedup.shingleCodeTable]] — the
-    * same certified arithmetic the Jaccard joins run on. */
   /** Fuzzy (MinHash-LSH) decontamination — the scale twin of [[flags]]:
     * flag corpus docs NEAR-DUPLICATE to a benchmark doc, not just sharing
     * one n-gram (the fuzzy dedup step of the GPT-3 appendix recipe). A doc
@@ -233,6 +228,11 @@ object Decontaminate {
             lit(1L))).as("fp_ok"))
   }
 
+  /** corpus(id, codes) × bench(id, codes) → (doc_id, hits, contaminated):
+    * per corpus document, the number of its distinct shingle codes that
+    * appear anywhere in the benchmark set, and a 0/1 flag. `codes` are the
+    * distinct n-gram shingle codes of [[Dedup.shingleCodeTable]] — the
+    * same certified arithmetic the Jaccard joins run on. */
   def flags(corpus: DataFrame, bench: DataFrame): DataFrame = {
     val benchGrams = bench
       .select(explode(col("codes")).as("gram")).distinct()

@@ -9,12 +9,12 @@ import org.apache.spark.sql.functions._
   * per-domain counts (the "data mixture" step of every published pretraining
   * recipe — per-source up/down-weighting before tokenization).
   *
-  * Selection is keyed on a Lehmer/MINSTD hash of the document id
-  * (`(id mod M) * 48271 mod M`, M = 2^31−1) so the sample is a pure function
-  * of (id, seed): re-running the pipeline, adding columns, or re-partitioning
-  * the corpus can never change which documents are kept. The arithmetic stays
-  * below 2^48 so it replays exactly in any engine with 64-bit integers —
-  * including the DuckDB oracle.
+  * Selection is keyed on a two-round Lehmer/MINSTD hash of the document id
+  * (`((id mod M)·48271 mod M)·69621 + seed mod M`, M = 2^31−1) so the sample
+  * is a pure function of (id, seed): re-running the pipeline, adding columns,
+  * or re-partitioning the corpus can never change which documents are kept.
+  * The arithmetic stays below 2^48 so it replays exactly in any engine with
+  * 64-bit integers — including the DuckDB oracle.
   *
   * Scale shape:
   *  - [[sampleByRate]] is a shuffle-free scan filter (keep iff hash below a
