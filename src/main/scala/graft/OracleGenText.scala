@@ -106,8 +106,10 @@ object OracleGenText {
     * recursive CTE, then the keep flag per document. Certifies
     * Components.dedupApply end-to-end: pair generation, star-contraction
     * component ids (≡ min reachable id), and canonical selection. */
-  def dedupGroups(threshold: Double): String =
-    s"""WITH RECURSIVE t AS ($toksCte),
+  /** Shared CTEs: 2-gram Jaccard pairs (q18's SQL) closed transitively to
+    * per-node component ids. */
+  private def componentCtes(threshold: Double): String =
+    s"""t AS ($toksCte),
        |g AS (SELECT doc_id, codes AS gs FROM ($codesCte)),
        |sz AS (SELECT doc_id, len(gs) AS sz FROM g),
        |inv AS (SELECT doc_id, unnest(gs) AS gr FROM g),
@@ -121,12 +123,30 @@ object OracleGenText {
        |  UNION SELECT doc_b, doc_a FROM pairs),
        |r AS (SELECT u AS node, u AS reach FROM e
        |  UNION SELECT r.node, e.v FROM r JOIN e ON r.reach = e.u),
-       |cc AS (SELECT node, min(reach) AS comp FROM r GROUP BY node)
+       |cc AS (SELECT node, min(reach) AS comp FROM r GROUP BY node)""".stripMargin
+
+  def dedupGroups(threshold: Double): String =
+    s"""WITH RECURSIVE ${componentCtes(threshold)}
        |SELECT d.doc_id, CAST(coalesce(cc.comp, d.doc_id) AS BIGINT) AS comp,
        |  CAST(CASE WHEN coalesce(cc.comp, d.doc_id) = d.doc_id
        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** q124: quality-aware canonical selection — q95's components, keep =
+    * per-group argmax of the quality score (ties → lowest doc_id). */
+  def dedupBest(threshold: Double): String =
+    s"""WITH RECURSIVE ${componentCtes(threshold)},
+       |q AS (SELECT doc_id, $scoreExprSql AS score FROM t),
+       |m AS (SELECT d.doc_id, q.score,
+       |  CAST(coalesce(cc.comp, d.doc_id) AS BIGINT) AS comp
+       |  FROM documents d JOIN q USING (doc_id)
+       |  LEFT JOIN cc ON cc.node = d.doc_id)
+       |SELECT doc_id, score, comp,
+       |  CAST(CASE WHEN row_number() OVER (PARTITION BY comp
+       |    ORDER BY score DESC, doc_id) = 1 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
 
   /** The q96 oracle: benchmark decontamination — per-document count of
     * distinct 3-gram codes shared with the deterministic benchmark subset

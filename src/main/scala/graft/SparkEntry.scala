@@ -279,6 +279,17 @@ object SparkEntry {
           docCodes(s, dir).withColumnRenamed("codes", "grams"), JaccardT))
       .orderBy("doc_id")
 
+  /** q124: QUALITY-AWARE dedup resolution — q95's groups, but the kept
+    * member per duplicate group is the argmax of the certified quality
+    * score (ties → lowest id) instead of the smallest id; what production
+    * dedup actually drops. */
+  private def dedupBestQ(s: SparkSession, dir: String): DataFrame =
+    Components.dedupApplyBest(docs(s, dir),
+        Dedup.jaccardPairsPrefix(
+          docCodes(s, dir).withColumnRenamed("codes", "grams"), JaccardT),
+        TextAnalysis.qualityScore(col("text")))
+      .orderBy("doc_id")
+
   /** q96: benchmark decontamination — the corpus flagged against the
     * 3-gram codes of the deterministic benchmark subset (doc_id % 97 = 0);
     * broadcast semi-join, no shuffle of the corpus side. */
@@ -444,7 +455,7 @@ object SparkEntry {
     val d = docs(s, dir)
     val c4ok = TextAnalysis.c4Filters(d).filter(col("kept"))
       .select("doc_id")
-    val (bg, ug) = LmScore.trainBigrams(d)
+    val (bg, ug) = lmModel(s, dir)
     val lm = LmScore.scoreMeanProb(d, bg, ug)
     val kept = d.join(c4ok, Seq("doc_id"))
       .join(lm, Seq("doc_id"))
@@ -496,8 +507,15 @@ object SparkEntry {
     * probability under a bigram LM trained on the same corpus (the
     * CCNet-recipe signal in its hash-certifiable form: counts, one
     * division per bigram, ordered fold — every op exactly-rounded IEEE). */
+  private def lmModel(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    memoized[(DataFrame, DataFrame)]("lm_model", dir) {
+      val (bg, ug) = LmScore.trainBigrams(docs(s, dir))
+      (bg.cache(), ug.cache())
+    }
+
   private def lmScoreQ(s: SparkSession, dir: String): DataFrame = {
-    val (bg, ug) = LmScore.trainBigrams(docs(s, dir))
+    val (bg, ug) = lmModel(s, dir)
     LmScore.scoreMeanProb(docs(s, dir), bg, ug).orderBy("doc_id")
   }
 
@@ -1984,6 +2002,7 @@ object SparkEntry {
     "q121_chunking" -> (chunkQ _),
     "q122_corpus_stats" -> (corpusStatsQ _),
     "q123_shaping_pipeline" -> (shapingPipelineQ _),
+    "q124_dedup_best" -> (dedupBestQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2236,5 +2255,7 @@ object SparkEntry {
     // q123: gate ∘ LM floor ∘ sample ∘ pack — one composed replay.
     "q123_shaping_pipeline" -> OracleGenText.shapingPipeline(
       ShapingLmFloorNano, ShapingRate, MixtureSeed, ShapingCapacity),
+    // q124: quality-aware dedup — components + per-group score argmax.
+    "q124_dedup_best" -> OracleGenText.dedupBest(JaccardT),
   )
 }

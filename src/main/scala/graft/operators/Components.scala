@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Connected components over a near-duplicate pair graph — the step that
@@ -145,5 +145,28 @@ object Components {
         coalesce(col("comp"), col("doc_id")).as("comp"))
       .withColumn("keep",
         when(col("comp") === col("doc_id"), 1L).otherwise(0L))
+  }
+
+  /** [[dedupApply]] with QUALITY-AWARE canonical selection: within each
+    * duplicate group, keep the member with the highest `scoreCol`
+    * (ties → lowest doc_id) instead of the smallest id — what production
+    * pipelines actually do (drop the worse copy, not the later one).
+    * `scoreCol` is evaluated over `docs`' columns. The per-group argmax is
+    * a window over `comp` — group-sized, not corpus-sized, partitions. */
+  def dedupApplyBest(docs: DataFrame, pairs: DataFrame, scoreCol: Column,
+                     idCol: String = "doc_id"): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val scored = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        scoreCol.cast("long").as("score"))
+      .join(comps.withColumnRenamed("node", "doc_id"), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"), col("score"),
+        coalesce(col("comp"), col("doc_id")).as("comp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("keep",
+      when(row_number().over(w) === 1, 1L).otherwise(0L))
   }
 }
