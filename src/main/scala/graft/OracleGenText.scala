@@ -1148,6 +1148,37 @@ object OracleGenText {
        |  CAST(count(DISTINCT pred_lang) AS BIGINT) AS n_langs
        |FROM j GROUP BY domain ORDER BY domain""".stripMargin
 
+  /** q125: Jelinek–Mercer interpolation — λ·p(w2|w1) + (1−λ)·p_uni(w2)
+    * per transition, same ordered fold as q120; λ literals are CAST to
+    * DOUBLE so DuckDB doesn't run them as DECIMAL. */
+  def lmInterpolated(lambda: Double): String =
+    s"""WITH t AS ($toksCte),
+       |pr AS (SELECT doc_id, unnest([{'pos': i, 'w1': toks[i],
+       |    'w2': toks[i+1]} FOR i IN range(1, len(toks))]) AS s FROM t),
+       |p0 AS (SELECT doc_id, s.pos AS pos, s.w1 AS w1, s.w2 AS w2
+       |  FROM pr),
+       |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM p0
+       |  GROUP BY w1, w2),
+       |ug AS (SELECT w1, sum(c2) AS c1 FROM bg GROUP BY w1),
+       |tokw AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM (
+       |  SELECT unnest(toks) AS w FROM t) WHERE w <> '' GROUP BY w),
+       |tot AS (SELECT sum(cu) AS total FROM tokw),
+       |probs AS (SELECT doc_id, pos,
+       |  CAST($lambda AS DOUBLE) *
+       |    coalesce(CAST(c2 AS DOUBLE) / c1, CAST(0 AS DOUBLE)) +
+       |  CAST(${1.0 - lambda} AS DOUBLE) *
+       |    coalesce(CAST(cu AS DOUBLE) / total, CAST(0 AS DOUBLE)) AS p
+       |  FROM p0 LEFT JOIN bg USING (w1, w2) LEFT JOIN ug USING (w1)
+       |  LEFT JOIN tokw ON tokw.w = p0.w2 CROSS JOIN tot),
+       |agg AS (SELECT doc_id,
+       |  list_sort(list({'pos': pos, 'p': p})) AS ps FROM probs
+       |  GROUP BY doc_id)
+       |SELECT doc_id, CAST(floor(CAST(1000000000 AS DOUBLE) *
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(ps, x -> x.p)), (a, b) -> a + b)
+       |    / len(ps)) AS BIGINT) AS lm_interp_nano
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   /** q114: Bloom decontamination summary — n_docs/n_exact replayed
     * exactly; the two Bloom invariants pinned true (computed from data on
     * the Spark side, the q25/q50 certification pattern). */

@@ -519,6 +519,18 @@ object SparkEntry {
     LmScore.scoreMeanProb(docs(s, dir), bg, ug).orderBy("doc_id")
   }
 
+  private[graft] val LmLambda = 0.75
+
+  /** q125: Jelinek–Mercer interpolated LM score — λ·p(w2|w1) +
+    * (1−λ)·p_uni(w2) per transition; the textbook backoff that removes
+    * the hard zero on unseen bigrams while staying hash-certifiable. */
+  private def lmInterpolatedQ(s: SparkSession, dir: String): DataFrame = {
+    val (bg, ug) = lmModel(s, dir)
+    LmScore.scoreInterpolated(docs(s, dir), bg, ug,
+        LmScore.trainUnigrams(docs(s, dir)), LmLambda)
+      .orderBy("doc_id")
+  }
+
   /** q97: Gopher-style repetition quality filters — duplicate-token /
     * duplicate-2-gram milli-fractions + top-2-gram count per doc. */
   private def repetitionQ(s: SparkSession, dir: String): DataFrame =
@@ -2003,6 +2015,7 @@ object SparkEntry {
     "q122_corpus_stats" -> (corpusStatsQ _),
     "q123_shaping_pipeline" -> (shapingPipelineQ _),
     "q124_dedup_best" -> (dedupBestQ _),
+    "q125_lm_interpolated" -> (lmInterpolatedQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2257,5 +2270,8 @@ object SparkEntry {
       ShapingLmFloorNano, ShapingRate, MixtureSeed, ShapingCapacity),
     // q124: quality-aware dedup — components + per-group score argmax.
     "q124_dedup_best" -> OracleGenText.dedupBest(JaccardT),
+    // q125: Jelinek–Mercer interpolation — two multiplies + one add per
+    // transition, still exactly-rounded IEEE.
+    "q125_lm_interpolated" -> OracleGenText.lmInterpolated(LmLambda),
   )
 }

@@ -113,6 +113,57 @@ object LmScore {
           .cast("long").as("lm_score_nano"))
   }
 
+  /** Token unigram distribution table (w, cu, total): every token counted
+    * (not just bigram heads), plus the corpus total as a column so the
+    * probability cu/total needs no driver round-trip. */
+  def trainUnigrams(docs: DataFrame, textCol: String = "text")
+      : DataFrame = {
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    counts.crossJoin(broadcast(counts.agg(sum("cu").as("total"))))
+  }
+
+  /** Jelinek–Mercer interpolated score: per-bigram probability
+    * λ·p(w2|w1) + (1−λ)·p_uni(w2), folded and floored exactly like
+    * [[scoreMeanProb]]. Fixes the hard-zero weakness of the pure bigram
+    * score on out-of-model corpora — an unseen transition backs off to the
+    * target word's unigram mass instead of flattening the document to 0 —
+    * while staying inside exactly-rounded IEEE ops (two multiplies + one
+    * add per bigram), so the result still hash-certifies. A word unseen
+    * even as a unigram contributes (1−λ)·0. */
+  def scoreInterpolated(docs: DataFrame, bigrams: DataFrame,
+      unigrams: DataFrame, tokenUnigrams: DataFrame, lambda: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda in [0, 1]")
+    val toks = split(col(textCol), " ")
+    val pairs = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
+            struct(element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2"))))))
+      .select(col("doc_id"), col("pos"), col("col.w1"), col("col.w2"))
+    val probs = pairs
+      .join(bigrams, Seq("w1", "w2"), "left")
+      .join(unigrams, Seq("w1"), "left")
+      .join(tokenUnigrams.withColumnRenamed("w", "w2"), Seq("w2"), "left")
+      .select(col("doc_id"), col("pos"),
+        (lit(lambda) *
+          coalesce(col("c2").cast("double") / col("c1"), lit(0.0)) +
+         lit(1.0 - lambda) *
+          coalesce(col("cu").cast("double") / col("total"), lit(0.0)))
+          .as("p"))
+    probs.groupBy("doc_id")
+      .agg(collect_list(struct(col("pos"), col("p"))).as("ps"))
+      .select(col("doc_id"),
+        floor(lit(ScoreScale.toDouble) *
+          aggregate(sort_array(col("ps")), lit(0.0),
+            (acc, x) => acc + x.getField("p")) / size(col("ps")))
+          .cast("long").as("lm_interp_nano"))
+  }
+
   /** Conventional bigram perplexity exp(−mean ln p) with floor-epsilon for
     * unseen bigrams — the standard report form; transcendental, so
     * certified by LmSpec (strictly anti-monotone with the mean-LOG-prob,

@@ -101,6 +101,31 @@ class LmSpec extends SparkSpec {
     assert(hsh === str)
   }
 
+  test("interpolated score removes the hard zero on unseen bigrams and " +
+      "degenerates correctly at lambda = 1 and 0") {
+    val train = corpusDF(Seq("x y z x y", "x y x y z"))
+    val (bg, ug) = LmScore.trainBigrams(train)
+    val tu = LmScore.trainUnigrams(train)
+    // doc 0: transition (z,z) never occurs in training; word z is known
+    val eval = corpusDF(Seq("z z z", "x y z"))
+    def scores(lambda: Double) =
+      LmScore.scoreInterpolated(eval, bg, ug, tu, lambda).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // lambda = 1: pure bigram — doc 0 (all unseen transitions) scores 0
+    val pure = scores(1.0)
+    assert(pure(0L) === 0L)
+    assert(pure(1L) > 0L)
+    // lambda = 0.75: unigram mass rescues doc 0 from zero
+    val interp = scores(0.75)
+    assert(interp(0L) > 0L)
+    assert(interp(1L) > interp(0L)) // seen transitions still rank higher
+    // lambda = 0: pure unigram — tokens x:4 y:4 z:2 of 10:
+    // doc 0 transitions target z,z -> mean 0.2; doc 1 targets y,z -> 0.3
+    val uni = scores(0.0)
+    assert(uni(0L) === 200000000L)
+    assert(uni(1L) === 300000000L)
+  }
+
   test("perplexity is strictly anti-monotone with mean log-prob on the " +
       "same model (transcendental variant, spec-certified)") {
     val docs = Seq(
