@@ -1197,4 +1197,147 @@ object OracleGenText {
        |  CAST(sum(cont) AS BIGINT) AS n_exact,
        |  true AS no_false_neg, true AS fp_ok
        |FROM per""".stripMargin
+
+  // ---- full-text retrieval (TextIndex) ----------------------------------
+
+  /** Shared tokenizer CTE for the TextIndex family: whitespace tokens with
+    * empties dropped (TextIndex.toksCol semantics — toksCte keeps them). */
+  private val ftToksCte =
+    "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') " +
+      "AS toks FROM documents"
+
+  /** q126: inverted-index vocabulary statistics (term, df, cf). */
+  def termStats: String =
+    s"""WITH t AS ($ftToksCte),
+       |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+       |  GROUP BY term, doc_id)
+       |SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |  CAST(sum(tf) AS BIGINT) AS cf
+       |FROM tf GROUP BY term ORDER BY term""".stripMargin
+
+  /** q127: minimum-should-match keyword search — docs with >= minMatch
+    * distinct terms of the query set, plus the match count. */
+  def keywordSearch(terms: Seq[String], minMatch: Int): String = {
+    val in = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS ($ftToksCte),
+       |m AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t),
+       |f AS (SELECT doc_id, count(*) AS n_matched FROM m
+       |  WHERE term IN ($in) GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_matched AS BIGINT) AS n_matched
+       |FROM f WHERE n_matched >= $minMatch ORDER BY doc_id""".stripMargin
+  }
+
+  /** q130: exact-phrase occurrence counts — every start position i with
+    * toks[i..i+m) = phrase (1-based list indexing; overlaps count). */
+  def phraseSearch(phrase: Seq[String]): String = {
+    val m = phrase.size
+    val conds = phrase.zipWithIndex
+      .map { case (t, j) => s"toks[i + $j] = '$t'" }.mkString(" AND ")
+    s"""WITH t AS ($ftToksCte),
+       |c AS (SELECT doc_id, len(list_filter(
+       |    range(1, len(toks) - ${m - 1} + 1), i -> $conds)) AS n_hits
+       |  FROM t)
+       |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
+       |FROM c WHERE n_hits > 0 ORDER BY doc_id""".stripMargin
+  }
+
+  /** VALUES rows for a literal (query_id, term) batch — duplicate terms
+    * within a query collapsed, mirroring TextIndex.bm25TopK. */
+  private def queryValues(queries: Seq[(Long, Seq[String])]): String =
+    queries.flatMap { case (qid, ts) =>
+      ts.distinct.map(t => s"(CAST($qid AS BIGINT), '$t')")
+    }.mkString(", ")
+
+  /** The BM25 scoring CTE chain, ending in a `ranked` relation of
+    * (query_id, doc_id, rnk, score). Every arithmetic step mirrors
+    * TextIndex.bm25TopK's Column tree op-for-op (constants interpolated
+    * from the SAME Scala doubles, term-sorted fold, ties by doc_id) so the
+    * doubles are bit-identical — ln included, verified bitwise between
+    * HotSpot and DuckDB's libm on this stack. */
+  private def bm25Ctes(queries: Seq[(Long, Seq[String])], k1: Double,
+      b: Double): String = {
+    val allTerms = queries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    s"""t AS ($ftToksCte),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM t),
+       |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+       |  FROM t),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       |  FROM tok WHERE term IN ($allTerms) GROUP BY doc_id, term),
+       |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+       |  GROUP BY term),
+       |q(query_id, term) AS (VALUES ${queryValues(queries)}),
+       |wt AS (SELECT q.query_id, tf.doc_id, tf.term,
+       |  ln(1.0 + (CAST(stats.n_docs - dft.df AS DOUBLE) + 0.5) /
+       |           (CAST(dft.df AS DOUBLE) + 0.5)) *
+       |  (CAST(tf.tf AS DOUBLE) * ${k1 + 1.0} /
+       |   (CAST(tf.tf AS DOUBLE) + $k1 *
+       |    (${1.0 - b} + $b * CAST(tf.dl AS DOUBLE) / stats.avgdl))) AS w
+       |  FROM tf JOIN dft USING (term) JOIN q ON q.term = tf.term
+       |  CROSS JOIN stats),
+       |ws AS (SELECT query_id, doc_id,
+       |  list_sort(list({'term': term, 'w': w})) AS ws
+       |  FROM wt GROUP BY query_id, doc_id),
+       |sc AS (SELECT query_id, doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(ws, x -> x.w)), (a, b) -> a + b) AS score
+       |  FROM ws),
+       |ranked AS (SELECT query_id, doc_id, score,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id ASC) AS rnk FROM sc)""".stripMargin
+  }
+
+  /** q128: BM25 top-k (query_id, doc_id, rnk, bm25_nano). */
+  def bm25TopK(queries: Seq[(Long, Seq[String])], k: Int, k1: Double,
+      b: Double): String =
+    s"""WITH ${bm25Ctes(queries, k1, b)}
+       |SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rnk,
+       |  CAST(floor(1000000000.0 * score) AS BIGINT) AS bm25_nano
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** q129: hybrid retrieval — BM25 ranks fused with embedding-cosine kNN
+    * ranks by reciprocal-rank fusion, 1/(k0+rank) each side, missing side
+    * 0. The vector CTE replays the q04-certified flat cosine ranking;
+    * vec query_id vec_id/50 aligns with the literal text query ids. */
+  def hybridRrf(queries: Seq[(Long, Seq[String])], kIn: Int, kOut: Int,
+      k0: Int, k1: Double, b: Double): String = {
+    val d = Tables.embDims
+    val dims = (1 to d)
+      .map(i => s"CAST(embedding[$i] AS DOUBLE)")
+    val vCols = dims.zipWithIndex
+      .map { case (e, i) => s"$e AS v$i" }.mkString(", ")
+    val qCols = dims.zipWithIndex
+      .map { case (e, i) => s"$e AS q$i" }.mkString(", ")
+    val cos = graft.core.Metric.Cosine.sqlExpr("vq.q", "vd.v", d)
+    s"""WITH ${bm25Ctes(queries, k1, b)},
+       |tr AS (SELECT query_id, doc_id AS id, rnk FROM ranked
+       |  WHERE rnk <= $kIn),
+       |vd AS (SELECT vec_id AS id, $vCols FROM embeddings),
+       |vq AS (SELECT CAST(vec_id // 50 AS BIGINT) AS query_id, $qCols
+       |  FROM embeddings
+       |  WHERE vec_id % 50 = 0 AND vec_id < ${50 * queries.size}),
+       |vpairs AS (SELECT vq.query_id, vd.id, $cos AS dist
+       |  FROM vq CROSS JOIN vd),
+       |vr AS (SELECT query_id, id, rnk FROM (
+       |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist DESC, id ASC) AS rnk FROM vpairs) x
+       |  WHERE rnk <= $kIn),
+       |fused AS (SELECT coalesce(tr.query_id, vr.query_id) AS query_id,
+       |  coalesce(tr.id, vr.id) AS id,
+       |  coalesce(1.0 / CAST(tr.rnk + $k0 AS DOUBLE), CAST(0 AS DOUBLE)) +
+       |  coalesce(1.0 / CAST(vr.rnk + $k0 AS DOUBLE), CAST(0 AS DOUBLE))
+       |    AS score
+       |  FROM tr FULL JOIN vr
+       |    ON tr.query_id = vr.query_id AND tr.id = vr.id),
+       |fr AS (SELECT query_id, id, score,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, id ASC) AS rnk FROM fused)
+       |SELECT query_id, id, CAST(rnk AS BIGINT) AS rnk,
+       |  CAST(floor(1000000000.0 * score) AS BIGINT) AS rrf_nano
+       |FROM fr WHERE rnk <= $kOut
+       |ORDER BY query_id, rnk""".stripMargin
+  }
 }

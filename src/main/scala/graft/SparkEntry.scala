@@ -531,6 +531,67 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---- full-text retrieval (TextIndex) ----------------------------------
+
+  private[graft] val Bm25K1 = 1.2
+  private[graft] val Bm25B = 0.75
+  private[graft] val Bm25K = 10
+  private[graft] val RrfKIn = 20
+  private[graft] val RrfKOut = 10
+  private[graft] val RrfK0 = 60
+
+  /** Literal probe-query batch for BM25/hybrid: query 0 leads with the
+    * corpus's one rare term ("dup", df ≈ 1/30th of the rest) so the idf
+    * term actually discriminates; the rest exercise 2–4-term queries over
+    * the uniform vocabulary (ties broken by doc_id are part of the
+    * certified contract). */
+  private[graft] val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("dup", "batch"),
+    1L -> Seq("data", "join", "merge"),
+    2L -> Seq("stream", "window", "agg"),
+    3L -> Seq("customer", "vector"),
+    4L -> Seq("spark", "query", "fast", "the"))
+  private[graft] val KeywordTerms = Seq("dup", "data", "join")
+  private[graft] val KeywordMinMatch = 2
+  private[graft] val PhraseTerms = Seq("batch", "batch")
+
+  /** q126: inverted-index build — (term, df, cf) vocabulary statistics
+    * from the (term, doc_id, tf) postings table. */
+  private def termStatsIdxQ(s: SparkSession, dir: String): DataFrame =
+    TextIndex.termStats(TextIndex.postings(docs(s, dir))).orderBy("term")
+
+  /** q127: minimum-should-match keyword search (2 of 3 terms). */
+  private def keywordSearchQ(s: SparkSession, dir: String): DataFrame =
+    TextIndex.searchMinMatch(docs(s, dir), KeywordTerms, KeywordMinMatch)
+      .orderBy("doc_id")
+
+  /** q128: BM25 top-k over a literal query batch. */
+  private def bm25Q(s: SparkSession, dir: String): DataFrame =
+    TextIndex.bm25TopK(docs(s, dir), Bm25Queries, Bm25K, Bm25K1, Bm25B)
+      .orderBy("query_id", "rnk")
+
+  /** q129: hybrid lexical+vector retrieval — BM25 ranks RRF-fused with
+    * the q04-certified flat cosine kNN ranks (vec query vec_id/50 aligns
+    * with the literal text query ids; RRF is rank-only, so the two
+    * sides' incomparable native scores never meet). */
+  private def hybridRrfQ(s: SparkSession, dir: String): DataFrame = {
+    val text = TextIndex
+      .bm25TopK(docs(s, dir), Bm25Queries, RrfKIn, Bm25K1, Bm25B)
+      .select(col("query_id"), col("doc_id").as("id"), col("rnk"))
+    val vec = FlatKnn.search(embQueries(s, dir), embVectors(s, dir),
+        RrfKIn, Metric.Cosine)
+      .select(expr("query_id div 50").as("query_id"),
+        col("neighbor_id").as("id"), col("rnk"))
+      .filter(col("query_id") < Bm25Queries.size)
+    TextIndex.rrfFuse(text, vec, RrfKOut, RrfK0)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** q130: positional phrase search — overlapping occurrences counted
+    * ("batch batch" inside "batch batch batch" hits twice). */
+  private def phraseSearchQ(s: SparkSession, dir: String): DataFrame =
+    TextIndex.phraseSearch(docs(s, dir), PhraseTerms).orderBy("doc_id")
+
   /** q97: Gopher-style repetition quality filters — duplicate-token /
     * duplicate-2-gram milli-fractions + top-2-gram count per doc. */
   private def repetitionQ(s: SparkSession, dir: String): DataFrame =
@@ -2016,6 +2077,11 @@ object SparkEntry {
     "q123_shaping_pipeline" -> (shapingPipelineQ _),
     "q124_dedup_best" -> (dedupBestQ _),
     "q125_lm_interpolated" -> (lmInterpolatedQ _),
+    "q126_term_stats" -> (termStatsIdxQ _),
+    "q127_keyword_search" -> (keywordSearchQ _),
+    "q128_bm25_topk" -> (bm25Q _),
+    "q129_hybrid_rrf" -> (hybridRrfQ _),
+    "q130_phrase_search" -> (phraseSearchQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2273,5 +2339,16 @@ object SparkEntry {
     // q125: Jelinek–Mercer interpolation — two multiplies + one add per
     // transition, still exactly-rounded IEEE.
     "q125_lm_interpolated" -> OracleGenText.lmInterpolated(LmLambda),
+    // q126–q130: full-text retrieval — postings stats, keyword search,
+    // BM25 (ln bitwise-verified HotSpot ≡ DuckDB libm on this stack),
+    // RRF hybrid fusion (pure rational arithmetic), phrase positions.
+    "q126_term_stats" -> OracleGenText.termStats,
+    "q127_keyword_search" ->
+      OracleGenText.keywordSearch(KeywordTerms, KeywordMinMatch),
+    "q128_bm25_topk" ->
+      OracleGenText.bm25TopK(Bm25Queries, Bm25K, Bm25K1, Bm25B),
+    "q129_hybrid_rrf" -> OracleGenText.hybridRrf(Bm25Queries, RrfKIn,
+      RrfKOut, RrfK0, Bm25K1, Bm25B),
+    "q130_phrase_search" -> OracleGenText.phraseSearch(PhraseTerms),
   )
 }

@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the document corpus — the keyword half of a
+  * hybrid (lexical + vector) search engine, and the audit surface a
+  * training-data pipeline needs ("which documents mention X", "rank the
+  * corpus against this probe query", "find exact phrase hits").
+  *
+  * Pieces:
+  *  1. [[postings]] / [[termStats]] — the classic inverted-index build:
+  *     `(term, doc_id, tf)` postings and `(term, df, cf)` vocabulary
+  *     statistics. ONE corpus-wide shuffle keyed on term — the canonical
+  *     index-build cost; everything downstream is vocabulary-bounded.
+  *  2. [[searchMinMatch]] — conjunctive / disjunctive keyword search:
+  *     query terms are a literal set, so the filter sits NEXT TO THE SCAN
+  *     (only matching tokens ever shuffle) and `minMatch = |terms|` gives
+  *     AND semantics, `1` gives OR, anything between gives the usual
+  *     minimum-should-match.
+  *  3. [[phraseSearch]] — positional phrase match via the inverted
+  *     positional-join shape: per phrase term, the (doc, pos) posting rows
+  *     are equi-joined on (doc_id, pos − offset); only phrase-term
+  *     positions shuffle, never the corpus.
+  *  4. [[bm25TopK]] — Okapi/Lucene BM25 ranking of a broadcast query
+  *     batch. All arithmetic except the final `ln` is exactly-rounded
+  *     IEEE (integer counts, one division chain per term, an ORDERED
+  *     per-(query, doc) fold), so scores hash-certify against the DuckDB
+  *     oracle; `ln` itself is bitwise-identical between HotSpot's
+  *     `Math.log` (interpreted AND C2-intrinsic paths) and DuckDB's
+  *     `std::log` on this stack — verified on the idf input range before
+  *     certification. On a libm where that ever stopped holding, the
+  *     score column is a 1-ulp boundary case, not a ranking change.
+  *  5. [[rrfFuse]] — reciprocal-rank fusion of two ranked lists
+  *     (Cormack et al. SIGIR'09): score = Σ 1/(k₀ + rank). Pure rational
+  *     arithmetic over integer ranks — hash-exact with no caveat — which
+  *     is exactly why RRF is the right certified fusion for hybrid
+  *     BM25 + vector search (the scores of the two sides are never
+  *     compared directly, only their ranks).
+  *
+  * Scale shape (100 TB corpus, small query batch): query terms broadcast;
+  * the token explode filters to query terms BEFORE the (doc, term)
+  * aggregation so the per-query search only shuffles matching postings;
+  * df/N/avgdl are vocabulary- or scalar-sized broadcasts; the final
+  * per-query rank is a window over each query's candidate set (bounded by
+  * the postings of its terms — use [[TopK.perKey]] when a term's posting
+  * list alone exceeds window comfort).
+  *
+  * The reference engine is vector-only; this family is brief-mandated
+  * pipeline surface. BM25 constants follow Robertson et al. TREC-3 as
+  * popularized by Lucene's BM25Similarity (k1 = 1.2, b = 0.75,
+  * idf = ln(1 + (N − df + 0.5)/(df + 0.5))).
+  */
+object TextIndex {
+
+  /** Nano-scale for certified double scores (LmScore precedent). */
+  val ScoreScale = 1000000000L
+
+  /** Whitespace tokens with empties dropped — the corpus tokenizer shared
+    * by every operator here (and consistent with LmScore.trainUnigrams'
+    * non-empty filter). */
+  private def toksCol(textCol: String): Column =
+    filter(split(col(textCol), " "), t => t =!= "")
+
+  /** `(term, doc_id, tf)` postings — the inverted-index build. One
+    * map-side-combined aggregation keyed on (term, doc_id). */
+  def postings(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(toksCol(textCol)).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+
+  /** `(term, df, cf)` vocabulary statistics from a postings table:
+    * document frequency and collection frequency. Vocabulary-bounded. */
+  def termStats(post: DataFrame): DataFrame =
+    post.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+
+  /** Docs matching at least `minMatch` DISTINCT terms of `terms`:
+    * `(doc_id, n_matched)`. `minMatch = terms.size` ⇒ conjunctive AND.
+    * The isin filter runs next to the scan; only matching (doc, term)
+    * rows reach the aggregation. */
+  def searchMinMatch(docs: DataFrame, terms: Seq[String], minMatch: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty && minMatch >= 1 && minMatch <= terms.size,
+      "1 <= minMatch <= |terms|")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(toksCol(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatch)
+  }
+
+  /** Exact phrase occurrence count per doc: `(doc_id, n_hits)` for docs
+    * with ≥ 1 hit, where a hit is `phrase` appearing as consecutive
+    * tokens. Inverted positional-join shape: the corpus is exploded to
+    * (doc_id, pos, term) ONCE, filtered to phrase terms at the scan, and
+    * the phrase is an m−1-way equi-join on (doc_id, pos − offset) — each
+    * join key is (doc, alignedPos), so repeated words in the phrase and
+    * overlapping hits are handled by construction. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val pos = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(toksCol(textCol)))
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+      .filter(col("term").isin(phrase.distinct: _*))
+    val starts = phrase.zipWithIndex.map { case (t, j) =>
+      pos.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - j).as("start"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+    starts.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** BM25 top-k for a literal query batch `(query_id, terms)`:
+    * `(query_id, doc_id, rnk, bm25_nano)` with rnk = 1..k best-first,
+    * ties broken by doc_id, bm25_nano = floor(1e9 · score).
+    *
+    * Per matched (query, doc, term):
+    *   idf  = ln(1 + ((N − df) + 0.5) / (df + 0.5))
+    *   tfw  = tf·(k1+1) / (tf + k1·((1−b) + b·dl/avgdl))
+    * summed over the query's terms in TERM-SORTED order (the fold order
+    * is part of the certified contract). Duplicate terms within one query
+    * are collapsed (set-of-terms semantics, as Lucene's boolean BM25). */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Long, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty && k >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val qTable = broadcast(
+      queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+        .toDF("query_id", "term"))
+
+    // one pass: per-doc length + the query-term tokens only
+    val toks = toksCol(textCol)
+    val tf = docs
+      .select(col(idCol).cast("long").as("doc_id"), size(toks).as("dl"),
+        explode(toks).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+
+    // scalar corpus stats (N, avgdl) — one tiny broadcast row; df per term
+    val stats = broadcast(docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(size(toks)).cast("double") / count(lit(1))).as("avgdl")))
+    val df0 = broadcast(tf.groupBy("term").agg(count(lit(1)).as("df")))
+
+    val perTerm = tf
+      .join(df0, Seq("term"))
+      .crossJoin(stats)
+      .join(qTable, Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("term"),
+        (log(lit(1.0) +
+            ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+          (col("tf").cast("double") * lit(k1 + 1.0) /
+            (col("tf").cast("double") + lit(k1) *
+              (lit(1.0 - b) +
+                lit(b) * col("dl").cast("double") / col("avgdl")))))
+          .as("w"))
+
+    val scored = perTerm
+      .groupBy("query_id", "doc_id")
+      .agg(collect_list(struct(col("term"), col("w"))).as("ws"))
+      .select(col("query_id"), col("doc_id"),
+        aggregate(sort_array(col("ws")), lit(0.0),
+          (acc, x) => acc + x.getField("w")).as("score"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rnk"),
+        floor(lit(ScoreScale.toDouble) * col("score")).cast("long")
+          .as("bm25_nano"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked lists (Cormack et al.
+    * SIGIR'09): both inputs are `(query_id, id, rnk)`; output is
+    * `(query_id, id, rnk, rrf_nano)` re-ranked by
+    * score = 1/(k0 + rankA) + 1/(k0 + rankB), a missing side contributing
+    * 0, ties by id. Integer ranks + two exact divisions + one add — the
+    * whole fusion is exactly-rounded IEEE, which is the point: the two
+    * sides' native scores (BM25 doubles vs cosine distances) never meet,
+    * only their ranks do. k0 = 60 is the paper's constant. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, k0: Int = 60)
+      : DataFrame = {
+    val fa = a.select(col("query_id"), col("id"),
+      (lit(1.0) / (col("rnk") + lit(k0)).cast("double")).as("ra"))
+    val fb = b.select(col("query_id"), col("id"),
+      (lit(1.0) / (col("rnk") + lit(k0)).cast("double")).as("rb"))
+    val fused = fa.join(fb, Seq("query_id", "id"), "full")
+      .select(col("query_id"), col("id"),
+        (coalesce(col("ra"), lit(0.0)) + coalesce(col("rb"), lit(0.0)))
+          .as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("id").asc)
+    fused
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("id"), col("rnk"),
+        floor(lit(ScoreScale.toDouble) * col("score")).cast("long")
+          .as("rrf_nano"))
+  }
+}

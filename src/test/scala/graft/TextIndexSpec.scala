@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextIndex
+
+/** Full-text retrieval: reference-scorer equality for BM25, ground-truth
+  * checks for postings/keyword/phrase, RRF arithmetic, and the plan
+  * shapes the 100 TB posture depends on (broadcast query/df sides, scan-
+  * side term filter). */
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "apple banana apple cherry"),
+    (1L, "banana banana cherry"),
+    (2L, "apple durian"),
+    (3L, "cherry cherry cherry cherry"),
+    (4L, ""),
+    (5L, "durian apple banana")).toDF("doc_id", "text")
+
+  test("postings and termStats match hand counts") {
+    val post = TextIndex.postings(corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(post.contains(("apple", 0L, 2L)))
+    assert(post.contains(("cherry", 3L, 4L)))
+    assert(!post.exists(_._2 == 4L)) // empty doc emits nothing
+    val stats = TextIndex.termStats(TextIndex.postings(corpus)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats("apple") === ((3L, 4L)))  // df=3 docs, cf=4 occurrences
+    assert(stats("banana") === ((3L, 4L)))
+    assert(stats("cherry") === ((3L, 6L)))
+    assert(stats("durian") === ((2L, 2L)))
+  }
+
+  test("searchMinMatch: AND, OR, and minimum-should-match semantics") {
+    def ids(terms: Seq[String], mm: Int): Set[Long] =
+      TextIndex.searchMinMatch(corpus, terms, mm)
+        .collect().map(_.getLong(0)).toSet
+    val terms = Seq("apple", "banana", "cherry")
+    assert(ids(terms, 3) === Set(0L))             // conjunctive
+    assert(ids(terms, 1) === Set(0L, 1L, 2L, 3L, 5L)) // disjunctive
+    assert(ids(terms, 2) === Set(0L, 1L, 5L))     // 2-of-3
+    // distinct-term counting: doc 3's four cherries count once
+    val n = TextIndex.searchMinMatch(corpus, terms, 1)
+      .filter($"doc_id" === 3L).head().getLong(1)
+    assert(n === 1L)
+  }
+
+  test("phraseSearch counts overlapping hits and handles repeated words") {
+    val tri = Seq((0L, "b b b b"), (1L, "a b b a"), (2L, "b a b a"))
+      .toDF("doc_id", "text")
+    val hits2 = TextIndex.phraseSearch(tri, Seq("b", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits2 === Map(0L -> 3L, 1L -> 1L)) // overlaps count; doc 2 none
+    val hits3 = TextIndex.phraseSearch(tri, Seq("b", "b", "a")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits3 === Map(1L -> 1L))
+    val multi = TextIndex.phraseSearch(tri, Seq("b", "a")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi === Map(1L -> 1L, 2L -> 2L))
+  }
+
+  /** Driver-side reference BM25 with the same fold order. */
+  private def refBm25(docsLocal: Seq[(Long, String)],
+      queries: Seq[(Long, Seq[String])], k1: Double, b: Double)
+      : Map[(Long, Long), Double] = {
+    val toks = docsLocal.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val n = docsLocal.size.toLong
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val df = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val out = scala.collection.mutable.Map[(Long, Long), Double]()
+    for ((qid, ts) <- queries; (did, dtoks) <- toks) {
+      val dl = dtoks.size
+      val ws = ts.distinct.flatMap { t =>
+        val tf = dtoks.count(_ == t)
+        if (tf == 0) None
+        else {
+          val idf = math.log(1.0 +
+            ((n - df(t)).toDouble + 0.5) / (df(t).toDouble + 0.5))
+          Some(t -> (idf * (tf.toDouble * (k1 + 1.0) /
+            (tf.toDouble + k1 * ((1.0 - b) + b * dl.toDouble / avgdl)))))
+        }
+      }
+      if (ws.nonEmpty)
+        out((qid, did)) = ws.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
+    }
+    out.toMap
+  }
+
+  /** Local (doc_id, text) rows for the reference scorer. */
+  private def docsLocal(): Seq[(Long, String)] =
+    graft.core.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long"), coalesce(col("text"), lit("")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("bm25TopK equals the reference scorer bit-for-bit on real docs") {
+    val local = docsLocal()
+    val queries = SparkEntry.Bm25Queries
+    val ref = refBm25(local, queries, 1.2, 0.75)
+    val got = TextIndex.bm25TopK(
+        graft.core.Tables.table(spark, sfDir, "documents"),
+        queries, k = 8, k1 = 1.2, b = 0.75)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // scores bit-identical (nano floor of the same double)
+    got.foreach { case (qid, did, _, nano) =>
+      assert(nano ===
+        math.floor(1e9 * ref((qid, did))).toLong, s"q$qid d$did")
+    }
+    // ranks are the reference ordering (desc score, asc doc_id)
+    val byQ = got.groupBy(_._1)
+    for ((qid, rows) <- byQ) {
+      val expect = ref.collect { case ((q, d), s) if q == qid => (d, s) }
+        .toSeq.sortBy { case (d, s) => (-s, d) }.take(8).map(_._1)
+      assert(rows.sortBy(_._3).map(_._2).toSeq === expect, s"q$qid")
+    }
+  }
+
+  test("rrfFuse: both-sides sum, one-side zero, rank ties by id") {
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "id", "rnk")
+    val b = Seq((0L, 11L, 1L), (0L, 12L, 2L)).toDF("query_id", "id", "rnk")
+    val got = TextIndex.rrfFuse(a, b, k = 10, k0 = 60).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toList
+      .sortBy(_._2)
+    // 11: 1/62 + 1/61 (both sides) beats 10: 1/61 and 12: 1/62
+    val s11 = math.floor(1e9 * (1.0 / 62 + 1.0 / 61)).toLong
+    val s10 = math.floor(1e9 * (1.0 / 61)).toLong
+    val s12 = math.floor(1e9 * (1.0 / 62)).toLong
+    assert(got === List((11L, 1L, s11), (10L, 2L, s10), (12L, 3L, s12)))
+  }
+
+  test("bm25 plan: query table, df and corpus stats broadcast; term filter at the scan") {
+    val df = TextIndex.bm25TopK(
+      graft.core.Tables.table(spark, sfDir, "documents"),
+      SparkEntry.Bm25Queries, k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    val nBroadcast = "BroadcastExchange".r.findAllIn(plan).size
+    assert(nBroadcast >= 3, s"want >=3 broadcast sides, got $nBroadcast")
+    // the isin prune must run before the (doc, term) aggregation
+    val filterIdx = plan.indexOf("dup")
+    assert(filterIdx >= 0, "term filter not visible in plan")
+  }
+}
