@@ -189,6 +189,43 @@ object OracleGen {
   private def embDimExprs: Seq[String] =
     (1 to Tables.embDims).map(i => s"CAST(embedding[$i] AS DOUBLE)")
 
+  /** Late-interaction MaxSim top-k (q131): embeddings grouped into
+    * `groupSize`-token bags by vec_id division; query bags are every
+    * `qMod`-th doc; score = Σ_{qtok} max_{dtok} cosine, folded in
+    * qtok order — max + ordered sum of the certified per-dim cosine,
+    * no transcendental anywhere. */
+  def maxSimTopK(k: Int, groupSize: Int, qMod: Int): String = {
+    val d = Tables.embDims
+    s"""WITH v AS (
+       |  SELECT vec_id // $groupSize AS doc_id,
+       |    vec_id % $groupSize AS dtok, ${dimCols("v", embDimExprs)}
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id // $groupSize AS query_id,
+       |    vec_id % $groupSize AS qtok, ${dimCols("q", embDimExprs)}
+       |  FROM embeddings WHERE (vec_id // $groupSize) % $qMod = 0),
+       |pairs AS (
+       |  SELECT q.query_id, v.doc_id, q.qtok,
+       |    ${Metric.Cosine.sqlExpr("q.q", "v.v", d)} AS sim
+       |  FROM q CROSS JOIN v),
+       |pm AS (SELECT query_id, doc_id, qtok, max(sim) AS m
+       |  FROM pairs GROUP BY query_id, doc_id, qtok),
+       |s AS (SELECT query_id, doc_id,
+       |  list_sort(list({'qtok': qtok, 'm': m})) AS ms
+       |  FROM pm GROUP BY query_id, doc_id),
+       |sc AS (SELECT query_id, doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(ms, x -> x.m)), (a, b) -> a + b) AS score
+       |  FROM s),
+       |r AS (SELECT query_id, doc_id, score,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id ASC) AS rnk FROM sc)
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |  CAST(doc_id AS BIGINT) AS doc_id, CAST(rnk AS BIGINT) AS rnk,
+       |  CAST(floor(1000000000.0 * score) AS BIGINT) AS maxsim_nano
+       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Sharded-Vamana search with an exhaustive beam window ≡ exact top-k over
     * the nProbes label-shards nearest by (rounded) label-centroid distance —
     * the SQL-expressible form of q24_vamana_search. */

@@ -592,6 +592,38 @@ object SparkEntry {
   private def phraseSearchQ(s: SparkSession, dir: String): DataFrame =
     TextIndex.phraseSearch(docs(s, dir), PhraseTerms).orderBy("doc_id")
 
+  /** q132: keyword search over the PERSISTED term-bucketed posting store
+    * — same semantics (and oracle) as q127, but the probe reads only the
+    * query terms' hash-bucket partitions (PartitionFilters at the scan;
+    * the text-index analog of the IVF cluster-partitioned layout). */
+  private def postingsStoreQ(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_q132_postings_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    TextIndex.writePostings(
+      TextIndex.postings(docs(s, dir)), path, nBuckets = 16)
+    TextIndex.searchMinMatchStored(TextIndex.readPostings(s, path),
+        KeywordTerms, KeywordMinMatch, nBuckets = 16)
+      .orderBy("doc_id")
+  }
+
+  private[graft] val MaxSimGroup = 4
+  private[graft] val MaxSimQMod = 25
+  private[graft] val MaxSimK = 5
+
+  /** q131: ColBERT-style late-interaction MaxSim — embeddings grouped
+    * into 4-token bags by vec_id division, every 25th bag a query;
+    * score = Σ_{qtok} max_{dtok} cosine with a qtok-ordered fold — max +
+    * ordered sum of the certified cosine, hash-exact with no
+    * transcendental caveat. */
+  private def maxSimQ(s: SparkSession, dir: String): DataFrame = {
+    val docsV = MaxSim.groupTokens(embVectors(s, dir), MaxSimGroup)
+    val queries = docsV.filter(col("doc_id") % MaxSimQMod === 0)
+      .select(col("doc_id").as("query_id"), col("dtok").as("qtok"),
+        col("dvec").as("qvec"))
+    MaxSim.topK(queries, docsV, MaxSimK, Metric.Cosine)
+      .orderBy("query_id", "rnk")
+  }
+
   /** q97: Gopher-style repetition quality filters — duplicate-token /
     * duplicate-2-gram milli-fractions + top-2-gram count per doc. */
   private def repetitionQ(s: SparkSession, dir: String): DataFrame =
@@ -2082,6 +2114,8 @@ object SparkEntry {
     "q128_bm25_topk" -> (bm25Q _),
     "q129_hybrid_rrf" -> (hybridRrfQ _),
     "q130_phrase_search" -> (phraseSearchQ _),
+    "q131_maxsim_topk" -> (maxSimQ _),
+    "q132_postings_store" -> (postingsStoreQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2350,5 +2384,12 @@ object SparkEntry {
     "q129_hybrid_rrf" -> OracleGenText.hybridRrf(Bm25Queries, RrfKIn,
       RrfKOut, RrfK0, Bm25K1, Bm25B),
     "q130_phrase_search" -> OracleGenText.phraseSearch(PhraseTerms),
+    // q131: late-interaction MaxSim — max + qtok-ordered sum of the
+    // certified cosine; fully exactly-rounded.
+    "q131_maxsim_topk" ->
+      OracleGen.maxSimTopK(MaxSimK, MaxSimGroup, MaxSimQMod),
+    // q132: stored-postings probe ≡ the q127 in-memory search.
+    "q132_postings_store" ->
+      OracleGenText.keywordSearch(KeywordTerms, KeywordMinMatch),
   )
 }

@@ -185,6 +185,51 @@ object TextIndex {
           .as("bm25_nano"))
   }
 
+  // ---- persistent posting store --------------------------------------
+
+  /** Term bucket for the persistent store: pmod(xxhash64(term), n) — the
+    * SAME expression writer- and probe-side, so a literal term set always
+    * maps to the partitions it was written to. */
+  private def bucketCol(term: Column, nBuckets: Int): Column =
+    pmod(xxhash64(term), lit(nBuckets.toLong))
+
+  /** Persist a postings table partitioned by term-hash bucket — the
+    * text-index analog of the IVF cluster-partitioned layout: a keyword
+    * probe reads only its terms' buckets (parquet partition pruning), not
+    * the corpus-wide index. `nBuckets` trades pruning granularity against
+    * file count; at 100 TB the postings for one bucket are still a
+    * splittable parquet prefix, so no bucket is a task-size hazard. */
+  def writePostings(post: DataFrame, path: String, nBuckets: Int = 64)
+      : Unit =
+    post
+      .withColumn("bucket", bucketCol(col("term"), nBuckets))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  def readPostings(spark: org.apache.spark.sql.SparkSession, path: String)
+      : DataFrame = spark.read.parquet(path)
+
+  /** [[searchMinMatch]] over a STORED posting table: the literal terms'
+    * buckets are resolved with the same Spark hash (one driver-side
+    * mini-job, no hand-rolled twin of xxhash64) and pushed as a partition
+    * filter, so the scan touches only those buckets. */
+  def searchMinMatchStored(post: DataFrame, terms: Seq[String],
+      minMatch: Int, nBuckets: Int): DataFrame = {
+    require(terms.nonEmpty && minMatch >= 1 && minMatch <= terms.size,
+      "1 <= minMatch <= |terms|")
+    val spark = post.sparkSession
+    import spark.implicits._
+    val buckets = terms.toDF("term")
+      .select(bucketCol(col("term"), nBuckets))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    post
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatch)
+  }
+
   /** Reciprocal-rank fusion of two ranked lists (Cormack et al.
     * SIGIR'09): both inputs are `(query_id, id, rnk)`; output is
     * `(query_id, id, rnk, rrf_nano)` re-ranked by

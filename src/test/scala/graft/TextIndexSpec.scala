@@ -132,6 +132,54 @@ class TextIndexSpec extends SparkSpec {
     assert(got === List((11L, 1L, s11), (10L, 2L, s10), (12L, 3L, s12)))
   }
 
+  test("stored posting probe ≡ in-memory search and prunes bucket partitions") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-postings").toString
+    val d = graft.core.Tables.table(spark, sfDir, "documents")
+    TextIndex.writePostings(TextIndex.postings(d), path, nBuckets = 16)
+    val stored = TextIndex.readPostings(spark, path)
+    val terms = Seq("dup", "data", "join")
+    val got = TextIndex.searchMinMatchStored(stored, terms, 2, 16)
+    val want = TextIndex.searchMinMatch(d, terms, 2)
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      want.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      plan.take(600))
+  }
+
+  test("streaming term stats converge to batch termStats, replay-safe") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docsSeq = Seq(
+      (0L, "apple banana apple"), (1L, "banana cherry"),
+      (2L, "apple"), (3L, "cherry banana cherry"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val acc = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ti-stream").toString
+    val q = graft.streaming.StreamingTextIndex
+      .attachTermStats(stream, ckpt) { b =>
+        val ups = b.select("term", "df", "cf").collect()
+          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+        acc.synchronized { ups.foreach { case (k, v) => acc(k) = v } }
+      }
+    try {
+      // split arrival + a REPLAYED doc (doc 1 delivered twice) — the
+      // upsert merge must not double-count it
+      mem.addData(docsSeq.take(2)); q.processAllAvailable()
+      mem.addData(docsSeq.drop(2) :+ docsSeq(1)); q.processAllAvailable()
+    } finally q.stop()
+    val batch = TextIndex.termStats(
+        TextIndex.postings(docsSeq.toDF("doc_id", "text")))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(acc.toMap === batch)
+  }
+
   test("bm25 plan: query table, df and corpus stats broadcast; term filter at the scan") {
     val df = TextIndex.bm25TopK(
       graft.core.Tables.table(spark, sfDir, "documents"),
