@@ -226,6 +226,70 @@ object OracleGen {
        |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Two-stage MaxSim (q133): stage 1 ranks docs per query by cosine on
+    * mean-POOLED bag vectors (per-dim fold in token order, one exact
+    * division — MaxSim.pooled's contract) and keeps `candidates`; stage 2
+    * re-scores only those with exact MaxSim. Same arithmetic as q131 on
+    * the candidate subset. */
+  def maxSimTwoStage(k: Int, groupSize: Int, qMod: Int, candidates: Int)
+      : String = {
+    val d = Tables.embDims
+    def poolDims(prefix: String): String = (0 until d).map { i =>
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(ls, x -> x.v[${i + 1}])), (a, b) -> a + b) " +
+        s"/ len(ls) AS $prefix$i"
+    }.mkString(", ")
+    val vecList =
+      (1 to d).map(i => s"CAST(embedding[$i] AS DOUBLE)")
+        .mkString("[", ", ", "]")
+    s"""WITH v AS (
+       |  SELECT vec_id // $groupSize AS doc_id,
+       |    vec_id % $groupSize AS dtok, ${dimCols("v", embDimExprs)}
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id // $groupSize AS query_id,
+       |    vec_id % $groupSize AS qtok, ${dimCols("q", embDimExprs)}
+       |  FROM embeddings WHERE (vec_id // $groupSize) % $qMod = 0),
+       |dbag AS (SELECT vec_id // $groupSize AS doc_id,
+       |  list_sort(list({'t': vec_id % $groupSize, 'v': $vecList}))
+       |    AS ls FROM embeddings GROUP BY vec_id // $groupSize),
+       |qbag AS (SELECT vec_id // $groupSize AS query_id,
+       |  list_sort(list({'t': vec_id % $groupSize, 'v': $vecList}))
+       |    AS ls FROM embeddings
+       |  WHERE (vec_id // $groupSize) % $qMod = 0
+       |  GROUP BY vec_id // $groupSize),
+       |dpool AS (SELECT doc_id, ${poolDims("dp")} FROM dbag),
+       |qpool AS (SELECT query_id, ${poolDims("qp")} FROM qbag),
+       |cpairs AS (SELECT qq.query_id, dd.doc_id,
+       |  ${Metric.Cosine.sqlExpr("qq.qp", "dd.dp", d)} AS sim
+       |  FROM qpool qq CROSS JOIN dpool dd),
+       |cand AS (SELECT query_id, doc_id FROM (
+       |  SELECT query_id, doc_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS crnk
+       |  FROM cpairs) x WHERE crnk <= $candidates),
+       |pairs AS (
+       |  SELECT q.query_id, v.doc_id, q.qtok,
+       |    ${Metric.Cosine.sqlExpr("q.q", "v.v", d)} AS sim
+       |  FROM q JOIN cand ON cand.query_id = q.query_id
+       |  JOIN v ON v.doc_id = cand.doc_id),
+       |pm AS (SELECT query_id, doc_id, qtok, max(sim) AS m
+       |  FROM pairs GROUP BY query_id, doc_id, qtok),
+       |s AS (SELECT query_id, doc_id,
+       |  list_sort(list({'qtok': qtok, 'm': m})) AS ms
+       |  FROM pm GROUP BY query_id, doc_id),
+       |sc AS (SELECT query_id, doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(ms, x -> x.m)), (a, b) -> a + b) AS score
+       |  FROM s),
+       |r AS (SELECT query_id, doc_id, score,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id ASC) AS rnk FROM sc)
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |  CAST(doc_id AS BIGINT) AS doc_id, CAST(rnk AS BIGINT) AS rnk,
+       |  CAST(floor(1000000000.0 * score) AS BIGINT) AS maxsim_nano
+       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Sharded-Vamana search with an exhaustive beam window ≡ exact top-k over
     * the nProbes label-shards nearest by (rounded) label-centroid distance —
     * the SQL-expressible form of q24_vamana_search. */

@@ -187,6 +187,39 @@ object PipelineBench {
     stage("lm-score-hashed")(tLmScoreH)
     lmBgH.unpersist(); lmUgH.unpersist()
 
+    // 8. full-text retrieval: index build, bucketed store, probes, BM25
+    val tiqTerms = Seq(0, 7, 123, 4567, 49999).map(v => {
+      val c = (0x4E00 + v % 2000).toChar
+      c.toString + (v.toString * 2).take(2 + (v / 2000) % 8)
+    })
+    val post = TextIndex.postings(docs)
+    val (nPost, tPost) = time(post.count())
+    stage(s"ti-postings ($nPost rows)")(tPost)
+    val (_, tStore) = time {
+      TextIndex.writePostings(post, "/tmp/graft_pipeline_postings", 64)
+    }
+    stage("ti-store-write (64 buckets)")(tStore)
+    val stored = TextIndex.readPostings(spark, "/tmp/graft_pipeline_postings")
+    val (nProbe, tProbe) = time {
+      TextIndex.searchMinMatchStored(stored, tiqTerms, 2, 64).count()
+    }
+    stage(s"ti-stored-probe ($nProbe docs)")(tProbe)
+    val (nScan, tScanProbe) = time {
+      TextIndex.searchMinMatch(docs, tiqTerms, 2).count()
+    }
+    stage(s"ti-scan-probe ($nScan docs)")(tScanProbe)
+    val bmQueries = Seq(
+      0L -> Seq(tiqTerms(0), tiqTerms(1)),
+      1L -> Seq(tiqTerms(2), tiqTerms(3), tiqTerms(4)))
+    val (nBm, tBm) = time {
+      TextIndex.bm25TopK(docs, bmQueries, 10).count()
+    }
+    stage(s"ti-bm25 ($nBm rows)")(tBm)
+    val (nPhrase, tPhrase) = time {
+      TextIndex.phraseSearch(docs, Seq(tiqTerms(0), tiqTerms(1))).count()
+    }
+    stage(s"ti-phrase ($nPhrase docs)")(tPhrase)
+
     println(s"""{"experiment":"pipeline_bench","n_docs":$n,""" +
       s""""scan_sec":$tScan,""" +
       s""""sample_rate_sec":$tRate,"sample_rate_kept":$nRate,""" +
@@ -209,7 +242,13 @@ object PipelineBench {
       s""""lm_bigrams":$nBg,"lm_train_sec":$tLmTrain,""" +
       s""""lm_score_sec":$tLmScore,"lm_scored":$nScored,""" +
       s""""lm_train_hashed_sec":$tLmTrainH,""" +
-      s""""lm_score_hashed_sec":$tLmScoreH}""")
+      s""""lm_score_hashed_sec":$tLmScoreH,""" +
+      s""""ti_postings_sec":$tPost,"ti_postings_rows":$nPost,""" +
+      s""""ti_store_write_sec":$tStore,""" +
+      s""""ti_stored_probe_sec":$tProbe,"ti_probe_docs":$nProbe,""" +
+      s""""ti_scan_probe_sec":$tScanProbe,""" +
+      s""""ti_bm25_sec":$tBm,"ti_bm25_rows":$nBm,""" +
+      s""""ti_phrase_sec":$tPhrase,"ti_phrase_docs":$nPhrase}""")
     spark.stop()
   }
 }

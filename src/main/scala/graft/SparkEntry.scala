@@ -624,6 +624,22 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  private[graft] val MaxSimCand = 20
+
+  /** q133: two-stage MaxSim — stage 1 cuts candidates by cosine on
+    * mean-pooled bag vectors (the single-vector kNN any engine index can
+    * serve), stage 2 re-scores only those with exact MaxSim: the 100 TB
+    * shape ColBERT prescribes, certified end-to-end. */
+  private def maxSimTwoStageQ(s: SparkSession, dir: String): DataFrame = {
+    val docsV = MaxSim.groupTokens(embVectors(s, dir), MaxSimGroup)
+    val queries = docsV.filter(col("doc_id") % MaxSimQMod === 0)
+      .select(col("doc_id").as("query_id"), col("dtok").as("qtok"),
+        col("dvec").as("qvec"))
+    MaxSim.topKTwoStage(queries, docsV, MaxSimK, MaxSimCand,
+        Tables.embDims, Metric.Cosine)
+      .orderBy("query_id", "rnk")
+  }
+
   /** q97: Gopher-style repetition quality filters — duplicate-token /
     * duplicate-2-gram milli-fractions + top-2-gram count per doc. */
   private def repetitionQ(s: SparkSession, dir: String): DataFrame =
@@ -2116,6 +2132,7 @@ object SparkEntry {
     "q130_phrase_search" -> (phraseSearchQ _),
     "q131_maxsim_topk" -> (maxSimQ _),
     "q132_postings_store" -> (postingsStoreQ _),
+    "q133_maxsim_twostage" -> (maxSimTwoStageQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2391,5 +2408,8 @@ object SparkEntry {
     // q132: stored-postings probe ≡ the q127 in-memory search.
     "q132_postings_store" ->
       OracleGenText.keywordSearch(KeywordTerms, KeywordMinMatch),
+    // q133: pooled-prefilter + exact MaxSim rerank, composed replay.
+    "q133_maxsim_twostage" -> OracleGen.maxSimTwoStage(MaxSimK,
+      MaxSimGroup, MaxSimQMod, MaxSimCand),
   )
 }

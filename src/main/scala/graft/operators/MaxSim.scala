@@ -42,9 +42,17 @@ object MaxSim {
     * per-token distance and ranking is ascending by the summed score. */
   def topK(queries: DataFrame, docsV: DataFrame, k: Int,
       metric: Metric = Metric.Cosine): DataFrame = {
-    val sim = metric.column(col("qvec"), col("dvec")).as("sim")
     val pairs = broadcast(queries).crossJoin(docsV)
-      .select(col("query_id"), col("doc_id"), col("qtok"), sim)
+      .select(col("query_id"), col("doc_id"), col("qtok"),
+        metric.column(col("qvec"), col("dvec")).as("sim"))
+    scoreAndRank(pairs, k, metric)
+  }
+
+  /** (query_id, doc_id, qtok, sim) pairs → per-qtok best, qtok-ordered
+    * fold, windowed rank, nano floor — shared by the exhaustive and the
+    * two-stage paths so both produce bit-identical scores. */
+  private def scoreAndRank(pairs: DataFrame, k: Int, metric: Metric)
+      : DataFrame = {
     val best =
       if (metric.ascending) min(col("sim")) else max(col("sim"))
     val perTok = pairs
@@ -66,6 +74,56 @@ object MaxSim {
       .select(col("query_id"), col("doc_id"), col("rnk"),
         floor(lit(ScoreScale.toDouble) * col("score")).cast("long")
           .as("maxsim_nano"))
+  }
+
+  /** Mean-pooled single vector per token bag — the stage-1 representation
+    * for two-stage MaxSim retrieval. Per-dim sum folded in TOKEN-ID order
+    * (collect → sort → zip_with fold) then one exact division per dim, so
+    * pooled vectors are engine-replayable bit-for-bit (double addition
+    * isn't associative; the fold order is part of the contract). */
+  def pooled(bags: DataFrame, idCol: String, tokCol: String,
+      vecCol: String, dims: Int): DataFrame =
+    bags
+      .groupBy(idCol)
+      .agg(collect_list(struct(col(tokCol).as("t"), col(vecCol).as("v")))
+        .as("ts"))
+      .select(col(idCol),
+        transform(
+          aggregate(sort_array(col("ts")),
+            array_repeat(lit(0.0), dims),
+            (acc, x) => zip_with(acc, x.getField("v"), (a, b) => a + b)),
+          e => e / size(col("ts"))).as("pool"))
+
+  /** Two-stage MaxSim — the 100 TB shape the scaladoc above prescribes:
+    * stage 1 ranks documents by `metric` on mean-POOLED vectors (a plain
+    * single-vector kNN any of the engine's indexes can serve) and keeps
+    * `candidates` per query; stage 2 re-scores ONLY those candidates with
+    * exact MaxSim. At candidates ≥ |docs| this equals [[topK]] restricted
+    * to nothing — the exhaustive twin (spec-pinned); at realistic
+    * candidate counts the token-pair block shrinks from |corpus| to
+    * |candidates| per query. */
+  def topKTwoStage(queries: DataFrame, docsV: DataFrame, k: Int,
+      candidates: Int, dims: Int, metric: Metric = Metric.Cosine)
+      : DataFrame = {
+    val qPool = pooled(queries, "query_id", "qtok", "qvec", dims)
+      .withColumnRenamed("pool", "qpool")
+    val dPool = pooled(docsV, "doc_id", "dtok", "dvec", dims)
+    val sim = metric.column(col("qpool"), col("pool")).as("sim")
+    val ord =
+      if (metric.ascending) Seq(col("sim").asc, col("doc_id").asc)
+      else Seq(col("sim").desc, col("doc_id").asc)
+    val w = Window.partitionBy("query_id").orderBy(ord: _*)
+    val cand = broadcast(qPool).crossJoin(dPool)
+      .select(col("query_id"), col("doc_id"), sim)
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") <= candidates)
+      .select("query_id", "doc_id")
+    val pairs = broadcast(queries)
+      .join(cand, Seq("query_id"))
+      .join(docsV, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("qtok"),
+        metric.column(col("qvec"), col("dvec")).as("sim"))
+    scoreAndRank(pairs, k, metric)
   }
 
   /** Group a flat (vec_id, vec) table into token bags by integer
