@@ -624,6 +624,28 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** q134: dynamic text-index lifecycle — build a store on the even half
+    * of the corpus, ingest the odd half (including re-ingesting one even
+    * doc unchanged — the doc-level upsert must not double it), compact
+    * into a new bucketed store, and emit its term stats; the oracle is
+    * q126's full-corpus term stats, so the lifecycle is certified to
+    * converge to the from-scratch build. */
+  private def postingsCompactQ(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_q134_postings_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val d = docs(s, dir)
+    TextIndex.writePostings(
+      TextIndex.postings(d.filter(col("doc_id") % 2 === 0)),
+      s"$base/v0", nBuckets = 16)
+    val fresh = TextIndex.postings(
+      d.filter(col("doc_id") % 2 === 1 || col("doc_id") === 0))
+    TextIndex.compactInto(TextIndex.readPostings(s, s"$base/v0"), fresh,
+      s"$base/v1", nBuckets = 16)
+    TextIndex.termStats(TextIndex.readPostings(s, s"$base/v1")
+        .select("term", "doc_id", "tf"))
+      .orderBy("term")
+  }
+
   private[graft] val MaxSimCand = 20
 
   /** q133: two-stage MaxSim — stage 1 cuts candidates by cosine on
@@ -2133,6 +2155,7 @@ object SparkEntry {
     "q131_maxsim_topk" -> (maxSimQ _),
     "q132_postings_store" -> (postingsStoreQ _),
     "q133_maxsim_twostage" -> (maxSimTwoStageQ _),
+    "q134_postings_compact" -> (postingsCompactQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2411,5 +2434,8 @@ object SparkEntry {
     // q133: pooled-prefilter + exact MaxSim rerank, composed replay.
     "q133_maxsim_twostage" -> OracleGen.maxSimTwoStage(MaxSimK,
       MaxSimGroup, MaxSimQMod, MaxSimCand),
+    // q134: incremental build + compaction converges to the from-scratch
+    // index — q126's full-corpus oracle certifies the lifecycle.
+    "q134_postings_compact" -> OracleGenText.termStats,
   )
 }

@@ -230,6 +230,37 @@ object TextIndex {
       .filter(col("n_matched") >= minMatch)
   }
 
+  // ---- dynamic maintenance (the M1–M4 analog for the text index) -----
+
+  /** DOC-LEVEL upsert of freshly-ingested postings into a stored posting
+    * set: every stored row of a re-ingested doc_id is dropped first (a
+    * re-ingested document's VANISHED terms must not survive as stale
+    * postings — per-(term, doc) merging alone would leak them), then the
+    * fresh rows are appended. Anti-join keyed on doc_id + union — both
+    * sides stay distributed. */
+  def replaceDocs(stored: DataFrame, fresh: DataFrame): DataFrame = {
+    val cols = Seq("term", "doc_id", "tf")
+    val ids = fresh.select("doc_id").distinct()
+    stored.select(cols.map(col): _*)
+      .join(ids, Seq("doc_id"), "left_anti")
+      .unionByName(fresh.select(cols.map(col): _*))
+      .select(cols.map(col): _*) // using-join fronts doc_id; pin order
+  }
+
+  /** Drop all postings of the given doc ids (M2 delete analog — here a
+    * hard delete: parquet stores rewrite on compaction anyway, so no
+    * tombstone pass is needed). */
+  def removeDocs(stored: DataFrame, ids: DataFrame): DataFrame =
+    stored.join(ids.select("doc_id").distinct(), Seq("doc_id"),
+      "left_anti")
+
+  /** Consolidate a stored posting set plus fresh postings into a new
+    * bucketed store (M3/M4 analog): doc-level upsert, then one bucketed
+    * rewrite. Readers of the old path are unaffected until they reopen. */
+  def compactInto(stored: DataFrame, fresh: DataFrame, path: String,
+      nBuckets: Int = 64): Unit =
+    writePostings(replaceDocs(stored, fresh), path, nBuckets)
+
   /** Reciprocal-rank fusion of two ranked lists (Cormack et al.
     * SIGIR'09): both inputs are `(query_id, id, rnk)`; output is
     * `(query_id, id, rnk, rrf_nano)` re-ranked by

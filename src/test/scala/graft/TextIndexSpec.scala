@@ -148,6 +148,22 @@ class TextIndexSpec extends SparkSpec {
       plan.take(600))
   }
 
+  test("dynamic lifecycle: re-ingest drops vanished terms, remove deletes") {
+    val v1 = Seq((0L, "apple banana"), (1L, "cherry")).toDF("doc_id", "text")
+    // doc 0 re-ingested WITHOUT banana — the stale posting must vanish
+    val v2 = Seq((0L, "apple apple"), (2L, "durian")).toDF("doc_id", "text")
+    val merged = TextIndex.replaceDocs(
+      TextIndex.postings(v1), TextIndex.postings(v2))
+    val got = merged.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(("apple", 0L, 2L), ("cherry", 1L, 1L),
+      ("durian", 2L, 1L)))
+    val afterRemove = TextIndex.removeDocs(merged,
+      Seq(1L).toDF("doc_id")).select("term", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(afterRemove === Set(("apple", 0L), ("durian", 2L)))
+  }
+
   test("streaming term stats converge to batch termStats, replay-safe") {
     val s = spark
     import s.implicits._
