@@ -646,6 +646,31 @@ object SparkEntry {
       .orderBy("term")
   }
 
+  /** q135: DEFLATE compression-ratio quality signal — certified via
+    * corpus-level invariant flags (q25/q114 pattern): every ratio
+    * positive (and ≤1100 milli once past the fixed-header regime), and
+    * doubling a document's text strictly lowers its ratio (the signal's
+    * defining property: repetition compresses). The raw zlib bytes stay
+    * out of the certified surface by design. */
+  private def compressRatioQ(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+    val r = TextAnalysis.compressionRatio(base)
+    val doubled = TextAnalysis.compressionRatio(
+      base.select(col("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text")))
+      .withColumnRenamed("ratio_milli", "ratio2_milli")
+    r.join(doubled, "doc_id")
+      .join(base.select(col("doc_id"), length(col("text")).as("len")),
+        "doc_id")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        bool_and(col("ratio_milli") > 0 &&
+          (col("len") < 100 || col("ratio_milli") <= 1100))
+          .as("bounds_ok"),
+        bool_and(when(col("len") >= 40,
+            col("ratio2_milli") < col("ratio_milli"))
+          .otherwise(lit(true))).as("doubling_compresses"))
+  }
+
   private[graft] val MaxSimCand = 20
 
   /** q133: two-stage MaxSim — stage 1 cuts candidates by cosine on
@@ -2156,6 +2181,7 @@ object SparkEntry {
     "q132_postings_store" -> (postingsStoreQ _),
     "q133_maxsim_twostage" -> (maxSimTwoStageQ _),
     "q134_postings_compact" -> (postingsCompactQ _),
+    "q135_compress_ratio" -> (compressRatioQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2437,5 +2463,10 @@ object SparkEntry {
     // q134: incremental build + compaction converges to the from-scratch
     // index — q126's full-corpus oracle certifies the lifecycle.
     "q134_postings_compact" -> OracleGenText.termStats,
+    // q135: zlib signal certified by invariant flags — the count is
+    // replayed, the flags assert the signal's defining properties.
+    "q135_compress_ratio" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS bounds_ok, " +
+        "true AS doubling_compresses FROM documents"),
   )
 }

@@ -163,6 +163,46 @@ object TextAnalysis {
     * next to the scan; the top-gram count is an explode + count keyed by
     * (doc, gram) — the shuffle carries one row per gram occurrence and
     * partial-aggregates map-side, so the 100 TB pass is scan-bound. */
+  /** Per-document DEFLATE compression ratio — the Gopher-family "too
+    * compressible ⇒ repetitive boilerplate" quality signal in its honest
+    * byte-level form (the repetition metrics above are its token-level
+    * twins). ratio_milli = floor(1000 · deflate(text).length /
+    * max(1, text.length)), level 6, UTF-8 bytes; empty/NULL text → 1000
+    * (neutral). A JVM kernel (java.util.zip.Deflater) batched per
+    * partition — shuffle-free, one Deflater instance reused per
+    * partition, resident memory O(single doc). Deflate output bytes are
+    * deterministic for a fixed input/level/strategy on a fixed zlib, but
+    * the CERTIFIED surface is deliberately the corpus-level invariant
+    * flags (q135) + per-doc bounds, not the raw ratios — a different
+    * zlib build may shift a ratio by a byte without changing the
+    * signal's meaning. */
+  def compressionRatio(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, textOrNull) =>
+          val text = Option(textOrNull).getOrElse("")
+          if (text.isEmpty) (id, 1000L)
+          else {
+            val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            deflater.reset()
+            deflater.setInput(in)
+            deflater.finish()
+            var out = 0L
+            while (!deflater.finished())
+              out += deflater.deflate(buf)
+            (id, math.floor(1000.0 * out / in.length).toLong)
+          }
+        }
+      }
+      .toDF("doc_id", "ratio_milli")
+  }
+
   def repetitionMetrics(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))

@@ -196,6 +196,19 @@ class TextIndexSpec extends SparkSpec {
     assert(acc.toMap === batch)
   }
 
+  test("compressionRatio: repetitive text compresses harder than random") {
+    val rnd = new scala.util.Random(7)
+    val random = Array.fill(400)(('a' + rnd.nextInt(26)).toChar).mkString
+    val repetitive = "spark " * 80
+    val df = Seq((0L, random), (1L, repetitive.trim), (2L, ""),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.compressionRatio(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) < got(0L), s"repetitive ${got(1L)} !< random ${got(0L)}")
+    assert(got(2L) === 1000L && got(3L) === 1000L) // neutral for empty/NULL
+    assert(got.values.forall(_ > 0))
+  }
+
   test("bm25 plan: query table, df and corpus stats broadcast; term filter at the scan") {
     val df = TextIndex.bm25TopK(
       graft.core.Tables.table(spark, sfDir, "documents"),
