@@ -1198,6 +1198,16 @@ object OracleGenText {
        |  true AS no_false_neg, true AS fp_ok
        |FROM per""".stripMargin
 
+  /** q136: deterministic training-order permutation — shard = Lehmer
+    * rowHash % nShards, pos = rank of (hash, id) within the shard; same
+    * arithmetic as [[Mixture.permuteShards]]. */
+  def corpusShuffle(nShards: Int, seed: Long): String =
+    s"""WITH h AS (SELECT doc_id, ${hashSql(seed)} AS h FROM documents)
+       |SELECT doc_id, CAST(h % $nShards AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY h % $nShards
+       |    ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+       |FROM h ORDER BY doc_id""".stripMargin
+
   // ---- full-text retrieval (TextIndex) ----------------------------------
 
   /** Shared tokenizer CTE for the TextIndex family: whitespace tokens with

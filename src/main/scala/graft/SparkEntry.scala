@@ -671,6 +671,18 @@ object SparkEntry {
           .otherwise(lit(true))).as("doubling_compresses"))
   }
 
+  private[graft] val ShuffleShards = 8
+  private[graft] val ShuffleSeed = 7L
+
+  /** q136: deterministic training-order permutation into shard files —
+    * the corpus-shaping epilogue (no crawl/domain order leaks into
+    * training; reproducible under restarts). One hash-keyed shuffle,
+    * per-shard windows of ~n/nShards rows, no global sort. */
+  private def corpusShuffleQ(s: SparkSession, dir: String): DataFrame =
+    Mixture.permuteShards(docs(s, dir).select(col("doc_id")),
+        col("doc_id"), ShuffleShards, ShuffleSeed)
+      .orderBy("doc_id")
+
   private[graft] val MaxSimCand = 20
 
   /** q133: two-stage MaxSim — stage 1 cuts candidates by cosine on
@@ -2182,6 +2194,7 @@ object SparkEntry {
     "q133_maxsim_twostage" -> (maxSimTwoStageQ _),
     "q134_postings_compact" -> (postingsCompactQ _),
     "q135_compress_ratio" -> (compressRatioQ _),
+    "q136_corpus_shuffle" -> (corpusShuffleQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2468,5 +2481,8 @@ object SparkEntry {
     "q135_compress_ratio" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS bounds_ok, " +
         "true AS doubling_compresses FROM documents"),
+    // q136: Lehmer-hash permutation replayed row-for-row.
+    "q136_corpus_shuffle" ->
+      OracleGenText.corpusShuffle(ShuffleShards, ShuffleSeed),
   )
 }

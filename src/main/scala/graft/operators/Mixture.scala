@@ -166,4 +166,25 @@ object Mixture {
       .withColumnRenamed("__rnk", "rnk")
       .drop("__dom")
   }
+
+  /** Deterministic global training-order permutation into `nShards`
+    * shard files — the last step of corpus shaping (a model must not see
+    * documents in crawl/domain order, and the permutation must be
+    * REPRODUCIBLE for restarts and data lineage). shard =
+    * rowHash % nShards, pos = rank of (rowHash, id) within the shard:
+    * one hash-keyed shuffle, then per-shard windows of ~n/nShards rows
+    * each — no global sort, no single-partition window, and the same
+    * (seed, nShards) always reproduces the same order. Emits
+    * (idCol, shard, pos); writers partition by shard and sort by pos. */
+  def permuteShards(df: DataFrame, idCol: Column, nShards: Int,
+      seed: Long = 1L): DataFrame = {
+    require(nShards >= 1, "nShards >= 1")
+    val h = rowHash(idCol, seed)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h").asc, idCol.asc)
+    df.select(idCol, h.as("__h"))
+      .withColumn("shard", col("__h") % nShards)
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__h")
+  }
 }

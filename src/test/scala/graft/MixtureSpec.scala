@@ -142,4 +142,32 @@ class MixtureSpec extends SparkSpec {
     assert(loose === expect)
     assert(tight === expect)
   }
+
+  test("permuteShards: complete permutation, contiguous positions, " +
+      "repartition-invariant, seed-sensitive") {
+    import spark.implicits._
+    val n = 3000
+    val df = spark.range(n).toDF("id")
+    val got = Mixture.permuteShards(df, col("id"), 8, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc exactly once
+    assert(got.map(_._1).sorted.toSeq === (0L until n).toSeq)
+    // per shard: positions are 0..n_i-1 with no gaps, order = (hash, id)
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === rows.indices.map(_.toLong),
+        s"shard $shard positions not contiguous")
+      val byPos = rows.sortBy(_._3).map(_._1)
+      val expect = rows.map(_._1)
+        .sortBy(id => (Mixture.rowHashJvm(id, 7L), id))
+      assert(byPos.toSeq === expect.toSeq, s"shard $shard order")
+    }
+    // physical layout must not matter
+    val re = Mixture.permuteShards(df.repartition(13), col("id"), 8, 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(re.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+    // a different seed produces a different order
+    val other = Mixture.permuteShards(df, col("id"), 8, seed = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(other.sortBy(_._1).toSeq !== got.sortBy(_._1).toSeq)
+  }
 }
