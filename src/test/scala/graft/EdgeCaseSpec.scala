@@ -158,4 +158,51 @@ class EdgeCaseSpec extends SparkSpec {
     val back = const.select(dec.as("v")).collect()(0).getSeq[Double](0)
     assert(back === Seq(5.0, 5.0))
   }
+
+  test("bm25: absent query terms are ignored; all-absent queries vanish") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((0L, "alpha beta"), (1L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val res = TextIndex.bm25TopK(corpus,
+      Seq(0L -> Seq("alpha", "nosuchterm"), 1L -> Seq("zzz", "qqq")),
+      k = 10)
+    val got = res.collect()
+    // query 1 (all terms absent) yields no rows; query 0 ranks doc 0 by
+    // its present term alone
+    assert(got.map(_.getLong(0)).toSet === Set(0L))
+    assert(got.filter(_.getLong(2) == 1L).head.getLong(1) === 0L)
+  }
+
+  test("phrase longer than any document yields empty, not a failure") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((0L, "a b"), (1L, "")).toDF("doc_id", "text")
+    assert(TextIndex.phraseSearch(corpus, Seq("a", "b", "a", "b"))
+      .count() === 0)
+    assert(TextIndex.searchMinMatch(corpus, Seq("zzz"), 1).count() === 0)
+  }
+
+  test("rrfFuse with one empty side keeps the other side's ranking") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "id", "rnk")
+    val b = a.filter(col("rnk") < 0) // empty, same schema
+    val got = TextIndex.rrfFuse(a, b, k = 5).orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((10L, 1L), (11L, 2L)))
+  }
+
+  test("maxsim with a single-token bag and k beyond the corpus") {
+    val s = spark
+    import s.implicits._
+    val docsV = Seq((0L, 0L, Seq(1.0, 0.0)), (1L, 0L, Seq(0.0, 1.0)))
+      .toDF("doc_id", "dtok", "dvec")
+    val queries = Seq((9L, 0L, Seq(1.0, 0.0)))
+      .toDF("query_id", "qtok", "qvec")
+    val got = MaxSim.topK(queries, docsV, k = 10, Metric.Cosine)
+      .orderBy("rnk").collect()
+    assert(got.length === 2)
+    assert(got(0).getLong(1) === 0L) // identical vector ranks first
+  }
 }
