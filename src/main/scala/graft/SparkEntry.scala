@@ -671,6 +671,30 @@ object SparkEntry {
           .otherwise(lit(true))).as("doubling_compresses"))
   }
 
+  /** Shared on-disk text index for q137/q138 (built once per dir). */
+  private def textIndexPath(s: SparkSession, dir: String): String =
+    memoized[String]("ti_index", dir) {
+      val path = "/tmp/graft_ti_index_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      TextIndex.buildIndex(docs(s, dir), path, nBuckets = 16)
+      path
+    }
+
+  /** q137: BM25 served from the on-disk index — only the query terms'
+    * bucket partitions are read, the corpus is never rescanned; q128's
+    * oracle certifies bit-equality with the corpus-scan path. */
+  private def bm25StoredQ(s: SparkSession, dir: String): DataFrame =
+    TextIndex.bm25TopKStored(s, textIndexPath(s, dir), Bm25Queries,
+        Bm25K, nBuckets = 16, Bm25K1, Bm25B)
+      .orderBy("query_id", "rnk")
+
+  /** q138: phrase search served from the positional postings of the same
+    * store; q130's oracle certifies it. */
+  private def phraseStoredQ(s: SparkSession, dir: String): DataFrame =
+    TextIndex.phraseSearchStored(s, textIndexPath(s, dir), PhraseTerms,
+        nBuckets = 16)
+      .orderBy("doc_id")
+
   private[graft] val ShuffleShards = 8
   private[graft] val ShuffleSeed = 7L
 
@@ -2195,6 +2219,8 @@ object SparkEntry {
     "q134_postings_compact" -> (postingsCompactQ _),
     "q135_compress_ratio" -> (compressRatioQ _),
     "q136_corpus_shuffle" -> (corpusShuffleQ _),
+    "q137_bm25_stored" -> (bm25StoredQ _),
+    "q138_phrase_stored" -> (phraseStoredQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2484,5 +2510,10 @@ object SparkEntry {
     // q136: Lehmer-hash permutation replayed row-for-row.
     "q136_corpus_shuffle" ->
       OracleGenText.corpusShuffle(ShuffleShards, ShuffleSeed),
+    // q137/q138: the on-disk index serves BM25 and phrase queries with
+    // rows bit-identical to the corpus-scan paths — same oracles.
+    "q137_bm25_stored" ->
+      OracleGenText.bm25TopK(Bm25Queries, Bm25K, Bm25K1, Bm25B),
+    "q138_phrase_stored" -> OracleGenText.phraseSearch(PhraseTerms),
   )
 }

@@ -168,13 +168,19 @@ object TextIndex {
                 lit(b) * col("dl").cast("double") / col("avgdl")))))
           .as("w"))
 
+    rankScores(perTerm, k)
+  }
+
+  /** (query_id, doc_id, term, w) → term-sorted exact fold, windowed rank,
+    * nano floor — shared by the corpus-scan and stored-index BM25 paths
+    * so both produce bit-identical rows. */
+  private def rankScores(perTerm: DataFrame, k: Int): DataFrame = {
     val scored = perTerm
       .groupBy("query_id", "doc_id")
       .agg(collect_list(struct(col("term"), col("w"))).as("ws"))
       .select(col("query_id"), col("doc_id"),
         aggregate(sort_array(col("ws")), lit(0.0),
           (acc, x) => acc + x.getField("w")).as("score"))
-
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id").asc)
     scored
@@ -228,6 +234,101 @@ object TextIndex {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") >= minMatch)
+  }
+
+  // ---- full on-disk index: postings + doclens + stats sidecars -------
+
+  /** POSITIONAL postings: `(term, doc_id, tf, positions)` with 0-based
+    * token positions — one row per (term, doc); tf = |positions|. The
+    * richer build that lets the STORE serve phrase queries too. */
+  def postingsPositional(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(toksCol(textCol)))
+      .groupBy(col("col").as("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** One-call on-disk text index (the IndexLayout analog): bucketed
+    * positional postings + a doc-length sidecar + a one-row corpus-stats
+    * sidecar (n_docs, avgdl — computed with the SAME fold as
+    * [[bm25TopK]], so stored-index BM25 scores are bit-identical to the
+    * corpus-scan path). Everything a keyword / BM25 / phrase probe needs
+    * without touching the corpus again. */
+  def buildIndex(docs: DataFrame, path: String, nBuckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    writePostings(postingsPositional(docs, idCol, textCol),
+      s"$path/postings", nBuckets)
+    val toks = toksCol(textCol)
+    docs.select(col(idCol).cast("long").as("doc_id"), size(toks).as("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclens")
+    docs.agg(count(lit(1)).as("n_docs"),
+        (sum(size(toks)).cast("double") / count(lit(1))).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k SERVED FROM THE STORE: reads only the query terms'
+    * bucket partitions (df/tf/dl come from the index, the corpus is
+    * never scanned), then the exact [[bm25TopK]] arithmetic — q128's
+    * oracle certifies both paths. */
+  def bm25TopKStored(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: Seq[(Long, Seq[String])], k: Int,
+      nBuckets: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && k >= 1)
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val buckets = allTerms.toDF("term")
+      .select(bucketCol(col("term"), nBuckets))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val qTable = broadcast(
+      queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+        .toDF("query_id", "term"))
+    val tf = readPostings(spark, s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(allTerms: _*))
+      .select("term", "doc_id", "tf")
+    val dl = spark.read.parquet(s"$path/doclens")
+    val stats = broadcast(spark.read.parquet(s"$path/stats"))
+    val df0 = broadcast(tf.groupBy("term").agg(count(lit(1)).as("df")))
+    val perTerm = tf
+      .join(dl, Seq("doc_id"))
+      .join(df0, Seq("term"))
+      .crossJoin(stats)
+      .join(qTable, Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("term"),
+        (log(lit(1.0) +
+            ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+          (col("tf").cast("double") * lit(k1 + 1.0) /
+            (col("tf").cast("double") + lit(k1) *
+              (lit(1.0 - b) +
+                lit(b) * col("dl").cast("double") / col("avgdl")))))
+          .as("w"))
+    rankScores(perTerm, k)
+  }
+
+  /** Phrase search SERVED FROM THE STORE: per phrase term, its posting
+    * rows' positions explode to (doc_id, pos − offset) and the phrase is
+    * the same m−1-way equi-join as [[phraseSearch]] — only the phrase
+    * terms' buckets are read. */
+  def phraseSearchStored(spark: org.apache.spark.sql.SparkSession,
+      path: String, phrase: Seq[String], nBuckets: Int): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    import spark.implicits._
+    val buckets = phrase.distinct.toDF("term")
+      .select(bucketCol(col("term"), nBuckets))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val post = readPostings(spark, s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(phrase.distinct: _*))
+      .select(col("term"), col("doc_id"),
+        explode(col("positions")).as("pos"))
+    val starts = phrase.zipWithIndex.map { case (t, j) =>
+      post.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - j).as("start"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+    starts.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
   // ---- dynamic maintenance (the M1–M4 analog for the text index) -----

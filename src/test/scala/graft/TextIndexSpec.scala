@@ -196,6 +196,26 @@ class TextIndexSpec extends SparkSpec {
     assert(acc.toMap === batch)
   }
 
+  test("stored-index BM25 and phrase equal the corpus-scan paths and prune buckets") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ti-index").toString
+    val d = graft.core.Tables.table(spark, sfDir, "documents")
+    TextIndex.buildIndex(d, path, nBuckets = 16)
+    val queries = SparkEntry.Bm25Queries
+    val stored = TextIndex.bm25TopKStored(spark, path, queries, 10, 16)
+    val scan = TextIndex.bm25TopK(d, queries, 10)
+    assert(stored.collect().map(_.toSeq).toSet ===
+      scan.collect().map(_.toSeq).toSet)
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      plan.take(600))
+    val ph = TextIndex.phraseSearchStored(spark, path,
+      Seq("batch", "batch"), 16)
+    val phScan = TextIndex.phraseSearch(d, Seq("batch", "batch"))
+    assert(ph.collect().map(_.toSeq).toSet ===
+      phScan.collect().map(_.toSeq).toSet)
+  }
+
   test("compressionRatio: repetitive text compresses harder than random") {
     val rnd = new scala.util.Random(7)
     val random = Array.fill(400)(('a' + rnd.nextInt(26)).toChar).mkString
