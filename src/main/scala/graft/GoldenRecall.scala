@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Metric
-import graft.operators.{FlatKnn, Inverted, LeanVec, Vamana, VamanaKernel}
+import graft.operators.{FlatKnn, Inverted, LeanVec, MaxSim, Vamana, VamanaKernel}
 import graft.operators.VamanaKernel.BuildParams
 import graft.sources.SyntheticData
 
@@ -231,6 +231,30 @@ object GoldenRecall {
     plain ++ ood ++ pcaAug
   }
 
+  /** MaxSim two-stage grid: recall@k of the pooled-prefilter +
+    * exact-rerank path against EXHAUSTIVE MaxSim over 4-token bags of the
+    * same dataset, per candidate width — the quality/cost dial of q133's
+    * composition, pinned like every other approximate family. */
+  def maxSimGrid(data: DataFrame, dims: Int, k: Int, cands: Seq[Int])
+      : Seq[Row] = {
+    val bags = MaxSim.groupTokens(data.select("id", "vec"), 4).cache()
+    val queries = bags.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("query_id"), col("dtok").as("qtok"),
+        col("dvec").as("qvec"))
+    val exact = MaxSim.topK(queries, bags, k, Metric.Cosine)
+      .select(col("query_id"), col("doc_id")).cache()
+    val nq = exact.select("query_id").distinct().count()
+    val rows = cands.map { c =>
+      val two = MaxSim
+        .topKTwoStage(queries, bags, k, c, dims, Metric.Cosine)
+        .select(col("query_id"), col("doc_id"))
+      val recall = two.intersect(exact).count().toDouble / (k * nq)
+      Row("maxsim_twostage", "bag4_cosine", "candidates", c, recall, 0.0)
+    }
+    bags.unpersist(); exact.unpersist()
+    rows
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val out = sys.env.getOrElse("SPARK_GRAFT_GOLDEN_OUT",
@@ -290,7 +314,8 @@ object GoldenRecall {
         eps = 1.2, nLeaders = Seq(1, 2, 4, 8)) ++
       leanvecGrid(data, queries, truth, k, nq, rDims = 32,
         kReorders = Seq(2, 4, 8, 16)) ++
-      calibrationRows(data, queries, truth, dims, k, target = 0.85)
+      calibrationRows(data, queries, truth, dims, k, target = 0.85) ++
+      maxSimGrid(data, dims, k, cands = Seq(10, 20, 50, 100))
 
     rows.foreach(r => println(rowJson(r)))
     val json = rows.map(rowJson).mkString(

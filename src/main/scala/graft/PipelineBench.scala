@@ -219,6 +219,20 @@ object PipelineBench {
       TextIndex.phraseSearch(docs, Seq(tiqTerms(0), tiqTerms(1))).count()
     }
     stage(s"ti-phrase ($nPhrase docs)")(tPhrase)
+    val tiPath = "/tmp/graft_pipeline_ti_index"
+    val (_, tIdxBuild) = time {
+      TextIndex.buildIndex(docs, tiPath, nBuckets = 64)
+    }
+    stage("ti-index-build (positional, 64 buckets)")(tIdxBuild)
+    val (nBmS, tBmS) = time {
+      TextIndex.bm25TopKStored(spark, tiPath, bmQueries, 10, 64).count()
+    }
+    stage(s"ti-bm25-stored ($nBmS rows)")(tBmS)
+    val (nPhS, tPhS) = time {
+      TextIndex.phraseSearchStored(spark, tiPath,
+        Seq(tiqTerms(0), tiqTerms(1)), 64).count()
+    }
+    stage(s"ti-phrase-stored ($nPhS docs)")(tPhS)
 
     println(s"""{"experiment":"pipeline_bench","n_docs":$n,""" +
       s""""scan_sec":$tScan,""" +
@@ -248,7 +262,10 @@ object PipelineBench {
       s""""ti_stored_probe_sec":$tProbe,"ti_probe_docs":$nProbe,""" +
       s""""ti_scan_probe_sec":$tScanProbe,""" +
       s""""ti_bm25_sec":$tBm,"ti_bm25_rows":$nBm,""" +
-      s""""ti_phrase_sec":$tPhrase,"ti_phrase_docs":$nPhrase}""")
+      s""""ti_phrase_sec":$tPhrase,"ti_phrase_docs":$nPhrase,""" +
+      s""""ti_index_build_sec":$tIdxBuild,""" +
+      s""""ti_bm25_stored_sec":$tBmS,""" +
+      s""""ti_phrase_stored_sec":$tPhS}""")
     spark.stop()
   }
 }

@@ -1093,6 +1093,23 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** q139: the DataSource V2 vecs path (`spark.read.format("graftvecs")`)
+    * — intra-file record-aligned splitting + pushed column pruning —
+    * certified against q29's roundtrip oracle (both readers must produce
+    * the identical frame). */
+  private def dsv2VecsQ(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_fvecs_q139"
+    val orig = embVectors(s, dir).select("id", "vec")
+    graft.sources.VecsIO.write(
+      orig.repartitionByRange(4, col("id")), out, graft.sources.VecsIO.F32)
+    val back = s.read.format("graftvecs").load(s"$out/*.fvecs")
+      .withColumnRenamed("vec", "vec_back")
+    orig.join(back, Seq("id"))
+      .select(col("id"), size(col("vec")).cast("long").as("dims"),
+        when(col("vec") === col("vec_back"), 1L).otherwise(0L).as("matches"))
+      .orderBy("id")
+  }
+
   private val SynN = 10000L
   private val SynDims = 16
   private val SynStride = 500L
@@ -2221,6 +2238,7 @@ object SparkEntry {
     "q136_corpus_shuffle" -> (corpusShuffleQ _),
     "q137_bm25_stored" -> (bm25StoredQ _),
     "q138_phrase_stored" -> (phraseStoredQ _),
+    "q139_dsv2_vecs" -> (dsv2VecsQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2515,5 +2533,7 @@ object SparkEntry {
     "q137_bm25_stored" ->
       OracleGenText.bm25TopK(Bm25Queries, Bm25K, Bm25K1, Bm25B),
     "q138_phrase_stored" -> OracleGenText.phraseSearch(PhraseTerms),
+    // q139: DSv2 vecs reader ≡ q29's roundtrip contract.
+    "q139_dsv2_vecs" -> OracleGen.fvecsRoundtrip,
   )
 }

@@ -185,7 +185,7 @@ object TextAnalysis {
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6)
         val buf = new Array[Byte](1 << 16)
-        it.map { case (id, textOrNull) =>
+        val rows = it.map { case (id, textOrNull) =>
           val text = Option(textOrNull).getOrElse("")
           if (text.isEmpty) (id, 1000L)
           else {
@@ -199,6 +199,8 @@ object TextAnalysis {
             (id, math.floor(1000.0 * out / in.length).toLong)
           }
         }
+        // release the native zlib stream when the partition is exhausted
+        rows ++ { deflater.end(); Iterator.empty }
       }
       .toDF("doc_id", "ratio_milli")
   }

@@ -1,0 +1,237 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 for the `*vecs` family — `spark.read.format("graftvecs")
+  * .load(path)` → `(id BIGINT, vec ARRAY<DOUBLE>)`.
+  *
+  * What this adds over [[VecsIO.read]] (which stays the simple
+  * one-file-per-task ingest): **intra-file record-aligned splitting**. A
+  * vecs file is a flat run of fixed-stride records (`int32 dim` + `dim`
+  * payload elements — reference core/io/vecs.h:137-253), so a single
+  * 100 GB file cleanly shards into `maxPartitionBytes` ranges at record
+  * boundaries — no whole-file materialization, no task-size hazard, and
+  * dense ids stay exact because `row = offset / stride` is arithmetic.
+  * Column pruning is pushed into the reader: an `id`-only scan (count,
+  * id joins) never decodes payload bytes, a `vec`-only scan never
+  * allocates ids.
+  *
+  * The per-file dim is probed driver-side from the first record header
+  * (one 4-byte read per file), stride uniformity is validated by
+  * `length % stride == 0`, and per-file id bases are the running row
+  * total in sorted-path order — the same dense (path, row) assignment as
+  * [[VecsIO.read]], so both paths produce identical frames. */
+class VecsDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftvecs"
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    VecsDataSource.Schema
+  override def getTable(schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new VecsTable(VecsDataSource.pathsOf(properties))
+}
+
+object VecsDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("vec", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+
+  private[sources] def pathsOf(props: util.Map[String, String])
+      : Seq[String] = {
+    val single = Option(props.get("path")).toSeq
+    val multi = Option(props.get("paths")).toSeq.flatMap { js =>
+      // Spark encodes .load(paths: _*) as a JSON array of strings
+      js.split("\",\\s*\"").map(_.stripPrefix("[").stripSuffix("]")
+        .replaceAll("^\"|\"$", ""))
+    }
+    val all = single ++ multi
+    require(all.nonEmpty, "graftvecs: no path given")
+    all
+  }
+
+  /** One record-aligned byte-range of one file. */
+  case class VecsSplit(path: String, elName: String, dim: Int,
+      startRow: Long, numRows: Long, baseId: Long)
+    extends InputPartition
+
+  private[sources] def elOf(name: String): VecsIO.ElType = name match {
+    case "F32" => VecsIO.F32
+    case "I32" => VecsIO.I32
+    case "U8" => VecsIO.U8
+  }
+}
+
+class VecsTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"graftvecs(${paths.mkString(",")})"
+  override def schema(): StructType = VecsDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new VecsScanBuilder(paths)
+}
+
+class VecsScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = VecsDataSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new VecsScan(paths, required)
+}
+
+class VecsScan(paths: Seq[String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graftvecs ${paths.mkString(",")} cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val files = paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val matches =
+        Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
+      matches.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+        else Seq(st)
+      }
+    }.sortBy(_.getPath.toString)
+    require(files.nonEmpty, s"graftvecs: no files at ${paths.mkString(",")}")
+    var baseId = 0L
+    val out = Seq.newBuilder[InputPartition]
+    files.foreach { st =>
+      val path = st.getPath
+      val el = VecsIO.elTypeFor(path.toString)
+      val fs = path.getFileSystem(conf)
+      val in = fs.open(path)
+      val dim = try {
+        val head = new Array[Byte](4)
+        in.readFully(0L, head)
+        ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN).getInt
+      } finally in.close()
+      require(dim > 0, s"graftvecs: bad dim $dim in $path")
+      val stride = 4L + dim.toLong * el.bytes
+      require(st.getLen % stride == 0,
+        s"graftvecs: ${st.getLen} not a multiple of stride $stride in $path")
+      val rows = st.getLen / stride
+      val rowsPerSplit = math.max(1L, splitBytes / stride)
+      var start = 0L
+      while (start < rows) {
+        val n = math.min(rowsPerSplit, rows - start)
+        out += VecsDataSource.VecsSplit(path.toString, el.toString, dim,
+          start, n, baseId + start)
+        start += n
+      }
+      baseId += rows
+    }
+    out.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VecsReaderFactory(required,
+      SparkSession.active.sparkContext.hadoopConfiguration.iterator()
+        .asScala.map(e => (e.getKey, e.getValue)).toSeq)
+
+  private implicit class IterAsScala[A](it: util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+}
+
+class VecsReaderFactory(required: StructType,
+    hadoopConf: Seq[(String, String)]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val s = partition.asInstanceOf[VecsDataSource.VecsSplit]
+    new VecsPartitionReader(s, required, hadoopConf)
+  }
+}
+
+/** Streams one record-aligned range: a bounded read buffer (whole split
+  * only when small), ids from arithmetic, payload decoded only when the
+  * pruned schema asks for `vec`. */
+class VecsPartitionReader(split: VecsDataSource.VecsSplit,
+    required: StructType, hadoopConf: Seq[(String, String)])
+    extends PartitionReader[InternalRow] {
+  private val el = VecsDataSource.elOf(split.elName)
+  private val stride = 4L + split.dim.toLong * el.bytes
+  private val wantId = required.fieldNames.contains("id")
+  private val wantVec = required.fieldNames.contains("vec")
+
+  private val in = {
+    val conf = new Configuration(false)
+    hadoopConf.foreach { case (k, v) => conf.set(k, v) }
+    val p = new Path(split.path)
+    p.getFileSystem(conf).open(p)
+  }
+  in.seek(split.startRow * stride)
+  // 8 MiB record-aligned read buffer: bounded memory however big the split
+  private val bufRows = math.max(1, ((8L << 20) / stride).toInt)
+  private val buf = new Array[Byte]((bufRows * stride).toInt)
+  private var bb: ByteBuffer = ByteBuffer.allocate(0)
+  private var rowsDone = 0L
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (rowsDone >= split.numRows) return false
+    if (bb.remaining() < stride) {
+      val n = math.min(bufRows.toLong, split.numRows - rowsDone).toInt
+      val want = n * stride.toInt
+      in.readFully(buf, 0, want)
+      bb = ByteBuffer.wrap(buf, 0, want).order(ByteOrder.LITTLE_ENDIAN)
+    }
+    val d = bb.getInt
+    require(d == split.dim,
+      s"graftvecs: dim drift $d vs ${split.dim} in ${split.path}")
+    val vec: GenericArrayData = if (wantVec) {
+      val out = new Array[Double](d)
+      var i = 0
+      el match {
+        case VecsIO.F32 =>
+          while (i < d) { out(i) = bb.getFloat.toDouble; i += 1 }
+        case VecsIO.I32 =>
+          while (i < d) { out(i) = bb.getInt.toDouble; i += 1 }
+        case VecsIO.U8 =>
+          while (i < d) { out(i) = (bb.get & 0xff).toDouble; i += 1 }
+      }
+      new GenericArrayData(out)
+    } else {
+      bb.position(bb.position() + d * el.bytes)
+      null
+    }
+    val values = required.fieldNames.map {
+      case "id" => java.lang.Long.valueOf(split.baseId + rowsDone)
+      case "vec" => vec
+    }
+    current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+    rowsDone += 1
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

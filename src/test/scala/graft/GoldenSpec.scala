@@ -123,4 +123,15 @@ class GoldenSpec extends SparkSpec {
     assert(w.recall >= 0.85, "calibration must reach its target")
     truth.unpersist()
   }
+
+  test("maxsim two-stage golden row reproduces (±0.01)") {
+    val (data, _, truth) = GoldenRecall.dataset(spark, N, Dims, Nq, K)
+    val rows = GoldenRecall.maxSimGrid(data, Dims, K, Seq(100))
+    rows.foreach { r =>
+      val p = pinned("maxsim_twostage", r.config, r.value)
+      assert(math.abs(r.recall - p) <= 0.01,
+        s"maxsim_twostage c${r.value}: ${r.recall} vs pinned $p")
+    }
+    truth.unpersist()
+  }
 }

@@ -131,6 +131,29 @@ class SourcesSpec extends SparkSpec {
     assert(rows(1).getSeq[Double](1) === Seq(106.0, 107.0, 108.0, 109.0, 110.0))
   }
 
+  test("graftvecs DSv2: intra-file splits, legacy-reader equality, pruning") {
+    val dir = freshDir("dsv2")
+    val orig = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    VecsIO.write(orig.repartitionByRange(2, col("id")), dir, VecsIO.F32)
+    val before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+      val ds = spark.read.format("graftvecs").load(s"$dir/*.fvecs")
+      // 2 files × ~130KB at 8KB splits → many record-aligned partitions
+      assert(ds.rdd.getNumPartitions > 2, s"${ds.rdd.getNumPartitions}")
+      assert(ds.count() === orig.count())
+      val legacy = VecsIO.read(spark, s"$dir/*.fvecs")
+        .withColumnRenamed("vec", "vl")
+      assert(ds.withColumnRenamed("vec", "v2").join(legacy, Seq("id"))
+        .filter(col("v2") =!= col("vl")).count() === 0)
+      // pruned scans: id-only never decodes payloads (visible in scan desc)
+      val plan = ds.select("id").queryExecution.executedPlan.toString
+      assert(plan.contains("cols=id"), plan.take(400))
+      assert(ds.select("id").agg(sum("id")).head.getLong(0) ===
+        (0L until orig.count()).sum)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+  }
+
   test("synthetic generator is deterministic and in [0,1)") {
     val a = SyntheticData.generate(spark, 1000, 8)
     val b = SyntheticData.generate(spark, 1000, 8)
