@@ -1022,6 +1022,31 @@ object OracleGenText {
        |JOIN v$m USING (w)
        |WHERE w <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q140: per-document BPE token sequence — the q119 vocab replay, each
+    * word's canonical double-gap string collapsed to single spaces and
+    * reassembled in word order (training corpus: every word present, so
+    * the inner join matches Bpe.encode's left-join-with-fallback). */
+  def bpeEncode(m: Int): String =
+    s"""WITH ${bpeCtes(m)},
+       |t0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |d AS (SELECT doc_id, unnest([{'pos': i, 'w': toks[i]}
+       |  FOR i IN range(1, len(toks) + 1)]) AS s FROM t0),
+       |p AS (SELECT doc_id, s.pos AS pos, s.w AS w FROM d
+       |  WHERE s.w <> ''),
+       |j AS (SELECT doc_id, pos, replace(trim(s), '  ', ' ') AS tokstr
+       |  FROM p JOIN v$m USING (w)),
+       |agg AS (SELECT doc_id,
+       |  list_sort(list({'pos': pos, 'tokstr': tokstr})) AS ps
+       |  FROM j GROUP BY doc_id),
+       |outp AS (SELECT doc_id,
+       |  array_to_string(list_transform(ps, x -> x.tokstr), ' ')
+       |    AS bpe_tokens FROM agg)
+       |SELECT doc_id, bpe_tokens,
+       |  CAST(len(string_split(bpe_tokens, ' ')) AS BIGINT)
+       |    AS n_bpe_tokens
+       |FROM outp ORDER BY doc_id""".stripMargin
+
   /** q120: bigram-LM mean-probability score — bigram/unigram counts from
     * the same corpus, p = c2/c1 per in-doc bigram, ORDERED left fold (the
     * Spark side sorts by position and folds identically), final

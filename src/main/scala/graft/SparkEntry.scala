@@ -503,6 +503,13 @@ object SparkEntry {
     Bpe.tokenCounts(docs(s, dir), bpeTrained(s, dir)._2)
       .orderBy("doc_id")
 
+  /** q140: the actual tokenized corpus — per-doc BPE token sequence as an
+    * exact string (what the packing/LM stages ultimately consume), not
+    * just q119's count. */
+  private def bpeEncodeQ(s: SparkSession, dir: String): DataFrame =
+    Bpe.encode(docs(s, dir), bpeTrained(s, dir)._2)
+      .orderBy("doc_id")
+
   /** q120: LM quality scoring — per-doc mean conditional bigram
     * probability under a bigram LM trained on the same corpus (the
     * CCNet-recipe signal in its hash-certifiable form: counts, one
@@ -2239,6 +2246,7 @@ object SparkEntry {
     "q137_bm25_stored" -> (bm25StoredQ _),
     "q138_phrase_stored" -> (phraseStoredQ _),
     "q139_dsv2_vecs" -> (dsv2VecsQ _),
+    "q140_bpe_encode" -> (bpeEncodeQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2535,5 +2543,8 @@ object SparkEntry {
     "q138_phrase_stored" -> OracleGenText.phraseSearch(PhraseTerms),
     // q139: DSv2 vecs reader ≡ q29's roundtrip contract.
     "q139_dsv2_vecs" -> OracleGen.fvecsRoundtrip,
+    // q140: token sequences are exact strings — the vocab replay joined
+    // back over the corpus in word order.
+    "q140_bpe_encode" -> OracleGenText.bpeEncode(BpeMerges),
   )
 }

@@ -117,6 +117,38 @@ object Bpe {
       .groupBy("doc_id").agg(sum("n_syms").as("n_bpe_tokens"))
   }
 
+  /** Per-document BPE TOKEN SEQUENCE (not just the count): each word in
+    * order is replaced by its trained symbol tokens (the canonical
+    * double-gap string collapsed to single spaces), unseen words fall
+    * back to character tokens + [[EndMark]] (the untrained tokenization,
+    * consistent with [[tokenCounts]]'s length+1), and the document's
+    * tokens are reassembled in word order. Output: (doc_id, bpe_tokens —
+    * one space-joined string, exact-string certifiable — and
+    * n_bpe_tokens ≡ q119's count). Scale shape: one posexplode + one
+    * broadcast vocab join + one per-doc ordered assembly — the same plan
+    * as scoring, nothing vocabulary-unbounded shuffles. */
+  def encode(docs: DataFrame, vocab: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val perWord = vocab.select(col("w"),
+      regexp_replace(trim(col("s")), "  ", " ").as("tokstr"))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), " ")))
+      .filter(col("col") =!= "")
+      .withColumnRenamed("col", "w")
+      .join(broadcast(perWord), Seq("w"), "left")
+      .withColumn("tokstr", coalesce(col("tokstr"),
+        concat(regexp_replace(col("w"), "(.)", "$1 "), lit(EndMark))))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("pos"), col("tokstr"))).as("ps"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          transform(sort_array(col("ps")), x => x.getField("tokstr")))
+          .as("bpe_tokens"))
+      .withColumn("n_bpe_tokens",
+        size(split(col("bpe_tokens"), " ")).cast("long"))
+  }
+
   /** JVM reference greedy encoder (specs): apply the merge list in order
     * to one word's symbol sequence. */
   def encodeWordRef(word: String, merges: Seq[(String, String)])

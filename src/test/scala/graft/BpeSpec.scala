@@ -103,6 +103,26 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("encode emits the reference token sequence; unseen words fall back") {
+    val docs = Seq("low lower", "new newest lowest", "low low")
+    val df = corpusDF(docs)
+    val (mergesDf, vocab) = Bpe.train(df, 4)
+    val merges = mergesDf.orderBy("round")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = Bpe.encode(df, vocab).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    docs.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+        .flatMap(w => Bpe.encodeWordRef(w, merges))
+      assert(got(i.toLong)._1 === toks.mkString(" "), s"doc $i tokens")
+      assert(got(i.toLong)._2 === toks.length.toLong, s"doc $i count")
+    }
+    // a word the vocab never saw: character fallback + end mark
+    val unseen = Bpe.encode(corpusDF(Seq("zq")), vocab).collect().head
+    assert(unseen.getString(1) === "z q " + Bpe.EndMark)
+    assert(unseen.getLong(2) === 3L)
+  }
+
   test("ties break to the lexicographically smallest pair") {
     // 'xy' and 'ab' both occur twice; 'ab' < 'xy'
     val df = corpusDF(Seq("xy xy ab ab"))
