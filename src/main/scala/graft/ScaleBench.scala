@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.core.Metric
-import graft.operators.{FlatKnn, IvfIndex, KMeans, LeanVec}
+import graft.operators.{FlatKnn, IvfIndex, KMeans, LeanVec, MaxSim}
 import graft.sources.SyntheticData
 
 /** Scale probe beyond the driver's sf0.1: 1M × 64-d vectors (→ 100M
@@ -243,6 +243,35 @@ object ScaleBench {
         s""""vamana_build_tuned_sec":$tBuildTuned,""" +
         s""""vamana_recall_tuned":$rTuned,""" +
         s""""build_speedup":${tBuild / tBuildSimd}}""")
+    }
+
+    // MaxSim late-interaction at 1M token vectors (250k 4-token bags):
+    // exhaustive vs the two-stage pooled-prefilter path — the measured
+    // form of q133's quality/cost dial at scale.
+    {
+      val bags = MaxSim.groupTokens(data.select("id", "vec"), 4)
+      val msQueries = bags.filter(col("doc_id") % 5000 === 0)
+        .select(col("doc_id").as("query_id"), col("dtok").as("qtok"),
+          col("dvec").as("qvec")).cache()
+      val nMsQ = msQueries.select("query_id").distinct().count()
+      val (msExact, tMsExact) = time {
+        val r = MaxSim.topK(msQueries, bags, k, Metric.Cosine)
+          .select("query_id", "doc_id").cache()
+        r.count(); r
+      }
+      val (msTwo, tMsTwo) = time {
+        val r = MaxSim.topKTwoStage(msQueries, bags, k, candidates = 256,
+            dims, Metric.Cosine)
+          .select("query_id", "doc_id").cache()
+        r.count(); r
+      }
+      val msRecall = msTwo.intersect(msExact).count().toDouble /
+        (k.toLong * nMsQ)
+      println(s"""{"experiment":"maxsim_probe","n_token_vecs":$n,""" +
+        s""""n_bags":${n / 4},"n_queries":$nMsQ,"k":$k,""" +
+        s""""exhaustive_sec":$tMsExact,"two_stage_sec":$tMsTwo,""" +
+        s""""two_stage_candidates":256,"two_stage_recall":$msRecall}""")
+      msExact.unpersist(); msTwo.unpersist(); msQueries.unpersist()
     }
 
     // Worst-case hot-shard probe (opt-in: SPARK_GRAFT_SCALE_ONESHARD=1):

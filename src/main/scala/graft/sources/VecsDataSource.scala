@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownRequiredColumns}
+  SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -89,14 +89,21 @@ class VecsTable(paths: Seq[String]) extends Table with SupportsRead {
 }
 
 class VecsScanBuilder(paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var required: StructType = VecsDataSource.Schema
+  private var limit: Long = Long.MaxValue
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new VecsScan(paths, required)
+  // rows are fixed-stride, so a LIMIT caps planning at the first
+  // ceil(limit/rowsPerSplit) splits — a head() of a 100 GB file reads
+  // one record-aligned range, not the file
+  override def pushLimit(n: Int): Boolean = { limit = n.toLong; true }
+  override def build(): Scan = new VecsScan(paths, required, limit)
 }
 
-class VecsScan(paths: Seq[String], required: StructType)
+class VecsScan(paths: Seq[String], required: StructType,
+    limit: Long = Long.MaxValue)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -138,8 +145,9 @@ class VecsScan(paths: Seq[String], required: StructType)
       val rows = st.getLen / stride
       val rowsPerSplit = math.max(1L, splitBytes / stride)
       var start = 0L
-      while (start < rows) {
-        val n = math.min(rowsPerSplit, rows - start)
+      while (start < rows && baseId + start < limit) {
+        val n = math.min(math.min(rowsPerSplit, rows - start),
+          limit - (baseId + start))
         out += VecsDataSource.VecsSplit(path.toString, el.toString, dim,
           start, n, baseId + start)
         start += n

@@ -151,6 +151,12 @@ class SourcesSpec extends SparkSpec {
       assert(plan.contains("cols=id"), plan.take(400))
       assert(ds.select("id").agg(sum("id")).head.getLong(0) ===
         (0L until orig.count()).sum)
+      // limit pushdown: head(7) plans only the first record range
+      val limited = ds.limit(7)
+      assert(limited.rdd.getNumPartitions === 1,
+        s"${limited.rdd.getNumPartitions}")
+      assert(limited.collect().map(_.getLong(0)).toSeq ===
+        (0L until 7L).toSeq)
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
   }
 
