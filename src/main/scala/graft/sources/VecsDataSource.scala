@@ -2,18 +2,20 @@ package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
 import java.util
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
-  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
+  Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
+  Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -72,6 +74,9 @@ object VecsDataSource {
       startRow: Long, numRows: Long, baseId: Long)
     extends InputPartition
 
+  /** One task's committed shard file. */
+  case class Committed(path: String) extends WriterCommitMessage
+
   private[sources] def elOf(name: String): VecsIO.ElType = name match {
     case "F32" => VecsIO.F32
     case "I32" => VecsIO.I32
@@ -79,13 +84,132 @@ object VecsDataSource {
   }
 }
 
-class VecsTable(paths: Seq[String]) extends Table with SupportsRead {
+class VecsTable(paths: Seq[String]) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graftvecs(${paths.mkString(",")})"
   override def schema(): StructType = VecsDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new VecsScanBuilder(paths)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(paths.size == 1, "graftvecs write: exactly one target path")
+    new VecsWriteBuilder(paths.head, info)
+  }
+}
+
+/** Write side of the V2 source: each input partition streams one
+  * `part-<pid>-<task>.{f,i,b}vecs` shard (the element type from
+  * `.option("eltype", "fvecs"|"ivecs"|"bvecs")`, default fvecs); commit
+  * sweeps the directory of any file a speculative or failed attempt left
+  * that is NOT in the committed set, so duplicates cannot survive. The
+  * format stores no ids (reference core/io/vecs.h) — ids on re-read are
+  * dense (path, row) order, so callers wanting a stable order
+  * `repartitionByRange(col("id")).sortWithinPartitions("id")` first,
+  * exactly [[VecsIO.write]]'s contract. */
+class VecsWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new VecsWrite(path, info.schema(),
+    Option(info.options.get("eltype")).getOrElse("fvecs"), doTruncate)
+}
+
+class VecsWrite(path: String, schema: StructType, eltypeExt: String,
+    truncate: Boolean) extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    val vecOrdinal = schema.fieldIndex("vec")
+    val floatElems = schema(vecOrdinal).dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case t => sys.error(s"graftvecs write: vec must be an array " +
+        s"of float/double, got $t")
+    }
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    if (truncate) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    val el = VecsIO.elTypeFor(s"x.$eltypeExt")
+    new VecsWriterFactory(path, el.toString, vecOrdinal, floatElems, conf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // compare by FILE NAME: executors may report scheme-less paths while
+    // listStatus returns fully-qualified ones
+    val keep = messages.collect {
+      case VecsDataSource.Committed(p) => new Path(p).getName }.toSet
+    val dir = new Path(path)
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith("vecs") && !keep.contains(n))
+        fs.delete(st.getPath, false)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    messages.collect { case VecsDataSource.Committed(p) =>
+      val hp = new Path(p)
+      hp.getFileSystem(conf).delete(hp, false)
+    }
+  }
+}
+
+class VecsWriterFactory(dir: String, elName: String, vecOrdinal: Int,
+    floatElems: Boolean,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new VecsDataWriter(dir, VecsDataSource.elOf(elName), vecOrdinal,
+      floatElems, partitionId, taskId, conf)
+}
+
+class VecsDataWriter(dir: String, el: VecsIO.ElType, vecOrdinal: Int,
+    floatElems: Boolean, partitionId: Int, taskId: Long,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends DataWriter[InternalRow] {
+  private val out = new Path(dir, f"part-$partitionId%05d-$taskId.${el.ext}")
+  private val os = out.getFileSystem(conf.value).create(out, true)
+
+  override def write(row: InternalRow): Unit = {
+    val arr = row.getArray(vecOrdinal)
+    val d = arr.numElements()
+    val bb = ByteBuffer.allocate(4 + d * el.bytes)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(d)
+    var i = 0
+    while (i < d) {
+      val x = if (floatElems) arr.getFloat(i).toDouble else arr.getDouble(i)
+      el match {
+        case VecsIO.F32 => bb.putFloat(x.toFloat)
+        case VecsIO.I32 => bb.putInt(x.toInt)
+        case VecsIO.U8 => bb.put(x.toInt.toByte)
+      }
+      i += 1
+    }
+    os.write(bb.array())
+  }
+
+  override def commit(): WriterCommitMessage = {
+    os.close()
+    VecsDataSource.Committed(out.toString)
+  }
+
+  override def abort(): Unit = {
+    os.close()
+    out.getFileSystem(conf.value).delete(out, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 class VecsScanBuilder(paths: Seq[String])
@@ -159,19 +283,13 @@ class VecsScan(paths: Seq[String], required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new VecsReaderFactory(required,
-      SparkSession.active.sparkContext.hadoopConfiguration.iterator()
-        .asScala.map(e => (e.getKey, e.getValue)).toSeq)
-
-  private implicit class IterAsScala[A](it: util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext: Boolean = it.hasNext
-      def next(): A = it.next()
-    }
-  }
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 class VecsReaderFactory(required: StructType,
-    hadoopConf: Seq[(String, String)]) extends PartitionReaderFactory {
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val s = partition.asInstanceOf[VecsDataSource.VecsSplit]
@@ -183,18 +301,16 @@ class VecsReaderFactory(required: StructType,
   * only when small), ids from arithmetic, payload decoded only when the
   * pruned schema asks for `vec`. */
 class VecsPartitionReader(split: VecsDataSource.VecsSplit,
-    required: StructType, hadoopConf: Seq[(String, String)])
+    required: StructType,
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
   private val el = VecsDataSource.elOf(split.elName)
   private val stride = 4L + split.dim.toLong * el.bytes
-  private val wantId = required.fieldNames.contains("id")
   private val wantVec = required.fieldNames.contains("vec")
 
   private val in = {
-    val conf = new Configuration(false)
-    hadoopConf.foreach { case (k, v) => conf.set(k, v) }
     val p = new Path(split.path)
-    p.getFileSystem(conf).open(p)
+    p.getFileSystem(hadoopConf.value).open(p)
   }
   in.seek(split.startRow * stride)
   // 8 MiB record-aligned read buffer: bounded memory however big the split

@@ -160,6 +160,23 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
   }
 
+  test("graftvecs DSv2 write: roundtrip equality with the legacy writer") {
+    val dir = freshDir("dsv2w")
+    val orig = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+      .repartitionByRange(3, col("id")).sortWithinPartitions("id")
+    orig.write.format("graftvecs").mode("overwrite").save(dir)
+    val back = spark.read.format("graftvecs").load(s"$dir/*.fvecs")
+      .withColumnRenamed("vec", "v2")
+    assert(back.count() === orig.count())
+    // dense (path, row) ids: range-partitioned sorted input reproduces ids
+    assert(orig.join(back, Seq("id"))
+      .filter(col("vec") =!= col("v2")).count() === 0)
+    // overwrite truncates: a second write leaves exactly one copy
+    orig.write.format("graftvecs").mode("overwrite").save(dir)
+    assert(spark.read.format("graftvecs").load(s"$dir/*.fvecs")
+      .count() === orig.count())
+  }
+
   test("synthetic generator is deterministic and in [0,1)") {
     val a = SyntheticData.generate(spark, 1000, 8)
     val b = SyntheticData.generate(spark, 1000, 8)
