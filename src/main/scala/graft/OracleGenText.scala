@@ -1277,6 +1277,20 @@ object OracleGenText {
        |FROM c WHERE n_hits > 0 ORDER BY doc_id""".stripMargin
   }
 
+  /** q141: proximity (NEAR) search — co-occurrence pairs of two terms
+    * within `slop` positions, replayed with a positions comprehension. */
+  def proximitySearch(termA: String, termB: String, slop: Int): String =
+    s"""WITH t AS ($ftToksCte),
+       |p AS (SELECT doc_id, unnest([{'pos': i, 'w': toks[i]}
+       |  FOR i IN range(1, len(toks) + 1)]) AS s FROM t),
+       |pa AS (SELECT doc_id, s.pos AS pa FROM p WHERE s.w = '$termA'),
+       |pb AS (SELECT doc_id, s.pos AS pb FROM p WHERE s.w = '$termB'),
+       |j AS (SELECT pa.doc_id, count(*) AS n_pairs
+       |  FROM pa JOIN pb USING (doc_id)
+       |  WHERE abs(pa.pa - pb.pb) <= $slop GROUP BY pa.doc_id)
+       |SELECT doc_id, CAST(n_pairs AS BIGINT) AS n_pairs FROM j
+       |ORDER BY doc_id""".stripMargin
+
   /** VALUES rows for a literal (query_id, term) batch — duplicate terms
     * within a query collapsed, mirroring TextIndex.bm25TopK. */
   private def queryValues(queries: Seq[(Long, Seq[String])]): String =

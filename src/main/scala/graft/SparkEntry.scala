@@ -702,6 +702,14 @@ object SparkEntry {
         nBuckets = 16)
       .orderBy("doc_id")
 
+  private[graft] val ProxSlop = 3
+
+  /** q141: proximity (NEAR) search — "dup" within 3 tokens of "batch";
+    * the relevance signal between bag-of-words AND and exact phrase. */
+  private def proximitySearchQ(s: SparkSession, dir: String): DataFrame =
+    TextIndex.proximitySearch(docs(s, dir), "dup", "batch", ProxSlop)
+      .orderBy("doc_id")
+
   private[graft] val ShuffleShards = 8
   private[graft] val ShuffleSeed = 7L
 
@@ -2247,6 +2255,7 @@ object SparkEntry {
     "q138_phrase_stored" -> (phraseStoredQ _),
     "q139_dsv2_vecs" -> (dsv2VecsQ _),
     "q140_bpe_encode" -> (bpeEncodeQ _),
+    "q141_proximity_search" -> (proximitySearchQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2546,5 +2555,8 @@ object SparkEntry {
     // q140: token sequences are exact strings — the vocab replay joined
     // back over the corpus in word order.
     "q140_bpe_encode" -> OracleGenText.bpeEncode(BpeMerges),
+    // q141: NEAR co-occurrence pairs, exact integer replay.
+    "q141_proximity_search" ->
+      OracleGenText.proximitySearch("dup", "batch", ProxSlop),
   )
 }

@@ -236,6 +236,32 @@ object TextIndex {
       .filter(col("n_matched") >= minMatch)
   }
 
+  /** Proximity (NEAR) search: docs where `termA` and `termB` co-occur
+    * within `slop` token positions, with the co-occurrence pair count —
+    * `(doc_id, n_pairs)` over pairs (pA, pB), |pA − pB| ≤ slop. The
+    * classic relevance signal between bag-of-words AND and exact phrase.
+    * Same inverted positional-join shape as [[phraseSearch]]: only the
+    * two terms' position rows leave the scan, the join is doc-keyed with
+    * a range predicate evaluated inside it. */
+  def proximitySearch(docs: DataFrame, termA: String, termB: String,
+      slop: Int, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(termA != termB && slop >= 0, "distinct terms, slop >= 0")
+    val pos = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(toksCol(textCol)))
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+      .filter(col("term").isin(termA, termB))
+    val a = pos.filter(col("term") === termA)
+      .select(col("doc_id"), col("pos").as("pa"))
+    val b = pos.filter(col("term") === termB)
+      .select(col("doc_id"), col("pos").as("pb"))
+    a.join(b, Seq("doc_id"))
+      .filter(abs(col("pa") - col("pb")) <= slop)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   // ---- full on-disk index: postings + doclens + stats sidecars -------
 
   /** POSITIONAL postings: `(term, doc_id, tf, positions)` with 0-based

@@ -196,6 +196,18 @@ class TextIndexSpec extends SparkSpec {
     assert(acc.toMap === batch)
   }
 
+  test("proximitySearch counts slop-bounded co-occurrence pairs") {
+    val tri = Seq(
+      (0L, "a x x b"),     // |0-3| = 3
+      (1L, "a b x a"),     // pairs: (0,1)=1, (3,1)=2 → both ≤ 3
+      (2L, "a x x x x b"), // |0-5| = 5 > 3
+      (3L, "b a")          // order-independent
+    ).toDF("doc_id", "text")
+    val got = TextIndex.proximitySearch(tri, "a", "b", slop = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1L, 1L -> 2L, 3L -> 1L))
+  }
+
   test("stored-index BM25 and phrase equal the corpus-scan paths and prune buckets") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-ti-index").toString
