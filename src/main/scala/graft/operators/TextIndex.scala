@@ -132,6 +132,8 @@ object TextIndex {
       k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(queries.nonEmpty && k >= 1)
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query ids would double-count their terms")
     val spark = docs.sparkSession
     import spark.implicits._
     val allTerms = queries.flatMap(_._2).distinct
@@ -302,6 +304,8 @@ object TextIndex {
       path: String, queries: Seq[(Long, Seq[String])], k: Int,
       nBuckets: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty && k >= 1)
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query ids would double-count their terms")
     import spark.implicits._
     val allTerms = queries.flatMap(_._2).distinct
     val buckets = allTerms.toDF("term")

@@ -113,11 +113,12 @@ class VecsWriteBuilder(path: String, info: LogicalWriteInfo)
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new VecsWrite(path, info.schema(),
-    Option(info.options.get("eltype")).getOrElse("fvecs"), doTruncate)
+    Option(info.options.get("eltype")).getOrElse("fvecs"), doTruncate,
+    info.queryId())
 }
 
 class VecsWrite(path: String, schema: StructType, eltypeExt: String,
-    truncate: Boolean) extends Write with BatchWrite {
+    truncate: Boolean, queryId: String) extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
@@ -136,12 +137,16 @@ class VecsWrite(path: String, schema: StructType, eltypeExt: String,
     if (truncate) fs.delete(dir, true)
     fs.mkdirs(dir)
     val el = VecsIO.elTypeFor(s"x.$eltypeExt")
-    new VecsWriterFactory(path, el.toString, vecOrdinal, floatElems, conf)
+    new VecsWriterFactory(path, el.toString, vecOrdinal, floatElems,
+      queryId, conf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    // compare by FILE NAME: executors may report scheme-less paths while
-    // listStatus returns fully-qualified ones
+    // sweep ONLY this write's files (every shard name carries queryId):
+    // an orphan from a failed/speculative attempt of THIS write dies, a
+    // file from a previous write (append mode) is untouched. Compare by
+    // FILE NAME — executors may report scheme-less paths while
+    // listStatus returns fully-qualified ones.
     val keep = messages.collect {
       case VecsDataSource.Committed(p) => new Path(p).getName }.toSet
     val dir = new Path(path)
@@ -149,7 +154,7 @@ class VecsWrite(path: String, schema: StructType, eltypeExt: String,
     val fs = dir.getFileSystem(conf)
     fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      if (n.endsWith("vecs") && !keep.contains(n))
+      if (n.endsWith("vecs") && n.contains(queryId) && !keep.contains(n))
         fs.delete(st.getPath, false)
     }
   }
@@ -164,20 +169,21 @@ class VecsWrite(path: String, schema: StructType, eltypeExt: String,
 }
 
 class VecsWriterFactory(dir: String, elName: String, vecOrdinal: Int,
-    floatElems: Boolean,
+    floatElems: Boolean, queryId: String,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new VecsDataWriter(dir, VecsDataSource.elOf(elName), vecOrdinal,
-      floatElems, partitionId, taskId, conf)
+      floatElems, partitionId, taskId, queryId, conf)
 }
 
 class VecsDataWriter(dir: String, el: VecsIO.ElType, vecOrdinal: Int,
-    floatElems: Boolean, partitionId: Int, taskId: Long,
+    floatElems: Boolean, partitionId: Int, taskId: Long, queryId: String,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends DataWriter[InternalRow] {
-  private val out = new Path(dir, f"part-$partitionId%05d-$taskId.${el.ext}")
+  private val out =
+    new Path(dir, f"part-$partitionId%05d-$taskId-$queryId.${el.ext}")
   private val os = out.getFileSystem(conf.value).create(out, true)
 
   override def write(row: InternalRow): Unit = {

@@ -175,6 +175,10 @@ class SourcesSpec extends SparkSpec {
     orig.write.format("graftvecs").mode("overwrite").save(dir)
     assert(spark.read.format("graftvecs").load(s"$dir/*.fvecs")
       .count() === orig.count())
+    // append must NOT sweep the previous write's shards
+    orig.write.format("graftvecs").mode("append").save(dir)
+    assert(spark.read.format("graftvecs").load(s"$dir/*.fvecs")
+      .count() === orig.count() * 2)
   }
 
   test("synthetic generator is deterministic and in [0,1)") {
