@@ -40,6 +40,17 @@ object GraftFunctions {
       s"expected 2 arguments, got ${args.length}")
   }
 
+  /** Lift a Column→Column combinator (a composition of built-in codegen'd
+    * expressions) into a SQL function builder — the text-analysis signals
+    * are pure expression trees, so SQL users get the same codegen as the
+    * DataFrame API with zero new Expression classes. */
+  private def unaryCol(f: org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column): Seq[Expression] => Expression = {
+    case Seq(a) => Bridge.toCatalyst(f(Bridge.column(a)))
+    case args => throw new IllegalArgumentException(
+      s"expected 1 argument, got ${args.length}")
+  }
+
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("l2_distance", "l2_distance(a, b) - squared Euclidean distance",
       binary(L2Distance)),
@@ -58,7 +69,22 @@ object GraftFunctions {
       binary(InnerProductSimd)),
     ("cosine_similarity_simd",
       "cosine_similarity_simd(a, b) - cosine similarity (SIMD kernel)",
-      binary(CosineSimilaritySimd)))
+      binary(CosineSimilaritySimd)),
+    // text-analysis signals as SQL functions (§2.9 for the text family):
+    // identical expression trees to the certified DataFrame operators
+    ("graft_quality_score",
+      "graft_quality_score(text) - heuristic quality score in [0, 1000]",
+      unaryCol(graft.operators.TextAnalysis.qualityScore)),
+    ("graft_lang_id",
+      "graft_lang_id(text) - n-gram-profile language guess",
+      unaryCol(graft.operators.TextAnalysis.langId)),
+    ("graft_token_count",
+      "graft_token_count(text) - whitespace token count",
+      unaryCol(t => graft.operators.TextAnalysis.tokenCount(
+        graft.operators.TextAnalysis.tokens(t)))),
+    ("graft_fingerprint",
+      "graft_fingerprint(text) - rolling-hash content fingerprint",
+      unaryCol(graft.operators.TextAnalysis.fingerprint)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, usage, builder) =>

@@ -51,6 +51,20 @@ object OracleGenText {
     s"CASE $cases ELSE '${langs.last}' END"
   }
 
+  /** q142: the SQL-function surface — score + lang + token count in one
+    * relation, same arithmetic as the q13/q14/q15 oracles. */
+  def sqlTextCombo: String =
+    s"""WITH t AS ($toksCte),
+       |s AS (SELECT doc_id,
+       |  $langScoresSql
+       |FROM t),
+       |t2 AS (SELECT s.doc_id, t.toks AS toks, t.text AS text,
+       |  $langCaseSql AS pred_lang
+       |  FROM s JOIN t ON s.doc_id = t.doc_id)
+       |SELECT doc_id, $scoreExprSql AS score, pred_lang,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens
+       |FROM t2 ORDER BY doc_id""".stripMargin
+
   def langId: String =
     s"""WITH t AS ($toksCte),
        |s AS (SELECT doc_id,

@@ -702,6 +702,19 @@ object SparkEntry {
         nBuckets = 16)
       .orderBy("doc_id")
 
+  /** q142: the text signals through the SQL-function surface (§2.9 for
+    * the text family) — `graft_quality_score` / `graft_lang_id` /
+    * `graft_token_count` are the SAME expression trees as the certified
+    * q13/q14/q15 operators, registered in the FunctionRegistry. */
+  private def sqlTextQ(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    docs(s, dir).createOrReplaceTempView("graft_docs")
+    s.sql("""SELECT doc_id, graft_quality_score(text) AS score,
+             graft_lang_id(text) AS pred_lang,
+             graft_token_count(text) AS n_tokens
+             FROM graft_docs ORDER BY doc_id""")
+  }
+
   private[graft] val ProxSlop = 3
 
   /** q141: proximity (NEAR) search — "dup" within 3 tokens of "batch";
@@ -2256,6 +2269,7 @@ object SparkEntry {
     "q139_dsv2_vecs" -> (dsv2VecsQ _),
     "q140_bpe_encode" -> (bpeEncodeQ _),
     "q141_proximity_search" -> (proximitySearchQ _),
+    "q142_sql_text" -> (sqlTextQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2558,5 +2572,7 @@ object SparkEntry {
     // q141: NEAR co-occurrence pairs, exact integer replay.
     "q141_proximity_search" ->
       OracleGenText.proximitySearch("dup", "batch", ProxSlop),
+    // q142: SQL surface ≡ the q13/q14/q15 arithmetic in one relation.
+    "q142_sql_text" -> OracleGenText.sqlTextCombo,
   )
 }

@@ -13,6 +13,16 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Fully CONVERT a Column's node tree to a catalyst Expression
+    * (`ColumnNodeToExpressionConverter` is `private[sql]`).
+    * [[expression]] merely wraps the node (fine inside Dataset ops, which
+    * convert during analysis); a FunctionRegistry builder must return a
+    * real catalyst tree, so composed-Column SQL functions go through this
+    * — remaining UnresolvedFunction children resolve in the analyzer's
+    * normal fixpoint. */
+  def toCatalyst(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Build a DataFrame from a logical plan (Dataset.ofRows is
     * `private[sql]`). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,

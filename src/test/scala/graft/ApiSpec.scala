@@ -38,6 +38,28 @@ class ApiSpec extends SparkSpec {
     assert(viaSql.toSeq === viaDf.toSeq)
   }
 
+  test("text-analysis SQL functions match the DataFrame expression trees") {
+    GraftFunctions.register(spark)
+    val docs = graft.core.Tables.table(spark, sfDir, "documents").limit(50)
+    docs.createOrReplaceTempView("api_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_quality_score(text) AS s,
+        |  graft_lang_id(text) AS l, graft_token_count(text) AS n,
+        |  graft_fingerprint(text) AS f
+        |FROM api_docs""".stripMargin).orderBy("doc_id").collect()
+    val ta = graft.operators.TextAnalysis
+    val viaDf = docs.select(col("doc_id"),
+        ta.qualityScore(col("text")).as("s"),
+        ta.langId(col("text")).as("l"),
+        ta.tokenCount(ta.tokens(col("text"))).as("n"),
+        ta.fingerprint(col("text")).as("f"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.toSeq === viaDf.toSeq)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_quality_score('a', 'b')").collect() }
+    assert(e.getMessage.contains("1 argument"))
+  }
+
   test("SQL function rejects wrong arity and types with a clear error") {
     GraftFunctions.register(spark)
     val e1 = intercept[Exception] {
