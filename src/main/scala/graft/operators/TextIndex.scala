@@ -361,6 +361,20 @@ object TextIndex {
     starts.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** One-row summary of an on-disk index built by [[buildIndex]]:
+    * (n_docs, avgdl, n_terms, n_postings) — the numbers a query planner
+    * (or a capacity estimate) wants before probing. Sidecars give the
+    * corpus stats for free; the postings summary is one vocabulary-
+    * bounded aggregation over the store. */
+  def indexStats(spark: org.apache.spark.sql.SparkSession, path: String)
+      : DataFrame = {
+    val stats = spark.read.parquet(s"$path/stats")
+    val post = readPostings(spark, s"$path/postings")
+      .agg(count_distinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_postings"))
+    stats.crossJoin(post)
+  }
+
   // ---- dynamic maintenance (the M1–M4 analog for the text index) -----
 
   /** DOC-LEVEL upsert of freshly-ingested postings into a stored posting

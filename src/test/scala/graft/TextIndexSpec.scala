@@ -226,6 +226,12 @@ class TextIndexSpec extends SparkSpec {
     val phScan = TextIndex.phraseSearch(d, Seq("batch", "batch"))
     assert(ph.collect().map(_.toSeq).toSet ===
       phScan.collect().map(_.toSeq).toSet)
+    val st = TextIndex.indexStats(spark, path).head()
+    assert(st.getAs[Long]("n_docs") === d.count())
+    assert(st.getAs[Long]("n_terms") ===
+      TextIndex.termStats(TextIndex.postings(d)).count())
+    assert(st.getAs[Long]("n_postings") ===
+      TextIndex.postings(d).count())
   }
 
   test("compressionRatio: repetitive text compresses harder than random") {
