@@ -258,7 +258,7 @@ class VecsScan(paths: Seq[String], required: StructType,
     require(files.nonEmpty, s"graftvecs: no files at ${paths.mkString(",")}")
     var baseId = 0L
     val out = Seq.newBuilder[InputPartition]
-    files.foreach { st =>
+    files.filter(_.getLen > 0).foreach { st => // empty shard = zero rows
       val path = st.getPath
       val el = VecsIO.elTypeFor(path.toString)
       val fs = path.getFileSystem(conf)

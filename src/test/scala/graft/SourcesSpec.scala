@@ -179,6 +179,23 @@ class SourcesSpec extends SparkSpec {
     orig.write.format("graftvecs").mode("append").save(dir)
     assert(spark.read.format("graftvecs").load(s"$dir/*.fvecs")
       .count() === orig.count() * 2)
+    // an empty shard file contributes zero rows, not a crash
+    new java.io.FileOutputStream(s"$dir/part-zzzzz-0-empty.fvecs").close()
+    assert(spark.read.format("graftvecs").load(s"$dir/*.fvecs")
+      .count() === orig.count() * 2)
+  }
+
+  test("graftvecs DSv2 handles ivecs element type end to end") {
+    val dir = freshDir("dsv2i")
+    val s = spark
+    import s.implicits._
+    val orig = Seq((0L, Seq(1.0, 2.0, 3.0)), (1L, Seq(-4.0, 5.0, 127.0)))
+      .toDF("id", "vec").coalesce(1).sortWithinPartitions("id")
+    orig.write.format("graftvecs").option("eltype", "ivecs")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("graftvecs").load(s"$dir/*.ivecs")
+      .orderBy("id").collect().map(_.getSeq[Double](1).toSeq)
+    assert(back.toSeq === Seq(Seq(1.0, 2.0, 3.0), Seq(-4.0, 5.0, 127.0)))
   }
 
   test("synthetic generator is deterministic and in [0,1)") {
