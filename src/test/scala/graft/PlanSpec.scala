@@ -205,4 +205,31 @@ class PlanSpec extends SparkSpec {
     assert(rBsp >= rLocal - 1e-9, s"bsp $rBsp < local $rLocal")
     assert(rBsp >= 0.8, s"bsp recall $rBsp")
   }
+
+  test("permuteShards is one hash exchange + one window exchange — " +
+      "never a global range sort") {
+    val docs = Tables.table(spark, sfDir, "documents").select("doc_id")
+    val out = graft.operators.Mixture.permuteShards(docs, col("doc_id"), 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), plan.take(800))
+    assert("Exchange".r.findAllIn(plan).length <= 2, plan.take(800))
+    assert(plan.contains("hashpartitioning"), plan.take(800))
+  }
+
+  test("maxsim shuffles per-(query,doc,qtok) partials, never token pairs") {
+    val vecs = Tables.embeddingVectors(spark, sfDir)
+    val docsV = graft.operators.MaxSim.groupTokens(vecs, 4)
+    val queries = docsV.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("query_id"), col("dtok").as("qtok"),
+        col("dvec").as("qvec"))
+    val out = graft.operators.MaxSim.topK(queries, docsV, 5)
+    val plan = out.queryExecution.executedPlan.toString
+    // query bags broadcast: the token-pair block is a broadcast nested
+    // loop next to the doc-token scan, and the first exchange above it
+    // carries per-(query, doc, qtok) max partials (partial_max before
+    // the exchange), not raw pairs
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(900))
+    assert(plan.contains("partial_max") ||
+      plan.contains("partial_min"), plan.take(900))
+  }
 }
