@@ -226,6 +226,74 @@ object OracleGen {
        |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Sum of per-dim squared diffs over ONE subspace's index range —
+    * i-ascending, matching L2Distance's codegen fold on the slice. */
+  private def l2Range(qAlias: String, kAlias: String, lo: Int, hi: Int)
+      : String =
+    (lo until hi).map(i =>
+      s"($qAlias.q$i-$kAlias.k$i)*($qAlias.q$i-$kAlias.k$i)")
+      .mkString(" + ")
+
+  private def pqCtes(m: Int, k: Int): String = {
+    val d = Tables.embDims
+    val sub = d / m
+    val vCols = dimCols("v", embDimExprs)
+    val kCols = (1 to d).map(i =>
+      s"CAST(embedding[$i] AS DOUBLE) AS k${i - 1}").mkString(", ")
+    val dCols = (0 until m).map { j =>
+      (j * sub until (j + 1) * sub).map(i =>
+        s"(v.v$i-cb.k$i)*(v.v$i-cb.k$i)").mkString("", " + ", s" AS d$j")
+    }.mkString(",\n  ")
+    val argmins = (0 until m).map { j =>
+      s"""a$j AS (SELECT id, c AS c$j FROM (
+         |  SELECT id, c, row_number() OVER (PARTITION BY id
+         |    ORDER BY d$j ASC, c ASC) AS rn FROM dmat) x WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val joins = (1 until m).map(j => s"JOIN a$j USING (id)").mkString(" ")
+    s"""v AS (SELECT vec_id AS id, $vCols FROM embeddings),
+       |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, $kCols
+       |  FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < ${7 * k}),
+       |dmat AS (SELECT v.id, cb.c,
+       |  $dCols
+       |  FROM v CROSS JOIN cb),
+       |$argmins,
+       |codes AS (SELECT a0.id, ${(0 until m).map(j => s"c$j")
+        .mkString(", ")} FROM a0 $joins)""".stripMargin
+  }
+
+  /** q143: PQ codes from id-striped sampled codebooks (row c = vec_id
+    * 7·c; subspace j takes its slice) — per-subspace argmin, ties →
+    * lowest code, exactly NearestCentroid's strict-< rule. */
+  def pqCodes(m: Int, k: Int): String =
+    s"""WITH ${pqCtes(m, k)}
+       |SELECT id, ${(0 until m).map(j => s"CAST(c$j AS BIGINT) AS c$j")
+        .mkString(", ")}
+       |FROM codes ORDER BY id""".stripMargin
+
+  /** q144: ADC top-k — per-subspace L2 of the full-precision query
+    * against each doc's CODE centroid, summed j-ascending (left-assoc,
+    * the Spark fold's order), ranked ascending with ties by id. */
+  def pqAdc(m: Int, k: Int, kNN: Int): String = {
+    val d = Tables.embDims
+    val sub = d / m
+    val kJoins = (0 until m)
+      .map(j => s"JOIN cb k$j ON k$j.c = codes.c$j").mkString(" ")
+    val adc = (0 until m)
+      .map(j => s"(${l2Range("q", s"k$j", j * sub, (j + 1) * sub)})")
+      .mkString(" + ")
+    s"""WITH ${pqCtes(m, k)},
+       |q AS (SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}
+       |  FROM embeddings WHERE ${Tables.embQueryPredSql}),
+       |adc AS (SELECT q.query_id, codes.id, $adc AS dist
+       |  FROM q CROSS JOIN codes $kJoins),
+       |ranked AS (SELECT query_id, id AS neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist ASC, id ASC) AS rnk FROM adc)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id
+       |FROM ranked WHERE rnk <= $kNN ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Two-stage MaxSim (q133): stage 1 ranks docs per query by cosine on
     * mean-POOLED bag vectors (per-dim fold in token order, one exact
     * division — MaxSim.pooled's contract) and keeps `candidates`; stage 2

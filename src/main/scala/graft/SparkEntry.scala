@@ -751,6 +751,35 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  private[graft] val PqM = 4
+  private[graft] val PqK = 8
+
+  /** PQ codebooks from id-striped embedding rows (vec_id = 7·c, c < 8) —
+    * the q06 sampled-centroid pattern, oracle-rederivable; the TRAINED
+    * path (Pq.trainLloyd ∘ certified Lloyd) is spec-certified. */
+  private def pqParams(s: SparkSession, dir: String): Pq.Params =
+    memoized[Pq.Params]("pq_params", dir) {
+      val rows = embVectors(s, dir)
+        .filter(col("id") % 7 === 0 && col("id") < 7 * PqK)
+        .orderBy("id").collect()
+        .map(_.getAs[Seq[Double]]("vec").toArray).toSeq
+      Pq.paramsFromRows(rows, PqM, PqK, Tables.embDims)
+    }
+
+  /** q143: product-quantization codes — m codegen'd subspace argmins
+    * next to the scan, 4 bytes of codes per 64-d vector here. */
+  private def pqCodesQ(s: SparkSession, dir: String): DataFrame =
+    Pq.encode(embVectors(s, dir), pqParams(s, dir)).orderBy("id")
+
+  /** q144: asymmetric-distance (ADC) top-k over the PQ codes — the
+    * query-side LUT is one literal-codebook expression per query; the
+    * scan side reads codes only, never full-precision vectors. */
+  private def pqAdcQ(s: SparkSession, dir: String): DataFrame =
+    Pq.searchAdc(embQueries(s, dir),
+        Pq.encode(embVectors(s, dir), pqParams(s, dir)),
+        pqParams(s, dir), K)
+      .orderBy("query_id", "rnk")
+
   /** q97: Gopher-style repetition quality filters — duplicate-token /
     * duplicate-2-gram milli-fractions + top-2-gram count per doc. */
   private def repetitionQ(s: SparkSession, dir: String): DataFrame =
@@ -2270,6 +2299,8 @@ object SparkEntry {
     "q140_bpe_encode" -> (bpeEncodeQ _),
     "q141_proximity_search" -> (proximitySearchQ _),
     "q142_sql_text" -> (sqlTextQ _),
+    "q143_pq_codes" -> (pqCodesQ _),
+    "q144_pq_adc" -> (pqAdcQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2574,5 +2605,9 @@ object SparkEntry {
       OracleGenText.proximitySearch("dup", "batch", ProxSlop),
     // q142: SQL surface ≡ the q13/q14/q15 arithmetic in one relation.
     "q142_sql_text" -> OracleGenText.sqlTextCombo,
+    // q143/q144: product quantization — exact integer codes, then ADC
+    // ranks from j-ordered exact subspace-L2 sums.
+    "q143_pq_codes" -> OracleGen.pqCodes(PqM, PqK),
+    "q144_pq_adc" -> OracleGen.pqAdc(PqM, PqK, K),
   )
 }
