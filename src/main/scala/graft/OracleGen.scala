@@ -262,6 +262,96 @@ object OracleGen {
         .mkString(", ")} FROM a0 $joins)""".stripMargin
   }
 
+  /** IVFADC CTEs: coarse centroids = embeddings rows vec_id % 100 = 0
+    * (cluster_id = vec_id, ties → lowest id like NearestCentroid),
+    * residual r_i = v_i − centroid_i, per-subspace argmin over the
+    * sampled codebooks. Ends in `rcodes(cluster_id, id, c0..)`. */
+  private def ivfPqCtes(m: Int, k: Int): String = {
+    val d = Tables.embDims
+    val sub = d / m
+    val vCols = dimCols("v", embDimExprs)
+    val cCols = (1 to d).map(i =>
+      s"CAST(embedding[$i] AS DOUBLE) AS c${i - 1}").mkString(", ")
+    val kCols = (1 to d).map(i =>
+      s"CAST(embedding[$i] AS DOUBLE) AS k${i - 1}").mkString(", ")
+    val dFull = (0 until d)
+      .map(i => s"(v.v$i-ct.c$i)*(v.v$i-ct.c$i)").mkString(" + ")
+    val rCols = (0 until d)
+      .map(i => s"v.v$i - ct.c$i AS r$i").mkString(", ")
+    val dSub = (0 until m).map { j =>
+      (j * sub until (j + 1) * sub).map(i =>
+        s"(res.r$i-cb.k$i)*(res.r$i-cb.k$i)")
+        .mkString("", " + ", s" AS d$j")
+    }.mkString(",\n  ")
+    val argmins = (0 until m).map { j =>
+      s"""ra$j AS (SELECT id, c AS c$j FROM (
+         |  SELECT id, c, row_number() OVER (PARTITION BY id
+         |    ORDER BY d$j ASC, c ASC) AS rn FROM rdmat) x
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""v AS (SELECT vec_id AS id, $vCols FROM embeddings),
+       |ct AS (SELECT vec_id AS cid, $cCols FROM embeddings
+       |  WHERE vec_id % 100 = 0),
+       |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, $kCols
+       |  FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < ${7 * k}),
+       |dfull AS (SELECT v.id, ct.cid, $dFull AS d
+       |  FROM v CROSS JOIN ct),
+       |asg AS (SELECT id, cid AS cluster_id FROM (
+       |  SELECT id, cid, row_number() OVER (PARTITION BY id
+       |    ORDER BY d ASC, cid ASC) AS rn FROM dfull) x WHERE rn = 1),
+       |res AS (SELECT v.id, asg.cluster_id, $rCols
+       |  FROM v JOIN asg USING (id) JOIN ct ON ct.cid = asg.cluster_id),
+       |rdmat AS (SELECT res.id, cb.c,
+       |  $dSub
+       |  FROM res CROSS JOIN cb),
+       |$argmins,
+       |rcodes AS (SELECT res.cluster_id, res.id, ${(0 until m)
+        .map(j => s"c$j").mkString(", ")}
+       |  FROM res JOIN ra0 USING (id) ${(1 until m)
+        .map(j => s"JOIN ra$j USING (id)").mkString(" ")})""".stripMargin
+  }
+
+  /** q145: IVFADC residual codes (cluster_id, id, c0..). */
+  def ivfPqCodes(m: Int, k: Int): String =
+    s"""WITH ${ivfPqCtes(m, k)}
+       |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, id,
+       |  ${(0 until m).map(j => s"CAST(c$j AS BIGINT) AS c$j")
+        .mkString(", ")}
+       |FROM rcodes ORDER BY id""".stripMargin
+
+  /** q146: IVFADC search — probe the nProbes nearest coarse centroids
+    * (full-dim L2, ties by cid), then rank the probed clusters' code
+    * rows by Σ_j Σ_i ((q_i − c_i) − k_i)², ties by id. */
+  def ivfPqSearch(m: Int, k: Int, kNN: Int, nProbes: Int): String = {
+    val d = Tables.embDims
+    val sub = d / m
+    val qProbe = (0 until d)
+      .map(i => s"(q.q$i-ct.c$i)*(q.q$i-ct.c$i)").mkString(" + ")
+    val kJoins = (0 until m)
+      .map(j => s"JOIN cb k$j ON k$j.c = rcodes.c$j").mkString(" ")
+    val adc = (0 until m).map { j =>
+      "(" + (j * sub until (j + 1) * sub).map(i =>
+        s"((q.q$i-ct.c$i)-k$j.k$i)*((q.q$i-ct.c$i)-k$j.k$i)")
+        .mkString(" + ") + ")"
+    }.mkString(" + ")
+    s"""WITH ${ivfPqCtes(m, k)},
+       |q AS (SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}
+       |  FROM embeddings WHERE ${Tables.embQueryPredSql}),
+       |probes AS (SELECT query_id, cid FROM (
+       |  SELECT q.query_id, ct.cid, row_number() OVER (
+       |    PARTITION BY q.query_id ORDER BY $qProbe ASC, ct.cid ASC)
+       |    AS rn FROM q CROSS JOIN ct) x WHERE rn <= $nProbes),
+       |adc AS (SELECT q.query_id, rcodes.id, $adc AS dist
+       |  FROM q JOIN probes ON probes.query_id = q.query_id
+       |  JOIN rcodes ON rcodes.cluster_id = probes.cid
+       |  JOIN ct ON ct.cid = probes.cid $kJoins),
+       |ranked AS (SELECT query_id, id AS neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist ASC, id ASC) AS rnk FROM adc)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id
+       |FROM ranked WHERE rnk <= $kNN ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** q143: PQ codes from id-striped sampled codebooks (row c = vec_id
     * 7·c; subspace j takes its slice) — per-subspace argmin, ties →
     * lowest code, exactly NearestCentroid's strict-< rule. */

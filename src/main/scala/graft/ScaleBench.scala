@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.core.Metric
-import graft.operators.{FlatKnn, IvfIndex, KMeans, LeanVec, MaxSim}
+import graft.operators.{FlatKnn, IvfIndex, KMeans, LeanVec, MaxSim, Pq}
 import graft.sources.SyntheticData
 
 /** Scale probe beyond the driver's sf0.1: 1M × 64-d vectors (→ 100M
@@ -272,6 +272,27 @@ object ScaleBench {
         s""""exhaustive_sec":$tMsExact,"two_stage_sec":$tMsTwo,""" +
         s""""two_stage_candidates":256,"two_stage_recall":$msRecall}""")
       msExact.unpersist(); msTwo.unpersist(); msQueries.unpersist()
+    }
+
+    // PQ/ADC at 1M: codes-only probe scans (m=8 × k=16 over 64 dims —
+    // 8 bytes of codes per vector; larger k moves LUT construction to a
+    // kernel, the array-expression form here is the certified shape)
+    {
+      val pqP = Pq.trainLloyd(data, m = 8, k = 16, dims, iters = 2)
+      val (pqCodes, tPqEnc) = time {
+        val c = Pq.encode(data, pqP).cache(); c.count(); c
+      }
+      val (_, tPqAdc) = time {
+        Pq.searchAdc(queries, pqCodes, pqP, k).count()
+      }
+      val pqRes = Pq.searchAdc(queries, pqCodes, pqP, k)
+        .select("query_id", "neighbor_id")
+      val pqRecall = pqRes.intersect(truth).count().toDouble /
+        (k.toLong * nq)
+      println(s"""{"experiment":"pq_probe","n":$n,"dims":$dims,""" +
+        s""""m":8,"k_cents":16,"encode_sec":$tPqEnc,""" +
+        s""""adc_search_sec":$tPqAdc,"adc_recall":$pqRecall}""")
+      pqCodes.unpersist()
     }
 
     // Worst-case hot-shard probe (opt-in: SPARK_GRAFT_SCALE_ONESHARD=1):

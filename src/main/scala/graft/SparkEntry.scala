@@ -780,6 +780,38 @@ object SparkEntry {
         pqParams(s, dir), K)
       .orderBy("query_id", "rnk")
 
+  private[graft] val IvfPqProbes = 3
+
+  /** Coarse IVFADC centroids: id-striped embedding rows (vec_id % 100),
+    * cluster_id = row id — oracle-rederivable. */
+  private def ivfPqCents(s: SparkSession, dir: String)
+      : Seq[(Long, Seq[Double])] =
+    memoized[Seq[(Long, Seq[Double])]]("ivfpq_cents", dir) {
+      embVectors(s, dir).filter(col("id") % 100 === 0).orderBy("id")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    }
+
+  /** q145: IVFADC residual codes — quantize vec − coarse-centroid per
+    * cluster (the TPAMI'11 §IV composition); codes keep cluster_id so
+    * the table stores cluster-partitioned like the IVF layout. */
+  private def ivfPqCodesQ(s: SparkSession, dir: String): DataFrame = {
+    val cents = ivfPqCents(s, dir)
+    Pq.encodeResiduals(KMeans.assign(embVectors(s, dir), cents), cents,
+        pqParams(s, dir))
+      .orderBy("id")
+  }
+
+  /** q146: IVFADC search — probe 3/5 coarse clusters per query, rank by
+    * the residual-LUT sum over probed clusters' codes only. */
+  private def ivfPqSearchQ(s: SparkSession, dir: String): DataFrame = {
+    val cents = ivfPqCents(s, dir)
+    val coded = Pq.encodeResiduals(
+      KMeans.assign(embVectors(s, dir), cents), cents, pqParams(s, dir))
+    Pq.searchIvfAdc(embQueries(s, dir), coded, cents, pqParams(s, dir),
+        K, IvfPqProbes)
+      .orderBy("query_id", "rnk")
+  }
+
   /** q97: Gopher-style repetition quality filters — duplicate-token /
     * duplicate-2-gram milli-fractions + top-2-gram count per doc. */
   private def repetitionQ(s: SparkSession, dir: String): DataFrame =
@@ -2301,6 +2333,8 @@ object SparkEntry {
     "q142_sql_text" -> (sqlTextQ _),
     "q143_pq_codes" -> (pqCodesQ _),
     "q144_pq_adc" -> (pqAdcQ _),
+    "q145_ivfpq_codes" -> (ivfPqCodesQ _),
+    "q146_ivfpq_search" -> (ivfPqSearchQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2609,5 +2643,9 @@ object SparkEntry {
     // ranks from j-ordered exact subspace-L2 sums.
     "q143_pq_codes" -> OracleGen.pqCodes(PqM, PqK),
     "q144_pq_adc" -> OracleGen.pqAdc(PqM, PqK, K),
+    // q145/q146: IVFADC — residual codes per coarse cluster, probe-
+    // pruned residual-LUT ranking; exact integer codes + exact sums.
+    "q145_ivfpq_codes" -> OracleGen.ivfPqCodes(PqM, PqK),
+    "q146_ivfpq_search" -> OracleGen.ivfPqSearch(PqM, PqK, K, IvfPqProbes),
   )
 }

@@ -97,6 +97,74 @@ object Pq {
       metric.column(slice(qvec, j * p.subDim + 1, p.subDim),
         typedlit(p.codebooks(j)(c).toSeq))): _*)
 
+  /** Residual PQ codes for a CLUSTERED table — the encode half of IVFADC
+    * (Jégou et al. TPAMI'11 §IV: quantize `vec − centroid(cluster)`, not
+    * the raw vector; residual energy is what the coarse quantizer left,
+    * so the same codebook budget buys far less distortion). One broadcast
+    * centroid join + m codegen'd argmins; output keeps cluster_id so the
+    * codes table stores cluster-partitioned exactly like the IVF layout. */
+  def encodeResiduals(clustered: DataFrame, cents: Seq[(Long, Seq[Double])],
+      p: Params, idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val spark = clustered.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(cents.toDF("cluster_id", "cvec"))
+    val residual = zip_with(col(vecCol), col("cvec"), (a, b) => a - b)
+    clustered.join(cdf, Seq("cluster_id"))
+      .select(col("cluster_id") +: col(idCol) +:
+        codeColumns(residual, p).zipWithIndex.map {
+          case (c, j) => c.as(s"c$j") }: _*)
+  }
+
+  /** IVFADC search: probe the `nProbes` nearest coarse centroids per
+    * query (exact full-dim L2, ties by centroid id), build the per-
+    * (query, probed-cluster) LUT from the RESIDUAL query q − centroid
+    * driver-side (|Q|·nProbes·m·k doubles — broadcast-tiny), and rank by
+    * the j-ordered LUT sum over the probed clusters' code rows only —
+    * with a cluster-partitioned codes table the scan prunes to the
+    * probed partitions and never touches full-precision vectors. L2 only
+    * (the residual decomposition is an L2 identity). */
+  def searchIvfAdc(queries: DataFrame, coded: DataFrame,
+      cents: Seq[(Long, Seq[Double])], p: Params, k: Int, nProbes: Int)
+      : DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centArr = cents.map { case (cid, cv) => (cid, cv.toArray) }
+    val qs = queries
+      .select(col("query_id").cast("long"), col("qvec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probeRows = qs.toSeq.flatMap { case (qid, q) =>
+      centArr
+        .map { case (cid, cv) => (cid, cv, Metric.L2.compute(q, cv)) }
+        .sortBy { case (cid, _, d) => (d, cid) }
+        .take(nProbes)
+        .map { case (cid, cv, _) =>
+          val res = Array.tabulate(p.dims)(i => q(i) - cv(i))
+          val lut = Array.tabulate(p.m * p.k) { idx =>
+            val j = idx / p.k
+            Metric.L2.compute(
+              java.util.Arrays.copyOfRange(res, j * p.subDim,
+                (j + 1) * p.subDim),
+              p.codebooks(j)(idx % p.k))
+          }
+          (qid, cid, lut.toSeq)
+        }
+    }
+    val probed = probeRows.map(_._2).distinct
+    val probeDf = broadcast(probeRows.toDF("query_id", "cluster_id", "lut"))
+    val codeArr = array((0 until p.m).map(j => col(s"c$j")): _*)
+    val pairs = coded
+      .filter(col("cluster_id").isin(probed: _*))
+      .join(probeDf, Seq("cluster_id"))
+      .select(col("query_id"), col("id"),
+        aggregate(sequence(lit(0), lit(p.m - 1)), lit(0.0),
+          (acc, j) => acc + element_at(col("lut"),
+            (j * p.k + element_at(codeArr, j + 1) + 1).cast("int")))
+          .as("dist"))
+    TopK.perKeyViaWindow(pairs, Seq("query_id"), col("id"), col("dist"),
+        k, ascending = true)
+      .select("query_id", "rnk", "neighbor_id")
+  }
+
   /** ADC top-k: `queries` is (query_id, qvec) full precision, `codes` is
     * [[encode]]'s output; returns (query_id, rnk, neighbor_id) ranked by
     * the j-ordered LUT sum (ascending for distances), ties by id. */

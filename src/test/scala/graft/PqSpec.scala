@@ -8,6 +8,7 @@ import graft.operators.Pq
   * ADC ranks = brute-force LUT reference, and the trained-Lloyd path
   * strictly reduces quantization distortion vs sampled codebooks. */
 class PqSpec extends SparkSpec {
+  import spark.implicits._
 
   private val M = 4
   private val K = 8
@@ -63,6 +64,87 @@ class PqSpec extends SparkSpec {
       }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
       assert(byQ(qid).sortBy(_._2).map(_._3).toSeq === adc, s"q$qid")
     }
+  }
+
+  test("IVFADC: residual codes match a driver reference; full-probe " +
+      "search ≡ brute force; residual beats raw-ADC recall") {
+    val p = sampledParams()
+    val cents = vecs().filter(col("id") % 100 === 0).orderBy("id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    val centArr = cents.map { case (cid, cv) => (cid, cv.toArray) }
+    val data = vecs().collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def assignOf(v: Array[Double]): (Long, Array[Double]) = {
+      val (cid, cv) = centArr.minBy { case (cid, cv) =>
+        (Metric.L2.compute(v, cv), cid) }
+      (cid, Array.tabulate(v.length)(i => v(i) - cv(i)))
+    }
+    val coded = graft.operators.Pq.encodeResiduals(
+      graft.operators.KMeans.assign(vecs(), cents), cents, p)
+    coded.collect().foreach { r =>
+      val id = r.getLong(1)
+      val (cid, res) = assignOf(data(id))
+      assert(r.getLong(0) === cid, s"id $id cluster")
+      assert((2 to 1 + M).map(r.getLong).map(_.toInt).toSeq ===
+        refCode(res, p).toSeq, s"id $id codes")
+    }
+    // full-probe IVFADC = brute force over residual LUT distances
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    val got = graft.operators.Pq.searchIvfAdc(queries, coded, cents, p,
+        10, nProbes = cents.size)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val qs = queries.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    var adcHits = 0; var ivfHits = 0
+    val exact = qs.map { case (qid, q) =>
+      qid -> data.toSeq.map { case (id, v) =>
+        (id, Metric.L2.compute(q, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    }.toMap
+    qs.foreach { case (qid, q) =>
+      val ref = data.toSeq.map { case (id, v) =>
+        val (cid, res) = assignOf(v)
+        val cv = centArr.find(_._1 == cid).get._2
+        val qres = Array.tabulate(q.length)(i => q(i) - cv(i))
+        val codes = refCode(res, p)
+        val dist = (0 until p.m).foldLeft(0.0) { (acc, j) =>
+          acc + Metric.L2.compute(
+            qres.slice(j * p.subDim, (j + 1) * p.subDim),
+            p.codebooks(j)(codes(j)))
+        }
+        (id, dist)
+      }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+      assert(got(qid).sortBy(_._2).map(_._3).toSeq === ref, s"q$qid")
+      ivfHits += ref.count(exact(qid))
+    }
+    // Recall comparison needs codebooks trained on their OWN input
+    // distribution (with RAW-trained sampled codebooks, residual ADC
+    // measured 16 vs 21 hits here — the codebook/input mismatch, which
+    // is exactly why IVFADC trains on residuals). Same budget, each
+    // path trained on what it quantizes:
+    val rawTrained = graft.operators.Pq.trainLloyd(vecs(), M, K, dims, 3)
+    val rawTop = graft.operators.Pq.searchAdc(queries,
+        graft.operators.Pq.encode(vecs(), rawTrained), rawTrained, 10)
+      .collect().groupBy(_.getLong(0))
+    qs.foreach { case (qid, _) =>
+      adcHits += rawTop(qid).map(_.getLong(2)).count(exact(qid)) }
+    val residFrame = graft.operators.KMeans.assign(vecs(), cents)
+      .join(broadcast(cents.toDF("cluster_id", "cvec")), Seq("cluster_id"))
+      .select(col("id"),
+        zip_with(col("vec"), col("cvec"), (a, b) => a - b).as("vec"))
+    val resTrained = graft.operators.Pq.trainLloyd(residFrame, M, K,
+      dims, 3)
+    val codedT = graft.operators.Pq.encodeResiduals(
+      graft.operators.KMeans.assign(vecs(), cents), cents, resTrained)
+    val ivfTop = graft.operators.Pq.searchIvfAdc(queries, codedT, cents,
+        resTrained, 10, nProbes = cents.size)
+      .collect().groupBy(_.getLong(0))
+    var ivfTrainedHits = 0
+    qs.foreach { case (qid, _) =>
+      ivfTrainedHits += ivfTop(qid).map(_.getLong(2)).count(exact(qid)) }
+    assert(ivfTrainedHits >= adcHits,
+      s"residual-trained recall $ivfTrainedHits < raw-trained $adcHits")
   }
 
   test("trained-Lloyd codebooks reduce distortion vs sampled rows") {
