@@ -151,19 +151,26 @@ object Pq {
     }
     val probed = probeRows.map(_._2).distinct
     val probeDf = broadcast(probeRows.toDF("query_id", "cluster_id", "lut"))
-    val codeArr = array((0 until p.m).map(j => col(s"c$j")): _*)
     val pairs = coded
       .filter(col("cluster_id").isin(probed: _*))
       .join(probeDf, Seq("cluster_id"))
       .select(col("query_id"), col("id"),
-        aggregate(sequence(lit(0), lit(p.m - 1)), lit(0.0),
-          (acc, j) => acc + element_at(col("lut"),
-            (j * p.k + element_at(codeArr, j + 1) + 1).cast("int")))
-          .as("dist"))
+        adcDistColumn(p).as("dist"))
     TopK.perKeyViaWindow(pairs, Seq("query_id"), col("id"), col("dist"),
         k, ascending = true)
       .select("query_id", "rnk", "neighbor_id")
   }
+
+  /** The j-ordered LUT sum UNROLLED over the m code columns — every term
+    * a plain codegen'd `element_at`, no higher-order fold (Catalyst
+    * evaluates lambda functions interpreted; the rolled `aggregate` form
+    * measured 45 s vs ~3 s for 100×1M ADC pairs — the same lesson as the
+    * Bloom probe kernel). t0 + t1 + … ≡ the certified fold's
+    * 0.0 + t0 + t1 + … bit-for-bit (adding 0.0 is exact). */
+  private def adcDistColumn(p: Params): Column =
+    (0 until p.m).map { j =>
+      element_at(col("lut"), (lit(j * p.k + 1) + col(s"c$j")).cast("int"))
+    }.reduce(_ + _)
 
   /** ADC top-k: `queries` is (query_id, qvec) full precision, `codes` is
     * [[encode]]'s output; returns (query_id, rnk, neighbor_id) ranked by
@@ -172,13 +179,8 @@ object Pq {
       metric: Metric = Metric.L2): DataFrame = {
     val q = broadcast(queries.select(col("query_id"),
       lutColumn(col("qvec"), p, metric).as("lut")))
-    val codeArr = array((0 until p.m).map(j => col(s"c$j")): _*)
     val pairs = q.crossJoin(codes)
-      .select(col("query_id"), col("id"),
-        aggregate(sequence(lit(0), lit(p.m - 1)), lit(0.0),
-          (acc, j) => acc + element_at(col("lut"),
-            (j * p.k + element_at(codeArr, j + 1) + 1).cast("int")))
-          .as("dist"))
+      .select(col("query_id"), col("id"), adcDistColumn(p).as("dist"))
     TopK.perKeyViaWindow(pairs, Seq("query_id"), col("id"), col("dist"),
         k, metric.ascending)
       .select("query_id", "rnk", "neighbor_id")
