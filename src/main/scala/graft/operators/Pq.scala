@@ -156,7 +156,7 @@ object Pq {
       .join(probeDf, Seq("cluster_id"))
       .select(col("query_id"), col("id"),
         adcDistColumn(p).as("dist"))
-    TopK.perKeyViaWindow(pairs, Seq("query_id"), col("id"), col("dist"),
+    TopK.perKey(pairs, Seq("query_id"), col("id"), col("dist"),
         k, ascending = true)
       .select("query_id", "rnk", "neighbor_id")
   }
@@ -181,7 +181,7 @@ object Pq {
       lutColumn(col("qvec"), p, metric).as("lut")))
     val pairs = q.crossJoin(codes)
       .select(col("query_id"), col("id"), adcDistColumn(p).as("dist"))
-    TopK.perKeyViaWindow(pairs, Seq("query_id"), col("id"), col("dist"),
+    TopK.perKey(pairs, Seq("query_id"), col("id"), col("dist"),
         k, metric.ascending)
       .select("query_id", "rnk", "neighbor_id")
   }
