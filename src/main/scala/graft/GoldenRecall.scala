@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Metric
-import graft.operators.{FlatKnn, Inverted, LeanVec, MaxSim, Vamana, VamanaKernel}
+import graft.operators.{FlatKnn, Inverted, LeanVec, MaxSim, Pq, Vamana, VamanaKernel}
 import graft.operators.VamanaKernel.BuildParams
 import graft.sources.SyntheticData
 
@@ -231,6 +231,60 @@ object GoldenRecall {
     plain ++ ood ++ pcaAug
   }
 
+  /** PQ families, recall judged against the UNCOMPRESSED exact truth (the
+    * compressed-golden shape, like ivf_lvq):
+    *  - `pq_adc`: flat ADC recall per subspace count m — the compression
+    *    dial (128-d float64 → m bytes/vector at 16-centroid codebooks);
+    *  - `pq_walk`: DiskANN-style codes-only graph walk on the flagship
+    *    deg64/w128 build, recall per search window;
+    *  - `pq_walk_rerank`: the two-pass serving dial — exact rerank of the
+    *    walk's ADC top k_reorder·k, window = k_reorder·k. The rerank must
+    *    dominate the walk-only recall at equal windows (GoldenSpec pins
+    *    this in addition to the values). */
+  def pqGrid(data: DataFrame, queries: DataFrame, truth: DataFrame,
+             dims: Int, k: Int, nq: Int, ms: Seq[Int], kCode: Int,
+             kReorders: Seq[Int]): Seq[Row] = {
+    val m0 = ms.max
+    var pServe: Pq.Params = null
+    val adcRows = ms.map { m =>
+      val t0 = System.nanoTime()
+      val p = Pq.trainLloyd(data, m, kCode, dims, iters = 2)
+      if (m == m0) pServe = p
+      val codes = Pq.encode(data, p).cache()
+      codes.count()
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val res = Pq.searchAdc(queries, codes, p, k)
+      val row = Row("pq_adc", s"k$kCode", "m", m,
+        recallOf(res, truth, k, nq), buildSec)
+      codes.unpersist()
+      row
+    }
+    val clustered = data.withColumn("cluster_id", lit(0L))
+    val cents = Seq(0L -> Seq.fill(dims)(0.5))
+    val t0 = System.nanoTime()
+    val graph = Vamana.buildSingle(data,
+      BuildParams(maxDegree = 64, buildWindow = 128, alpha = 1.2),
+      Metric.L2).cache()
+    graph.count()
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val codes = Pq.encodeClustered(clustered, pServe).cache()
+    codes.count()
+    val walkRows = Seq(10, 20, 30, 40).map { w =>
+      val res = Vamana.searchShardedAdc(queries, codes, graph, cents,
+        pServe, k, searchWindow = w, nProbes = 1)
+      Row("pq_walk", s"deg64_w128_m$m0", "window", w,
+        recallOf(res, truth, k, nq), buildSec)
+    }
+    val rerankRows = kReorders.map { kr =>
+      val res = Vamana.searchShardedAdcRerank(queries, codes, graph, cents,
+        pServe, clustered, k, kr, searchWindow = kr * k, nProbes = 1)
+      Row("pq_walk_rerank", s"deg64_w128_m$m0", "k_reorder", kr,
+        recallOf(res, truth, k, nq), buildSec)
+    }
+    codes.unpersist(); graph.unpersist()
+    adcRows ++ walkRows ++ rerankRows
+  }
+
   /** MaxSim two-stage grid: recall@k of the pooled-prefilter +
     * exact-rerank path against EXHAUSTIVE MaxSim over 4-token bags of the
     * same dataset, per candidate width — the quality/cost dial of q133's
@@ -315,7 +369,9 @@ object GoldenRecall {
       leanvecGrid(data, queries, truth, k, nq, rDims = 32,
         kReorders = Seq(2, 4, 8, 16)) ++
       calibrationRows(data, queries, truth, dims, k, target = 0.85) ++
-      maxSimGrid(data, dims, k, cands = Seq(10, 20, 50, 100))
+      maxSimGrid(data, dims, k, cands = Seq(10, 20, 50, 100)) ++
+      pqGrid(data, queries, truth, dims, k, nq, ms = Seq(8, 16, 32),
+        kCode = 16, kReorders = Seq(1, 2, 4, 8))
 
     rows.foreach(r => println(rowJson(r)))
     val json = rows.map(rowJson).mkString(

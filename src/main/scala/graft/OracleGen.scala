@@ -384,6 +384,72 @@ object OracleGen {
        |FROM ranked WHERE rnk <= $kNN ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Shared CTEs for the DiskANN-style PQ-walk queries (q147/q148):
+    * label-shard probe routing exactly like vamanaShardedKnn (full-dim L2
+    * against rounded label centroids, ties by cid), candidates = probed
+    * shards' rows ranked by the q144 ADC sum over their PQ codes, ties by
+    * id. With a full search window the walk is exact over probed shards,
+    * so the oracle ranks directly. Ends in `adcr(query_id, neighbor_id,
+    * rnk)` over ALL probed rows (cut by the caller). */
+  private def pqWalkCtes(m: Int, k: Int, nProbes: Int): String = {
+    val d = Tables.embDims
+    val sub = d / m
+    val centAvgs = (0 until d).map(i => s"round(avg(v.v$i), 6) AS c$i")
+      .mkString(", ")
+    val kJoins = (0 until m)
+      .map(j => s"JOIN cb k$j ON k$j.c = codes.c$j").mkString(" ")
+    val adc = (0 until m)
+      .map(j => s"(${l2Range("q", s"k$j", j * sub, (j + 1) * sub)})")
+      .mkString(" + ")
+    s"""${pqCtes(m, k)},
+       |lab AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}
+       |  FROM embeddings WHERE ${Tables.embQueryPredSql}),
+       |cents AS (SELECT lab.label AS cid, $centAvgs
+       |  FROM v JOIN lab USING (id) GROUP BY lab.label),
+       |probes AS (SELECT query_id, cid FROM (
+       |  SELECT q.query_id, c.cid, row_number() OVER (
+       |    PARTITION BY q.query_id
+       |    ORDER BY ${l2.sqlExpr("q.q", "c.c", d)} ASC, c.cid ASC) AS rn
+       |  FROM q CROSS JOIN cents c) x WHERE rn <= $nProbes),
+       |adc AS (SELECT q.query_id, codes.id, $adc AS dist
+       |  FROM probes p
+       |  JOIN lab ON lab.label = p.cid
+       |  JOIN codes ON codes.id = lab.id
+       |  JOIN q ON q.query_id = p.query_id $kJoins),
+       |adcr AS (SELECT query_id, id AS neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist ASC, id ASC) AS rnk FROM adc)""".stripMargin
+  }
+
+  /** q147: PQ-compressed Vamana walk (codes-only ADC scoring over probed
+    * label shards, full window ⇒ exact). */
+  def pqWalk(m: Int, k: Int, kNN: Int, nProbes: Int): String =
+    s"""WITH ${pqWalkCtes(m, k, nProbes)}
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id
+       |FROM adcr WHERE rnk <= $kNN ORDER BY query_id, rnk""".stripMargin
+
+  /** q148: the two-pass DiskANN plan — exact full-dim L2 rerank of the
+    * ADC walk's top kReorder·kNN candidates, ties by id. */
+  def pqWalkRerank(m: Int, k: Int, kNN: Int, nProbes: Int, kReorder: Int)
+      : String = {
+    val d = Tables.embDims
+    s"""WITH ${pqWalkCtes(m, k, nProbes)},
+       |cand AS (SELECT query_id, neighbor_id FROM adcr
+       |  WHERE rnk <= ${kReorder * kNN}),
+       |exact AS (SELECT c.query_id, c.neighbor_id,
+       |    ${l2.sqlExpr("q.q", "v.v", d)} AS dist
+       |  FROM cand c
+       |  JOIN v ON v.id = c.neighbor_id
+       |  JOIN q ON q.query_id = c.query_id),
+       |rr AS (SELECT query_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist ASC, neighbor_id ASC) AS rnk FROM exact)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id
+       |FROM rr WHERE rnk <= $kNN ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Two-stage MaxSim (q133): stage 1 ranks docs per query by cosine on
     * mean-POOLED bag vectors (per-dim fold in token order, one exact
     * division — MaxSim.pooled's contract) and keeps `candidates`; stage 2
@@ -451,7 +517,11 @@ object OracleGen {
   /** Sharded-Vamana search with an exhaustive beam window ≡ exact top-k over
     * the nProbes label-shards nearest by (rounded) label-centroid distance —
     * the SQL-expressible form of q24_vamana_search. */
-  def vamanaShardedKnn(k: Int, nProbes: Int): String = {
+  /** `candPred` (over candidate alias `dt`) states q149's traverse-but-
+    * filter contract: with a full window the filtered walk equals exact
+    * kNN over probed shards WHERE the predicate holds. */
+  def vamanaShardedKnn(k: Int, nProbes: Int, candPred: String = "TRUE")
+      : String = {
     val d = Tables.embDims
     val centAvgs = (0 until d).map(i => s"round(avg(v$i), 6) AS c$i")
       .mkString(", ")
@@ -474,7 +544,8 @@ object OracleGen {
        |    ${l2.sqlExpr("q.q", "dt.v", d)} AS dist
        |  FROM probes p
        |  JOIN data dt ON dt.label = p.cid
-       |  JOIN q ON q.query_id = p.query_id),
+       |  JOIN q ON q.query_id = p.query_id
+       |  WHERE $candPred),
        |ranked AS (
        |  SELECT query_id, id AS neighbor_id,
        |    row_number() OVER (PARTITION BY query_id

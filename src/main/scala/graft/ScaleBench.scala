@@ -176,6 +176,41 @@ object ScaleBench {
       Vamana.searchSharded(queries, split, graph, splitCents, k,
         searchWindow = 64, nProbes = 8, Metric.L2).count() }
 
+    // PQ serving (q147/q148's path at 1M): codes-only walk over the SAME
+    // sharded graph — per-row walk state shrinks from d·8 = 512 bytes to
+    // m = 16 bytes of codes (32×) — then the two-pass rerank reads full
+    // precision for |Q|·kReorder·k rows only. Codebooks trained on the
+    // same 5% sample as the IVF centroids; codes persisted so the walk
+    // measures the stored-layout scan shape.
+    import graft.operators.Pq
+    val (pqP, tPqTrain) = time(
+      Pq.trainLloyd(data.sample(0.05, seed = 7), m = 16, k = 16, dims,
+        iters = 2))
+    val pathPq = "/tmp/graft_scale_pq_codes"
+    val (_, tPqEncode) = time {
+      Pq.encodeClustered(split, pqP).write.mode("overwrite").parquet(pathPq) }
+    val pqCodes = spark.read.parquet(pathPq)
+    pqCodes.count()
+    val truthPq = FlatKnn.search(queries, data, k, Metric.L2)
+      .select("query_id", "neighbor_id").cache()
+    truthPq.count()
+    def recallPq(res: org.apache.spark.sql.DataFrame): Double =
+      res.select("query_id", "neighbor_id").intersect(truthPq).count()
+        .toDouble / (k.toLong * nq)
+    val (rPqWalk, tPqWalk) = time {
+      recallPq(Vamana.searchShardedAdc(queries, pqCodes, graph, splitCents,
+        pqP, k, searchWindow = 64, nProbes = 8)) }
+    val (rPqRerank, tPqRerank) = time {
+      recallPq(Vamana.searchShardedAdcRerank(queries, pqCodes, graph,
+        splitCents, pqP, split, k, kReorder = 8, searchWindow = 80,
+        nProbes = 8)) }
+    truthPq.unpersist()
+    println(s"""{"experiment":"scale_bench_pq","n":$n,"dims":$dims,""" +
+      s""""pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEncode,""" +
+      s""""pq_walk_sec":$tPqWalk,"pq_walk_recall":$rPqWalk,""" +
+      s""""pq_rerank_sec":$tPqRerank,"pq_rerank_recall":$rPqRerank,""" +
+      s""""vamana_search_sec":$tVamana}""")
+
     println(s"""{"experiment":"scale_bench","n":$n,"dims":$dims,"nq":$nq,""" +
       s""""count_sec":$warm,"flat_knn_sec":$tFlat,""" +
       s""""flat_knn_f32_sec":$tFlat32,"flat_knn_ff_sec":$tFlatFF,""" +

@@ -812,6 +812,112 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** q149: predicate-filtered Vamana search — the reference's deleted-slot
+    * search semantics (dynamic_index.h:617-629) generalized to any boolean
+    * predicate: filtered rows are TRAVERSED (connectivity through them is
+    * preserved) but never emitted; each shard walk keeps taking beam
+    * entries past them until k kept rows emerge. Full window ⇒ exact
+    * "kNN over probed shards WHERE id % 3 ≠ 1", which the oracle states
+    * directly. */
+  private def vamanaFilteredQ(s: SparkSession, dir: String): DataFrame =
+    Vamana.searchShardedFiltered(embQueries(s, dir),
+        embLabelClustered(s, dir), embGraph(s, dir),
+        embLabelCentroids(s, dir), K, searchWindow = 1 << 14,
+        nProbes = VamanaProbes, Metric.L2, keep = col("id") % 3 =!= 1)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+
+  private[graft] val PqWalkReorder = 4
+
+  /** q147: DiskANN-style PQ-compressed Vamana serving (Subramanya et al.
+    * NeurIPS'19) — the walk input is `codes ⋈ graph` only (4 bytes of PQ
+    * codes per row instead of the 512-byte vector); candidates are scored
+    * by the q144 ADC sum via a per-(query, shard) LUT. Full window over
+    * the q24-certified sharded graph ⇒ exact ADC ranking over the probed
+    * shards, which the oracle expresses directly. */
+  private def pqWalkQ(s: SparkSession, dir: String): DataFrame = {
+    val clustered = embLabelClustered(s, dir)
+    val codes = Pq.encodeClustered(clustered, pqParams(s, dir))
+    Vamana.searchShardedAdc(embQueries(s, dir), codes, embGraph(s, dir),
+        embLabelCentroids(s, dir), pqParams(s, dir), K,
+        searchWindow = 1 << 14, nProbes = VamanaProbes, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** q148: the full two-pass DiskANN plan — ADC walk keeps kReorder·k
+    * candidates, then ONE broadcast join reads the full-precision vectors
+    * for exactly those |Q|·kReorder·k rows and reranks with exact L2.
+    * Full-precision reads independent of corpus size — the PQ-in-RAM /
+    * vectors-on-disk serving property. */
+  private def pqWalkRerankQ(s: SparkSession, dir: String): DataFrame = {
+    val clustered = embLabelClustered(s, dir)
+    val codes = Pq.encodeClustered(clustered, pqParams(s, dir))
+    Vamana.searchShardedAdcRerank(embQueries(s, dir), codes,
+        embGraph(s, dir), embLabelCentroids(s, dir), pqParams(s, dir),
+        clustered, K, PqWalkReorder, searchWindow = 1 << 14,
+        nProbes = VamanaProbes)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Persisted sharded-Vamana index shared by q150/q151 (the reference's
+    * three-directory Vamana save, index/vamana/index.h:788-802, as a
+    * cluster-partitioned parquet layout with PQ codes + codebook sidecar). */
+  private def storedGraphLayout(s: SparkSession, dir: String)
+      : graft.operators.GraphLayout.Layout =
+    memoized[graft.operators.GraphLayout.Layout]("graph_layout", dir) {
+      val path = "/tmp/graft_q150_graph_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      graft.operators.GraphLayout.write(embLabelClustered(s, dir),
+        embGraph(s, dir), embLabelCentroids(s, dir), path,
+        pq = Some(pqParams(s, dir)))
+      graft.operators.GraphLayout.open(s, path)
+    }
+
+  /** q150: the SERVED graph index — probe-and-walk from the persisted
+    * layout, reading only the probed shards' graph+data partitions; must
+    * be bit-identical to q24's in-memory search (same oracle). */
+  private def vamanaStoredQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphLayout.search(storedGraphLayout(s, dir),
+        embQueries(s, dir), K, searchWindow = 1 << 14,
+        nProbes = VamanaProbes, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+
+  /** q151: DiskANN serving from the store — codes-only walk over the
+    * persisted codes+graph partitions, exact rerank touching only the
+    * |Q|·kReorder·k candidate rows of data; ≡ q148 (same oracle), with
+    * codebooks round-tripped through the sidecar bit-exactly. */
+  private def pqWalkStoredQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphLayout.searchAdc(storedGraphLayout(s, dir),
+        embQueries(s, dir), K, searchWindow = 1 << 14,
+        nProbes = VamanaProbes, kReorder = PqWalkReorder)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+
+  /** q152: incremental maintenance of the PERSISTED graph index — q51's
+    * add/delete batch applied to a fresh store via `GraphLayout.upsert`:
+    * touched shards rebuilt and ONLY their `cluster_id=` partitions
+    * rewritten (dynamic partition overwrite), touched centroids
+    * re-derived; the served full-window search over the upserted store
+    * must equal exact kNN over the merged corpus — q51's oracle. */
+  private def graphUpsertQ(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_q152_graph_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    graft.operators.GraphLayout.write(embLabelClustered(s, dir),
+      embGraph(s, dir), embLabelCentroids(s, dir), path)
+    val added = embVectors(s, dir).filter(col("id") % 10 === 4)
+      .select((col("id") + UpdOffset).as("id"), col("vec"),
+        col("label").cast("long").as("cluster_id"))
+    val deleted = embVectors(s, dir).filter(col("id") % 13 === 5).select("id")
+    val upserted = graft.operators.GraphLayout.upsert(s, path, added,
+      deleted, VamanaParams, Metric.L2)
+    graft.operators.GraphLayout.search(upserted, embQueries(s, dir), K,
+        searchWindow = 1 << 14, nProbes = VamanaProbes, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   /** q97: Gopher-style repetition quality filters — duplicate-token /
     * duplicate-2-gram milli-fractions + top-2-gram count per doc. */
   private def repetitionQ(s: SparkSession, dir: String): DataFrame =
@@ -2335,6 +2441,12 @@ object SparkEntry {
     "q144_pq_adc" -> (pqAdcQ _),
     "q145_ivfpq_codes" -> (ivfPqCodesQ _),
     "q146_ivfpq_search" -> (ivfPqSearchQ _),
+    "q147_pq_walk" -> (pqWalkQ _),
+    "q148_pq_walk_rerank" -> (pqWalkRerankQ _),
+    "q149_vamana_filtered" -> (vamanaFilteredQ _),
+    "q150_vamana_stored" -> (vamanaStoredQ _),
+    "q151_pq_walk_stored" -> (pqWalkStoredQ _),
+    "q152_graph_upsert" -> (graphUpsertQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2647,5 +2759,16 @@ object SparkEntry {
     // pruned residual-LUT ranking; exact integer codes + exact sums.
     "q145_ivfpq_codes" -> OracleGen.ivfPqCodes(PqM, PqK),
     "q146_ivfpq_search" -> OracleGen.ivfPqSearch(PqM, PqK, K, IvfPqProbes),
+    "q147_pq_walk" -> OracleGen.pqWalk(PqM, PqK, K, VamanaProbes),
+    "q148_pq_walk_rerank" ->
+      OracleGen.pqWalkRerank(PqM, PqK, K, VamanaProbes, PqWalkReorder),
+    "q149_vamana_filtered" ->
+      OracleGen.vamanaShardedKnn(K, VamanaProbes, "(dt.id % 3) <> 1"),
+    // served paths: bit-identical to their scan twins ⇒ same oracles
+    "q150_vamana_stored" -> OracleGen.vamanaShardedKnn(K, VamanaProbes),
+    "q151_pq_walk_stored" ->
+      OracleGen.pqWalkRerank(PqM, PqK, K, VamanaProbes, PqWalkReorder),
+    "q152_graph_upsert" -> OracleGen.updateShardsKnn(K, VamanaProbes,
+      UpdOffset, "vec_id % 10 = 4", "vec_id % 13 = 5"),
   )
 }

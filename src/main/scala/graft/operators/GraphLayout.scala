@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Metric
+
+/** Persisted sharded-Vamana index directory — the graph analog of
+  * [[IndexLayout]] (IVF layouts) and `TextIndex.buildIndex` (text), and the
+  * Spark equivalent of the reference's three-directory Vamana save
+  * (index/vamana/index.h:788-802: config TOML + graph blob + data blob,
+  * loaded back by `SvsIndexDir` for the reference fixtures):
+  *
+  *   path/data      — (id, vec) cluster-partitioned parquet
+  *   path/graph     — (id, entry_id, neighbors) cluster-partitioned parquet
+  *   path/centroids — probe-routing centroids
+  *   path/codes     — optional PQ codes, cluster-partitioned (DiskANN
+  *                    serving: the walk reads THIS, never `data`)
+  *   path/layout.json — PQ codebooks sidecar (shortest-round-trip doubles,
+  *                    so reopened ADC arithmetic is bit-identical)
+  *
+  * Every component is partitioned by `cluster_id`, so a served search reads
+  * only the probed shards' partitions of graph + codes (plus the candidate
+  * rows of `data` when reranking) — the corpus is never rescanned. At
+  * 100 TB this is the index lifecycle: build once with
+  * [[Vamana.buildSharded]], persist, serve probe-pruned from object
+  * storage.
+  */
+object GraphLayout {
+
+  final case class Layout(clustered: DataFrame, graph: DataFrame,
+                          codes: Option[DataFrame],
+                          centroids: Seq[(Long, Seq[Double])],
+                          pq: Option[Pq.Params])
+
+  /** Persist a built index. `clustered` (id, vec, cluster_id) and `graph`
+    * are [[Vamana.buildSharded]]'s input/output; when `pq` is given the
+    * codes table is derived here so codes and codebooks can never drift. */
+  def write(clustered: DataFrame, graph: DataFrame,
+            centroids: Seq[(Long, Seq[Double])], path: String,
+            pq: Option[Pq.Params] = None): Unit = {
+    val spark = clustered.sparkSession
+    import spark.implicits._
+    IvfIndex.writeClustered(clustered, s"$path/data")
+    graph.write.partitionBy("cluster_id").mode("overwrite")
+      .parquet(s"$path/graph")
+    centroids.toDF("id", "vec").write.mode("overwrite")
+      .parquet(s"$path/centroids")
+    pq.foreach { p =>
+      Pq.encodeClustered(clustered, p).write.partitionBy("cluster_id")
+        .mode("overwrite").parquet(s"$path/codes")
+    }
+    val pqJson = pq match {
+      case None => "null"
+      case Some(p) =>
+        s"""{"m":${p.m},"k":${p.k},"dims":${p.dims},"books":[""" +
+          p.codebooks.map(cb => "[" + cb.map(c =>
+            "[" + c.mkString(",") + "]").mkString(",") + "]")
+            .mkString(",") + "]}"
+    }
+    writeSidecar(spark, s"$path/layout.json", s"""{"pq":$pqJson}""")
+  }
+
+  def open(spark: SparkSession, path: String): Layout = {
+    val json = readSidecar(spark, s"$path/layout.json")
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val pqNode = org.json4s.jackson.JsonMethods.parse(json) \ "pq"
+    val pq = pqNode match {
+      case JNull | JNothing => None
+      case node => Some(Pq.Params((node \ "m").extract[Int],
+        (node \ "k").extract[Int], (node \ "dims").extract[Int],
+        (node \ "books").extract[Seq[Seq[Seq[Double]]]]
+          .map(_.map(_.toArray).toArray).toArray))
+    }
+    val fs = new org.apache.hadoop.fs.Path(s"$path/codes")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codes =
+      if (pq.isDefined && fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/codes"))) Some(spark.read.parquet(s"$path/codes"))
+      else None
+    Layout(spark.read.parquet(s"$path/data"),
+      spark.read.parquet(s"$path/graph"), codes,
+      spark.read.parquet(s"$path/centroids").select("id", "vec").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+        .toIndexedSeq.sortBy(_._1),
+      pq)
+  }
+
+  /** Full-precision probe-and-walk over the stored shards — identical rows
+    * to [[Vamana.searchSharded]] on the in-memory frames. */
+  def search(layout: Layout, queries: DataFrame, k: Int, searchWindow: Int,
+             nProbes: Int, metric: Metric): DataFrame =
+    Vamana.searchSharded(queries, layout.clustered, layout.graph,
+      layout.centroids, k, searchWindow, nProbes, metric)
+
+  /** DiskANN serving from the stored layout: codes-only walk (reads
+    * `codes` + `graph` partitions of the probed shards, never `data`),
+    * optional exact rerank reading only the candidate rows of `data`.
+    * kReorder = 0 skips the rerank (pure ADC ranks). */
+  def searchAdc(layout: Layout, queries: DataFrame, k: Int,
+                searchWindow: Int, nProbes: Int, kReorder: Int = 0,
+                metric: Metric = Metric.L2): DataFrame = {
+    val codes = layout.codes.getOrElse(
+      sys.error("layout has no PQ codes — write(pq = Some(...)) first"))
+    val p = layout.pq.get
+    if (kReorder <= 0)
+      Vamana.searchShardedAdc(queries, codes, layout.graph, layout.centroids,
+        p, k, searchWindow, nProbes, metric)
+    else
+      Vamana.searchShardedAdcRerank(queries, codes, layout.graph,
+        layout.centroids, p, layout.clustered, k, kReorder, searchWindow,
+        nProbes, walkMetric = metric, rerankMetric = metric)
+  }
+
+  /** Incremental maintenance of the persisted index — the M1–M4 lifecycle
+    * for the graph store (the vector analog of `TextIndex.replaceDocs`):
+    * `added` rows (id, vec, cluster_id) join their shards, `deletedIds`
+    * rows leave theirs, touched shards are rebuilt from scratch via
+    * [[Vamana.updateShards]] (bit-identical to a full rebuild of the
+    * merged corpus, since untouched shards' rows are unchanged), and ONLY
+    * the touched `cluster_id=` partitions of data/graph/codes are
+    * rewritten (dynamic partition overwrite — at 100 TB an upsert touching
+    * 3 of 10⁴ shards rewrites 0.03% of the store). Touched shards'
+    * centroids are re-derived with the same rounded-mean fold so probe
+    * routing tracks the moved mass. Returns the reopened layout. */
+  def upsert(spark: SparkSession, path: String, added: DataFrame,
+             deletedIds: DataFrame, params: VamanaKernel.BuildParams,
+             metric: Metric): Layout = {
+    val layout = open(spark, path)
+    import spark.implicits._
+    val stored = layout.clustered
+      .select(col("id").cast("long").as("id"), col("vec"),
+        col("cluster_id").cast("long").as("cluster_id"))
+    val (nc, ng) = Vamana.updateShards(stored, layout.graph, added,
+      deletedIds, params, metric)
+    val touched = (
+      added.select(col("cluster_id").cast("long")).distinct()
+        .as[Long].collect() ++
+      stored.join(deletedIds.select(col("id").cast("long").as("id")),
+        Seq("id")).select(col("cluster_id")).distinct().as[Long].collect()
+    ).distinct.sorted.toSeq
+    if (touched.nonEmpty) {
+      // materialize the touched shards' new rows BEFORE overwriting: the
+      // plans read the very partitions the writes replace, and the source
+      // DataFrames' cached file listing would otherwise chase deleted
+      // part-files mid-job (eager localCheckpoint severs the lineage —
+      // the Dedup.jaccardPairsPrefix epilogue lesson applied to writes)
+      val ncT = nc.filter(col("cluster_id").isin(touched: _*))
+        .localCheckpoint(true)
+      val ngT = ng.filter(col("cluster_id").isin(touched: _*))
+        .localCheckpoint(true)
+      val conf = spark.conf
+      val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        ncT.repartition(col("cluster_id")).write.mode("overwrite")
+          .partitionBy("cluster_id").parquet(s"$path/data")
+        ngT.repartition(col("cluster_id")).write.mode("overwrite")
+          .partitionBy("cluster_id").parquet(s"$path/graph")
+        layout.pq.foreach { p =>
+          Pq.encodeClustered(ncT, p).repartition(col("cluster_id"))
+            .write.mode("overwrite").partitionBy("cluster_id")
+            .parquet(s"$path/codes")
+        }
+      } finally {
+        prev match {
+          case Some(v) =>
+            conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None =>
+            conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      // a shard emptied by deletes writes zero rows, and dynamic overwrite
+      // cannot delete a partition it never writes — drop those dirs (and
+      // their centroids, via the kept-filter below) explicitly
+      val liveCids = ncT.select(col("cluster_id")).distinct()
+        .as[Long].collect().toSet
+      val fsE = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.filterNot(liveCids).foreach { cid =>
+        Seq("data", "graph", "codes").foreach { sub =>
+          fsE.delete(new org.apache.hadoop.fs.Path(
+            s"$path/$sub/cluster_id=$cid"), true)
+        }
+      }
+      // refresh touched centroids with the same rounded-mean fold the
+      // build used; untouched entries carry over verbatim
+      val touchedSet = touched.toSet
+      val newCents = ncT
+        .select(col("cluster_id"), posexplode(col("vec")))
+        .groupBy("cluster_id", "pos").agg(round(avg("col"), 6).as("m"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (cid, xs) =>
+          cid -> xs.sortBy(_._2).map(_._3).toIndexedSeq }
+      val kept = layout.centroids.filterNot(c => touchedSet.contains(c._1))
+      (kept ++ newCents).sortBy(_._1).toDF("id", "vec")
+        .write.mode("overwrite").parquet(s"$path/centroids.tmp")
+      // two-step swap: centroids is a whole-file artifact (no partitions)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$path/centroids.tmp"),
+        new org.apache.hadoop.fs.Path(s"$path/centroids"))
+    }
+    open(spark, path)
+  }
+
+  private def writeSidecar(spark: SparkSession, path: String,
+                           json: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  private def readSidecar(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no layout sidecar at $p")
+    val in = fs.open(p)
+    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    in.readFully(bytes)
+    in.close()
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+}

@@ -97,6 +97,16 @@ object Pq {
       metric.column(slice(qvec, j * p.subDim + 1, p.subDim),
         typedlit(p.codebooks(j)(c).toSeq))): _*)
 
+  /** RAW codes for a CLUSTERED table: like [[encode]] but keeps
+    * `cluster_id` so the codes table partitions exactly like the data —
+    * the walk input for [[Vamana.searchShardedAdc]] (DiskANN serving:
+    * graph + codes per shard, no full-precision vectors). */
+  def encodeClustered(clustered: DataFrame, p: Params,
+      idCol: String = "id", vecCol: String = "vec"): DataFrame =
+    clustered.select(col("cluster_id") +: col(idCol) +:
+      codeColumns(col(vecCol), p).zipWithIndex.map {
+        case (c, j) => c.as(s"c$j") }: _*)
+
   /** Residual PQ codes for a CLUSTERED table — the encode half of IVFADC
     * (Jégou et al. TPAMI'11 §IV: quantize `vec − centroid(cluster)`, not
     * the raw vector; residual energy is what the coarse quantizer left,

@@ -149,7 +149,39 @@ object Vamana {
   def searchSharded(queries: DataFrame, clustered: DataFrame, graph: DataFrame,
                     centroids: Seq[(Long, Seq[Double])], k: Int,
                     searchWindow: Int, nProbes: Int, metric: Metric,
-                    searchCapacity: Int = 0): DataFrame = {
+                    searchCapacity: Int = 0): DataFrame =
+    searchShardedImpl(queries, clustered, graph, centroids, k, searchWindow,
+      nProbes, metric, searchCapacity, lit(true))
+
+  /** Predicate-filtered probe-and-walk: rows failing `keep` (a boolean
+    * Column over the clustered table) are still TRAVERSED — they sit in
+    * the store and the graph, keeping connectivity intact — but never
+    * emitted, the reference's deleted-slot search semantics
+    * (index/vamana/dynamic_index.h:617-629: skip non-Valid slots from
+    * results while walking through them; docstring
+    * bindings/python/src/dynamic_vamana.cpp:196-198). Per shard the walk
+    * keeps collecting past filtered entries until k kept rows emerge (or
+    * the beam is exhausted), so with a full window the result is exactly
+    * "kNN over probed shards WHERE keep" — the SQL the oracle states.
+    * Pushing the filter BEFORE the walk instead would sever graph edges
+    * through filtered nodes (the q27 flat anti-join shape is right for
+    * flat scans, wrong for graphs). */
+  def searchShardedFiltered(queries: DataFrame, clustered: DataFrame,
+                            graph: DataFrame,
+                            centroids: Seq[(Long, Seq[Double])], k: Int,
+                            searchWindow: Int, nProbes: Int, metric: Metric,
+                            keep: org.apache.spark.sql.Column,
+                            searchCapacity: Int = 0): DataFrame =
+    searchShardedImpl(queries, clustered, graph, centroids, k, searchWindow,
+      nProbes, metric, searchCapacity, keep)
+
+  private def searchShardedImpl(queries: DataFrame, clustered: DataFrame,
+                                graph: DataFrame,
+                                centroids: Seq[(Long, Seq[Double])], k: Int,
+                                searchWindow: Int, nProbes: Int,
+                                metric: Metric, searchCapacity: Int,
+                                keep: org.apache.spark.sql.Column)
+      : DataFrame = {
     val spark = clustered.sparkSession
     import spark.implicits._
     require(searchWindow >= k, "searchWindow must be ≥ k")
@@ -172,6 +204,7 @@ object Vamana {
       case _                       => false
     }
     val pruned = clustered
+      .withColumn("keep", keep)
       .filter(col("cluster_id").isin(probedIds: _*))
       .join(graph, Seq("cluster_id", "id"))
 
@@ -181,8 +214,8 @@ object Vamana {
         pruned
           .select(col("cluster_id").cast("long"), col("id").cast("long"),
             col("vec"), col("entry_id").cast("long"),
-            col("neighbors").cast("array<long>"))
-          .as[(Long, Long, Array[Float], Long, Array[Long])]
+            col("neighbors").cast("array<long>"), col("keep"))
+          .as[(Long, Long, Array[Float], Long, Array[Long], Boolean)]
           .groupByKey(_._1)
           .flatMapGroups { (cid, it) =>
             val qs = bc.value.getOrElse(cid,
@@ -192,15 +225,16 @@ object Vamana {
               val rows = it.toArray.sortBy(_._2)
               walkShardCore(cid, rows.map(_._2),
                 new VamanaKernel.FloatStore(rows.map(_._3)), rows(0)._4,
-                rows.map(_._5), qs, k, searchWindow, searchCapacity, m)
+                rows.map(_._5), qs, k, searchWindow, searchCapacity, m,
+                allowedOf(rows.map(_._6)))
             }
           }
       else
         pruned
           .select(col("cluster_id").cast("long"), col("id").cast("long"),
             col("vec").cast("array<double>"), col("entry_id").cast("long"),
-            col("neighbors").cast("array<long>"))
-          .as[(Long, Long, Array[Double], Long, Array[Long])]
+            col("neighbors").cast("array<long>"), col("keep"))
+          .as[(Long, Long, Array[Double], Long, Array[Long], Boolean)]
           .groupByKey(_._1)
           .flatMapGroups { (cid, it) =>
             val qs = bc.value.getOrElse(cid,
@@ -214,6 +248,95 @@ object Vamana {
     // (c) merge: |Q|·nProbes·k rows — window rank is exact and cheap
     TopK.perKeyViaWindow(partials, Seq("query_id"), col("id"), col("dist"), k,
       metric.ascending)
+  }
+
+  /** DiskANN-style compressed serving (Subramanya et al. NeurIPS'19;
+    * the open-source analog of the reference's LVQ-compressed walk —
+    * README.md:36 keeps LVQ closed, so SVS users compose Vamana with a
+    * quantized dataset exactly like this): walk the sharded Vamana graph
+    * scoring candidates by PQ ASYMMETRIC distance over a CODES-ONLY scan.
+    * The walk input is `codes ⋈ graph` — full-precision vectors are never
+    * read at search time; per (query, shard) the [[VamanaKernel.PqStore]]
+    * builds one LUT (k·d multiplies) and every candidate costs m lookups
+    * + m−1 adds, the TPAMI'11 §V ADC contract.
+    *
+    * `codes`: (cluster_id, id, c0..c{m−1}) from [[Pq.encodeClustered]] —
+    * cluster-partitioned like the data, so the probe `isin` prunes the
+    * scan to probed shards. Metric must decompose over subspaces (L2 or
+    * inner product — NOT cosine; rerank with [[searchShardedAdcRerank]]
+    * handles the rest). At 100 TB this is the shape that fits graphs in
+    * executor memory: 64-d float64 rows shrink 64× (4 bytes of codes vs
+    * 512), so a shard's walk state is codes + adjacency only. */
+  def searchShardedAdc(queries: DataFrame, codes: DataFrame,
+                       graph: DataFrame,
+                       centroids: Seq[(Long, Seq[Double])], p: Pq.Params,
+                       k: Int, searchWindow: Int, nProbes: Int,
+                       metric: Metric = Metric.L2): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    require(searchWindow >= k, "searchWindow must be ≥ k")
+    require(metric == Metric.L2 || metric == Metric.IP,
+      s"ADC requires a subspace-decomposable metric (L2/IP), got $metric")
+
+    val probesByCluster = probeMap(queries, centroids, nProbes, metric)
+    val bc = spark.sparkContext.broadcast(probesByCluster)
+    val probedIds = probesByCluster.keys.toSeq
+    val m = metric
+    val books = p.codebooks
+
+    val codeArr = array((0 until p.m).map(j => col(s"c$j").cast("int")): _*)
+    val partials = codes
+      .filter(col("cluster_id").isin(probedIds: _*))
+      .join(graph, Seq("cluster_id", "id"))
+      .select(col("cluster_id").cast("long"), col("id").cast("long"),
+        codeArr.as("code"), col("entry_id").cast("long"),
+        col("neighbors").cast("array<long>"))
+      .as[(Long, Long, Array[Int], Long, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cid, it) =>
+        val qs = bc.value.getOrElse(cid, Array.empty[(Long, Array[Double])])
+        if (qs.isEmpty) Iterator.empty
+        else {
+          val rows = it.toArray.sortBy(_._2)
+          walkShardCore(cid, rows.map(_._2),
+            new VamanaKernel.PqStore(rows.map(_._3), books), rows(0)._4,
+            rows.map(_._5), qs, k, searchWindow, searchCapacity = 0, m)
+        }
+      }
+      .toDF("query_id", "id", "dist")
+
+    TopK.perKeyViaWindow(partials, Seq("query_id"), col("id"), col("dist"), k,
+      metric.ascending)
+  }
+
+  /** The two-pass DiskANN serving plan: ADC walk keeps the best
+    * `kReorder·k` candidates per query (first pass, codes only), then the
+    * tiny candidate list — |Q|·kReorder·k rows, broadcast — joins the
+    * full-precision table ONCE for an exact-distance rerank (the
+    * reference's k_reorder pattern, index/ivf/index.h:284, applied to the
+    * graph walk). Full-precision reads are O(|Q|·kReorder·k), independent
+    * of corpus size — the property that makes PQ-in-RAM / vectors-on-disk
+    * serving work at 100 TB. Exact rerank also restores cosine (the walk
+    * metric stays L2/IP). */
+  def searchShardedAdcRerank(queries: DataFrame, codes: DataFrame,
+                             graph: DataFrame,
+                             centroids: Seq[(Long, Seq[Double])],
+                             p: Pq.Params, data: DataFrame, k: Int,
+                             kReorder: Int, searchWindow: Int, nProbes: Int,
+                             walkMetric: Metric = Metric.L2,
+                             rerankMetric: Metric = Metric.L2): DataFrame = {
+    val cand = searchShardedAdc(queries, codes, graph, centroids, p,
+      kReorder * k, searchWindow, nProbes, walkMetric)
+    val exact = broadcast(cand.select(col("query_id"), col("neighbor_id")))
+      .join(data.select(col("id").as("neighbor_id"), col("vec")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id").as("id"),
+        rerankMetric.column(col("qvec"), col("vec").cast("array<double>"))
+          .as("dist"))
+    TopK.perKeyViaWindow(exact, Seq("query_id"), col("id"), col("dist"), k,
+      rerankMetric.ascending)
   }
 
   /** Driver-side probe routing shared by [[searchSharded]] and
@@ -242,24 +365,34 @@ object Vamana {
   /** Executor-local beam walk over one shard's rows (sorted ascending by id)
     * for a query batch — the shared kernel behind [[searchSharded]] and
     * [[searchPrepared]]. Rows: (cluster_id, id, vec, entry_id, neighbors). */
+  /** null when every row passes (the common unfiltered case — keeps the
+    * walk's emit loop branch-free), else per-slot keep flags. */
+  private def allowedOf(keeps: Array[Boolean]): Array[Boolean] =
+    if (keeps.forall(identity)) null else keeps
+
   private def walkShard(cid: Long,
                         rows: Array[(Long, Long, Array[Double], Long,
-                          Array[Long])],
+                          Array[Long], Boolean)],
                         qs: Array[(Long, Array[Double])], k: Int,
                         searchWindow: Int, searchCapacity: Int, m: Metric)
       : Iterator[(Long, Long, Double)] =
     walkShardCore(cid, rows.map(_._2),
       new VamanaKernel.DoubleStore(rows.map(_._3)), rows(0)._4,
-      rows.map(_._5), qs, k, searchWindow, searchCapacity, m)
+      rows.map(_._5), qs, k, searchWindow, searchCapacity, m,
+      allowedOf(rows.map(_._6)))
 
   /** Element-type-erased shard walk shared by the f64 and f32 search
     * paths: slot resolution, dangling-edge drops, and the per-query greedy
-    * walk over a [[VamanaKernel.VecStore]]. */
+    * walk over a [[VamanaKernel.VecStore]]. `allowed` (by slot; null = all)
+    * filters EMISSION only — filtered rows are traversed so graph
+    * connectivity through them is preserved, and the walk keeps taking
+    * buffer entries past them until k allowed rows are out. */
   private def walkShardCore(cid: Long, ids: Array[Long],
                             store: VamanaKernel.VecStore, entryId: Long,
                             neighborIds: Array[Array[Long]],
                             qs: Array[(Long, Array[Double])], k: Int,
-                            searchWindow: Int, searchCapacity: Int, m: Metric)
+                            searchWindow: Int, searchCapacity: Int, m: Metric,
+                            allowed: Array[Boolean] = null)
       : Iterator[(Long, Long, Double)] = {
     val slotOf = new java.util.HashMap[Long, Integer](ids.length * 2)
     ids.indices.foreach(i => slotOf.put(ids(i), i))
@@ -280,8 +413,20 @@ object Vamana {
     qs.iterator.flatMap { case (qid, qvec) =>
       val buf = VamanaKernel.greedySearch(adj, store, entrySlot, qvec,
         searchWindow, m, searchCapacity)
-      (0 until math.min(k, buf.n)).iterator.map { i =>
-        (qid, ids(buf.slots(i)), buf.dists(i))
+      if (allowed == null)
+        (0 until math.min(k, buf.n)).iterator.map { i =>
+          (qid, ids(buf.slots(i)), buf.dists(i))
+        }
+      else {
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var taken = 0
+        var i = 0
+        while (taken < k && i < buf.n) {
+          val s = buf.slots(i)
+          if (allowed(s)) { out += ((qid, ids(s), buf.dists(i))); taken += 1 }
+          i += 1
+        }
+        out.result().iterator
       }
     }
   }

@@ -68,6 +68,85 @@ object VamanaKernel {
     }
   }
 
+  /** PQ-codes resident store (Jégou, Douze & Schmid TPAMI'11 §V: ADC) —
+    * the DiskANN serving layout (Subramanya et al. NeurIPS'19): the walk
+    * holds only m small codes per row (m·log₂k bits instead of d·64) and
+    * scores candidates ASYMMETRICALLY — the full-precision query against
+    * each row's coded centroids, one per-subspace lookup table built ONCE
+    * per query (k·d multiplies) and then m lookups + m−1 adds per
+    * candidate. The LUT is keyed by query-array identity: the walk kernel
+    * passes the same `q` reference for a whole search, so recomputation
+    * happens exactly once per (query, shard).
+    *
+    * Arithmetic contract (what the DuckDB oracle replays): LUT entry
+    * (j, c) is `metric.compute(q_sub_j, books(j)(c))` — the exact
+    * i-ascending per-subspace fold — and a distance is the j-ascending
+    * left-associated sum of the m looked-up entries. Valid for metrics
+    * that decompose over dimension slices (L2, inner product); cosine
+    * does not decompose (global norms) and must rerank instead. */
+  final class PqStore(codes: Array[Array[Int]],
+                      books: Array[Array[Array[Double]]]) extends VecStore {
+    private val m = books.length
+    private val kk = books(0).length
+    private val subDim = books(0)(0).length
+    private var lutQ: Array[Double] = null
+    private var lutMetric: Metric = null
+    private val lut = new Array[Double](m * kk)
+
+    private def lutFor(metric: Metric, q: Array[Double]): Array[Double] = {
+      if ((q ne lutQ) || (metric ne lutMetric)) {
+        var j = 0
+        while (j < m) {
+          val sub = java.util.Arrays.copyOfRange(q, j * subDim,
+            (j + 1) * subDim)
+          var c = 0
+          while (c < kk) {
+            lut(j * kk + c) = metric.compute(sub, books(j)(c)); c += 1
+          }
+          j += 1
+        }
+        lutQ = q; lutMetric = metric
+      }
+      lut
+    }
+
+    def n: Int = codes.length
+    def row(i: Int): Array[Double] = {
+      val cs = codes(i)
+      val out = new Array[Double](m * subDim)
+      var j = 0
+      while (j < m) {
+        System.arraycopy(books(j)(cs(j)), 0, out, j * subDim, subDim)
+        j += 1
+      }
+      out
+    }
+    def dist(metric: Metric, q: Array[Double], i: Int): Double = {
+      val t = lutFor(metric, q)
+      val cs = codes(i)
+      var s = t(cs(0))
+      var j = 1
+      while (j < m) { s += t(j * kk + cs(j)); j += 1 }
+      s
+    }
+    /** Symmetric (SDC) pair distance: per-subspace folds of the two
+      * rows' coded centroids, summed j-ascending — same grouping as
+      * [[dist]] so build and search rank consistently. */
+    def distPair(metric: Metric, i: Int, j: Int): Double = {
+      val a = codes(i); val b = codes(j)
+      var s = 0.0
+      var jj = 0
+      while (jj < m) {
+        s += metric.compute(books(jj)(a(jj)), books(jj)(b(jj))); jj += 1
+      }
+      s
+    }
+    def addInto(acc: Array[Double], i: Int): Unit = {
+      val v = row(i); var j = 0
+      while (j < v.length) { acc(j) += v(j); j += 1 }
+    }
+  }
+
   /** Growable primitive (slot, dist) pair buffer — the allocation-free
     * candidate pool. The tupled version allocated one (Int, Double) per
     * scored candidate (BuildBench: 63M per 20k-shard build, a measurable

@@ -124,6 +124,25 @@ class GoldenSpec extends SparkSpec {
     truth.unpersist()
   }
 
+  test("pq families reproduce the committed artifact (±0.01); rerank " +
+      "dominates walk-only at equal window") {
+    val (data, queries, truth) = GoldenRecall.dataset(spark, N, Dims, Nq, K)
+    val rows = GoldenRecall.pqGrid(data, queries, truth, Dims, K, Nq,
+      ms = Seq(32), kCode = 16, kReorders = Seq(4))
+    rows.foreach { r =>
+      val p = pinned(r.family, r.config, r.value)
+      assert(math.abs(r.recall - p) <= 0.01,
+        s"${r.family} ${r.param}=${r.value}: ${r.recall} vs pinned $p")
+    }
+    // the two-pass plan must not lose to codes-only at the same beam
+    // width (kr=4 ⇒ window 40)
+    val walk40 = rows.find(r => r.family == "pq_walk" && r.value == 40).get
+    val rr4 = rows.find(r => r.family == "pq_walk_rerank" && r.value == 4).get
+    assert(rr4.recall >= walk40.recall,
+      s"rerank kr4 ${rr4.recall} < walk w40 ${walk40.recall}")
+    truth.unpersist()
+  }
+
   test("maxsim two-stage golden row reproduces (±0.01)") {
     val (data, _, truth) = GoldenRecall.dataset(spark, N, Dims, Nq, K)
     val rows = GoldenRecall.maxSimGrid(data, Dims, K, Seq(100))

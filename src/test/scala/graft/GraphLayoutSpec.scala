@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Metric, Tables}
+import graft.operators.{GraphLayout, KMeans, Pq, Vamana}
+import graft.operators.VamanaKernel.BuildParams
+
+/** Persisted sharded-Vamana layout: roundtrip fidelity (graph, data,
+  * centroids, PQ codebook sidecar), served ≡ in-memory searches, and
+  * probe-pruned scans of the stored partitions. */
+class GraphLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val M = 4
+  private val K = 8
+  private def dims = Tables.embDims
+
+  private def fixture() = {
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    val cents = data.filter(col("id") < 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val clustered = KMeans.assign(data, cents)
+    val graph = Vamana.buildSharded(clustered,
+      BuildParams(maxDegree = 24, buildWindow = 48), Metric.L2)
+    val rows = data.filter(col("id") % 7 === 0 && col("id") < 7 * K)
+      .orderBy("id").collect()
+      .map(_.getAs[Seq[Double]]("vec").toArray).toSeq
+    val p = Pq.paramsFromRows(rows, M, K, dims)
+    (data, cents, clustered, graph, p)
+  }
+
+  test("write/open roundtrip: codebooks bit-exact, served searches equal " +
+      "in-memory, codes-only probe prunes partitions") {
+    val (_, cents, clustered, graph, p) = fixture()
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    val path = "/tmp/graft_graphlayout_spec"
+    GraphLayout.write(clustered, graph, cents, path, pq = Some(p))
+    val layout = GraphLayout.open(spark, path)
+
+    // sidecar round-trips every codebook double bit-exactly
+    assert(layout.pq.get.m === p.m && layout.pq.get.k === p.k &&
+      layout.pq.get.dims === p.dims)
+    for (j <- 0 until p.m; c <- 0 until p.k)
+      assert(layout.pq.get.codebooks(j)(c).toSeq ===
+        p.codebooks(j)(c).toSeq, s"codebook ($j,$c)")
+    assert(layout.centroids === cents)
+
+    // served full-precision walk ≡ in-memory walk, bit-for-bit
+    val served = GraphLayout.search(layout, queries, 10, searchWindow = 40,
+        nProbes = 2, Metric.L2)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val mem = Vamana.searchSharded(queries, clustered, graph, cents, 10,
+        searchWindow = 40, nProbes = 2, Metric.L2)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(served.map(_.toSeq) === mem.map(_.toSeq))
+
+    // served ADC walk ≡ in-memory ADC walk over freshly-derived codes
+    val codes = Pq.encodeClustered(clustered, p)
+    val servedAdc = GraphLayout.searchAdc(layout, queries, 10,
+        searchWindow = 40, nProbes = 2)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val memAdc = Vamana.searchShardedAdc(queries, codes, graph, cents, p,
+        10, searchWindow = 40, nProbes = 2)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(servedAdc.map(_.toSeq) === memAdc.map(_.toSeq))
+
+    // rerank path from the store ≡ in-memory rerank
+    val servedRr = GraphLayout.searchAdc(layout, queries, 10,
+        searchWindow = 40, nProbes = 2, kReorder = 4)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val memRr = Vamana.searchShardedAdcRerank(queries, codes, graph, cents,
+        p, clustered, 10, 4, searchWindow = 40, nProbes = 2)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(servedRr.map(_.toSeq) === memRr.map(_.toSeq))
+
+    // probe pruning reaches the stored codes scan: the ADC walk's plan
+    // must carry PartitionFilters over cluster_id
+    val probe = layout.codes.get
+      .filter(col("cluster_id").isin(Seq(0L, 1L): _*))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("cluster_id"), plan.take(600))
+  }
+
+  test("upsert ≡ from-scratch store of the merged corpus; untouched " +
+      "partitions' files are not rewritten; emptied shards vanish") {
+    val (data, cents, clustered, graph, p) = fixture()
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    val params = BuildParams(maxDegree = 24, buildWindow = 48)
+    val path = "/tmp/graft_graphlayout_spec_upsert"
+    GraphLayout.write(clustered, graph, cents, path, pq = Some(p))
+
+    // add into cluster of id<4 seed 0's shard only; delete a few ids from
+    // shard of seed 1 — shards 2,3 stay untouched
+    val addCid = 0L
+    val added = data.filter(col("id") % 50 === 7).orderBy("id").limit(20)
+      .select((col("id") + 100000L).as("id"), col("vec"),
+        lit(addCid).as("cluster_id"))
+    val delIds = KMeans.assign(data, cents)
+      .filter(col("cluster_id") === 1L).orderBy("id").limit(5).select("id")
+
+    def mtimes(sub: String): Map[String, Long] = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$sub"))
+        .filter(_.getPath.getName.startsWith("cluster_id="))
+        .flatMap(d => fs.listStatus(d.getPath).map(f =>
+          f.getPath.toString -> f.getModificationTime))
+        .toMap
+    }
+    val before = mtimes("data") ++ mtimes("graph") ++ mtimes("codes")
+    val up = GraphLayout.upsert(spark, path, added, delIds, params,
+      Metric.L2)
+
+    // untouched shards (2, 3): identical file list, identical mtimes
+    val after = mtimes("data") ++ mtimes("graph") ++ mtimes("codes")
+    val untouchedBefore = before.filter(_._1.contains("cluster_id=2"))
+    assert(untouchedBefore.nonEmpty)
+    untouchedBefore.foreach { case (f, t) =>
+      assert(after.get(f).contains(t), s"untouched file rewritten: $f")
+    }
+
+    // equivalence: a from-scratch store of the merged corpus serves the
+    // same rows on every path
+    val merged = clustered
+      .join(delIds.withColumnRenamed("id", "id"), Seq("id"), "left_anti")
+      .unionByName(added)
+    val graph2 = Vamana.buildSharded(merged, params, Metric.L2)
+    val cents2 = up.centroids // probe with the SAME refreshed centroids
+    val path2 = "/tmp/graft_graphlayout_spec_upsert_fresh"
+    GraphLayout.write(merged, graph2, cents2, path2, pq = Some(p))
+    val fresh = GraphLayout.open(spark, path2)
+    def rows(l: GraphLayout.Layout) = {
+      val a = GraphLayout.search(l, queries, 10, 1 << 14, 4, Metric.L2)
+        .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+      val b = GraphLayout.searchAdc(l, queries, 10, 1 << 14, 4,
+        kReorder = 4).orderBy("query_id", "rnk").collect()
+        .map(_.toSeq).toSeq
+      (a, b)
+    }
+    assert(rows(up) === rows(fresh))
+
+    // emptying a whole shard drops its partitions and its centroid
+    // (membership read from the STORE — the ids the upsert will route)
+    val allOf3 = up.clustered.filter(col("cluster_id") === 3L).select("id")
+    val up2 = GraphLayout.upsert(spark, path,
+      added.limit(0), allOf3, params, Metric.L2)
+    assert(!up2.centroids.exists(_._1 == 3L))
+    assert(!mtimes("data").keys.exists(_.contains("cluster_id=3")))
+    assert(up2.clustered.filter(col("cluster_id") === 3L).count() === 0)
+  }
+
+  test("layout without PQ opens with no codes and searchAdc fails loudly") {
+    val (_, cents, clustered, graph, _) = fixture()
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    val path = "/tmp/graft_graphlayout_spec_nopq"
+    GraphLayout.write(clustered, graph, cents, path)
+    val layout = GraphLayout.open(spark, path)
+    assert(layout.pq.isEmpty && layout.codes.isEmpty)
+    // full-precision serving still works
+    assert(GraphLayout.search(layout, queries, 10, 40, 2,
+      Metric.L2).count() > 0)
+    assertThrows[RuntimeException] {
+      GraphLayout.searchAdc(layout, queries, 10, 40, 2)
+    }
+  }
+}

@@ -147,6 +147,96 @@ class PqSpec extends SparkSpec {
       s"residual-trained recall $ivfTrainedHits < raw-trained $adcHits")
   }
 
+  test("PQ-compressed Vamana walk (full window, all probes) ≡ global " +
+      "ADC brute force; IP decomposes too; cosine is rejected") {
+    val p = sampledParams()
+    val clustered = Tables.embeddingVectors(spark, sfDir)
+      .select(col("id"), col("vec"),
+        col("label").cast("long").as("cluster_id"))
+    val cents = clustered
+      .select(col("cluster_id"), posexplode(col("vec")))
+      .groupBy("cluster_id", "pos").agg(round(avg("col"), 6).as("m"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (cid, xs) => cid -> xs.sortBy(_._2).map(_._3).toIndexedSeq }
+      .toIndexedSeq.sortBy(_._1)
+    val graph = graft.operators.Vamana.buildSharded(clustered,
+      graft.operators.VamanaKernel.BuildParams(maxDegree = 24,
+        buildWindow = 48), Metric.L2)
+    val codes = Pq.encodeClustered(clustered, p)
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    // all shards probed + full window ⇒ the codes-only walk must equal
+    // the certified flat ADC ranking bit-for-bit (ties by id)
+    for (m <- Seq[Metric](Metric.L2, Metric.IP)) {
+      val walked = graft.operators.Vamana.searchShardedAdc(queries, codes,
+          graph, cents, p, k = 10, searchWindow = 1 << 14,
+          nProbes = cents.size, metric = m)
+        .select("query_id", "rnk", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val flat = Pq.searchAdc(queries, Pq.encode(vecs(), p), p, 10, m)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(walked === flat, s"metric $m")
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Vamana.searchShardedAdc(queries, codes, graph, cents,
+        p, 10, 1 << 14, cents.size, Metric.Cosine)
+    }
+  }
+
+  test("two-pass rerank ≡ exact-L2 rerank of the ADC top-R reference, " +
+      "and beats the walk-only recall") {
+    val p = sampledParams()
+    val clustered = Tables.embeddingVectors(spark, sfDir)
+      .select(col("id"), col("vec"),
+        col("label").cast("long").as("cluster_id"))
+    val cents = clustered
+      .select(col("cluster_id"), posexplode(col("vec")))
+      .groupBy("cluster_id", "pos").agg(round(avg("col"), 6).as("m"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (cid, xs) => cid -> xs.sortBy(_._2).map(_._3).toIndexedSeq }
+      .toIndexedSeq.sortBy(_._1)
+    val graph = graft.operators.Vamana.buildSharded(clustered,
+      graft.operators.VamanaKernel.BuildParams(maxDegree = 24,
+        buildWindow = 48), Metric.L2)
+    val codes = Pq.encodeClustered(clustered, p)
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    val kNN = 10; val reorder = 4
+    val got = graft.operators.Vamana.searchShardedAdcRerank(queries, codes,
+        graph, cents, p, clustered, kNN, reorder,
+        searchWindow = 1 << 14, nProbes = cents.size)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val data = vecs().collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qs = queries.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    var walkHits = 0; var rerankHits = 0
+    val walkTop = Pq.searchAdc(queries, Pq.encode(vecs(), p), p, kNN)
+      .collect().groupBy(_.getLong(0))
+    qs.foreach { case (qid, q) =>
+      // reference: global ADC top-R (all shards probed), exact-L2 rerank
+      val adcTop = data.toSeq.map { case (id, v) =>
+        val codesV = refCode(v, p)
+        val d = (0 until p.m).foldLeft(0.0) { (acc, j) =>
+          acc + Metric.L2.compute(q.slice(j * p.subDim, (j + 1) * p.subDim),
+            p.codebooks(j)(codesV(j)))
+        }
+        (id, d)
+      }.sortBy { case (id, d) => (d, id) }.take(reorder * kNN).map(_._1)
+      val ref = adcTop.map(id => (id, Metric.L2.compute(q, data(id))))
+        .sortBy { case (id, d) => (d, id) }.take(kNN).map(_._1)
+      assert(got(qid).sortBy(_._2).map(_._3).toSeq === ref, s"q$qid")
+      val exact = data.toSeq.map { case (id, v) =>
+        (id, Metric.L2.compute(q, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(kNN).map(_._1).toSet
+      walkHits += walkTop(qid).map(_.getLong(2)).count(exact)
+      rerankHits += ref.count(exact)
+    }
+    assert(rerankHits >= walkHits,
+      s"rerank recall $rerankHits < walk-only $walkHits")
+  }
+
   test("trained-Lloyd codebooks reduce distortion vs sampled rows") {
     def distortion(p: Pq.Params): Double = {
       val data = vecs().collect().map(_.getSeq[Double](1).toArray)

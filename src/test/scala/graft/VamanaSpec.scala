@@ -133,6 +133,42 @@ class VamanaSpec extends SparkSpec {
       graph2.orderBy("cluster_id", "id").collect().toSeq)
   }
 
+  test("filtered search: full window ≡ exact-minus-excluded; excluded ids " +
+      "never emitted at any window; keep=true ≡ unfiltered") {
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    val cents = data.filter(col("id") < 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val clustered = graft.operators.KMeans.assign(data, cents)
+    val graph = Vamana.buildSharded(clustered,
+      BuildParams(maxDegree = 24, buildWindow = 48), Metric.L2).cache()
+    val keep = col("id") % 3 =!= 1
+    // full window + all probes ⇒ the filtered walk must equal exact kNN
+    // over the kept rows (traversal still crosses the excluded third)
+    val full = Vamana.searchShardedFiltered(queries, clustered, graph, cents,
+        k = 10, searchWindow = 1 << 14, nProbes = 4, Metric.L2, keep)
+      .select("query_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = FlatKnn.search(queries, data.filter(keep), 10, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full === exact)
+    // realistic window: approximate, but the contract "no excluded id is
+    // ever emitted" is absolute
+    val narrow = Vamana.searchShardedFiltered(queries, clustered, graph,
+      cents, k = 10, searchWindow = 20, nProbes = 2, Metric.L2, keep)
+    assert(narrow.filter(col("neighbor_id") % 3 === 1).count() === 0)
+    assert(narrow.count() > 0)
+    // degenerate predicate reproduces the unfiltered path bit-for-bit
+    val unf = Vamana.searchSharded(queries, clustered, graph, cents, 10,
+      searchWindow = 40, nProbes = 2, Metric.L2)
+    val kept = Vamana.searchShardedFiltered(queries, clustered, graph, cents,
+      10, searchWindow = 40, nProbes = 2, Metric.L2, lit(true))
+    assert(unf.orderBy("query_id", "rnk").collect().toSeq ===
+      kept.orderBy("query_id", "rnk").collect().toSeq)
+    graph.unpersist()
+  }
+
   test("searchPrepared over prepareShards equals searchSharded exactly " +
       "across windows (the repeated-search/calibration path)") {
     val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
