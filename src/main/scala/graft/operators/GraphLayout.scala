@@ -122,7 +122,13 @@ object GraphLayout {
     * rewritten (dynamic partition overwrite — at 100 TB an upsert touching
     * 3 of 10⁴ shards rewrites 0.03% of the store). Touched shards'
     * centroids are re-derived with the same rounded-mean fold so probe
-    * routing tracks the moved mass. Returns the reopened layout. */
+    * routing tracks the moved mass. Returns the reopened layout.
+    *
+    * ID-level UPSERT semantics (the q134 text-lifecycle contract, and what
+    * makes micro-batch REPLAYS converge instead of duplicating): an added
+    * id that already exists in the store REPLACES its old row — the old
+    * row's shard is touched and loses it even when the new row routes to a
+    * different shard. */
   def upsert(spark: SparkSession, path: String, added: DataFrame,
              deletedIds: DataFrame, params: VamanaKernel.BuildParams,
              metric: Metric): Layout = {
@@ -131,13 +137,17 @@ object GraphLayout {
     val stored = layout.clustered
       .select(col("id").cast("long").as("id"), col("vec"),
         col("cluster_id").cast("long").as("cluster_id"))
+    // rows to remove = explicit deletes ∪ re-added ids (replace-on-add)
+    val removed = deletedIds.select(col("id").cast("long").as("id"))
+      .unionByName(added.select(col("id").cast("long").as("id")))
+      .distinct()
     val (nc, ng) = Vamana.updateShards(stored, layout.graph, added,
-      deletedIds, params, metric)
+      removed, params, metric)
     val touched = (
       added.select(col("cluster_id").cast("long")).distinct()
         .as[Long].collect() ++
-      stored.join(deletedIds.select(col("id").cast("long").as("id")),
-        Seq("id")).select(col("cluster_id")).distinct().as[Long].collect()
+      stored.join(removed, Seq("id"))
+        .select(col("cluster_id")).distinct().as[Long].collect()
     ).distinct.sorted.toSeq
     if (touched.nonEmpty) {
       // materialize the touched shards' new rows BEFORE overwriting: the
