@@ -429,7 +429,8 @@ object VamanaKernel {
     * graph. */
   case class BuildParams(maxDegree: Int = 32, buildWindow: Int = 64,
                          alpha: Double = 1.2, maxCandidatePool: Int = 750,
-                         pruneTo: Int = 0, batchSize: Int = 0) {
+                         pruneTo: Int = 0, batchSize: Int = 0,
+                         patchStranded: Boolean = true) {
     def pruneTarget: Int = if (pruneTo > 0) pruneTo else maxDegree
     /** Effective insert-batch width for an n-node shard. */
     def batchFor(n: Int): Int =
@@ -475,6 +476,9 @@ object VamanaKernel {
       * attribution within `search`'s wall time. */
     val greedyCpu = new java.util.concurrent.atomic.LongAdder
     val pruneCpu = new java.util.concurrent.atomic.LongAdder
+    /** Edges added/replaced by the post-build connectivity patch (0 on
+      * every healthy membership — see `patchStranded`). */
+    val strandedPatched = new java.util.concurrent.atomic.LongAdder
   }
 
   def build(vecs: Array[Array[Double]], params: BuildParams, metric: Metric)
@@ -577,6 +581,60 @@ object VamanaKernel {
         }
         if (stats != null) stats.overflow.add(System.nanoTime() - tOver0)
         start = end
+      }
+    }
+    // Connectivity patch: the α-prune gives NO directed-reachability
+    // guarantee from the entry — rare memberships (near-duplicate islands,
+    // tiny re-sharded shards) can leave whole components no greedy walk
+    // will ever find (observed: 40/109 nodes stranded on a re-sharded
+    // synthetic membership; the reference has the same exposure, its
+    // integration tests simply never hit it). Deterministically attach
+    // each stranded node to its nearest REACHABLE neighbor (located by a
+    // walk toward the stranded vector, which by construction only visits
+    // reachable nodes): append when the host has degree slack, else
+    // replace the host's worst (last, pools are best-first) edge — the
+    // degree cap certified by q48 is never exceeded. Loop until the entry
+    // reaches every node; attaching u usually re-attaches its whole
+    // island through u's own out-edges. No-op (bit-identical graphs) on
+    // every already-connected membership.
+    if (params.patchStranded && n > 1) {
+      var rounds = 0
+      val maxRounds = 2 * n
+      var done = false
+      while (!done && rounds < maxRounds) {
+        val reached = new java.util.BitSet(n)
+        val stack = new java.util.ArrayDeque[Integer]()
+        reached.set(entry); stack.push(entry)
+        while (!stack.isEmpty) {
+          val nbs = adj(stack.pop().intValue())
+          var i = 0
+          while (i < nbs.length) {
+            val nb = nbs(i)
+            if (!reached.get(nb)) { reached.set(nb); stack.push(nb) }
+            i += 1
+          }
+        }
+        var u = 0
+        while (u < n && reached.get(u)) u += 1
+        if (u == n) done = true
+        else {
+          val buf = greedySearch(adj, store, entry, store.row(u),
+            math.max(2 * params.maxDegree, params.buildWindow), metric, 0)
+          var host = -1
+          var i = 0
+          while (host < 0 && i < buf.n) {
+            if (adj(buf.slots(i)).length < params.maxDegree)
+              host = buf.slots(i)
+            i += 1
+          }
+          if (host >= 0) adj(host) = adj(host) :+ u
+          else {
+            val h = buf.slots(0)
+            adj(h) = adj(h).updated(adj(h).length - 1, u)
+          }
+          if (stats != null) stats.strandedPatched.increment()
+          rounds += 1
+        }
       }
     }
     (adj, entry)

@@ -133,6 +133,53 @@ class VamanaSpec extends SparkSpec {
       graph2.orderBy("cluster_id", "id").collect().toSeq)
   }
 
+  test("connectivity patch: a triplicate-heavy membership strands nodes " +
+      "without it, fully connects with it (cap held); no-op bit-identical " +
+      "on a healthy membership") {
+    def reach(adj: Array[Array[Int]], entry: Int): Int = {
+      val reached = new java.util.BitSet(adj.length)
+      var stack = List(entry); reached.set(entry)
+      while (stack.nonEmpty) {
+        val x = stack.head; stack = stack.tail
+        adj(x).foreach { nb =>
+          if (!reached.get(nb)) { reached.set(nb); stack = nb :: stack } }
+      }
+      reached.cardinality
+    }
+    val base = Tables.embeddingVectors(spark, sfDir)
+      .filter(col("id") < 100).orderBy("id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    // duplicate islands: the α-prune keeps duplicate pairs pointing at
+    // each other and reverse-edge re-prunes can sever the inbound path
+    val tricky = base ++ base.take(25) ++ base.take(25)
+    val params = BuildParams(maxDegree = 24, buildWindow = 48)
+    val (offAdj, offEntry) = VamanaKernel.build(
+      new VamanaKernel.DoubleStore(tricky),
+      params.copy(patchStranded = false), Metric.L2, null)
+    assert(reach(offAdj, offEntry) < tricky.length,
+      "expected the unpatched build to strand nodes on this membership")
+    val stats = new VamanaKernel.BuildStats
+    val (onAdj, onEntry) = VamanaKernel.build(
+      new VamanaKernel.DoubleStore(tricky), params, Metric.L2, stats)
+    assert(reach(onAdj, onEntry) === tricky.length)
+    assert(onAdj.map(_.length).max <= params.maxDegree)
+    assert(stats.strandedPatched.sum > 0)
+    // deterministic: rebuild is bit-identical
+    val (onAdj2, _) = VamanaKernel.build(
+      new VamanaKernel.DoubleStore(tricky), params, Metric.L2, null)
+    assert(onAdj.map(_.toSeq).toSeq === onAdj2.map(_.toSeq).toSeq)
+    // healthy membership: the patch never fires and the graph is
+    // bit-identical to patchStranded = false (all certified artifacts —
+    // q24/q25 shards, the golden grids — are in this regime)
+    val s2 = new VamanaKernel.BuildStats
+    val (hOn, _) = VamanaKernel.build(new VamanaKernel.DoubleStore(base),
+      params, Metric.L2, s2)
+    val (hOff, _) = VamanaKernel.build(new VamanaKernel.DoubleStore(base),
+      params.copy(patchStranded = false), Metric.L2, null)
+    assert(s2.strandedPatched.sum === 0)
+    assert(hOn.map(_.toSeq).toSeq === hOff.map(_.toSeq).toSeq)
+  }
+
   test("filtered search: full window ≡ exact-minus-excluded; excluded ids " +
       "never emitted at any window; keep=true ≡ unfiltered") {
     val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
