@@ -450,6 +450,78 @@ object OracleGen {
        |FROM rr WHERE rnk <= $kNN ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Shared binary-quantization CTEs (q153–q155): per-dim rounded-mean
+    * thresholds, 32-bits-per-BIGINT-word sign packing (word values < 2³²
+    * so both engines use plain signed arithmetic), Hamming ranks via
+    * bit_count(xor), ties by id. Ends in `hamr(query_id, neighbor_id,
+    * rnk)` over all pairs. */
+  private def binCtes: String = {
+    val d = Tables.embDims
+    val words = (d + 31) / 32
+    val meanCols = (0 until d).map(i => s"round(avg(v$i), 6) AS m$i")
+      .mkString(", ")
+    def wordExpr(alias: String, w: Int): String =
+      (w * 32 until math.min((w + 1) * 32, d)).map { i =>
+        s"(CASE WHEN $alias.$alias$i > m.m$i THEN " +
+          s"CAST(${1L << (i - w * 32)} AS BIGINT) ELSE 0 END)"
+      }.mkString(" | ")
+    val dWords = (0 until words)
+      .map(w => s"${wordExpr("v", w)} AS w$w").mkString(",\n  ")
+    val qWords = (0 until words)
+      .map(w => s"${wordExpr("q", w)} AS qw$w").mkString(",\n  ")
+    val ham = (0 until words)
+      .map(w => s"bit_count(xor(qc.qw$w, codes.w$w))").mkString(" + ")
+    s"""v AS (SELECT vec_id AS id, ${dimCols("v", embDimExprs)}
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}
+       |  FROM embeddings WHERE ${Tables.embQueryPredSql}),
+       |m AS (SELECT $meanCols FROM v),
+       |codes AS (SELECT v.id,
+       |  $dWords
+       |  FROM v CROSS JOIN m),
+       |qc AS (SELECT q.query_id,
+       |  $qWords
+       |  FROM q CROSS JOIN m),
+       |ham AS (SELECT qc.query_id, codes.id,
+       |  CAST($ham AS BIGINT) AS dist
+       |  FROM qc CROSS JOIN codes),
+       |hamr AS (SELECT query_id, id AS neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist ASC, id ASC) AS rnk FROM ham)""".stripMargin
+  }
+
+  /** q153: sign-bit codes (id, w0..) — exact integers. */
+  def binaryCodes: String = {
+    val words = (Tables.embDims + 31) / 32
+    s"""WITH $binCtes
+       |SELECT id, ${(0 until words).map(w => s"w$w").mkString(", ")}
+       |FROM codes ORDER BY id""".stripMargin
+  }
+
+  /** q154: Hamming top-k over the packed words, ties by id. */
+  def binarySearch(kNN: Int): String =
+    s"""WITH $binCtes
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id
+       |FROM hamr WHERE rnk <= $kNN ORDER BY query_id, rnk""".stripMargin
+
+  /** q155: exact-L2 rerank of the Hamming top kReorder·kNN. */
+  def binaryRerank(kNN: Int, kReorder: Int): String = {
+    val d = Tables.embDims
+    s"""WITH $binCtes,
+       |cand AS (SELECT query_id, neighbor_id FROM hamr
+       |  WHERE rnk <= ${kReorder * kNN}),
+       |exact AS (SELECT c.query_id, c.neighbor_id,
+       |    ${l2.sqlExpr("q.q", "v.v", d)} AS dist
+       |  FROM cand c
+       |  JOIN v ON v.id = c.neighbor_id
+       |  JOIN q ON q.query_id = c.query_id),
+       |rr AS (SELECT query_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist ASC, neighbor_id ASC) AS rnk FROM exact)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id
+       |FROM rr WHERE rnk <= $kNN ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Two-stage MaxSim (q133): stage 1 ranks docs per query by cosine on
     * mean-POOLED bag vectors (per-dim fold in token order, one exact
     * division — MaxSim.pooled's contract) and keeps `candidates`; stage 2

@@ -918,6 +918,42 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** Binary-quantization thresholds (per-dim rounded corpus means). */
+  private def binParams(s: SparkSession, dir: String)
+      : graft.operators.BinaryQuant.Params =
+    memoized[graft.operators.BinaryQuant.Params]("bin_params", dir) {
+      graft.operators.BinaryQuant.train(embVectors(s, dir))
+    }
+
+  /** q153: sign-bit binary codes — one BIT per dimension (64× over f64),
+    * packed 32 bits per BIGINT word; the fourth compression axis next to
+    * SQ/LVQ/LeanVec/PQ. Exact integers, shuffle-free codegen'd encode. */
+  private def binaryCodesQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BinaryQuant.encode(embVectors(s, dir),
+      binParams(s, dir)).orderBy("id")
+
+  /** q154: Hamming top-k over the packed words — codegen'd
+    * bit_count(xor), the cheapest distance in the engine; ties (frequent,
+    * Hamming is integral) break by id identically in both engines. */
+  private def binarySearchQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BinaryQuant.searchHamming(embQueries(s, dir),
+        graft.operators.BinaryQuant.encode(embVectors(s, dir),
+          binParams(s, dir)),
+        binParams(s, dir), K)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+
+  /** q155: the two-pass binary plan — Hamming keeps kReorder·k (8-byte
+    * coarse scan), exact L2 reranks just those rows. */
+  private def binaryRerankQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BinaryQuant.searchHammingRerank(embQueries(s, dir),
+        graft.operators.BinaryQuant.encode(embVectors(s, dir),
+          binParams(s, dir)),
+        binParams(s, dir), embVectors(s, dir).select("id", "vec"), K,
+        PqWalkReorder)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+
   /** q97: Gopher-style repetition quality filters — duplicate-token /
     * duplicate-2-gram milli-fractions + top-2-gram count per doc. */
   private def repetitionQ(s: SparkSession, dir: String): DataFrame =
@@ -2447,6 +2483,9 @@ object SparkEntry {
     "q150_vamana_stored" -> (vamanaStoredQ _),
     "q151_pq_walk_stored" -> (pqWalkStoredQ _),
     "q152_graph_upsert" -> (graphUpsertQ _),
+    "q153_binary_codes" -> (binaryCodesQ _),
+    "q154_binary_search" -> (binarySearchQ _),
+    "q155_binary_rerank" -> (binaryRerankQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2770,5 +2809,8 @@ object SparkEntry {
       OracleGen.pqWalkRerank(PqM, PqK, K, VamanaProbes, PqWalkReorder),
     "q152_graph_upsert" -> OracleGen.updateShardsKnn(K, VamanaProbes,
       UpdOffset, "vec_id % 10 = 4", "vec_id % 13 = 5"),
+    "q153_binary_codes" -> OracleGen.binaryCodes,
+    "q154_binary_search" -> OracleGen.binarySearch(K),
+    "q155_binary_rerank" -> OracleGen.binaryRerank(K, PqWalkReorder),
   )
 }
