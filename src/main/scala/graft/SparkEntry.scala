@@ -954,6 +954,25 @@ object SparkEntry {
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 
+  /** q156: the SERVED IVFADC index — `IndexLayout.write` with the PqResC
+    * codec persists residual-PQ code columns cluster-partitioned (codes
+    * and codebooks can never drift: codes are derived at write, codebooks
+    * round-trip the sidecar bit-exactly), and the stored search ranks by
+    * probe-pruned residual-LUT sums reading codes of probed partitions
+    * only — must equal q146's in-memory composition (same oracle). */
+  private def ivfPqStoredQ(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_q156_ivfpq_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val cents = ivfPqCents(s, dir)
+    graft.operators.IndexLayout.write(
+      KMeans.assign(embVectors(s, dir), cents), cents, path,
+      graft.operators.IndexLayout.PqResC(pqParams(s, dir)))
+    val layout = graft.operators.IndexLayout.open(s, path)
+    graft.operators.IndexLayout.search(layout, embQueries(s, dir), K,
+        IvfPqProbes, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   /** q97: Gopher-style repetition quality filters — duplicate-token /
     * duplicate-2-gram milli-fractions + top-2-gram count per doc. */
   private def repetitionQ(s: SparkSession, dir: String): DataFrame =
@@ -2486,6 +2505,7 @@ object SparkEntry {
     "q153_binary_codes" -> (binaryCodesQ _),
     "q154_binary_search" -> (binarySearchQ _),
     "q155_binary_rerank" -> (binaryRerankQ _),
+    "q156_ivfpq_stored" -> (ivfPqStoredQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2812,5 +2832,7 @@ object SparkEntry {
     "q153_binary_codes" -> OracleGen.binaryCodes,
     "q154_binary_search" -> OracleGen.binarySearch(K),
     "q155_binary_rerank" -> OracleGen.binaryRerank(K, PqWalkReorder),
+    "q156_ivfpq_stored" ->
+      OracleGen.ivfPqSearch(PqM, PqK, K, IvfPqProbes),
   )
 }

@@ -36,6 +36,12 @@ object IndexLayout {
     * projection + spectrum) persists in the sidecar — the reference's
     * LeanVecTrainingData save/load (training_impl.h:68-79). */
   final case class LeanVecC(m: LeanVec.Model) extends Codec
+  /** IVFADC (Jégou et al. TPAMI'11 §IV): resident residual-PQ code
+    * columns `c0..c{m−1}` quantizing `vec − coarse_centroid`; search
+    * ranks by probe-pruned residual-LUT sums over codes only, so the
+    * stored coarse pass never reads `vec`. Codebooks persist in the
+    * sidecar with shortest-round-trip doubles. */
+  final case class PqResC(p: Pq.Params) extends Codec
 
   final case class Layout(clustered: DataFrame,
                           centroids: Seq[(Long, Seq[Double])], codec: Codec)
@@ -52,6 +58,8 @@ object IndexLayout {
       case Sq(p) => IvfIndex.withResidentCodes(clustered, p)
       case LvqC(p) => IvfIndex.withResidentLvq(clustered, p)
       case LeanVecC(m) => IvfIndex.withResidentLeanVec(clustered, m)
+      case PqResC(p) => clustered.join(
+        Pq.encodeResiduals(clustered, centroids, p), Seq("cluster_id", "id"))
     }
     IvfIndex.writeClustered(withCodes, s"$path/data")
     centroids.toDF("id", "vec").write.mode("overwrite")
@@ -71,6 +79,11 @@ object IndexLayout {
           s""""proj":[${m.proj.map(r => s"[${r.mkString(",")}]")
             .mkString(",")}],""" +
           s""""eigvals":[${m.eigvals.mkString(",")}]}"""
+      case PqResC(p) =>
+        s"""{"type":"pqres","m":${p.m},"k":${p.k},"dims":${p.dims},""" +
+          s""""books":[${p.codebooks.map(cb => "[" + cb.map(c =>
+            "[" + c.mkString(",") + "]").mkString(",") + "]")
+            .mkString(",")}]}"""
     }
     writeSidecar(spark, s"$path/layout.json", s"""{"codec":$codecJson}""")
   }
@@ -92,6 +105,10 @@ object IndexLayout {
         (c \ "mean").extract[Seq[Double]].toArray,
         (c \ "proj").extract[Seq[Seq[Double]]].map(_.toArray).toArray,
         (c \ "eigvals").extract[Seq[Double]].toArray))
+      case "pqres" => PqResC(Pq.Params((c \ "m").extract[Int],
+        (c \ "k").extract[Int], (c \ "dims").extract[Int],
+        (c \ "books").extract[Seq[Seq[Seq[Double]]]]
+          .map(_.map(_.toArray).toArray).toArray))
       case t => sys.error(s"unknown layout codec '$t' in $path/layout.json")
     }
     Layout(spark.read.parquet(s"$path/data"),
@@ -121,6 +138,11 @@ object IndexLayout {
       require(metric == Metric.L2, "LeanVec layout search is L2-only")
       IvfIndex.searchWithLeanVecReorder(queries, layout.clustered,
         layout.centroids, m, k, nProbes, kReorder)
+    case PqResC(p) =>
+      require(metric == Metric.L2, "IVFADC layout search is L2-only " +
+        "(the residual decomposition is an L2 identity)")
+      Pq.searchIvfAdc(queries, layout.clustered, layout.centroids, p, k,
+        nProbes)
   }
 
   private def writeSidecar(spark: SparkSession, path: String,

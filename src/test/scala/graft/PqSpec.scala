@@ -237,6 +237,30 @@ class PqSpec extends SparkSpec {
       s"rerank recall $rerankHits < walk-only $walkHits")
   }
 
+  test("stored IVFADC layout (PqResC codec): sidecar codebooks bit-exact, " +
+      "served search ≡ in-memory composition") {
+    val p = sampledParams()
+    val cents = vecs().filter(col("id") % 100 === 0).orderBy("id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    val clustered = graft.operators.KMeans.assign(vecs(), cents)
+    val path = "/tmp/graft_pqres_layout_spec"
+    graft.operators.IndexLayout.write(clustered, cents, path,
+      graft.operators.IndexLayout.PqResC(p))
+    val layout = graft.operators.IndexLayout.open(spark, path)
+    val rp = layout.codec
+      .asInstanceOf[graft.operators.IndexLayout.PqResC].p
+    for (j <- 0 until p.m; c <- 0 until p.k)
+      assert(rp.codebooks(j)(c).toSeq === p.codebooks(j)(c).toSeq)
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    val served = graft.operators.IndexLayout.search(layout, queries, 10,
+        nProbes = 3, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val mem = Pq.searchIvfAdc(queries,
+        Pq.encodeResiduals(clustered, cents, p), cents, p, 10, 3)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(served === mem)
+  }
+
   test("trained-Lloyd codebooks reduce distortion vs sampled rows") {
     def distortion(p: Pq.Params): Double = {
       val data = vecs().collect().map(_.getSeq[Double](1).toArray)
