@@ -391,7 +391,8 @@ object OracleGen {
     * id. With a full search window the walk is exact over probed shards,
     * so the oracle ranks directly. Ends in `adcr(query_id, neighbor_id,
     * rnk)` over ALL probed rows (cut by the caller). */
-  private def pqWalkCtes(m: Int, k: Int, nProbes: Int): String = {
+  private def pqWalkCtes(m: Int, k: Int, nProbes: Int,
+                         candPred: String = "TRUE"): String = {
     val d = Tables.embDims
     val sub = d / m
     val centAvgs = (0 until d).map(i => s"round(avg(v.v$i), 6) AS c$i")
@@ -417,7 +418,8 @@ object OracleGen {
        |  FROM probes p
        |  JOIN lab ON lab.label = p.cid
        |  JOIN codes ON codes.id = lab.id
-       |  JOIN q ON q.query_id = p.query_id $kJoins),
+       |  JOIN q ON q.query_id = p.query_id $kJoins
+       |  WHERE $candPred),
        |adcr AS (SELECT query_id, id AS neighbor_id,
        |  row_number() OVER (PARTITION BY query_id
        |    ORDER BY dist ASC, id ASC) AS rnk FROM adc)""".stripMargin
@@ -425,8 +427,9 @@ object OracleGen {
 
   /** q147: PQ-compressed Vamana walk (codes-only ADC scoring over probed
     * label shards, full window ⇒ exact). */
-  def pqWalk(m: Int, k: Int, kNN: Int, nProbes: Int): String =
-    s"""WITH ${pqWalkCtes(m, k, nProbes)}
+  def pqWalk(m: Int, k: Int, kNN: Int, nProbes: Int,
+             candPred: String = "TRUE"): String =
+    s"""WITH ${pqWalkCtes(m, k, nProbes, candPred)}
        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id
        |FROM adcr WHERE rnk <= $kNN ORDER BY query_id, rnk""".stripMargin
 

@@ -1088,6 +1088,54 @@ object OracleGenText {
        |    / len(ps)) AS BIGINT) AS lm_score_nano
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** q158: CCNet head/middle/tail buckets — exact global rank over the
+    * q120 scores (DESC, ties by doc_id), bucket = (n·(rank−1)) div count
+    * in pure integer arithmetic. */
+  def ccnetBuckets(nBuckets: Int): String =
+    s"""SELECT doc_id, lm_score_nano,
+       |  CAST(($nBuckets * (rn - 1)) // n AS BIGINT) AS bucket FROM (
+       |  SELECT doc_id, lm_score_nano,
+       |    row_number() OVER (ORDER BY lm_score_nano DESC, doc_id ASC)
+       |      AS rn,
+       |    count(*) OVER () AS n
+       |  FROM ($lmScore) s0) r
+       |ORDER BY doc_id""".stripMargin
+
+  /** q159: DSIR importance weights — target domain = docs with
+    * doc_id % targetMod = 0, raw = the full corpus; Laplace-smoothed
+    * bigram log-ratio Σ ln((ct+1)/(Nt+V)) − ln((cr+1)/(Nr+V)) folded in
+    * position order and nano-floored (ln bitwise ≡ across engines, the
+    * q128 BM25 precedent). */
+  def dsirWeights(targetMod: Long): String =
+    s"""WITH t AS ($toksCte),
+       |pr AS (SELECT doc_id, unnest([{'pos': i, 'w1': toks[i],
+       |    'w2': toks[i+1]} FOR i IN range(1, len(toks))]) AS s FROM t),
+       |p0 AS (SELECT doc_id, s.pos AS pos, s.w1 AS w1, s.w2 AS w2
+       |  FROM pr),
+       |rbg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cr FROM p0
+       |  GROUP BY w1, w2),
+       |tbg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS ct FROM p0
+       |  WHERE doc_id % $targetMod = 0 GROUP BY w1, w2),
+       |tot AS (SELECT
+       |  (SELECT coalesce(sum(ct), 0) FROM tbg) AS nt,
+       |  (SELECT sum(cr) FROM rbg) AS nr,
+       |  (SELECT count(*) FROM rbg) AS v),
+       |terms AS (SELECT p0.doc_id, p0.pos,
+       |  ln((CAST(coalesce(tbg.ct, 0) AS DOUBLE) + CAST(1 AS DOUBLE)) /
+       |    CAST(tot.nt + tot.v AS DOUBLE)) -
+       |  ln((CAST(coalesce(rbg.cr, 0) AS DOUBLE) + CAST(1 AS DOUBLE)) /
+       |    CAST(tot.nr + tot.v AS DOUBLE)) AS tm
+       |  FROM p0 LEFT JOIN tbg USING (w1, w2)
+       |  LEFT JOIN rbg USING (w1, w2) CROSS JOIN tot),
+       |agg AS (SELECT doc_id,
+       |  list_sort(list({'pos': pos, 'tm': tm})) AS ts FROM terms
+       |  GROUP BY doc_id)
+       |SELECT doc_id, CAST(floor(CAST(1000000000 AS DOUBLE) *
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(ts, x -> x.tm)), (a, b) -> a + b))
+       |  AS BIGINT) AS dsir_nano
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   /** q121: sliding-window chunking — same integer chunk-count formula and
     * 1-based list slicing as Packing.chunkByTokens (the ceil runs through
     * double division in BOTH engines for bit parity). */

@@ -526,6 +526,29 @@ object SparkEntry {
     LmScore.scoreMeanProb(docs(s, dir), bg, ug).orderBy("doc_id")
   }
 
+  /** q158: CCNet-style head/middle/tail corpus bucketing (Wenzek et al.
+    * LREC'20) — exact equal-mass tertiles by the q120-certified LM score,
+    * pure integer rank arithmetic; the sampled-cutoff 100 TB twin is
+    * LmSpec-certified. */
+  private def ccnetBucketsQ(s: SparkSession, dir: String): DataFrame = {
+    val (bg, ug) = lmModel(s, dir)
+    LmScore.ccnetBuckets(docs(s, dir), bg, ug).orderBy("doc_id")
+  }
+
+  private[graft] val DsirTargetMod = 7L
+
+  /** q159: DSIR importance weights (Xie et al. NeurIPS'23) — how much
+    * more likely each doc's bigram bag is under a TARGET-domain LM
+    * (doc_id % 7 = 0 here) than the raw-corpus LM; the resampling signal
+    * for domain-targeted data selection. Laplace-smoothed log-ratios,
+    * position-ordered fold, ln bitwise-portable (q128 precedent). */
+  private def dsirWeightsQ(s: SparkSession, dir: String): DataFrame = {
+    val (bg, _) = lmModel(s, dir)
+    val (tbg, _) = LmScore.trainBigrams(
+      docs(s, dir).filter(col("doc_id") % DsirTargetMod === 0))
+    LmScore.dsirWeights(docs(s, dir), tbg, bg).orderBy("doc_id")
+  }
+
   private[graft] val LmLambda = 0.75
 
   /** q125: Jelinek–Mercer interpolated LM score — λ·p(w2|w1) +
@@ -969,6 +992,22 @@ object SparkEntry {
     val layout = graft.operators.IndexLayout.open(s, path)
     graft.operators.IndexLayout.search(layout, embQueries(s, dir), K,
         IvfPqProbes, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** q157: the filtered × compressed serving composition — PQ-ADC walk
+    * with the q149 traverse-but-filter predicate: excluded rows keep the
+    * graph connected through them, codes-only scan scores them, emission
+    * skips them. Full window ⇒ exact ADC-over-kept (q147's oracle with
+    * the predicate). */
+  private def pqWalkFilteredQ(s: SparkSession, dir: String): DataFrame = {
+    val clustered = embLabelClustered(s, dir)
+    val codes = Pq.encodeClustered(clustered, pqParams(s, dir))
+    Vamana.searchShardedAdc(embQueries(s, dir), codes, embGraph(s, dir),
+        embLabelCentroids(s, dir), pqParams(s, dir), K,
+        searchWindow = 1 << 14, nProbes = VamanaProbes, Metric.L2,
+        keep = col("id") % 3 =!= 1)
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
   }
@@ -2506,6 +2545,9 @@ object SparkEntry {
     "q154_binary_search" -> (binarySearchQ _),
     "q155_binary_rerank" -> (binaryRerankQ _),
     "q156_ivfpq_stored" -> (ivfPqStoredQ _),
+    "q157_pq_walk_filtered" -> (pqWalkFilteredQ _),
+    "q158_ccnet_buckets" -> (ccnetBucketsQ _),
+    "q159_dsir_weights" -> (dsirWeightsQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2834,5 +2876,9 @@ object SparkEntry {
     "q155_binary_rerank" -> OracleGen.binaryRerank(K, PqWalkReorder),
     "q156_ivfpq_stored" ->
       OracleGen.ivfPqSearch(PqM, PqK, K, IvfPqProbes),
+    "q157_pq_walk_filtered" ->
+      OracleGen.pqWalk(PqM, PqK, K, VamanaProbes, "(codes.id % 3) <> 1"),
+    "q158_ccnet_buckets" -> OracleGenText.ccnetBuckets(3),
+    "q159_dsir_weights" -> OracleGenText.dsirWeights(DsirTargetMod),
   )
 }

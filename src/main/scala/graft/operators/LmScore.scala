@@ -164,6 +164,101 @@ object LmScore {
           .cast("long").as("lm_interp_nano"))
   }
 
+  /** CCNet-style corpus bucketing (Wenzek et al. LREC'20 §4.3: split the
+    * corpus into head/middle/tail by LM quality): rank every scored doc
+    * by (lm_score_nano DESC, doc_id) and cut into `nBuckets` equal-mass
+    * buckets — bucket = (nBuckets·(rank−1)) div count, pure integer
+    * arithmetic, so DuckDB replays it exactly. Bucket 0 is the most
+    * fluent (CCNet's "head"). Docs with < 2 tokens have no bigram score
+    * and are absent, matching [[scoreMeanProb]].
+    *
+    * The exact global rank is one single-partition window over
+    * (doc_id, score) rows ONLY — fine into the billions of docs; at the
+    * very top end CCNet itself learns percentile CUTOFFS on a sample and
+    * applies them as a map, which is [[bucketsByCutoffs]] (shuffle-free
+    * codegen'd when-chain). */
+  def ccnetBuckets(docs: DataFrame, bigrams: DataFrame, unigrams: DataFrame,
+      nBuckets: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("lm_score_nano").desc, col("doc_id").asc)
+    scoreMeanProb(docs, bigrams, unigrams, idCol, textCol)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy()).cast("long"))
+      .select(col("doc_id"), col("lm_score_nano"),
+        expr(s"CAST(($nBuckets * (rn - 1)) DIV n AS BIGINT)").as("bucket"))
+  }
+
+  /** Sampled-cutoff bucketing — the 100 TB shape: `cutoffs` are
+    * descending score thresholds (bucket b = first b with score ≥
+    * cutoffs(b), else cutoffs.length); learned once on a sample, applied
+    * as a shuffle-free codegen'd map next to the scan. */
+  def bucketsByCutoffs(scored: DataFrame, cutoffs: Seq[Long],
+      scoreCol: String = "lm_score_nano"): DataFrame = {
+    val bucket = cutoffs.zipWithIndex.reverse
+      .foldLeft(lit(cutoffs.length.toLong)) { case (acc, (c, b)) =>
+        when(col(scoreCol) >= c, b.toLong).otherwise(acc)
+      }
+    scored.withColumn("bucket", bucket.cast("long"))
+  }
+
+  /** DSIR importance weights (Xie et al. NeurIPS'23, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw doc by
+    * how much more likely its n-gram bag is under a TARGET-domain LM than
+    * under the raw-corpus LM — log w(doc) = Σ_grams ln p_t(g) − ln p_r(g)
+    * — then resample ∝ w. Features here are the engine's certified bigram
+    * tables (the hashed-bucket variant DSIR §2.2 uses at scale is the
+    * [[trainBigramsHashed]] lever, spec-pinned equal); both distributions
+    * are Laplace-smoothed over the raw vocabulary, so unseen grams
+    * contribute a finite negative ratio. Arithmetic contract: each term
+    * is ln((c+1)/(N+V)) with integer c/N/V — ln is bitwise-verified
+    * HotSpot ≡ DuckDB on this stack (the q128 BM25 precedent) — summed in
+    * document position order and floored to nano.
+    *
+    * Scale shape: two vocabulary-bounded count tables (one for the small
+    * target domain, one for the corpus — the same single-shuffle
+    * aggregations as [[trainBigrams]]), then a broadcast-joined
+    * shuffle-free map over the corpus grams. */
+  def dsirWeights(docs: DataFrame, targetBigrams: DataFrame,
+      rawBigrams: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def totals(bg: DataFrame): (Long, Long) = {
+      val r = bg.agg(sum("c2").cast("long"), count(lit(1))).head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+    }
+    val (nt, _) = totals(targetBigrams)
+    val (nr, v) = totals(rawBigrams) // smoothing vocab = RAW bigram types
+    val toks = split(col(textCol), " ")
+    val pairs = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(when(size(toks) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
+            struct(element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2"))))))
+      .select(col("doc_id"), col("pos"), col("col.w1"), col("col.w2"))
+    val terms = pairs
+      .join(broadcast(targetBigrams.select(col("w1"), col("w2"),
+        col("c2").as("ct"))), Seq("w1", "w2"), "left")
+      .join(broadcast(rawBigrams.select(col("w1"), col("w2"),
+        col("c2").as("cr"))), Seq("w1", "w2"), "left")
+      .select(col("doc_id"), col("pos"),
+        (log((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) /
+            lit((nt + v).toDouble)) -
+          log((coalesce(col("cr"), lit(0L)).cast("double") + 1.0) /
+            lit((nr + v).toDouble))).as("t"))
+    terms.groupBy("doc_id")
+      .agg(collect_list(struct(col("pos"), col("t"))).as("ts"))
+      .select(col("doc_id"),
+        floor(lit(ScoreScale.toDouble) *
+          aggregate(sort_array(col("ts")), lit(0.0),
+            (acc, x) => acc + x.getField("t")))
+          .cast("long").as("dsir_nano"))
+  }
+
   /** Conventional bigram perplexity exp(−mean ln p) with floor-epsilon for
     * unseen bigrams — the standard report form; transcendental, so
     * certified by LmSpec (strictly anti-monotone with the mean-LOG-prob,

@@ -271,7 +271,9 @@ object Vamana {
                        graph: DataFrame,
                        centroids: Seq[(Long, Seq[Double])], p: Pq.Params,
                        k: Int, searchWindow: Int, nProbes: Int,
-                       metric: Metric = Metric.L2): DataFrame = {
+                       metric: Metric = Metric.L2,
+                       keep: org.apache.spark.sql.Column = lit(true))
+      : DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
     require(searchWindow >= k, "searchWindow must be ≥ k")
@@ -286,12 +288,13 @@ object Vamana {
 
     val codeArr = array((0 until p.m).map(j => col(s"c$j").cast("int")): _*)
     val partials = codes
+      .withColumn("keep", keep)
       .filter(col("cluster_id").isin(probedIds: _*))
       .join(graph, Seq("cluster_id", "id"))
       .select(col("cluster_id").cast("long"), col("id").cast("long"),
         codeArr.as("code"), col("entry_id").cast("long"),
-        col("neighbors").cast("array<long>"))
-      .as[(Long, Long, Array[Int], Long, Array[Long])]
+        col("neighbors").cast("array<long>"), col("keep"))
+      .as[(Long, Long, Array[Int], Long, Array[Long], Boolean)]
       .groupByKey(_._1)
       .flatMapGroups { (cid, it) =>
         val qs = bc.value.getOrElse(cid, Array.empty[(Long, Array[Double])])
@@ -300,7 +303,8 @@ object Vamana {
           val rows = it.toArray.sortBy(_._2)
           walkShardCore(cid, rows.map(_._2),
             new VamanaKernel.PqStore(rows.map(_._3), books), rows(0)._4,
-            rows.map(_._5), qs, k, searchWindow, searchCapacity = 0, m)
+            rows.map(_._5), qs, k, searchWindow, searchCapacity = 0, m,
+            allowedOf(rows.map(_._6)))
         }
       }
       .toDF("query_id", "id", "dist")

@@ -126,6 +126,55 @@ class LmSpec extends SparkSpec {
     assert(uni(1L) === 300000000L)
   }
 
+  test("ccnetBuckets: equal-mass head/middle/tail by score rank; " +
+      "cutoff twin reproduces the exact-rank buckets") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val (bg, ug) = LmScore.trainBigrams(docs)
+    val b = LmScore.ccnetBuckets(docs, bg, ug).cache()
+    val rows = b.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byBucket = rows.groupBy(_._3)
+    assert(byBucket.keySet === Set(0L, 1L, 2L))
+    // equal mass within 1 doc
+    val sizes = byBucket.view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1, sizes.toString)
+    // bucket boundaries respect score order: min(head) >= max(middle) etc.
+    assert(byBucket(0L).map(_._2).min >= byBucket(1L).map(_._2).max)
+    assert(byBucket(1L).map(_._2).min >= byBucket(2L).map(_._2).max)
+    // the 100 TB twin: cutoffs read off the exact buckets reproduce them
+    // for every doc whose score is unambiguous (strictly between cuts);
+    // on this corpus scores are distinct enough that all docs agree
+    val c0 = byBucket(0L).map(_._2).min
+    val c1 = byBucket(1L).map(_._2).min
+    val viaCut = LmScore.bucketsByCutoffs(
+        LmScore.scoreMeanProb(docs, bg, ug), Seq(c0, c1))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    rows.foreach { case (id, _, bk) =>
+      assert(viaCut(id) === bk, s"doc $id") }
+    b.unpersist()
+  }
+
+  test("dsirWeights: target-domain docs score higher on average than " +
+      "the rest; all-target degenerates to zero-mean-free ratios") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val (rbg, _) = LmScore.trainBigrams(docs)
+    val (tbg, _) = LmScore.trainBigrams(docs.filter(col("doc_id") % 7 === 0))
+    val w = LmScore.dsirWeights(docs, tbg, rbg).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (tgt, rest) = w.partition(_._1 % 7 == 0)
+    val mTgt = tgt.map(_._2.toDouble).sum / tgt.length
+    val mRest = rest.map(_._2.toDouble).sum / rest.length
+    assert(mTgt > mRest,
+      s"target mean $mTgt not above non-target mean $mRest")
+    // target = raw => every term is ln(x) - ln(x) = 0 exactly
+    val zero = LmScore.dsirWeights(docs, rbg, rbg).collect()
+    assert(zero.forall(_.getLong(1) == 0L))
+  }
+
   test("perplexity is strictly anti-monotone with mean log-prob on the " +
       "same model (transcendental variant, spec-certified)") {
     val docs = Seq(
