@@ -285,6 +285,30 @@ object GoldenRecall {
     adcRows ++ walkRows ++ rerankRows
   }
 
+  /** Binary (sign-bit) families: `binary` pins Hamming-only recall@k (one
+    * row, the 64×-compression floor) and `binary_rerank` the exact-rerank
+    * dial per k_reorder — recall vs the uncompressed truth, like every
+    * compressed family. */
+  def binaryGrid(data: DataFrame, queries: DataFrame, truth: DataFrame,
+                 k: Int, nq: Int, kReorders: Seq[Int]): Seq[Row] = {
+    import graft.operators.BinaryQuant
+    val t0 = System.nanoTime()
+    val p = BinaryQuant.train(data)
+    val codes = BinaryQuant.encode(data, p).cache()
+    codes.count()
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val ham = Row("binary", "mean_thresh", "k", k,
+      recallOf(BinaryQuant.searchHamming(queries, codes, p, k), truth, k,
+        nq), buildSec)
+    val rr = kReorders.map { kr =>
+      Row("binary_rerank", "mean_thresh", "k_reorder", kr,
+        recallOf(BinaryQuant.searchHammingRerank(queries, codes, p, data,
+          k, kr), truth, k, nq), buildSec)
+    }
+    codes.unpersist()
+    ham +: rr
+  }
+
   /** MaxSim two-stage grid: recall@k of the pooled-prefilter +
     * exact-rerank path against EXHAUSTIVE MaxSim over 4-token bags of the
     * same dataset, per candidate width — the quality/cost dial of q133's
@@ -371,7 +395,9 @@ object GoldenRecall {
       calibrationRows(data, queries, truth, dims, k, target = 0.85) ++
       maxSimGrid(data, dims, k, cands = Seq(10, 20, 50, 100)) ++
       pqGrid(data, queries, truth, dims, k, nq, ms = Seq(8, 16, 32),
-        kCode = 16, kReorders = Seq(1, 2, 4, 8))
+        kCode = 16, kReorders = Seq(1, 2, 4, 8)) ++
+      binaryGrid(data, queries, truth, k, nq,
+        kReorders = Seq(1, 2, 4, 8, 16))
 
     rows.foreach(r => println(rowJson(r)))
     val json = rows.map(rowJson).mkString(

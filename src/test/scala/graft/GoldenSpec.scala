@@ -143,6 +143,22 @@ class GoldenSpec extends SparkSpec {
     truth.unpersist()
   }
 
+  test("binary families reproduce the committed artifact (±0.01); " +
+      "rerank dominates Hamming-only") {
+    val (data, queries, truth) = GoldenRecall.dataset(spark, N, Dims, Nq, K)
+    val rows = GoldenRecall.binaryGrid(data, queries, truth, K, Nq,
+      kReorders = Seq(8))
+    rows.foreach { r =>
+      val p = pinned(r.family, r.config, r.value)
+      assert(math.abs(r.recall - p) <= 0.01,
+        s"${r.family} ${r.param}=${r.value}: ${r.recall} vs pinned $p")
+    }
+    val ham = rows.find(_.family == "binary").get
+    val rr = rows.find(_.family == "binary_rerank").get
+    assert(rr.recall >= ham.recall)
+    truth.unpersist()
+  }
+
   test("maxsim two-stage golden row reproduces (±0.01)") {
     val (data, _, truth) = GoldenRecall.dataset(spark, N, Dims, Nq, K)
     val rows = GoldenRecall.maxSimGrid(data, Dims, K, Seq(100))
