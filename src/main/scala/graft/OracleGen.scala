@@ -453,6 +453,35 @@ object OracleGen {
        |FROM rr WHERE rnk <= $kNN ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** q160: Matryoshka truncated search — coarse L2 over the first rDims
+    * only (i-ascending prefix fold), top kReorder·kNN by (dist, id), then
+    * exact full-dim L2 rerank. */
+  def mrlSearch(rDims: Int, kNN: Int, kReorder: Int): String = {
+    val d = Tables.embDims
+    val prefix = (0 until rDims)
+      .map(i => s"(q.q$i-v.v$i)*(q.q$i-v.v$i)").mkString(" + ")
+    s"""WITH v AS (SELECT vec_id AS id, ${dimCols("v", embDimExprs)}
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}
+       |  FROM embeddings WHERE ${Tables.embQueryPredSql}),
+       |coarse AS (SELECT q.query_id, v.id, $prefix AS dist
+       |  FROM q CROSS JOIN v),
+       |cr AS (SELECT query_id, id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist ASC, id ASC) AS rn FROM coarse),
+       |cand AS (SELECT query_id, id FROM cr WHERE rn <= ${kReorder * kNN}),
+       |exact AS (SELECT c.query_id, c.id,
+       |    ${l2.sqlExpr("q.q", "v.v", d)} AS dist
+       |  FROM cand c
+       |  JOIN v ON v.id = c.id
+       |  JOIN q ON q.query_id = c.query_id),
+       |rr AS (SELECT query_id, id AS neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist ASC, id ASC) AS rnk FROM exact)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id
+       |FROM rr WHERE rnk <= $kNN ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Shared binary-quantization CTEs (q153–q155): per-dim rounded-mean
     * thresholds, 32-bits-per-BIGINT-word sign packing (word values < 2³²
     * so both engines use plain signed arithmetic), Hamming ranks via

@@ -535,6 +535,18 @@ object SparkEntry {
     LmScore.ccnetBuckets(docs(s, dir), bg, ug).orderBy("doc_id")
   }
 
+  private[graft] val MrlDims = 16
+
+  /** q160: Matryoshka (MRL) truncated search — coarse pass folds only
+    * the first 16 of 64 dims (training-free prefix truncation, the MRL
+    * deployment recipe), exact full-dim rerank on the kReorder·k
+    * shortlist. */
+  private def mrlSearchQ(s: SparkSession, dir: String): DataFrame =
+    LeanVec.searchTruncated(embQueries(s, dir),
+        embVectors(s, dir).select("id", "vec"), K, MrlDims, PqWalkReorder)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+
   private[graft] val DsirTargetMod = 7L
 
   /** q159: DSIR importance weights (Xie et al. NeurIPS'23) — how much
@@ -2548,6 +2560,7 @@ object SparkEntry {
     "q157_pq_walk_filtered" -> (pqWalkFilteredQ _),
     "q158_ccnet_buckets" -> (ccnetBucketsQ _),
     "q159_dsir_weights" -> (dsirWeightsQ _),
+    "q160_mrl_search" -> (mrlSearchQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2880,5 +2893,6 @@ object SparkEntry {
       OracleGen.pqWalk(PqM, PqK, K, VamanaProbes, "(codes.id % 3) <> 1"),
     "q158_ccnet_buckets" -> OracleGenText.ccnetBuckets(3),
     "q159_dsir_weights" -> OracleGenText.dsirWeights(DsirTargetMod),
+    "q160_mrl_search" -> OracleGen.mrlSearch(MrlDims, K, PqWalkReorder),
   )
 }

@@ -288,6 +288,27 @@ object LeanVec {
     rerank(shortlist, queries, fullData, k, metric)
   }
 
+  /** Matryoshka (MRL) truncated search (Kusupati et al. NeurIPS'22:
+    * embeddings trained so PREFIXES are themselves valid embeddings —
+    * the training-free cousin of LeanVec's learned projection): the
+    * coarse pass scans only the first `rDims` of each vector
+    * (`slice` — column pruning can't drop the tail of an array, but the
+    * per-pair fold cost drops d/r×, and an ingest-time materialized
+    * prefix column turns it into a genuine bandwidth cut), keeps
+    * kReorder·k, then exact `metric` on full vectors re-ranks the
+    * shortlist. Same two-pass contract as [[searchPrepared]] with
+    * truncation instead of projection. */
+  def searchTruncated(queries: DataFrame, data: DataFrame, k: Int,
+                      rDims: Int, kReorder: Int,
+                      metric: Metric = Metric.L2): DataFrame = {
+    val rq = queries.select(col("query_id"),
+      slice(col("qvec"), 1, rDims).as("qvec"))
+    val rd = data.select(col("id"), slice(col("vec"), 1, rDims).as("vec"))
+    val shortlist = FlatKnn.search(rq, rd, kReorder * k, Metric.L2)
+      .select(col("query_id"), col("neighbor_id").as("id"))
+    rerank(shortlist, queries, data, k, metric)
+  }
+
   /** Convenience end-to-end search: trains nothing — transforms both sides
     * with `model` and runs [[searchPrepared]]. For repeated searches,
     * transform + cache the data side once and call [[searchPrepared]]. */

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Metric
+import graft.operators.{BinaryQuant, KMeans, Pq, Vamana}
+import graft.operators.VamanaKernel.BuildParams
+
+/** Randomized property coverage for the round-6 serving family, beyond
+  * the parquet fixtures: seeded random corpora, ragged dimensions, and
+  * degenerate shapes (k > n, empty query batches, single-row shards). */
+class ServingPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randData(seed: Long, n: Int, dims: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i =>
+      (i.toLong, Seq.fill(dims)(rnd.nextDouble())))
+  }
+
+  test("full-window ADC walk ≡ brute-force ADC on random corpora " +
+      "(3 seeds, random m); filtered walk respects its predicate") {
+    for (seed <- Seq(11L, 42L, 99L)) {
+      val dims = 16
+      val m = Seq(2, 4, 8)(new scala.util.Random(seed).nextInt(3))
+      val rows = randData(seed, 60, dims)
+      val data = rows.toDF("id", "vec")
+      val cents = rows.take(3).map { case (id, v) => (id, v.toIndexedSeq) }
+      val clustered = KMeans.assign(data, cents)
+      val graph = Vamana.buildSharded(clustered,
+        BuildParams(maxDegree = 8, buildWindow = 16), Metric.L2)
+      val p = Pq.paramsFromRows(
+        rows.take(4).map(_._2.toArray), m, 4, dims)
+      val codes = Pq.encodeClustered(clustered, p)
+      val queries = rows.take(5)
+        .map { case (id, v) => (id + 1000, v.map(x => 1.0 - x)) }
+        .toDF("query_id", "qvec")
+      val walked = Vamana.searchShardedAdc(queries, codes, graph, cents, p,
+          k = 7, searchWindow = 1 << 12, nProbes = 3)
+        .select("query_id", "rnk", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val flat = Pq.searchAdc(queries, Pq.encode(data, p), p, 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(walked === flat, s"seed $seed m $m")
+      val filtered = Vamana.searchShardedAdc(queries, codes, graph, cents,
+          p, k = 7, searchWindow = 1 << 12, nProbes = 3,
+          keep = col("id") % 2 === 0)
+        .collect()
+      assert(filtered.nonEmpty)
+      assert(!filtered.exists(_.getAs[Long]("neighbor_id") % 2 != 0),
+        s"seed $seed emitted an excluded id")
+    }
+  }
+
+  test("binary quantization on ragged dims (40 → a partial second word) " +
+      "matches a driver reference; k > n walks/searches degrade to n") {
+    val dims = 40
+    val rows = randData(7L, 30, dims)
+    val data = rows.toDF("id", "vec")
+    val p = BinaryQuant.train(data)
+    assert(p.words === 2)
+    val got = BinaryQuant.encode(data, p).collect()
+      .map(r => r.getLong(0) -> (1 to 2).map(r.getLong)).toMap
+    rows.foreach { case (id, v) =>
+      val w = new Array[Long](2)
+      for (i <- 0 until dims if v(i) > p.thresholds(i))
+        w(i / 32) |= 1L << (i % 32)
+      assert(got(id) === w.toSeq, s"id $id")
+    }
+    // k > n: Hamming search returns all n rows, ranked
+    val queries = rows.take(2)
+      .map { case (id, v) => (id + 100, v) }.toDF("query_id", "qvec")
+    val big = BinaryQuant.searchHamming(queries,
+      BinaryQuant.encode(data, p), p, k = 100)
+    assert(big.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) === 30))
+    // k > n on the ADC walk: emits min(k, reachable) per shard
+    val cents = rows.take(1).map { case (id, v) => (id, v.toIndexedSeq) }
+    val clustered = KMeans.assign(data, cents)
+    val graph = Vamana.buildSharded(clustered,
+      BuildParams(maxDegree = 6, buildWindow = 12), Metric.L2)
+    val pq = Pq.paramsFromRows(rows.take(4).map(_._2.toArray), 4, 4, dims)
+    val walked = Vamana.searchShardedAdc(queries,
+      Pq.encodeClustered(clustered, pq), graph, cents, pq, k = 100,
+      searchWindow = 1 << 12, nProbes = 1)
+    assert(walked.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) === 30))
+    // empty query batch: empty result, no failure
+    val none = Vamana.searchShardedAdc(queries.limit(0),
+      Pq.encodeClustered(clustered, pq), graph, cents, pq, k = 5,
+      searchWindow = 16, nProbes = 1)
+    assert(none.count() === 0)
+  }
+}
