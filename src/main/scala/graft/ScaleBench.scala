@@ -205,6 +205,35 @@ object ScaleBench {
         splitCents, pqP, split, k, kReorder = 8, searchWindow = 80,
         nProbes = 8)) }
     truthPq.unpersist()
+    // Binary sign-bit serving at 1M: the 64× axis — coarse scan reads
+    // two BIGINT words per row (16 B vs 512 B), bit_count(xor) ranking,
+    // exact rerank of the Hamming top kReorder·k.
+    import graft.operators.BinaryQuant
+    val (binP, tBinTrain) = time(BinaryQuant.train(data))
+    val pathBin = "/tmp/graft_scale_bin_codes"
+    val (_, tBinEncode) = time {
+      BinaryQuant.encode(data, binP).write.mode("overwrite")
+        .parquet(pathBin) }
+    val binCodes = spark.read.parquet(pathBin)
+    binCodes.count()
+    val truthBin = FlatKnn.search(queries, data, k, Metric.L2)
+      .select("query_id", "neighbor_id").cache()
+    truthBin.count()
+    def recallBin(res: org.apache.spark.sql.DataFrame): Double =
+      res.select("query_id", "neighbor_id").intersect(truthBin).count()
+        .toDouble / (k.toLong * nq)
+    val (rBinHam, tBinHam) = time {
+      recallBin(BinaryQuant.searchHamming(queries, binCodes, binP, k)) }
+    val (rBinRr, tBinRr) = time {
+      recallBin(BinaryQuant.searchHammingRerank(queries, binCodes, binP,
+        data, k, kReorder = 16)) }
+    truthBin.unpersist()
+    println(s"""{"experiment":"scale_bench_binary","n":$n,"dims":$dims,""" +
+      s""""bin_train_sec":$tBinTrain,"bin_encode_sec":$tBinEncode,""" +
+      s""""bin_hamming_sec":$tBinHam,"bin_hamming_recall":$rBinHam,""" +
+      s""""bin_rerank_sec":$tBinRr,"bin_rerank_recall":$rBinRr,""" +
+      s""""flat_knn_sec":$tFlat}""")
+
     println(s"""{"experiment":"scale_bench_pq","n":$n,"dims":$dims,""" +
       s""""pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEncode,""" +
       s""""pq_walk_sec":$tPqWalk,"pq_walk_recall":$rPqWalk,""" +

@@ -218,8 +218,13 @@ object LmScore {
     *
     * Scale shape: two vocabulary-bounded count tables (one for the small
     * target domain, one for the corpus — the same single-shuffle
-    * aggregations as [[trainBigrams]]), then a broadcast-joined
-    * shuffle-free map over the corpus grams. */
+    * aggregations as [[trainBigrams]]), joined to the corpus gram stream.
+    * Join strategy is left to Catalyst/AQE: the target table is usually
+    * broadcast-small, but the RAW table grows with the corpus vocabulary
+    * (tens of millions of bigram types at 1M docs), so forcing a
+    * broadcast would be a scale bug — the sort-merge join on (w1, w2) is
+    * the honest cost, and [[trainBigramsHashed]]'s 8-byte keys are the
+    * shuffle-width lever. */
   def dsirWeights(docs: DataFrame, targetBigrams: DataFrame,
       rawBigrams: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -241,10 +246,10 @@ object LmScore {
               element_at(toks, i + 1).as("w2"))))))
       .select(col("doc_id"), col("pos"), col("col.w1"), col("col.w2"))
     val terms = pairs
-      .join(broadcast(targetBigrams.select(col("w1"), col("w2"),
-        col("c2").as("ct"))), Seq("w1", "w2"), "left")
-      .join(broadcast(rawBigrams.select(col("w1"), col("w2"),
-        col("c2").as("cr"))), Seq("w1", "w2"), "left")
+      .join(targetBigrams.select(col("w1"), col("w2"),
+        col("c2").as("ct")), Seq("w1", "w2"), "left")
+      .join(rawBigrams.select(col("w1"), col("w2"),
+        col("c2").as("cr")), Seq("w1", "w2"), "left")
       .select(col("doc_id"), col("pos"),
         (log((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) /
             lit((nt + v).toDouble)) -
