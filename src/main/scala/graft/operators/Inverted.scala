@@ -259,6 +259,22 @@ object Calibrate {
     }
     best
   }
+
+  /** The SERVING-dial calibration — the same B7 binary search applied to
+    * the two-pass compressed paths' `kReorder` (PQ walk, binary Hamming,
+    * MRL truncation, IVF reorder): find the smallest rerank width whose
+    * exact-rerank recall reaches `targetRecall`. Each probe's cost is one
+    * coarse scan + a |Q|·kReorder·k-row exact join, so the whole sweep is
+    * ~log₂(maxReorder) cheap searches — at 100 TB the coarse pass is the
+    * only corpus-sized read per probe. Returns (kReorder, recall); when
+    * even `maxReorder` misses the target the caller should widen the
+    * coarse dial (window / nProbes / m) instead — rerank can only recover
+    * candidates the coarse pass surfaced. */
+  def calibrateReorder(search: Int => DataFrame, truth: DataFrame, k: Int,
+                       targetRecall: Double, maxReorder: Int)
+      : (Int, Double) =
+    calibrateWindow(search, truth, k, targetRecall, minWindow = 1,
+      maxWindow = maxReorder)
 }
 
 /** Row reconstruction + point distance lookup (SURVEY §2 P10/P11 —

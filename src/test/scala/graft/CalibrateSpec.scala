@@ -68,4 +68,38 @@ class CalibrateSpec extends SparkSpec {
       .intersect(truth).count().toDouble / (k * q.count())
     assert(math.abs(check - rec) < 1e-9)
   }
+
+  test("calibrateReorder finds the minimal rerank width hitting the " +
+      "target on the binary two-pass path") {
+    import graft.operators.BinaryQuant
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    val truth = FlatKnn.search(queries, data, 10, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+    val p = BinaryQuant.train(data)
+    val codes = BinaryQuant.encode(data, p).cache()
+    codes.count()
+    def searchAt(kr: Int) =
+      BinaryQuant.searchHammingRerank(queries, codes, p, data, 10, kr)
+    // a reachable target: recall at the max dial
+    val nq = queries.count()
+    def recallOf(kr: Int): Double =
+      searchAt(kr).select("query_id", "neighbor_id")
+        .intersect(truth.select("query_id", "neighbor_id")).count()
+        .toDouble / (10 * nq)
+    val rMax = recallOf(16)
+    val target = rMax * 0.8
+    val (kr, rec) = Calibrate.calibrateReorder(searchAt, truth, 10,
+      target, maxReorder = 16)
+    assert(rec >= target)
+    assert(kr >= 1 && kr <= 16)
+    // minimality: one step below the calibrated dial misses the target
+    if (kr > 1) assert(recallOf(kr - 1) < target,
+      s"kr ${kr - 1} already reaches $target")
+    // unreachable target reports the max dial
+    val (krU, recU) = Calibrate.calibrateReorder(searchAt, truth, 10,
+      targetRecall = 1.01, maxReorder = 16)
+    assert(krU === 16 && recU === rMax)
+    codes.unpersist()
+  }
 }
