@@ -547,6 +547,39 @@ object SparkEntry {
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 
+  /** q161: serving-dial calibration flags (the q50 invariant-flag pattern
+    * on `Calibrate.calibrateReorder`): binary-search the smallest binary-
+    * Hamming rerank width reaching 80% of the max-dial recall; certify
+    * achieved / minimal / bounded as 0/1 flags (the search is
+    * deterministic — searches, truth, and dial are all exact). */
+  private def calibrateReorderQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = embVectors(s, dir).select("id", "vec")
+    val q = embQueries(s, dir)
+    val p = graft.operators.BinaryQuant.train(data)
+    val codes = graft.operators.BinaryQuant.encode(data, p).cache()
+    codes.count()
+    def searchAt(kr: Int): DataFrame =
+      graft.operators.BinaryQuant.searchHammingRerank(q, codes, p, data,
+        K, kr)
+    val truth = FlatKnn.search(q, data, K, Metric.L2)
+      .select("query_id", "neighbor_id").cache()
+    val nq = q.count()
+    def recallOf(kr: Int): Double =
+      searchAt(kr).select("query_id", "neighbor_id").intersect(truth)
+        .count().toDouble / (K * nq)
+    val maxDial = 16
+    val target = recallOf(maxDial) * 0.8
+    val (kr, rec) = Calibrate.calibrateReorder(searchAt, truth, K, target,
+      maxDial)
+    val minimal = if (kr <= 1) 1L
+      else if (recallOf(kr - 1) < target) 1L else 0L
+    val out = Seq((if (rec >= target) 1L else 0L, minimal,
+      if (kr <= maxDial) 1L else 0L)).toDF("achieved", "minimal", "bounded")
+    truth.unpersist(); codes.unpersist()
+    out
+  }
+
   private[graft] val DsirTargetMod = 7L
 
   /** q159: DSIR importance weights (Xie et al. NeurIPS'23) — how much
@@ -2561,6 +2594,7 @@ object SparkEntry {
     "q158_ccnet_buckets" -> (ccnetBucketsQ _),
     "q159_dsir_weights" -> (dsirWeightsQ _),
     "q160_mrl_search" -> (mrlSearchQ _),
+    "q161_calibrate_reorder" -> (calibrateReorderQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2894,5 +2928,8 @@ object SparkEntry {
     "q158_ccnet_buckets" -> OracleGenText.ccnetBuckets(3),
     "q159_dsir_weights" -> OracleGenText.dsirWeights(DsirTargetMod),
     "q160_mrl_search" -> OracleGen.mrlSearch(MrlDims, K, PqWalkReorder),
+    // q161: invariant-flag oracle (the q50 pattern) — the calibration's
+    // searches/truth/dial are all exact and deterministic
+    "q161_calibrate_reorder" -> OracleGen.calibrateFlags,
   )
 }
