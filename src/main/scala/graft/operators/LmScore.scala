@@ -179,10 +179,18 @@ object LmScore {
     * codegen'd when-chain). */
   def ccnetBuckets(docs: DataFrame, bigrams: DataFrame, unigrams: DataFrame,
       nBuckets: Int = 3, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    bucketsByRank(scoreMeanProb(docs, bigrams, unigrams, idCol, textCol),
+      nBuckets)
+
+  /** The exact-rank bucketing alone, over an already-scored frame —
+    * reuse a cached score table across rank- and cutoff-bucketing (the
+    * scoring pass dominates; the rank window itself is one
+    * single-partition pass over (doc_id, score) rows). */
+  def bucketsByRank(scored: DataFrame, nBuckets: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("lm_score_nano").desc, col("doc_id").asc)
-    scoreMeanProb(docs, bigrams, unigrams, idCol, textCol)
+    scored
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("n",
         count(lit(1)).over(Window.partitionBy()).cast("long"))
