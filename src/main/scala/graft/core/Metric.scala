@@ -149,6 +149,53 @@ object Metric {
     }
   }
 
+  /** Hamming distance over BIT-PACKED WORD arrays: each element is an
+    * integral word value stored as a double (BinaryQuant packs 32 bits
+    * per word, < 2³² — exactly representable), and the distance is
+    * Σ popcount(xor(aᵢ, bᵢ)). Representing words as doubles is what lets
+    * binary codes ride every existing Array[Double] kernel surface —
+    * FlatKnn's broadcast + partition-local heaps, the VecStore walks —
+    * unchanged. Integral outputs, ties by id: fully hash-certifiable.
+    * Not a vector-space metric: excluded from `all` and from SIMD
+    * wrapping; float32 storage is rejected (32-bit words don't fit a
+    * float's 24-bit mantissa). */
+  case object Hamming extends Metric {
+    val name = "hamming"
+    val ascending = true
+    def column(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.functions._
+      aggregate(zip_with(a, b, (x, y) =>
+        bit_count(x.cast("long").bitwiseXOR(y.cast("long"))).cast("long")),
+        lit(0L), (acc, v) => acc + v).cast("double")
+    }
+    def sqlExpr(p1: String, p2: String, dims: Int): String =
+      (0 until dims).map(i =>
+        s"bit_count(xor(CAST($p1$i AS BIGINT), CAST($p2$i AS BIGINT)))")
+        .mkString(" + ")
+    def compute(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0; var i = 0
+      while (i < a.length) {
+        acc += java.lang.Long.bitCount(a(i).toLong ^ b(i).toLong); i += 1
+      }
+      acc.toDouble
+    }
+    def computeDF(a: Array[Double], b: Array[Float]): Double =
+      sys.error("Hamming codes must be stored as ARRAY<DOUBLE> " +
+        "(32-bit words do not fit a float32 mantissa)")
+    def computeFF(a: Array[Float], b: Array[Float]): Double =
+      sys.error("Hamming codes must be stored as ARRAY<DOUBLE> " +
+        "(32-bit words do not fit a float32 mantissa)")
+    override def computeAt(a: Array[Double], flat: Array[Double],
+                           off: Int): Double = {
+      var acc = 0; var i = 0
+      while (i < a.length) {
+        acc += java.lang.Long.bitCount(a(i).toLong ^ flat(off + i).toLong)
+        i += 1
+      }
+      acc.toDouble
+    }
+  }
+
   /** SIMD twin of a scalar metric (JDK Vector API kernels,
     * graft.simd.SimdKernels): same ordering, same Column/SQL forms, but
     * `compute` runs the lane-accumulated kernel — the analog of the
@@ -170,18 +217,21 @@ object Metric {
       case L2         => graft.simd.SimdKernels.l2(a, b)
       case IP         => graft.simd.SimdKernels.ip(a, b)
       case Cosine     => graft.simd.SimdKernels.cosine(a, b)
+      case Hamming    => Hamming.compute(a, b) // no lane kernel
       case s: SimdOf  => s.compute(a, b)
     }
     def computeDF(a: Array[Double], b: Array[Float]): Double = base match {
       case L2         => graft.simd.SimdKernels.l2DF(a, b)
       case IP         => graft.simd.SimdKernels.ipDF(a, b)
       case Cosine     => graft.simd.SimdKernels.cosineDF(a, b)
+      case Hamming    => Hamming.computeDF(a, b)
       case s: SimdOf  => s.computeDF(a, b)
     }
     def computeFF(a: Array[Float], b: Array[Float]): Double = base match {
       case L2         => graft.simd.SimdKernels.l2FF(a, b)
       case IP         => graft.simd.SimdKernels.ipFF(a, b)
       case Cosine     => graft.simd.SimdKernels.cosineFF(a, b)
+      case Hamming    => Hamming.computeFF(a, b)
       case s: SimdOf  => s.computeFF(a, b)
     }
   }
@@ -191,6 +241,7 @@ object Metric {
   def simd(m: Metric): Metric =
     if (SimdSupport.available) m match {
       case s: SimdOf => s
+      case Hamming   => Hamming // no lane kernel; scalar popcount is fine
       case base      => SimdOf(base)
     } else m
 

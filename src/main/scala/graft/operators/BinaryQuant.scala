@@ -48,24 +48,22 @@ object BinaryQuant {
       codeColumns(col(vecCol), p).zipWithIndex.map {
         case (c, w) => c.as(s"w$w") }: _*)
 
-  private def hammingColumn(p: Params): Column =
-    (0 until p.words).map { w =>
-      bit_count(col(s"qw$w").bitwiseXOR(col(s"w$w")))
-    }.reduce(_ + _).cast("long")
-
-  /** Hamming top-k: queries are encoded with the SAME thresholds and
-    * broadcast with their code words attached; the scan reads code words
-    * only. Ties (frequent — Hamming is integral) break by id in both
-    * engines. Output (query_id, rnk, neighbor_id, dist). */
+  /** Hamming top-k riding [[FlatKnn.search]]'s broadcast + partition-
+    * local-heap kernel: code words (integral, < 2³²) pack into an
+    * `ARRAY<DOUBLE>` "vector" and [[graft.core.Metric.Hamming]] scores
+    * popcount(xor) per word — the same tuned scan path as every other
+    * metric instead of a generic cross-join aggregate (SCALE.md records
+    * the 1M measurement). Ties (frequent — Hamming is integral) break by
+    * id in both engines. Output (query_id, rnk, neighbor_id, dist). */
   def searchHamming(queries: DataFrame, codes: DataFrame, p: Params,
                     k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("query_id") +:
-      codeColumns(col("qvec"), p).zipWithIndex.map {
-        case (c, w) => c.as(s"qw$w") }: _*))
-    val pairs = q.crossJoin(codes)
-      .select(col("query_id"), col("id"), hammingColumn(p).as("dist"))
-    TopK.perKey(pairs, Seq("query_id"), col("id"), col("dist"), k,
-      ascending = true)
+    val d = codes.select(col("id"),
+      array((0 until p.words).map(w => col(s"w$w").cast("double")): _*)
+        .as("vec"))
+    val q = queries.select(col("query_id"),
+      array(codeColumns(col("qvec"), p).map(_.cast("double")): _*)
+        .as("qvec"))
+    FlatKnn.search(q, d, k, Metric.Hamming)
   }
 
   /** Two-pass: Hamming keeps kReorder·k candidates (codes-only scan),
