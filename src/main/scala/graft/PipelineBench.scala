@@ -177,10 +177,16 @@ object PipelineBench {
     // two bucketing shapes are attributed honestly (the scoring pass
     // dominates both end-to-end): exact global rank vs sampled-cutoff map
     val (scored, tScoreCache) = time {
-      val sc = LmScore.scoreMeanProb(docs, lmBg, lmUg).cache()
-      sc.count(); sc
+      // persist to parquet, not cache: the 77M-row LM count caches own
+      // the storage pool here, and caching the scored frame on top
+      // starves the scoring job's execution memory (measured OOM at 16
+      // threads); the 16 MB score table reads back instantly
+      val scPath = "/tmp/graft_pipeline_scored"
+      LmScore.scoreMeanProb(docs, lmBg, lmUg)
+        .write.mode("overwrite").parquet(scPath)
+      spark.read.parquet(scPath)
     }
-    stage("ccnet-score-cached")(tScoreCache)
+    stage("ccnet-score-stored")(tScoreCache)
     val (bDist, tCcnet) = time {
       LmScore.bucketsByRank(scored)
         .groupBy("bucket").count().collect()
@@ -194,7 +200,6 @@ object PipelineBench {
         .count().count()
     }
     stage("ccnet-buckets (sampled cutoffs)")(tCcnetCut)
-    scored.unpersist()
     // DSIR importance weights: target = src0 docs, raw = full corpus —
     // two vocabulary-bounded count tables + a broadcast shuffle-free map
     val (_, tDsir) = time {
