@@ -53,6 +53,43 @@ class ServingPropSpec extends SparkSpec {
     }
   }
 
+  test("binary codes ride the GRAPH walk kernel: sharded Hamming walk " +
+      "(full window, all probes) ≡ flat Hamming search") {
+    val dims = 16
+    val rows = randData(5L, 80, dims)
+    val data = rows.toDF("id", "vec")
+    val p = BinaryQuant.train(data)
+    val cents = rows.take(3).map { case (id, v) => (id, v.toIndexedSeq) }
+    val clustered = KMeans.assign(data, cents)
+    val graph = Vamana.buildSharded(clustered,
+      BuildParams(maxDegree = 8, buildWindow = 16), Metric.L2)
+    // words-as-doubles: the binary codes become the walk's "vectors";
+    // probe routing is degenerate (all shards probed), so centroids only
+    // need the right arity
+    val codesVec = BinaryQuant.encode(clustered, p)
+      .join(clustered.select("id", "cluster_id"), Seq("id"))
+      .select(col("cluster_id"), col("id"),
+        array((0 until p.words).map(w => col(s"w$w").cast("double")): _*)
+          .as("vec"))
+    val wordCents = cents.map { case (cid, _) =>
+      (cid, Seq.fill(p.words)(0.0)) }
+    val queries = rows.take(6)
+      .map { case (id, v) => (id + 500, v.map(1.0 - _)) }
+      .toDF("query_id", "qvec")
+    val qWords = queries.select(col("query_id"),
+      array(BinaryQuant.codeColumns(col("qvec"), p)
+        .map(_.cast("double")): _*).as("qvec"))
+    val walked = Vamana.searchSharded(qWords, codesVec, graph, wordCents,
+        k = 9, searchWindow = 1 << 12, nProbes = 3, Metric.Hamming)
+      .select("query_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val flat = BinaryQuant.searchHamming(queries,
+        BinaryQuant.encode(data, p), p, k = 9)
+      .select("query_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(walked === flat)
+  }
+
   test("binary quantization on ragged dims (40 → a partial second word) " +
       "matches a driver reference; k > n walks/searches degrade to n") {
     val dims = 40
