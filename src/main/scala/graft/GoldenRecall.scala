@@ -309,6 +309,19 @@ object GoldenRecall {
     ham +: rr
   }
 
+  /** Matryoshka truncated-search family: recall per k_reorder at a fixed
+    * prefix width — the training-free twin of the `leanvec` family (same
+    * two-pass contract, truncation instead of projection; on
+    * uniform-random data the first r dims ARE a random projection, so the
+    * gap to trained PCA quantifies what training buys). */
+  def mrlGrid(data: DataFrame, queries: DataFrame, truth: DataFrame,
+              k: Int, nq: Int, rDims: Int, kReorders: Seq[Int]): Seq[Row] =
+    kReorders.map { kr =>
+      val res = LeanVec.searchTruncated(queries, data, k, rDims, kr)
+      Row("mrl", s"r$rDims", "k_reorder", kr, recallOf(res, truth, k, nq),
+        0.0)
+    }
+
   /** MaxSim two-stage grid: recall@k of the pooled-prefilter +
     * exact-rerank path against EXHAUSTIVE MaxSim over 4-token bags of the
     * same dataset, per candidate width — the quality/cost dial of q133's
@@ -397,7 +410,9 @@ object GoldenRecall {
       pqGrid(data, queries, truth, dims, k, nq, ms = Seq(8, 16, 32),
         kCode = 16, kReorders = Seq(1, 2, 4, 8)) ++
       binaryGrid(data, queries, truth, k, nq,
-        kReorders = Seq(1, 2, 4, 8, 16))
+        kReorders = Seq(1, 2, 4, 8, 16)) ++
+      mrlGrid(data, queries, truth, k, nq, rDims = 32,
+        kReorders = Seq(2, 4, 8, 16))
 
     rows.foreach(r => println(rowJson(r)))
     val json = rows.map(rowJson).mkString(

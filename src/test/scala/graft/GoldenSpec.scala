@@ -159,6 +159,24 @@ class GoldenSpec extends SparkSpec {
     truth.unpersist()
   }
 
+  test("mrl truncated family reproduces (±0.01) and tracks the leanvec " +
+      "family within the random-projection gap") {
+    val (data, queries, truth) = GoldenRecall.dataset(spark, N, Dims, Nq, K)
+    val rows = GoldenRecall.mrlGrid(data, queries, truth, K, Nq,
+      rDims = 32, kReorders = Seq(8))
+    rows.foreach { r =>
+      val p = pinned("mrl", r.config, r.value)
+      assert(math.abs(r.recall - p) <= 0.01,
+        s"mrl kr${r.value}: ${r.recall} vs pinned $p")
+      // trained PCA must not lose to untrained truncation at the same
+      // width and reorder dial
+      val lv = pinned("leanvec", "r32", r.value)
+      assert(lv >= r.recall - 0.01,
+        s"leanvec $lv below truncation ${r.recall}")
+    }
+    truth.unpersist()
+  }
+
   test("maxsim two-stage golden row reproduces (±0.01)") {
     val (data, _, truth) = GoldenRecall.dataset(spark, N, Dims, Nq, K)
     val rows = GoldenRecall.maxSimGrid(data, Dims, K, Seq(100))
