@@ -580,6 +580,25 @@ object SparkEntry {
     out
   }
 
+  /** q162: the SERVED binary index — word codes persisted in the graph
+    * layout (8 bytes/row of walk state, the smallest serving footprint),
+    * Hamming walk over stored bincodes+graph partitions, exact rerank
+    * against only the candidate rows of data. All shards probed + full
+    * window ⇒ global Hamming top-R + exact rerank ≡ q155 (same oracle);
+    * thresholds round-trip the sidecar bit-exactly. */
+  private def binaryStoredQ(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_q162_bin_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    graft.operators.GraphLayout.write(embLabelClustered(s, dir),
+      embGraph(s, dir), embLabelCentroids(s, dir), path,
+      bin = Some(binParams(s, dir)))
+    val layout = graft.operators.GraphLayout.open(s, path)
+    graft.operators.GraphLayout.searchHamming(layout, embQueries(s, dir),
+        K, searchWindow = 1 << 14, nProbes = layout.centroids.size,
+        kReorder = PqWalkReorder)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   private[graft] val DsirTargetMod = 7L
 
   /** q159: DSIR importance weights (Xie et al. NeurIPS'23) — how much
@@ -2595,6 +2614,7 @@ object SparkEntry {
     "q159_dsir_weights" -> (dsirWeightsQ _),
     "q160_mrl_search" -> (mrlSearchQ _),
     "q161_calibrate_reorder" -> (calibrateReorderQ _),
+    "q162_binary_stored" -> (binaryStoredQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2931,5 +2951,8 @@ object SparkEntry {
     // q161: invariant-flag oracle (the q50 pattern) — the calibration's
     // searches/truth/dial are all exact and deterministic
     "q161_calibrate_reorder" -> OracleGen.calibrateFlags,
+    // q162: served binary rerank, all shards probed at full window ⇒
+    // global Hamming top-R + exact rerank — q155's oracle verbatim
+    "q162_binary_stored" -> OracleGen.binaryRerank(K, PqWalkReorder),
   )
 }

@@ -48,6 +48,18 @@ object BinaryQuant {
       codeColumns(col(vecCol), p).zipWithIndex.map {
         case (c, w) => c.as(s"w$w") }: _*)
 
+  /** Driver-side word encoding of one vector (words as doubles) — probe
+    * routing and spec references. Same bit rule as [[codeColumns]]. */
+  def encodeWords(v: Seq[Double], p: Params): Seq[Double] = {
+    val out = new Array[Long](p.words)
+    var i = 0
+    while (i < p.dims) {
+      if (v(i) > p.thresholds(i)) out(i / 32) |= 1L << (i % 32)
+      i += 1
+    }
+    out.map(_.toDouble).toSeq
+  }
+
   /** Hamming top-k riding [[FlatKnn.search]]'s broadcast + partition-
     * local-heap kernel: code words (integral, < 2³²) pack into an
     * `ARRAY<DOUBLE>` "vector" and [[graft.core.Metric.Hamming]] scores

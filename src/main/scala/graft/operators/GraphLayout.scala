@@ -30,14 +30,17 @@ object GraphLayout {
   final case class Layout(clustered: DataFrame, graph: DataFrame,
                           codes: Option[DataFrame],
                           centroids: Seq[(Long, Seq[Double])],
-                          pq: Option[Pq.Params])
+                          pq: Option[Pq.Params],
+                          binCodes: Option[DataFrame] = None,
+                          bin: Option[BinaryQuant.Params] = None)
 
   /** Persist a built index. `clustered` (id, vec, cluster_id) and `graph`
     * are [[Vamana.buildSharded]]'s input/output; when `pq` is given the
     * codes table is derived here so codes and codebooks can never drift. */
   def write(clustered: DataFrame, graph: DataFrame,
             centroids: Seq[(Long, Seq[Double])], path: String,
-            pq: Option[Pq.Params] = None): Unit = {
+            pq: Option[Pq.Params] = None,
+            bin: Option[BinaryQuant.Params] = None): Unit = {
     val spark = clustered.sparkSession
     import spark.implicits._
     IvfIndex.writeClustered(clustered, s"$path/data")
@@ -49,6 +52,13 @@ object GraphLayout {
       Pq.encodeClustered(clustered, p).write.partitionBy("cluster_id")
         .mode("overwrite").parquet(s"$path/codes")
     }
+    bin.foreach { b =>
+      clustered.select(col("cluster_id") +: col("id") +:
+          BinaryQuant.codeColumns(col("vec"), b).zipWithIndex.map {
+            case (c, w) => c.as(s"w$w") }: _*)
+        .write.partitionBy("cluster_id").mode("overwrite")
+        .parquet(s"$path/bincodes")
+    }
     val pqJson = pq match {
       case None => "null"
       case Some(p) =>
@@ -57,7 +67,13 @@ object GraphLayout {
             "[" + c.mkString(",") + "]").mkString(",") + "]")
             .mkString(",") + "]}"
     }
-    writeSidecar(spark, s"$path/layout.json", s"""{"pq":$pqJson}""")
+    val binJson = bin match {
+      case None => "null"
+      case Some(b) =>
+        s"""{"thresholds":[${b.thresholds.mkString(",")}]}"""
+    }
+    writeSidecar(spark, s"$path/layout.json",
+      s"""{"pq":$pqJson,"bin":$binJson}""")
   }
 
   def open(spark: SparkSession, path: String): Layout = {
@@ -78,12 +94,22 @@ object GraphLayout {
       if (pq.isDefined && fs.exists(new org.apache.hadoop.fs.Path(
         s"$path/codes"))) Some(spark.read.parquet(s"$path/codes"))
       else None
+    val binNode = org.json4s.jackson.JsonMethods.parse(json) \ "bin"
+    val bin = binNode match {
+      case JNull | JNothing => None
+      case node => Some(BinaryQuant.Params(
+        (node \ "thresholds").extract[Seq[Double]]))
+    }
+    val binCodes =
+      if (bin.isDefined && fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/bincodes"))) Some(spark.read.parquet(s"$path/bincodes"))
+      else None
     Layout(spark.read.parquet(s"$path/data"),
       spark.read.parquet(s"$path/graph"), codes,
       spark.read.parquet(s"$path/centroids").select("id", "vec").collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
         .toIndexedSeq.sortBy(_._1),
-      pq)
+      pq, binCodes, bin)
   }
 
   /** Full-precision probe-and-walk over the stored shards — identical rows
@@ -172,6 +198,14 @@ object GraphLayout {
             .write.mode("overwrite").partitionBy("cluster_id")
             .parquet(s"$path/codes")
         }
+        layout.bin.foreach { b =>
+          ncT.select(col("cluster_id") +: col("id") +:
+              BinaryQuant.codeColumns(col("vec"), b).zipWithIndex.map {
+                case (c, w) => c.as(s"w$w") }: _*)
+            .repartition(col("cluster_id"))
+            .write.mode("overwrite").partitionBy("cluster_id")
+            .parquet(s"$path/bincodes")
+        }
       } finally {
         prev match {
           case Some(v) =>
@@ -188,7 +222,7 @@ object GraphLayout {
       val fsE = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       touched.filterNot(liveCids).foreach { cid =>
-        Seq("data", "graph", "codes").foreach { sub =>
+        Seq("data", "graph", "codes", "bincodes").foreach { sub =>
           fsE.delete(new org.apache.hadoop.fs.Path(
             s"$path/$sub/cluster_id=$cid"), true)
         }
@@ -214,6 +248,39 @@ object GraphLayout {
         new org.apache.hadoop.fs.Path(s"$path/centroids"))
     }
     open(spark, path)
+  }
+
+  /** Binary serving from the store: Hamming walk over the persisted
+    * word-codes + graph partitions (8 bytes/row of walk state — the
+    * smallest serving footprint), probe routing by Hamming distance to
+    * the word-encoded centroids, then exact `metric` rerank touching
+    * only the |Q|·kReorder·k candidate rows of `data`. */
+  def searchHamming(layout: Layout, queries: DataFrame, k: Int,
+                    searchWindow: Int, nProbes: Int, kReorder: Int,
+                    rerankMetric: Metric = Metric.L2): DataFrame = {
+    val b = layout.bin.getOrElse(
+      sys.error("layout has no binary codes — write(bin = Some(...)) first"))
+    val codes = layout.binCodes.get
+    val wv = codes.select(col("cluster_id"), col("id"),
+      array((0 until b.words).map(w => col(s"w$w").cast("double")): _*)
+        .as("vec"))
+    val wordCents = layout.centroids.map { case (cid, cv) =>
+      (cid, BinaryQuant.encodeWords(cv, b)) }
+    val qWords = queries.select(col("query_id"),
+      array(BinaryQuant.codeColumns(col("qvec"), b)
+        .map(_.cast("double")): _*).as("qvec"))
+    val cand = Vamana.searchSharded(qWords, wv, layout.graph, wordCents,
+      kReorder * k, searchWindow, nProbes, Metric.Hamming)
+    val exact = broadcast(cand.select(col("query_id"), col("neighbor_id")))
+      .join(layout.clustered.select(col("id").as("neighbor_id"),
+        col("vec")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id").as("id"),
+        rerankMetric.column(col("qvec"), col("vec").cast("array<double>"))
+          .as("dist"))
+    TopK.perKeyViaWindow(exact, Seq("query_id"), col("id"), col("dist"), k,
+      rerankMetric.ascending)
   }
 
   private def writeSidecar(spark: SparkSession, path: String,

@@ -150,6 +150,47 @@ class GraphLayoutSpec extends SparkSpec {
     assert(up2.clustered.filter(col("cluster_id") === 3L).count() === 0)
   }
 
+  test("binary layout: thresholds roundtrip bit-exactly, served Hamming " +
+      "rerank ≡ in-memory, upsert maintains bincodes partitions") {
+    import graft.operators.BinaryQuant
+    val (data, cents, clustered, graph, _) = fixture()
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    val b = BinaryQuant.train(data)
+    val path = "/tmp/graft_graphlayout_spec_bin"
+    GraphLayout.write(clustered, graph, cents, path, bin = Some(b))
+    val layout = GraphLayout.open(spark, path)
+    assert(layout.bin.get.thresholds === b.thresholds)
+    // all shards probed + full window ⇒ global Hamming top-R + exact
+    // rerank — must equal the flat in-memory two-pass bit-for-bit
+    val served = GraphLayout.searchHamming(layout, queries, 10,
+        searchWindow = 1 << 14, nProbes = cents.size, kReorder = 4)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val mem = BinaryQuant.searchHammingRerank(queries,
+        BinaryQuant.encode(data, b), b, data, 10, 4)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(served === mem)
+    // upsert keeps bincodes in sync: after an add+delete, the served
+    // global rerank equals the in-memory two-pass over the survivors
+    val added = data.filter(col("id") % 61 === 2).orderBy("id").limit(6)
+      .select((col("id") + 70000L).as("id"), col("vec"),
+        lit(0L).as("cluster_id"))
+    val dels = clustered.filter(col("cluster_id") === 1L)
+      .orderBy("id").limit(3).select("id")
+    val up = GraphLayout.upsert(spark, path, added, dels,
+      BuildParams(maxDegree = 24, buildWindow = 48), Metric.L2)
+    assert(up.binCodes.isDefined)
+    val survivors = data
+      .join(dels, Seq("id"), "left_anti")
+      .unionByName(added.drop("cluster_id"))
+    val servedUp = GraphLayout.searchHamming(up, queries, 10,
+        searchWindow = 1 << 14, nProbes = up.centroids.size, kReorder = 4)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val memUp = BinaryQuant.searchHammingRerank(queries,
+        BinaryQuant.encode(survivors, b), b, survivors, 10, 4)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(servedUp === memUp)
+  }
+
   test("layout without PQ opens with no codes and searchAdc fails loudly") {
     val (_, cents, clustered, graph, _) = fixture()
     val queries = Tables.embeddingQueries(spark, sfDir)
