@@ -15,8 +15,11 @@ import graft.core.Metric
   *   path/centroids — probe-routing centroids
   *   path/codes     — optional PQ codes, cluster-partitioned (DiskANN
   *                    serving: the walk reads THIS, never `data`)
-  *   path/layout.json — PQ codebooks sidecar (shortest-round-trip doubles,
-  *                    so reopened ADC arithmetic is bit-identical)
+  *   path/bincodes  — optional sign-bit word codes (8 B/row — the
+  *                    smallest serving footprint), cluster-partitioned
+  *   path/layout.json — PQ codebooks / binary thresholds sidecar
+  *                    (shortest-round-trip doubles, so reopened ADC and
+  *                    Hamming arithmetic are bit-identical)
   *
   * Every component is partitioned by `cluster_id`, so a served search reads
   * only the probed shards' partitions of graph + codes (plus the candidate
@@ -80,7 +83,8 @@ object GraphLayout {
     val json = readSidecar(spark, s"$path/layout.json")
     import org.json4s._
     implicit val fmts: Formats = DefaultFormats
-    val pqNode = org.json4s.jackson.JsonMethods.parse(json) \ "pq"
+    val parsed = org.json4s.jackson.JsonMethods.parse(json)
+    val pqNode = parsed \ "pq"
     val pq = pqNode match {
       case JNull | JNothing => None
       case node => Some(Pq.Params((node \ "m").extract[Int],
@@ -94,7 +98,7 @@ object GraphLayout {
       if (pq.isDefined && fs.exists(new org.apache.hadoop.fs.Path(
         s"$path/codes"))) Some(spark.read.parquet(s"$path/codes"))
       else None
-    val binNode = org.json4s.jackson.JsonMethods.parse(json) \ "bin"
+    val binNode = parsed \ "bin"
     val bin = binNode match {
       case JNull | JNothing => None
       case node => Some(BinaryQuant.Params(
