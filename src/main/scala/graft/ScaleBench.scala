@@ -204,7 +204,6 @@ object ScaleBench {
       recallPq(Vamana.searchShardedAdcRerank(queries, pqCodes, graph,
         splitCents, pqP, split, k, kReorder = 8, searchWindow = 80,
         nProbes = 8)) }
-    truthPq.unpersist()
     // Binary sign-bit serving at 1M: the 64× axis — coarse scan reads
     // two BIGINT words per row (16 B vs 512 B), bit_count(xor) ranking,
     // exact rerank of the Hamming top kReorder·k.
@@ -216,18 +215,16 @@ object ScaleBench {
         .parquet(pathBin) }
     val binCodes = spark.read.parquet(pathBin)
     binCodes.count()
-    val truthBin = FlatKnn.search(queries, data, k, Metric.L2)
-      .select("query_id", "neighbor_id").cache()
-    truthBin.count()
+    // reuse the PQ block's cached exact truth — the most expensive scan
+    // in the bench, identical for both serving families
     def recallBin(res: org.apache.spark.sql.DataFrame): Double =
-      res.select("query_id", "neighbor_id").intersect(truthBin).count()
-        .toDouble / (k.toLong * nq)
+      recallPq(res)
     val (rBinHam, tBinHam) = time {
       recallBin(BinaryQuant.searchHamming(queries, binCodes, binP, k)) }
     val (rBinRr, tBinRr) = time {
       recallBin(BinaryQuant.searchHammingRerank(queries, binCodes, binP,
         data, k, kReorder = 16)) }
-    truthBin.unpersist()
+    truthPq.unpersist()
     println(s"""{"experiment":"scale_bench_binary","n":$n,"dims":$dims,""" +
       s""""bin_train_sec":$tBinTrain,"bin_encode_sec":$tBinEncode,""" +
       s""""bin_hamming_sec":$tBinHam,"bin_hamming_recall":$rBinHam,""" +

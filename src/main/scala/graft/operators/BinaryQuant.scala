@@ -85,15 +85,6 @@ object BinaryQuant {
                           data: DataFrame, k: Int, kReorder: Int,
                           metric: Metric = Metric.L2): DataFrame = {
     val cand = searchHamming(queries, codes, p, kReorder * k)
-    val exact = broadcast(cand.select(col("query_id"), col("neighbor_id")))
-      .join(data.select(col("id").as("neighbor_id"), col("vec")),
-        Seq("neighbor_id"))
-      .join(broadcast(queries.select(col("query_id"), col("qvec"))),
-        Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id").as("id"),
-        metric.column(col("qvec"), col("vec").cast("array<double>"))
-          .as("dist"))
-    TopK.perKeyViaWindow(exact, Seq("query_id"), col("id"), col("dist"), k,
-      metric.ascending)
+    Rerank.exact(cand, queries, data, k, metric)
   }
 }

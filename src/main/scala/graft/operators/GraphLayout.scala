@@ -80,6 +80,15 @@ object GraphLayout {
   }
 
   def open(spark: SparkSession, path: String): Layout = {
+    // crash recovery for the centroid swap: if an upsert died between
+    // delete and rename, finish the rename (centroids.tmp holds the
+    // complete new table)
+    val cfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cDst = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    val cTmp = new org.apache.hadoop.fs.Path(s"$path/centroids.tmp")
+    if (!cfs.exists(cDst) && cfs.exists(cTmp))
+      require(cfs.rename(cTmp, cDst), s"failed to recover $cDst from $cTmp")
     val json = readSidecar(spark, s"$path/layout.json")
     import org.json4s._
     implicit val fmts: Formats = DefaultFormats
@@ -136,10 +145,16 @@ object GraphLayout {
     if (kReorder <= 0)
       Vamana.searchShardedAdc(queries, codes, layout.graph, layout.centroids,
         p, k, searchWindow, nProbes, metric)
-    else
+    else {
+      // walk on a subspace-decomposable metric, rerank on the requested
+      // one — this is how cosine serves from the stored layout (the walk
+      // metric stays L2; searchShardedAdcRerank's documented contract)
+      val walkM =
+        if (metric == Metric.L2 || metric == Metric.IP) metric else Metric.L2
       Vamana.searchShardedAdcRerank(queries, codes, layout.graph,
         layout.centroids, p, layout.clustered, k, kReorder, searchWindow,
-        nProbes, walkMetric = metric, rerankMetric = metric)
+        nProbes, walkMetric = walkM, rerankMetric = metric)
+    }
   }
 
   /** Incremental maintenance of the persisted index — the M1–M4 lifecycle
@@ -167,18 +182,27 @@ object GraphLayout {
     val stored = layout.clustered
       .select(col("id").cast("long").as("id"), col("vec"),
         col("cluster_id").cast("long").as("cluster_id"))
+    val dels = deletedIds.select(col("id").cast("long").as("id")).distinct()
+    // batch hygiene, in precedence order:
+    //  1. exact duplicate added rows collapse (at-least-once redelivery);
+    //  2. two DIFFERENT payloads for one id in one batch is ambiguous —
+    //     fail loudly rather than pick one;
+    //  3. an id in both added and deletedIds is DELETED (delete wins, so
+    //     a redelivered stale add can never resurrect a deleted row).
+    val addedDistinct = added.distinct()
+    val conflicted = addedDistinct.groupBy("id").count()
+      .filter(col("count") > 1).select(col("id").cast("long"))
+      .as[Long].collect()
+    require(conflicted.isEmpty,
+      s"upsert: conflicting added payloads for ids " +
+        s"${conflicted.take(5).mkString(", ")}")
+    val addedFinal = addedDistinct.join(dels, Seq("id"), "left_anti")
     // rows to remove = explicit deletes ∪ re-added ids (replace-on-add)
-    val removed = deletedIds.select(col("id").cast("long").as("id"))
-      .unionByName(added.select(col("id").cast("long").as("id")))
+    val removed = dels
+      .unionByName(addedFinal.select(col("id").cast("long").as("id")))
       .distinct()
-    val (nc, ng) = Vamana.updateShards(stored, layout.graph, added,
-      removed, params, metric)
-    val touched = (
-      added.select(col("cluster_id").cast("long")).distinct()
-        .as[Long].collect() ++
-      stored.join(removed, Seq("id"))
-        .select(col("cluster_id")).distinct().as[Long].collect()
-    ).distinct.sorted.toSeq
+    val (nc, ng, touched) = Vamana.updateShardsTouched(stored, layout.graph,
+      addedFinal, removed, params, metric)
     if (touched.nonEmpty) {
       // materialize the touched shards' new rows BEFORE overwriting: the
       // plans read the very partitions the writes replace, and the source
@@ -244,12 +268,17 @@ object GraphLayout {
       val kept = layout.centroids.filterNot(c => touchedSet.contains(c._1))
       (kept ++ newCents).sortBy(_._1).toDF("id", "vec")
         .write.mode("overwrite").parquet(s"$path/centroids.tmp")
-      // two-step swap: centroids is a whole-file artifact (no partitions)
+      // two-step swap: centroids is a whole-file artifact (no
+      // partitions). A crash between delete and rename leaves only
+      // centroids.tmp — open() recovers by completing the rename, so the
+      // store is never unopenable; the rename result is checked (HDFS
+      // returns false instead of throwing).
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$path/centroids.tmp"),
-        new org.apache.hadoop.fs.Path(s"$path/centroids"))
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/centroids.tmp"),
+        new org.apache.hadoop.fs.Path(s"$path/centroids")),
+        s"failed to swap $path/centroids.tmp into place")
     }
     open(spark, path)
   }
@@ -275,16 +304,7 @@ object GraphLayout {
         .map(_.cast("double")): _*).as("qvec"))
     val cand = Vamana.searchSharded(qWords, wv, layout.graph, wordCents,
       kReorder * k, searchWindow, nProbes, Metric.Hamming)
-    val exact = broadcast(cand.select(col("query_id"), col("neighbor_id")))
-      .join(layout.clustered.select(col("id").as("neighbor_id"),
-        col("vec")), Seq("neighbor_id"))
-      .join(broadcast(queries.select(col("query_id"), col("qvec"))),
-        Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id").as("id"),
-        rerankMetric.column(col("qvec"), col("vec").cast("array<double>"))
-          .as("dist"))
-    TopK.perKeyViaWindow(exact, Seq("query_id"), col("id"), col("dist"), k,
-      rerankMetric.ascending)
+    Rerank.exact(cand, queries, layout.clustered, k, rerankMetric)
   }
 
   private def writeSidecar(spark: SparkSession, path: String,

@@ -94,3 +94,32 @@ object TopK {
         distCol.as("dist")): _*)
   }
 }
+
+/** The exact-rerank epilogue shared by every two-pass serving path (PQ
+  * walk, binary Hamming, stored layouts): the |Q|·kReorder·k shortlist
+  * broadcasts, joins ONLY its candidate rows out of `data`, scores the
+  * exact metric (vectors cast to double for Catalyst-fold parity), and
+  * window-ranks — full-precision reads stay shortlist-sized regardless of
+  * corpus size. One implementation so tie-break/cast fixes cannot drift
+  * across call sites. */
+object Rerank {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+  import graft.core.Metric
+
+  /** `cand` needs (query_id, neighbor_id); `queries` (query_id, qvec);
+    * `data` (idCol, vec). Output (query_id, rnk, neighbor_id, dist). */
+  def exact(cand: DataFrame, queries: DataFrame, data: DataFrame, k: Int,
+            metric: Metric, idCol: String = "id"): DataFrame = {
+    val scored = broadcast(cand.select(col("query_id"), col("neighbor_id")))
+      .join(data.select(col(idCol).as("neighbor_id"), col("vec")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id").as("id"),
+        metric.column(col("qvec"), col("vec").cast("array<double>"))
+          .as("dist"))
+    TopK.perKeyViaWindow(scored, Seq("query_id"), col("id"), col("dist"), k,
+      metric.ascending)
+  }
+}

@@ -331,16 +331,7 @@ object Vamana {
                              rerankMetric: Metric = Metric.L2): DataFrame = {
     val cand = searchShardedAdc(queries, codes, graph, centroids, p,
       kReorder * k, searchWindow, nProbes, walkMetric)
-    val exact = broadcast(cand.select(col("query_id"), col("neighbor_id")))
-      .join(data.select(col("id").as("neighbor_id"), col("vec")),
-        Seq("neighbor_id"))
-      .join(broadcast(queries.select(col("query_id"), col("qvec"))),
-        Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id").as("id"),
-        rerankMetric.column(col("qvec"), col("vec").cast("array<double>"))
-          .as("dist"))
-    TopK.perKeyViaWindow(exact, Seq("query_id"), col("id"), col("dist"), k,
-      rerankMetric.ascending)
+    Rerank.exact(cand, queries, data, k, rerankMetric)
   }
 
   /** Driver-side probe routing shared by [[searchSharded]] and
@@ -633,17 +624,29 @@ object Vamana {
   def updateShards(clustered: DataFrame, graph: DataFrame, added: DataFrame,
                    deletedIds: DataFrame, params: BuildParams, metric: Metric)
       : (DataFrame, DataFrame) = {
-    val touched = added.select("cluster_id")
+    val (c, g, _) = updateShardsTouched(clustered, graph, added, deletedIds,
+      params, metric)
+    (c, g)
+  }
+
+  /** [[updateShards]] + the touched-cluster set it derived — so callers
+    * that need the set (partition-scoped store rewrites) don't recompute
+    * the same join + collects over the store. */
+  def updateShardsTouched(clustered: DataFrame, graph: DataFrame,
+                          added: DataFrame, deletedIds: DataFrame,
+                          params: BuildParams, metric: Metric)
+      : (DataFrame, DataFrame, Seq[Long]) = {
+    val touched = added.select(col("cluster_id").cast("long"))
       .union(clustered.join(deletedIds.select("id"), Seq("id"))
-        .select("cluster_id"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+        .select(col("cluster_id").cast("long")))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
     val newClustered = clustered
       .join(deletedIds.select("id"), Seq("id"), "left_anti")
       .unionByName(added)
     val rebuilt = buildSharded(
       newClustered.filter(col("cluster_id").isin(touched: _*)), params, metric)
     val untouched = graph.filter(!col("cluster_id").isin(touched: _*))
-    (newClustered, untouched.unionByName(rebuilt))
+    (newClustered, untouched.unionByName(rebuilt), touched)
   }
 
   /** Out-degree distribution of a graph table (SURVEY §2 A8). */

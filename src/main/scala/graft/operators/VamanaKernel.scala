@@ -479,6 +479,10 @@ object VamanaKernel {
     /** Edges added/replaced by the post-build connectivity patch (0 on
       * every healthy membership — see `patchStranded`). */
     val strandedPatched = new java.util.concurrent.atomic.LongAdder
+    /** Nodes STILL unreachable after the patch's round budget — always 0
+      * unless worst-edge replacements oscillate; non-zero means
+      * full-window searches on this shard can miss rows. */
+    val strandedUnreachable = new java.util.concurrent.atomic.LongAdder
   }
 
   def build(vecs: Array[Array[Double]], params: BuildParams, metric: Metric)
@@ -634,6 +638,30 @@ object VamanaKernel {
           }
           if (stats != null) stats.strandedPatched.increment()
           rounds += 1
+        }
+      }
+      if (!done) {
+        // round budget exhausted (worst-edge replacements oscillated) —
+        // surface it: full-window searches on this shard can miss rows
+        val reached = new java.util.BitSet(n)
+        val stack = new java.util.ArrayDeque[Integer]()
+        reached.set(entry); stack.push(entry)
+        while (!stack.isEmpty) {
+          val nbs = adj(stack.pop().intValue())
+          var i = 0
+          while (i < nbs.length) {
+            val nb = nbs(i)
+            if (!reached.get(nb)) { reached.set(nb); stack.push(nb) }
+            i += 1
+          }
+        }
+        val left = n - reached.cardinality
+        if (left > 0) {
+          if (stats != null) stats.strandedUnreachable.add(left.toLong)
+          System.err.println(
+            s"[vamana] connectivity patch gave up with $left of $n nodes " +
+              "still unreachable from the entry after " + maxRounds +
+              " rounds; full-window searches on this shard can miss them")
         }
       }
     }

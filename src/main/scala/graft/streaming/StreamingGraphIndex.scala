@@ -38,7 +38,10 @@ object StreamingGraphIndex {
         val spark = batch.sparkSession
         val (adds, dels) = opCol match {
           case Some(c) =>
-            (batch.filter(col(c) =!= "delete").drop(c),
+            // null-safe: a NULL op means "plain add" (CDC sources often
+            // set op only for deletes) — a bare =!= would null out the
+            // predicate and silently drop the row from BOTH sides
+            (batch.filter(coalesce(col(c) =!= "delete", lit(true))).drop(c),
               batch.filter(col(c) === "delete").select("id"))
           case None =>
             (batch, batch.select("id").limit(0))

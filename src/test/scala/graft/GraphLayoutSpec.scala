@@ -191,6 +191,36 @@ class GraphLayoutSpec extends SparkSpec {
     assert(servedUp === memUp)
   }
 
+  test("upsert batch hygiene: duplicate identical adds collapse, delete " +
+      "wins over add for the same id, conflicting payloads fail loudly") {
+    val (data, cents, clustered, graph, _) = fixture()
+    val params = BuildParams(maxDegree = 24, buildWindow = 48)
+    val path = "/tmp/graft_graphlayout_spec_hygiene"
+    GraphLayout.write(clustered, graph, cents, path)
+    val one = data.filter(col("id") === 0).orderBy("id")
+      .select((col("id") + 90000L).as("id"), col("vec"),
+        lit(0L).as("cluster_id"))
+    // redelivered identical add + a delete of the same id in one batch
+    val added = one.unionByName(one)
+    val up = GraphLayout.upsert(spark, path, added,
+      one.select("id"), params, Metric.L2)
+    assert(up.clustered.filter(col("id") === 90000L).count() === 0,
+      "delete must win over a same-batch add")
+    // duplicate identical adds collapse to one row
+    val up2 = GraphLayout.upsert(spark, path, added,
+      added.select("id").limit(0), params, Metric.L2)
+    assert(up2.clustered.filter(col("id") === 90000L).count() === 1)
+    // conflicting payloads for one id: loud failure, store untouched
+    val conflicting = one.unionByName(
+      one.withColumn("vec", transform(col("vec"), x => x + 1.0)))
+    assertThrows[IllegalArgumentException] {
+      GraphLayout.upsert(spark, path, conflicting,
+        one.select("id").limit(0), params, Metric.L2)
+    }
+    assert(GraphLayout.open(spark, path).clustered
+      .filter(col("id") === 90000L).count() === 1)
+  }
+
   test("layout without PQ opens with no codes and searchAdc fails loudly") {
     val (_, cents, clustered, graph, _) = fixture()
     val queries = Tables.embeddingQueries(spark, sfDir)

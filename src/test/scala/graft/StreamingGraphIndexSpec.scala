@@ -31,6 +31,29 @@ class StreamingGraphIndexSpec extends SparkSpec {
       .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
   }
 
+  test("rows with a NULL op are plain adds, not silently dropped") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val path = "/tmp/graft_stream_graph_nullop"
+    val (data, _) = freshStore(path)
+    val row = data.orderBy("id").limit(1).collect().head
+    val mem = MemoryStream[(Long, Seq[Double], Option[String])]
+    val stream = mem.toDF().toDF("id", "vec", "op")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-graph-stream-null").toString
+    val q = StreamingGraphIndex.attach(stream, path, ckpt,
+      params, Metric.L2, opCol = Some("op"))
+    try {
+      mem.addData((row.getLong(0) + 777000L,
+        row.getSeq[Double](1), None: Option[String]))
+      q.processAllAvailable()
+    } finally q.stop()
+    val up = GraphLayout.open(spark, path)
+    assert(up.clustered.filter(col("id") === row.getLong(0) + 777000L)
+      .count() === 1, "null-op row must be upserted")
+  }
+
   test("add/delete micro-batches (with a replayed add): store holds " +
       "exactly the surviving corpus and equals the batch-upsert twin " +
       "bit-for-bit") {
