@@ -213,34 +213,29 @@ object GraphLayout {
         .localCheckpoint(true)
       val ngT = ng.filter(col("cluster_id").isin(touched: _*))
         .localCheckpoint(true)
-      val conf = spark.conf
-      val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
-        ncT.repartition(col("cluster_id")).write.mode("overwrite")
-          .partitionBy("cluster_id").parquet(s"$path/data")
-        ngT.repartition(col("cluster_id")).write.mode("overwrite")
-          .partitionBy("cluster_id").parquet(s"$path/graph")
-        layout.pq.foreach { p =>
-          Pq.encodeClustered(ncT, p).repartition(col("cluster_id"))
-            .write.mode("overwrite").partitionBy("cluster_id")
-            .parquet(s"$path/codes")
-        }
-        layout.bin.foreach { b =>
-          ncT.select(col("cluster_id") +: col("id") +:
-              BinaryQuant.codeColumns(col("vec"), b).zipWithIndex.map {
-                case (c, w) => c.as(s"w$w") }: _*)
-            .repartition(col("cluster_id"))
-            .write.mode("overwrite").partitionBy("cluster_id")
-            .parquet(s"$path/bincodes")
-        }
-      } finally {
-        prev match {
-          case Some(v) =>
-            conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None =>
-            conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
+      // dynamic overwrite is set PER WRITE (DataFrameWriter.option), not
+      // via the session conf — a concurrent overwrite on the same
+      // SparkSession must not inherit dynamic semantics from this job
+      ncT.repartition(col("cluster_id")).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster_id").parquet(s"$path/data")
+      ngT.repartition(col("cluster_id")).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster_id").parquet(s"$path/graph")
+      layout.pq.foreach { p =>
+        Pq.encodeClustered(ncT, p).repartition(col("cluster_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cluster_id").parquet(s"$path/codes")
+      }
+      layout.bin.foreach { b =>
+        ncT.select(col("cluster_id") +: col("id") +:
+            BinaryQuant.codeColumns(col("vec"), b).zipWithIndex.map {
+              case (c, w) => c.as(s"w$w") }: _*)
+          .repartition(col("cluster_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cluster_id").parquet(s"$path/bincodes")
       }
       // a shard emptied by deletes writes zero rows, and dynamic overwrite
       // cannot delete a partition it never writes — drop those dirs (and
@@ -293,7 +288,9 @@ object GraphLayout {
                     rerankMetric: Metric = Metric.L2): DataFrame = {
     val b = layout.bin.getOrElse(
       sys.error("layout has no binary codes — write(bin = Some(...)) first"))
-    val codes = layout.binCodes.get
+    val codes = layout.binCodes.getOrElse(sys.error(
+      "layout has no bincodes table — rewrite with bin = Some(...) " +
+        "(sidecar thresholds present but bincodes directory missing)"))
     val wv = codes.select(col("cluster_id"), col("id"),
       array((0 until b.words).map(w => col(s"w$w").cast("double")): _*)
         .as("vec"))

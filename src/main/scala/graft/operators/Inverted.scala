@@ -99,6 +99,12 @@ object Inverted {
     search(queries, clustered, leaders, k, nLeaders, epsilon, metric,
       dedupIds = true)
 
+  /** Upper bound on the leader count [[search]] will score on the
+    * driver (exhaustive |Q|·|leaders| sweep). Past this, use
+    * [[searchWithLeaderIndex]] — the reference's own posture for large
+    * leader sets (inverted/memory_based.h:334). */
+  val MaxDriverLeaders: Int = 65536
+
   /** J4 search with ε-expansion. For each query: score all leaders, find the
     * `nLeaders`-th best leader distance `dk`, keep every leader with
     * dist ≤ epsilon·dk (L2; for similarity metrics dist ≥ dk/epsilon), scan
@@ -111,7 +117,14 @@ object Inverted {
              dedupIds: Boolean = false): DataFrame = {
     val spark = clustered.sparkSession
     import spark.implicits._
-    // driver-side leader scoring: queries and leaders are both small
+    // driver-side leader scoring is a CONTRACT, not an assumption: past
+    // MaxDriverLeaders the exhaustive sweep belongs on executors — fail
+    // loudly and point at the distributed path (mirrors the require
+    // style of IvfIndex.searchWithReorder)
+    require(leaders.length <= MaxDriverLeaders,
+      s"Inverted.search scores leaders on the driver; ${leaders.length} " +
+        s"leaders exceeds the documented bound $MaxDriverLeaders — use " +
+        "searchWithLeaderIndex (graph-routed, fully distributed) instead")
     val qRows = queries
       .select(col("query_id").cast("long"), col("qvec").cast("array<double>"))
       .collect()

@@ -384,7 +384,18 @@ object TextIndex {
     * fresh rows are appended. Anti-join keyed on doc_id + union — both
     * sides stay distributed. */
   def replaceDocs(stored: DataFrame, fresh: DataFrame): DataFrame = {
-    val cols = Seq("term", "doc_id", "tf")
+    // preserve the positional column when both sides carry it; a MIXED
+    // pair (one positional, one not) would silently downgrade the store,
+    // so it fails loudly instead
+    val storedPos = stored.columns.contains("positions")
+    val freshPos = fresh.columns.contains("positions")
+    require(storedPos == freshPos,
+      s"replaceDocs: positional mismatch — stored " +
+        s"${if (storedPos) "has" else "lacks"} positions but fresh " +
+        s"${if (freshPos) "has" else "lacks"} it; re-tokenize with " +
+        "positionalPostings (or postings) so both sides match")
+    val cols = Seq("term", "doc_id", "tf") ++
+      (if (storedPos) Seq("positions") else Nil)
     val ids = fresh.select("doc_id").distinct()
     stored.select(cols.map(col): _*)
       .join(ids, Seq("doc_id"), "left_anti")

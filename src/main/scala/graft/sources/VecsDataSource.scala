@@ -60,9 +60,14 @@ object VecsDataSource {
       : Seq[String] = {
     val single = Option(props.get("path")).toSeq
     val multi = Option(props.get("paths")).toSeq.flatMap { js =>
-      // Spark encodes .load(paths: _*) as a JSON array of strings
-      js.split("\",\\s*\"").map(_.stripPrefix("[").stripSuffix("]")
-        .replaceAll("^\"|\"$", ""))
+      // Spark encodes .load(paths: _*) as a JSON array of strings —
+      // parse it as JSON (quotes/commas/escapes in paths survive)
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(js) match {
+        case JArray(xs) => xs.collect { case JString(p) => p }
+        case other => sys.error(
+          s"graftvecs: malformed paths option (expected JSON array): $other")
+      }
     }
     val all = single ++ multi
     require(all.nonEmpty, "graftvecs: no path given")

@@ -3,58 +3,77 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  StreamingQuery}
+  OutputMode, StreamingQuery}
 
 /** Streaming inverted-index maintenance — the stream analog of
   * [[graft.operators.TextIndex.postings]]/`termStats`: documents arrive
-  * on a stream, and per term the state store holds the posting list
-  * itself (doc_id → tf). Each micro-batch UPSERTS its docs' term
-  * frequencies, so the merge is idempotent per (term, doc) — replays and
-  * re-deliveries of a document converge to the same state instead of
-  * double-counting (the self-guard lesson from the round-5 streaming
-  * ADVICE items, applied from the start). Updated terms re-emit
-  * (term, df, cf) each batch; a last-row-per-term sink converges to the
-  * batch [[graft.operators.TextIndex.termStats]] exactly.
+  * on a stream and the pipeline maintains running `(term, df, cf)`.
   *
-  * Scale: state shards by term hash exactly like the batch build's
-  * shuffle. The state row for a term IS its posting list — honest for an
-  * incremental index (that list is the product), but a hot stopword's
-  * row grows with df; a production deployment caps per-term state with
-  * the usual stopword policy or periodically compacts hot terms into the
-  * batch-built bucketed store ([[graft.operators.TextIndex.writePostings]])
-  * and truncates their stream state. */
+  * Design: two stages, mirroring `TextIndex.replaceDocs`' doc-level
+  * replace semantics. Stage 1 keys state by **doc_id** — the state row
+  * is that document's own term→tf map (bounded by document length, not
+  * by term popularity). Each arrival is a full-document replace: the
+  * stage diffs the new term map against the stored one and emits
+  * per-term deltas, including NEGATIVE deltas for terms that vanished
+  * from a re-ingested document (the tombstones that a per-(term,doc)
+  * upsert design can never produce, because a doc's old terms live in
+  * other groups' state). A re-delivered identical document diffs to
+  * zero deltas, so replays are no-ops. Stage 2 is a plain streaming
+  * aggregation: running `sum` of the df/cf deltas per term — two longs
+  * of state per term, immune to hot-stopword posting-list growth.
+  *
+  * Updated terms re-emit `(term, df, cf)` each batch; a term whose df
+  * reaches 0 emits a `(term, 0, 0)` row, which the sink should treat as
+  * a delete. A last-row-per-term sink (dropping df=0 rows) converges to
+  * the batch [[graft.operators.TextIndex.termStats]] over the final
+  * version of every document — exactly `replaceDocs` symmetry.
+  *
+  * Scale: stage 1 shards by doc hash (the natural ingest partitioning),
+  * stage 2 by term hash exactly like the batch build's shuffle; both
+  * state rows are small and bounded. */
 object StreamingTextIndex {
 
   /** Attach to a streaming `(doc_id, text)` DataFrame; emits updated
-    * `(term, df, cf)` rows per micro-batch. */
+    * `(term, df, cf)` rows per micro-batch (df=0 ⇒ term deleted). */
   def attachTermStats(stream: DataFrame, checkpoint: String)
       (onBatch: DataFrame => Unit): StreamingQuery = {
     val spark = stream.sparkSession
     import spark.implicits._
-    // per arriving doc: its per-term tf, computed doc-locally (flatMap,
-    // no pre-shuffle) — one (term, doc_id, tf) row per distinct term
-    val rows = stream
+    val docs = stream
       .select(col("doc_id").cast("long"), col("text").cast("string"))
       .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        Option(text).getOrElse("").split(" ").filter(_.nonEmpty)
-          .groupBy(identity)
-          .map { case (t, xs) => (t, id, xs.length.toLong) }
-      }
-      .toDF("term", "doc_id", "tf")
-    val updates = rows
-      .as[(String, Long, Long)]
+    // Stage 1 — per-doc replace + diff. Emits (term, d_df, d_cf).
+    val deltas = docs
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (term: String, rs: Iterator[(String, Long, Long)],
-         st: GroupState[Map[Long, Long]]) =>
-          val merged = rs.foldLeft(st.getOption.getOrElse(Map.empty)) {
-            case (m, (_, id, tf)) => m.updated(id, tf) // upsert: replay-safe
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rs: Iterator[(Long, String)],
+         st: GroupState[Map[String, Long]]) =>
+          val prev = st.getOption.getOrElse(Map.empty[String, Long])
+          // each arrival is a full replace; last arrival in batch wins
+          val curr = rs.foldLeft(prev) { case (_, (_, text)) =>
+            Option(text).getOrElse("").split(" ").filter(_.nonEmpty)
+              .groupBy(identity)
+              .map { case (t, xs) => t -> xs.length.toLong }
           }
-          st.update(merged)
-          (term, merged.size.toLong, merged.valuesIterator.sum)
+          st.update(curr)
+          (prev.keySet ++ curr.keySet).iterator.flatMap { t =>
+            val o = prev.getOrElse(t, 0L)
+            val n = curr.getOrElse(t, 0L)
+            if (o == n) Iterator.empty
+            else {
+              val dDf =
+                if (o == 0L) 1L else if (n == 0L) -1L else 0L
+              Iterator.single((t, dDf, n - o))
+            }
+          }
       }
-      .toDF("term", "df", "cf")
+      .toDF("term", "d_df", "d_cf")
+    // Stage 2 — running totals per term (update mode re-emits only
+    // terms touched this batch).
+    val updates = deltas
+      .groupBy("term")
+      .agg(sum("d_df").as("df"), sum("d_cf").as("cf"))
     updates.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)

@@ -153,4 +153,14 @@ class InvertedSpec extends SparkSpec {
     val seedRows = res.join(seeds.select("id"), Seq("id"))
     assert(seedRows.filter(col("l2_cluster") =!= col("id")).count() === 0)
   }
+
+  test("search fails loudly past the driver-side leader bound") {
+    val tooMany = (0L to Inverted.MaxDriverLeaders.toLong)
+      .map(i => (i, Seq(i.toDouble)))
+    val e = intercept[IllegalArgumentException] {
+      Inverted.search(q, emb.withColumn("leader_id", lit(0L)), tooMany,
+        10, 3, 1e18, Metric.L2)
+    }
+    assert(e.getMessage.contains("searchWithLeaderIndex"))
+  }
 }

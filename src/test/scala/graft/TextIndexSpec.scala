@@ -164,6 +164,24 @@ class TextIndexSpec extends SparkSpec {
     assert(afterRemove === Set(("apple", 0L), ("durian", 2L)))
   }
 
+  test("replaceDocs preserves positions; mixed positional pair fails loudly") {
+    val v1 = Seq((0L, "a b a"), (1L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((0L, "b a")).toDF("doc_id", "text")
+    val merged = TextIndex.replaceDocs(
+      TextIndex.postingsPositional(v1), TextIndex.postingsPositional(v2))
+    assert(merged.columns.toSeq ===
+      Seq("term", "doc_id", "tf", "positions"))
+    val got = merged.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getSeq[Int](3))).toSet
+    assert(got === Set(("a", 0L, Seq(1)), ("b", 0L, Seq(0)),
+      ("c", 1L, Seq(0))))
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.replaceDocs(
+        TextIndex.postingsPositional(v1), TextIndex.postings(v2))
+    }
+    assert(e.getMessage.contains("positional mismatch"))
+  }
+
   test("streaming term stats converge to batch termStats, replay-safe") {
     val s = spark
     import s.implicits._
@@ -181,16 +199,29 @@ class TextIndexSpec extends SparkSpec {
       .attachTermStats(stream, ckpt) { b =>
         val ups = b.select("term", "df", "cf").collect()
           .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
-        acc.synchronized { ups.foreach { case (k, v) => acc(k) = v } }
+        acc.synchronized {
+          ups.foreach { case (k, v) =>
+            if (v._1 == 0L) acc.remove(k) else acc(k) = v
+          }
+        }
       }
+    // doc 0 re-ingested WITHOUT banana — its stale posting must vanish
+    // from the running stats (the replaceDocs symmetry, streamed); doc 4
+    // loses `elderberry` entirely → df hits 0 → the sink's delete path
+    val doc0v2 = (0L, "apple apple cherry")
+    val doc4v1 = (4L, "elderberry fig")
+    val doc4v2 = (4L, "fig")
     try {
       // split arrival + a REPLAYED doc (doc 1 delivered twice) — the
-      // upsert merge must not double-count it
+      // per-doc diff must not double-count it
       mem.addData(docsSeq.take(2)); q.processAllAvailable()
-      mem.addData(docsSeq.drop(2) :+ docsSeq(1)); q.processAllAvailable()
+      mem.addData((docsSeq.drop(2) :+ docsSeq(1)) :+ doc4v1)
+      q.processAllAvailable()
+      mem.addData(Seq(doc0v2, doc4v2)); q.processAllAvailable()
     } finally q.stop()
+    val finalDocs = docsSeq.updated(0, doc0v2) :+ doc4v2
     val batch = TextIndex.termStats(
-        TextIndex.postings(docsSeq.toDF("doc_id", "text")))
+        TextIndex.postings(finalDocs.toDF("doc_id", "text")))
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
       .toMap
     assert(acc.toMap === batch)
