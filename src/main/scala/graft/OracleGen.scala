@@ -1333,10 +1333,33 @@ object OracleGen {
   }
 
   /** kNN over the 64-d embeddings table (DuckDB lists are 1-indexed). */
-  def embeddingKnn(metric: Metric, k: Int): String = {
+  def embeddingKnn(metric: Metric, k: Int): String =
+    embeddingKnnDims(metric, k, embDimExprs)
+
+  /** i8-resident twin (q163): data dims quantize exactly as
+    * `ByteVecs.quantizeSigned(vec, scale)` — FLOOR then BIGINT clamp,
+    * every step replayed verbatim — then widen back to DOUBLE, certifying
+    * the byte-resident scan branch + computeDB kernel end-to-end (the
+    * datatype-parity analog of the f32 REAL-cast oracle). Queries stay
+    * full-precision double, as in the engine. */
+  def embeddingKnnI8(metric: Metric, k: Int, scale: Double): String =
+    embeddingKnnDims(metric, k, embDimExprs.map(e =>
+      s"CAST(LEAST(127, GREATEST(-128, " +
+        s"CAST(FLOOR($e * $scale) AS BIGINT))) AS DOUBLE)"))
+
+  /** u8 twin (q164): `ByteVecs.quantizeUnsigned` semantics — the +128
+    * shift before clamp to [0,255]; the engine stores the raw byte
+    * pattern and widens with & 0xFF back to exactly this value. */
+  def embeddingKnnU8(metric: Metric, k: Int, scale: Double): String =
+    embeddingKnnDims(metric, k, embDimExprs.map(e =>
+      s"CAST(LEAST(255, GREATEST(0, " +
+        s"CAST(FLOOR($e * $scale + 128) AS BIGINT))) AS DOUBLE)"))
+
+  private def embeddingKnnDims(metric: Metric, k: Int,
+                               dataDims: Seq[String]): String = {
     val d = Tables.embDims
     s"""WITH data AS (
-       |  SELECT vec_id AS id, ${dimCols("v", embDimExprs)}
+       |  SELECT vec_id AS id, ${dimCols("v", dataDims)}
        |  FROM embeddings),
        |q AS (
        |  SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}

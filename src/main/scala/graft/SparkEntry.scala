@@ -66,6 +66,35 @@ object SparkEntry {
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 
+  private val ByteScale = 64.0
+
+  /** q163: flat kNN over an i8-RESIDENT table (ARRAY<TINYINT>) — the
+    * reference's int8 dataset parity (lib/datatype.h:53-66). The scan
+    * runs FlatKnn's byte branch + the computeDB widen-at-use kernel;
+    * the oracle quantizes identically in SQL and widens back. */
+  private def knnEmbI8Q(s: SparkSession, dir: String): DataFrame =
+    FlatKnn.search(embQueries(s, dir),
+        memoized[DataFrame]("emb_vectors_i8", dir) {
+          embVectors(s, dir).select(col("id"),
+            graft.functions.ByteVecs.quantizeSigned(col("vec"), ByteScale)
+              .as("vec")).cache()
+        }, K, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+
+  /** q164: u8 twin — raw byte patterns + the ByteVecs schema mark, so the
+    * kernel widens with & 0xFF; certified on inner product. */
+  private def knnEmbU8Q(s: SparkSession, dir: String): DataFrame =
+    FlatKnn.search(embQueries(s, dir),
+        memoized[DataFrame]("emb_vectors_u8", dir) {
+          graft.functions.ByteVecs.markUnsigned(
+            embVectors(s, dir).select(col("id"),
+              graft.functions.ByteVecs.quantizeUnsigned(col("vec"), ByteScale)
+                .as("vec"))).cache()
+        }, K, Metric.IP)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+
   /** q80: cosine top-k through ingest-time normalization + IP ranking (the
     * reference's fixed-argument cosine optimization) — certified on exact
     * id-ranking agreement with q04's direct-cosine oracle: ordering is
@@ -2615,6 +2644,8 @@ object SparkEntry {
     "q160_mrl_search" -> (mrlSearchQ _),
     "q161_calibrate_reorder" -> (calibrateReorderQ _),
     "q162_binary_stored" -> (binaryStoredQ _),
+    "q163_i8_flat_knn" -> (knnEmbI8Q _),
+    "q164_u8_flat_knn" -> (knnEmbU8Q _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2954,5 +2985,7 @@ object SparkEntry {
     // q162: served binary rerank, all shards probed at full window ⇒
     // global Hamming top-R + exact rerank — q155's oracle verbatim
     "q162_binary_stored" -> OracleGen.binaryRerank(K, PqWalkReorder),
+    "q163_i8_flat_knn" -> OracleGen.embeddingKnnI8(Metric.L2, K, ByteScale),
+    "q164_u8_flat_knn" -> OracleGen.embeddingKnnU8(Metric.IP, K, ByteScale),
   )
 }

@@ -28,6 +28,15 @@ sealed trait Metric {
   def computeDF(a: Array[Double], b: Array[Float]): Double
   def computeFF(a: Array[Float], b: Array[Float]): Double
 
+  /** Byte-resident kernels (reference datatype parity: uint8/int8
+    * datasets, include/svs/lib/datatype.h:53-66). Every i8/u8 value is
+    * exactly representable as a double, so widening at the point of use
+    * — `b(i).toDouble` signed, `(b(i) & 0xFF).toDouble` unsigned — into
+    * the identical double fold makes byte-resident results bit-identical
+    * to pre-widened copies, at ONE EIGHTH the resident bytes of f64. */
+  def computeDB(a: Array[Double], b: Array[Byte], unsigned: Boolean): Double
+  def computeBB(a: Array[Byte], b: Array[Byte], unsigned: Boolean): Double
+
   /** `compute(a, flat[off, off+a.length))` without materializing the slice
     * — the kernel for FLAT (structure-of-arrays) batch layouts
     * (BatchScore): same per-element fold in the same order, so results are
@@ -68,6 +77,25 @@ object Metric {
         val d = a(i) - flat(off + i); acc += d * d; i += 1 }
       acc
     }
+    def computeDB(a: Array[Double], b: Array[Byte],
+                  unsigned: Boolean): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val y = if (unsigned) (b(i) & 0xFF).toDouble else b(i).toDouble
+        val d = a(i) - y; acc += d * d; i += 1
+      }
+      acc
+    }
+    def computeBB(a: Array[Byte], b: Array[Byte],
+                  unsigned: Boolean): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val x = if (unsigned) (a(i) & 0xFF).toDouble else a(i).toDouble
+        val y = if (unsigned) (b(i) & 0xFF).toDouble else b(i).toDouble
+        val d = x - y; acc += d * d; i += 1
+      }
+      acc
+    }
   }
 
   case object IP extends Metric {
@@ -95,6 +123,25 @@ object Metric {
                            off: Int): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { acc += a(i) * flat(off + i); i += 1 }
+      acc
+    }
+    def computeDB(a: Array[Double], b: Array[Byte],
+                  unsigned: Boolean): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val y = if (unsigned) (b(i) & 0xFF).toDouble else b(i).toDouble
+        acc += a(i) * y; i += 1
+      }
+      acc
+    }
+    def computeBB(a: Array[Byte], b: Array[Byte],
+                  unsigned: Boolean): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val x = if (unsigned) (a(i) & 0xFF).toDouble else a(i).toDouble
+        val y = if (unsigned) (b(i) & 0xFF).toDouble else b(i).toDouble
+        acc += x * y; i += 1
+      }
       acc
     }
   }
@@ -147,6 +194,28 @@ object Metric {
       if (na == 0.0 || nb == 0.0) 0.0
       else dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    def computeDB(a: Array[Double], b: Array[Byte],
+                  unsigned: Boolean): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i)
+        val y = if (unsigned) (b(i) & 0xFF).toDouble else b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def computeBB(a: Array[Byte], b: Array[Byte],
+                  unsigned: Boolean): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = if (unsigned) (a(i) & 0xFF).toDouble else a(i).toDouble
+        val y = if (unsigned) (b(i) & 0xFF).toDouble else b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
   }
 
   /** Hamming distance over BIT-PACKED WORD arrays: each element is an
@@ -185,6 +254,14 @@ object Metric {
     def computeFF(a: Array[Float], b: Array[Float]): Double =
       sys.error("Hamming codes must be stored as ARRAY<DOUBLE> " +
         "(32-bit words do not fit a float32 mantissa)")
+    def computeDB(a: Array[Double], b: Array[Byte],
+                  unsigned: Boolean): Double =
+      sys.error("Hamming codes must be stored as ARRAY<DOUBLE> " +
+        "(32-bit packed words, not bytes)")
+    def computeBB(a: Array[Byte], b: Array[Byte],
+                  unsigned: Boolean): Double =
+      sys.error("Hamming codes must be stored as ARRAY<DOUBLE> " +
+        "(32-bit packed words, not bytes)")
     override def computeAt(a: Array[Double], flat: Array[Double],
                            off: Int): Double = {
       var acc = 0; var i = 0
@@ -234,6 +311,12 @@ object Metric {
       case Hamming    => Hamming.computeFF(a, b)
       case s: SimdOf  => s.computeFF(a, b)
     }
+    // byte kernels stay scalar (no lane kernel yet): the widen-at-use
+    // double fold is identical either way, so results don't change
+    def computeDB(a: Array[Double], b: Array[Byte],
+                  unsigned: Boolean): Double = base.computeDB(a, b, unsigned)
+    def computeBB(a: Array[Byte], b: Array[Byte],
+                  unsigned: Boolean): Double = base.computeBB(a, b, unsigned)
   }
 
   /** The SIMD variant of `m` when the Vector API is available in this JVM,

@@ -57,16 +57,22 @@ object FlatKnn {
     val m = metric
 
     // scan the source element type as-is: float32 vectors read half the
-    // bytes; widening to double happens per-register in the copy loop (free)
-    // rather than in a cast projection (memory traffic)
+    // bytes (i8/u8 an eighth); widening to double happens per-register in
+    // the copy loop (free) rather than in a cast projection (memory
+    // traffic). u8 is ARRAY<TINYINT> carrying the ByteVecs schema mark.
     val projected = data.select(col("id").cast("long"), col("vec"))
-    val isFloat = projected.schema("vec").dataType match {
+    val unsigned = graft.functions.ByteVecs.isUnsigned(data.schema, "vec")
+    val elKind = projected.schema("vec").dataType match {
       case org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.FloatType, _) => true
+        org.apache.spark.sql.types.FloatType, _) => 'f'
       case org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.DoubleType, _) => false
-      case t => sys.error(s"vec must be ARRAY<FLOAT|DOUBLE>, got $t")
+        org.apache.spark.sql.types.DoubleType, _) => 'd'
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, _) => 'b'
+      case t => sys.error(s"vec must be ARRAY<FLOAT|DOUBLE|TINYINT>, got $t")
     }
+    val isFloat = elKind == 'f'
+    val isByte = elKind == 'b'
 
     val partials = projected
       .queryExecution.toRdd
@@ -80,6 +86,7 @@ object FlatKnn {
         // mixed kernel runs ~2x the f64 SIMD rate (KernelBench)
         var buf: Array[Double] = null
         var fbuf: Array[Float] = null
+        var bbuf: Array[Byte] = null
         while (iter.hasNext) {
           val row = iter.next()
           if (!row.isNullAt(0) && !row.isNullAt(1)) {
@@ -87,7 +94,18 @@ object FlatKnn {
             val arr = row.getArray(1)
             val d = arr.numElements()
             var q = 0
-            if (isFloat) {
+            if (isByte) {
+              // i8/u8 rows stay bytes through the kernel: computeDB widens
+              // per element (sign-extend or & 0xFF) inside the fold —
+              // bit-identical to widening first (ByteKnnSpec), 1/8 the bytes
+              if (bbuf == null || bbuf.length != d) bbuf = new Array[Byte](d)
+              var i = 0
+              while (i < d) { bbuf(i) = arr.getByte(i); i += 1 }
+              while (q < nq) {
+                heaps(q).insert(m.computeDB(vecs(q), bbuf, unsigned), id)
+                q += 1
+              }
+            } else if (isFloat) {
               if (fbuf == null || fbuf.length != d) fbuf = new Array[Float](d)
               var i = 0
               while (i < d) { fbuf(i) = arr.getFloat(i); i += 1 }

@@ -40,13 +40,33 @@ object Vamana {
       : DataFrame = {
     val spark = clustered.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import org.apache.spark.sql.types.{ArrayType, ByteType, FloatType}
     val isFloat = clustered.schema("vec").dataType match {
       case ArrayType(FloatType, _) => true
       case _                       => false
     }
+    val isByte = clustered.schema("vec").dataType match {
+      case ArrayType(ByteType, _) => true
+      case _                      => false
+    }
+    val unsigned =
+      graft.functions.ByteVecs.isUnsigned(clustered.schema, "vec")
     val built =
-      if (isFloat)
+      if (isByte)
+        // i8/u8 sources build byte-resident (ByteStore): 1/8 the task
+        // memory of f64, bit-identical graphs (ByteKnnSpec)
+        clustered
+          .select(col("cluster_id").cast("long"), col("id").cast("long"),
+            col("vec"))
+          .as[(Long, Long, Seq[Byte])]
+          .groupByKey(_._1)
+          .flatMapGroups { (cid, it) =>
+            val rows = it.toArray.sortBy(_._2)
+            emitGraph(cid, rows.map(_._2),
+              new VamanaKernel.ByteStore(rows.map(_._3.toArray), unsigned),
+              params, metric)
+          }
+      else if (isFloat)
         clustered
           .select(col("cluster_id").cast("long"), col("id").cast("long"),
             col("vec"))
@@ -198,11 +218,17 @@ object Vamana {
     // Element-type aware like buildSharded: ARRAY<FLOAT> sources stay
     // float-resident through the walk (half the per-task bytes; identical
     // double fold via the mixed kernels, F32BuildSpec asserts equality).
-    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import org.apache.spark.sql.types.{ArrayType, ByteType, FloatType}
     val isFloat = clustered.schema("vec").dataType match {
       case ArrayType(FloatType, _) => true
       case _                       => false
     }
+    val isByte = clustered.schema("vec").dataType match {
+      case ArrayType(ByteType, _) => true
+      case _                      => false
+    }
+    val unsigned =
+      graft.functions.ByteVecs.isUnsigned(clustered.schema, "vec")
     val pruned = clustered
       .withColumn("keep", keep)
       .filter(col("cluster_id").isin(probedIds: _*))
@@ -210,7 +236,28 @@ object Vamana {
 
     val m = metric
     val partials = (
-      if (isFloat)
+      if (isByte)
+        // byte-resident walk (i8/u8 datatype parity): same shape as the
+        // float branch at 1/8 the per-task bytes, bit-identical results
+        pruned
+          .select(col("cluster_id").cast("long"), col("id").cast("long"),
+            col("vec"), col("entry_id").cast("long"),
+            col("neighbors").cast("array<long>"), col("keep"))
+          .as[(Long, Long, Seq[Byte], Long, Array[Long], Boolean)]
+          .groupByKey(_._1)
+          .flatMapGroups { (cid, it) =>
+            val qs = bc.value.getOrElse(cid,
+              Array.empty[(Long, Array[Double])])
+            if (qs.isEmpty) Iterator.empty
+            else {
+              val rows = it.toArray.sortBy(_._2)
+              walkShardCore(cid, rows.map(_._2),
+                new VamanaKernel.ByteStore(rows.map(_._3.toArray), unsigned),
+                rows(0)._4, rows.map(_._5), qs, k, searchWindow,
+                searchCapacity, m, allowedOf(rows.map(_._6)))
+            }
+          }
+      else if (isFloat)
         pruned
           .select(col("cluster_id").cast("long"), col("id").cast("long"),
             col("vec"), col("entry_id").cast("long"),

@@ -68,6 +68,40 @@ object VamanaKernel {
     }
   }
 
+  /** Byte-resident store — datatype parity with the reference's uint8/
+    * int8 datasets (include/svs/lib/datatype.h:53-66): rows stay as raw
+    * bytes (ONE EIGHTH of f64 task memory through the memory-bound
+    * build) and every distance widens per element at the point of use —
+    * signed `toDouble` or unsigned `& 0xFF` — into the identical double
+    * fold (`Metric.computeDB/BB`). i8/u8 values are all exactly
+    * representable as doubles, so graphs and searches are bit-identical
+    * to a pre-widened `ARRAY<DOUBLE>` copy (ByteKnnSpec asserts this). */
+  final class ByteStore(vecs: Array[Array[Byte]], unsigned: Boolean)
+      extends VecStore {
+    def n: Int = vecs.length
+    def row(i: Int): Array[Double] = {
+      val v = vecs(i)
+      val out = new Array[Double](v.length)
+      var j = 0
+      while (j < v.length) {
+        out(j) = if (unsigned) (v(j) & 0xFF).toDouble else v(j).toDouble
+        j += 1
+      }
+      out
+    }
+    def dist(metric: Metric, q: Array[Double], i: Int): Double =
+      metric.computeDB(q, vecs(i), unsigned)
+    def distPair(metric: Metric, i: Int, j: Int): Double =
+      metric.computeBB(vecs(i), vecs(j), unsigned)
+    def addInto(acc: Array[Double], i: Int): Unit = {
+      val v = vecs(i); var j = 0
+      while (j < v.length) {
+        acc(j) += (if (unsigned) (v(j) & 0xFF).toDouble else v(j).toDouble)
+        j += 1
+      }
+    }
+  }
+
   /** PQ-codes resident store (Jégou, Douze & Schmid TPAMI'11 §V: ADC) —
     * the DiskANN serving layout (Subramanya et al. NeurIPS'19): the walk
     * holds only m small codes per row (m·log₂k bits instead of d·64) and

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Metric, Tables}
+import graft.functions.ByteVecs
+import graft.operators.{FlatKnn, Vamana, VamanaKernel}
+import graft.operators.VamanaKernel.BuildParams
+
+/** i8/u8-resident search paths (reference datatype parity:
+  * lib/datatype.h:53-66 int8/uint8 datasets). Every byte value widens to
+  * double EXACTLY, so the byte-resident kernels (Metric.computeDB/BB),
+  * FlatKnn's byte scan branch, and the ByteStore graph build/walk must
+  * all be BIT-IDENTICAL to running over a pre-widened ARRAY<DOUBLE>
+  * copy — at one eighth the resident bytes. */
+class ByteKnnSpec extends SparkSpec {
+
+  private def emb = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+  private def q = Tables.embeddingQueries(spark, sfDir)
+
+  private def i8 =
+    emb.select(col("id"), ByteVecs.quantizeSigned(col("vec"), 64.0).as("vec"))
+  private def u8 =
+    ByteVecs.markUnsigned(emb.select(col("id"),
+      ByteVecs.quantizeUnsigned(col("vec"), 64.0).as("vec")))
+
+  test("byte kernels are bit-identical to compute on widened copies") {
+    val rnd = new scala.util.Random(17)
+    for (d <- Seq(1, 3, 8, 17, 64, 65); _ <- 0 until 10) {
+      val ab = Array.fill(d)((rnd.nextInt(256) - 128).toByte)
+      val bb = Array.fill(d)((rnd.nextInt(256) - 128).toByte)
+      val q = Array.fill(d)(rnd.nextDouble() * 4 - 2)
+      for (m <- Metric.all) {
+        val sS = ab.map(_.toDouble); val sT = bb.map(_.toDouble)
+        val uS = ab.map(x => (x & 0xFF).toDouble)
+        val uT = bb.map(x => (x & 0xFF).toDouble)
+        assert(m.computeDB(q, bb, unsigned = false) == m.compute(q, sT),
+          s"${m.name} DB signed d=$d")
+        assert(m.computeDB(q, bb, unsigned = true) == m.compute(q, uT),
+          s"${m.name} DB unsigned d=$d")
+        assert(m.computeBB(ab, bb, unsigned = false) == m.compute(sS, sT),
+          s"${m.name} BB signed d=$d")
+        assert(m.computeBB(ab, bb, unsigned = true) == m.compute(uS, uT),
+          s"${m.name} BB unsigned d=$d")
+      }
+    }
+  }
+
+  test("flat kNN over TINYINT equals the cast-to-double plan bit-for-bit") {
+    for (m <- Seq(Metric.L2, Metric.IP, Metric.Cosine)) {
+      val byteRes = FlatKnn.search(q, i8, 10, m)
+        .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+      val wideRes = FlatKnn.search(q,
+          i8.select(col("id"), ByteVecs.widen(col("vec"),
+            unsigned = false).as("vec")), 10, m)
+        .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+      assert(byteRes === wideRes, m.name)
+    }
+  }
+
+  test("u8 mark flips interpretation: marked table matches unsigned widen, " +
+      "unmarked matches signed widen") {
+    val marked = FlatKnn.search(q, u8, 10, Metric.IP)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val wideU = FlatKnn.search(q,
+        u8.select(col("id"), ByteVecs.widen(col("vec"),
+          unsigned = true).as("vec")), 10, Metric.IP)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(marked === wideU)
+    // strip the mark (an alias KEEPS child metadata — clearing needs an
+    // explicit empty Metadata) → sign-extended interpretation
+    val unmarked = u8.select(col("id"),
+      col("vec").as("vec", org.apache.spark.sql.types.Metadata.empty))
+    val signed = FlatKnn.search(q, unmarked, 10, Metric.IP)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val wideS = FlatKnn.search(q,
+        u8.select(col("id"), ByteVecs.widen(col("vec"),
+          unsigned = false).as("vec")), 10, Metric.IP)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(signed === wideS)
+    assert(marked !== signed,
+      "u8 vs i8 interpretation should rank differently on this data")
+  }
+
+  test("byte-resident sharded graph build + walk equal the double plan") {
+    val params = BuildParams(maxDegree = 8, buildWindow = 16)
+    val cl8 = i8.withColumn("cluster_id", col("id") % 4)
+    val clD = cl8.select(col("id"),
+      ByteVecs.widen(col("vec"), unsigned = false).as("vec"),
+      col("cluster_id"))
+    val g8 = Vamana.buildSharded(cl8, params, Metric.L2)
+    val gD = Vamana.buildSharded(clD, params, Metric.L2)
+    assert(g8.orderBy("cluster_id", "id").collect().map(_.toSeq).toSeq ===
+      gD.orderBy("cluster_id", "id").collect().map(_.toSeq).toSeq)
+    val cents = (0 until 4).map { c =>
+      (c.toLong, clD.filter(col("cluster_id") === c)
+        .select(posexplode(col("vec"))).groupBy("pos").agg(avg("col"))
+        .orderBy("pos").collect().map(_.getDouble(1)).toSeq)
+    }
+    val r8 = Vamana.searchSharded(q, cl8, g8, cents, 5, 16, 2, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val rD = Vamana.searchSharded(q, clD, gD, cents, 5, 16, 2, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(r8 === rD)
+  }
+}
