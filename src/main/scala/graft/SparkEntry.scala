@@ -1492,6 +1492,27 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** q165: `.hvecs` (IEEE binary16) write→read round trip through the
+    * DSv2 source. The trip is NOT bit-exact vs the double source — it is
+    * exactly the certified f16 codec (q45): `matches` asserts the
+    * read-back vector equals `float16_decode(float16_encode(vec))`
+    * element-wise, tying the FILE codec to the expression codec. */
+  private def hvecsRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HalfFloat._
+    val out = "/tmp/graft_hvecs_q165"
+    val orig = embVectors(s, dir).select("id", "vec")
+    graft.sources.VecsIO.write(
+      orig.repartitionByRange(4, col("id")), out, graft.sources.VecsIO.F16)
+    val back = s.read.format("graftvecs").load(s"$out/*.hvecs")
+      .withColumnRenamed("vec", "vec_back")
+    val expect =
+      float16Decode(float16Encode(col("vec"))).cast("array<double>")
+    orig.join(back, Seq("id"))
+      .select(col("id"), size(col("vec")).cast("long").as("dims"),
+        when(col("vec_back") === expect, 1L).otherwise(0L).as("matches"))
+      .orderBy("id")
+  }
+
   private val SynN = 10000L
   private val SynDims = 16
   private val SynStride = 500L
@@ -2646,6 +2667,7 @@ object SparkEntry {
     "q162_binary_stored" -> (binaryStoredQ _),
     "q163_i8_flat_knn" -> (knnEmbI8Q _),
     "q164_u8_flat_knn" -> (knnEmbU8Q _),
+    "q165_hvecs_roundtrip" -> (hvecsRoundtripQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2987,5 +3009,9 @@ object SparkEntry {
     "q162_binary_stored" -> OracleGen.binaryRerank(K, PqWalkReorder),
     "q163_i8_flat_knn" -> OracleGen.embeddingKnnI8(Metric.L2, K, ByteScale),
     "q164_u8_flat_knn" -> OracleGen.embeddingKnnU8(Metric.IP, K, ByteScale),
+    // q165: identity claim — Spark-side `matches` ties the hvecs file
+    // codec to the certified f16 expression codec (q45's bit surgery has
+    // no DuckDB twin, same posture as halfRoundtrip).
+    "q165_hvecs_roundtrip" -> OracleGen.fvecsRoundtrip,
   )
 }

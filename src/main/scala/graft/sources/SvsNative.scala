@@ -55,6 +55,12 @@ object SvsNative {
               while (i < d) { out(i) = bb.getInt.toDouble; i += 1 }
             case VecsIO.U8 =>
               while (i < d) { out(i) = (bb.get & 0xff).toDouble; i += 1 }
+            case VecsIO.F16 =>
+              while (i < d) {
+                out(i) = graft.functions.Binary16.halfToFloat(bb.getShort)
+                  .toDouble
+                i += 1
+              }
           }
           (r.toLong, out)
         }
@@ -89,6 +95,8 @@ object SvsNative {
         case VecsIO.F32 => v.foreach(x => bb.putFloat(x.toFloat))
         case VecsIO.I32 => v.foreach(x => bb.putInt(x.toInt))
         case VecsIO.U8 => v.foreach(x => bb.put(x.toInt.toByte))
+        case VecsIO.F16 => v.foreach(x => bb.putShort(
+          graft.functions.Binary16.floatToHalf(x.toFloat)))
       }
     }
     val p = new Path(path)

@@ -86,6 +86,7 @@ object VecsDataSource {
     case "F32" => VecsIO.F32
     case "I32" => VecsIO.I32
     case "U8" => VecsIO.U8
+    case "F16" => VecsIO.F16
   }
 }
 
@@ -204,6 +205,8 @@ class VecsDataWriter(dir: String, el: VecsIO.ElType, vecOrdinal: Int,
         case VecsIO.F32 => bb.putFloat(x.toFloat)
         case VecsIO.I32 => bb.putInt(x.toInt)
         case VecsIO.U8 => bb.put(x.toInt.toByte)
+        case VecsIO.F16 => bb.putShort(
+          graft.functions.Binary16.floatToHalf(x.toFloat))
       }
       i += 1
     }
@@ -352,6 +355,12 @@ class VecsPartitionReader(split: VecsDataSource.VecsSplit,
           while (i < d) { out(i) = bb.getInt.toDouble; i += 1 }
         case VecsIO.U8 =>
           while (i < d) { out(i) = (bb.get & 0xff).toDouble; i += 1 }
+        case VecsIO.F16 =>
+          while (i < d) {
+            out(i) = graft.functions.Binary16.halfToFloat(bb.getShort)
+              .toDouble
+            i += 1
+          }
       }
       new GenericArrayData(out)
     } else {

@@ -24,11 +24,17 @@ object VecsIO {
   case object F32 extends ElType { val bytes = 4; val ext = "fvecs" }
   case object I32 extends ElType { val bytes = 4; val ext = "ivecs" }
   case object U8 extends ElType { val bytes = 1; val ext = "bvecs" }
+  /** IEEE binary16 (`.hvecs`, reference core/io/vecs.h:137): payload is
+    * 2-byte half floats; decode/encode reuse the certified f16 codec
+    * ([[graft.functions.Binary16]]) so round trips match the S7
+    * converting-ingest path bit-for-bit. */
+  case object F16 extends ElType { val bytes = 2; val ext = "hvecs" }
 
   def elTypeFor(path: String): ElType =
     if (path.endsWith(".fvecs")) F32
     else if (path.endsWith(".ivecs")) I32
     else if (path.endsWith(".bvecs")) U8
+    else if (path.endsWith(".hvecs")) F16
     else sys.error(s"not a vecs path: $path")
 
   /** Expand a glob/dir into concrete file paths driver-side. Passing
@@ -61,6 +67,9 @@ object VecsIO {
           case F32 => while (i < d) { out(i) = bb.getFloat.toDouble; i += 1 }
           case I32 => while (i < d) { out(i) = bb.getInt.toDouble; i += 1 }
           case U8 => while (i < d) { out(i) = (bb.get & 0xff).toDouble; i += 1 }
+          case F16 => while (i < d) {
+            out(i) = graft.functions.Binary16.halfToFloat(bb.getShort).toDouble
+            i += 1 }
         }
         out
       }
@@ -130,6 +139,8 @@ object VecsIO {
               case F32 => v.foreach(x => bb.putFloat(x.toFloat))
               case I32 => v.foreach(x => bb.putInt(x.toInt))
               case U8 => v.foreach(x => bb.put(x.toInt.toByte))
+              case F16 => v.foreach(x => bb.putShort(
+                graft.functions.Binary16.floatToHalf(x.toFloat)))
             }
             os.write(bb.array())
           }
@@ -169,6 +180,8 @@ object VecsIO {
               case F32 => v.foreach(x => bb.putFloat(x.toFloat))
               case I32 => v.foreach(x => bb.putInt(x.toInt))
               case U8 => v.foreach(x => bb.put(x.toInt.toByte))
+              case F16 => v.foreach(x => bb.putShort(
+                graft.functions.Binary16.floatToHalf(x.toFloat)))
             }
             os.write(bb.array())
           }
@@ -206,6 +219,9 @@ object VecsIO {
             case F32 => while (i < dims) { out(i) = bb.getFloat.toDouble; i += 1 }
             case I32 => while (i < dims) { out(i) = bb.getInt.toDouble; i += 1 }
             case U8 => while (i < dims) { out(i) = (bb.get & 0xff).toDouble; i += 1 }
+            case F16 => while (i < dims) {
+              out(i) = graft.functions.Binary16.halfToFloat(bb.getShort).toDouble
+              i += 1 }
           }
           (base + r, out)
         }

@@ -39,6 +39,33 @@ class SourcesSpec extends SparkSpec {
     assert(backB(0).getSeq[Double](1) === Seq(0.0, 255.0, 17.0))
   }
 
+  test("hvecs round trip equals the certified f16 expression codec, " +
+      "legacy and DSv2 readers agree") {
+    val dir = freshDir("hvecs")
+    val orig = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    VecsIO.write(orig.repartitionByRange(3, col("id")), dir, VecsIO.F16)
+    // expected = encode→decode through the q45-certified f16 codec
+    import graft.functions.HalfFloat._
+    val expect = orig.select(col("id"),
+      float16Decode(float16Encode(col("vec"))).cast("array<double>")
+        .as("vec_exp"))
+    val back = VecsIO.read(spark, s"$dir/*.hvecs")
+    assert(back.count() === orig.count())
+    val j = back.withColumnRenamed("vec", "vec2").join(expect, Seq("id"))
+    assert(j.filter(col("vec2") =!= col("vec_exp")).count() === 0)
+    // the DSv2 reader decodes the same files identically
+    val v2 = spark.read.format("graftvecs").load(s"$dir/*.hvecs")
+    assert(v2.orderBy("id").collect().map(_.toSeq).toSeq ===
+      back.orderBy("id").collect().map(_.toSeq).toSeq)
+    // and the DSv2 writer emits hvecs the legacy reader round-trips
+    val dir2 = freshDir("hvecs_v2w")
+    orig.repartitionByRange(3, col("id")).write.format("graftvecs")
+      .mode("overwrite").option("eltype", "hvecs").save(dir2)
+    val backW = VecsIO.read(spark, s"$dir2/*.hvecs")
+      .withColumnRenamed("vec", "vec2").join(expect, Seq("id"))
+    assert(backW.filter(col("vec2") =!= col("vec_exp")).count() === 0)
+  }
+
   test("multi-file vecs read assigns dense ids in path order") {
     val dir = freshDir("multifile")
     val orig = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
