@@ -137,9 +137,17 @@ object SvsIndexDir {
     val bytes = readBlob(spark, dir, t("binary_file"))
     val h = SvsNative.readHeader(bytes)
     require(h.dims == dims, s"data blob dims ${h.dims} != $dims")
+    val rows = decodeSvsVectors(bytes, h.numVectors.toInt, dims, el)
+    spark.createDataset(rows).toDF("id", "vec")
+  }
+
+  /** Decode an eltype-tagged v1 `.svs` payload into dense-id rows —
+    * shared by [[loadData]] and [[loadIvfClustering]]'s centroid blob. */
+  private def decodeSvsVectors(bytes: Array[Byte], n: Int, dims: Int,
+                               el: String): Seq[(Long, Seq[Double])] = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     bb.position(SvsNative.HeaderSize)
-    val rows = (0 until h.numVectors.toInt).map { r =>
+    (0 until n).map { r =>
       val v = new Array[Double](dims)
       var i = 0
       el match {
@@ -160,7 +168,67 @@ object SvsIndexDir {
       }
       (r.toLong, v.toSeq)
     }
-    spark.createDataset(rows).toDF("id", "vec")
+  }
+
+  /** Load a saved `IVF clustering` directory (reference
+    * index/ivf/clustering.h:166-210, fixture
+    * data/test_dataset/ivf_clustering): `svs_config.toml` + a clusters
+    * blob — `u64 n_clusters`, then per cluster `u64 size` + `size`
+    * member ids of `integer_type` — + the centroid table's v1 `.svs`
+    * blob ([object.centroids], any supported eltype). Returns the
+    * engine's IVF shape: (centroids for probe routing, assignment
+    * DataFrame (cluster_id BIGINT, id BIGINT)). Join the assignment with
+    * a vector table on `id` and the result serves [[graft.operators
+    * .IvfIndex.search]] directly (IndexImportSpec does exactly this). */
+  def loadIvfClustering(spark: SparkSession, dir: String)
+      : (Seq[(Long, Seq[Double])], DataFrame) = {
+    import spark.implicits._
+    val text = readText(spark,
+      new Path(new Path(dir), "svs_config.toml"))
+    require(text.contains("'IVF clustering'") ||
+      text.contains("\"IVF clustering\""),
+      s"not an IVF clustering directory: $dir")
+    // flat scrape is safe here: the keys we need are unique across the
+    // top-level table and the single [object.centroids] sub-table
+    val t = parseToml(text)
+    val intType = t.getOrElse("integer_type", "uint32")
+    require(intType == "uint32" || intType == "uint64",
+      s"unsupported clustering integer_type $intType")
+    val nClusters = t("num_clusters").toLong
+    val blob = readBlob(spark, dir, t("filepath"))
+    t.get("filesize").foreach { fsz =>
+      require(blob.length.toLong == fsz.toLong,
+        s"clusters blob ${blob.length} bytes, config says $fsz") }
+    val bb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getLong
+    require(n == nClusters, s"blob has $n clusters, config says $nClusters")
+    val members = Seq.newBuilder[(Long, Long)]
+    var c = 0L
+    while (c < n) {
+      var sz = bb.getLong
+      require(sz >= 0 && sz <= Int.MaxValue, s"cluster $c size $sz")
+      while (sz > 0) {
+        val id =
+          if (intType == "uint32") bb.getInt.toLong & 0xffffffffL
+          else bb.getLong
+        members += ((c, id))
+        sz -= 1
+      }
+      c += 1
+    }
+    require(bb.remaining() == 0,
+      s"${bb.remaining()} trailing bytes in ${t("filepath")}")
+    // centroids: the [object.centroids] sub-table's .svs blob
+    val cBytes = readBlob(spark, dir, t("binary_file"))
+    val h = SvsNative.readHeader(cBytes)
+    val dims = t("dims").toInt
+    require(h.dims == dims && h.numVectors == nClusters,
+      s"centroid blob ${h.numVectors}x${h.dims}, config $nClusters x $dims")
+    val cents = decodeSvsVectors(cBytes, nClusters.toInt, dims,
+      t.getOrElse("eltype", "float32"))
+      .map { case (i, v) => (i, v) }
+    (cents, spark.createDataset(members.result())
+      .toDF("cluster_id", "id"))
   }
 
   /** Import a full saved index. `root` either contains `config`, `graph`,

@@ -58,4 +58,44 @@ class IndexImportSpec extends SparkSpec {
       .filter(not(col("vec") === col("vec_back"))).count()
     assert(mismatches === 0L)
   }
+
+  test("parses the reference's committed ivf_clustering fixture and " +
+      "serves a probe search over it") {
+    val (cents, assign) = SvsIndexDir.loadIvfClustering(spark,
+      "/root/reference/data/test_dataset/ivf_clustering")
+    // structure: 128 clusters of 128-d bf16 centroids over 10k points,
+    // every point assigned exactly once
+    assert(cents.length === 128)
+    assert(cents.forall(_._2.length === 128))
+    assert(cents.forall(_._2.forall(x => !x.isNaN && !x.isInfinite)))
+    assert(assign.count() === 10000L)
+    assert(assign.select("id").distinct().count() === 10000L)
+    assert(assign.agg(min("id"), max("id")).head().toSeq ===
+      Seq(0L, 9999L))
+    assert(assign.select("cluster_id").distinct().count() === 128L)
+
+    // serve the q07 shape over the IMPORTED clustering: the fixture's
+    // data blob is not in the snapshot, so attach deterministic vectors
+    // by id; with exhaustive probes the imported-clustering search must
+    // equal flat kNN over the same table (routing-independent truth)
+    val data = graft.sources.SyntheticData.generate(spark, 10000L, 128)
+    val clustered = data.join(assign, Seq("id"))
+    val q = graft.sources.SyntheticData
+      .generateQueries(spark, 10000L, 128, 2000L)
+    val viaIvf = graft.operators.IvfIndex
+      .search(q, clustered, cents, 10, nProbes = 128, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().toSeq
+    val flat = graft.operators.FlatKnn.search(q, data, 10, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(viaIvf === flat)
+    assert(viaIvf.nonEmpty)
+    // realistic probes return k rows per query through the imported
+    // routing (centroids are usable, not just parseable)
+    val probed = graft.operators.IvfIndex
+      .search(q, clustered, cents, 10, nProbes = 8, Metric.L2)
+    assert(probed.groupBy("query_id").count()
+      .filter(col("count") =!= 10).count() === 0)
+  }
 }
