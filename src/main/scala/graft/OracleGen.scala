@@ -723,6 +723,36 @@ object OracleGen {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** [[multiLabelKnn]] with whole labels deleted (the reference's
+    * MultiMutableVamanaIndex delete-label, multi.h:155): rows of deleted
+    * labels vanish from the per-label minima AND the label ranking. */
+  def multiLabelKnnExcludingLabels(k: Int, labelPred: String): String = {
+    val d = Tables.embDims
+    s"""WITH data AS (
+       |  SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+       |         ${dimCols("v", embDimExprs)}
+       |  FROM embeddings WHERE NOT ($labelPred)),
+       |q AS (
+       |  SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}
+       |  FROM embeddings WHERE ${Tables.embQueryPredSql}),
+       |pairs AS (
+       |  SELECT q.query_id, d.label, d.id,
+       |         ${l2.sqlExpr("q.q", "d.v", d)} AS dist
+       |  FROM q CROSS JOIN data d),
+       |best AS (
+       |  SELECT query_id, label, id AS best_id, dist,
+       |    row_number() OVER (PARTITION BY query_id, label
+       |      ORDER BY dist ASC, id ASC) AS rn
+       |  FROM pairs),
+       |ranked AS (
+       |  SELECT query_id, label, best_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist ASC, label ASC) AS rnk
+       |  FROM best WHERE rn = 1)
+       |SELECT query_id, rnk, label, best_id FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Flat embedding kNN with an excluded (tombstoned) id predicate (P8). */
   def embeddingKnnExcluding(metric: Metric, k: Int, excludePred: String)
       : String = {

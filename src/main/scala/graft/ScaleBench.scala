@@ -435,6 +435,80 @@ object ScaleBench {
             s""""auto_tiled":${nQ.toLong * nC >= BatchScore.GemmPairThreshold}}""")
       }
     }
+
+    // Executor-side probe scoring past driver comfort: 1e5 queries ×
+    // 1e5 centroids (1e10 pairs — the cluster-scale batch the driver
+    // should never hold). Centroids broadcast once; query partitions run
+    // the tiled kernel locally. Driver twin is run at 1/10 the query
+    // batch (same per-query cost) for a per-pair-rate comparison; full
+    // equality is BatchScoreSpec's job.
+    if (sys.env.get("SPARK_GRAFT_SCALE_PROBEDIST").contains("1")) {
+      import graft.operators.BatchScore
+      import spark.implicits._
+      val d = 64
+      val nQ = 100000
+      val nC = 100000
+      def mkRows(n: Int, seed: Long): Array[(Long, Array[Double])] =
+        Array.tabulate(n) { i =>
+          val r = new scala.util.Random(seed + i)
+          (i.toLong, Array.fill(d)(r.nextDouble()))
+        }
+      val cents = mkRows(nC, 777L).map { case (i, v) => (i, v.toSeq) }.toSeq
+      val qdf = spark.range(nQ).select(col("id").as("query_id"))
+        .map { row =>
+          val i = row.getLong(0)
+          val r = new scala.util.Random(1L + i)
+          (i, Array.fill(d)(r.nextDouble()).toSeq)
+        }.toDF("query_id", "qvec")
+        .repartition(32).cache()
+      qdf.count()
+      val (nRows, tDist) = time(
+        BatchScore.probeTopKDistributed(qdf, cents, 8, Metric.L2).count())
+      require(nRows == nQ.toLong * 8, s"expected ${nQ * 8} rows, got $nRows")
+      val qSmall = mkRows(nQ / 10, 1L)
+      val cArr = cents.map { case (i, v) => (i, v.toArray) }.toIndexedSeq
+      val (_, tDriver) = time(
+        BatchScore.probeTopK(qSmall, cArr, 8, Metric.L2))
+      println(s"""{"experiment":"probe_score_dist","n_queries":$nQ,""" +
+        s""""n_centroids":$nC,"dims":$d,"dist_sec":$tDist,""" +
+        s""""driver_tenth_sec":$tDriver,""" +
+        s""""dist_pairs_per_sec":${(nQ.toLong * nC / tDist).toLong}}""")
+    }
+
+    // Hierarchical probe routing at graph-index shard counts where the
+    // flat centroid sweep dominates: level-1 = √C groups, so per-query
+    // cost drops |C| → ~2√|C|. Reports flat vs two-level routing time
+    // and the probe-set agreement at equal nProbes (routing quality).
+    if (sys.env.get("SPARK_GRAFT_SCALE_HIER").contains("1")) {
+      import graft.operators.{BatchScore, Vamana}
+      val d = 64
+      def mkRows(n: Int, seed: Long): Array[(Long, Array[Double])] =
+        Array.tabulate(n) { i =>
+          val r = new scala.util.Random(seed + i)
+          (i.toLong, Array.fill(d)(r.nextDouble()))
+        }
+      Seq(10000, 40000, 100000).foreach { nC =>
+        val nQ = 1000
+        val q = mkRows(nQ, 1L)
+        val cents = mkRows(nC, 777L).toIndexedSeq
+        val nG = math.max(1, math.sqrt(nC.toDouble).toInt)
+        val ((l1, groupOf), tTrain) = time(Vamana.trainRoutingLevel(
+          cents.map { case (i, v) => (i, v.toSeq) }, nG, iters = 3))
+        val l1Arr = l1.map { case (i, v) => (i, v.toArray) }.toIndexedSeq
+        val (flat, tFlat) = time(
+          BatchScore.probeTopK(q, cents, 8, Metric.L2))
+        val l1Probes = math.max(4, nG / 16)
+        val (hier, tHier) = time(BatchScore.probeTopKHierarchical(
+          q, cents, l1Arr, groupOf, l1Probes, 8, Metric.L2))
+        val overlap = flat.zip(hier).map { case (a, b) =>
+          a.toSet.intersect(b.toSet).size.toDouble / a.length }.sum / nQ
+        println(s"""{"experiment":"hier_routing","n_shards":$nC,""" +
+          s""""n_queries":$nQ,"dims":$d,"n_groups":$nG,""" +
+          s""""l1_probes":$l1Probes,"train_sec":$tTrain,""" +
+          s""""flat_sec":$tFlat,"hier_sec":$tHier,""" +
+          s""""probe_overlap":$overlap}""")
+      }
+    }
     spark.stop()
   }
 }

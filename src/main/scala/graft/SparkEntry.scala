@@ -1417,6 +1417,28 @@ object SparkEntry {
     tbl.current.select("id", "label").orderBy("id")
   }
 
+  /** q166: LABEL-level mutation (the reference's MultiMutableVamanaIndex
+    * delete-label surface, multi.h:155): build the dynamic multi-vector
+    * table, delete whole labels via the label→ids expansion, and search
+    * by label — deleted labels must vanish from both the per-label minima
+    * and the ranking. Oracle: the q26 per-label SQL with the labels
+    * filtered out. */
+  private def labelDeleteQ(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_dyn_q166"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val tbl = new DynamicVectorTable(s, root)
+    val emb = embVectors(s, dir)
+      .select(col("id"), col("vec"), col("label").cast("long").as("label"))
+    MultiVector.addLabels(tbl, emb)
+    MultiVector.deleteLabels(tbl,
+      emb.select("label").distinct().filter(col("label") % 5 === 2))
+    MultiVector.searchByLabel(embQueries(s, dir), tbl.current, LabelK,
+        Metric.L2)
+      .orderBy("query_id", "rnk")
+  }
+
   /** q78: the dynamic lifecycle on float32 storage (M1-M4) — segments keep
     * the embeddings parquet's native ARRAY<FLOAT> through append, soft
     * delete, and consolidate (half the segment bytes of the f64 twin), and
@@ -2668,6 +2690,7 @@ object SparkEntry {
     "q163_i8_flat_knn" -> (knnEmbI8Q _),
     "q164_u8_flat_knn" -> (knnEmbU8Q _),
     "q165_hvecs_roundtrip" -> (hvecsRoundtripQ _),
+    "q166_label_delete" -> (labelDeleteQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3013,5 +3036,7 @@ object SparkEntry {
     // codec to the certified f16 expression codec (q45's bit surgery has
     // no DuckDB twin, same posture as halfRoundtrip).
     "q165_hvecs_roundtrip" -> OracleGen.fvecsRoundtrip,
+    "q166_label_delete" -> OracleGen.multiLabelKnnExcludingLabels(LabelK,
+      "CAST(label AS BIGINT) % 5 = 2"),
   )
 }

@@ -172,6 +172,27 @@ case class VamanaVectorIndex(clustered: DataFrame, graph: DataFrame,
   def search(queries: DataFrame, k: Int): DataFrame =
     Vamana.searchSharded(queries, clustered, graph, centroids, k,
       math.max(searchWindow, k), nProbes, metric)
+
+  /** B7 window calibration over THIS index, routed through
+    * [[Vamana.prepareShards]]: the clustered ⋈ graph co-location shuffle
+    * is paid ONCE and cached; each of the ~log₂(maxWindow) probes pays
+    * only the walk (reference experimental_calibrate re-searches the
+    * resident index the same way — calibrate.h:91-160). The walk kernel
+    * is the same as [[search]]'s, so the calibrated window transfers
+    * exactly. Returns (re-dialed index, achieved recall); `truth` is
+    * exact groundtruth (query_id, neighbor_id), k rows per query. */
+  def calibrate(queries: DataFrame, truth: DataFrame, k: Int,
+                targetRecall: Double, maxWindow: Int)
+      : (VamanaVectorIndex, Double) = {
+    val pre = Vamana.prepareShards(clustered, graph)
+    try {
+      val (w, rec) = Calibrate.calibrateWindow(
+        wnd => Vamana.searchPrepared(queries, pre, centroids, k,
+          math.max(wnd, k), nProbes, metric),
+        truth, k, targetRecall, minWindow = k, maxWindow = maxWindow)
+      (copy(searchWindow = w), rec)
+    } finally { pre.unpersist(); () }
+  }
   def save(dir: String): Unit = {
     val spark = clustered.sparkSession
     import spark.implicits._

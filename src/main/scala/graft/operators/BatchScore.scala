@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import graft.core.Metric
 
 /** GEMM-shaped batch scoring of a query block against a centroid table —
@@ -46,6 +48,87 @@ object BatchScore {
     if (qRows.length.toLong * cents.length < GemmPairThreshold)
       probeTopKSweep(qRows, cents, nProbes, metric)
     else probeTopKTiled(qRows, cents, nProbes, metric)
+
+  /** Executor-side probe scoring for query batches past driver comfort
+    * (the reference's BLAS batch regime at cluster scale): the centroid
+    * table — the broadcast-small side — ships once to every executor;
+    * each query partition runs the SAME auto-dispatched kernel
+    * ([[probeTopK]]: sweep below [[GemmPairThreshold]] partition-local
+    * pairs, tiled above) over its local rows. Per query the centroid
+    * fold and insert order are identical to the driver path, so the
+    * probe lists are bit-identical however the queries are partitioned
+    * (BatchScoreSpec). Output: (query_id, cluster_id, rnk) rows,
+    * rnk 1-based best-first — |Q|·nProbes rows total, the only thing
+    * that ever shuffles. */
+  def probeTopKDistributed(queries: DataFrame,
+      cents: Seq[(Long, Seq[Double])], nProbes: Int, metric: Metric)
+      : DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centArr = cents.sortBy(_._1)
+      .map { case (i, v) => (i, v.toArray) }.toIndexedSeq
+    val bc = spark.sparkContext.broadcast(centArr)
+    val m = metric
+    queries
+      .select(col("query_id").cast("long"),
+        col("qvec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val ids = probeTopK(rows, bc.value, nProbes, m)
+          rows.iterator.zipWithIndex.flatMap { case ((qid, _), i) =>
+            ids(i).iterator.zipWithIndex.map { case (cid, r) =>
+              (qid, cid, (r + 1).toLong) }
+          }
+        }
+      }
+      .toDF("query_id", "cluster_id", "rnk")
+  }
+
+  /** Two-level (hierarchical) probe selection — the reference's
+    * hierarchical-kmeans routing posture (index/ivf/
+    * hierarchical_kmeans.h) for shard counts where the flat sweep is the
+    * bottleneck: score the |L1| group centroids first, keep the
+    * `l1Probes` best groups, then score ONLY those groups' shard
+    * centroids. Per-query cost falls from |C| to |L1| + l1Probes·(|C|/
+    * |L1|) — ~2·√|C| at the √-sized level-1 — which is what keeps
+    * routing at 10⁵–10⁶ shards off the critical path.
+    *
+    * Determinism contract: selected groups' members are scored in
+    * ascending GLOBAL centroid order (the flat sweep's order filtered),
+    * so with `l1Probes = |L1|` the insert sequence — and therefore every
+    * tie-break — is IDENTICAL to [[probeTopK]]: exhaustive level-1
+    * routing is bit-equal to flat routing (HierRoutingSpec). */
+  def probeTopKHierarchical(qRows: Array[(Long, Array[Double])],
+      cents: IndexedSeq[(Long, Array[Double])],
+      l1: IndexedSeq[(Long, Array[Double])], groupOf: Map[Long, Long],
+      l1Probes: Int, nProbes: Int, metric: Metric): Array[Array[Long]] = {
+    require(l1.nonEmpty && l1Probes >= 1, "need a level-1 table")
+    // members of each group, as ascending global centroid indexes
+    val membersOf: Map[Long, Array[Int]] = cents.indices
+      .groupBy(i => groupOf(cents(i)._1))
+      .map { case (g, is) => g -> is.toArray.sorted }
+    val out = new Array[Array[Long]](qRows.length)
+    java.util.stream.IntStream.range(0, qRows.length).parallel().forEach {
+      i =>
+        val qvec = qRows(i)._2
+        val topG = new LocalTopK(l1Probes, metric.ascending)
+        l1.foreach { case (gid, gvec) =>
+          topG.insert(metric.compute(qvec, gvec), gid) }
+        val selected = java.util.Arrays.copyOf(topG.ids, topG.n)
+        val cand = selected.flatMap(g =>
+          membersOf.getOrElse(g, Array.empty[Int])).sorted
+        val top = new LocalTopK(nProbes, metric.ascending)
+        cand.foreach { ci =>
+          val (cid, cvec) = cents(ci)
+          top.insert(metric.compute(qvec, cvec), cid)
+        }
+        out(i) = java.util.Arrays.copyOf(top.ids, top.n)
+    }
+    out
+  }
 
   /** The parallel per-query sweep (small-problem path). */
   private[graft] def probeTopKSweep(qRows: Array[(Long, Array[Double])],

@@ -116,6 +116,42 @@ object MultiVector {
         Seq("query_id", "label"))
       .select("query_id", "rnk", "label", "best_id")
   }
+
+  // ---- label-level mutation (the reference's MultiMutableVamanaIndex
+  // surface, index/vamana/multi.h:155: add/delete whole labels) --------
+
+  /** Add (or REPLACE) whole labels in a dynamic table whose segments
+    * carry `(id, vec, label)`: any previous vectors of the incoming
+    * labels are tombstoned first (replace-on-add at label granularity —
+    * the reference's multi-index add of an existing label is an error;
+    * here the doc-level-replace posture of the rest of the engine wins),
+    * then the new rows append as one segment. */
+  def addLabels(table: DynamicVectorTable, rows: DataFrame): Unit = {
+    val labels = rows.select("label").distinct()
+    if (table.segmentCount > 0) {
+      val prev = table.current.join(labels, Seq("label")).select("id")
+      table.deleteIds(prev)
+    }
+    table.addPoints(rows)
+  }
+
+  /** Delete whole labels: the label→ids expansion over the table's live
+    * rows, tombstoned as ordinary id deletes — [[searchByLabel]] over
+    * `table.current` then never sees the label (DynamicSpec; q166). */
+  def deleteLabels(table: DynamicVectorTable, labels: DataFrame): Unit = {
+    val ids = table.current
+      .join(labels.select("label").distinct(), Seq("label"))
+      .select("id")
+    table.deleteIds(ids)
+  }
+
+  /** The same expansion for a STORED graph index: the id set to pass as
+    * `deletedIds` to [[GraphLayout.upsert]] when deleting whole labels
+    * (the label map is the caller's `(id, label)` table — graph layouts
+    * store vectors only). */
+  def labelIds(labelMap: DataFrame, labels: DataFrame): DataFrame =
+    labelMap.join(labels.select("label").distinct(), Seq("label"))
+      .select("id")
 }
 
 object MultiVectorApprox {

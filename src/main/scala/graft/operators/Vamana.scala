@@ -195,12 +195,82 @@ object Vamana {
     searchShardedImpl(queries, clustered, graph, centroids, k, searchWindow,
       nProbes, metric, searchCapacity, keep)
 
+  /** Two-level routed [[searchSharded]] — the shard-count scale path
+    * (reference hierarchical_kmeans.h posture): probe selection scores
+    * the `l1` group centroids first and only the chosen groups' shard
+    * centroids after ([[BatchScore.probeTopKHierarchical]]). The walk is
+    * the searchSharded walk unchanged; with `l1Probes = |l1|` the whole
+    * search is bit-identical to [[searchSharded]] (HierRoutingSpec).
+    * Build (l1, groupOf) once with [[trainRoutingLevel]]. */
+  def searchShardedHierarchical(queries: DataFrame, clustered: DataFrame,
+                                graph: DataFrame,
+                                centroids: Seq[(Long, Seq[Double])],
+                                l1: Seq[(Long, Seq[Double])],
+                                groupOf: Map[Long, Long], k: Int,
+                                searchWindow: Int, l1Probes: Int,
+                                nProbes: Int, metric: Metric,
+                                searchCapacity: Int = 0): DataFrame = {
+    val pm = probeMapWith(queries, centroids, metric) { (qRows, cents) =>
+      BatchScore.probeTopKHierarchical(qRows, cents,
+        l1.sortBy(_._1).map { case (i, v) => (i, v.toArray) }.toIndexedSeq,
+        groupOf, l1Probes, nProbes, metric)
+    }
+    searchShardedImpl(queries, clustered, graph, centroids, k, searchWindow,
+      nProbes, metric, searchCapacity, lit(true), Some(pm))
+  }
+
+  /** Deterministic driver-side Lloyd over the SHARD CENTROIDS themselves
+    * — builds the level-1 routing table for
+    * [[searchShardedHierarchical]]. Seeds are the first `nGroups`
+    * centroids in ascending id order; ties to the smaller group id; empty
+    * groups keep their seed. Returns (l1 centroids, shard-cid → group-id).
+    * Runs on the centroid table only (broadcast-small by the routing
+    * contract), so even 10⁶ shards train in milliseconds. */
+  def trainRoutingLevel(centroids: Seq[(Long, Seq[Double])], nGroups: Int,
+                        iters: Int = 5)
+      : (Seq[(Long, Seq[Double])], Map[Long, Long]) = {
+    require(nGroups >= 1 && centroids.nonEmpty)
+    val cents = centroids.sortBy(_._1)
+      .map { case (i, v) => (i, v.toArray) }.toIndexedSeq
+    val g = math.min(nGroups, cents.length)
+    var l1 = cents.take(g).zipWithIndex
+      .map { case ((_, v), gi) => (gi.toLong, v.clone()) }
+    var assign: Map[Long, Long] = Map.empty
+    for (_ <- 0 until iters) {
+      assign = cents.map { case (cid, v) =>
+        var bestG = 0L; var bestD = Double.NaN
+        l1.foreach { case (gid, gv) =>
+          val d = graft.core.Metric.L2.compute(v, gv)
+          if (bestD.isNaN || d < bestD ||
+            (d == bestD && gid < bestG)) { bestD = d; bestG = gid }
+        }
+        cid -> bestG
+      }.toMap
+      l1 = l1.map { case (gid, seed) =>
+        val mem = cents.filter { case (cid, _) => assign(cid) == gid }
+        if (mem.isEmpty) (gid, seed)
+        else {
+          val d = seed.length
+          val acc = new Array[Double](d)
+          mem.foreach { case (_, v) =>
+            var j = 0; while (j < d) { acc(j) += v(j); j += 1 } }
+          var j = 0
+          while (j < d) { acc(j) /= mem.length; j += 1 }
+          (gid, acc)
+        }
+      }
+    }
+    (l1.map { case (gid, v) => (gid, v.toSeq) }, assign)
+  }
+
   private def searchShardedImpl(queries: DataFrame, clustered: DataFrame,
                                 graph: DataFrame,
                                 centroids: Seq[(Long, Seq[Double])], k: Int,
                                 searchWindow: Int, nProbes: Int,
                                 metric: Metric, searchCapacity: Int,
-                                keep: org.apache.spark.sql.Column)
+                                keep: org.apache.spark.sql.Column,
+                                prebuiltProbes: Option[Map[Long,
+                                  Array[(Long, Array[Double])]]] = None)
       : DataFrame = {
     val spark = clustered.sparkSession
     import spark.implicits._
@@ -208,7 +278,8 @@ object Vamana {
 
     // (a) per-query probe list — tiny; computed on the driver so the probe
     // map broadcasts with the query vectors attached.
-    val probesByCluster = probeMap(queries, centroids, nProbes, metric)
+    val probesByCluster = prebuiltProbes.getOrElse(
+      probeMap(queries, centroids, nProbes, metric))
     val bc = spark.sparkContext.broadcast(probesByCluster)
     val probedIds = probesByCluster.keys.toSeq
 
@@ -388,6 +459,19 @@ object Vamana {
   private def probeMap(queries: DataFrame,
                        centroids: Seq[(Long, Seq[Double])], nProbes: Int,
                        metric: Metric)
+      : Map[Long, Array[(Long, Array[Double])]] =
+    // Shared probe kernel (BatchScore): per-query sweep or GEMM-style
+    // tiling by size, bit-identical either way.
+    probeMapWith(queries, centroids, metric)(
+      BatchScore.probeTopK(_, _, nProbes, metric))
+
+  /** Collect the query batch, route each query with `route`, and invert
+    * the probe lists to cluster → query-batch for the broadcast. */
+  private def probeMapWith(queries: DataFrame,
+                           centroids: Seq[(Long, Seq[Double])],
+                           metric: Metric)
+      (route: (Array[(Long, Array[Double])],
+               IndexedSeq[(Long, Array[Double])]) => Array[Array[Long]])
       : Map[Long, Array[(Long, Array[Double])]] = {
     val qRows = queries
       .select(col("query_id").cast("long"), col("qvec").cast("array<double>"))
@@ -395,9 +479,7 @@ object Vamana {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val cents = centroids.sortBy(_._1)
       .map { case (i, v) => (i, v.toArray) }.toIndexedSeq
-    // Shared probe kernel (BatchScore): per-query sweep or GEMM-style
-    // tiling by size, bit-identical either way.
-    val probeIds = BatchScore.probeTopK(qRows, cents, nProbes, metric)
+    val probeIds = route(qRows, cents)
     qRows.toSeq.zipWithIndex
       .flatMap { case ((qid, qvec), i) =>
         probeIds(i).map(cid => (cid, (qid, qvec))) }

@@ -48,4 +48,29 @@ class BatchScoreSpec extends SparkSpec {
     val r = BatchScore.probeTopK(q, c, 5, Metric.L2)
     assert(r.forall(_.length == 2), "nProbes capped at centroid count")
   }
+
+  test("distributed probe scoring equals the driver kernel bit-for-bit " +
+      "under any query partitioning") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    for (metric <- Seq(Metric.L2, Metric.IP)) {
+      val q = mkRows(257, 8, 5L, quantize = true)
+      val c = mkRows(511, 8, 99L, quantize = true).toIndexedSeq
+      val want = BatchScore.probeTopKSweep(q, c, 6, metric)
+        .zip(q).flatMap { case (ids, (qid, _)) =>
+          ids.zipWithIndex.map { case (cid, r) => (qid, cid, (r + 1).toLong) }
+        }.toSet
+      val qdf = q.toSeq.map { case (i, v) => (i, v.toSeq) }
+        .toDF("query_id", "qvec")
+      for (parts <- Seq(1, 3, 7)) {
+        val got = BatchScore.probeTopKDistributed(
+            qdf.repartition(parts, col("query_id")),
+            c.map { case (i, v) => (i, v.toSeq) }, 6, metric)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got === want, s"$metric parts=$parts")
+      }
+    }
+  }
 }

@@ -102,4 +102,36 @@ class CalibrateSpec extends SparkSpec {
     assert(krU === 16 && recU === rMax)
     codes.unpersist()
   }
+
+  test("VamanaVectorIndex.calibrate routes through the prepared layout " +
+      "and finds the same window as the per-probe shard-join closure") {
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    val q = Tables.embeddingQueries(spark, sfDir)
+    val cents = data.filter(col("id") < 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val idx = VamanaVectorIndex.build(data, cents,
+      BuildParams(maxDegree = 24, buildWindow = 48), searchWindow = 10,
+      nProbes = 4, Metric.L2)
+    val k = 10
+    val truth = FlatKnn.search(q, data, k, Metric.L2)
+      .select("query_id", "neighbor_id").cache()
+    val target = 0.9
+    val (tuned, rec) = idx.calibrate(q, truth, k, target, maxWindow = 128)
+    assert(rec >= target, s"recall $rec below $target")
+    // same dial as calibrating with per-probe searchSharded closures
+    // (searchPrepared ≡ searchSharded bit-for-bit, so the binary search
+    // takes identical branches)
+    val (wTwin, recTwin) = Calibrate.calibrateWindow(
+      w => Vamana.searchSharded(q, idx.clustered, idx.graph, cents, k,
+        math.max(w, k), 4, Metric.L2),
+      truth, k, target, k, 128)
+    assert(tuned.searchWindow === wTwin)
+    assert(rec === recTwin)
+    // the re-dialed index serves at the calibrated recall
+    val nq = q.count()
+    val servedRec = tuned.search(q, k).select("query_id", "neighbor_id")
+      .intersect(truth).count().toDouble / (k * nq)
+    assert(math.abs(servedRec - rec) < 1e-9)
+    truth.unpersist()
+  }
 }

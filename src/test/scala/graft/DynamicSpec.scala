@@ -241,6 +241,44 @@ class DynamicSpec extends SparkSpec {
       .intersect(p2.map(x => (x._1, x._3)).toSet).isEmpty)
   }
 
+  test("label-level mutation: delete-label excludes the label from " +
+      "searchByLabel; re-add replaces the label's vectors") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot("labels")
+    val tbl = new DynamicVectorTable(spark, root)
+    MultiVector.addLabels(tbl, emb)
+    val q = Tables.embeddingQueries(spark, sfDir)
+    val labels = emb.select("label").distinct()
+      .filter(col("label") % 3 === 1)
+    MultiVector.deleteLabels(tbl, labels)
+    val res = MultiVector.searchByLabel(q, tbl.current, 5, Metric.L2)
+    assert(res.filter(col("label") % 3 === 1).count() === 0,
+      "deleted labels leaked into the ranking")
+    // equal to searching the label-filtered corpus directly
+    val want = MultiVector.searchByLabel(q,
+        emb.filter(col("label") % 3 =!= 1), 5, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(res.orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq ===
+      want)
+    // re-add label 1 with REPLACED vectors under fresh ids: the old ids
+    // must not resurface (replace-on-add at label granularity)
+    val replacement = emb.filter(col("label") === 4L)
+      .select((col("id") + 100000L).as("id"), col("vec"),
+        lit(4L).as("label"))
+    MultiVector.addLabels(tbl, replacement)
+    val live4 = tbl.current.filter(col("label") === 4L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(live4.forall(_ >= 100000L),
+      s"stale label-4 ids survived the replace: $live4")
+    assert(live4.nonEmpty)
+    // labelIds expands labels for the stored-graph deletedIds path
+    val ids = MultiVector.labelIds(emb.select("id", "label"),
+      Seq(4L).toDF("label")).collect().map(_.getLong(0)).toSet
+    assert(ids === emb.filter(col("label") === 4L)
+      .select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("streaming ingest appends micro-batches as segments") {
     val root = freshRoot("stream")
     val ckpt = freshRoot("stream_ckpt")

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Metric, Tables}
+import graft.operators.{BatchScore, FlatKnn, KMeans, Vamana}
+import graft.operators.VamanaKernel.BuildParams
+
+/** Two-level probe routing for the sharded graph index (the shard-count
+  * scale path): exhaustive level-1 routing must be BIT-identical to flat
+  * routing — same centroid fold, same global insert order, same
+  * tie-breaks — and the full search composed with the walk must then be
+  * bit-equal to searchSharded. Realistic level-1 probes trade routing
+  * exactness for |L1| + l1Probes·(|C|/|L1|) cost; recall holds a floor. */
+class HierRoutingSpec extends SparkSpec {
+
+  private def mkRows(n: Int, d: Int, seed: Long)
+      : Array[(Long, Array[Double])] =
+    Array.tabulate(n) { i =>
+      val r = new scala.util.Random(seed + i)
+      (i.toLong, Array.fill(d)(r.nextDouble()))
+    }
+
+  test("exhaustive level-1 routing equals flat routing bit-for-bit; " +
+      "tie-heavy data included") {
+    for (quantize <- Seq(false, true)) {
+      val q = mkRows(100, 8, 3L).map { case (i, v) =>
+        (i, if (quantize) v.map(x => math.floor(x * 3)) else v) }
+      val cents = mkRows(500, 8, 71L).map { case (i, v) =>
+        (i, if (quantize) v.map(x => math.floor(x * 3)) else v) }
+        .toIndexedSeq
+      val (l1, groupOf) = Vamana.trainRoutingLevel(
+        cents.map { case (i, v) => (i, v.toSeq) }, nGroups = 20)
+      val l1Arr = l1.map { case (i, v) => (i, v.toArray) }.toIndexedSeq
+      val flat = BatchScore.probeTopK(q, cents, 7, Metric.L2)
+      val hier = BatchScore.probeTopKHierarchical(q, cents, l1Arr,
+        groupOf, l1Probes = l1.length, nProbes = 7, Metric.L2)
+      flat.zip(hier).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a.sameElements(b), s"quantize=$quantize query $i")
+      }
+      // groupOf covers every centroid exactly once
+      assert(groupOf.keySet === cents.map(_._1).toSet)
+    }
+  }
+
+  test("hierarchical searchSharded at exhaustive l1Probes equals " +
+      "searchSharded; realistic probes keep a recall floor") {
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    val q = Tables.embeddingQueries(spark, sfDir)
+    // many small shards: 50 clusters over 500 rows
+    val cents = data.filter(col("id") % 10 === 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val clustered = KMeans.assign(data, cents)
+    val graph = Vamana.buildSharded(clustered,
+      BuildParams(maxDegree = 12, buildWindow = 24), Metric.L2).cache()
+    val (l1, groupOf) = Vamana.trainRoutingLevel(cents, nGroups = 7)
+    val k = 10
+    val exhaustive = Vamana.searchShardedHierarchical(q, clustered, graph,
+        cents, l1, groupOf, k, 32, l1Probes = l1.length, nProbes = 8,
+        Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val flat = Vamana.searchSharded(q, clustered, graph, cents, k, 32,
+        nProbes = 8, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(exhaustive === flat)
+    // realistic: 3 of 7 groups; every query still fills k, recall floor
+    val real = Vamana.searchShardedHierarchical(q, clustered, graph, cents,
+      l1, groupOf, k, 32, l1Probes = 3, nProbes = 8, Metric.L2)
+    assert(real.groupBy("query_id").count()
+      .filter(col("count") =!= k).count() === 0)
+    val truth = FlatKnn.search(q, data, k, Metric.L2)
+      .select("query_id", "neighbor_id")
+    val nq = q.count()
+    val rec = real.select("query_id", "neighbor_id").intersect(truth)
+      .count().toDouble / (k * nq)
+    assert(rec > 0.3, s"hierarchical recall floor broken: $rec")
+  }
+}
