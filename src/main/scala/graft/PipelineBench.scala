@@ -268,6 +268,51 @@ object PipelineBench {
     }
     stage(s"ti-phrase-stored ($nPhS docs)")(tPhS)
 
+    // 9. HYBRID text+vector retrieval at 1M docs (opt-in): BM25 served
+    // from the bucketed store (query-term partitions only) + flat cosine
+    // over per-doc embeddings + reciprocal-rank fusion — q129's shape at
+    // corpus scale. The vector side is the cost driver (one full
+    // embedding scan per batch); the text side reads ~|terms| buckets;
+    // fusion joins two |Q|·kIn rank frames (trivial at any scale).
+    if (sys.env.get("SPARK_GRAFT_PIPE_HYBRID").contains("1")) {
+      import graft.core.Metric
+      val dEmb = 64
+      val embPath = "/tmp/graft_pipeline_emb"
+      spark.range(n).as[Long].map { id =>
+        val rnd = new scala.util.Random(id * -0x61c8864680b583ebL + 5)
+        (id, Array.fill(dEmb)(rnd.nextDouble()).toSeq)
+      }.toDF("id", "vec").repartition(cpus.toInt * 4)
+        .write.mode("overwrite").parquet(embPath)
+      val emb = spark.read.parquet(embPath)
+      val (_, tEmbScan) = time(emb.count())
+      stage("hybrid-emb-scan")(tEmbScan)
+      val hq = (0L until 5L)
+      val hbQueries = hq.map(q => q ->
+        Seq(tiqTerms((q % 5).toInt), tiqTerms(((q + 1) % 5).toInt)))
+      val qvecs = emb.filter(col("id").isin(hq.map(_ * 1000): _*))
+        .select((col("id") / 1000).cast("long").as("query_id"),
+          col("vec").as("qvec")).cache()
+      qvecs.count()
+      val kIn = 20
+      def textSide = TextIndex
+        .bm25TopKStored(spark, tiPath, hbQueries, kIn, 64)
+        .select(col("query_id"), col("doc_id").as("id"), col("rnk"))
+      def vecSide = FlatKnn
+        .search(qvecs, emb.select("id", "vec"), kIn, Metric.Cosine)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rnk"))
+      val (nT, tText) = time(textSide.count())
+      stage(s"hybrid-text-bm25-stored ($nT rows)")(tText)
+      val (nV, tVec) = time(vecSide.count())
+      stage(s"hybrid-vec-cosine ($nV rows)")(tVec)
+      val (nF, tFuse) = time(
+        TextIndex.rrfFuse(textSide, vecSide, 10, 60).count())
+      stage(s"hybrid-rrf-end-to-end ($nF rows)")(tFuse)
+      println(s"""{"experiment":"hybrid_1m","n_docs":$n,"dims":$dEmb,""" +
+        s""""n_queries":${hq.size},"k_in":$kIn,"k_out":10,""" +
+        s""""text_stored_sec":$tText,"vec_cosine_sec":$tVec,""" +
+        s""""fused_end_to_end_sec":$tFuse}""")
+    }
+
     println(s"""{"experiment":"pipeline_bench","n_docs":$n,""" +
       s""""scan_sec":$tScan,""" +
       s""""sample_rate_sec":$tRate,"sample_rate_kept":$nRate,""" +

@@ -1302,6 +1302,27 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** q167: the HIERARCHICAL routing path (two-level probe selection over
+    * the shard centroids, then the identical walk) certified end-to-end:
+    * at `l1Probes = |L1|` level-1 routing is bit-equal to the flat sweep
+    * (HierRoutingSpec pins the kernel), so the full search shares q24's
+    * exhaustive-window oracle. Realistic l1Probes is the 10⁵-shard dial
+    * (SCALE.md hier_routing: 4.3× routing at 10⁵ shards). */
+  private def hierSearchQ(s: SparkSession, dir: String): DataFrame = {
+    val clustered = embLabelClustered(s, dir)
+    val graph = embGraph(s, dir)
+    val cents = embLabelCentroids(s, dir)
+    val (l1, groupOf) = memoized[(Seq[(Long, Seq[Double])],
+        Map[Long, Long])]("hier_routing_l1", dir) {
+      Vamana.trainRoutingLevel(cents, nGroups = 3)
+    }
+    Vamana.searchShardedHierarchical(embQueries(s, dir), clustered, graph,
+        cents, l1, groupOf, K, searchWindow = 1 << 14,
+        l1Probes = l1.length, nProbes = VamanaProbes, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   /** Per-query match floors for q25 (goldens/q25_floors.json): measured from
     * the deterministic sharded build with −2 slack, the same
     * invariant-flag-oracle pattern as q50/the reference's pinned recall
@@ -2691,6 +2712,7 @@ object SparkEntry {
     "q164_u8_flat_knn" -> (knnEmbU8Q _),
     "q165_hvecs_roundtrip" -> (hvecsRoundtripQ _),
     "q166_label_delete" -> (labelDeleteQ _),
+    "q167_hier_search" -> (hierSearchQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3038,5 +3060,8 @@ object SparkEntry {
     "q165_hvecs_roundtrip" -> OracleGen.fvecsRoundtrip,
     "q166_label_delete" -> OracleGen.multiLabelKnnExcludingLabels(LabelK,
       "CAST(label AS BIGINT) % 5 = 2"),
+    // q167: exhaustive level-1 routing ≡ flat routing (HierRoutingSpec),
+    // so the hierarchical search shares q24's probed-shard-exact oracle.
+    "q167_hier_search" -> OracleGen.vamanaShardedKnn(K, VamanaProbes),
   )
 }
