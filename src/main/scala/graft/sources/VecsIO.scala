@@ -110,6 +110,54 @@ object VecsIO {
       .toDF("id", "vec")
   }
 
+  /** BYTE-RESIDENT `.bvecs` ingest — the Deep1B-shape path: u8 payloads
+    * land as `ARRAY<TINYINT>` raw bit patterns carrying the
+    * [[graft.functions.ByteVecs]] unsigned mark, never widening to
+    * double (8× fewer resident bytes than [[read]]; every byte-branch
+    * kernel then widens at use with `& 0xFF`, bit-identical to reading
+    * wide — ByteKnnSpec/SourcesSpec). Ids are dense (path, row) order
+    * exactly like [[read]]. */
+  def readBytesU8(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(resolve(spark, path): _*)
+      .select(col("path"), col("length"), col("content"))
+    val sizes = files.select("path", "length").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // fixed stride probed from the first row header, as in read()
+    val firstDim = files.orderBy("path")
+      .select(substring(col("content"), 1, 4)).head().getAs[Array[Byte]](0)
+    val dim = ByteBuffer.wrap(firstDim).order(ByteOrder.LITTLE_ENDIAN).getInt
+    val stride = 4L + dim.toLong
+    sizes.foreach { case (p, len) =>
+      require(len % stride == 0, s"$p length $len not a multiple of $stride") }
+    val bases = sizes.scanLeft(0L) { case (acc, (_, len)) =>
+      acc + len / stride }
+    val baseByPath = sizes.map(_._1).zip(bases).toMap
+    val bc = spark.sparkContext.broadcast(baseByPath)
+    // Seq[Byte] (not Array[Byte] = BINARY) so the column lands as
+    // ARRAY<TINYINT> and the byte-branch kernels dispatch on it
+    val df = files.select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val base = bc.value(p)
+        new Iterator[(Long, Seq[Byte])] {
+          private var r = 0L
+          def hasNext: Boolean = bb.remaining() >= 4
+          def next(): (Long, Seq[Byte]) = {
+            val d = bb.getInt
+            require(d == dim, s"dim drift $d vs $dim in $p")
+            val out = new Array[Byte](d)
+            bb.get(out)
+            val row = (base + r, out.toSeq)
+            r += 1
+            row
+          }
+        }
+      }
+      .toDF("id", "vec")
+    graft.functions.ByteVecs.markUnsigned(df)
+  }
+
   /** Write `(id, vec)` rows as vecs shards `part-NNNNN.<ext>` under `dir`,
     * one per partition (ordered by id within each). Use
     * `df.repartitionByRange(n, col("id"))` upstream for globally ordered

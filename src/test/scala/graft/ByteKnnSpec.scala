@@ -81,6 +81,49 @@ class ByteKnnSpec extends SparkSpec {
       "u8 vs i8 interpretation should rank differently on this data")
   }
 
+  test("u8 schema mark survives a parquet round trip") {
+    val path = "/tmp/graft_bytes_mark_rt"
+    u8.write.mode("overwrite").parquet(path)
+    val back = spark.read.parquet(path)
+    assert(ByteVecs.isUnsigned(back.schema, "vec"),
+      "graft_unsigned metadata lost through parquet")
+    val a = FlatKnn.search(q, u8, 10, Metric.IP)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val b = FlatKnn.search(q, back, 10, Metric.IP)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("stored graph layout round-trips byte vectors: served search " +
+      "equals the double layout bit-for-bit at 1/8 the data bytes") {
+    import graft.operators.GraphLayout
+    val params = BuildParams(maxDegree = 8, buildWindow = 16)
+    val cl8 = i8.withColumn("cluster_id", col("id") % 4)
+    val clD = cl8.select(col("id"),
+      ByteVecs.widen(col("vec"), unsigned = false).as("vec"),
+      col("cluster_id"))
+    val cents = (0 until 4).map { c =>
+      (c.toLong, clD.filter(col("cluster_id") === c)
+        .select(posexplode(col("vec"))).groupBy("pos").agg(avg("col"))
+        .orderBy("pos").collect().map(_.getDouble(1)).toSeq)
+    }
+    val g8 = Vamana.buildSharded(cl8, params, Metric.L2)
+    val p8 = "/tmp/graft_bytes_layout_i8"
+    val pD = "/tmp/graft_bytes_layout_f64"
+    GraphLayout.write(cl8, g8, cents, p8)
+    GraphLayout.write(clD, g8, cents, pD)
+    val l8 = GraphLayout.open(spark, p8)
+    val lD = GraphLayout.open(spark, pD)
+    // stored vec column kept its element type (the 1/8-bytes claim)
+    assert(ByteVecs.isByteVec(l8.clustered.schema("vec").dataType))
+    val r8 = GraphLayout.search(l8, q, 5, 16, 2, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val rD = GraphLayout.search(lD, q, 5, 16, 2, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(r8 === rD)
+    assert(r8.nonEmpty)
+  }
+
   test("byte-resident sharded graph build + walk equal the double plan") {
     val params = BuildParams(maxDegree = 8, buildWindow = 16)
     val cl8 = i8.withColumn("cluster_id", col("id") % 4)

@@ -66,6 +66,33 @@ class SourcesSpec extends SparkSpec {
     assert(backW.filter(col("vec2") =!= col("vec_exp")).count() === 0)
   }
 
+  test("bvecs byte-resident ingest: ARRAY<TINYINT> + unsigned mark, " +
+      "widens to exactly what the wide reader produces") {
+    val dir = freshDir("bvecs_resident")
+    import spark.implicits._
+    val bdf = Seq((0L, Seq(0.0, 255.0, 17.0)), (1L, Seq(128.0, 1.0, 200.0)))
+      .toDF("id", "vec")
+    VecsIO.write(bdf.coalesce(1), dir, VecsIO.U8)
+    val resident = VecsIO.readBytesU8(spark, s"$dir/*.bvecs")
+    assert(graft.functions.ByteVecs.isByteVec(
+      resident.schema("vec").dataType))
+    assert(graft.functions.ByteVecs.isUnsigned(resident.schema, "vec"))
+    val widened = resident.select(col("id"),
+      graft.functions.ByteVecs.widen(col("vec"), unsigned = true).as("vec"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val wide = VecsIO.read(spark, s"$dir/*.bvecs")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(widened === wide)
+    // and the byte-resident table searches identically to the wide table
+    val q = Seq((0L, Seq(100.0, 100.0, 100.0))).toDF("query_id", "qvec")
+    val a = graft.operators.FlatKnn.search(q, resident, 2,
+      graft.core.Metric.L2).collect().map(_.toSeq).toSeq
+    val b = graft.operators.FlatKnn.search(q,
+      VecsIO.read(spark, s"$dir/*.bvecs"), 2, graft.core.Metric.L2)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
   test("multi-file vecs read assigns dense ids in path order") {
     val dir = freshDir("multifile")
     val orig = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
