@@ -121,18 +121,38 @@ object MultiVector {
   // surface, index/vamana/multi.h:155: add/delete whole labels) --------
 
   /** Add (or REPLACE) whole labels in a dynamic table whose segments
-    * carry `(id, vec, label)`: any previous vectors of the incoming
-    * labels are tombstoned first (replace-on-add at label granularity —
-    * the reference's multi-index add of an existing label is an error;
-    * here the doc-level-replace posture of the rest of the engine wins),
-    * then the new rows append as one segment. */
+    * carry `(id, vec, label)`: the new rows append first, then the
+    * incoming labels' PREVIOUS ids are tombstoned (replace-on-add at
+    * label granularity — the reference's multi-index add of an existing
+    * label is an error; here the doc-level-replace posture of the rest
+    * of the engine wins).
+    *
+    * Incoming ids must be FRESH (not live in the table) — enforced
+    * loudly, matching the reference dynamic index's existing-id add
+    * error: tombstones anti-join ALL segments, so a reused id's
+    * replacement row would be silently filtered along with the old one.
+    * Append-before-tombstone ordering means a crash mid-call degrades to
+    * transient old+new duplicates (masked by searchByLabel's per-label
+    * min and cleaned by the next consolidate), never to a lost label. */
   def addLabels(table: DynamicVectorTable, rows: DataFrame): Unit = {
     val labels = rows.select("label").distinct()
-    if (table.segmentCount > 0) {
-      val prev = table.current.join(labels, Seq("label")).select("id")
-      table.deleteIds(prev)
-    }
+    val prev =
+      if (table.segmentCount > 0) {
+        val live = table.current
+        val reused = live.join(rows.select("id"), Seq("id")).select("id")
+          .limit(5).collect().map(_.getLong(0))
+        require(reused.isEmpty,
+          s"addLabels: incoming ids ${reused.mkString(", ")} are already " +
+            "live — replacement rows need fresh ids (tombstones apply to " +
+            "every segment, so a reused id would erase its own replacement)")
+        // materialize the previous ids BEFORE the append (afterwards the
+        // label join would also match the replacement rows); eager local
+        // checkpoint keeps the set distributed
+        Some(live.join(labels, Seq("label")).select("id")
+          .localCheckpoint(true))
+      } else None
     table.addPoints(rows)
+    prev.filter(_.count() > 0).foreach(table.deleteIds)
   }
 
   /** Delete whole labels: the label→ids expansion over the table's live

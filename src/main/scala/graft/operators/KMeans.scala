@@ -46,10 +46,21 @@ object KMeans {
         sorted.map(_._1).toArray, sorted.map(_._2.toArray).toArray))
   }
 
-  /** data(id, vec) → data + cluster_id. */
+  /** data(id, vec) → data + cluster_id. Byte-resident tables
+    * (`ARRAY<TINYINT>`, i8 or the ByteVecs u8 mark) assign through a
+    * declarative exact widen feeding the same codegen'd expression — the
+    * original byte column is untouched in the output, so downstream
+    * storage (GraphLayout.write) stays byte-resident; the widen cost is
+    * confined to this one build-time scan. */
   def assign(data: DataFrame, centroids: Seq[(Long, Seq[Double])],
-             vecCol: String = "vec"): DataFrame =
-    data.withColumn("cluster_id", assignColumn(col(vecCol), centroids))
+             vecCol: String = "vec"): DataFrame = {
+    val scoreVec =
+      if (graft.functions.ByteVecs.isByteVec(data.schema(vecCol).dataType))
+        graft.functions.ByteVecs.widen(col(vecCol),
+          graft.functions.ByteVecs.isUnsigned(data.schema, vecCol))
+      else col(vecCol)
+    data.withColumn("cluster_id", assignColumn(scoreVec, centroids))
+  }
 
   /** Lloyd's iterations: assign (map-only) then per-cluster mean (one
     * partial-merged aggregate). Empty clusters keep their previous centroid.

@@ -226,7 +226,6 @@ object SvsIndexDir {
       s"centroid blob ${h.numVectors}x${h.dims}, config $nClusters x $dims")
     val cents = decodeSvsVectors(cBytes, nClusters.toInt, dims,
       t.getOrElse("eltype", "float32"))
-      .map { case (i, v) => (i, v) }
     (cents, spark.createDataset(members.result())
       .toDF("cluster_id", "id"))
   }

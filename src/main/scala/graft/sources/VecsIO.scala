@@ -119,14 +119,22 @@ object VecsIO {
     * exactly like [[read]]. */
   def readBytesU8(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile").load(resolve(spark, path): _*)
+    val paths = resolve(spark, path)
+    val files = spark.read.format("binaryFile").load(paths: _*)
       .select(col("path"), col("length"), col("content"))
     val sizes = files.select("path", "length").collect()
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-    // fixed stride probed from the first row header, as in read()
-    val firstDim = files.orderBy("path")
-      .select(substring(col("content"), 1, 4)).head().getAs[Array[Byte]](0)
-    val dim = ByteBuffer.wrap(firstDim).order(ByteOrder.LITTLE_ENDIAN).getInt
+    // fixed stride probed from the first file's 4-byte header, read
+    // driver-side (loading content through a Spark plan here would pull
+    // every file's full bytes once just for this probe — at Deep1B sizes
+    // that doubles ingest I/O)
+    val firstP = new Path(paths.head)
+    val ffs = firstP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = ffs.open(firstP)
+    val head = new Array[Byte](4)
+    try in.readFully(0L, head) finally in.close()
+    val dim = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN).getInt
+    require(dim > 0, s"bad dim $dim in ${paths.head}")
     val stride = 4L + dim.toLong
     sizes.foreach { case (p, len) =>
       require(len % stride == 0, s"$p length $len not a multiple of $stride") }

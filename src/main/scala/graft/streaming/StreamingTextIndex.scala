@@ -34,38 +34,68 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
 object StreamingTextIndex {
 
   /** Attach to a streaming `(doc_id, text)` DataFrame; emits updated
-    * `(term, df, cf)` rows per micro-batch (df=0 ⇒ term deleted). */
-  def attachTermStats(stream: DataFrame, checkpoint: String)
+    * `(term, df, cf)` rows per micro-batch (df=0 ⇒ term deleted).
+    *
+    * `versionCol`: optional monotonically-increasing per-doc version
+    * column. WITHOUT it, arrivals fold in group-iterator order, which
+    * Spark does not guarantee matches arrival order across partitions —
+    * fine for idempotent redelivery (identical text diffs to zero) but
+    * order-UNDEFINED when one micro-batch carries two different versions
+    * of the same doc. WITH it, the highest version wins regardless of
+    * delivery order, and a stale version arriving in a LATER batch is
+    * ignored (state remembers the last applied version) — the CDC
+    * contract. */
+  def attachTermStats(stream: DataFrame, checkpoint: String,
+                      versionCol: Option[String] = None)
       (onBatch: DataFrame => Unit): StreamingQuery = {
     val spark = stream.sparkSession
     import spark.implicits._
     val docs = stream
-      .select(col("doc_id").cast("long"), col("text").cast("string"))
-      .as[(Long, String)]
-    // Stage 1 — per-doc replace + diff. Emits (term, d_df, d_cf).
+      .select(col("doc_id").cast("long") +: col("text").cast("string") +:
+        versionCol.map(c => col(c).cast("long")).toSeq: _*)
+      .withColumn("__v", versionCol.map(c => col(c)).getOrElse(lit(0L)))
+      .select(col("doc_id"), col("text"), col("__v").cast("long"))
+      .as[(Long, String, Long)]
+    val versioned = versionCol.isDefined
+    // Stage 1 — per-doc replace + diff. State = (last version, term→tf).
+    // Emits (term, d_df, d_cf).
     val deltas = docs
       .groupByKey(_._1)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, rs: Iterator[(Long, String)],
-         st: GroupState[Map[String, Long]]) =>
-          val prev = st.getOption.getOrElse(Map.empty[String, Long])
-          // each arrival is a full replace; last arrival in batch wins
-          val curr = rs.foldLeft(prev) { case (_, (_, text)) =>
-            Option(text).getOrElse("").split(" ").filter(_.nonEmpty)
-              .groupBy(identity)
-              .map { case (t, xs) => t -> xs.length.toLong }
-          }
-          st.update(curr)
-          (prev.keySet ++ curr.keySet).iterator.flatMap { t =>
-            val o = prev.getOrElse(t, 0L)
-            val n = curr.getOrElse(t, 0L)
-            if (o == n) Iterator.empty
-            else {
-              val dDf =
-                if (o == 0L) 1L else if (n == 0L) -1L else 0L
-              Iterator.single((t, dDf, n - o))
+        (_: Long, rs: Iterator[(Long, String, Long)],
+         st: GroupState[(Long, Map[String, Long])]) =>
+          val (prevVer, prev) =
+            st.getOption.getOrElse((Long.MinValue, Map.empty[String, Long]))
+          // versioned: highest version wins, stale arrivals ignored;
+          // unversioned: fold in iterator order (documented caveat)
+          val winner: Option[(String, Long)] =
+            if (versioned) {
+              val cand = rs.maxBy(_._3)
+              if (cand._3 > prevVer) Some((cand._2, cand._3)) else None
+            } else {
+              var last: Option[(String, Long)] = None
+              rs.foreach { case (_, text, v) => last = Some((text, v)) }
+              last
             }
+          winner match {
+            case None => Iterator.empty
+            case Some((text, ver)) =>
+              val curr = Option(text).getOrElse("")
+                .split(" ").filter(_.nonEmpty)
+                .groupBy(identity)
+                .map { case (t, xs) => t -> xs.length.toLong }
+              st.update((ver, curr))
+              (prev.keySet ++ curr.keySet).iterator.flatMap { t =>
+                val o = prev.getOrElse(t, 0L)
+                val n = curr.getOrElse(t, 0L)
+                if (o == n) Iterator.empty
+                else {
+                  val dDf =
+                    if (o == 0L) 1L else if (n == 0L) -1L else 0L
+                  Iterator.single((t, dDf, n - o))
+                }
+              }
           }
       }
       .toDF("term", "d_df", "d_cf")

@@ -124,6 +124,23 @@ class ByteKnnSpec extends SparkSpec {
     assert(r8.nonEmpty)
   }
 
+  test("KMeans.assign on byte tables: same clusters as the widened " +
+      "plan, byte column untouched (the Deep1B ingest-to-index flow)") {
+    import graft.operators.KMeans
+    val cents = (0 until 4).map(c => (c.toLong, Seq.fill(64)(c * 32.0 - 64)))
+    for ((tbl, unsigned) <- Seq((i8, false), (u8, true))) {
+      val a = KMeans.assign(tbl, cents)
+      assert(ByteVecs.isByteVec(a.schema("vec").dataType),
+        "assign widened the stored column")
+      val wide = tbl.select(col("id"),
+        ByteVecs.widen(col("vec"), unsigned).as("vec"))
+      val b = KMeans.assign(wide, cents)
+      assert(a.select("id", "cluster_id").orderBy("id").collect().toSeq ===
+        b.select("id", "cluster_id").orderBy("id").collect().toSeq,
+        s"unsigned=$unsigned")
+    }
+  }
+
   test("byte-resident sharded graph build + walk equal the double plan") {
     val params = BuildParams(maxDegree = 8, buildWindow = 16)
     val cl8 = i8.withColumn("cluster_id", col("id") % 4)

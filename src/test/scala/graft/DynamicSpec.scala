@@ -277,6 +277,13 @@ class DynamicSpec extends SparkSpec {
       Seq(4L).toDF("label")).collect().map(_.getLong(0)).toSet
     assert(ids === emb.filter(col("label") === 4L)
       .select("id").collect().map(_.getLong(0)).toSet)
+    // reusing a LIVE id in a replacement fails loudly: tombstones apply
+    // to every segment, so a reused id would erase its own replacement
+    val e = intercept[IllegalArgumentException] {
+      MultiVector.addLabels(tbl, tbl.current.filter(col("label") === 4L)
+        .limit(1).select(col("id"), col("vec"), lit(4L).as("label")))
+    }
+    assert(e.getMessage.contains("fresh ids"))
   }
 
   test("streaming ingest appends micro-batches as segments") {

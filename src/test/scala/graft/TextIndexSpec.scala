@@ -227,6 +227,45 @@ class TextIndexSpec extends SparkSpec {
     assert(acc.toMap === batch)
   }
 
+  test("versioned streaming term stats: highest version wins in-batch, " +
+      "stale later-batch arrivals are ignored") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ver")
+    val acc = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ti-stream-ver").toString
+    val q = graft.streaming.StreamingTextIndex
+      .attachTermStats(stream, ckpt, versionCol = Some("ver")) { b =>
+        val ups = b.select("term", "df", "cf").collect()
+          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+        acc.synchronized {
+          ups.foreach { case (k, v) =>
+            if (v._1 == 0L) acc.remove(k) else acc(k) = v
+          }
+        }
+      }
+    try {
+      // same-batch conflict: v2 beats v1 whatever the delivery order
+      mem.addData(Seq((0L, "apple banana", 2L), (0L, "cherry", 1L)))
+      q.processAllAvailable()
+      // stale version in a LATER batch: must be ignored
+      mem.addData(Seq((0L, "durian", 1L)))
+      q.processAllAvailable()
+      // a genuinely newer version applies
+      mem.addData(Seq((0L, "apple apple", 3L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = TextIndex.termStats(
+        TextIndex.postings(Seq((0L, "apple apple")).toDF("doc_id", "text")))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(acc.toMap === batch)
+  }
+
   test("proximitySearch counts slop-bounded co-occurrence pairs") {
     val tri = Seq(
       (0L, "a x x b"),     // |0-3| = 3
