@@ -66,6 +66,18 @@ object ScaleBench {
     val (_, tFlatFF) = time {
       FlatKnn.search(queriesF32, dataF32, k, Metric.L2).count() }
 
+    // i8 storage: an EIGHTH of the f64 scan bytes; computeDB widens each
+    // byte at use — measures the byte-resident branch's scan rate (the
+    // Deep1B residency story quantified)
+    val pathI8 = "/tmp/graft_scale_data_i8"
+    data.select(col("id"),
+      graft.functions.ByteVecs.quantizeSigned(col("vec"), 100.0).as("vec"))
+      .write.mode("overwrite").parquet(pathI8)
+    val dataI8 = spark.read.parquet(pathI8)
+    dataI8.count()
+    val (_, tFlatI8) = time {
+      FlatKnn.search(queries, dataI8, k, Metric.L2).count() }
+
     // LeanVec (OOD-trained, r=16 of 64): the coarse pass scans a PERSISTED
     // augmented table of r+1 doubles per row (~4x fewer bytes than the f64
     // scan), full precision reads only the |Q|·kReorder·k shortlist — the
@@ -240,6 +252,7 @@ object ScaleBench {
     println(s"""{"experiment":"scale_bench","n":$n,"dims":$dims,"nq":$nq,""" +
       s""""count_sec":$warm,"flat_knn_sec":$tFlat,""" +
       s""""flat_knn_f32_sec":$tFlat32,"flat_knn_ff_sec":$tFlatFF,""" +
+      s""""flat_knn_i8_sec":$tFlatI8,""" +
       s""""flat_pairs_per_sec":${pairsPerSec.toLong},""" +
       s""""leanvec_train_sec":$tLvTrain,"leanvec_search_sec":$tLv,""" +
       s""""leanvec_recall":$lvRecall,""" +

@@ -65,6 +65,15 @@ final class DynamicVectorTable(spark: SparkSession, root: String) {
 
   def tombstones: Option[DataFrame] = readAll(list("tombstones"))
 
+  /** Live external ids (reference `all_ids`,
+    * bindings dynamic_vamana.cpp / dynamic_ivf.cpp). */
+  def allIds: DataFrame = current.select("id")
+
+  /** Membership probe (reference `has_id`): true iff `id` is live —
+    * present in a segment and not tombstoned. */
+  def hasId(id: Long): Boolean =
+    current.filter(col("id") === id).limit(1).count() > 0
+
   /** M3/M4 consolidate + compact: physically rewrite live rows as one
     * segment and drop the tombstones. In Spark the two reference steps
     * (graph patching + id-space defrag) collapse into a single rewrite —

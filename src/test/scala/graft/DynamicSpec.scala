@@ -32,6 +32,9 @@ class DynamicSpec extends SparkSpec {
     val live = tbl.current.count()
     assert(live === 500 - 56) // ids 0,9,...,495
     assert(tbl.allRows.count() === 500) // soft delete: rows still present
+    // reference has_id / all_ids surface
+    assert(!tbl.hasId(9L) && tbl.hasId(10L) && !tbl.hasId(10000L))
+    assert(tbl.allIds.count() === live)
 
     tbl.consolidate()
     assert(tbl.segmentCount === 1)
