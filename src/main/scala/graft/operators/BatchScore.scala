@@ -106,6 +106,12 @@ object BatchScore {
       l1: IndexedSeq[(Long, Array[Double])], groupOf: Map[Long, Long],
       l1Probes: Int, nProbes: Int, metric: Metric): Array[Array[Long]] = {
     require(l1.nonEmpty && l1Probes >= 1, "need a level-1 table")
+    val missing = cents.collect {
+      case (cid, _) if !groupOf.contains(cid) => cid }
+    require(missing.isEmpty,
+      s"routing table missing group assignments for shard(s) " +
+        s"${missing.take(5).mkString(", ")} — retrain the routing level " +
+        "(Vamana.trainRoutingLevel) after adding shards")
     // members of each group, as ascending global centroid indexes
     val membersOf: Map[Long, Array[Int]] = cents.indices
       .groupBy(i => groupOf(cents(i)._1))

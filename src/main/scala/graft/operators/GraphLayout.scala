@@ -35,7 +35,9 @@ object GraphLayout {
                           centroids: Seq[(Long, Seq[Double])],
                           pq: Option[Pq.Params],
                           binCodes: Option[DataFrame] = None,
-                          bin: Option[BinaryQuant.Params] = None)
+                          bin: Option[BinaryQuant.Params] = None,
+                          routing: Option[(Seq[(Long, Seq[Double])],
+                            Map[Long, Long])] = None)
 
   /** Persist a built index. `clustered` (id, vec, cluster_id) and `graph`
     * are [[Vamana.buildSharded]]'s input/output; when `pq` is given the
@@ -43,10 +45,21 @@ object GraphLayout {
   def write(clustered: DataFrame, graph: DataFrame,
             centroids: Seq[(Long, Seq[Double])], path: String,
             pq: Option[Pq.Params] = None,
-            bin: Option[BinaryQuant.Params] = None): Unit = {
+            bin: Option[BinaryQuant.Params] = None,
+            routingGroups: Int = 0): Unit = {
     val spark = clustered.sparkSession
     import spark.implicits._
     IvfIndex.writeClustered(clustered, s"$path/data")
+    // optional persisted level-1 routing table (the 10⁵-shard dial):
+    // trained deterministically from the centroids, stored so a reopened
+    // index routes hierarchically without re-training
+    if (routingGroups > 0) {
+      val (l1, groupOf) = Vamana.trainRoutingLevel(centroids, routingGroups)
+      l1.toDF("id", "vec").write.mode("overwrite")
+        .parquet(s"$path/routing_l1")
+      groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
+        .parquet(s"$path/routing_groups")
+    }
     graph.write.partitionBy("cluster_id").mode("overwrite")
       .parquet(s"$path/graph")
     centroids.toDF("id", "vec").write.mode("overwrite")
@@ -117,12 +130,24 @@ object GraphLayout {
       if (bin.isDefined && fs.exists(new org.apache.hadoop.fs.Path(
         s"$path/bincodes"))) Some(spark.read.parquet(s"$path/bincodes"))
       else None
+    val routing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/routing_l1")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/routing_groups")))
+        Some((
+          spark.read.parquet(s"$path/routing_l1").select("id", "vec")
+            .collect()
+            .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+            .toIndexedSeq.sortBy(_._1).toSeq,
+          spark.read.parquet(s"$path/routing_groups")
+            .select("cluster_id", "group_id").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap))
+      else None
     Layout(spark.read.parquet(s"$path/data"),
       spark.read.parquet(s"$path/graph"), codes,
       spark.read.parquet(s"$path/centroids").select("id", "vec").collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
         .toIndexedSeq.sortBy(_._1),
-      pq, binCodes, bin)
+      pq, binCodes, bin, routing)
   }
 
   /** Full-precision probe-and-walk over the stored shards — identical rows
@@ -131,6 +156,21 @@ object GraphLayout {
              nProbes: Int, metric: Metric): DataFrame =
     Vamana.searchSharded(queries, layout.clustered, layout.graph,
       layout.centroids, k, searchWindow, nProbes, metric)
+
+  /** [[search]] routed through the PERSISTED level-1 table
+    * ([[write]]'s `routingGroups`): probe selection scores the l1 groups
+    * then only their member centroids — the shard-count scale dial for
+    * stored indexes. At `l1Probes = |l1|` it is bit-identical to
+    * [[search]] (HierRoutingSpec). */
+  def searchRouted(layout: Layout, queries: DataFrame, k: Int,
+                   searchWindow: Int, l1Probes: Int, nProbes: Int,
+                   metric: Metric): DataFrame = {
+    val (l1, groupOf) = layout.routing.getOrElse(sys.error(
+      "layout has no routing level — write(routingGroups = …) first"))
+    Vamana.searchShardedHierarchical(queries, layout.clustered,
+      layout.graph, layout.centroids, l1, groupOf, k, searchWindow,
+      l1Probes, nProbes, metric)
+  }
 
   /** DiskANN serving from the stored layout: codes-only walk (reads
     * `codes` + `graph` partitions of the probed shards, never `data`),

@@ -74,4 +74,35 @@ class HierRoutingSpec extends SparkSpec {
       .count().toDouble / (k * nq)
     assert(rec > 0.3, s"hierarchical recall floor broken: $rec")
   }
+
+  test("stored layout persists the routing level: searchRouted at " +
+      "exhaustive l1Probes equals search; missing routing fails loudly") {
+    import graft.operators.GraphLayout
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    val q = Tables.embeddingQueries(spark, sfDir)
+    val cents = data.filter(col("id") % 10 === 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val clustered = KMeans.assign(data, cents)
+    val graph = Vamana.buildSharded(clustered,
+      BuildParams(maxDegree = 12, buildWindow = 24), Metric.L2)
+    val path = "/tmp/graft_hier_layout"
+    GraphLayout.write(clustered, graph, cents, path, routingGroups = 7)
+    val layout = GraphLayout.open(spark, path)
+    val (l1, groupOf) = layout.routing.get
+    assert(l1.length === 7 && groupOf.keySet === cents.map(_._1).toSet)
+    val routed = GraphLayout.searchRouted(layout, q, 10, 32,
+        l1Probes = l1.length, nProbes = 8, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val flat = GraphLayout.search(layout, q, 10, 32, 8, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(routed === flat)
+    // a layout written without routing refuses searchRouted loudly
+    val pathNo = "/tmp/graft_hier_layout_none"
+    GraphLayout.write(clustered, graph, cents, pathNo)
+    val bare = GraphLayout.open(spark, pathNo)
+    val e = intercept[RuntimeException] {
+      GraphLayout.searchRouted(bare, q, 10, 32, 2, 8, Metric.L2)
+    }
+    assert(e.getMessage.contains("routingGroups"))
+  }
 }

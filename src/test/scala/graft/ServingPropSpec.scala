@@ -90,6 +90,57 @@ class ServingPropSpec extends SparkSpec {
     assert(walked === flat)
   }
 
+  test("byte-resident serving on random corpora (3 seeds, i8 + u8, " +
+      "extreme values): full-window walk ≡ flat byte scan ≡ double " +
+      "brute force; k > n and empty batches degrade gracefully") {
+    import graft.functions.ByteVecs
+    for (seed <- Seq(3L, 21L, 77L); unsigned <- Seq(false, true)) {
+      val rnd = new scala.util.Random(seed)
+      val dims = 1 + rnd.nextInt(24)
+      val n = 40 + rnd.nextInt(40)
+      // full byte range, extremes planted (−128/0/127 are where a sign
+      // or widen bug would bite)
+      val rows = (0 until n).map { i =>
+        val v = Seq.fill(dims)((rnd.nextInt(256) - 128).toByte)
+        (i.toLong, if (i == 0) Seq.fill(dims)((-128).toByte)
+        else if (i == 1) Seq.fill(dims)(127.toByte) else v)
+      }
+      val df0 = rows.toDF("id", "vec")
+      val bytes = if (unsigned) ByteVecs.markUnsigned(df0) else df0
+      val queries = (0 until 4).map { i =>
+        (1000L + i, Seq.fill(dims)(rnd.nextDouble() * 256 - 128)) }
+        .toDF("query_id", "qvec")
+      val wide = bytes.select(col("id"),
+        ByteVecs.widen(col("vec"), unsigned).as("vec"))
+      val flatB = graft.operators.FlatKnn.search(queries, bytes, 7,
+          Metric.L2).collect().map(_.toSeq).toSeq
+      val flatW = graft.operators.FlatKnn.search(queries, wide, 7,
+          Metric.L2).collect().map(_.toSeq).toSeq
+      assert(flatB === flatW, s"seed $seed unsigned=$unsigned flat")
+      val cents = (0 until 3).map(c =>
+        (c.toLong, wide.filter(col("id") === c).head.getSeq[Double](1)))
+      val clustered = KMeans.assign(bytes, cents)
+      val graph = Vamana.buildSharded(clustered,
+        BuildParams(maxDegree = 8, buildWindow = 16), Metric.L2)
+      val walked = Vamana.searchSharded(queries, clustered, graph, cents,
+          7, 1 << 12, nProbes = 3, Metric.L2)
+        .select("query_id", "rnk", "neighbor_id")
+        .collect().map(_.toSeq).toSeq
+      val exact = graft.operators.FlatKnn.search(queries, wide, 7,
+          Metric.L2)
+        .select("query_id", "rnk", "neighbor_id")
+        .collect().map(_.toSeq).toSeq
+      assert(walked === exact, s"seed $seed unsigned=$unsigned walk")
+      // degenerate shapes through the byte branch
+      val big = graft.operators.FlatKnn.search(queries, bytes, n + 50,
+        Metric.L2)
+      assert(big.groupBy("query_id").count().collect()
+        .forall(_.getLong(1) === n))
+      assert(graft.operators.FlatKnn.search(queries.limit(0), bytes, 5,
+        Metric.L2).count() === 0)
+    }
+  }
+
   test("binary quantization on ragged dims (40 → a partial second word) " +
       "matches a driver reference; k > n walks/searches degrade to n") {
     val dims = 40
