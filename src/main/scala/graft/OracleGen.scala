@@ -1385,12 +1385,24 @@ object OracleGen {
       s"CAST(LEAST(255, GREATEST(0, " +
         s"CAST(FLOOR($e * $scale + 128) AS BIGINT))) AS DOUBLE)"))
 
+  /** i8 twin with a deleted-id exclusion (q168: the byte dynamic
+    * lifecycle — segments quantized to TINYINT, soft deletes applied,
+    * consolidated, searched). */
+  def embeddingKnnI8Excluding(metric: Metric, k: Int, scale: Double,
+                              excludePred: String): String =
+    embeddingKnnDims(metric, k, embDimExprs.map(e =>
+      s"CAST(LEAST(127, GREATEST(-128, " +
+        s"CAST(FLOOR($e * $scale) AS BIGINT))) AS DOUBLE)"),
+      dataPred = Some(s"NOT ($excludePred)"))
+
   private def embeddingKnnDims(metric: Metric, k: Int,
-                               dataDims: Seq[String]): String = {
+                               dataDims: Seq[String],
+                               dataPred: Option[String] = None): String = {
     val d = Tables.embDims
+    val where = dataPred.map(p => s" WHERE $p").getOrElse("")
     s"""WITH data AS (
        |  SELECT vec_id AS id, ${dimCols("v", dataDims)}
-       |  FROM embeddings),
+       |  FROM embeddings$where),
        |q AS (
        |  SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}
        |  FROM embeddings WHERE ${Tables.embQueryPredSql}),

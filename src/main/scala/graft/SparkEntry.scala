@@ -1460,6 +1460,34 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** q168: the dynamic lifecycle on BYTE storage — the i8 twin of q78:
+    * segments hold ARRAY<TINYINT> rows through append, soft delete, and
+    * consolidate (an eighth of the f64 segment bytes), and the
+    * post-consolidate search runs FlatKnn's byte branch. Oracle: exact
+    * kNN over the i8-quantized dims excluding the deleted ids. */
+  private def dynI8Q(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_dyn_q168"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val tbl = new DynamicVectorTable(s, root)
+    val emb = embVectors(s, dir).select(col("id"),
+      graft.functions.ByteVecs.quantizeSigned(col("vec"), ByteScale)
+        .as("vec"))
+    tbl.addPoints(emb.filter(col("id") < 250))
+    tbl.addPoints(emb.filter(col("id") >= 250))
+    tbl.deleteIds(emb.filter(col("id") % 9 === 0).select("id"))
+    tbl.consolidate()
+    val live = tbl.current
+    require(graft.functions.ByteVecs.isByteVec(
+      live.schema("vec").dataType),
+      s"dynamic table lost byte residency: ${live.schema("vec").dataType}")
+    FlatKnn.search(embQueries(s, dir), live.select("id", "vec"), K,
+        Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   /** q78: the dynamic lifecycle on float32 storage (M1-M4) — segments keep
     * the embeddings parquet's native ARRAY<FLOAT> through append, soft
     * delete, and consolidate (half the segment bytes of the f64 twin), and
@@ -2713,6 +2741,7 @@ object SparkEntry {
     "q165_hvecs_roundtrip" -> (hvecsRoundtripQ _),
     "q166_label_delete" -> (labelDeleteQ _),
     "q167_hier_search" -> (hierSearchQ _),
+    "q168_dyn_i8" -> (dynI8Q _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3063,5 +3092,7 @@ object SparkEntry {
     // q167: exhaustive level-1 routing ≡ flat routing (HierRoutingSpec),
     // so the hierarchical search shares q24's probed-shard-exact oracle.
     "q167_hier_search" -> OracleGen.vamanaShardedKnn(K, VamanaProbes),
+    "q168_dyn_i8" -> OracleGen.embeddingKnnI8Excluding(Metric.L2, K,
+      ByteScale, "vec_id % 9 = 0"),
   )
 }

@@ -56,7 +56,18 @@ object IvfIndex {
     * for partition pruning). */
   private def selectProbes(queries: DataFrame,
                            centroids: Seq[(Long, Seq[Double])], nProbes: Int,
-                           metric: Metric): (DataFrame, Seq[Long]) = {
+                           metric: Metric): (DataFrame, Seq[Long]) =
+    // Shared probe kernel: parallel per-query sweep at certified sizes,
+    // GEMM-style query×centroid tiling past BatchScore.GemmPairThreshold —
+    // both bit-identical (same per-pair fold, same centroid order).
+    selectProbesWith(queries, centroids)(
+      BatchScore.probeTopK(_, _, nProbes, metric))
+
+  private def selectProbesWith(queries: DataFrame,
+                               centroids: Seq[(Long, Seq[Double])])
+      (route: (Array[(Long, Array[Double])],
+               IndexedSeq[(Long, Array[Double])]) => Array[Array[Long]])
+      : (DataFrame, Seq[Long]) = {
     val spark = queries.sparkSession
     import spark.implicits._
     val qRows = queries
@@ -65,10 +76,7 @@ object IvfIndex {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val cents = centroids.sortBy(_._1)
       .map { case (i, v) => (i, v.toArray) }.toIndexedSeq
-    // Shared probe kernel: parallel per-query sweep at certified sizes,
-    // GEMM-style query×centroid tiling past BatchScore.GemmPairThreshold —
-    // both bit-identical (same per-pair fold, same centroid order).
-    val probeIds = BatchScore.probeTopK(qRows, cents, nProbes, metric)
+    val probeIds = route(qRows, cents)
     val rows = qRows.toSeq.zipWithIndex.flatMap { case ((qid, qvec), i) =>
       probeIds(i).map(cid => (qid, cid, qvec.toSeq))
     }
@@ -88,6 +96,33 @@ object IvfIndex {
     // partition-pruned scan: the probed-cluster set is tiny, so prune
     // statically with an isin (reaches PartitionFilters on partitioned
     // storage — PlanSpec asserts it) before the broadcast equi-join.
+    val cand = broadcast(probes)
+      .join(clustered.filter(col("cluster_id").isin(probedIds: _*)),
+        Seq("cluster_id"))
+      .select(col("query_id"), col("id"),
+        metric.column(col("qvec"), col("vec")).as("dist"))
+    TopK.perKey(cand, Seq("query_id"), col("id"), col("dist"), k,
+      metric.ascending)
+  }
+
+  /** [[search]] with TWO-LEVEL probe routing — the reference's own home
+    * for hierarchical k-means (index/ivf/hierarchical_kmeans.h): probe
+    * selection scores the `l1` group centroids, then only the chosen
+    * groups' cluster centroids ([[BatchScore.probeTopKHierarchical]]).
+    * The probed-cluster scan is [[search]]'s unchanged; with
+    * `l1Probes = |l1|` the whole query is bit-identical to [[search]]
+    * (KMeansIvfSpec). Build (l1, groupOf) with
+    * [[Vamana.trainRoutingLevel]] over the cluster centroids. */
+  def searchHierarchical(queries: DataFrame, clustered: DataFrame,
+                         centroids: Seq[(Long, Seq[Double])],
+                         l1: Seq[(Long, Seq[Double])],
+                         groupOf: Map[Long, Long], k: Int, l1Probes: Int,
+                         nProbes: Int, metric: Metric): DataFrame = {
+    val l1Arr = l1.sortBy(_._1)
+      .map { case (i, v) => (i, v.toArray) }.toIndexedSeq
+    val (probes, probedIds) = selectProbesWith(queries, centroids)(
+      BatchScore.probeTopKHierarchical(_, _, l1Arr, groupOf, l1Probes,
+        nProbes, metric))
     val cand = broadcast(probes)
       .join(clustered.filter(col("cluster_id").isin(probedIds: _*)),
         Seq("cluster_id"))

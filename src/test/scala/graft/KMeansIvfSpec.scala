@@ -70,6 +70,24 @@ class KMeansIvfSpec extends SparkSpec {
     assert(r5 >= r1)
   }
 
+  test("hierarchical IVF routing: exhaustive level-1 equals search " +
+      "bit-for-bit; realistic probes fill k with a recall floor") {
+    val clustered = IvfIndex.cluster(data, cents).cache()
+    val (l1, groupOf) = Vamana.trainRoutingLevel(cents, nGroups = 3)
+    val a = IvfIndex.searchHierarchical(queries, clustered, cents, l1,
+        groupOf, 10, l1Probes = l1.length, nProbes = 4, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val b = IvfIndex.search(queries, clustered, cents, 10, 4, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    val real = IvfIndex.searchHierarchical(queries, clustered, cents, l1,
+      groupOf, 10, l1Probes = 2, nProbes = 4, Metric.L2)
+    assert(real.groupBy("query_id").count()
+      .filter(col("count") =!= 10).count() === 0)
+    val truth = FlatKnn.search(queries, data, 10, Metric.L2)
+    assert(Recall.recallAtK(real, truth, 10) > 0.2)
+  }
+
   test("recall of a result against itself is 1.0; against disjoint is 0.0") {
     val r = FlatKnn.search(queries, data, 10, Metric.L2)
     assert(Recall.recallAtK(r, r, 10) == 1.0)
