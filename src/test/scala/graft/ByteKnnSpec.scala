@@ -141,6 +141,40 @@ class ByteKnnSpec extends SparkSpec {
     }
   }
 
+  test("byte layout upsert keeps residency and serves like a " +
+      "from-scratch byte store") {
+    import graft.operators.GraphLayout
+    val params = BuildParams(maxDegree = 8, buildWindow = 16)
+    val cl8 = i8.withColumn("cluster_id", col("id") % 4).cache()
+    val cents = (0 until 4).map { c =>
+      (c.toLong, cl8.filter(col("cluster_id") === c)
+        .select(posexplode(ByteVecs.widen(col("vec"), unsigned = false)))
+        .groupBy("pos").agg(avg("col"))
+        .orderBy("pos").collect().map(_.getDouble(1)).toSeq)
+    }
+    val g8 = Vamana.buildSharded(cl8, params, Metric.L2)
+    val path = "/tmp/graft_bytes_layout_upsert"
+    GraphLayout.write(cl8, g8, cents, path)
+    val added = cl8.filter(col("id") % 100 === 3).limit(10)
+      .select((col("id") + 5000L).as("id"), col("vec"),
+        lit(1L).as("cluster_id"))
+    val delIds = cl8.filter(col("cluster_id") === 2L).limit(4).select("id")
+    val up = GraphLayout.upsert(spark, path, added, delIds, params,
+      Metric.L2)
+    // the upserted store is still byte-resident on disk
+    assert(ByteVecs.isByteVec(up.clustered.schema("vec").dataType),
+      s"upsert widened the store: ${up.clustered.schema("vec").dataType}")
+    val served = GraphLayout.search(up, q, 5, 16, 4, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val merged = cl8.join(delIds, Seq("id"), "left_anti").unionByName(added)
+    val gFresh = Vamana.buildSharded(merged, params, Metric.L2)
+    val fresh = Vamana.searchSharded(q, merged, gFresh, up.centroids, 5,
+        16, 4, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(served === fresh)
+    assert(served.nonEmpty)
+  }
+
   test("byte-resident sharded graph build + walk equal the double plan") {
     val params = BuildParams(maxDegree = 8, buildWindow = 16)
     val cl8 = i8.withColumn("cluster_id", col("id") % 4)
