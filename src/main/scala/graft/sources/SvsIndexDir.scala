@@ -255,6 +255,74 @@ object SvsIndexDir {
       graft.core.Metric.L2)
   }
 
+  /** Reverse trip of [[loadIvfClustering]] (reference `save_clustering`,
+    * bindings ivf.cpp): write (centroids, assignment) in the saved
+    * `IVF clustering` layout — clusters blob (u64 count + per-cluster
+    * u64 size + uint32 member ids, clusters ascending, members in
+    * ascending id order) + float32 centroid `.svs` + `svs_config.toml`.
+    * Member ids must fit uint32 (the fixture's integer_type). Cluster
+    * ids REMAP to dense 0..n−1 in ascending original order (the format's
+    * cluster index IS its blob position) — a reload therefore returns
+    * dense ids; already-dense inputs round-trip identically. */
+  def saveIvfClustering(spark: SparkSession, dir: String,
+                        centroids: Seq[(Long, Seq[Double])],
+                        assignment: DataFrame): Unit = {
+    val cents = centroids.sortBy(_._1)
+    require(cents.nonEmpty, "no centroids")
+    val dims = cents.head._2.length
+    val members = assignment
+      .select(col("cluster_id").cast("long"), col("id").cast("long"))
+      .orderBy("cluster_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    members.foreach { case (_, id) =>
+      require(id >= 0 && id <= 0xffffffffL, s"id $id does not fit uint32") }
+    val byCluster = members.groupBy(_._1)
+    // clusters blob: every cluster id 0..n-1 present (empty ⇒ size 0)
+    val n = cents.length
+    val total = members.length
+    val bb = ByteBuffer.allocate(8 + n * 8 + total * 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(n.toLong)
+    cents.foreach { case (cid, _) =>
+      val ms = byCluster.getOrElse(cid, Array.empty[(Long, Long)])
+      bb.putLong(ms.length.toLong)
+      ms.foreach { case (_, id) => bb.putInt(id.toInt) }
+    }
+    val blobName = "clusters_0.bin"
+    val bp = new Path(new Path(dir), blobName)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(bp, true)
+    os.write(bb.array()); os.close()
+    // centroid .svs (float32), dense ids 0..n-1 in cluster-id order
+    import spark.implicits._
+    SvsNative.write(
+      cents.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+        .toDF("id", "vec"),
+      s"$dir/data_1.svs", VecsIO.F32)
+    writeText(spark, new Path(new Path(dir), "svs_config.toml"),
+      s"""__version__ = 'v0.0.2'
+         |
+         |[object]
+         |__schema__ = 'IVF clustering'
+         |__version__ = 'v0.0.0'
+         |data_type = 'float32'
+         |filepath = '$blobName'
+         |filesize = ${bb.array().length}
+         |integer_type = 'uint32'
+         |num_clusters = $n
+         |
+         |    [object.centroids]
+         |    __schema__ = 'uncompressed_data'
+         |    __version__ = 'v0.0.0'
+         |    binary_file = 'data_1.svs'
+         |    dims = $dims
+         |    eltype = 'float32'
+         |    name = 'uncompressed'
+         |    num_vectors = $n
+         |    uuid = '00000000-0000-0000-0000-000000000000'
+         |""".stripMargin)
+  }
+
   // ---- export (the reverse trip) ------------------------------------------
 
   private def writeText(spark: SparkSession, p: Path, text: String): Unit = {

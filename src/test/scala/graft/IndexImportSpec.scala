@@ -98,4 +98,35 @@ class IndexImportSpec extends SparkSpec {
     assert(probed.groupBy("query_id").count()
       .filter(col("count") =!= 10).count() === 0)
   }
+
+  test("IVF clustering save/load round trip — including re-exporting " +
+      "the reference's committed fixture byte-compatibly") {
+    // the committed fixture re-exported through saveIvfClustering and
+    // reloaded must be IDENTICAL (bf16 centroid values are exact in
+    // float32; cluster ids are already dense)
+    val (cents0, assign0) = SvsIndexDir.loadIvfClustering(spark,
+      "/root/reference/data/test_dataset/ivf_clustering")
+    val out = "/tmp/graft_ivf_clustering_rt"
+    SvsIndexDir.saveIvfClustering(spark, out, cents0, assign0)
+    val (cents1, assign1) = SvsIndexDir.loadIvfClustering(spark, out)
+    assert(cents1 === cents0)
+    assert(assign1.orderBy("cluster_id", "id").collect().map(_.toSeq)
+      .toSeq ===
+      assign0.orderBy("cluster_id", "id").collect().map(_.toSeq).toSeq)
+    // non-dense original cluster ids remap densely but keep the
+    // partition structure
+    val s = spark
+    import s.implicits._
+    val myCents = Seq((10L, Seq(0.0, 0.0)), (20L, Seq(1.0, 1.0)))
+    val myAssign = Seq((10L, 0L), (10L, 2L), (20L, 1L))
+      .toDF("cluster_id", "id")
+    val out2 = "/tmp/graft_ivf_clustering_rt2"
+    SvsIndexDir.saveIvfClustering(spark, out2, myCents, myAssign)
+    val (c2, a2) = SvsIndexDir.loadIvfClustering(spark, out2)
+    assert(c2.map(_._1) === Seq(0L, 1L))
+    assert(c2.map(_._2) === myCents.map(_._2))
+    assert(a2.orderBy("cluster_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((0L, 0L), (0L, 2L), (1L, 1L)))
+  }
 }
