@@ -145,19 +145,30 @@ object MultiVector {
     * min and cleaned by the next consolidate), never to a lost label. */
   def addLabels(table: DynamicVectorTable, rows: DataFrame): Unit = {
     val labels = rows.select("label").distinct()
+    val dup = rows.groupBy("id").count().filter(col("count") > 1)
+      .select("id").limit(5).collect().map(_.getLong(0))
+    require(dup.isEmpty,
+      s"addLabels: duplicate incoming ids ${dup.mkString(", ")} — the " +
+        "table holds one row per external id")
     val prev =
       if (table.segmentCount > 0) {
-        val live = table.current
-        val reused = live.join(rows.select("id"), Seq("id")).select("id")
+        // fresh means UNSEEN: an id in any segment OR the tombstone set
+        // is unsafe — tombstones anti-join every segment, so a re-added
+        // tombstoned id would be invisible now and silently dropped by
+        // the next consolidate
+        val seen = table.allRows.select("id")
+          .unionByName(table.tombstones.map(_.select("id"))
+            .getOrElse(table.allRows.select("id").limit(0)))
+        val reused = seen.join(rows.select("id"), Seq("id")).select("id")
           .limit(5).collect().map(_.getLong(0))
         require(reused.isEmpty,
-          s"addLabels: incoming ids ${reused.mkString(", ")} are already " +
-            "live — replacement rows need fresh ids (tombstones apply to " +
-            "every segment, so a reused id would erase its own replacement)")
+          s"addLabels: incoming ids ${reused.mkString(", ")} were already " +
+            "used (live or tombstoned) — replacement rows need fresh ids; " +
+            "consolidate() first to reclaim tombstoned ids")
         // materialize the previous ids BEFORE the append (afterwards the
         // label join would also match the replacement rows); eager local
         // checkpoint keeps the set distributed
-        Some(live.join(labels, Seq("label")).select("id")
+        Some(table.current.join(labels, Seq("label")).select("id")
           .localCheckpoint(true))
       } else None
     table.addPoints(rows)

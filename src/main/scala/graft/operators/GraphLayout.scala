@@ -89,7 +89,8 @@ object GraphLayout {
         s"""{"thresholds":[${b.thresholds.mkString(",")}]}"""
     }
     writeSidecar(spark, s"$path/layout.json",
-      s"""{"pq":$pqJson,"bin":$binJson}""")
+      s"""{"pq":$pqJson,"bin":$binJson,""" +
+        s""""routing_groups":$routingGroups}""")
   }
 
   def open(spark: SparkSession, path: String): Layout = {
@@ -130,8 +131,16 @@ object GraphLayout {
       if (bin.isDefined && fs.exists(new org.apache.hadoop.fs.Path(
         s"$path/bincodes"))) Some(spark.read.parquet(s"$path/bincodes"))
       else None
+    // routing is SIDECAR-gated like pq/bin: a rewrite without
+    // routingGroups records 0 and stale routing dirs are ignored rather
+    // than silently served
+    val routingGroups = (parsed \ "routing_groups") match {
+      case JNull | JNothing => 0
+      case node             => node.extract[Int]
+    }
     val routing =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/routing_l1")) &&
+      if (routingGroups > 0 &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/routing_l1")) &&
         fs.exists(new org.apache.hadoop.fs.Path(s"$path/routing_groups")))
         Some((
           spark.read.parquet(s"$path/routing_l1").select("id", "vec")
@@ -314,8 +323,35 @@ object GraphLayout {
       require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/centroids.tmp"),
         new org.apache.hadoop.fs.Path(s"$path/centroids")),
         s"failed to swap $path/centroids.tmp into place")
+      // the upsert changed centroids (refreshed / dropped), so a
+      // persisted routing level would be stale: retrain it from the new
+      // centroid table at the recorded group count (driver-side Lloyd
+      // over the broadcast-small centroids — milliseconds)
+      val rg = routingGroupsOf(spark, path)
+      if (rg > 0) {
+        val newCentTable = spark.read.parquet(s"$path/centroids")
+          .select("id", "vec").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+          .toIndexedSeq.sortBy(_._1)
+        val (l1, groupOf) = Vamana.trainRoutingLevel(newCentTable, rg)
+        import spark.implicits._
+        l1.toDF("id", "vec").write.mode("overwrite")
+          .parquet(s"$path/routing_l1")
+        groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
+          .parquet(s"$path/routing_groups")
+      }
     }
     open(spark, path)
+  }
+
+  private def routingGroupsOf(spark: SparkSession, path: String): Int = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    (org.json4s.jackson.JsonMethods.parse(
+      readSidecar(spark, s"$path/layout.json")) \ "routing_groups") match {
+      case JNull | JNothing => 0
+      case node             => node.extract[Int]
+    }
   }
 
   /** Binary serving from the store: Hamming walk over the persisted

@@ -62,14 +62,25 @@ object KMeans {
     data.withColumn("cluster_id", assignColumn(scoreVec, centroids))
   }
 
+  /** Byte inputs widened for VALUE arithmetic (means, raw distances):
+    * an implicit `array<tinyint>` upcast would sign-extend u8 raw bytes
+    * into the wrong value space, so every arithmetic entry point below
+    * widens explicitly through the mark-aware exact conversion. */
+  private def widenedForMath(df: DataFrame, vecCol: String): DataFrame =
+    if (graft.functions.ByteVecs.isByteVec(df.schema(vecCol).dataType))
+      df.withColumn(vecCol, graft.functions.ByteVecs.widen(col(vecCol),
+        graft.functions.ByteVecs.isUnsigned(df.schema, vecCol)))
+    else df
+
   /** Lloyd's iterations: assign (map-only) then per-cluster mean (one
     * partial-merged aggregate). Empty clusters keep their previous centroid.
     * Returns final centroids; `data` is scanned `iters` times — at 100 TB
     * callers should pass a sampled training fraction, as the reference does
     * (training_fraction, ivf/common.h:30-36). */
-  def lloyd(data: DataFrame, init: Seq[(Long, Seq[Double])], iters: Int,
+  def lloyd(data0: DataFrame, init: Seq[(Long, Seq[Double])], iters: Int,
             dims: Int, vecCol: String = "vec",
             roundTo: Int = -1): Seq[(Long, Seq[Double])] = {
+    val data = widenedForMath(data0, vecCol)
     val avgAgg = udaf(new VectorAvgAggregator(dims))
     // `roundTo >= 0` rounds each mean element (HALF_UP, the same semantics
     // as Spark SQL / DuckDB round) so another engine summing the same values
@@ -99,8 +110,10 @@ object KMeans {
     * per-group argmin is a broadcast join on l1_cluster followed by a
     * map-side-combined min aggregate — data is scanned once, and the shuffle
     * carries one row per (id). */
-  def hierarchicalAssign(data: DataFrame, l1: Seq[(Long, Seq[Double])],
-                         l2Seeds: DataFrame): DataFrame = {
+  def hierarchicalAssign(data0: DataFrame, l1: Seq[(Long, Seq[Double])],
+                         l2Seeds0: DataFrame): DataFrame = {
+    val data = widenedForMath(data0, "vec")
+    val l2Seeds = widenedForMath(l2Seeds0, "vec")
     val l1Assigned = assign(data, l1)
       .withColumnRenamed("cluster_id", "l1_cluster")
     val seedsAssigned = assign(
@@ -122,8 +135,9 @@ object KMeans {
   }
 
   /** Sum of squared distances to the assigned centroid (training metric). */
-  def inertia(data: DataFrame, cents: Seq[(Long, Seq[Double])],
+  def inertia(data0: DataFrame, cents: Seq[(Long, Seq[Double])],
               vecCol: String = "vec"): Double = {
+    val data = widenedForMath(data0, vecCol)
     val centArr = array(cents.sortBy(_._1).map { case (cid, cvec) =>
       struct(lit(cid).as("cid"), typedlit(cvec).as("cvec"))
     }: _*)

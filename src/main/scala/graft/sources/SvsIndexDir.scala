@@ -277,6 +277,12 @@ object SvsIndexDir {
     members.foreach { case (_, id) =>
       require(id >= 0 && id <= 0xffffffffL, s"id $id does not fit uint32") }
     val byCluster = members.groupBy(_._1)
+    // every assigned cluster must have a centroid — an orphan member
+    // would be silently dropped AND leave zero-padding the loader rejects
+    val orphans = byCluster.keySet -- cents.map(_._1).toSet
+    require(orphans.isEmpty,
+      s"assignment references cluster(s) ${orphans.take(5).mkString(", ")}" +
+        " with no centroid")
     // clusters blob: every cluster id 0..n-1 present (empty ⇒ size 0)
     val n = cents.length
     val total = members.length

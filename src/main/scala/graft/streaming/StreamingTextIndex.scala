@@ -30,7 +30,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   *
   * Scale: stage 1 shards by doc hash (the natural ingest partitioning),
   * stage 2 by term hash exactly like the batch build's shuffle; both
-  * state rows are small and bounded. */
+  * state rows are small and bounded.
+  *
+  * STATE SCHEMA v2: per-doc state is `(lastVersion, term→tf)` — not
+  * compatible with a checkpoint written by the v1 (per-term posting
+  * map) design. Restarting over a v1 checkpointLocation fails at the
+  * first stateful batch (Spark's state encoder mismatch is loud, not
+  * corrupting); start a fresh checkpoint and replay, or drain the old
+  * query first. */
 object StreamingTextIndex {
 
   /** Attach to a streaming `(doc_id, text)` DataFrame; emits updated

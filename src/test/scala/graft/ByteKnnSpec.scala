@@ -138,6 +138,11 @@ class ByteKnnSpec extends SparkSpec {
       assert(a.select("id", "cluster_id").orderBy("id").collect().toSeq ===
         b.select("id", "cluster_id").orderBy("id").collect().toSeq,
         s"unsigned=$unsigned")
+      // VALUE arithmetic (Lloyd means) must widen mark-aware too — an
+      // implicit tinyint upcast would sign-extend u8 raw bytes
+      val trained = KMeans.lloyd(tbl, cents, iters = 2, dims = 64)
+      val trainedWide = KMeans.lloyd(wide, cents, iters = 2, dims = 64)
+      assert(trained === trainedWide, s"unsigned=$unsigned lloyd")
     }
   }
 

@@ -287,6 +287,23 @@ class DynamicSpec extends SparkSpec {
         .limit(1).select(col("id"), col("vec"), lit(4L).as("label")))
     }
     assert(e.getMessage.contains("fresh ids"))
+    // a TOMBSTONED id is just as unsafe (the re-added row would be
+    // invisible now and silently dropped by the next consolidate)
+    val deadId = emb.filter(col("label") % 3 === 1).select("id")
+      .head.getLong(0)
+    val e2 = intercept[IllegalArgumentException] {
+      MultiVector.addLabels(tbl, emb.filter(col("id") === deadId)
+        .select(col("id"), col("vec"), lit(99L).as("label")))
+    }
+    assert(e2.getMessage.contains("tombstoned"))
+    // duplicate ids WITHIN a batch are rejected before anything writes
+    val dupRows = emb.filter(col("id") === 3L)
+      .select((col("id") + 200000L).as("id"), col("vec"),
+        lit(98L).as("label"))
+    val e3 = intercept[IllegalArgumentException] {
+      MultiVector.addLabels(tbl, dupRows.unionByName(dupRows))
+    }
+    assert(e3.getMessage.contains("duplicate incoming ids"))
   }
 
   test("streaming ingest appends micro-batches as segments") {

@@ -104,5 +104,30 @@ class HierRoutingSpec extends SparkSpec {
       GraphLayout.searchRouted(bare, q, 10, 32, 2, 8, Metric.L2)
     }
     assert(e.getMessage.contains("routingGroups"))
+    // a REWRITE without routingGroups ignores the stale routing dirs
+    // (sidecar-gated like pq/bin) instead of silently serving them
+    GraphLayout.write(clustered, graph, cents, path)
+    assert(GraphLayout.open(spark, path).routing.isEmpty,
+      "stale routing served after a routing-less rewrite")
+    // an upsert on a routed layout RETRAINS the level over the refreshed
+    // centroids — groupOf covers exactly the post-upsert centroid set
+    GraphLayout.write(clustered, graph, cents, path, routingGroups = 7)
+    val added = data.filter(col("id") % 100 === 9).limit(8)
+      .select((col("id") + 7000L).as("id"), col("vec"),
+        lit(cents.head._1).as("cluster_id"))
+    val delIds = clustered.filter(col("cluster_id") === cents(1)._1)
+      .limit(3).select("id")
+    val up = GraphLayout.upsert(spark, path,
+      added, delIds, BuildParams(maxDegree = 12, buildWindow = 24),
+      Metric.L2)
+    val (_, g2) = up.routing.getOrElse(fail("routing lost by upsert"))
+    assert(g2.keySet === up.centroids.map(_._1).toSet,
+      "retrained routing does not cover the post-upsert centroids")
+    val routedUp = GraphLayout.searchRouted(up, q, 10, 32,
+        l1Probes = 7, nProbes = 8, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val flatUp = GraphLayout.search(up, q, 10, 32, 8, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(routedUp === flatUp)
   }
 }

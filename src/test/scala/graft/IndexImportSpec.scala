@@ -128,5 +128,13 @@ class IndexImportSpec extends SparkSpec {
     assert(a2.orderBy("cluster_id", "id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq ===
       Seq((0L, 0L), (0L, 2L), (1L, 1L)))
+    // an assignment referencing a centroid-less cluster fails loudly at
+    // save (it would otherwise drop members and pad the blob)
+    val badAssign = Seq((10L, 0L), (77L, 1L)).toDF("cluster_id", "id")
+    val eOrphan = intercept[IllegalArgumentException] {
+      SvsIndexDir.saveIvfClustering(spark,
+        "/tmp/graft_ivf_clustering_bad", myCents, badAssign)
+    }
+    assert(eOrphan.getMessage.contains("no centroid"))
   }
 }
