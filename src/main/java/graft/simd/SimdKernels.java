@@ -1,5 +1,6 @@
 package graft.simd;
 
+import jdk.incubator.vector.ByteVector;
 import jdk.incubator.vector.DoubleVector;
 import jdk.incubator.vector.FloatVector;
 import jdk.incubator.vector.VectorOperators;
@@ -52,6 +53,27 @@ public final class SimdKernels {
             return null;
         }
         return VectorSpecies.of(float.class, VectorShape.forBitSize(half));
+    }
+
+    // Byte species with the SAME lane count as the preferred double
+    // species (1/8 the bit width): i8 converts B2D (sign-extending
+    // cast); u8 adds 256 to the negative lanes afterwards (zero-extend ≡
+    // sign-extend + 256·[x<0], exact in doubles — convertShape has no
+    // ZERO_EXTEND path to double). The conversion keeps the lane-group
+    // structure of the double kernels, so byte SIMD results are
+    // bit-identical to the SIMD double kernels on pre-widened copies.
+    // Null when the 1/8-width byte shape does not exist (< 512-bit
+    // doubles): the scalar tail then covers everything, equal to the
+    // scalar fold.
+    private static final Object BSPECIES = eighthWidthByteSpecies();
+
+    private static Object eighthWidthByteSpecies() {
+        VectorSpecies<Double> s = DoubleVector.SPECIES_PREFERRED;
+        int eighth = s.vectorShape().vectorBitSize() / 8;
+        if (eighth < 64) {
+            return null;
+        }
+        return VectorSpecies.of(byte.class, VectorShape.forBitSize(eighth));
     }
 
     private SimdKernels() {}
@@ -260,6 +282,104 @@ public final class SimdKernels {
         for (; i < n; i++) {
             double x = a[i];
             double y = b[i];
+            sd += x * y;
+            sa += x * x;
+            sb += y * y;
+        }
+        if (sa == 0.0 || sb == 0.0) {
+            return 0.0;
+        }
+        return sd / (Math.sqrt(sa) * Math.sqrt(sb));
+    }
+
+    // ---- byte-resident kernels (i8/u8 rows, double arithmetic) -----------
+    // Widen-at-load: i8 via B2D (sign-extending cast), u8 via
+    // ZERO_EXTEND_B2I then I2D. Same lane-group structure as the double
+    // kernels → bit-identical to the SIMD double kernels on pre-widened
+    // copies (SimdSpec).
+
+    /** Load lane group i..i+lanes of a byte array as a DoubleVector. */
+    private static DoubleVector widenB(VectorSpecies<Double> s, byte[] b,
+                                       int i, boolean unsigned) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Byte> bs = (VectorSpecies<Byte>) BSPECIES;
+        ByteVector bv = ByteVector.fromArray(bs, b, i);
+        DoubleVector vd =
+            (DoubleVector) bv.convertShape(VectorOperators.B2D, s, 0);
+        if (!unsigned) {
+            return vd;
+        }
+        // zero-extend = sign-extend + 256 on the negative lanes (exact)
+        return vd.add(256.0, vd.lt(0.0));
+    }
+
+    private static double widenOne(byte x, boolean unsigned) {
+        return unsigned ? (double) (x & 0xFF) : (double) x;
+    }
+
+    /** Squared L2, double query vs byte row. */
+    public static double l2DB(double[] a, byte[] b, boolean unsigned) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
+        int n = a.length;
+        int bound = BSPECIES == null ? 0 : S.loopBound(n);
+        DoubleVector acc = DoubleVector.zero(S);
+        int i = 0;
+        for (; i < bound; i += S.length()) {
+            DoubleVector va = DoubleVector.fromArray(S, a, i);
+            DoubleVector d = va.sub(widenB(S, b, i, unsigned));
+            acc = d.fma(d, acc);
+        }
+        double s = acc.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            double d = a[i] - widenOne(b[i], unsigned);
+            s += d * d;
+        }
+        return s;
+    }
+
+    /** Inner product, double query vs byte row. */
+    public static double ipDB(double[] a, byte[] b, boolean unsigned) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
+        int n = a.length;
+        int bound = BSPECIES == null ? 0 : S.loopBound(n);
+        DoubleVector acc = DoubleVector.zero(S);
+        int i = 0;
+        for (; i < bound; i += S.length()) {
+            DoubleVector va = DoubleVector.fromArray(S, a, i);
+            acc = va.fma(widenB(S, b, i, unsigned), acc);
+        }
+        double s = acc.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            s += a[i] * widenOne(b[i], unsigned);
+        }
+        return s;
+    }
+
+    /** Cosine similarity, double query vs byte row. */
+    public static double cosineDB(double[] a, byte[] b, boolean unsigned) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
+        int n = a.length;
+        int bound = BSPECIES == null ? 0 : S.loopBound(n);
+        DoubleVector dot = DoubleVector.zero(S);
+        DoubleVector na = DoubleVector.zero(S);
+        DoubleVector nb = DoubleVector.zero(S);
+        int i = 0;
+        for (; i < bound; i += S.length()) {
+            DoubleVector va = DoubleVector.fromArray(S, a, i);
+            DoubleVector vb = widenB(S, b, i, unsigned);
+            dot = va.fma(vb, dot);
+            na = va.fma(va, na);
+            nb = vb.fma(vb, nb);
+        }
+        double sd = dot.reduceLanes(VectorOperators.ADD);
+        double sa = na.reduceLanes(VectorOperators.ADD);
+        double sb = nb.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            double x = a[i];
+            double y = widenOne(b[i], unsigned);
             sd += x * y;
             sa += x * x;
             sb += y * y;

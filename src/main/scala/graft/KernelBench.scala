@@ -81,6 +81,35 @@ object KernelBench {
           f""""simd_pairs_per_sec":${ffSimd.toLong},""" +
           f""""speedup":${ffSimd / ff}%.3f}""")
       }
+      // byte-resident twins (i8/u8 rows, double arithmetic) — the
+      // ByteStore/byte-scan per-pair kernels
+      val vecsB = vecs.map(_.map(x => math.floor(x * 100).toByte))
+      def benchDB(m: Metric, unsigned: Boolean): Double = {
+        var best = Double.MaxValue
+        var sink = 0.0
+        for (_ <- 0 until rounds) {
+          val t0 = System.nanoTime()
+          var rep = 0
+          while (rep < reps) {
+            var i = 0
+            while (i < n) {
+              sink += m.computeDB(q, vecsB(i), unsigned); i += 1 }
+            rep += 1
+          }
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        if (sink == Double.MinPositiveValue) print("")
+        n.toDouble * reps / best
+      }
+      for (base <- Metric.all; unsigned <- Seq(false, true)) {
+        val db = benchDB(base, unsigned)
+        val dbSimd = benchDB(Metric.SimdOf(base), unsigned)
+        val tag = if (unsigned) "u8" else "i8"
+        println(f"""{"dims":$d,"metric":"${base.name}_$tag%s",""" +
+          f""""scalar_pairs_per_sec":${db.toLong},""" +
+          f""""simd_pairs_per_sec":${dbSimd.toLong},""" +
+          f""""speedup":${dbSimd / db}%.3f}""")
+      }
     }
   }
 }

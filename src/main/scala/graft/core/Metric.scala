@@ -311,10 +311,16 @@ object Metric {
       case Hamming    => Hamming.computeFF(a, b)
       case s: SimdOf  => s.computeFF(a, b)
     }
-    // byte kernels stay scalar (no lane kernel yet): the widen-at-use
-    // double fold is identical either way, so results don't change
     def computeDB(a: Array[Double], b: Array[Byte],
-                  unsigned: Boolean): Double = base.computeDB(a, b, unsigned)
+                  unsigned: Boolean): Double = base match {
+      case L2        => graft.simd.SimdKernels.l2DB(a, b, unsigned)
+      case IP        => graft.simd.SimdKernels.ipDB(a, b, unsigned)
+      case Cosine    => graft.simd.SimdKernels.cosineDB(a, b, unsigned)
+      case Hamming   => Hamming.computeDB(a, b, unsigned)
+      case s: SimdOf => s.computeDB(a, b, unsigned)
+    }
+    // pair-wise byte kernels stay scalar (build-path only; the widened
+    // fold is identical either way, so results don't change)
     def computeBB(a: Array[Byte], b: Array[Byte],
                   unsigned: Boolean): Double = base.computeBB(a, b, unsigned)
   }

@@ -43,6 +43,29 @@ class SimdSpec extends SparkSpec {
     }
   }
 
+  test("SIMD byte kernels are bit-identical to the SIMD double kernels " +
+      "on widened copies and near-ulp to the scalar byte fold") {
+    assume(SimdSupport.available)
+    val rnd = new scala.util.Random(23)
+    for (d <- Seq(1, 7, 8, 9, 16, 17, 64, 65, 129);
+         unsigned <- Seq(false, true); _ <- 0 until 10) {
+      val a = randVec(rnd, d)
+      val bb = Array.fill(d)((rnd.nextInt(256) - 128).toByte)
+      val wide = bb.map(x =>
+        if (unsigned) (x & 0xFF).toDouble else x.toDouble)
+      for (m <- Metric.all) {
+        val s = Metric.SimdOf(m)
+        assert(s.computeDB(a, bb, unsigned) == s.compute(a, wide),
+          s"${m.name} DB vs SIMD-double d=$d unsigned=$unsigned")
+        val scalar = m.computeDB(a, bb, unsigned)
+        val simd = s.computeDB(a, bb, unsigned)
+        val scale = math.max(1.0, math.abs(scalar))
+        assert(math.abs(simd - scalar) / scale < 1e-12,
+          s"${m.name} DB vs scalar d=$d unsigned=$unsigned")
+      }
+    }
+  }
+
   test("SIMD kernels are deterministic (fixed lane order, no data races)") {
     val rnd = new scala.util.Random(7)
     val a = randVec(rnd, 129)
