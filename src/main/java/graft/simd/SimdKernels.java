@@ -390,6 +390,79 @@ public final class SimdKernels {
         return sd / (Math.sqrt(sa) * Math.sqrt(sb));
     }
 
+    /** Squared L2, byte row vs byte row (build-path pair kernel). */
+    public static double l2BB(byte[] a, byte[] b, boolean unsigned) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
+        int n = a.length;
+        int bound = BSPECIES == null ? 0 : S.loopBound(n);
+        DoubleVector acc = DoubleVector.zero(S);
+        int i = 0;
+        for (; i < bound; i += S.length()) {
+            DoubleVector d = widenB(S, a, i, unsigned)
+                .sub(widenB(S, b, i, unsigned));
+            acc = d.fma(d, acc);
+        }
+        double s = acc.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            double d = widenOne(a[i], unsigned) - widenOne(b[i], unsigned);
+            s += d * d;
+        }
+        return s;
+    }
+
+    /** Inner product, byte row vs byte row. */
+    public static double ipBB(byte[] a, byte[] b, boolean unsigned) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
+        int n = a.length;
+        int bound = BSPECIES == null ? 0 : S.loopBound(n);
+        DoubleVector acc = DoubleVector.zero(S);
+        int i = 0;
+        for (; i < bound; i += S.length()) {
+            acc = widenB(S, a, i, unsigned)
+                .fma(widenB(S, b, i, unsigned), acc);
+        }
+        double s = acc.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            s += widenOne(a[i], unsigned) * widenOne(b[i], unsigned);
+        }
+        return s;
+    }
+
+    /** Cosine similarity, byte row vs byte row. */
+    public static double cosineBB(byte[] a, byte[] b, boolean unsigned) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
+        int n = a.length;
+        int bound = BSPECIES == null ? 0 : S.loopBound(n);
+        DoubleVector dot = DoubleVector.zero(S);
+        DoubleVector na = DoubleVector.zero(S);
+        DoubleVector nb = DoubleVector.zero(S);
+        int i = 0;
+        for (; i < bound; i += S.length()) {
+            DoubleVector va = widenB(S, a, i, unsigned);
+            DoubleVector vb = widenB(S, b, i, unsigned);
+            dot = va.fma(vb, dot);
+            na = va.fma(va, na);
+            nb = vb.fma(vb, nb);
+        }
+        double sd = dot.reduceLanes(VectorOperators.ADD);
+        double sa = na.reduceLanes(VectorOperators.ADD);
+        double sb = nb.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            double x = widenOne(a[i], unsigned);
+            double y = widenOne(b[i], unsigned);
+            sd += x * y;
+            sa += x * x;
+            sb += y * y;
+        }
+        if (sa == 0.0 || sb == 0.0) {
+            return 0.0;
+        }
+        return sd / (Math.sqrt(sa) * Math.sqrt(sb));
+    }
+
     /** Cosine similarity, float row vs float row. */
     public static double cosineFF(float[] a, float[] b) {
         @SuppressWarnings("unchecked")

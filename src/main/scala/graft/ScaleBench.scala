@@ -287,6 +287,10 @@ object ScaleBench {
       // the f32 SIMD lane kernels on fully-float pairs — the fastest scan
       val (_, tFlatFFSimd) = time {
         FlatKnn.search(queriesF32, dataF32, k, simdL2).count() }
+      // i8 SIMD scan: the byte lane kernels (B2D widen) over the 1/8-byte
+      // table — the capacity-AND-speed end of the residency spectrum
+      val (_, tFlatI8Simd) = time {
+        FlatKnn.search(queries, dataI8, k, simdL2).count() }
       val (gSimd, tBuildSimd) = time {
         val g = Vamana.buildSharded(split, vParams, simdL2).cache()
         g.count(); g
@@ -311,6 +315,7 @@ object ScaleBench {
       println(s"""{"experiment":"scale_bench_simd","n":$n,"dims":$dims,""" +
         s""""flat_knn_simd_sec":$tFlatSimd,""" +
         s""""flat_knn_ff_simd_sec":$tFlatFFSimd,""" +
+        s""""flat_knn_i8_simd_sec":$tFlatI8Simd,""" +
         s""""vamana_build_simd_sec":$tBuildSimd,""" +
         s""""vamana_search_simd_sec":$tVamanaSimd,""" +
         s""""vamana_recall_simd":$rSimd,"vamana_recall_scalar":$rScalar,""" +

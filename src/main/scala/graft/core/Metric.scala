@@ -319,10 +319,14 @@ object Metric {
       case Hamming   => Hamming.computeDB(a, b, unsigned)
       case s: SimdOf => s.computeDB(a, b, unsigned)
     }
-    // pair-wise byte kernels stay scalar (build-path only; the widened
-    // fold is identical either way, so results don't change)
     def computeBB(a: Array[Byte], b: Array[Byte],
-                  unsigned: Boolean): Double = base.computeBB(a, b, unsigned)
+                  unsigned: Boolean): Double = base match {
+      case L2        => graft.simd.SimdKernels.l2BB(a, b, unsigned)
+      case IP        => graft.simd.SimdKernels.ipBB(a, b, unsigned)
+      case Cosine    => graft.simd.SimdKernels.cosineBB(a, b, unsigned)
+      case Hamming   => Hamming.computeBB(a, b, unsigned)
+      case s: SimdOf => s.computeBB(a, b, unsigned)
+    }
   }
 
   /** The SIMD variant of `m` when the Vector API is available in this JVM,

@@ -53,10 +53,15 @@ class SimdSpec extends SparkSpec {
       val bb = Array.fill(d)((rnd.nextInt(256) - 128).toByte)
       val wide = bb.map(x =>
         if (unsigned) (x & 0xFF).toDouble else x.toDouble)
+      val bb2 = Array.fill(d)((rnd.nextInt(256) - 128).toByte)
+      val wide2 = bb2.map(x =>
+        if (unsigned) (x & 0xFF).toDouble else x.toDouble)
       for (m <- Metric.all) {
         val s = Metric.SimdOf(m)
         assert(s.computeDB(a, bb, unsigned) == s.compute(a, wide),
           s"${m.name} DB vs SIMD-double d=$d unsigned=$unsigned")
+        assert(s.computeBB(bb, bb2, unsigned) == s.compute(wide, wide2),
+          s"${m.name} BB vs SIMD-double d=$d unsigned=$unsigned")
         val scalar = m.computeDB(a, bb, unsigned)
         val simd = s.computeDB(a, bb, unsigned)
         val scale = math.max(1.0, math.abs(scalar))
