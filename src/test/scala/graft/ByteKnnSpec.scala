@@ -180,6 +180,53 @@ class ByteKnnSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("streaming byte ingest: segments stay TINYINT through dynamic-IVF " +
+      "routing and search the same as the widened table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.DynamicVectorTable
+    import graft.streaming.StreamingIngest
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val root = "/tmp/graft_bytes_stream"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val tbl = new DynamicVectorTable(spark, root)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-bytes-stream").toString
+    val rows = i8.limit(60).collect()
+      .map(r => (r.getLong(0), r.getSeq[Byte](1)))
+    val cents = (0 until 3).map(c =>
+      (c.toLong, Seq.fill(64)(c * 40.0 - 40)))
+    val mem = MemoryStream[(Long, Seq[Byte])]
+    val stream = mem.toDF().toDF("id", "vec")
+    val query = StreamingIngest.attach(stream, tbl, ckpt,
+      centroids = Some(cents))
+    try {
+      mem.addData(rows.take(30).toSeq); query.processAllAvailable()
+      mem.addData(rows.drop(30).toSeq); query.processAllAvailable()
+    } finally query.stop()
+    val live = tbl.current
+    assert(ByteVecs.isByteVec(live.schema("vec").dataType),
+      s"streamed segments widened: ${live.schema("vec").dataType}")
+    assert(live.count() === 60)
+    // routing matches the widened batch assignment
+    val want = graft.operators.KMeans.assign(
+      i8.limit(60), cents).select("id", "cluster_id")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(live.select("id", "cluster_id").orderBy("id").collect()
+      .map(_.toSeq).toSeq === want)
+    // and the streamed byte table searches like its widened twin
+    val a = FlatKnn.search(q, live.select("id", "vec"), 5, Metric.L2)
+      .collect().map(_.toSeq).toSeq
+    val b = FlatKnn.search(q,
+        live.select(col("id"), ByteVecs.widen(col("vec"),
+          unsigned = false).as("vec")), 5, Metric.L2)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
   test("byte-resident sharded graph build + walk equal the double plan") {
     val params = BuildParams(maxDegree = 8, buildWindow = 16)
     val cl8 = i8.withColumn("cluster_id", col("id") % 4)
