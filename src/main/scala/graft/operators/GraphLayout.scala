@@ -39,6 +39,17 @@ object GraphLayout {
                           routing: Option[(Seq[(Long, Seq[Double])],
                             Map[Long, Long])] = None)
 
+  /** Byte vec columns widened for VALUE arithmetic (centroid means, PQ /
+    * sign-bit encodes) — mark-aware, mirroring `KMeans.widenedForMath`:
+    * a raw TINYINT fold would sign-extend u8 raw bytes (200 → −56) into
+    * the wrong value space, silently skewing refreshed centroids and
+    * re-encoded codes while untouched rows stay unsigned. */
+  private def widenedForMath(df: DataFrame): DataFrame =
+    if (graft.functions.ByteVecs.isByteVec(df.schema("vec").dataType))
+      df.withColumn("vec", graft.functions.ByteVecs.widen(col("vec"),
+        graft.functions.ByteVecs.isUnsigned(df.schema, "vec")))
+    else df
+
   /** Persist a built index. `clustered` (id, vec, cluster_id) and `graph`
     * are [[Vamana.buildSharded]]'s input/output; when `pq` is given the
     * codes table is derived here so codes and codebooks can never drift. */
@@ -64,12 +75,15 @@ object GraphLayout {
       .parquet(s"$path/graph")
     centroids.toDF("id", "vec").write.mode("overwrite")
       .parquet(s"$path/centroids")
+    // encodes are VALUE arithmetic: widen byte-resident vecs first so
+    // u8 codes land in the unsigned value space (data stays raw on disk)
+    lazy val clusteredW = widenedForMath(clustered)
     pq.foreach { p =>
-      Pq.encodeClustered(clustered, p).write.partitionBy("cluster_id")
+      Pq.encodeClustered(clusteredW, p).write.partitionBy("cluster_id")
         .mode("overwrite").parquet(s"$path/codes")
     }
     bin.foreach { b =>
-      clustered.select(col("cluster_id") +: col("id") +:
+      clusteredW.select(col("cluster_id") +: col("id") +:
           BinaryQuant.codeColumns(col("vec"), b).zipWithIndex.map {
             case (c, w) => c.as(s"w$w") }: _*)
         .write.partitionBy("cluster_id").mode("overwrite")
@@ -271,14 +285,18 @@ object GraphLayout {
       ngT.repartition(col("cluster_id")).write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cluster_id").parquet(s"$path/graph")
+      // VALUE arithmetic below (re-encodes, centroid means) must widen
+      // byte-resident vecs mark-aware — matching write()'s encode space;
+      // the persisted data/graph partitions above keep the raw bytes
+      lazy val ncW = widenedForMath(ncT)
       layout.pq.foreach { p =>
-        Pq.encodeClustered(ncT, p).repartition(col("cluster_id"))
+        Pq.encodeClustered(ncW, p).repartition(col("cluster_id"))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("cluster_id").parquet(s"$path/codes")
       }
       layout.bin.foreach { b =>
-        ncT.select(col("cluster_id") +: col("id") +:
+        ncW.select(col("cluster_id") +: col("id") +:
             BinaryQuant.codeColumns(col("vec"), b).zipWithIndex.map {
               case (c, w) => c.as(s"w$w") }: _*)
           .repartition(col("cluster_id"))
@@ -302,7 +320,7 @@ object GraphLayout {
       // refresh touched centroids with the same rounded-mean fold the
       // build used; untouched entries carry over verbatim
       val touchedSet = touched.toSet
-      val newCents = ncT
+      val newCents = ncW
         .select(col("cluster_id"), posexplode(col("vec")))
         .groupBy("cluster_id", "pos").agg(round(avg("col"), 6).as("m"))
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))

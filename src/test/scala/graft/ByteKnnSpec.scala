@@ -180,6 +180,55 @@ class ByteKnnSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("u8 layout upsert refreshes centroids in the UNSIGNED value " +
+      "space (raw-byte avg would sign-extend 200 → −56)") {
+    import graft.operators.GraphLayout
+    val params = BuildParams(maxDegree = 8, buildWindow = 16)
+    val clU = ByteVecs.markUnsigned(
+      u8.withColumn("cluster_id", col("id") % 4)).cache()
+    val cents = (0 until 4).map { c =>
+      (c.toLong, clU.filter(col("cluster_id") === c)
+        .select(posexplode(ByteVecs.widen(col("vec"), unsigned = true)))
+        .groupBy("pos").agg(avg("col"))
+        .orderBy("pos").collect().map(_.getDouble(1)).toSeq)
+    }
+    val gU = Vamana.buildSharded(clU, params, Metric.L2)
+    val path = "/tmp/graft_bytes_layout_upsert_u8"
+    GraphLayout.write(clU, gU, cents, path)
+    val added = clU.filter(col("id") % 100 === 3).limit(10)
+      .select((col("id") + 5000L).as("id"), col("vec"),
+        lit(1L).as("cluster_id"))
+    val delIds = clU.filter(col("cluster_id") === 2L).limit(4).select("id")
+    val up = GraphLayout.upsert(spark, path, added, delIds, params,
+      Metric.L2)
+    assert(ByteVecs.isByteVec(up.clustered.schema("vec").dataType),
+      s"upsert widened the store: ${up.clustered.schema("vec").dataType}")
+    // the refreshed (touched) centroids must equal the unsigned-widened
+    // rounded mean of the post-upsert shard — raw TINYINT avg would land
+    // in the signed space and diverge by hundreds per element
+    val merged = clU.join(delIds, Seq("id"), "left_anti").unionByName(added)
+    // touched shards: 1 (adds) and 2 (deletes); untouched centroids carry
+    // over verbatim so only these two see the refresh fold
+    val expected = Seq(1L, 2L).map { c =>
+      (c, merged.filter(col("cluster_id") === c)
+        .select(posexplode(ByteVecs.widen(col("vec"), unsigned = true)))
+        .groupBy("pos").agg(round(avg("col"), 6).as("m"))
+        .orderBy("pos").collect().map(_.getDouble(1)).toSeq)
+    }.filter(_._2.nonEmpty)
+    val upCents = up.centroids.toMap
+    for ((cid, ev) <- expected)
+      assert(upCents(cid) === ev, s"centroid $cid not in unsigned space")
+    // and the upserted store serves like a from-scratch u8 store
+    val served = GraphLayout.search(up, q, 5, 16, 4, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val gFresh = Vamana.buildSharded(merged, params, Metric.L2)
+    val fresh = Vamana.searchSharded(q, merged, gFresh, up.centroids, 5,
+        16, 4, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(served === fresh)
+    assert(served.nonEmpty)
+  }
+
   test("streaming byte ingest: segments stay TINYINT through dynamic-IVF " +
       "routing and search the same as the widened table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
