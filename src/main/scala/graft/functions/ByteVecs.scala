@@ -63,6 +63,18 @@ object ByteVecs {
       when(u > 127L, u - 256L).otherwise(u).cast("byte")
     })
 
+  /** `df` with `vecCol` widened to ARRAY<DOUBLE> iff it is byte-resident
+    * — the single mark-aware entry point for VALUE arithmetic (means, PQ /
+    * sign-bit encodes, raw-distance folds). A bare TINYINT upcast would
+    * sign-extend u8 raw bytes (200 → −56) into the wrong value space, so
+    * every arithmetic call site widens through here; non-byte frames pass
+    * through untouched. Shared by KMeans, GraphLayout, Vamana
+    * (splitOversized sub-centroids) and IndexLayout (codec attachment). */
+  def widenedForMath(df: DataFrame, vecCol: String = "vec"): DataFrame =
+    if (isByteVec(df.schema(vecCol).dataType))
+      df.withColumn(vecCol, widen(col(vecCol), isUnsigned(df.schema, vecCol)))
+    else df
+
   /** Widen back to DOUBLE with the same interpretation the kernels use —
     * the declarative twin of `Metric.computeDB`'s per-element widen. */
   def widen(v: Column, unsigned: Boolean): Column =

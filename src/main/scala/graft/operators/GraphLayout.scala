@@ -40,15 +40,11 @@ object GraphLayout {
                             Map[Long, Long])] = None)
 
   /** Byte vec columns widened for VALUE arithmetic (centroid means, PQ /
-    * sign-bit encodes) — mark-aware, mirroring `KMeans.widenedForMath`:
-    * a raw TINYINT fold would sign-extend u8 raw bytes (200 → −56) into
-    * the wrong value space, silently skewing refreshed centroids and
-    * re-encoded codes while untouched rows stay unsigned. */
+    * sign-bit encodes) — the shared mark-aware helper: a raw TINYINT fold
+    * would sign-extend u8 raw bytes (200 → −56) into the wrong value
+    * space, silently skewing refreshed centroids and re-encoded codes. */
   private def widenedForMath(df: DataFrame): DataFrame =
-    if (graft.functions.ByteVecs.isByteVec(df.schema("vec").dataType))
-      df.withColumn("vec", graft.functions.ByteVecs.widen(col("vec"),
-        graft.functions.ByteVecs.isUnsigned(df.schema, "vec")))
-    else df
+    graft.functions.ByteVecs.widenedForMath(df, "vec")
 
   /** Persist a built index. `clustered` (id, vec, cluster_id) and `graph`
     * are [[Vamana.buildSharded]]'s input/output; when `pq` is given the

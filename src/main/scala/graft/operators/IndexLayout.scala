@@ -53,13 +53,29 @@ object IndexLayout {
             path: String, codec: Codec = Uncompressed): Unit = {
     val spark = clustered.sparkSession
     import spark.implicits._
+    // Codec attachment is VALUE arithmetic (residual/quantize folds run on
+    // element values): byte-resident inputs widen through the shared
+    // mark-aware helper first so u8 never encodes in the sign-extended
+    // space. The widened frame feeds ONLY the code computation — added
+    // code columns join back onto the raw frame, so the persisted `vec`
+    // stays byte-resident on disk.
+    val wide = graft.functions.ByteVecs.widenedForMath(clustered, "vec")
+    def attach(f: DataFrame => DataFrame): DataFrame =
+      if (wide eq clustered) f(clustered)
+      else {
+        val coded = f(wide)
+        val newCols = coded.columns.filterNot(clustered.columns.contains)
+        clustered.join(
+          coded.select("cluster_id", ("id" +: newCols.toSeq): _*),
+          Seq("cluster_id", "id"))
+      }
     val withCodes = codec match {
       case Uncompressed => clustered
-      case Sq(p) => IvfIndex.withResidentCodes(clustered, p)
-      case LvqC(p) => IvfIndex.withResidentLvq(clustered, p)
-      case LeanVecC(m) => IvfIndex.withResidentLeanVec(clustered, m)
+      case Sq(p) => attach(IvfIndex.withResidentCodes(_, p))
+      case LvqC(p) => attach(IvfIndex.withResidentLvq(_, p))
+      case LeanVecC(m) => attach(IvfIndex.withResidentLeanVec(_, m))
       case PqResC(p) => clustered.join(
-        Pq.encodeResiduals(clustered, centroids, p), Seq("cluster_id", "id"))
+        Pq.encodeResiduals(wide, centroids, p), Seq("cluster_id", "id"))
     }
     IvfIndex.writeClustered(withCodes, s"$path/data")
     centroids.toDF("id", "vec").write.mode("overwrite")

@@ -62,15 +62,10 @@ object KMeans {
     data.withColumn("cluster_id", assignColumn(scoreVec, centroids))
   }
 
-  /** Byte inputs widened for VALUE arithmetic (means, raw distances):
-    * an implicit `array<tinyint>` upcast would sign-extend u8 raw bytes
-    * into the wrong value space, so every arithmetic entry point below
-    * widens explicitly through the mark-aware exact conversion. */
+  /** Byte inputs widened for VALUE arithmetic (means, raw distances) —
+    * delegates to the shared mark-aware helper. */
   private def widenedForMath(df: DataFrame, vecCol: String): DataFrame =
-    if (graft.functions.ByteVecs.isByteVec(df.schema(vecCol).dataType))
-      df.withColumn(vecCol, graft.functions.ByteVecs.widen(col(vecCol),
-        graft.functions.ByteVecs.isUnsigned(df.schema, vecCol)))
-    else df
+    graft.functions.ByteVecs.widenedForMath(df, vecCol)
 
   /** Lloyd's iterations: assign (map-only) then per-cluster mean (one
     * partial-merged aggregate). Empty clusters keep their previous centroid.

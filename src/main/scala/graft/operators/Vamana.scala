@@ -146,7 +146,11 @@ object Vamana {
       val keptCents = centroids.collect {
         case (cid, v) if !kOf.contains(cid) => (cid * splitBase, v)
       }
-      val subCents = reclustered
+      // sub-centroid means are VALUE arithmetic: widen byte-resident vecs
+      // mark-aware first (a raw TINYINT avg would run u8 in the
+      // sign-extended space, 200 → −56, skewing routing sub-centroids);
+      // `reclustered` itself stays byte-resident in the returned frame
+      val subCents = graft.functions.ByteVecs.widenedForMath(reclustered)
         .filter(element_at(typedlit(kOf),
           floor(col("cluster_id") / lit(splitBase)).cast("long")).isNotNull)
         .select(col("cluster_id"), posexplode(col("vec")))

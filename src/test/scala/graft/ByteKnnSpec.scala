@@ -276,6 +276,72 @@ class ByteKnnSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("splitOversized computes u8 sub-centroids in the UNSIGNED value " +
+      "space and keeps the split table byte-resident") {
+    // everything in one oversized shard → forced split; a raw TINYINT avg
+    // would compute sub-centroids around −56 for bytes storing 200
+    val clU = ByteVecs.markUnsigned(u8.withColumn("cluster_id", lit(0L)))
+    val cent0 = Seq((0L, clU
+      .select(posexplode(ByteVecs.widen(col("vec"), unsigned = true)))
+      .groupBy("pos").agg(avg("col")).orderBy("pos")
+      .collect().map(_.getDouble(1)).toSeq))
+    val (recl, cents2) = Vamana.splitOversized(clU, cent0, maxRows = 40)
+    assert(ByteVecs.isByteVec(recl.schema("vec").dataType),
+      "splitOversized widened the stored column")
+    assert(ByteVecs.isUnsigned(recl.schema, "vec"),
+      "splitOversized dropped the u8 mark")
+    assert(cents2.size > 1, "expected a split")
+    val expected = recl
+      .select(col("cluster_id"),
+        posexplode(ByteVecs.widen(col("vec"), unsigned = true)))
+      .groupBy("cluster_id", "pos").agg(round(avg("col"), 6).as("m"))
+      .orderBy("cluster_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    for ((cid, v) <- cents2)
+      assert(v === expected(cid), s"sub-centroid $cid not unsigned-space")
+  }
+
+  test("IndexLayout codec attachment widens u8 mark-aware: residual codes " +
+      "match the widened plan, stored vec stays byte-resident") {
+    import graft.operators.{IndexLayout, Pq, ScalarQuant}
+    val clU = ByteVecs.markUnsigned(
+      u8.withColumn("cluster_id", col("id") % 3)).cache()
+    val wide = clU.select(col("id"),
+      ByteVecs.widen(col("vec"), unsigned = true).as("vec"),
+      col("cluster_id"))
+    val cents = (0 until 3).map { c =>
+      (c.toLong, wide.filter(col("cluster_id") === c)
+        .select(posexplode(col("vec"))).groupBy("pos").agg(avg("col"))
+        .orderBy("pos").collect().map(_.getDouble(1)).toSeq)
+    }
+    val rows = wide.orderBy("id").limit(4).collect()
+      .map(_.getSeq[Double](1).toArray).toSeq
+    val p = Pq.paramsFromRows(rows, m = 8, k = 4, dims = 64)
+    val path = "/tmp/graft_bytes_ivfadc_layout"
+    IndexLayout.write(clU, cents, path, IndexLayout.PqResC(p))
+    val layout = IndexLayout.open(spark, path)
+    assert(ByteVecs.isByteVec(layout.clustered.schema("vec").dataType),
+      "PqResC layout widened the stored vec")
+    val codeCols = (0 until p.m).map(j => s"c$j")
+    val got = layout.clustered
+      .select("id", codeCols: _*).orderBy("id").collect().map(_.toSeq).toSeq
+    val want = Pq.encodeResiduals(wide, cents, p)
+      .select("id", codeCols: _*).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(got === want, "u8 residual codes not in the unsigned space")
+    // SQ attach path: codes equal the widened-plan codes, vec stays byte
+    val sq = ScalarQuant.Params(scale = 0.5, bias = 128.0, bits = 8)
+    val sqPath = "/tmp/graft_bytes_sq_layout"
+    IndexLayout.write(clU, cents, sqPath, IndexLayout.Sq(sq))
+    val sqLayout = IndexLayout.open(spark, sqPath)
+    assert(ByteVecs.isByteVec(sqLayout.clustered.schema("vec").dataType))
+    val gotSq = sqLayout.clustered.select("id", "codes").orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    val wantSq = graft.operators.IvfIndex.withResidentCodes(wide, sq)
+      .select("id", "codes").orderBy("id").collect().map(_.toSeq).toSeq
+    assert(gotSq === wantSq, "u8 SQ codes not in the unsigned space")
+  }
+
   test("byte-resident sharded graph build + walk equal the double plan") {
     val params = BuildParams(maxDegree = 8, buildWindow = 16)
     val cl8 = i8.withColumn("cluster_id", col("id") % 4)
