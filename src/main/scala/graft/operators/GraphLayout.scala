@@ -37,7 +37,8 @@ object GraphLayout {
                           binCodes: Option[DataFrame] = None,
                           bin: Option[BinaryQuant.Params] = None,
                           routing: Option[(Seq[(Long, Seq[Double])],
-                            Map[Long, Long])] = None)
+                            Map[Long, Long])] = None,
+                          routingMetricName: Option[String] = None)
 
   /** Byte vec columns widened for VALUE arithmetic (centroid means, PQ /
     * sign-bit encodes) — the shared mark-aware helper: a raw TINYINT fold
@@ -53,15 +54,19 @@ object GraphLayout {
             centroids: Seq[(Long, Seq[Double])], path: String,
             pq: Option[Pq.Params] = None,
             bin: Option[BinaryQuant.Params] = None,
-            routingGroups: Int = 0): Unit = {
+            routingGroups: Int = 0,
+            routingMetric: Metric = Metric.L2): Unit = {
     val spark = clustered.sparkSession
     import spark.implicits._
     IvfIndex.writeClustered(clustered, s"$path/data")
     // optional persisted level-1 routing table (the 10⁵-shard dial):
-    // trained deterministically from the centroids, stored so a reopened
-    // index routes hierarchically without re-training
+    // trained deterministically from the centroids FOR THE SERVING METRIC
+    // (similarity metrics get spherical groups), stored with that metric's
+    // name so a reopened index routes hierarchically without re-training
+    // and a metric-mismatched searchRouted fails loudly
     if (routingGroups > 0) {
-      val (l1, groupOf) = Vamana.trainRoutingLevel(centroids, routingGroups)
+      val (l1, groupOf) = Vamana.trainRoutingLevel(centroids, routingGroups,
+        metric = routingMetric)
       l1.toDF("id", "vec").write.mode("overwrite")
         .parquet(s"$path/routing_l1")
       groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
@@ -100,7 +105,8 @@ object GraphLayout {
     }
     writeSidecar(spark, s"$path/layout.json",
       s"""{"pq":$pqJson,"bin":$binJson,""" +
-        s""""routing_groups":$routingGroups}""")
+        s""""routing_groups":$routingGroups,""" +
+        s""""routing_metric":"${routingMetric.name.stripSuffix("_simd")}"}""")
   }
 
   def open(spark: SparkSession, path: String): Layout = {
@@ -148,6 +154,10 @@ object GraphLayout {
       case JNull | JNothing => 0
       case node             => node.extract[Int]
     }
+    val routingMetricName = (parsed \ "routing_metric") match {
+      case JNull | JNothing => None
+      case node             => Some(node.extract[String])
+    }
     val routing =
       if (routingGroups > 0 &&
         fs.exists(new org.apache.hadoop.fs.Path(s"$path/routing_l1")) &&
@@ -166,7 +176,8 @@ object GraphLayout {
       spark.read.parquet(s"$path/centroids").select("id", "vec").collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
         .toIndexedSeq.sortBy(_._1),
-      pq, binCodes, bin, routing)
+      pq, binCodes, bin, routing,
+      if (routingGroups > 0) routingMetricName else None)
   }
 
   /** Full-precision probe-and-walk over the stored shards — identical rows
@@ -186,6 +197,15 @@ object GraphLayout {
                    metric: Metric): DataFrame = {
     val (l1, groupOf) = layout.routing.getOrElse(sys.error(
       "layout has no routing level — write(routingGroups = …) first"))
+    // the persisted groups partition centroid space for ONE metric; an
+    // IP/cosine search over L2-shaped groups (or vice versa) silently
+    // degrades routing recall at realistic l1Probes — fail loudly instead
+    layout.routingMetricName.foreach { rm =>
+      require(metric.name.stripSuffix("_simd") == rm,
+        s"layout routing level was trained for metric '$rm' but " +
+          s"searchRouted got '${metric.name}' — rewrite the layout with " +
+          s"routingMetric = ${metric.name} or serve with '$rm'")
+    }
     Vamana.searchShardedHierarchical(queries, layout.clustered,
       layout.graph, layout.centroids, l1, groupOf, k, searchWindow,
       l1Probes, nProbes, metric)
@@ -347,7 +367,13 @@ object GraphLayout {
           .select("id", "vec").collect()
           .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
           .toIndexedSeq.sortBy(_._1)
-        val (l1, groupOf) = Vamana.trainRoutingLevel(newCentTable, rg)
+        // retrain with the metric the level was written for (sidecar),
+        // not the upsert's build metric — the serving contract is the
+        // writer's; absent (pre-metric sidecars) default L2
+        val rm = layout.routingMetricName
+          .flatMap(Metric.byName).getOrElse(Metric.L2)
+        val (l1, groupOf) = Vamana.trainRoutingLevel(newCentTable, rg,
+          metric = rm)
         import spark.implicits._
         l1.toDF("id", "vec").write.mode("overwrite")
           .parquet(s"$path/routing_l1")

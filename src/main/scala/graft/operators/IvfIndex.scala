@@ -112,7 +112,9 @@ object IvfIndex {
     * The probed-cluster scan is [[search]]'s unchanged; with
     * `l1Probes = |l1|` the whole query is bit-identical to [[search]]
     * (KMeansIvfSpec). Build (l1, groupOf) with
-    * [[Vamana.trainRoutingLevel]] over the cluster centroids. */
+    * [[Vamana.trainRoutingLevel]] over the cluster centroids, passing the
+    * SAME `metric` served here — similarity metrics need spherical
+    * groups, or realistic l1Probes route through L2-shaped ones. */
   def searchHierarchical(queries: DataFrame, clustered: DataFrame,
                          centroids: Seq[(Long, Seq[Double])],
                          l1: Seq[(Long, Seq[Double])],

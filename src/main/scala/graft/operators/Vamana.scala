@@ -223,29 +223,61 @@ object Vamana {
       nProbes, metric, searchCapacity, lit(true), Some(pm))
   }
 
+  /** Broadcast-small ceiling for [[trainRoutingLevel]]'s input: the shard
+    * centroid table is held, trained, and broadcast whole — at 64-d
+    * doubles, 2²⁰ centroids ≈ 0.5 GB, the edge of driver/broadcast
+    * comfort. Past it, shard coarser or add another routing level. */
+  val MaxRoutingCentroids: Int = 1 << 20
+
   /** Deterministic driver-side Lloyd over the SHARD CENTROIDS themselves
     * — builds the level-1 routing table for
     * [[searchShardedHierarchical]]. Seeds are the first `nGroups`
     * centroids in ascending id order; ties to the smaller group id; empty
     * groups keep their seed. Returns (l1 centroids, shard-cid → group-id).
     * Runs on the centroid table only (broadcast-small by the routing
-    * contract), so even 10⁶ shards train in milliseconds. */
+    * contract, enforced via `maxCentroids`), so even 10⁶ shards train in
+    * milliseconds.
+    *
+    * `metric` is the SERVING metric: groups must partition the centroid
+    * space the way [[BatchScore.probeTopKHierarchical]] will score it, so
+    * assignment uses `metric.compute` with the metric's own ordering.
+    * Similarity metrics (IP/cosine) route by DIRECTION, so their group
+    * representatives are unit-normalized means (spherical k-means,
+    * Dhillon & Modha '01) — a raw-mean representative would hand every
+    * query to whichever group's mean has the largest norm under IP
+    * scoring. L2 keeps the plain Lloyd mean, bit-identical to the
+    * historical behavior. */
   def trainRoutingLevel(centroids: Seq[(Long, Seq[Double])], nGroups: Int,
-                        iters: Int = 5)
+                        iters: Int = 5,
+                        metric: Metric = graft.core.Metric.L2,
+                        maxCentroids: Int = MaxRoutingCentroids)
       : (Seq[(Long, Seq[Double])], Map[Long, Long]) = {
     require(nGroups >= 1 && centroids.nonEmpty)
+    require(centroids.length <= maxCentroids,
+      s"${centroids.length} shard centroids exceed the broadcast-small " +
+        s"routing contract (max $maxCentroids): the centroid table is " +
+        "driver-held and broadcast whole — shard coarser, or raise the " +
+        "per-shard row budget so the shard count stays within the limit")
+    def unit(v: Array[Double]): Array[Double] = {
+      var n = 0.0; var j = 0
+      while (j < v.length) { n += v(j) * v(j); j += 1 }
+      if (n == 0.0) v
+      else { val s = math.sqrt(n); v.map(_ / s) }
+    }
+    val spherical = !metric.ascending
     val cents = centroids.sortBy(_._1)
       .map { case (i, v) => (i, v.toArray) }.toIndexedSeq
     val g = math.min(nGroups, cents.length)
-    var l1 = cents.take(g).zipWithIndex
-      .map { case ((_, v), gi) => (gi.toLong, v.clone()) }
+    var l1 = cents.take(g).zipWithIndex.map { case ((_, v), gi) =>
+      (gi.toLong, if (spherical) unit(v.clone()) else v.clone()) }
     var assign: Map[Long, Long] = Map.empty
     for (_ <- 0 until iters) {
       assign = cents.map { case (cid, v) =>
         var bestG = 0L; var bestD = Double.NaN
         l1.foreach { case (gid, gv) =>
-          val d = graft.core.Metric.L2.compute(v, gv)
-          if (bestD.isNaN || d < bestD ||
+          val d = metric.compute(v, gv)
+          val closer = if (metric.ascending) d < bestD else d > bestD
+          if (bestD.isNaN || closer ||
             (d == bestD && gid < bestG)) { bestD = d; bestG = gid }
         }
         cid -> bestG
@@ -260,7 +292,7 @@ object Vamana {
             var j = 0; while (j < d) { acc(j) += v(j); j += 1 } }
           var j = 0
           while (j < d) { acc(j) /= mem.length; j += 1 }
-          (gid, acc)
+          (gid, if (spherical) unit(acc) else acc)
         }
       }
     }

@@ -75,6 +75,137 @@ class HierRoutingSpec extends SparkSpec {
     assert(rec > 0.3, s"hierarchical recall floor broken: $rec")
   }
 
+  test("metric-aware routing: cosine-trained groups keep routed recall " +
+      "at flat-probing recall for realistic l1Probes and beat L2-trained " +
+      "groups; exhaustive level-1 stays bit-equal to the flat sweep") {
+    import graft.operators.IvfIndex
+    val s = spark
+    import s.implicits._
+    // directional clusters where routing is meaningful for cosine but
+    // norm-confusable for L2: 8 unit prototype directions; 64 shards
+    // jittered around them with WILDLY varying centroid norms (cosine
+    // serving ignores norms, so metric-blind L2 grouping clusters shard
+    // centroids by magnitude, not direction)
+    val d = 16
+    val rnd = new scala.util.Random(42)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    def jitter(p: Array[Double], eps: Double): Array[Double] =
+      unit(p.zip(Array.fill(d)(rnd.nextGaussian() * eps)).map {
+        case (a, b) => a + b })
+    val protos = Array.fill(8)(unit(Array.fill(d)(rnd.nextGaussian())))
+    val cents: IndexedSeq[(Long, Seq[Double])] = (0 until 64).map { sId =>
+      val norm = 0.2 + 3.0 * (sId % 7)
+      (sId.toLong,
+        jitter(protos(sId % 8), 0.15).map(_ * norm).toIndexedSeq)
+    }
+    val rows = (0 until 64).flatMap { sId =>
+      (0 until 20).map { j =>
+        val mag = 0.5 + rnd.nextDouble() * 4
+        ((sId * 20 + j).toLong,
+          jitter(protos(sId % 8), 0.10).map(_ * mag).toSeq, sId.toLong)
+      }
+    }
+    val clustered = rows.toDF("id", "vec", "cluster_id").cache()
+    val data = clustered.select("id", "vec")
+    val q = (0 until 50).map { i =>
+      (i.toLong, jitter(protos(i % 8), 0.10).toSeq) }
+      .toDF("query_id", "qvec").cache()
+    val k = 10
+    val truth = FlatKnn.search(q, data, k, Metric.Cosine)
+      .select("query_id", "neighbor_id").cache()
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double =
+      res.select("query_id", "neighbor_id").intersect(truth)
+        .count().toDouble / (k * 50)
+    // the serving metric threads into training: spherical groups
+    val (l1, groupOf) = Vamana.trainRoutingLevel(cents, nGroups = 8,
+      metric = Metric.Cosine)
+    // exhaustive level-1 ≡ flat sweep, bit-for-bit, under cosine ordering
+    val qRows = q.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val l1Arr = l1.map { case (i, v) => (i, v.toArray) }.toIndexedSeq
+    val centArr = cents.map { case (i, v) => (i, v.toArray) }.toIndexedSeq
+    val flatProbes = graft.operators.BatchScore.probeTopK(
+      qRows, centArr, 8, Metric.Cosine)
+    val hierProbes = graft.operators.BatchScore.probeTopKHierarchical(
+      qRows, centArr, l1Arr, groupOf, l1Probes = l1.length, nProbes = 8,
+      Metric.Cosine)
+    flatProbes.zip(hierProbes).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.sameElements(b), s"query $i") }
+    // realistic routing (2 of 8 groups): recall holds the flat-probing
+    // anchor — the metric-aware done-gate
+    val flatRec = recallOf(IvfIndex.search(q, clustered, cents, k,
+      nProbes = 8, Metric.Cosine))
+    val routedRec = recallOf(IvfIndex.searchHierarchical(q, clustered,
+      cents, l1, groupOf, k, l1Probes = 2, nProbes = 8, Metric.Cosine))
+    assert(routedRec >= flatRec - 0.02,
+      s"cosine routed recall $routedRec strayed from flat-probing $flatRec")
+    // and metric-BLIND training (the old L2 hardcode) visibly degrades
+    // the same search — the hazard this feature closes
+    val (l1Blind, groupOfBlind) = Vamana.trainRoutingLevel(cents,
+      nGroups = 8, metric = Metric.L2)
+    val blindRec = recallOf(IvfIndex.searchHierarchical(q, clustered,
+      cents, l1Blind, groupOfBlind, k, l1Probes = 2, nProbes = 8,
+      Metric.Cosine))
+    assert(routedRec > blindRec,
+      s"cosine-trained $routedRec not above L2-trained $blindRec")
+  }
+
+  test("trainRoutingLevel enforces the broadcast-small contract loudly") {
+    val cents = (0 until 11).map(i => (i.toLong, Seq(i.toDouble)))
+    val e = intercept[IllegalArgumentException] {
+      Vamana.trainRoutingLevel(cents, nGroups = 2, maxCentroids = 10)
+    }
+    assert(e.getMessage.contains("broadcast-small"))
+    // within the cap it trains fine
+    val (l1, groupOf) = Vamana.trainRoutingLevel(cents, nGroups = 2,
+      maxCentroids = 11)
+    assert(l1.size === 2 && groupOf.size === 11)
+  }
+
+  test("searchRouted refuses a metric mismatched with the stored " +
+      "routing level") {
+    import graft.operators.GraphLayout
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    val q = Tables.embeddingQueries(spark, sfDir)
+    val cents = data.filter(col("id") % 10 === 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val clustered = KMeans.assign(data, cents)
+    val graph = Vamana.buildSharded(clustered,
+      BuildParams(maxDegree = 12, buildWindow = 24), Metric.Cosine)
+    val path = "/tmp/graft_hier_layout_cosine"
+    GraphLayout.write(clustered, graph, cents, path, routingGroups = 7,
+      routingMetric = Metric.Cosine)
+    val layout = GraphLayout.open(spark, path)
+    assert(layout.routingMetricName === Some("cosine"))
+    val e = intercept[IllegalArgumentException] {
+      GraphLayout.searchRouted(layout, q, 10, 32, 2, 8, Metric.L2)
+    }
+    assert(e.getMessage.contains("trained for metric"))
+    // the matching metric serves, and exhaustive-l1 equals unrouted search
+    val routed = GraphLayout.searchRouted(layout, q, 10, 32,
+        l1Probes = 7, nProbes = 8, Metric.Cosine)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val flat = GraphLayout.search(layout, q, 10, 32, 8, Metric.Cosine)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(routed === flat)
+    // upsert retrains with the STORED metric and keeps serving cosine
+    val added = data.filter(col("id") % 100 === 9).limit(8)
+      .select((col("id") + 7000L).as("id"), col("vec"),
+        lit(cents.head._1).as("cluster_id"))
+    val delIds = clustered.filter(col("cluster_id") === cents(1)._1)
+      .limit(3).select("id")
+    val up = GraphLayout.upsert(spark, path, added, delIds,
+      BuildParams(maxDegree = 12, buildWindow = 24), Metric.Cosine)
+    assert(up.routingMetricName === Some("cosine"))
+    val routedUp = GraphLayout.searchRouted(up, q, 10, 32,
+        l1Probes = 7, nProbes = 8, Metric.Cosine)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val flatUp = GraphLayout.search(up, q, 10, 32, 8, Metric.Cosine)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(routedUp === flatUp)
+  }
+
   test("stored layout persists the routing level: searchRouted at " +
       "exhaustive l1Probes equals search; missing routing fails loudly") {
     import graft.operators.GraphLayout
