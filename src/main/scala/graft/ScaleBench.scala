@@ -70,8 +70,9 @@ object ScaleBench {
     // byte at use — measures the byte-resident branch's scan rate (the
     // Deep1B residency story quantified)
     val pathI8 = "/tmp/graft_scale_data_i8"
-    data.select(col("id"),
-      graft.functions.ByteVecs.quantizeSigned(col("vec"), 100.0).as("vec"))
+    graft.functions.ByteVecs.markSigned(data.select(col("id"),
+        graft.functions.ByteVecs.quantizeSigned(col("vec"), 100.0)
+          .as("vec")))
       .write.mode("overwrite").parquet(pathI8)
     val dataI8 = spark.read.parquet(pathI8)
     dataI8.count()

@@ -75,9 +75,10 @@ object SparkEntry {
   private def knnEmbI8Q(s: SparkSession, dir: String): DataFrame =
     FlatKnn.search(embQueries(s, dir),
         memoized[DataFrame]("emb_vectors_i8", dir) {
-          embVectors(s, dir).select(col("id"),
-            graft.functions.ByteVecs.quantizeSigned(col("vec"), ByteScale)
-              .as("vec")).cache()
+          graft.functions.ByteVecs.markSigned(
+            embVectors(s, dir).select(col("id"),
+              graft.functions.ByteVecs.quantizeSigned(col("vec"), ByteScale)
+                .as("vec"))).cache()
         }, K, Metric.L2)
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
@@ -1471,9 +1472,10 @@ object SparkEntry {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     val tbl = new DynamicVectorTable(s, root)
-    val emb = embVectors(s, dir).select(col("id"),
-      graft.functions.ByteVecs.quantizeSigned(col("vec"), ByteScale)
-        .as("vec"))
+    val emb = graft.functions.ByteVecs.markSigned(
+      embVectors(s, dir).select(col("id"),
+        graft.functions.ByteVecs.quantizeSigned(col("vec"), ByteScale)
+          .as("vec")))
     tbl.addPoints(emb.filter(col("id") < 250))
     tbl.addPoints(emb.filter(col("id") >= 250))
     tbl.deleteIds(emb.filter(col("id") % 9 === 0).select("id"))

@@ -39,12 +39,49 @@ object ByteVecs {
   /** Re-attach the u8 mark to `colName` (metadata survives most plan
     * nodes but not arbitrary rewrites — call after a transform that
     * rebuilt the column). */
-  def markUnsigned(df: DataFrame, colName: String = "vec"): DataFrame = {
+  def markUnsigned(df: DataFrame, colName: String = "vec"): DataFrame =
+    markSignedness(df, colName, unsigned = true)
+
+  /** The i8 twin of [[markUnsigned]]: explicitly declare a byte vec
+    * column SIGNED. Kernel dispatch refuses bare byte columns
+    * ([[requireSignedness]]), so every byte table states its value space
+    * exactly once at creation — quantizeSigned output, vecs-file ingest —
+    * and the declaration travels the schema from there. */
+  def markSigned(df: DataFrame, colName: String = "vec"): DataFrame =
+    markSignedness(df, colName, unsigned = false)
+
+  def markSignedness(df: DataFrame, colName: String,
+                     unsigned: Boolean): DataFrame = {
     val md: Metadata = new MetadataBuilder()
       .withMetadata(df.schema(colName).metadata)
-      .putBoolean(UnsignedKey, true).build()
+      .putBoolean(UnsignedKey, unsigned).build()
     df.withColumn(colName, col(colName).as(colName, md))
   }
+
+  /** The column's declared signedness: Some(unsigned) when the mark is
+    * present, None for a BARE byte column (or a non-byte column). */
+  def signednessOf(schema: StructType, colName: String): Option[Boolean] = {
+    val f = schema(colName)
+    if (isByteVec(f.dataType) && f.metadata.contains(UnsignedKey))
+      Some(f.metadata.getBoolean(UnsignedKey))
+    else None
+  }
+
+  /** Kernel-dispatch resolution for a byte vec column — the loud half of
+    * the u8 contract: a u8 table whose mark was stripped is
+    * INDISTINGUISHABLE from i8 by values alone and would silently serve
+    * sign-extended answers, so ambiguity is an error, not a default.
+    * Callers with out-of-band knowledge declare it explicitly via
+    * [[markSigned]]/[[markUnsigned]]; stored layouts restore the mark
+    * from their sidecar at open(). */
+  def requireSignedness(schema: StructType, colName: String): Boolean =
+    signednessOf(schema, colName).getOrElse(sys.error(
+      s"byte vec column '$colName' carries no signedness mark — an " +
+        "unmarked ARRAY<TINYINT> is ambiguous (a u8 table whose " +
+        "graft_unsigned mark was stripped would silently serve i8 " +
+        "answers). Declare it with ByteVecs.markSigned / markUnsigned, " +
+        "or reopen the stored layout, which restores the mark from its " +
+        "sidecar."))
 
   /** x → clamp(floor(x·scale), −128, 127) as TINYINT — the i8 ingest
     * quantizer. `floor` then clamp in BIGINT keeps every step exactly
@@ -72,7 +109,8 @@ object ByteVecs {
     * (splitOversized sub-centroids) and IndexLayout (codec attachment). */
   def widenedForMath(df: DataFrame, vecCol: String = "vec"): DataFrame =
     if (isByteVec(df.schema(vecCol).dataType))
-      df.withColumn(vecCol, widen(col(vecCol), isUnsigned(df.schema, vecCol)))
+      df.withColumn(vecCol,
+        widen(col(vecCol), requireSignedness(df.schema, vecCol)))
     else df
 
   /** Widen back to DOUBLE with the same interpretation the kernels use —

@@ -35,9 +35,71 @@ final class DynamicVectorTable(spark: SparkSession, root: String) {
     f"$root%s/$sub%s/$prefix%s-$n%05d"
   }
 
-  /** M1 add_points: append a new segment of `(id, vec, ...)` rows. */
-  def addPoints(df: DataFrame): Unit =
-    df.write.mode("overwrite").parquet(nextName("segments", "seg"))
+  // --- byte signedness sidecar ------------------------------------------
+  // The authoritative copy of the ByteVecs i8/u8 mark for byte-resident
+  // segments: the first byte add DECLARES the table's value space here,
+  // every later add must agree, and reads re-attach the mark — so a
+  // segment whose schema metadata was stripped still serves in the
+  // declared space instead of silently flipping u8 → i8.
+
+  private def byteMetaPath = new Path(root, "byte_meta.json")
+
+  private def readByteMeta(): Option[Boolean] =
+    if (!fs.exists(byteMetaPath)) None
+    else {
+      val in = fs.open(byteMetaPath)
+      val bytes = new Array[Byte](
+        fs.getFileStatus(byteMetaPath).getLen.toInt)
+      in.readFully(bytes); in.close()
+      Some(new String(bytes,
+        java.nio.charset.StandardCharsets.UTF_8).contains("true"))
+    }
+
+  private def writeByteMeta(unsigned: Boolean): Unit = {
+    val out = fs.create(byteMetaPath, true)
+    out.write(s"""{"unsigned":$unsigned}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  private def isByteVecTable(df: DataFrame): Boolean =
+    df.columns.contains("vec") &&
+      graft.functions.ByteVecs.isByteVec(df.schema("vec").dataType)
+
+  private def remark(df: DataFrame): DataFrame =
+    if (!isByteVecTable(df)) df
+    else readByteMeta() match {
+      case Some(u) =>
+        graft.functions.ByteVecs.markSignedness(df, "vec", u)
+      case None => df
+    }
+
+  /** M1 add_points: append a new segment of `(id, vec, ...)` rows. Byte
+    * vec segments must declare i8/u8 (ByteVecs mark) on the FIRST add —
+    * recorded in the table sidecar — and stay consistent after. */
+  def addPoints(df: DataFrame): Unit = {
+    val toWrite =
+      if (!isByteVecTable(df)) df
+      else {
+        val declared =
+          graft.functions.ByteVecs.signednessOf(df.schema, "vec")
+        (declared, readByteMeta()) match {
+          case (Some(d), Some(s)) =>
+            require(d == s, s"addPoints: segment is " +
+              s"${if (d) "u8" else "i8"} but the table was declared " +
+              s"${if (s) "u8" else "i8"}")
+            df
+          case (Some(d), None) => writeByteMeta(d); df
+          case (None, Some(s)) =>
+            graft.functions.ByteVecs.markSignedness(df, "vec", s)
+          case (None, None) => sys.error(
+            "addPoints: byte vec segment carries no signedness mark and " +
+              "the table has none on record — declare it with " +
+              "ByteVecs.markSigned / markUnsigned on the first add")
+        }
+      }
+    toWrite.write.mode("overwrite").parquet(nextName("segments", "seg"))
+  }
 
   /** M2 delete_entries: soft delete — append ids to the tombstone set. The
     * rows stay in their segments (still traversed by any index build) but are
@@ -52,8 +114,8 @@ final class DynamicVectorTable(spark: SparkSession, root: String) {
 
   /** All live rows: segments minus tombstones (P8 anti-join). */
   def current: DataFrame = {
-    val segs = readAll(list("segments"))
-      .getOrElse(sys.error(s"empty dynamic table at $root"))
+    val segs = remark(readAll(list("segments"))
+      .getOrElse(sys.error(s"empty dynamic table at $root")))
     readAll(list("tombstones"))
       .map(ts => segs.join(ts.select("id"), Seq("id"), "left_anti"))
       .getOrElse(segs)
@@ -61,7 +123,8 @@ final class DynamicVectorTable(spark: SparkSession, root: String) {
 
   /** Raw rows including soft-deleted ones (what an index build traverses). */
   def allRows: DataFrame =
-    readAll(list("segments")).getOrElse(sys.error(s"empty table at $root"))
+    remark(readAll(list("segments"))
+      .getOrElse(sys.error(s"empty table at $root")))
 
   def tombstones: Option[DataFrame] = readAll(list("tombstones"))
 

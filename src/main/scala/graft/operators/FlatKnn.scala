@@ -61,7 +61,6 @@ object FlatKnn {
     // the copy loop (free) rather than in a cast projection (memory
     // traffic). u8 is ARRAY<TINYINT> carrying the ByteVecs schema mark.
     val projected = data.select(col("id").cast("long"), col("vec"))
-    val unsigned = graft.functions.ByteVecs.isUnsigned(data.schema, "vec")
     val elKind = projected.schema("vec").dataType match {
       case org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType, _) => 'f'
@@ -73,6 +72,12 @@ object FlatKnn {
     }
     val isFloat = elKind == 'f'
     val isByte = elKind == 'b'
+    // byte rows dispatch on DECLARED signedness only — a bare byte table
+    // is ambiguous (mark-stripped u8 ≡ i8 by values) and fails loudly
+    val unsigned =
+      if (isByte) graft.functions.ByteVecs.requireSignedness(
+        data.schema, "vec")
+      else false
 
     val partials = projected
       .queryExecution.toRdd

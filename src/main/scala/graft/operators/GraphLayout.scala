@@ -58,6 +58,16 @@ object GraphLayout {
             routingMetric: Metric = Metric.L2): Unit = {
     val spark = clustered.sparkSession
     import spark.implicits._
+    // byte stores persist their DECLARED signedness in the sidecar: the
+    // schema mark alone can be stripped by external rewrites of the data
+    // dir, and a u8 store served as i8 is silent corruption — open()
+    // restores the mark from here. Unmarked byte input fails loudly now
+    // rather than writing an ambiguous store.
+    val byteU: Option[Boolean] =
+      if (graft.functions.ByteVecs.isByteVec(clustered.schema("vec").dataType))
+        Some(graft.functions.ByteVecs.requireSignedness(
+          clustered.schema, "vec"))
+      else None
     IvfIndex.writeClustered(clustered, s"$path/data")
     // optional persisted level-1 routing table (the 10⁵-shard dial):
     // trained deterministically from the centroids FOR THE SERVING METRIC
@@ -106,7 +116,8 @@ object GraphLayout {
     writeSidecar(spark, s"$path/layout.json",
       s"""{"pq":$pqJson,"bin":$binJson,""" +
         s""""routing_groups":$routingGroups,""" +
-        s""""routing_metric":"${routingMetric.name.stripSuffix("_simd")}"}""")
+        s""""routing_metric":"${routingMetric.name.stripSuffix("_simd")}",""" +
+        s""""byte_unsigned":${byteU.map(_.toString).getOrElse("null")}}""")
   }
 
   def open(spark: SparkSession, path: String): Layout = {
@@ -171,7 +182,21 @@ object GraphLayout {
             .select("cluster_id", "group_id").collect()
             .map(r => r.getLong(0) -> r.getLong(1)).toMap))
       else None
-    Layout(spark.read.parquet(s"$path/data"),
+    // restore byte signedness from the sidecar: the authoritative copy of
+    // the mark — a data dir whose schema metadata was stripped by an
+    // external rewrite still reopens in the declared value space
+    val byteU = (parsed \ "byte_unsigned") match {
+      case JNull | JNothing => None
+      case node             => Some(node.extract[Boolean])
+    }
+    val data0 = spark.read.parquet(s"$path/data")
+    val data = byteU match {
+      case Some(u) if graft.functions.ByteVecs.isByteVec(
+        data0.schema("vec").dataType) =>
+        graft.functions.ByteVecs.markSignedness(data0, "vec", u)
+      case _ => data0
+    }
+    Layout(data,
       spark.read.parquet(s"$path/graph"), codes,
       spark.read.parquet(s"$path/centroids").select("id", "vec").collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
@@ -276,12 +301,27 @@ object GraphLayout {
       s"upsert: conflicting added payloads for ids " +
         s"${conflicted.take(5).mkString(", ")}")
     val addedFinal = addedDistinct.join(dels, Seq("id"), "left_anti")
+    // byte stores: added rows must DECLARE the same signedness as the
+    // store (an unmarked or mismatched byte add fails loudly — mixing
+    // value spaces in one store is silent corruption), and the merged
+    // frame re-carries the mark below in case a union drops metadata
+    val storedSig =
+      graft.functions.ByteVecs.signednessOf(stored.schema, "vec")
+    storedSig.foreach { u =>
+      val au = graft.functions.ByteVecs.requireSignedness(
+        addedFinal.schema, "vec")
+      require(au == u,
+        s"upsert: added rows are ${if (au) "u8" else "i8"} but the store " +
+          s"is ${if (u) "u8" else "i8"}")
+    }
     // rows to remove = explicit deletes ∪ re-added ids (replace-on-add)
     val removed = dels
       .unionByName(addedFinal.select(col("id").cast("long").as("id")))
       .distinct()
-    val (nc, ng, touched) = Vamana.updateShardsTouched(stored, layout.graph,
+    val (nc0, ng, touched) = Vamana.updateShardsTouched(stored, layout.graph,
       addedFinal, removed, params, metric)
+    val nc = storedSig.map(u => graft.functions.ByteVecs
+      .markSignedness(nc0, "vec", u)).getOrElse(nc0)
     if (touched.nonEmpty) {
       // materialize the touched shards' new rows BEFORE overwriting: the
       // plans read the very partitions the writes replace, and the source

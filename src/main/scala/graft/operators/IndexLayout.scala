@@ -53,6 +53,14 @@ object IndexLayout {
             path: String, codec: Codec = Uncompressed): Unit = {
     val spark = clustered.sparkSession
     import spark.implicits._
+    // byte stores persist their declared signedness in the sidecar (the
+    // authoritative copy of the ByteVecs mark — open() restores it);
+    // unmarked byte input fails loudly rather than writing ambiguity
+    val byteU: Option[Boolean] =
+      if (graft.functions.ByteVecs.isByteVec(clustered.schema("vec").dataType))
+        Some(graft.functions.ByteVecs.requireSignedness(
+          clustered.schema, "vec"))
+      else None
     // Codec attachment is VALUE arithmetic (residual/quantize folds run on
     // element values): byte-resident inputs widen through the shared
     // mark-aware helper first so u8 never encodes in the sign-extended
@@ -101,7 +109,9 @@ object IndexLayout {
             "[" + c.mkString(",") + "]").mkString(",") + "]")
             .mkString(",")}]}"""
     }
-    writeSidecar(spark, s"$path/layout.json", s"""{"codec":$codecJson}""")
+    writeSidecar(spark, s"$path/layout.json",
+      s"""{"codec":$codecJson,""" +
+        s""""byte_unsigned":${byteU.map(_.toString).getOrElse("null")}}""")
   }
 
   /** Re-open a written layout: clustered data with its resident codes, the
@@ -127,7 +137,19 @@ object IndexLayout {
           .map(_.map(_.toArray).toArray).toArray))
       case t => sys.error(s"unknown layout codec '$t' in $path/layout.json")
     }
-    Layout(spark.read.parquet(s"$path/data"),
+    val byteU = (org.json4s.jackson.JsonMethods.parse(json)
+      \ "byte_unsigned") match {
+      case JNull | JNothing => None
+      case node             => Some(node.extract[Boolean])
+    }
+    val data0 = spark.read.parquet(s"$path/data")
+    val data = byteU match {
+      case Some(u) if graft.functions.ByteVecs.isByteVec(
+        data0.schema("vec").dataType) =>
+        graft.functions.ByteVecs.markSignedness(data0, "vec", u)
+      case _ => data0
+    }
+    Layout(data,
       spark.read.parquet(s"$path/centroids").select("id", "vec").collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
         .toIndexedSeq.sortBy(_._1),

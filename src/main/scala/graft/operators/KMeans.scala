@@ -57,7 +57,7 @@ object KMeans {
     val scoreVec =
       if (graft.functions.ByteVecs.isByteVec(data.schema(vecCol).dataType))
         graft.functions.ByteVecs.widen(col(vecCol),
-          graft.functions.ByteVecs.isUnsigned(data.schema, vecCol))
+          graft.functions.ByteVecs.requireSignedness(data.schema, vecCol))
       else col(vecCol)
     data.withColumn("cluster_id", assignColumn(scoreVec, centroids))
   }

@@ -50,7 +50,9 @@ object Vamana {
       case _                      => false
     }
     val unsigned =
-      graft.functions.ByteVecs.isUnsigned(clustered.schema, "vec")
+      if (isByte) graft.functions.ByteVecs.requireSignedness(
+        clustered.schema, "vec")
+      else false
     val built =
       if (isByte)
         // i8/u8 sources build byte-resident (ByteStore): 1/8 the task
@@ -335,7 +337,9 @@ object Vamana {
       case _                      => false
     }
     val unsigned =
-      graft.functions.ByteVecs.isUnsigned(clustered.schema, "vec")
+      if (isByte) graft.functions.ByteVecs.requireSignedness(
+        clustered.schema, "vec")
+      else false
     val pruned = clustered
       .withColumn("keep", keep)
       .filter(col("cluster_id").isin(probedIds: _*))

@@ -17,8 +17,8 @@ class ByteKnnSpec extends SparkSpec {
   private def emb = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
   private def q = Tables.embeddingQueries(spark, sfDir)
 
-  private def i8 =
-    emb.select(col("id"), ByteVecs.quantizeSigned(col("vec"), 64.0).as("vec"))
+  private def i8 = ByteVecs.markSigned(
+    emb.select(col("id"), ByteVecs.quantizeSigned(col("vec"), 64.0).as("vec")))
   private def u8 =
     ByteVecs.markUnsigned(emb.select(col("id"),
       ByteVecs.quantizeUnsigned(col("vec"), 64.0).as("vec")))
@@ -67,10 +67,17 @@ class ByteKnnSpec extends SparkSpec {
       .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
     assert(marked === wideU)
     // strip the mark (an alias KEEPS child metadata — clearing needs an
-    // explicit empty Metadata) → sign-extended interpretation
+    // explicit empty Metadata): a BARE byte table is ambiguous and the
+    // dispatch refuses it loudly instead of silently serving i8 answers
     val unmarked = u8.select(col("id"),
       col("vec").as("vec", org.apache.spark.sql.types.Metadata.empty))
-    val signed = FlatKnn.search(q, unmarked, 10, Metric.IP)
+    val e = intercept[RuntimeException] {
+      FlatKnn.search(q, unmarked, 10, Metric.IP)
+    }
+    assert(e.getMessage.contains("signedness"))
+    // an EXPLICIT signed declaration serves the sign-extended space
+    val signed = FlatKnn.search(q, ByteVecs.markSigned(unmarked), 10,
+        Metric.IP)
       .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
     val wideS = FlatKnn.search(q,
         u8.select(col("id"), ByteVecs.widen(col("vec"),
@@ -249,7 +256,9 @@ class ByteKnnSpec extends SparkSpec {
     val cents = (0 until 3).map(c =>
       (c.toLong, Seq.fill(64)(c * 40.0 - 40)))
     val mem = MemoryStream[(Long, Seq[Byte])]
-    val stream = mem.toDF().toDF("id", "vec")
+    // streamed byte ingest declares signedness up front (the mark rides
+    // the streaming schema into every micro-batch and the table sidecar)
+    val stream = ByteVecs.markSigned(mem.toDF().toDF("id", "vec"))
     val query = StreamingIngest.attach(stream, tbl, ckpt,
       centroids = Some(cents))
     try {
@@ -340,6 +349,74 @@ class ByteKnnSpec extends SparkSpec {
     val wantSq = graft.operators.IvfIndex.withResidentCodes(wide, sq)
       .select("id", "codes").orderBy("id").collect().map(_.toSeq).toSeq
     assert(gotSq === wantSq, "u8 SQ codes not in the unsigned space")
+  }
+
+  test("sidecar is the authoritative signedness copy: a u8 store whose " +
+      "parquet metadata is stripped reopens and serves u8-correct; bare " +
+      "byte DataFrames and dynamic-table segments fail or recover loudly") {
+    import graft.operators.{DynamicVectorTable, GraphLayout}
+    val params = BuildParams(maxDegree = 8, buildWindow = 16)
+    val clU = ByteVecs.markUnsigned(
+      u8.withColumn("cluster_id", col("id") % 4)).cache()
+    val cents = (0 until 4).map { c =>
+      (c.toLong, clU.filter(col("cluster_id") === c)
+        .select(posexplode(ByteVecs.widen(col("vec"), unsigned = true)))
+        .groupBy("pos").agg(avg("col"))
+        .orderBy("pos").collect().map(_.getDouble(1)).toSeq)
+    }
+    val gU = Vamana.buildSharded(clU, params, Metric.L2)
+    val path = "/tmp/graft_bytes_sidecar_auth"
+    GraphLayout.write(clU, gU, cents, path)
+    val want = GraphLayout.search(GraphLayout.open(spark, path), q, 5, 16,
+        4, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    // simulate an external rewrite of data/ that strips schema metadata
+    // (the exact hazard the sidecar closes)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stripped = spark.read.parquet(s"$path/data")
+      .select(col("id"),
+        col("vec").as("vec", org.apache.spark.sql.types.Metadata.empty),
+        col("cluster_id"))
+      .cache()
+    stripped.count()
+    stripped.write.partitionBy("cluster_id").mode("overwrite")
+      .parquet(s"$path/data_rewrite")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/data"), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/data_rewrite"),
+      new org.apache.hadoop.fs.Path(s"$path/data")))
+    val re = GraphLayout.open(spark, path)
+    assert(ByteVecs.isUnsigned(re.clustered.schema, "vec"),
+      "sidecar did not restore the u8 mark after a stripping rewrite")
+    val got = GraphLayout.search(re, q, 5, 16, 4, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(got === want)
+    // bare byte DataFrame: ambiguous, refused loudly
+    intercept[RuntimeException] {
+      Vamana.buildSharded(stripped, params, Metric.L2) }
+    // dynamic table: first byte add declares; stripped later segments
+    // re-mark from the sidecar; a contradicting add fails loudly
+    val root = "/tmp/graft_bytes_dyn_sidecar"
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val tbl = new DynamicVectorTable(spark, root)
+    val seg = clU.select("id", "vec")
+    tbl.addPoints(seg.filter(col("id") < 200))
+    tbl.addPoints(seg.filter(col("id") >= 200)
+      .select(col("id"),
+        col("vec").as("vec", org.apache.spark.sql.types.Metadata.empty)))
+    assert(ByteVecs.isUnsigned(tbl.current.schema, "vec"),
+      "dynamic table did not re-mark a stripped segment from its sidecar")
+    intercept[IllegalArgumentException] {
+      tbl.addPoints(ByteVecs.markSigned(seg.limit(1))) }
+    val root2 = "/tmp/graft_bytes_dyn_sidecar_bare"
+    fs.delete(new org.apache.hadoop.fs.Path(root2), true)
+    val bareTbl = new DynamicVectorTable(spark, root2)
+    val e = intercept[RuntimeException] {
+      bareTbl.addPoints(seg.limit(5)
+        .select(col("id"),
+          col("vec").as("vec", org.apache.spark.sql.types.Metadata.empty)))
+    }
+    assert(e.getMessage.contains("signedness"))
   }
 
   test("byte-resident sharded graph build + walk equal the double plan") {

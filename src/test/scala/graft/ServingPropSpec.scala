@@ -106,7 +106,8 @@ class ServingPropSpec extends SparkSpec {
         else if (i == 1) Seq.fill(dims)(127.toByte) else v)
       }
       val df0 = rows.toDF("id", "vec")
-      val bytes = if (unsigned) ByteVecs.markUnsigned(df0) else df0
+      val bytes =
+        if (unsigned) ByteVecs.markUnsigned(df0) else ByteVecs.markSigned(df0)
       val queries = (0 until 4).map { i =>
         (1000L + i, Seq.fill(dims)(rnd.nextDouble() * 256 - 128)) }
         .toDF("query_id", "qvec")
