@@ -495,4 +495,235 @@ public final class SimdKernels {
         }
         return sd / (Math.sqrt(sa) * Math.sqrt(sb));
     }
+    // ---- offset (flat tile) kernels --------------------------------------
+    // The SoA-tile twins of the kernels above: the row lives at
+    // flat[off, off + a.length) of ONE packed primitive array (FlatKnn's
+    // chunked scan, BatchScore's tiles), so the per-pair slice copy the
+    // default Metric.computeAt* would pay disappears. Same lane-group
+    // structure and tail order as the non-offset kernels -> identical
+    // results for the same row values.
+
+    /** Squared L2 at an offset of a flat double tile. */
+    public static double l2At(double[] a, double[] flat, int off) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
+        int n = a.length;
+        int bound = S.loopBound(n);
+        DoubleVector acc = DoubleVector.zero(S);
+        int i = 0;
+        for (; i < bound; i += S.length()) {
+            DoubleVector va = DoubleVector.fromArray(S, a, i);
+            DoubleVector vb = DoubleVector.fromArray(S, flat, off + i);
+            DoubleVector d = va.sub(vb);
+            acc = d.fma(d, acc);
+        }
+        double s = acc.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            double d = a[i] - flat[off + i];
+            s += d * d;
+        }
+        return s;
+    }
+
+    /** Inner product at an offset of a flat double tile. */
+    public static double ipAt(double[] a, double[] flat, int off) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
+        int n = a.length;
+        int bound = S.loopBound(n);
+        DoubleVector acc = DoubleVector.zero(S);
+        int i = 0;
+        for (; i < bound; i += S.length()) {
+            DoubleVector va = DoubleVector.fromArray(S, a, i);
+            acc = va.fma(DoubleVector.fromArray(S, flat, off + i), acc);
+        }
+        double s = acc.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            s += a[i] * flat[off + i];
+        }
+        return s;
+    }
+
+    /** Cosine similarity at an offset of a flat double tile. */
+    public static double cosineAt(double[] a, double[] flat, int off) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
+        int n = a.length;
+        int bound = S.loopBound(n);
+        DoubleVector dot = DoubleVector.zero(S);
+        DoubleVector na = DoubleVector.zero(S);
+        DoubleVector nb = DoubleVector.zero(S);
+        int i = 0;
+        for (; i < bound; i += S.length()) {
+            DoubleVector va = DoubleVector.fromArray(S, a, i);
+            DoubleVector vb = DoubleVector.fromArray(S, flat, off + i);
+            dot = va.fma(vb, dot);
+            na = va.fma(va, na);
+            nb = vb.fma(vb, nb);
+        }
+        double sd = dot.reduceLanes(VectorOperators.ADD);
+        double sa = na.reduceLanes(VectorOperators.ADD);
+        double sb = nb.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            double x = a[i];
+            double y = flat[off + i];
+            sd += x * y;
+            sa += x * x;
+            sb += y * y;
+        }
+        if (sa == 0.0 || sb == 0.0) {
+            return 0.0;
+        }
+        return sd / (Math.sqrt(sa) * Math.sqrt(sb));
+    }
+
+    /** Squared L2, double query vs a float row in a flat tile. */
+    public static double l2DFAt(double[] a, float[] flat, int off) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
+        int n = a.length;
+        int bound = FSPECIES == null ? 0 : S.loopBound(n);
+        DoubleVector acc = DoubleVector.zero(S);
+        int i = 0;
+        for (; i < bound; i += S.length()) {
+            DoubleVector va = DoubleVector.fromArray(S, a, i);
+            DoubleVector vb = widen(S, FSPECIES, flat, off + i);
+            DoubleVector d = va.sub(vb);
+            acc = d.fma(d, acc);
+        }
+        double s = acc.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            double d = a[i] - (double) flat[off + i];
+            s += d * d;
+        }
+        return s;
+    }
+
+    /** Inner product, double query vs a float row in a flat tile. */
+    public static double ipDFAt(double[] a, float[] flat, int off) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
+        int n = a.length;
+        int bound = FSPECIES == null ? 0 : S.loopBound(n);
+        DoubleVector acc = DoubleVector.zero(S);
+        int i = 0;
+        for (; i < bound; i += S.length()) {
+            DoubleVector va = DoubleVector.fromArray(S, a, i);
+            acc = va.fma(widen(S, FSPECIES, flat, off + i), acc);
+        }
+        double s = acc.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            s += a[i] * (double) flat[off + i];
+        }
+        return s;
+    }
+
+    /** Cosine similarity, double query vs a float row in a flat tile. */
+    public static double cosineDFAt(double[] a, float[] flat, int off) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
+        int n = a.length;
+        int bound = FSPECIES == null ? 0 : S.loopBound(n);
+        DoubleVector dot = DoubleVector.zero(S);
+        DoubleVector na = DoubleVector.zero(S);
+        DoubleVector nb = DoubleVector.zero(S);
+        int i = 0;
+        for (; i < bound; i += S.length()) {
+            DoubleVector va = DoubleVector.fromArray(S, a, i);
+            DoubleVector vb = widen(S, FSPECIES, flat, off + i);
+            dot = va.fma(vb, dot);
+            na = va.fma(va, na);
+            nb = vb.fma(vb, nb);
+        }
+        double sd = dot.reduceLanes(VectorOperators.ADD);
+        double sa = na.reduceLanes(VectorOperators.ADD);
+        double sb = nb.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            double x = a[i];
+            double y = (double) flat[off + i];
+            sd += x * y;
+            sa += x * x;
+            sb += y * y;
+        }
+        if (sa == 0.0 || sb == 0.0) {
+            return 0.0;
+        }
+        return sd / (Math.sqrt(sa) * Math.sqrt(sb));
+    }
+
+    /** Squared L2, double query vs a byte row in a flat tile. */
+    public static double l2DBAt(double[] a, byte[] flat, int off,
+                                boolean unsigned) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
+        int n = a.length;
+        int bound = BSPECIES == null ? 0 : S.loopBound(n);
+        DoubleVector acc = DoubleVector.zero(S);
+        int i = 0;
+        for (; i < bound; i += S.length()) {
+            DoubleVector va = DoubleVector.fromArray(S, a, i);
+            DoubleVector d = va.sub(widenB(S, flat, off + i, unsigned));
+            acc = d.fma(d, acc);
+        }
+        double s = acc.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            double d = a[i] - widenOne(flat[off + i], unsigned);
+            s += d * d;
+        }
+        return s;
+    }
+
+    /** Inner product, double query vs a byte row in a flat tile. */
+    public static double ipDBAt(double[] a, byte[] flat, int off,
+                                boolean unsigned) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
+        int n = a.length;
+        int bound = BSPECIES == null ? 0 : S.loopBound(n);
+        DoubleVector acc = DoubleVector.zero(S);
+        int i = 0;
+        for (; i < bound; i += S.length()) {
+            DoubleVector va = DoubleVector.fromArray(S, a, i);
+            acc = va.fma(widenB(S, flat, off + i, unsigned), acc);
+        }
+        double s = acc.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            s += a[i] * widenOne(flat[off + i], unsigned);
+        }
+        return s;
+    }
+
+    /** Cosine similarity, double query vs a byte row in a flat tile. */
+    public static double cosineDBAt(double[] a, byte[] flat, int off,
+                                    boolean unsigned) {
+        @SuppressWarnings("unchecked")
+        final VectorSpecies<Double> S = (VectorSpecies<Double>) SPECIES;
+        int n = a.length;
+        int bound = BSPECIES == null ? 0 : S.loopBound(n);
+        DoubleVector dot = DoubleVector.zero(S);
+        DoubleVector na = DoubleVector.zero(S);
+        DoubleVector nb = DoubleVector.zero(S);
+        int i = 0;
+        for (; i < bound; i += S.length()) {
+            DoubleVector va = DoubleVector.fromArray(S, a, i);
+            DoubleVector vb = widenB(S, flat, off + i, unsigned);
+            dot = va.fma(vb, dot);
+            na = va.fma(va, na);
+            nb = vb.fma(vb, nb);
+        }
+        double sd = dot.reduceLanes(VectorOperators.ADD);
+        double sa = na.reduceLanes(VectorOperators.ADD);
+        double sb = nb.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            double x = a[i];
+            double y = widenOne(flat[off + i], unsigned);
+            sd += x * y;
+            sa += x * x;
+            sb += y * y;
+        }
+        if (sa == 0.0 || sb == 0.0) {
+            return 0.0;
+        }
+        return sd / (Math.sqrt(sa) * Math.sqrt(sb));
+    }
 }

@@ -24,7 +24,7 @@ object ScaleBench {
 
     val dims = 64
     val k = 10
-    val nq = 100
+    val nq = sys.env.getOrElse("SPARK_GRAFT_SCALE_NQ", "100").toInt
     val path = "/tmp/graft_scale_data"
 
     // materialize to parquet so the bench measures scan+search, not codegen
@@ -78,6 +78,38 @@ object ScaleBench {
     dataI8.count()
     val (_, tFlatI8) = time {
       FlatKnn.search(queries, dataI8, k, Metric.L2).count() }
+
+    // Focused scan benchmark (opt-in: SPARK_GRAFT_SCALE_FLATONLY=1): the
+    // four flat legs + their SIMD twins only — for iterating on the scan
+    // loop without paying the full suite.
+    if (sys.env.get("SPARK_GRAFT_SCALE_FLATONLY").exists(_.nonEmpty)) {
+      val simdL2 = Metric.simd(Metric.L2)
+      // best-of-3 after the single-shot legs above served as warmup:
+      // single runs jitter ±15% at the sub-second scale these legs reach
+      def best(f: => Unit): Double =
+        (0 until 3).map { _ => time(f)._2 }.min
+      val bFlat = best { FlatKnn.search(queries, data, k, Metric.L2).count() }
+      val bFlatF32 = best {
+        FlatKnn.search(queries, dataF32, k, Metric.L2).count() }
+      val bFlatFF = best {
+        FlatKnn.search(queriesF32, dataF32, k, Metric.L2).count() }
+      val bFlatI8 = best {
+        FlatKnn.search(queries, dataI8, k, Metric.L2).count() }
+      val bFlatSimd = best {
+        FlatKnn.search(queries, data, k, simdL2).count() }
+      val bFlatFFSimd = best {
+        FlatKnn.search(queriesF32, dataF32, k, simdL2).count() }
+      val bFlatI8Simd = best {
+        FlatKnn.search(queries, dataI8, k, simdL2).count() }
+      println(s"""{"experiment":"scale_bench_flat","n":$n,"dims":$dims,""" +
+        s""""flat_knn_sec":$bFlat,"flat_knn_f32_sec":$bFlatF32,""" +
+        s""""flat_knn_ff_sec":$bFlatFF,"flat_knn_i8_sec":$bFlatI8,""" +
+        s""""flat_knn_simd_sec":$bFlatSimd,""" +
+        s""""flat_knn_ff_simd_sec":$bFlatFFSimd,""" +
+        s""""flat_knn_i8_simd_sec":$bFlatI8Simd}""")
+      spark.stop()
+      return
+    }
 
     // LeanVec (OOD-trained, r=16 of 64): the coarse pass scans a PERSISTED
     // augmented table of r+1 doubles per row (~4x fewer bytes than the f64

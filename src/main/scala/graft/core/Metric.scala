@@ -45,6 +45,40 @@ sealed trait Metric {
     * metric, including SIMD twins whose lane kernels are length-anchored). */
   def computeAt(a: Array[Double], flat: Array[Double], off: Int): Double =
     compute(a, java.util.Arrays.copyOfRange(flat, off, off + a.length))
+
+  /** f32 twin of [[computeAt]]: row at `flat[off, off+len)` of a packed
+    * float tile (FlatKnn's chunked scan) — same fold as [[computeDF]]. */
+  def computeAtF(a: Array[Double], flat: Array[Float], off: Int): Double =
+    computeDF(a, java.util.Arrays.copyOfRange(flat, off, off + a.length))
+
+  /** byte twin of [[computeAt]] — same fold as [[computeDB]]. */
+  def computeAtB(a: Array[Double], flat: Array[Byte], off: Int,
+                 unsigned: Boolean): Double =
+    computeDB(a, java.util.Arrays.copyOfRange(flat, off, off + a.length),
+      unsigned)
+
+  /** Score a whole SoA tile: `out(r) = kernel(a, flat[r·d, (r+1)·d))` for
+    * r < n. The batch form of the offset kernels: each metric overrides
+    * with its own loop so the per-pair call site is MONOMORPHIC — one
+    * receiver, JIT-inlinable — where a shared per-pair virtual call from
+    * the scan loop (serving several Metric impls in one JVM) would stay
+    * megamorphic and uninlined. Row order is ascending r, so downstream
+    * heap inserts see the exact per-row sequence of a row-at-a-time scan. */
+  def scoreTile(a: Array[Double], flat: Array[Double], d: Int, n: Int,
+                out: Array[Double]): Unit = {
+    var r = 0
+    while (r < n) { out(r) = computeAt(a, flat, r * d); r += 1 }
+  }
+  def scoreTileF(a: Array[Double], flat: Array[Float], d: Int, n: Int,
+                 out: Array[Double]): Unit = {
+    var r = 0
+    while (r < n) { out(r) = computeAtF(a, flat, r * d); r += 1 }
+  }
+  def scoreTileB(a: Array[Double], flat: Array[Byte], d: Int, n: Int,
+                 out: Array[Double], unsigned: Boolean): Unit = {
+    var r = 0
+    while (r < n) { out(r) = computeAtB(a, flat, r * d, unsigned); r += 1 }
+  }
 }
 
 object Metric {
@@ -77,6 +111,23 @@ object Metric {
         val d = a(i) - flat(off + i); acc += d * d; i += 1 }
       acc
     }
+    override def computeAtF(a: Array[Double], flat: Array[Float],
+                            off: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i) - flat(off + i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    override def computeAtB(a: Array[Double], flat: Array[Byte], off: Int,
+                            unsigned: Boolean): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val b = flat(off + i)
+        val y = if (unsigned) (b & 0xFF).toDouble else b.toDouble
+        val d = a(i) - y; acc += d * d; i += 1
+      }
+      acc
+    }
     def computeDB(a: Array[Double], b: Array[Byte],
                   unsigned: Boolean): Double = {
       var acc = 0.0; var i = 0
@@ -95,6 +146,22 @@ object Metric {
         val d = x - y; acc += d * d; i += 1
       }
       acc
+    }
+    override def scoreTile(a: Array[Double], flat: Array[Double], d: Int,
+                           n: Int, out: Array[Double]): Unit = {
+      var r = 0
+      while (r < n) { out(r) = computeAt(a, flat, r * d); r += 1 }
+    }
+    override def scoreTileF(a: Array[Double], flat: Array[Float], d: Int,
+                            n: Int, out: Array[Double]): Unit = {
+      var r = 0
+      while (r < n) { out(r) = computeAtF(a, flat, r * d); r += 1 }
+    }
+    override def scoreTileB(a: Array[Double], flat: Array[Byte], d: Int,
+                            n: Int, out: Array[Double],
+                            unsigned: Boolean): Unit = {
+      var r = 0
+      while (r < n) { out(r) = computeAtB(a, flat, r * d, unsigned); r += 1 }
     }
   }
 
@@ -125,6 +192,22 @@ object Metric {
       while (i < a.length) { acc += a(i) * flat(off + i); i += 1 }
       acc
     }
+    override def computeAtF(a: Array[Double], flat: Array[Float],
+                            off: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * flat(off + i).toDouble; i += 1 }
+      acc
+    }
+    override def computeAtB(a: Array[Double], flat: Array[Byte], off: Int,
+                            unsigned: Boolean): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val b = flat(off + i)
+        val y = if (unsigned) (b & 0xFF).toDouble else b.toDouble
+        acc += a(i) * y; i += 1
+      }
+      acc
+    }
     def computeDB(a: Array[Double], b: Array[Byte],
                   unsigned: Boolean): Double = {
       var acc = 0.0; var i = 0
@@ -143,6 +226,22 @@ object Metric {
         acc += x * y; i += 1
       }
       acc
+    }
+    override def scoreTile(a: Array[Double], flat: Array[Double], d: Int,
+                           n: Int, out: Array[Double]): Unit = {
+      var r = 0
+      while (r < n) { out(r) = computeAt(a, flat, r * d); r += 1 }
+    }
+    override def scoreTileF(a: Array[Double], flat: Array[Float], d: Int,
+                            n: Int, out: Array[Double]): Unit = {
+      var r = 0
+      while (r < n) { out(r) = computeAtF(a, flat, r * d); r += 1 }
+    }
+    override def scoreTileB(a: Array[Double], flat: Array[Byte], d: Int,
+                            n: Int, out: Array[Double],
+                            unsigned: Boolean): Unit = {
+      var r = 0
+      while (r < n) { out(r) = computeAtB(a, flat, r * d, unsigned); r += 1 }
     }
   }
 
@@ -194,6 +293,28 @@ object Metric {
       if (na == 0.0 || nb == 0.0) 0.0
       else dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    override def computeAtF(a: Array[Double], flat: Array[Float],
+                            off: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i); val y = flat(off + i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override def computeAtB(a: Array[Double], flat: Array[Byte], off: Int,
+                            unsigned: Boolean): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val b = flat(off + i)
+        val x = a(i)
+        val y = if (unsigned) (b & 0xFF).toDouble else b.toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
     def computeDB(a: Array[Double], b: Array[Byte],
                   unsigned: Boolean): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -215,6 +336,22 @@ object Metric {
       }
       if (na == 0.0 || nb == 0.0) 0.0
       else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override def scoreTile(a: Array[Double], flat: Array[Double], d: Int,
+                           n: Int, out: Array[Double]): Unit = {
+      var r = 0
+      while (r < n) { out(r) = computeAt(a, flat, r * d); r += 1 }
+    }
+    override def scoreTileF(a: Array[Double], flat: Array[Float], d: Int,
+                            n: Int, out: Array[Double]): Unit = {
+      var r = 0
+      while (r < n) { out(r) = computeAtF(a, flat, r * d); r += 1 }
+    }
+    override def scoreTileB(a: Array[Double], flat: Array[Byte], d: Int,
+                            n: Int, out: Array[Double],
+                            unsigned: Boolean): Unit = {
+      var r = 0
+      while (r < n) { out(r) = computeAtB(a, flat, r * d, unsigned); r += 1 }
     }
   }
 
@@ -326,6 +463,93 @@ object Metric {
       case Cosine    => graft.simd.SimdKernels.cosineBB(a, b, unsigned)
       case Hamming   => Hamming.computeBB(a, b, unsigned)
       case s: SimdOf => s.computeBB(a, b, unsigned)
+    }
+    // offset (flat-tile) kernels: without these the trait default would
+    // copy a slice per PAIR, undoing the tiled scan's entire point
+    override def computeAt(a: Array[Double], flat: Array[Double],
+                           off: Int): Double = base match {
+      case L2        => graft.simd.SimdKernels.l2At(a, flat, off)
+      case IP        => graft.simd.SimdKernels.ipAt(a, flat, off)
+      case Cosine    => graft.simd.SimdKernels.cosineAt(a, flat, off)
+      case Hamming   => Hamming.computeAt(a, flat, off)
+      case s: SimdOf => s.computeAt(a, flat, off)
+    }
+    override def computeAtF(a: Array[Double], flat: Array[Float],
+                            off: Int): Double = base match {
+      case L2        => graft.simd.SimdKernels.l2DFAt(a, flat, off)
+      case IP        => graft.simd.SimdKernels.ipDFAt(a, flat, off)
+      case Cosine    => graft.simd.SimdKernels.cosineDFAt(a, flat, off)
+      case Hamming   => Hamming.computeAtF(a, flat, off)
+      case s: SimdOf => s.computeAtF(a, flat, off)
+    }
+    override def computeAtB(a: Array[Double], flat: Array[Byte], off: Int,
+                            unsigned: Boolean): Double = base match {
+      case L2        => graft.simd.SimdKernels.l2DBAt(a, flat, off, unsigned)
+      case IP        => graft.simd.SimdKernels.ipDBAt(a, flat, off, unsigned)
+      case Cosine    =>
+        graft.simd.SimdKernels.cosineDBAt(a, flat, off, unsigned)
+      case Hamming   => Hamming.computeAtB(a, flat, off, unsigned)
+      case s: SimdOf => s.computeAtB(a, flat, off, unsigned)
+    }
+    // tile sweeps: the per-pair call inside each loop is a STATIC kernel
+    // call resolved by the one-time base match — inlinable, unlike a
+    // per-pair virtual computeAt* from the scan loop
+    override def scoreTile(a: Array[Double], flat: Array[Double], d: Int,
+                           n: Int, out: Array[Double]): Unit = base match {
+      case L2 =>
+        var r = 0
+        while (r < n) {
+          out(r) = graft.simd.SimdKernels.l2At(a, flat, r * d); r += 1 }
+      case IP =>
+        var r = 0
+        while (r < n) {
+          out(r) = graft.simd.SimdKernels.ipAt(a, flat, r * d); r += 1 }
+      case Cosine =>
+        var r = 0
+        while (r < n) {
+          out(r) = graft.simd.SimdKernels.cosineAt(a, flat, r * d); r += 1 }
+      case Hamming   => Hamming.scoreTile(a, flat, d, n, out)
+      case s: SimdOf => s.scoreTile(a, flat, d, n, out)
+    }
+    override def scoreTileF(a: Array[Double], flat: Array[Float], d: Int,
+                            n: Int, out: Array[Double]): Unit = base match {
+      case L2 =>
+        var r = 0
+        while (r < n) {
+          out(r) = graft.simd.SimdKernels.l2DFAt(a, flat, r * d); r += 1 }
+      case IP =>
+        var r = 0
+        while (r < n) {
+          out(r) = graft.simd.SimdKernels.ipDFAt(a, flat, r * d); r += 1 }
+      case Cosine =>
+        var r = 0
+        while (r < n) {
+          out(r) = graft.simd.SimdKernels.cosineDFAt(a, flat, r * d)
+          r += 1 }
+      case Hamming   => Hamming.scoreTileF(a, flat, d, n, out)
+      case s: SimdOf => s.scoreTileF(a, flat, d, n, out)
+    }
+    override def scoreTileB(a: Array[Double], flat: Array[Byte], d: Int,
+                            n: Int, out: Array[Double],
+                            unsigned: Boolean): Unit = base match {
+      case L2 =>
+        var r = 0
+        while (r < n) {
+          out(r) = graft.simd.SimdKernels.l2DBAt(a, flat, r * d, unsigned)
+          r += 1 }
+      case IP =>
+        var r = 0
+        while (r < n) {
+          out(r) = graft.simd.SimdKernels.ipDBAt(a, flat, r * d, unsigned)
+          r += 1 }
+      case Cosine =>
+        var r = 0
+        while (r < n) {
+          out(r) = graft.simd.SimdKernels.cosineDBAt(a, flat, r * d,
+            unsigned)
+          r += 1 }
+      case Hamming   => Hamming.scoreTileB(a, flat, d, n, out, unsigned)
+      case s: SimdOf => s.scoreTileB(a, flat, d, n, out, unsigned)
     }
   }
 

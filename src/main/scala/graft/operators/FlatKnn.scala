@@ -24,6 +24,86 @@ import graft.core.Metric
   */
 object FlatKnn {
 
+  /** Per-partition tiled scan state — the reference's flat-index tile
+    * posture (include/svs/index/flat/flat.h:175,329-358) and the same
+    * trick as BatchScore.probeTopKTiled: rows pack ONCE into a flat
+    * structure-of-arrays tile (float32 at half, i8/u8 at an eighth of
+    * the f64 bytes — widening happens per element inside the fold,
+    * bit-identical to pre-widened copies; ByteKnnSpec/F32BuildSpec),
+    * then each query sweeps the cache-hot tile with the metric's
+    * MONOMORPHIC tile kernel ([[Metric.scoreTile]]) and a tight insert
+    * pass. Rows are added in partition order and distances land in row
+    * order, so heap state — and every tie-break — evolves exactly as in
+    * a row-at-a-time scan: results are bit-identical to the per-row
+    * sweep this replaces. `arr` accepts both UnsafeRow-backed arrays
+    * (row scan) and ColumnarArray (columnar scan). */
+  private final class TileScan(qIds: Array[Long],
+      qVecs: Array[Array[Double]], k: Int, asc: Boolean, m: Metric,
+      elKind: Char, unsigned: Boolean) {
+    private val isByte = elKind == 'b'
+    private val isFloat = elKind == 'f'
+    private val nq = qIds.length
+    private val heaps = Array.fill(nq)(new LocalTopK(k, asc))
+    private val TileBytes = 1 << 18 // ≲ L2-resident per scan task
+    private val elemSize = if (isByte) 1 else if (isFloat) 4 else 8
+    private var d = -1
+    private var cap = 0
+    private var n = 0
+    private var tIds: Array[Long] = null
+    private var out: Array[Double] = null
+    private var flat: Array[Double] = null
+    private var fflat: Array[Float] = null
+    private var bflat: Array[Byte] = null
+
+    private def flush(): Unit = {
+      var q = 0
+      while (q < nq) {
+        val qv = qVecs(q)
+        val h = heaps(q)
+        if (isByte) m.scoreTileB(qv, bflat, d, n, out, unsigned)
+        else if (isFloat) m.scoreTileF(qv, fflat, d, n, out)
+        else m.scoreTile(qv, flat, d, n, out)
+        var r = 0
+        while (r < n) { h.insert(out(r), tIds(r)); r += 1 }
+        q += 1
+      }
+      n = 0
+    }
+
+    private def reinit(d0: Int): Unit = {
+      d = d0
+      cap = math.max(1, TileBytes / math.max(1, d * elemSize))
+      tIds = new Array[Long](cap)
+      out = new Array[Double](cap)
+      if (isByte) bflat = new Array[Byte](cap * d)
+      else if (isFloat) fflat = new Array[Float](cap * d)
+      else flat = new Array[Double](cap * d)
+    }
+
+    def addRow(id: Long,
+               arr: org.apache.spark.sql.catalyst.util.ArrayData): Unit = {
+      val d0 = arr.numElements()
+      if (d0 != d) { if (d >= 0) flush(); reinit(d0) }
+      val off = n * d
+      // bulk extraction: UnsafeArrayData and ColumnarArray both implement
+      // toXArray as ONE memory copy, vs d virtual getX calls per row
+      if (isByte) System.arraycopy(arr.toByteArray(), 0, bflat, off, d)
+      else if (isFloat) System.arraycopy(arr.toFloatArray(), 0, fflat, off, d)
+      else System.arraycopy(arr.toDoubleArray(), 0, flat, off, d)
+      tIds(n) = id
+      n += 1
+      if (n == cap) flush()
+    }
+
+    def emit(): Iterator[(Long, Long, Double)] = {
+      if (n > 0) flush()
+      (0 until nq).iterator.flatMap { q =>
+        val h = heaps(q)
+        (0 until h.n).iterator.map(i => (qIds(q), h.ids(i), h.dists(i)))
+      }
+    }
+  }
+
   def search(queries: DataFrame, data: DataFrame, k: Int, metric: Metric)
       : DataFrame = {
     val spark = data.sparkSession
@@ -60,7 +140,12 @@ object FlatKnn {
     // bytes (i8/u8 an eighth); widening to double happens per-register in
     // the copy loop (free) rather than in a cast projection (memory
     // traffic). u8 is ARRAY<TINYINT> carrying the ByteVecs schema mark.
-    val projected = data.select(col("id").cast("long"), col("vec"))
+    val projected =
+      if (data.schema("id").dataType ==
+        org.apache.spark.sql.types.LongType)
+        data.select(col("id"), col("vec")) // no-op cast would block the
+      else                                 // columnar scan below
+        data.select(col("id").cast("long"), col("vec"))
     val elKind = projected.schema("vec").dataType match {
       case org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType, _) => 'f'
@@ -79,62 +164,68 @@ object FlatKnn {
         data.schema, "vec")
       else false
 
-    val partials = projected
-      .queryExecution.toRdd
-      .mapPartitions { iter =>
-        val (ids, vecs) = bc.value
-        val nq = ids.length
-        val heaps = Array.fill(nq)(new LocalTopK(k, asc))
-        // float32 rows stay float through the kernel: computeDF widens per
-        // element inside the fold, bit-identical to widening the buffer
-        // first (F32BuildSpec), with half the buffer bytes — and the SIMD
-        // mixed kernel runs ~2x the f64 SIMD rate (KernelBench)
-        var buf: Array[Double] = null
-        var fbuf: Array[Float] = null
-        var bbuf: Array[Byte] = null
-        while (iter.hasNext) {
-          val row = iter.next()
-          if (!row.isNullAt(0) && !row.isNullAt(1)) {
-            val id = row.getLong(0)
-            val arr = row.getArray(1)
-            val d = arr.numElements()
-            var q = 0
-            if (isByte) {
-              // i8/u8 rows stay bytes through the kernel: computeDB widens
-              // per element (sign-extend or & 0xFF) inside the fold —
-              // bit-identical to widening first (ByteKnnSpec), 1/8 the bytes
-              if (bbuf == null || bbuf.length != d) bbuf = new Array[Byte](d)
-              var i = 0
-              while (i < d) { bbuf(i) = arr.getByte(i); i += 1 }
-              while (q < nq) {
-                heaps(q).insert(m.computeDB(vecs(q), bbuf, unsigned), id)
-                q += 1
-              }
-            } else if (isFloat) {
-              if (fbuf == null || fbuf.length != d) fbuf = new Array[Float](d)
-              var i = 0
-              while (i < d) { fbuf(i) = arr.getFloat(i); i += 1 }
-              while (q < nq) {
-                heaps(q).insert(m.computeDF(vecs(q), fbuf), id)
-                q += 1
-              }
-            } else {
-              if (buf == null || buf.length != d) buf = new Array[Double](d)
-              var i = 0
-              while (i < d) { buf(i) = arr.getDouble(i); i += 1 }
-              while (q < nq) {
-                heaps(q).insert(m.compute(vecs(q), buf), id)
-                q += 1
-              }
+    // Two physical scan shapes over the same tile logic ([[TileScan]]):
+    //  - columnar: when the executed plan emits ColumnarBatches (parquet
+    //    vectorized reader, id already BIGINT), rows are read straight off
+    //    the column vectors — no ColumnarToRow conversion, no per-row
+    //    UnsafeRow materialization, the scan's largest fixed cost.
+    //  - row: anything else (in-memory frames, casts, filters) through the
+    //    usual InternalRow iterator.
+    // Both feed rows in partition order into identical tiles, so results
+    // are bit-identical.
+    // unwrap the row-conversion shell: a pruned parquet scan executes
+    // columnar (`Batched: true`) but arrives as
+    // WholeStageCodegen(ColumnarToRow(InputAdapter(Scan))) — peel the
+    // pass-through wrappers (they add no compute) down to the columnar
+    // node, and use it only when its output is exactly our (id, vec)
+    import org.apache.spark.sql.execution.{ColumnarToRowExec, InputAdapter,
+      WholeStageCodegenExec}
+    @scala.annotation.tailrec
+    def columnarSource(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case WholeStageCodegenExec(child)    => columnarSource(child)
+      case ColumnarToRowExec(child)        => columnarSource(child)
+      case InputAdapter(child)             => columnarSource(child)
+      case s if s.supportsColumnar         => Some(s)
+      case _                               => None
+    }
+    val exec = projected.queryExecution.executedPlan
+    val colSrc = columnarSource(exec).filter { s =>
+      s.output.length == 2 &&
+        s.output(0).dataType == org.apache.spark.sql.types.LongType &&
+        s.output(1).dataType == projected.schema("vec").dataType
+    }
+    val partials = (
+      if (colSrc.isDefined)
+        colSrc.get.executeColumnar().mapPartitions { batches =>
+          val (ids, vecs) = bc.value
+          val ts = new TileScan(ids, vecs, k, asc, m, elKind, unsigned)
+          while (batches.hasNext) {
+            val batch = batches.next()
+            val idCol = batch.column(0)
+            val vecCol = batch.column(1)
+            val nR = batch.numRows()
+            var r = 0
+            while (r < nR) {
+              if (!idCol.isNullAt(r) && !vecCol.isNullAt(r))
+                ts.addRow(idCol.getLong(r), vecCol.getArray(r))
+              r += 1
             }
           }
+          ts.emit()
         }
-        (0 until nq).iterator.flatMap { q =>
-          val h = heaps(q)
-          (0 until h.n).iterator.map(i => (ids(q), h.ids(i), h.dists(i)))
+      else
+        projected.queryExecution.toRdd.mapPartitions { iter =>
+          val (ids, vecs) = bc.value
+          val ts = new TileScan(ids, vecs, k, asc, m, elKind, unsigned)
+          while (iter.hasNext) {
+            val row = iter.next()
+            if (!row.isNullAt(0) && !row.isNullAt(1))
+              ts.addRow(row.getLong(0), row.getArray(1))
+          }
+          ts.emit()
         }
-      }
-      .toDF("query_id", "id", "dist")
+      ).toDF("query_id", "id", "dist")
     // final merge: |partitions|·|Q|·k rows — window rank is exact and cheap
     TopK.perKeyViaWindow(partials, Seq("query_id"), col("id"), col("dist"), k,
       asc)
