@@ -298,7 +298,19 @@ public final class SimdKernels {
     // kernels → bit-identical to the SIMD double kernels on pre-widened
     // copies (SimdSpec).
 
-    /** Load lane group i..i+lanes of a byte array as a DoubleVector. */
+    /** Load lane group i..i+lanes of a byte array as a DoubleVector.
+     *
+     * The u8 fix-up deliberately stays sign-extend + masked +256: a true
+     * zero-extend is NOT available on this JDK. convertShape(
+     * ZERO_EXTEND_B2S/B2I) miscomputes its domain mask for byte sources
+     * and throws IllegalArgumentException (JDK 17 incubator), and the
+     * working alternative (B2S sign-extend, lanewise AND 0xFF, S2D)
+     * destabilizes C2's vector intrinsics PROCESS-WIDE — measured in
+     * KernelBench: the first leg through the short hop runs at full rate
+     * (u8 l2 62.9M pairs/s, 4.4×), then every later byte kernel in the
+     * same JVM collapses to ~1-2M pairs/s (0.1× of scalar), i8 included,
+     * with or without the signed/unsigned bodies split into separate
+     * methods. The masked fix-up benches stable across all legs. */
     private static DoubleVector widenB(VectorSpecies<Double> s, byte[] b,
                                        int i, boolean unsigned) {
         @SuppressWarnings("unchecked")
