@@ -1090,6 +1090,31 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** q169: the ROUTED served IVFADC index — `IndexLayout.write` with
+    * `routingGroups` persists a level-1 routing table next to the codes,
+    * open() restores it, and `searchRouted` routes probe selection
+    * through it (the stored-IVF twin of q167's hierarchical path). At
+    * exhaustive level-1 (`l1Probes = |l1|`) routed probe selection is
+    * bit-identical to the flat sweep (IndexRoutingSpec), so the query
+    * shares q156's oracle while exercising the persisted routing path
+    * end-to-end. */
+  private def ivfPqRoutedQ(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_q169_ivfpq_routed_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val cents = ivfPqCents(s, dir)
+    graft.operators.IndexLayout.write(
+      KMeans.assign(embVectors(s, dir), cents), cents, path,
+      graft.operators.IndexLayout.PqResC(pqParams(s, dir)),
+      routingGroups = 4)
+    val layout = graft.operators.IndexLayout.open(s, path)
+    val l1Size = layout.routing.map(_._1.size).getOrElse(
+      sys.error("q169: routing level not persisted"))
+    graft.operators.IndexLayout.searchRouted(layout, embQueries(s, dir), K,
+        l1Probes = l1Size, nProbes = IvfPqProbes, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   /** q157: the filtered × compressed serving composition — PQ-ADC walk
     * with the q149 traverse-but-filter predicate: excluded rows keep the
     * graph connected through them, codes-only scan scores them, emission
@@ -2744,6 +2769,7 @@ object SparkEntry {
     "q166_label_delete" -> (labelDeleteQ _),
     "q167_hier_search" -> (hierSearchQ _),
     "q168_dyn_i8" -> (dynI8Q _),
+    "q169_ivfpq_routed" -> (ivfPqRoutedQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3094,6 +3120,11 @@ object SparkEntry {
     // q167: exhaustive level-1 routing ≡ flat routing (HierRoutingSpec),
     // so the hierarchical search shares q24's probed-shard-exact oracle.
     "q167_hier_search" -> OracleGen.vamanaShardedKnn(K, VamanaProbes),
+    // q169: exhaustive level-1 routed probes ≡ the flat sweep
+    // (IndexRoutingSpec pins it), so the stored-routed IVFADC search
+    // certifies against q156's oracle verbatim
+    "q169_ivfpq_routed" ->
+      OracleGen.ivfPqSearch(PqM, PqK, K, IvfPqProbes),
     "q168_dyn_i8" -> OracleGen.embeddingKnnI8Excluding(Metric.L2, K,
       ByteScale, "vec_id % 9 = 0"),
   )

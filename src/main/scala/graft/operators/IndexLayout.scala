@@ -44,13 +44,18 @@ object IndexLayout {
   final case class PqResC(p: Pq.Params) extends Codec
 
   final case class Layout(clustered: DataFrame,
-                          centroids: Seq[(Long, Seq[Double])], codec: Codec)
+                          centroids: Seq[(Long, Seq[Double])], codec: Codec,
+                          routing: Option[(Seq[(Long, Seq[Double])],
+                            Map[Long, Long])] = None,
+                          routingMetricName: Option[String] = None)
 
   /** Write the clustered table (id, vec, cluster_id) + centroids + codec in
     * one call: attaches the codec's resident columns, then persists
     * cluster-partitioned so probe joins prune partitions at the source. */
   def write(clustered: DataFrame, centroids: Seq[(Long, Seq[Double])],
-            path: String, codec: Codec = Uncompressed): Unit = {
+            path: String, codec: Codec = Uncompressed,
+            routingGroups: Int = 0,
+            routingMetric: Metric = Metric.L2): Unit = {
     val spark = clustered.sparkSession
     import spark.implicits._
     // byte stores persist their declared signedness in the sidecar (the
@@ -88,6 +93,19 @@ object IndexLayout {
     IvfIndex.writeClustered(withCodes, s"$path/data")
     centroids.toDF("id", "vec").write.mode("overwrite")
       .parquet(s"$path/centroids")
+    // optional persisted level-1 routing table — the stored-IVF analog of
+    // GraphLayout.write(routingGroups): trained for the serving metric,
+    // persisted with the metric's name so a reopened layout routes
+    // hierarchically without retraining and a mismatched searchRouted
+    // fails loudly (reference: index/ivf/hierarchical_kmeans.h)
+    if (routingGroups > 0) {
+      val (l1, groupOf) = Vamana.trainRoutingLevel(centroids, routingGroups,
+        metric = routingMetric)
+      l1.toDF("id", "vec").write.mode("overwrite")
+        .parquet(s"$path/routing_l1")
+      groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
+        .parquet(s"$path/routing_groups")
+    }
     val codecJson = codec match {
       case Uncompressed => """{"type":"none"}"""
       case Sq(p) =>
@@ -111,7 +129,9 @@ object IndexLayout {
     }
     writeSidecar(spark, s"$path/layout.json",
       s"""{"codec":$codecJson,""" +
-        s""""byte_unsigned":${byteU.map(_.toString).getOrElse("null")}}""")
+        s""""byte_unsigned":${byteU.map(_.toString).getOrElse("null")},""" +
+        s""""routing_groups":$routingGroups,""" +
+        s""""routing_metric":"${routingMetric.name.stripSuffix("_simd")}"}""")
   }
 
   /** Re-open a written layout: clustered data with its resident codes, the
@@ -137,8 +157,8 @@ object IndexLayout {
           .map(_.map(_.toArray).toArray).toArray))
       case t => sys.error(s"unknown layout codec '$t' in $path/layout.json")
     }
-    val byteU = (org.json4s.jackson.JsonMethods.parse(json)
-      \ "byte_unsigned") match {
+    val parsed = org.json4s.jackson.JsonMethods.parse(json)
+    val byteU = (parsed \ "byte_unsigned") match {
       case JNull | JNothing => None
       case node             => Some(node.extract[Boolean])
     }
@@ -149,11 +169,37 @@ object IndexLayout {
         graft.functions.ByteVecs.markSignedness(data0, "vec", u)
       case _ => data0
     }
+    // routing is sidecar-gated like the codec: a rewrite without
+    // routingGroups records 0 and stale routing dirs are ignored
+    val routingGroups = (parsed \ "routing_groups") match {
+      case JNull | JNothing => 0
+      case node             => node.extract[Int]
+    }
+    val routingMetricName = (parsed \ "routing_metric") match {
+      case JNull | JNothing => None
+      case node             => Some(node.extract[String])
+    }
+    val fsR = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val routing =
+      if (routingGroups > 0 &&
+        fsR.exists(new org.apache.hadoop.fs.Path(s"$path/routing_l1")) &&
+        fsR.exists(new org.apache.hadoop.fs.Path(s"$path/routing_groups")))
+        Some((
+          spark.read.parquet(s"$path/routing_l1").select("id", "vec")
+            .collect()
+            .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+            .toIndexedSeq.sortBy(_._1).toSeq,
+          spark.read.parquet(s"$path/routing_groups")
+            .select("cluster_id", "group_id").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap))
+      else None
     Layout(data,
       spark.read.parquet(s"$path/centroids").select("id", "vec").collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
         .toIndexedSeq.sortBy(_._1),
-      codec)
+      codec, routing,
+      if (routingGroups > 0) routingMetricName else None)
   }
 
   /** Search the layout with the codec-matched coarse scan: SQ layouts run
@@ -181,6 +227,54 @@ object IndexLayout {
         "(the residual decomposition is an L2 identity)")
       Pq.searchIvfAdc(queries, layout.clustered, layout.centroids, p, k,
         nProbes)
+  }
+
+  /** [[search]] routed through the PERSISTED level-1 table
+    * ([[write]]'s `routingGroups`) — the stored-IVF twin of
+    * [[GraphLayout.searchRouted]]: probe selection scores the l1 groups
+    * first and only their member centroids after
+    * ([[BatchScore.probeTopKHierarchical]]), then the codec-matched scan
+    * runs unchanged on the selected probes. At `l1Probes = |l1|` probe
+    * selection is bit-identical to the flat sweep, so searchRouted ≡
+    * [[search]] (IndexRoutingSpec). */
+  def searchRouted(layout: Layout, queries: DataFrame, k: Int,
+                   l1Probes: Int, nProbes: Int, metric: Metric,
+                   kReorder: Int = 3): DataFrame = {
+    val (l1, groupOf) = layout.routing.getOrElse(sys.error(
+      "layout has no routing level — write(routingGroups = …) first"))
+    layout.routingMetricName.foreach { rm =>
+      require(metric.name.stripSuffix("_simd") == rm,
+        s"layout routing level was trained for metric '$rm' but " +
+          s"searchRouted got '${metric.name}' — rewrite the layout with " +
+          s"routingMetric = ${metric.name} or serve with '$rm'")
+    }
+    val l1Arr = l1.sortBy(_._1)
+      .map { case (i, v) => (i, v.toArray) }.toIndexedSeq
+    val route: IvfIndex.ProbeRoute =
+      BatchScore.probeTopKHierarchical(_, _, l1Arr, groupOf, l1Probes,
+        nProbes, metric)
+    layout.codec match {
+      case Uncompressed =>
+        IvfIndex.searchHierarchical(queries, layout.clustered,
+          layout.centroids, l1, groupOf, k, l1Probes, nProbes, metric)
+      case Sq(p) =>
+        require(metric == Metric.L2, "SQ layout reorder search is L2-only")
+        IvfIndex.searchWithReorder(queries, layout.clustered,
+          layout.centroids, p, k, nProbes, kReorder, Some(route))
+      case LvqC(p) =>
+        require(metric == Metric.L2, "LVQ layout search is L2-only")
+        IvfIndex.searchWithLvqReorder(queries, layout.clustered,
+          layout.centroids, p, k, nProbes, kReorder, Some(route))
+      case LeanVecC(m) =>
+        require(metric == Metric.L2, "LeanVec layout search is L2-only")
+        IvfIndex.searchWithLeanVecReorder(queries, layout.clustered,
+          layout.centroids, m, k, nProbes, kReorder, Some(route))
+      case PqResC(p) =>
+        require(metric == Metric.L2, "IVFADC layout search is L2-only " +
+          "(the residual decomposition is an L2 identity)")
+        Pq.searchIvfAdc(queries, layout.clustered, layout.centroids, p, k,
+          nProbes, Some(route))
+    }
   }
 
   private def writeSidecar(spark: SparkSession, path: String,

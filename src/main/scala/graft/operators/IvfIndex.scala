@@ -53,7 +53,16 @@ object IvfIndex {
     * smaller cluster id) is identical to the TopK aggregate it replaces,
     * and `Metric.compute` keeps the Catalyst fold order bit-for-bit.
     * Returns (probe rows (query_id, cluster_id, qvec), distinct probed ids
-    * for partition pruning). */
+    * for partition pruning).
+    *
+    * [[ProbeRoute]] is the routing hook: (query rows, ascending-id
+    * centroid table) → per-query probe cluster ids in rank order. The
+    * default is the flat [[BatchScore.probeTopK]] sweep;
+    * [[IndexLayout.searchRouted]] passes the two-level
+    * [[BatchScore.probeTopKHierarchical]] selection. */
+  type ProbeRoute = (Array[(Long, Array[Double])],
+    IndexedSeq[(Long, Array[Double])]) => Array[Array[Long]]
+
   private def selectProbes(queries: DataFrame,
                            centroids: Seq[(Long, Seq[Double])], nProbes: Int,
                            metric: Metric): (DataFrame, Seq[Long]) =
@@ -153,12 +162,15 @@ object IvfIndex {
   def searchWithLvqReorder(queries: DataFrame, clustered: DataFrame,
                            centroids: Seq[(Long, Seq[Double])],
                            p: Lvq.Params, k: Int, nProbes: Int,
-                           kReorder: Int): DataFrame = {
+                           kReorder: Int,
+                           route: Option[ProbeRoute] = None): DataFrame = {
     require(clustered.columns.contains("c1"),
       "searchWithLvqReorder scans resident LVQ codes: attach them via " +
         "IvfIndex.withResidentLvq(clustered, p)")
     val metric = graft.core.Metric.L2
-    val (probes, probedIds) = selectProbes(queries, centroids, nProbes, metric)
+    val (probes, probedIds) = route
+      .map(selectProbesWith(queries, centroids)(_))
+      .getOrElse(selectProbes(queries, centroids, nProbes, metric))
 
     // coarse pass: partition-pruned scan of (cluster_id, id, c1, lo1, s1)
     // ranked by code-space L2 — column pruning keeps c2/lo2/s2/vec unread
@@ -211,13 +223,15 @@ object IvfIndex {
   def searchWithLeanVecReorder(queries: DataFrame, clustered: DataFrame,
                                centroids: Seq[(Long, Seq[Double])],
                                m: LeanVec.Model, k: Int, nProbes: Int,
-                               kReorder: Int): DataFrame = {
+                               kReorder: Int,
+                               route: Option[ProbeRoute] = None): DataFrame = {
     require(clustered.columns.contains("rvec"),
       "searchWithLeanVecReorder scans a resident reduced column: attach " +
         "it via IvfIndex.withResidentLeanVec(clustered, m)")
     val metric = graft.core.Metric.L2
-    val (probes, probedIds) = selectProbes(queries, centroids, nProbes,
-      metric)
+    val (probes, probedIds) = route
+      .map(selectProbesWith(queries, centroids)(_))
+      .getOrElse(selectProbes(queries, centroids, nProbes, metric))
     val rq = LeanVec.transform(queries, m, idCol = "query_id",
       vecCol = "qvec", outCol = "rqvec")
     val candCoarse = broadcast(probes.drop("qvec")
@@ -246,13 +260,16 @@ object IvfIndex {
   def searchWithReorder(queries: DataFrame, clustered: DataFrame,
                         centroids: Seq[(Long, Seq[Double])],
                         p: ScalarQuant.Params, k: Int, nProbes: Int,
-                        kReorder: Int): DataFrame = {
+                        kReorder: Int,
+                        route: Option[ProbeRoute] = None): DataFrame = {
     require(clustered.columns.contains("codes"),
       "searchWithReorder scans resident SQ codes: attach a codes column via " +
         "IvfIndex.withResidentCodes(clustered, p) or persist with " +
         "writeClustered(clustered, path, codec)")
     val metric = graft.core.Metric.L2
-    val (probes, probedIds) = selectProbes(queries, centroids, nProbes, metric)
+    val (probes, probedIds) = route
+      .map(selectProbesWith(queries, centroids)(_))
+      .getOrElse(selectProbes(queries, centroids, nProbes, metric))
 
     // compressed pass: distances on the stored codes (queries encoded with
     // the same codec on the fly — the query batch is tiny); the scan prunes

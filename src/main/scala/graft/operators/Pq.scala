@@ -134,30 +134,41 @@ object Pq {
     * probed partitions and never touches full-precision vectors. L2 only
     * (the residual decomposition is an L2 identity). */
   def searchIvfAdc(queries: DataFrame, coded: DataFrame,
-      cents: Seq[(Long, Seq[Double])], p: Params, k: Int, nProbes: Int)
-      : DataFrame = {
+      cents: Seq[(Long, Seq[Double])], p: Params, k: Int, nProbes: Int,
+      route: Option[IvfIndex.ProbeRoute] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val centArr = cents.map { case (cid, cv) => (cid, cv.toArray) }
+    val centArr = cents.sortBy(_._1)
+      .map { case (cid, cv) => (cid, cv.toArray) }.toIndexedSeq
+    val cvOf = centArr.toMap
     val qs = queries
       .select(col("query_id").cast("long"), col("qvec"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val probeRows = qs.toSeq.flatMap { case (qid, q) =>
-      centArr
-        .map { case (cid, cv) => (cid, cv, Metric.L2.compute(q, cv)) }
-        .sortBy { case (cid, _, d) => (d, cid) }
-        .take(nProbes)
-        .map { case (cid, cv, _) =>
-          val res = Array.tabulate(p.dims)(i => q(i) - cv(i))
-          val lut = Array.tabulate(p.m * p.k) { idx =>
-            val j = idx / p.k
-            Metric.L2.compute(
-              java.util.Arrays.copyOfRange(res, j * p.subDim,
-                (j + 1) * p.subDim),
-              p.codebooks(j)(idx % p.k))
-          }
-          (qid, cid, lut.toSeq)
+    // probe selection: flat exhaustive sweep (ascending (d, cid) — the
+    // LocalTopK contract) or the caller's routing hook; with an
+    // exhaustive-level-1 hierarchical route the two are identical
+    val probeIdsPerQ: Array[Array[Long]] = route match {
+      case Some(r) => r(qs, centArr)
+      case None => qs.map { case (_, q) =>
+        centArr
+          .map { case (cid, cv) => (cid, Metric.L2.compute(q, cv)) }
+          .sortBy { case (cid, d) => (d, cid) }
+          .take(nProbes).map(_._1).toArray
+      }
+    }
+    val probeRows = qs.toSeq.zipWithIndex.flatMap { case ((qid, q), qi) =>
+      probeIdsPerQ(qi).toSeq.map { cid =>
+        val cv = cvOf(cid)
+        val res = Array.tabulate(p.dims)(i => q(i) - cv(i))
+        val lut = Array.tabulate(p.m * p.k) { idx =>
+          val j = idx / p.k
+          Metric.L2.compute(
+            java.util.Arrays.copyOfRange(res, j * p.subDim,
+              (j + 1) * p.subDim),
+            p.codebooks(j)(idx % p.k))
         }
+        (qid, cid, lut.toSeq)
+      }
     }
     val probed = probeRows.map(_._2).distinct
     val probeDf = broadcast(probeRows.toDF("query_id", "cluster_id", "lut"))
