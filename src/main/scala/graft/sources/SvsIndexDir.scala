@@ -138,7 +138,22 @@ object SvsIndexDir {
     val h = SvsNative.readHeader(bytes)
     require(h.dims == dims, s"data blob dims ${h.dims} != $dims")
     val rows = decodeSvsVectors(bytes, h.numVectors.toInt, dims, el)
-    spark.createDataset(rows).toDF("id", "vec")
+    val df = spark.createDataset(rows).toDF("id", "vec")
+    // byte eltypes land BYTE-RESIDENT with the matching signedness mark
+    // (values from the decode are exact integers): full residency parity
+    // with the on-disk width, same as the engine's own byte tables
+    el match {
+      case "int8" =>
+        graft.functions.ByteVecs.markSigned(df.select(col("id"),
+          org.apache.spark.sql.functions.transform(col("vec"),
+            x => x.cast("byte")).as("vec")))
+      case "uint8" =>
+        graft.functions.ByteVecs.markUnsigned(df.select(col("id"),
+          org.apache.spark.sql.functions.transform(col("vec"), x =>
+            org.apache.spark.sql.functions.when(x > 127, x - 256)
+              .otherwise(x).cast("byte")).as("vec")))
+      case _ => df
+    }
   }
 
   /** Decode an eltype-tagged v1 `.svs` payload into dense-id rows —
@@ -164,6 +179,10 @@ object SvsIndexDir {
             v(i) = java.lang.Float
               .intBitsToFloat((bb.getShort & 0xffff) << 16).toDouble
             i += 1 }
+        case "int8" =>
+          while (i < dims) { v(i) = bb.get.toDouble; i += 1 }
+        case "uint8" =>
+          while (i < dims) { v(i) = (bb.get & 0xff).toDouble; i += 1 }
         case other => sys.error(s"unsupported data eltype $other")
       }
       (r.toLong, v.toSeq)
@@ -340,11 +359,32 @@ object SvsIndexDir {
 
   /** Write (config, graph, data) in the reference's directory layout under
     * `root/{config,graph,data}`. `graph` must be a single-shard graph table
-    * (cluster_id, id, entry_id, neighbors) with dense ids 0..n-1; vectors
-    * are written float32. */
+    * (cluster_id, id, entry_id, neighbors) with dense ids 0..n-1.
+    *
+    * `eltype` picks the data blob's element width (reference
+    * svs_config.toml vocabulary: float64/float32/float16/bfloat16/
+    * int8/uint8); empty = auto — byte-resident tables export at their
+    * DECLARED signedness (int8/uint8, one byte per element, mark-aware
+    * value space), everything else as float32 (the historical default).
+    * Before round 9 byte and half datasets silently widened to
+    * float32 here while the import side already dispatched eltypes. */
   def save(spark: SparkSession, root: String, data: DataFrame,
-           graph: DataFrame, params: graft.operators.VamanaKernel.BuildParams)
-      : Unit = {
+           graph: DataFrame, params: graft.operators.VamanaKernel.BuildParams,
+           eltype: String = ""): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    val el =
+      if (eltype.nonEmpty) eltype
+      else data.schema("vec").dataType match {
+        case ArrayType(ByteType, _) =>
+          if (graft.functions.ByteVecs.requireSignedness(data.schema, "vec"))
+            "uint8"
+          else "int8"
+        case _ => "float32"
+      }
+    // byte vecs widen mark-aware into VALUE space first (a raw
+    // array<tinyint> → array<double> cast would sign-extend u8 raw
+    // bytes); writeEltype then re-narrows into the declared eltype
+    val dataV = graft.functions.ByteVecs.widenedForMath(data, "vec")
     val entry = graph.select("entry_id").first().getLong(0)
     // config
     writeText(spark, new Path(s"$root/config/svs_config.toml"),
@@ -377,11 +417,11 @@ object SvsIndexDir {
          |    search_window_size = 0
          |""".stripMargin)
 
-    // data blob (float32 v1 .svs) + component toml
-    val dataRows = data.select(col("id").cast("long"),
+    // data blob (element-typed v1 .svs) + component toml
+    val dataRows = dataV.select(col("id").cast("long"),
         col("vec").cast("array<double>")).orderBy("id").collect()
     val dims = dataRows(0).getSeq[Double](1).length
-    SvsNative.write(data, s"$root/data/data_0.svs", VecsIO.F32)
+    SvsNative.writeEltype(dataV, s"$root/data/data_0.svs", el)
     writeText(spark, new Path(s"$root/data/svs_config.toml"),
       s"""__version__ = 'v0.0.2'
          |
@@ -390,7 +430,7 @@ object SvsIndexDir {
          |__version__ = 'v0.0.0'
          |binary_file = 'data_0.svs'
          |dims = $dims
-         |eltype = 'float32'
+         |eltype = '$el'
          |name = 'uncompressed'
          |num_vectors = ${dataRows.length}
          |uuid = '00000000-0000-0000-0000-000000000000'

@@ -105,4 +105,72 @@ object SvsNative {
     os.write(bb.array())
     os.close()
   }
+
+  /** Bytes per element for a reference `eltype` string
+    * (svs_config.toml vocabulary, include/svs/lib/datatype.h). */
+  def eltypeBytes(eltype: String): Int = eltype match {
+    case "float64"             => 8
+    case "float32"             => 4
+    case "float16" | "bfloat16" => 2
+    case "int8" | "uint8"      => 1
+    case other => sys.error(s"unsupported eltype '$other'")
+  }
+
+  /** [[write]] keyed by the reference's `eltype` vocabulary — the export
+    * side of [[SvsIndexDir.save]]'s element-typed directory layout, so a
+    * byte or half dataset persists at its native width instead of
+    * silently widening to float32. Values must already be representable
+    * in the target type (int8 in [-128,127], uint8 in [0,255], halves
+    * round to nearest even) — the round trip through
+    * `SvsIndexDir.loadData` is then exact. */
+  def writeEltype(df: DataFrame, path: String, eltype: String): Unit = {
+    val spark = df.sparkSession
+    val rows = df.select(col("id").cast("long"),
+        col("vec").cast("array<double>"))
+      .orderBy("id").collect()
+    require(rows.nonEmpty, "refusing to write an empty .svs file")
+    val d = rows(0).getSeq[Double](1).length
+    val bb = ByteBuffer.allocate(
+        HeaderSize + rows.length * d * eltypeBytes(eltype))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(Magic)
+    val uuid = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      .putLong(rows.length.toLong).putLong(d.toLong).array()
+    bb.put(uuid)
+    bb.putLong(rows.length.toLong)
+    bb.putLong(d.toLong)
+    bb.position(HeaderSize)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      require(v.length == d, s"ragged row ${r.getLong(0)}")
+      eltype match {
+        case "float64" => v.foreach(bb.putDouble)
+        case "float32" => v.foreach(x => bb.putFloat(x.toFloat))
+        case "float16" => v.foreach(x => bb.putShort(
+          graft.functions.Binary16.floatToHalf(x.toFloat)))
+        case "bfloat16" => v.foreach { x =>
+          // round-to-nearest-even truncation of the f32 bit pattern —
+          // exact for values already bf16-representable
+          val bits = java.lang.Float.floatToIntBits(x.toFloat)
+          bb.putShort(((bits + 0x7fff + ((bits >>> 16) & 1)) >>> 16).toShort)
+        }
+        case "int8" => v.foreach { x =>
+          require(x >= -128 && x <= 127 && x == math.rint(x),
+            s"value $x not an int8")
+          bb.put(x.toInt.toByte)
+        }
+        case "uint8" => v.foreach { x =>
+          require(x >= 0 && x <= 255 && x == math.rint(x),
+            s"value $x not a uint8")
+          bb.put((x.toInt & 0xff).toByte)
+        }
+        case other => sys.error(s"unsupported eltype '$other'")
+      }
+    }
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    os.write(bb.array())
+    os.close()
+  }
 }

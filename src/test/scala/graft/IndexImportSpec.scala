@@ -59,6 +59,69 @@ class IndexImportSpec extends SparkSpec {
     assert(mismatches === 0L)
   }
 
+  test("element-typed export: i8/u8 datasets persist at one byte per " +
+      "element with their signedness, f16 at two — and round-trip " +
+      "exactly (no silent float32 widening)") {
+    import graft.functions.ByteVecs
+    import graft.sources.SvsNative
+    val params = BuildParams(maxDegree = 8, buildWindow = 16)
+    val emb = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+      .filter(col("id") < 80)
+    val dims = Tables.embDims
+    val n = emb.count()
+    def blobBytes(root: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/data/data_0.svs")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getLen
+    }
+    def roundTrips(root: String, table: org.apache.spark.sql.DataFrame)
+        : Unit = {
+      val back = SvsIndexDir.loadData(spark, s"$root/data")
+        .withColumnRenamed("vec", "vec_back")
+      assert(table.join(back, Seq("id"))
+        .filter(not(col("vec") === col("vec_back"))).count() === 0L, root)
+    }
+    // i8 — eltype auto-detected from the declared signedness
+    val i8 = ByteVecs.markSigned(emb.select(col("id"),
+      ByteVecs.quantizeSigned(col("vec"), 64.0).as("vec"))).cache()
+    val gI8 = Vamana.buildSingle(i8, params, Metric.L2).cache()
+    val rootI8 = "/tmp/graft_svsindex_i8"
+    SvsIndexDir.save(spark, rootI8, i8, gI8, params)
+    assert(blobBytes(rootI8) === SvsNative.HeaderSize + n * dims,
+      "i8 blob widened past one byte per element")
+    val backI8 = SvsIndexDir.loadData(spark, s"$rootI8/data")
+    assert(ByteVecs.isByteVec(backI8.schema("vec").dataType))
+    assert(!ByteVecs.isUnsigned(backI8.schema, "vec"))
+    roundTrips(rootI8, i8)
+    // and the imported directory still SERVES byte-resident
+    val viaImport = SvsIndexDir.load(spark, rootI8).search(
+        Tables.embeddingQueries(spark, sfDir), 5)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(viaImport.nonEmpty)
+    // u8 — raw byte patterns, unsigned mark, unsigned value space
+    val u8 = ByteVecs.markUnsigned(emb.select(col("id"),
+      ByteVecs.quantizeUnsigned(col("vec"), 64.0).as("vec"))).cache()
+    val gU8 = Vamana.buildSingle(u8, params, Metric.L2).cache()
+    val rootU8 = "/tmp/graft_svsindex_u8"
+    SvsIndexDir.save(spark, rootU8, u8, gU8, params)
+    assert(blobBytes(rootU8) === SvsNative.HeaderSize + n * dims)
+    val backU8 = SvsIndexDir.loadData(spark, s"$rootU8/data")
+    assert(ByteVecs.isUnsigned(backU8.schema, "vec"),
+      "u8 export lost the unsigned mark")
+    roundTrips(rootU8, u8)
+    // f16 — integer-valued doubles are exactly half-representable
+    val f16 = i8.select(col("id"),
+      ByteVecs.widen(col("vec"), unsigned = false).as("vec")).cache()
+    val gF16 = Vamana.buildSingle(f16, params, Metric.L2).cache()
+    val rootF16 = "/tmp/graft_svsindex_f16"
+    SvsIndexDir.save(spark, rootF16, f16, gF16, params,
+      eltype = "float16")
+    assert(blobBytes(rootF16) === SvsNative.HeaderSize + n * dims * 2,
+      "f16 blob widened past two bytes per element")
+    roundTrips(rootF16, f16)
+  }
+
   test("parses the reference's committed ivf_clustering fixture and " +
       "serves a probe search over it") {
     val (cents, assign) = SvsIndexDir.loadIvfClustering(spark,
