@@ -116,6 +116,38 @@ object GoldenRecall {
     rows
   }
 
+  /** Routed-search grid (reference analog: the per-config golden grids in
+    * `data/test_dataset/reference/ivf_reference.toml`): the SAME Lloyd
+    * clustering as [[ivfGrid]], searched through the two-level routing
+    * path per (l1Probes × nProbes) — pinned so a routing change cannot
+    * silently trade recall at realistic l1Probes. Config
+    * `c<clusters>-g<groups>-l<l1Probes>`; at `l1Probes = nGroups`
+    * (exhaustive level-1) each row must equal the flat-routing `ivf`
+    * family at the same probes (GoldenSpec asserts the identity). */
+  def routedGrid(data: DataFrame, queries: DataFrame, truth: DataFrame,
+                 dims: Int, k: Int, nq: Int, n: Long, clusters: Int,
+                 nGroups: Int, l1Probes: Seq[Int], probes: Seq[Int])
+      : Seq[Row] = {
+    val seed0 = data.filter(col("id") % (n / clusters) === 0).limit(clusters)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val t0 = System.nanoTime()
+    val train = data.filter(col("id") % 10 === 1)
+    val cents = graft.operators.KMeans.lloyd(train, seed0, iters = 3, dims)
+    val clustered = graft.operators.KMeans.assign(data, cents).cache()
+    clustered.count()
+    val (l1, groupOf) = Vamana.trainRoutingLevel(cents, nGroups)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val rows = for (lp <- l1Probes; p <- probes) yield {
+      val res = graft.operators.IvfIndex.searchHierarchical(queries,
+        clustered, cents, l1, groupOf, k, lp, p, Metric.L2)
+      Row("ivf_routed", s"c$clusters-g$nGroups-l$lp", "n_probes", p,
+        recallOf(res, truth, k, nq), buildSec)
+    }
+    clustered.unpersist()
+    rows
+  }
+
   /** IVF∘LVQ grid (the q58 composition): the same clustering as [[ivfGrid]]
     * with resident LVQ code columns, coarse-scanned on level-1 codes and
     * re-ranked on the two-level reconstruction; recall judged against the
@@ -401,6 +433,9 @@ object GoldenRecall {
         probes = Seq(1, 2, 4, 8, 16)) ++
       ivfLvqGrid(data, queries, truth, dims, k, nq, n, clusters = 100,
         probes = Seq(1, 2, 4, 8, 16)) ++
+      routedGrid(data, queries, truth, dims, k, nq, n, clusters = 100,
+        nGroups = 10, l1Probes = Seq(2, 4, 10),
+        probes = Seq(4, 8, 16)) ++
       invertedGrid(data, queries, truth, k, nq, n, leaderCount = 100,
         eps = 1.2, nLeaders = Seq(1, 2, 4, 8)) ++
       leanvecGrid(data, queries, truth, k, nq, rDims = 32,

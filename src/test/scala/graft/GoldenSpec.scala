@@ -74,6 +74,23 @@ class GoldenSpec extends SparkSpec {
       assert(math.abs(r.recall - p) <= 0.01,
         s"${r.family} kr${r.value}: ${r.recall} vs pinned $p")
     }
+    // routed-search family: a sampled realistic row reproduces, and the
+    // exhaustive-level-1 rows equal the flat-routing ivf family — the
+    // identity that makes the routed grid an anchored pin, not a
+    // free-floating number
+    val routed = GoldenRecall.routedGrid(data, queries, truth, Dims, K, Nq,
+      N, clusters = 100, nGroups = 10, l1Probes = Seq(2), probes = Seq(8))
+    routed.foreach { r =>
+      val p = pinned("ivf_routed", r.config, r.value)
+      assert(math.abs(r.recall - p) <= 0.01,
+        s"ivf_routed ${r.config} p${r.value}: ${r.recall} vs pinned $p")
+    }
+    for (p <- Seq(4, 8, 16)) {
+      val exh = pinned("ivf_routed", "c100-g10-l10", p)
+      val flat = pinned("ivf", "c100", p)
+      assert(exh === flat,
+        s"exhaustive-l1 routed golden p$p ($exh) ≠ flat ivf golden ($flat)")
+    }
     // SIMD-built/searched graph: recall pinned AND within the scalar
     // family's tolerance band (build-time Metric.simd production safety)
     if (graft.core.SimdSupport.available) {
