@@ -82,7 +82,7 @@ object ScaleBench {
     // Focused scan benchmark (opt-in: SPARK_GRAFT_SCALE_FLATONLY=1): the
     // four flat legs + their SIMD twins only — for iterating on the scan
     // loop without paying the full suite.
-    if (sys.env.get("SPARK_GRAFT_SCALE_FLATONLY").exists(_.nonEmpty)) {
+    if (sys.env.get("SPARK_GRAFT_SCALE_FLATONLY").contains("1")) {
       val simdL2 = Metric.simd(Metric.L2)
       // best-of-3 after the single-shot legs above served as warmup:
       // single runs jitter ±15% at the sub-second scale these legs reach

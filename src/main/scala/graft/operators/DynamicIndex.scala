@@ -51,8 +51,11 @@ final class DynamicVectorTable(spark: SparkSession, root: String) {
       val bytes = new Array[Byte](
         fs.getFileStatus(byteMetaPath).getLen.toInt)
       in.readFully(bytes); in.close()
-      Some(new String(bytes,
-        java.nio.charset.StandardCharsets.UTF_8).contains("true"))
+      import org.json4s._
+      implicit val fmts: Formats = DefaultFormats
+      Some((org.json4s.jackson.JsonMethods.parse(new String(bytes,
+        java.nio.charset.StandardCharsets.UTF_8)) \ "unsigned")
+        .extract[Boolean])
     }
 
   private def writeByteMeta(unsigned: Boolean): Unit = {

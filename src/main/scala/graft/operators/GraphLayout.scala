@@ -75,6 +75,9 @@ object GraphLayout {
     // name so a reopened index routes hierarchically without re-training
     // and a metric-mismatched searchRouted fails loudly
     if (routingGroups > 0) {
+      require(Metric.byName(routingMetric.name.stripSuffix("_simd")).isDefined,
+        s"routing metric '${routingMetric.name}' cannot round-trip the " +
+          "sidecar (Metric.byName) — route with l2/ip/cosine")
       val (l1, groupOf) = Vamana.trainRoutingLevel(centroids, routingGroups,
         metric = routingMetric)
       l1.toDF("id", "vec").write.mode("overwrite")
@@ -409,9 +412,15 @@ object GraphLayout {
           .toIndexedSeq.sortBy(_._1)
         // retrain with the metric the level was written for (sidecar),
         // not the upsert's build metric — the serving contract is the
-        // writer's; absent (pre-metric sidecars) default L2
-        val rm = layout.routingMetricName
-          .flatMap(Metric.byName).getOrElse(Metric.L2)
+        // writer's; absent (pre-metric sidecars) default L2, but an
+        // unresolvable RECORDED name fails loudly rather than silently
+        // retraining L2-shaped groups under a sidecar that still
+        // advertises the original metric
+        val rm = layout.routingMetricName match {
+          case Some(name) => Metric.byName(name).getOrElse(sys.error(
+            s"layout routing_metric '$name' is not a routable metric"))
+          case None => Metric.L2
+        }
         val (l1, groupOf) = Vamana.trainRoutingLevel(newCentTable, rg,
           metric = rm)
         import spark.implicits._

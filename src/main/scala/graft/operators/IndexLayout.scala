@@ -99,6 +99,9 @@ object IndexLayout {
     // hierarchically without retraining and a mismatched searchRouted
     // fails loudly (reference: index/ivf/hierarchical_kmeans.h)
     if (routingGroups > 0) {
+      require(Metric.byName(routingMetric.name.stripSuffix("_simd")).isDefined,
+        s"routing metric '${routingMetric.name}' cannot round-trip the " +
+          "sidecar (Metric.byName) — route with l2/ip/cosine")
       val (l1, groupOf) = Vamana.trainRoutingLevel(centroids, routingGroups,
         metric = routingMetric)
       l1.toDF("id", "vec").write.mode("overwrite")
@@ -140,7 +143,8 @@ object IndexLayout {
     val json = readSidecar(spark, s"$path/layout.json")
     import org.json4s._
     implicit val fmts: Formats = DefaultFormats
-    val c = org.json4s.jackson.JsonMethods.parse(json) \ "codec"
+    val parsed = org.json4s.jackson.JsonMethods.parse(json)
+    val c = parsed \ "codec"
     val codec = (c \ "type").extract[String] match {
       case "none" => Uncompressed
       case "sq" => Sq(ScalarQuant.Params((c \ "scale").extract[Double],
@@ -157,7 +161,6 @@ object IndexLayout {
           .map(_.map(_.toArray).toArray).toArray))
       case t => sys.error(s"unknown layout codec '$t' in $path/layout.json")
     }
-    val parsed = org.json4s.jackson.JsonMethods.parse(json)
     val byteU = (parsed \ "byte_unsigned") match {
       case JNull | JNothing => None
       case node             => Some(node.extract[Boolean])
@@ -206,27 +209,33 @@ object IndexLayout {
     * the decode-free code scan + full-precision reorder, LVQ layouts the
     * two-level re-rank, uncompressed layouts the plain probe join. */
   def search(layout: Layout, queries: DataFrame, k: Int, nProbes: Int,
-             metric: Metric, kReorder: Int = 3): DataFrame = layout.codec match {
-    case Uncompressed =>
-      IvfIndex.search(queries, layout.clustered, layout.centroids, k,
-        nProbes, metric)
-    case Sq(p) =>
-      require(metric == Metric.L2, "SQ layout reorder search is L2-only")
-      IvfIndex.searchWithReorder(queries, layout.clustered, layout.centroids,
-        p, k, nProbes, kReorder)
-    case LvqC(p) =>
-      require(metric == Metric.L2, "LVQ layout search is L2-only")
-      IvfIndex.searchWithLvqReorder(queries, layout.clustered,
-        layout.centroids, p, k, nProbes, kReorder)
-    case LeanVecC(m) =>
-      require(metric == Metric.L2, "LeanVec layout search is L2-only")
-      IvfIndex.searchWithLeanVecReorder(queries, layout.clustered,
-        layout.centroids, m, k, nProbes, kReorder)
-    case PqResC(p) =>
-      require(metric == Metric.L2, "IVFADC layout search is L2-only " +
-        "(the residual decomposition is an L2 identity)")
-      Pq.searchIvfAdc(queries, layout.clustered, layout.centroids, p, k,
-        nProbes)
+             metric: Metric, kReorder: Int = 3): DataFrame = {
+    // byte-resident stores serve through the mark-aware widen: the
+    // declarative scans (metric.column, re-rank passes) accept
+    // ARRAY<FLOAT|DOUBLE> only, and an unwidened cast would sign-extend
+    // u8. The transform is column-pruned away wherever a pass reads only
+    // code columns, so codes-only coarse passes pay nothing.
+    val cl = graft.functions.ByteVecs.widenedForMath(layout.clustered, "vec")
+    layout.codec match {
+      case Uncompressed =>
+        IvfIndex.search(queries, cl, layout.centroids, k, nProbes, metric)
+      case Sq(p) =>
+        require(metric == Metric.L2, "SQ layout reorder search is L2-only")
+        IvfIndex.searchWithReorder(queries, cl, layout.centroids,
+          p, k, nProbes, kReorder)
+      case LvqC(p) =>
+        require(metric == Metric.L2, "LVQ layout search is L2-only")
+        IvfIndex.searchWithLvqReorder(queries, cl,
+          layout.centroids, p, k, nProbes, kReorder)
+      case LeanVecC(m) =>
+        require(metric == Metric.L2, "LeanVec layout search is L2-only")
+        IvfIndex.searchWithLeanVecReorder(queries, cl,
+          layout.centroids, m, k, nProbes, kReorder)
+      case PqResC(p) =>
+        require(metric == Metric.L2, "IVFADC layout search is L2-only " +
+          "(the residual decomposition is an L2 identity)")
+        Pq.searchIvfAdc(queries, cl, layout.centroids, p, k, nProbes)
+    }
   }
 
   /** [[search]] routed through the PERSISTED level-1 table
@@ -248,31 +257,36 @@ object IndexLayout {
           s"searchRouted got '${metric.name}' — rewrite the layout with " +
           s"routingMetric = ${metric.name} or serve with '$rm'")
     }
-    val l1Arr = l1.sortBy(_._1)
-      .map { case (i, v) => (i, v.toArray) }.toIndexedSeq
-    val route: IvfIndex.ProbeRoute =
+    // one route closure shared by every codec branch (the Uncompressed
+    // branch routes through IvfIndex.searchHierarchical, which rebuilds
+    // the same selection from (l1, groupOf) — same inputs, same kernel)
+    lazy val route: IvfIndex.ProbeRoute = {
+      val l1Arr = l1.sortBy(_._1)
+        .map { case (i, v) => (i, v.toArray) }.toIndexedSeq
       BatchScore.probeTopKHierarchical(_, _, l1Arr, groupOf, l1Probes,
         nProbes, metric)
+    }
+    val cl = graft.functions.ByteVecs.widenedForMath(layout.clustered, "vec")
     layout.codec match {
       case Uncompressed =>
-        IvfIndex.searchHierarchical(queries, layout.clustered,
+        IvfIndex.searchHierarchical(queries, cl,
           layout.centroids, l1, groupOf, k, l1Probes, nProbes, metric)
       case Sq(p) =>
         require(metric == Metric.L2, "SQ layout reorder search is L2-only")
-        IvfIndex.searchWithReorder(queries, layout.clustered,
+        IvfIndex.searchWithReorder(queries, cl,
           layout.centroids, p, k, nProbes, kReorder, Some(route))
       case LvqC(p) =>
         require(metric == Metric.L2, "LVQ layout search is L2-only")
-        IvfIndex.searchWithLvqReorder(queries, layout.clustered,
+        IvfIndex.searchWithLvqReorder(queries, cl,
           layout.centroids, p, k, nProbes, kReorder, Some(route))
       case LeanVecC(m) =>
         require(metric == Metric.L2, "LeanVec layout search is L2-only")
-        IvfIndex.searchWithLeanVecReorder(queries, layout.clustered,
+        IvfIndex.searchWithLeanVecReorder(queries, cl,
           layout.centroids, m, k, nProbes, kReorder, Some(route))
       case PqResC(p) =>
         require(metric == Metric.L2, "IVFADC layout search is L2-only " +
           "(the residual decomposition is an L2 identity)")
-        Pq.searchIvfAdc(queries, layout.clustered, layout.centroids, p, k,
+        Pq.searchIvfAdc(queries, cl, layout.centroids, p, k,
           nProbes, Some(route))
     }
   }

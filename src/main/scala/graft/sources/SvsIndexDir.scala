@@ -417,10 +417,12 @@ object SvsIndexDir {
          |    search_window_size = 0
          |""".stripMargin)
 
-    // data blob (element-typed v1 .svs) + component toml
-    val dataRows = dataV.select(col("id").cast("long"),
-        col("vec").cast("array<double>")).orderBy("id").collect()
-    val dims = dataRows(0).getSeq[Double](1).length
+    // data blob (element-typed v1 .svs) + component toml — dims/count
+    // from cheap aggregates; writeEltype does the single full collect
+    val dims = dataV
+      .select(org.apache.spark.sql.functions.size(col("vec"))).first()
+      .getInt(0)
+    val nRows = dataV.count()
     SvsNative.writeEltype(dataV, s"$root/data/data_0.svs", el)
     writeText(spark, new Path(s"$root/data/svs_config.toml"),
       s"""__version__ = 'v0.0.2'
@@ -432,7 +434,7 @@ object SvsIndexDir {
          |dims = $dims
          |eltype = '$el'
          |name = 'uncompressed'
-         |num_vectors = ${dataRows.length}
+         |num_vectors = $nRows
          |uuid = '00000000-0000-0000-0000-000000000000'
          |""".stripMargin)
 

@@ -349,6 +349,27 @@ class ByteKnnSpec extends SparkSpec {
     val wantSq = graft.operators.IvfIndex.withResidentCodes(wide, sq)
       .select("id", "codes").orderBy("id").collect().map(_.toSeq).toSeq
     assert(gotSq === wantSq, "u8 SQ codes not in the unsigned space")
+    // and the byte layouts SERVE: the stored search widens mark-aware at
+    // serve time (declarative scans accept float/double arrays only), so
+    // every codec's served rows equal the widened-table layout's
+    for ((tag, codec) <- Seq[(String, IndexLayout.Codec)](
+        ("plain", IndexLayout.Uncompressed), ("sq", IndexLayout.Sq(sq)),
+        ("pqres", IndexLayout.PqResC(p)))) {
+      val bPath = s"/tmp/graft_bytes_serve_${tag}_b"
+      val wPath = s"/tmp/graft_bytes_serve_${tag}_w"
+      IndexLayout.write(clU, cents, bPath, codec)
+      IndexLayout.write(wide, cents, wPath, codec)
+      val served = IndexLayout.search(IndexLayout.open(spark, bPath), q,
+          5, nProbes = 2, Metric.L2)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+      val servedW = IndexLayout.search(IndexLayout.open(spark, wPath), q,
+          5, nProbes = 2, Metric.L2)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+      assert(served === servedW, s"$tag: byte layout serves differently")
+      assert(served.nonEmpty, tag)
+    }
   }
 
   test("sidecar is the authoritative signedness copy: a u8 store whose " +
