@@ -113,7 +113,8 @@ object Scale10M {
     // sampled Lloyd (the 100 TB training contract), size-bounded shards,
     // SIMD build, routed search at realistic l1Probes, recall vs exact
     val nClusters = math.max(64, (n / 20000L).toInt)
-    val seed0 = data.filter(col("id") % (n / nClusters) === 0)
+    val seedStride = math.max(1L, n / nClusters)
+    val seed0 = data.filter(col("id") % seedStride === 0)
       .limit(nClusters).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     val (cents0, tLloyd) = time {

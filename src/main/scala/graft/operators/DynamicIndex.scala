@@ -48,13 +48,16 @@ final class DynamicVectorTable(spark: SparkSession, root: String) {
     if (!fs.exists(byteMetaPath)) None
     else {
       val in = fs.open(byteMetaPath)
-      val bytes = new Array[Byte](
-        fs.getFileStatus(byteMetaPath).getLen.toInt)
-      in.readFully(bytes); in.close()
+      val text =
+        try {
+          val bytes = new Array[Byte](
+            fs.getFileStatus(byteMetaPath).getLen.toInt)
+          in.readFully(bytes)
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
       import org.json4s._
       implicit val fmts: Formats = DefaultFormats
-      Some((org.json4s.jackson.JsonMethods.parse(new String(bytes,
-        java.nio.charset.StandardCharsets.UTF_8)) \ "unsigned")
+      Some((org.json4s.jackson.JsonMethods.parse(text) \ "unsigned")
         .extract[Boolean])
     }
 
@@ -81,6 +84,10 @@ final class DynamicVectorTable(spark: SparkSession, root: String) {
     * vec segments must declare i8/u8 (ByteVecs mark) on the FIRST add —
     * recorded in the table sidecar — and stay consistent after. */
   def addPoints(df: DataFrame): Unit = {
+    // declaration to RECORD after a successful write (sidecar follows
+    // the segment, never precedes it — a failed first write must not
+    // leave a data-less declaration that refuses every retry)
+    var record: Option[Boolean] = None
     val toWrite =
       if (!isByteVecTable(df)) df
       else {
@@ -92,7 +99,7 @@ final class DynamicVectorTable(spark: SparkSession, root: String) {
               s"${if (d) "u8" else "i8"} but the table was declared " +
               s"${if (s) "u8" else "i8"}")
             df
-          case (Some(d), None) => writeByteMeta(d); df
+          case (Some(d), None) => record = Some(d); df
           case (None, Some(s)) =>
             graft.functions.ByteVecs.markSignedness(df, "vec", s)
           case (None, None) => sys.error(
@@ -102,6 +109,7 @@ final class DynamicVectorTable(spark: SparkSession, root: String) {
         }
       }
     toWrite.write.mode("overwrite").parquet(nextName("segments", "seg"))
+    record.foreach(writeByteMeta)
   }
 
   /** M2 delete_entries: soft delete — append ids to the tombstone set. The

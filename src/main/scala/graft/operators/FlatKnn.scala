@@ -59,6 +59,12 @@ object FlatKnn {
       var q = 0
       while (q < nq) {
         val qv = qVecs(q)
+        // loud dims contract: the offset kernels read qv.length elements
+        // at r*d — a longer query would silently read into the NEXT row
+        // (the old per-row buffer crashed instead), a shorter one would
+        // silently score a prefix
+        require(qv.length == d,
+          s"query dims ${qv.length} != data dims $d")
         val h = heaps(q)
         if (isByte) m.scoreTileB(qv, bflat, d, n, out, unsigned)
         else if (isFloat) m.scoreTileF(qv, fflat, d, n, out)

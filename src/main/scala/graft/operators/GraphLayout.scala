@@ -311,6 +311,11 @@ object GraphLayout {
     val storedSig =
       graft.functions.ByteVecs.signednessOf(stored.schema, "vec")
     storedSig.foreach { u =>
+      require(graft.functions.ByteVecs.isByteVec(
+        addedFinal.schema("vec").dataType),
+        s"upsert: the store is byte-resident (${if (u) "u8" else "i8"}) " +
+          s"but added rows have ${addedFinal.schema("vec").dataType} — " +
+          "quantize and mark them to match the store")
       val au = graft.functions.ByteVecs.requireSignedness(
         addedFinal.schema, "vec")
       require(au == u,

@@ -70,47 +70,24 @@ object SvsNative {
 
   /** Write `(id, vec)` rows (collected in id order — V1 is a single dense
     * file, a fixture/export format, not bulk storage) to one `.svs` file.
-    * The UUID slot derives deterministically from (count, dims). */
+    * The UUID slot derives deterministically from (count, dims).
+    * Delegates to [[writeEltype]] so header layout and encoding live in
+    * exactly one place. */
   def write(df: DataFrame, path: String,
-            el: VecsIO.ElType = VecsIO.F32): Unit = {
-    val spark = df.sparkSession
-    val rows = df.select(col("id").cast("long"),
-        col("vec").cast("array<double>"))
-      .orderBy("id").collect()
-    require(rows.nonEmpty, "refusing to write an empty .svs file")
-    val d = rows(0).getSeq[Double](1).length
-    val bb = ByteBuffer.allocate(HeaderSize + rows.length * d * el.bytes)
-      .order(ByteOrder.LITTLE_ENDIAN)
-    bb.putLong(Magic)
-    val uuid = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
-      .putLong(rows.length.toLong).putLong(d.toLong).array()
-    bb.put(uuid)
-    bb.putLong(rows.length.toLong)
-    bb.putLong(d.toLong)
-    bb.position(HeaderSize)
-    rows.foreach { r =>
-      val v = r.getSeq[Double](1)
-      require(v.length == d, s"ragged row ${r.getLong(0)}")
-      el match {
-        case VecsIO.F32 => v.foreach(x => bb.putFloat(x.toFloat))
-        case VecsIO.I32 => v.foreach(x => bb.putInt(x.toInt))
-        case VecsIO.U8 => v.foreach(x => bb.put(x.toInt.toByte))
-        case VecsIO.F16 => v.foreach(x => bb.putShort(
-          graft.functions.Binary16.floatToHalf(x.toFloat)))
-      }
-    }
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val os = fs.create(p, true)
-    os.write(bb.array())
-    os.close()
-  }
+            el: VecsIO.ElType = VecsIO.F32): Unit =
+    writeEltype(df, path, el match {
+      case VecsIO.F32 => "float32"
+      case VecsIO.I32 => "int32"
+      case VecsIO.U8  => "uint8"
+      case VecsIO.F16 => "float16"
+    })
 
   /** Bytes per element for a reference `eltype` string
     * (svs_config.toml vocabulary, include/svs/lib/datatype.h). */
   def eltypeBytes(eltype: String): Int = eltype match {
     case "float64"             => 8
     case "float32"             => 4
+    case "int32"               => 4
     case "float16" | "bfloat16" => 2
     case "int8" | "uint8"      => 1
     case other => sys.error(s"unsupported eltype '$other'")
@@ -146,6 +123,7 @@ object SvsNative {
       eltype match {
         case "float64" => v.foreach(bb.putDouble)
         case "float32" => v.foreach(x => bb.putFloat(x.toFloat))
+        case "int32"   => v.foreach(x => bb.putInt(x.toInt))
         case "float16" => v.foreach(x => bb.putShort(
           graft.functions.Binary16.floatToHalf(x.toFloat)))
         case "bfloat16" => v.foreach { x =>
