@@ -1611,6 +1611,42 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** q170: `.npy` write→read round trip (reference read_npy surface,
+    * bindings/python/src/svs/common.py:62): one standalone npy shard per
+    * partition out, dense (path, row)-ordered ids back. Embeddings are
+    * float32 at the source, so the `<f4` trip is bit-exact — same
+    * identity claim as q29's fvecs trip. */
+  private def npyRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_npy_q170"
+    val orig = embVectors(s, dir).select("id", "vec")
+    graft.sources.NpyIO.write(
+      orig.repartitionByRange(4, col("id")), out, "f4")
+    val back = graft.sources.NpyIO.read(s, s"$out/*.npy")
+      .withColumnRenamed("vec", "vec_back")
+    orig.join(back, Seq("id"))
+      .select(col("id"), size(col("vec")).cast("long").as("dims"),
+        when(col("vec") === col("vec_back"), 1L).otherwise(0L).as("matches"))
+      .orderBy("id")
+  }
+
+  /** q171: the DSv2 npy path — `df.write.format("graftnpy")` shards out,
+    * `spark.read.format("graftnpy")` reassembles with intra-file
+    * row-aligned splitting (the 100 GB-file posture, q139's npy twin).
+    * Embeddings are float32 at the source, so the default `<f4` trip is
+    * bit-exact — same identity claim as q29/q170. */
+  private def dsv2NpyQ(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_npy_q171"
+    val orig = embVectors(s, dir).select("id", "vec")
+    orig.repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.format("graftnpy").mode("overwrite").save(out)
+    val back = s.read.format("graftnpy").load(s"$out/*.npy")
+      .withColumnRenamed("vec", "vec_back")
+    orig.join(back, Seq("id"))
+      .select(col("id"), size(col("vec")).cast("long").as("dims"),
+        when(col("vec") === col("vec_back"), 1L).otherwise(0L).as("matches"))
+      .orderBy("id")
+  }
+
   private val SynN = 10000L
   private val SynDims = 16
   private val SynStride = 500L
@@ -2770,6 +2806,8 @@ object SparkEntry {
     "q167_hier_search" -> (hierSearchQ _),
     "q168_dyn_i8" -> (dynI8Q _),
     "q169_ivfpq_routed" -> (ivfPqRoutedQ _),
+    "q170_npy_roundtrip" -> (npyRoundtripQ _),
+    "q171_dsv2_npy" -> (dsv2NpyQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3127,5 +3165,10 @@ object SparkEntry {
       OracleGen.ivfPqSearch(PqM, PqK, K, IvfPqProbes),
     "q168_dyn_i8" -> OracleGen.embeddingKnnI8Excluding(Metric.L2, K,
       ByteScale, "vec_id % 9 = 0"),
+    // q170: embeddings are float32 at the source, so the `<f4` npy trip
+    // is bit-exact — identity oracle, same claim as q29's fvecs trip.
+    "q170_npy_roundtrip" -> OracleGen.fvecsRoundtrip,
+    // q171: DSv2 npy reader/writer ≡ q29's roundtrip contract.
+    "q171_dsv2_npy" -> OracleGen.fvecsRoundtrip,
   )
 }

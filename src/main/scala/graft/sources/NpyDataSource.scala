@@ -1,0 +1,368 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
+  Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
+  Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 for NumPy `.npy` — `spark.read.format("graftnpy")
+  * .load(path)` → `(id BIGINT, vec ARRAY<DOUBLE>)`.
+  *
+  * What this adds over [[NpyIO.read]] (which stays the simple
+  * one-file-per-task ingest): **intra-file record-aligned splitting**. A
+  * C-order npy payload is a flat run of fixed-stride rows
+  * (`cols × elBytes` after the header — public NEP-1 layout, the format
+  * the reference's Python surface ingests via
+  * `bindings/python/src/svs/common.py:62` read_npy → np.load), so a
+  * single 100 GB array shards into `maxPartitionBytes` ranges at row
+  * boundaries — no whole-file materialization, and dense ids stay exact
+  * because `row = offset / stride` is arithmetic. Column pruning is
+  * pushed into the reader (an `id`-only scan never decodes payload
+  * bytes) and LIMIT caps split planning, both matching
+  * [[VecsDataSource]]'s posture.
+  *
+  * Fortran-order shards are rejected loudly here — a column-major row is
+  * a strided gather across the whole payload, which defeats range
+  * splitting; [[NpyIO.read]] (whole-file decode) handles those. np.save
+  * emits C order unless the array was explicitly transposed.
+  *
+  * The write side emits one standalone v1.0 C-order `.npy` per input
+  * partition (`np.load` opens each shard directly) with
+  * `.option("descr", "f4"|"f8"|"f2"|"i1"|"u1"|"i2"|"i4"|"i8")`, default
+  * f4. The format stores no ids, so re-read ids are dense (path, row)
+  * order — callers wanting stable ids range-partition by id first,
+  * exactly [[NpyIO.write]]'s contract. Commit sweeps files left by
+  * failed/speculative attempts of THIS write (shard names carry the
+  * queryId), leaving prior writes' shards untouched in append mode.
+  */
+class NpyDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftnpy"
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    VecsDataSource.Schema
+  override def getTable(schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new NpyTable(VecsDataSource.pathsOf(properties))
+}
+
+object NpyDataSource {
+  /** One row-aligned byte-range of one C-order file. */
+  case class NpySplit(path: String, descr: String, cols: Int,
+      dataOffset: Long, startRow: Long, numRows: Long, baseId: Long)
+    extends InputPartition
+}
+
+class NpyTable(paths: Seq[String]) extends Table
+    with SupportsRead with SupportsWrite {
+  override def name(): String = s"graftnpy(${paths.mkString(",")})"
+  override def schema(): StructType = VecsDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new NpyScanBuilder(paths)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(paths.size == 1, "graftnpy write: exactly one target path")
+    new NpyWriteBuilder(paths.head, info)
+  }
+}
+
+class NpyScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
+  private var required: StructType = VecsDataSource.Schema
+  private var limit: Long = Long.MaxValue
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def pushLimit(n: Int): Boolean = { limit = n.toLong; true }
+  override def build(): Scan = new NpyScan(paths, required, limit)
+}
+
+class NpyScan(paths: Seq[String], required: StructType,
+    limit: Long = Long.MaxValue)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graftnpy ${paths.mkString(",")} cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val files = paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val matches = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
+      matches.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".npy"))
+        else Seq(st)
+      }
+    }.sortBy(_.getPath.toString)
+    require(files.nonEmpty, s"graftnpy: no files at ${paths.mkString(",")}")
+    var baseId = 0L
+    var descr0: String = null
+    var cols0 = -1
+    val out = Seq.newBuilder[InputPartition]
+    files.foreach { st =>
+      val path = st.getPath.toString
+      val h = NpyIO.readHeaderAt(conf, path)
+      require(!h.fortran,
+        s"graftnpy: $path is fortran_order — column-major rows defeat " +
+          "range splitting; use NpyIO.read for such files")
+      if (descr0 == null) { descr0 = h.descr; cols0 = h.cols }
+      require(h.descr == descr0,
+        s"graftnpy: dtype drift — $path is ${h.descr}, expected $descr0")
+      require(h.cols == cols0,
+        s"graftnpy: dims drift — $path is ${h.cols}-d, expected $cols0")
+      val stride = h.cols.toLong * h.elBytes
+      require(st.getLen == h.dataOffset + h.payloadBytes,
+        s"graftnpy: $path payload ${st.getLen - h.dataOffset} B != shape " +
+          s"(${h.rows}, ${h.cols}) × ${h.elBytes} B")
+      val rowsPerSplit = math.max(1L, splitBytes / stride)
+      var start = 0L
+      while (start < h.rows && baseId + start < limit) {
+        val n = math.min(math.min(rowsPerSplit, h.rows - start),
+          limit - (baseId + start))
+        out += NpyDataSource.NpySplit(path, h.descr, h.cols, h.dataOffset,
+          start, n, baseId + start)
+        start += n
+      }
+      baseId += h.rows
+    }
+    out.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NpyReaderFactory(required,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sparkContext.hadoopConfiguration))
+}
+
+class NpyReaderFactory(required: StructType,
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] =
+    new NpyPartitionReader(
+      partition.asInstanceOf[NpyDataSource.NpySplit], required, hadoopConf)
+}
+
+/** Streams one row-aligned range with a bounded read buffer; ids from
+  * arithmetic, payload decoded only when the pruned schema asks for
+  * `vec`. */
+class NpyPartitionReader(split: NpyDataSource.NpySplit,
+    required: StructType,
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
+  private val elBytes = NpyIO.elBytes(split.descr)
+  private val stride = split.cols.toLong * elBytes
+  private val wantVec = required.fieldNames.contains("vec")
+
+  private val in = {
+    val p = new Path(split.path)
+    p.getFileSystem(hadoopConf.value).open(p)
+  }
+  in.seek(split.dataOffset + split.startRow * stride)
+  private val bufRows = math.max(1, ((8L << 20) / stride).toInt)
+  private val buf = new Array[Byte]((bufRows * stride).toInt)
+  private var bb: ByteBuffer = ByteBuffer.allocate(0)
+  private var rowsDone = 0L
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (rowsDone >= split.numRows) return false
+    if (bb.remaining() < stride) {
+      val n = math.min(bufRows.toLong, split.numRows - rowsDone).toInt
+      val want = n * stride.toInt
+      in.readFully(buf, 0, want)
+      bb = ByteBuffer.wrap(buf, 0, want).order(ByteOrder.LITTLE_ENDIAN)
+    }
+    val vec: GenericArrayData = if (wantVec) {
+      val out = new Array[Double](split.cols)
+      var i = 0
+      split.descr match {
+        case "f8" => while (i < split.cols) { out(i) = bb.getDouble; i += 1 }
+        case "f4" =>
+          while (i < split.cols) { out(i) = bb.getFloat.toDouble; i += 1 }
+        case "f2" => while (i < split.cols) {
+          out(i) =
+            graft.functions.Binary16.halfToFloat(bb.getShort).toDouble
+          i += 1
+        }
+        case "i1" => while (i < split.cols) { out(i) = bb.get.toDouble; i += 1 }
+        case "u1" =>
+          while (i < split.cols) { out(i) = (bb.get & 0xff).toDouble; i += 1 }
+        case "i2" =>
+          while (i < split.cols) { out(i) = bb.getShort.toDouble; i += 1 }
+        case "u2" => while (i < split.cols) {
+          out(i) = (bb.getShort & 0xffff).toDouble; i += 1
+        }
+        case "i4" =>
+          while (i < split.cols) { out(i) = bb.getInt.toDouble; i += 1 }
+        case "u4" => while (i < split.cols) {
+          out(i) = (bb.getInt & 0xffffffffL).toDouble; i += 1
+        }
+        case "i8" =>
+          while (i < split.cols) { out(i) = bb.getLong.toDouble; i += 1 }
+      }
+      new GenericArrayData(out)
+    } else {
+      bb.position(bb.position() + stride.toInt)
+      null
+    }
+    val values = required.fieldNames.map {
+      case "id" => java.lang.Long.valueOf(split.baseId + rowsDone)
+      case "vec" => vec
+    }
+    current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+    rowsDone += 1
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
+
+class NpyWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new NpyWrite(path, info.schema(),
+    NpyIO.normalizeDescr(
+      Option(info.options.get("descr")).getOrElse("f4")),
+    doTruncate, info.queryId())
+}
+
+class NpyWrite(path: String, schema: StructType, descr: String,
+    truncate: Boolean, queryId: String) extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    require(descr != "u2" && descr != "u4",
+      s"graftnpy write: descr $descr unsupported (read-only widths)")
+    val vecOrdinal = schema.fieldIndex("vec")
+    val floatElems = schema(vecOrdinal).dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case t => sys.error(s"graftnpy write: vec must be an array of " +
+        s"float/double, got $t")
+    }
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    if (truncate) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    new NpyWriterFactory(path, descr, vecOrdinal, floatElems, queryId, conf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val keep = messages.collect {
+      case VecsDataSource.Committed(p) => new Path(p).getName }.toSet
+    val dir = new Path(path)
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".npy") && n.contains(queryId) && !keep.contains(n))
+        fs.delete(st.getPath, false)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    messages.collect { case VecsDataSource.Committed(p) =>
+      val hp = new Path(p)
+      hp.getFileSystem(conf).delete(hp, false)
+    }
+  }
+}
+
+class NpyWriterFactory(dir: String, descr: String, vecOrdinal: Int,
+    floatElems: Boolean, queryId: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new NpyDataWriter(dir, descr, vecOrdinal, floatElems, partitionId,
+      taskId, queryId, conf)
+}
+
+/** The npy header carries the row count up front, so each task buffers
+  * its encoded rows and writes the file at commit — the buffer holds
+  * exactly the payload bytes the shard will, and partitions are already
+  * sized to fit executor memory. An empty partition commits no file
+  * (np.load has no zero-row convention worth emitting). */
+class NpyDataWriter(dir: String, descr: String, vecOrdinal: Int,
+    floatElems: Boolean, partitionId: Int, taskId: Long, queryId: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends DataWriter[InternalRow] {
+  private val elBytes = NpyIO.elBytes(descr)
+  private val rows = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+  private var cols = -1
+  private var written: Option[Path] = None
+
+  override def write(row: InternalRow): Unit = {
+    val arr = row.getArray(vecOrdinal)
+    val d = arr.numElements()
+    if (cols < 0) cols = d
+    require(d == cols, s"graftnpy write: $d dims, expected $cols")
+    val bb = ByteBuffer.allocate(d * elBytes).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < d) {
+      val x = if (floatElems) arr.getFloat(i).toDouble else arr.getDouble(i)
+      descr match {
+        case "f8" => bb.putDouble(x)
+        case "f4" => bb.putFloat(x.toFloat)
+        case "f2" =>
+          bb.putShort(graft.functions.Binary16.floatToHalf(x.toFloat))
+        case "i1" => bb.put(x.toInt.toByte)
+        case "u1" => bb.put((x.toInt & 0xff).toByte)
+        case "i2" => bb.putShort(x.toInt.toShort)
+        case "i4" => bb.putInt(x.toInt)
+        case "i8" => bb.putLong(x.toLong)
+      }
+      i += 1
+    }
+    rows += bb.array()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (rows.isEmpty)
+      return VecsDataSource.Committed(
+        new Path(dir, s"empty-$partitionId-$taskId-$queryId.none").toString)
+    val out = new Path(dir, f"part-$partitionId%05d-$taskId-$queryId.npy")
+    val os = out.getFileSystem(conf.value).create(out, true)
+    os.write(NpyIO.headerBytes(descr, rows.length.toLong, cols))
+    rows.foreach(os.write)
+    os.close()
+    written = Some(out)
+    VecsDataSource.Committed(out.toString)
+  }
+
+  override def abort(): Unit =
+    written.foreach(p => p.getFileSystem(conf.value).delete(p, false))
+
+  override def close(): Unit = rows.clear()
+}

@@ -1,0 +1,383 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** NumPy `.npy` source/sink — the reference's Python surface reads vector
+  * datasets straight from npy files (`bindings/python/src/svs/common.py:62`
+  * `read_npy` → `np.load`) and its docs feed `np.save` output to the
+  * loaders, so a complete ingest surface needs the format alongside
+  * vecs/svs/raw-binary.
+  *
+  * Format (public NEP-1 spec): magic `\x93NUMPY`, one version byte pair,
+  * a little-endian header length (u16 for v1.0, u32 for v2.0/3.0), then an
+  * ASCII dict `{'descr': '<f4', 'fortran_order': False, 'shape': (n, d)}`
+  * padded with spaces to a 64-byte-aligned data offset and terminated by
+  * `\n`, followed by the raw array bytes.
+  *
+  * Spark mapping mirrors [[VecsIO]]: a glob/dir of part files reads as one
+  * dataset with dense (path, row)-ordered ids; headers are parsed
+  * driver-side (bounded bytes per file, no content pull); payload decode is
+  * distributed over the `binaryFile` source. [[write]] emits one
+  * independently loadable `.npy` per partition — `np.load` opens each shard
+  * directly, and [[read]] reassembles the whole dataset.
+  *
+  * Supported dtypes are the reference's dataset element types
+  * (`include/svs/lib/datatype.h:53-66`): f64/f32/f16 plus the integer
+  * widths; i1/u1 additionally ingest BYTE-RESIDENT via [[readBytes]] with
+  * the [[graft.functions.ByteVecs]] signedness mark, matching the bvecs
+  * posture. Big-endian descrs are rejected loudly (numpy emits
+  * little-endian on every mainstream platform).
+  */
+object NpyIO {
+
+  private val Magic: Array[Byte] =
+    Array(0x93.toByte, 'N'.toByte, 'U'.toByte, 'M'.toByte, 'P'.toByte,
+      'Y'.toByte)
+
+  /** Parsed npy header: normalized dtype descr, storage order, logical
+    * shape (1-D arrays read as `(n, 1)`), and the byte offset of the
+    * payload. */
+  case class Header(descr: String, fortran: Boolean, rows: Long, cols: Int,
+                    dataOffset: Long) {
+    def elBytes: Int = NpyIO.elBytes(descr)
+    def payloadBytes: Long = rows * cols.toLong * elBytes
+  }
+
+  /** Element width for a normalized descr. */
+  def elBytes(descr: String): Int = descr.last.toString.toInt
+
+  private val SupportedDescrs =
+    Set("i1", "u1", "i2", "u2", "i4", "u4", "i8", "f2", "f4", "f8")
+
+  /** Normalize `'<f4'` / `'|u1'` / `'f4'` → `"f4"`; reject big-endian and
+    * unsupported kinds. */
+  def normalizeDescr(raw: String): String = {
+    require(!raw.startsWith(">"),
+      s"big-endian npy descr '$raw' not supported (numpy writes " +
+        "little-endian on all mainstream platforms)")
+    val d = raw.stripPrefix("<").stripPrefix("|").stripPrefix("=")
+    require(SupportedDescrs.contains(d), s"unsupported npy descr '$raw'")
+    d
+  }
+
+  /** Parse a header from the first `bytes` of a file (must cover the full
+    * dict — [[headerProbeBytes]] is always enough for v1, and [[read]]
+    * retries with the declared length for oversized v2 dicts). */
+  def parseHeader(bytes: Array[Byte], path: String = "<bytes>"): Header = {
+    require(bytes.length >= 10, s"$path: truncated npy (${bytes.length} B)")
+    require(bytes.take(6).sameElements(Magic), s"$path: bad npy magic")
+    val major = bytes(6) & 0xff
+    require(major >= 1 && major <= 3, s"$path: npy version $major")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val (hlen, hoff) =
+      if (major == 1) (bb.getShort(8) & 0xffff, 10)
+      else (bb.getInt(8), 12)
+    val dataOffset = hoff.toLong + hlen
+    require(bytes.length >= dataOffset,
+      s"$path: header probe too small ($hlen B dict)")
+    val dict = new String(bytes, hoff, hlen, StandardCharsets.ISO_8859_1)
+    def field(re: scala.util.matching.Regex, what: String): String =
+      re.findFirstMatchIn(dict)
+        .getOrElse(sys.error(s"$path: npy header missing $what: $dict"))
+        .group(1)
+    val descr = normalizeDescr(
+      field("'descr'\\s*:\\s*'([^']+)'".r, "descr"))
+    val fortran =
+      field("'fortran_order'\\s*:\\s*(True|False)".r, "fortran_order") ==
+        "True"
+    val shapeStr = field("'shape'\\s*:\\s*\\(([^)]*)\\)".r, "shape")
+    val dims = shapeStr.split(",").map(_.trim).filter(_.nonEmpty)
+      .map(_.toLong)
+    val (rows, cols) = dims match {
+      case Array(n)    => (n, 1)
+      case Array(n, d) =>
+        require(d > 0 && d <= Int.MaxValue, s"$path: npy cols $d")
+        (n, d.toInt)
+      case _ => sys.error(
+        s"$path: npy shape ($shapeStr) has rank ${dims.length}; " +
+          "only 1-D/2-D arrays map to vector tables")
+    }
+    Header(descr, fortran, rows, cols, dataOffset)
+  }
+
+  /** Enough for any v1 header (10 + 65535) and any sane v2 dict. */
+  private val headerProbeBytes = 66000
+
+  private def readHeaderAt(spark: SparkSession, pathStr: String): Header =
+    readHeaderAt(spark.sparkContext.hadoopConfiguration, pathStr)
+
+  /** Driver-side header probe: bounded read (never the payload). Shared
+    * with the DSv2 [[NpyDataSource]] planner. */
+  private[sources] def readHeaderAt(
+      conf: org.apache.hadoop.conf.Configuration, pathStr: String): Header = {
+    val p = new Path(pathStr)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val n = math.min(len, headerProbeBytes.toLong).toInt
+    val buf = new Array[Byte](n)
+    val in = fs.open(p)
+    try in.readFully(0L, buf) finally in.close()
+    parseHeader(buf, pathStr)
+  }
+
+  private def resolve(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    val files = matches.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".npy"))
+      else Seq(st)
+    }.map(_.getPath.toString).sorted
+    require(files.nonEmpty, s"no npy files at $path")
+    files
+  }
+
+  /** Headers for every file under `path`, path-sorted, with uniform
+    * descr/cols enforced (fortran_order may vary per shard — numpy decides
+    * per array). */
+  private def headersFor(spark: SparkSession, path: String)
+      : Seq[(String, Header)] = {
+    val withHeaders = resolve(spark, path).map { p =>
+      (p, readHeaderAt(spark, p))
+    }
+    val (p0, h0) = withHeaders.head
+    withHeaders.tail.foreach { case (p, h) =>
+      require(h.descr == h0.descr,
+        s"npy dtype drift: $p0 is ${h0.descr}, $p is ${h.descr}")
+      require(h.cols == h0.cols,
+        s"npy dims drift: $p0 is ${h0.cols}-d, $p is ${h.cols}-d")
+    }
+    withHeaders
+  }
+
+  /** Element (row, col) → payload byte offset, honoring storage order. */
+  private def elOffset(h: Header, row: Long, col: Int): Long = {
+    val idx = if (h.fortran) col.toLong * h.rows + row
+              else row * h.cols + col
+    h.dataOffset + idx * h.elBytes
+  }
+
+  private def readElement(bb: ByteBuffer, off: Long, descr: String): Double = {
+    val o = off.toInt
+    descr match {
+      case "f8" => bb.getDouble(o)
+      case "f4" => bb.getFloat(o).toDouble
+      case "f2" =>
+        graft.functions.Binary16.halfToFloat(bb.getShort(o)).toDouble
+      case "i1" => bb.get(o).toDouble
+      case "u1" => (bb.get(o) & 0xff).toDouble
+      case "i2" => bb.getShort(o).toDouble
+      case "u2" => (bb.getShort(o) & 0xffff).toDouble
+      case "i4" => bb.getInt(o).toDouble
+      case "u4" => (bb.getInt(o) & 0xffffffffL).toDouble
+      case "i8" => bb.getLong(o).toDouble
+    }
+  }
+
+  /** Read a `.npy` file/dir/glob into `(id BIGINT, vec ARRAY<DOUBLE>)` —
+    * the read_npy twin. Ids are dense in (path, row) order like
+    * [[VecsIO.read]]; every supported dtype widens to double (the engine's
+    * working type; kernels re-narrow as needed). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val headers = headersFor(spark, path)
+    headers.foreach { case (p, h) =>
+      val expect = h.dataOffset + h.payloadBytes
+      val fp = new Path(p)
+      val len = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(fp).getLen
+      require(len == expect,
+        s"$p: npy payload ${len - h.dataOffset} B != shape " +
+          s"(${h.rows}, ${h.cols}) × ${h.elBytes} B")
+    }
+    val bases = headers.scanLeft(0L) { case (acc, (_, h)) => acc + h.rows }
+    val metaByPath = headers.map { case (p, h) => (p, h) }.toMap
+    val baseByPath = headers.map(_._1).zip(bases).toMap
+    val bcMeta = spark.sparkContext.broadcast(metaByPath)
+    val bcBase = spark.sparkContext.broadcast(baseByPath)
+    spark.read.format("binaryFile").load(headers.map(_._1): _*)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val h = bcMeta.value(p)
+        val base = bcBase.value(p)
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        (0L until h.rows).iterator.map { r =>
+          val out = new Array[Double](h.cols)
+          var c = 0
+          while (c < h.cols) {
+            out(c) = readElement(bb, elOffset(h, r, c), h.descr)
+            c += 1
+          }
+          (base + r, out)
+        }
+      }
+      .toDF("id", "vec")
+  }
+
+  /** BYTE-RESIDENT ingest for `|i1` / `|u1` npy files: payload bytes land
+    * as `ARRAY<TINYINT>` raw bit patterns with the matching
+    * [[graft.functions.ByteVecs]] signedness mark (u1 200 → byte −56 +
+    * unsigned mark), never widening — the npy twin of
+    * [[VecsIO.readBytesU8]]. */
+  def readBytes(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val headers = headersFor(spark, path)
+    val descr = headers.head._2.descr
+    require(descr == "i1" || descr == "u1",
+      s"readBytes needs an i1/u1 npy, got $descr — use read()")
+    val bases = headers.scanLeft(0L) { case (acc, (_, h)) => acc + h.rows }
+    val bcMeta = spark.sparkContext.broadcast(headers.toMap)
+    val bcBase =
+      spark.sparkContext.broadcast(headers.map(_._1).zip(bases).toMap)
+    val df = spark.read.format("binaryFile").load(headers.map(_._1): _*)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val h = bcMeta.value(p)
+        val base = bcBase.value(p)
+        (0L until h.rows).iterator.map { r =>
+          val out = new Array[Byte](h.cols)
+          var c = 0
+          while (c < h.cols) {
+            out(c) = bytes(elOffset(h, r, c).toInt)
+            c += 1
+          }
+          (base + r, out.toSeq)
+        }
+      }
+      .toDF("id", "vec")
+    graft.functions.ByteVecs.markSignedness(df, "vec",
+      unsigned = descr == "u1")
+  }
+
+  /** Canonical v1.0 header bytes for `(rows, cols)` of `descr`, padded so
+    * the payload starts 64-byte aligned — byte-compatible with what
+    * `np.save` emits. */
+  def headerBytes(descr: String, rows: Long, cols: Int): Array[Byte] = {
+    val prefix = descr.head match {
+      case 'f' | 'i' if elBytes(descr) > 1 => "<"
+      case _                                => "|"
+    }
+    val dict = s"{'descr': '$prefix$descr', 'fortran_order': False, " +
+      s"'shape': ($rows, $cols), }"
+    val unpadded = 10 + dict.length + 1
+    val padded = ((unpadded + 63) / 64) * 64
+    val hlen = padded - 10
+    require(hlen <= 0xffff, s"npy dict too large ($hlen B)")
+    val out = ByteBuffer.allocate(padded).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(Magic).put(1.toByte).put(0.toByte)
+    out.putShort(hlen.toShort)
+    out.put(dict.getBytes(StandardCharsets.ISO_8859_1))
+    while (out.position() < padded - 1) out.put(' '.toByte)
+    out.put('\n'.toByte)
+    out.array()
+  }
+
+  private def encodeElement(bb: ByteBuffer, x: Double, descr: String): Unit =
+    descr match {
+      case "f8" => bb.putDouble(x)
+      case "f4" => bb.putFloat(x.toFloat)
+      case "f2" =>
+        bb.putShort(graft.functions.Binary16.floatToHalf(x.toFloat))
+      case "i1" => bb.put(x.toInt.toByte)
+      case "u1" => bb.put((x.toInt & 0xff).toByte)
+      case "i2" => bb.putShort(x.toInt.toShort)
+      case "i4" => bb.putInt(x.toInt)
+      case "i8" => bb.putLong(x.toLong)
+      case d    => sys.error(s"npy write does not support descr $d")
+    }
+
+  /** Write `(id, vec)` as `part-NNNNN.npy` shards under `dir`, one
+    * C-order v1.0 file per partition (each a standalone `np.load`-able
+    * array). The shape header needs the row count up front, so each
+    * partition buffers its encoded rows before writing — partitions are
+    * already sized to fit executor memory, and the buffer holds exactly
+    * the bytes the file will. Use `repartitionByRange(n, col("id"))`
+    * upstream for globally id-ordered shards. */
+  def write(df: DataFrame, dir: String, descr: String = "f4"): Unit = {
+    val d = normalizeDescr(descr)
+    val spark = df.sparkSession
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf.value)
+    fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    df.select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .sortWithinPartitions("id")
+      .rdd
+      .mapPartitionsWithIndex { case (pi, iter) =>
+        if (iter.isEmpty) Iterator.empty
+        else {
+          val rows = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+          var cols = -1
+          iter.foreach { row =>
+            val v = row.getSeq[Double](1)
+            if (cols < 0) cols = v.length
+            require(v.length == cols,
+              s"row ${row.getLong(0)}: ${v.length} dims, expected $cols")
+            val bb = ByteBuffer.allocate(cols * elBytes(d))
+              .order(ByteOrder.LITTLE_ENDIAN)
+            v.foreach(x => encodeElement(bb, x, d))
+            rows += bb.array()
+          }
+          val out = new Path(dir, f"part-$pi%05d.npy")
+          val os = out.getFileSystem(conf.value).create(out, true)
+          os.write(headerBytes(d, rows.length.toLong, cols))
+          rows.foreach(os.write)
+          os.close()
+          Iterator.single(pi)
+        }
+      }
+      .count()
+  }
+
+  /** Byte-resident writer: `ARRAY<TINYINT>` rows persist their raw bit
+    * patterns as `|u1` or `|i1` per the column's required
+    * [[graft.functions.ByteVecs]] signedness mark — [[readBytes]] restores
+    * residency and mark exactly. */
+  def writeBytes(df: DataFrame, dir: String): Unit = {
+    import graft.functions.ByteVecs
+    require(ByteVecs.isByteVec(df.schema("vec").dataType),
+      "writeBytes needs an ARRAY<TINYINT> vec — use write()")
+    val unsigned = ByteVecs.requireSignedness(df.schema, "vec")
+    val descr = if (unsigned) "u1" else "i1"
+    val spark = df.sparkSession
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf.value)
+    fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    df.select(col("id").cast("long"), col("vec"))
+      .sortWithinPartitions("id")
+      .rdd
+      .mapPartitionsWithIndex { case (pi, iter) =>
+        if (iter.isEmpty) Iterator.empty
+        else {
+          val rows = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+          var cols = -1
+          iter.foreach { row =>
+            val v = row.getSeq[Byte](1)
+            if (cols < 0) cols = v.length
+            require(v.length == cols,
+              s"row ${row.getLong(0)}: ${v.length} dims, expected $cols")
+            rows += v.toArray
+          }
+          val out = new Path(dir, f"part-$pi%05d.npy")
+          val os = out.getFileSystem(conf.value).create(out, true)
+          os.write(headerBytes(descr, rows.length.toLong, cols))
+          rows.foreach(os.write)
+          os.close()
+          Iterator.single(pi)
+        }
+      }
+      .count()
+  }
+}

@@ -81,11 +81,13 @@ object VectorTable {
   }
 
   /** S6 auto-dispatch by path shape: vecs file extensions load through
-    * VecsIO; anything else is treated as a saved directory. */
+    * VecsIO, `.npy` through NpyIO; anything else is treated as a saved
+    * directory. */
   def open(spark: SparkSession, path: String): DataFrame =
     if (path.endsWith(".fvecs") || path.endsWith(".ivecs") ||
         path.endsWith(".bvecs"))
       VecsIO.read(spark, path)
+    else if (path.endsWith(".npy")) NpyIO.read(spark, path)
     else load(spark, path)
 
   /** S7 type-converting ingest: cast vector elements (e.g. float64 →
