@@ -27,6 +27,44 @@ object ScaleBench {
     val nq = sys.env.getOrElse("SPARK_GRAFT_SCALE_NQ", "100").toInt
     val path = "/tmp/graft_scale_data"
 
+    // NPY source probe (opt-in: SPARK_GRAFT_SCALE_NPY=1): the single-huge-
+    // file story graftnpy exists for — ONE n×64-d f4 shard (the 100 GB
+    // array in miniature), read whole-file by NpyIO (one task, the np.load
+    // shape) vs the DSv2's row-aligned intra-file splits (every core busy).
+    // Also times the pruned id-only scan, which never decodes payloads.
+    if (sys.env.get("SPARK_GRAFT_SCALE_NPY").contains("1")) {
+      def t[A](f: => A): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val npyDir = "/tmp/graft_scale_npy"
+      val src = SyntheticData.generateMixed(spark, n, dims)
+        .repartitionByRange(1, col("id")).sortWithinPartitions("id")
+      val tWrite = t {
+        src.write.format("graftnpy").mode("overwrite").save(npyDir) }
+      val before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes",
+        (16L << 20).toString)
+      val ds = spark.read.format("graftnpy").load(s"$npyDir/*.npy")
+      val nParts = ds.rdd.getNumPartitions
+      def fullScan(df: org.apache.spark.sql.DataFrame): Double = t {
+        df.agg(sum(element_at(col("vec"), 1))).head }
+      val scanWarm = fullScan(ds) // page-cache warm
+      val tScan = (0 until 3).map(_ => fullScan(ds)).min
+      val tIdOnly = (0 until 3).map(_ =>
+        t { ds.select("id").agg(sum("id")).head }).min
+      val legacy = graft.sources.NpyIO.read(spark, s"$npyDir/*.npy")
+      val tLegacy = (0 until 3).map(_ => fullScan(legacy)).min
+      spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+      println(s"""{"experiment":"npy_source","n":$n,"dims":$dims,""" +
+        s""""file_bytes":${n * dims * 4},"write_sec":$tWrite,""" +
+        s""""dsv2_splits":$nParts,"dsv2_scan_sec":$tScan,""" +
+        s""""dsv2_scan_warmup_sec":$scanWarm,""" +
+        s""""dsv2_id_only_sec":$tIdOnly,""" +
+        s""""legacy_whole_file_scan_sec":$tLegacy}""")
+      spark.stop()
+      return
+    }
+
     // materialize to parquet so the bench measures scan+search, not codegen
     // of the generator (at 100 TB the input is always storage)
     SyntheticData.generateMixed(spark, n, dims)
