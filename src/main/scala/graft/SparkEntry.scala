@@ -1647,6 +1647,51 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** q172: STREAMING `.npy` shard ingest (`StreamingShards`) — embeddings
+    * land as id-named shards in two waves (wave 1 before the stream
+    * starts, wave 2 mid-stream), each micro-batch decodes only its new
+    * files, and `base-<startId>.npy` names restore exact original ids.
+    * Identity vs the source: f32 at origin, so the `<f4` trip is
+    * bit-exact (q29/q170's claim), making the stream ≡ batch ≡ source. */
+  private def npyStreamQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = "/tmp/graft_npy_q172"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-npy-q172-ckpt").toString
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val orig = embVectors(s, dir).select("id", "vec")
+    val half = orig.count() / 2
+    graft.sources.NpyIO.write(
+      orig.filter(col("id") < half).repartitionByRange(2, col("id")),
+      out, "f4", idShardNames = true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingShards.npyShardsWithIds(s, out)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      graft.sources.NpyIO.write(
+        orig.filter(col("id") >= half).repartitionByRange(2, col("id")),
+        out, "f4", idShardNames = true, append = true)
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = buf.toSeq.toDF("id", "vec_back")
+    orig.join(back, Seq("id"))
+      .select(col("id"), size(col("vec")).cast("long").as("dims"),
+        when(col("vec") === col("vec_back"), 1L).otherwise(0L).as("matches"))
+      .orderBy("id")
+  }
+
   private val SynN = 10000L
   private val SynDims = 16
   private val SynStride = 500L
@@ -2808,6 +2853,7 @@ object SparkEntry {
     "q169_ivfpq_routed" -> (ivfPqRoutedQ _),
     "q170_npy_roundtrip" -> (npyRoundtripQ _),
     "q171_dsv2_npy" -> (dsv2NpyQ _),
+    "q172_npy_stream" -> (npyStreamQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3170,5 +3216,8 @@ object SparkEntry {
     "q170_npy_roundtrip" -> OracleGen.fvecsRoundtrip,
     // q171: DSv2 npy reader/writer ≡ q29's roundtrip contract.
     "q171_dsv2_npy" -> OracleGen.fvecsRoundtrip,
+    // q172: streaming shard ingest with exact-id restoration ≡ the same
+    // identity contract — stream ≡ batch ≡ source.
+    "q172_npy_stream" -> OracleGen.fvecsRoundtrip,
   )
 }

@@ -181,6 +181,28 @@ object NpyIO {
     }
   }
 
+  /** Decode every row of one standalone npy blob (header included) as
+    * `(rowInFile, widened values)` — the executor-side kernel shared by
+    * [[read]] and [[graft.streaming.StreamingShards]]. Header re-parse per
+    * file is trivia next to payload decode. */
+  def decodeAll(bytes: Array[Byte], path: String = "<bytes>")
+      : Iterator[(Long, Array[Double])] = {
+    val h = parseHeader(bytes, path)
+    require(bytes.length.toLong == h.dataOffset + h.payloadBytes,
+      s"$path: npy payload ${bytes.length - h.dataOffset} B != shape " +
+        s"(${h.rows}, ${h.cols}) × ${h.elBytes} B")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    (0L until h.rows).iterator.map { r =>
+      val out = new Array[Double](h.cols)
+      var c = 0
+      while (c < h.cols) {
+        out(c) = readElement(bb, elOffset(h, r, c), h.descr)
+        c += 1
+      }
+      (r, out)
+    }
+  }
+
   /** Read a `.npy` file/dir/glob into `(id BIGINT, vec ARRAY<DOUBLE>)` —
     * the read_npy twin. Ids are dense in (path, row) order like
     * [[VecsIO.read]]; every supported dtype widens to double (the engine's
@@ -198,25 +220,13 @@ object NpyIO {
           s"(${h.rows}, ${h.cols}) × ${h.elBytes} B")
     }
     val bases = headers.scanLeft(0L) { case (acc, (_, h)) => acc + h.rows }
-    val metaByPath = headers.map { case (p, h) => (p, h) }.toMap
     val baseByPath = headers.map(_._1).zip(bases).toMap
-    val bcMeta = spark.sparkContext.broadcast(metaByPath)
     val bcBase = spark.sparkContext.broadcast(baseByPath)
     spark.read.format("binaryFile").load(headers.map(_._1): _*)
       .select("path", "content").as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
-        val h = bcMeta.value(p)
         val base = bcBase.value(p)
-        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-        (0L until h.rows).iterator.map { r =>
-          val out = new Array[Double](h.cols)
-          var c = 0
-          while (c < h.cols) {
-            out(c) = readElement(bb, elOffset(h, r, c), h.descr)
-            c += 1
-          }
-          (base + r, out)
-        }
+        decodeAll(bytes, p).map { case (r, out) => (base + r, out) }
       }
       .toDF("id", "vec")
   }
@@ -299,15 +309,28 @@ object NpyIO {
     * partition buffers its encoded rows before writing — partitions are
     * already sized to fit executor memory, and the buffer holds exactly
     * the bytes the file will. Use `repartitionByRange(n, col("id"))`
-    * upstream for globally id-ordered shards. */
-  def write(df: DataFrame, dir: String, descr: String = "f4"): Unit = {
+    * upstream for globally id-ordered shards.
+    *
+    * `idShardNames = true` names each shard `base-<startId>.npy` and
+    * REQUIRES the partition's ids to be contiguous (range-partitioned
+    * dense ids) — the filename then carries everything a later reader
+    * needs to reconstruct exact original ids, which is what
+    * [[graft.streaming.StreamingShards.npyShardsWithIds]] keys on when
+    * shards land incrementally. `append = true` (only with id-named
+    * shards — name collisions are impossible across disjoint id ranges)
+    * adds shards to an existing directory instead of replacing it: the
+    * landing-waves shape. */
+  def write(df: DataFrame, dir: String, descr: String = "f4",
+            idShardNames: Boolean = false, append: Boolean = false): Unit = {
     val d = normalizeDescr(descr)
+    require(!append || idShardNames,
+      "npy append needs idShardNames=true (positional part names collide)")
     val spark = df.sparkSession
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf.value)
-    fs.delete(dirPath, true)
+    if (!append) fs.delete(dirPath, true)
     fs.mkdirs(dirPath)
     df.select(col("id").cast("long"), col("vec").cast("array<double>"))
       .sortWithinPartitions("id")
@@ -317,17 +340,28 @@ object NpyIO {
         else {
           val rows = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
           var cols = -1
+          var firstId = Long.MinValue
+          var lastId = Long.MinValue
           iter.foreach { row =>
             val v = row.getSeq[Double](1)
-            if (cols < 0) cols = v.length
+            if (cols < 0) { cols = v.length; firstId = row.getLong(0) }
             require(v.length == cols,
               s"row ${row.getLong(0)}: ${v.length} dims, expected $cols")
+            lastId = row.getLong(0)
             val bb = ByteBuffer.allocate(cols * elBytes(d))
               .order(ByteOrder.LITTLE_ENDIAN)
             v.foreach(x => encodeElement(bb, x, d))
             rows += bb.array()
           }
-          val out = new Path(dir, f"part-$pi%05d.npy")
+          val out = if (idShardNames) {
+            // sorted within the partition, so contiguity ⇔ the id span
+            // equals the row count (duplicates would shrink the span)
+            require(lastId - firstId + 1 == rows.length,
+              s"idShardNames needs contiguous ids per partition: span " +
+                s"[$firstId, $lastId] holds ${rows.length} rows — " +
+                "repartitionByRange dense ids first")
+            new Path(dir, f"base-$firstId%012d.npy")
+          } else new Path(dir, f"part-$pi%05d.npy")
           val os = out.getFileSystem(conf.value).create(out, true)
           os.write(headerBytes(d, rows.length.toLong, cols))
           rows.foreach(os.write)

@@ -53,7 +53,7 @@ object VecsIO {
     files
   }
 
-  private def decode(bytes: Array[Byte], el: ElType): Iterator[Array[Double]] = {
+  private[graft] def decode(bytes: Array[Byte], el: ElType): Iterator[Array[Double]] = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     new Iterator[Array[Double]] {
       def hasNext: Boolean = bb.remaining() >= 4
@@ -170,13 +170,16 @@ object VecsIO {
     * one per partition (ordered by id within each). Use
     * `df.repartitionByRange(n, col("id"))` upstream for globally ordered
     * shards. */
-  def write(df: DataFrame, dir: String, el: ElType): Unit = {
+  def write(df: DataFrame, dir: String, el: ElType,
+            idShardNames: Boolean = false, append: Boolean = false): Unit = {
+    require(!append || idShardNames,
+      "vecs append needs idShardNames=true (positional part names collide)")
     val spark = df.sparkSession
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf.value)
-    fs.delete(dirPath, true)
+    if (!append) fs.delete(dirPath, true)
     fs.mkdirs(dirPath)
     df.select(col("id").cast("long"), col("vec").cast("array<double>"))
       .sortWithinPartitions("id")
@@ -184,9 +187,25 @@ object VecsIO {
       .mapPartitionsWithIndex { case (pi, iter) =>
         if (iter.isEmpty) Iterator.empty
         else {
-          val out = new Path(dir, f"part-$pi%05d.${el.ext}")
-          val os = out.getFileSystem(conf.value).create(out, true)
+          // id-named shards open lazily on the first row (the name needs
+          // the partition's first id); contiguity — span ≡ row count, same
+          // contract as NpyIO — makes the filename authoritative for
+          // downstream exact-id restoration (StreamingShards)
+          var os: org.apache.hadoop.fs.FSDataOutputStream = null
+          var outPath: Path = null
+          var firstId = Long.MinValue
+          var lastId = Long.MinValue
+          var nRows = 0L
           iter.foreach { row =>
+            if (os == null) {
+              firstId = row.getLong(0)
+              outPath = if (idShardNames)
+                new Path(dir, f"base-$firstId%012d.${el.ext}")
+              else new Path(dir, f"part-$pi%05d.${el.ext}")
+              os = outPath.getFileSystem(conf.value).create(outPath, true)
+            }
+            lastId = row.getLong(0)
+            nRows += 1
             val v = row.getSeq[Double](1)
             val bb = ByteBuffer.allocate(4 + v.length * el.bytes)
               .order(ByteOrder.LITTLE_ENDIAN)
@@ -201,6 +220,15 @@ object VecsIO {
             os.write(bb.array())
           }
           os.close()
+          if (idShardNames && lastId - firstId + 1 != nRows) {
+            // the base-named file would lie about its id range: remove it
+            // before failing so no reader can trust it
+            outPath.getFileSystem(conf.value).delete(outPath, false)
+            sys.error(
+              s"idShardNames needs contiguous ids per partition: span " +
+                s"[$firstId, $lastId] holds $nRows rows — " +
+                "repartitionByRange dense ids first")
+          }
           Iterator.single(pi)
         }
       }

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.NpyIO
+
+/** Structured Streaming ingest of vector SHARDS landing in a directory —
+  * the "a new embedding dump appears every few minutes" shape. The
+  * reference ingests `.npy` dumps through its Python surface
+  * (`bindings/python/src/svs/common.py:62` read_npy); here the same files
+  * become a continuous source: Spark's file stream discovers new shards
+  * exactly-once per checkpoint, each micro-batch decodes ONLY its new
+  * files with the same executor-side kernel as the batch reader
+  * ([[NpyIO.decodeAll]]), and nothing shuffles until the caller's own
+  * downstream — per-shard decode is embarrassingly parallel, the 100 TB
+  * shape.
+  *
+  * Identity: a file stream has no global row order, so dense
+  * (path, row)-ordered ids — the batch reader's contract — do not exist
+  * under incremental arrival. [[npyShards]] therefore emits the honest
+  * coordinates `(shard, row, vec)`; [[npyShardsWithIds]] restores EXACT
+  * original ids when shards were written with
+  * `NpyIO.write(idShardNames = true)`, whose `base-<startId>.npy` names
+  * carry each shard's id base (id = base + row). Compose with
+  * [[StreamingIngest.attach]] to feed a dynamic index, or any stateful
+  * sink downstream. */
+object StreamingShards {
+
+  /** Stream of `.npy` shards under `dir` decoded to
+    * `(shard STRING, row BIGINT, vec ARRAY<DOUBLE>)` — `shard` is the
+    * file name (not the full path: checkpoints stay relocatable), `row`
+    * the position inside the shard. */
+  def npyShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    spark.readStream.format("binaryFile")
+      // streaming file sources need the schema up front; binaryFile's is
+      // fixed by the format
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .option("pathGlobFilter", "*.npy")
+      .load(dir)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        NpyIO.decodeAll(bytes, p).map { case (r, v) => (name, r, v) }
+      }
+      .toDF("shard", "row", "vec")
+  }
+
+  /** `*vecs` twin of [[npyShards]]: shards of `ext`
+    * (`"fvecs"|"ivecs"|"bvecs"|"hvecs"`) landing under `dir` decode with
+    * the batch reader's kernel ([[graft.sources.VecsIO.decode]]). */
+  def vecsShards(spark: SparkSession, dir: String, ext: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val el = graft.sources.VecsIO.elTypeFor(s"x.$ext")
+    spark.readStream.format("binaryFile")
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .option("pathGlobFilter", s"*.$ext")
+      .load(dir)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        graft.sources.VecsIO.decode(bytes, el).zipWithIndex.map {
+          case (v, r) => (name, r.toLong, v)
+        }
+      }
+      .toDF("shard", "row", "vec")
+  }
+
+  private def withRestoredIds(coords: DataFrame, what: String): DataFrame = {
+    val base = regexp_extract(col("shard"), "^base-(\\d+)\\.[a-z]+$", 1)
+    coords
+      .withColumn("id",
+        when(base === "", raise_error(concat(
+          lit(s"$what: shard "), col("shard"),
+          lit(" has no base-<startId> name — write with " +
+            "idShardNames=true or use the coordinate stream"))))
+          .otherwise(base.cast("long") + col("row")))
+      .select("id", "vec")
+  }
+
+  /** [[npyShards]] + exact original ids from `base-<startId>.npy` shard
+    * names (`NpyIO.write(idShardNames = true)`): `id = base + row`.
+    * A shard whose name does not carry a base fails the batch loudly —
+    * silently minting different ids would corrupt any downstream
+    * keyed state. */
+  def npyShardsWithIds(spark: SparkSession, dir: String): DataFrame =
+    withRestoredIds(npyShards(spark, dir), "npyShardsWithIds")
+
+  /** [[vecsShards]] + exact original ids from `base-<startId>.<ext>`
+    * names (`VecsIO.write(idShardNames = true)`). */
+  def vecsShardsWithIds(spark: SparkSession, dir: String, ext: String)
+      : DataFrame =
+    withRestoredIds(vecsShards(spark, dir, ext), "vecsShardsWithIds")
+}

@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.NpyIO
+import graft.streaming.StreamingShards
+
+/** Streaming `.npy` shard ingest ≡ batch read: shards landing in waves
+  * decode to the same rows, and base-named shards restore exact original
+  * ids (the contract a downstream dynamic index keys on). */
+class StreamingShardsSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val root = s"/tmp/graft_test_shardstream_$name"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    root
+  }
+
+  private def collectStream(src: DataFrame, ckpt: String)
+      (waves: (() => Unit)*): Seq[(Long, Seq[Double])] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.select("id", "vec").collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .start()
+    try waves.foreach { w => w(); q.processAllAvailable() }
+    finally q.stop()
+    buf.toSeq
+  }
+
+  test("two landing waves stream-decode to exact batch rows and ids") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir("waves")
+    val ckpt = freshDir("waves_ckpt")
+    val all = (0L until 40L).map(i =>
+      (i, Seq(i.toDouble, i * 0.5, -i.toDouble))).toDF("id", "vec")
+    val wave1 = all.filter(col("id") < 25)
+    val wave2 = all.filter(col("id") >= 25)
+
+    // wave 1 exists before the stream starts; wave 2 lands mid-stream
+    NpyIO.write(wave1.repartitionByRange(3, col("id")), dir, "f8",
+      idShardNames = true)
+    val got = collectStream(
+      StreamingShards.npyShardsWithIds(spark, dir), ckpt)(
+      () => (),
+      () => NpyIO.write(wave2.repartitionByRange(2, col("id")), dir, "f8",
+        idShardNames = true, append = true))
+
+    assert(got.size === 40)
+    val expect = all.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    assert(got.sortBy(_._1) === expect.sortBy(_._1))
+    // append kept wave-1 shards: batch reader sees both waves too
+    assert(NpyIO.read(spark, s"$dir/*.npy").count() === 40)
+  }
+
+  test("coordinate stream (shard, row, vec) covers un-based shards") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir("coords")
+    val ckpt = freshDir("coords_ckpt")
+    val df = (0L until 10L).map(i => (i, Seq(i.toDouble))).toDF("id", "vec")
+    NpyIO.write(df.coalesce(1), dir, "f8") // positional part-00000.npy
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+    val q = StreamingShards.npyShards(spark, dir).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getSeq[Double](2).head))
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(buf.size === 10)
+    assert(buf.forall(_._1 == "part-00000.npy"))
+    assert(buf.sortBy(_._2).map(_._3).toSeq === (0 until 10).map(_.toDouble))
+  }
+
+  test("landing shards feed a dynamic index end to end") {
+    val s = spark
+    import s.implicits._
+    import graft.core.Metric
+    import graft.operators.{DynamicVectorTable, FlatKnn}
+    val dir = freshDir("e2e")
+    val ckpt = freshDir("e2e_ckpt")
+    val root = freshDir("e2e_tbl")
+    val all = (0L until 30L).map(i => (i, Seq(i.toDouble, 2.0 * i)))
+      .toDF("id", "vec")
+    NpyIO.write(all.filter(col("id") < 15).repartitionByRange(2, col("id")),
+      dir, "f8", idShardNames = true)
+    val tbl = new DynamicVectorTable(spark, root)
+    val q = graft.streaming.StreamingIngest.attach(
+      StreamingShards.npyShardsWithIds(spark, dir), tbl, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(tbl.current.count() === 15)
+      NpyIO.write(
+        all.filter(col("id") >= 15).repartitionByRange(2, col("id")),
+        dir, "f8", idShardNames = true, append = true)
+      q.processAllAvailable()
+      assert(tbl.current.count() === 30)
+    } finally q.stop()
+    // the landed index serves: the exact NN of (10, 20) is id 10
+    val queries = Seq((0L, Seq(10.0, 20.0))).toDF("query_id", "qvec")
+    val res = FlatKnn.search(queries, tbl.current.select("id", "vec"), 1,
+      Metric.L2).collect()
+    assert(res.length === 1)
+    assert(res.head.getAs[Long]("neighbor_id") === 10L)
+  }
+
+  test("fvecs landing shards stream with exact ids too") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.VecsIO
+    val dir = freshDir("vecs")
+    val ckpt = freshDir("vecs_ckpt")
+    val all = (0L until 20L).map(i => (i, Seq(i.toDouble, -i.toDouble)))
+      .toDF("id", "vec")
+    VecsIO.write(all.filter(col("id") < 12).repartitionByRange(2, col("id")),
+      dir, VecsIO.F32, idShardNames = true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+    val q = StreamingShards.vecsShardsWithIds(spark, dir, "fvecs")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.select("id", "vec").collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(buf.size === 12)
+      VecsIO.write(
+        all.filter(col("id") >= 12).repartitionByRange(2, col("id")),
+        dir, VecsIO.F32, idShardNames = true, append = true)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(buf.size === 20)
+    val expect = all.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    assert(buf.toSeq.sortBy(_._1) === expect.sortBy(_._1))
+  }
+
+  test("id restoration refuses shards without a base name") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir("nobase")
+    val ckpt = freshDir("nobase_ckpt")
+    val df = (0L until 4L).map(i => (i, Seq(i.toDouble))).toDF("id", "vec")
+    NpyIO.write(df.coalesce(1), dir, "f8") // part name, no base
+    val e = intercept[Exception] {
+      collectStream(StreamingShards.npyShardsWithIds(spark, dir), ckpt)(
+        () => ())
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ causes(t.getCause)
+    assert(causes(e).exists(_.contains("base-<startId>")), causes(e))
+  }
+
+  test("idShardNames write requires contiguous ids per partition") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir("gap")
+    val gappy = Seq((0L, Seq(1.0)), (2L, Seq(2.0))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      NpyIO.write(gappy.coalesce(1), dir, "f8", idShardNames = true)
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ causes(t.getCause)
+    assert(causes(e).exists(_.contains("contiguous")), causes(e))
+    // append without id names is refused up front
+    val ok = Seq((0L, Seq(1.0))).toDF("id", "vec")
+    intercept[IllegalArgumentException] {
+      NpyIO.write(ok, dir, "f8", append = true)
+    }
+  }
+}
