@@ -168,8 +168,9 @@ class NpyReaderFactory(required: StructType,
 }
 
 /** Streams one row-aligned range with a bounded read buffer; ids from
-  * arithmetic, payload decoded only when the pruned schema asks for
-  * `vec`. */
+  * arithmetic, and a scan whose pruned schema has no `vec` performs
+  * ZERO file I/O — npy rows are fixed-stride, so unlike the per-record
+  * dim headers of vecs there is nothing to even skip past. */
 class NpyPartitionReader(split: NpyDataSource.NpySplit,
     required: StructType,
     hadoopConf: org.apache.spark.util.SerializableConfiguration)
@@ -178,20 +179,22 @@ class NpyPartitionReader(split: NpyDataSource.NpySplit,
   private val stride = split.cols.toLong * elBytes
   private val wantVec = required.fieldNames.contains("vec")
 
-  private val in = {
+  private val in = if (!wantVec) null else {
     val p = new Path(split.path)
-    p.getFileSystem(hadoopConf.value).open(p)
+    val s = p.getFileSystem(hadoopConf.value).open(p)
+    s.seek(split.dataOffset + split.startRow * stride)
+    s
   }
-  in.seek(split.dataOffset + split.startRow * stride)
   private val bufRows = math.max(1, ((8L << 20) / stride).toInt)
-  private val buf = new Array[Byte]((bufRows * stride).toInt)
+  private val buf =
+    if (!wantVec) null else new Array[Byte]((bufRows * stride).toInt)
   private var bb: ByteBuffer = ByteBuffer.allocate(0)
   private var rowsDone = 0L
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     if (rowsDone >= split.numRows) return false
-    if (bb.remaining() < stride) {
+    if (wantVec && bb.remaining() < stride) {
       val n = math.min(bufRows.toLong, split.numRows - rowsDone).toInt
       val want = n * stride.toInt
       in.readFully(buf, 0, want)
@@ -226,10 +229,7 @@ class NpyPartitionReader(split: NpyDataSource.NpySplit,
           while (i < split.cols) { out(i) = bb.getLong.toDouble; i += 1 }
       }
       new GenericArrayData(out)
-    } else {
-      bb.position(bb.position() + stride.toInt)
-      null
-    }
+    } else null // no payload wanted: ids are arithmetic, nothing to skip
     val values = required.fieldNames.map {
       case "id" => java.lang.Long.valueOf(split.baseId + rowsDone)
       case "vec" => vec
@@ -240,7 +240,7 @@ class NpyPartitionReader(split: NpyDataSource.NpySplit,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = in.close()
+  override def close(): Unit = if (in != null) in.close()
 }
 
 class NpyWriteBuilder(path: String, info: LogicalWriteInfo)
@@ -285,7 +285,10 @@ class NpyWrite(path: String, schema: StructType, descr: String,
     val fs = dir.getFileSystem(conf)
     fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      if (n.endsWith(".npy") && n.contains(queryId) && !keep.contains(n))
+      // sweep this write's orphans: uncommitted shards AND .tmp leftovers
+      // a crashed attempt's writeAtomic never renamed
+      if ((n.endsWith(".npy") || n.endsWith(".npy.tmp")) &&
+          n.contains(queryId) && !keep.contains(n))
         fs.delete(st.getPath, false)
     }
   }
@@ -353,10 +356,10 @@ class NpyDataWriter(dir: String, descr: String, vecOrdinal: Int,
       return VecsDataSource.Committed(
         new Path(dir, s"empty-$partitionId-$taskId-$queryId.none").toString)
     val out = new Path(dir, f"part-$partitionId%05d-$taskId-$queryId.npy")
-    val os = out.getFileSystem(conf.value).create(out, true)
-    os.write(NpyIO.headerBytes(descr, rows.length.toLong, cols))
-    rows.foreach(os.write)
-    os.close()
+    NpyIO.writeAtomic(out, conf.value) { os =>
+      os.write(NpyIO.headerBytes(descr, rows.length.toLong, cols))
+      rows.foreach(os.write)
+    }
     written = Some(out)
     VecsDataSource.Committed(out.toString)
   }

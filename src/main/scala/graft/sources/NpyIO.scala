@@ -66,8 +66,8 @@ object NpyIO {
   }
 
   /** Parse a header from the first `bytes` of a file (must cover the full
-    * dict — [[headerProbeBytes]] is always enough for v1, and [[read]]
-    * retries with the declared length for oversized v2 dicts). */
+    * dict — [[readHeaderAt]] sizes its probe from the declared dict
+    * length, so any legal header fits). */
   def parseHeader(bytes: Array[Byte], path: String = "<bytes>"): Header = {
     require(bytes.length >= 10, s"$path: truncated npy (${bytes.length} B)")
     require(bytes.take(6).sameElements(Magic), s"$path: bad npy magic")
@@ -105,24 +105,40 @@ object NpyIO {
     Header(descr, fortran, rows, cols, dataOffset)
   }
 
-  /** Enough for any v1 header (10 + 65535) and any sane v2 dict. */
-  private val headerProbeBytes = 66000
-
   private def readHeaderAt(spark: SparkSession, pathStr: String): Header =
     readHeaderAt(spark.sparkContext.hadoopConfiguration, pathStr)
 
-  /** Driver-side header probe: bounded read (never the payload). Shared
-    * with the DSv2 [[NpyDataSource]] planner. */
+  /** Driver-side header probe: two bounded reads (never the payload) —
+    * the 12-byte prefix declares the dict length, then exactly the
+    * header bytes, so oversized v2/v3 dicts (>64 KiB, legal per NEP-1)
+    * parse too. Shared with the DSv2 [[NpyDataSource]] planner. */
   private[sources] def readHeaderAt(
       conf: org.apache.hadoop.conf.Configuration, pathStr: String): Header = {
     val p = new Path(pathStr)
     val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen
-    val n = math.min(len, headerProbeBytes.toLong).toInt
-    val buf = new Array[Byte](n)
     val in = fs.open(p)
-    try in.readFully(0L, buf) finally in.close()
-    parseHeader(buf, pathStr)
+    try {
+      val prefix = new Array[Byte](math.min(len, 12L).toInt)
+      in.readFully(0L, prefix)
+      require(prefix.length >= 10 && prefix.take(6).sameElements(Magic),
+        s"$pathStr: bad npy magic")
+      val major = prefix(6) & 0xff
+      require(major >= 1 && major <= 3, s"$pathStr: npy version $major")
+      require(prefix.length >= (if (major == 1) 10 else 12),
+        s"$pathStr: truncated npy (${prefix.length} B)")
+      val pb = ByteBuffer.wrap(prefix).order(ByteOrder.LITTLE_ENDIAN)
+      val dataOffset =
+        if (major == 1) 10L + (pb.getShort(8) & 0xffff)
+        else 12L + pb.getInt(8)
+      require(dataOffset <= len,
+        s"$pathStr: npy header claims $dataOffset B, file has $len")
+      require(dataOffset <= (16L << 20),
+        s"$pathStr: npy header of $dataOffset B is not a plausible dict")
+      val buf = new Array[Byte](dataOffset.toInt)
+      in.readFully(0L, buf)
+      parseHeader(buf, pathStr)
+    } finally in.close()
   }
 
   private def resolve(spark: SparkSession, path: String): Seq[String] = {
@@ -251,6 +267,9 @@ object NpyIO {
       .flatMap { case (p, bytes) =>
         val h = bcMeta.value(p)
         val base = bcBase.value(p)
+        require(bytes.length.toLong == h.dataOffset + h.payloadBytes,
+          s"$p: npy payload ${bytes.length - h.dataOffset} B != shape " +
+            s"(${h.rows}, ${h.cols}) × ${h.elBytes} B")
         (0L until h.rows).iterator.map { r =>
           val out = new Array[Byte](h.cols)
           var c = 0
@@ -289,6 +308,22 @@ object NpyIO {
     out.array()
   }
 
+  /** Write `out` via a temp name + rename: a concurrently running
+    * [[graft.streaming.StreamingShards]] file stream must never list a
+    * half-written shard (its `*.npy` glob skips the `.tmp` name; rename
+    * makes the final name appear atomically). Shared by every shard
+    * writer here and [[VecsIO.write]]. */
+  private[sources] def writeAtomic(out: Path,
+      conf: org.apache.hadoop.conf.Configuration)
+      (body: org.apache.hadoop.fs.FSDataOutputStream => Unit): Unit = {
+    val fs = out.getFileSystem(conf)
+    val tmp = new Path(out.getParent, out.getName + ".tmp")
+    val os = fs.create(tmp, true)
+    try body(os) finally os.close()
+    fs.delete(out, false) // replace semantics (rename fails onto existing)
+    require(fs.rename(tmp, out), s"rename $tmp -> $out failed")
+  }
+
   private def encodeElement(bb: ByteBuffer, x: Double, descr: String): Unit =
     descr match {
       case "f8" => bb.putDouble(x)
@@ -323,6 +358,10 @@ object NpyIO {
   def write(df: DataFrame, dir: String, descr: String = "f4",
             idShardNames: Boolean = false, append: Boolean = false): Unit = {
     val d = normalizeDescr(descr)
+    // validate BEFORE the destructive delete below — u2/u4 are read-only
+    // widths and would otherwise fail per-row after the target is gone
+    require(d != "u2" && d != "u4",
+      s"npy write does not support descr $d (read-only width)")
     require(!append || idShardNames,
       "npy append needs idShardNames=true (positional part names collide)")
     val spark = df.sparkSession
@@ -341,31 +380,31 @@ object NpyIO {
           val rows = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
           var cols = -1
           var firstId = Long.MinValue
-          var lastId = Long.MinValue
+          var prevId = Long.MinValue
           iter.foreach { row =>
             val v = row.getSeq[Double](1)
-            if (cols < 0) { cols = v.length; firstId = row.getLong(0) }
+            val id = row.getLong(0)
+            if (cols < 0) { cols = v.length; firstId = id; prevId = id - 1 }
             require(v.length == cols,
-              s"row ${row.getLong(0)}: ${v.length} dims, expected $cols")
-            lastId = row.getLong(0)
+              s"row $id: ${v.length} dims, expected $cols")
+            // exact contiguity, row by row — a span==count check would
+            // pass when duplicates and gaps cancel, and the base-named
+            // file would then lie about its ids
+            require(!idShardNames || id == prevId + 1,
+              s"idShardNames needs contiguous ids per partition: id $id " +
+                s"follows $prevId — repartitionByRange dense ids first")
+            prevId = id
             val bb = ByteBuffer.allocate(cols * elBytes(d))
               .order(ByteOrder.LITTLE_ENDIAN)
             v.foreach(x => encodeElement(bb, x, d))
             rows += bb.array()
           }
-          val out = if (idShardNames) {
-            // sorted within the partition, so contiguity ⇔ the id span
-            // equals the row count (duplicates would shrink the span)
-            require(lastId - firstId + 1 == rows.length,
-              s"idShardNames needs contiguous ids per partition: span " +
-                s"[$firstId, $lastId] holds ${rows.length} rows — " +
-                "repartitionByRange dense ids first")
-            new Path(dir, f"base-$firstId%012d.npy")
-          } else new Path(dir, f"part-$pi%05d.npy")
-          val os = out.getFileSystem(conf.value).create(out, true)
-          os.write(headerBytes(d, rows.length.toLong, cols))
-          rows.foreach(os.write)
-          os.close()
+          val out = if (idShardNames) new Path(dir, f"base-$firstId%012d.npy")
+            else new Path(dir, f"part-$pi%05d.npy")
+          writeAtomic(out, conf.value) { os =>
+            os.write(headerBytes(d, rows.length.toLong, cols))
+            rows.foreach(os.write)
+          }
           Iterator.single(pi)
         }
       }
@@ -405,10 +444,10 @@ object NpyIO {
             rows += v.toArray
           }
           val out = new Path(dir, f"part-$pi%05d.npy")
-          val os = out.getFileSystem(conf.value).create(out, true)
-          os.write(headerBytes(descr, rows.length.toLong, cols))
-          rows.foreach(os.write)
-          os.close()
+          writeAtomic(out, conf.value) { os =>
+            os.write(headerBytes(descr, rows.length.toLong, cols))
+            rows.foreach(os.write)
+          }
           Iterator.single(pi)
         }
       }

@@ -188,24 +188,34 @@ object VecsIO {
         if (iter.isEmpty) Iterator.empty
         else {
           // id-named shards open lazily on the first row (the name needs
-          // the partition's first id); contiguity — span ≡ row count, same
-          // contract as NpyIO — makes the filename authoritative for
-          // downstream exact-id restoration (StreamingShards)
+          // the partition's first id). Rows stream into a `.tmp` name and
+          // rename into place on success — a concurrent StreamingShards
+          // file stream must never list a half-written shard — and exact
+          // per-row contiguity (not span==count, which duplicates + gaps
+          // can fake) keeps the base name authoritative for id
+          // restoration.
           var os: org.apache.hadoop.fs.FSDataOutputStream = null
           var outPath: Path = null
-          var firstId = Long.MinValue
-          var lastId = Long.MinValue
-          var nRows = 0L
+          var prevId = Long.MinValue
           iter.foreach { row =>
+            val id = row.getLong(0)
             if (os == null) {
-              firstId = row.getLong(0)
               outPath = if (idShardNames)
-                new Path(dir, f"base-$firstId%012d.${el.ext}")
+                new Path(dir, f"base-$id%012d.${el.ext}")
               else new Path(dir, f"part-$pi%05d.${el.ext}")
-              os = outPath.getFileSystem(conf.value).create(outPath, true)
+              os = outPath.getFileSystem(conf.value)
+                .create(new Path(dir, outPath.getName + ".tmp"), true)
+              prevId = id - 1
             }
-            lastId = row.getLong(0)
-            nRows += 1
+            if (idShardNames && id != prevId + 1) {
+              os.close()
+              outPath.getFileSystem(conf.value)
+                .delete(new Path(dir, outPath.getName + ".tmp"), false)
+              sys.error(
+                s"idShardNames needs contiguous ids per partition: id $id " +
+                  s"follows $prevId — repartitionByRange dense ids first")
+            }
+            prevId = id
             val v = row.getSeq[Double](1)
             val bb = ByteBuffer.allocate(4 + v.length * el.bytes)
               .order(ByteOrder.LITTLE_ENDIAN)
@@ -220,15 +230,10 @@ object VecsIO {
             os.write(bb.array())
           }
           os.close()
-          if (idShardNames && lastId - firstId + 1 != nRows) {
-            // the base-named file would lie about its id range: remove it
-            // before failing so no reader can trust it
-            outPath.getFileSystem(conf.value).delete(outPath, false)
-            sys.error(
-              s"idShardNames needs contiguous ids per partition: span " +
-                s"[$firstId, $lastId] holds $nRows rows — " +
-                "repartitionByRange dense ids first")
-          }
+          val fsOut = outPath.getFileSystem(conf.value)
+          fsOut.delete(outPath, false) // replace semantics
+          require(fsOut.rename(new Path(dir, outPath.getName + ".tmp"),
+            outPath), s"rename to $outPath failed")
           Iterator.single(pi)
         }
       }

@@ -27,38 +27,16 @@ import graft.sources.NpyIO
   * sink downstream. */
 object StreamingShards {
 
-  /** Stream of `.npy` shards under `dir` decoded to
-    * `(shard STRING, row BIGINT, vec ARRAY<DOUBLE>)` — `shard` is the
-    * file name (not the full path: checkpoints stay relocatable), `row`
-    * the position inside the shard. */
-  def npyShards(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared stream shape: binaryFile discovery of `*.{ext}` under
+    * `dir`, one decode call per new file. The schema is declared up front
+    * (streaming file sources require it; binaryFile's is fixed by the
+    * format) and `shard` is the file NAME, not the full path, so
+    * checkpoints stay relocatable. */
+  private def shardStream(spark: SparkSession, dir: String, ext: String)
+      (decode: (String, Array[Byte]) => Iterator[(Long, Array[Double])])
+      : DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types._
-    spark.readStream.format("binaryFile")
-      // streaming file sources need the schema up front; binaryFile's is
-      // fixed by the format
-      .schema(StructType(Seq(
-        StructField("path", StringType),
-        StructField("modificationTime", TimestampType),
-        StructField("length", LongType),
-        StructField("content", BinaryType))))
-      .option("pathGlobFilter", "*.npy")
-      .load(dir)
-      .select("path", "content").as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) =>
-        val name = p.substring(p.lastIndexOf('/') + 1)
-        NpyIO.decodeAll(bytes, p).map { case (r, v) => (name, r, v) }
-      }
-      .toDF("shard", "row", "vec")
-  }
-
-  /** `*vecs` twin of [[npyShards]]: shards of `ext`
-    * (`"fvecs"|"ivecs"|"bvecs"|"hvecs"`) landing under `dir` decode with
-    * the batch reader's kernel ([[graft.sources.VecsIO.decode]]). */
-  def vecsShards(spark: SparkSession, dir: String, ext: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.types._
-    val el = graft.sources.VecsIO.elTypeFor(s"x.$ext")
     spark.readStream.format("binaryFile")
       .schema(StructType(Seq(
         StructField("path", StringType),
@@ -70,11 +48,27 @@ object StreamingShards {
       .select("path", "content").as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
         val name = p.substring(p.lastIndexOf('/') + 1)
-        graft.sources.VecsIO.decode(bytes, el).zipWithIndex.map {
-          case (v, r) => (name, r.toLong, v)
-        }
+        decode(p, bytes).map { case (r, v) => (name, r, v) }
       }
       .toDF("shard", "row", "vec")
+  }
+
+  /** Stream of `.npy` shards under `dir` decoded to
+    * `(shard STRING, row BIGINT, vec ARRAY<DOUBLE>)` — `row` is the
+    * position inside the shard. */
+  def npyShards(spark: SparkSession, dir: String): DataFrame =
+    shardStream(spark, dir, "npy")((p, bytes) => NpyIO.decodeAll(bytes, p))
+
+  /** `*vecs` twin of [[npyShards]]: shards of `ext`
+    * (`"fvecs"|"ivecs"|"bvecs"|"hvecs"`) landing under `dir` decode with
+    * the batch reader's kernel ([[graft.sources.VecsIO.decode]]). */
+  def vecsShards(spark: SparkSession, dir: String, ext: String): DataFrame = {
+    val el = graft.sources.VecsIO.elTypeFor(s"x.$ext")
+    shardStream(spark, dir, ext) { (_, bytes) =>
+      graft.sources.VecsIO.decode(bytes, el).zipWithIndex.map {
+        case (v, r) => (r.toLong, v)
+      }
+    }
   }
 
   private def withRestoredIds(coords: DataFrame, what: String): DataFrame = {

@@ -176,18 +176,62 @@ class StreamingShardsSpec extends SparkSpec {
   test("idShardNames write requires contiguous ids per partition") {
     val s = spark
     import s.implicits._
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ causes(t.getCause)
     val dir = freshDir("gap")
     val gappy = Seq((0L, Seq(1.0)), (2L, Seq(2.0))).toDF("id", "vec")
     val e = intercept[Exception] {
       NpyIO.write(gappy.coalesce(1), dir, "f8", idShardNames = true)
     }
-    def causes(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ causes(t.getCause)
     assert(causes(e).exists(_.contains("contiguous")), causes(e))
+    // duplicates and gaps that CANCEL (span == count) must still fail:
+    // ids [0, 0, 2, 3] would otherwise mint a phantom id 1 downstream
+    val cancel = Seq((0L, Seq(1.0)), (0L, Seq(1.0)), (2L, Seq(2.0)),
+      (3L, Seq(3.0))).toDF("id", "vec")
+    val e2 = intercept[Exception] {
+      NpyIO.write(cancel.coalesce(1), dir, "f8", idShardNames = true)
+    }
+    assert(causes(e2).exists(_.contains("contiguous")), causes(e2))
+    val e3 = intercept[Exception] {
+      graft.sources.VecsIO.write(cancel.coalesce(1), dir,
+        graft.sources.VecsIO.F32, idShardNames = true)
+    }
+    assert(causes(e3).exists(_.contains("contiguous")), causes(e3))
+    // a failed vecs shard leaves neither the final file nor its .tmp
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(n => n.contains("fvecs"))
+    assert(left.isEmpty, left.toSeq)
     // append without id names is refused up front
     val ok = Seq((0L, Seq(1.0))).toDF("id", "vec")
     intercept[IllegalArgumentException] {
       NpyIO.write(ok, dir, "f8", append = true)
     }
+  }
+
+  test("writers leave no .tmp residue and never expose partial shards") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir("atomic")
+    val df = (0L until 12L).map(i => (i, Seq(i.toDouble))).toDF("id", "vec")
+    NpyIO.write(df.repartitionByRange(2, col("id")), dir, "f8",
+      idShardNames = true)
+    graft.sources.VecsIO.write(df.repartitionByRange(2, col("id")),
+      s"${dir}_v", graft.sources.VecsIO.F32, idShardNames = true)
+    df.repartition(2).write.format("graftnpy").mode("overwrite")
+      .save(s"${dir}_d")
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (d <- Seq(dir, s"${dir}_v", s"${dir}_d")) {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val names = p.getFileSystem(conf).listStatus(p)
+        .map(_.getPath.getName).toSeq
+      assert(!names.exists(_.endsWith(".tmp")), s"$d: $names")
+    }
+    // u2/u4 are rejected BEFORE the destructive delete: target intact
+    intercept[IllegalArgumentException] {
+      NpyIO.write(df, dir, "u4", idShardNames = true)
+    }
+    assert(NpyIO.read(spark, s"$dir/*.npy").count() === 12)
   }
 }
