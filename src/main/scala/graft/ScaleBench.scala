@@ -52,8 +52,13 @@ object ScaleBench {
       val tScan = (0 until 3).map(_ => fullScan(ds)).min
       val tIdOnly = (0 until 3).map(_ =>
         t { ds.select("id").agg(sum("id")).head }).min
-      val legacy = graft.sources.NpyIO.read(spark, s"$npyDir/*.npy")
-      val tLegacy = (0 until 3).map(_ => fullScan(legacy)).min
+      // the whole-file reader rides binaryFile, whose content column caps
+      // at 2 GB — past that a single shard is UNREADABLE without the
+      // DSv2's range splits; report the leg as -1 rather than crash
+      val tLegacy = if (n * dims * 4 < Int.MaxValue.toLong) {
+        val legacy = graft.sources.NpyIO.read(spark, s"$npyDir/*.npy")
+        (0 until 3).map(_ => fullScan(legacy)).min
+      } else -1.0
       spark.conf.set("spark.sql.files.maxPartitionBytes", before)
       println(s"""{"experiment":"npy_source","n":$n,"dims":$dims,""" +
         s""""file_bytes":${n * dims * 4},"write_sec":$tWrite,""" +

@@ -222,7 +222,12 @@ object NpyIO {
   /** Read a `.npy` file/dir/glob into `(id BIGINT, vec ARRAY<DOUBLE>)` —
     * the read_npy twin. Ids are dense in (path, row) order like
     * [[VecsIO.read]]; every supported dtype widens to double (the engine's
-    * working type; kernels re-narrow as needed). */
+    * working type; kernels re-narrow as needed).
+    *
+    * Rides the binaryFile source, whose per-file content caps at 2 GB —
+    * a bigger single array is only readable through the range-splitting
+    * DSv2 path (`spark.read.format("graftnpy")`), which is also the
+    * faster choice for any file over one task's worth of work. */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val headers = headersFor(spark, path)
