@@ -1692,6 +1692,28 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** q173: kNN SERVED off a byte-resident DSv2 npy ingest — u8-quantized
+    * embeddings persist as u1 shards (id-ordered dense, so the source's
+    * (path, row) ids reproduce the originals), reopen as ARRAY<TINYINT>
+    * + the unsigned mark via `option("bytes")` (the >2 GB-capable
+    * Deep1B ingest shape), and FlatKnn's byte branch ranks them —
+    * certified against q164's oracle: the file round trip must feed the
+    * kernel the exact same value space. */
+  private def knnNpyBytesQ(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_npy_q173"
+    val u8 = graft.functions.ByteVecs.markUnsigned(
+      embVectors(s, dir).select(col("id"),
+        graft.functions.ByteVecs.quantizeUnsigned(col("vec"), ByteScale)
+          .as("vec")))
+    graft.sources.NpyIO.writeBytes(
+      u8.repartitionByRange(4, col("id")).sortWithinPartitions("id"), out)
+    val data = s.read.format("graftnpy").option("bytes", "true")
+      .load(s"$out/*.npy")
+    FlatKnn.search(embQueries(s, dir), data, K, Metric.IP)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   private val SynN = 10000L
   private val SynDims = 16
   private val SynStride = 500L
@@ -2854,6 +2876,7 @@ object SparkEntry {
     "q170_npy_roundtrip" -> (npyRoundtripQ _),
     "q171_dsv2_npy" -> (dsv2NpyQ _),
     "q172_npy_stream" -> (npyStreamQ _),
+    "q173_npy_bytes_knn" -> (knnNpyBytesQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3219,5 +3242,9 @@ object SparkEntry {
     // q172: streaming shard ingest with exact-id restoration ≡ the same
     // identity contract — stream ≡ batch ≡ source.
     "q172_npy_stream" -> OracleGen.fvecsRoundtrip,
+    // q173: byte-resident DSv2 ingest serves kNN ≡ q164's u8 oracle (the
+    // file trip may not change the value space).
+    "q173_npy_bytes_knn" ->
+      OracleGen.embeddingKnnU8(Metric.IP, K, ByteScale),
   )
 }

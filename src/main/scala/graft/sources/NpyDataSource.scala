@@ -42,6 +42,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * splitting; [[NpyIO.read]] (whole-file decode) handles those. np.save
   * emits C order unless the array was explicitly transposed.
   *
+  * `.option("bytes", "true")` over i1/u1 shards reads BYTE-RESIDENT:
+  * `ARRAY<TINYINT>` raw bit patterns with the
+  * [[graft.functions.ByteVecs]] signedness mark in the schema (probed
+  * from the first shard's descr) — [[NpyIO.readBytes]] minus binaryFile's
+  * 2 GB whole-file cap, so a Deep1B-sized single u1 dump is both
+  * readable AND splits. Byte-resident frames also WRITE through this
+  * source: an `ARRAY<TINYINT>` vec column persists raw bits as i1/u1
+  * per its required mark.
+  *
   * The write side emits one standalone v1.0 C-order `.npy` per input
   * partition (`np.load` opens each shard directly) with
   * `.option("descr", "f4"|"f8"|"f2"|"i1"|"u1"|"i2"|"i4"|"i8")`, default
@@ -55,11 +64,24 @@ class NpyDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftnpy"
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    VecsDataSource.Schema
+    if (!NpyDataSource.bytesMode(options)) VecsDataSource.Schema
+    else {
+      // byte-resident ingest: the signedness mark comes from the FILE
+      // (i1 vs u1 descr), probed from the first shard — one bounded
+      // header read, the same contract as NpyIO.readBytes
+      val conf = SparkSession.active.sparkContext.hadoopConfiguration
+      val first = NpyDataSource.resolveFirst(options, conf)
+      val h = NpyIO.readHeaderAt(conf, first)
+      require(h.descr == "i1" || h.descr == "u1",
+        s"graftnpy bytes=true needs an i1/u1 npy, got ${h.descr} in " +
+          s"$first — drop the option for wide ingest")
+      NpyDataSource.byteSchema(unsigned = h.descr == "u1")
+    }
   override def getTable(schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new NpyTable(VecsDataSource.pathsOf(properties))
+    new NpyTable(VecsDataSource.pathsOf(properties), schema,
+      Option(properties.get("bytes")).exists(_.equalsIgnoreCase("true")))
 }
 
 object NpyDataSource {
@@ -67,36 +89,75 @@ object NpyDataSource {
   case class NpySplit(path: String, descr: String, cols: Int,
       dataOffset: Long, startRow: Long, numRows: Long, baseId: Long)
     extends InputPartition
+
+  private[sources] def bytesMode(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("bytes", false)
+
+  /** `(id, vec ARRAY<TINYINT>)` carrying the [[graft.functions.ByteVecs]]
+    * signedness mark in the vec field's metadata — byte-resident DSv2
+    * reads surface EXACTLY what [[NpyIO.readBytes]] does, minus the 2 GB
+    * whole-file cap. */
+  def byteSchema(unsigned: Boolean): StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("vec", ArrayType(ByteType, containsNull = false),
+      nullable = false,
+      new MetadataBuilder()
+        .putBoolean(graft.functions.ByteVecs.UnsignedKey, unsigned)
+        .build())))
+
+  /** First file (path-sorted) of the option paths — the schema probe
+    * target. */
+  private def resolveFirst(options: CaseInsensitiveStringMap,
+      conf: org.apache.hadoop.conf.Configuration): String = {
+    val props = new util.HashMap[String, String]()
+    Option(options.get("path")).foreach(props.put("path", _))
+    Option(options.get("paths")).foreach(props.put("paths", _))
+    val paths = VecsDataSource.pathsOf(props)
+    val files = paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil).flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".npy"))
+        else Seq(st)
+      }
+    }.map(_.getPath.toString).sorted
+    require(files.nonEmpty, s"graftnpy: no files at ${paths.mkString(",")}")
+    files.head
+  }
 }
 
-class NpyTable(paths: Seq[String]) extends Table
+class NpyTable(paths: Seq[String], tableSchema: StructType,
+    bytesMode: Boolean) extends Table
     with SupportsRead with SupportsWrite {
   override def name(): String = s"graftnpy(${paths.mkString(",")})"
-  override def schema(): StructType = VecsDataSource.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new NpyScanBuilder(paths)
+      : ScanBuilder = new NpyScanBuilder(paths, tableSchema, bytesMode)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(paths.size == 1, "graftnpy write: exactly one target path")
     new NpyWriteBuilder(paths.head, info)
   }
 }
 
-class NpyScanBuilder(paths: Seq[String])
+class NpyScanBuilder(paths: Seq[String], tableSchema: StructType,
+    bytesMode: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
-  private var required: StructType = VecsDataSource.Schema
+  private var required: StructType = tableSchema
   private var limit: Long = Long.MaxValue
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def pushLimit(n: Int): Boolean = { limit = n.toLong; true }
-  override def build(): Scan = new NpyScan(paths, required, limit)
+  override def build(): Scan = new NpyScan(paths, required, limit, bytesMode)
 }
 
 class NpyScan(paths: Seq[String], required: StructType,
-    limit: Long = Long.MaxValue)
+    limit: Long = Long.MaxValue, bytesMode: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -129,6 +190,8 @@ class NpyScan(paths: Seq[String], required: StructType,
       require(!h.fortran,
         s"graftnpy: $path is fortran_order — column-major rows defeat " +
           "range splitting; use NpyIO.read for such files")
+      require(!bytesMode || h.descr == "i1" || h.descr == "u1",
+        s"graftnpy bytes=true needs i1/u1 shards, got ${h.descr} in $path")
       if (descr0 == null) { descr0 = h.descr; cols0 = h.cols }
       require(h.descr == descr0,
         s"graftnpy: dtype drift — $path is ${h.descr}, expected $descr0")
@@ -153,18 +216,19 @@ class NpyScan(paths: Seq[String], required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NpyReaderFactory(required,
+    new NpyReaderFactory(required, bytesMode,
       new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
-class NpyReaderFactory(required: StructType,
+class NpyReaderFactory(required: StructType, bytesMode: Boolean,
     hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] =
     new NpyPartitionReader(
-      partition.asInstanceOf[NpyDataSource.NpySplit], required, hadoopConf)
+      partition.asInstanceOf[NpyDataSource.NpySplit], required, bytesMode,
+      hadoopConf)
 }
 
 /** Streams one row-aligned range with a bounded read buffer; ids from
@@ -172,7 +236,7 @@ class NpyReaderFactory(required: StructType,
   * ZERO file I/O — npy rows are fixed-stride, so unlike the per-record
   * dim headers of vecs there is nothing to even skip past. */
 class NpyPartitionReader(split: NpyDataSource.NpySplit,
-    required: StructType,
+    required: StructType, bytesMode: Boolean,
     hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
   private val elBytes = NpyIO.elBytes(split.descr)
@@ -200,7 +264,15 @@ class NpyPartitionReader(split: NpyDataSource.NpySplit,
       in.readFully(buf, 0, want)
       bb = ByteBuffer.wrap(buf, 0, want).order(ByteOrder.LITTLE_ENDIAN)
     }
-    val vec: GenericArrayData = if (wantVec) {
+    val vec: Any = if (wantVec && bytesMode) {
+      // byte-resident: raw bit patterns, never widened (the schema's
+      // ByteVecs mark declares the value space) — the >2 GB-capable
+      // twin of NpyIO.readBytes
+      val out = new Array[Byte](stride.toInt)
+      bb.get(out)
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    } else if (wantVec) {
       val out = new Array[Double](split.cols)
       var i = 0
       split.descr match {
@@ -262,11 +334,23 @@ class NpyWrite(path: String, schema: StructType, descr: String,
     require(descr != "u2" && descr != "u4",
       s"graftnpy write: descr $descr unsupported (read-only widths)")
     val vecOrdinal = schema.fieldIndex("vec")
-    val floatElems = schema(vecOrdinal).dataType match {
-      case ArrayType(FloatType, _) => true
-      case ArrayType(DoubleType, _) => false
+    // element mode: 0 = double, 1 = float, 2 = byte-resident (raw bit
+    // patterns out; the descr comes from the column's required ByteVecs
+    // signedness mark, so the file can't contradict the value space)
+    val (elemMode, effDescr) = schema(vecOrdinal).dataType match {
+      case ArrayType(FloatType, _)  => (1, descr)
+      case ArrayType(DoubleType, _) => (0, descr)
+      case ArrayType(ByteType, _) =>
+        val unsigned =
+          graft.functions.ByteVecs.requireSignedness(schema, "vec")
+        val d = if (unsigned) "u1" else "i1"
+        require(descr == "f4" || descr == d, // f4 = the option's default
+          s"graftnpy write: descr option '$descr' contradicts the byte " +
+            s"column's ${if (unsigned) "u8" else "i8"} mark (use '$d' " +
+            "or drop the option)")
+        (2, d)
       case t => sys.error(s"graftnpy write: vec must be an array of " +
-        s"float/double, got $t")
+        s"float/double/byte, got $t")
     }
     val conf = new org.apache.spark.util.SerializableConfiguration(
       SparkSession.active.sparkContext.hadoopConfiguration)
@@ -274,7 +358,7 @@ class NpyWrite(path: String, schema: StructType, descr: String,
     val fs = dir.getFileSystem(conf.value)
     if (truncate) fs.delete(dir, true)
     fs.mkdirs(dir)
-    new NpyWriterFactory(path, descr, vecOrdinal, floatElems, queryId, conf)
+    new NpyWriterFactory(path, effDescr, vecOrdinal, elemMode, queryId, conf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -303,12 +387,12 @@ class NpyWrite(path: String, schema: StructType, descr: String,
 }
 
 class NpyWriterFactory(dir: String, descr: String, vecOrdinal: Int,
-    floatElems: Boolean, queryId: String,
+    elemMode: Int, queryId: String,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new NpyDataWriter(dir, descr, vecOrdinal, floatElems, partitionId,
+    new NpyDataWriter(dir, descr, vecOrdinal, elemMode, partitionId,
       taskId, queryId, conf)
 }
 
@@ -318,7 +402,7 @@ class NpyWriterFactory(dir: String, descr: String, vecOrdinal: Int,
   * sized to fit executor memory. An empty partition commits no file
   * (np.load has no zero-row convention worth emitting). */
 class NpyDataWriter(dir: String, descr: String, vecOrdinal: Int,
-    floatElems: Boolean, partitionId: Int, taskId: Long, queryId: String,
+    elemMode: Int, partitionId: Int, taskId: Long, queryId: String,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends DataWriter[InternalRow] {
   private val elBytes = NpyIO.elBytes(descr)
@@ -331,10 +415,15 @@ class NpyDataWriter(dir: String, descr: String, vecOrdinal: Int,
     val d = arr.numElements()
     if (cols < 0) cols = d
     require(d == cols, s"graftnpy write: $d dims, expected $cols")
+    if (elemMode == 2) { // byte-resident: raw bit patterns straight out
+      rows += arr.toByteArray()
+      return
+    }
     val bb = ByteBuffer.allocate(d * elBytes).order(ByteOrder.LITTLE_ENDIAN)
     var i = 0
     while (i < d) {
-      val x = if (floatElems) arr.getFloat(i).toDouble else arr.getDouble(i)
+      val x =
+        if (elemMode == 1) arr.getFloat(i).toDouble else arr.getDouble(i)
       descr match {
         case "f8" => bb.putDouble(x)
         case "f4" => bb.putFloat(x.toFloat)

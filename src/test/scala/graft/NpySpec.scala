@@ -256,6 +256,71 @@ class NpySpec extends SparkSpec {
       .count() === 1)
   }
 
+  test("graftnpy DSv2 bytes mode: byte-resident splits with the mark, " +
+      "both directions") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir("dsv2b")
+    // u8 values ≥ 128 store as negative raw bytes under the unsigned mark
+    val u8 = ByteVecs.markUnsigned(
+      (0L until 64L).map(i => (i, Seq(i.toByte, (-56).toByte, 255.toByte)))
+        .toDF("id", "vec"))
+    NpyIO.writeBytes(u8.repartitionByRange(2, col("id"))
+      .sortWithinPartitions("id"), dir)
+    val before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "64")
+      val ds = spark.read.format("graftnpy").option("bytes", "true")
+        .load(s"$dir/*.npy")
+      assert(ds.rdd.getNumPartitions > 2, s"${ds.rdd.getNumPartitions}")
+      // schema carries TINYINT + the unsigned mark, like readBytes
+      assert(ByteVecs.isUnsigned(ds.schema, "vec"))
+      val legacy = NpyIO.readBytes(spark, s"$dir/*.npy")
+        .withColumnRenamed("vec", "vl")
+      assert(ds.withColumnRenamed("vec", "v2").join(legacy, Seq("id"))
+        .filter(col("v2") =!= col("vl")).count() === 0)
+      // pruned id-only scan works in bytes mode too
+      assert(ds.select("id").agg(sum("id")).head.getLong(0) ===
+        (0L until 64L).sum)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+    // write direction: a marked byte frame persists raw bits as u1
+    val dir2 = freshDir("dsv2bw")
+    u8.repartitionByRange(2, col("id")).sortWithinPartitions("id")
+      .write.format("graftnpy").mode("overwrite").save(dir2)
+    val back = NpyIO.readBytes(spark, s"$dir2/*.npy")
+    assert(ByteVecs.isUnsigned(back.schema, "vec"))
+    assert(u8.withColumnRenamed("vec", "vo")
+      .join(back, Seq("id"))
+      .filter(col("vo") =!= col("vec")).count() === 0)
+    // i8 twin keeps the signed mark
+    val dir3 = freshDir("dsv2bi")
+    val i8 = ByteVecs.markSigned(
+      Seq((0L, Seq((-128).toByte, 127.toByte))).toDF("id", "vec"))
+    i8.coalesce(1).write.format("graftnpy").mode("overwrite").save(dir3)
+    val backI = spark.read.format("graftnpy").option("bytes", "true")
+      .load(s"$dir3/*.npy")
+    assert(ByteVecs.signednessOf(backI.schema, "vec") === Some(false))
+    assert(backI.collect()(0).getSeq[Byte](1) ===
+      Seq((-128).toByte, 127.toByte))
+    // refusals: bytes=true on a wide file; contradicting descr option;
+    // bare (unmarked) byte frame
+    val dirW = freshDir("dsv2bwide")
+    NpyIO.write(Seq((0L, Seq(1.0))).toDF("id", "vec"), dirW, "f4")
+    intercept[Exception] {
+      spark.read.format("graftnpy").option("bytes", "true")
+        .load(s"$dirW/*.npy").count()
+    }
+    intercept[Exception] {
+      u8.write.format("graftnpy").option("descr", "i1")
+        .mode("overwrite").save(freshDir("dsv2bx"))
+    }
+    intercept[Exception] { // bare byte frame: no mark was ever declared
+      Seq((0L, Seq(1.toByte))).toDF("id", "vec")
+        .write.format("graftnpy").mode("overwrite")
+        .save(freshDir("dsv2by"))
+    }
+  }
+
   test("graftnpy DSv2 rejects fortran-order shards loudly") {
     val dir = freshDir("dsv2f")
     val p = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
