@@ -1714,6 +1714,26 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** q174: the bvecs twin of q173 — u8-quantized embeddings write
+    * BYTE-RESIDENT through the graftvecs DSv2 (raw bits into the u8
+    * container), reopen via `option("bytes")` with the mark and range
+    * splitting (the Deep1B 128 GB-single-file shape), and FlatKnn's byte
+    * branch serves them against q164's oracle. */
+  private def knnBvecsBytesQ(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_bvecs_q174"
+    val u8 = graft.functions.ByteVecs.markUnsigned(
+      embVectors(s, dir).select(col("id"),
+        graft.functions.ByteVecs.quantizeUnsigned(col("vec"), ByteScale)
+          .as("vec")))
+    u8.repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.format("graftvecs").mode("overwrite").save(out)
+    val data = s.read.format("graftvecs").option("bytes", "true")
+      .load(s"$out/*.bvecs")
+    FlatKnn.search(embQueries(s, dir), data, K, Metric.IP)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   private val SynN = 10000L
   private val SynDims = 16
   private val SynStride = 500L
@@ -2877,6 +2897,7 @@ object SparkEntry {
     "q171_dsv2_npy" -> (dsv2NpyQ _),
     "q172_npy_stream" -> (npyStreamQ _),
     "q173_npy_bytes_knn" -> (knnNpyBytesQ _),
+    "q174_bvecs_bytes_knn" -> (knnBvecsBytesQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3245,6 +3266,10 @@ object SparkEntry {
     // q173: byte-resident DSv2 ingest serves kNN ≡ q164's u8 oracle (the
     // file trip may not change the value space).
     "q173_npy_bytes_knn" ->
+      OracleGen.embeddingKnnU8(Metric.IP, K, ByteScale),
+    // q174: the bvecs twin — byte-resident DSv2 bvecs round trip serves
+    // the same oracle.
+    "q174_bvecs_bytes_knn" ->
       OracleGen.embeddingKnnU8(Metric.IP, K, ByteScale),
   )
 }

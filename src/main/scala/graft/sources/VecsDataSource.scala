@@ -38,16 +38,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (one 4-byte read per file), stride uniformity is validated by
   * `length % stride == 0`, and per-file id bases are the running row
   * total in sorted-path order — the same dense (path, row) assignment as
-  * [[VecsIO.read]], so both paths produce identical frames. */
+  * [[VecsIO.read]], so both paths produce identical frames.
+  *
+  * `.option("bytes", "true")` over `.bvecs` reads BYTE-RESIDENT:
+  * `ARRAY<TINYINT>` raw bit patterns with the u8 mark in the schema
+  * (bvecs IS the u8 container — the Deep1B shape) —
+  * [[VecsIO.readBytesU8]] minus binaryFile's 2 GB whole-file cap, so the
+  * canonical 128 GB single-file bvecs dump is both readable and splits.
+  * u8-marked byte frames also WRITE raw bits back as bvecs; i8-marked
+  * frames are refused (re-reading the container would flip their value
+  * space). */
 class VecsDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftvecs"
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    VecsDataSource.Schema
+    if (!options.getBoolean("bytes", false)) VecsDataSource.Schema
+    else NpyDataSource.byteSchema(unsigned = true) // bvecs IS u8 (Deep1B)
   override def getTable(schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new VecsTable(VecsDataSource.pathsOf(properties))
+    new VecsTable(VecsDataSource.pathsOf(properties), schema,
+      Option(properties.get("bytes")).exists(_.equalsIgnoreCase("true")))
 }
 
 object VecsDataSource {
@@ -90,15 +101,17 @@ object VecsDataSource {
   }
 }
 
-class VecsTable(paths: Seq[String]) extends Table
+class VecsTable(paths: Seq[String],
+    tableSchema: StructType = VecsDataSource.Schema,
+    bytesMode: Boolean = false) extends Table
     with SupportsRead with SupportsWrite {
   override def name(): String = s"graftvecs(${paths.mkString(",")})"
-  override def schema(): StructType = VecsDataSource.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new VecsScanBuilder(paths)
+      : ScanBuilder = new VecsScanBuilder(paths, tableSchema, bytesMode)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(paths.size == 1, "graftvecs write: exactly one target path")
     new VecsWriteBuilder(paths.head, info)
@@ -130,11 +143,25 @@ class VecsWrite(path: String, schema: StructType, eltypeExt: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
     val vecOrdinal = schema.fieldIndex("vec")
-    val floatElems = schema(vecOrdinal).dataType match {
-      case ArrayType(FloatType, _) => true
-      case ArrayType(DoubleType, _) => false
+    // element mode: 0 = double, 1 = float, 2 = byte-resident (raw bits
+    // into bvecs; the u8 container — a SIGNED byte frame is refused
+    // rather than silently reinterpreted as u8 on re-read)
+    val (elemMode, el) = schema(vecOrdinal).dataType match {
+      case ArrayType(FloatType, _)  => (1, VecsIO.elTypeFor(s"x.$eltypeExt"))
+      case ArrayType(DoubleType, _) => (0, VecsIO.elTypeFor(s"x.$eltypeExt"))
+      case ArrayType(ByteType, _) =>
+        val unsigned =
+          graft.functions.ByteVecs.requireSignedness(schema, "vec")
+        require(unsigned,
+          "graftvecs write: bvecs is the u8 container — an i8-marked " +
+            "frame would silently flip value space on re-read; widen or " +
+            "use graftnpy (i1) instead")
+        require(eltypeExt == "fvecs" || eltypeExt == "bvecs", // fvecs = default
+          s"graftvecs write: eltype '$eltypeExt' contradicts the byte " +
+            "column (bvecs is the only byte container)")
+        (2, VecsIO.U8)
       case t => sys.error(s"graftvecs write: vec must be an array " +
-        s"of float/double, got $t")
+        s"of float/double/byte, got $t")
     }
     val conf = new org.apache.spark.util.SerializableConfiguration(
       SparkSession.active.sparkContext.hadoopConfiguration)
@@ -142,8 +169,7 @@ class VecsWrite(path: String, schema: StructType, eltypeExt: String,
     val fs = dir.getFileSystem(conf.value)
     if (truncate) fs.delete(dir, true)
     fs.mkdirs(dir)
-    val el = VecsIO.elTypeFor(s"x.$eltypeExt")
-    new VecsWriterFactory(path, el.toString, vecOrdinal, floatElems,
+    new VecsWriterFactory(path, el.toString, vecOrdinal, elemMode,
       queryId, conf)
   }
 
@@ -160,7 +186,10 @@ class VecsWrite(path: String, schema: StructType, eltypeExt: String,
     val fs = dir.getFileSystem(conf)
     fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      if (n.endsWith("vecs") && n.contains(queryId) && !keep.contains(n))
+      // this write's orphans: uncommitted shards AND .tmp leftovers a
+      // crashed attempt never renamed
+      if ((n.endsWith("vecs") || n.endsWith(".tmp")) &&
+          n.contains(queryId) && !keep.contains(n))
         fs.delete(st.getPath, false)
     }
   }
@@ -175,22 +204,25 @@ class VecsWrite(path: String, schema: StructType, eltypeExt: String,
 }
 
 class VecsWriterFactory(dir: String, elName: String, vecOrdinal: Int,
-    floatElems: Boolean, queryId: String,
+    elemMode: Int, queryId: String,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new VecsDataWriter(dir, VecsDataSource.elOf(elName), vecOrdinal,
-      floatElems, partitionId, taskId, queryId, conf)
+      elemMode, partitionId, taskId, queryId, conf)
 }
 
 class VecsDataWriter(dir: String, el: VecsIO.ElType, vecOrdinal: Int,
-    floatElems: Boolean, partitionId: Int, taskId: Long, queryId: String,
+    elemMode: Int, partitionId: Int, taskId: Long, queryId: String,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends DataWriter[InternalRow] {
+  // stream into a .tmp name, rename at commit: a concurrent
+  // StreamingShards file stream must never list a half-written shard
   private val out =
     new Path(dir, f"part-$partitionId%05d-$taskId-$queryId.${el.ext}")
-  private val os = out.getFileSystem(conf.value).create(out, true)
+  private val tmp = new Path(dir, out.getName + ".tmp")
+  private val os = out.getFileSystem(conf.value).create(tmp, true)
 
   override def write(row: InternalRow): Unit = {
     val arr = row.getArray(vecOrdinal)
@@ -198,38 +230,49 @@ class VecsDataWriter(dir: String, el: VecsIO.ElType, vecOrdinal: Int,
     val bb = ByteBuffer.allocate(4 + d * el.bytes)
       .order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(d)
-    var i = 0
-    while (i < d) {
-      val x = if (floatElems) arr.getFloat(i).toDouble else arr.getDouble(i)
-      el match {
-        case VecsIO.F32 => bb.putFloat(x.toFloat)
-        case VecsIO.I32 => bb.putInt(x.toInt)
-        case VecsIO.U8 => bb.put(x.toInt.toByte)
-        case VecsIO.F16 => bb.putShort(
-          graft.functions.Binary16.floatToHalf(x.toFloat))
+    if (elemMode == 2) bb.put(arr.toByteArray()) // raw bit patterns out
+    else {
+      var i = 0
+      while (i < d) {
+        val x =
+          if (elemMode == 1) arr.getFloat(i).toDouble else arr.getDouble(i)
+        el match {
+          case VecsIO.F32 => bb.putFloat(x.toFloat)
+          case VecsIO.I32 => bb.putInt(x.toInt)
+          case VecsIO.U8 => bb.put(x.toInt.toByte)
+          case VecsIO.F16 => bb.putShort(
+            graft.functions.Binary16.floatToHalf(x.toFloat))
+        }
+        i += 1
       }
-      i += 1
     }
     os.write(bb.array())
   }
 
   override def commit(): WriterCommitMessage = {
     os.close()
+    val fs = out.getFileSystem(conf.value)
+    fs.delete(out, false) // replace semantics (rename fails onto existing)
+    require(fs.rename(tmp, out), s"rename $tmp -> $out failed")
     VecsDataSource.Committed(out.toString)
   }
 
   override def abort(): Unit = {
     os.close()
-    out.getFileSystem(conf.value).delete(out, false)
+    val fs = out.getFileSystem(conf.value)
+    fs.delete(tmp, false)
+    fs.delete(out, false)
   }
 
   override def close(): Unit = ()
 }
 
-class VecsScanBuilder(paths: Seq[String])
+class VecsScanBuilder(paths: Seq[String],
+    tableSchema: StructType = VecsDataSource.Schema,
+    bytesMode: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
-  private var required: StructType = VecsDataSource.Schema
+  private var required: StructType = tableSchema
   private var limit: Long = Long.MaxValue
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -237,11 +280,11 @@ class VecsScanBuilder(paths: Seq[String])
   // ceil(limit/rowsPerSplit) splits — a head() of a 100 GB file reads
   // one record-aligned range, not the file
   override def pushLimit(n: Int): Boolean = { limit = n.toLong; true }
-  override def build(): Scan = new VecsScan(paths, required, limit)
+  override def build(): Scan = new VecsScan(paths, required, limit, bytesMode)
 }
 
 class VecsScan(paths: Seq[String], required: StructType,
-    limit: Long = Long.MaxValue)
+    limit: Long = Long.MaxValue, bytesMode: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -269,6 +312,9 @@ class VecsScan(paths: Seq[String], required: StructType,
     files.filter(_.getLen > 0).foreach { st => // empty shard = zero rows
       val path = st.getPath
       val el = VecsIO.elTypeFor(path.toString)
+      require(!bytesMode || el == VecsIO.U8,
+        s"graftvecs bytes=true needs .bvecs shards (u8 is the byte vecs " +
+          s"container), got $path")
       val fs = path.getFileSystem(conf)
       val in = fs.open(path)
       val dim = try {
@@ -296,18 +342,18 @@ class VecsScan(paths: Seq[String], required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new VecsReaderFactory(required,
+    new VecsReaderFactory(required, bytesMode,
       new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
-class VecsReaderFactory(required: StructType,
+class VecsReaderFactory(required: StructType, bytesMode: Boolean,
     hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val s = partition.asInstanceOf[VecsDataSource.VecsSplit]
-    new VecsPartitionReader(s, required, hadoopConf)
+    new VecsPartitionReader(s, required, bytesMode, hadoopConf)
   }
 }
 
@@ -315,7 +361,7 @@ class VecsReaderFactory(required: StructType,
   * only when small), ids from arithmetic, payload decoded only when the
   * pruned schema asks for `vec`. */
 class VecsPartitionReader(split: VecsDataSource.VecsSplit,
-    required: StructType,
+    required: StructType, bytesMode: Boolean,
     hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
   private val el = VecsDataSource.elOf(split.elName)
@@ -345,7 +391,14 @@ class VecsPartitionReader(split: VecsDataSource.VecsSplit,
     val d = bb.getInt
     require(d == split.dim,
       s"graftvecs: dim drift $d vs ${split.dim} in ${split.path}")
-    val vec: GenericArrayData = if (wantVec) {
+    val vec: Any = if (wantVec && bytesMode) {
+      // byte-resident bvecs (the Deep1B shape): raw bit patterns, never
+      // widened — readBytesU8 minus binaryFile's 2 GB whole-file cap
+      val out = new Array[Byte](d)
+      bb.get(out)
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    } else if (wantVec) {
       val out = new Array[Double](d)
       var i = 0
       el match {

@@ -239,6 +239,51 @@ class SourcesSpec extends SparkSpec {
       .count() === orig.count() * 2)
   }
 
+  test("graftvecs DSv2 bytes mode: byte-resident bvecs splits with the " +
+      "u8 mark, both directions") {
+    import graft.functions.ByteVecs
+    val s = spark
+    import s.implicits._
+    val dir = freshDir("dsv2byte")
+    val u8 = ByteVecs.markUnsigned(
+      (0L until 64L).map(i => (i, Seq(i.toByte, (-56).toByte, 255.toByte)))
+        .toDF("id", "vec"))
+    // write direction: u8 frame → bvecs raw bits (one shard per partition)
+    u8.repartitionByRange(2, col("id")).sortWithinPartitions("id")
+      .write.format("graftvecs").mode("overwrite").save(dir)
+    val before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "64")
+      val ds = spark.read.format("graftvecs").option("bytes", "true")
+        .load(s"$dir/*.bvecs")
+      assert(ds.rdd.getNumPartitions > 2, s"${ds.rdd.getNumPartitions}")
+      assert(ByteVecs.isUnsigned(ds.schema, "vec"))
+      val legacy = VecsIO.readBytesU8(spark, s"$dir/*.bvecs")
+        .withColumnRenamed("vec", "vl")
+      assert(ds.withColumnRenamed("vec", "v2").join(legacy, Seq("id"))
+        .filter(col("v2") =!= col("vl")).count() === 0)
+      assert(ds.select("id").agg(sum("id")).head.getLong(0) ===
+        (0L until 64L).sum)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+    // refusals: bytes=true on non-bvecs; i8-marked frame into the u8
+    // container; no .tmp residue from the atomic writer
+    val dirF = freshDir("dsv2bytef")
+    VecsIO.write(Seq((0L, Seq(1.0))).toDF("id", "vec"), dirF, VecsIO.F32)
+    intercept[Exception] {
+      spark.read.format("graftvecs").option("bytes", "true")
+        .load(s"$dirF/*.fvecs").count()
+    }
+    intercept[Exception] {
+      ByteVecs.markSigned(Seq((0L, Seq(1.toByte))).toDF("id", "vec"))
+        .write.format("graftvecs").mode("overwrite")
+        .save(freshDir("dsv2bytei"))
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .exists(_.getPath.getName.endsWith(".tmp")))
+  }
+
   test("graftvecs DSv2 handles ivecs element type end to end") {
     val dir = freshDir("dsv2i")
     val s = spark
