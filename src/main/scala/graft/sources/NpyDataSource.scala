@@ -68,20 +68,27 @@ class NpyDataSource extends TableProvider with DataSourceRegister {
     else {
       // byte-resident ingest: the signedness mark comes from the FILE
       // (i1 vs u1 descr), probed from the first shard — one bounded
-      // header read, the same contract as NpyIO.readBytes
+      // header read, the same contract as NpyIO.readBytes. The probe is
+      // LENIENT here because Spark also calls inferSchema on the WRITE
+      // path (target empty or holding shards a truncate will replace);
+      // the scan re-validates i1/u1 per file loudly at planning.
       val conf = SparkSession.active.sparkContext.hadoopConfiguration
-      val first = NpyDataSource.resolveFirst(options, conf)
-      val h = NpyIO.readHeaderAt(conf, first)
-      require(h.descr == "i1" || h.descr == "u1",
-        s"graftnpy bytes=true needs an i1/u1 npy, got ${h.descr} in " +
-          s"$first — drop the option for wide ingest")
-      NpyDataSource.byteSchema(unsigned = h.descr == "u1")
+      val unsigned = NpyDataSource.resolveFirst(options, conf).map { f =>
+        NpyIO.readHeaderAt(conf, f).descr
+      } match {
+        case Some("i1") => false
+        case _          => true // u1, absent, or non-byte (scan rejects)
+      }
+      NpyDataSource.byteSchema(unsigned)
     }
+  // bytesMode derives from the SCHEMA, never from a second reading of the
+  // option: a user-supplied schema (supportsExternalMetadata) and the
+  // reader's decode branch can then never disagree about the column type
   override def getTable(schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new NpyTable(VecsDataSource.pathsOf(properties), schema,
-      Option(properties.get("bytes")).exists(_.equalsIgnoreCase("true")))
+      NpyDataSource.isByteSchema(schema))
 }
 
 object NpyDataSource {
@@ -92,6 +99,12 @@ object NpyDataSource {
 
   private[sources] def bytesMode(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("bytes", false)
+
+  /** Byte-resident table schema? The single source of truth for the
+    * reader's decode branch. */
+  private[sources] def isByteSchema(schema: StructType): Boolean =
+    schema.fieldNames.contains("vec") &&
+      graft.functions.ByteVecs.isByteVec(schema("vec").dataType)
 
   /** `(id, vec ARRAY<TINYINT>)` carrying the [[graft.functions.ByteVecs]]
     * signedness mark in the vec field's metadata — byte-resident DSv2
@@ -105,26 +118,14 @@ object NpyDataSource {
         .putBoolean(graft.functions.ByteVecs.UnsignedKey, unsigned)
         .build())))
 
-  /** First file (path-sorted) of the option paths — the schema probe
-    * target. */
+  /** First existing file (path-sorted) of the option paths — the schema
+    * probe target; None when the target doesn't exist yet (write path). */
   private def resolveFirst(options: CaseInsensitiveStringMap,
-      conf: org.apache.hadoop.conf.Configuration): String = {
+      conf: org.apache.hadoop.conf.Configuration): Option[String] = {
     val props = new util.HashMap[String, String]()
     Option(options.get("path")).foreach(props.put("path", _))
     Option(options.get("paths")).foreach(props.put("paths", _))
-    val paths = VecsDataSource.pathsOf(props)
-    val files = paths.flatMap { p =>
-      val hp = new Path(p)
-      val fs = hp.getFileSystem(conf)
-      Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil).flatMap { st =>
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".npy"))
-        else Seq(st)
-      }
-    }.map(_.getPath.toString).sorted
-    require(files.nonEmpty, s"graftnpy: no files at ${paths.mkString(",")}")
-    files.head
+    NpyIO.listNpy(conf, VecsDataSource.pathsOf(props)).headOption
   }
 }
 
@@ -168,17 +169,7 @@ class NpyScan(paths: Seq[String], required: StructType,
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    val files = paths.flatMap { p =>
-      val hp = new Path(p)
-      val fs = hp.getFileSystem(conf)
-      val matches = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
-      matches.flatMap { st =>
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".npy"))
-        else Seq(st)
-      }
-    }.sortBy(_.getPath.toString)
+    val files = NpyIO.listNpyStatus(conf, paths)
     require(files.nonEmpty, s"graftnpy: no files at ${paths.mkString(",")}")
     var baseId = 0L
     var descr0: String = null

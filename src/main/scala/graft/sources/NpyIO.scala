@@ -128,9 +128,11 @@ object NpyIO {
       require(prefix.length >= (if (major == 1) 10 else 12),
         s"$pathStr: truncated npy (${prefix.length} B)")
       val pb = ByteBuffer.wrap(prefix).order(ByteOrder.LITTLE_ENDIAN)
+      // the v2/v3 length field is u32 per NEP-1: mask, or a corrupt
+      // >=2^31 value wraps negative and slips past the bounds checks
       val dataOffset =
         if (major == 1) 10L + (pb.getShort(8) & 0xffff)
-        else 12L + pb.getInt(8)
+        else 12L + (pb.getInt(8) & 0xffffffffL)
       require(dataOffset <= len,
         s"$pathStr: npy header claims $dataOffset B, file has $len")
       require(dataOffset <= (16L << 20),
@@ -141,16 +143,33 @@ object NpyIO {
     } finally in.close()
   }
 
+  /** THE npy file-listing contract — glob/dir expansion, `.npy`-only
+    * directory filtering (skips the atomic writers' `.tmp` names), path
+    * sort. One copy shared by the batch reader, the DSv2 planner, and
+    * the DSv2 schema probe, so "first file" can never mean different
+    * things to different layers. */
+  private[sources] def listNpyStatus(
+      conf: org.apache.hadoop.conf.Configuration, paths: Seq[String])
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil).flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".npy"))
+        else Seq(st)
+      }
+    }.sortBy(_.getPath.toString)
+
+  private[sources] def listNpy(
+      conf: org.apache.hadoop.conf.Configuration, paths: Seq[String])
+      : Seq[String] =
+    listNpyStatus(conf, paths).map(_.getPath.toString)
+
   private def resolve(spark: SparkSession, path: String): Seq[String] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
-    val files = matches.flatMap { st =>
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".npy"))
-      else Seq(st)
-    }.map(_.getPath.toString).sorted
+    val files =
+      listNpy(spark.sparkContext.hadoopConfiguration, Seq(path))
     require(files.nonEmpty, s"no npy files at $path")
     files
   }

@@ -54,11 +54,13 @@ class VecsDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     if (!options.getBoolean("bytes", false)) VecsDataSource.Schema
     else NpyDataSource.byteSchema(unsigned = true) // bvecs IS u8 (Deep1B)
+  // bytesMode derives from the SCHEMA (see NpyDataSource): the reader's
+  // decode branch can never disagree with the plan's column type
   override def getTable(schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new VecsTable(VecsDataSource.pathsOf(properties), schema,
-      Option(properties.get("bytes")).exists(_.equalsIgnoreCase("true")))
+      NpyDataSource.isByteSchema(schema))
 }
 
 object VecsDataSource {
@@ -302,7 +304,8 @@ class VecsScan(paths: Seq[String], required: StructType,
         Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
       matches.flatMap { st =>
         if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+          fs.listStatus(st.getPath).toSeq
+            .filter(s => s.isFile && VecsIO.isVecsFile(s.getPath.getName))
         else Seq(st)
       }
     }.sortBy(_.getPath.toString)

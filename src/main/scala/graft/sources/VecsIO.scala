@@ -37,6 +37,14 @@ object VecsIO {
     else if (path.endsWith(".hvecs")) F16
     else sys.error(s"not a vecs path: $path")
 
+  /** Is `name` a vecs shard? Directory listings must skip everything
+    * else — in particular the `.tmp` names the atomic writers hold open
+    * mid-write (a crashed attempt can also orphan one): a dir read that
+    * tripped over them would defeat the atomicity the tmp scheme buys. */
+  private[sources] def isVecsFile(name: String): Boolean =
+    name.endsWith(".fvecs") || name.endsWith(".ivecs") ||
+      name.endsWith(".bvecs") || name.endsWith(".hvecs")
+
   /** Expand a glob/dir into concrete file paths driver-side. Passing
     * concrete files (not a glob) to the binaryFile source avoids Spark's
     * `FileStreamSink: Assume no metadata directory` WARN-with-stack, which
@@ -46,7 +54,9 @@ object VecsIO {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
     val files = matches.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filter(s => s.isFile && isVecsFile(s.getPath.getName))
       else Seq(st)
     }.map(_.getPath.toString).sorted
     require(files.nonEmpty, s"no files at $path")

@@ -321,6 +321,44 @@ class NpySpec extends SparkSpec {
     }
   }
 
+  test("graftnpy DSv2 bytes mode: schema is the single source of truth") {
+    val s = spark
+    import s.implicits._
+    val u8 = ByteVecs.markUnsigned(
+      (0L until 8L).map(i => (i, Seq(i.toByte, 200.toByte)))
+        .toDF("id", "vec"))
+    // write path may carry the read option (fresh target: nothing to
+    // probe) — inferSchema must not die or reject
+    val dir = freshDir("schemaw")
+    u8.coalesce(1).write.format("graftnpy").option("bytes", "true")
+      .mode("overwrite").save(dir)
+    // option key is case-insensitive end to end
+    val up = spark.read.format("graftnpy").option("BYTES", "true")
+      .load(s"$dir/*.npy")
+    assert(ByteVecs.isUnsigned(up.schema, "vec"))
+    assert(up.count() === 8)
+    assert(up.orderBy("id").collect()(1).getSeq[Byte](1)
+      === Seq(1.toByte, 200.toByte))
+    // a user-supplied byte schema selects byte decode without the option
+    val explicit = spark.read.format("graftnpy")
+      .schema(graft.sources.NpyDataSource.byteSchema(unsigned = true))
+      .load(s"$dir/*.npy")
+    assert(explicit.orderBy("id").collect()(0).getSeq[Byte](1)
+      === Seq(0.toByte, 200.toByte))
+    // corrupt v2 header length (u32 with the sign bit set) fails loudly,
+    // not with a NegativeArraySizeException
+    val dirC = freshDir("schemac")
+    val bad = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    bad.put(0x93.toByte).put('N'.toByte).put('U'.toByte).put('M'.toByte)
+      .put('P'.toByte).put('Y'.toByte).put(2.toByte).put(0.toByte)
+    bad.putInt(0x80000000)
+    writeFile(dirC, "bad.npy", bad.array())
+    val e = intercept[Exception] {
+      spark.read.format("graftnpy").load(s"$dirC/bad.npy").count()
+    }
+    assert(!e.isInstanceOf[NegativeArraySizeException], e.toString)
+  }
+
   test("graftnpy DSv2 rejects fortran-order shards loudly") {
     val dir = freshDir("dsv2f")
     val p = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)

@@ -282,6 +282,14 @@ class SourcesSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .exists(_.getPath.getName.endsWith(".tmp")))
+    // an orphaned .tmp from a crashed attempt must not break dir reads
+    // (legacy AND DSv2 directory form both skip non-vecs names)
+    val os = fs.create(
+      new org.apache.hadoop.fs.Path(dir, "part-junk.bvecs.tmp"), true)
+    os.write(Array[Byte](1, 2, 3)); os.close()
+    assert(VecsIO.readBytesU8(spark, dir).count() === 64)
+    assert(spark.read.format("graftvecs").option("bytes", "true")
+      .load(dir).count() === 64)
   }
 
   test("graftvecs DSv2 handles ivecs element type end to end") {
