@@ -59,13 +59,34 @@ object ScaleBench {
         val legacy = graft.sources.NpyIO.read(spark, s"$npyDir/*.npy")
         (0 until 3).map(_ => fullScan(legacy)).min
       } else -1.0
+      // byte-resident leg (the Deep1B ingest shape): same rows as u1 —
+      // a QUARTER of the f4 bytes through the scan, raw bits to kernels
+      val npyU8Dir = "/tmp/graft_scale_npy_u8"
+      val srcU8 = graft.functions.ByteVecs.markUnsigned(
+        SyntheticData.generateMixed(spark, n, dims)
+          .select(col("id"), graft.functions.ByteVecs
+            .quantizeUnsigned(col("vec"), 255.0).as("vec")))
+        .repartitionByRange(1, col("id")).sortWithinPartitions("id")
+      val tWriteU8 = t {
+        srcU8.write.format("graftnpy").mode("overwrite").save(npyU8Dir) }
+      spark.conf.set("spark.sql.files.maxPartitionBytes",
+        (4L << 20).toString) // same ~16 splits as the f4 leg
+      val dsU8 = spark.read.format("graftnpy").option("bytes", "true")
+        .load(s"$npyU8Dir/*.npy")
+      val u8Parts = dsU8.rdd.getNumPartitions
+      def byteScan(): Double = t {
+        dsU8.agg(sum(element_at(col("vec"), 1).cast("long"))).head }
+      byteScan() // warm
+      val tScanU8 = (0 until 3).map(_ => byteScan()).min
       spark.conf.set("spark.sql.files.maxPartitionBytes", before)
       println(s"""{"experiment":"npy_source","n":$n,"dims":$dims,""" +
         s""""file_bytes":${n * dims * 4},"write_sec":$tWrite,""" +
         s""""dsv2_splits":$nParts,"dsv2_scan_sec":$tScan,""" +
         s""""dsv2_scan_warmup_sec":$scanWarm,""" +
         s""""dsv2_id_only_sec":$tIdOnly,""" +
-        s""""legacy_whole_file_scan_sec":$tLegacy}""")
+        s""""legacy_whole_file_scan_sec":$tLegacy,""" +
+        s""""u8_file_bytes":${n * dims},"u8_write_sec":$tWriteU8,""" +
+        s""""u8_splits":$u8Parts,"u8_scan_sec":$tScanU8}""")
       spark.stop()
       return
     }
