@@ -189,6 +189,12 @@ class NpyScan(paths: Seq[String], required: StructType,
       require(h.cols == cols0,
         s"graftnpy: dims drift — $path is ${h.cols}-d, expected $cols0")
       val stride = h.cols.toLong * h.elBytes
+      // reader buffers size from the stride as Int — a >2 GiB single ROW
+      // (cols × elBytes) would wrap to a negative allocation downstream;
+      // refuse loudly at planning instead
+      require(stride <= Int.MaxValue,
+        s"graftnpy: row stride $stride B (cols=${h.cols} × " +
+          s"${h.elBytes} B) exceeds 2 GiB in $path")
       require(st.getLen == h.dataOffset + h.payloadBytes,
         s"graftnpy: $path payload ${st.getLen - h.dataOffset} B != shape " +
           s"(${h.rows}, ${h.cols}) × ${h.elBytes} B")

@@ -74,13 +74,17 @@ object NpyIO {
     val major = bytes(6) & 0xff
     require(major >= 1 && major <= 3, s"$path: npy version $major")
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    // v2/v3 header length is u32 — mask against sign-wrap (same hazard as
+    // readHeaderAt) so a corrupt length fails the bound check loudly
+    // instead of slicing with a negative index.
     val (hlen, hoff) =
-      if (major == 1) (bb.getShort(8) & 0xffff, 10)
-      else (bb.getInt(8), 12)
+      if (major == 1) ((bb.getShort(8) & 0xffff).toLong, 10)
+      else (bb.getInt(8) & 0xffffffffL, 12)
     val dataOffset = hoff.toLong + hlen
     require(bytes.length >= dataOffset,
       s"$path: header probe too small ($hlen B dict)")
-    val dict = new String(bytes, hoff, hlen, StandardCharsets.ISO_8859_1)
+    val dict =
+      new String(bytes, hoff, hlen.toInt, StandardCharsets.ISO_8859_1)
     def field(re: scala.util.matching.Regex, what: String): String =
       re.findFirstMatchIn(dict)
         .getOrElse(sys.error(s"$path: npy header missing $what: $dict"))
@@ -348,6 +352,21 @@ object NpyIO {
     require(fs.rename(tmp, out), s"rename $tmp -> $out failed")
   }
 
+  /** Best-effort sweep of stale `*.tmp` orphans that a failed or
+    * speculatively-duplicated [[writeAtomic]] attempt left behind.
+    * The legacy RDD writers have no commit protocol (unlike the DSv2
+    * sources, whose commit sweeps by queryId), so without this,
+    * orphans accumulate across append-mode waves. Runs driver-side
+    * BEFORE tasks open their own `.tmp` names, and the job owns the
+    * target directory, so only leftovers from previous waves die. */
+  private[sources] def sweepStaleTmp(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path): Unit =
+    Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
+      if (st.isFile && st.getPath.getName.endsWith(".tmp"))
+        try fs.delete(st.getPath, false)
+        catch { case _: java.io.IOException => () }
+    }
+
   private def encodeElement(bb: ByteBuffer, x: Double, descr: String): Unit =
     descr match {
       case "f8" => bb.putDouble(x)
@@ -395,6 +414,7 @@ object NpyIO {
     val fs = dirPath.getFileSystem(conf.value)
     if (!append) fs.delete(dirPath, true)
     fs.mkdirs(dirPath)
+    sweepStaleTmp(fs, dirPath)
     df.select(col("id").cast("long"), col("vec").cast("array<double>"))
       .sortWithinPartitions("id")
       .rdd

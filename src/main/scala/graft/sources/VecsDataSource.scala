@@ -134,12 +134,13 @@ class VecsWriteBuilder(path: String, info: LogicalWriteInfo)
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new VecsWrite(path, info.schema(),
-    Option(info.options.get("eltype")).getOrElse("fvecs"), doTruncate,
-    info.queryId())
+    Option(info.options.get("eltype")), doTruncate, info.queryId())
 }
 
-class VecsWrite(path: String, schema: StructType, eltypeExt: String,
-    truncate: Boolean, queryId: String) extends Write with BatchWrite {
+class VecsWrite(path: String, schema: StructType,
+    eltypeOpt: Option[String], truncate: Boolean, queryId: String)
+    extends Write with BatchWrite {
+  private val eltypeExt: String = eltypeOpt.getOrElse("fvecs")
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
@@ -158,9 +159,14 @@ class VecsWrite(path: String, schema: StructType, eltypeExt: String,
           "graftvecs write: bvecs is the u8 container — an i8-marked " +
             "frame would silently flip value space on re-read; widen or " +
             "use graftnpy (i1) instead")
-        require(eltypeExt == "fvecs" || eltypeExt == "bvecs", // fvecs = default
+        // only an ABSENT eltype (default) or an explicit "bvecs" is
+        // honest for a byte frame — an explicit "fvecs" (previously
+        // indistinguishable from the default) would silently write
+        // .bvecs shards against the caller's stated intent
+        require(eltypeOpt.forall(_ == "bvecs"),
           s"graftvecs write: eltype '$eltypeExt' contradicts the byte " +
-            "column (bvecs is the only byte container)")
+            "column (bvecs is the only byte container; omit eltype or " +
+            "pass 'bvecs')")
         (2, VecsIO.U8)
       case t => sys.error(s"graftvecs write: vec must be an array " +
         s"of float/double/byte, got $t")
@@ -327,6 +333,11 @@ class VecsScan(paths: Seq[String], required: StructType,
       } finally in.close()
       require(dim > 0, s"graftvecs: bad dim $dim in $path")
       val stride = 4L + dim.toLong * el.bytes
+      // reader buffers size from the stride as Int — refuse a >2 GiB
+      // single record loudly at planning (same guard as graftnpy)
+      require(stride <= Int.MaxValue,
+        s"graftvecs: record stride $stride B (dim=$dim × ${el.bytes} B) " +
+          s"exceeds 2 GiB in $path")
       require(st.getLen % stride == 0,
         s"graftvecs: ${st.getLen} not a multiple of stride $stride in $path")
       val rows = st.getLen / stride

@@ -191,6 +191,7 @@ object VecsIO {
     val fs = dirPath.getFileSystem(conf.value)
     if (!append) fs.delete(dirPath, true)
     fs.mkdirs(dirPath)
+    NpyIO.sweepStaleTmp(fs, dirPath)
     df.select(col("id").cast("long"), col("vec").cast("array<double>"))
       .sortWithinPartitions("id")
       .rdd

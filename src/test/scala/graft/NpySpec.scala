@@ -400,4 +400,53 @@ class NpySpec extends SparkSpec {
       NpyIO.readBytes(spark, s"$dir/wide.npy").count()
     }
   }
+
+  test("v2 header length with the sign bit set fails the bound check " +
+      "loudly (masked u32, not signed)") {
+    // corrupt u32 header length 0x80000010: a signed getInt reads this
+    // negative and would slice the dict string with a negative index;
+    // the masked parse must reach the 'header probe too small' require
+    val bb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(0x93.toByte).put('N'.toByte).put('U'.toByte).put('M'.toByte)
+      .put('P'.toByte).put('Y'.toByte).put(2.toByte).put(0.toByte)
+    bb.putInt(0x80000010)
+    val e = intercept[IllegalArgumentException] {
+      NpyIO.parseHeader(bb.array(), "corrupt")
+    }
+    assert(e.getMessage.contains("header probe too small"))
+  }
+
+  test("a >2 GiB row stride is refused at DSv2 planning") {
+    val dir = freshDir("hugestride")
+    // header-only file CLAIMING shape (1, 3e8) f8 → 2.4 GB row stride;
+    // the stride guard fires before the payload-length check, so no
+    // actual giant payload is needed
+    writeFile(dir, "huge.npy", NpyIO.headerBytes("f8", 1L, 300000000))
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    val e = intercept[Exception] {
+      spark.read.format("graftnpy").load(s"$dir/huge.npy").count()
+    }
+    assert(msgs(e).contains("exceeds 2 GiB"))
+  }
+
+  test("legacy writer sweeps stale .tmp orphans across append waves") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir("tmpsweep")
+    val wave1 = (0L until 10L).map(i => (i, Seq(i.toDouble, 1.0)))
+      .toDF("id", "vec").coalesce(1).sortWithinPartitions("id")
+    NpyIO.write(wave1, dir, "f8", idShardNames = true)
+    // a crashed attempt's orphan from "wave 1.5"
+    writeFile(dir, "base-000000000099.npy.tmp", Array[Byte](1, 2, 3))
+    val wave2 = (10L until 20L).map(i => (i, Seq(i.toDouble, 1.0)))
+      .toDF("id", "vec").coalesce(1).sortWithinPartitions("id")
+    NpyIO.write(wave2, dir, "f8", idShardNames = true, append = true)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .exists(_.getPath.getName.endsWith(".tmp")),
+      "stale .tmp must be swept at the start of the next wave")
+    assert(NpyIO.read(spark, s"$dir/*.npy").count() === 20)
+  }
 }

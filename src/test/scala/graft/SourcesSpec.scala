@@ -292,6 +292,27 @@ class SourcesSpec extends SparkSpec {
       .load(dir).count() === 64)
   }
 
+  test("graftvecs byte write refuses an explicit contradicting eltype " +
+      "and accepts an explicit bvecs") {
+    import graft.functions.ByteVecs
+    val s = spark
+    import s.implicits._
+    val u8 = ByteVecs.markUnsigned(
+      Seq((0L, Seq(1.toByte, 2.toByte))).toDF("id", "vec"))
+    // explicit fvecs — previously indistinguishable from the absent
+    // default — must be refused: it would silently write .bvecs shards
+    intercept[Exception] {
+      u8.write.format("graftvecs").option("eltype", "fvecs")
+        .mode("overwrite").save(freshDir("byteeltf"))
+    }
+    // explicit bvecs matches the byte container and writes normally
+    val dirB = freshDir("byteeltb")
+    u8.write.format("graftvecs").option("eltype", "bvecs")
+      .mode("overwrite").save(dirB)
+    assert(spark.read.format("graftvecs").option("bytes", "true")
+      .load(s"$dirB/*.bvecs").count() === 1)
+  }
+
   test("graftvecs DSv2 handles ivecs element type end to end") {
     val dir = freshDir("dsv2i")
     val s = spark
