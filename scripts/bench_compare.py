@@ -3,7 +3,12 @@
 flag per-query regressions in wall-clock and shuffle bytes.
 
 Usage: python scripts/bench_compare.py OLD.json NEW.json [--wall-tol 1.3]
-       [--shuffle-tol 1.2]
+       [--shuffle-tol 1.2] [--shuffle-only]
+
+The required per-round gate compares against the pinned manifest and
+ignores wall-clock entirely (boot envelope is +/-15-25% on this box):
+    python scripts/bench_compare.py SHUFFLE_MANIFEST.json NEW.json \
+        --shuffle-only --shuffle-tol 1.2
 
 Wall-clock is noisy (JIT, page cache), so the default tolerance is 30%;
 shuffle bytes are deterministic for a fixed SF, so 20% growth there is a
@@ -31,6 +36,9 @@ def main():
     ap.add_argument("new")
     ap.add_argument("--wall-tol", type=float, default=1.3)
     ap.add_argument("--shuffle-tol", type=float, default=1.2)
+    ap.add_argument("--shuffle-only", action="store_true",
+                    help="gate on shuffle bytes + spill only (skip the "
+                         "noisy wall-clock check)")
     args = ap.parse_args()
 
     old, new = load(args.old), load(args.new)
@@ -46,7 +54,7 @@ def main():
 
     flagged = []
     common = sorted(set(oq) & set(nq))
-    for q in common:
+    for q in common if not args.shuffle_only else []:
         # sub-half-second queries are scheduling/GC noise at local[32]
         if oq[q] > 0.5 and nq[q] > args.wall_tol * oq[q]:
             flagged.append(

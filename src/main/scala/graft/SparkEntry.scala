@@ -1734,6 +1734,52 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** q175: kNN SERVED off an f16-RESIDENT hvecs DSv2 round trip — the
+    * last element-type residency rung (reference float16 datasets,
+    * lib/float16.h; kernels widen-at-use per
+    * include/svs/core/distance/euclidean.h:88-105). i8-quantized
+    * embeddings (integers, exactly binary16-representable) encode
+    * through the certified f16 codec (q45), persist raw bits as .hvecs,
+    * reopen half-resident via `option("half")`, and FlatKnn's half
+    * branch ranks them — certified against q163's i8 oracle: neither
+    * the codec, the file trip, nor the half kernel may move a value.
+    * General (non-integer) values are pinned separately by HalfKnnSpec's
+    * bit-equality against decoded-float serving. */
+  private def knnHalfF16Q(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_hvecs_q175"
+    val i8wide = embVectors(s, dir).select(col("id"),
+      graft.functions.ByteVecs.quantizeSigned(col("vec"), ByteScale)
+        .cast("array<double>").as("vec"))
+    val h = graft.functions.HalfVecs.toHalf(i8wide,
+      graft.functions.HalfVecs.F16)
+    h.repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.format("graftvecs").mode("overwrite").save(out)
+    val data = s.read.format("graftvecs").option("half", "true")
+      .load(s"$out/*.hvecs")
+    FlatKnn.search(embQueries(s, dir), data, K, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** q176: the bfloat16 twin — u8-quantized embeddings (integers 0..255,
+    * exactly bf16-representable: 8 significant bits) encode via the
+    * certified bf16 truncation codec and serve IN-MEMORY bf16-resident
+    * (bf16 has no vecs/npy container — reference lib/bfloat16.h datasets
+    * live in .svs) against q164's u8 oracle. */
+  private def knnHalfBf16Q(s: SparkSession, dir: String): DataFrame = {
+    val u8wide = embVectors(s, dir).select(col("id"),
+      graft.functions.ByteVecs.widen(
+        graft.functions.ByteVecs.quantizeUnsigned(col("vec"), ByteScale),
+        unsigned = true).as("vec"))
+    val data = memoized[DataFrame]("emb_vectors_bf16", dir) {
+      graft.functions.HalfVecs.toHalf(u8wide,
+        graft.functions.HalfVecs.BF16).cache()
+    }
+    FlatKnn.search(embQueries(s, dir), data, K, Metric.IP)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   private val SynN = 10000L
   private val SynDims = 16
   private val SynStride = 500L
@@ -2898,6 +2944,8 @@ object SparkEntry {
     "q172_npy_stream" -> (npyStreamQ _),
     "q173_npy_bytes_knn" -> (knnNpyBytesQ _),
     "q174_bvecs_bytes_knn" -> (knnBvecsBytesQ _),
+    "q175_f16_flat_knn" -> (knnHalfF16Q _),
+    "q176_bf16_flat_knn" -> (knnHalfBf16Q _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3270,6 +3318,15 @@ object SparkEntry {
     // q174: the bvecs twin — byte-resident DSv2 bvecs round trip serves
     // the same oracle.
     "q174_bvecs_bytes_knn" ->
+      OracleGen.embeddingKnnU8(Metric.IP, K, ByteScale),
+    // q175: f16-resident hvecs round trip serves kNN ≡ q163's i8 oracle
+    // (integer values are exactly binary16-representable, so neither the
+    // codec, the container, nor the half kernel may move one).
+    "q175_f16_flat_knn" ->
+      OracleGen.embeddingKnnI8(Metric.L2, K, ByteScale),
+    // q176: the bf16 twin ≡ q164's u8 oracle (0..255 are exactly
+    // bf16-representable under the truncation encode).
+    "q176_bf16_flat_knn" ->
       OracleGen.embeddingKnnU8(Metric.IP, K, ByteScale),
   )
 }

@@ -39,9 +39,16 @@ object FlatKnn {
     * (row scan) and ColumnarArray (columnar scan). */
   private final class TileScan(qIds: Array[Long],
       qVecs: Array[Array[Double]], k: Int, asc: Boolean, m: Metric,
-      elKind: Char, unsigned: Boolean) {
+      elKind: Char, unsigned: Boolean, bf16: Boolean = false) {
     private val isByte = elKind == 'b'
-    private val isFloat = elKind == 'f'
+    // half rows ('h') decode into the FLOAT tile at pack time: the f16→f32
+    // conversion runs once per row per scan instead of once per
+    // (query, row) pair, the tile stays at half the f64 bytes, and the
+    // sweep reuses the f32 kernels (incl. SIMD) unchanged. Both half
+    // formats inject losslessly into f32, so results are bit-identical
+    // to scanning the decoded ARRAY<FLOAT> copy (HalfKnnSpec).
+    private val isHalf = elKind == 'h'
+    private val isFloat = elKind == 'f' || isHalf
     private val nq = qIds.length
     private val heaps = Array.fill(nq)(new LocalTopK(k, asc))
     private val TileBytes = 1 << 18 // ≲ L2-resident per scan task
@@ -94,6 +101,14 @@ object FlatKnn {
       // bulk extraction: UnsafeArrayData and ColumnarArray both implement
       // toXArray as ONE memory copy, vs d virtual getX calls per row
       if (isByte) System.arraycopy(arr.toByteArray(), 0, bflat, off, d)
+      else if (isHalf) {
+        val bits = arr.toShortArray()
+        var i = 0
+        while (i < d) {
+          fflat(off + i) = graft.functions.HalfVecs.decodeOne(bits(i), bf16)
+          i += 1
+        }
+      }
       else if (isFloat) System.arraycopy(arr.toFloatArray(), 0, fflat, off, d)
       else System.arraycopy(arr.toDoubleArray(), 0, flat, off, d)
       tIds(n) = id
@@ -159,9 +174,11 @@ object FlatKnn {
         org.apache.spark.sql.types.DoubleType, _) => 'd'
       case org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.ByteType, _) => 'b'
-      case t => sys.error(s"vec must be ARRAY<FLOAT|DOUBLE|TINYINT>, got $t")
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ShortType, _) => 'h'
+      case t => sys.error(
+        s"vec must be ARRAY<FLOAT|DOUBLE|TINYINT|SMALLINT>, got $t")
     }
-    val isFloat = elKind == 'f'
     val isByte = elKind == 'b'
     // byte rows dispatch on DECLARED signedness only — a bare byte table
     // is ambiguous (mark-stripped u8 ≡ i8 by values) and fails loudly
@@ -169,6 +186,12 @@ object FlatKnn {
       if (isByte) graft.functions.ByteVecs.requireSignedness(
         data.schema, "vec")
       else false
+    // half rows ('h') likewise dispatch on the DECLARED format only —
+    // f16 and bf16 bit patterns decode to different values, so a bare
+    // ARRAY<SMALLINT> fails loudly (HalfVecs mark contract)
+    val bf16 =
+      elKind == 'h' && graft.functions.HalfVecs.requireFormat(
+        data.schema, "vec") == graft.functions.HalfVecs.BF16
 
     // Two physical scan shapes over the same tile logic ([[TileScan]]):
     //  - columnar: when the executed plan emits ColumnarBatches (parquet
@@ -205,7 +228,7 @@ object FlatKnn {
       if (colSrc.isDefined)
         colSrc.get.executeColumnar().mapPartitions { batches =>
           val (ids, vecs) = bc.value
-          val ts = new TileScan(ids, vecs, k, asc, m, elKind, unsigned)
+          val ts = new TileScan(ids, vecs, k, asc, m, elKind, unsigned, bf16)
           while (batches.hasNext) {
             val batch = batches.next()
             val idCol = batch.column(0)
@@ -223,7 +246,7 @@ object FlatKnn {
       else
         projected.queryExecution.toRdd.mapPartitions { iter =>
           val (ids, vecs) = bc.value
-          val ts = new TileScan(ids, vecs, k, asc, m, elKind, unsigned)
+          val ts = new TileScan(ids, vecs, k, asc, m, elKind, unsigned, bf16)
           while (iter.hasNext) {
             val row = iter.next()
             if (!row.isNullAt(0) && !row.isNullAt(1))

@@ -64,7 +64,16 @@ class NpyDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftnpy"
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (!NpyDataSource.bytesMode(options)) VecsDataSource.Schema
+    if (NpyDataSource.halfMode(options)) {
+      require(!NpyDataSource.bytesMode(options),
+        "graftnpy: options bytes and half are mutually exclusive")
+      // f2 is always IEEE binary16 (numpy has no bfloat16 descr), so the
+      // half-resident schema needs no file probe: ARRAY<SMALLINT> raw
+      // bits + the HalfVecs f16 mark. Scan validates descr==f2 loudly
+      // at planning.
+      NpyDataSource.halfSchema
+    }
+    else if (!NpyDataSource.bytesMode(options)) VecsDataSource.Schema
     else {
       // byte-resident ingest: the signedness mark comes from the FILE
       // (i1 vs u1 descr), probed from the first shard — one bounded
@@ -88,7 +97,8 @@ class NpyDataSource extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new NpyTable(VecsDataSource.pathsOf(properties), schema,
-      NpyDataSource.isByteSchema(schema))
+      NpyDataSource.isByteSchema(schema),
+      NpyDataSource.isHalfSchema(schema))
 }
 
 object NpyDataSource {
@@ -99,6 +109,30 @@ object NpyDataSource {
 
   private[sources] def bytesMode(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("bytes", false)
+
+  private[sources] def halfMode(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("half", false)
+
+  /** Half-resident table schema? Derives (like [[isByteSchema]]) from the
+    * COLUMN TYPE, the single source of truth for the reader's decode
+    * branch; the f16/bf16 interpretation itself travels as the
+    * [[graft.functions.HalfVecs]] mark. */
+  private[sources] def isHalfSchema(schema: StructType): Boolean =
+    schema.fieldNames.contains("vec") &&
+      graft.functions.HalfVecs.isShortVec(schema("vec").dataType)
+
+  /** `(id, vec ARRAY<SMALLINT>)` carrying the f16 [[graft.functions.HalfVecs]]
+    * mark — half-resident DSv2 reads surface raw binary16 bit patterns at
+    * HALF the scan bytes of f4 (and a quarter of f8), served directly by
+    * the FlatKnn half branch. */
+  def halfSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("vec", ArrayType(ShortType, containsNull = false),
+      nullable = false,
+      new MetadataBuilder()
+        .putString(graft.functions.HalfVecs.FormatKey,
+          graft.functions.HalfVecs.F16)
+        .build())))
 
   /** Byte-resident table schema? The single source of truth for the
     * reader's decode branch. */
@@ -130,7 +164,7 @@ object NpyDataSource {
 }
 
 class NpyTable(paths: Seq[String], tableSchema: StructType,
-    bytesMode: Boolean) extends Table
+    bytesMode: Boolean, halfMode: Boolean = false) extends Table
     with SupportsRead with SupportsWrite {
   override def name(): String = s"graftnpy(${paths.mkString(",")})"
   override def schema(): StructType = tableSchema
@@ -138,7 +172,8 @@ class NpyTable(paths: Seq[String], tableSchema: StructType,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new NpyScanBuilder(paths, tableSchema, bytesMode)
+      : ScanBuilder =
+    new NpyScanBuilder(paths, tableSchema, bytesMode, halfMode)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(paths.size == 1, "graftnpy write: exactly one target path")
     new NpyWriteBuilder(paths.head, info)
@@ -146,7 +181,7 @@ class NpyTable(paths: Seq[String], tableSchema: StructType,
 }
 
 class NpyScanBuilder(paths: Seq[String], tableSchema: StructType,
-    bytesMode: Boolean)
+    bytesMode: Boolean, halfMode: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
   private var required: StructType = tableSchema
@@ -154,11 +189,13 @@ class NpyScanBuilder(paths: Seq[String], tableSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def pushLimit(n: Int): Boolean = { limit = n.toLong; true }
-  override def build(): Scan = new NpyScan(paths, required, limit, bytesMode)
+  override def build(): Scan =
+    new NpyScan(paths, required, limit, bytesMode, halfMode)
 }
 
 class NpyScan(paths: Seq[String], required: StructType,
-    limit: Long = Long.MaxValue, bytesMode: Boolean = false)
+    limit: Long = Long.MaxValue, bytesMode: Boolean = false,
+    halfMode: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -183,6 +220,8 @@ class NpyScan(paths: Seq[String], required: StructType,
           "range splitting; use NpyIO.read for such files")
       require(!bytesMode || h.descr == "i1" || h.descr == "u1",
         s"graftnpy bytes=true needs i1/u1 shards, got ${h.descr} in $path")
+      require(!halfMode || h.descr == "f2",
+        s"graftnpy half=true needs f2 shards, got ${h.descr} in $path")
       if (descr0 == null) { descr0 = h.descr; cols0 = h.cols }
       require(h.descr == descr0,
         s"graftnpy: dtype drift — $path is ${h.descr}, expected $descr0")
@@ -213,19 +252,20 @@ class NpyScan(paths: Seq[String], required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NpyReaderFactory(required, bytesMode,
+    new NpyReaderFactory(required, bytesMode, halfMode,
       new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 class NpyReaderFactory(required: StructType, bytesMode: Boolean,
+    halfMode: Boolean,
     hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] =
     new NpyPartitionReader(
       partition.asInstanceOf[NpyDataSource.NpySplit], required, bytesMode,
-      hadoopConf)
+      halfMode, hadoopConf)
 }
 
 /** Streams one row-aligned range with a bounded read buffer; ids from
@@ -233,7 +273,7 @@ class NpyReaderFactory(required: StructType, bytesMode: Boolean,
   * ZERO file I/O — npy rows are fixed-stride, so unlike the per-record
   * dim headers of vecs there is nothing to even skip past. */
 class NpyPartitionReader(split: NpyDataSource.NpySplit,
-    required: StructType, bytesMode: Boolean,
+    required: StructType, bytesMode: Boolean, halfMode: Boolean,
     hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
   private val elBytes = NpyIO.elBytes(split.descr)
@@ -261,7 +301,16 @@ class NpyPartitionReader(split: NpyDataSource.NpySplit,
       in.readFully(buf, 0, want)
       bb = ByteBuffer.wrap(buf, 0, want).order(ByteOrder.LITTLE_ENDIAN)
     }
-    val vec: Any = if (wantVec && bytesMode) {
+    val vec: Any = if (wantVec && halfMode) {
+      // half-resident: raw binary16 bit patterns, never widened (the
+      // schema's HalfVecs f16 mark declares the decode) — half the scan
+      // bytes of f4
+      val out = new Array[Short](split.cols)
+      var i = 0
+      while (i < split.cols) { out(i) = bb.getShort; i += 1 }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    } else if (wantVec && bytesMode) {
       // byte-resident: raw bit patterns, never widened (the schema's
       // ByteVecs mark declares the value space) — the >2 GB-capable
       // twin of NpyIO.readBytes
@@ -346,8 +395,21 @@ class NpyWrite(path: String, schema: StructType, descr: String,
             s"column's ${if (unsigned) "u8" else "i8"} mark (use '$d' " +
             "or drop the option)")
         (2, d)
+      case ArrayType(ShortType, _) =>
+        // half-resident egress: raw bit patterns out as f2. npy has no
+        // bfloat16 descr, so only f16-marked frames may pass — writing
+        // bf16 bits as f2 would silently change every value on re-read.
+        val fmt = graft.functions.HalfVecs.requireFormat(schema, "vec")
+        require(fmt == graft.functions.HalfVecs.F16,
+          "graftnpy write: npy has no bfloat16 descr — a bf16-marked " +
+            "frame would silently decode as IEEE f16 on re-read; widen " +
+            "or re-encode to f16 first")
+        require(descr == "f4" || descr == "f2", // f4 = the option default
+          s"graftnpy write: descr option '$descr' contradicts the " +
+            "f16-resident column (use 'f2' or drop the option)")
+        (3, "f2")
       case t => sys.error(s"graftnpy write: vec must be an array of " +
-        s"float/double/byte, got $t")
+        s"float/double/byte/short, got $t")
     }
     val conf = new org.apache.spark.util.SerializableConfiguration(
       SparkSession.active.sparkContext.hadoopConfiguration)
@@ -414,6 +476,14 @@ class NpyDataWriter(dir: String, descr: String, vecOrdinal: Int,
     require(d == cols, s"graftnpy write: $d dims, expected $cols")
     if (elemMode == 2) { // byte-resident: raw bit patterns straight out
       rows += arr.toByteArray()
+      return
+    }
+    if (elemMode == 3) { // half-resident: raw binary16 bits out as f2
+      val bits = arr.toShortArray()
+      val hb = ByteBuffer.allocate(d * 2).order(ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < d) { hb.putShort(bits(i)); i += 1 }
+      rows += hb.array()
       return
     }
     val bb = ByteBuffer.allocate(d * elBytes).order(ByteOrder.LITTLE_ENDIAN)

@@ -313,6 +313,88 @@ object NpyIO {
       unsigned = descr == "u1")
   }
 
+  /** HALF-RESIDENT ingest for `<f2` npy files: payload shorts land as
+    * `ARRAY<SMALLINT>` raw binary16 bit patterns with the f16
+    * [[graft.functions.HalfVecs]] mark, never widening — half the scan
+    * bytes of f4, a quarter of f8; the FlatKnn half branch serves them
+    * directly (npy twin of [[VecsIO.readHalfF16]]). */
+  def readHalf(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val headers = headersFor(spark, path)
+    val descr = headers.head._2.descr
+    require(descr == "f2",
+      s"readHalf needs an f2 npy, got $descr — use read()")
+    val bases = headers.scanLeft(0L) { case (acc, (_, h)) => acc + h.rows }
+    val bcMeta = spark.sparkContext.broadcast(headers.toMap)
+    val bcBase =
+      spark.sparkContext.broadcast(headers.map(_._1).zip(bases).toMap)
+    val df = spark.read.format("binaryFile").load(headers.map(_._1): _*)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val h = bcMeta.value(p)
+        val base = bcBase.value(p)
+        require(bytes.length.toLong == h.dataOffset + h.payloadBytes,
+          s"$p: npy payload ${bytes.length - h.dataOffset} B != shape " +
+            s"(${h.rows}, ${h.cols}) × ${h.elBytes} B")
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        (0L until h.rows).iterator.map { r =>
+          val out = new Array[Short](h.cols)
+          var c = 0
+          while (c < h.cols) {
+            out(c) = bb.getShort(elOffset(h, r, c).toInt)
+            c += 1
+          }
+          (base + r, out.toSeq)
+        }
+      }
+      .toDF("id", "vec")
+    graft.functions.HalfVecs.markHalf(df, graft.functions.HalfVecs.F16)
+  }
+
+  /** Half-resident writer: `ARRAY<SMALLINT>` rows persist their raw
+    * binary16 bit patterns as `<f2` — [[readHalf]] restores residency and
+    * mark exactly. Only f16-marked frames may pass (npy has no bfloat16
+    * descr; bf16 bits written as f2 would silently decode differently). */
+  def writeHalf(df: DataFrame, dir: String): Unit = {
+    import graft.functions.HalfVecs
+    require(HalfVecs.requireFormat(df.schema, "vec") == HalfVecs.F16,
+      "writeHalf: npy has no bfloat16 descr — re-encode to f16 first")
+    val spark = df.sparkSession
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf.value)
+    fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    df.select(col("id").cast("long"), col("vec"))
+      .sortWithinPartitions("id")
+      .rdd
+      .mapPartitionsWithIndex { case (pi, iter) =>
+        if (iter.isEmpty) Iterator.empty
+        else {
+          val rows = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+          var cols = -1
+          iter.foreach { row =>
+            val v = row.getSeq[Short](1)
+            if (cols < 0) cols = v.length
+            require(v.length == cols,
+              s"row ${row.getLong(0)}: ${v.length} dims, expected $cols")
+            val bb = ByteBuffer.allocate(cols * 2)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            v.foreach(bb.putShort)
+            rows += bb.array()
+          }
+          val out = new Path(dir, f"part-$pi%05d.npy")
+          writeAtomic(out, conf.value) { os =>
+            os.write(headerBytes("f2", rows.length.toLong, cols))
+            rows.foreach(os.write)
+          }
+          Iterator.single(pi)
+        }
+      }
+      .count()
+  }
+
   /** Canonical v1.0 header bytes for `(rows, cols)` of `descr`, padded so
     * the payload starts 64-byte aligned — byte-compatible with what
     * `np.save` emits. */

@@ -52,15 +52,21 @@ class VecsDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftvecs"
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (!options.getBoolean("bytes", false)) VecsDataSource.Schema
+    if (options.getBoolean("half", false)) {
+      require(!options.getBoolean("bytes", false),
+        "graftvecs: options bytes and half are mutually exclusive")
+      NpyDataSource.halfSchema // hvecs IS IEEE binary16
+    }
+    else if (!options.getBoolean("bytes", false)) VecsDataSource.Schema
     else NpyDataSource.byteSchema(unsigned = true) // bvecs IS u8 (Deep1B)
-  // bytesMode derives from the SCHEMA (see NpyDataSource): the reader's
-  // decode branch can never disagree with the plan's column type
+  // bytesMode/halfMode derive from the SCHEMA (see NpyDataSource): the
+  // reader's decode branch can never disagree with the plan's column type
   override def getTable(schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new VecsTable(VecsDataSource.pathsOf(properties), schema,
-      NpyDataSource.isByteSchema(schema))
+      NpyDataSource.isByteSchema(schema),
+      NpyDataSource.isHalfSchema(schema))
 }
 
 object VecsDataSource {
@@ -105,7 +111,7 @@ object VecsDataSource {
 
 class VecsTable(paths: Seq[String],
     tableSchema: StructType = VecsDataSource.Schema,
-    bytesMode: Boolean = false) extends Table
+    bytesMode: Boolean = false, halfMode: Boolean = false) extends Table
     with SupportsRead with SupportsWrite {
   override def name(): String = s"graftvecs(${paths.mkString(",")})"
   override def schema(): StructType = tableSchema
@@ -113,7 +119,8 @@ class VecsTable(paths: Seq[String],
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new VecsScanBuilder(paths, tableSchema, bytesMode)
+      : ScanBuilder =
+    new VecsScanBuilder(paths, tableSchema, bytesMode, halfMode)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(paths.size == 1, "graftvecs write: exactly one target path")
     new VecsWriteBuilder(paths.head, info)
@@ -168,8 +175,21 @@ class VecsWrite(path: String, schema: StructType,
             "column (bvecs is the only byte container; omit eltype or " +
             "pass 'bvecs')")
         (2, VecsIO.U8)
+      case ArrayType(ShortType, _) =>
+        // half-resident egress: raw bits out as hvecs (the IEEE binary16
+        // container) — a bf16-marked frame is refused, its bits would
+        // silently decode as f16 on re-read
+        val fmt = graft.functions.HalfVecs.requireFormat(schema, "vec")
+        require(fmt == graft.functions.HalfVecs.F16,
+          "graftvecs write: hvecs is the IEEE binary16 container — a " +
+            "bf16-marked frame would silently decode as f16 on re-read; " +
+            "widen or re-encode to f16 first")
+        require(eltypeOpt.forall(_ == "hvecs"),
+          s"graftvecs write: eltype '$eltypeExt' contradicts the " +
+            "f16-resident column (omit eltype or pass 'hvecs')")
+        (3, VecsIO.F16)
       case t => sys.error(s"graftvecs write: vec must be an array " +
-        s"of float/double/byte, got $t")
+        s"of float/double/byte/short, got $t")
     }
     val conf = new org.apache.spark.util.SerializableConfiguration(
       SparkSession.active.sparkContext.hadoopConfiguration)
@@ -239,6 +259,11 @@ class VecsDataWriter(dir: String, el: VecsIO.ElType, vecOrdinal: Int,
       .order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(d)
     if (elemMode == 2) bb.put(arr.toByteArray()) // raw bit patterns out
+    else if (elemMode == 3) { // half-resident: raw binary16 bits out
+      val bits = arr.toShortArray()
+      var i = 0
+      while (i < d) { bb.putShort(bits(i)); i += 1 }
+    }
     else {
       var i = 0
       while (i < d) {
@@ -277,7 +302,7 @@ class VecsDataWriter(dir: String, el: VecsIO.ElType, vecOrdinal: Int,
 
 class VecsScanBuilder(paths: Seq[String],
     tableSchema: StructType = VecsDataSource.Schema,
-    bytesMode: Boolean = false)
+    bytesMode: Boolean = false, halfMode: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
   private var required: StructType = tableSchema
@@ -288,11 +313,13 @@ class VecsScanBuilder(paths: Seq[String],
   // ceil(limit/rowsPerSplit) splits — a head() of a 100 GB file reads
   // one record-aligned range, not the file
   override def pushLimit(n: Int): Boolean = { limit = n.toLong; true }
-  override def build(): Scan = new VecsScan(paths, required, limit, bytesMode)
+  override def build(): Scan =
+    new VecsScan(paths, required, limit, bytesMode, halfMode)
 }
 
 class VecsScan(paths: Seq[String], required: StructType,
-    limit: Long = Long.MaxValue, bytesMode: Boolean = false)
+    limit: Long = Long.MaxValue, bytesMode: Boolean = false,
+    halfMode: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -324,6 +351,9 @@ class VecsScan(paths: Seq[String], required: StructType,
       require(!bytesMode || el == VecsIO.U8,
         s"graftvecs bytes=true needs .bvecs shards (u8 is the byte vecs " +
           s"container), got $path")
+      require(!halfMode || el == VecsIO.F16,
+        s"graftvecs half=true needs .hvecs shards (IEEE binary16), " +
+          s"got $path")
       val fs = path.getFileSystem(conf)
       val in = fs.open(path)
       val dim = try {
@@ -356,18 +386,19 @@ class VecsScan(paths: Seq[String], required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new VecsReaderFactory(required, bytesMode,
+    new VecsReaderFactory(required, bytesMode, halfMode,
       new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 class VecsReaderFactory(required: StructType, bytesMode: Boolean,
+    halfMode: Boolean,
     hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val s = partition.asInstanceOf[VecsDataSource.VecsSplit]
-    new VecsPartitionReader(s, required, bytesMode, hadoopConf)
+    new VecsPartitionReader(s, required, bytesMode, halfMode, hadoopConf)
   }
 }
 
@@ -375,7 +406,7 @@ class VecsReaderFactory(required: StructType, bytesMode: Boolean,
   * only when small), ids from arithmetic, payload decoded only when the
   * pruned schema asks for `vec`. */
 class VecsPartitionReader(split: VecsDataSource.VecsSplit,
-    required: StructType, bytesMode: Boolean,
+    required: StructType, bytesMode: Boolean, halfMode: Boolean,
     hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
   private val el = VecsDataSource.elOf(split.elName)
@@ -405,7 +436,15 @@ class VecsPartitionReader(split: VecsDataSource.VecsSplit,
     val d = bb.getInt
     require(d == split.dim,
       s"graftvecs: dim drift $d vs ${split.dim} in ${split.path}")
-    val vec: Any = if (wantVec && bytesMode) {
+    val vec: Any = if (wantVec && halfMode) {
+      // half-resident hvecs: raw binary16 bit patterns, never widened
+      // (the schema's HalfVecs f16 mark declares the decode)
+      val out = new Array[Short](d)
+      var i = 0
+      while (i < d) { out(i) = bb.getShort; i += 1 }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    } else if (wantVec && bytesMode) {
       // byte-resident bvecs (the Deep1B shape): raw bit patterns, never
       // widened — readBytesU8 minus binaryFile's 2 GB whole-file cap
       val out = new Array[Byte](d)

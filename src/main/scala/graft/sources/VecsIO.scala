@@ -176,6 +176,104 @@ object VecsIO {
     graft.functions.ByteVecs.markUnsigned(df)
   }
 
+  /** HALF-RESIDENT `.hvecs` ingest: binary16 payloads land as
+    * `ARRAY<SMALLINT>` raw bit patterns carrying the f16
+    * [[graft.functions.HalfVecs]] mark, never widening to double (4×
+    * fewer resident bytes than [[read]]; the FlatKnn half branch decodes
+    * each value at use, bit-identical to reading wide — HalfKnnSpec /
+    * SourcesSpec). Ids are dense (path, row) order exactly like [[read]]. */
+  def readHalfF16(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val paths = resolve(spark, path)
+    val files = spark.read.format("binaryFile").load(paths: _*)
+      .select(col("path"), col("length"), col("content"))
+    val sizes = files.select("path", "length").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val firstP = new Path(paths.head)
+    val ffs = firstP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = ffs.open(firstP)
+    val head = new Array[Byte](4)
+    try in.readFully(0L, head) finally in.close()
+    val dim = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN).getInt
+    require(dim > 0, s"bad dim $dim in ${paths.head}")
+    val stride = 4L + dim.toLong * 2
+    sizes.foreach { case (p, len) =>
+      require(len % stride == 0, s"$p length $len not a multiple of $stride") }
+    val bases = sizes.scanLeft(0L) { case (acc, (_, len)) =>
+      acc + len / stride }
+    val baseByPath = sizes.map(_._1).zip(bases).toMap
+    val bc = spark.sparkContext.broadcast(baseByPath)
+    // Seq[Short] (not BINARY) so the column lands as ARRAY<SMALLINT> and
+    // the half-branch kernels dispatch on it
+    val df = files.select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val base = bc.value(p)
+        new Iterator[(Long, Seq[Short])] {
+          private var r = 0L
+          def hasNext: Boolean = bb.remaining() >= 4
+          def next(): (Long, Seq[Short]) = {
+            val d = bb.getInt
+            require(d == dim, s"dim drift $d vs $dim in $p")
+            val out = new Array[Short](d)
+            var i = 0
+            while (i < d) { out(i) = bb.getShort; i += 1 }
+            val row = (base + r, out.toSeq)
+            r += 1
+            row
+          }
+        }
+      }
+      .toDF("id", "vec")
+    graft.functions.HalfVecs.markHalf(df, graft.functions.HalfVecs.F16)
+  }
+
+  /** Half-resident writer: `ARRAY<SMALLINT>` rows persist raw binary16
+    * bits as `.hvecs` shards — [[readHalfF16]] restores residency and
+    * mark exactly. bf16-marked frames are refused (hvecs is the IEEE
+    * binary16 container). */
+  def writeHalf(df: DataFrame, dir: String): Unit = {
+    import graft.functions.HalfVecs
+    require(HalfVecs.requireFormat(df.schema, "vec") == HalfVecs.F16,
+      "writeHalf: hvecs is the IEEE binary16 container — re-encode " +
+        "bf16 frames to f16 first")
+    val spark = df.sparkSession
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf.value)
+    fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    df.select(col("id").cast("long"), col("vec"))
+      .sortWithinPartitions("id")
+      .rdd
+      .mapPartitionsWithIndex { case (pi, iter) =>
+        if (iter.isEmpty) Iterator.empty
+        else {
+          val out = new Path(dir, f"part-$pi%05d.hvecs")
+          var os: org.apache.hadoop.fs.FSDataOutputStream = null
+          iter.foreach { row =>
+            if (os == null)
+              os = out.getFileSystem(conf.value)
+                .create(new Path(dir, out.getName + ".tmp"), true)
+            val v = row.getSeq[Short](1)
+            val bb = ByteBuffer.allocate(4 + v.length * 2)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            bb.putInt(v.length)
+            v.foreach(bb.putShort)
+            os.write(bb.array())
+          }
+          os.close()
+          val fsOut = out.getFileSystem(conf.value)
+          fsOut.delete(out, false) // replace semantics
+          require(fsOut.rename(new Path(dir, out.getName + ".tmp"), out),
+            s"rename to $out failed")
+          Iterator.single(pi)
+        }
+      }
+      .count()
+  }
+
   /** Write `(id, vec)` rows as vecs shards `part-NNNNN.<ext>` under `dir`,
     * one per partition (ordered by id within each). Use
     * `df.repartitionByRange(n, col("id"))` upstream for globally ordered
