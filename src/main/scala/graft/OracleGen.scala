@@ -625,13 +625,25 @@ object OracleGen {
     * filter contract: with a full window the filtered walk equals exact
     * kNN over probed shards WHERE the predicate holds. */
   def vamanaShardedKnn(k: Int, nProbes: Int, candPred: String = "TRUE")
-      : String = {
+      : String = vamanaShardedKnnDims(k, nProbes, embDimExprs, candPred)
+
+  /** i8-quantized twin (q177): the stored f16 graph layout serves
+    * integer-valued vectors (exactly binary16-representable), so the
+    * oracle quantizes the data side — and the label centroids, which are
+    * means OF the quantized values — with the q163 quantizer. */
+  def vamanaShardedKnnI8(k: Int, nProbes: Int, scale: Double): String =
+    vamanaShardedKnnDims(k, nProbes, embDimExprs.map(e =>
+      s"CAST(LEAST(127, GREATEST(-128, " +
+        s"CAST(FLOOR($e * $scale) AS BIGINT))) AS DOUBLE)"))
+
+  private def vamanaShardedKnnDims(k: Int, nProbes: Int,
+      dataDims: Seq[String], candPred: String = "TRUE"): String = {
     val d = Tables.embDims
     val centAvgs = (0 until d).map(i => s"round(avg(v$i), 6) AS c$i")
       .mkString(", ")
     s"""WITH data AS (
        |  SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
-       |         ${dimCols("v", embDimExprs)}
+       |         ${dimCols("v", dataDims)}
        |  FROM embeddings),
        |q AS (
        |  SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}

@@ -1780,6 +1780,36 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** q177: the stored f16 graph layout END-TO-END — i8-quantized
+    * embeddings (integers, exactly binary16-representable) encode
+    * half-resident, build the sharded Vamana graph HALF-RESIDENT
+    * (VamanaKernel.HalfStore, 1/4 the f64 task bytes), persist through
+    * GraphLayout (f16 data on disk + the half_format sidecar), reopen,
+    * and serve the exhaustive-window probe-and-walk — ≡ the q24-style
+    * exact-within-probed-shards oracle on the quantized values. Pins the
+    * whole stored-half lifecycle, not just the flat scan (q175). */
+  private def vamanaStoredHalfQ(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_q177_graph_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val layout =
+      memoized[graft.operators.GraphLayout.Layout]("graph_layout_f16", dir) {
+        val clH = graft.functions.HalfVecs.toHalf(
+          embVectors(s, dir).select(col("id"),
+            graft.functions.ByteVecs.quantizeSigned(col("vec"), ByteScale)
+              .cast("array<double>").as("vec"),
+            col("label").cast("long").as("cluster_id")),
+          graft.functions.HalfVecs.F16).cache()
+        val cents = labelCentroidsOf(
+          graft.functions.HalfVecs.widenedForMath(clH))
+        val g = Vamana.buildSharded(clH, VamanaParams, Metric.L2)
+        graft.operators.GraphLayout.write(clH, g, cents, path)
+        graft.operators.GraphLayout.open(s, path)
+      }
+    graft.operators.GraphLayout.search(layout, embQueries(s, dir), K,
+        searchWindow = 1 << 14, nProbes = VamanaProbes, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   private val SynN = 10000L
   private val SynDims = 16
   private val SynStride = 500L
@@ -2946,6 +2976,7 @@ object SparkEntry {
     "q174_bvecs_bytes_knn" -> (knnBvecsBytesQ _),
     "q175_f16_flat_knn" -> (knnHalfF16Q _),
     "q176_bf16_flat_knn" -> (knnHalfBf16Q _),
+    "q177_f16_vamana_stored" -> (vamanaStoredHalfQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3328,5 +3359,9 @@ object SparkEntry {
     // bf16-representable under the truncation encode).
     "q176_bf16_flat_knn" ->
       OracleGen.embeddingKnnU8(Metric.IP, K, ByteScale),
+    // q177: stored f16 graph layout (half-resident build + walk + sidecar
+    // round trip) ≡ exact kNN within probed shards on quantized values.
+    "q177_f16_vamana_stored" ->
+      OracleGen.vamanaShardedKnnI8(K, VamanaProbes, ByteScale),
   )
 }

@@ -45,7 +45,8 @@ object GraphLayout {
     * would sign-extend u8 raw bytes (200 → −56) into the wrong value
     * space, silently skewing refreshed centroids and re-encoded codes. */
   private def widenedForMath(df: DataFrame): DataFrame =
-    graft.functions.ByteVecs.widenedForMath(df, "vec")
+    graft.functions.HalfVecs.widenedForMath(
+      graft.functions.ByteVecs.widenedForMath(df, "vec"), "vec")
 
   /** Persist a built index. `clustered` (id, vec, cluster_id) and `graph`
     * are [[Vamana.buildSharded]]'s input/output; when `pq` is given the
@@ -67,6 +68,13 @@ object GraphLayout {
       if (graft.functions.ByteVecs.isByteVec(clustered.schema("vec").dataType))
         Some(graft.functions.ByteVecs.requireSignedness(
           clustered.schema, "vec"))
+      else None
+    // half stores persist their DECLARED format the same way: an f16
+    // store reopened as bf16 (or served bare) is silent corruption
+    val halfF: Option[String] =
+      if (graft.functions.HalfVecs.isShortVec(
+        clustered.schema("vec").dataType))
+        Some(graft.functions.HalfVecs.requireFormat(clustered.schema, "vec"))
       else None
     IvfIndex.writeClustered(clustered, s"$path/data")
     // optional persisted level-1 routing table (the 10⁵-shard dial):
@@ -120,7 +128,8 @@ object GraphLayout {
       s"""{"pq":$pqJson,"bin":$binJson,""" +
         s""""routing_groups":$routingGroups,""" +
         s""""routing_metric":"${routingMetric.name.stripSuffix("_simd")}",""" +
-        s""""byte_unsigned":${byteU.map(_.toString).getOrElse("null")}}""")
+        s""""byte_unsigned":${byteU.map(_.toString).getOrElse("null")},""" +
+        s""""half_format":${halfF.map(f => s""""$f"""").getOrElse("null")}}""")
   }
 
   def open(spark: SparkSession, path: String): Layout = {
@@ -192,11 +201,18 @@ object GraphLayout {
       case JNull | JNothing => None
       case node             => Some(node.extract[Boolean])
     }
+    val halfF = (parsed \ "half_format") match {
+      case JNull | JNothing => None
+      case node             => Some(node.extract[String])
+    }
     val data0 = spark.read.parquet(s"$path/data")
-    val data = byteU match {
-      case Some(u) if graft.functions.ByteVecs.isByteVec(
+    val data = (byteU, halfF) match {
+      case (Some(u), _) if graft.functions.ByteVecs.isByteVec(
         data0.schema("vec").dataType) =>
         graft.functions.ByteVecs.markSignedness(data0, "vec", u)
+      case (_, Some(f)) if graft.functions.HalfVecs.isShortVec(
+        data0.schema("vec").dataType) =>
+        graft.functions.HalfVecs.markHalf(data0, f, "vec")
       case _ => data0
     }
     Layout(data,
@@ -322,14 +338,31 @@ object GraphLayout {
         s"upsert: added rows are ${if (au) "u8" else "i8"} but the store " +
           s"is ${if (u) "u8" else "i8"}")
     }
+    // half stores: the same declare-to-match contract as bytes (an f16
+    // add into a bf16 store — or an unmarked one — is silent corruption)
+    val storedHalf =
+      graft.functions.HalfVecs.formatOf(stored.schema, "vec")
+    storedHalf.foreach { f =>
+      require(graft.functions.HalfVecs.isShortVec(
+        addedFinal.schema("vec").dataType),
+        s"upsert: the store is half-resident ($f) but added rows have " +
+          s"${addedFinal.schema("vec").dataType} — encode and mark them " +
+          "to match the store")
+      val af = graft.functions.HalfVecs.requireFormat(
+        addedFinal.schema, "vec")
+      require(af == f,
+        s"upsert: added rows are $af but the store is $f")
+    }
     // rows to remove = explicit deletes ∪ re-added ids (replace-on-add)
     val removed = dels
       .unionByName(addedFinal.select(col("id").cast("long").as("id")))
       .distinct()
     val (nc0, ng, touched) = Vamana.updateShardsTouched(stored, layout.graph,
       addedFinal, removed, params, metric)
-    val nc = storedSig.map(u => graft.functions.ByteVecs
+    val nc1 = storedSig.map(u => graft.functions.ByteVecs
       .markSignedness(nc0, "vec", u)).getOrElse(nc0)
+    val nc = storedHalf.map(f => graft.functions.HalfVecs
+      .markHalf(nc1, f, "vec")).getOrElse(nc1)
     if (touched.nonEmpty) {
       // materialize the touched shards' new rows BEFORE overwriting: the
       // plans read the very partitions the writes replace, and the source

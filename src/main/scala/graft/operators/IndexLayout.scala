@@ -66,13 +66,20 @@ object IndexLayout {
         Some(graft.functions.ByteVecs.requireSignedness(
           clustered.schema, "vec"))
       else None
+    // half stores persist their declared f16/bf16 format the same way
+    val halfF: Option[String] =
+      if (graft.functions.HalfVecs.isShortVec(
+        clustered.schema("vec").dataType))
+        Some(graft.functions.HalfVecs.requireFormat(clustered.schema, "vec"))
+      else None
     // Codec attachment is VALUE arithmetic (residual/quantize folds run on
     // element values): byte-resident inputs widen through the shared
     // mark-aware helper first so u8 never encodes in the sign-extended
     // space. The widened frame feeds ONLY the code computation — added
     // code columns join back onto the raw frame, so the persisted `vec`
     // stays byte-resident on disk.
-    val wide = graft.functions.ByteVecs.widenedForMath(clustered, "vec")
+    val wide = graft.functions.HalfVecs.widenedForMath(
+      graft.functions.ByteVecs.widenedForMath(clustered, "vec"), "vec")
     def attach(f: DataFrame => DataFrame): DataFrame =
       if (wide eq clustered) f(clustered)
       else {
@@ -133,6 +140,7 @@ object IndexLayout {
     writeSidecar(spark, s"$path/layout.json",
       s"""{"codec":$codecJson,""" +
         s""""byte_unsigned":${byteU.map(_.toString).getOrElse("null")},""" +
+        s""""half_format":${halfF.map(f => s""""$f"""").getOrElse("null")},""" +
         s""""routing_groups":$routingGroups,""" +
         s""""routing_metric":"${routingMetric.name.stripSuffix("_simd")}"}""")
   }
@@ -165,11 +173,18 @@ object IndexLayout {
       case JNull | JNothing => None
       case node             => Some(node.extract[Boolean])
     }
+    val halfF = (parsed \ "half_format") match {
+      case JNull | JNothing => None
+      case node             => Some(node.extract[String])
+    }
     val data0 = spark.read.parquet(s"$path/data")
-    val data = byteU match {
-      case Some(u) if graft.functions.ByteVecs.isByteVec(
+    val data = (byteU, halfF) match {
+      case (Some(u), _) if graft.functions.ByteVecs.isByteVec(
         data0.schema("vec").dataType) =>
         graft.functions.ByteVecs.markSignedness(data0, "vec", u)
+      case (_, Some(f)) if graft.functions.HalfVecs.isShortVec(
+        data0.schema("vec").dataType) =>
+        graft.functions.HalfVecs.markHalf(data0, f, "vec")
       case _ => data0
     }
     // routing is sidecar-gated like the codec: a rewrite without
@@ -215,7 +230,9 @@ object IndexLayout {
     // ARRAY<FLOAT|DOUBLE> only, and an unwidened cast would sign-extend
     // u8. The transform is column-pruned away wherever a pass reads only
     // code columns, so codes-only coarse passes pay nothing.
-    val cl = graft.functions.ByteVecs.widenedForMath(layout.clustered, "vec")
+    val cl = graft.functions.HalfVecs.widenedForMath(
+      graft.functions.ByteVecs.widenedForMath(layout.clustered, "vec"),
+      "vec")
     layout.codec match {
       case Uncompressed =>
         IvfIndex.search(queries, cl, layout.centroids, k, nProbes, metric)
@@ -266,7 +283,9 @@ object IndexLayout {
       BatchScore.probeTopKHierarchical(_, _, l1Arr, groupOf, l1Probes,
         nProbes, metric)
     }
-    val cl = graft.functions.ByteVecs.widenedForMath(layout.clustered, "vec")
+    val cl = graft.functions.HalfVecs.widenedForMath(
+      graft.functions.ByteVecs.widenedForMath(layout.clustered, "vec"),
+      "vec")
     layout.codec match {
       case Uncompressed =>
         IvfIndex.searchHierarchical(queries, cl,

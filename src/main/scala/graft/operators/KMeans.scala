@@ -58,6 +58,13 @@ object KMeans {
       if (graft.functions.ByteVecs.isByteVec(data.schema(vecCol).dataType))
         graft.functions.ByteVecs.widen(col(vecCol),
           graft.functions.ByteVecs.requireSignedness(data.schema, vecCol))
+      else if (graft.functions.HalfVecs.isShortVec(
+          data.schema(vecCol).dataType))
+        // half-resident tables decode through the certified codec — the
+        // original short column stays untouched in the output
+        graft.functions.HalfVecs.widen(col(vecCol),
+          graft.functions.HalfVecs.requireFormat(data.schema, vecCol))
+          .cast("array<double>")
       else col(vecCol)
     data.withColumn("cluster_id", assignColumn(scoreVec, centroids))
   }
@@ -65,7 +72,8 @@ object KMeans {
   /** Byte inputs widened for VALUE arithmetic (means, raw distances) —
     * delegates to the shared mark-aware helper. */
   private def widenedForMath(df: DataFrame, vecCol: String): DataFrame =
-    graft.functions.ByteVecs.widenedForMath(df, vecCol)
+    graft.functions.HalfVecs.widenedForMath(
+      graft.functions.ByteVecs.widenedForMath(df, vecCol), vecCol)
 
   /** Lloyd's iterations: assign (map-only) then per-cluster mean (one
     * partial-merged aggregate). Empty clusters keep their previous centroid.

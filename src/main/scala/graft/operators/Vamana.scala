@@ -53,6 +53,10 @@ object Vamana {
       if (isByte) graft.functions.ByteVecs.requireSignedness(
         clustered.schema, "vec")
       else false
+    val isHalf =
+      graft.functions.HalfVecs.isShortVec(clustered.schema("vec").dataType)
+    val bf16 = isHalf && graft.functions.HalfVecs.requireFormat(
+      clustered.schema, "vec") == graft.functions.HalfVecs.BF16
     val built =
       if (isByte)
         // i8/u8 sources build byte-resident (ByteStore): 1/8 the task
@@ -66,6 +70,20 @@ object Vamana {
             val rows = it.toArray.sortBy(_._2)
             emitGraph(cid, rows.map(_._2),
               new VamanaKernel.ByteStore(rows.map(_._3.toArray), unsigned),
+              params, metric)
+          }
+      else if (isHalf)
+        // f16/bf16 sources build half-resident (HalfStore): 1/4 the task
+        // memory of f64, bit-identical graphs (HalfKnnSpec)
+        clustered
+          .select(col("cluster_id").cast("long"), col("id").cast("long"),
+            col("vec"))
+          .as[(Long, Long, Seq[Short])]
+          .groupByKey(_._1)
+          .flatMapGroups { (cid, it) =>
+            val rows = it.toArray.sortBy(_._2)
+            emitGraph(cid, rows.map(_._2),
+              new VamanaKernel.HalfStore(rows.map(_._3.toArray), bf16),
               params, metric)
           }
       else if (isFloat)
@@ -152,7 +170,8 @@ object Vamana {
       // mark-aware first (a raw TINYINT avg would run u8 in the
       // sign-extended space, 200 → −56, skewing routing sub-centroids);
       // `reclustered` itself stays byte-resident in the returned frame
-      val subCents = graft.functions.ByteVecs.widenedForMath(reclustered)
+      val subCents = graft.functions.HalfVecs.widenedForMath(
+        graft.functions.ByteVecs.widenedForMath(reclustered))
         .filter(element_at(typedlit(kOf),
           floor(col("cluster_id") / lit(splitBase)).cast("long")).isNotNull)
         .select(col("cluster_id"), posexplode(col("vec")))
@@ -340,6 +359,10 @@ object Vamana {
       if (isByte) graft.functions.ByteVecs.requireSignedness(
         clustered.schema, "vec")
       else false
+    val isHalf =
+      graft.functions.HalfVecs.isShortVec(clustered.schema("vec").dataType)
+    val bf16 = isHalf && graft.functions.HalfVecs.requireFormat(
+      clustered.schema, "vec") == graft.functions.HalfVecs.BF16
     val pruned = clustered
       .withColumn("keep", keep)
       .filter(col("cluster_id").isin(probedIds: _*))
@@ -347,7 +370,29 @@ object Vamana {
 
     val m = metric
     val partials = (
-      if (isByte)
+      if (isHalf)
+        // half-resident walk (f16/bf16 datatype parity): same shape as
+        // the float branch at half its per-task bytes, bit-identical
+        // results (HalfKnnSpec)
+        pruned
+          .select(col("cluster_id").cast("long"), col("id").cast("long"),
+            col("vec"), col("entry_id").cast("long"),
+            col("neighbors").cast("array<long>"), col("keep"))
+          .as[(Long, Long, Seq[Short], Long, Array[Long], Boolean)]
+          .groupByKey(_._1)
+          .flatMapGroups { (cid, it) =>
+            val qs = bc.value.getOrElse(cid,
+              Array.empty[(Long, Array[Double])])
+            if (qs.isEmpty) Iterator.empty
+            else {
+              val rows = it.toArray.sortBy(_._2)
+              walkShardCore(cid, rows.map(_._2),
+                new VamanaKernel.HalfStore(rows.map(_._3.toArray), bf16),
+                rows(0)._4, rows.map(_._5), qs, k, searchWindow,
+                searchCapacity, m, allowedOf(rows.map(_._6)))
+            }
+          }
+      else if (isByte)
         // byte-resident walk (i8/u8 datatype parity): same shape as the
         // float branch at 1/8 the per-task bytes, bit-identical results
         pruned

@@ -102,6 +102,57 @@ object VamanaKernel {
     }
   }
 
+  /** Half-resident store — datatype parity with the reference's float16
+    * datasets (lib/float16.h, lib/bfloat16.h; kernels widen to f32
+    * before accumulating, include/svs/core/distance/euclidean.h:88-105):
+    * rows stay as raw binary16/bfloat16 bit patterns (ONE QUARTER of f64
+    * task memory) and each distance decodes the row into a reusable
+    * float scratch, then runs the exact mixed-precision kernels
+    * (`Metric.computeDF/FF`) — both half formats inject losslessly into
+    * f32, so graphs and searches are bit-identical to a pre-decoded
+    * `ARRAY<FLOAT>` copy (HalfKnnSpec asserts this). Scratches are
+    * THREAD-LOCAL: the batched build runs parallel inserts within one
+    * shard (`buildBatched`'s range.parallel()), so a shared buffer would
+    * race across inserting threads and silently corrupt distances. */
+  final class HalfStore(vecs: Array[Array[Short]], bf16: Boolean)
+      extends VecStore {
+    private val dims = if (vecs.isEmpty) 0 else vecs(0).length
+    private val scratch =
+      ThreadLocal.withInitial[(Array[Float], Array[Float])](() =>
+        (new Array[Float](dims), new Array[Float](dims)))
+    private def scratchA: Array[Float] = scratch.get()._1
+    private def scratchB: Array[Float] = scratch.get()._2
+    private def decodeInto(i: Int, out: Array[Float]): Array[Float] = {
+      val v = vecs(i); var j = 0
+      while (j < v.length) {
+        out(j) = graft.functions.HalfVecs.decodeOne(v(j), bf16); j += 1
+      }
+      out
+    }
+    def n: Int = vecs.length
+    def row(i: Int): Array[Double] = {
+      val v = vecs(i)
+      val out = new Array[Double](v.length)
+      var j = 0
+      while (j < v.length) {
+        out(j) = graft.functions.HalfVecs.decodeOne(v(j), bf16).toDouble
+        j += 1
+      }
+      out
+    }
+    def dist(metric: Metric, q: Array[Double], i: Int): Double =
+      metric.computeDF(q, decodeInto(i, scratchA))
+    def distPair(metric: Metric, i: Int, j: Int): Double =
+      metric.computeFF(decodeInto(i, scratchA), decodeInto(j, scratchB))
+    def addInto(acc: Array[Double], i: Int): Unit = {
+      val v = vecs(i); var j = 0
+      while (j < v.length) {
+        acc(j) += graft.functions.HalfVecs.decodeOne(v(j), bf16).toDouble
+        j += 1
+      }
+    }
+  }
+
   /** PQ-codes resident store (Jégou, Douze & Schmid TPAMI'11 §V: ADC) —
     * the DiskANN serving layout (Subramanya et al. NeurIPS'19): the walk
     * holds only m small codes per row (m·log₂k bits instead of d·64) and

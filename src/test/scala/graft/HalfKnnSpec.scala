@@ -98,6 +98,149 @@ class HalfKnnSpec extends SparkSpec {
     assert(fromParquet === inMem)
   }
 
+  private def widenedD(fmt: String) = half(fmt).select(col("id"),
+    HalfVecs.widen(col("vec"), fmt).cast("array<double>").as("vec"))
+
+  test("stored graph layout round-trips half vectors: served search " +
+      "equals the double layout bit-for-bit at 1/4 the data bytes") {
+    import graft.operators.{GraphLayout, Vamana}
+    import graft.operators.VamanaKernel.BuildParams
+    val params = BuildParams(maxDegree = 8, buildWindow = 16)
+    val clH = half(HalfVecs.F16).withColumn("cluster_id", col("id") % 4)
+    val clD = widenedD(HalfVecs.F16).withColumn("cluster_id", col("id") % 4)
+    val cents = (0 until 4).map { c =>
+      (c.toLong, clD.filter(col("cluster_id") === c)
+        .select(posexplode(col("vec"))).groupBy("pos").agg(avg("col"))
+        .orderBy("pos").collect().map(_.getDouble(1)).toSeq)
+    }
+    val gH = Vamana.buildSharded(clH, params, Metric.L2)
+    val gD = Vamana.buildSharded(clD, params, Metric.L2)
+    // half-resident graph build is bit-identical to the widened build
+    assert(gH.orderBy("cluster_id", "id").collect().map(_.toSeq).toSeq ===
+      gD.orderBy("cluster_id", "id").collect().map(_.toSeq).toSeq)
+    val pH = "/tmp/graft_half_layout_f16"
+    val pD = "/tmp/graft_half_layout_f64"
+    GraphLayout.write(clH, gH, cents, pH)
+    GraphLayout.write(clD, gD, cents, pD)
+    val lH = GraphLayout.open(spark, pH)
+    val lD = GraphLayout.open(spark, pD)
+    // the stored vec column kept half residency and the sidecar-restored
+    // format mark (the 1/4-bytes claim)
+    assert(HalfVecs.formatOf(lH.clustered.schema, "vec") ===
+      Some(HalfVecs.F16))
+    val rH = GraphLayout.search(lH, q, 5, 16, 2, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val rD = GraphLayout.search(lD, q, 5, 16, 2, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(rH === rD)
+    assert(rH.nonEmpty)
+  }
+
+  test("KMeans.assign and lloyd on half tables match the widened plan, " +
+      "half column untouched") {
+    import graft.operators.KMeans
+    val dims = emb.select(size(col("vec"))).head.getInt(0)
+    val cents = (0 until 4).map(c => (c.toLong, Seq.fill(dims)(c * 0.5 - 1)))
+    for (fmt <- Seq(HalfVecs.F16, HalfVecs.BF16)) {
+      val a = KMeans.assign(half(fmt), cents)
+      assert(HalfVecs.formatOf(a.schema, "vec") === Some(fmt),
+        "assign widened the stored column or dropped the mark")
+      val b = KMeans.assign(widenedD(fmt), cents)
+      assert(a.select("id", "cluster_id").orderBy("id").collect().toSeq ===
+        b.select("id", "cluster_id").orderBy("id").collect().toSeq, fmt)
+      val trained = KMeans.lloyd(half(fmt), cents, iters = 2, dims = dims)
+      val trainedWide =
+        KMeans.lloyd(widenedD(fmt), cents, iters = 2, dims = dims)
+      assert(trained === trainedWide, s"$fmt lloyd")
+    }
+  }
+
+  test("half layout upsert keeps residency, refuses format mismatch, " +
+      "serves like a from-scratch half store") {
+    import graft.operators.{GraphLayout, Vamana}
+    import graft.operators.VamanaKernel.BuildParams
+    val params = BuildParams(maxDegree = 8, buildWindow = 16)
+    val clH = half(HalfVecs.F16).withColumn("cluster_id", col("id") % 4)
+      .cache()
+    val cents = (0 until 4).map { c =>
+      (c.toLong, widenedD(HalfVecs.F16).withColumn("cid", col("id") % 4)
+        .filter(col("cid") === c)
+        .select(posexplode(col("vec"))).groupBy("pos").agg(avg("col"))
+        .orderBy("pos").collect().map(_.getDouble(1)).toSeq)
+    }
+    val gH = Vamana.buildSharded(clH, params, Metric.L2)
+    val path = "/tmp/graft_half_layout_upsert"
+    GraphLayout.write(clH, gH, cents, path)
+    // a bf16 add into the f16 store fails loudly
+    val bfAdd = HalfVecs.toHalf(
+      widenedD(HalfVecs.F16).filter(col("id") < 5)
+        .select((col("id") + 9000L).as("id"), col("vec")),
+      HalfVecs.BF16).withColumn("cluster_id", lit(1L))
+    val e = intercept[Exception] {
+      GraphLayout.upsert(spark, path, bfAdd,
+        spark.emptyDataFrame.select(lit(0L).as("id")).limit(0), params,
+        Metric.L2)
+    }
+    assert(e.getMessage.contains("bf16"))
+    val added = clH.filter(col("id") % 100 === 3).limit(10)
+      .select((col("id") + 5000L).as("id"), col("vec"),
+        lit(1L).as("cluster_id"))
+    val delIds = clH.filter(col("cluster_id") === 2L).limit(4).select("id")
+    val up = GraphLayout.upsert(spark, path, added, delIds, params,
+      Metric.L2)
+    assert(HalfVecs.formatOf(up.clustered.schema, "vec") ===
+      Some(HalfVecs.F16),
+      s"upsert widened the store: ${up.clustered.schema("vec").dataType}")
+    val served = GraphLayout.search(up, q, 5, 16, 4, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val merged = clH.join(delIds, Seq("id"), "left_anti").unionByName(added)
+    val gFresh = Vamana.buildSharded(
+      HalfVecs.markHalf(merged, HalfVecs.F16), params, Metric.L2)
+    val fresh = Vamana.searchSharded(q,
+        HalfVecs.markHalf(merged, HalfVecs.F16), gFresh, up.centroids, 5,
+        16, 4, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(served === fresh)
+    assert(served.nonEmpty)
+  }
+
+  test("stored IVF layout serves half frames: sidecar restores the mark, " +
+      "search and SQ codec attach equal the widened plan") {
+    import graft.operators.{IndexLayout, KMeans, ScalarQuant}
+    val dims = emb.select(size(col("vec"))).head.getInt(0)
+    val cents = KMeans.lloyd(widenedD(HalfVecs.F16),
+      (0 until 4).map(c => (c.toLong, Seq.fill(dims)(c * 0.5 - 1))),
+      iters = 2, dims = dims)
+    val clH = KMeans.assign(half(HalfVecs.F16), cents)
+    val clD = KMeans.assign(widenedD(HalfVecs.F16), cents)
+    val pH = "/tmp/graft_half_ivf_f16"
+    val pD = "/tmp/graft_half_ivf_f64"
+    IndexLayout.write(clH, cents, pH)
+    IndexLayout.write(clD, cents, pD)
+    val lH = IndexLayout.open(spark, pH)
+    assert(HalfVecs.formatOf(lH.clustered.schema, "vec") ===
+      Some(HalfVecs.F16))
+    val rH = IndexLayout.search(lH, q, 5, 2, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val rD = IndexLayout.search(IndexLayout.open(spark, pD), q, 5, 2,
+        Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(rH === rD)
+    assert(rH.nonEmpty)
+    // codec attachment widens mark-aware: SQ codes from the half store
+    // equal codes from the widened store
+    val sq = ScalarQuant.train(widenedD(HalfVecs.F16), bits = 8)
+    val pHs = "/tmp/graft_half_ivf_sq"
+    val pDs = "/tmp/graft_half_ivf_sq_w"
+    IndexLayout.write(clH, cents, pHs, IndexLayout.Sq(sq))
+    IndexLayout.write(clD, cents, pDs, IndexLayout.Sq(sq))
+    val cH = spark.read.parquet(s"$pHs/data")
+      .select("id", "codes").orderBy("id").collect().map(_.toSeq).toSeq
+    val cD = spark.read.parquet(s"$pDs/data")
+      .select("id", "codes").orderBy("id").collect().map(_.toSeq).toSeq
+    assert(cH === cD)
+  }
+
   private def freshDir(name: String): String = {
     val root = s"/tmp/graft_test_half_$name"
     val fs = new org.apache.hadoop.fs.Path(root)
