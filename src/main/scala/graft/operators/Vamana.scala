@@ -363,88 +363,103 @@ object Vamana {
       graft.functions.HalfVecs.isShortVec(clustered.schema("vec").dataType)
     val bf16 = isHalf && graft.functions.HalfVecs.requireFormat(
       clustered.schema, "vec") == graft.functions.HalfVecs.BF16
-    val pruned = clustered
+    // ONE shuffle per side, not three: the former
+    // `clustered ⋈ graph on (cluster_id, id)` + `groupByKey(cluster_id)`
+    // moved the corpus rows twice (join exchange, then regroup exchange).
+    // A typed cogroup on cluster_id exchanges each side exactly once and
+    // the per-shard id-merge happens in the walk task — bit-identical
+    // rows (inner-join semantics, ascending-id order) at half the
+    // shuffle bytes, which is THE cost of scattered-probe serving when
+    // uniform queries touch every shard (SCALE.md 10M routed-walk row).
+    val dataPruned = clustered
       .withColumn("keep", keep)
       .filter(col("cluster_id").isin(probedIds: _*))
-      .join(graph, Seq("cluster_id", "id"))
+    val graphK = graph
+      .filter(col("cluster_id").isin(probedIds: _*))
+      .select(col("cluster_id").cast("long"), col("id").cast("long"),
+        col("entry_id").cast("long"), col("neighbors").cast("array<long>"))
+      .as[(Long, Long, Long, Array[Long])]
+      .groupByKey(_._1)
 
     val m = metric
+
     val partials = (
       if (isHalf)
         // half-resident walk (f16/bf16 datatype parity): same shape as
         // the float branch at half its per-task bytes, bit-identical
         // results (HalfKnnSpec)
-        pruned
+        dataPruned
           .select(col("cluster_id").cast("long"), col("id").cast("long"),
-            col("vec"), col("entry_id").cast("long"),
-            col("neighbors").cast("array<long>"), col("keep"))
-          .as[(Long, Long, Seq[Short], Long, Array[Long], Boolean)]
+            col("vec"), col("keep"))
+          .as[(Long, Long, Seq[Short], Boolean)]
           .groupByKey(_._1)
-          .flatMapGroups { (cid, it) =>
+          .cogroup(graphK) { (cid, dIt, gIt) =>
             val qs = bc.value.getOrElse(cid,
               Array.empty[(Long, Array[Double])])
             if (qs.isEmpty) Iterator.empty
             else {
-              val rows = it.toArray.sortBy(_._2)
-              walkShardCore(cid, rows.map(_._2),
-                new VamanaKernel.HalfStore(rows.map(_._3.toArray), bf16),
-                rows(0)._4, rows.map(_._5), qs, k, searchWindow,
-                searchCapacity, m, allowedOf(rows.map(_._6)))
+              val rows = dIt.toArray.sortBy(_._2)
+              walkMerged(cid, rows.map(r => (r._2, r._4)),
+                idxs => new VamanaKernel.HalfStore(
+                  idxs.map(ix => rows(ix)._3.toArray), bf16), gIt, qs,
+                k, searchWindow, searchCapacity, m)
             }
           }
       else if (isByte)
         // byte-resident walk (i8/u8 datatype parity): same shape as the
         // float branch at 1/8 the per-task bytes, bit-identical results
-        pruned
+        dataPruned
           .select(col("cluster_id").cast("long"), col("id").cast("long"),
-            col("vec"), col("entry_id").cast("long"),
-            col("neighbors").cast("array<long>"), col("keep"))
-          .as[(Long, Long, Seq[Byte], Long, Array[Long], Boolean)]
+            col("vec"), col("keep"))
+          .as[(Long, Long, Seq[Byte], Boolean)]
           .groupByKey(_._1)
-          .flatMapGroups { (cid, it) =>
+          .cogroup(graphK) { (cid, dIt, gIt) =>
             val qs = bc.value.getOrElse(cid,
               Array.empty[(Long, Array[Double])])
             if (qs.isEmpty) Iterator.empty
             else {
-              val rows = it.toArray.sortBy(_._2)
-              walkShardCore(cid, rows.map(_._2),
-                new VamanaKernel.ByteStore(rows.map(_._3.toArray), unsigned),
-                rows(0)._4, rows.map(_._5), qs, k, searchWindow,
-                searchCapacity, m, allowedOf(rows.map(_._6)))
+              val rows = dIt.toArray.sortBy(_._2)
+              walkMerged(cid, rows.map(r => (r._2, r._4)),
+                idxs => new VamanaKernel.ByteStore(
+                  idxs.map(ix => rows(ix)._3.toArray), unsigned), gIt, qs,
+                k, searchWindow, searchCapacity, m)
             }
           }
       else if (isFloat)
-        pruned
+        dataPruned
           .select(col("cluster_id").cast("long"), col("id").cast("long"),
-            col("vec"), col("entry_id").cast("long"),
-            col("neighbors").cast("array<long>"), col("keep"))
-          .as[(Long, Long, Array[Float], Long, Array[Long], Boolean)]
+            col("vec"), col("keep"))
+          .as[(Long, Long, Array[Float], Boolean)]
           .groupByKey(_._1)
-          .flatMapGroups { (cid, it) =>
+          .cogroup(graphK) { (cid, dIt, gIt) =>
             val qs = bc.value.getOrElse(cid,
               Array.empty[(Long, Array[Double])])
             if (qs.isEmpty) Iterator.empty
             else {
-              val rows = it.toArray.sortBy(_._2)
-              walkShardCore(cid, rows.map(_._2),
-                new VamanaKernel.FloatStore(rows.map(_._3)), rows(0)._4,
-                rows.map(_._5), qs, k, searchWindow, searchCapacity, m,
-                allowedOf(rows.map(_._6)))
+              val rows = dIt.toArray.sortBy(_._2)
+              walkMerged(cid, rows.map(r => (r._2, r._4)),
+                idxs => new VamanaKernel.FloatStore(
+                  idxs.map(ix => rows(ix)._3)), gIt, qs,
+                k, searchWindow, searchCapacity, m)
             }
           }
       else
-        pruned
+        dataPruned
           .select(col("cluster_id").cast("long"), col("id").cast("long"),
-            col("vec").cast("array<double>"), col("entry_id").cast("long"),
-            col("neighbors").cast("array<long>"), col("keep"))
-          .as[(Long, Long, Array[Double], Long, Array[Long], Boolean)]
+            col("vec").cast("array<double>"), col("keep"))
+          .as[(Long, Long, Array[Double], Boolean)]
           .groupByKey(_._1)
-          .flatMapGroups { (cid, it) =>
+          .cogroup(graphK) { (cid, dIt, gIt) =>
             val qs = bc.value.getOrElse(cid,
               Array.empty[(Long, Array[Double])])
             if (qs.isEmpty) Iterator.empty
-            else walkShard(cid, it.toArray.sortBy(_._2), qs, k, searchWindow,
-              searchCapacity, m)
+            else {
+              val rows = dIt.toArray.sortBy(_._2)
+              walkMerged(cid, rows.map(r => (r._2, r._4)),
+                idxs => new VamanaKernel.DoubleStore(
+                  idxs.map(ix => rows(ix)._3)), gIt, qs,
+                k, searchWindow, searchCapacity, m)
+            }
           }
       ).toDF("query_id", "id", "dist")
 
@@ -576,19 +591,45 @@ object Vamana {
     * [[searchPrepared]]. Rows: (cluster_id, id, vec, entry_id, neighbors). */
   /** null when every row passes (the common unfiltered case — keeps the
     * walk's emit loop branch-free), else per-slot keep flags. */
+  /** Per-shard inner merge of the cogrouped data and graph runs (both
+    * sorted ascending by id): the surviving rows, their order, and
+    * dangling-id behavior match the former `clustered ⋈ graph` inner
+    * join exactly, with the store built from just the surviving rows
+    * (`mkStore` receives their data-row indices). Object-level (not a
+    * local def inside searchShardedImpl) so cogroup closures capture
+    * only serializable primitives, never the planning frame. */
+  private def walkMerged(cid: Long, dRows: Array[(Long, Boolean)],
+      mkStore: Array[Int] => VamanaKernel.VecStore,
+      gIt: Iterator[(Long, Long, Long, Array[Long])],
+      qs: Array[(Long, Array[Double])], k: Int, searchWindow: Int,
+      searchCapacity: Int, m: Metric): Iterator[(Long, Long, Double)] = {
+    val g = gIt.toArray.sortBy(_._2)
+    val ids = Array.newBuilder[Long]
+    val keeps = Array.newBuilder[Boolean]
+    val nbrs = Array.newBuilder[Array[Long]]
+    val dataIdx = Array.newBuilder[Int]
+    var entry = Long.MinValue
+    var di = 0; var gi = 0
+    while (di < dRows.length && gi < g.length) {
+      val dId = dRows(di)._1; val gId = g(gi)._2
+      if (dId < gId) di += 1
+      else if (dId > gId) gi += 1
+      else {
+        ids += dId; keeps += dRows(di)._2; nbrs += g(gi)._4; dataIdx += di
+        if (entry == Long.MinValue) entry = g(gi)._3
+        di += 1; gi += 1
+      }
+    }
+    val idArr = ids.result()
+    if (qs.isEmpty || idArr.isEmpty) Iterator.empty
+    else
+      walkShardCore(cid, idArr, mkStore(dataIdx.result()), entry,
+        nbrs.result(), qs, k, searchWindow, searchCapacity, m,
+        allowedOf(keeps.result()))
+  }
+
   private def allowedOf(keeps: Array[Boolean]): Array[Boolean] =
     if (keeps.forall(identity)) null else keeps
-
-  private def walkShard(cid: Long,
-                        rows: Array[(Long, Long, Array[Double], Long,
-                          Array[Long], Boolean)],
-                        qs: Array[(Long, Array[Double])], k: Int,
-                        searchWindow: Int, searchCapacity: Int, m: Metric)
-      : Iterator[(Long, Long, Double)] =
-    walkShardCore(cid, rows.map(_._2),
-      new VamanaKernel.DoubleStore(rows.map(_._3)), rows(0)._4,
-      rows.map(_._5), qs, k, searchWindow, searchCapacity, m,
-      allowedOf(rows.map(_._6)))
 
   /** Element-type-erased shard walk shared by the f64 and f32 search
     * paths: slot resolution, dangling-edge drops, and the per-query greedy
