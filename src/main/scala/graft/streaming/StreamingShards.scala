@@ -71,6 +71,85 @@ object StreamingShards {
     }
   }
 
+  /** MANIFEST-driven shard stream — the object-store answer when
+    * directory LISTING is the bottleneck: at 10⁶ shards a recursive
+    * list per micro-batch dominates, but producers already know exactly
+    * which files they landed, so they append small manifest files (one
+    * shard path per line, `#` comments allowed) to `manifestDir`; the
+    * stream lists only the manifest dir (a handful of small files),
+    * discovers each manifest exactly-once via the file-stream
+    * checkpoint, and fetches+decodes the listed shards on executors.
+    *
+    * Exactly-once DECODE survives producer retries: a shard re-listed
+    * by a later manifest (at-least-once manifest delivery) is dropped by
+    * a streaming `dropDuplicates` on the shard path before any bytes
+    * are fetched — state is one entry per shard path, MBs at millions
+    * of shards, carried by the checkpoint. Paths must be resolvable by
+    * the executors' Hadoop filesystem (absolute URIs on an object
+    * store); a listed shard that has vanished fails the batch loudly —
+    * silently skipping it would under-ingest without a trace. */
+  private def manifestShardStream(spark: SparkSession, manifestDir: String)
+      (decode: (String, Array[Byte]) => Iterator[(Long, Array[Double])])
+      : DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    spark.readStream.format("text").load(manifestDir)
+      .as[String]
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .dropDuplicates("value")
+      .as[String]
+      .flatMap { pathStr =>
+        val p = new org.apache.hadoop.fs.Path(pathStr)
+        val fs = p.getFileSystem(conf.value)
+        val len = fs.getFileStatus(p).getLen
+        require(len <= Int.MaxValue,
+          s"manifest shard $pathStr is ${len} B — single shards over " +
+            "2 GiB need the range-splitting batch source (graftnpy/" +
+            "graftvecs), not the shard stream")
+        val bytes = new Array[Byte](len.toInt)
+        val in = fs.open(p)
+        try in.readFully(0L, bytes) finally in.close()
+        decode(pathStr, bytes).map { case (r, v) => (p.getName, r, v) }
+      }
+      .toDF("shard", "row", "vec")
+  }
+
+  /** [[npyShards]] driven by manifest files instead of directory
+    * listing: `(shard, row, vec)` coordinates for every `.npy` path
+    * listed under `manifestDir`. */
+  def npyShardsFromManifests(spark: SparkSession, manifestDir: String)
+      : DataFrame =
+    manifestShardStream(spark, manifestDir)(
+      (p, bytes) => NpyIO.decodeAll(bytes, p))
+
+  /** `*vecs` twin of [[npyShardsFromManifests]]. */
+  def vecsShardsFromManifests(spark: SparkSession, manifestDir: String,
+                              ext: String): DataFrame = {
+    val el = graft.sources.VecsIO.elTypeFor(s"x.$ext")
+    manifestShardStream(spark, manifestDir) { (_, bytes) =>
+      graft.sources.VecsIO.decode(bytes, el).zipWithIndex.map {
+        case (v, r) => (r.toLong, v)
+      }
+    }
+  }
+
+  /** [[npyShardsFromManifests]] + exact original ids from
+    * `base-<startId>.npy` shard names. */
+  def npyShardsFromManifestsWithIds(spark: SparkSession,
+                                    manifestDir: String): DataFrame =
+    withRestoredIds(npyShardsFromManifests(spark, manifestDir),
+      "npyShardsFromManifestsWithIds")
+
+  /** [[vecsShardsFromManifests]] + exact original ids from
+    * `base-<startId>.<ext>` names. */
+  def vecsShardsFromManifestsWithIds(spark: SparkSession,
+                                     manifestDir: String, ext: String)
+      : DataFrame =
+    withRestoredIds(vecsShardsFromManifests(spark, manifestDir, ext),
+      "vecsShardsFromManifestsWithIds")
+
   private def withRestoredIds(coords: DataFrame, what: String): DataFrame = {
     val base = regexp_extract(col("shard"), "^base-(\\d+)\\.[a-z]+$", 1)
     coords

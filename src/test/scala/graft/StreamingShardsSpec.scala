@@ -234,4 +234,86 @@ class StreamingShardsSpec extends SparkSpec {
     }
     assert(NpyIO.read(spark, s"$dir/*.npy").count() === 12)
   }
+
+  private def writeManifest(dir: String, name: String,
+                            lines: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    os.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    os.close()
+  }
+
+  private def shardPaths(dir: String, ext: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq.map(_.getPath.toString)
+      .filter(_.endsWith(s".$ext")).sorted
+  }
+
+  test("manifest-driven ingest: exactly-once decode under manifest " +
+      "replay and late-appended manifests") {
+    val s = spark
+    import s.implicits._
+    val dataDir = freshDir("mani_data")
+    val maniDir = freshDir("mani")
+    val ckpt = freshDir("mani_ckpt")
+    val all = (0L until 30L).map(i =>
+      (i, Seq(i.toDouble, -i * 2.0))).toDF("id", "vec")
+    val wave1 = all.filter(col("id") < 20)
+    val wave2 = all.filter(col("id") >= 20)
+    NpyIO.write(wave1.repartitionByRange(2, col("id")), dataDir, "f8",
+      idShardNames = true)
+    val w1Paths = shardPaths(dataDir, "npy")
+    assert(w1Paths.size === 2)
+
+    val got = collectStream(
+      StreamingShards.npyShardsFromManifestsWithIds(spark, maniDir), ckpt)(
+      // manifest 1: wave-1 shards, plus comments/blanks that must be
+      // ignored — the stream lists ONLY the manifest dir
+      () => writeManifest(maniDir, "manifest-000.txt",
+        Seq("# wave 1") ++ w1Paths ++ Seq("")),
+      // manifest 2 lands LATE and REPLAYS wave 1 (at-least-once
+      // producer): wave-2 shards decode once, replayed wave-1 paths
+      // are dropped before any bytes are fetched
+      () => {
+        NpyIO.write(wave2.coalesce(1), dataDir, "f8",
+          idShardNames = true, append = true)
+        val w2Paths = shardPaths(dataDir, "npy").diff(w1Paths)
+        writeManifest(maniDir, "manifest-001.txt", w1Paths ++ w2Paths)
+      })
+
+    val expect = all.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    assert(got.size === 30, "replayed shard paths must not decode twice")
+    assert(got.sortBy(_._1) === expect.sortBy(_._1))
+  }
+
+  test("manifest-driven vecs twin restores ids; vanished shard fails " +
+      "loudly") {
+    val s = spark
+    import s.implicits._
+    val dataDir = freshDir("mani_vecs_data")
+    val maniDir = freshDir("mani_vecs")
+    val ckpt = freshDir("mani_vecs_ckpt")
+    val all = (0L until 12L).map(i =>
+      (i, Seq(i.toDouble, i + 0.5))).toDF("id", "vec")
+    graft.sources.VecsIO.write(all.coalesce(1), dataDir,
+      graft.sources.VecsIO.F32, idShardNames = true)
+    val paths = shardPaths(dataDir, "fvecs")
+    val got = collectStream(
+      StreamingShards.vecsShardsFromManifestsWithIds(spark, maniDir,
+        "fvecs"), ckpt)(
+      () => writeManifest(maniDir, "m0.txt", paths))
+    assert(got.map(_._1).sorted === (0L until 12L))
+    // a manifest listing a path that does not exist fails the batch
+    val ckpt2 = freshDir("mani_vecs_ckpt2")
+    val maniDir2 = freshDir("mani_vecs2")
+    writeManifest(maniDir2, "m0.txt", Seq(s"$dataDir/nope.fvecs"))
+    intercept[Exception] {
+      collectStream(
+        StreamingShards.vecsShardsFromManifestsWithIds(spark, maniDir2,
+          "fvecs"), ckpt2)(() => ())
+    }
+  }
 }
