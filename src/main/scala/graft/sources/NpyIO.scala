@@ -537,6 +537,110 @@ object NpyIO {
       .count()
   }
 
+  /** ONE `np.load`-able output file from a multi-partition frame — the
+    * "hand a single 100 GB array back to a NumPy consumer" egress. The
+    * shard writers above are the right default (independent loadable
+    * shards, fully parallel), but a consumer wanting ONE file needs the
+    * row count in the header BEFORE the payload, which a streaming
+    * single-pass writer cannot know. Two passes instead:
+    *
+    *   1. each partition STREAMS its encoded rows to a headerless
+    *      segment file (no whole-partition buffer — the executor holds
+    *      one row at a time, so a segment may exceed memory), returning
+    *      only (partition, firstId, lastId, rows) metadata;
+    *   2. the driver validates the ids chain densely 0..n−1 across
+    *      segments (the exact-id re-read contract: (path, row) order IS
+    *      the id), writes the header, and stream-concatenates the
+    *      segments in order through a bounded copy buffer.
+    *
+    * Driver memory stays O(8 MB); driver I/O is the full payload once —
+    * the unavoidable cost of a single file on a filesystem without
+    * server-side concat. [[read]]/`graftnpy` restore exact ids. */
+  def writeSingleFile(df: DataFrame, outPath: String,
+                      descr: String = "f4"): Unit = {
+    val d = normalizeDescr(descr)
+    require(d != "u2" && d != "u4",
+      s"npy write does not support descr $d (read-only width)")
+    val spark = df.sparkSession
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val out = new Path(outPath)
+    val fs = out.getFileSystem(conf.value)
+    val segDir = new Path(outPath + ".segments")
+    fs.delete(segDir, true)
+    fs.mkdirs(segDir)
+    val segDirStr = segDir.toString
+    val elB = elBytes(d)
+    // pass 1+2 fused per partition: range-partition by id so segment
+    // order is id order, stream rows straight to the segment file
+    val meta = df.select(col("id").cast("long"), col("vec")
+        .cast("array<double>"))
+      .repartitionByRange(math.max(1, df.rdd.getNumPartitions), col("id"))
+      .sortWithinPartitions("id")
+      .rdd
+      .mapPartitionsWithIndex { case (pi, iter) =>
+        if (iter.isEmpty) Iterator.empty
+        else {
+          val p = new Path(segDirStr, f"seg-$pi%05d")
+          val os = p.getFileSystem(conf.value).create(p, true)
+          var first = Long.MinValue
+          var prev = Long.MinValue
+          var cols = -1
+          var rows = 0L
+          iter.foreach { row =>
+            val id = row.getLong(0)
+            val v = row.getSeq[Double](1)
+            if (cols < 0) { cols = v.length; first = id; prev = id - 1 }
+            require(v.length == cols,
+              s"row $id: ${v.length} dims, expected $cols")
+            require(id == prev + 1,
+              s"writeSingleFile needs dense ids: id $id follows $prev")
+            prev = id
+            val bb = ByteBuffer.allocate(cols * elB)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            v.foreach(x => encodeElement(bb, x, d))
+            os.write(bb.array())
+            rows += 1
+          }
+          os.close()
+          Iterator.single((pi, first, prev, rows, cols))
+        }
+      }
+      .collect()
+      .sortBy(_._1)
+    require(meta.nonEmpty, "writeSingleFile: empty frame")
+    val cols = meta.head._5
+    require(meta.forall(_._5 == cols), "dims drift across partitions")
+    // ids must chain densely 0..n−1 — (path, row) order IS the id on
+    // re-read, so any gap or offset would silently remap every row
+    var expect = 0L
+    meta.foreach { case (pi, first, last, rows, _) =>
+      require(first == expect,
+        s"writeSingleFile needs dense ids from 0: partition $pi starts " +
+          s"at $first, expected $expect")
+      expect = last + 1
+      require(last - first + 1 == rows, s"partition $pi id gap")
+    }
+    val n = expect
+    val os = fs.create(out, true)
+    try {
+      os.write(headerBytes(d, n, cols))
+      val buf = new Array[Byte](8 << 20)
+      meta.foreach { case (pi, _, _, _, _) =>
+        val p = new Path(segDirStr, f"seg-$pi%05d")
+        val in = fs.open(p)
+        try {
+          var got = in.read(buf)
+          while (got >= 0) {
+            if (got > 0) os.write(buf, 0, got)
+            got = in.read(buf)
+          }
+        } finally in.close()
+      }
+    } finally os.close()
+    fs.delete(segDir, true)
+  }
+
   /** Byte-resident writer: `ARRAY<TINYINT>` rows persist their raw bit
     * patterns as `|u1` or `|i1` per the column's required
     * [[graft.functions.ByteVecs]] signedness mark — [[readBytes]] restores

@@ -430,6 +430,35 @@ class NpySpec extends SparkSpec {
     assert(msgs(e).contains("exceeds 2 GiB"))
   }
 
+  test("writeSingleFile: a multi-partition frame lands as ONE loadable " +
+      "file with exact ids, no whole-partition buffering") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir("single")
+    val n = 1000L
+    val orig = (0L until n).map(i => (i, Seq(i * 0.5, -i.toDouble, 3.25)))
+      .toDF("id", "vec").repartition(7) // deliberately unordered input
+    NpyIO.writeSingleFile(orig, s"$dir/all.npy", "f8")
+    // ONE file, parsed by the standard header probe
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isFile).map(_.getPath.getName).toSeq
+    assert(files === Seq("all.npy"), "exactly one output file, no residue")
+    val back = NpyIO.read(spark, s"$dir/all.npy")
+    assert(back.count() === n)
+    assert(orig.join(back.withColumnRenamed("vec", "v2"), Seq("id"))
+      .filter(col("vec") =!= col("v2")).count() === 0)
+    // the DSv2 source range-splits the single file too
+    val dsv2 = spark.read.format("graftnpy").load(s"$dir/all.npy")
+    assert(dsv2.agg(sum("id")).head.getLong(0) === (0L until n).sum)
+    // non-dense ids are refused loudly (re-read would silently remap)
+    intercept[Exception] {
+      NpyIO.writeSingleFile(
+        orig.filter(col("id") =!= 7), s"$dir/gap.npy", "f8")
+    }
+  }
+
   test("legacy writer sweeps stale .tmp orphans across append waves") {
     val s = spark
     import s.implicits._
