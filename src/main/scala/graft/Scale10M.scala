@@ -89,7 +89,18 @@ object Scale10M {
           .as("vec")))
       .write.mode("overwrite").parquet(i8Path)
     val dataI8 = spark.read.parquet(i8Path)
-    dataF32.count(); dataI8.count()
+    // f16 rung: raw binary16 bits in parquet — the scan-bytes halving
+    // vs f32 that makes f16 the common 100 TB dump format
+    val f16Path = "/tmp/graft_10m_vec_f16"
+    graft.functions.HalfVecs.toHalf(dataF32, graft.functions.HalfVecs.F16)
+      .write.mode("overwrite").parquet(f16Path)
+    val dataF16 = spark.read.parquet(f16Path)
+    dataF32.count(); dataI8.count(); dataF16.count()
+    def duBytes(path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    }
     val simdL2 = Metric.simd(Metric.L2)
     def best2(f: => Unit): Double = (0 until 2).map(_ => time(f)._2).min
     val warm = best2 { FlatKnn.search(queries, dataF32, k, Metric.L2)
@@ -101,11 +112,17 @@ object Scale10M {
       .count() }
     val tI8Simd = best2 {
       FlatKnn.search(queries, dataI8, k, simdL2).count() }
+    val tF16Simd = best2 {
+      FlatKnn.search(queries, dataF16, k, simdL2).count() }
     val (shufR1, shufW1) = meter.delta()
     val pairs = n * nq
     println(s"""{"experiment":"scale10m_flat","n":$n,"dims":$dims,""" +
       s""""nq":$nq,"flat_f32_sec":$warm,"flat_f32_simd_sec":$tF32Simd,""" +
       s""""flat_i8_sec":$tI8,"flat_i8_simd_sec":$tI8Simd,""" +
+      s""""flat_f16_simd_sec":$tF16Simd,""" +
+      s""""f32_store_bytes":${duBytes(f32Path)},""" +
+      s""""f16_store_bytes":${duBytes(f16Path)},""" +
+      s""""i8_store_bytes":${duBytes(i8Path)},""" +
       s""""i8_simd_pairs_per_sec":${(pairs / tI8Simd).toLong},""" +
       s""""shuffle_read_bytes":$shufR1,"shuffle_write_bytes":$shufW1}""")
 
@@ -161,8 +178,100 @@ object Scale10M {
       s""""route_train_sec":$tRoute,"search_sec":$tSearch,""" +
       s""""search_shuffle_read_bytes":$shufRs,""" +
       s""""search_shuffle_write_bytes":$shufWs,"recall":$recall}""")
-    graph.unpersist(); split.unpersist(); truth.unpersist()
-    rmr(f32Path); rmr(i8Path)
+    // ---- 2b. STORED-layout routed serving -------------------------------
+    // the round-9 caveat closed: the in-memory scattered-probe co-group
+    // above moves corpus bytes; the persisted layout partition-prunes —
+    // only the probed shards' cluster_id= dirs are READ at all. Report the
+    // bytes-read fraction (serve input bytes / store size) like the BM25
+    // row's 0.4%, plus serve wall + shuffle, recall pinned vs the same
+    // exact truth.
+    val storedPath = "/tmp/graft_10m_graph_store"
+    val (_, tStoreWrite) = time {
+      graft.operators.GraphLayout.write(split, graph, splitCents,
+        storedPath, routingGroups = nGroups)
+    }
+    val storeBytes = duBytes(storedPath)
+    graph.unpersist(); split.unpersist()
+    spark.catalog.clearCache() // serve COLD from the store, not the build
+    val layout = graft.operators.GraphLayout.open(spark, storedPath)
+    meter.delta()
+    val (storedRes, tStoredServe) = time {
+      val r = graft.operators.GraphLayout.searchRouted(layout, queries, k,
+          searchWindow = 64, l1Probes = l1Probes, nProbes = 8, simdL2)
+        .select("query_id", "neighbor_id").cache()
+      r.count(); r
+    }
+    val (shufRss, shufWss) = meter.delta()
+    // bytes-read fraction: task inputMetrics don't account local-fs
+    // parquet data bytes, so the honest witness is the on-disk size of
+    // exactly the probed cluster_id= partition dirs (what the pruned
+    // scan reads; PlanSpec pins the PartitionFilters pushdown) over the
+    // full store size — the stored-serving twin of the BM25 row's 0.4%.
+    val probedSet = {
+      val qRows = queries.select(col("query_id").cast("long"),
+          col("qvec").cast("array<double>")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val cArr = layout.centroids
+        .map { case (i, v) => (i, v.toArray) }.toIndexedSeq
+      val (l1t, g1) = layout.routing.get
+      val l1Arr = l1t.sortBy(_._1)
+        .map { case (i, v) => (i, v.toArray) }.toIndexedSeq
+      graft.operators.BatchScore.probeTopKHierarchical(qRows, cArr, l1Arr,
+        g1, l1Probes, 8, simdL2).flatten.toSet
+    }
+    val probedBytes = probedSet.toSeq.map { c =>
+      duBytes(s"$storedPath/data/cluster_id=$c") +
+        duBytes(s"$storedPath/graph/cluster_id=$c")
+    }.sum
+    val storedRecall =
+      storedRes.intersect(truth).count().toDouble / (k.toLong * nq)
+    // the small-batch leg: a uniform 100-query batch's probe UNION can
+    // cover every shard (each query still only pays its own nProbes) —
+    // the partition-pruning win shows at realistic serving batch sizes,
+    // where I/O ∝ |union of probed shards|, not store size
+    val queries5 = queries.filter(col("query_id") < n + 5).cache()
+    queries5.count()
+    meter.delta()
+    val (_, tServe5) = time {
+      graft.operators.GraphLayout.searchRouted(layout, queries5, k,
+          searchWindow = 64, l1Probes = l1Probes, nProbes = 8, simdL2)
+        .select("query_id", "neighbor_id").count()
+    }
+    val (shufRs5, shufWs5) = meter.delta()
+    val probed5 = {
+      val qRows = queries5.select(col("query_id").cast("long"),
+          col("qvec").cast("array<double>")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val cArr = layout.centroids
+        .map { case (i, v) => (i, v.toArray) }.toIndexedSeq
+      val (l1t, g1) = layout.routing.get
+      val l1Arr = l1t.sortBy(_._1)
+        .map { case (i, v) => (i, v.toArray) }.toIndexedSeq
+      graft.operators.BatchScore.probeTopKHierarchical(qRows, cArr, l1Arr,
+        g1, l1Probes, 8, simdL2).flatten.toSet
+    }
+    val probed5Bytes = probed5.toSeq.map { c =>
+      duBytes(s"$storedPath/data/cluster_id=$c") +
+        duBytes(s"$storedPath/graph/cluster_id=$c")
+    }.sum
+    println(s"""{"experiment":"scale10m_stored_routed","n":$n,""" +
+      s""""shards":${splitCents.length},"groups":$nGroups,""" +
+      s""""l1_probes":$l1Probes,"store_write_sec":$tStoreWrite,""" +
+      s""""store_bytes":$storeBytes,"serve_sec":$tStoredServe,""" +
+      s""""probed_shards":${probedSet.size},""" +
+      s""""probed_bytes":$probedBytes,""" +
+      s""""bytes_read_fraction":${probedBytes.toDouble / storeBytes},""" +
+      s""""serve_shuffle_read_bytes":$shufRss,""" +
+      s""""serve_shuffle_write_bytes":$shufWss,""" +
+      s""""serve5_sec":$tServe5,"probed5_shards":${probed5.size},""" +
+      s""""probed5_bytes":$probed5Bytes,""" +
+      s""""bytes_read_fraction5":${probed5Bytes.toDouble / storeBytes},""" +
+      s""""serve5_shuffle_read_bytes":$shufRs5,""" +
+      s""""serve5_shuffle_write_bytes":$shufWs5,""" +
+      s""""recall":$storedRecall}""")
+    queries5.unpersist()
+    storedRes.unpersist(); truth.unpersist()
+    rmr(storedPath); rmr(f32Path); rmr(i8Path); rmr(f16Path)
 
     // ---- 3. stored-BM25 probe ------------------------------------------
     // PipelineBench's corpus generator shape at n docs
