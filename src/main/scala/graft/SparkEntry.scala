@@ -1810,6 +1810,86 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** q178: the TWO-PASS single-file npy egress — a multi-partition frame
+    * lands as ONE `np.load`-able array (segments streamed per partition,
+    * header + concat after the dense-id audit), and the DSv2 source
+    * range-splits that single file back. f32 at origin, so the `<f4`
+    * trip is bit-exact — q170's identity claim through the
+    * single-file writer instead of the shard writer. */
+  private def npySingleFileQ(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_npy_q178/all.npy"
+    val orig = embVectors(s, dir).select("id", "vec")
+    graft.sources.NpyIO.writeSingleFile(
+      orig.repartition(4), out, "f4")
+    val back = s.read.format("graftnpy").load(out)
+      .withColumnRenamed("vec", "vec_back")
+    orig.join(back, Seq("id"))
+      .select(col("id"), size(col("vec")).cast("long").as("dims"),
+        when(col("vec") === col("vec_back"), 1L).otherwise(0L).as("matches"))
+      .orderBy("id")
+  }
+
+  /** q179: MANIFEST-driven streaming shard ingest — q172's landing-zone
+    * shape when directory listing is the bottleneck (10⁶ shards on an
+    * object store): producers append manifest files naming their landed
+    * shards, the stream lists only manifests, and a shard REPLAYED by a
+    * later manifest (at-least-once delivery) decodes exactly once.
+    * Wave 2's manifest deliberately re-lists wave 1. Identity vs the
+    * source: the same stream ≡ batch ≡ source claim as q172. */
+  private def npyManifestStreamQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = "/tmp/graft_npy_q179"
+    val mani = s"$out/manifests"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-npy-q179-ckpt").toString
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(mani))
+    def writeManifest(name: String, lines: Seq[String]): Unit = {
+      val os = fs.create(new org.apache.hadoop.fs.Path(mani, name), true)
+      os.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      os.close()
+    }
+    def shardPaths: Seq[String] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$out/shards"))
+      .toSeq.map(_.getPath.toString).filter(_.endsWith(".npy")).sorted
+    val orig = embVectors(s, dir).select("id", "vec")
+    val half = orig.count() / 2
+    graft.sources.NpyIO.write(
+      orig.filter(col("id") < half).repartitionByRange(2, col("id")),
+      s"$out/shards", "f4", idShardNames = true)
+    val wave1 = shardPaths
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingShards
+      .npyShardsFromManifestsWithIds(s, mani)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .start()
+    try {
+      writeManifest("manifest-000.txt", Seq("# wave 1") ++ wave1)
+      q.processAllAvailable()
+      graft.sources.NpyIO.write(
+        orig.filter(col("id") >= half).repartitionByRange(2, col("id")),
+        s"$out/shards", "f4", idShardNames = true, append = true)
+      // at-least-once producer: wave 2's manifest re-lists wave 1
+      writeManifest("manifest-001.txt", shardPaths)
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = buf.toSeq.toDF("id", "vec_back")
+    orig.join(back, Seq("id"))
+      .select(col("id"), size(col("vec")).cast("long").as("dims"),
+        when(col("vec") === col("vec_back"), 1L).otherwise(0L).as("matches"))
+      .orderBy("id")
+  }
+
   private val SynN = 10000L
   private val SynDims = 16
   private val SynStride = 500L
@@ -2977,6 +3057,8 @@ object SparkEntry {
     "q175_f16_flat_knn" -> (knnHalfF16Q _),
     "q176_bf16_flat_knn" -> (knnHalfBf16Q _),
     "q177_f16_vamana_stored" -> (vamanaStoredHalfQ _),
+    "q178_npy_single_file" -> (npySingleFileQ _),
+    "q179_npy_manifest_stream" -> (npyManifestStreamQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3363,5 +3445,11 @@ object SparkEntry {
     // round trip) ≡ exact kNN within probed shards on quantized values.
     "q177_f16_vamana_stored" ->
       OracleGen.vamanaShardedKnnI8(K, VamanaProbes, ByteScale),
+    // q178: the two-pass single-file writer keeps q170's bit-exact `<f4`
+    // identity — one np.load-able file instead of shards.
+    "q178_npy_single_file" -> OracleGen.fvecsRoundtrip,
+    // q179: manifest-driven stream ≡ batch ≡ source, and a double decode
+    // of a replayed shard would duplicate join rows and fail the count.
+    "q179_npy_manifest_stream" -> OracleGen.fvecsRoundtrip,
   )
 }

@@ -377,8 +377,6 @@ class NpyWrite(path: String, schema: StructType, descr: String,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
-    require(descr != "u2" && descr != "u4",
-      s"graftnpy write: descr $descr unsupported (read-only widths)")
     val vecOrdinal = schema.fieldIndex("vec")
     // element mode: 0 = double, 1 = float, 2 = byte-resident (raw bit
     // patterns out; the descr comes from the column's required ByteVecs
@@ -491,17 +489,7 @@ class NpyDataWriter(dir: String, descr: String, vecOrdinal: Int,
     while (i < d) {
       val x =
         if (elemMode == 1) arr.getFloat(i).toDouble else arr.getDouble(i)
-      descr match {
-        case "f8" => bb.putDouble(x)
-        case "f4" => bb.putFloat(x.toFloat)
-        case "f2" =>
-          bb.putShort(graft.functions.Binary16.floatToHalf(x.toFloat))
-        case "i1" => bb.put(x.toInt.toByte)
-        case "u1" => bb.put((x.toInt & 0xff).toByte)
-        case "i2" => bb.putShort(x.toInt.toShort)
-        case "i4" => bb.putInt(x.toInt)
-        case "i8" => bb.putLong(x.toLong)
-      }
+      NpyIO.encodeElement(bb, x, descr)
       i += 1
     }
     rows += bb.array()

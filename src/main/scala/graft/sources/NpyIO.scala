@@ -449,7 +449,13 @@ object NpyIO {
         catch { case _: java.io.IOException => () }
     }
 
-  private def encodeElement(bb: ByteBuffer, x: Double, descr: String): Unit =
+  /** One element out, little-endian. The unsigned widths mask through
+    * `toLong` — `Double.toInt` SATURATES at 2³¹−1, so a u4 value like
+    * 4294967295.0 would otherwise clamp instead of writing 0xFFFFFFFF;
+    * via toLong the full u16/u32 value spaces round-trip exactly
+    * (doubles hold integers exactly to 2⁵³). */
+  private[sources] def encodeElement(bb: ByteBuffer, x: Double,
+                                     descr: String): Unit =
     descr match {
       case "f8" => bb.putDouble(x)
       case "f4" => bb.putFloat(x.toFloat)
@@ -458,7 +464,9 @@ object NpyIO {
       case "i1" => bb.put(x.toInt.toByte)
       case "u1" => bb.put((x.toInt & 0xff).toByte)
       case "i2" => bb.putShort(x.toInt.toShort)
+      case "u2" => bb.putShort((x.toLong & 0xffffL).toShort)
       case "i4" => bb.putInt(x.toInt)
+      case "u4" => bb.putInt((x.toLong & 0xffffffffL).toInt)
       case "i8" => bb.putLong(x.toLong)
       case d    => sys.error(s"npy write does not support descr $d")
     }
@@ -483,10 +491,6 @@ object NpyIO {
   def write(df: DataFrame, dir: String, descr: String = "f4",
             idShardNames: Boolean = false, append: Boolean = false): Unit = {
     val d = normalizeDescr(descr)
-    // validate BEFORE the destructive delete below — u2/u4 are read-only
-    // widths and would otherwise fail per-row after the target is gone
-    require(d != "u2" && d != "u4",
-      s"npy write does not support descr $d (read-only width)")
     require(!append || idShardNames,
       "npy append needs idShardNames=true (positional part names collide)")
     val spark = df.sparkSession
@@ -559,8 +563,6 @@ object NpyIO {
   def writeSingleFile(df: DataFrame, outPath: String,
                       descr: String = "f4"): Unit = {
     val d = normalizeDescr(descr)
-    require(d != "u2" && d != "u4",
-      s"npy write does not support descr $d (read-only width)")
     val spark = df.sparkSession
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)

@@ -80,6 +80,33 @@ class NpySpec extends SparkSpec {
     }
   }
 
+  test("u2/u4 round trip exact through the full unsigned value space") {
+    import spark.implicits._
+    // the u4 extremes are exactly where a saturating Double.toInt encode
+    // would corrupt: 2³²−1 clamps to 2³¹−1, 2³¹ clamps too
+    val u4Vals = Seq(0.0, 1.0, 65535.0, 2147483648.0, 4294967295.0)
+    val u2Vals = Seq(0.0, 1.0, 255.0, 32768.0, 65535.0)
+    val df4 = Seq((0L, u4Vals), (1L, u4Vals.reverse)).toDF("id", "vec")
+    val df2 = Seq((0L, u2Vals), (1L, u2Vals.reverse)).toDF("id", "vec")
+    for ((d, df, vals) <- Seq(("u2", df2, u2Vals), ("u4", df4, u4Vals))) {
+      val dir = freshDir(d)
+      NpyIO.write(df.coalesce(1), dir, d)
+      val back = NpyIO.read(spark, s"$dir/*.npy").orderBy("id").collect()
+      assert(back(0).getSeq[Double](1) === vals, d)
+      assert(back(1).getSeq[Double](1) === vals.reverse, d)
+      // the DSv2 source writes the same bytes and reads them back
+      // (one ordered shard — npy carries no ids, re-read is positional)
+      val dir2 = freshDir(s"${d}_dsv2")
+      df.repartitionByRange(1, col("id")).sortWithinPartitions("id")
+        .write.format("graftnpy").option("descr", d)
+        .mode("overwrite").save(dir2)
+      val back2 = spark.read.format("graftnpy").load(dir2)
+        .orderBy("id").collect()
+      assert(back2(0).getSeq[Double](1) === vals, d)
+      assert(back2(1).getSeq[Double](1) === vals.reverse, d)
+    }
+  }
+
   test("u1/i1 byte-resident trip preserves raw bits and signedness marks") {
     import spark.implicits._
     val dirU = freshDir("u1")

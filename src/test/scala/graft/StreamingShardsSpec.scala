@@ -228,9 +228,10 @@ class StreamingShardsSpec extends SparkSpec {
         .map(_.getPath.getName).toSeq
       assert(!names.exists(_.endsWith(".tmp")), s"$d: $names")
     }
-    // u2/u4 are rejected BEFORE the destructive delete: target intact
+    // an unsupported descr is rejected BEFORE the destructive delete:
+    // target intact
     intercept[IllegalArgumentException] {
-      NpyIO.write(df, dir, "u4", idShardNames = true)
+      NpyIO.write(df, dir, "c8", idShardNames = true)
     }
     assert(NpyIO.read(spark, s"$dir/*.npy").count() === 12)
   }
