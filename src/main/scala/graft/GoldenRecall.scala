@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Metric
-import graft.operators.{FlatKnn, Inverted, LeanVec, MaxSim, Pq, Vamana, VamanaKernel}
+import graft.operators.{FlatKnn, IndexLayout, Inverted, LeanVec, MaxSim, Pq, Vamana, VamanaKernel}
 import graft.operators.VamanaKernel.BuildParams
 import graft.sources.SyntheticData
 
@@ -143,6 +143,63 @@ object GoldenRecall {
         clustered, cents, l1, groupOf, k, lp, p, Metric.L2)
       Row("ivf_routed", s"c$clusters-g$nGroups-l$lp", "n_probes", p,
         recallOf(res, truth, k, nq), buildSec)
+    }
+    clustered.unpersist()
+    rows
+  }
+
+  /** Stored-layout routed grid per CODEC (the IVFADC/SQ/LVQ twin of
+    * [[routedGrid]]): the same Lloyd clustering persisted through
+    * [[graft.operators.IndexLayout.write]] with resident codes AND a
+    * routing level, then served via `searchRouted` at each l1Probes —
+    * pinned so the codec+routing interaction cannot silently trade
+    * recall (IndexRoutingSpec pins only the exhaustive-level-1
+    * identity; these rows pin the realistic-probe operating points).
+    * Config `c<clusters>-g<groups>-l<l1Probes>`; recall judged against
+    * the uncompressed exact truth like every compressed family. */
+  def storedRoutedGrid(data: DataFrame, queries: DataFrame, truth: DataFrame,
+                       dims: Int, k: Int, nq: Int, n: Long, clusters: Int,
+                       nGroups: Int, l1Probes: Seq[Int], nProbes: Int)
+      : Seq[Row] = {
+    val spark = data.sparkSession
+    val seed0 = data.filter(col("id") % (n / clusters) === 0).limit(clusters)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val train = data.filter(col("id") % 10 === 1)
+    val cents = graft.operators.KMeans.lloyd(train, seed0, iters = 3, dims)
+    val clustered = graft.operators.KMeans.assign(data, cents).cache()
+    clustered.count()
+    // IVFADC codebooks train on RESIDUALS (vec − probe centroid) — the
+    // space the codes actually live in (TPAMI'11 §IV); raw-row training
+    // would mis-span it and depress the whole family's recall
+    val residTrain = {
+      import spark.implicits._
+      graft.operators.KMeans.assign(
+          data.filter(col("id") % 40 === 2), cents)
+        .join(broadcast(cents.toDF("cluster_id", "cvec")), "cluster_id")
+        .select(col("id"),
+          zip_with(col("vec"), col("cvec"), (a, b) => a - b).as("vec"))
+    }
+    val codecs: Seq[(String, IndexLayout.Codec)] = Seq(
+      ("ivfadc_routed", IndexLayout.PqResC(graft.operators.Pq.trainLloyd(
+        residTrain, m = 16, k = 16, dims, iters = 2))),
+      ("ivf_sq_routed", IndexLayout.Sq(
+        graft.operators.ScalarQuant.train(data))),
+      ("ivf_lvq_routed", IndexLayout.LvqC(graft.operators.Lvq.Params(
+        graft.operators.Lvq.trainMean(data)))))
+    val rows = codecs.flatMap { case (family, codec) =>
+      val path = s"/tmp/graft_golden_stored_$family"
+      val t0 = System.nanoTime()
+      IndexLayout.write(clustered, cents, path, codec,
+        routingGroups = nGroups)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val layout = IndexLayout.open(spark, path)
+      l1Probes.map { lp =>
+        val res = IndexLayout.searchRouted(layout, queries, k,
+          l1Probes = lp, nProbes = nProbes, Metric.L2)
+        Row(family, s"c$clusters-g$nGroups-l$lp", "n_probes", nProbes,
+          recallOf(res, truth, k, nq), buildSec)
+      }
     }
     clustered.unpersist()
     rows
@@ -436,6 +493,8 @@ object GoldenRecall {
       routedGrid(data, queries, truth, dims, k, nq, n, clusters = 100,
         nGroups = 10, l1Probes = Seq(2, 4, 10),
         probes = Seq(4, 8, 16)) ++
+      storedRoutedGrid(data, queries, truth, dims, k, nq, n, clusters = 100,
+        nGroups = 10, l1Probes = Seq(2, 4, 10), nProbes = 8) ++
       invertedGrid(data, queries, truth, k, nq, n, leaderCount = 100,
         eps = 1.2, nLeaders = Seq(1, 2, 4, 8)) ++
       leanvecGrid(data, queries, truth, k, nq, rDims = 32,

@@ -254,6 +254,29 @@ object Scale10M {
       duBytes(s"$storedPath/data/cluster_id=$c") +
         duBytes(s"$storedPath/graph/cluster_id=$c")
     }.sum
+    // the ZERO-corpus-shuffle serve (searchRoutedLocal): each probed
+    // shard's data+graph dirs zip narrowly into the walk task, so the
+    // only exchange is the |Q|·probes·k top-k partials — shuffle must
+    // collapse from rows-read scale to walk-output scale at identical
+    // results
+    meter.delta()
+    val (localRes, tLocal) = time {
+      val r = graft.operators.GraphLayout.searchRoutedLocal(layout,
+          queries, k, searchWindow = 64, l1Probes = l1Probes, nProbes = 8,
+          simdL2)
+        .select("query_id", "neighbor_id").cache()
+      r.count(); r
+    }
+    val (shufRlo, shufWlo) = meter.delta()
+    val localRecall =
+      localRes.intersect(truth).count().toDouble / (k.toLong * nq)
+    meter.delta()
+    val (_, tLocal5) = time {
+      graft.operators.GraphLayout.searchRoutedLocal(layout, queries5, k,
+          searchWindow = 64, l1Probes = l1Probes, nProbes = 8, simdL2)
+        .select("query_id", "neighbor_id").count()
+    }
+    val (shufRl5, shufWl5) = meter.delta()
     println(s"""{"experiment":"scale10m_stored_routed","n":$n,""" +
       s""""shards":${splitCents.length},"groups":$nGroups,""" +
       s""""l1_probes":$l1Probes,"store_write_sec":$tStoreWrite,""" +
@@ -268,10 +291,24 @@ object Scale10M {
       s""""bytes_read_fraction5":${probed5Bytes.toDouble / storeBytes},""" +
       s""""serve5_shuffle_read_bytes":$shufRs5,""" +
       s""""serve5_shuffle_write_bytes":$shufWs5,""" +
+      s""""local_serve_sec":$tLocal,""" +
+      s""""local_serve_shuffle_read_bytes":$shufRlo,""" +
+      s""""local_serve_shuffle_write_bytes":$shufWlo,""" +
+      s""""local_serve5_sec":$tLocal5,""" +
+      s""""local_serve5_shuffle_read_bytes":$shufRl5,""" +
+      s""""local_serve5_shuffle_write_bytes":$shufWl5,""" +
+      s""""local_recall":$localRecall,""" +
       s""""recall":$storedRecall}""")
     queries5.unpersist()
-    storedRes.unpersist(); truth.unpersist()
+    localRes.unpersist(); storedRes.unpersist(); truth.unpersist()
     rmr(storedPath); rmr(f32Path); rmr(i8Path); rmr(f16Path)
+
+    // SPARK_GRAFT_10M_ONLY=vector skips the text experiments (3+4) —
+    // for re-measuring the vector legs without paying the ~11 min of
+    // unchanged BM25/MinHash builds
+    if (sys.env.get("SPARK_GRAFT_10M_ONLY").contains("vector")) {
+      spark.stop(); return
+    }
 
     // ---- 3. stored-BM25 probe ------------------------------------------
     // PipelineBench's corpus generator shape at n docs

@@ -1002,6 +1002,31 @@ object SparkEntry {
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 
+  /** q180: the ZERO-corpus-shuffle stored serve — a ROUTED layout
+    * (persisted level-1) served via `searchRoutedLocal`, which zips each
+    * probed shard's data+graph partition dirs narrowly into the walk
+    * task (no corpus exchange at all; only the |Q|·probes·k top-k
+    * partials move). At exhaustive l1Probes routing ≡ flat probing and
+    * the local path ≡ the cogroup path bit-for-bit (HierRoutingSpec), so
+    * this certifies against q24/q150's oracle verbatim. */
+  private def vamanaStoredLocalQ(s: SparkSession, dir: String): DataFrame = {
+    val layout =
+      memoized[graft.operators.GraphLayout.Layout]("graph_layout_routed",
+        dir) {
+        val path = "/tmp/graft_q180_graph_" +
+          dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.operators.GraphLayout.write(embLabelClustered(s, dir),
+          embGraph(s, dir), embLabelCentroids(s, dir), path,
+          routingGroups = 5)
+        graft.operators.GraphLayout.open(s, path)
+      }
+    graft.operators.GraphLayout.searchRoutedLocal(layout,
+        embQueries(s, dir), K, searchWindow = 1 << 14,
+        l1Probes = 5, nProbes = VamanaProbes, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   /** q151: DiskANN serving from the store — codes-only walk over the
     * persisted codes+graph partitions, exact rerank touching only the
     * |Q|·kReorder·k candidate rows of data; ≡ q148 (same oracle), with
@@ -3059,6 +3084,7 @@ object SparkEntry {
     "q177_f16_vamana_stored" -> (vamanaStoredHalfQ _),
     "q178_npy_single_file" -> (npySingleFileQ _),
     "q179_npy_manifest_stream" -> (npyManifestStreamQ _),
+    "q180_vamana_stored_local" -> (vamanaStoredLocalQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3451,5 +3477,9 @@ object SparkEntry {
     // q179: manifest-driven stream ≡ batch ≡ source, and a double decode
     // of a replayed shard would duplicate join rows and fail the count.
     "q179_npy_manifest_stream" -> OracleGen.fvecsRoundtrip,
+    // q180: zero-shuffle local serve at exhaustive l1Probes ≡ flat
+    // probing ≡ the cogroup walk (HierRoutingSpec pins both identities),
+    // so q24/q150's oracle certifies it verbatim.
+    "q180_vamana_stored_local" -> OracleGen.vamanaShardedKnn(K, VamanaProbes),
   )
 }

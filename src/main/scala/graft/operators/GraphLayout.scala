@@ -38,7 +38,8 @@ object GraphLayout {
                           bin: Option[BinaryQuant.Params] = None,
                           routing: Option[(Seq[(Long, Seq[Double])],
                             Map[Long, Long])] = None,
-                          routingMetricName: Option[String] = None)
+                          routingMetricName: Option[String] = None,
+                          path: Option[String] = None)
 
   /** Byte vec columns widened for VALUE arithmetic (centroid means, PQ /
     * sign-bit encodes) — the shared mark-aware helper: a raw TINYINT fold
@@ -221,7 +222,8 @@ object GraphLayout {
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
         .toIndexedSeq.sortBy(_._1),
       pq, binCodes, bin, routing,
-      if (routingGroups > 0) routingMetricName else None)
+      if (routingGroups > 0) routingMetricName else None,
+      Some(path))
   }
 
   /** Full-precision probe-and-walk over the stored shards — identical rows
@@ -253,6 +255,33 @@ object GraphLayout {
     Vamana.searchShardedHierarchical(queries, layout.clustered,
       layout.graph, layout.centroids, l1, groupOf, k, searchWindow,
       l1Probes, nProbes, metric)
+  }
+
+  /** [[searchRouted]] with ZERO corpus shuffle: each probed shard's
+    * `data/cluster_id=c` and `graph/cluster_id=c` dirs load as
+    * single-partition scans zipped NARROWLY into the same walk kernel
+    * ([[Vamana.searchStoredHierarchical]]) — bit-identical rows, I/O =
+    * the probed dirs' bytes, and the only exchange is the final
+    * |Q|·nProbes·k top-k partials. The serving path for selective probe
+    * batches at 10⁵+ shards; a store-saturating query sweep does equally
+    * well on [[searchRouted]]. */
+  def searchRoutedLocal(layout: Layout, queries: DataFrame, k: Int,
+                        searchWindow: Int, l1Probes: Int, nProbes: Int,
+                        metric: Metric): DataFrame = {
+    val path = layout.path.getOrElse(sys.error(
+      "searchRoutedLocal serves straight off the stored partition dirs — " +
+        "open the layout from disk (GraphLayout.open) first"))
+    val (l1, groupOf) = layout.routing.getOrElse(sys.error(
+      "layout has no routing level — write(routingGroups = …) first"))
+    layout.routingMetricName.foreach { rm =>
+      require(metric.name.stripSuffix("_simd") == rm,
+        s"layout routing level was trained for metric '$rm' but " +
+          s"searchRoutedLocal got '${metric.name}' — rewrite the layout " +
+          s"with routingMetric = ${metric.name} or serve with '$rm'")
+    }
+    Vamana.searchStoredHierarchical(queries, s"$path/data", s"$path/graph",
+      layout.clustered.schema, layout.graph.schema, layout.centroids,
+      l1, groupOf, k, searchWindow, l1Probes, nProbes, metric)
   }
 
   /** DiskANN serving from the stored layout: codes-only walk (reads

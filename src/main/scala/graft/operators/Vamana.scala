@@ -244,6 +244,134 @@ object Vamana {
       nProbes, metric, searchCapacity, lit(true), Some(pm))
   }
 
+  /** [[searchShardedHierarchical]] served straight off a PERSISTED
+    * sharded layout with ZERO corpus shuffle — the 100 TB serving shape
+    * (reference posture: the serialized index IS the serving format and
+    * each cluster's file is walked where it is read,
+    * include/svs/index/ivf/index.h:299-332 cluster pruning).
+    *
+    * The stored layout keeps `data/cluster_id=c/` and `graph/cluster_id=c/`
+    * as sibling partition dirs, so for each PROBED shard both sides load
+    * as single-partition scans and `zipPartitions` (a narrow dependency)
+    * hands them to the same per-shard merge + walk kernel the cogroup
+    * path uses — results are bit-identical to [[searchShardedHierarchical]]
+    * over the reopened frames, but corpus rows never enter a shuffle: the
+    * only exchange is the |Q|·nProbes·k partials of the final top-k.
+    * I/O is the probed dirs' bytes (partition pruning by construction),
+    * parallelism is one task per probed shard. Driver cost is two scan
+    * plans per probed shard, so this is the path for the SELECTIVE probe
+    * regime (serving batches); a store-saturating sweep does equally well
+    * on the cogroup path.
+    *
+    * `clusteredSchema`/`graphSchema` come from the reopened layout — the
+    * vec element type plus its signedness/half-format marks (restored
+    * from the sidecar) pick the same element-resident store the cogroup
+    * branches do. A probed shard missing either dir emits nothing, the
+    * inner-join semantics of the frame path. */
+  def searchStoredHierarchical(queries: DataFrame, dataPath: String,
+                               graphPath: String,
+                               clusteredSchema: org.apache.spark.sql.types.StructType,
+                               graphSchema: org.apache.spark.sql.types.StructType,
+                               centroids: Seq[(Long, Seq[Double])],
+                               l1: Seq[(Long, Seq[Double])],
+                               groupOf: Map[Long, Long], k: Int,
+                               searchWindow: Int, l1Probes: Int,
+                               nProbes: Int, metric: Metric,
+                               searchCapacity: Int = 0): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(searchWindow >= k, "searchWindow must be ≥ k")
+    val pm = probeMapWith(queries, centroids, metric) { (qRows, cents) =>
+      BatchScore.probeTopKHierarchical(qRows, cents,
+        l1.sortBy(_._1).map { case (i, v) => (i, v.toArray) }.toIndexedSeq,
+        groupOf, l1Probes, nProbes, metric)
+    }
+    val bc = spark.sparkContext.broadcast(pm)
+    import org.apache.spark.sql.types.{ArrayType, ByteType, FloatType, StructType}
+    val isFloat = clusteredSchema("vec").dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    val isByte = clusteredSchema("vec").dataType match {
+      case ArrayType(ByteType, _) => true
+      case _                      => false
+    }
+    val unsigned =
+      if (isByte) graft.functions.ByteVecs.requireSignedness(
+        clusteredSchema, "vec")
+      else false
+    val isHalf =
+      graft.functions.HalfVecs.isShortVec(clusteredSchema("vec").dataType)
+    val bf16 = isHalf && graft.functions.HalfVecs.requireFormat(
+      clusteredSchema, "vec") == graft.functions.HalfVecs.BF16
+    val dSub = StructType(clusteredSchema.filterNot(_.name == "cluster_id"))
+    val gSub = StructType(graphSchema.filterNot(_.name == "cluster_id"))
+    val vecSel =
+      if (isHalf || isByte || isFloat) col("vec")
+      else col("vec").cast("array<double>")
+    val fs = new org.apache.hadoop.fs.Path(dataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = metric
+    val rdds = pm.keys.toSeq.sorted.flatMap { cid =>
+      val dDir = new org.apache.hadoop.fs.Path(dataPath, s"cluster_id=$cid")
+      val gDir = new org.apache.hadoop.fs.Path(graphPath, s"cluster_id=$cid")
+      if (!fs.exists(dDir) || !fs.exists(gDir)) None
+      else {
+        val dRdd = spark.read.schema(dSub).parquet(dDir.toString)
+          .select(col("id").cast("long"), vecSel.as("vec"))
+          .rdd.coalesce(1)
+        val gRdd = spark.read.schema(gSub).parquet(gDir.toString)
+          .select(col("id").cast("long"), col("entry_id").cast("long"),
+            col("neighbors").cast("array<long>"))
+          .rdd.coalesce(1)
+        Some(dRdd.zipPartitions(gRdd) { (dIt, gIt) =>
+          val qs = bc.value.getOrElse(cid,
+            Array.empty[(Long, Array[Double])])
+          if (qs.isEmpty) Iterator.empty
+          else {
+            val g = gIt.map(r => (cid, r.getLong(0), r.getLong(1),
+              r.getSeq[Long](2).toArray))
+            if (isHalf) {
+              val rows = dIt.map(r => (r.getLong(0),
+                r.getSeq[Short](1).toArray)).toArray.sortBy(_._1)
+              walkMerged(cid, rows.map(x => (x._1, true)),
+                idxs => new VamanaKernel.HalfStore(
+                  idxs.map(ix => rows(ix)._2), bf16),
+                g, qs, k, searchWindow, searchCapacity, m)
+            } else if (isByte) {
+              val rows = dIt.map(r => (r.getLong(0),
+                r.getSeq[Byte](1).toArray)).toArray.sortBy(_._1)
+              walkMerged(cid, rows.map(x => (x._1, true)),
+                idxs => new VamanaKernel.ByteStore(
+                  idxs.map(ix => rows(ix)._2), unsigned),
+                g, qs, k, searchWindow, searchCapacity, m)
+            } else if (isFloat) {
+              val rows = dIt.map(r => (r.getLong(0),
+                r.getSeq[Float](1).toArray)).toArray.sortBy(_._1)
+              walkMerged(cid, rows.map(x => (x._1, true)),
+                idxs => new VamanaKernel.FloatStore(
+                  idxs.map(ix => rows(ix)._2)),
+                g, qs, k, searchWindow, searchCapacity, m)
+            } else {
+              val rows = dIt.map(r => (r.getLong(0),
+                r.getSeq[Double](1).toArray)).toArray.sortBy(_._1)
+              walkMerged(cid, rows.map(x => (x._1, true)),
+                idxs => new VamanaKernel.DoubleStore(
+                  idxs.map(ix => rows(ix)._2)),
+                g, qs, k, searchWindow, searchCapacity, m)
+            }
+          }
+        })
+      }
+    }
+    val partials =
+      (if (rdds.isEmpty) spark.sparkContext.emptyRDD[(Long, Long, Double)]
+       else spark.sparkContext.union(rdds))
+        .toDF("query_id", "id", "dist")
+    TopK.perKeyViaWindow(partials, Seq("query_id"), col("id"), col("dist"),
+      k, metric.ascending)
+  }
+
   /** Broadcast-small ceiling for [[trainRoutingLevel]]'s input: the shard
     * centroid table is held, trained, and broadcast whole — at 64-d
     * doubles, 2²⁰ centroids ≈ 0.5 GB, the edge of driver/broadcast

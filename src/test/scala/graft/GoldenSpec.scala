@@ -91,6 +91,25 @@ class GoldenSpec extends SparkSpec {
       assert(exh === flat,
         s"exhaustive-l1 routed golden p$p ($exh) ≠ flat ivf golden ($flat)")
     }
+    // stored-layout routed families (codec ∘ routing): the realistic
+    // l1Probes=2 rows reproduce, and in the artifact each codec's
+    // realistic row sits within 0.05 of its own exhaustive-level-1 row —
+    // routing may not silently trade compressed recall
+    val stored = GoldenRecall.storedRoutedGrid(data, queries, truth, Dims,
+      K, Nq, N, clusters = 100, nGroups = 10, l1Probes = Seq(2), nProbes = 8)
+    assert(stored.map(_.family).toSet ===
+      Set("ivfadc_routed", "ivf_sq_routed", "ivf_lvq_routed"))
+    stored.foreach { r =>
+      val p = pinned(r.family, r.config, r.value)
+      assert(math.abs(r.recall - p) <= 0.01,
+        s"${r.family} ${r.config}: ${r.recall} vs pinned $p")
+    }
+    for (f <- Seq("ivfadc_routed", "ivf_sq_routed", "ivf_lvq_routed")) {
+      val real = pinned(f, "c100-g10-l2", 8)
+      val exh = pinned(f, "c100-g10-l10", 8)
+      assert(exh - real <= 0.05,
+        s"$f: realistic routing costs ${exh - real} recall vs exhaustive")
+    }
     // SIMD-built/searched graph: recall pinned AND within the scalar
     // family's tolerance band (build-time Metric.simd production safety)
     if (graft.core.SimdSupport.available) {

@@ -261,4 +261,77 @@ class HierRoutingSpec extends SparkSpec {
       .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
     assert(routedUp === flatUp)
   }
+
+  test("searchRoutedLocal (zero-corpus-shuffle serve) ≡ searchRouted " +
+      "bit-for-bit across residencies; shuffles only top-k partials") {
+    import graft.operators.GraphLayout
+    val s = spark
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    val q = Tables.embeddingQueries(spark, sfDir)
+    val cents = data.filter(col("id") % 10 === 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    // three residencies through the same lifecycle: f64, u8-marked
+    // bytes, f16 halves — the local path must pick the same
+    // element-resident store the cogroup branches do
+    val frames: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      ("f64", data),
+      ("u8", graft.functions.ByteVecs.markUnsigned(data.select(col("id"),
+        graft.functions.ByteVecs.quantizeUnsigned(col("vec"), 100.0)
+          .as("vec")))),
+      ("f16", graft.functions.HalfVecs.toHalf(data,
+        graft.functions.HalfVecs.F16)))
+    val localShuffles = scala.collection.mutable.Map.empty[String, Long]
+    for ((tag, frame) <- frames) {
+      val centsT =
+        if (tag == "f64") cents
+        else graft.functions.HalfVecs.widenedForMath(
+            graft.functions.ByteVecs.widenedForMath(frame, "vec"), "vec")
+          .filter(col("id") % 10 === 3).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+          .toIndexedSeq
+      val clustered = KMeans.assign(frame, centsT)
+      val graph = Vamana.buildSharded(clustered,
+        BuildParams(maxDegree = 12, buildWindow = 24), Metric.L2)
+      val path = s"/tmp/graft_local_serve_$tag"
+      GraphLayout.write(clustered, graph, centsT, path, routingGroups = 7)
+      val layout = GraphLayout.open(s, path)
+      val meter = new graft.ShuffleProbe(s)
+      try {
+        val local = GraphLayout.searchRoutedLocal(layout, q, 10, 32,
+            l1Probes = 3, nProbes = 8, Metric.L2)
+          .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+        val localShuffle = meter.readBytes()
+        val cogrouped = GraphLayout.searchRouted(layout, q, 10, 32,
+            l1Probes = 3, nProbes = 8, Metric.L2)
+          .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+        val cogroupShuffle = meter.readBytes() - localShuffle
+        assert(local === cogrouped, tag)
+        localShuffles(tag) = localShuffle
+        // the local serve exchanges only the |Q|·nProbes·k partials —
+        // well under the cogroup path, which moves every probed row.
+        // The corpus-vs-partials gap is only visible on the widest
+        // residency at this test scale (byte/half corpora shrink toward
+        // partials size); the f64 leg pins it, the cross-residency
+        // check below pins the rest.
+        if (tag == "f64")
+          assert(localShuffle < cogroupShuffle / 2,
+            s"$tag: local serve shuffled $localShuffle B vs cogroup " +
+              s"$cogroupShuffle B — corpus rows leaked into an exchange")
+      } finally meter.close()
+    }
+    // partials are (query_id, id, dist) regardless of residency: if
+    // corpus rows leaked into the local serve's exchange, the f64 leg
+    // would shuffle ~8× the u8 leg — they must instead be within noise
+    assert(localShuffles("f64") <= 2 * localShuffles("u8"),
+      s"local-serve shuffle scales with residency width: $localShuffles")
+    assert(localShuffles("f16") <= 2 * localShuffles("u8"),
+      s"local-serve shuffle scales with residency width: $localShuffles")
+    // a layout not opened from disk refuses the local path loudly
+    val mem = GraphLayout.open(s, "/tmp/graft_local_serve_f64")
+      .copy(path = None)
+    val e = intercept[RuntimeException] {
+      GraphLayout.searchRoutedLocal(mem, q, 10, 32, 3, 8, Metric.L2)
+    }
+    assert(e.getMessage.contains("open"))
+  }
 }
