@@ -1038,6 +1038,19 @@ object SparkEntry {
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 
+  /** q181: the zero-corpus-shuffle DiskANN serve — q151's codes-only
+    * walk + exact rerank through `searchAdcLocal`, which zips each
+    * probed shard's codes+graph dirs narrowly into the PqStore walk (no
+    * corpus exchange; data touched only for the |Q|·kReorder·k rerank
+    * candidates). ≡ searchAdc bit-for-bit (GraphLayoutSpec), so q148's
+    * oracle certifies it verbatim like q151. */
+  private def pqWalkStoredLocalQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphLayout.searchAdcLocal(storedGraphLayout(s, dir),
+        embQueries(s, dir), K, searchWindow = 1 << 14,
+        nProbes = VamanaProbes, kReorder = PqWalkReorder)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+
   /** q152: incremental maintenance of the PERSISTED graph index — q51's
     * add/delete batch applied to a fresh store via `GraphLayout.upsert`:
     * touched shards rebuilt and ONLY their `cluster_id=` partitions
@@ -3085,6 +3098,7 @@ object SparkEntry {
     "q178_npy_single_file" -> (npySingleFileQ _),
     "q179_npy_manifest_stream" -> (npyManifestStreamQ _),
     "q180_vamana_stored_local" -> (vamanaStoredLocalQ _),
+    "q181_pq_walk_stored_local" -> (pqWalkStoredLocalQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3481,5 +3495,9 @@ object SparkEntry {
     // probing ≡ the cogroup walk (HierRoutingSpec pins both identities),
     // so q24/q150's oracle certifies it verbatim.
     "q180_vamana_stored_local" -> OracleGen.vamanaShardedKnn(K, VamanaProbes),
+    // q181: local ADC serve ≡ searchAdc (GraphLayoutSpec pins it), so
+    // q148/q151's oracle certifies the zero-shuffle DiskANN path too.
+    "q181_pq_walk_stored_local" ->
+      OracleGen.pqWalkRerank(PqM, PqK, K, VamanaProbes, PqWalkReorder),
   )
 }

@@ -309,6 +309,36 @@ object GraphLayout {
     }
   }
 
+  /** [[searchAdc]] with ZERO corpus shuffle ([[searchRoutedLocal]]'s
+    * DiskANN twin): the codes-only walk zips each probed shard's
+    * `codes/cluster_id=c` + `graph/cluster_id=c` dirs narrowly into the
+    * PqStore walk task — bit-identical candidates, I/O = the probed CODE
+    * partitions (never `data` during the walk), exchange = top-k
+    * partials only. `kReorder > 0` reranks exactly like [[searchAdc]]:
+    * the rerank join touches only the |Q|·kReorder·k candidate rows. */
+  def searchAdcLocal(layout: Layout, queries: DataFrame, k: Int,
+                     searchWindow: Int, nProbes: Int, kReorder: Int = 0,
+                     metric: Metric = Metric.L2): DataFrame = {
+    val path = layout.path.getOrElse(sys.error(
+      "searchAdcLocal serves straight off the stored partition dirs — " +
+        "open the layout from disk (GraphLayout.open) first"))
+    val codes = layout.codes.getOrElse(
+      sys.error("layout has no PQ codes — write(pq = Some(...)) first"))
+    val p = layout.pq.get
+    if (kReorder <= 0)
+      Vamana.searchStoredAdc(queries, s"$path/codes", s"$path/graph",
+        codes.schema, layout.graph.schema, layout.centroids, p, k,
+        searchWindow, nProbes, metric)
+    else {
+      val walkM =
+        if (metric == Metric.L2 || metric == Metric.IP) metric else Metric.L2
+      val cand = Vamana.searchStoredAdc(queries, s"$path/codes",
+        s"$path/graph", codes.schema, layout.graph.schema,
+        layout.centroids, p, kReorder * k, searchWindow, nProbes, walkM)
+      Rerank.exact(cand, queries, layout.clustered, k, metric)
+    }
+  }
+
   /** Incremental maintenance of the persisted index — the M1–M4 lifecycle
     * for the graph store (the vector analog of `TextIndex.replaceDocs`):
     * `added` rows (id, vec, cluster_id) join their shards, `deletedIds`

@@ -632,25 +632,32 @@ object Vamana {
     val m = metric
     val books = p.codebooks
 
+    // one exchange per side (the searchShardedImpl cogroup shape): codes
+    // and graph each move once; the per-shard id-merge in the walk task
+    // reproduces the former inner join bit-for-bit
     val codeArr = array((0 until p.m).map(j => col(s"c$j").cast("int")): _*)
+    val graphK = graph
+      .filter(col("cluster_id").isin(probedIds: _*))
+      .select(col("cluster_id").cast("long"), col("id").cast("long"),
+        col("entry_id").cast("long"), col("neighbors").cast("array<long>"))
+      .as[(Long, Long, Long, Array[Long])]
+      .groupByKey(_._1)
     val partials = codes
       .withColumn("keep", keep)
       .filter(col("cluster_id").isin(probedIds: _*))
-      .join(graph, Seq("cluster_id", "id"))
       .select(col("cluster_id").cast("long"), col("id").cast("long"),
-        codeArr.as("code"), col("entry_id").cast("long"),
-        col("neighbors").cast("array<long>"), col("keep"))
-      .as[(Long, Long, Array[Int], Long, Array[Long], Boolean)]
+        codeArr.as("code"), col("keep"))
+      .as[(Long, Long, Array[Int], Boolean)]
       .groupByKey(_._1)
-      .flatMapGroups { (cid, it) =>
+      .cogroup(graphK) { (cid, dIt, gIt) =>
         val qs = bc.value.getOrElse(cid, Array.empty[(Long, Array[Double])])
         if (qs.isEmpty) Iterator.empty
         else {
-          val rows = it.toArray.sortBy(_._2)
-          walkShardCore(cid, rows.map(_._2),
-            new VamanaKernel.PqStore(rows.map(_._3), books), rows(0)._4,
-            rows.map(_._5), qs, k, searchWindow, searchCapacity = 0, m,
-            allowedOf(rows.map(_._6)))
+          val rows = dIt.toArray.sortBy(_._2)
+          walkMerged(cid, rows.map(r => (r._2, r._4)),
+            idxs => new VamanaKernel.PqStore(
+              idxs.map(ix => rows(ix)._3), books), gIt, qs,
+            k, searchWindow, 0, m)
         }
       }
       .toDF("query_id", "id", "dist")
@@ -678,6 +685,75 @@ object Vamana {
     val cand = searchShardedAdc(queries, codes, graph, centroids, p,
       kReorder * k, searchWindow, nProbes, walkMetric)
     Rerank.exact(cand, queries, data, k, rerankMetric)
+  }
+
+  /** [[searchShardedAdc]] served straight off a PERSISTED layout's
+    * `codes/cluster_id=c` + `graph/cluster_id=c` dirs with ZERO corpus
+    * shuffle — the codes twin of [[searchStoredHierarchical]]: each
+    * probed shard's two sides load as single-partition scans and
+    * `zipPartitions` (narrow) hands them to the same PqStore walk; the
+    * only exchange is the |Q|·nProbes·k top-k partials. At 100 TB this
+    * is DiskANN serving with per-query I/O = probed CODE partitions
+    * (64× smaller than data) and network = walk output. */
+  def searchStoredAdc(queries: DataFrame, codesPath: String,
+                      graphPath: String,
+                      codesSchema: org.apache.spark.sql.types.StructType,
+                      graphSchema: org.apache.spark.sql.types.StructType,
+                      centroids: Seq[(Long, Seq[Double])], p: Pq.Params,
+                      k: Int, searchWindow: Int, nProbes: Int,
+                      metric: Metric = Metric.L2): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(searchWindow >= k, "searchWindow must be ≥ k")
+    require(metric == Metric.L2 || metric == Metric.IP,
+      s"ADC requires a subspace-decomposable metric (L2/IP), got $metric")
+    val pm = probeMap(queries, centroids, nProbes, metric)
+    val bc = spark.sparkContext.broadcast(pm)
+    import org.apache.spark.sql.types.StructType
+    val cSub = StructType(codesSchema.filterNot(_.name == "cluster_id"))
+    val gSub = StructType(graphSchema.filterNot(_.name == "cluster_id"))
+    val mEl = p.m
+    val books = p.codebooks
+    val m = metric
+    val fs = new org.apache.hadoop.fs.Path(codesPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rdds = pm.keys.toSeq.sorted.flatMap { cid =>
+      val cDir = new org.apache.hadoop.fs.Path(codesPath, s"cluster_id=$cid")
+      val gDir = new org.apache.hadoop.fs.Path(graphPath, s"cluster_id=$cid")
+      if (!fs.exists(cDir) || !fs.exists(gDir)) None
+      else {
+        val codeArr = array((0 until mEl).map(j =>
+          col(s"c$j").cast("int")): _*)
+        val cRdd = spark.read.schema(cSub).parquet(cDir.toString)
+          .select(col("id").cast("long"), codeArr.as("code"))
+          .rdd.coalesce(1)
+        val gRdd = spark.read.schema(gSub).parquet(gDir.toString)
+          .select(col("id").cast("long"), col("entry_id").cast("long"),
+            col("neighbors").cast("array<long>"))
+          .rdd.coalesce(1)
+        Some(cRdd.zipPartitions(gRdd) { (cIt, gIt) =>
+          val qs = bc.value.getOrElse(cid,
+            Array.empty[(Long, Array[Double])])
+          if (qs.isEmpty) Iterator.empty
+          else {
+            val g = gIt.map(r => (cid, r.getLong(0), r.getLong(1),
+              r.getSeq[Long](2).toArray))
+            val rows = cIt.map(r => (r.getLong(0),
+              r.getSeq[Int](1).toArray)).toArray.sortBy(_._1)
+            walkMerged(cid, rows.map(x => (x._1, true)),
+              idxs => new VamanaKernel.PqStore(
+                idxs.map(ix => rows(ix)._2), books),
+              g, qs, k, searchWindow, 0, m)
+          }
+        })
+      }
+    }
+    val partials =
+      (if (rdds.isEmpty) spark.sparkContext.emptyRDD[(Long, Long, Double)]
+       else spark.sparkContext.union(rdds))
+        .toDF("query_id", "id", "dist")
+    TopK.perKeyViaWindow(partials, Seq("query_id"), col("id"), col("dist"),
+      k, metric.ascending)
   }
 
   /** Driver-side probe routing shared by [[searchSharded]] and

@@ -221,6 +221,37 @@ class GraphLayoutSpec extends SparkSpec {
       .filter(col("id") === 90000L).count() === 1)
   }
 
+  test("searchAdcLocal (zero-corpus-shuffle DiskANN serve) ≡ searchAdc " +
+      "bit-for-bit, pure-ADC and reranked; refuses a memory-only layout") {
+    val (_, cents, clustered, graph, p) = fixture()
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    val path = "/tmp/graft_graphlayout_adclocal"
+    GraphLayout.write(clustered, graph, cents, path, pq = Some(p))
+    val layout = GraphLayout.open(spark, path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    // pure ADC ranks
+    assert(rows(GraphLayout.searchAdcLocal(layout, queries, 5, 32, 3)) ===
+      rows(GraphLayout.searchAdc(layout, queries, 5, 32, 3)))
+    // exact rerank on top (touches only candidate rows of data)
+    assert(
+      rows(GraphLayout.searchAdcLocal(layout, queries, 5, 32, 3,
+        kReorder = 2)) ===
+      rows(GraphLayout.searchAdc(layout, queries, 5, 32, 3, kReorder = 2)))
+    // cosine walks L2 and reranks cosine, same as searchAdc's contract
+    assert(
+      rows(GraphLayout.searchAdcLocal(layout, queries, 5, 32, 3,
+        kReorder = 2, metric = Metric.Cosine)) ===
+      rows(GraphLayout.searchAdc(layout, queries, 5, 32, 3, kReorder = 2,
+        metric = Metric.Cosine)))
+    val mem = layout.copy(path = None)
+    val e = intercept[RuntimeException] {
+      GraphLayout.searchAdcLocal(mem, queries, 5, 32, 3)
+    }
+    assert(e.getMessage.contains("open"))
+  }
+
   test("layout without PQ opens with no codes and searchAdc fails loudly") {
     val (_, cents, clustered, graph, _) = fixture()
     val queries = Tables.embeddingQueries(spark, sfDir)
