@@ -267,7 +267,9 @@ object GraphLayout {
     * well on [[searchRouted]]. */
   def searchRoutedLocal(layout: Layout, queries: DataFrame, k: Int,
                         searchWindow: Int, l1Probes: Int, nProbes: Int,
-                        metric: Metric): DataFrame = {
+                        metric: Metric,
+                        keep: org.apache.spark.sql.Column = lit(true))
+      : DataFrame = {
     val path = layout.path.getOrElse(sys.error(
       "searchRoutedLocal serves straight off the stored partition dirs — " +
         "open the layout from disk (GraphLayout.open) first"))
@@ -281,7 +283,8 @@ object GraphLayout {
     }
     Vamana.searchStoredHierarchical(queries, s"$path/data", s"$path/graph",
       layout.clustered.schema, layout.graph.schema, layout.centroids,
-      l1, groupOf, k, searchWindow, l1Probes, nProbes, metric)
+      l1, groupOf, k, searchWindow, l1Probes, nProbes, metric,
+      keep = keep)
   }
 
   /** DiskANN serving from the stored layout: codes-only walk (reads

@@ -267,7 +267,12 @@ object Vamana {
     * vec element type plus its signedness/half-format marks (restored
     * from the sidecar) pick the same element-resident store the cogroup
     * branches do. A probed shard missing either dir emits nothing, the
-    * inner-join semantics of the frame path. */
+    * inner-join semantics of the frame path.
+    *
+    * `keep` carries the [[searchShardedFiltered]] traverse-but-filter
+    * semantics into the local path: rows failing it are walked through
+    * but never emitted. It may reference the data FILE columns (`id`,
+    * `vec`) — `cluster_id` lives in the directory name, not the files. */
   def searchStoredHierarchical(queries: DataFrame, dataPath: String,
                                graphPath: String,
                                clusteredSchema: org.apache.spark.sql.types.StructType,
@@ -277,7 +282,9 @@ object Vamana {
                                groupOf: Map[Long, Long], k: Int,
                                searchWindow: Int, l1Probes: Int,
                                nProbes: Int, metric: Metric,
-                               searchCapacity: Int = 0): DataFrame = {
+                               searchCapacity: Int = 0,
+                               keep: org.apache.spark.sql.Column = lit(true))
+      : DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     require(searchWindow >= k, "searchWindow must be ≥ k")
@@ -318,7 +325,8 @@ object Vamana {
       if (!fs.exists(dDir) || !fs.exists(gDir)) None
       else {
         val dRdd = spark.read.schema(dSub).parquet(dDir.toString)
-          .select(col("id").cast("long"), vecSel.as("vec"))
+          .select(col("id").cast("long"), vecSel.as("vec"),
+            keep.cast("boolean").as("keep"))
           .rdd.coalesce(1)
         val gRdd = spark.read.schema(gSub).parquet(gDir.toString)
           .select(col("id").cast("long"), col("entry_id").cast("long"),
@@ -333,29 +341,33 @@ object Vamana {
               r.getSeq[Long](2).toArray))
             if (isHalf) {
               val rows = dIt.map(r => (r.getLong(0),
-                r.getSeq[Short](1).toArray)).toArray.sortBy(_._1)
-              walkMerged(cid, rows.map(x => (x._1, true)),
+                r.getSeq[Short](1).toArray, r.getBoolean(2)))
+                .toArray.sortBy(_._1)
+              walkMerged(cid, rows.map(x => (x._1, x._3)),
                 idxs => new VamanaKernel.HalfStore(
                   idxs.map(ix => rows(ix)._2), bf16),
                 g, qs, k, searchWindow, searchCapacity, m)
             } else if (isByte) {
               val rows = dIt.map(r => (r.getLong(0),
-                r.getSeq[Byte](1).toArray)).toArray.sortBy(_._1)
-              walkMerged(cid, rows.map(x => (x._1, true)),
+                r.getSeq[Byte](1).toArray, r.getBoolean(2)))
+                .toArray.sortBy(_._1)
+              walkMerged(cid, rows.map(x => (x._1, x._3)),
                 idxs => new VamanaKernel.ByteStore(
                   idxs.map(ix => rows(ix)._2), unsigned),
                 g, qs, k, searchWindow, searchCapacity, m)
             } else if (isFloat) {
               val rows = dIt.map(r => (r.getLong(0),
-                r.getSeq[Float](1).toArray)).toArray.sortBy(_._1)
-              walkMerged(cid, rows.map(x => (x._1, true)),
+                r.getSeq[Float](1).toArray, r.getBoolean(2)))
+                .toArray.sortBy(_._1)
+              walkMerged(cid, rows.map(x => (x._1, x._3)),
                 idxs => new VamanaKernel.FloatStore(
                   idxs.map(ix => rows(ix)._2)),
                 g, qs, k, searchWindow, searchCapacity, m)
             } else {
               val rows = dIt.map(r => (r.getLong(0),
-                r.getSeq[Double](1).toArray)).toArray.sortBy(_._1)
-              walkMerged(cid, rows.map(x => (x._1, true)),
+                r.getSeq[Double](1).toArray, r.getBoolean(2)))
+                .toArray.sortBy(_._1)
+              walkMerged(cid, rows.map(x => (x._1, x._3)),
                 idxs => new VamanaKernel.DoubleStore(
                   idxs.map(ix => rows(ix)._2)),
                 g, qs, k, searchWindow, searchCapacity, m)

@@ -333,5 +333,22 @@ class HierRoutingSpec extends SparkSpec {
       GraphLayout.searchRoutedLocal(mem, q, 10, 32, 3, 8, Metric.L2)
     }
     assert(e.getMessage.contains("open"))
+    // traverse-but-filter carries into the local path: at exhaustive
+    // l1Probes it must equal searchShardedFiltered over the reopened
+    // frames (filtered rows walked through, never emitted)
+    val layoutF = GraphLayout.open(s, "/tmp/graft_local_serve_f64")
+    val pred = col("id") % 3 =!= 1
+    val localF = GraphLayout.searchRoutedLocal(layoutF, q, 10, 32,
+        l1Probes = 7, nProbes = 8, Metric.L2, keep = pred)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val cogroupF = Vamana.searchShardedFiltered(q, layoutF.clustered,
+        layoutF.graph, layoutF.centroids, 10, 32, 8, Metric.L2, pred)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(localF === cogroupF)
+    val unfiltered = GraphLayout.searchRoutedLocal(layoutF, q, 10, 32,
+        7, 8, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(localF.nonEmpty && localF != unfiltered,
+      "the predicate must actually change the result set")
   }
 }
