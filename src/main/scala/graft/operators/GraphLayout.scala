@@ -312,6 +312,29 @@ object GraphLayout {
     }
   }
 
+  /** [[search]] with ZERO corpus shuffle — [[searchRoutedLocal]] for
+    * layouts written WITHOUT a routing level: probe selection runs flat
+    * over all centroids (implemented as a single-group hierarchical
+    * sweep, which HierRoutingSpec pins bit-identical to flat at
+    * exhaustive level-1), and the per-shard walk is the same narrow
+    * zipPartitions serve. */
+  def searchLocal(layout: Layout, queries: DataFrame, k: Int,
+                  searchWindow: Int, nProbes: Int, metric: Metric,
+                  keep: org.apache.spark.sql.Column = lit(true))
+      : DataFrame = {
+    val path = layout.path.getOrElse(sys.error(
+      "searchLocal serves straight off the stored partition dirs — " +
+        "open the layout from disk (GraphLayout.open) first"))
+    // trivial single-group level: the one group is always selected, so
+    // level-2 scores every centroid — exactly the flat probe sweep
+    val l1 = Seq(0L -> layout.centroids.head._2)
+    val groupOf = layout.centroids.map { case (cid, _) => cid -> 0L }.toMap
+    Vamana.searchStoredHierarchical(queries, s"$path/data", s"$path/graph",
+      layout.clustered.schema, layout.graph.schema, layout.centroids,
+      l1, groupOf, k, searchWindow, l1Probes = 1, nProbes, metric,
+      keep = keep)
+  }
+
   /** [[searchAdc]] with ZERO corpus shuffle ([[searchRoutedLocal]]'s
     * DiskANN twin): the codes-only walk zips each probed shard's
     * `codes/cluster_id=c` + `graph/cluster_id=c` dirs narrowly into the

@@ -250,6 +250,11 @@ class GraphLayoutSpec extends SparkSpec {
       GraphLayout.searchAdcLocal(mem, queries, 5, 32, 3)
     }
     assert(e.getMessage.contains("open"))
+    // a layout written WITHOUT routing serves locally through the flat
+    // probe sweep — ≡ search bit-for-bit
+    assert(rows(GraphLayout.searchLocal(layout, queries, 5, 32, 3,
+        Metric.L2)) ===
+      rows(GraphLayout.search(layout, queries, 5, 32, 3, Metric.L2)))
   }
 
   test("layout without PQ opens with no codes and searchAdc fails loudly") {
