@@ -191,8 +191,10 @@ object Scale10M {
         storedPath, routingGroups = nGroups)
     }
     val storeBytes = duBytes(storedPath)
-    graph.unpersist(); split.unpersist()
-    spark.catalog.clearCache() // serve COLD from the store, not the build
+    // unpersist exactly the BUILD frames so serving runs cold from the
+    // store (clearCache() would also evict truth/queries and silently
+    // re-pay the full 10M exact sweep inside each recall computation)
+    graph.unpersist(blocking = true); split.unpersist(blocking = true)
     val layout = graft.operators.GraphLayout.open(spark, storedPath)
     meter.delta()
     val (storedRes, tStoredServe) = time {
@@ -225,10 +227,11 @@ object Scale10M {
     }.sum
     val storedRecall =
       storedRes.intersect(truth).count().toDouble / (k.toLong * nq)
-    // the small-batch leg: a uniform 100-query batch's probe UNION can
-    // cover every shard (each query still only pays its own nProbes) —
-    // the partition-pruning win shows at realistic serving batch sizes,
-    // where I/O ∝ |union of probed shards|, not store size
+    // the small-batch leg (5 of the nq queries): the uniform 100-query
+    // batch above UNIONs its probes over ~every shard (each query still
+    // only pays its own nProbes) — the partition-pruning win shows at
+    // non-saturating batch sizes, where I/O ∝ |union of probed shards|,
+    // not store size
     val queries5 = queries.filter(col("query_id") < n + 5).cache()
     queries5.count()
     meter.delta()

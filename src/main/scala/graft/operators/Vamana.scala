@@ -273,6 +273,45 @@ object Vamana {
     * semantics into the local path: rows failing it are walked through
     * but never emitted. It may reference the data FILE columns (`id`,
     * `vec`) — `cluster_id` lives in the directory name, not the files. */
+  /** The stored zero-shuffle serve scaffold shared by
+    * [[searchStoredHierarchical]] and [[searchStoredAdc]]: for each
+    * probed shard whose `cluster_id=` dirs exist under BOTH paths, the
+    * two sides load as single-partition scans and zip NARROWLY into
+    * `walk`, then the bounded per-query top-k finishes. A shard missing
+    * either dir — or whose scan plans to ZERO partitions (a
+    * present-but-empty dir would otherwise crash zipPartitions on
+    * unequal partition counts) — emits nothing: the inner-join
+    * semantics of the frame path. */
+  private def zipServe(spark: org.apache.spark.sql.SparkSession,
+      probed: Seq[Long], leftPath: String, graphPath: String,
+      leftScan: String => DataFrame, graphScan: String => DataFrame,
+      walk: (Long, Iterator[org.apache.spark.sql.Row],
+             Iterator[org.apache.spark.sql.Row])
+        => Iterator[(Long, Long, Double)],
+      k: Int, metric: Metric): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lfs = new org.apache.hadoop.fs.Path(leftPath).getFileSystem(conf)
+    val gfs = new org.apache.hadoop.fs.Path(graphPath).getFileSystem(conf)
+    val rdds = probed.sorted.flatMap { cid =>
+      val lDir = new org.apache.hadoop.fs.Path(leftPath, s"cluster_id=$cid")
+      val gDir = new org.apache.hadoop.fs.Path(graphPath, s"cluster_id=$cid")
+      if (!lfs.exists(lDir) || !gfs.exists(gDir)) None
+      else {
+        val l = leftScan(lDir.toString).rdd.coalesce(1)
+        val g = graphScan(gDir.toString).rdd.coalesce(1)
+        if (l.getNumPartitions == 0 || g.getNumPartitions == 0) None
+        else Some(l.zipPartitions(g)((dIt, gIt) => walk(cid, dIt, gIt)))
+      }
+    }
+    val partials =
+      (if (rdds.isEmpty) spark.sparkContext.emptyRDD[(Long, Long, Double)]
+       else spark.sparkContext.union(rdds))
+        .toDF("query_id", "id", "dist")
+    TopK.perKeyViaWindow(partials, Seq("query_id"), col("id"), col("dist"),
+      k, metric.ascending)
+  }
+
   def searchStoredHierarchical(queries: DataFrame, dataPath: String,
                                graphPath: String,
                                clusteredSchema: org.apache.spark.sql.types.StructType,
@@ -316,23 +355,15 @@ object Vamana {
     val vecSel =
       if (isHalf || isByte || isFloat) col("vec")
       else col("vec").cast("array<double>")
-    val fs = new org.apache.hadoop.fs.Path(dataPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val m = metric
-    val rdds = pm.keys.toSeq.sorted.flatMap { cid =>
-      val dDir = new org.apache.hadoop.fs.Path(dataPath, s"cluster_id=$cid")
-      val gDir = new org.apache.hadoop.fs.Path(graphPath, s"cluster_id=$cid")
-      if (!fs.exists(dDir) || !fs.exists(gDir)) None
-      else {
-        val dRdd = spark.read.schema(dSub).parquet(dDir.toString)
-          .select(col("id").cast("long"), vecSel.as("vec"),
-            keep.cast("boolean").as("keep"))
-          .rdd.coalesce(1)
-        val gRdd = spark.read.schema(gSub).parquet(gDir.toString)
-          .select(col("id").cast("long"), col("entry_id").cast("long"),
-            col("neighbors").cast("array<long>"))
-          .rdd.coalesce(1)
-        Some(dRdd.zipPartitions(gRdd) { (dIt, gIt) =>
+    zipServe(spark, pm.keys.toSeq, dataPath, graphPath,
+      dir => spark.read.schema(dSub).parquet(dir)
+        .select(col("id").cast("long"), vecSel.as("vec"),
+          keep.cast("boolean").as("keep")),
+      dir => spark.read.schema(gSub).parquet(dir)
+        .select(col("id").cast("long"), col("entry_id").cast("long"),
+          col("neighbors").cast("array<long>")),
+      (cid, dIt, gIt) => {
           val qs = bc.value.getOrElse(cid,
             Array.empty[(Long, Array[Double])])
           if (qs.isEmpty) Iterator.empty
@@ -373,15 +404,7 @@ object Vamana {
                 g, qs, k, searchWindow, searchCapacity, m)
             }
           }
-        })
-      }
-    }
-    val partials =
-      (if (rdds.isEmpty) spark.sparkContext.emptyRDD[(Long, Long, Double)]
-       else spark.sparkContext.union(rdds))
-        .toDF("query_id", "id", "dist")
-    TopK.perKeyViaWindow(partials, Seq("query_id"), col("id"), col("dist"),
-      k, metric.ascending)
+      }, k, metric)
   }
 
   /** Broadcast-small ceiling for [[trainRoutingLevel]]'s input: the shard
@@ -724,26 +747,16 @@ object Vamana {
     import org.apache.spark.sql.types.StructType
     val cSub = StructType(codesSchema.filterNot(_.name == "cluster_id"))
     val gSub = StructType(graphSchema.filterNot(_.name == "cluster_id"))
-    val mEl = p.m
+    val codeArr = array((0 until p.m).map(j => col(s"c$j").cast("int")): _*)
     val books = p.codebooks
     val m = metric
-    val fs = new org.apache.hadoop.fs.Path(codesPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rdds = pm.keys.toSeq.sorted.flatMap { cid =>
-      val cDir = new org.apache.hadoop.fs.Path(codesPath, s"cluster_id=$cid")
-      val gDir = new org.apache.hadoop.fs.Path(graphPath, s"cluster_id=$cid")
-      if (!fs.exists(cDir) || !fs.exists(gDir)) None
-      else {
-        val codeArr = array((0 until mEl).map(j =>
-          col(s"c$j").cast("int")): _*)
-        val cRdd = spark.read.schema(cSub).parquet(cDir.toString)
-          .select(col("id").cast("long"), codeArr.as("code"))
-          .rdd.coalesce(1)
-        val gRdd = spark.read.schema(gSub).parquet(gDir.toString)
-          .select(col("id").cast("long"), col("entry_id").cast("long"),
-            col("neighbors").cast("array<long>"))
-          .rdd.coalesce(1)
-        Some(cRdd.zipPartitions(gRdd) { (cIt, gIt) =>
+    zipServe(spark, pm.keys.toSeq, codesPath, graphPath,
+      dir => spark.read.schema(cSub).parquet(dir)
+        .select(col("id").cast("long"), codeArr.as("code")),
+      dir => spark.read.schema(gSub).parquet(dir)
+        .select(col("id").cast("long"), col("entry_id").cast("long"),
+          col("neighbors").cast("array<long>")),
+      (cid, cIt, gIt) => {
           val qs = bc.value.getOrElse(cid,
             Array.empty[(Long, Array[Double])])
           if (qs.isEmpty) Iterator.empty
@@ -757,15 +770,7 @@ object Vamana {
                 idxs.map(ix => rows(ix)._2), books),
               g, qs, k, searchWindow, 0, m)
           }
-        })
-      }
-    }
-    val partials =
-      (if (rdds.isEmpty) spark.sparkContext.emptyRDD[(Long, Long, Double)]
-       else spark.sparkContext.union(rdds))
-        .toDF("query_id", "id", "dist")
-    TopK.perKeyViaWindow(partials, Seq("query_id"), col("id"), col("dist"),
-      k, metric.ascending)
+      }, k, metric)
   }
 
   /** Driver-side probe routing shared by [[searchSharded]] and

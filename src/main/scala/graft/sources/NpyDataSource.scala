@@ -366,12 +366,11 @@ class NpyWriteBuilder(path: String, info: LogicalWriteInfo)
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new NpyWrite(path, info.schema(),
-    NpyIO.normalizeDescr(
-      Option(info.options.get("descr")).getOrElse("f4")),
+    Option(info.options.get("descr")).map(NpyIO.normalizeDescr),
     doTruncate, info.queryId())
 }
 
-class NpyWrite(path: String, schema: StructType, descr: String,
+class NpyWrite(path: String, schema: StructType, descrOpt: Option[String],
     truncate: Boolean, queryId: String) extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
 
@@ -380,7 +379,13 @@ class NpyWrite(path: String, schema: StructType, descr: String,
     val vecOrdinal = schema.fieldIndex("vec")
     // element mode: 0 = double, 1 = float, 2 = byte-resident (raw bit
     // patterns out; the descr comes from the column's required ByteVecs
-    // signedness mark, so the file can't contradict the value space)
+    // signedness mark, so the file can't contradict the value space).
+    // An ABSENT descr option defaults to f4 for float/double frames;
+    // resident frames carry their own descr, and an EXPLICIT option
+    // contradicting it is refused — the vecs-eltype lesson: accepting
+    // the default-looking value would silently write f2/u1 shards to a
+    // caller who explicitly asked for f4.
+    val descr = descrOpt.getOrElse("f4")
     val (elemMode, effDescr) = schema(vecOrdinal).dataType match {
       case ArrayType(FloatType, _)  => (1, descr)
       case ArrayType(DoubleType, _) => (0, descr)
@@ -388,10 +393,10 @@ class NpyWrite(path: String, schema: StructType, descr: String,
         val unsigned =
           graft.functions.ByteVecs.requireSignedness(schema, "vec")
         val d = if (unsigned) "u1" else "i1"
-        require(descr == "f4" || descr == d, // f4 = the option's default
-          s"graftnpy write: descr option '$descr' contradicts the byte " +
-            s"column's ${if (unsigned) "u8" else "i8"} mark (use '$d' " +
-            "or drop the option)")
+        require(descrOpt.forall(_ == d),
+          s"graftnpy write: descr option '${descrOpt.get}' contradicts " +
+            s"the byte column's ${if (unsigned) "u8" else "i8"} mark " +
+            s"(use '$d' or drop the option)")
         (2, d)
       case ArrayType(ShortType, _) =>
         // half-resident egress: raw bit patterns out as f2. npy has no
@@ -402,9 +407,9 @@ class NpyWrite(path: String, schema: StructType, descr: String,
           "graftnpy write: npy has no bfloat16 descr — a bf16-marked " +
             "frame would silently decode as IEEE f16 on re-read; widen " +
             "or re-encode to f16 first")
-        require(descr == "f4" || descr == "f2", // f4 = the option default
-          s"graftnpy write: descr option '$descr' contradicts the " +
-            "f16-resident column (use 'f2' or drop the option)")
+        require(descrOpt.forall(_ == "f2"),
+          s"graftnpy write: descr option '${descrOpt.get}' contradicts " +
+            "the f16-resident column (use 'f2' or drop the option)")
         (3, "f2")
       case t => sys.error(s"graftnpy write: vec must be an array of " +
         s"float/double/byte/short, got $t")

@@ -399,10 +399,9 @@ object NpyIO {
     * the payload starts 64-byte aligned — byte-compatible with what
     * `np.save` emits. */
   def headerBytes(descr: String, rows: Long, cols: Int): Array[Byte] = {
-    val prefix = descr.head match {
-      case 'f' | 'i' if elBytes(descr) > 1 => "<"
-      case _                                => "|"
-    }
+    // any multi-byte width is byte-order-sensitive — '|' on u2/u4 would
+    // make a big-endian consumer's np.load silently byte-swap every value
+    val prefix = if (elBytes(descr) > 1) "<" else "|"
     val dict = s"{'descr': '$prefix$descr', 'fortran_order': False, " +
       s"'shape': ($rows, $cols), }"
     val unpadded = 10 + dict.length + 1
@@ -589,57 +588,71 @@ object NpyIO {
           var prev = Long.MinValue
           var cols = -1
           var rows = 0L
-          iter.foreach { row =>
-            val id = row.getLong(0)
-            val v = row.getSeq[Double](1)
-            if (cols < 0) { cols = v.length; first = id; prev = id - 1 }
-            require(v.length == cols,
-              s"row $id: ${v.length} dims, expected $cols")
-            require(id == prev + 1,
-              s"writeSingleFile needs dense ids: id $id follows $prev")
-            prev = id
-            val bb = ByteBuffer.allocate(cols * elB)
-              .order(ByteOrder.LITTLE_ENDIAN)
-            v.foreach(x => encodeElement(bb, x, d))
-            os.write(bb.array())
-            rows += 1
-          }
-          os.close()
+          try {
+            iter.foreach { row =>
+              val id = row.getLong(0)
+              val v = row.getSeq[Double](1)
+              if (cols < 0) { cols = v.length; first = id; prev = id - 1 }
+              require(v.length == cols,
+                s"row $id: ${v.length} dims, expected $cols")
+              require(id == prev + 1,
+                s"writeSingleFile needs dense ids: id $id follows $prev")
+              prev = id
+              val bb = ByteBuffer.allocate(cols * elB)
+                .order(ByteOrder.LITTLE_ENDIAN)
+              v.foreach(x => encodeElement(bb, x, d))
+              os.write(bb.array())
+              rows += 1
+            }
+          } finally os.close()
           Iterator.single((pi, first, prev, rows, cols))
         }
       }
       .collect()
       .sortBy(_._1)
-    require(meta.nonEmpty, "writeSingleFile: empty frame")
-    val cols = meta.head._5
-    require(meta.forall(_._5 == cols), "dims drift across partitions")
-    // ids must chain densely 0..n−1 — (path, row) order IS the id on
-    // re-read, so any gap or offset would silently remap every row
-    var expect = 0L
-    meta.foreach { case (pi, first, last, rows, _) =>
-      require(first == expect,
-        s"writeSingleFile needs dense ids from 0: partition $pi starts " +
-          s"at $first, expected $expect")
-      expect = last + 1
-      require(last - first + 1 == rows, s"partition $pi id gap")
-    }
-    val n = expect
-    val os = fs.create(out, true)
+    // any failure from here on sweeps the segments AND the (possibly
+    // truncated) output — a half-written all.npy at the final name would
+    // look complete to a later np.load, and failed attempts would
+    // otherwise accumulate multi-GB orphan segment dirs
     try {
-      os.write(headerBytes(d, n, cols))
-      val buf = new Array[Byte](8 << 20)
-      meta.foreach { case (pi, _, _, _, _) =>
-        val p = new Path(segDirStr, f"seg-$pi%05d")
-        val in = fs.open(p)
-        try {
-          var got = in.read(buf)
-          while (got >= 0) {
-            if (got > 0) os.write(buf, 0, got)
-            got = in.read(buf)
-          }
-        } finally in.close()
+      require(meta.nonEmpty, "writeSingleFile: empty frame")
+      val cols = meta.head._5
+      require(meta.forall(_._5 == cols), "dims drift across partitions")
+      // ids must chain densely 0..n−1 — (path, row) order IS the id on
+      // re-read, so any gap or offset would silently remap every row
+      var expect = 0L
+      meta.foreach { case (pi, first, last, rows, _) =>
+        require(first == expect,
+          s"writeSingleFile needs dense ids from 0: partition $pi starts " +
+            s"at $first, expected $expect")
+        expect = last + 1
+        require(last - first + 1 == rows, s"partition $pi id gap")
       }
-    } finally os.close()
+      val n = expect
+      val os = fs.create(out, true)
+      try {
+        os.write(headerBytes(d, n, cols))
+        val buf = new Array[Byte](8 << 20)
+        meta.foreach { case (pi, _, _, _, _) =>
+          val p = new Path(segDirStr, f"seg-$pi%05d")
+          val in = fs.open(p)
+          try {
+            var got = in.read(buf)
+            while (got >= 0) {
+              if (got > 0) os.write(buf, 0, got)
+              got = in.read(buf)
+            }
+          } finally in.close()
+        }
+      } finally os.close()
+    } catch {
+      case e: Throwable =>
+        try { fs.delete(out, false); () }
+        catch { case _: java.io.IOException => () }
+        try { fs.delete(segDir, true); () }
+        catch { case _: java.io.IOException => () }
+        throw e
+    }
     fs.delete(segDir, true)
   }
 

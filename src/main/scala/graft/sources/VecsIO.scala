@@ -244,30 +244,26 @@ object VecsIO {
     val fs = dirPath.getFileSystem(conf.value)
     fs.delete(dirPath, true)
     fs.mkdirs(dirPath)
+    NpyIO.sweepStaleTmp(fs, dirPath)
     df.select(col("id").cast("long"), col("vec"))
       .sortWithinPartitions("id")
       .rdd
       .mapPartitionsWithIndex { case (pi, iter) =>
         if (iter.isEmpty) Iterator.empty
         else {
+          // positional name known upfront (unlike write's id-named
+          // shards), so the shared atomic tmp+rename applies directly
           val out = new Path(dir, f"part-$pi%05d.hvecs")
-          var os: org.apache.hadoop.fs.FSDataOutputStream = null
-          iter.foreach { row =>
-            if (os == null)
-              os = out.getFileSystem(conf.value)
-                .create(new Path(dir, out.getName + ".tmp"), true)
-            val v = row.getSeq[Short](1)
-            val bb = ByteBuffer.allocate(4 + v.length * 2)
-              .order(ByteOrder.LITTLE_ENDIAN)
-            bb.putInt(v.length)
-            v.foreach(bb.putShort)
-            os.write(bb.array())
+          NpyIO.writeAtomic(out, conf.value) { os =>
+            iter.foreach { row =>
+              val v = row.getSeq[Short](1)
+              val bb = ByteBuffer.allocate(4 + v.length * 2)
+                .order(ByteOrder.LITTLE_ENDIAN)
+              bb.putInt(v.length)
+              v.foreach(bb.putShort)
+              os.write(bb.array())
+            }
           }
-          os.close()
-          val fsOut = out.getFileSystem(conf.value)
-          fsOut.delete(out, false) // replace semantics
-          require(fsOut.rename(new Path(dir, out.getName + ".tmp"), out),
-            s"rename to $out failed")
           Iterator.single(pi)
         }
       }

@@ -321,6 +321,12 @@ class HalfKnnSpec extends SparkSpec {
     intercept[Exception] {
       src.write.format("graftnpy").option("descr", "f8")
         .mode("overwrite").save(freshDir("npyd")) }
+    // an EXPLICIT f4 is refused too — it is not the absent-option default:
+    // the caller asked for float32 files and silently writing f2 would
+    // hand a non-f16 consumer the wrong width (the vecs eltype lesson)
+    intercept[Exception] {
+      src.write.format("graftnpy").option("descr", "f4")
+        .mode("overwrite").save(freshDir("npyd4")) }
     intercept[Exception] {
       src.write.format("graftvecs").option("eltype", "fvecs")
         .mode("overwrite").save(freshDir("hve")) }

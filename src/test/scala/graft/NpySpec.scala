@@ -91,6 +91,18 @@ class NpySpec extends SparkSpec {
     for ((d, df, vals) <- Seq(("u2", df2, u2Vals), ("u4", df4, u4Vals))) {
       val dir = freshDir(d)
       NpyIO.write(df.coalesce(1), dir, d)
+      // multi-byte unsigned widths must declare byte order ('<u2', not
+      // '|u2') — numpy would treat '|' as native order and a big-endian
+      // consumer would silently byte-swap every value
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val shard = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath).find(_.getName.endsWith(".npy")).get
+      val head = new Array[Byte](128)
+      val in = fs.open(shard)
+      try in.readFully(0L, head) finally in.close()
+      assert(new String(head, StandardCharsets.ISO_8859_1)
+        .contains(s"'<$d'"), d)
       val back = NpyIO.read(spark, s"$dir/*.npy").orderBy("id").collect()
       assert(back(0).getSeq[Double](1) === vals, d)
       assert(back(1).getSeq[Double](1) === vals.reverse, d)
