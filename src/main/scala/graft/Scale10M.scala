@@ -186,11 +186,19 @@ object Scale10M {
     // row's 0.4%, plus serve wall + shuffle, recall pinned vs the same
     // exact truth.
     val storedPath = "/tmp/graft_10m_graph_store"
+    // PQ codes ride along in the store: the DiskANN serving shape —
+    // m=8 subspaces × k=16 codes over 64-d rows shrink each walked
+    // vector 512 B → 8 B; codebooks train on a 10k-row sample
+    val pqP = graft.operators.Pq.trainLloyd(
+      data.filter(col("id") % 1000 === 3), m = 8, k = 16, dims, iters = 2)
     val (_, tStoreWrite) = time {
       graft.operators.GraphLayout.write(split, graph, splitCents,
-        storedPath, routingGroups = nGroups)
+        storedPath, pq = Some(pqP), routingGroups = nGroups)
     }
     val storeBytes = duBytes(storedPath)
+    val dgBytes = duBytes(s"$storedPath/data") +
+      duBytes(s"$storedPath/graph")
+    val codesBytes = duBytes(s"$storedPath/codes")
     // unpersist exactly the BUILD frames so serving runs cold from the
     // store (clearCache() would also evict truth/queries and silently
     // re-pay the full 10M exact sweep inside each recall computation)
@@ -280,18 +288,55 @@ object Scale10M {
         .select("query_id", "neighbor_id").count()
     }
     val (shufRl5, shufWl5) = meter.delta()
+    // DiskANN serving legs: codes-only walk, data never read during the
+    // walk. The cogroup path's exchange is the probed CODES+graph rows
+    // (64× below the data walk); the local path exchanges partials only.
+    meter.delta()
+    val (_, tAdc) = time {
+      graft.operators.GraphLayout.searchAdc(layout, queries, k,
+        searchWindow = 64, nProbes = 8).count()
+    }
+    val (shufRa, shufWa) = meter.delta()
+    val (_, tAdcLocal) = time {
+      graft.operators.GraphLayout.searchAdcLocal(layout, queries, k,
+        searchWindow = 64, nProbes = 8).count()
+    }
+    val (shufRal, shufWal) = meter.delta()
+    val probedAdc = {
+      val qRows = queries.select(col("query_id").cast("long"),
+          col("qvec").cast("array<double>")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val cArr = layout.centroids
+        .map { case (i, v) => (i, v.toArray) }.toIndexedSeq
+      graft.operators.BatchScore.probeTopK(qRows, cArr, 8, Metric.L2)
+        .flatten.toSet
+    }
+    val probedAdcBytes = probedAdc.toSeq.map { c =>
+      duBytes(s"$storedPath/codes/cluster_id=$c") +
+        duBytes(s"$storedPath/graph/cluster_id=$c")
+    }.sum
+    println(s"""{"experiment":"scale10m_stored_adc","n":$n,""" +
+      s""""codes_bytes":$codesBytes,""" +
+      s""""probed_codes_graph_bytes":$probedAdcBytes,""" +
+      s""""adc_serve_sec":$tAdc,""" +
+      s""""adc_shuffle_read_bytes":$shufRa,""" +
+      s""""adc_shuffle_write_bytes":$shufWa,""" +
+      s""""adc_local_serve_sec":$tAdcLocal,""" +
+      s""""adc_local_shuffle_read_bytes":$shufRal,""" +
+      s""""adc_local_shuffle_write_bytes":$shufWal}""")
     println(s"""{"experiment":"scale10m_stored_routed","n":$n,""" +
       s""""shards":${splitCents.length},"groups":$nGroups,""" +
       s""""l1_probes":$l1Probes,"store_write_sec":$tStoreWrite,""" +
-      s""""store_bytes":$storeBytes,"serve_sec":$tStoredServe,""" +
+      s""""store_bytes":$storeBytes,"data_graph_bytes":$dgBytes,""" +
+      s""""codes_bytes":$codesBytes,"serve_sec":$tStoredServe,""" +
       s""""probed_shards":${probedSet.size},""" +
       s""""probed_bytes":$probedBytes,""" +
-      s""""bytes_read_fraction":${probedBytes.toDouble / storeBytes},""" +
+      s""""bytes_read_fraction":${probedBytes.toDouble / dgBytes},""" +
       s""""serve_shuffle_read_bytes":$shufRss,""" +
       s""""serve_shuffle_write_bytes":$shufWss,""" +
       s""""serve5_sec":$tServe5,"probed5_shards":${probed5.size},""" +
       s""""probed5_bytes":$probed5Bytes,""" +
-      s""""bytes_read_fraction5":${probed5Bytes.toDouble / storeBytes},""" +
+      s""""bytes_read_fraction5":${probed5Bytes.toDouble / dgBytes},""" +
       s""""serve5_shuffle_read_bytes":$shufRs5,""" +
       s""""serve5_shuffle_write_bytes":$shufWs5,""" +
       s""""local_serve_sec":$tLocal,""" +
