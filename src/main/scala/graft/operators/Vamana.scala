@@ -293,17 +293,28 @@ object Vamana {
     val conf = spark.sparkContext.hadoopConfiguration
     val lfs = new org.apache.hadoop.fs.Path(leftPath).getFileSystem(conf)
     val gfs = new org.apache.hadoop.fs.Path(graphPath).getFileSystem(conf)
-    val rdds = probed.sorted.flatMap { cid =>
-      val lDir = new org.apache.hadoop.fs.Path(leftPath, s"cluster_id=$cid")
-      val gDir = new org.apache.hadoop.fs.Path(graphPath, s"cluster_id=$cid")
-      if (!lfs.exists(lDir) || !gfs.exists(gDir)) None
-      else {
-        val l = leftScan(lDir.toString).rdd.coalesce(1)
-        val g = graphScan(gDir.toString).rdd.coalesce(1)
-        if (l.getNumPartitions == 0 || g.getNumPartitions == 0) None
-        else Some(l.zipPartitions(g)((dIt, gIt) => walk(cid, dIt, gIt)))
-      }
-    }
+    // plan construction runs DRIVER-side per probed shard (existence
+    // probe + two scan plans, each with its own file listing) — serial,
+    // that is ~100 ms × shards and dominates wall at hundreds of probed
+    // shards, so the per-shard planning fans out on the driver;
+    // Future.traverse keeps the deterministic shard order
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rdds = Await.result(
+      Future.traverse(probed.sorted) { cid => Future {
+        val lDir =
+          new org.apache.hadoop.fs.Path(leftPath, s"cluster_id=$cid")
+        val gDir =
+          new org.apache.hadoop.fs.Path(graphPath, s"cluster_id=$cid")
+        if (!lfs.exists(lDir) || !gfs.exists(gDir)) None
+        else {
+          val l = leftScan(lDir.toString).rdd.coalesce(1)
+          val g = graphScan(gDir.toString).rdd.coalesce(1)
+          if (l.getNumPartitions == 0 || g.getNumPartitions == 0) None
+          else Some(l.zipPartitions(g)((dIt, gIt) => walk(cid, dIt, gIt)))
+        }
+      }}, Duration.Inf).flatten
     val partials =
       (if (rdds.isEmpty) spark.sparkContext.emptyRDD[(Long, Long, Double)]
        else spark.sparkContext.union(rdds))
