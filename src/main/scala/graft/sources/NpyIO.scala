@@ -573,8 +573,11 @@ object NpyIO {
     val segDirStr = segDir.toString
     val elB = elBytes(d)
     // pass 1+2 fused per partition: range-partition by id so segment
-    // order is id order, stream rows straight to the segment file
-    val meta = df.select(col("id").cast("long"), col("vec")
+    // order is id order, stream rows straight to the segment file.
+    // The collect runs the segment-writing tasks, so it sits INSIDE the
+    // sweep-on-failure region below — a task-side dims/density failure
+    // must not strand the segments it already landed.
+    def collectMeta() = df.select(col("id").cast("long"), col("vec")
         .cast("array<double>"))
       .repartitionByRange(math.max(1, df.rdd.getNumPartitions), col("id"))
       .sortWithinPartitions("id")
@@ -610,11 +613,12 @@ object NpyIO {
       }
       .collect()
       .sortBy(_._1)
-    // any failure from here on sweeps the segments AND the (possibly
-    // truncated) output — a half-written all.npy at the final name would
-    // look complete to a later np.load, and failed attempts would
-    // otherwise accumulate multi-GB orphan segment dirs
+    // any failure from the segment writes on sweeps the segments AND the
+    // (possibly truncated) output — a half-written all.npy at the final
+    // name would look complete to a later np.load, and failed attempts
+    // would otherwise accumulate multi-GB orphan segment dirs
     try {
+      val meta = collectMeta()
       require(meta.nonEmpty, "writeSingleFile: empty frame")
       val cols = meta.head._5
       require(meta.forall(_._5 == cols), "dims drift across partitions")

@@ -491,11 +491,17 @@ class NpySpec extends SparkSpec {
     // the DSv2 source range-splits the single file too
     val dsv2 = spark.read.format("graftnpy").load(s"$dir/all.npy")
     assert(dsv2.agg(sum("id")).head.getLong(0) === (0L until n).sum)
-    // non-dense ids are refused loudly (re-read would silently remap)
+    // non-dense ids are refused loudly (re-read would silently remap),
+    // and the failed attempt sweeps BOTH the segments dir and any
+    // partial output — a truncated gap.npy would look complete to a
+    // later np.load, and orphan segment dirs would accumulate per retry
     intercept[Exception] {
       NpyIO.writeSingleFile(
         orig.filter(col("id") =!= 7), s"$dir/gap.npy", "f8")
     }
+    val residue = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("gap.npy"))
+    assert(residue.isEmpty, s"failed writeSingleFile left: ${residue.toSeq}")
   }
 
   test("legacy writer sweeps stale .tmp orphans across append waves") {
