@@ -613,10 +613,12 @@ object NpyIO {
       }
       .collect()
       .sortBy(_._1)
-    // any failure from the segment writes on sweeps the segments AND the
-    // (possibly truncated) output — a half-written all.npy at the final
-    // name would look complete to a later np.load, and failed attempts
-    // would otherwise accumulate multi-GB orphan segment dirs
+    // header+concat go to outPath+".tmp" and RENAME into place on success
+    // (writeAtomic): the final name never holds a truncated file, and a
+    // failed re-run — task failure, dims drift, non-dense ids — sweeps
+    // only its own tmp and segments, leaving any PRE-EXISTING valid
+    // output at the final name intact (the old unconditional
+    // delete-on-failure destroyed an artifact this attempt never wrote)
     try {
       val meta = collectMeta()
       require(meta.nonEmpty, "writeSingleFile: empty frame")
@@ -633,8 +635,7 @@ object NpyIO {
         require(last - first + 1 == rows, s"partition $pi id gap")
       }
       val n = expect
-      val os = fs.create(out, true)
-      try {
+      writeAtomic(out, conf.value) { os =>
         os.write(headerBytes(d, n, cols))
         val buf = new Array[Byte](8 << 20)
         meta.foreach { case (pi, _, _, _, _) =>
@@ -648,10 +649,10 @@ object NpyIO {
             }
           } finally in.close()
         }
-      } finally os.close()
+      }
     } catch {
       case e: Throwable =>
-        try { fs.delete(out, false); () }
+        try { fs.delete(new Path(outPath + ".tmp"), false); () }
         catch { case _: java.io.IOException => () }
         try { fs.delete(segDir, true); () }
         catch { case _: java.io.IOException => () }

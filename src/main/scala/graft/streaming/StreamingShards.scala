@@ -83,22 +83,60 @@ object StreamingShards {
     * Exactly-once DECODE survives producer retries: a shard re-listed
     * by a later manifest (at-least-once manifest delivery) is dropped by
     * a streaming `dropDuplicates` on the shard path before any bytes
-    * are fetched — state is one entry per shard path, MBs at millions
-    * of shards, carried by the checkpoint. Paths must be resolvable by
+    * are fetched. Each line is CANONICALIZED first
+    * (`FileSystem.makeQualified` — scheme/authority defaults applied,
+    * `.`/`..`/double/trailing slashes collapsed), so equivalent
+    * spellings of one shard collide in the dedup instead of decoding
+    * twice. State is one entry per shard path, carried by the
+    * checkpoint — MBs at millions of shards, but UNBOUNDED over the
+    * stream's lifetime unless `dedupTtl` is set.
+    *
+    * `dedupTtl` is the bounded-state contract for long-lived streams:
+    * manifests arrive in append-waves and a producer retries a wave
+    * promptly, so a shard re-listed more than `dedupTtl` (e.g.
+    * `"24 hours"`) after it was first seen is a producer bug, not a
+    * retry — with the TTL set, dedup state older than the watermark is
+    * dropped (`dropDuplicatesWithinWatermark`), bounding state to the
+    * shards seen within one TTL window at the cost that such a
+    * beyond-TTL replay would ingest again. `None` (default) keeps the
+    * exact forever-dedup.
+    *
+    * Paths must be resolvable by
     * the executors' Hadoop filesystem (absolute URIs on an object
     * store); a listed shard that has vanished fails the batch loudly —
     * silently skipping it would under-ingest without a trace. */
-  private def manifestShardStream(spark: SparkSession, manifestDir: String)
+  private def manifestShardStream(spark: SparkSession, manifestDir: String,
+                                  dedupTtl: Option[String])
       (decode: (String, Array[Byte]) => Iterator[(Long, Array[Double])])
       : DataFrame = {
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    spark.readStream.format("text").load(manifestDir)
+    val canon = spark.readStream.format("text").load(manifestDir)
       .as[String]
       .map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .dropDuplicates("value")
+      .map { l =>
+        val p = new org.apache.hadoop.fs.Path(l)
+        val q = p.getFileSystem(conf.value).makeQualified(p).toUri
+        // Path normalizes dot segments and duplicate slashes;
+        // makeQualified adds the default scheme — but leaves a
+        // null-vs-empty authority split ("file:/x" vs "file:///x"
+        // depending on whether the line carried a scheme), so the
+        // canonical string rebuilds with the authority pinned
+        new java.net.URI(q.getScheme,
+          Option(q.getAuthority).getOrElse(""), q.getPath, null, null)
+          .toString
+      }
+    val deduped = dedupTtl match {
+      case None => canon.dropDuplicates("value")
+      case Some(ttl) =>
+        canon.withColumn("seen_at", current_timestamp())
+          .withWatermark("seen_at", ttl)
+          .dropDuplicatesWithinWatermark("value")
+          .drop("seen_at")
+    }
+    deduped
       .as[String]
       .flatMap { pathStr =>
         val p = new org.apache.hadoop.fs.Path(pathStr)
@@ -118,17 +156,21 @@ object StreamingShards {
 
   /** [[npyShards]] driven by manifest files instead of directory
     * listing: `(shard, row, vec)` coordinates for every `.npy` path
-    * listed under `manifestDir`. */
-  def npyShardsFromManifests(spark: SparkSession, manifestDir: String)
+    * listed under `manifestDir`. `dedupTtl` bounds the exactly-once
+    * dedup state for long-lived streams (see [[manifestShardStream]]'s
+    * contract). */
+  def npyShardsFromManifests(spark: SparkSession, manifestDir: String,
+                             dedupTtl: Option[String] = None)
       : DataFrame =
-    manifestShardStream(spark, manifestDir)(
+    manifestShardStream(spark, manifestDir, dedupTtl)(
       (p, bytes) => NpyIO.decodeAll(bytes, p))
 
   /** `*vecs` twin of [[npyShardsFromManifests]]. */
   def vecsShardsFromManifests(spark: SparkSession, manifestDir: String,
-                              ext: String): DataFrame = {
+                              ext: String,
+                              dedupTtl: Option[String] = None): DataFrame = {
     val el = graft.sources.VecsIO.elTypeFor(s"x.$ext")
-    manifestShardStream(spark, manifestDir) { (_, bytes) =>
+    manifestShardStream(spark, manifestDir, dedupTtl) { (_, bytes) =>
       graft.sources.VecsIO.decode(bytes, el).zipWithIndex.map {
         case (v, r) => (r.toLong, v)
       }
@@ -138,16 +180,20 @@ object StreamingShards {
   /** [[npyShardsFromManifests]] + exact original ids from
     * `base-<startId>.npy` shard names. */
   def npyShardsFromManifestsWithIds(spark: SparkSession,
-                                    manifestDir: String): DataFrame =
-    withRestoredIds(npyShardsFromManifests(spark, manifestDir),
+                                    manifestDir: String,
+                                    dedupTtl: Option[String] = None)
+      : DataFrame =
+    withRestoredIds(npyShardsFromManifests(spark, manifestDir, dedupTtl),
       "npyShardsFromManifestsWithIds")
 
   /** [[vecsShardsFromManifests]] + exact original ids from
     * `base-<startId>.<ext>` names. */
   def vecsShardsFromManifestsWithIds(spark: SparkSession,
-                                     manifestDir: String, ext: String)
+                                     manifestDir: String, ext: String,
+                                     dedupTtl: Option[String] = None)
       : DataFrame =
-    withRestoredIds(vecsShardsFromManifests(spark, manifestDir, ext),
+    withRestoredIds(
+      vecsShardsFromManifests(spark, manifestDir, ext, dedupTtl),
       "vecsShardsFromManifestsWithIds")
 
   private def withRestoredIds(coords: DataFrame, what: String): DataFrame = {

@@ -502,6 +502,19 @@ class NpySpec extends SparkSpec {
     val residue = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .map(_.getPath.getName).filter(_.startsWith("gap.npy"))
     assert(residue.isEmpty, s"failed writeSingleFile left: ${residue.toSeq}")
+    // a FAILED RE-RUN over an existing valid output must not destroy it:
+    // the attempt writes to all.npy.tmp and only renames on success, so
+    // the prior artifact at the final name survives the failure intact
+    intercept[Exception] {
+      NpyIO.writeSingleFile(
+        orig.filter(col("id") =!= 7), s"$dir/all.npy", "f8")
+    }
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isFile).map(_.getPath.getName).toSeq.sorted
+    assert(after === Seq("all.npy"),
+      s"failed re-run must leave only the prior artifact: $after")
+    assert(NpyIO.read(spark, s"$dir/all.npy").count() === n,
+      "prior output must survive a failed re-run byte-complete")
   }
 
   test("legacy writer sweeps stale .tmp orphans across append waves") {

@@ -6,8 +6,9 @@ import org.apache.spark.sql.SparkSession
 /** Cumulative shuffle-read byte meter for specs that pin a plan's
   * exchange volume (shuffle bytes are deterministic for a fixed input;
   * wall-clock is not). Listener events are delivered asynchronously, so
-  * [[readBytes]] polls until the counter is quiescent — fine for the
-  * coarse (×2-margin) assertions specs make. Always [[close]] in a
+  * [[readBytes]] first drains the listener bus (deterministic barrier —
+  * a quiescence poll could declare victory between two late events and
+  * under-count a leg), then reads the counter. Always [[close]] in a
   * `finally` so a failing spec doesn't leak listeners into later suites. */
 final class ShuffleProbe(spark: SparkSession) {
   private val read = new java.util.concurrent.atomic.AtomicLong
@@ -21,14 +22,9 @@ final class ShuffleProbe(spark: SparkSession) {
 
   /** Cumulative shuffle-read bytes observed since construction. */
   def readBytes(): Long = {
-    var prev = -1L
-    var cur = read.get()
-    while (cur != prev) {
-      Thread.sleep(150)
-      prev = cur
-      cur = read.get()
-    }
-    cur
+    org.apache.spark.graft.ListenerBusGate.waitUntilEmpty(
+      spark.sparkContext, 30000L)
+    read.get()
   }
 
   def close(): Unit = spark.sparkContext.removeSparkListener(listener)

@@ -317,4 +317,53 @@ class StreamingShardsSpec extends SparkSpec {
           "fvecs"), ckpt2)(() => ())
     }
   }
+
+  test("manifest dedup canonicalizes path spellings: double/trailing " +
+      "slashes and dot segments of one shard decode once") {
+    val s = spark
+    import s.implicits._
+    val dataDir = freshDir("mani_canon_data")
+    val maniDir = freshDir("mani_canon")
+    val ckpt = freshDir("mani_canon_ckpt")
+    val df = (0L until 8L).map(i => (i, Seq(i.toDouble))).toDF("id", "vec")
+    NpyIO.write(df.coalesce(1), dataDir, "f8", idShardNames = true)
+    val path = shardPaths(dataDir, "npy").head
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    // four spellings of the SAME shard — a literal-string dedup would
+    // decode it four times and quadruple the rows
+    val spellings = Seq(
+      path,
+      path.replace(s"/$name", s"//$name"),
+      path.replace(s"/$name", s"/./$name"),
+      s"$dataDir/../${dataDir.substring(dataDir.lastIndexOf('/') + 1)}/$name")
+    val got = collectStream(
+      StreamingShards.npyShardsFromManifestsWithIds(spark, maniDir), ckpt)(
+      () => writeManifest(maniDir, "m0.txt", spellings.take(2)),
+      () => writeManifest(maniDir, "m1.txt", spellings.drop(2)))
+    assert(got.size === 8, "equivalent spellings must dedupe to one decode")
+    assert(got.map(_._1).sorted === (0L until 8L))
+  }
+
+  test("dedupTtl bounds manifest dedup state while still dropping a " +
+      "prompt replay (the append-wave contract)") {
+    val s = spark
+    import s.implicits._
+    val dataDir = freshDir("mani_ttl_data")
+    val maniDir = freshDir("mani_ttl")
+    val ckpt = freshDir("mani_ttl_ckpt")
+    val df = (0L until 6L).map(i => (i, Seq(i.toDouble))).toDF("id", "vec")
+    NpyIO.write(df.coalesce(1), dataDir, "f8", idShardNames = true)
+    val paths = shardPaths(dataDir, "npy")
+    // a replay well inside the TTL window dedupes exactly like the
+    // unbounded path; state for shards older than the watermark is
+    // dropped by the engine (dropDuplicatesWithinWatermark) — the
+    // bounded-state contract for long-lived streams
+    val got = collectStream(
+      StreamingShards.npyShardsFromManifestsWithIds(spark, maniDir,
+        dedupTtl = Some("1 hour")), ckpt)(
+      () => writeManifest(maniDir, "m0.txt", paths),
+      () => writeManifest(maniDir, "m1.txt", paths)) // prompt replay
+    assert(got.size === 6, "a replay inside the TTL must not decode twice")
+    assert(got.map(_._1).sorted === (0L until 6L))
+  }
 }
