@@ -41,6 +41,29 @@ object Bridge {
   def drainListeners(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
 
+  /** Resolve a boolean condition against a bare attribute list with the
+    * session's FULL analyzer (type coercion, implicit casts, function
+    * resolution — a hand-rolled attribute substitution would silently
+    * skip coercion and mis-eval e.g. `col("id") % 2 === 0` on a LONG id),
+    * then bind it to ordinal references so executors can eval it on
+    * InternalRows without a session. Used by the stored-serve keep
+    * predicate (`sessionState` is `private[sql]`, hence this shim). */
+  def resolveBoundPredicate(spark: org.apache.spark.sql.SparkSession,
+      cond: Expression,
+      attrs: Seq[org.apache.spark.sql.catalyst.expressions.AttributeReference])
+      : Expression = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val analyzed = cs.sessionState.analyzer.execute(
+      Filter(cond, LocalRelation(attrs)))
+    cs.sessionState.analyzer.checkAnalysis(analyzed)
+    val resolved = analyzed.collectFirst { case f: Filter => f.condition }
+      .getOrElse(sys.error(s"predicate $cond did not analyze to a Filter"))
+    org.apache.spark.sql.catalyst.expressions.BindReferences
+      .bindReference(resolved, attrs.map(a =>
+        a: org.apache.spark.sql.catalyst.expressions.Attribute))
+  }
+
   /** Register a Catalyst expression as a SQL function on a live session —
     * `sessionState` is `private[sql]`, hence this shim's package. */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
