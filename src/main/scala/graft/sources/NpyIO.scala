@@ -429,8 +429,26 @@ object NpyIO {
     val tmp = new Path(out.getParent, out.getName + ".tmp")
     val os = fs.create(tmp, true)
     try body(os) finally os.close()
-    fs.delete(out, false) // replace semantics (rename fails onto existing)
-    require(fs.rename(tmp, out), s"rename $tmp -> $out failed")
+    // replace semantics: prefer the single-step overwrite rename
+    // (FileContext.rename with Options.Rename.OVERWRITE — atomic on
+    // HDFS/posix), so a crash mid-replace can never leave NEITHER the
+    // old nor the new artifact. Filesystems without an AbstractFileSystem
+    // binding (no FileContext) fall back to delete+rename, which has a
+    // window where only `.tmp` exists — there, a failed RE-RUN over an
+    // existing output can destroy the prior artifact; the body-failure
+    // contract (pre-existing output intact) holds on both paths.
+    try {
+      // qualify so getFileContext sees a concrete scheme even when the
+      // caller passed a bare "/path" (scheme-less URIs are rejected)
+      val qOut = fs.makeQualified(out)
+      org.apache.hadoop.fs.FileContext.getFileContext(qOut.toUri, conf)
+        .rename(fs.makeQualified(tmp), qOut,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(out, false)
+        require(fs.rename(tmp, out), s"rename $tmp -> $out failed")
+    }
   }
 
   /** Best-effort sweep of stale `*.tmp` orphans that a failed or

@@ -118,25 +118,33 @@ object StreamingShards {
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l =>
         val p = new org.apache.hadoop.fs.Path(l)
-        val q = p.getFileSystem(conf.value).makeQualified(p).toUri
+        val q = p.getFileSystem(conf.value).makeQualified(p)
+        val u = q.toUri
         // Path normalizes dot segments and duplicate slashes;
         // makeQualified adds the default scheme — but leaves a
         // null-vs-empty authority split ("file:/x" vs "file:///x"
-        // depending on whether the line carried a scheme), so the
-        // canonical string rebuilds with the authority pinned
-        new java.net.URI(q.getScheme,
-          Option(q.getAuthority).getOrElse(""), q.getPath, null, null)
+        // depending on whether the line carried a scheme), so the DEDUP
+        // KEY rebuilds with the authority pinned. The key is ONLY a
+        // key: URI's multi-arg constructor percent-encodes spaces/%/
+        // non-ASCII, and new Path(encodedStr) would NOT decode them —
+        // so the shard is OPENED via Path.toString, which round-trips
+        // through new Path un-encoded.
+        val key = new java.net.URI(u.getScheme,
+          Option(u.getAuthority).getOrElse(""), u.getPath, null, null)
           .toString
+        (key, q.toString)
       }
+      .toDF("key", "path")
     val deduped = dedupTtl match {
-      case None => canon.dropDuplicates("value")
+      case None => canon.dropDuplicates("key")
       case Some(ttl) =>
         canon.withColumn("seen_at", current_timestamp())
           .withWatermark("seen_at", ttl)
-          .dropDuplicatesWithinWatermark("value")
+          .dropDuplicatesWithinWatermark("key")
           .drop("seen_at")
     }
     deduped
+      .select("path")
       .as[String]
       .flatMap { pathStr =>
         val p = new org.apache.hadoop.fs.Path(pathStr)

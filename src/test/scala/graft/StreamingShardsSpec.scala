@@ -344,6 +344,31 @@ class StreamingShardsSpec extends SparkSpec {
     assert(got.map(_._1).sorted === (0L until 8L))
   }
 
+  test("manifest shard paths with URI-special characters (space, %) " +
+      "open correctly AND still dedup across spellings") {
+    val s = spark
+    import s.implicits._
+    // the canonical dedup key percent-encodes specials (space → %20,
+    // % → %25); opening the shard must NOT go through that encoded
+    // string, or this decode fails with file-not-found
+    val dataDir = freshDir("mani uri%25 data")
+    val maniDir = freshDir("mani_uri_mani")
+    val ckpt = freshDir("mani_uri_ckpt")
+    val df = (0L until 7L).map(i => (i, Seq(i.toDouble))).toDF("id", "vec")
+    NpyIO.write(df.coalesce(1), dataDir, "f8", idShardNames = true)
+    val path = shardPaths(dataDir, "npy").head
+    assert(path.contains(" ") && path.contains("%"),
+      s"fixture must exercise URI-special characters, got $path")
+    val got = collectStream(
+      StreamingShards.npyShardsFromManifestsWithIds(spark, maniDir), ckpt)(
+      () => writeManifest(maniDir, "m0.txt", Seq(path)),
+      // a dot-segment respelling of the same shard must still dedup
+      () => writeManifest(maniDir, "m1.txt", Seq(path.replace(
+        "/mani uri%25 data/", "/./mani uri%25 data/"))))
+    assert(got.size === 7, "special-char shard must decode exactly once")
+    assert(got.map(_._1).sorted === (0L until 7L))
+  }
+
   test("dedupTtl bounds manifest dedup state while still dropping a " +
       "prompt replay (the append-wave contract)") {
     val s = spark
