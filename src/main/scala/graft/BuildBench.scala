@@ -24,11 +24,19 @@ object BuildBench {
     val vecsF = Array.fill(n)(Array.fill(dims)(rnd.nextFloat() * 2f - 1f))
     val vecs = vecsF.map(_.map(_.toDouble))
     val f32 = sys.env.get("SPARK_GRAFT_BUILD_F32").exists(_.nonEmpty)
+    // f16 mode: HalfStore residency (values re-quantized through binary16,
+    // so this measures the half build's own wall — the decode-once prune
+    // lever — not cross-residency bit-identity, which HalfKnnSpec pins)
+    val f16 = sys.env.get("SPARK_GRAFT_BUILD_F16").exists(_.nonEmpty)
+    val vecsH: Array[Array[Short]] =
+      if (f16) vecsF.map(_.map(graft.functions.Binary16.floatToHalf))
+      else null
     val params = BuildParams(maxDegree = 32, buildWindow = 64, alpha = 1.2,
       pruneTo = 28, batchSize = batchSize)
     for (m <- Seq(Metric.L2, Metric.simd(Metric.L2))) {
       def store(take: Int): VamanaKernel.VecStore =
-        if (f32) new VamanaKernel.FloatStore(vecsF.take(take))
+        if (f16) new VamanaKernel.HalfStore(vecsH.take(take), bf16 = false)
+        else if (f32) new VamanaKernel.FloatStore(vecsF.take(take))
         else new VamanaKernel.DoubleStore(vecs.take(take))
       // one untimed warmup at n/4 so JIT state matches a long-running task
       VamanaKernel.build(store(n / 4), params, m, null)
@@ -39,7 +47,7 @@ object BuildBench {
       val deg = adj.iterator.map(_.length.toLong).sum.toDouble / n
       println(f"""{"experiment":"build_bench","n":$n,"dims":$dims,""" +
         f""""batch":$batchSize,"batch_effective":${stats.batchWidth.get},""" +
-        f""""f32":$f32,""" +
+        f""""f32":$f32,"f16":$f16,""" +
         f""""metric":"${m.name}","wall_sec":$wall%.3f,""" +
         f""""search_sec":${stats.search.sum / 1e9}%.3f,""" +
         f""""greedy_cpu_sec":${stats.greedyCpu.sum / 1e9}%.3f,""" +

@@ -148,8 +148,10 @@ object Scale10M {
     meter.delta()
     val vParams = BuildParams(maxDegree = 32, buildWindow = 64,
       alpha = 1.2, pruneTo = 28)
+    val bStats = Vamana.newBuildStats(spark)
     val (graph, tBuild) = time {
-      val g = Vamana.buildSharded(split, vParams, simdL2).cache()
+      val g = Vamana.buildSharded(split, vParams, simdL2,
+        Some(bStats)).cache()
       g.count(); g
     }
     val (shufRb, shufWb) = meter.delta()
@@ -177,7 +179,8 @@ object Scale10M {
       s""""build_shuffle_read_bytes":$shufRb,""" +
       s""""route_train_sec":$tRoute,"search_sec":$tSearch,""" +
       s""""search_shuffle_read_bytes":$shufRs,""" +
-      s""""search_shuffle_write_bytes":$shufWs,"recall":$recall}""")
+      s""""search_shuffle_write_bytes":$shufWs,"recall":$recall,""" +
+      bStats.jsonFields + "}")
     // ---- 2b. STORED-layout routed serving -------------------------------
     // the round-9 caveat closed: the in-memory scattered-probe co-group
     // above moves corpus bytes; the persisted layout partition-prunes —
@@ -315,6 +318,37 @@ object Scale10M {
       duBytes(s"$storedPath/codes/cluster_id=$c") +
         duBytes(s"$storedPath/graph/cluster_id=$c")
     }.sum
+    // serve() auto-dispatch (round-12 task #1): the single entry point
+    // must route the 5-query selective batch to the local path and the
+    // saturating 100-query sweep to the cogroup path, each matching the
+    // best manual choice's wall within noise (rows are spec-pinned
+    // bit-identical, so only the decision + wall are measured here)
+    val (dec5, frac5) = graft.operators.GraphLayout.serveDecision(layout,
+      queries5, nProbes = 8, simdL2, l1Probes = l1Probes)
+    meter.delta()
+    val (_, tAuto5) = time {
+      graft.operators.GraphLayout.serve(layout, queries5, k,
+          searchWindow = 64, nProbes = 8, simdL2, l1Probes = l1Probes)
+        .select("query_id", "neighbor_id").count()
+    }
+    val (shufRau5, shufWau5) = meter.delta()
+    val (dec100, frac100) = graft.operators.GraphLayout.serveDecision(
+      layout, queries, nProbes = 8, simdL2, l1Probes = l1Probes)
+    val (_, tAuto100) = time {
+      graft.operators.GraphLayout.serve(layout, queries, k,
+          searchWindow = 64, nProbes = 8, simdL2, l1Probes = l1Probes)
+        .select("query_id", "neighbor_id").count()
+    }
+    val (shufRau1, shufWau1) = meter.delta()
+    println(s"""{"experiment":"scale10m_serve_auto","n":$n,""" +
+      s""""decision5":"$dec5","fraction5":$frac5,""" +
+      s""""auto5_sec":$tAuto5,""" +
+      s""""auto5_shuffle_read_bytes":$shufRau5,""" +
+      s""""auto5_shuffle_write_bytes":$shufWau5,""" +
+      s""""decision100":"$dec100","fraction100":$frac100,""" +
+      s""""auto100_sec":$tAuto100,""" +
+      s""""auto100_shuffle_read_bytes":$shufRau1,""" +
+      s""""auto100_shuffle_write_bytes":$shufWau1}""")
     println(s"""{"experiment":"scale10m_stored_adc","n":$n,""" +
       s""""codes_bytes":$codesBytes,""" +
       s""""probed_codes_graph_bytes":$probedAdcBytes,""" +

@@ -1051,6 +1051,20 @@ object SparkEntry {
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 
+  /** q182: filtered × compressed × LOCAL serving — q157's traverse-but-
+    * filter PQ-ADC walk through `searchAdcLocal`'s zero-corpus-shuffle
+    * path: the keep predicate is analyzer-resolved and bound against the
+    * codes FILE schema (Bridge.resolveBoundPredicate) and evaluated per
+    * decoded row inside the per-shard walk task. Full window ⇒ exact
+    * ADC-over-kept — q157's oracle verbatim. */
+  private def pqWalkFilteredLocalQ(s: SparkSession, dir: String)
+      : DataFrame =
+    graft.operators.GraphLayout.searchAdcLocal(storedGraphLayout(s, dir),
+        embQueries(s, dir), K, searchWindow = 1 << 14,
+        nProbes = VamanaProbes, keep = col("id") % 3 =!= 1)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+
   /** q152: incremental maintenance of the PERSISTED graph index — q51's
     * add/delete batch applied to a fresh store via `GraphLayout.upsert`:
     * touched shards rebuilt and ONLY their `cluster_id=` partitions
@@ -1836,6 +1850,37 @@ object SparkEntry {
               .cast("array<double>").as("vec"),
             col("label").cast("long").as("cluster_id")),
           graft.functions.HalfVecs.F16).cache()
+        val cents = labelCentroidsOf(
+          graft.functions.HalfVecs.widenedForMath(clH))
+        val g = Vamana.buildSharded(clH, VamanaParams, Metric.L2)
+        graft.operators.GraphLayout.write(clH, g, cents, path)
+        graft.operators.GraphLayout.open(s, path)
+      }
+    graft.operators.GraphLayout.search(layout, embQueries(s, dir), K,
+        searchWindow = 1 << 14, nProbes = VamanaProbes, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** q183: the stored BF16 graph layout END-TO-END — q177's lifecycle
+    * with the bfloat16 codec: i8-quantized embeddings (integers |v| ≤
+    * 127·scale, exactly bf16-representable — 7 mantissa bits + implicit
+    * one cover integers to 256) encode bf16-resident, build the sharded
+    * Vamana graph over the bf16 store, persist (bf16 data on disk + the
+    * half_format sidecar), reopen, and serve the exhaustive-window
+    * probe-and-walk — the bf16 truncation of these integers is exact, so
+    * q177's i8 oracle certifies the whole stored-bf16 lifecycle. */
+  private def vamanaStoredBf16Q(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_q183_graph_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val layout =
+      memoized[graft.operators.GraphLayout.Layout]("graph_layout_bf16",
+        dir) {
+        val clH = graft.functions.HalfVecs.toHalf(
+          embVectors(s, dir).select(col("id"),
+            graft.functions.ByteVecs.quantizeSigned(col("vec"), ByteScale)
+              .cast("array<double>").as("vec"),
+            col("label").cast("long").as("cluster_id")),
+          graft.functions.HalfVecs.BF16).cache()
         val cents = labelCentroidsOf(
           graft.functions.HalfVecs.widenedForMath(clH))
         val g = Vamana.buildSharded(clH, VamanaParams, Metric.L2)
@@ -3099,6 +3144,8 @@ object SparkEntry {
     "q179_npy_manifest_stream" -> (npyManifestStreamQ _),
     "q180_vamana_stored_local" -> (vamanaStoredLocalQ _),
     "q181_pq_walk_stored_local" -> (pqWalkStoredLocalQ _),
+    "q182_pq_walk_filtered_local" -> (pqWalkFilteredLocalQ _),
+    "q183_bf16_vamana_stored" -> (vamanaStoredBf16Q _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3499,5 +3546,17 @@ object SparkEntry {
     // q148/q151's oracle certifies the zero-shuffle DiskANN path too.
     "q181_pq_walk_stored_local" ->
       OracleGen.pqWalkRerank(PqM, PqK, K, VamanaProbes, PqWalkReorder),
+    // q182: filtered compressed serving through the LOCAL path — the
+    // keep predicate binds against the codes file schema and the walk
+    // ≡ searchShardedAdc(keep) (GraphLayoutSpec), so q157's filtered
+    // ADC oracle certifies it verbatim.
+    "q182_pq_walk_filtered_local" ->
+      OracleGen.pqWalk(PqM, PqK, K, VamanaProbes, "(codes.id % 3) <> 1"),
+    // q183: the stored bf16 lifecycle — i8-quantized integers are
+    // exactly bf16-representable (7+1 mantissa bits cover |v| ≤ 256),
+    // so the walk's widened floats equal the i8 values and q177's
+    // oracle applies unchanged.
+    "q183_bf16_vamana_stored" ->
+      OracleGen.vamanaShardedKnnI8(K, VamanaProbes, ByteScale),
   )
 }

@@ -290,16 +290,20 @@ object GraphLayout {
   /** DiskANN serving from the stored layout: codes-only walk (reads
     * `codes` + `graph` partitions of the probed shards, never `data`),
     * optional exact rerank reading only the candidate rows of `data`.
-    * kReorder = 0 skips the rerank (pure ADC ranks). */
+    * kReorder = 0 skips the rerank (pure ADC ranks). `keep` is the
+    * traverse-but-filter predicate over the codes columns (practically
+    * `id` — the tombstone shape): excluded rows keep the graph connected
+    * through them but are never emitted or reranked. */
   def searchAdc(layout: Layout, queries: DataFrame, k: Int,
                 searchWindow: Int, nProbes: Int, kReorder: Int = 0,
-                metric: Metric = Metric.L2): DataFrame = {
+                metric: Metric = Metric.L2,
+                keep: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val codes = layout.codes.getOrElse(
       sys.error("layout has no PQ codes — write(pq = Some(...)) first"))
     val p = layout.pq.get
     if (kReorder <= 0)
       Vamana.searchShardedAdc(queries, codes, layout.graph, layout.centroids,
-        p, k, searchWindow, nProbes, metric)
+        p, k, searchWindow, nProbes, metric, keep)
     else {
       // walk on a subspace-decomposable metric, rerank on the requested
       // one — this is how cosine serves from the stored layout (the walk
@@ -308,7 +312,7 @@ object GraphLayout {
         if (metric == Metric.L2 || metric == Metric.IP) metric else Metric.L2
       Vamana.searchShardedAdcRerank(queries, codes, layout.graph,
         layout.centroids, p, layout.clustered, k, kReorder, searchWindow,
-        nProbes, walkMetric = walkM, rerankMetric = metric)
+        nProbes, walkMetric = walkM, rerankMetric = metric, keep = keep)
     }
   }
 
@@ -341,10 +345,14 @@ object GraphLayout {
     * PqStore walk task — bit-identical candidates, I/O = the probed CODE
     * partitions (never `data` during the walk), exchange = top-k
     * partials only. `kReorder > 0` reranks exactly like [[searchAdc]]:
-    * the rerank join touches only the |Q|·kReorder·k candidate rows. */
+    * the rerank join touches only the |Q|·kReorder·k candidate rows.
+    * `keep` = [[searchAdc]]'s traverse-but-filter predicate, evaluated
+    * against the codes FILE columns (`id`, `c0`..) on the local path. */
   def searchAdcLocal(layout: Layout, queries: DataFrame, k: Int,
                      searchWindow: Int, nProbes: Int, kReorder: Int = 0,
-                     metric: Metric = Metric.L2): DataFrame = {
+                     metric: Metric = Metric.L2,
+                     keep: org.apache.spark.sql.Column = lit(true))
+      : DataFrame = {
     val path = layout.path.getOrElse(sys.error(
       "searchAdcLocal serves straight off the stored partition dirs — " +
         "open the layout from disk (GraphLayout.open) first"))
@@ -354,14 +362,111 @@ object GraphLayout {
     if (kReorder <= 0)
       Vamana.searchStoredAdc(queries, s"$path/codes", s"$path/graph",
         codes.schema, layout.graph.schema, layout.centroids, p, k,
-        searchWindow, nProbes, metric)
+        searchWindow, nProbes, metric, keep)
     else {
       val walkM =
         if (metric == Metric.L2 || metric == Metric.IP) metric else Metric.L2
       val cand = Vamana.searchStoredAdc(queries, s"$path/codes",
         s"$path/graph", codes.schema, layout.graph.schema,
-        layout.centroids, p, kReorder * k, searchWindow, nProbes, walkM)
+        layout.centroids, p, kReorder * k, searchWindow, nProbes, walkM,
+        keep)
       Rerank.exact(cand, queries, layout.clustered, k, metric)
+    }
+  }
+
+  /** [[serve]]'s dispatch override: Auto picks by probe-union fraction;
+    * Local / Cogroup force a path (the measured escape hatch). */
+  sealed trait ServeMode
+  object ServeMode {
+    case object Auto extends ServeMode
+    case object Local extends ServeMode
+    case object Cogroup extends ServeMode
+  }
+
+  /** The dispatch [[serve]] will take for this batch, without running
+    * it: ("local" | "cogroup", probe-union fraction). Exposed so specs
+    * and capacity planning can pin the decision itself, not just the
+    * (bit-identical) rows. Routing is the same kernel the search paths
+    * use, so the fraction is exactly the store fraction the chosen path
+    * will read. */
+  def serveDecision(layout: Layout, queries: DataFrame, nProbes: Int,
+                    metric: Metric, l1Probes: Int = 0,
+                    localMaxFraction: Double = 0.5): (String, Double) = {
+    val routed = layout.routing.isDefined && l1Probes > 0
+    val probed =
+      if (routed) {
+        val (l1, groupOf) = layout.routing.get
+        Vamana.probedShardsHierarchical(queries, layout.centroids, l1,
+          groupOf, l1Probes, nProbes, metric)
+      } else Vamana.probedShards(queries, layout.centroids, nProbes, metric)
+    val fraction = probed.size.toDouble / layout.centroids.size
+    // the local path needs the partition dirs on disk; an in-memory
+    // layout (no path) can only cogroup
+    val mode =
+      if (fraction <= localMaxFraction && layout.path.isDefined) "local"
+      else "cogroup"
+    (mode, fraction)
+  }
+
+  /** ONE serving entry point — the reference posture of a single
+    * type-erased `search()` (orchestrators/manager.h:217) applied to the
+    * stored layout's two execution regimes:
+    *
+    *   - SELECTIVE batches (probe union a small fraction of the store):
+    *     the zero-corpus-shuffle local walk ([[searchRoutedLocal]] /
+    *     [[searchLocal]]) — I/O = probed dirs, exchange = top-k partials
+    *     only (at 10M rows: 176 KB vs 4.68 GB on the cogroup path).
+    *   - SATURATING sweeps (probe union most of the store): the cogroup
+    *     walk ([[searchRouted]] / [[search]]), whose multi-task shards
+    *     finish a store-wide sweep faster (~1.4× at 10M) at the cost of
+    *     corpus-row exchanges.
+    *
+    * Auto mode computes the probe-union fraction from the same routing
+    * kernel the search itself uses (milliseconds, driver-side, queries
+    * are broadcast-small by the serving contract) and dispatches at
+    * `localMaxFraction`; both paths return bit-identical rows
+    * (HierRoutingSpec/GraphLayoutSpec), so the dispatch is a pure
+    * cost decision — the wrong MANUAL choice costs 26,000× shuffle or
+    * ~1.4× wall (SCALE.md), which is why this entry point exists.
+    *
+    * Routed when the layout has a persisted level-1 AND `l1Probes > 0`;
+    * flat otherwise. `keep` is the traverse-but-filter predicate over
+    * the data columns, honored on every path. `mode` forces a path
+    * (Local requires a disk-opened layout). */
+  def serve(layout: Layout, queries: DataFrame, k: Int, searchWindow: Int,
+            nProbes: Int, metric: Metric, l1Probes: Int = 0,
+            keep: org.apache.spark.sql.Column = lit(true),
+            mode: ServeMode = ServeMode.Auto,
+            localMaxFraction: Double = 0.5): DataFrame = {
+    val routed = layout.routing.isDefined && l1Probes > 0
+    val chosen = mode match {
+      case ServeMode.Local   => "local"
+      case ServeMode.Cogroup => "cogroup"
+      case ServeMode.Auto    =>
+        serveDecision(layout, queries, nProbes, metric, l1Probes,
+          localMaxFraction)._1
+    }
+    (chosen, routed) match {
+      case ("local", true) =>
+        searchRoutedLocal(layout, queries, k, searchWindow, l1Probes,
+          nProbes, metric, keep)
+      case ("local", false) =>
+        searchLocal(layout, queries, k, searchWindow, nProbes, metric, keep)
+      case ("cogroup", true) =>
+        val (l1, groupOf) = layout.routing.get
+        layout.routingMetricName.foreach { rm =>
+          require(metric.name.stripSuffix("_simd") == rm,
+            s"layout routing level was trained for metric '$rm' but " +
+              s"serve got '${metric.name}' — rewrite the layout with " +
+              s"routingMetric = ${metric.name} or serve with '$rm'")
+        }
+        Vamana.searchShardedHierarchical(queries, layout.clustered,
+          layout.graph, layout.centroids, l1, groupOf, k, searchWindow,
+          l1Probes, nProbes, metric, keep = keep)
+      case _ =>
+        Vamana.searchShardedFiltered(queries, layout.clustered,
+          layout.graph, layout.centroids, k, searchWindow, nProbes,
+          metric, keep)
     }
   }
 

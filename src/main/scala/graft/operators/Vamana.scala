@@ -36,7 +36,40 @@ object Vamana {
     * fold, so the graph is bit-identical to casting the source to
     * `ARRAY<DOUBLE>` first (F32BuildSpec asserts this; the reference makes
     * the same float32-native choice, core/data/simple.h). */
-  def buildSharded(clustered: DataFrame, params: BuildParams, metric: Metric)
+  /** Spark-accumulator twin of [[VamanaKernel.BuildStats]] for the
+    * SHARDED build: per-phase nanos and distance-call counts summed
+    * across every shard task — the 10M/10⁸-scale attribution SCALE.md
+    * reports (task-CPU sums, so phase seconds ≫ wall at 32-way
+    * parallelism; fractions are the signal). */
+  final case class ShardedBuildStats(
+      search: org.apache.spark.util.LongAccumulator,
+      greedyCpu: org.apache.spark.util.LongAccumulator,
+      pruneCpu: org.apache.spark.util.LongAccumulator,
+      applyNs: org.apache.spark.util.LongAccumulator,
+      overflow: org.apache.spark.util.LongAccumulator,
+      distCalls: org.apache.spark.util.LongAccumulator) {
+    def jsonFields: String =
+      s""""build_search_task_sec":${search.value / 1e9},""" +
+        s""""build_greedy_cpu_sec":${greedyCpu.value / 1e9},""" +
+        s""""build_prune_cpu_sec":${pruneCpu.value / 1e9},""" +
+        s""""build_apply_task_sec":${applyNs.value / 1e9},""" +
+        s""""build_overflow_task_sec":${overflow.value / 1e9},""" +
+        s""""build_dist_calls":${distCalls.value}"""
+  }
+
+  def newBuildStats(spark: org.apache.spark.sql.SparkSession)
+      : ShardedBuildStats = {
+    val sc = spark.sparkContext
+    ShardedBuildStats(sc.longAccumulator("vamana.build.search"),
+      sc.longAccumulator("vamana.build.greedyCpu"),
+      sc.longAccumulator("vamana.build.pruneCpu"),
+      sc.longAccumulator("vamana.build.apply"),
+      sc.longAccumulator("vamana.build.overflow"),
+      sc.longAccumulator("vamana.build.distCalls"))
+  }
+
+  def buildSharded(clustered: DataFrame, params: BuildParams, metric: Metric,
+                   stats: Option[ShardedBuildStats] = None)
       : DataFrame = {
     val spark = clustered.sparkSession
     import spark.implicits._
@@ -70,7 +103,7 @@ object Vamana {
             val rows = it.toArray.sortBy(_._2)
             emitGraph(cid, rows.map(_._2),
               new VamanaKernel.ByteStore(rows.map(_._3.toArray), unsigned),
-              params, metric)
+              params, metric, stats)
           }
       else if (isHalf)
         // f16/bf16 sources build half-resident (HalfStore): 1/4 the task
@@ -84,7 +117,7 @@ object Vamana {
             val rows = it.toArray.sortBy(_._2)
             emitGraph(cid, rows.map(_._2),
               new VamanaKernel.HalfStore(rows.map(_._3.toArray), bf16),
-              params, metric)
+              params, metric, stats)
           }
       else if (isFloat)
         clustered
@@ -95,7 +128,8 @@ object Vamana {
           .flatMapGroups { (cid, it) =>
             val rows = it.toArray.sortBy(_._2)
             emitGraph(cid, rows.map(_._2),
-              new VamanaKernel.FloatStore(rows.map(_._3)), params, metric)
+              new VamanaKernel.FloatStore(rows.map(_._3)), params, metric,
+              stats)
           }
       else
         clustered
@@ -107,16 +141,25 @@ object Vamana {
             // deterministic slot order: ascending external id
             val rows = it.toArray.sortBy(_._2)
             emitGraph(cid, rows.map(_._2),
-              new VamanaKernel.DoubleStore(rows.map(_._3)), params, metric)
+              new VamanaKernel.DoubleStore(rows.map(_._3)), params, metric,
+              stats)
           }
     built.toDF("cluster_id", "id", "entry_id", "neighbors")
   }
 
   private def emitGraph(cid: Long, ids: Array[Long],
                         store: VamanaKernel.VecStore, params: BuildParams,
-                        metric: Metric)
+                        metric: Metric,
+                        stats: Option[ShardedBuildStats])
       : Iterator[(Long, Long, Long, Array[Long])] = {
-    val (adj, entry) = VamanaKernel.build(store, params, metric, null)
+    val local = if (stats.isDefined) new VamanaKernel.BuildStats else null
+    val (adj, entry) = VamanaKernel.build(store, params, metric, local)
+    stats.foreach { s =>
+      s.search.add(local.search.sum); s.greedyCpu.add(local.greedyCpu.sum)
+      s.pruneCpu.add(local.pruneCpu.sum); s.applyNs.add(local.apply.sum)
+      s.overflow.add(local.overflow.sum)
+      s.distCalls.add(local.distCalls.sum)
+    }
     val entryId = ids(entry)
     ids.indices.iterator.map { i =>
       (cid, ids(i), entryId, adj(i).map(ids(_)))
@@ -234,15 +277,37 @@ object Vamana {
                                 groupOf: Map[Long, Long], k: Int,
                                 searchWindow: Int, l1Probes: Int,
                                 nProbes: Int, metric: Metric,
-                                searchCapacity: Int = 0): DataFrame = {
+                                searchCapacity: Int = 0,
+                                keep: org.apache.spark.sql.Column = lit(true))
+      : DataFrame = {
     val pm = probeMapWith(queries, centroids, metric) { (qRows, cents) =>
       BatchScore.probeTopKHierarchical(qRows, cents,
         l1.sortBy(_._1).map { case (i, v) => (i, v.toArray) }.toIndexedSeq,
         groupOf, l1Probes, nProbes, metric)
     }
     searchShardedImpl(queries, clustered, graph, centroids, k, searchWindow,
-      nProbes, metric, searchCapacity, lit(true), Some(pm))
+      nProbes, metric, searchCapacity, keep, Some(pm))
   }
+
+  /** The DISTINCT shards a query batch will probe under flat routing —
+    * the [[graft.operators.GraphLayout.serve]] dispatch planning input
+    * (same routing kernel as the search paths, so the fraction it
+    * implies is exactly the fraction the chosen path will read). */
+  def probedShards(queries: DataFrame, centroids: Seq[(Long, Seq[Double])],
+                   nProbes: Int, metric: Metric): Set[Long] =
+    probeMap(queries, centroids, nProbes, metric).keySet
+
+  /** [[probedShards]] under the persisted two-level routing. */
+  def probedShardsHierarchical(queries: DataFrame,
+                               centroids: Seq[(Long, Seq[Double])],
+                               l1: Seq[(Long, Seq[Double])],
+                               groupOf: Map[Long, Long], l1Probes: Int,
+                               nProbes: Int, metric: Metric): Set[Long] =
+    probeMapWith(queries, centroids, metric) { (qRows, cents) =>
+      BatchScore.probeTopKHierarchical(qRows, cents,
+        l1.sortBy(_._1).map { case (i, v) => (i, v.toArray) }.toIndexedSeq,
+        groupOf, l1Probes, nProbes, metric)
+    }.keySet
 
   /** [[searchShardedHierarchical]] served straight off a PERSISTED
     * sharded layout with ZERO corpus shuffle — the 100 TB serving shape
@@ -251,17 +316,18 @@ object Vamana {
     * include/svs/index/ivf/index.h:299-332 cluster pruning).
     *
     * The stored layout keeps `data/cluster_id=c/` and `graph/cluster_id=c/`
-    * as sibling partition dirs, so for each PROBED shard both sides load
-    * as single-partition scans and `zipPartitions` (a narrow dependency)
-    * hands them to the same per-shard merge + walk kernel the cogroup
-    * path uses — results are bit-identical to [[searchShardedHierarchical]]
+    * as sibling partition dirs, so for each PROBED shard one task reads
+    * both sides straight off the shard's parquet files (no scan plan per
+    * shard — see [[zipServe]]) and hands them to the same per-shard
+    * merge + walk kernel the cogroup path uses — results are
+    * bit-identical to [[searchShardedHierarchical]]
     * over the reopened frames, but corpus rows never enter a shuffle: the
     * only exchange is the |Q|·nProbes·k partials of the final top-k.
     * I/O is the probed dirs' bytes (partition pruning by construction),
-    * parallelism is one task per probed shard. Driver cost is two scan
-    * plans per probed shard, so this is the path for the SELECTIVE probe
-    * regime (serving batches); a store-saturating sweep does equally well
-    * on the cogroup path.
+    * parallelism is one task per probed shard. Planning is O(1) in
+    * probed shards (one distributed listing job + one reader per side),
+    * so the path serves BOTH regimes; the cogroup path remains ahead
+    * only when a saturating sweep benefits from multi-task shards.
     *
     * `clusteredSchema`/`graphSchema` come from the reopened layout — the
     * vec element type plus its signedness/half-format marks (restored
@@ -275,49 +341,105 @@ object Vamana {
     * `vec`) — `cluster_id` lives in the directory name, not the files. */
   /** The stored zero-shuffle serve scaffold shared by
     * [[searchStoredHierarchical]] and [[searchStoredAdc]]: for each
-    * probed shard whose `cluster_id=` dirs exist under BOTH paths, the
-    * two sides load as single-partition scans and zip NARROWLY into
-    * `walk`, then the bounded per-query top-k finishes. A shard missing
-    * either dir — or whose scan plans to ZERO partitions (a
-    * present-but-empty dir would otherwise crash zipPartitions on
-    * unequal partition counts) — emits nothing: the inner-join
-    * semantics of the frame path. */
+    * probed shard with data files under BOTH `cluster_id=` dirs, one
+    * task reads the shard's two sides straight off the parquet files and
+    * feeds them to `walk`; the bounded per-query top-k finishes. A shard
+    * missing either dir — or with zero data files — emits nothing: the
+    * inner-join semantics of the frame path.
+    *
+    * Planning is O(1) in probed shards: file enumeration is ONE Spark
+    * job (each task lists its shard's two dirs — the per-shard RPCs run
+    * on executors, in parallel, bounded by Spark's own task machinery
+    * instead of an unbounded driver-side Await), and the parquet readers
+    * are built ONCE driver-side (`Bridge.parquetRowReader` — the same
+    * reader FileSourceScanExec ships) rather than two scan plans per
+    * shard. The former per-shard planning was ~100 ms × shards of
+    * serial driver wall — the serve bottleneck at 10⁴+ probed shards.
+    *
+    * `leftKeep` is the traverse-but-filter predicate, analyzer-resolved
+    * and ordinal-bound against the LEFT side's file schema driver-side
+    * ([[org.apache.spark.sql.graftbridge.Bridge.resolveBoundPredicate]])
+    * and evaluated per file row task-side before decode — rows failing
+    * it reach `walk` flagged keep=false (null counts as false, SQL
+    * filter semantics). */
   private def zipServe(spark: org.apache.spark.sql.SparkSession,
       probed: Seq[Long], leftPath: String, graphPath: String,
-      leftScan: String => DataFrame, graphScan: String => DataFrame,
-      walk: (Long, Iterator[org.apache.spark.sql.Row],
+      leftSchema: org.apache.spark.sql.types.StructType,
+      graphSchema: org.apache.spark.sql.types.StructType,
+      leftKeep: Option[org.apache.spark.sql.Column],
+      walk: (Long, Iterator[(org.apache.spark.sql.Row, Boolean)],
              Iterator[org.apache.spark.sql.Row])
         => Iterator[(Long, Long, Double)],
       k: Int, metric: Metric): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
     import spark.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
-    val lfs = new org.apache.hadoop.fs.Path(leftPath).getFileSystem(conf)
-    val gfs = new org.apache.hadoop.fs.Path(graphPath).getFileSystem(conf)
-    // plan construction runs DRIVER-side per probed shard (existence
-    // probe + two scan plans, each with its own file listing) — serial,
-    // that is ~100 ms × shards and dominates wall at hundreds of probed
-    // shards, so the per-shard planning fans out on the driver;
-    // Future.traverse keeps the deterministic shard order
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val rdds = Await.result(
-      Future.traverse(probed.sorted) { cid => Future {
-        val lDir =
-          new org.apache.hadoop.fs.Path(leftPath, s"cluster_id=$cid")
-        val gDir =
-          new org.apache.hadoop.fs.Path(graphPath, s"cluster_id=$cid")
-        if (!lfs.exists(lDir) || !gfs.exists(gDir)) None
-        else {
-          val l = leftScan(lDir.toString).rdd.coalesce(1)
-          val g = graphScan(gDir.toString).rdd.coalesce(1)
-          if (l.getNumPartitions == 0 || g.getNumPartitions == 0) None
-          else Some(l.zipPartitions(g)((dIt, gIt) => walk(cid, dIt, gIt)))
+    val sc = spark.sparkContext
+    val hconf =
+      new org.apache.spark.util.SerializableConfiguration(
+        sc.hadoopConfiguration)
+    // one distributed listing job: (cid, left files, graph files); data
+    // files only (committer markers like _SUCCESS and hidden names are
+    // not parquet), deterministic per-shard file order
+    val lp = leftPath; val gp = graphPath
+    val shards: Array[(Long, Array[(String, Long, Long)],
+        Array[(String, Long, Long)])] =
+      if (probed.isEmpty) Array.empty
+      else sc.parallelize(probed.sorted,
+          math.max(1, math.min(probed.size, sc.defaultParallelism * 4)))
+        .map { cid =>
+          def files(root: String): Array[(String, Long, Long)] = {
+            val dir = new org.apache.hadoop.fs.Path(root, s"cluster_id=$cid")
+            val fs = dir.getFileSystem(hconf.value)
+            try fs.listStatus(dir).collect {
+              case st if st.isFile &&
+                  !st.getPath.getName.startsWith("_") &&
+                  !st.getPath.getName.startsWith(".") =>
+                (st.getPath.toString, st.getLen, st.getModificationTime)
+            }.sortBy(_._1)
+            catch { case _: java.io.FileNotFoundException => Array.empty }
+          }
+          (cid, files(lp), files(gp))
         }
-      }}, Duration.Inf).flatten
+        .collect()
+        .filter(s => s._2.nonEmpty && s._3.nonEmpty)
+        .sortBy(_._1)
+    val leftReader = Bridge.parquetRowReader(spark, leftSchema)
+    val graphReader = Bridge.parquetRowReader(spark, graphSchema)
+    val leftDec = Bridge.rowDecoder(leftSchema)
+    val graphDec = Bridge.rowDecoder(graphSchema)
+    val keepBound = leftKeep.map { c =>
+      Bridge.resolveBoundPredicate(spark,
+        Bridge.toCatalyst(c.cast("boolean")),
+        leftSchema.map(f =>
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            f.name, f.dataType, f.nullable, f.metadata)()))
+    }
     val partials =
-      (if (rdds.isEmpty) spark.sparkContext.emptyRDD[(Long, Long, Double)]
-       else spark.sparkContext.union(rdds))
+      (if (shards.isEmpty) sc.emptyRDD[(Long, Long, Double)]
+       // one ELEMENT per slice ⇒ one task per probed shard, the exact
+       // parallelism of the former per-shard zipPartitions union
+       else sc.parallelize(shards.toIndexedSeq, shards.length)
+         .flatMap { case (cid, lFiles, gFiles) =>
+           val pred = keepBound.map(Bridge.createPredicate)
+           val lDes = leftDec.createDeserializer()
+           val gDes = graphDec.createDeserializer()
+           def rows(reader: org.apache.spark.sql.execution.datasources
+                 .PartitionedFile => Iterator[
+                   org.apache.spark.sql.catalyst.InternalRow],
+               fs: Array[(String, Long, Long)]) =
+             fs.iterator.flatMap { case (p, len, mod) =>
+               Bridge.flattenToRows(
+                 reader(Bridge.partitionedFile(p, len, mod)))
+             }
+           // eval keep on the raw InternalRow BEFORE decode: batch-backed
+           // rows are reused views, and the decoder's output is a copy
+           val lRows = rows(leftReader, lFiles).map { ir =>
+             val kp = pred.forall(_(ir))
+             (lDes(ir), kp)
+           }
+           val gRows = rows(graphReader, gFiles).map(gDes(_))
+           walk(cid, lRows, gRows)
+         })
         .toDF("query_id", "id", "dist")
     TopK.perKeyViaWindow(partials, Seq("query_id"), col("id"), col("dist"),
       k, metric.ascending)
@@ -363,51 +485,55 @@ object Vamana {
       clusteredSchema, "vec") == graft.functions.HalfVecs.BF16
     val dSub = StructType(clusteredSchema.filterNot(_.name == "cluster_id"))
     val gSub = StructType(graphSchema.filterNot(_.name == "cluster_id"))
-    val vecSel =
-      if (isHalf || isByte || isFloat) col("vec")
-      else col("vec").cast("array<double>")
+    // field lookups + element widening resolved ONCE against the file
+    // schemas (the walk reads raw file rows now; the former per-dir
+    // select's casts are applied here in Scala)
+    val dIdIx = dSub.fieldIndex("id"); val dVecIx = dSub.fieldIndex("vec")
+    val gIdIx = gSub.fieldIndex("id")
+    val gEntryIx = gSub.fieldIndex("entry_id")
+    val gNbrIx = gSub.fieldIndex("neighbors")
+    val vecIsDouble = dSub("vec").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => true
+      case _ => false
+    }
     val m = metric
-    zipServe(spark, pm.keys.toSeq, dataPath, graphPath,
-      dir => spark.read.schema(dSub).parquet(dir)
-        .select(col("id").cast("long"), vecSel.as("vec"),
-          keep.cast("boolean").as("keep")),
-      dir => spark.read.schema(gSub).parquet(dir)
-        .select(col("id").cast("long"), col("entry_id").cast("long"),
-          col("neighbors").cast("array<long>")),
+    zipServe(spark, pm.keys.toSeq, dataPath, graphPath, dSub, gSub,
+      Some(keep),
       (cid, dIt, gIt) => {
           val qs = bc.value.getOrElse(cid,
             Array.empty[(Long, Array[Double])])
           if (qs.isEmpty) Iterator.empty
           else {
-            val g = gIt.map(r => (cid, r.getLong(0), r.getLong(1),
-              r.getSeq[Long](2).toArray))
+            val g = gIt.map(r => (cid, longAt(r, gIdIx),
+              longAt(r, gEntryIx), longArrayAt(r, gNbrIx)))
             if (isHalf) {
-              val rows = dIt.map(r => (r.getLong(0),
-                r.getSeq[Short](1).toArray, r.getBoolean(2)))
+              val rows = dIt.map { case (r, kp) => (longAt(r, dIdIx),
+                r.getSeq[Short](dVecIx).toArray, kp) }
                 .toArray.sortBy(_._1)
               walkMerged(cid, rows.map(x => (x._1, x._3)),
                 idxs => new VamanaKernel.HalfStore(
                   idxs.map(ix => rows(ix)._2), bf16),
                 g, qs, k, searchWindow, searchCapacity, m)
             } else if (isByte) {
-              val rows = dIt.map(r => (r.getLong(0),
-                r.getSeq[Byte](1).toArray, r.getBoolean(2)))
+              val rows = dIt.map { case (r, kp) => (longAt(r, dIdIx),
+                r.getSeq[Byte](dVecIx).toArray, kp) }
                 .toArray.sortBy(_._1)
               walkMerged(cid, rows.map(x => (x._1, x._3)),
                 idxs => new VamanaKernel.ByteStore(
                   idxs.map(ix => rows(ix)._2), unsigned),
                 g, qs, k, searchWindow, searchCapacity, m)
             } else if (isFloat) {
-              val rows = dIt.map(r => (r.getLong(0),
-                r.getSeq[Float](1).toArray, r.getBoolean(2)))
+              val rows = dIt.map { case (r, kp) => (longAt(r, dIdIx),
+                r.getSeq[Float](dVecIx).toArray, kp) }
                 .toArray.sortBy(_._1)
               walkMerged(cid, rows.map(x => (x._1, x._3)),
                 idxs => new VamanaKernel.FloatStore(
                   idxs.map(ix => rows(ix)._2)),
                 g, qs, k, searchWindow, searchCapacity, m)
             } else {
-              val rows = dIt.map(r => (r.getLong(0),
-                r.getSeq[Double](1).toArray, r.getBoolean(2)))
+              val rows = dIt.map { case (r, kp) => (longAt(r, dIdIx),
+                doubleArrayAt(r, dVecIx, vecIsDouble), kp) }
                 .toArray.sortBy(_._1)
               walkMerged(cid, rows.map(x => (x._1, x._3)),
                 idxs => new VamanaKernel.DoubleStore(
@@ -417,6 +543,33 @@ object Vamana {
           }
       }, k, metric)
   }
+
+  /** The former per-dir scan selects applied `cast("long")` /
+    * `cast("array<long>")` / `cast("array<double>")` defensively; the
+    * zipServe walk reads raw file rows, so these helpers keep that
+    * tolerance (a store written with int ids by an external tool still
+    * serves) without a per-row schema dispatch in the common case. */
+  private def longAt(r: org.apache.spark.sql.Row, i: Int): Long =
+    r.get(i) match {
+      case l: Long           => l
+      case n: java.lang.Number => n.longValue()
+    }
+
+  private def longArrayAt(r: org.apache.spark.sql.Row, i: Int)
+      : Array[Long] =
+    r.getSeq[Any](i) match {
+      case s if s.isEmpty => Array.empty[Long]
+      case s => s.head match {
+        case _: Long => s.asInstanceOf[Seq[Long]].toArray
+        case _ => s.map(_.asInstanceOf[java.lang.Number].longValue()).toArray
+      }
+    }
+
+  private def doubleArrayAt(r: org.apache.spark.sql.Row, i: Int,
+                            isDouble: Boolean): Array[Double] =
+    if (isDouble) r.getSeq[Double](i).toArray
+    else r.getSeq[Any](i)
+      .map(_.asInstanceOf[java.lang.Number].doubleValue()).toArray
 
   /** Broadcast-small ceiling for [[trainRoutingLevel]]'s input: the shard
     * centroid table is held, trained, and broadcast whole — at 64-d
@@ -727,27 +880,34 @@ object Vamana {
                              p: Pq.Params, data: DataFrame, k: Int,
                              kReorder: Int, searchWindow: Int, nProbes: Int,
                              walkMetric: Metric = Metric.L2,
-                             rerankMetric: Metric = Metric.L2): DataFrame = {
+                             rerankMetric: Metric = Metric.L2,
+                             keep: org.apache.spark.sql.Column = lit(true))
+      : DataFrame = {
     val cand = searchShardedAdc(queries, codes, graph, centroids, p,
-      kReorder * k, searchWindow, nProbes, walkMetric)
+      kReorder * k, searchWindow, nProbes, walkMetric, keep)
     Rerank.exact(cand, queries, data, k, rerankMetric)
   }
 
   /** [[searchShardedAdc]] served straight off a PERSISTED layout's
     * `codes/cluster_id=c` + `graph/cluster_id=c` dirs with ZERO corpus
-    * shuffle — the codes twin of [[searchStoredHierarchical]]: each
-    * probed shard's two sides load as single-partition scans and
-    * `zipPartitions` (narrow) hands them to the same PqStore walk; the
+    * shuffle — the codes twin of [[searchStoredHierarchical]]: one task
+    * per probed shard reads codes + graph files directly (O(1) planning,
+    * see [[zipServe]]) into the same PqStore walk; the
     * only exchange is the |Q|·nProbes·k top-k partials. At 100 TB this
     * is DiskANN serving with per-query I/O = probed CODE partitions
-    * (64× smaller than data) and network = walk output. */
+    * (64× smaller than data) and network = walk output. `keep` is the
+    * traverse-but-filter predicate over the codes file columns —
+    * [[searchShardedAdc]]'s deleted-slot semantics on the stored path
+    * (reference: index/vamana/dynamic_index.h:617-629). */
   def searchStoredAdc(queries: DataFrame, codesPath: String,
                       graphPath: String,
                       codesSchema: org.apache.spark.sql.types.StructType,
                       graphSchema: org.apache.spark.sql.types.StructType,
                       centroids: Seq[(Long, Seq[Double])], p: Pq.Params,
                       k: Int, searchWindow: Int, nProbes: Int,
-                      metric: Metric = Metric.L2): DataFrame = {
+                      metric: Metric = Metric.L2,
+                      keep: org.apache.spark.sql.Column = lit(true))
+      : DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     require(searchWindow >= k, "searchWindow must be ≥ k")
@@ -758,31 +918,41 @@ object Vamana {
     import org.apache.spark.sql.types.StructType
     val cSub = StructType(codesSchema.filterNot(_.name == "cluster_id"))
     val gSub = StructType(graphSchema.filterNot(_.name == "cluster_id"))
-    val codeArr = array((0 until p.m).map(j => col(s"c$j").cast("int")): _*)
+    val cIdIx = cSub.fieldIndex("id")
+    val cIxs = (0 until p.m).map(j => cSub.fieldIndex(s"c$j")).toArray
+    val gIdIx = gSub.fieldIndex("id")
+    val gEntryIx = gSub.fieldIndex("entry_id")
+    val gNbrIx = gSub.fieldIndex("neighbors")
     val books = p.codebooks
     val m = metric
-    zipServe(spark, pm.keys.toSeq, codesPath, graphPath,
-      dir => spark.read.schema(cSub).parquet(dir)
-        .select(col("id").cast("long"), codeArr.as("code")),
-      dir => spark.read.schema(gSub).parquet(dir)
-        .select(col("id").cast("long"), col("entry_id").cast("long"),
-          col("neighbors").cast("array<long>")),
+    // `keep` carries [[searchShardedAdc]]'s traverse-but-filter semantics
+    // into the stored path: it may reference the CODES file columns
+    // (`id`, `c0`..`c{m-1}` — practically id, the tombstone shape);
+    // `cluster_id` lives in the directory name, not the files
+    zipServe(spark, pm.keys.toSeq, codesPath, graphPath, cSub, gSub,
+      Some(keep),
       (cid, cIt, gIt) => {
           val qs = bc.value.getOrElse(cid,
             Array.empty[(Long, Array[Double])])
           if (qs.isEmpty) Iterator.empty
           else {
-            val g = gIt.map(r => (cid, r.getLong(0), r.getLong(1),
-              r.getSeq[Long](2).toArray))
-            val rows = cIt.map(r => (r.getLong(0),
-              r.getSeq[Int](1).toArray)).toArray.sortBy(_._1)
-            walkMerged(cid, rows.map(x => (x._1, true)),
+            val g = gIt.map(r => (cid, longAt(r, gIdIx),
+              longAt(r, gEntryIx), longArrayAt(r, gNbrIx)))
+            val rows = cIt.map { case (r, kp) => (longAt(r, cIdIx),
+              cIxs.map(ix => intAt(r, ix)), kp) }.toArray.sortBy(_._1)
+            walkMerged(cid, rows.map(x => (x._1, x._3)),
               idxs => new VamanaKernel.PqStore(
                 idxs.map(ix => rows(ix)._2), books),
               g, qs, k, searchWindow, 0, m)
           }
       }, k, metric)
   }
+
+  private def intAt(r: org.apache.spark.sql.Row, i: Int): Int =
+    r.get(i) match {
+      case x: Int              => x
+      case n: java.lang.Number => n.intValue()
+    }
 
   /** Driver-side probe routing shared by [[searchSharded]] and
     * [[searchPrepared]]: nProbes nearest centroids per query, inverted to

@@ -34,11 +34,35 @@ object VamanaKernel {
     def distPair(metric: Metric, i: Int, j: Int): Double
     /** acc(j) += row(i)(j) for the medioid mean. */
     def addInto(acc: Array[Double], i: Int): Unit
+    /** A view over `slots` (local index i ↔ `slots(i)`) with per-row
+      * residency work PAID ONCE — [[robustPrune]]'s α-domination scan
+      * calls [[distPair]] O(kept·|pool|) times on a ≤750-row pool, and a
+      * store whose distPair re-decodes its operands per call
+      * ([[HalfStore]]: two binary16 decodes per pair) would re-pay that
+      * decode ~maxDegree times per candidate. Distances from the view
+      * must be BIT-IDENTICAL to the backing store's (the contract every
+      * golden relies on). Default: an index-mapping view, no copy, same
+      * arithmetic. */
+    def gather(slots: Array[Int]): VecStore = {
+      val outer = this
+      new VecStore {
+        def n: Int = slots.length
+        def row(i: Int): Array[Double] = outer.row(slots(i))
+        def dist(metric: Metric, q: Array[Double], i: Int): Double =
+          outer.dist(metric, q, slots(i))
+        def distPair(metric: Metric, i: Int, j: Int): Double =
+          outer.distPair(metric, slots(i), slots(j))
+        def addInto(acc: Array[Double], i: Int): Unit =
+          outer.addInto(acc, slots(i))
+      }
+    }
   }
 
   final class DoubleStore(vecs: Array[Array[Double]]) extends VecStore {
     def n: Int = vecs.length
     def row(i: Int): Array[Double] = vecs(i)
+    override def gather(slots: Array[Int]): VecStore =
+      new DoubleStore(slots.map(vecs)) // row refs — no copy, same kernels
     def dist(metric: Metric, q: Array[Double], i: Int): Double =
       metric.compute(q, vecs(i))
     def distPair(metric: Metric, i: Int, j: Int): Double =
@@ -66,6 +90,8 @@ object VamanaKernel {
       val v = vecs(i); var j = 0
       while (j < v.length) { acc(j) += v(j).toDouble; j += 1 }
     }
+    override def gather(slots: Array[Int]): VecStore =
+      new FloatStore(slots.map(vecs)) // row refs — no copy, same kernels
   }
 
   /** Byte-resident store — datatype parity with the reference's uint8/
@@ -150,6 +176,19 @@ object VamanaKernel {
         acc(j) += graft.functions.HalfVecs.decodeOne(v(j), bf16).toDouble
         j += 1
       }
+    }
+    /** Decode each gathered row ONCE into a float store: the prune's
+      * pair distances then run the same `computeFF` on the same decoded
+      * float values the scratch path feeds it — bit-identical, minus
+      * ~2·kept decodes per candidate. */
+    override def gather(slots: Array[Int]): VecStore = {
+      val out = new Array[Array[Float]](slots.length)
+      var i = 0
+      while (i < slots.length) {
+        out(i) = decodeInto(slots(i), new Array[Float](dims))
+        i += 1
+      }
+      new FloatStore(out)
     }
   }
 
@@ -452,6 +491,10 @@ object VamanaKernel {
     }
     pool.n = w
     pool.sortBestFirst(asc)
+    // pair distances run on a gathered pool view: per-row residency work
+    // (half decode, f32 widen) is paid once per candidate instead of once
+    // per (kept, candidate) pair — bit-identical values (gather contract)
+    val local = store.gather(java.util.Arrays.copyOf(pool.slots, w))
     val kept = new Array[Int](math.min(maxDegree, w))
     var nk = 0
     val alive = new Array[Boolean](w)
@@ -459,13 +502,12 @@ object VamanaKernel {
     var i = 0
     while (i < w && nk < maxDegree) {
       if (alive(i)) {
-        val p = pool.slots(i)
-        kept(nk) = p; nk += 1
+        kept(nk) = pool.slots(i); nk += 1
         var j = i + 1
         while (j < w) {
           if (alive(j)) {
-            val c = pool.slots(j); val dNodeC = pool.dists(j)
-            val dPC = store.distPair(metric, p, c)
+            val dNodeC = pool.dists(j)
+            val dPC = local.distPair(metric, i, j)
             val dominated =
               if (asc) alpha * dPC <= dNodeC
               else dPC >= alpha * dNodeC

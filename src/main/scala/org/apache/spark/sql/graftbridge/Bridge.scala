@@ -47,7 +47,9 @@ object Bridge {
     * skip coercion and mis-eval e.g. `col("id") % 2 === 0` on a LONG id),
     * then bind it to ordinal references so executors can eval it on
     * InternalRows without a session. Used by the stored-serve keep
-    * predicate (`sessionState` is `private[sql]`, hence this shim). */
+    * predicate (the zipServe paths in `graft.operators.Vamana` evaluate
+    * it per decoded file row via [[createPredicate]];
+    * `sessionState` is `private[sql]`, hence this shim). */
   def resolveBoundPredicate(spark: org.apache.spark.sql.SparkSession,
       cond: Expression,
       attrs: Seq[org.apache.spark.sql.catalyst.expressions.AttributeReference])
@@ -63,6 +65,75 @@ object Bridge {
       .bindReference(resolved, attrs.map(a =>
         a: org.apache.spark.sql.catalyst.expressions.Attribute))
   }
+
+  /** Compile a BOUND boolean expression (from [[resolveBoundPredicate]])
+    * into an evaluator — called task-side (BasePredicate instances are
+    * not shareable across threads; the bound Expression is what ships in
+    * the closure). SQL filter semantics: a null result counts as false. */
+  def createPredicate(bound: Expression)
+      : org.apache.spark.sql.catalyst.InternalRow => Boolean = {
+    val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(bound)
+    p.initialize(0)
+    row => p.eval(row)
+  }
+
+  /** One serializable parquet-file → InternalRow reader for `schema`,
+    * built ONCE driver-side — O(1) Spark planning no matter how many
+    * files it later reads executor-side. This is FileSourceScanExec's own
+    * reader (`ParquetFileFormat.buildReaderWithPartitionValues`,
+    * `private[sql]`) with no partition columns and no pushed filters. */
+  def parquetRowReader(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .buildReaderWithPartitionValues(cs, schema,
+        new org.apache.spark.sql.types.StructType(), schema, Nil,
+        // rows, not smuggled ColumnarBatches (the vectorized reader still
+        // runs underneath; it just unrolls batches to rows itself)
+        Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> "false"),
+        cs.sessionState.newHadoopConfWithOptions(Map.empty))
+  }
+
+  /** Wrap a (path, length, modificationTime) listing entry for
+    * [[parquetRowReader]] (`PartitionedFile` is `private[sql]`-adjacent
+    * plumbing; whole-file range, no partition values). */
+  def partitionedFile(path: String, length: Long, modificationTime: Long)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =
+    org.apache.spark.sql.execution.datasources.PartitionedFile(
+      org.apache.spark.sql.catalyst.InternalRow.empty,
+      org.apache.spark.paths.SparkPath.fromPathString(path), 0L, length,
+      Array.empty, modificationTime, length)
+
+  /** The reader hands back whole ColumnarBatches DISGUISED as
+    * InternalRow on the vectorized path (FileSourceScanExec knows which;
+    * callers here must not) — flatten either shape to genuine rows.
+    * Batch-backed rows are reused mutable views: consume each one fully
+    * (eval + copy/decode) before advancing. */
+  def flattenToRows(it: Iterator[org.apache.spark.sql.catalyst.InternalRow])
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    it.flatMap { r =>
+      (r: Any) match {
+        case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
+          import scala.jdk.CollectionConverters._
+          b.rowIterator().asScala
+        case row: org.apache.spark.sql.catalyst.InternalRow =>
+          Iterator.single(row)
+      }
+    }
+
+  /** Serializable InternalRow → external Row decoder for `schema` —
+    * build per task via `.createDeserializer()` (deserializers are not
+    * thread-safe; the encoder is, and ships in closures). Decoded Rows
+    * are fresh copies, safe to buffer past reused batch-backed inputs. */
+  def rowDecoder(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+        org.apache.spark.sql.Row] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
+      .resolveAndBind()
 
   /** Register a Catalyst expression as a SQL function on a live session —
     * `sessionState` is `private[sql]`, hence this shim's package. */

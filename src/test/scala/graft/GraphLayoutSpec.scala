@@ -257,6 +257,174 @@ class GraphLayoutSpec extends SparkSpec {
       rows(GraphLayout.search(layout, queries, 5, 32, 3, Metric.L2)))
   }
 
+  test("keep predicate on the compressed serving paths: searchAdcLocal/" +
+      "searchAdc(keep) ≡ searchShardedAdc(keep) bit-for-bit; excluded " +
+      "ids never emitted, pure-ADC and reranked") {
+    val (_, cents, clustered, graph, p) = fixture()
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    val path = "/tmp/graft_graphlayout_adckeep"
+    GraphLayout.write(clustered, graph, cents, path, pq = Some(p))
+    val layout = GraphLayout.open(spark, path)
+    val keep = col("id") % 3 =!= 1
+    val codes = Pq.encodeClustered(clustered, p)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    // pure ADC: local ≡ cogroup ≡ in-memory under the same predicate
+    val localF = rows(GraphLayout.searchAdcLocal(layout, queries, 5, 32, 3,
+      keep = keep))
+    assert(localF ===
+      rows(Vamana.searchShardedAdc(queries, codes, graph, cents, p, 5, 32,
+        3, Metric.L2, keep = keep)))
+    assert(localF ===
+      rows(GraphLayout.searchAdc(layout, queries, 5, 32, 3, keep = keep)))
+    localF.foreach(r =>
+      assert(r(2).asInstanceOf[Long] % 3 !== 1, s"filtered id emitted: $r"))
+    // the predicate changes the result (it actually filters something)
+    assert(localF !== rows(GraphLayout.searchAdcLocal(layout, queries, 5,
+      32, 3)))
+    // reranked: the rerank sees only kept candidates on both paths
+    assert(
+      rows(GraphLayout.searchAdcLocal(layout, queries, 5, 32, 3,
+        kReorder = 2, keep = keep)) ===
+      rows(GraphLayout.searchAdc(layout, queries, 5, 32, 3, kReorder = 2,
+        keep = keep)))
+  }
+
+  test("serve(): one entry point auto-dispatches local vs cogroup by " +
+      "probe-union fraction; rows bit-identical to both manual paths at " +
+      "both regimes; override + keep honored") {
+    val (_, cents, clustered, graph, _) = fixture()
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    val path = "/tmp/graft_graphlayout_serve"
+    GraphLayout.write(clustered, graph, cents, path, routingGroups = 2)
+    val layout = GraphLayout.open(spark, path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+
+    // SELECTIVE regime: one query, one probe → fraction 1/4 ≤ 0.5 → local
+    val q1 = queries.orderBy("query_id").limit(1)
+    val (m1, f1) = GraphLayout.serveDecision(layout, q1, nProbes = 1,
+      Metric.L2, l1Probes = 1)
+    assert(m1 === "local" && f1 <= 0.5, s"($m1, $f1)")
+    val servedSel = rows(GraphLayout.serve(layout, q1, 5, 32, nProbes = 1,
+      Metric.L2, l1Probes = 1))
+    assert(servedSel === rows(GraphLayout.searchRoutedLocal(layout, q1, 5,
+      32, l1Probes = 1, nProbes = 1, Metric.L2)))
+    assert(servedSel === rows(GraphLayout.searchRouted(layout, q1, 5, 32,
+      l1Probes = 1, nProbes = 1, Metric.L2)))
+
+    // SATURATING regime: every query, exhaustive probes → fraction 1 →
+    // cogroup
+    val (m2, f2) = GraphLayout.serveDecision(layout, queries, nProbes = 4,
+      Metric.L2, l1Probes = 2)
+    assert(m2 === "cogroup" && f2 > 0.5, s"($m2, $f2)")
+    val servedSat = rows(GraphLayout.serve(layout, queries, 5, 32,
+      nProbes = 4, Metric.L2, l1Probes = 2))
+    assert(servedSat === rows(GraphLayout.searchRouted(layout, queries, 5,
+      32, l1Probes = 2, nProbes = 4, Metric.L2)))
+    assert(servedSat === rows(GraphLayout.searchRoutedLocal(layout,
+      queries, 5, 32, l1Probes = 2, nProbes = 4, Metric.L2)))
+
+    // override forces the other path, rows unchanged (pure cost decision)
+    assert(servedSat === rows(GraphLayout.serve(layout, queries, 5, 32,
+      nProbes = 4, Metric.L2, l1Probes = 2,
+      mode = GraphLayout.ServeMode.Local)))
+    assert(servedSel === rows(GraphLayout.serve(layout, q1, 5, 32,
+      nProbes = 1, Metric.L2, l1Probes = 1,
+      mode = GraphLayout.ServeMode.Cogroup)))
+
+    // flat dispatch (l1Probes = 0 ignores routing): ≡ search/searchLocal
+    val servedFlat = rows(GraphLayout.serve(layout, q1, 5, 32, nProbes = 1,
+      Metric.L2))
+    assert(servedFlat === rows(GraphLayout.searchLocal(layout, q1, 5, 32,
+      1, Metric.L2)))
+    assert(servedFlat === rows(GraphLayout.search(layout, q1, 5, 32, 1,
+      Metric.L2)))
+
+    // keep honored on both dispatch outcomes
+    val keep = col("id") % 3 =!= 1
+    val keptLocal = rows(GraphLayout.serve(layout, q1, 5, 32, nProbes = 1,
+      Metric.L2, l1Probes = 1, keep = keep))
+    keptLocal.foreach(r => assert(r(2).asInstanceOf[Long] % 3 !== 1))
+    val keptCog = rows(GraphLayout.serve(layout, queries, 5, 32,
+      nProbes = 4, Metric.L2, l1Probes = 2, keep = keep))
+    keptCog.foreach(r => assert(r(2).asInstanceOf[Long] % 3 !== 1))
+    assert(keptCog === rows(GraphLayout.serve(layout, queries, 5, 32,
+      nProbes = 4, Metric.L2, l1Probes = 2, keep = keep,
+      mode = GraphLayout.ServeMode.Local)))
+
+    // an in-memory layout (no path) can only cogroup — Auto must not
+    // dispatch local into a sys.error
+    val mem = layout.copy(path = None)
+    val (m3, _) = GraphLayout.serveDecision(mem, q1, nProbes = 1,
+      Metric.L2, l1Probes = 1)
+    assert(m3 === "cogroup")
+    assert(servedSel === rows(GraphLayout.serve(mem, q1, 5, 32,
+      nProbes = 1, Metric.L2, l1Probes = 1)))
+  }
+
+  test("upsert ↔ local-serve contract: a serve planned pre-upsert fails " +
+      "loudly once its probed partitions are overwritten — never a " +
+      "silent mixed read; a reopened layout serves the merged corpus") {
+    val (data, cents, clustered, graph, _) = fixture()
+    val params = BuildParams(maxDegree = 24, buildWindow = 48)
+    val path = "/tmp/graft_graphlayout_upsert_serve"
+    GraphLayout.write(clustered, graph, cents, path, routingGroups = 2)
+    val layout = GraphLayout.open(spark, path)
+    val queries = Tables.embeddingQueries(spark, sfDir).limit(2)
+
+    // plan a local serve over EVERY shard pre-upsert (exhaustive probes:
+    // the probed set must include the shard the upsert will overwrite);
+    // zipServe pins the shard file list at plan time — that is the
+    // snapshot the contract is about
+    val planned = GraphLayout.searchRoutedLocal(layout, queries, 5, 32,
+      l1Probes = 2, nProbes = 4, Metric.L2)
+    val preRows = planned.select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(preRows.nonEmpty)
+
+    // upsert: add rows into shard 0, delete a few from shard 1 — their
+    // data/graph partitions are dynamically overwritten (new part files,
+    // old ones deleted)
+    val added = data.filter(col("id") % 50 === 7).orderBy("id").limit(10)
+      .select((col("id") + 200000L).as("id"), col("vec"),
+        lit(0L).as("cluster_id"))
+    val delIds = KMeans.assign(data, cents)
+      .filter(col("cluster_id") === 1L).orderBy("id").limit(5).select("id")
+    val reopened = GraphLayout.upsert(spark, path, added, delIds, params,
+      Metric.L2)
+
+    // the PRE-upsert plan now points at deleted part files: executing it
+    // fails loudly (FileNotFound inside the task) — it can never blend
+    // old and new partitions into one answer
+    val e = intercept[Exception] {
+      planned.select("query_id", "rnk", "neighbor_id").collect()
+    }
+    def hasFnf(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
+        String.valueOf(t.getMessage).contains("FileNotFound") ||
+        hasFnf(t.getCause))
+    assert(hasFnf(e), s"expected FileNotFound-rooted failure, got $e")
+
+    // the REOPENED layout serves the merged corpus: local ≡ cogroup over
+    // the upserted store, added ids reachable, deleted ids gone
+    val local = GraphLayout.searchRoutedLocal(reopened, queries, 5, 32,
+        l1Probes = 2, nProbes = 4, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val cog = GraphLayout.searchRouted(reopened, queries, 5, 32,
+        l1Probes = 2, nProbes = 4, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(local === cog)
+    val delSet = delIds.as[Long].collect().toSet
+    local.foreach(r =>
+      assert(!delSet.contains(r(2).asInstanceOf[Long]),
+        s"deleted id served: $r"))
+  }
+
   test("layout without PQ opens with no codes and searchAdc fails loudly") {
     val (_, cents, clustered, graph, _) = fixture()
     val queries = Tables.embeddingQueries(spark, sfDir)
