@@ -104,7 +104,9 @@ object Scale100M {
       graft.operators.IvfIndex.writeClustered(clH, srcPath)
     }
     val clustered = {
+      // partition-dir inference reads cluster_id= back as INT — pin long
       val d = spark.read.parquet(srcPath)
+        .withColumn("cluster_id", col("cluster_id").cast("long"))
       graft.functions.HalfVecs.markHalf(d,
         graft.functions.HalfVecs.F16, "vec")
     }
@@ -189,6 +191,9 @@ object Scale100M {
     }
     val layout = GraphLayout.open(spark, storePath)
     val storeBytes = duBytes(storePath)
+    // everything downstream serves from the store — free the source
+    // corpus + temp graph now (disk headroom for the 10⁸ run: ~22 GB)
+    rmr(srcPath); rmr(graphTmp)
     println(s"""{"experiment":"scale100m_store","n":$n,""" +
       s""""store_write_sec":$tWrite,"store_bytes":$storeBytes,""" +
       s""""codes_bytes":${duBytes(s"$storePath/codes")},""" +
@@ -298,9 +303,8 @@ object Scale100M {
 
     truth.unpersist(); localRes.unpersist()
     queries5.unpersist(); queries.unpersist()
-    if (!sys.env.get("SPARK_GRAFT_100M_KEEP").exists(_.nonEmpty)) {
-      rmr(storePath); rmr(srcPath); rmr(graphTmp)
-    }
+    if (!sys.env.get("SPARK_GRAFT_100M_KEEP").exists(_.nonEmpty))
+      rmr(storePath)
     spark.stop()
   }
 }

@@ -388,10 +388,23 @@ object GraphLayout {
     * and capacity planning can pin the decision itself, not just the
     * (bit-identical) rows. Routing is the same kernel the search paths
     * use, so the fraction is exactly the store fraction the chosen path
-    * will read. */
+    * will read.
+    *
+    * `localMaxFraction` defaults to 1.0 — local whenever the store is on
+    * disk. Round 10's local path lost the SATURATING regime to serial
+    * per-shard planning (23.3 s vs 16.3 s at 10M × 100 q); the round-12
+    * O(1)-planning zipServe removed that cost and the measurement
+    * flipped: local 5.1 s / 176 KB shuffle vs cogroup 23.7–33.3 s /
+    * 4.68 GB on the same store — local wins BOTH regimes on wall AND by
+    * 26 000× on exchange volume (both paths are one task per probed
+    * shard, so there is no parallelism regime left where the corpus
+    * exchange pays). Lower the threshold (or force Cogroup) only when
+    * the clustered frame is already cache-resident in cluster memory —
+    * the one case where re-reading the store from disk is the extra
+    * cost. */
   def serveDecision(layout: Layout, queries: DataFrame, nProbes: Int,
                     metric: Metric, l1Probes: Int = 0,
-                    localMaxFraction: Double = 0.5): (String, Double) = {
+                    localMaxFraction: Double = 1.0): (String, Double) = {
     val routed = layout.routing.isDefined && l1Probes > 0
     val probed =
       if (routed) {
@@ -410,24 +423,29 @@ object GraphLayout {
 
   /** ONE serving entry point — the reference posture of a single
     * type-erased `search()` (orchestrators/manager.h:217) applied to the
-    * stored layout's two execution regimes:
+    * stored layout's two execution paths:
     *
-    *   - SELECTIVE batches (probe union a small fraction of the store):
-    *     the zero-corpus-shuffle local walk ([[searchRoutedLocal]] /
+    *   - the zero-corpus-shuffle LOCAL walk ([[searchRoutedLocal]] /
     *     [[searchLocal]]) — I/O = probed dirs, exchange = top-k partials
-    *     only (at 10M rows: 176 KB vs 4.68 GB on the cogroup path).
-    *   - SATURATING sweeps (probe union most of the store): the cogroup
-    *     walk ([[searchRouted]] / [[search]]), whose multi-task shards
-    *     finish a store-wide sweep faster (~1.4× at 10M) at the cost of
-    *     corpus-row exchanges.
+    *     only. Since the round-12 O(1)-planning zipServe this path wins
+    *     BOTH regimes measured (10M × 100 q saturating: 5.1 s / 176 KB
+    *     vs cogroup 23.7–33.3 s / 4.68 GB; 5 q selective: 1.4 s /
+    *     8.8 KB vs 2.6 s / 451 MB), so Auto picks it whenever the store
+    *     is on disk.
+    *   - the COGROUP walk ([[searchRouted]] / [[search]]) — required for
+    *     in-memory layouts (no partition dirs to read), and the right
+    *     manual pick when the clustered frame is already cache-resident
+    *     in cluster memory (the one case where local's disk re-read is
+    *     the extra cost).
     *
     * Auto mode computes the probe-union fraction from the same routing
     * kernel the search itself uses (milliseconds, driver-side, queries
     * are broadcast-small by the serving contract) and dispatches at
-    * `localMaxFraction`; both paths return bit-identical rows
-    * (HierRoutingSpec/GraphLayoutSpec), so the dispatch is a pure
-    * cost decision — the wrong MANUAL choice costs 26,000× shuffle or
-    * ~1.4× wall (SCALE.md), which is why this entry point exists.
+    * `localMaxFraction` (see [[serveDecision]]); both paths return
+    * bit-identical rows (HierRoutingSpec/GraphLayoutSpec), so the
+    * dispatch is a pure cost decision — the wrong MANUAL choice costs
+    * 26,000× shuffle or 4–6× wall (SCALE.md), which is why this entry
+    * point exists.
     *
     * Routed when the layout has a persisted level-1 AND `l1Probes > 0`;
     * flat otherwise. `keep` is the traverse-but-filter predicate over
@@ -437,7 +455,7 @@ object GraphLayout {
             nProbes: Int, metric: Metric, l1Probes: Int = 0,
             keep: org.apache.spark.sql.Column = lit(true),
             mode: ServeMode = ServeMode.Auto,
-            localMaxFraction: Double = 0.5): DataFrame = {
+            localMaxFraction: Double = 1.0): DataFrame = {
     val routed = layout.routing.isDefined && l1Probes > 0
     val chosen = mode match {
       case ServeMode.Local   => "local"

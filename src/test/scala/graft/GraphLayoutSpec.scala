@@ -303,11 +303,14 @@ class GraphLayoutSpec extends SparkSpec {
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
 
-    // SELECTIVE regime: one query, one probe → fraction 1/4 ≤ 0.5 → local
+    // SELECTIVE regime: one query, one probe → fraction 1/4 → local at
+    // the default threshold AND at the conservative 0.5 dial
     val q1 = queries.orderBy("query_id").limit(1)
     val (m1, f1) = GraphLayout.serveDecision(layout, q1, nProbes = 1,
       Metric.L2, l1Probes = 1)
     assert(m1 === "local" && f1 <= 0.5, s"($m1, $f1)")
+    assert(GraphLayout.serveDecision(layout, q1, nProbes = 1, Metric.L2,
+      l1Probes = 1, localMaxFraction = 0.5)._1 === "local")
     val servedSel = rows(GraphLayout.serve(layout, q1, 5, 32, nProbes = 1,
       Metric.L2, l1Probes = 1))
     assert(servedSel === rows(GraphLayout.searchRoutedLocal(layout, q1, 5,
@@ -315,17 +318,24 @@ class GraphLayoutSpec extends SparkSpec {
     assert(servedSel === rows(GraphLayout.searchRouted(layout, q1, 5, 32,
       l1Probes = 1, nProbes = 1, Metric.L2)))
 
-    // SATURATING regime: every query, exhaustive probes → fraction 1 →
-    // cogroup
+    // SATURATING regime: every query, exhaustive probes → fraction 1.
+    // Default (post-r12 O(1)-planning measurement): still local — zero
+    // corpus shuffle wins both regimes. The localMaxFraction DIAL pins
+    // the other outcome: at 0.5 a saturating sweep dispatches cogroup.
     val (m2, f2) = GraphLayout.serveDecision(layout, queries, nProbes = 4,
       Metric.L2, l1Probes = 2)
-    assert(m2 === "cogroup" && f2 > 0.5, s"($m2, $f2)")
+    assert(m2 === "local" && f2 > 0.5, s"($m2, $f2)")
+    assert(GraphLayout.serveDecision(layout, queries, nProbes = 4,
+      Metric.L2, l1Probes = 2, localMaxFraction = 0.5)._1 === "cogroup")
     val servedSat = rows(GraphLayout.serve(layout, queries, 5, 32,
       nProbes = 4, Metric.L2, l1Probes = 2))
     assert(servedSat === rows(GraphLayout.searchRouted(layout, queries, 5,
       32, l1Probes = 2, nProbes = 4, Metric.L2)))
     assert(servedSat === rows(GraphLayout.searchRoutedLocal(layout,
       queries, 5, 32, l1Probes = 2, nProbes = 4, Metric.L2)))
+    // the dialed-down serve dispatches cogroup — rows unchanged
+    assert(servedSat === rows(GraphLayout.serve(layout, queries, 5, 32,
+      nProbes = 4, Metric.L2, l1Probes = 2, localMaxFraction = 0.5)))
 
     // override forces the other path, rows unchanged (pure cost decision)
     assert(servedSat === rows(GraphLayout.serve(layout, queries, 5, 32,
@@ -349,7 +359,8 @@ class GraphLayoutSpec extends SparkSpec {
       Metric.L2, l1Probes = 1, keep = keep))
     keptLocal.foreach(r => assert(r(2).asInstanceOf[Long] % 3 !== 1))
     val keptCog = rows(GraphLayout.serve(layout, queries, 5, 32,
-      nProbes = 4, Metric.L2, l1Probes = 2, keep = keep))
+      nProbes = 4, Metric.L2, l1Probes = 2, keep = keep,
+      localMaxFraction = 0.5)) // dialed down ⇒ the cogroup+keep path
     keptCog.foreach(r => assert(r(2).asInstanceOf[Long] % 3 !== 1))
     assert(keptCog === rows(GraphLayout.serve(layout, queries, 5, 32,
       nProbes = 4, Metric.L2, l1Probes = 2, keep = keep,
