@@ -1027,6 +1027,31 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** q184: the ONE serving entry point end-to-end — `GraphLayout.serve`
+    * in Auto mode over q180's routed store: the dispatch computes the
+    * probe-union fraction and (store on disk) takes the zero-shuffle
+    * local path; rows are bit-identical to both manual paths
+    * (GraphLayoutSpec), so q180's oracle (= q24/q150's exact
+    * within-probed-shards kNN at exhaustive l1Probes) certifies the
+    * dispatcher itself through DuckDB. */
+  private def serveAutoQ(s: SparkSession, dir: String): DataFrame = {
+    val layout =
+      memoized[graft.operators.GraphLayout.Layout]("graph_layout_routed",
+        dir) {
+        val path = "/tmp/graft_q180_graph_" +
+          dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.operators.GraphLayout.write(embLabelClustered(s, dir),
+          embGraph(s, dir), embLabelCentroids(s, dir), path,
+          routingGroups = 5)
+        graft.operators.GraphLayout.open(s, path)
+      }
+    graft.operators.GraphLayout.serve(layout, embQueries(s, dir), K,
+        searchWindow = 1 << 14, nProbes = VamanaProbes, Metric.L2,
+        l1Probes = 5)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   /** q151: DiskANN serving from the store — codes-only walk over the
     * persisted codes+graph partitions, exact rerank touching only the
     * |Q|·kReorder·k candidate rows of data; ≡ q148 (same oracle), with
@@ -3146,6 +3171,7 @@ object SparkEntry {
     "q181_pq_walk_stored_local" -> (pqWalkStoredLocalQ _),
     "q182_pq_walk_filtered_local" -> (pqWalkFilteredLocalQ _),
     "q183_bf16_vamana_stored" -> (vamanaStoredBf16Q _),
+    "q184_serve_auto" -> (serveAutoQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3558,5 +3584,10 @@ object SparkEntry {
     // oracle applies unchanged.
     "q183_bf16_vamana_stored" ->
       OracleGen.vamanaShardedKnnI8(K, VamanaProbes, ByteScale),
+    // q184: serve() Auto over the q180 store — both dispatch outcomes
+    // are bit-identical to searchRouted[Local] (GraphLayoutSpec), and at
+    // exhaustive l1Probes routing ≡ flat, so q24/q150/q180's oracle
+    // certifies the dispatcher end-to-end.
+    "q184_serve_auto" -> OracleGen.vamanaShardedKnn(K, VamanaProbes),
   )
 }
