@@ -703,9 +703,16 @@ object VamanaKernel {
         val oRange = java.util.stream.IntStream.range(0, overs.length)
         (if (overs.length > 1) oRange.parallel() else oRange).forEach { oi =>
           val dst = overs(oi)
-          val rp = new CandidatePool(adj(dst).length)
-          adj(dst).foreach { s =>
-            rp.add(s, store.distPair(metric, dst, s))
+          // score dst against its neighbors through a gathered view —
+          // dst's row is decoded/widened ONCE instead of once per
+          // neighbor (the robustPrune decode-once rationale applied to
+          // the overflow pool build; bit-identical by gather's contract)
+          val nbrs = adj(dst)
+          val local = store.gather(dst +: nbrs)
+          val rp = new CandidatePool(nbrs.length)
+          var ni = 0
+          while (ni < nbrs.length) {
+            rp.add(nbrs(ni), local.distPair(metric, 0, ni + 1)); ni += 1
           }
           adj(dst) = robustPrune(dst, rp, alpha, params.maxDegree,
             store, metric)

@@ -181,4 +181,65 @@ class ServingPropSpec extends SparkSpec {
       searchWindow = 16, nProbes = 1)
     assert(none.count() === 0)
   }
+
+  test("serve() on random corpora (3 seeds × f64/u8/f16 residency): " +
+      "both dispatch outcomes ≡ both manual paths, keep respected") {
+    for ((seed, res) <- Seq((7L, "f64"), (21L, "u8"), (63L, "f16"))) {
+      val dims = 16
+      val rows = randData(seed, 70, dims)
+      val raw = rows.toDF("id", "vec")
+      // residency-marked corpora exercise the stored sidecar round-trip
+      // (u8 quantize values are integers; f16 halves of [0,1) doubles
+      // round — both fine: parity is vs the SAME residency manual paths)
+      val data = res match {
+        case "u8" => graft.functions.ByteVecs.markUnsigned(
+          raw.select(col("id"), graft.functions.ByteVecs
+            .quantizeUnsigned(col("vec"), 100.0).as("vec")))
+        case "f16" => graft.functions.HalfVecs.toHalf(
+          raw.select(col("id"),
+            col("vec").cast("array<float>").cast("array<double>")
+              .as("vec")), graft.functions.HalfVecs.F16)
+        case _ => raw
+      }
+      val centsSrc = rows.take(4).map { case (id, v) => (id, v.toIndexedSeq) }
+      val clustered = KMeans.assign(
+        graft.functions.HalfVecs.widenedForMath(
+          graft.functions.ByteVecs.widenedForMath(data, "vec"), "vec"),
+        centsSrc)
+        .select(col("cluster_id"), col("id")).join(data, Seq("id"))
+        .select("id", "vec", "cluster_id")
+      val graph = Vamana.buildSharded(clustered,
+        BuildParams(maxDegree = 8, buildWindow = 16), Metric.L2)
+      val path = s"/tmp/graft_prop_serve_${seed}_$res"
+      graft.operators.GraphLayout.write(clustered, graph, centsSrc, path,
+        routingGroups = 2)
+      val layout = graft.operators.GraphLayout.open(spark, path)
+      val queries = rows.take(5)
+        .map { case (id, v) => (id + 900, v.map(1.0 - _)) }
+        .toDF("query_id", "qvec")
+      val keep = col("id") % 3 =!= 1
+      def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+      val manualLocal = rowsOf(graft.operators.GraphLayout
+        .searchRoutedLocal(layout, queries, 5, 1 << 12, l1Probes = 2,
+          nProbes = 4, Metric.L2, keep = keep))
+      val manualCogroup = rowsOf(Vamana.searchShardedHierarchical(queries,
+        layout.clustered, layout.graph, layout.centroids,
+        layout.routing.get._1, layout.routing.get._2, 5, 1 << 12,
+        l1Probes = 2, nProbes = 4, Metric.L2, keep = keep))
+      assert(manualLocal === manualCogroup, s"$seed/$res manual parity")
+      // default threshold (1.0) dispatches local; dialed to 0 forces
+      // the cogroup outcome via Auto — both ≡ the manual rows
+      assert(rowsOf(graft.operators.GraphLayout.serve(layout, queries, 5,
+        1 << 12, nProbes = 4, Metric.L2, l1Probes = 2, keep = keep)) ===
+        manualLocal, s"$seed/$res auto-local")
+      assert(rowsOf(graft.operators.GraphLayout.serve(layout, queries, 5,
+        1 << 12, nProbes = 4, Metric.L2, l1Probes = 2, keep = keep,
+        localMaxFraction = 0.0)) === manualLocal, s"$seed/$res auto-cogroup")
+      manualLocal.foreach(r =>
+        assert(r(2).asInstanceOf[Long] % 3 !== 1, s"$seed/$res keep"))
+      assert(manualLocal.nonEmpty)
+    }
+  }
 }
