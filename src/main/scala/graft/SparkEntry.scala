@@ -1009,23 +1009,27 @@ object SparkEntry {
     * partials move). At exhaustive l1Probes routing ≡ flat probing and
     * the local path ≡ the cogroup path bit-for-bit (HierRoutingSpec), so
     * this certifies against q24/q150's oracle verbatim. */
-  private def vamanaStoredLocalQ(s: SparkSession, dir: String): DataFrame = {
-    val layout =
-      memoized[graft.operators.GraphLayout.Layout]("graph_layout_routed",
-        dir) {
-        val path = "/tmp/graft_q180_graph_" +
-          dir.replaceAll("[^a-zA-Z0-9]", "_")
-        graft.operators.GraphLayout.write(embLabelClustered(s, dir),
-          embGraph(s, dir), embLabelCentroids(s, dir), path,
-          routingGroups = 5)
-        graft.operators.GraphLayout.open(s, path)
-      }
-    graft.operators.GraphLayout.searchRoutedLocal(layout,
-        embQueries(s, dir), K, searchWindow = 1 << 14,
-        l1Probes = 5, nProbes = VamanaProbes, Metric.L2)
+  private def vamanaStoredLocalQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphLayout.searchRoutedLocal(
+        routedGraphLayout(s, dir), embQueries(s, dir), K,
+        searchWindow = 1 << 14, l1Probes = 5, nProbes = VamanaProbes,
+        Metric.L2)
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
-  }
+
+  /** The routed store q180/q184 share — ONE memoized builder so the two
+    * queries cannot drift apart under the shared memo key. */
+  private def routedGraphLayout(s: SparkSession, dir: String)
+      : graft.operators.GraphLayout.Layout =
+    memoized[graft.operators.GraphLayout.Layout]("graph_layout_routed",
+      dir) {
+      val path = "/tmp/graft_q180_graph_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      graft.operators.GraphLayout.write(embLabelClustered(s, dir),
+        embGraph(s, dir), embLabelCentroids(s, dir), path,
+        routingGroups = 5)
+      graft.operators.GraphLayout.open(s, path)
+    }
 
   /** q184: the ONE serving entry point end-to-end — `GraphLayout.serve`
     * in Auto mode over q180's routed store: the dispatch computes the
@@ -1034,23 +1038,12 @@ object SparkEntry {
     * (GraphLayoutSpec), so q180's oracle (= q24/q150's exact
     * within-probed-shards kNN at exhaustive l1Probes) certifies the
     * dispatcher itself through DuckDB. */
-  private def serveAutoQ(s: SparkSession, dir: String): DataFrame = {
-    val layout =
-      memoized[graft.operators.GraphLayout.Layout]("graph_layout_routed",
-        dir) {
-        val path = "/tmp/graft_q180_graph_" +
-          dir.replaceAll("[^a-zA-Z0-9]", "_")
-        graft.operators.GraphLayout.write(embLabelClustered(s, dir),
-          embGraph(s, dir), embLabelCentroids(s, dir), path,
-          routingGroups = 5)
-        graft.operators.GraphLayout.open(s, path)
-      }
-    graft.operators.GraphLayout.serve(layout, embQueries(s, dir), K,
-        searchWindow = 1 << 14, nProbes = VamanaProbes, Metric.L2,
-        l1Probes = 5)
+  private def serveAutoQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphLayout.serve(routedGraphLayout(s, dir),
+        embQueries(s, dir), K, searchWindow = 1 << 14,
+        nProbes = VamanaProbes, Metric.L2, l1Probes = 5)
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
-  }
 
   /** q151: DiskANN serving from the store — codes-only walk over the
     * persisted codes+graph partitions, exact rerank touching only the

@@ -268,7 +268,9 @@ object GraphLayout {
   def searchRoutedLocal(layout: Layout, queries: DataFrame, k: Int,
                         searchWindow: Int, l1Probes: Int, nProbes: Int,
                         metric: Metric,
-                        keep: org.apache.spark.sql.Column = lit(true))
+                        keep: org.apache.spark.sql.Column = lit(true),
+                        prebuiltProbes: Option[Map[Long,
+                          Array[(Long, Array[Double])]]] = None)
       : DataFrame = {
     val path = layout.path.getOrElse(sys.error(
       "searchRoutedLocal serves straight off the stored partition dirs — " +
@@ -284,7 +286,7 @@ object GraphLayout {
     Vamana.searchStoredHierarchical(queries, s"$path/data", s"$path/graph",
       layout.clustered.schema, layout.graph.schema, layout.centroids,
       l1, groupOf, k, searchWindow, l1Probes, nProbes, metric,
-      keep = keep)
+      keep = keep, prebuiltProbes = prebuiltProbes)
   }
 
   /** DiskANN serving from the stored layout: codes-only walk (reads
@@ -324,19 +326,23 @@ object GraphLayout {
     * zipPartitions serve. */
   def searchLocal(layout: Layout, queries: DataFrame, k: Int,
                   searchWindow: Int, nProbes: Int, metric: Metric,
-                  keep: org.apache.spark.sql.Column = lit(true))
+                  keep: org.apache.spark.sql.Column = lit(true),
+                  prebuiltProbes: Option[Map[Long,
+                    Array[(Long, Array[Double])]]] = None)
       : DataFrame = {
     val path = layout.path.getOrElse(sys.error(
       "searchLocal serves straight off the stored partition dirs — " +
         "open the layout from disk (GraphLayout.open) first"))
     // trivial single-group level: the one group is always selected, so
     // level-2 scores every centroid — exactly the flat probe sweep
+    // (HierRoutingSpec pins the bit-identity, so a FLAT prebuilt probe
+    // map from serve() slots in unchanged)
     val l1 = Seq(0L -> layout.centroids.head._2)
     val groupOf = layout.centroids.map { case (cid, _) => cid -> 0L }.toMap
     Vamana.searchStoredHierarchical(queries, s"$path/data", s"$path/graph",
       layout.clustered.schema, layout.graph.schema, layout.centroids,
       l1, groupOf, k, searchWindow, l1Probes = 1, nProbes, metric,
-      keep = keep)
+      keep = keep, prebuiltProbes = prebuiltProbes)
   }
 
   /** [[searchAdc]] with ZERO corpus shuffle ([[searchRoutedLocal]]'s
@@ -457,34 +463,48 @@ object GraphLayout {
             mode: ServeMode = ServeMode.Auto,
             localMaxFraction: Double = 1.0): DataFrame = {
     val routed = layout.routing.isDefined && l1Probes > 0
+    // metric-vs-routing mismatch fails BEFORE any probing work
+    if (routed) layout.routingMetricName.foreach { rm =>
+      require(metric.name.stripSuffix("_simd") == rm,
+        s"layout routing level was trained for metric '$rm' but " +
+          s"serve got '${metric.name}' — rewrite the layout with " +
+          s"routingMetric = ${metric.name} or serve with '$rm'")
+    }
+    // the query batch is collected and probe-scored exactly ONCE — the
+    // dispatch decision and the dispatched search share this map (the
+    // same routing kernel, Vamana.hierProbeMap/flatProbeMap, so the
+    // planner provably probes the shards the search reads)
+    val pm =
+      if (routed) {
+        val (l1, groupOf) = layout.routing.get
+        Vamana.hierProbeMap(queries, layout.centroids, l1, groupOf,
+          l1Probes, nProbes, metric)
+      } else Vamana.flatProbeMap(queries, layout.centroids, nProbes, metric)
     val chosen = mode match {
       case ServeMode.Local   => "local"
       case ServeMode.Cogroup => "cogroup"
       case ServeMode.Auto    =>
-        serveDecision(layout, queries, nProbes, metric, l1Probes,
-          localMaxFraction)._1
+        val fraction = pm.size.toDouble / layout.centroids.size
+        if (fraction <= localMaxFraction && layout.path.isDefined) "local"
+        else "cogroup"
     }
     (chosen, routed) match {
       case ("local", true) =>
         searchRoutedLocal(layout, queries, k, searchWindow, l1Probes,
-          nProbes, metric, keep)
+          nProbes, metric, keep, prebuiltProbes = Some(pm))
       case ("local", false) =>
-        searchLocal(layout, queries, k, searchWindow, nProbes, metric, keep)
+        searchLocal(layout, queries, k, searchWindow, nProbes, metric,
+          keep, prebuiltProbes = Some(pm))
       case ("cogroup", true) =>
         val (l1, groupOf) = layout.routing.get
-        layout.routingMetricName.foreach { rm =>
-          require(metric.name.stripSuffix("_simd") == rm,
-            s"layout routing level was trained for metric '$rm' but " +
-              s"serve got '${metric.name}' — rewrite the layout with " +
-              s"routingMetric = ${metric.name} or serve with '$rm'")
-        }
         Vamana.searchShardedHierarchical(queries, layout.clustered,
           layout.graph, layout.centroids, l1, groupOf, k, searchWindow,
-          l1Probes, nProbes, metric, keep = keep)
+          l1Probes, nProbes, metric, keep = keep,
+          prebuiltProbes = Some(pm))
       case _ =>
         Vamana.searchShardedFiltered(queries, layout.clustered,
           layout.graph, layout.centroids, k, searchWindow, nProbes,
-          metric, keep)
+          metric, keep, prebuiltProbes = Some(pm))
     }
   }
 

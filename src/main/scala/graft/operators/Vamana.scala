@@ -40,7 +40,13 @@ object Vamana {
     * SHARDED build: per-phase nanos and distance-call counts summed
     * across every shard task — the 10M/10⁸-scale attribution SCALE.md
     * reports (task-CPU sums, so phase seconds ≫ wall at 32-way
-    * parallelism; fractions are the signal). */
+    * parallelism; fractions are the signal). DIAGNOSTIC, not exact:
+    * the adds run inside a transformation, so a retried/speculated/
+    * recomputed shard task counts again (Spark guarantees exactly-once
+    * accumulators only for actions) — per-phase FRACTIONS stay
+    * representative because a retry re-pays every phase proportionally,
+    * but absolute sums can exceed one clean pass; never gate
+    * correctness on them. */
   final case class ShardedBuildStats(
       search: org.apache.spark.util.LongAccumulator,
       greedyCpu: org.apache.spark.util.LongAccumulator,
@@ -259,9 +265,12 @@ object Vamana {
                             centroids: Seq[(Long, Seq[Double])], k: Int,
                             searchWindow: Int, nProbes: Int, metric: Metric,
                             keep: org.apache.spark.sql.Column,
-                            searchCapacity: Int = 0): DataFrame =
+                            searchCapacity: Int = 0,
+                            prebuiltProbes: Option[Map[Long,
+                              Array[(Long, Array[Double])]]] = None)
+      : DataFrame =
     searchShardedImpl(queries, clustered, graph, centroids, k, searchWindow,
-      nProbes, metric, searchCapacity, keep)
+      nProbes, metric, searchCapacity, keep, prebuiltProbes)
 
   /** Two-level routed [[searchSharded]] — the shard-count scale path
     * (reference hierarchical_kmeans.h posture): probe selection scores
@@ -278,24 +287,43 @@ object Vamana {
                                 searchWindow: Int, l1Probes: Int,
                                 nProbes: Int, metric: Metric,
                                 searchCapacity: Int = 0,
-                                keep: org.apache.spark.sql.Column = lit(true))
+                                keep: org.apache.spark.sql.Column = lit(true),
+                                prebuiltProbes: Option[Map[Long,
+                                  Array[(Long, Array[Double])]]] = None)
       : DataFrame = {
-    val pm = probeMapWith(queries, centroids, metric) { (qRows, cents) =>
-      BatchScore.probeTopKHierarchical(qRows, cents,
-        l1.sortBy(_._1).map { case (i, v) => (i, v.toArray) }.toIndexedSeq,
-        groupOf, l1Probes, nProbes, metric)
-    }
+    val pm = prebuiltProbes.getOrElse(hierProbeMap(queries, centroids, l1,
+      groupOf, l1Probes, nProbes, metric))
     searchShardedImpl(queries, clustered, graph, centroids, k, searchWindow,
       nProbes, metric, searchCapacity, keep, Some(pm))
   }
 
+  /** THE two-level routing kernel — the one definition every
+    * hierarchical path (cogroup, stored-local, and serve()'s dispatch
+    * planning) shares, so the planner provably probes exactly the
+    * shards the search reads. Returns cluster → (query_id, qvec) batch. */
+  private[operators] def hierProbeMap(queries: DataFrame,
+      centroids: Seq[(Long, Seq[Double])], l1: Seq[(Long, Seq[Double])],
+      groupOf: Map[Long, Long], l1Probes: Int, nProbes: Int,
+      metric: Metric): Map[Long, Array[(Long, Array[Double])]] =
+    probeMapWith(queries, centroids, metric) { (qRows, cents) =>
+      BatchScore.probeTopKHierarchical(qRows, cents,
+        l1.sortBy(_._1).map { case (i, v) => (i, v.toArray) }.toIndexedSeq,
+        groupOf, l1Probes, nProbes, metric)
+    }
+
+  /** Flat twin of [[hierProbeMap]] for layouts without a routing level. */
+  private[operators] def flatProbeMap(queries: DataFrame,
+      centroids: Seq[(Long, Seq[Double])], nProbes: Int, metric: Metric)
+      : Map[Long, Array[(Long, Array[Double])]] =
+    probeMap(queries, centroids, nProbes, metric)
+
   /** The DISTINCT shards a query batch will probe under flat routing —
-    * the [[graft.operators.GraphLayout.serve]] dispatch planning input
+    * the [[graft.operators.GraphLayout.serveDecision]] planning input
     * (same routing kernel as the search paths, so the fraction it
     * implies is exactly the fraction the chosen path will read). */
   def probedShards(queries: DataFrame, centroids: Seq[(Long, Seq[Double])],
                    nProbes: Int, metric: Metric): Set[Long] =
-    probeMap(queries, centroids, nProbes, metric).keySet
+    flatProbeMap(queries, centroids, nProbes, metric).keySet
 
   /** [[probedShards]] under the persisted two-level routing. */
   def probedShardsHierarchical(queries: DataFrame,
@@ -303,11 +331,8 @@ object Vamana {
                                l1: Seq[(Long, Seq[Double])],
                                groupOf: Map[Long, Long], l1Probes: Int,
                                nProbes: Int, metric: Metric): Set[Long] =
-    probeMapWith(queries, centroids, metric) { (qRows, cents) =>
-      BatchScore.probeTopKHierarchical(qRows, cents,
-        l1.sortBy(_._1).map { case (i, v) => (i, v.toArray) }.toIndexedSeq,
-        groupOf, l1Probes, nProbes, metric)
-    }.keySet
+    hierProbeMap(queries, centroids, l1, groupOf, l1Probes, nProbes,
+      metric).keySet
 
   /** [[searchShardedHierarchical]] served straight off a PERSISTED
     * sharded layout with ZERO corpus shuffle — the 100 TB serving shape
@@ -455,16 +480,15 @@ object Vamana {
                                searchWindow: Int, l1Probes: Int,
                                nProbes: Int, metric: Metric,
                                searchCapacity: Int = 0,
-                               keep: org.apache.spark.sql.Column = lit(true))
+                               keep: org.apache.spark.sql.Column = lit(true),
+                               prebuiltProbes: Option[Map[Long,
+                                 Array[(Long, Array[Double])]]] = None)
       : DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     require(searchWindow >= k, "searchWindow must be ≥ k")
-    val pm = probeMapWith(queries, centroids, metric) { (qRows, cents) =>
-      BatchScore.probeTopKHierarchical(qRows, cents,
-        l1.sortBy(_._1).map { case (i, v) => (i, v.toArray) }.toIndexedSeq,
-        groupOf, l1Probes, nProbes, metric)
-    }
+    val pm = prebuiltProbes.getOrElse(hierProbeMap(queries, centroids, l1,
+      groupOf, l1Probes, nProbes, metric))
     val bc = spark.sparkContext.broadcast(pm)
     import org.apache.spark.sql.types.{ArrayType, ByteType, FloatType, StructType}
     val isFloat = clusteredSchema("vec").dataType match {

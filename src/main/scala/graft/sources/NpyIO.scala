@@ -429,26 +429,36 @@ object NpyIO {
     val tmp = new Path(out.getParent, out.getName + ".tmp")
     val os = fs.create(tmp, true)
     try body(os) finally os.close()
-    // replace semantics: prefer the single-step overwrite rename
-    // (FileContext.rename with Options.Rename.OVERWRITE — atomic on
-    // HDFS/posix), so a crash mid-replace can never leave NEITHER the
-    // old nor the new artifact. Filesystems without an AbstractFileSystem
-    // binding (no FileContext) fall back to delete+rename, which has a
-    // window where only `.tmp` exists — there, a failed RE-RUN over an
-    // existing output can destroy the prior artifact; the body-failure
-    // contract (pre-existing output intact) holds on both paths.
-    try {
-      // qualify so getFileContext sees a concrete scheme even when the
-      // caller passed a bare "/path" (scheme-less URIs are rejected)
-      val qOut = fs.makeQualified(out)
-      org.apache.hadoop.fs.FileContext.getFileContext(qOut.toUri, conf)
-        .rename(fs.makeQualified(tmp), qOut,
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        fs.delete(out, false)
-        require(fs.rename(tmp, out), s"rename $tmp -> $out failed")
-    }
+    // replace semantics, strongest available per filesystem:
+    //  - file://  → java.nio ATOMIC_MOVE (a true posix rename(2): the
+    //    destination always holds either the old or the new artifact);
+    //  - HDFS     → FileContext.rename(OVERWRITE), which DFSClient
+    //    implements as one atomic namenode op;
+    //  - other FileContext-bound FSes → the same call, BUT the
+    //    AbstractFileSystem DEFAULT implements overwrite as
+    //    delete-then-rename — there a crash mid-replace can still leave
+    //    only `.tmp` (open() - style recovery is the caller's job);
+    //  - no AbstractFileSystem binding → explicit delete+rename, same
+    //    window. The body-failure contract (a failed RE-RUN leaves the
+    //    pre-existing output intact) holds on every path: the body
+    //    writes only `.tmp`.
+    val qOut = fs.makeQualified(out)
+    if ("file" == qOut.toUri.getScheme)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(qOut.toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    else
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(qOut.toUri, conf)
+          .rename(fs.makeQualified(tmp), qOut,
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          fs.delete(out, false)
+          require(fs.rename(tmp, out), s"rename $tmp -> $out failed")
+      }
   }
 
   /** Best-effort sweep of stale `*.tmp` orphans that a failed or
