@@ -1069,6 +1069,19 @@ object SparkEntry {
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 
+  /** q185: the ONE compressed-serving entry point end-to-end —
+    * `GraphLayout.serveAdc` in Auto mode over q151/q181's stored PQ
+    * layout: probes once on the walk metric, dispatches (store on disk)
+    * to the zero-shuffle codes walk, reranks exactly. Rows are
+    * bit-identical to both manual ADC paths (GraphLayoutSpec), so q148's
+    * oracle certifies the dispatcher itself through DuckDB. */
+  private def serveAdcAutoQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphLayout.serveAdc(storedGraphLayout(s, dir),
+        embQueries(s, dir), K, searchWindow = 1 << 14,
+        nProbes = VamanaProbes, kReorder = PqWalkReorder)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+
   /** q182: filtered × compressed × LOCAL serving — q157's traverse-but-
     * filter PQ-ADC walk through `searchAdcLocal`'s zero-corpus-shuffle
     * path: the keep predicate is analyzer-resolved and bound against the
@@ -1181,6 +1194,29 @@ object SparkEntry {
       sys.error("q169: routing level not persisted"))
     graft.operators.IndexLayout.searchRouted(layout, embQueries(s, dir), K,
         l1Probes = l1Size, nProbes = IvfPqProbes, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** q186: the codec-layout serving entry point end-to-end —
+    * `IndexLayout.serve` over q169's routed IVFADC store: one call
+    * signature dispatches through the persisted level-1 (l1Probes > 0 and
+    * the layout has routing). At exhaustive level-1 routed ≡ flat
+    * (IndexRoutingSpec) and serve ≡ searchRouted, so q156/q169's oracle
+    * certifies the dispatcher itself. */
+  private def indexServeQ(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_q186_index_serve_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val cents = ivfPqCents(s, dir)
+    graft.operators.IndexLayout.write(
+      KMeans.assign(embVectors(s, dir), cents), cents, path,
+      graft.operators.IndexLayout.PqResC(pqParams(s, dir)),
+      routingGroups = 4)
+    val layout = graft.operators.IndexLayout.open(s, path)
+    val l1Size = layout.routing.map(_._1.size).getOrElse(
+      sys.error("q186: routing level not persisted"))
+    graft.operators.IndexLayout.serve(layout, embQueries(s, dir), K,
+        nProbes = IvfPqProbes, Metric.L2, l1Probes = l1Size)
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
   }
@@ -3165,6 +3201,8 @@ object SparkEntry {
     "q182_pq_walk_filtered_local" -> (pqWalkFilteredLocalQ _),
     "q183_bf16_vamana_stored" -> (vamanaStoredBf16Q _),
     "q184_serve_auto" -> (serveAutoQ _),
+    "q185_serve_adc_auto" -> (serveAdcAutoQ _),
+    "q186_index_serve" -> (indexServeQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3582,5 +3620,16 @@ object SparkEntry {
     // exhaustive l1Probes routing ≡ flat, so q24/q150/q180's oracle
     // certifies the dispatcher end-to-end.
     "q184_serve_auto" -> OracleGen.vamanaShardedKnn(K, VamanaProbes),
+    // q185: serveAdc() Auto over the q151 store — both dispatch outcomes
+    // are bit-identical to searchAdc[Local] (GraphLayoutSpec), so
+    // q148/q151/q181's reranked-ADC oracle certifies the compressed
+    // dispatcher end-to-end.
+    "q185_serve_adc_auto" ->
+      OracleGen.pqWalkRerank(PqM, PqK, K, VamanaProbes, PqWalkReorder),
+    // q186: IndexLayout.serve over the routed IVFADC store — serve ≡
+    // searchRouted ≡ flat at exhaustive level-1 (IndexRoutingSpec), so
+    // q156/q169's oracle certifies the codec-layout dispatcher.
+    "q186_index_serve" ->
+      OracleGen.ivfPqSearch(PqM, PqK, K, IvfPqProbes),
   )
 }

@@ -299,13 +299,15 @@ object GraphLayout {
   def searchAdc(layout: Layout, queries: DataFrame, k: Int,
                 searchWindow: Int, nProbes: Int, kReorder: Int = 0,
                 metric: Metric = Metric.L2,
-                keep: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+                keep: org.apache.spark.sql.Column = lit(true),
+                prebuiltProbes: Option[Map[Long,
+                  Array[(Long, Array[Double])]]] = None): DataFrame = {
     val codes = layout.codes.getOrElse(
       sys.error("layout has no PQ codes — write(pq = Some(...)) first"))
     val p = layout.pq.get
     if (kReorder <= 0)
       Vamana.searchShardedAdc(queries, codes, layout.graph, layout.centroids,
-        p, k, searchWindow, nProbes, metric, keep)
+        p, k, searchWindow, nProbes, metric, keep, prebuiltProbes)
     else {
       // walk on a subspace-decomposable metric, rerank on the requested
       // one — this is how cosine serves from the stored layout (the walk
@@ -314,7 +316,8 @@ object GraphLayout {
         if (metric == Metric.L2 || metric == Metric.IP) metric else Metric.L2
       Vamana.searchShardedAdcRerank(queries, codes, layout.graph,
         layout.centroids, p, layout.clustered, k, kReorder, searchWindow,
-        nProbes, walkMetric = walkM, rerankMetric = metric, keep = keep)
+        nProbes, walkMetric = walkM, rerankMetric = metric, keep = keep,
+        prebuiltProbes = prebuiltProbes)
     }
   }
 
@@ -357,7 +360,9 @@ object GraphLayout {
   def searchAdcLocal(layout: Layout, queries: DataFrame, k: Int,
                      searchWindow: Int, nProbes: Int, kReorder: Int = 0,
                      metric: Metric = Metric.L2,
-                     keep: org.apache.spark.sql.Column = lit(true))
+                     keep: org.apache.spark.sql.Column = lit(true),
+                     prebuiltProbes: Option[Map[Long,
+                       Array[(Long, Array[Double])]]] = None)
       : DataFrame = {
     val path = layout.path.getOrElse(sys.error(
       "searchAdcLocal serves straight off the stored partition dirs — " +
@@ -368,14 +373,14 @@ object GraphLayout {
     if (kReorder <= 0)
       Vamana.searchStoredAdc(queries, s"$path/codes", s"$path/graph",
         codes.schema, layout.graph.schema, layout.centroids, p, k,
-        searchWindow, nProbes, metric, keep)
+        searchWindow, nProbes, metric, keep, prebuiltProbes)
     else {
       val walkM =
         if (metric == Metric.L2 || metric == Metric.IP) metric else Metric.L2
       val cand = Vamana.searchStoredAdc(queries, s"$path/codes",
         s"$path/graph", codes.schema, layout.graph.schema,
         layout.centroids, p, kReorder * k, searchWindow, nProbes, walkM,
-        keep)
+        keep, prebuiltProbes)
       Rerank.exact(cand, queries, layout.clustered, k, metric)
     }
   }
@@ -506,6 +511,82 @@ object GraphLayout {
           layout.graph, layout.centroids, k, searchWindow, nProbes,
           metric, keep, prebuiltProbes = Some(pm))
     }
+  }
+
+  /** [[serve]]'s DiskANN twin — ONE entry point for compressed serving
+    * that dispatches between the two ADC execution paths:
+    *
+    *   - the zero-corpus-shuffle LOCAL codes walk ([[searchAdcLocal]]) —
+    *     I/O = the probed shards' CODE partitions (64× smaller than
+    *     data), exchange = top-k partials (+ the |Q|·kReorder·k rerank
+    *     rows when kReorder > 0). SCALE.md 10M/10⁸: 174 KB/168 KB
+    *     exchange vs the cogroup's 1.55 GB on the same store — Auto
+    *     picks it whenever the codes dirs are on disk.
+    *   - the COGROUP codes walk ([[searchAdc]]) — required for in-memory
+    *     layouts, and the manual pick when the codes frame is already
+    *     cache-resident in cluster memory.
+    *
+    * Probing runs EXACTLY ONCE on the WALK metric (ADC probe routing is
+    * flat — codes shards carry no level-1) and the map threads through
+    * whichever path is dispatched, so the planner provably probes the
+    * shards the walk reads. Walk-metric rules are [[searchAdc]]'s: with
+    * `kReorder ≤ 0` the metric must be subspace-decomposable (L2/IP);
+    * with a rerank, a non-decomposable metric (cosine) walks on L2 and
+    * reranks exactly. `keep` is the traverse-but-filter predicate over
+    * the codes columns on BOTH paths. Both paths return bit-identical
+    * rows (GraphLayoutSpec), so the dispatch is a pure cost decision —
+    * the reference posture of one type-erased `search()`
+    * (orchestrators/manager.h:217) extended to its compressed datasets. */
+  def serveAdc(layout: Layout, queries: DataFrame, k: Int,
+               searchWindow: Int, nProbes: Int, kReorder: Int = 0,
+               metric: Metric = Metric.L2,
+               keep: org.apache.spark.sql.Column = lit(true),
+               mode: ServeMode = ServeMode.Auto,
+               localMaxFraction: Double = 1.0): DataFrame = {
+    require(layout.codes.isDefined,
+      "serveAdc needs PQ codes — write(pq = Some(...)) first")
+    val walkM =
+      if (metric == Metric.L2 || metric == Metric.IP) metric
+      else {
+        require(kReorder > 0,
+          s"ADC requires a subspace-decomposable metric (L2/IP) unless " +
+            s"kReorder > 0 reranks exactly — got $metric with no rerank")
+        Metric.L2
+      }
+    // probe ONCE, on the metric the codes walk will use
+    val pm = Vamana.flatProbeMap(queries, layout.centroids, nProbes, walkM)
+    val chosen = mode match {
+      case ServeMode.Local   => "local"
+      case ServeMode.Cogroup => "cogroup"
+      case ServeMode.Auto    =>
+        val fraction = pm.size.toDouble / layout.centroids.size
+        if (fraction <= localMaxFraction && layout.path.isDefined) "local"
+        else "cogroup"
+    }
+    if (chosen == "local")
+      searchAdcLocal(layout, queries, k, searchWindow, nProbes, kReorder,
+        metric, keep, prebuiltProbes = Some(pm))
+    else
+      searchAdc(layout, queries, k, searchWindow, nProbes, kReorder,
+        metric, keep, prebuiltProbes = Some(pm))
+  }
+
+  /** The dispatch [[serveAdc]] will take for this batch, without running
+    * it — [[serveDecision]]'s ADC twin: ("local" | "cogroup",
+    * probe-union fraction), probed on the walk metric like the serve
+    * itself. */
+  def serveAdcDecision(layout: Layout, queries: DataFrame, nProbes: Int,
+                       metric: Metric = Metric.L2,
+                       localMaxFraction: Double = 1.0): (String, Double) = {
+    val walkM =
+      if (metric == Metric.L2 || metric == Metric.IP) metric else Metric.L2
+    val probed = Vamana.probedShards(queries, layout.centroids, nProbes,
+      walkM)
+    val fraction = probed.size.toDouble / layout.centroids.size
+    val m =
+      if (fraction <= localMaxFraction && layout.path.isDefined) "local"
+      else "cogroup"
+    (m, fraction)
   }
 
   /** Incremental maintenance of the persisted index — the M1–M4 lifecycle

@@ -310,6 +310,27 @@ object IndexLayout {
     }
   }
 
+  /** ONE serving entry point for the stored-IVF codec layouts — the
+    * [[GraphLayout.serve]] posture (reference: one type-erased
+    * `search()`, orchestrators/manager.h:217) applied here: routes
+    * through the persisted level-1 when the layout HAS one and the
+    * caller asks for routing (`l1Probes > 0`), falls back to the flat
+    * probe sweep otherwise — so one call signature serves every codec
+    * (Uncompressed/SQ/LVQ/LeanVec/IVFADC) and every layout, routed or
+    * not. There is no local/cogroup regime choice on this family: every
+    * coarse pass already broadcasts the probe list and scans only the
+    * probed `cluster_id=` partitions (PlanSpec pins the
+    * PartitionFilters), so corpus rows never shuffle on ANY path.
+    * At `l1Probes = |l1|` routed ≡ flat bit-for-bit (IndexRoutingSpec),
+    * making the dispatch a pure cost decision like serve()'s. */
+  def serve(layout: Layout, queries: DataFrame, k: Int, nProbes: Int,
+            metric: Metric, l1Probes: Int = 0,
+            kReorder: Int = 3): DataFrame =
+    if (layout.routing.isDefined && l1Probes > 0)
+      searchRouted(layout, queries, k, l1Probes, nProbes, metric, kReorder)
+    else
+      search(layout, queries, k, nProbes, metric, kReorder)
+
   private def writeSidecar(spark: SparkSession, path: String,
                            json: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)

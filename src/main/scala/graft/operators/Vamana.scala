@@ -841,7 +841,9 @@ object Vamana {
                        centroids: Seq[(Long, Seq[Double])], p: Pq.Params,
                        k: Int, searchWindow: Int, nProbes: Int,
                        metric: Metric = Metric.L2,
-                       keep: org.apache.spark.sql.Column = lit(true))
+                       keep: org.apache.spark.sql.Column = lit(true),
+                       prebuiltProbes: Option[Map[Long,
+                         Array[(Long, Array[Double])]]] = None)
       : DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
@@ -849,7 +851,8 @@ object Vamana {
     require(metric == Metric.L2 || metric == Metric.IP,
       s"ADC requires a subspace-decomposable metric (L2/IP), got $metric")
 
-    val probesByCluster = probeMap(queries, centroids, nProbes, metric)
+    val probesByCluster =
+      prebuiltProbes.getOrElse(probeMap(queries, centroids, nProbes, metric))
     val bc = spark.sparkContext.broadcast(probesByCluster)
     val probedIds = probesByCluster.keys.toSeq
     val m = metric
@@ -905,10 +908,12 @@ object Vamana {
                              kReorder: Int, searchWindow: Int, nProbes: Int,
                              walkMetric: Metric = Metric.L2,
                              rerankMetric: Metric = Metric.L2,
-                             keep: org.apache.spark.sql.Column = lit(true))
+                             keep: org.apache.spark.sql.Column = lit(true),
+                             prebuiltProbes: Option[Map[Long,
+                               Array[(Long, Array[Double])]]] = None)
       : DataFrame = {
     val cand = searchShardedAdc(queries, codes, graph, centroids, p,
-      kReorder * k, searchWindow, nProbes, walkMetric, keep)
+      kReorder * k, searchWindow, nProbes, walkMetric, keep, prebuiltProbes)
     Rerank.exact(cand, queries, data, k, rerankMetric)
   }
 
@@ -930,14 +935,17 @@ object Vamana {
                       centroids: Seq[(Long, Seq[Double])], p: Pq.Params,
                       k: Int, searchWindow: Int, nProbes: Int,
                       metric: Metric = Metric.L2,
-                      keep: org.apache.spark.sql.Column = lit(true))
+                      keep: org.apache.spark.sql.Column = lit(true),
+                      prebuiltProbes: Option[Map[Long,
+                        Array[(Long, Array[Double])]]] = None)
       : DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     require(searchWindow >= k, "searchWindow must be ≥ k")
     require(metric == Metric.L2 || metric == Metric.IP,
       s"ADC requires a subspace-decomposable metric (L2/IP), got $metric")
-    val pm = probeMap(queries, centroids, nProbes, metric)
+    val pm = prebuiltProbes.getOrElse(
+      probeMap(queries, centroids, nProbes, metric))
     val bc = spark.sparkContext.broadcast(pm)
     import org.apache.spark.sql.types.StructType
     val cSub = StructType(codesSchema.filterNot(_.name == "cluster_id"))

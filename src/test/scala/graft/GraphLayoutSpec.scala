@@ -376,6 +376,84 @@ class GraphLayoutSpec extends SparkSpec {
       nProbes = 1, Metric.L2, l1Probes = 1)))
   }
 
+  test("serveAdc(): one compressed-serving entry point auto-dispatches " +
+      "local vs cogroup; rows bit-identical to both manual ADC paths; " +
+      "keep + rerank + cosine-walks-L2 + override honored") {
+    val (_, cents, clustered, graph, p) = fixture()
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    val path = "/tmp/graft_graphlayout_serveadc"
+    GraphLayout.write(clustered, graph, cents, path, pq = Some(p))
+    val layout = GraphLayout.open(spark, path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+
+    // SELECTIVE regime: one query, one probe → local at the default dial
+    val q1 = queries.orderBy("query_id").limit(1)
+    val (m1, f1) = GraphLayout.serveAdcDecision(layout, q1, nProbes = 1)
+    assert(m1 === "local" && f1 <= 0.5, s"($m1, $f1)")
+    val servedSel = rows(GraphLayout.serveAdc(layout, q1, 5, 32,
+      nProbes = 1))
+    assert(servedSel === rows(GraphLayout.searchAdcLocal(layout, q1, 5, 32,
+      nProbes = 1)))
+    assert(servedSel === rows(GraphLayout.searchAdc(layout, q1, 5, 32,
+      nProbes = 1)))
+
+    // SATURATING regime: default stays local (zero corpus shuffle wins
+    // both regimes post-r12); the dial pins the cogroup outcome
+    val (m2, f2) = GraphLayout.serveAdcDecision(layout, queries,
+      nProbes = 4)
+    assert(m2 === "local" && f2 > 0.5, s"($m2, $f2)")
+    assert(GraphLayout.serveAdcDecision(layout, queries, nProbes = 4,
+      localMaxFraction = 0.5)._1 === "cogroup")
+    val servedSat = rows(GraphLayout.serveAdc(layout, queries, 5, 32,
+      nProbes = 4))
+    assert(servedSat === rows(GraphLayout.searchAdc(layout, queries, 5, 32,
+      nProbes = 4)))
+    assert(servedSat === rows(GraphLayout.serveAdc(layout, queries, 5, 32,
+      nProbes = 4, localMaxFraction = 0.5))) // dialed ⇒ cogroup, same rows
+
+    // override forces the other path, rows unchanged
+    assert(servedSel === rows(GraphLayout.serveAdc(layout, q1, 5, 32,
+      nProbes = 1, mode = GraphLayout.ServeMode.Cogroup)))
+    assert(servedSat === rows(GraphLayout.serveAdc(layout, queries, 5, 32,
+      nProbes = 4, mode = GraphLayout.ServeMode.Local)))
+
+    // rerank + keep on both dispatch outcomes ≡ the manual paths
+    val keep = col("id") % 3 =!= 1
+    val kept = rows(GraphLayout.serveAdc(layout, queries, 5, 32,
+      nProbes = 3, kReorder = 2, keep = keep))
+    kept.foreach(r => assert(r(2).asInstanceOf[Long] % 3 !== 1))
+    assert(kept === rows(GraphLayout.searchAdc(layout, queries, 5, 32,
+      nProbes = 3, kReorder = 2, keep = keep)))
+    assert(kept === rows(GraphLayout.serveAdc(layout, queries, 5, 32,
+      nProbes = 3, kReorder = 2, keep = keep, localMaxFraction = 0.5)))
+
+    // cosine walks L2 and reranks cosine on BOTH dispatch outcomes —
+    // and the probe map (built on the walk metric) matches the manual
+    // paths' probing exactly
+    val cosServed = rows(GraphLayout.serveAdc(layout, queries, 5, 32,
+      nProbes = 3, kReorder = 2, metric = Metric.Cosine))
+    assert(cosServed === rows(GraphLayout.searchAdc(layout, queries, 5, 32,
+      nProbes = 3, kReorder = 2, metric = Metric.Cosine)))
+    assert(cosServed === rows(GraphLayout.serveAdc(layout, queries, 5, 32,
+      nProbes = 3, kReorder = 2, metric = Metric.Cosine,
+      mode = GraphLayout.ServeMode.Cogroup)))
+    // cosine with NO rerank cannot walk ADC — loud failure
+    assertThrows[IllegalArgumentException] {
+      GraphLayout.serveAdc(layout, queries, 5, 32, nProbes = 3,
+        metric = Metric.Cosine)
+    }
+
+    // an in-memory layout (no path) can only cogroup — Auto must not
+    // dispatch local into a sys.error
+    val mem = layout.copy(path = None)
+    assert(GraphLayout.serveAdcDecision(mem, q1, nProbes = 1)._1 ===
+      "cogroup")
+    assert(servedSel === rows(GraphLayout.serveAdc(mem, q1, 5, 32,
+      nProbes = 1)))
+  }
+
   test("upsert ↔ local-serve contract: a serve planned pre-upsert fails " +
       "loudly once its probed partitions are overwritten — never a " +
       "silent mixed read; a reopened layout serves the merged corpus") {

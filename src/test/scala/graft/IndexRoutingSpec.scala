@@ -50,6 +50,27 @@ class IndexRoutingSpec extends SparkSpec {
         .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
       assert(routed === flat, s"$tag: routed ≠ flat at exhaustive level-1")
       assert(routed.nonEmpty, tag)
+      // serve(): the one entry point dispatches routed when asked
+      // (l1Probes > 0) and flat otherwise — ≡ the manual calls for
+      // every codec shape
+      val servedRouted = IndexLayout.serve(layout, q, 10, nProbes = 8,
+          Metric.L2, l1Probes = l1.size)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+      assert(servedRouted === routed, s"$tag: serve(routed) ≠ searchRouted")
+      val servedFlat = IndexLayout.serve(layout, q, 10, nProbes = 8,
+          Metric.L2)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+      assert(servedFlat === flat, s"$tag: serve(flat) ≠ search")
+      // a layout with NO routing level serves flat even when the caller
+      // asks for routing — serve() must not dispatch into a sys.error
+      val bareLayout = layout.copy(routing = None)
+      val servedBare = IndexLayout.serve(bareLayout, q, 10, nProbes = 8,
+          Metric.L2, l1Probes = 3)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+      assert(servedBare === flat, s"$tag: serve(bare) ≠ search")
     }
   }
 
