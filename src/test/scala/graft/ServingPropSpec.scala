@@ -182,6 +182,137 @@ class ServingPropSpec extends SparkSpec {
     assert(none.count() === 0)
   }
 
+  test("serveAdc() on random corpora (3 seeds, random m): both dispatch " +
+      "outcomes ≡ the manual ADC paths; full-window pure-ADC ≡ brute " +
+      "force; keep respected") {
+    for (seed <- Seq(13L, 44L, 91L)) {
+      val dims = 16
+      val m = Seq(2, 4, 8)(new scala.util.Random(seed).nextInt(3))
+      val rows = randData(seed, 60, dims)
+      val data = rows.toDF("id", "vec")
+      val cents = rows.take(3).map { case (id, v) => (id, v.toIndexedSeq) }
+      val clustered = KMeans.assign(data, cents)
+      val graph = Vamana.buildSharded(clustered,
+        BuildParams(maxDegree = 8, buildWindow = 16), Metric.L2)
+      val p = Pq.paramsFromRows(rows.take(4).map(_._2.toArray), m, 4, dims)
+      val path = s"/tmp/graft_prop_serveadc_$seed"
+      graft.operators.GraphLayout.write(clustered, graph, cents, path,
+        pq = Some(p))
+      val layout = graft.operators.GraphLayout.open(spark, path)
+      val queries = rows.take(5)
+        .map { case (id, v) => (id + 1000, v.map(x => 1.0 - x)) }
+        .toDF("query_id", "qvec")
+      def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+      // pure ADC, full window + all probes: the entry point must land on
+      // brute-force flat ADC (same contract as the cogroup walk)
+      val served = rowsOf(graft.operators.GraphLayout.serveAdc(layout,
+        queries, 7, 1 << 12, nProbes = 3))
+      assert(served === rowsOf(graft.operators.GraphLayout.searchAdcLocal(
+        layout, queries, 7, 1 << 12, nProbes = 3)), s"seed $seed local")
+      assert(served === rowsOf(graft.operators.GraphLayout.searchAdc(
+        layout, queries, 7, 1 << 12, nProbes = 3)), s"seed $seed cogroup")
+      assert(served === rowsOf(graft.operators.GraphLayout.serveAdc(layout,
+        queries, 7, 1 << 12, nProbes = 3, localMaxFraction = 0.0)),
+        s"seed $seed dialed")
+      assert(served.map(r => (r(0), r(1), r(2))).toSet ===
+        Pq.searchAdc(queries, Pq.encode(data, p), p, 7)
+          .select("query_id", "rnk", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet, s"seed $seed brute")
+      // reranked + keep through the entry point ≡ the manual path, and
+      // excluded ids never surface
+      val keep = col("id") % 2 === 0
+      val kept = rowsOf(graft.operators.GraphLayout.serveAdc(layout,
+        queries, 7, 1 << 12, nProbes = 3, kReorder = 2, keep = keep))
+      assert(kept === rowsOf(graft.operators.GraphLayout.searchAdc(layout,
+        queries, 7, 1 << 12, nProbes = 3, kReorder = 2, keep = keep)),
+        s"seed $seed keep parity")
+      kept.foreach(r => assert(r(2).asInstanceOf[Long] % 2 === 0,
+        s"seed $seed emitted an excluded id"))
+    }
+  }
+
+  test("stored Hamming serving on random corpora: exhaustive rerank " +
+      "width recovers exact kNN through the bincodes walk; bounded " +
+      "width keeps k rows per query") {
+    for (seed <- Seq(17L, 58L)) {
+      val dims = 24
+      val n = 50
+      val rows = randData(seed, n, dims)
+      val data = rows.toDF("id", "vec")
+      val b = BinaryQuant.train(data)
+      val cents = rows.take(3).map { case (id, v) => (id, v.toIndexedSeq) }
+      val clustered = KMeans.assign(data, cents)
+      val graph = Vamana.buildSharded(clustered,
+        BuildParams(maxDegree = 8, buildWindow = 16), Metric.L2)
+      val path = s"/tmp/graft_prop_hamming_$seed"
+      graft.operators.GraphLayout.write(clustered, graph, cents, path,
+        bin = Some(b))
+      val layout = graft.operators.GraphLayout.open(spark, path)
+      val queries = rows.take(4)
+        .map { case (id, v) => (id + 700, v.map(1.0 - _)) }
+        .toDF("query_id", "qvec")
+      val k = 6
+      // kReorder·k ≥ n + full window + all probes ⇒ the Hamming walk
+      // shortlists EVERY row and the exact rerank is exact kNN — the
+      // stored binary path's analog of the full-window contract
+      val exhaustive = graft.operators.GraphLayout.searchHamming(layout,
+          queries, k, 1 << 12, nProbes = 3, kReorder = (n / k) + 1)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+      val exact = graft.operators.FlatKnn.search(queries, data, k,
+          Metric.L2)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+      assert(exhaustive === exact, s"seed $seed")
+      // bounded width still yields k ranked rows per query
+      val bounded = graft.operators.GraphLayout.searchHamming(layout,
+        queries, k, 1 << 12, nProbes = 3, kReorder = 2)
+      assert(bounded.groupBy("query_id").count().collect()
+        .forall(_.getLong(1) === k), s"seed $seed bounded")
+    }
+  }
+
+  test("LeanVec/MRL serving compositions on random corpora: full-dim " +
+      "truncation ≡ exact; exhaustive rerank ≡ exact at any prefix; " +
+      "trained-projection search with exhaustive rerank ≡ exact") {
+    import graft.operators.LeanVec
+    for (seed <- Seq(29L, 83L)) {
+      val dims = 20
+      val n = 45
+      val rows = randData(seed, n, dims)
+      val data = rows.toDF("id", "vec")
+      val queries = rows.take(4)
+        .map { case (id, v) => (id + 600, v.map(1.0 - _)) }
+        .toDF("query_id", "qvec")
+      val k = 5
+      def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+      val exact = rowsOf(graft.operators.FlatKnn.search(queries, data, k,
+        Metric.L2))
+      // rDims = dims: truncation is the identity, any kReorder ≥ 1 must
+      // already be exact (the coarse pass IS the exact ranking)
+      assert(rowsOf(LeanVec.searchTruncated(queries, data, k,
+        rDims = dims, kReorder = 1)) === exact, s"seed $seed identity")
+      // random strict prefix + exhaustive rerank: the shortlist covers
+      // the corpus, so the exact rerank recovers exact kNN
+      val rd = 2 + new scala.util.Random(seed).nextInt(dims - 2)
+      assert(rowsOf(LeanVec.searchTruncated(queries, data, k, rDims = rd,
+        kReorder = (n / k) + 1)) === exact, s"seed $seed prefix $rd")
+      // learned projection (trained on the corpus) + exhaustive rerank
+      val model = LeanVec.train(data, rDims = 8)
+      assert(rowsOf(LeanVec.search(queries, data, model, k,
+        kReorder = (n / k) + 1)) === exact, s"seed $seed trained")
+      // bounded rerank still yields k ranked rows per query
+      assert(LeanVec.search(queries, data, model, k, kReorder = 2)
+        .groupBy("query_id").count().collect()
+        .forall(_.getLong(1) === k), s"seed $seed bounded")
+    }
+  }
+
   test("serve() on random corpora (3 seeds × f64/u8/f16 residency): " +
       "both dispatch outcomes ≡ both manual paths, keep respected") {
     for ((seed, res) <- Seq((7L, "f64"), (21L, "u8"), (63L, "f16"))) {
