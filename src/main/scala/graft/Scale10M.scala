@@ -349,6 +349,37 @@ object Scale10M {
       s""""auto100_sec":$tAuto100,""" +
       s""""auto100_shuffle_read_bytes":$shufRau1,""" +
       s""""auto100_shuffle_write_bytes":$shufWau1}""")
+    // serveAdc() auto-dispatch: the compressed-serving entry point must
+    // match the best manual ADC choice (searchAdcLocal per the cogroup
+    // vs local numbers above) at both batch regimes — rows are
+    // spec-pinned bit-identical, so decision + wall + exchange are the
+    // measurements
+    val (adec5, afrac5) = graft.operators.GraphLayout.serveAdcDecision(
+      layout, queries5, nProbes = 8)
+    meter.delta()
+    val (_, tAdcAuto5) = time {
+      graft.operators.GraphLayout.serveAdc(layout, queries5, k,
+          searchWindow = 64, nProbes = 8)
+        .select("query_id", "neighbor_id").count()
+    }
+    val (shufRaa5, shufWaa5) = meter.delta()
+    val (adec100, afrac100) = graft.operators.GraphLayout.serveAdcDecision(
+      layout, queries, nProbes = 8)
+    val (_, tAdcAuto100) = time {
+      graft.operators.GraphLayout.serveAdc(layout, queries, k,
+          searchWindow = 64, nProbes = 8)
+        .select("query_id", "neighbor_id").count()
+    }
+    val (shufRaa1, shufWaa1) = meter.delta()
+    println(s"""{"experiment":"scale10m_serve_adc_auto","n":$n,""" +
+      s""""decision5":"$adec5","fraction5":$afrac5,""" +
+      s""""adc_auto5_sec":$tAdcAuto5,""" +
+      s""""adc_auto5_shuffle_read_bytes":$shufRaa5,""" +
+      s""""adc_auto5_shuffle_write_bytes":$shufWaa5,""" +
+      s""""decision100":"$adec100","fraction100":$afrac100,""" +
+      s""""adc_auto100_sec":$tAdcAuto100,""" +
+      s""""adc_auto100_shuffle_read_bytes":$shufRaa1,""" +
+      s""""adc_auto100_shuffle_write_bytes":$shufWaa1}""")
     println(s"""{"experiment":"scale10m_stored_adc","n":$n,""" +
       s""""codes_bytes":$codesBytes,""" +
       s""""probed_codes_graph_bytes":$probedAdcBytes,""" +

@@ -629,6 +629,26 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** q187: the zero-corpus-shuffle BINARY serve — q162's Hamming walk +
+    * exact rerank through `searchHammingLocal`, which zips each probed
+    * shard's bincodes+graph dirs narrowly into the walk task (8 bytes of
+    * walk state per row — the smallest serving read of any codec; data
+    * touched only for the rerank candidates). ≡ searchHamming
+    * bit-for-bit (GraphLayoutSpec), so q155/q162's oracle certifies it
+    * verbatim. */
+  private def binaryStoredLocalQ(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_q187_bin_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    graft.operators.GraphLayout.write(embLabelClustered(s, dir),
+      embGraph(s, dir), embLabelCentroids(s, dir), path,
+      bin = Some(binParams(s, dir)))
+    val layout = graft.operators.GraphLayout.open(s, path)
+    graft.operators.GraphLayout.searchHammingLocal(layout,
+        embQueries(s, dir), K, searchWindow = 1 << 14,
+        nProbes = layout.centroids.size, kReorder = PqWalkReorder)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   private[graft] val DsirTargetMod = 7L
 
   /** q159: DSIR importance weights (Xie et al. NeurIPS'23) — how much
@@ -3203,6 +3223,7 @@ object SparkEntry {
     "q184_serve_auto" -> (serveAutoQ _),
     "q185_serve_adc_auto" -> (serveAdcAutoQ _),
     "q186_index_serve" -> (indexServeQ _),
+    "q187_binary_stored_local" -> (binaryStoredLocalQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3631,5 +3652,9 @@ object SparkEntry {
     // q156/q169's oracle certifies the codec-layout dispatcher.
     "q186_index_serve" ->
       OracleGen.ivfPqSearch(PqM, PqK, K, IvfPqProbes),
+    // q187: the local binary serve ≡ searchHamming (GraphLayoutSpec pins
+    // it), all shards probed at full window ⇒ global Hamming top-R +
+    // exact rerank — q155/q162's oracle verbatim.
+    "q187_binary_stored_local" -> OracleGen.binaryRerank(K, PqWalkReorder),
   )
 }

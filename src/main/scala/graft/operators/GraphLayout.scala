@@ -816,6 +816,36 @@ object GraphLayout {
     Rerank.exact(cand, queries, layout.clustered, k, rerankMetric)
   }
 
+  /** [[searchHamming]] with ZERO corpus shuffle ([[searchAdcLocal]]'s
+    * binary twin, completing the local serving family): the Hamming walk
+    * zips each probed shard's `bincodes/cluster_id=c` +
+    * `graph/cluster_id=c` dirs narrowly into the walk task — candidates
+    * bit-identical to [[searchHamming]], I/O = the probed BINCODE
+    * partitions (8 bytes of walk state per row, the smallest serving
+    * read of any codec), exchange = the |Q|·nProbes·(kReorder·k) walk
+    * partials plus the exact rerank's candidate rows of `data`. */
+  def searchHammingLocal(layout: Layout, queries: DataFrame, k: Int,
+                         searchWindow: Int, nProbes: Int, kReorder: Int,
+                         rerankMetric: Metric = Metric.L2): DataFrame = {
+    val path = layout.path.getOrElse(sys.error(
+      "searchHammingLocal serves straight off the stored partition dirs " +
+        "— open the layout from disk (GraphLayout.open) first"))
+    val b = layout.bin.getOrElse(
+      sys.error("layout has no binary codes — write(bin = Some(...)) first"))
+    val codes = layout.binCodes.getOrElse(sys.error(
+      "layout has no bincodes table — rewrite with bin = Some(...) " +
+        "(sidecar thresholds present but bincodes directory missing)"))
+    val wordCents = layout.centroids.map { case (cid, cv) =>
+      (cid, BinaryQuant.encodeWords(cv, b)) }
+    val qWords = queries.select(col("query_id"),
+      array(BinaryQuant.codeColumns(col("qvec"), b)
+        .map(_.cast("double")): _*).as("qvec"))
+    val cand = Vamana.searchStoredHamming(qWords, s"$path/bincodes",
+      s"$path/graph", codes.schema, layout.graph.schema, wordCents,
+      b.words, kReorder * k, searchWindow, nProbes)
+    Rerank.exact(cand, queries, layout.clustered, k, rerankMetric)
+  }
+
   private def writeSidecar(spark: SparkSession, path: String,
                            json: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)

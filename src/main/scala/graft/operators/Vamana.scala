@@ -986,6 +986,59 @@ object Vamana {
       case n: java.lang.Number => n.intValue()
     }
 
+  /** The binary (sign-bit word) twin of [[searchStoredAdc]]: Hamming
+    * walk served straight off a persisted layout's
+    * `bincodes/cluster_id=c` + `graph/cluster_id=c` dirs with ZERO
+    * corpus shuffle — one task per probed shard reads word codes + graph
+    * files directly into the same walk kernel the cogroup path uses
+    * (words-as-doubles `DoubleStore`, `Metric.Hamming` — exactly the
+    * frame [[graft.operators.GraphLayout.searchHamming]] builds), so
+    * candidates are bit-identical and the only exchange is the
+    * |Q|·nProbes·k top-k partials. At 100 TB this is the smallest
+    * serving I/O shape of all: 8 bytes of walk state per row.
+    * `queries` must already be word-encoded (query_id, qvec of
+    * word-doubles); `wordCents` are the word-encoded centroids the probe
+    * routing scores — both exactly as the cogroup path prepares them. */
+  def searchStoredHamming(queries: DataFrame, codesPath: String,
+                          graphPath: String,
+                          codesSchema: org.apache.spark.sql.types.StructType,
+                          graphSchema: org.apache.spark.sql.types.StructType,
+                          wordCents: Seq[(Long, Seq[Double])], words: Int,
+                          k: Int, searchWindow: Int, nProbes: Int)
+      : DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(searchWindow >= k, "searchWindow must be ≥ k")
+    val pm = probeMap(queries, wordCents, nProbes, Metric.Hamming)
+    val bc = spark.sparkContext.broadcast(pm)
+    import org.apache.spark.sql.types.StructType
+    val cSub = StructType(codesSchema.filterNot(_.name == "cluster_id"))
+    val gSub = StructType(graphSchema.filterNot(_.name == "cluster_id"))
+    val cIdIx = cSub.fieldIndex("id")
+    val wIxs = (0 until words).map(j => cSub.fieldIndex(s"w$j")).toArray
+    val gIdIx = gSub.fieldIndex("id")
+    val gEntryIx = gSub.fieldIndex("entry_id")
+    val gNbrIx = gSub.fieldIndex("neighbors")
+    zipServe(spark, pm.keys.toSeq, codesPath, graphPath, cSub, gSub,
+      None,
+      (cid, cIt, gIt) => {
+          val qs = bc.value.getOrElse(cid,
+            Array.empty[(Long, Array[Double])])
+          if (qs.isEmpty) Iterator.empty
+          else {
+            val g = gIt.map(r => (cid, longAt(r, gIdIx),
+              longAt(r, gEntryIx), longArrayAt(r, gNbrIx)))
+            val rows = cIt.map { case (r, _) => (longAt(r, cIdIx),
+              wIxs.map(ix => longAt(r, ix).toDouble)) }
+              .toArray.sortBy(_._1)
+            walkMerged(cid, rows.map(x => (x._1, true)),
+              idxs => new VamanaKernel.DoubleStore(
+                idxs.map(ix => rows(ix)._2)),
+              g, qs, k, searchWindow, 0, Metric.Hamming)
+          }
+      }, k, Metric.Hamming)
+  }
+
   /** Driver-side probe routing shared by [[searchSharded]] and
     * [[searchPrepared]]: nProbes nearest centroids per query, inverted to
     * cluster → query-batch for broadcast. Queries must be broadcast-small

@@ -169,6 +169,24 @@ class GraphLayoutSpec extends SparkSpec {
         BinaryQuant.encode(data, b), b, data, 10, 4)
       .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
     assert(served === mem)
+    // the zero-corpus-shuffle local twin ≡ the cogroup path bit-for-bit,
+    // exhaustive probes AND a selective probe subset
+    val servedLocal = GraphLayout.searchHammingLocal(layout, queries, 10,
+        searchWindow = 1 << 14, nProbes = cents.size, kReorder = 4)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(servedLocal === served)
+    val sel = GraphLayout.searchHamming(layout, queries, 10,
+        searchWindow = 1 << 14, nProbes = 1, kReorder = 4)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(GraphLayout.searchHammingLocal(layout, queries, 10,
+        searchWindow = 1 << 14, nProbes = 1, kReorder = 4)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq === sel)
+    // a memory-only layout cannot serve locally — loud failure
+    val e = intercept[RuntimeException] {
+      GraphLayout.searchHammingLocal(layout.copy(path = None), queries,
+        10, searchWindow = 1 << 14, nProbes = 1, kReorder = 4)
+    }
+    assert(e.getMessage.contains("open"))
     // upsert keeps bincodes in sync: after an add+delete, the served
     // global rerank equals the in-memory two-pass over the survivors
     val added = data.filter(col("id") % 61 === 2).orderBy("id").limit(6)
