@@ -111,5 +111,63 @@ object KernelBench {
           f""""speedup":${dbSimd / db}%.3f}""")
       }
     }
+
+    // ---- overflow re-prune second-gather share ----------------------------
+    // The overflow path gathers (dst :: neighbors) to build the re-prune
+    // pool, then robustPrune gathers the SAME rows again (its contract
+    // gathers after in-place compaction+sort, so the caller's view can't
+    // be reused without renumbering pool slots — which would change
+    // distance-tie order: `less` tie-breaks on slot id). This leg bounds
+    // what a reuse overload could save: the second gather's wall as a
+    // fraction of the full robustPrune call, on the half-resident store
+    // (the residency with the most expensive decode), at the pool widths
+    // the build actually sees (maxDegree 16/64 + overflow slack).
+    {
+      import graft.operators.VamanaKernel
+      val d = 64
+      val rnd2 = new scala.util.Random(7)
+      val nRows = 512
+      val halfRows = Array.fill(nRows)(Array.fill(d)(
+        graft.functions.Binary16.floatToHalf(rnd2.nextDouble().toFloat)))
+      val store = new VamanaKernel.HalfStore(halfRows, bf16 = false)
+      for (w <- Seq(16, 32, 64, 96)) {
+        val slots = Array.tabulate(w)(i => (i * 5) % nRows)
+        def mkPool(): VamanaKernel.CandidatePool = {
+          val p = new VamanaKernel.CandidatePool(w)
+          var i = 0
+          while (i < w) {
+            p.add(slots(i), store.dist(Metric.L2,
+              Array.fill(d)(0.5), slots(i))); i += 1 }
+          p
+        }
+        var bestPrune = Double.MaxValue
+        var bestGather = Double.MaxValue
+        var sink = 0
+        for (_ <- 0 until rounds) {
+          val p = mkPool()
+          val t0 = System.nanoTime()
+          var rep = 0
+          while (rep < reps) {
+            val pp = mkPool()
+            sink += VamanaKernel.robustPrune(0, pp, 1.2, w / 2, store,
+              Metric.L2).length
+            rep += 1
+          }
+          bestPrune = math.min(bestPrune, (System.nanoTime() - t0) / 1e9)
+          val t1 = System.nanoTime()
+          rep = 0
+          while (rep < reps) {
+            sink += store.gather(p.slots.take(p.n)).n
+            rep += 1
+          }
+          bestGather = math.min(bestGather, (System.nanoTime() - t1) / 1e9)
+        }
+        if (sink == Int.MinValue) print("")
+        println(f"""{"experiment":"overflow_regather","pool_w":$w,""" +
+          f""""dims":$d,"prune_call_sec":${bestPrune / reps}%.3e,""" +
+          f""""second_gather_sec":${bestGather / reps}%.3e,""" +
+          f""""gather_share":${bestGather / bestPrune}%.3f}""")
+      }
+    }
   }
 }

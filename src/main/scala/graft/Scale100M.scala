@@ -301,6 +301,45 @@ object Scale100M {
       s""""adc_local_shuffle_read_bytes":$shufRal,""" +
       s""""adc_local_shuffle_write_bytes":$shufWal}""")
 
+    // ---- the COGROUP contrast at 10⁸ (r12b) -------------------------------
+    // The exchange-volume regime the local paths replace, measured one
+    // order past the 10M run: searchRouted moves the probed shards'
+    // data+graph rows through one exchange per side, searchAdc the
+    // codes+graph rows. The local wins above are only proven at this
+    // scale if the cogroup numbers are MEASURED here too, not
+    // extrapolated. serveAdc() Auto then has both regimes on record to
+    // dispatch between.
+    meter.delta()
+    val (_, tCog100) = time {
+      GraphLayout.searchRouted(layout, queries, k, searchWindow = 64,
+        l1Probes = l1Probes, nProbes = 8, simdL2).count()
+    }
+    val (shufRc, shufWc) = meter.delta()
+    val (_, tAdcCog) = time {
+      GraphLayout.searchAdc(layout, queries, k, searchWindow = 64,
+        nProbes = 8).count()
+    }
+    val (shufRac, shufWac) = meter.delta()
+    val (adec100, afrac100) = GraphLayout.serveAdcDecision(layout,
+      queries, 8)
+    val (_, tAdcAuto) = time {
+      GraphLayout.serveAdc(layout, queries, k, searchWindow = 64,
+        nProbes = 8).count()
+    }
+    val (shufRaa, shufWaa) = meter.delta()
+    println(s"""{"experiment":"scale100m_cogroup_contrast","n":$n,""" +
+      s""""cogroup_routed100_sec":$tCog100,""" +
+      s""""cogroup_routed100_shuffle_read_bytes":$shufRc,""" +
+      s""""cogroup_routed100_shuffle_write_bytes":$shufWc,""" +
+      s""""cogroup_adc100_sec":$tAdcCog,""" +
+      s""""cogroup_adc100_shuffle_read_bytes":$shufRac,""" +
+      s""""cogroup_adc100_shuffle_write_bytes":$shufWac,""" +
+      s""""adc_auto_decision100":"$adec100",""" +
+      s""""adc_auto_fraction100":$afrac100,""" +
+      s""""adc_auto100_sec":$tAdcAuto,""" +
+      s""""adc_auto100_shuffle_read_bytes":$shufRaa,""" +
+      s""""adc_auto100_shuffle_write_bytes":$shufWaa}""")
+
     truth.unpersist(); localRes.unpersist()
     queries5.unpersist(); queries.unpersist()
     if (!sys.env.get("SPARK_GRAFT_100M_KEEP").exists(_.nonEmpty))
