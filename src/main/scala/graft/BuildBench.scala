@@ -31,8 +31,17 @@ object BuildBench {
     val vecsH: Array[Array[Short]] =
       if (f16) vecsF.map(_.map(graft.functions.Binary16.floatToHalf))
       else null
-    val params = BuildParams(maxDegree = 32, buildWindow = 64, alpha = 1.2,
-      pruneTo = 28, batchSize = batchSize)
+    // degree/window knobs so the bench can reproduce any harness shape
+    // (e.g. Scale100M's deg 16 / win 32 / pruneTo 14 small-shard config,
+    // where the overflow pools are smallest and per-call overheads
+    // matter most)
+    val deg = sys.env.getOrElse("SPARK_GRAFT_BUILD_DEG", "32").toInt
+    val win = sys.env.getOrElse("SPARK_GRAFT_BUILD_WIN",
+      (deg * 2).toString).toInt
+    val pruneTo = sys.env.getOrElse("SPARK_GRAFT_BUILD_PRUNETO",
+      (deg * 7 / 8).toString).toInt
+    val params = BuildParams(maxDegree = deg, buildWindow = win,
+      alpha = 1.2, pruneTo = pruneTo, batchSize = batchSize)
     for (m <- Seq(Metric.L2, Metric.simd(Metric.L2))) {
       def store(take: Int): VamanaKernel.VecStore =
         if (f16) new VamanaKernel.HalfStore(vecsH.take(take), bf16 = false)

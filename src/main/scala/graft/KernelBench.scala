@@ -132,32 +132,38 @@ object KernelBench {
       val store = new VamanaKernel.HalfStore(halfRows, bf16 = false)
       for (w <- Seq(16, 32, 64, 96)) {
         val slots = Array.tabulate(w)(i => (i * 5) % nRows)
+        val q0 = Array.fill(d)(0.5)
         def mkPool(): VamanaKernel.CandidatePool = {
           val p = new VamanaKernel.CandidatePool(w)
           var i = 0
           while (i < w) {
-            p.add(slots(i), store.dist(Metric.L2,
-              Array.fill(d)(0.5), slots(i))); i += 1 }
+            p.add(slots(i), store.dist(Metric.L2, q0, slots(i))); i += 1 }
           p
         }
+        // robustPrune mutates its pool, so one per rep — but built
+        // OUTSIDE the timed window (pool construction pays w decoded
+        // dist calls, roughly a gather's cost, and charging it to the
+        // prune would bias the share low). The gather numerator uses
+        // the COMPACTED slot set (node dropped — what robustPrune
+        // actually re-gathers after its in-place dedup).
+        val compacted = slots.filter(_ != 0)
         var bestPrune = Double.MaxValue
         var bestGather = Double.MaxValue
         var sink = 0
         for (_ <- 0 until rounds) {
-          val p = mkPool()
+          val pools = Array.fill(reps)(mkPool())
           val t0 = System.nanoTime()
           var rep = 0
           while (rep < reps) {
-            val pp = mkPool()
-            sink += VamanaKernel.robustPrune(0, pp, 1.2, w / 2, store,
-              Metric.L2).length
+            sink += VamanaKernel.robustPrune(0, pools(rep), 1.2, w / 2,
+              store, Metric.L2).length
             rep += 1
           }
           bestPrune = math.min(bestPrune, (System.nanoTime() - t0) / 1e9)
           val t1 = System.nanoTime()
           rep = 0
           while (rep < reps) {
-            sink += store.gather(p.slots.take(p.n)).n
+            sink += store.gather(compacted).n
             rep += 1
           }
           bestGather = math.min(bestGather, (System.nanoTime() - t1) / 1e9)

@@ -617,17 +617,27 @@ object SparkEntry {
     * window ⇒ global Hamming top-R + exact rerank ≡ q155 (same oracle);
     * thresholds round-trip the sidecar bit-exactly. */
   private def binaryStoredQ(s: SparkSession, dir: String): DataFrame = {
-    val path = "/tmp/graft_q162_bin_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-    graft.operators.GraphLayout.write(embLabelClustered(s, dir),
-      embGraph(s, dir), embLabelCentroids(s, dir), path,
-      bin = Some(binParams(s, dir)))
-    val layout = graft.operators.GraphLayout.open(s, path)
+    val layout = binGraphLayout(s, dir)
     graft.operators.GraphLayout.searchHamming(layout, embQueries(s, dir),
         K, searchWindow = 1 << 14, nProbes = layout.centroids.size,
         kReorder = PqWalkReorder)
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
   }
+
+  /** The binary store q162/q187 share — ONE memoized builder (the
+    * q180/q184 `routedGraphLayout` pattern) so the cogroup and local
+    * binary serves cannot drift apart under the shared memo key. */
+  private def binGraphLayout(s: SparkSession, dir: String)
+      : graft.operators.GraphLayout.Layout =
+    memoized[graft.operators.GraphLayout.Layout]("graph_layout_bin", dir) {
+      val path = "/tmp/graft_q162_bin_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      graft.operators.GraphLayout.write(embLabelClustered(s, dir),
+        embGraph(s, dir), embLabelCentroids(s, dir), path,
+        bin = Some(binParams(s, dir)))
+      graft.operators.GraphLayout.open(s, path)
+    }
 
   /** q187: the zero-corpus-shuffle BINARY serve — q162's Hamming walk +
     * exact rerank through `searchHammingLocal`, which zips each probed
@@ -637,11 +647,7 @@ object SparkEntry {
     * bit-for-bit (GraphLayoutSpec), so q155/q162's oracle certifies it
     * verbatim. */
   private def binaryStoredLocalQ(s: SparkSession, dir: String): DataFrame = {
-    val path = "/tmp/graft_q187_bin_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-    graft.operators.GraphLayout.write(embLabelClustered(s, dir),
-      embGraph(s, dir), embLabelCentroids(s, dir), path,
-      bin = Some(binParams(s, dir)))
-    val layout = graft.operators.GraphLayout.open(s, path)
+    val layout = binGraphLayout(s, dir)
     graft.operators.GraphLayout.searchHammingLocal(layout,
         embQueries(s, dir), K, searchWindow = 1 << 14,
         nProbes = layout.centroids.size, kReorder = PqWalkReorder)

@@ -470,6 +470,44 @@ object Vamana {
       k, metric.ascending)
   }
 
+  /** The shared per-shard shape of every stored zero-shuffle walk
+    * ([[searchStoredHierarchical]]'s residency branches,
+    * [[searchStoredAdc]], [[searchStoredHamming]]): broadcast the probe
+    * map, read each probed shard's two dirs through [[zipServe]],
+    * extract (id, payload) per left-file row, id-sort, merge with the
+    * graph rows, and walk. One definition so the sort/merge/emptiness
+    * contract cannot diverge across the variants. */
+  private def zipServeMerged[P](spark: org.apache.spark.sql.SparkSession,
+      pm: Map[Long, Array[(Long, Array[Double])]],
+      leftPath: String, graphPath: String,
+      leftSub: org.apache.spark.sql.types.StructType,
+      gSub: org.apache.spark.sql.types.StructType,
+      keep: Option[org.apache.spark.sql.Column],
+      extract: org.apache.spark.sql.Row => (Long, P),
+      mkStore: IndexedSeq[P] => VamanaKernel.VecStore,
+      k: Int, searchWindow: Int, metric: Metric,
+      searchCapacity: Int = 0): DataFrame = {
+    val bc = spark.sparkContext.broadcast(pm)
+    val gIdIx = gSub.fieldIndex("id")
+    val gEntryIx = gSub.fieldIndex("entry_id")
+    val gNbrIx = gSub.fieldIndex("neighbors")
+    zipServe(spark, pm.keys.toSeq, leftPath, graphPath, leftSub, gSub,
+      keep,
+      (cid, lIt, gIt) => {
+        val qs = bc.value.getOrElse(cid, Array.empty[(Long, Array[Double])])
+        if (qs.isEmpty) Iterator.empty
+        else {
+          val g = gIt.map(r => (cid, longAt(r, gIdIx),
+            longAt(r, gEntryIx), longArrayAt(r, gNbrIx)))
+          val rows = lIt.map { case (r, kp) =>
+            val (id, p) = extract(r); (id, p, kp) }.toArray.sortBy(_._1)
+          walkMerged(cid, rows.map(x => (x._1, x._3)),
+            idxs => mkStore(idxs.toIndexedSeq.map(ix => rows(ix)._2)),
+            g, qs, k, searchWindow, searchCapacity, metric)
+        }
+      }, k, metric)
+  }
+
   def searchStoredHierarchical(queries: DataFrame, dataPath: String,
                                graphPath: String,
                                clusteredSchema: org.apache.spark.sql.types.StructType,
@@ -489,7 +527,6 @@ object Vamana {
     require(searchWindow >= k, "searchWindow must be ≥ k")
     val pm = prebuiltProbes.getOrElse(hierProbeMap(queries, centroids, l1,
       groupOf, l1Probes, nProbes, metric))
-    val bc = spark.sparkContext.broadcast(pm)
     import org.apache.spark.sql.types.{ArrayType, ByteType, FloatType, StructType}
     val isFloat = clusteredSchema("vec").dataType match {
       case ArrayType(FloatType, _) => true
@@ -513,59 +550,37 @@ object Vamana {
     // schemas (the walk reads raw file rows now; the former per-dir
     // select's casts are applied here in Scala)
     val dIdIx = dSub.fieldIndex("id"); val dVecIx = dSub.fieldIndex("vec")
-    val gIdIx = gSub.fieldIndex("id")
-    val gEntryIx = gSub.fieldIndex("entry_id")
-    val gNbrIx = gSub.fieldIndex("neighbors")
     val vecIsDouble = dSub("vec").dataType match {
       case org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.DoubleType, _) => true
       case _ => false
     }
-    val m = metric
-    zipServe(spark, pm.keys.toSeq, dataPath, graphPath, dSub, gSub,
-      Some(keep),
-      (cid, dIt, gIt) => {
-          val qs = bc.value.getOrElse(cid,
-            Array.empty[(Long, Array[Double])])
-          if (qs.isEmpty) Iterator.empty
-          else {
-            val g = gIt.map(r => (cid, longAt(r, gIdIx),
-              longAt(r, gEntryIx), longArrayAt(r, gNbrIx)))
-            if (isHalf) {
-              val rows = dIt.map { case (r, kp) => (longAt(r, dIdIx),
-                r.getSeq[Short](dVecIx).toArray, kp) }
-                .toArray.sortBy(_._1)
-              walkMerged(cid, rows.map(x => (x._1, x._3)),
-                idxs => new VamanaKernel.HalfStore(
-                  idxs.map(ix => rows(ix)._2), bf16),
-                g, qs, k, searchWindow, searchCapacity, m)
-            } else if (isByte) {
-              val rows = dIt.map { case (r, kp) => (longAt(r, dIdIx),
-                r.getSeq[Byte](dVecIx).toArray, kp) }
-                .toArray.sortBy(_._1)
-              walkMerged(cid, rows.map(x => (x._1, x._3)),
-                idxs => new VamanaKernel.ByteStore(
-                  idxs.map(ix => rows(ix)._2), unsigned),
-                g, qs, k, searchWindow, searchCapacity, m)
-            } else if (isFloat) {
-              val rows = dIt.map { case (r, kp) => (longAt(r, dIdIx),
-                r.getSeq[Float](dVecIx).toArray, kp) }
-                .toArray.sortBy(_._1)
-              walkMerged(cid, rows.map(x => (x._1, x._3)),
-                idxs => new VamanaKernel.FloatStore(
-                  idxs.map(ix => rows(ix)._2)),
-                g, qs, k, searchWindow, searchCapacity, m)
-            } else {
-              val rows = dIt.map { case (r, kp) => (longAt(r, dIdIx),
-                doubleArrayAt(r, dVecIx, vecIsDouble), kp) }
-                .toArray.sortBy(_._1)
-              walkMerged(cid, rows.map(x => (x._1, x._3)),
-                idxs => new VamanaKernel.DoubleStore(
-                  idxs.map(ix => rows(ix)._2)),
-                g, qs, k, searchWindow, searchCapacity, m)
-            }
-          }
-      }, k, metric)
+    // residency dispatch picks the (row payload, store) pair once; the
+    // shard shape is the shared zipServeMerged scaffold
+    if (isHalf)
+      zipServeMerged[Array[Short]](spark, pm, dataPath, graphPath, dSub,
+        gSub, Some(keep),
+        r => (longAt(r, dIdIx), r.getSeq[Short](dVecIx).toArray),
+        xs => new VamanaKernel.HalfStore(xs.toArray, bf16),
+        k, searchWindow, metric, searchCapacity)
+    else if (isByte)
+      zipServeMerged[Array[Byte]](spark, pm, dataPath, graphPath, dSub,
+        gSub, Some(keep),
+        r => (longAt(r, dIdIx), r.getSeq[Byte](dVecIx).toArray),
+        xs => new VamanaKernel.ByteStore(xs.toArray, unsigned),
+        k, searchWindow, metric, searchCapacity)
+    else if (isFloat)
+      zipServeMerged[Array[Float]](spark, pm, dataPath, graphPath, dSub,
+        gSub, Some(keep),
+        r => (longAt(r, dIdIx), r.getSeq[Float](dVecIx).toArray),
+        xs => new VamanaKernel.FloatStore(xs.toArray),
+        k, searchWindow, metric, searchCapacity)
+    else
+      zipServeMerged[Array[Double]](spark, pm, dataPath, graphPath, dSub,
+        gSub, Some(keep),
+        r => (longAt(r, dIdIx), doubleArrayAt(r, dVecIx, vecIsDouble)),
+        xs => new VamanaKernel.DoubleStore(xs.toArray),
+        k, searchWindow, metric, searchCapacity)
   }
 
   /** The former per-dir scan selects applied `cast("long")` /
@@ -946,38 +961,21 @@ object Vamana {
       s"ADC requires a subspace-decomposable metric (L2/IP), got $metric")
     val pm = prebuiltProbes.getOrElse(
       probeMap(queries, centroids, nProbes, metric))
-    val bc = spark.sparkContext.broadcast(pm)
     import org.apache.spark.sql.types.StructType
     val cSub = StructType(codesSchema.filterNot(_.name == "cluster_id"))
     val gSub = StructType(graphSchema.filterNot(_.name == "cluster_id"))
     val cIdIx = cSub.fieldIndex("id")
     val cIxs = (0 until p.m).map(j => cSub.fieldIndex(s"c$j")).toArray
-    val gIdIx = gSub.fieldIndex("id")
-    val gEntryIx = gSub.fieldIndex("entry_id")
-    val gNbrIx = gSub.fieldIndex("neighbors")
     val books = p.codebooks
-    val m = metric
     // `keep` carries [[searchShardedAdc]]'s traverse-but-filter semantics
     // into the stored path: it may reference the CODES file columns
     // (`id`, `c0`..`c{m-1}` — practically id, the tombstone shape);
     // `cluster_id` lives in the directory name, not the files
-    zipServe(spark, pm.keys.toSeq, codesPath, graphPath, cSub, gSub,
-      Some(keep),
-      (cid, cIt, gIt) => {
-          val qs = bc.value.getOrElse(cid,
-            Array.empty[(Long, Array[Double])])
-          if (qs.isEmpty) Iterator.empty
-          else {
-            val g = gIt.map(r => (cid, longAt(r, gIdIx),
-              longAt(r, gEntryIx), longArrayAt(r, gNbrIx)))
-            val rows = cIt.map { case (r, kp) => (longAt(r, cIdIx),
-              cIxs.map(ix => intAt(r, ix)), kp) }.toArray.sortBy(_._1)
-            walkMerged(cid, rows.map(x => (x._1, x._3)),
-              idxs => new VamanaKernel.PqStore(
-                idxs.map(ix => rows(ix)._2), books),
-              g, qs, k, searchWindow, 0, m)
-          }
-      }, k, metric)
+    zipServeMerged[Array[Int]](spark, pm, codesPath, graphPath, cSub,
+      gSub, Some(keep),
+      r => (longAt(r, cIdIx), cIxs.map(ix => intAt(r, ix))),
+      xs => new VamanaKernel.PqStore(xs.toArray, books),
+      k, searchWindow, metric)
   }
 
   private def intAt(r: org.apache.spark.sql.Row, i: Int): Int =
@@ -1010,33 +1008,16 @@ object Vamana {
     import spark.implicits._
     require(searchWindow >= k, "searchWindow must be ≥ k")
     val pm = probeMap(queries, wordCents, nProbes, Metric.Hamming)
-    val bc = spark.sparkContext.broadcast(pm)
     import org.apache.spark.sql.types.StructType
     val cSub = StructType(codesSchema.filterNot(_.name == "cluster_id"))
     val gSub = StructType(graphSchema.filterNot(_.name == "cluster_id"))
     val cIdIx = cSub.fieldIndex("id")
     val wIxs = (0 until words).map(j => cSub.fieldIndex(s"w$j")).toArray
-    val gIdIx = gSub.fieldIndex("id")
-    val gEntryIx = gSub.fieldIndex("entry_id")
-    val gNbrIx = gSub.fieldIndex("neighbors")
-    zipServe(spark, pm.keys.toSeq, codesPath, graphPath, cSub, gSub,
-      None,
-      (cid, cIt, gIt) => {
-          val qs = bc.value.getOrElse(cid,
-            Array.empty[(Long, Array[Double])])
-          if (qs.isEmpty) Iterator.empty
-          else {
-            val g = gIt.map(r => (cid, longAt(r, gIdIx),
-              longAt(r, gEntryIx), longArrayAt(r, gNbrIx)))
-            val rows = cIt.map { case (r, _) => (longAt(r, cIdIx),
-              wIxs.map(ix => longAt(r, ix).toDouble)) }
-              .toArray.sortBy(_._1)
-            walkMerged(cid, rows.map(x => (x._1, true)),
-              idxs => new VamanaKernel.DoubleStore(
-                idxs.map(ix => rows(ix)._2)),
-              g, qs, k, searchWindow, 0, Metric.Hamming)
-          }
-      }, k, Metric.Hamming)
+    zipServeMerged[Array[Double]](spark, pm, codesPath, graphPath, cSub,
+      gSub, None,
+      r => (longAt(r, cIdIx), wIxs.map(ix => longAt(r, ix).toDouble)),
+      xs => new VamanaKernel.DoubleStore(xs.toArray),
+      k, searchWindow, Metric.Hamming)
   }
 
   /** Driver-side probe routing shared by [[searchSharded]] and

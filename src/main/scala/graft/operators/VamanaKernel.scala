@@ -469,13 +469,32 @@ object VamanaKernel {
     robustPrune(node, cp, alpha, maxDegree, new DoubleStore(vecs), metric)
   }
 
+  /** A caller-gathered pool view + slot→view-index mapping: lets
+    * [[robustPrune]] REUSE the decode the caller already paid (the
+    * overflow re-prune gathers (dst :: neighbors) to build its pool,
+    * then robustPrune would gather — re-decode — the same rows again;
+    * KernelBench's `overflow_regather` leg puts that second decode at
+    * 11–38% of the prune call on the f16 store, largest exactly at the
+    * small pool widths real builds use). Pool slots stay GLOBAL — the
+    * in-place compaction, the best-first sort, and its slot-id
+    * distance-TIE break are untouched; only the pair-distance view is
+    * swapped, and [[VecStore.gather]]'s bit-identity contract makes the
+    * distances equal either way. Lookup is `apply` — a pool slot
+    * missing from the map is a caller bug and fails loudly rather than
+    * scoring row 0. */
+  final class PreGathered(val view: VecStore,
+                          slotToLocal: scala.collection.mutable.HashMap[Int, Int]) {
+    def localOf(s: Int): Int = slotToLocal(s)
+  }
+
   /** Primitive-pool variant (the build's hot path — no per-candidate
     * allocation; mutates `pool` by compacting and sorting it in place).
     * Pool entries from [[greedySearchCollect]] are slot-unique by the
     * visited bitset, so the in-place dedup keeps the same survivors the
     * tupled filter kept. */
   def robustPrune(node: Int, pool: CandidatePool, alpha: Double,
-                  maxDegree: Int, store: VecStore, metric: Metric)
+                  maxDegree: Int, store: VecStore, metric: Metric,
+                  pre: PreGathered = null)
       : Array[Int] = {
     val asc = metric.ascending
     // compact in place: drop self and duplicate slots, preserving order
@@ -493,8 +512,17 @@ object VamanaKernel {
     pool.sortBestFirst(asc)
     // pair distances run on a gathered pool view: per-row residency work
     // (half decode, f32 widen) is paid once per candidate instead of once
-    // per (kept, candidate) pair — bit-identical values (gather contract)
-    val local = store.gather(java.util.Arrays.copyOf(pool.slots, w))
+    // per (kept, candidate) pair — bit-identical values (gather contract).
+    // With a caller-provided PreGathered view, even that once is skipped:
+    // gather-of-gathered is a reference select, no decode.
+    val local =
+      if (pre == null) store.gather(java.util.Arrays.copyOf(pool.slots, w))
+      else {
+        val ix = new Array[Int](w)
+        var t = 0
+        while (t < w) { ix(t) = pre.localOf(pool.slots(t)); t += 1 }
+        pre.view.gather(ix)
+      }
     val kept = new Array[Int](math.min(maxDegree, w))
     var nk = 0
     val alive = new Array[Boolean](w)
@@ -710,12 +738,18 @@ object VamanaKernel {
           val nbrs = adj(dst)
           val local = store.gather(dst +: nbrs)
           val rp = new CandidatePool(nbrs.length)
+          // slot → view-index map so robustPrune reuses this view
+          // instead of re-decoding the same rows (PreGathered contract)
+          val localIx = new scala.collection.mutable.HashMap[Int, Int]
+          localIx.put(dst, 0)
           var ni = 0
           while (ni < nbrs.length) {
-            rp.add(nbrs(ni), local.distPair(metric, 0, ni + 1)); ni += 1
+            rp.add(nbrs(ni), local.distPair(metric, 0, ni + 1))
+            localIx.put(nbrs(ni), ni + 1)
+            ni += 1
           }
           adj(dst) = robustPrune(dst, rp, alpha, params.maxDegree,
-            store, metric)
+            store, metric, new PreGathered(local, localIx))
         }
         if (stats != null) stats.overflow.add(System.nanoTime() - tOver0)
         start = end
