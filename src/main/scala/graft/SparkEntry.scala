@@ -625,6 +625,23 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** q188: the ONE binary serving entry point end-to-end —
+    * `GraphLayout.serveHamming` in Auto mode over q162/q187's store:
+    * probes once by Hamming over the word-encoded batch, dispatches
+    * (store on disk) to the zero-shuffle bincodes walk, reranks
+    * exactly. Rows ≡ both manual paths (GraphLayoutSpec), so
+    * q155/q162/q187's oracle certifies the binary dispatcher too —
+    * the serve() family is now oracle-certified across all four codec
+    * families (q184 data / q185 PQ / q186 IVF codecs / q188 binary). */
+  private def serveHammingAutoQ(s: SparkSession, dir: String): DataFrame = {
+    val layout = binGraphLayout(s, dir)
+    graft.operators.GraphLayout.serveHamming(layout, embQueries(s, dir),
+        K, searchWindow = 1 << 14, nProbes = layout.centroids.size,
+        kReorder = PqWalkReorder)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   /** The binary store q162/q187 share — ONE memoized builder (the
     * q180/q184 `routedGraphLayout` pattern) so the cogroup and local
     * binary serves cannot drift apart under the shared memo key. */
@@ -3230,6 +3247,7 @@ object SparkEntry {
     "q185_serve_adc_auto" -> (serveAdcAutoQ _),
     "q186_index_serve" -> (indexServeQ _),
     "q187_binary_stored_local" -> (binaryStoredLocalQ _),
+    "q188_serve_hamming_auto" -> (serveHammingAutoQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3662,5 +3680,9 @@ object SparkEntry {
     // it), all shards probed at full window ⇒ global Hamming top-R +
     // exact rerank — q155/q162's oracle verbatim.
     "q187_binary_stored_local" -> OracleGen.binaryRerank(K, PqWalkReorder),
+    // q188: serveHamming() Auto over the q162 store — both dispatch
+    // outcomes ≡ searchHamming[Local] (GraphLayoutSpec), so the binary
+    // dispatcher certifies against the same oracle.
+    "q188_serve_hamming_auto" -> OracleGen.binaryRerank(K, PqWalkReorder),
   )
 }

@@ -797,7 +797,9 @@ object GraphLayout {
     * only the |Q|·kReorder·k candidate rows of `data`. */
   def searchHamming(layout: Layout, queries: DataFrame, k: Int,
                     searchWindow: Int, nProbes: Int, kReorder: Int,
-                    rerankMetric: Metric = Metric.L2): DataFrame = {
+                    rerankMetric: Metric = Metric.L2,
+                    prebuiltProbes: Option[Map[Long,
+                      Array[(Long, Array[Double])]]] = None): DataFrame = {
     val b = layout.bin.getOrElse(
       sys.error("layout has no binary codes — write(bin = Some(...)) first"))
     val codes = layout.binCodes.getOrElse(sys.error(
@@ -812,7 +814,8 @@ object GraphLayout {
       array(BinaryQuant.codeColumns(col("qvec"), b)
         .map(_.cast("double")): _*).as("qvec"))
     val cand = Vamana.searchSharded(qWords, wv, layout.graph, wordCents,
-      kReorder * k, searchWindow, nProbes, Metric.Hamming)
+      kReorder * k, searchWindow, nProbes, Metric.Hamming,
+      prebuiltProbes = prebuiltProbes)
     Rerank.exact(cand, queries, layout.clustered, k, rerankMetric)
   }
 
@@ -826,7 +829,10 @@ object GraphLayout {
     * partials plus the exact rerank's candidate rows of `data`. */
   def searchHammingLocal(layout: Layout, queries: DataFrame, k: Int,
                          searchWindow: Int, nProbes: Int, kReorder: Int,
-                         rerankMetric: Metric = Metric.L2): DataFrame = {
+                         rerankMetric: Metric = Metric.L2,
+                         prebuiltProbes: Option[Map[Long,
+                           Array[(Long, Array[Double])]]] = None)
+      : DataFrame = {
     val path = layout.path.getOrElse(sys.error(
       "searchHammingLocal serves straight off the stored partition dirs " +
         "— open the layout from disk (GraphLayout.open) first"))
@@ -842,8 +848,74 @@ object GraphLayout {
         .map(_.cast("double")): _*).as("qvec"))
     val cand = Vamana.searchStoredHamming(qWords, s"$path/bincodes",
       s"$path/graph", codes.schema, layout.graph.schema, wordCents,
-      b.words, kReorder * k, searchWindow, nProbes)
+      b.words, kReorder * k, searchWindow, nProbes, prebuiltProbes)
     Rerank.exact(cand, queries, layout.clustered, k, rerankMetric)
+  }
+
+  /** [[serve]]'s BINARY twin — ONE entry point for sign-bit serving
+    * that dispatches between [[searchHammingLocal]] (zero corpus
+    * shuffle; 8 bytes of walk state per row) and [[searchHamming]]
+    * (cogroup — required for in-memory layouts, the manual pick for
+    * cache-resident frames). Probing runs EXACTLY ONCE, by Hamming
+    * distance over the word-encoded query batch and centroids — the
+    * same routing both manual paths compute — and threads through the
+    * dispatched path. Both paths return bit-identical rows
+    * (GraphLayoutSpec), so the dispatch is a pure cost decision,
+    * completing the one-`search()` posture
+    * (orchestrators/manager.h:217) across every layout codec family:
+    * full-precision ([[serve]]), PQ ([[serveAdc]]), binary (this), and
+    * the IVF codecs ([[IndexLayout.serve]]). */
+  def serveHamming(layout: Layout, queries: DataFrame, k: Int,
+                   searchWindow: Int, nProbes: Int, kReorder: Int,
+                   rerankMetric: Metric = Metric.L2,
+                   mode: ServeMode = ServeMode.Auto,
+                   localMaxFraction: Double = 1.0): DataFrame = {
+    val b = layout.bin.getOrElse(
+      sys.error("layout has no binary codes — write(bin = Some(...)) first"))
+    val wordCents = layout.centroids.map { case (cid, cv) =>
+      (cid, BinaryQuant.encodeWords(cv, b)) }
+    val qWords = queries.select(col("query_id"),
+      array(BinaryQuant.codeColumns(col("qvec"), b)
+        .map(_.cast("double")): _*).as("qvec"))
+    val pm = Vamana.flatProbeMap(qWords, wordCents, nProbes,
+      Metric.Hamming)
+    val chosen = mode match {
+      case ServeMode.Local   => "local"
+      case ServeMode.Cogroup => "cogroup"
+      case ServeMode.Auto    =>
+        val fraction = pm.size.toDouble / layout.centroids.size
+        if (fraction <= localMaxFraction && layout.path.isDefined) "local"
+        else "cogroup"
+    }
+    if (chosen == "local")
+      searchHammingLocal(layout, queries, k, searchWindow, nProbes,
+        kReorder, rerankMetric, prebuiltProbes = Some(pm))
+    else
+      searchHamming(layout, queries, k, searchWindow, nProbes, kReorder,
+        rerankMetric, prebuiltProbes = Some(pm))
+  }
+
+  /** The dispatch [[serveHamming]] will take for this batch, without
+    * running it — [[serveDecision]]'s binary twin (probed by Hamming
+    * over the word-encoded batch, like the serve itself). */
+  def serveHammingDecision(layout: Layout, queries: DataFrame,
+                           nProbes: Int,
+                           localMaxFraction: Double = 1.0)
+      : (String, Double) = {
+    val b = layout.bin.getOrElse(
+      sys.error("layout has no binary codes — write(bin = Some(...)) first"))
+    val wordCents = layout.centroids.map { case (cid, cv) =>
+      (cid, BinaryQuant.encodeWords(cv, b)) }
+    val qWords = queries.select(col("query_id"),
+      array(BinaryQuant.codeColumns(col("qvec"), b)
+        .map(_.cast("double")): _*).as("qvec"))
+    val probed = Vamana.probedShards(qWords, wordCents, nProbes,
+      Metric.Hamming)
+    val fraction = probed.size.toDouble / layout.centroids.size
+    val m =
+      if (fraction <= localMaxFraction && layout.path.isDefined) "local"
+      else "cogroup"
+    (m, fraction)
   }
 
   private def writeSidecar(spark: SparkSession, path: String,

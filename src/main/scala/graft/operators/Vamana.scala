@@ -243,9 +243,11 @@ object Vamana {
   def searchSharded(queries: DataFrame, clustered: DataFrame, graph: DataFrame,
                     centroids: Seq[(Long, Seq[Double])], k: Int,
                     searchWindow: Int, nProbes: Int, metric: Metric,
-                    searchCapacity: Int = 0): DataFrame =
+                    searchCapacity: Int = 0,
+                    prebuiltProbes: Option[Map[Long,
+                      Array[(Long, Array[Double])]]] = None): DataFrame =
     searchShardedImpl(queries, clustered, graph, centroids, k, searchWindow,
-      nProbes, metric, searchCapacity, lit(true))
+      nProbes, metric, searchCapacity, lit(true), prebuiltProbes)
 
   /** Predicate-filtered probe-and-walk: rows failing `keep` (a boolean
     * Column over the clustered table) are still TRAVERSED — they sit in
@@ -1002,12 +1004,15 @@ object Vamana {
                           codesSchema: org.apache.spark.sql.types.StructType,
                           graphSchema: org.apache.spark.sql.types.StructType,
                           wordCents: Seq[(Long, Seq[Double])], words: Int,
-                          k: Int, searchWindow: Int, nProbes: Int)
+                          k: Int, searchWindow: Int, nProbes: Int,
+                          prebuiltProbes: Option[Map[Long,
+                            Array[(Long, Array[Double])]]] = None)
       : DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     require(searchWindow >= k, "searchWindow must be ≥ k")
-    val pm = probeMap(queries, wordCents, nProbes, Metric.Hamming)
+    val pm = prebuiltProbes.getOrElse(
+      probeMap(queries, wordCents, nProbes, Metric.Hamming))
     import org.apache.spark.sql.types.StructType
     val cSub = StructType(codesSchema.filterNot(_.name == "cluster_id"))
     val gSub = StructType(graphSchema.filterNot(_.name == "cluster_id"))

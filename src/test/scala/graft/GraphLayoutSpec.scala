@@ -187,6 +187,30 @@ class GraphLayoutSpec extends SparkSpec {
         10, searchWindow = 1 << 14, nProbes = 1, kReorder = 4)
     }
     assert(e.getMessage.contains("open"))
+    // serveHamming(): the one binary entry point — Auto dispatches local
+    // (store on disk) with rows ≡ both manual paths at both regimes;
+    // an in-memory layout auto-cogroups instead of erroring
+    val (hm1, hf1) = GraphLayout.serveHammingDecision(layout, queries,
+      nProbes = 1)
+    assert(hm1 === "local" && hf1 <= 1.0, s"($hm1, $hf1)")
+    val servedH = GraphLayout.serveHamming(layout, queries, 10,
+        searchWindow = 1 << 14, nProbes = cents.size, kReorder = 4)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(servedH === served)
+    assert(servedH === GraphLayout.serveHamming(layout, queries, 10,
+        searchWindow = 1 << 14, nProbes = cents.size, kReorder = 4,
+        mode = GraphLayout.ServeMode.Cogroup)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq)
+    val selServed = GraphLayout.serveHamming(layout, queries, 10,
+        searchWindow = 1 << 14, nProbes = 1, kReorder = 4)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(selServed === sel)
+    assert(GraphLayout.serveHammingDecision(layout.copy(path = None),
+      queries, nProbes = 1)._1 === "cogroup")
+    assert(servedH === GraphLayout.serveHamming(layout.copy(path = None),
+        queries, 10, searchWindow = 1 << 14, nProbes = cents.size,
+        kReorder = 4)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq)
     // upsert keeps bincodes in sync: after an add+delete, the served
     // global rerank equals the in-memory two-pass over the survivors
     val added = data.filter(col("id") % 61 === 2).orderBy("id").limit(6)
