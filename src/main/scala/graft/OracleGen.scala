@@ -554,6 +554,66 @@ object OracleGen {
        |FROM rr WHERE rnk <= $kNN ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** q189: SELECTIVE-probe binary serving — the q155 two-pass restricted
+    * to probed shards: label centroids (rounded means, the q24 contract)
+    * word-encode through the same thresholds as the data, each query
+    * keeps its `nProbes` Hamming-nearest centroids (ties by cid), the
+    * Hamming ranking runs only over rows whose label was probed, and the
+    * exact-L2 rerank finishes. Mirrors `GraphLayout.serveHamming` /
+    * `searchHammingLocal` at full window: the walk visits every
+    * reachable row of each probed shard, so candidates = Hamming top
+    * kReorder·k within the probed union. */
+  def binaryRerankProbed(kNN: Int, kReorder: Int, nProbes: Int): String = {
+    val d = Tables.embDims
+    val words = (d + 31) / 32
+    def wordExpr(alias: String, w: Int): String =
+      (w * 32 until math.min((w + 1) * 32, d)).map { i =>
+        s"(CASE WHEN $alias.$alias$i > m.m$i THEN " +
+          s"CAST(${1L << (i - w * 32)} AS BIGINT) ELSE 0 END)"
+      }.mkString(" | ")
+    val centAvgs = (0 until d).map(i => s"round(avg(v.v$i), 6) AS c$i")
+      .mkString(", ")
+    val cWords = (0 until words)
+      .map(w => s"${wordExpr("c", w)} AS cw$w").mkString(",\n  ")
+    val probeHam = (0 until words)
+      .map(w => s"bit_count(xor(qc.qw$w, cw.cw$w))").mkString(" + ")
+    val ham = (0 until words)
+      .map(w => s"bit_count(xor(qc.qw$w, codes.w$w))").mkString(" + ")
+    s"""WITH $binCtes,
+       |labels AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label
+       |  FROM embeddings),
+       |cents AS (SELECT l.label AS cid, $centAvgs
+       |  FROM v JOIN labels l ON l.id = v.id GROUP BY l.label),
+       |cw AS (SELECT c.cid,
+       |  $cWords
+       |  FROM cents c CROSS JOIN m),
+       |probes AS (SELECT query_id, cid FROM (
+       |  SELECT qc.query_id, cw.cid,
+       |    row_number() OVER (PARTITION BY qc.query_id
+       |      ORDER BY $probeHam ASC, cw.cid ASC) AS rn
+       |  FROM qc CROSS JOIN cw) WHERE rn <= $nProbes),
+       |hamp AS (SELECT qc.query_id, codes.id,
+       |  CAST($ham AS BIGINT) AS dist
+       |  FROM qc CROSS JOIN codes
+       |  JOIN labels l ON l.id = codes.id
+       |  JOIN probes p ON p.query_id = qc.query_id AND p.cid = l.label),
+       |hampr AS (SELECT query_id, id AS neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist ASC, id ASC) AS rnk FROM hamp),
+       |cand AS (SELECT query_id, neighbor_id FROM hampr
+       |  WHERE rnk <= ${kReorder * kNN}),
+       |exact AS (SELECT c.query_id, c.neighbor_id,
+       |    ${l2.sqlExpr("q.q", "v.v", d)} AS dist
+       |  FROM cand c
+       |  JOIN v ON v.id = c.neighbor_id
+       |  JOIN q ON q.query_id = c.query_id),
+       |rr AS (SELECT query_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist ASC, neighbor_id ASC) AS rnk FROM exact)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id
+       |FROM rr WHERE rnk <= $kNN ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Two-stage MaxSim (q133): stage 1 ranks docs per query by cosine on
     * mean-POOLED bag vectors (per-dim fold in token order, one exact
     * division — MaxSim.pooled's contract) and keeps `candidates`; stage 2

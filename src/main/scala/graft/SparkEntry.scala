@@ -642,6 +642,22 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** q189: SELECTIVE binary serving — serveHamming with nProbes < |L1|,
+    * so probe routing actually prunes shards (q187/q188 certify the
+    * exhaustive sweep; this certifies the Hamming PROBE SELECTION
+    * itself): each query keeps its 3 Hamming-nearest word-encoded
+    * centroids, the full-window walk makes per-shard results exact, and
+    * the oracle replays the same selection in SQL. */
+  private def serveHammingProbedQ(s: SparkSession, dir: String)
+      : DataFrame = {
+    val layout = binGraphLayout(s, dir)
+    graft.operators.GraphLayout.serveHamming(layout, embQueries(s, dir),
+        K, searchWindow = 1 << 14, nProbes = VamanaProbes,
+        kReorder = PqWalkReorder)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   /** The binary store q162/q187 share — ONE memoized builder (the
     * q180/q184 `routedGraphLayout` pattern) so the cogroup and local
     * binary serves cannot drift apart under the shared memo key. */
@@ -3248,6 +3264,7 @@ object SparkEntry {
     "q186_index_serve" -> (indexServeQ _),
     "q187_binary_stored_local" -> (binaryStoredLocalQ _),
     "q188_serve_hamming_auto" -> (serveHammingAutoQ _),
+    "q189_serve_hamming_probed" -> (serveHammingProbedQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3684,5 +3701,10 @@ object SparkEntry {
     // outcomes ≡ searchHamming[Local] (GraphLayoutSpec), so the binary
     // dispatcher certifies against the same oracle.
     "q188_serve_hamming_auto" -> OracleGen.binaryRerank(K, PqWalkReorder),
+    // q189: SELECTIVE binary serving — Hamming probe selection over
+    // word-encoded label centroids (ties by cid), Hamming ranks within
+    // the probed union (full window ⇒ exact per shard), exact-L2 rerank.
+    "q189_serve_hamming_probed" ->
+      OracleGen.binaryRerankProbed(K, PqWalkReorder, VamanaProbes),
   )
 }

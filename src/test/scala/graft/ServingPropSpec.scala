@@ -275,6 +275,43 @@ class ServingPropSpec extends SparkSpec {
     }
   }
 
+  test("serveHamming() on random corpora: both dispatch outcomes ≡ both " +
+      "manual binary paths at selective AND exhaustive probes") {
+    for (seed <- Seq(23L, 71L)) {
+      val dims = 24
+      val rows = randData(seed, 50, dims)
+      val data = rows.toDF("id", "vec")
+      val b = BinaryQuant.train(data)
+      val cents = rows.take(3).map { case (id, v) => (id, v.toIndexedSeq) }
+      val clustered = KMeans.assign(data, cents)
+      val graph = Vamana.buildSharded(clustered,
+        BuildParams(maxDegree = 8, buildWindow = 16), Metric.L2)
+      val path = s"/tmp/graft_prop_servehamming_$seed"
+      graft.operators.GraphLayout.write(clustered, graph, cents, path,
+        bin = Some(b))
+      val layout = graft.operators.GraphLayout.open(spark, path)
+      val queries = rows.take(4)
+        .map { case (id, v) => (id + 800, v.map(1.0 - _)) }
+        .toDF("query_id", "qvec")
+      def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+      for (np <- Seq(1, 3)) {
+        val served = rowsOf(graft.operators.GraphLayout.serveHamming(
+          layout, queries, 6, 1 << 12, nProbes = np, kReorder = 3))
+        assert(served === rowsOf(graft.operators.GraphLayout
+            .searchHammingLocal(layout, queries, 6, 1 << 12, nProbes = np,
+              kReorder = 3)), s"seed $seed np $np local")
+        assert(served === rowsOf(graft.operators.GraphLayout
+            .searchHamming(layout, queries, 6, 1 << 12, nProbes = np,
+              kReorder = 3)), s"seed $seed np $np cogroup")
+        assert(served === rowsOf(graft.operators.GraphLayout.serveHamming(
+          layout, queries, 6, 1 << 12, nProbes = np, kReorder = 3,
+          localMaxFraction = 0.0)), s"seed $seed np $np dialed")
+      }
+    }
+  }
+
   test("LeanVec/MRL serving compositions on random corpora: full-dim " +
       "truncation ≡ exact; exhaustive rerank ≡ exact at any prefix; " +
       "trained-projection search with exhaustive rerank ≡ exact") {
