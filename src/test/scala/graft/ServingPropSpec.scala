@@ -312,6 +312,54 @@ class ServingPropSpec extends SparkSpec {
     }
   }
 
+  test("degenerate shapes through the serve() dispatchers: empty query " +
+      "batches yield empty results, k > n degrades to n — no failures") {
+    val dims = 16
+    val rows = randData(31L, 40, dims)
+    val data = rows.toDF("id", "vec")
+    val cents = rows.take(2).map { case (id, v) => (id, v.toIndexedSeq) }
+    val clustered = KMeans.assign(data, cents)
+    val graph = Vamana.buildSharded(clustered,
+      BuildParams(maxDegree = 8, buildWindow = 16), Metric.L2)
+    val p = Pq.paramsFromRows(rows.take(4).map(_._2.toArray), 4, 4, dims)
+    val b = BinaryQuant.train(data)
+    val path = "/tmp/graft_prop_serve_degenerate"
+    graft.operators.GraphLayout.write(clustered, graph, cents, path,
+      pq = Some(p), bin = Some(b), routingGroups = 2)
+    val layout = graft.operators.GraphLayout.open(spark, path)
+    val queries = rows.take(3)
+      .map { case (id, v) => (id + 400, v.map(1.0 - _)) }
+      .toDF("query_id", "qvec")
+    val none = queries.limit(0)
+    // empty batches: every dispatcher returns empty, both dispatch dials
+    for (lmf <- Seq(1.0, 0.0)) {
+      assert(graft.operators.GraphLayout.serve(layout, none, 5, 1 << 12,
+        nProbes = 2, Metric.L2, l1Probes = 1,
+        localMaxFraction = lmf).count() === 0, s"serve lmf=$lmf")
+      assert(graft.operators.GraphLayout.serveAdc(layout, none, 5,
+        1 << 12, nProbes = 2, localMaxFraction = lmf).count() === 0,
+        s"serveAdc lmf=$lmf")
+      assert(graft.operators.GraphLayout.serveHamming(layout, none, 5,
+        1 << 12, nProbes = 2, kReorder = 2,
+        localMaxFraction = lmf).count() === 0, s"serveHamming lmf=$lmf")
+    }
+    // k > n: exhaustive probes + full window return all n rows ranked —
+    // per query — through every dispatcher (the walk emits min(k,
+    // reachable) per shard and the final top-k keeps them all)
+    val n = rows.length
+    def counts(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.groupBy("query_id").count().collect().map(_.getLong(1)).toSeq
+    counts(graft.operators.GraphLayout.serve(layout, queries, n + 50,
+      1 << 12, nProbes = 2, Metric.L2, l1Probes = 2))
+      .foreach(c => assert(c === n, "serve k>n"))
+    counts(graft.operators.GraphLayout.serveAdc(layout, queries, n + 50,
+      1 << 12, nProbes = 2)).foreach(c => assert(c === n, "serveAdc k>n"))
+    // the reranked paths cap at the walk's candidate count too
+    counts(graft.operators.GraphLayout.serveHamming(layout, queries,
+      n + 50, 1 << 12, nProbes = 2, kReorder = 1))
+      .foreach(c => assert(c === n, "serveHamming k>n"))
+  }
+
   test("LeanVec/MRL serving compositions on random corpora: full-dim " +
       "truncation ≡ exact; exhaustive rerank ≡ exact at any prefix; " +
       "trained-projection search with exhaustive rerank ≡ exact") {
