@@ -51,10 +51,22 @@ def main():
     oq, nq = norm(old.get("queries", {})), norm(new.get("queries", {}))
     osh = norm(old.get("shuffle_bytes", {}))
     nsh = norm(new.get("shuffle_bytes", {}))
+    # percentile columns (serving family carries p90 of >=3 in-process
+    # repeats since r13): when both artifacts have a query's p90, gate on
+    # the percentile instead of the single-shot wall — repeats average out
+    # the boot envelope, so a p90 regression is a real one
+    op90 = norm(old.get("p90", {}))
+    np90 = norm(new.get("p90", {}))
 
     flagged = []
     common = sorted(set(oq) & set(nq))
     for q in common if not args.shuffle_only else []:
+        if q in op90 and q in np90:
+            if np90[q] > args.wall_tol * max(op90[q], 0.1):
+                flagged.append(
+                    f"P90     {q}: {op90[q]:.2f}s -> {np90[q]:.2f}s "
+                    f"({np90[q] / op90[q]:.2f}x)")
+            continue
         # sub-half-second queries are scheduling/GC noise at local[32]
         if oq[q] > 0.5 and nq[q] > args.wall_tol * oq[q]:
             flagged.append(
@@ -73,7 +85,8 @@ def main():
             flagged.append(f"SPILL   {q}: 0 -> {nsp / 1e6:.1f}MB")
 
     print(f"queries: {len(common)} common, "
-          f"{len(set(nq) - set(oq))} new, {len(set(oq) - set(nq))} removed")
+          f"{len(set(nq) - set(oq))} new, {len(set(oq) - set(nq))} removed"
+          f" ({len(set(op90) & set(np90))} gated on p90)")
     print(f"total: {old.get('value', '?')}s -> {new.get('value', '?')}s")
     if flagged:
         print("\nregressions:")

@@ -68,8 +68,15 @@ object Bench {
 
     // repeated-run protocol (reference benchmark/search.h:69-96 records
     // latency vectors per config): reps > 1 reports the median per query in
-    // "queries" plus the full vector + p90 in "latency"/"p90"
+    // "queries" plus the full vector + p90 in "latency"/"p90". The SERVING
+    // family (every query whose name carries "serve") always runs ≥3
+    // in-process repeats — those queries are sub-second, so the ~2 s of
+    // extra wall buys self-adjudicating percentiles in every BENCH_LOCAL /
+    // BENCH_r* artifact: envelope drift (boot noise swings wall ±15-25% on
+    // this box) separates from regression without re-running the suite.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    def repsFor(name: String): Int =
+      if (name.contains("serve")) reps.max(3) else reps
     // Bisect levers (regression adjudication): ONLY= comma-separated qNN
     // prefixes restricts the run; CLEAR_MEMOS=1 drops SparkEntry's memoized
     // caches before every query (isolates cache-eviction/GC interference at
@@ -93,7 +100,7 @@ object Bench {
         if (clearEach) SparkEntry.clearMemos()
         var err: Option[String] = None
         val (r0, w0, s0) = metricsSnapshot()
-        val times = (0 until reps).map { _ =>
+        val times = (0 until repsFor(name)).map { _ =>
           val t0 = System.nanoTime()
           try fn(spark, sfDir).count() catch {
             case e: Throwable => err = Some(Option(e.getMessage)
@@ -128,7 +135,13 @@ object Bench {
             f"gcms=${gcTime.get()}")
         }
         val median = times(times.length / 2)
-        (name, median, times, err, (r1 - r0, w1 - w0, s1 - s0))
+        // shuffle deltas are recorded PER EXECUTION (delta / reps): the
+        // plans are deterministic per rep, so the division is exact and
+        // the numbers stay comparable against the sealed single-rep
+        // manifest regardless of each query's repeat count
+        val nr = times.length
+        (name, median, times, err,
+          ((r1 - r0) / nr, (w1 - w0) / nr, (s1 - s0) / nr))
     }
     val qs = results.map { case (k, v, _, _, _) => jstr(k) + ":" + f"$v%.6f" }
       .mkString("{", ",", "}")
@@ -139,14 +152,17 @@ object Bench {
     val shuffle = results.map { case (k, _, _, _, (r, w, s)) =>
       jstr(k) + s""":{"read":$r,"write":$w,"spill":$s}"""
     }.mkString("{", ",", "}")
+    // latency vectors + p90 whenever ANY query repeated (the serving
+    // family always does); single-rep queries carry their one sample
+    val anyMulti = results.exists(_._3.length > 1)
     val extra =
-      if (reps == 1) s""","shuffle_bytes":$shuffle"""
+      if (!anyMulti) s""","shuffle_bytes":$shuffle"""
       else {
-        val lat = results.map { case (k, _, ts, _, _) =>
+        val lat = results.collect { case (k, _, ts, _, _) if ts.length > 1 =>
           jstr(k) + ":" + ts.map(t => f"$t%.6f").mkString("[", ",", "]")
         }.mkString("{", ",", "}")
         // nearest-rank p90: ceil(0.9·n)-1 (reps=10 → index 8, not the max)
-        val p90 = results.map { case (k, _, ts, _, _) =>
+        val p90 = results.collect { case (k, _, ts, _, _) if ts.length > 1 =>
           val idx = (math.ceil(0.9 * ts.length).toInt - 1).max(0)
           jstr(k) + ":" + f"${ts(idx)}%.6f"
         }.mkString("{", ",", "}")

@@ -17,6 +17,10 @@ import graft.sources.SyntheticData
   *     100-query batch, with probed-shard counts + bytes so READ ∝ probes
   *     is checkable one order past the 10M ceiling,
   *   - `searchAdcLocal` (codes-only walk),
+  *   - the BINARY family (r13): `searchHammingLocal` bincodes walk +
+  *     exact rerank at both batch sizes, its cogroup contrast, and the
+  *     `serveHamming()` Auto dispatch — the smallest store per row, so
+  *     the likeliest extreme-scale pick,
   *   - the ≥10⁴-probed-shards planning witness: ONE query probing every
   *     shard — the shape whose per-shard driver planning (~100 ms × 2·10⁴
   *     scan plans) made the old zipServe unusable; the listing-driven
@@ -179,15 +183,21 @@ object Scale100M {
       s""""build_shuffle_write_bytes":$shufWb,""" +
       bStats.jsonFields + "}")
 
-    // ---- persist the full layout (graph + PQ codes + routing) ------------
+    // ---- persist the full layout (graph + PQ + binary codes + routing) ---
     val pqP = graft.operators.Pq.trainLloyd(
       graft.functions.HalfVecs.widenedForMath(clustered, "vec")
         .filter(col("id") % math.max(1L, n / 20000L) === 3),
       m = 8, k = 16, dims, iters = 2)
+    // binary thresholds from the same sample (per-dim means — sampling
+    // changes nothing the harness measures: routing arithmetic, probe
+    // pruning, and I/O shapes are threshold-independent)
+    val binP = graft.operators.BinaryQuant.train(
+      graft.functions.HalfVecs.widenedForMath(clustered, "vec")
+        .filter(col("id") % math.max(1L, n / 20000L) === 3))
     val nGroups = math.max(1, math.sqrt(nShards.toDouble).toInt)
     val (_, tWrite) = time {
       GraphLayout.write(clustered, graph, cents, storePath,
-        pq = Some(pqP), routingGroups = nGroups)
+        pq = Some(pqP), bin = Some(binP), routingGroups = nGroups)
     }
     val layout = GraphLayout.open(spark, storePath)
     val storeBytes = duBytes(storePath)
@@ -197,6 +207,7 @@ object Scale100M {
     println(s"""{"experiment":"scale100m_store","n":$n,""" +
       s""""store_write_sec":$tWrite,"store_bytes":$storeBytes,""" +
       s""""codes_bytes":${duBytes(s"$storePath/codes")},""" +
+      s""""bincodes_bytes":${duBytes(s"$storePath/bincodes")},""" +
       s""""groups":$nGroups}""")
 
     // ---- serving probes ---------------------------------------------------
@@ -322,6 +333,9 @@ object Scale100M {
     val (shufRac, shufWac) = meter.delta()
     val (adec100, afrac100) = GraphLayout.serveAdcDecision(layout,
       queries, 8)
+    // the decision's own probe job (driver-side query collect) must not
+    // leak into the timed auto window — close the meter before serving
+    meter.delta()
     val (_, tAdcAuto) = time {
       GraphLayout.serveAdc(layout, queries, k, searchWindow = 64,
         nProbes = 8).count()
@@ -339,6 +353,66 @@ object Scale100M {
       s""""adc_auto100_sec":$tAdcAuto,""" +
       s""""adc_auto100_shuffle_read_bytes":$shufRaa,""" +
       s""""adc_auto100_shuffle_write_bytes":$shufWaa}""")
+
+    // ---- BINARY/Hamming serving at 10⁸ (r13) -------------------------------
+    // The smallest store of any codec (2×8-byte words per row at 64-d —
+    // bincodes ≈ 1/8 of codes, ~1/100 of data) and therefore the family
+    // most likely chosen at extreme scale. Mirror the ADC legs one order
+    // past the sf0.1 evidence behind q187–q189: local bincodes walk +
+    // exact rerank, the cogroup contrast, and the serveHamming() Auto
+    // dispatch — shuffle-byte columns confirm the |Q|·probes·(kReorder·k)
+    // walk-partial exchange law for the binary family at 10⁸.
+    val kReorder = 2
+    val (hdec100, hfrac100, hpm) = GraphLayout
+      .serveHammingDecisionProbed(layout, queries, 8)
+    val probedHam = hpm.keySet
+    meter.delta() // decision's probe job stays out of every timed window
+    val (hamRes, tHamLocal) = time {
+      val r = GraphLayout.searchHammingLocal(layout, queries, k,
+          searchWindow = 64, nProbes = 8, kReorder = kReorder)
+        .select("query_id", "neighbor_id").cache()
+      r.count(); r
+    }
+    val (shufRhl, shufWhl) = meter.delta()
+    val hamRecall =
+      hamRes.intersect(truth).count().toDouble / (k.toLong * nq)
+    meter.delta()
+    val (_, tHamLocal5) = time {
+      GraphLayout.searchHammingLocal(layout, queries5, k,
+        searchWindow = 64, nProbes = 8, kReorder = kReorder).count()
+    }
+    val (shufRhl5, shufWhl5) = meter.delta()
+    val (_, tHamCog) = time {
+      GraphLayout.searchHamming(layout, queries, k, searchWindow = 64,
+        nProbes = 8, kReorder = kReorder).count()
+    }
+    val (shufRhc, shufWhc) = meter.delta()
+    val (_, tHamAuto) = time {
+      GraphLayout.serveHamming(layout, queries, k, searchWindow = 64,
+        nProbes = 8, kReorder = kReorder).count()
+    }
+    val (shufRha, shufWha) = meter.delta()
+    println(s"""{"experiment":"scale100m_stored_hamming","n":$n,""" +
+      s""""k_reorder":$kReorder,""" +
+      s""""probed100_shards":${probedHam.size},""" +
+      s""""probed_bincodes_graph_bytes":${
+        probedBytes(probedHam, Seq("bincodes", "graph"))},""" +
+      s""""hamming_local100_sec":$tHamLocal,""" +
+      s""""hamming_local100_shuffle_read_bytes":$shufRhl,""" +
+      s""""hamming_local100_shuffle_write_bytes":$shufWhl,""" +
+      s""""hamming_local5_sec":$tHamLocal5,""" +
+      s""""hamming_local5_shuffle_read_bytes":$shufRhl5,""" +
+      s""""hamming_local5_shuffle_write_bytes":$shufWhl5,""" +
+      s""""hamming_cogroup100_sec":$tHamCog,""" +
+      s""""hamming_cogroup100_shuffle_read_bytes":$shufRhc,""" +
+      s""""hamming_cogroup100_shuffle_write_bytes":$shufWhc,""" +
+      s""""hamming_auto_decision100":"$hdec100",""" +
+      s""""hamming_auto_fraction100":$hfrac100,""" +
+      s""""hamming_auto100_sec":$tHamAuto,""" +
+      s""""hamming_auto100_shuffle_read_bytes":$shufRha,""" +
+      s""""hamming_auto100_shuffle_write_bytes":$shufWha,""" +
+      s""""hamming_recall_vs_exact":$hamRecall}""")
+    hamRes.unpersist()
 
     truth.unpersist(); localRes.unpersist()
     queries5.unpersist(); queries.unpersist()

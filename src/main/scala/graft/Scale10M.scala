@@ -380,6 +380,42 @@ object Scale10M {
       s""""adc_auto100_sec":$tAdcAuto100,""" +
       s""""adc_auto100_shuffle_read_bytes":$shufRaa1,""" +
       s""""adc_auto100_shuffle_write_bytes":$shufWaa1}""")
+    // CACHED-FRAME regime (r13): the one case where cogroup wins — the
+    // clustered+graph frames already cache-resident in cluster memory,
+    // so the local path's disk re-read is the extra cost. Auto detects
+    // it (storageLevel != NONE ⇒ cogroup); measure the detected cogroup
+    // serve against a FORCED local serve on the same cached store.
+    layout.clustered.cache().count()
+    layout.graph.cache().count()
+    val (decC, fracC) = graft.operators.GraphLayout.serveDecision(layout,
+      queries, nProbes = 8, simdL2, l1Probes = l1Probes)
+    meter.delta()
+    val (_, tCached) = time {
+      graft.operators.GraphLayout.serve(layout, queries, k,
+          searchWindow = 64, nProbes = 8, simdL2, l1Probes = l1Probes)
+        .select("query_id", "neighbor_id").count()
+    }
+    val (shufRcc, shufWcc) = meter.delta()
+    val (_, tCachedLocal) = time {
+      graft.operators.GraphLayout.serve(layout, queries, k,
+          searchWindow = 64, nProbes = 8, simdL2, l1Probes = l1Probes,
+          mode = graft.operators.GraphLayout.ServeMode.Local)
+        .select("query_id", "neighbor_id").count()
+    }
+    val (shufRcl, shufWcl) = meter.delta()
+    layout.clustered.unpersist(true)
+    layout.graph.unpersist(true)
+    val (decU, _) = graft.operators.GraphLayout.serveDecision(layout,
+      queries, nProbes = 8, simdL2, l1Probes = l1Probes)
+    println(s"""{"experiment":"scale10m_serve_cached","n":$n,""" +
+      s""""decision_cached":"$decC","fraction":$fracC,""" +
+      s""""cached_auto100_sec":$tCached,""" +
+      s""""cached_auto100_shuffle_read_bytes":$shufRcc,""" +
+      s""""cached_auto100_shuffle_write_bytes":$shufWcc,""" +
+      s""""cached_forced_local100_sec":$tCachedLocal,""" +
+      s""""cached_local100_shuffle_read_bytes":$shufRcl,""" +
+      s""""cached_local100_shuffle_write_bytes":$shufWcl,""" +
+      s""""decision_after_unpersist":"$decU"}""")
     println(s"""{"experiment":"scale10m_stored_adc","n":$n,""" +
       s""""codes_bytes":$codesBytes,""" +
       s""""probed_codes_graph_bytes":$probedAdcBytes,""" +

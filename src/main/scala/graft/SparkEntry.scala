@@ -1104,6 +1104,46 @@ object SparkEntry {
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 
+  /** q190: STREAMING query serving — the deployment shape of a 100 TB
+    * index (store is persisted, queries arrive continuously): embQueries
+    * stream in two micro-batches through
+    * [[graft.streaming.StreamingServe.attachGraph]] against q180/q184's
+    * routed store, each batch answered by `GraphLayout.serve` (probe-once
+    * routing, Auto dispatch) into its own replay-idempotent `batch_id=`
+    * partition. Batch ≡ stream (StreamingServeSpec), so q184's oracle —
+    * exact within-probed-shards kNN — certifies the streaming recipe
+    * end-to-end through DuckDB. */
+  private def serveStreamQ(s: SparkSession, dir: String): DataFrame = {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val layout = routedGraphLayout(s, dir)
+    val out = "/tmp/graft_q190_serve_stream_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // clean sink: a previous run's batch partitions would otherwise
+    // union into this run's results
+    val outP = new org.apache.hadoop.fs.Path(out)
+    outP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(outP, true)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-q190-ckpt").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingServe.attachGraph(
+      mem.toDF().toDF("query_id", "qvec"), layout, out, ckpt, K,
+      searchWindow = 1 << 14, nProbes = VamanaProbes, Metric.L2,
+      l1Probes = 5)
+    val rows = embQueries(s, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    try {
+      val (a, b) = rows.partition(_._1 % 2 == 0)
+      mem.addData(a.toSeq); q.processAllAvailable()
+      mem.addData(b.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    graft.streaming.StreamingServe.results(s, out)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   /** q151: DiskANN serving from the store — codes-only walk over the
     * persisted codes+graph partitions, exact rerank touching only the
     * |Q|·kReorder·k candidate rows of data; ≡ q148 (same oracle), with
@@ -3265,6 +3305,7 @@ object SparkEntry {
     "q187_binary_stored_local" -> (binaryStoredLocalQ _),
     "q188_serve_hamming_auto" -> (serveHammingAutoQ _),
     "q189_serve_hamming_probed" -> (serveHammingProbedQ _),
+    "q190_serve_stream" -> (serveStreamQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3706,5 +3747,10 @@ object SparkEntry {
     // the probed union (full window ⇒ exact per shard), exact-L2 rerank.
     "q189_serve_hamming_probed" ->
       OracleGen.binaryRerankProbed(K, PqWalkReorder, VamanaProbes),
+    // q190: STREAMING serving — micro-batched queries through serve()
+    // against q184's routed store; batch ≡ stream (StreamingServeSpec)
+    // and per-query top-k is batch-boundary-independent, so q184's exact
+    // within-probed-shards oracle certifies the streaming recipe.
+    "q190_serve_stream" -> OracleGen.vamanaShardedKnn(K, VamanaProbes),
   )
 }

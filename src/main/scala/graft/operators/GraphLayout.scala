@@ -385,14 +385,47 @@ object GraphLayout {
     }
   }
 
-  /** [[serve]]'s dispatch override: Auto picks by probe-union fraction;
-    * Local / Cogroup force a path (the measured escape hatch). */
+  /** [[serve]]'s dispatch override: Auto picks by cache residency +
+    * probe-union fraction; Local / Cogroup force a path (the measured
+    * escape hatch). */
   sealed trait ServeMode
   object ServeMode {
     case object Auto extends ServeMode
     case object Local extends ServeMode
     case object Cogroup extends ServeMode
   }
+
+  /** A probe map as the routing kernels emit it: probed shard id → the
+    * (query_id, query vector) pairs probing it. [[serveDecisionProbed]]
+    * returns one; `serve*`'s `prebuiltProbes` accepts it back, so a
+    * caller inspecting the decision before serving pays the routing
+    * kernel ONCE end-to-end. */
+  type ProbeMap = Map[Long, Array[(Long, Array[Double])]]
+
+  /** True when any frame the cogroup path would read is already
+    * cache-resident (the Dataset's `storageLevel` consults the shared
+    * CacheManager, so a logically-equal cached frame counts). This is
+    * the ONE regime where the local path's disk re-read is the extra
+    * cost — the corpus partitions are already in cluster memory and the
+    * cogroup walk reads them for free — so Auto dispatches cogroup. */
+  private def cacheResident(frames: Option[DataFrame]*): Boolean =
+    frames.flatten.exists(_.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+
+  /** The shared Auto rule (identical across all three codec families and
+    * their decision twins): an in-memory layout can only cogroup; a
+    * cache-resident layout cogroups (see [[cacheResident]]); otherwise
+    * local iff the probe-union fraction clears `localMaxFraction`. At
+    * the DEFAULT dial (1.0) the fraction test is a tautology — post-r12
+    * O(1)-planning, local wins every measured on-disk regime on both
+    * wall and exchange (SCALE.md), so Auto reduces to "local iff stored
+    * and not cached"; the dial exists for callers who have measured
+    * their own crossover. */
+  private def autoPick(fraction: Double, localMaxFraction: Double,
+                       onDisk: Boolean, cached: Boolean): String =
+    if (!onDisk || cached) "cogroup"
+    else if (fraction <= localMaxFraction) "local"
+    else "cogroup"
 
   /** The dispatch [[serve]] will take for this batch, without running
     * it: ("local" | "cogroup", probe-union fraction). Exposed so specs
@@ -409,27 +442,38 @@ object GraphLayout {
     * 4.68 GB on the same store — local wins BOTH regimes on wall AND by
     * 26 000× on exchange volume (both paths are one task per probed
     * shard, so there is no parallelism regime left where the corpus
-    * exchange pays). Lower the threshold (or force Cogroup) only when
-    * the clustered frame is already cache-resident in cluster memory —
-    * the one case where re-reading the store from disk is the extra
-    * cost. */
+    * exchange pays). The one remaining cogroup-wins case — the clustered
+    * frame already cache-resident in cluster memory, where re-reading
+    * the store from disk is the extra cost — is detected automatically
+    * ([[cacheResident]]); the threshold dial remains for callers who
+    * measured their own crossover. */
   def serveDecision(layout: Layout, queries: DataFrame, nProbes: Int,
                     metric: Metric, l1Probes: Int = 0,
                     localMaxFraction: Double = 1.0): (String, Double) = {
+    val (m, f, _) = serveDecisionProbed(layout, queries, nProbes, metric,
+      l1Probes, localMaxFraction)
+    (m, f)
+  }
+
+  /** [[serveDecision]] that also RETURNS the probe map it computed —
+    * hand it to [[serve]]'s `prebuiltProbes` so inspect-then-serve pays
+    * the routing kernel once (the map is the same one serve would build:
+    * same kernel, same metric, same routing level). */
+  def serveDecisionProbed(layout: Layout, queries: DataFrame, nProbes: Int,
+                          metric: Metric, l1Probes: Int = 0,
+                          localMaxFraction: Double = 1.0)
+      : (String, Double, ProbeMap) = {
     val routed = layout.routing.isDefined && l1Probes > 0
-    val probed =
+    val pm: ProbeMap =
       if (routed) {
         val (l1, groupOf) = layout.routing.get
-        Vamana.probedShardsHierarchical(queries, layout.centroids, l1,
-          groupOf, l1Probes, nProbes, metric)
-      } else Vamana.probedShards(queries, layout.centroids, nProbes, metric)
-    val fraction = probed.size.toDouble / layout.centroids.size
-    // the local path needs the partition dirs on disk; an in-memory
-    // layout (no path) can only cogroup
-    val mode =
-      if (fraction <= localMaxFraction && layout.path.isDefined) "local"
-      else "cogroup"
-    (mode, fraction)
+        Vamana.hierProbeMap(queries, layout.centroids, l1, groupOf,
+          l1Probes, nProbes, metric)
+      } else Vamana.flatProbeMap(queries, layout.centroids, nProbes, metric)
+    val fraction = pm.size.toDouble / layout.centroids.size
+    val mode = autoPick(fraction, localMaxFraction, layout.path.isDefined,
+      cacheResident(Some(layout.clustered), Some(layout.graph)))
+    (mode, fraction, pm)
   }
 
   /** ONE serving entry point — the reference posture of a single
@@ -445,28 +489,36 @@ object GraphLayout {
     *     is on disk.
     *   - the COGROUP walk ([[searchRouted]] / [[search]]) — required for
     *     in-memory layouts (no partition dirs to read), and the right
-    *     manual pick when the clustered frame is already cache-resident
-    *     in cluster memory (the one case where local's disk re-read is
-    *     the extra cost).
+    *     pick when the clustered frame is already cache-resident in
+    *     cluster memory (the one case where local's disk re-read is the
+    *     extra cost). Auto detects that regime itself: a cached
+    *     clustered/graph frame dispatches cogroup ([[cacheResident]]),
+    *     closing the last wrong-choice corner the dispatcher was built
+    *     to remove.
     *
     * Auto mode computes the probe-union fraction from the same routing
     * kernel the search itself uses (milliseconds, driver-side, queries
     * are broadcast-small by the serving contract) and dispatches at
-    * `localMaxFraction` (see [[serveDecision]]); both paths return
-    * bit-identical rows (HierRoutingSpec/GraphLayoutSpec), so the
-    * dispatch is a pure cost decision — the wrong MANUAL choice costs
-    * 26,000× shuffle or 4–6× wall (SCALE.md), which is why this entry
-    * point exists.
+    * `localMaxFraction` (see [[serveDecision]]; at the default 1.0 the
+    * fraction never flips the choice — local wins every measured on-disk
+    * uncached regime, SCALE.md); both paths return bit-identical rows
+    * (HierRoutingSpec/GraphLayoutSpec), so the dispatch is a pure cost
+    * decision — the wrong MANUAL choice costs 26,000× shuffle or 4–6×
+    * wall (SCALE.md), which is why this entry point exists.
     *
     * Routed when the layout has a persisted level-1 AND `l1Probes > 0`;
     * flat otherwise. `keep` is the traverse-but-filter predicate over
     * the data columns, honored on every path. `mode` forces a path
-    * (Local requires a disk-opened layout). */
+    * (Local requires a disk-opened layout). `prebuiltProbes` accepts
+    * [[serveDecisionProbed]]'s map so inspect-then-serve probes once;
+    * it must come from the SAME (queries, nProbes, l1Probes, metric) —
+    * the search reads exactly the shards the map names. */
   def serve(layout: Layout, queries: DataFrame, k: Int, searchWindow: Int,
             nProbes: Int, metric: Metric, l1Probes: Int = 0,
             keep: org.apache.spark.sql.Column = lit(true),
             mode: ServeMode = ServeMode.Auto,
-            localMaxFraction: Double = 1.0): DataFrame = {
+            localMaxFraction: Double = 1.0,
+            prebuiltProbes: Option[ProbeMap] = None): DataFrame = {
     val routed = layout.routing.isDefined && l1Probes > 0
     // metric-vs-routing mismatch fails BEFORE any probing work
     if (routed) layout.routingMetricName.foreach { rm =>
@@ -478,20 +530,22 @@ object GraphLayout {
     // the query batch is collected and probe-scored exactly ONCE — the
     // dispatch decision and the dispatched search share this map (the
     // same routing kernel, Vamana.hierProbeMap/flatProbeMap, so the
-    // planner provably probes the shards the search reads)
-    val pm =
+    // planner provably probes the shards the search reads); a caller who
+    // already paid the kernel via serveDecisionProbed hands the map in
+    val pm = prebuiltProbes.getOrElse {
       if (routed) {
         val (l1, groupOf) = layout.routing.get
         Vamana.hierProbeMap(queries, layout.centroids, l1, groupOf,
           l1Probes, nProbes, metric)
       } else Vamana.flatProbeMap(queries, layout.centroids, nProbes, metric)
+    }
     val chosen = mode match {
       case ServeMode.Local   => "local"
       case ServeMode.Cogroup => "cogroup"
       case ServeMode.Auto    =>
-        val fraction = pm.size.toDouble / layout.centroids.size
-        if (fraction <= localMaxFraction && layout.path.isDefined) "local"
-        else "cogroup"
+        autoPick(pm.size.toDouble / layout.centroids.size,
+          localMaxFraction, layout.path.isDefined,
+          cacheResident(Some(layout.clustered), Some(layout.graph)))
     }
     (chosen, routed) match {
       case ("local", true) =>
@@ -523,8 +577,13 @@ object GraphLayout {
     *     exchange vs the cogroup's 1.55 GB on the same store — Auto
     *     picks it whenever the codes dirs are on disk.
     *   - the COGROUP codes walk ([[searchAdc]]) — required for in-memory
-    *     layouts, and the manual pick when the codes frame is already
-    *     cache-resident in cluster memory.
+    *     layouts; Auto also picks it when the codes/graph frames are
+    *     already cache-resident in cluster memory ([[cacheResident]] —
+    *     the one regime where local's disk re-read is the extra cost).
+    *     At the DEFAULT `localMaxFraction` (1.0) the probe-union
+    *     fraction never flips the choice (it is ≤ 1.0 by construction),
+    *     so Auto reduces to "local iff stored and not cached"; the dial
+    *     exists for callers who measured their own crossover.
     *
     * Probing runs EXACTLY ONCE on the WALK metric (ADC probe routing is
     * flat — codes shards carry no level-1) and the map threads through
@@ -542,7 +601,8 @@ object GraphLayout {
                metric: Metric = Metric.L2,
                keep: org.apache.spark.sql.Column = lit(true),
                mode: ServeMode = ServeMode.Auto,
-               localMaxFraction: Double = 1.0): DataFrame = {
+               localMaxFraction: Double = 1.0,
+               prebuiltProbes: Option[ProbeMap] = None): DataFrame = {
     require(layout.codes.isDefined,
       "serveAdc needs PQ codes — write(pq = Some(...)) first")
     val walkM =
@@ -553,15 +613,17 @@ object GraphLayout {
             s"kReorder > 0 reranks exactly — got $metric with no rerank")
         Metric.L2
       }
-    // probe ONCE, on the metric the codes walk will use
-    val pm = Vamana.flatProbeMap(queries, layout.centroids, nProbes, walkM)
+    // probe ONCE, on the metric the codes walk will use (or reuse the
+    // map serveAdcDecisionProbed already built for this batch)
+    val pm = prebuiltProbes.getOrElse(
+      Vamana.flatProbeMap(queries, layout.centroids, nProbes, walkM))
     val chosen = mode match {
       case ServeMode.Local   => "local"
       case ServeMode.Cogroup => "cogroup"
       case ServeMode.Auto    =>
-        val fraction = pm.size.toDouble / layout.centroids.size
-        if (fraction <= localMaxFraction && layout.path.isDefined) "local"
-        else "cogroup"
+        autoPick(pm.size.toDouble / layout.centroids.size,
+          localMaxFraction, layout.path.isDefined,
+          cacheResident(layout.codes, Some(layout.graph)))
     }
     if (chosen == "local")
       searchAdcLocal(layout, queries, k, searchWindow, nProbes, kReorder,
@@ -578,15 +640,25 @@ object GraphLayout {
   def serveAdcDecision(layout: Layout, queries: DataFrame, nProbes: Int,
                        metric: Metric = Metric.L2,
                        localMaxFraction: Double = 1.0): (String, Double) = {
+    val (m, f, _) = serveAdcDecisionProbed(layout, queries, nProbes,
+      metric, localMaxFraction)
+    (m, f)
+  }
+
+  /** [[serveAdcDecision]] that also returns its probe map — feed it to
+    * [[serveAdc]]'s `prebuiltProbes` (same batch, same nProbes, same
+    * metric) so inspect-then-serve probes once. */
+  def serveAdcDecisionProbed(layout: Layout, queries: DataFrame,
+                             nProbes: Int, metric: Metric = Metric.L2,
+                             localMaxFraction: Double = 1.0)
+      : (String, Double, ProbeMap) = {
     val walkM =
       if (metric == Metric.L2 || metric == Metric.IP) metric else Metric.L2
-    val probed = Vamana.probedShards(queries, layout.centroids, nProbes,
-      walkM)
-    val fraction = probed.size.toDouble / layout.centroids.size
-    val m =
-      if (fraction <= localMaxFraction && layout.path.isDefined) "local"
-      else "cogroup"
-    (m, fraction)
+    val pm = Vamana.flatProbeMap(queries, layout.centroids, nProbes, walkM)
+    val fraction = pm.size.toDouble / layout.centroids.size
+    val m = autoPick(fraction, localMaxFraction, layout.path.isDefined,
+      cacheResident(layout.codes, Some(layout.graph)))
+    (m, fraction, pm)
   }
 
   /** Incremental maintenance of the persisted index — the M1–M4 lifecycle
@@ -855,8 +927,10 @@ object GraphLayout {
   /** [[serve]]'s BINARY twin — ONE entry point for sign-bit serving
     * that dispatches between [[searchHammingLocal]] (zero corpus
     * shuffle; 8 bytes of walk state per row) and [[searchHamming]]
-    * (cogroup — required for in-memory layouts, the manual pick for
-    * cache-resident frames). Probing runs EXACTLY ONCE, by Hamming
+    * (cogroup — required for in-memory layouts, auto-picked for
+    * cache-resident bincodes/graph frames, [[cacheResident]]; at the
+    * default `localMaxFraction` = 1.0 the fraction never flips the
+    * choice). Probing runs EXACTLY ONCE, by Hamming
     * distance over the word-encoded query batch and centroids — the
     * same routing both manual paths compute — and threads through the
     * dispatched path. Both paths return bit-identical rows
@@ -869,7 +943,8 @@ object GraphLayout {
                    searchWindow: Int, nProbes: Int, kReorder: Int,
                    rerankMetric: Metric = Metric.L2,
                    mode: ServeMode = ServeMode.Auto,
-                   localMaxFraction: Double = 1.0): DataFrame = {
+                   localMaxFraction: Double = 1.0,
+                   prebuiltProbes: Option[ProbeMap] = None): DataFrame = {
     val b = layout.bin.getOrElse(
       sys.error("layout has no binary codes — write(bin = Some(...)) first"))
     val wordCents = layout.centroids.map { case (cid, cv) =>
@@ -877,15 +952,17 @@ object GraphLayout {
     val qWords = queries.select(col("query_id"),
       array(BinaryQuant.codeColumns(col("qvec"), b)
         .map(_.cast("double")): _*).as("qvec"))
-    val pm = Vamana.flatProbeMap(qWords, wordCents, nProbes,
-      Metric.Hamming)
+    // probe ONCE in the word-encoded Hamming space (or reuse the map
+    // serveHammingDecisionProbed already built for this batch)
+    val pm = prebuiltProbes.getOrElse(
+      Vamana.flatProbeMap(qWords, wordCents, nProbes, Metric.Hamming))
     val chosen = mode match {
       case ServeMode.Local   => "local"
       case ServeMode.Cogroup => "cogroup"
       case ServeMode.Auto    =>
-        val fraction = pm.size.toDouble / layout.centroids.size
-        if (fraction <= localMaxFraction && layout.path.isDefined) "local"
-        else "cogroup"
+        autoPick(pm.size.toDouble / layout.centroids.size,
+          localMaxFraction, layout.path.isDefined,
+          cacheResident(layout.binCodes, Some(layout.graph)))
     }
     if (chosen == "local")
       searchHammingLocal(layout, queries, k, searchWindow, nProbes,
@@ -902,6 +979,18 @@ object GraphLayout {
                            nProbes: Int,
                            localMaxFraction: Double = 1.0)
       : (String, Double) = {
+    val (m, f, _) = serveHammingDecisionProbed(layout, queries, nProbes,
+      localMaxFraction)
+    (m, f)
+  }
+
+  /** [[serveHammingDecision]] that also returns its (word-space) probe
+    * map — feed it to [[serveHamming]]'s `prebuiltProbes` (same batch,
+    * same nProbes) so inspect-then-serve probes once. */
+  def serveHammingDecisionProbed(layout: Layout, queries: DataFrame,
+                                 nProbes: Int,
+                                 localMaxFraction: Double = 1.0)
+      : (String, Double, ProbeMap) = {
     val b = layout.bin.getOrElse(
       sys.error("layout has no binary codes — write(bin = Some(...)) first"))
     val wordCents = layout.centroids.map { case (cid, cv) =>
@@ -909,13 +998,12 @@ object GraphLayout {
     val qWords = queries.select(col("query_id"),
       array(BinaryQuant.codeColumns(col("qvec"), b)
         .map(_.cast("double")): _*).as("qvec"))
-    val probed = Vamana.probedShards(qWords, wordCents, nProbes,
+    val pm = Vamana.flatProbeMap(qWords, wordCents, nProbes,
       Metric.Hamming)
-    val fraction = probed.size.toDouble / layout.centroids.size
-    val m =
-      if (fraction <= localMaxFraction && layout.path.isDefined) "local"
-      else "cogroup"
-    (m, fraction)
+    val fraction = pm.size.toDouble / layout.centroids.size
+    val m = autoPick(fraction, localMaxFraction, layout.path.isDefined,
+      cacheResident(layout.binCodes, Some(layout.graph)))
+    (m, fraction, pm)
   }
 
   private def writeSidecar(spark: SparkSession, path: String,

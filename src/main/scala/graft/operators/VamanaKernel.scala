@@ -479,12 +479,22 @@ object VamanaKernel {
     * in-place compaction, the best-first sort, and its slot-id
     * distance-TIE break are untouched; only the pair-distance view is
     * swapped, and [[VecStore.gather]]'s bit-identity contract makes the
-    * distances equal either way. Lookup is `apply` — a pool slot
-    * missing from the map is a caller bug and fails loudly rather than
-    * scoring row 0. */
-  final class PreGathered(val view: VecStore,
-                          slotToLocal: scala.collection.mutable.HashMap[Int, Int]) {
-    def localOf(s: Int): Int = slotToLocal(s)
+    * distances equal either way. `slots` is the gathered view's slot
+    * order (view index i ↔ `slots(i)`); lookup is a primitive linear
+    * scan — the view is ≤ maxDegree+1 rows, so the scan beats a boxed
+    * Int→Int map on the build's hot path (no per-put/get boxing, no
+    * allocation). A pool slot missing from the view is a caller bug and
+    * fails loudly rather than scoring row 0. */
+  final class PreGathered(val view: VecStore, slots: Array[Int]) {
+    def localOf(s: Int): Int = {
+      var i = 0
+      while (i < slots.length) {
+        if (slots(i) == s) return i
+        i += 1
+      }
+      throw new IllegalArgumentException(
+        s"pool slot $s is not in the pre-gathered view")
+    }
   }
 
   /** Primitive-pool variant (the build's hot path — no per-candidate
@@ -736,20 +746,19 @@ object VamanaKernel {
           // neighbor (the robustPrune decode-once rationale applied to
           // the overflow pool build; bit-identical by gather's contract)
           val nbrs = adj(dst)
-          val local = store.gather(dst +: nbrs)
+          val viewSlots = dst +: nbrs
+          val local = store.gather(viewSlots)
           val rp = new CandidatePool(nbrs.length)
-          // slot → view-index map so robustPrune reuses this view
-          // instead of re-decoding the same rows (PreGathered contract)
-          val localIx = new scala.collection.mutable.HashMap[Int, Int]
-          localIx.put(dst, 0)
           var ni = 0
           while (ni < nbrs.length) {
             rp.add(nbrs(ni), local.distPair(metric, 0, ni + 1))
-            localIx.put(nbrs(ni), ni + 1)
             ni += 1
           }
+          // the view's slot order (dst :: nbrs) doubles as robustPrune's
+          // slot → view-index lookup (PreGathered contract) — no boxed
+          // map on the hot path, rows never re-decode
           adj(dst) = robustPrune(dst, rp, alpha, params.maxDegree,
-            store, metric, new PreGathered(local, localIx))
+            store, metric, new PreGathered(local, viewSlots))
         }
         if (stats != null) stats.overflow.add(System.nanoTime() - tOver0)
         start = end

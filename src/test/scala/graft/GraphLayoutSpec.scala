@@ -556,6 +556,120 @@ class GraphLayoutSpec extends SparkSpec {
         s"deleted id served: $r"))
   }
 
+  test("Auto dispatch detects cache residency: a cached layout frame " +
+      "flips every family's decision to cogroup (rows unchanged), " +
+      "unpersist flips it back") {
+    val (data, cents, clustered, graph, p) = fixture()
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    val b = graft.operators.BinaryQuant.train(data)
+    val path = "/tmp/graft_graphlayout_cached"
+    GraphLayout.write(clustered, graph, cents, path, pq = Some(p),
+      bin = Some(b))
+    val layout = GraphLayout.open(spark, path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+
+    // on-disk, nothing cached: all three families dispatch local
+    assert(GraphLayout.serveDecision(layout, queries, 2, Metric.L2)._1
+      === "local")
+    assert(GraphLayout.serveAdcDecision(layout, queries, 2)._1 === "local")
+    assert(GraphLayout.serveHammingDecision(layout, queries, 2)._1
+      === "local")
+    val base = rows(GraphLayout.serve(layout, queries, 5, 32, 2,
+      Metric.L2))
+
+    // cache the clustered frame (the cogroup walk's corpus side): the
+    // full-precision family must now cogroup — re-reading the store from
+    // disk is the one cost the cached frame removes — while the ADC and
+    // binary families (which read codes/bincodes, not data) stay local
+    layout.clustered.cache().count()
+    try {
+      assert(GraphLayout.serveDecision(layout, queries, 2, Metric.L2)._1
+        === "cogroup", "cached clustered must dispatch cogroup")
+      assert(GraphLayout.serveAdcDecision(layout, queries, 2)._1
+        === "local", "ADC reads codes, not the cached data frame")
+      assert(GraphLayout.serveHammingDecision(layout, queries, 2)._1
+        === "local", "binary reads bincodes, not the cached data frame")
+      // pure cost decision: rows bit-identical either way
+      assert(rows(GraphLayout.serve(layout, queries, 5, 32, 2,
+        Metric.L2)) === base)
+      // cached codes flip the ADC family too
+      layout.codes.get.cache().count()
+      assert(GraphLayout.serveAdcDecision(layout, queries, 2)._1
+        === "cogroup")
+      assert(rows(GraphLayout.serveAdc(layout, queries, 5, 32,
+        nProbes = 2)) === rows(GraphLayout.searchAdcLocal(layout, queries,
+        5, 32, nProbes = 2)))
+    } finally {
+      layout.clustered.unpersist(true)
+      layout.codes.get.unpersist(true)
+    }
+    // unpersisted: back to local on every family
+    assert(GraphLayout.serveDecision(layout, queries, 2, Metric.L2)._1
+      === "local")
+    assert(GraphLayout.serveAdcDecision(layout, queries, 2)._1 === "local")
+  }
+
+  test("serveDecisionProbed hands serve() its probe map: one routing " +
+      "computation end-to-end, rows identical, and the map is HONORED " +
+      "(a truncated map serves only its shards)") {
+    val (_, cents, clustered, graph, p) = fixture()
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    val path = "/tmp/graft_graphlayout_probed"
+    GraphLayout.write(clustered, graph, cents, path, pq = Some(p),
+      routingGroups = 2)
+    val layout = GraphLayout.open(spark, path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+
+    // inspect-then-serve: the decision's map, handed back, reproduces
+    // the self-probed serve bit-for-bit (routed AND flat)
+    val (m1, f1, pmR) = GraphLayout.serveDecisionProbed(layout, queries,
+      nProbes = 2, Metric.L2, l1Probes = 2)
+    assert(m1 === "local" && f1 > 0 && pmR.nonEmpty)
+    assert(rows(GraphLayout.serve(layout, queries, 5, 32, nProbes = 2,
+      Metric.L2, l1Probes = 2, prebuiltProbes = Some(pmR))) ===
+      rows(GraphLayout.serve(layout, queries, 5, 32, nProbes = 2,
+        Metric.L2, l1Probes = 2)))
+    val (_, _, pmF) = GraphLayout.serveDecisionProbed(layout, queries,
+      nProbes = 2, Metric.L2)
+    assert(rows(GraphLayout.serve(layout, queries, 5, 32, nProbes = 2,
+      Metric.L2, prebuiltProbes = Some(pmF))) ===
+      rows(GraphLayout.serve(layout, queries, 5, 32, nProbes = 2,
+        Metric.L2)))
+
+    // the map is authoritative, not advisory: serving a TRUNCATED map
+    // equals the manual path given the same truncation — proof the
+    // dispatched search probes exactly the decision's shards instead of
+    // recomputing its own routing
+    val keep = pmF.keySet.min
+    val pmCut = pmF.filter { case (cid, _) => cid == keep }
+    assert(rows(GraphLayout.serve(layout, queries, 5, 32, nProbes = 2,
+      Metric.L2, prebuiltProbes = Some(pmCut))) ===
+      rows(GraphLayout.searchLocal(layout, queries, 5, 32, nProbes = 2,
+        Metric.L2, prebuiltProbes = Some(pmCut))))
+
+    // the ADC and binary twins honor their maps the same way
+    val bPath = "/tmp/graft_graphlayout_probed_bin"
+    val (dataB, centsB, clusteredB, graphB, _) = fixture()
+    GraphLayout.write(clusteredB, graphB, centsB, bPath, pq = Some(p),
+      bin = Some(graft.operators.BinaryQuant.train(dataB)))
+    val lb = GraphLayout.open(spark, bPath)
+    val (_, _, pmA) = GraphLayout.serveAdcDecisionProbed(lb, queries,
+      nProbes = 2)
+    assert(rows(GraphLayout.serveAdc(lb, queries, 5, 32, nProbes = 2,
+      prebuiltProbes = Some(pmA))) ===
+      rows(GraphLayout.serveAdc(lb, queries, 5, 32, nProbes = 2)))
+    val (_, _, pmH) = GraphLayout.serveHammingDecisionProbed(lb, queries,
+      nProbes = 2)
+    assert(rows(GraphLayout.serveHamming(lb, queries, 5, 32, nProbes = 2,
+      kReorder = 2, prebuiltProbes = Some(pmH))) ===
+      rows(GraphLayout.serveHamming(lb, queries, 5, 32, nProbes = 2,
+        kReorder = 2)))
+  }
+
   test("layout without PQ opens with no codes and searchAdc fails loudly") {
     val (_, cents, clustered, graph, _) = fixture()
     val queries = Tables.embeddingQueries(spark, sfDir)

@@ -360,6 +360,48 @@ class ServingPropSpec extends SparkSpec {
       .foreach(c => assert(c === n, "serveHamming k>n"))
   }
 
+  test("degenerate shapes through IndexLayout.serve: empty batches and " +
+      "k > n at BOTH routing dials, across codecs — no failures") {
+    import graft.operators.IndexLayout
+    val dims = 16
+    val rows = randData(37L, 40, dims)
+    val data = rows.toDF("id", "vec")
+    val cents = rows.take(2).map { case (id, v) => (id, v.toIndexedSeq) }
+    val clustered = KMeans.assign(data, cents)
+    val p = Pq.paramsFromRows(rows.take(4).map(_._2.toArray), 4, 4, dims)
+    val queries = rows.take(3)
+      .map { case (id, v) => (id + 900, v.map(1.0 - _)) }
+      .toDF("query_id", "qvec")
+    val none = queries.limit(0)
+    val n = rows.length
+    for ((codec, tag) <- Seq(
+      (IndexLayout.Uncompressed: IndexLayout.Codec, "plain"),
+      (IndexLayout.PqResC(p): IndexLayout.Codec, "ivfadc"))) {
+      val path = s"/tmp/graft_prop_indexserve_degenerate_$tag"
+      IndexLayout.write(clustered, cents, path, codec, routingGroups = 2)
+      val layout = IndexLayout.open(spark, path)
+      val l1 = layout.routing.map(_._1.size).getOrElse(0)
+      assert(l1 > 0, s"$tag: routing level not persisted")
+      // empty batches at the flat AND routed dials: empty results
+      for (l1p <- Seq(0, l1)) {
+        assert(IndexLayout.serve(layout, none, 5, nProbes = 2, Metric.L2,
+          l1Probes = l1p).count() === 0, s"$tag empty l1Probes=$l1p")
+      }
+      // k > n at exhaustive probes: all n rows ranked per query, both
+      // dials, and routed ≡ flat bit-for-bit at exhaustive level-1
+      def tuples(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+      val flat = IndexLayout.serve(layout, queries, n + 50,
+        nProbes = cents.size, Metric.L2)
+      val routed = IndexLayout.serve(layout, queries, n + 50,
+        nProbes = cents.size, Metric.L2, l1Probes = l1)
+      flat.groupBy("query_id").count().collect()
+        .foreach(r => assert(r.getLong(1) === n, s"$tag flat k>n"))
+      assert(tuples(flat) === tuples(routed), s"$tag routed ≡ flat")
+    }
+  }
+
   test("LeanVec/MRL serving compositions on random corpora: full-dim " +
       "truncation ≡ exact; exhaustive rerank ≡ exact at any prefix; " +
       "trained-projection search with exhaustive rerank ≡ exact") {

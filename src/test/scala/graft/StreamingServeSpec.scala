@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.core.{Metric, Tables}
+import graft.operators.{BinaryQuant, GraphLayout, IndexLayout, KMeans, Pq,
+  Vamana}
+import graft.operators.VamanaKernel.BuildParams
+import graft.streaming.StreamingServe
+
+/** Streaming QUERY serving against stored layouts: each micro-batch flows
+  * through the family's one serve() entry point and lands in its own
+  * batch_id partition — the union must be bit-identical to one batch
+  * serve() of the same queries (per-query top-k is independent across
+  * queries, so micro-batch boundaries cannot change any row), and a
+  * replayed micro-batch must overwrite its partition, never duplicate. */
+class StreamingServeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 6
+  private val W = 1 << 12
+
+  private def ckpt() =
+    java.nio.file.Files.createTempDirectory("graft-serve-stream").toString
+
+  private def cleanDir(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+
+  /** One stored layout carrying all three graph-family codecs. */
+  private lazy val layout: GraphLayout.Layout = {
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    val cents = data.filter(col("id") < 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+      .toIndexedSeq
+    val clustered = KMeans.assign(data, cents)
+    val graph = Vamana.buildSharded(clustered,
+      BuildParams(maxDegree = 16, buildWindow = 32), Metric.L2)
+    val rows = data.orderBy("id").limit(8).collect()
+      .map(_.getAs[Seq[Double]]("vec").toArray).toSeq
+    val p = Pq.paramsFromRows(rows, 4, 8, Tables.embDims)
+    val b = BinaryQuant.train(data)
+    val path = "/tmp/graft_streaming_serve_layout"
+    GraphLayout.write(clustered, graph, cents, path, pq = Some(p),
+      bin = Some(b), routingGroups = 2)
+    GraphLayout.open(spark, path)
+  }
+
+  private def queryRows: Seq[(Long, Seq[Double])] =
+    Tables.embeddingQueries(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+
+  private def tuples(df: DataFrame): Seq[Seq[Any]] = df
+    .select("query_id", "rnk", "neighbor_id")
+    .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+
+  /** Stream `qs` in `nBatches` micro-batches through `attach`, return the
+    * sink dir's content. */
+  private def streamed(qs: Seq[(Long, Seq[Double])], nBatches: Int,
+                       outPath: String)
+                      (attach: DataFrame =>
+                        org.apache.spark.sql.streaming.StreamingQuery)
+      : DataFrame = {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    cleanDir(outPath)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = attach(mem.toDF().toDF("query_id", "qvec"))
+    try qs.grouped(math.max(1, (qs.length + nBatches - 1) / nBatches))
+      .foreach { g => mem.addData(g); q.processAllAvailable() }
+    finally q.stop()
+    StreamingServe.results(spark, outPath)
+  }
+
+  test("attachGraph: 3 micro-batches through serve() ≡ one batch serve; " +
+      "each micro-batch lands in its own batch_id partition") {
+    val out = "/tmp/graft_streaming_serve_graph"
+    val res = streamed(queryRows, 3, out)(st =>
+      StreamingServe.attachGraph(st, layout, out, ckpt(), K, W,
+        nProbes = 2, Metric.L2, l1Probes = 1))
+    val batch = GraphLayout.serve(layout,
+      Tables.embeddingQueries(spark, sfDir), K, W, nProbes = 2, Metric.L2,
+      l1Probes = 1)
+    assert(tuples(res) === tuples(batch))
+    assert(tuples(res).nonEmpty)
+    // provenance: >1 distinct batch_id partitions actually materialized
+    assert(spark.read.parquet(out).select("batch_id").distinct().count()
+      > 1L)
+  }
+
+  test("attachAdc (kReorder + keep) and attachHamming: stream ≡ batch " +
+      "through the compressed and binary dispatchers") {
+    val keep = col("id") % 3 =!= 1
+    val outA = "/tmp/graft_streaming_serve_adc"
+    val resA = streamed(queryRows, 2, outA)(st =>
+      StreamingServe.attachAdc(st, layout, outA, ckpt(), K, W,
+        nProbes = 2, kReorder = 2, keep = keep))
+    assert(tuples(resA) === tuples(GraphLayout.serveAdc(layout,
+      Tables.embeddingQueries(spark, sfDir), K, W, nProbes = 2,
+      kReorder = 2, keep = keep)))
+    tuples(resA).foreach(r =>
+      assert(r(2).asInstanceOf[Long] % 3 !== 1, "excluded id emitted"))
+
+    val outH = "/tmp/graft_streaming_serve_hamming"
+    val resH = streamed(queryRows, 2, outH)(st =>
+      StreamingServe.attachHamming(st, layout, outH, ckpt(), K, W,
+        nProbes = 2, kReorder = 2))
+    assert(tuples(resH) === tuples(GraphLayout.serveHamming(layout,
+      Tables.embeddingQueries(spark, sfDir), K, W, nProbes = 2,
+      kReorder = 2)))
+  }
+
+  test("attachIndex: stream ≡ batch through IndexLayout.serve at both " +
+      "routing dials") {
+    val data = Tables.embeddingVectors(spark, sfDir).select("id", "vec")
+    val cents = data.filter(col("id") < 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+      .toIndexedSeq
+    val path = "/tmp/graft_streaming_serve_ivf"
+    IndexLayout.write(KMeans.assign(data, cents), cents, path,
+      IndexLayout.Uncompressed, routingGroups = 2)
+    val ivf = IndexLayout.open(spark, path)
+    val l1Size = ivf.routing.map(_._1.size).getOrElse(0)
+    for (l1p <- Seq(0, l1Size)) {
+      val out = s"/tmp/graft_streaming_serve_index_$l1p"
+      val res = streamed(queryRows, 2, out)(st =>
+        StreamingServe.attachIndex(st, ivf, out, ckpt(), K, nProbes = 2,
+          Metric.L2, l1Probes = l1p))
+      assert(tuples(res) === tuples(IndexLayout.serve(ivf,
+        Tables.embeddingQueries(spark, sfDir), K, nProbes = 2, Metric.L2,
+        l1Probes = l1p)), s"l1Probes=$l1p")
+    }
+  }
+
+  test("replayed micro-batch overwrites its own batch_id partition — " +
+      "no duplicates, earlier partitions untouched (exactly-once sink)") {
+    val out = "/tmp/graft_streaming_serve_replay"
+    val qs = queryRows
+    val first = streamed(qs, 2, out)(st =>
+      StreamingServe.attachGraph(st, layout, out, ckpt(), K, W,
+        nProbes = 2, Metric.L2))
+    val before = tuples(first)
+    val nPartsBefore = spark.read.parquet(out)
+      .select("batch_id").distinct().count()
+    // a fresh stream with a NEW checkpoint re-delivers the first group as
+    // batch 0 again — exactly the post-crash replay shape. Its partition
+    // must be overwritten in place: same rows, same partition count.
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingServe.attachGraph(mem.toDF().toDF("query_id", "qvec"),
+      layout, out, ckpt(), K, W, nProbes = 2, Metric.L2)
+    try {
+      mem.addData(qs.grouped((qs.length + 1) / 2).next())
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(tuples(StreamingServe.results(spark, out)) === before)
+    assert(spark.read.parquet(out).select("batch_id").distinct().count()
+      === nPartsBefore)
+  }
+}
