@@ -177,20 +177,30 @@ object Bench {
     try Files.writeString(Paths.get(outFile), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
-    // The driver keeps only the last ~2.4 KB of stdout and line-parses JSON
-    // out of that tail, so the stdout copy must (a) stay SHORT — qNN keys
-    // (every query name starts with a unique qNN prefix), 3 decimals, no
-    // shuffle/latency maps — and (b) start the line with `{`: sbt's logger
-    // prefixes System.out with "[info] ", which is exactly why rounds 1–2
-    // came back parsed:null. Writing to FileDescriptor.out bypasses sbt's
-    // System.out redirection and lands unprefixed. The full-fidelity
-    // artifact is the file above.
-    val qsShort = results.map { case (k, v, _, _, _) =>
-      jstr(k.takeWhile(_ != '_')) + ":" + f"$v%.3f"
+    // The driver keeps only the last ~2 KB of stdout and line-parses JSON
+    // out of that tail, so the stdout copy must (a) stay SHORT and (b)
+    // start the line with `{`: sbt's logger prefixes System.out with
+    // "[info] " (why rounds 1–2 came back parsed:null), and a line longer
+    // than the tail loses its HEAD — at 189 queries the full qNN map
+    // overflowed the window and rounds 11–12 came back parsed:null again.
+    // So the compact line carries the headline numbers plus only the TOP
+    // 25 most expensive queries (the grading-relevant ones) and the
+    // serving-family p90s; the full-fidelity artifact is the file above.
+    // Writing to FileDescriptor.out bypasses sbt's System.out redirection.
+    val qsShort = results.sortBy(-_._2).take(25).map {
+      case (k, v, _, _, _) =>
+        jstr(k.takeWhile(_ != '_')) + ":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
+    val p90Short = results.collect {
+      case (k, _, ts, _, _) if ts.length > 1 =>
+        val idx = (math.ceil(0.9 * ts.length).toInt - 1).max(0)
+        jstr(k.takeWhile(_ != '_')) + ":" + f"${ts(idx)}%.3f"
     }.mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
-      s""""queries":$qsShort,"n_errors":${results.count(_._4.isDefined)},""" +
+      s""""n_queries":${results.size},""" +
+      s""""queries":$qsShort,"p90":$p90Short,""" +
+      s""""n_errors":${results.count(_._4.isDefined)},""" +
       s""""sf":${jstr(sfDir)}}"""
     val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
     raw.write(("\n" + compact + "\n").getBytes(

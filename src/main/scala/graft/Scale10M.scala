@@ -380,19 +380,22 @@ object Scale10M {
       s""""adc_auto100_sec":$tAdcAuto100,""" +
       s""""adc_auto100_shuffle_read_bytes":$shufRaa1,""" +
       s""""adc_auto100_shuffle_write_bytes":$shufWaa1}""")
-    // CACHED-FRAME regime (r13): the one case where cogroup wins — the
-    // clustered+graph frames already cache-resident in cluster memory,
-    // so the local path's disk re-read is the extra cost. Auto detects
-    // it (storageLevel != NONE ⇒ cogroup); measure the detected cogroup
-    // serve against a FORCED local serve on the same cached store.
+    // CACHED-FRAME regime (r13): the hypothesized cogroup-wins case —
+    // clustered+graph cache-resident, so the local path's store re-read
+    // looked like the extra cost. Measured rule-independently (both
+    // modes FORCED on the same cached store): the first run showed
+    // cogroup-on-cached 34.8 s / 4.68 GB vs local-on-cached 4.2 s /
+    // 174 KB — the corpus exchange dominates wherever the input rows
+    // live, so Auto stays cache-blind (decision recorded to pin that).
     layout.clustered.cache().count()
     layout.graph.cache().count()
     val (decC, fracC) = graft.operators.GraphLayout.serveDecision(layout,
       queries, nProbes = 8, simdL2, l1Probes = l1Probes)
     meter.delta()
-    val (_, tCached) = time {
+    val (_, tCachedCog) = time {
       graft.operators.GraphLayout.serve(layout, queries, k,
-          searchWindow = 64, nProbes = 8, simdL2, l1Probes = l1Probes)
+          searchWindow = 64, nProbes = 8, simdL2, l1Probes = l1Probes,
+          mode = graft.operators.GraphLayout.ServeMode.Cogroup)
         .select("query_id", "neighbor_id").count()
     }
     val (shufRcc, shufWcc) = meter.delta()
@@ -409,9 +412,9 @@ object Scale10M {
       queries, nProbes = 8, simdL2, l1Probes = l1Probes)
     println(s"""{"experiment":"scale10m_serve_cached","n":$n,""" +
       s""""decision_cached":"$decC","fraction":$fracC,""" +
-      s""""cached_auto100_sec":$tCached,""" +
-      s""""cached_auto100_shuffle_read_bytes":$shufRcc,""" +
-      s""""cached_auto100_shuffle_write_bytes":$shufWcc,""" +
+      s""""cached_forced_cogroup100_sec":$tCachedCog,""" +
+      s""""cached_cogroup100_shuffle_read_bytes":$shufRcc,""" +
+      s""""cached_cogroup100_shuffle_write_bytes":$shufWcc,""" +
       s""""cached_forced_local100_sec":$tCachedLocal,""" +
       s""""cached_local100_shuffle_read_bytes":$shufRcl,""" +
       s""""cached_local100_shuffle_write_bytes":$shufWcl,""" +

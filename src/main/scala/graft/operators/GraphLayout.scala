@@ -402,28 +402,31 @@ object GraphLayout {
     * kernel ONCE end-to-end. */
   type ProbeMap = Map[Long, Array[(Long, Array[Double])]]
 
-  /** True when any frame the cogroup path would read is already
-    * cache-resident (the Dataset's `storageLevel` consults the shared
-    * CacheManager, so a logically-equal cached frame counts). This is
-    * the ONE regime where the local path's disk re-read is the extra
-    * cost — the corpus partitions are already in cluster memory and the
-    * cogroup walk reads them for free — so Auto dispatches cogroup. */
-  private def cacheResident(frames: Option[DataFrame]*): Boolean =
-    frames.flatten.exists(_.storageLevel !=
-      org.apache.spark.storage.StorageLevel.NONE)
-
   /** The shared Auto rule (identical across all three codec families and
-    * their decision twins): an in-memory layout can only cogroup; a
-    * cache-resident layout cogroups (see [[cacheResident]]); otherwise
-    * local iff the probe-union fraction clears `localMaxFraction`. At
-    * the DEFAULT dial (1.0) the fraction test is a tautology — post-r12
-    * O(1)-planning, local wins every measured on-disk regime on both
-    * wall and exchange (SCALE.md), so Auto reduces to "local iff stored
-    * and not cached"; the dial exists for callers who have measured
-    * their own crossover. */
+    * their decision twins): an in-memory layout can only cogroup;
+    * otherwise local iff the probe-union fraction clears
+    * `localMaxFraction`. At the DEFAULT dial (1.0) the fraction test is
+    * a tautology — post-r12 O(1)-planning, local wins every measured
+    * on-disk regime on both wall and exchange (SCALE.md), so Auto
+    * reduces to "local iff stored"; the dial exists for callers who have
+    * measured their own crossover.
+    *
+    * CACHE RESIDENCY deliberately does NOT flip the choice. Round 13
+    * implemented the obvious rule (cached layout frames ⇒ cogroup, the
+    * regime where local's store re-read looked like the extra cost) and
+    * MEASURED it at 10M (SCALE.md scale10m_serve_cached): with
+    * clustered+graph fully cache-resident the cogroup walk took 34.8 s /
+    * 4.68 GB exchange vs the local path's 4.2 s / 174 KB on the SAME
+    * cached store — the corpus exchange dominates regardless of where
+    * the input rows live, and 15 GB of cached row objects made cogroup
+    * SLOWER than its uncached run (12.1 s; columnar parquet reads beat
+    * deserialized-object scans). The rule was reversed on that
+    * measurement; `mode = ServeMode.Cogroup` remains the explicit dial
+    * for topologies where the store read is genuinely costlier than the
+    * exchange. */
   private def autoPick(fraction: Double, localMaxFraction: Double,
-                       onDisk: Boolean, cached: Boolean): String =
-    if (!onDisk || cached) "cogroup"
+                       onDisk: Boolean): String =
+    if (!onDisk) "cogroup"
     else if (fraction <= localMaxFraction) "local"
     else "cogroup"
 
@@ -442,11 +445,13 @@ object GraphLayout {
     * 4.68 GB on the same store — local wins BOTH regimes on wall AND by
     * 26 000× on exchange volume (both paths are one task per probed
     * shard, so there is no parallelism regime left where the corpus
-    * exchange pays). The one remaining cogroup-wins case — the clustered
-    * frame already cache-resident in cluster memory, where re-reading
-    * the store from disk is the extra cost — is detected automatically
-    * ([[cacheResident]]); the threshold dial remains for callers who
-    * measured their own crossover. */
+    * exchange pays). Cache residency does NOT flip the choice either:
+    * r13 measured the cached-frame regime (SCALE.md
+    * scale10m_serve_cached — cogroup 34.8 s / 4.68 GB vs local 4.2 s /
+    * 174 KB on the SAME cached store) and the exchange still dominates;
+    * see [[autoPick]] for the full adjudication. The threshold dial and
+    * `mode` override remain for callers who measured their own
+    * crossover. */
   def serveDecision(layout: Layout, queries: DataFrame, nProbes: Int,
                     metric: Metric, l1Probes: Int = 0,
                     localMaxFraction: Double = 1.0): (String, Double) = {
@@ -471,8 +476,7 @@ object GraphLayout {
           l1Probes, nProbes, metric)
       } else Vamana.flatProbeMap(queries, layout.centroids, nProbes, metric)
     val fraction = pm.size.toDouble / layout.centroids.size
-    val mode = autoPick(fraction, localMaxFraction, layout.path.isDefined,
-      cacheResident(Some(layout.clustered), Some(layout.graph)))
+    val mode = autoPick(fraction, localMaxFraction, layout.path.isDefined)
     (mode, fraction, pm)
   }
 
@@ -488,13 +492,12 @@ object GraphLayout {
     *     8.8 KB vs 2.6 s / 451 MB), so Auto picks it whenever the store
     *     is on disk.
     *   - the COGROUP walk ([[searchRouted]] / [[search]]) — required for
-    *     in-memory layouts (no partition dirs to read), and the right
-    *     pick when the clustered frame is already cache-resident in
-    *     cluster memory (the one case where local's disk re-read is the
-    *     extra cost). Auto detects that regime itself: a cached
-    *     clustered/graph frame dispatches cogroup ([[cacheResident]]),
-    *     closing the last wrong-choice corner the dispatcher was built
-    *     to remove.
+    *     in-memory layouts (no partition dirs to read), and the explicit
+    *     `mode` dial for topologies where the store read is genuinely
+    *     costlier than the corpus exchange. Cache residency of the
+    *     layout frames deliberately does NOT auto-flip to cogroup: the
+    *     regime was MEASURED and local still wins 8× on wall and
+    *     26,800× on exchange (see [[autoPick]]).
     *
     * Auto mode computes the probe-union fraction from the same routing
     * kernel the search itself uses (milliseconds, driver-side, queries
@@ -544,8 +547,7 @@ object GraphLayout {
       case ServeMode.Cogroup => "cogroup"
       case ServeMode.Auto    =>
         autoPick(pm.size.toDouble / layout.centroids.size,
-          localMaxFraction, layout.path.isDefined,
-          cacheResident(Some(layout.clustered), Some(layout.graph)))
+          localMaxFraction, layout.path.isDefined)
     }
     (chosen, routed) match {
       case ("local", true) =>
@@ -577,13 +579,12 @@ object GraphLayout {
     *     exchange vs the cogroup's 1.55 GB on the same store — Auto
     *     picks it whenever the codes dirs are on disk.
     *   - the COGROUP codes walk ([[searchAdc]]) — required for in-memory
-    *     layouts; Auto also picks it when the codes/graph frames are
-    *     already cache-resident in cluster memory ([[cacheResident]] —
-    *     the one regime where local's disk re-read is the extra cost).
-    *     At the DEFAULT `localMaxFraction` (1.0) the probe-union
-    *     fraction never flips the choice (it is ≤ 1.0 by construction),
-    *     so Auto reduces to "local iff stored and not cached"; the dial
-    *     exists for callers who measured their own crossover.
+    *     layouts, the explicit `mode` dial otherwise. At the DEFAULT
+    *     `localMaxFraction` (1.0) the probe-union fraction never flips
+    *     the choice (it is ≤ 1.0 by construction), so Auto reduces to
+    *     "local iff stored"; cache residency deliberately does not flip
+    *     it either (measured — see [[autoPick]]); the dial exists for
+    *     callers who measured their own crossover.
     *
     * Probing runs EXACTLY ONCE on the WALK metric (ADC probe routing is
     * flat — codes shards carry no level-1) and the map threads through
@@ -622,8 +623,7 @@ object GraphLayout {
       case ServeMode.Cogroup => "cogroup"
       case ServeMode.Auto    =>
         autoPick(pm.size.toDouble / layout.centroids.size,
-          localMaxFraction, layout.path.isDefined,
-          cacheResident(layout.codes, Some(layout.graph)))
+          localMaxFraction, layout.path.isDefined)
     }
     if (chosen == "local")
       searchAdcLocal(layout, queries, k, searchWindow, nProbes, kReorder,
@@ -656,8 +656,7 @@ object GraphLayout {
       if (metric == Metric.L2 || metric == Metric.IP) metric else Metric.L2
     val pm = Vamana.flatProbeMap(queries, layout.centroids, nProbes, walkM)
     val fraction = pm.size.toDouble / layout.centroids.size
-    val m = autoPick(fraction, localMaxFraction, layout.path.isDefined,
-      cacheResident(layout.codes, Some(layout.graph)))
+    val m = autoPick(fraction, localMaxFraction, layout.path.isDefined)
     (m, fraction, pm)
   }
 
@@ -927,10 +926,11 @@ object GraphLayout {
   /** [[serve]]'s BINARY twin — ONE entry point for sign-bit serving
     * that dispatches between [[searchHammingLocal]] (zero corpus
     * shuffle; 8 bytes of walk state per row) and [[searchHamming]]
-    * (cogroup — required for in-memory layouts, auto-picked for
-    * cache-resident bincodes/graph frames, [[cacheResident]]; at the
-    * default `localMaxFraction` = 1.0 the fraction never flips the
-    * choice). Probing runs EXACTLY ONCE, by Hamming
+    * (cogroup — required for in-memory layouts, the explicit `mode`
+    * dial otherwise; at the default `localMaxFraction` = 1.0 the
+    * fraction never flips the choice, and cache residency deliberately
+    * does not either — measured, see [[autoPick]]). Probing runs
+    * EXACTLY ONCE, by Hamming
     * distance over the word-encoded query batch and centroids — the
     * same routing both manual paths compute — and threads through the
     * dispatched path. Both paths return bit-identical rows
@@ -961,8 +961,7 @@ object GraphLayout {
       case ServeMode.Cogroup => "cogroup"
       case ServeMode.Auto    =>
         autoPick(pm.size.toDouble / layout.centroids.size,
-          localMaxFraction, layout.path.isDefined,
-          cacheResident(layout.binCodes, Some(layout.graph)))
+          localMaxFraction, layout.path.isDefined)
     }
     if (chosen == "local")
       searchHammingLocal(layout, queries, k, searchWindow, nProbes,
@@ -1001,8 +1000,7 @@ object GraphLayout {
     val pm = Vamana.flatProbeMap(qWords, wordCents, nProbes,
       Metric.Hamming)
     val fraction = pm.size.toDouble / layout.centroids.size
-    val m = autoPick(fraction, localMaxFraction, layout.path.isDefined,
-      cacheResident(layout.binCodes, Some(layout.graph)))
+    val m = autoPick(fraction, localMaxFraction, layout.path.isDefined)
     (m, fraction, pm)
   }
 

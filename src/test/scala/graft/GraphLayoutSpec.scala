@@ -556,9 +556,10 @@ class GraphLayoutSpec extends SparkSpec {
         s"deleted id served: $r"))
   }
 
-  test("Auto dispatch detects cache residency: a cached layout frame " +
-      "flips every family's decision to cogroup (rows unchanged), " +
-      "unpersist flips it back") {
+  test("Auto dispatch deliberately IGNORES cache residency: a cached " +
+      "layout frame changes no family's decision (measured — the corpus " +
+      "exchange dominates, SCALE.md scale10m_serve_cached); the manual " +
+      "Cogroup dial serves the cached store with identical rows") {
     val (data, cents, clustered, graph, p) = fixture()
     val queries = Tables.embeddingQueries(spark, sfDir)
     val b = graft.operators.BinaryQuant.train(data)
@@ -579,36 +580,38 @@ class GraphLayoutSpec extends SparkSpec {
     val base = rows(GraphLayout.serve(layout, queries, 5, 32, 2,
       Metric.L2))
 
-    // cache the clustered frame (the cogroup walk's corpus side): the
-    // full-precision family must now cogroup — re-reading the store from
-    // disk is the one cost the cached frame removes — while the ADC and
-    // binary families (which read codes/bincodes, not data) stay local
+    // cache every frame the cogroup paths would read. r13 first shipped
+    // the obvious rule (cached ⇒ cogroup), then MEASURED it at 10M:
+    // cogroup-on-cached 34.8 s / 4.68 GB exchange vs local-on-cached
+    // 4.2 s / 174 KB — the exchange dominates regardless of where the
+    // input rows live, so the rule was REVERSED and this spec pins the
+    // reversal: decisions are cache-blind, the manual dial remains.
     layout.clustered.cache().count()
+    layout.graph.cache().count()
+    layout.codes.get.cache().count()
     try {
       assert(GraphLayout.serveDecision(layout, queries, 2, Metric.L2)._1
-        === "cogroup", "cached clustered must dispatch cogroup")
+        === "local", "cached frames must NOT flip the data family")
       assert(GraphLayout.serveAdcDecision(layout, queries, 2)._1
-        === "local", "ADC reads codes, not the cached data frame")
+        === "local", "cached frames must NOT flip the ADC family")
       assert(GraphLayout.serveHammingDecision(layout, queries, 2)._1
-        === "local", "binary reads bincodes, not the cached data frame")
-      // pure cost decision: rows bit-identical either way
+        === "local", "cached frames must NOT flip the binary family")
+      // Auto (local) on the cached store: rows unchanged
       assert(rows(GraphLayout.serve(layout, queries, 5, 32, 2,
         Metric.L2)) === base)
-      // cached codes flip the ADC family too
-      layout.codes.get.cache().count()
-      assert(GraphLayout.serveAdcDecision(layout, queries, 2)._1
-        === "cogroup")
+      // the manual dial serves THROUGH the cached frames, same rows
+      assert(rows(GraphLayout.serve(layout, queries, 5, 32, 2, Metric.L2,
+        mode = GraphLayout.ServeMode.Cogroup)) === base)
       assert(rows(GraphLayout.serveAdc(layout, queries, 5, 32,
-        nProbes = 2)) === rows(GraphLayout.searchAdcLocal(layout, queries,
-        5, 32, nProbes = 2)))
+        nProbes = 2, mode = GraphLayout.ServeMode.Cogroup)) ===
+        rows(GraphLayout.serveAdc(layout, queries, 5, 32, nProbes = 2)))
     } finally {
       layout.clustered.unpersist(true)
+      layout.graph.unpersist(true)
       layout.codes.get.unpersist(true)
     }
-    // unpersisted: back to local on every family
     assert(GraphLayout.serveDecision(layout, queries, 2, Metric.L2)._1
       === "local")
-    assert(GraphLayout.serveAdcDecision(layout, queries, 2)._1 === "local")
   }
 
   test("serveDecisionProbed hands serve() its probe map: one routing " +
