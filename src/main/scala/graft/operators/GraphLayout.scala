@@ -296,6 +296,26 @@ object GraphLayout {
     * traverse-but-filter predicate over the codes columns (practically
     * `id` — the tombstone shape): excluded rows keep the graph connected
     * through them but are never emitted or reranked. */
+  /** The exact-rerank's `data` side, partition-pruned to the PROBED
+    * shards when the caller's probe map is available: every rerank
+    * candidate comes from a probed `cluster_id=` partition by
+    * construction (the walk reads only those dirs and graph edges stay
+    * in-shard), so the filter is a pure partition-prune — bit-identical
+    * rows, rerank scan I/O ∝ the probed union instead of the full
+    * corpus. At 10⁸ the un-pruned rerank's data scan (~12.4 GB) was the
+    * dominant wall slice of the binary serve (SCALE.md r13 Hamming leg);
+    * pruned it reads the probed ~600 MB. Without a probe map (manual
+    * paths compute probes inside the walk) the full frame is used —
+    * same rows, the historical shape. */
+  private def rerankData(layout: Layout,
+                         pm: Option[Map[Long,
+                           Array[(Long, Array[Double])]]]): DataFrame =
+    pm match {
+      case Some(m) =>
+        layout.clustered.filter(col("cluster_id").isin(m.keySet.toSeq: _*))
+      case None => layout.clustered
+    }
+
   def searchAdc(layout: Layout, queries: DataFrame, k: Int,
                 searchWindow: Int, nProbes: Int, kReorder: Int = 0,
                 metric: Metric = Metric.L2,
@@ -315,8 +335,9 @@ object GraphLayout {
       val walkM =
         if (metric == Metric.L2 || metric == Metric.IP) metric else Metric.L2
       Vamana.searchShardedAdcRerank(queries, codes, layout.graph,
-        layout.centroids, p, layout.clustered, k, kReorder, searchWindow,
-        nProbes, walkMetric = walkM, rerankMetric = metric, keep = keep,
+        layout.centroids, p, rerankData(layout, prebuiltProbes), k,
+        kReorder, searchWindow, nProbes, walkMetric = walkM,
+        rerankMetric = metric, keep = keep,
         prebuiltProbes = prebuiltProbes)
     }
   }
@@ -381,7 +402,8 @@ object GraphLayout {
         s"$path/graph", codes.schema, layout.graph.schema,
         layout.centroids, p, kReorder * k, searchWindow, nProbes, walkM,
         keep, prebuiltProbes)
-      Rerank.exact(cand, queries, layout.clustered, k, metric)
+      Rerank.exact(cand, queries, rerankData(layout, prebuiltProbes), k,
+        metric)
     }
   }
 
@@ -887,7 +909,8 @@ object GraphLayout {
     val cand = Vamana.searchSharded(qWords, wv, layout.graph, wordCents,
       kReorder * k, searchWindow, nProbes, Metric.Hamming,
       prebuiltProbes = prebuiltProbes)
-    Rerank.exact(cand, queries, layout.clustered, k, rerankMetric)
+    Rerank.exact(cand, queries, rerankData(layout, prebuiltProbes), k,
+      rerankMetric)
   }
 
   /** [[searchHamming]] with ZERO corpus shuffle ([[searchAdcLocal]]'s
@@ -920,7 +943,8 @@ object GraphLayout {
     val cand = Vamana.searchStoredHamming(qWords, s"$path/bincodes",
       s"$path/graph", codes.schema, layout.graph.schema, wordCents,
       b.words, kReorder * k, searchWindow, nProbes, prebuiltProbes)
-    Rerank.exact(cand, queries, layout.clustered, k, rerankMetric)
+    Rerank.exact(cand, queries, rerankData(layout, prebuiltProbes), k,
+      rerankMetric)
   }
 
   /** [[serve]]'s BINARY twin — ONE entry point for sign-bit serving

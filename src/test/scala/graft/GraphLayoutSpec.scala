@@ -673,6 +673,56 @@ class GraphLayoutSpec extends SparkSpec {
         kReorder = 2)))
   }
 
+  test("probe-pruned rerank: served rerank paths scan only probed data " +
+      "partitions (PartitionFilters on cluster_id) with rows identical " +
+      "to the unpruned manual paths") {
+    val (data, cents, clustered, graph, p) = fixture()
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    val b = graft.operators.BinaryQuant.train(data)
+    val path = "/tmp/graft_graphlayout_pruned_rerank"
+    GraphLayout.write(clustered, graph, cents, path, pq = Some(p),
+      bin = Some(b))
+    val layout = GraphLayout.open(spark, path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+
+    // selective probes so the prune is a strict subset of the shards
+    val q1 = queries.orderBy("query_id").limit(2)
+    val servedH = GraphLayout.serveHamming(layout, q1, 5, 1 << 12,
+      nProbes = 1, kReorder = 2)
+    // identical rows to the manual path that scans the full data frame
+    assert(rows(servedH) === rows(GraphLayout.searchHammingLocal(layout,
+      q1, 5, 1 << 12, nProbes = 1, kReorder = 2)))
+    // the rerank's data scan is partition-pruned: the FileSourceScan
+    // over the data dir carries a cluster_id MEMBERSHIP partition
+    // filter (one probed shard folds isin to an equality; several stay
+    // an IN list) — not just isnotnull. Checked on the physical plan
+    // tree, not the plan STRING (Spark truncates large plan strings
+    // before the scan node).
+    def dataScanPruned(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("/data")) => s
+      }.exists(_.partitionFilters.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.IsNotNull =>
+          false
+        case e => e.references.exists(_.name == "cluster_id")
+      })
+    assert(dataScanPruned(servedH),
+      "expected a cluster_id membership partition filter on the " +
+        "Hamming rerank's data scan")
+
+    // the reranked ADC dispatcher prunes the same way, rows unchanged
+    val servedA = GraphLayout.serveAdc(layout, q1, 5, 1 << 12,
+      nProbes = 1, kReorder = 2)
+    assert(rows(servedA) === rows(GraphLayout.searchAdcLocal(layout, q1,
+      5, 1 << 12, nProbes = 1, kReorder = 2)))
+    assert(dataScanPruned(servedA),
+      "expected a cluster_id membership partition filter on the ADC " +
+        "rerank's data scan")
+  }
+
   test("layout without PQ opens with no codes and searchAdc fails loudly") {
     val (_, cents, clustered, graph, _) = fixture()
     val queries = Tables.embeddingQueries(spark, sfDir)
