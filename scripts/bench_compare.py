@@ -60,7 +60,13 @@ def main():
 
     flagged = []
     common = sorted(set(oq) & set(nq))
-    for q in common if not args.shuffle_only else []:
+    # gate over wall-common AND p90-common queries: driver compact
+    # artifacts truncate "queries" to the top-25 most expensive, so the
+    # (sub-second) serving family only appears in "p90" — iterating the
+    # wall intersection alone would silently skip exactly the queries
+    # the percentile columns exist for
+    gated = sorted((set(oq) & set(nq)) | (set(op90) & set(np90)))
+    for q in gated if not args.shuffle_only else []:
         if q in op90 and q in np90:
             if np90[q] > args.wall_tol * max(op90[q], 0.1):
                 flagged.append(

@@ -1138,7 +1138,14 @@ object SparkEntry {
       val (a, b) = rows.partition(_._1 % 2 == 0)
       mem.addData(a.toSeq); q.processAllAvailable()
       mem.addData(b.toSeq); q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the checkpoint is per-invocation scratch (fresh dir each run) —
+      // delete it or repeated bench reps leak offset/commit logs in /tmp
+      val ckptP = new org.apache.hadoop.fs.Path(ckpt)
+      ckptP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(ckptP, true)
+    }
     graft.streaming.StreamingServe.results(s, out)
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")

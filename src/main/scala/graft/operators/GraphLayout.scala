@@ -407,9 +407,11 @@ object GraphLayout {
     }
   }
 
-  /** [[serve]]'s dispatch override: Auto picks by cache residency +
-    * probe-union fraction; Local / Cogroup force a path (the measured
-    * escape hatch). */
+  /** [[serve]]'s dispatch override: Auto picks local iff the layout is
+    * stored on disk (see [[autoPick]] — the fraction dial is a
+    * documented tautology at the default, and cache residency
+    * deliberately does not flip the choice); Local / Cogroup force a
+    * path (the measured escape hatch). */
   sealed trait ServeMode
   object ServeMode {
     case object Auto extends ServeMode

@@ -50,22 +50,18 @@ object StreamingServe {
       .start()
 
   /** One micro-batch's results into its own `batch_id=` partition.
-    * Dynamic overwrite is scoped to THIS writer (conf is restored), so a
-    * replay of batch N rewrites only `batch_id=N` — earlier batches'
-    * partitions are untouched. */
+    * Dynamic overwrite is scoped to THIS WRITER via the per-write
+    * option — NOT a session-conf set/restore, which would race across
+    * concurrently attached streams sharing the session (a concurrent
+    * restore to "static" would turn a batch's overwrite into a full-sink
+    * truncation). A replay of batch N rewrites only `batch_id=N`;
+    * earlier batches' partitions are untouched. */
   private def writeBatch(result: DataFrame, batchId: Long,
-                         outPath: String): Unit = {
-    val spark = result.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try result.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(outPath)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
+                         outPath: String): Unit =
+    result.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outPath)
 
   /** Everything served so far, batch provenance dropped — read this
     * after the stream commits (or between batches) for the batch-shaped
