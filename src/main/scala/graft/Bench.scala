@@ -219,8 +219,24 @@ object Bench {
       s""""queries":$qsShort,"p90":$p90Short,""" +
       s""""n_errors":${results.count(_._4.isDefined)},""" +
       s""""sf":${jstr(sfDir)}}"""
+    // driver-tail contract self-check: the line must fit the ~2 KB
+    // stdout tail WITH margin or the head (metric/value) scrolls out
+    // and the driver records parsed:null (the r11/r12 failure). If a
+    // future change grows the line past the margin, drop the heaviest
+    // optional map rather than ship an unparseable artifact.
+    val compactFinal =
+      if (compact.length <= 1800) compact
+      else {
+        System.err.println(s"[bench] compact line ${compact.length} B " +
+          "exceeds the 1800 B driver-tail margin — dropping the " +
+          "queries map from stdout (file artifact keeps everything)")
+        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+        s""""n_queries":${results.size},"p90":$p90Short,""" +
+        s""""n_errors":${results.count(_._4.isDefined)},""" +
+        s""""sf":${jstr(sfDir)}}"""
+      }
     val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
-    raw.write(("\n" + compact + "\n").getBytes(
+    raw.write(("\n" + compactFinal + "\n").getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     raw.flush()
     spark.stop()
