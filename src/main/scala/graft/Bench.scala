@@ -178,7 +178,12 @@ object Bench {
           val idx = (math.ceil(0.9 * ts.length).toInt - 1).max(0)
           jstr(k) + ":" + f"${ts(idx)}%.6f"
         }.mkString("{", ",", "}")
-        s""","reps":$reps,"latency":$lat,"p90":$p90""" +
+        // `reps` is the GLOBAL dial; serve-family queries run
+        // max(reps, 3) — `reps_min_serve` makes that self-describing and
+        // the authoritative per-query count is each latency vector's
+        // length (a consumer deriving percentile ranks must use those,
+        // not `reps`)
+        s""","reps":$reps,"reps_min_serve":3,"latency":$lat,"p90":$p90""" +
           s""","shuffle_bytes":$shuffle"""
       }
     val json =

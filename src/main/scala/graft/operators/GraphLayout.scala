@@ -306,7 +306,20 @@ object GraphLayout {
     * dominant wall slice of the binary serve (SCALE.md r13 Hamming leg);
     * pruned it reads the probed ~600 MB. Without a probe map (manual
     * paths compute probes inside the walk) the full frame is used —
-    * same rows, the historical shape. */
+    * same rows, the historical shape.
+    *
+    * HARD CONTRACT (the prune feeds an INNER join in `Rerank.exact`, so
+    * a violation drops valid candidates silently): every walk candidate
+    * must come from a probed `cluster_id=` partition. Today that holds
+    * by construction — [[Vamana.buildSharded]] builds each shard's graph
+    * independently (groupByKey on cluster_id), so edges never cross
+    * shards and the walk can only ever visit ids of the shards it was
+    * handed. Any future layout with CROSS-SHARD edges or shard
+    * reassignment (e.g. a merged/global graph over sharded data) MUST
+    * NOT use this prune — pass `pm = None` (full frame) or extend the
+    * filter to the reachable shard set. `graft.debug.rerank.assert`
+    * (session conf / JVM property, default off) verifies the invariant
+    * per serve by anti-joining candidates against the pruned frame. */
   private def rerankData(layout: Layout,
                          pm: Option[Map[Long,
                            Array[(Long, Array[Double])]]]): DataFrame =
@@ -315,6 +328,41 @@ object GraphLayout {
         layout.clustered.filter(col("cluster_id").isin(m.keySet.toSeq: _*))
       case None => layout.clustered
     }
+
+  /** [[Rerank.exact]] over [[rerankData]]'s pruned frame, with the
+    * opt-in invariant check: `graft.debug.rerank.assert=true` (session
+    * conf or JVM property) anti-joins the candidate ids against the
+    * pruned frame before reranking and fails loudly on any candidate
+    * outside the probed partitions — the guard for a future layout that
+    * breaks the in-shard-edges contract (see [[rerankData]]). Off by
+    * default: the check is one extra job over the shortlist. Covers
+    * every GraphLayout rerank that consumes the pruned frame directly
+    * (Hamming local + cogroup, local ADC rerank); the cogroup ADC
+    * rerank reranks inside [[Vamana.searchShardedAdcRerank]] from the
+    * same probe map, so a violation would trip here first on the
+    * bit-identical local path. */
+  private def rerankExact(cand: DataFrame, queries: DataFrame,
+                          layout: Layout,
+                          pm: Option[Map[Long,
+                            Array[(Long, Array[Double])]]],
+                          k: Int, metric: Metric): DataFrame = {
+    val data = rerankData(layout, pm)
+    val spark = cand.sparkSession
+    val flag = spark.conf.getOption("graft.debug.rerank.assert")
+      .orElse(sys.props.get("graft.debug.rerank.assert"))
+      .exists(_.equalsIgnoreCase("true"))
+    if (flag && pm.isDefined) {
+      val missing = cand.select(col("neighbor_id")).distinct()
+        .join(data.select(col("id").as("neighbor_id")),
+          Seq("neighbor_id"), "left_anti")
+        .limit(5).collect().map(_.getLong(0))
+      require(missing.isEmpty,
+        s"rerank candidates outside the probed partitions (in-shard-" +
+          s"edges contract violated): ids ${missing.mkString(", ")} — " +
+          "this layout must rerank against the full frame (pm = None)")
+    }
+    Rerank.exact(cand, queries, data, k, metric)
+  }
 
   def searchAdc(layout: Layout, queries: DataFrame, k: Int,
                 searchWindow: Int, nProbes: Int, kReorder: Int = 0,
@@ -402,8 +450,7 @@ object GraphLayout {
         s"$path/graph", codes.schema, layout.graph.schema,
         layout.centroids, p, kReorder * k, searchWindow, nProbes, walkM,
         keep, prebuiltProbes)
-      Rerank.exact(cand, queries, rerankData(layout, prebuiltProbes), k,
-        metric)
+      rerankExact(cand, queries, layout, prebuiltProbes, k, metric)
     }
   }
 
@@ -911,8 +958,7 @@ object GraphLayout {
     val cand = Vamana.searchSharded(qWords, wv, layout.graph, wordCents,
       kReorder * k, searchWindow, nProbes, Metric.Hamming,
       prebuiltProbes = prebuiltProbes)
-    Rerank.exact(cand, queries, rerankData(layout, prebuiltProbes), k,
-      rerankMetric)
+    rerankExact(cand, queries, layout, prebuiltProbes, k, rerankMetric)
   }
 
   /** [[searchHamming]] with ZERO corpus shuffle ([[searchAdcLocal]]'s
@@ -945,8 +991,7 @@ object GraphLayout {
     val cand = Vamana.searchStoredHamming(qWords, s"$path/bincodes",
       s"$path/graph", codes.schema, layout.graph.schema, wordCents,
       b.words, kReorder * k, searchWindow, nProbes, prebuiltProbes)
-    Rerank.exact(cand, queries, rerankData(layout, prebuiltProbes), k,
-      rerankMetric)
+    rerankExact(cand, queries, layout, prebuiltProbes, k, rerankMetric)
   }
 
   /** [[serve]]'s BINARY twin — ONE entry point for sign-bit serving

@@ -481,10 +481,16 @@ object VamanaKernel {
     * swapped, and [[VecStore.gather]]'s bit-identity contract makes the
     * distances equal either way. `slots` is the gathered view's slot
     * order (view index i ↔ `slots(i)`); lookup is a primitive linear
-    * scan — the view is ≤ maxDegree+1 rows, so the scan beats a boxed
-    * Int→Int map on the build's hot path (no per-put/get boxing, no
-    * allocation). A pool slot missing from the view is a caller bug and
-    * fails loudly rather than scoring row 0. */
+    * scan. View size: the overflow re-prune builds it from `dst ::
+    * adj(dst)` AFTER adj(dst) has outgrown maxDegree, so the bound is
+    * maxDegree + batch backedge slack + 1 (each batch member adds at
+    * most one reverse edge before the per-batch prune fires — see the
+    * apply-phase comment), not maxDegree+1; the linear scan still beats
+    * a boxed Int→Int map at that width (the KernelBench A/B and the
+    * BuildBench −23% overflow-slice win were measured on exactly these
+    * overflowed pools, batchSize-slack included — no per-put/get boxing,
+    * no allocation). A pool slot missing from the view is a caller bug
+    * and fails loudly rather than scoring row 0. */
   final class PreGathered(val view: VecStore, slots: Array[Int]) {
     def localOf(s: Int): Int = {
       var i = 0

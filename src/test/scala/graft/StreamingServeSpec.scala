@@ -134,6 +134,135 @@ class StreamingServeSpec extends SparkSpec {
     }
   }
 
+  test("Trigger.AvailableNow catch-up: a pre-loaded backlog drains to " +
+      "termination and the result ≡ one batch serve()") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = "/tmp/graft_streaming_serve_availablenow"
+    cleanDir(out)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val qs = queryRows
+    // backlog FIRST, then attach — the catch-up shape
+    qs.grouped(math.max(1, (qs.length + 1) / 2)).foreach(mem.addData(_))
+    val q = StreamingServe.attachGraph(mem.toDF().toDF("query_id", "qvec"),
+      layout, out, ckpt(), K, W, nProbes = 2, Metric.L2,
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    q.awaitTermination(120000L)
+    assert(!q.isActive, "AvailableNow must terminate once drained")
+    val batch = GraphLayout.serve(layout,
+      Tables.embeddingQueries(spark, sfDir), K, W, nProbes = 2, Metric.L2)
+    assert(tuples(StreamingServe.results(spark, out)) === tuples(batch))
+  }
+
+  test("maxQueriesPerBatch rate bound: an oversized micro-batch is " +
+      "served in slices, one write, no query dropped — ≡ unbounded") {
+    val out = "/tmp/graft_streaming_serve_ratebound"
+    val qs = queryRows
+    assert(qs.length > 3, "need an oversized batch for the bound to bite")
+    val res = streamed(qs, 1, out)(st =>
+      StreamingServe.attachHamming(st, layout, out, ckpt(), K, W,
+        nProbes = 2, kReorder = 2, maxQueriesPerBatch = 3))
+    assert(tuples(res) === tuples(GraphLayout.serveHamming(layout,
+      Tables.embeddingQueries(spark, sfDir), K, W, nProbes = 2,
+      kReorder = 2)))
+    // one batch → exactly one batch_id partition despite multiple slices
+    assert(spark.read.parquet(out).select("batch_id").distinct().count()
+      === 1L)
+  }
+
+  test("decisionLog: each batch probes once, records what dispatched, " +
+      "and the logged map is the one the serve ran on (rows ≡ batch)") {
+    val out = "/tmp/graft_streaming_serve_decisions"
+    val log = "/tmp/graft_streaming_serve_decisions_log"
+    cleanDir(log)
+    // total BEFORE anything is written
+    val empty = StreamingServe.decisions(spark, log)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSet ===
+      Set("batch_id", "slice", "mode", "fraction", "probed_shards"))
+    val res = streamed(queryRows, 2, out)(st =>
+      StreamingServe.attachGraph(st, layout, out, ckpt(), K, W,
+        nProbes = 2, Metric.L2, decisionLog = Some(log)))
+    assert(tuples(res) === tuples(GraphLayout.serve(layout,
+      Tables.embeddingQueries(spark, sfDir), K, W, nProbes = 2,
+      Metric.L2)))
+    val d = StreamingServe.decisions(spark, log).collect()
+    assert(d.nonEmpty)
+    // the layout is stored on disk → Auto dispatches local for every batch
+    assert(d.forall(_.getAs[String]("mode") == "local"))
+    assert(d.forall(_.getAs[Int]("probed_shards") >= 1))
+    assert(d.map(_.getAs[Long]("batch_id")).distinct.length === d.length,
+      "one decision row per (batch, slice)")
+    // forced mode is what the log records (override honored in provenance)
+    val res2 = streamed(queryRows, 1, out)(st =>
+      StreamingServe.attachGraph(st, layout, out, ckpt(), K, W,
+        nProbes = 2, Metric.L2, mode = GraphLayout.ServeMode.Cogroup,
+        decisionLog = Some(log)))
+    assert(tuples(res2).nonEmpty)
+    val modes = StreamingServe.decisions(spark, log)
+      .filter(col("batch_id") === 0L).collect().map(_.getAs[String]("mode"))
+    assert(modes.nonEmpty && modes.forall(_ == "cogroup"))
+  }
+
+  test("results() is TOTAL: an unwritten sink returns an empty frame " +
+      "with the canonical serving schema instead of failing") {
+    val out = "/tmp/graft_streaming_serve_never_written"
+    cleanDir(out)
+    val r = StreamingServe.results(spark, out)
+    assert(r.count() === 0L)
+    assert(r.schema === StreamingServe.resultSchema)
+  }
+
+  test("statically-empty micro-batches are skipped WITHOUT a probe job " +
+      "(isKnownEmpty) and never create the sink — results stays total") {
+    // driver-side plan check: statically-empty folds to LocalRelation
+    val base = Tables.embeddingQueries(spark, sfDir)
+    assert(StreamingServe.isKnownEmpty(base.filter(lit(false))))
+    assert(!StreamingServe.isKnownEmpty(base))
+    // end-to-end: a stream whose every batch is statically empty
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = "/tmp/graft_streaming_serve_allempty"
+    cleanDir(out)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val st = mem.toDF().toDF("query_id", "qvec").filter(lit(false))
+    val q = StreamingServe.attachGraph(st, layout, out, ckpt(), K, W,
+      nProbes = 2, Metric.L2)
+    try { mem.addData(queryRows.take(3)); q.processAllAvailable() }
+    finally q.stop()
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(p), "empty batches must not create the sink")
+    assert(StreamingServe.results(spark, out).count() === 0L)
+  }
+
+  test("expireBatches retention: old batch_id partitions expire, the " +
+      "newest retainBatches survive, results() reflects exactly those") {
+    val out = "/tmp/graft_streaming_serve_expire"
+    val qs = queryRows
+    val groups = qs.grouped(math.max(1, (qs.length + 3) / 4)).toSeq
+    assert(groups.length >= 3, "need several batches for expiry to bite")
+    streamed(qs, 4, out)(st =>
+      StreamingServe.attachGraph(st, layout, out, ckpt(), K, W,
+        nProbes = 2, Metric.L2))
+    val before = spark.read.parquet(out)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val expired = StreamingServe.expireBatches(spark, out, retainBatches = 2)
+    assert(expired === before.dropRight(2).toSeq)
+    val after = spark.read.parquet(out)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(after.toSeq === before.takeRight(2).toSeq)
+    // surviving rows ≡ a batch serve of exactly the retained queries
+    val retainedQs = groups.takeRight(2).flatten
+    val expect = GraphLayout.serve(layout,
+      retainedQs.toDF("query_id", "qvec"), K, W, nProbes = 2, Metric.L2)
+    assert(tuples(StreamingServe.results(spark, out)) === tuples(expect))
+    // guard: the newest batch is a replay target — retain 0 must refuse
+    intercept[IllegalArgumentException] {
+      StreamingServe.expireBatches(spark, out, retainBatches = 0)
+    }
+  }
+
   test("replayed micro-batch overwrites its own batch_id partition — " +
       "no duplicates, earlier partitions untouched (exactly-once sink)") {
     val out = "/tmp/graft_streaming_serve_replay"
