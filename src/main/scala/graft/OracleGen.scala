@@ -352,6 +352,86 @@ object OracleGen {
        |FROM ranked WHERE rnk <= $kNN ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** q191: the UPSERTED stored-IVFADC layout (IndexLayout.upsert) — the
+    * q152 pattern applied to the codec store. The merged corpus is the
+    * original table minus `delPred` rows plus `addPred` rows re-idd by
+    * `offset`; cluster assignment is the PINNED label; centroids are the
+    * merged corpus's 6-rounded per-label means (≡ the upsert's
+    * refresh-touched-only rule, since untouched labels' membership is
+    * unchanged); residual codes quantize against THOSE centroids (the
+    * upsert's no-drift invariant — touched partitions re-encode against
+    * the refreshed mean, untouched partitions' stored codes already used
+    * it); the sampled codebook is PINNED (vec_id % 7 rows of the
+    * ORIGINAL table — upsert never retrains codec constants). Ranks are
+    * the residual-LUT sums over probed clusters, ties by id. */
+  def ivfPqUpsert(m: Int, k: Int, kNN: Int, nProbes: Int, offset: Long,
+                  addPred: String, delPred: String): String = {
+    val d = Tables.embDims
+    val sub = d / m
+    val centAvgs = (0 until d).map(i => s"round(avg(v$i), 6) AS c$i")
+      .mkString(", ")
+    val kCols = (1 to d).map(i =>
+      s"CAST(embedding[$i] AS DOUBLE) AS k${i - 1}").mkString(", ")
+    val rCols = (0 until d)
+      .map(i => s"data.v$i - ct.c$i AS r$i").mkString(", ")
+    val dSub = (0 until m).map { j =>
+      (j * sub until (j + 1) * sub).map(i =>
+        s"(res.r$i-cb.k$i)*(res.r$i-cb.k$i)")
+        .mkString("", " + ", s" AS d$j")
+    }.mkString(",\n  ")
+    val argmins = (0 until m).map { j =>
+      s"""ra$j AS (SELECT id, c AS c$j FROM (
+         |  SELECT id, c, row_number() OVER (PARTITION BY id
+         |    ORDER BY d$j ASC, c ASC) AS rn FROM rdmat) x
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val qProbe = (0 until d)
+      .map(i => s"(q.q$i-ct.c$i)*(q.q$i-ct.c$i)").mkString(" + ")
+    val kJoins = (0 until m)
+      .map(j => s"JOIN cb k$j ON k$j.c = rcodes.c$j").mkString(" ")
+    val adc = (0 until m).map { j =>
+      "(" + (j * sub until (j + 1) * sub).map(i =>
+        s"((q.q$i-ct.c$i)-k$j.k$i)*((q.q$i-ct.c$i)-k$j.k$i)")
+        .mkString(" + ") + ")"
+    }.mkString(" + ")
+    s"""WITH data AS (
+       |  SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+       |         ${dimCols("v", embDimExprs)}
+       |  FROM embeddings WHERE NOT ($delPred)
+       |  UNION ALL
+       |  SELECT vec_id + $offset AS id, CAST(label AS BIGINT) AS label,
+       |         ${dimCols("v", embDimExprs)}
+       |  FROM embeddings WHERE $addPred),
+       |ct AS (SELECT label AS cid, $centAvgs FROM data GROUP BY label),
+       |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, $kCols
+       |  FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < ${7 * k}),
+       |res AS (SELECT data.id, data.label AS cluster_id, $rCols
+       |  FROM data JOIN ct ON ct.cid = data.label),
+       |rdmat AS (SELECT res.id, cb.c,
+       |  $dSub
+       |  FROM res CROSS JOIN cb),
+       |$argmins,
+       |rcodes AS (SELECT res.cluster_id, res.id, ${(0 until m)
+        .map(j => s"c$j").mkString(", ")}
+       |  FROM res JOIN ra0 USING (id) ${(1 until m)
+        .map(j => s"JOIN ra$j USING (id)").mkString(" ")}),
+       |q AS (SELECT vec_id AS query_id, ${dimCols("q", embDimExprs)}
+       |  FROM embeddings WHERE ${Tables.embQueryPredSql}),
+       |probes AS (SELECT query_id, cid FROM (
+       |  SELECT q.query_id, ct.cid, row_number() OVER (
+       |    PARTITION BY q.query_id ORDER BY $qProbe ASC, ct.cid ASC)
+       |    AS rn FROM q CROSS JOIN ct) x WHERE rn <= $nProbes),
+       |adc AS (SELECT q.query_id, rcodes.id, $adc AS dist
+       |  FROM q JOIN probes ON probes.query_id = q.query_id
+       |  JOIN rcodes ON rcodes.cluster_id = probes.cid
+       |  JOIN ct ON ct.cid = probes.cid $kJoins),
+       |ranked AS (SELECT query_id, id AS neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist ASC, id ASC) AS rnk FROM adc)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id
+       |FROM ranked WHERE rnk <= $kNN ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** q143: PQ codes from id-striped sampled codebooks (row c = vec_id
     * 7·c; subspace j takes its slice) — per-subspace argmin, ties →
     * lowest code, exactly NearestCentroid's strict-< rule. */

@@ -354,14 +354,17 @@ object Scale100M {
       s""""adc_auto100_shuffle_read_bytes":$shufRaa,""" +
       s""""adc_auto100_shuffle_write_bytes":$shufWaa}""")
 
-    // ---- BINARY/Hamming serving at 10⁸ (r13) -------------------------------
-    // The smallest store of any codec (2×8-byte words per row at 64-d —
-    // bincodes ≈ 1/8 of codes, ~1/100 of data) and therefore the family
+    // ---- BINARY/Hamming serving at 10⁸ (r13, re-measured r14) -------------
+    // The smallest store of any codec (ONE full-density 8-byte word per
+    // row at 64-d since the v2 packing — bincodes ≈ 1/16 of data's f16
+    // bytes and now smaller than m=8 PQ codes) and therefore the family
     // most likely chosen at extreme scale. Mirror the ADC legs one order
     // past the sf0.1 evidence behind q187–q189: local bincodes walk +
-    // exact rerank, the cogroup contrast, and the serveHamming() Auto
-    // dispatch — shuffle-byte columns confirm the |Q|·probes·(kReorder·k)
-    // walk-partial exchange law for the binary family at 10⁸.
+    // exact rerank UNPRUNED (the r13 historical shape — full-corpus
+    // rerank data scan) and PRUNED (r13's probe-pruned rerankData, the
+    // serve() path's shape), the cogroup contrast, and the
+    // serveHamming() Auto dispatch — shuffle-byte columns confirm the
+    // |Q|·probes·(kReorder·k) walk-partial exchange law at 10⁸.
     val kReorder = 2
     val (hdec100, hfrac100, hpm) = GraphLayout
       .serveHammingDecisionProbed(layout, queries, 8)
@@ -376,7 +379,16 @@ object Scale100M {
     val (shufRhl, shufWhl) = meter.delta()
     val hamRecall =
       hamRes.intersect(truth).count().toDouble / (k.toLong * nq)
+    // the PRUNED rerank (prebuilt probe map in hand, as every serve()
+    // call has): identical rows, rerank data scan ∝ the probed union —
+    // the r13 projection (8.4 → ~2.5 s) made a measured row
     meter.delta()
+    val (_, tHamLocalPruned) = time {
+      GraphLayout.searchHammingLocal(layout, queries, k,
+        searchWindow = 64, nProbes = 8, kReorder = kReorder,
+        prebuiltProbes = Some(hpm)).count()
+    }
+    val (shufRhp, shufWhp) = meter.delta()
     val (_, tHamLocal5) = time {
       GraphLayout.searchHammingLocal(layout, queries5, k,
         searchWindow = 64, nProbes = 8, kReorder = kReorder).count()
@@ -400,6 +412,10 @@ object Scale100M {
       s""""hamming_local100_sec":$tHamLocal,""" +
       s""""hamming_local100_shuffle_read_bytes":$shufRhl,""" +
       s""""hamming_local100_shuffle_write_bytes":$shufWhl,""" +
+      s""""hamming_local100_pruned_sec":$tHamLocalPruned,""" +
+      s""""hamming_pruned_shuffle_read_bytes":$shufRhp,""" +
+      s""""hamming_pruned_shuffle_write_bytes":$shufWhp,""" +
+      s""""probed_data_bytes":${probedBytes(probedHam, Seq("data"))},""" +
       s""""hamming_local5_sec":$tHamLocal5,""" +
       s""""hamming_local5_shuffle_read_bytes":$shufRhl5,""" +
       s""""hamming_local5_shuffle_write_bytes":$shufWhl5,""" +

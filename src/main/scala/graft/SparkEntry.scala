@@ -1151,6 +1151,91 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** q191: incremental maintenance of the stored CODEC layout —
+    * `IndexLayout.upsert` (the q152 lifecycle applied to the IVF family;
+    * reference: dynamic_ivf.h): q51's add/delete batch against a fresh
+    * IVFADC store, touched `cluster_id=` partitions rewritten with their
+    * residual codes RE-ENCODED against the refreshed coarse centroids
+    * (the no-drift invariant), codebooks pinned in the sidecar. The
+    * served ADC ranks over the upserted store must equal the oracle's
+    * residual-LUT replay over the merged corpus with merged-mean
+    * centroids — refresh-touched-only ≡ recompute-all because untouched
+    * labels' membership is unchanged. */
+  private def indexUpsertQ(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_q191_index_upsert_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    graft.operators.IndexLayout.write(embLabelClustered(s, dir),
+      embLabelCentroids(s, dir), path,
+      graft.operators.IndexLayout.PqResC(pqParams(s, dir)))
+    val added = embVectors(s, dir).filter(col("id") % 10 === 4)
+      .select((col("id") + UpdOffset).as("id"), col("vec"),
+        col("label").cast("long").as("cluster_id"))
+    val deleted = embVectors(s, dir).filter(col("id") % 13 === 5)
+      .select("id")
+    val up = graft.operators.IndexLayout.upsert(s, path, added, deleted)
+    graft.operators.IndexLayout.serve(up, embQueries(s, dir), K,
+        IvfPqProbes, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** q192: q191's STREAMING twin — the same add/delete batch applied
+    * through `StreamingIndexLayout.attach` in two micro-batches (adds
+    * split, deletes with the second), routed by the PINNED label (the
+    * `assign` routing-policy dial; a label-sharded corpus routes
+    * deterministically, so the multi-batch centroid refresh sequence
+    * converges to the same store as one batch — IndexLayoutSpec pins
+    * replay convergence for the nearest-centroid default too). Final
+    * store ≡ q191's upserted store, so q191's oracle certifies the
+    * streaming codec-store lifecycle end-to-end. */
+  private def indexUpsertStreamQ(s: SparkSession, dir: String): DataFrame = {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val path = "/tmp/graft_q192_index_upsert_stream_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    graft.operators.IndexLayout.write(embLabelClustered(s, dir),
+      embLabelCentroids(s, dir), path,
+      graft.operators.IndexLayout.PqResC(pqParams(s, dir)))
+    val addRows = embVectors(s, dir).filter(col("id") % 10 === 4)
+      .select((col("id") + UpdOffset).as("id"), col("vec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1),
+        null.asInstanceOf[String]))
+    val delRows = embVectors(s, dir).filter(col("id") % 13 === 5)
+      .select("id").collect()
+      .map(r => (r.getLong(0), Seq.empty[Double], "delete"))
+    // pinned-label router: adds rejoin their label by original id — a
+    // distributed join, no driver map (the routing-policy dial q192
+    // exists to exercise)
+    val labelOf = embVectors(s, dir)
+      .select((col("id") + UpdOffset).as("id"),
+        col("label").cast("long").as("cluster_id"))
+    val router = (adds: org.apache.spark.sql.DataFrame,
+                  _: Seq[(Long, Seq[Double])]) =>
+      adds.join(labelOf, Seq("id"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-q192-ckpt").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double], String)]
+    val q = graft.streaming.StreamingIndexLayout.attach(
+      mem.toDF().toDF("id", "vec", "op"), path, ckpt,
+      opCol = Some("op"), assign = router)
+    try {
+      val (a, b) = addRows.partition(_._1 % 2 == 0)
+      mem.addData(a.toSeq); q.processAllAvailable()
+      mem.addData((b ++ delRows).toSeq); q.processAllAvailable()
+    } finally {
+      q.stop()
+      val ckptP = new org.apache.hadoop.fs.Path(ckpt)
+      ckptP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(ckptP, true)
+    }
+    val up = graft.operators.IndexLayout.open(s, path)
+    graft.operators.IndexLayout.serve(up, embQueries(s, dir), K,
+        IvfPqProbes, Metric.L2)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   /** q151: DiskANN serving from the store — codes-only walk over the
     * persisted codes+graph partitions, exact rerank touching only the
     * |Q|·kReorder·k candidate rows of data; ≡ q148 (same oracle), with
@@ -3313,6 +3398,8 @@ object SparkEntry {
     "q188_serve_hamming_auto" -> (serveHammingAutoQ _),
     "q189_serve_hamming_probed" -> (serveHammingProbedQ _),
     "q190_serve_stream" -> (serveStreamQ _),
+    "q191_index_upsert" -> (indexUpsertQ _),
+    "q192_index_upsert_stream" -> (indexUpsertStreamQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3759,5 +3846,16 @@ object SparkEntry {
     // and per-query top-k is batch-boundary-independent, so q184's exact
     // within-probed-shards oracle certifies the streaming recipe.
     "q190_serve_stream" -> OracleGen.vamanaShardedKnn(K, VamanaProbes),
+    // q191: the upserted codec store's ADC ranks ≡ residual-LUT replay
+    // over the merged corpus with merged-mean centroids (refresh-touched
+    // -only ≡ recompute-all; codebooks pinned — vec_id % 7 of the
+    // ORIGINAL table).
+    "q191_index_upsert" -> OracleGen.ivfPqUpsert(PqM, PqK, K, IvfPqProbes,
+      UpdOffset, "vec_id % 10 = 4", "vec_id % 13 = 5"),
+    // q192: the streaming twin converges to q191's exact store (pinned
+    // label routing makes the multi-batch refresh order-independent), so
+    // the same oracle certifies the streaming codec-store lifecycle.
+    "q192_index_upsert_stream" -> OracleGen.ivfPqUpsert(PqM, PqK, K,
+      IvfPqProbes, UpdOffset, "vec_id % 10 = 4", "vec_id % 13 = 5"),
   )
 }

@@ -27,6 +27,11 @@ object BinaryQuant {
   case class Params(thresholds: Seq[Double]) {
     def dims: Int = thresholds.length
     def words: Int = (dims + 31) / 32
+    /** Stored word count at FULL 64-bit density (layout v2). */
+    def words64: Int = (dims + 63) / 64
+    /** Stored word count for a bincodes layout version. */
+    def wordsFor(version: Int): Int =
+      if (version >= 2) words64 else words
   }
 
   def train(data: DataFrame, vecCol: String = "vec"): Params =
@@ -59,6 +64,53 @@ object BinaryQuant {
     }
     out.map(_.toDouble).toSeq
   }
+
+  /** FULL-DENSITY (64 bits per BIGINT word) encode columns — the
+    * bincodes LAYOUT v2 on-disk form (reference posture: 1 bit/dim,
+    * include/svs/quantization/binary — a 64-d store is 8 B/row, half of
+    * v1's two half-full words and smaller than m=8 PQ above ~64 dims).
+    * Bit rule is identical to [[codeColumns]] per DIMENSION; only the
+    * word grouping changes, so v2 word j is exactly
+    * `v1(2j) | (v1(2j+1) << 32)` (missing odd half = 0) and every
+    * Hamming SUM is equal under either packing — which is why the query
+    * / probe-routing space can stay in v1 word-doubles (< 2⁵³, exact in
+    * a double) while the STORE and the walk state halve
+    * (BinaryQuantSpec pins the identity; GraphLayoutSpec pins
+    * v2-layout ≡ v1-layout serving bit-for-bit). Bit 63 makes a
+    * negative BIGINT — Spark and parquet treat it as a plain two's-
+    * complement pattern, and the walk XOR/popcount is bit-pattern
+    * arithmetic, so signedness never leaks into a distance. */
+  def codeColumns64(vec: Column, p: Params): Seq[Column] =
+    (0 until p.words64).map { w =>
+      (w * 64 until math.min((w + 1) * 64, p.dims)).map { i =>
+        when(element_at(vec, i + 1) > lit(p.thresholds(i)),
+          lit(1L << (i - w * 64))).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }
+
+  /** Driver-side full-density encode ([[codeColumns64]]'s row form). */
+  def encodeWords64(v: Seq[Double], p: Params): Seq[Long] = {
+    val out = new Array[Long](p.words64)
+    var i = 0
+    while (i < p.dims) {
+      if (v(i) > p.thresholds(i)) out(i / 64) |= 1L << (i % 64)
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Re-split stored v2 (64-bit) word columns into the v1 32-bit
+    * word-double space — BIT-IDENTICAL to [[codeColumns]] values on the
+    * same vector (lo half = v1 even word, unsigned hi half = v1 odd
+    * word), truncated to `words32` (the last odd half is all-padding
+    * when dims mod 64 ≤ 32). This is how a v2 STORE rides every
+    * existing words-as-doubles surface (cogroup walk, probe routing)
+    * unchanged. */
+  def splitWords64(words32: Int, wordCols: Seq[Column]): Seq[Column] =
+    wordCols.flatMap { c =>
+      Seq(c.bitwiseAND(lit(0xFFFFFFFFL)).cast("double"),
+        shiftrightunsigned(c, 32).cast("double"))
+    }.take(words32)
 
   /** Hamming top-k riding [[FlatKnn.search]]'s broadcast + partition-
     * local-heap kernel: code words (integral, < 2³²) pack into an

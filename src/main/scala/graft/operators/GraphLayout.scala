@@ -36,6 +36,7 @@ object GraphLayout {
                           pq: Option[Pq.Params],
                           binCodes: Option[DataFrame] = None,
                           bin: Option[BinaryQuant.Params] = None,
+                          binVersion: Int = 1,
                           routing: Option[(Seq[(Long, Seq[Double])],
                             Map[Long, Long])] = None,
                           routingMetricName: Option[String] = None,
@@ -57,7 +58,15 @@ object GraphLayout {
             pq: Option[Pq.Params] = None,
             bin: Option[BinaryQuant.Params] = None,
             routingGroups: Int = 0,
-            routingMetric: Metric = Metric.L2): Unit = {
+            routingMetric: Metric = Metric.L2,
+            binVersion: Int = 2): Unit = {
+    // bincodes layout versions: 1 = 32 bits per BIGINT word (words-as-
+    // doubles heritage), 2 = full 64-bit density (DEFAULT — half the
+    // store bytes and walk state; serving is bit-identical, see
+    // BinaryQuant.codeColumns64). The version is a STORE property
+    // recorded in the sidecar; v1 remains writable for old readers.
+    require(binVersion == 1 || binVersion == 2,
+      s"unknown bincodes layout version $binVersion (supported: 1, 2)")
     val spark = clustered.sparkSession
     import spark.implicits._
     // byte stores persist their DECLARED signedness in the sidecar: the
@@ -106,8 +115,11 @@ object GraphLayout {
         .mode("overwrite").parquet(s"$path/codes")
     }
     bin.foreach { b =>
+      val wordCols =
+        if (binVersion >= 2) BinaryQuant.codeColumns64(col("vec"), b)
+        else BinaryQuant.codeColumns(col("vec"), b)
       clusteredW.select(col("cluster_id") +: col("id") +:
-          BinaryQuant.codeColumns(col("vec"), b).zipWithIndex.map {
+          wordCols.zipWithIndex.map {
             case (c, w) => c.as(s"w$w") }: _*)
         .write.partitionBy("cluster_id").mode("overwrite")
         .parquet(s"$path/bincodes")
@@ -123,7 +135,8 @@ object GraphLayout {
     val binJson = bin match {
       case None => "null"
       case Some(b) =>
-        s"""{"thresholds":[${b.thresholds.mkString(",")}]}"""
+        s"""{"version":$binVersion,"thresholds":[${
+          b.thresholds.mkString(",")}]}"""
     }
     writeSidecar(spark, s"$path/layout.json",
       s"""{"pq":$pqJson,"bin":$binJson,""" +
@@ -167,6 +180,20 @@ object GraphLayout {
       case node => Some(BinaryQuant.Params(
         (node \ "thresholds").extract[Seq[Double]]))
     }
+    // sidecar version gate: absent = v1 (every pre-v2 store), known
+    // versions open, unknown versions fail loudly rather than serve
+    // garbage Hamming distances off a misread word layout
+    val binVersion = binNode match {
+      case JNull | JNothing => 1
+      case node => (node \ "version") match {
+        case JNull | JNothing => 1
+        case v                => v.extract[Int]
+      }
+    }
+    require(binVersion == 1 || binVersion == 2,
+      s"bincodes layout at $path has version $binVersion, which this " +
+        "reader does not understand (supported: 1, 2) — refusing to " +
+        "serve rather than misread the word packing")
     val binCodes =
       if (bin.isDefined && fs.exists(new org.apache.hadoop.fs.Path(
         s"$path/bincodes"))) Some(spark.read.parquet(s"$path/bincodes"))
@@ -221,7 +248,7 @@ object GraphLayout {
       spark.read.parquet(s"$path/centroids").select("id", "vec").collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
         .toIndexedSeq.sortBy(_._1),
-      pq, binCodes, bin, routing,
+      pq, binCodes, bin, binVersion, routing,
       if (routingGroups > 0) routingMetricName else None,
       Some(path))
   }
@@ -844,8 +871,14 @@ object GraphLayout {
           .partitionBy("cluster_id").parquet(s"$path/codes")
       }
       layout.bin.foreach { b =>
+        // re-encode in the STORE's word layout (sidecar version): a v1
+        // store must keep v1 words — mixed packings across partitions
+        // of one bincodes dir would be silent Hamming corruption
+        val wordCols =
+          if (layout.binVersion >= 2) BinaryQuant.codeColumns64(col("vec"), b)
+          else BinaryQuant.codeColumns(col("vec"), b)
         ncW.select(col("cluster_id") +: col("id") +:
-            BinaryQuant.codeColumns(col("vec"), b).zipWithIndex.map {
+            wordCols.zipWithIndex.map {
               case (c, w) => c.as(s"w$w") }: _*)
           .repartition(col("cluster_id"))
           .write.mode("overwrite")
@@ -947,9 +980,17 @@ object GraphLayout {
     val codes = layout.binCodes.getOrElse(sys.error(
       "layout has no bincodes table — rewrite with bin = Some(...) " +
         "(sidecar thresholds present but bincodes directory missing)"))
-    val wv = codes.select(col("cluster_id"), col("id"),
-      array((0 until b.words).map(w => col(s"w$w").cast("double")): _*)
-        .as("vec"))
+    // v2 stores re-split their 64-bit words into the v1 word-double
+    // space for the cogroup walk (bit-identical values — the split IS
+    // codeColumns' packing); v1 stores cast their words directly
+    val wv =
+      if (layout.binVersion >= 2)
+        codes.select(col("cluster_id"), col("id"),
+          array(BinaryQuant.splitWords64(b.words,
+            (0 until b.words64).map(j => col(s"w$j"))): _*).as("vec"))
+      else codes.select(col("cluster_id"), col("id"),
+        array((0 until b.words).map(w => col(s"w$w").cast("double")): _*)
+          .as("vec"))
     val wordCents = layout.centroids.map { case (cid, cv) =>
       (cid, BinaryQuant.encodeWords(cv, b)) }
     val qWords = queries.select(col("query_id"),
@@ -990,7 +1031,8 @@ object GraphLayout {
         .map(_.cast("double")): _*).as("qvec"))
     val cand = Vamana.searchStoredHamming(qWords, s"$path/bincodes",
       s"$path/graph", codes.schema, layout.graph.schema, wordCents,
-      b.words, kReorder * k, searchWindow, nProbes, prebuiltProbes)
+      b.wordsFor(layout.binVersion), kReorder * k, searchWindow, nProbes,
+      prebuiltProbes, fullDensity = layout.binVersion >= 2)
     rerankExact(cand, queries, layout, prebuiltProbes, k, rerankMetric)
   }
 

@@ -49,6 +49,41 @@ object IndexLayout {
                             Map[Long, Long])] = None,
                           routingMetricName: Option[String] = None)
 
+  /** Attach the codec's resident code columns to a clustered (id, vec,
+    * cluster_id) frame — shared by [[write]] and [[upsert]] so initial
+    * encode and re-encode can never drift. Codec attachment is VALUE
+    * arithmetic (residual/quantize folds run on element values):
+    * byte-resident inputs widen through the shared mark-aware helper
+    * first so u8 never encodes in the sign-extended space. The widened
+    * frame feeds ONLY the code computation — added code columns join
+    * back onto the raw frame, so the persisted `vec` stays byte-/half-
+    * resident on disk. For [[PqResC]], residuals quantize against the
+    * centroid of each row's `cluster_id` in `centroids` — the caller
+    * decides whether those are the original or refreshed means. */
+  private def withCodecColumns(clustered: DataFrame,
+                               centroids: Seq[(Long, Seq[Double])],
+                               codec: Codec): DataFrame = {
+    val wide = graft.functions.HalfVecs.widenedForMath(
+      graft.functions.ByteVecs.widenedForMath(clustered, "vec"), "vec")
+    def attach(f: DataFrame => DataFrame): DataFrame =
+      if (wide eq clustered) f(clustered)
+      else {
+        val coded = f(wide)
+        val newCols = coded.columns.filterNot(clustered.columns.contains)
+        clustered.join(
+          coded.select("cluster_id", ("id" +: newCols.toSeq): _*),
+          Seq("cluster_id", "id"))
+      }
+    codec match {
+      case Uncompressed => clustered
+      case Sq(p) => attach(IvfIndex.withResidentCodes(_, p))
+      case LvqC(p) => attach(IvfIndex.withResidentLvq(_, p))
+      case LeanVecC(m) => attach(IvfIndex.withResidentLeanVec(_, m))
+      case PqResC(p) => clustered.join(
+        Pq.encodeResiduals(wide, centroids, p), Seq("cluster_id", "id"))
+    }
+  }
+
   /** Write the clustered table (id, vec, cluster_id) + centroids + codec in
     * one call: attaches the codec's resident columns, then persists
     * cluster-partitioned so probe joins prune partitions at the source. */
@@ -72,31 +107,7 @@ object IndexLayout {
         clustered.schema("vec").dataType))
         Some(graft.functions.HalfVecs.requireFormat(clustered.schema, "vec"))
       else None
-    // Codec attachment is VALUE arithmetic (residual/quantize folds run on
-    // element values): byte-resident inputs widen through the shared
-    // mark-aware helper first so u8 never encodes in the sign-extended
-    // space. The widened frame feeds ONLY the code computation — added
-    // code columns join back onto the raw frame, so the persisted `vec`
-    // stays byte-resident on disk.
-    val wide = graft.functions.HalfVecs.widenedForMath(
-      graft.functions.ByteVecs.widenedForMath(clustered, "vec"), "vec")
-    def attach(f: DataFrame => DataFrame): DataFrame =
-      if (wide eq clustered) f(clustered)
-      else {
-        val coded = f(wide)
-        val newCols = coded.columns.filterNot(clustered.columns.contains)
-        clustered.join(
-          coded.select("cluster_id", ("id" +: newCols.toSeq): _*),
-          Seq("cluster_id", "id"))
-      }
-    val withCodes = codec match {
-      case Uncompressed => clustered
-      case Sq(p) => attach(IvfIndex.withResidentCodes(_, p))
-      case LvqC(p) => attach(IvfIndex.withResidentLvq(_, p))
-      case LeanVecC(m) => attach(IvfIndex.withResidentLeanVec(_, m))
-      case PqResC(p) => clustered.join(
-        Pq.encodeResiduals(wide, centroids, p), Seq("cluster_id", "id"))
-    }
+    val withCodes = withCodecColumns(clustered, centroids, codec)
     IvfIndex.writeClustered(withCodes, s"$path/data")
     centroids.toDF("id", "vec").write.mode("overwrite")
       .parquet(s"$path/centroids")
@@ -148,6 +159,15 @@ object IndexLayout {
   /** Re-open a written layout: clustered data with its resident codes, the
     * centroid table, and the codec parameters the codes were built with. */
   def open(spark: SparkSession, path: String): Layout = {
+    // crash recovery for the upsert's centroid swap: if an upsert died
+    // between delete and rename, finish the rename (centroids.tmp holds
+    // the complete new table) — the GraphLayout.open recipe
+    val cfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cDst = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    val cTmp = new org.apache.hadoop.fs.Path(s"$path/centroids.tmp")
+    if (!cfs.exists(cDst) && cfs.exists(cTmp))
+      require(cfs.rename(cTmp, cDst), s"failed to recover $cDst from $cTmp")
     val json = readSidecar(spark, s"$path/layout.json")
     import org.json4s._
     implicit val fmts: Formats = DefaultFormats
@@ -330,6 +350,181 @@ object IndexLayout {
       searchRouted(layout, queries, k, l1Probes, nProbes, metric, kReorder)
     else
       search(layout, queries, k, nProbes, metric, kReorder)
+
+  /** Incremental maintenance of the stored codec layout — the M1–M4
+    * lifecycle for the IVF family, mirroring [[GraphLayout.upsert]]
+    * (reference analog: the dynamic IVF index,
+    * include/svs/index/ivf/dynamic_ivf.h): `added` rows (id, vec,
+    * cluster_id — the caller routes, exactly like GraphLayout.upsert)
+    * join their shards, `deletedIds` rows leave theirs, and ONLY the
+    * touched `cluster_id=` partitions of `data` are rewritten — with
+    * their codec columns RE-ENCODED through the same
+    * [[withCodecColumns]] the initial write used (dynamic partition
+    * overwrite; at 100 TB an upsert touching 3 of 10⁴ shards rewrites
+    * 0.03% of the store). Touched centroids are re-derived with the
+    * rounded-mean fold BEFORE the re-encode, so [[PqResC]] residual
+    * codes always quantize against the REFRESHED coarse centroid —
+    * codes and centroids cannot drift, and the upserted store equals a
+    * from-scratch write of the merged corpus with the refreshed
+    * centroid table (q191, IndexLayoutSpec).
+    *
+    * Quantizer-parameter drift rule: the codec's TRAINED constants (SQ
+    * scale/bias, LVQ mean, LeanVec model, PQ codebooks) stay PINNED in
+    * the sidecar. They are corpus-trained; retraining them on an upsert
+    * would silently change the code space of every UNTOUCHED partition.
+    * Decoding stays exact under pinned constants (codes read back with
+    * the parameters that wrote them); what drifts as upserts accumulate
+    * is quantization EFFICIENCY (residual spread vs stale codebooks) —
+    * the staleness the reference's dynamic IVF accepts between retrains.
+    * Retrain by rewriting the layout.
+    *
+    * ID-level UPSERT semantics are [[GraphLayout.upsert]]'s exactly:
+    * replace-on-add (a re-added id leaves its old shard even when it
+    * routes elsewhere), delete-wins over add in one batch, duplicate
+    * identical adds collapse, conflicting payloads for one id fail
+    * loudly — so micro-batch REPLAYS converge. A layout with a
+    * persisted routing level retrains it from the refreshed centroids
+    * (driver-side, milliseconds). Returns the reopened layout. */
+  def upsert(spark: SparkSession, path: String, added: DataFrame,
+             deletedIds: DataFrame): Layout = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val layout = open(spark, path)
+    val stored = layout.clustered
+      .select(col("id").cast("long").as("id"), col("vec"),
+        col("cluster_id").cast("long").as("cluster_id"))
+    val dels = deletedIds.select(col("id").cast("long").as("id")).distinct()
+    val addedDistinct = added
+      .select(col("id").cast("long").as("id"), col("vec"),
+        col("cluster_id").cast("long").as("cluster_id"))
+      .distinct()
+    val conflicted = addedDistinct.groupBy("id").count()
+      .filter(col("count") > 1).select(col("id").cast("long"))
+      .as[Long].collect()
+    require(conflicted.isEmpty,
+      s"upsert: conflicting added payloads for ids " +
+        s"${conflicted.take(5).mkString(", ")}")
+    val addedFinal = addedDistinct.join(dels, Seq("id"), "left_anti")
+    // byte/half stores: added rows must DECLARE the same value space as
+    // the store — mixing spaces in one store is silent corruption
+    val storedSig =
+      graft.functions.ByteVecs.signednessOf(stored.schema, "vec")
+    storedSig.foreach { u =>
+      require(graft.functions.ByteVecs.isByteVec(
+        addedFinal.schema("vec").dataType),
+        s"upsert: the store is byte-resident (${if (u) "u8" else "i8"}) " +
+          s"but added rows have ${addedFinal.schema("vec").dataType} — " +
+          "quantize and mark them to match the store")
+      val au = graft.functions.ByteVecs.requireSignedness(
+        addedFinal.schema, "vec")
+      require(au == u,
+        s"upsert: added rows are ${if (au) "u8" else "i8"} but the store " +
+          s"is ${if (u) "u8" else "i8"}")
+    }
+    val storedHalf =
+      graft.functions.HalfVecs.formatOf(stored.schema, "vec")
+    storedHalf.foreach { f =>
+      require(graft.functions.HalfVecs.isShortVec(
+        addedFinal.schema("vec").dataType),
+        s"upsert: the store is half-resident ($f) but added rows have " +
+          s"${addedFinal.schema("vec").dataType} — encode and mark them " +
+          "to match the store")
+      val af = graft.functions.HalfVecs.requireFormat(
+        addedFinal.schema, "vec")
+      require(af == f, s"upsert: added rows are $af but the store is $f")
+    }
+    // rows to remove = explicit deletes ∪ re-added ids (replace-on-add)
+    val removed = dels
+      .unionByName(addedFinal.select(col("id")))
+      .distinct()
+    val touched = addedFinal.select(col("cluster_id"))
+      .union(stored.join(removed, Seq("id")).select(col("cluster_id")))
+      .distinct().as[Long].collect().toSeq.sorted
+    if (touched.nonEmpty) {
+      val nc0 = stored.join(removed, Seq("id"), "left_anti")
+        .unionByName(addedFinal)
+      val nc1 = storedSig.map(u => graft.functions.ByteVecs
+        .markSignedness(nc0, "vec", u)).getOrElse(nc0)
+      val nc = storedHalf.map(f => graft.functions.HalfVecs
+        .markHalf(nc1, f, "vec")).getOrElse(nc1)
+      val touchedRows = nc.filter(col("cluster_id").isin(touched: _*))
+      // refreshed centroids FIRST — the residual codec quantizes against
+      // them; value arithmetic widens byte/half marks like the build
+      val touchedW = graft.functions.HalfVecs.widenedForMath(
+        graft.functions.ByteVecs.widenedForMath(touchedRows, "vec"), "vec")
+      val touchedSet = touched.toSet
+      val newCents = touchedW
+        .select(col("cluster_id"), posexplode(col("vec")))
+        .groupBy("cluster_id", "pos").agg(round(avg("col"), 6).as("m"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (cid, xs) =>
+          cid -> (xs.sortBy(_._2).map(_._3).toIndexedSeq: Seq[Double]) }
+      val kept = layout.centroids.filterNot(c => touchedSet.contains(c._1))
+      val mergedCents = (kept ++ newCents).sortBy(_._1)
+      // re-encode the touched rows with the SAME codec attachment the
+      // initial write used, against the refreshed centroid table;
+      // materialize BEFORE overwriting (the plan reads the very
+      // partitions the write replaces — the GraphLayout.upsert lesson)
+      val coded = withCodecColumns(touchedRows, mergedCents, layout.codec)
+        .localCheckpoint(true)
+      coded.repartition(col("cluster_id")).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster_id").parquet(s"$path/data")
+      // a shard emptied by deletes writes zero rows and dynamic
+      // overwrite cannot delete a partition it never writes — drop dirs
+      val liveCids = coded.select(col("cluster_id")).distinct()
+        .as[Long].collect().toSet
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.filterNot(liveCids).foreach { cid =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$path/data/cluster_id=$cid"), true)
+      }
+      // emptied shards also lose their centroid (newCents has no entry)
+      mergedCents.toDF("id", "vec")
+        .write.mode("overwrite").parquet(s"$path/centroids.tmp")
+      // two-step swap with open()-side crash recovery, the
+      // GraphLayout.upsert recipe
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true)
+      require(fs.rename(
+        new org.apache.hadoop.fs.Path(s"$path/centroids.tmp"),
+        new org.apache.hadoop.fs.Path(s"$path/centroids")),
+        s"failed to swap $path/centroids.tmp into place")
+      // refreshed centroids make a persisted routing level stale —
+      // retrain it at the recorded group count for the recorded metric
+      val rg = routingGroupsOf(spark, path)
+      if (rg > 0) {
+        val newCentTable = spark.read.parquet(s"$path/centroids")
+          .select("id", "vec").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+          .toIndexedSeq.sortBy(_._1)
+        val rm = layout.routingMetricName match {
+          case Some(name) => Metric.byName(name).getOrElse(sys.error(
+            s"layout routing_metric '$name' is not a routable metric"))
+          case None => Metric.L2
+        }
+        val (l1, groupOf) = Vamana.trainRoutingLevel(newCentTable, rg,
+          metric = rm)
+        l1.toDF("id", "vec").write.mode("overwrite")
+          .parquet(s"$path/routing_l1")
+        groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
+          .parquet(s"$path/routing_groups")
+      }
+    }
+    open(spark, path)
+  }
+
+  /** The sidecar's recorded routing group count (0 = no routing). */
+  private def routingGroupsOf(spark: SparkSession, path: String): Int = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    (org.json4s.jackson.JsonMethods.parse(
+      readSidecar(spark, s"$path/layout.json")) \ "routing_groups") match {
+      case JNull | JNothing => 0
+      case node             => node.extract[Int]
+    }
+  }
 
   private def writeSidecar(spark: SparkSession, path: String,
                            json: String): Unit = {

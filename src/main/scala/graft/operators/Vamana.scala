@@ -1006,7 +1006,8 @@ object Vamana {
                           wordCents: Seq[(Long, Seq[Double])], words: Int,
                           k: Int, searchWindow: Int, nProbes: Int,
                           prebuiltProbes: Option[Map[Long,
-                            Array[(Long, Array[Double])]]] = None)
+                            Array[(Long, Array[Double])]]] = None,
+                          fullDensity: Boolean = false)
       : DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -1018,11 +1019,22 @@ object Vamana {
     val gSub = StructType(graphSchema.filterNot(_.name == "cluster_id"))
     val cIdIx = cSub.fieldIndex("id")
     val wIxs = (0 until words).map(j => cSub.fieldIndex(s"w$j")).toArray
-    zipServeMerged[Array[Double]](spark, pm, codesPath, graphPath, cSub,
-      gSub, None,
-      r => (longAt(r, cIdIx), wIxs.map(ix => longAt(r, ix).toDouble)),
-      xs => new VamanaKernel.DoubleStore(xs.toArray),
-      k, searchWindow, Metric.Hamming)
+    // v2 (fullDensity): rows stay raw 64-bit words in a WordStore — half
+    // the walk state; queries remain in the v1 word-double space and the
+    // store recombines them once per search. Hamming sums are invariant
+    // to the word grouping, so candidates are bit-identical to v1.
+    if (fullDensity)
+      zipServeMerged[Array[Long]](spark, pm, codesPath, graphPath, cSub,
+        gSub, None,
+        r => (longAt(r, cIdIx), wIxs.map(ix => longAt(r, ix))),
+        xs => new VamanaKernel.WordStore(xs.toArray),
+        k, searchWindow, Metric.Hamming)
+    else
+      zipServeMerged[Array[Double]](spark, pm, codesPath, graphPath, cSub,
+        gSub, None,
+        r => (longAt(r, cIdIx), wIxs.map(ix => longAt(r, ix).toDouble)),
+        xs => new VamanaKernel.DoubleStore(xs.toArray),
+        k, searchWindow, Metric.Hamming)
   }
 
   /** Driver-side probe routing shared by [[searchSharded]] and

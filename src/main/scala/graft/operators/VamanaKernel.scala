@@ -271,6 +271,88 @@ object VamanaKernel {
     }
   }
 
+  /** FULL-DENSITY binary-codes store (bincodes layout v2): rows stay as
+    * raw 64-bit words — 8 B/row of walk state at 64 dims, HALF of the
+    * words-as-doubles [[DoubleStore]] the v1 layout rides (reference
+    * posture: 1 bit/dim, include/svs/quantization/binary) — and every
+    * distance is the native XOR/popcount fold. Hamming-only by
+    * construction (fails loudly on any other metric: bit patterns are
+    * not a vector space).
+    *
+    * The walk passes QUERIES in the v1 32-bit word-double space (the
+    * probe-routing representation, exact in a double): the store
+    * recombines a query's halves into 64-bit words ONCE per search —
+    * keyed by array identity like [[PqStore]]'s LUT; the kernel passes
+    * the same `q` reference for a whole walk — and because Hamming sums
+    * are invariant to word grouping (BinaryQuant.codeColumns64 identity)
+    * every distance is BIT-IDENTICAL to the v1 DoubleStore path
+    * (GraphLayoutSpec pins v2 ≡ v1 serving end-to-end). Identity cache,
+    * not thread-safe across queries — serve walks are single-threaded
+    * per shard task, the PqStore precedent. */
+  final class WordStore(rows: Array[Array[Long]]) extends VecStore {
+    private var lastQ: Array[Double] = null
+    private var qWords: Array[Long] = null
+    private val words64 = if (rows.isEmpty) 0 else rows(0).length
+
+    private def wordsOf(q: Array[Double]): Array[Long] = {
+      if (q ne lastQ) {
+        val n = math.max(words64, (q.length + 1) / 2)
+        val out = new Array[Long](n)
+        var j = 0
+        while (j < n) {
+          val lo = if (2 * j < q.length) q(2 * j).toLong else 0L
+          val hi = if (2 * j + 1 < q.length) q(2 * j + 1).toLong else 0L
+          out(j) = lo | (hi << 32)
+          j += 1
+        }
+        qWords = out; lastQ = q
+      }
+      qWords
+    }
+
+    private def requireHamming(metric: Metric): Unit =
+      if (metric ne Metric.Hamming)
+        sys.error(s"WordStore is Hamming-only (bit-packed words are " +
+          s"not a vector space) — got ${metric.name}")
+
+    def n: Int = rows.length
+    /** Row i back in the v1 32-bit word-double space (the query/probe
+      * representation) — exact round trip: wordsOf(row(i)) == rows(i). */
+    def row(i: Int): Array[Double] = {
+      val v = rows(i)
+      val out = new Array[Double](v.length * 2)
+      var j = 0
+      while (j < v.length) {
+        out(2 * j) = (v(j) & 0xFFFFFFFFL).toDouble
+        out(2 * j + 1) = (v(j) >>> 32).toDouble
+        j += 1
+      }
+      out
+    }
+    def dist(metric: Metric, q: Array[Double], i: Int): Double = {
+      requireHamming(metric)
+      val qw = wordsOf(q); val v = rows(i)
+      var acc = 0; var j = 0
+      while (j < v.length) {
+        acc += java.lang.Long.bitCount(qw(j) ^ v(j)); j += 1
+      }
+      acc.toDouble
+    }
+    def distPair(metric: Metric, i: Int, j: Int): Double = {
+      requireHamming(metric)
+      val a = rows(i); val b = rows(j)
+      var acc = 0; var w = 0
+      while (w < a.length) {
+        acc += java.lang.Long.bitCount(a(w) ^ b(w)); w += 1
+      }
+      acc.toDouble
+    }
+    def addInto(acc: Array[Double], i: Int): Unit =
+      sys.error("WordStore has no value-space mean (bit-packed words)")
+    override def gather(slots: Array[Int]): VecStore =
+      new WordStore(slots.map(rows)) // row refs — no copy, same kernels
+  }
+
   /** Growable primitive (slot, dist) pair buffer — the allocation-free
     * candidate pool. The tupled version allocated one (Int, Double) per
     * scored candidate (BuildBench: 63M per 20k-shard build, a measurable

@@ -233,6 +233,93 @@ class GraphLayoutSpec extends SparkSpec {
     assert(servedUp === memUp)
   }
 
+  test("bincodes layout versions: v2 (default) halves the word columns " +
+      "and serves ≡ an explicit v1 store on every path; pre-v2 sidecars " +
+      "open as v1; unknown versions fail loudly; upsert keeps each " +
+      "store's packing") {
+    import graft.operators.BinaryQuant
+    val (data, cents, clustered, graph, _) = fixture()
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    val b = BinaryQuant.train(data)
+    val pathV2 = "/tmp/graft_graphlayout_spec_binv2"
+    val pathV1 = "/tmp/graft_graphlayout_spec_binv1"
+    GraphLayout.write(clustered, graph, cents, pathV2, bin = Some(b))
+    GraphLayout.write(clustered, graph, cents, pathV1, bin = Some(b),
+      binVersion = 1)
+    val l2 = GraphLayout.open(spark, pathV2)
+    val l1 = GraphLayout.open(spark, pathV1)
+    assert(l2.binVersion === 2 && l1.binVersion === 1)
+    // the 64-d case: 2 half-full BIGINT words → 1 full word, 8 B/row
+    assert(l2.binCodes.get.columns.count(_.startsWith("w")) === b.words64)
+    assert(l1.binCodes.get.columns.count(_.startsWith("w")) === b.words)
+    assert(b.words64 < b.words)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    // bit-parity across versions: cogroup, local, and the dispatcher, at
+    // exhaustive AND selective probes (identical neighbor sets on the
+    // same grid — Hamming sums are grouping-invariant)
+    for (np <- Seq(cents.size, 1)) {
+      val expect = rows(GraphLayout.searchHamming(l1, queries, 10,
+        searchWindow = 1 << 14, nProbes = np, kReorder = 4))
+      assert(rows(GraphLayout.searchHamming(l2, queries, 10,
+        searchWindow = 1 << 14, nProbes = np, kReorder = 4)) === expect,
+        s"cogroup np=$np")
+      assert(rows(GraphLayout.searchHammingLocal(l2, queries, 10,
+        searchWindow = 1 << 14, nProbes = np, kReorder = 4)) === expect,
+        s"local np=$np")
+      assert(rows(GraphLayout.serveHamming(l2, queries, 10,
+        searchWindow = 1 << 14, nProbes = np, kReorder = 4)) === expect,
+        s"serve np=$np")
+    }
+    // pre-v2 sidecar (no version field) opens as v1 and still serves.
+    // (Drop hadoop's local-FS checksum sibling — these out-of-band edits
+    // simulate a sidecar written by an older engine, not by this fs.)
+    val scPath = java.nio.file.Paths.get(s"$pathV1/layout.json")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$pathV1/.layout.json.crc"))
+    val sc = new String(java.nio.file.Files.readAllBytes(scPath))
+    assert(sc.contains("\"version\":1"))
+    java.nio.file.Files.write(scPath,
+      sc.replace("\"version\":1,", "").getBytes)
+    val lOld = GraphLayout.open(spark, pathV1)
+    assert(lOld.binVersion === 1)
+    assert(rows(GraphLayout.searchHammingLocal(lOld, queries, 10,
+      searchWindow = 1 << 14, nProbes = 1, kReorder = 4)) ===
+      rows(GraphLayout.searchHammingLocal(l1, queries, 10,
+        searchWindow = 1 << 14, nProbes = 1, kReorder = 4)))
+    // unknown version refuses to open (fail loudly, never misread words)
+    java.nio.file.Files.write(scPath, new String(
+      java.nio.file.Files.readAllBytes(scPath))
+      .replace("{\"thresholds\"", "{\"version\":3,\"thresholds\"")
+      .getBytes)
+    val e = intercept[IllegalArgumentException] {
+      GraphLayout.open(spark, pathV1)
+    }
+    assert(e.getMessage.contains("version 3"))
+    java.nio.file.Files.write(scPath, sc.getBytes) // restore v1 sidecar
+    // upsert re-encodes in the STORE's packing — no mixed word layouts —
+    // and the two versions stay bit-identical after the same upsert
+    val added = data.orderBy("id").limit(4)
+      .select((col("id") + 90000L).as("id"), col("vec"),
+        lit(0L).as("cluster_id"))
+    val dels = clustered.filter(col("cluster_id") === 1L)
+      .orderBy("id").limit(2).select("id")
+    val params = BuildParams(maxDegree = 24, buildWindow = 48)
+    val u2 = GraphLayout.upsert(spark, pathV2, added, dels, params,
+      Metric.L2)
+    val u1 = GraphLayout.upsert(spark, pathV1, added, dels, params,
+      Metric.L2)
+    assert(u2.binVersion === 2 && u1.binVersion === 1)
+    assert(u2.binCodes.get.columns.count(_.startsWith("w")) === b.words64)
+    assert(u1.binCodes.get.columns.count(_.startsWith("w")) === b.words)
+    assert(rows(GraphLayout.searchHammingLocal(u2, queries, 10,
+      searchWindow = 1 << 14, nProbes = u2.centroids.size,
+      kReorder = 4)) ===
+      rows(GraphLayout.searchHammingLocal(u1, queries, 10,
+        searchWindow = 1 << 14, nProbes = u1.centroids.size,
+        kReorder = 4)))
+  }
+
   test("upsert batch hygiene: duplicate identical adds collapse, delete " +
       "wins over add for the same id, conflicting payloads fail loudly") {
     val (data, cents, clustered, graph, _) = fixture()
