@@ -10,6 +10,12 @@ import java.nio.file.{Files, Paths}
   * in an "errors" map instead of being swallowed. */
 object Bench {
 
+  /** The serving family's in-process repeat floor — ONE constant feeding
+    * both the repsFor dial and the artifact's self-describing
+    * `reps_min_serve` field (they must never drift: consumers derive
+    * percentile ranks from it). */
+  private val RepsMinServe = 3
+
   private def jstr(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
@@ -76,7 +82,7 @@ object Bench {
     // this box) separates from regression without re-running the suite.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     def repsFor(name: String): Int =
-      if (name.contains("serve")) reps.max(3) else reps
+      if (name.contains("serve")) reps.max(RepsMinServe) else reps
     // Bisect levers (regression adjudication): ONLY= comma-separated qNN
     // prefixes restricts the run; CLEAR_MEMOS=1 drops SparkEntry's memoized
     // caches before every query (isolates cache-eviction/GC interference at
@@ -183,7 +189,8 @@ object Bench {
         // the authoritative per-query count is each latency vector's
         // length (a consumer deriving percentile ranks must use those,
         // not `reps`)
-        s""","reps":$reps,"reps_min_serve":3,"latency":$lat,"p90":$p90""" +
+        s""","reps":$reps,"reps_min_serve":$RepsMinServe,""" +
+          s""""latency":$lat,"p90":$p90""" +
           s""","shuffle_bytes":$shuffle"""
       }
     val json =

@@ -1588,17 +1588,10 @@ object SparkEntry {
       .select(col("id"), col("vec"), col("label").cast("long").as("cluster_id"))
 
   /** Per-cluster centroids, rounded to 6 decimals so Spark and DuckDB agree
-    * despite different summation orders (same trick as q08_medioid). */
+    * despite different summation orders (same trick as q08_medioid) — the
+    * one shared fold, [[graft.operators.KMeans.roundedMeans]]. */
   private def labelCentroidsOf(clustered: DataFrame): Seq[(Long, Seq[Double])] =
-    clustered
-      .select(col("cluster_id"), posexplode(col("vec")))
-      .groupBy("cluster_id", "pos").agg(round(avg("col"), 6).as("m"))
-      .collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
-      .groupBy(_._1)
-      .map { case (cid, xs) =>
-        cid -> xs.sortBy(_._2).map(_._3).toIndexedSeq }
-      .toIndexedSeq.sortBy(_._1)
+    KMeans.roundedMeans(clustered)
 
   private def embLabelCentroids(s: SparkSession, dir: String)
       : Seq[(Long, Seq[Double])] =

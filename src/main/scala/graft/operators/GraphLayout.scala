@@ -901,13 +901,9 @@ object GraphLayout {
       // refresh touched centroids with the same rounded-mean fold the
       // build used; untouched entries carry over verbatim
       val touchedSet = touched.toSet
-      val newCents = ncW
-        .select(col("cluster_id"), posexplode(col("vec")))
-        .groupBy("cluster_id", "pos").agg(round(avg("col"), 6).as("m"))
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
-        .groupBy(_._1)
-        .map { case (cid, xs) =>
-          cid -> xs.sortBy(_._2).map(_._3).toIndexedSeq }
+      // the shared rounded-mean fold (KMeans.roundedMeans) — one
+      // definition with the oracle replays and IndexLayout's refresh
+      val newCents = KMeans.roundedMeans(ncW)
       val kept = layout.centroids.filterNot(c => touchedSet.contains(c._1))
       (kept ++ newCents).sortBy(_._1).toDF("id", "vec")
         .write.mode("overwrite").parquet(s"$path/centroids.tmp")

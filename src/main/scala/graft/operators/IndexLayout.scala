@@ -157,8 +157,29 @@ object IndexLayout {
   }
 
   /** Re-open a written layout: clustered data with its resident codes, the
-    * centroid table, and the codec parameters the codes were built with. */
+    * centroid table, and the codec parameters the codes were built with.
+    * FAILS LOUDLY if an upsert's in-progress marker is present: a crashed
+    * upsert can leave re-encoded codes committed against centroids the
+    * table does not yet hold (codes and centroids are separate artifacts
+    * — no multi-file commit is atomic), and for the residual codec that
+    * is silently wrong DISTANCES, not a recall dip. Run [[repair]] to
+    * restore the codes ≡ centroids ≡ rows invariant, then re-apply the
+    * upsert batch (replace-on-add converges). */
   def open(spark: SparkSession, path: String): Layout = {
+    val mp = new org.apache.hadoop.fs.Path(markerPath(path))
+    val mfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mfs.exists(mp))
+      sys.error(s"layout at $path has an in-progress upsert marker " +
+        s"($mp): an upsert crashed mid-flight and codes/centroids may " +
+        "be inconsistent — run IndexLayout.repair(spark, path), then " +
+        "re-apply the upsert batch (replace-on-add converges)")
+    openUnchecked(spark, path)
+  }
+
+  private def markerPath(path: String): String = s"$path/upsert.inprogress"
+
+  /** [[open]] minus the marker guard — [[repair]]'s entry point. */
+  private def openUnchecked(spark: SparkSession, path: String): Layout = {
     // crash recovery for the upsert's centroid swap: if an upsert died
     // between delete and rename, finish the rename (centroids.tmp holds
     // the complete new table) — the GraphLayout.open recipe
@@ -384,7 +405,15 @@ object IndexLayout {
     * identical adds collapse, conflicting payloads for one id fail
     * loudly — so micro-batch REPLAYS converge. A layout with a
     * persisted routing level retrains it from the refreshed centroids
-    * (driver-side, milliseconds). Returns the reopened layout. */
+    * (driver-side, milliseconds). Returns the reopened layout.
+    *
+    * CRASH SAFETY: data partitions, centroid table and routing level
+    * cannot commit atomically, and for the residual codec a
+    * codes/centroids mismatch is silently wrong DISTANCES — so the
+    * whole multi-artifact commit is bracketed by an in-progress marker:
+    * a crash anywhere inside leaves the marker, [[open]] refuses the
+    * store, [[repair]] restores the codes ≡ centroids ≡ rows invariant
+    * from rows on disk, and re-applying the batch restores content. */
   def upsert(spark: SparkSession, path: String, added: DataFrame,
              deletedIds: DataFrame): Layout = {
     import spark.implicits._
@@ -448,71 +477,119 @@ object IndexLayout {
       val nc = storedHalf.map(f => graft.functions.HalfVecs
         .markHalf(nc1, f, "vec")).getOrElse(nc1)
       val touchedRows = nc.filter(col("cluster_id").isin(touched: _*))
-      // refreshed centroids FIRST — the residual codec quantizes against
-      // them; value arithmetic widens byte/half marks like the build
-      val touchedW = graft.functions.HalfVecs.widenedForMath(
-        graft.functions.ByteVecs.widenedForMath(touchedRows, "vec"), "vec")
-      val touchedSet = touched.toSet
-      val newCents = touchedW
-        .select(col("cluster_id"), posexplode(col("vec")))
-        .groupBy("cluster_id", "pos").agg(round(avg("col"), 6).as("m"))
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
-        .groupBy(_._1)
-        .map { case (cid, xs) =>
-          cid -> (xs.sortBy(_._2).map(_._3).toIndexedSeq: Seq[Double]) }
-      val kept = layout.centroids.filterNot(c => touchedSet.contains(c._1))
-      val mergedCents = (kept ++ newCents).sortBy(_._1)
-      // re-encode the touched rows with the SAME codec attachment the
-      // initial write used, against the refreshed centroid table;
-      // materialize BEFORE overwriting (the plan reads the very
-      // partitions the write replaces — the GraphLayout.upsert lesson)
-      val coded = withCodecColumns(touchedRows, mergedCents, layout.codec)
-        .localCheckpoint(true)
-      coded.repartition(col("cluster_id")).write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cluster_id").parquet(s"$path/data")
-      // a shard emptied by deletes writes zero rows and dynamic
-      // overwrite cannot delete a partition it never writes — drop dirs
-      val liveCids = coded.select(col("cluster_id")).distinct()
-        .as[Long].collect().toSet
-      val fs = new org.apache.hadoop.fs.Path(path)
+      // the in-progress marker brackets the multi-artifact commit (data
+      // partitions + centroids + routing cannot commit atomically): a
+      // crash anywhere inside leaves the marker behind, open() refuses
+      // to serve the possibly code/centroid-inconsistent store, and
+      // repair() restores the invariant from the marker's touched list
+      writeSidecar(spark, markerPath(path),
+        s"""{"touched":[${touched.mkString(",")}]}""")
+      rewriteTouched(spark, path, layout, touchedRows, touched)
+      val mfs = new org.apache.hadoop.fs.Path(markerPath(path))
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      touched.filterNot(liveCids).foreach { cid =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$path/data/cluster_id=$cid"), true)
-      }
-      // emptied shards also lose their centroid (newCents has no entry)
-      mergedCents.toDF("id", "vec")
-        .write.mode("overwrite").parquet(s"$path/centroids.tmp")
-      // two-step swap with open()-side crash recovery, the
-      // GraphLayout.upsert recipe
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true)
-      require(fs.rename(
-        new org.apache.hadoop.fs.Path(s"$path/centroids.tmp"),
-        new org.apache.hadoop.fs.Path(s"$path/centroids")),
-        s"failed to swap $path/centroids.tmp into place")
-      // refreshed centroids make a persisted routing level stale —
-      // retrain it at the recorded group count for the recorded metric
-      val rg = routingGroupsOf(spark, path)
-      if (rg > 0) {
-        val newCentTable = spark.read.parquet(s"$path/centroids")
-          .select("id", "vec").collect()
-          .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
-          .toIndexedSeq.sortBy(_._1)
-        val rm = layout.routingMetricName match {
-          case Some(name) => Metric.byName(name).getOrElse(sys.error(
-            s"layout routing_metric '$name' is not a routable metric"))
-          case None => Metric.L2
-        }
-        val (l1, groupOf) = Vamana.trainRoutingLevel(newCentTable, rg,
-          metric = rm)
-        l1.toDF("id", "vec").write.mode("overwrite")
-          .parquet(s"$path/routing_l1")
-        groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
-          .parquet(s"$path/routing_groups")
-      }
+      mfs.delete(new org.apache.hadoop.fs.Path(markerPath(path)), false)
     }
     open(spark, path)
+  }
+
+  /** Restore a store whose upsert crashed mid-commit (open() refuses it
+    * by the in-progress marker): re-derive the marker's touched shards
+    * FROM THE ROWS CURRENTLY ON DISK — refreshed rounded-mean centroids,
+    * codec columns re-encoded against them, centroid table swapped,
+    * routing retrained — so codes ≡ centroids ≡ rows again regardless of
+    * which partition writes committed before the crash. This restores
+    * the INVARIANT; re-applying the interrupted upsert batch afterwards
+    * restores the CONTENT (replace-on-add makes the replay converge).
+    * Idempotent; a store without a marker is returned unchanged. */
+  def repair(spark: SparkSession, path: String): Layout = {
+    import org.apache.spark.sql.functions._
+    val mp = new org.apache.hadoop.fs.Path(markerPath(path))
+    val mfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!mfs.exists(mp)) return open(spark, path)
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val touched = (org.json4s.jackson.JsonMethods.parse(
+      readSidecar(spark, markerPath(path))) \ "touched")
+      .extract[Seq[Long]].sorted
+    val layout = openUnchecked(spark, path)
+    val touchedRows = layout.clustered
+      .select(col("id").cast("long").as("id"), col("vec"),
+        col("cluster_id").cast("long").as("cluster_id"))
+      .filter(col("cluster_id").isin(touched: _*))
+    rewriteTouched(spark, path, layout, touchedRows, touched)
+    mfs.delete(mp, false)
+    open(spark, path)
+  }
+
+  /** The shared multi-artifact commit of [[upsert]] and [[repair]]:
+    * refreshed centroids FIRST (the residual codec quantizes against
+    * them), touched `cluster_id=` data partitions rewritten with codec
+    * columns re-encoded through [[withCodecColumns]], emptied shard dirs
+    * dropped, centroid table swapped (two-step with open()-side
+    * recovery), persisted routing retrained. Callers bracket this with
+    * the in-progress marker. */
+  private def rewriteTouched(spark: SparkSession, path: String,
+                             layout: Layout, touchedRows: DataFrame,
+                             touched: Seq[Long]): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // value arithmetic widens byte/half marks like the build; the fold is
+    // the ONE shared rounded-mean definition (KMeans.roundedMeans)
+    val touchedW = graft.functions.HalfVecs.widenedForMath(
+      graft.functions.ByteVecs.widenedForMath(touchedRows, "vec"), "vec")
+    val touchedSet = touched.toSet
+    val newCents = KMeans.roundedMeans(touchedW)
+    val kept = layout.centroids.filterNot(c => touchedSet.contains(c._1))
+    val mergedCents = (kept ++ newCents).sortBy(_._1)
+    // re-encode the touched rows with the SAME codec attachment the
+    // initial write used, against the refreshed centroid table;
+    // materialize BEFORE overwriting (the plan reads the very
+    // partitions the write replaces — the GraphLayout.upsert lesson)
+    val coded = withCodecColumns(touchedRows, mergedCents, layout.codec)
+      .localCheckpoint(true)
+    coded.repartition(col("cluster_id")).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cluster_id").parquet(s"$path/data")
+    // a shard emptied by deletes writes zero rows and dynamic
+    // overwrite cannot delete a partition it never writes — drop dirs
+    val liveCids = coded.select(col("cluster_id")).distinct()
+      .as[Long].collect().toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(liveCids).foreach { cid =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/data/cluster_id=$cid"), true)
+    }
+    // emptied shards also lose their centroid (newCents has no entry)
+    mergedCents.toDF("id", "vec")
+      .write.mode("overwrite").parquet(s"$path/centroids.tmp")
+    // two-step swap with open()-side crash recovery, the
+    // GraphLayout.upsert recipe
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true)
+    require(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$path/centroids.tmp"),
+      new org.apache.hadoop.fs.Path(s"$path/centroids")),
+      s"failed to swap $path/centroids.tmp into place")
+    // refreshed centroids make a persisted routing level stale —
+    // retrain it at the recorded group count for the recorded metric
+    val rg = routingGroupsOf(spark, path)
+    if (rg > 0) {
+      val newCentTable = spark.read.parquet(s"$path/centroids")
+        .select("id", "vec").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+        .toIndexedSeq.sortBy(_._1)
+      val rm = layout.routingMetricName match {
+        case Some(name) => Metric.byName(name).getOrElse(sys.error(
+          s"layout routing_metric '$name' is not a routable metric"))
+        case None => Metric.L2
+      }
+      val (l1, groupOf) = Vamana.trainRoutingLevel(newCentTable, rg,
+        metric = rm)
+      l1.toDF("id", "vec").write.mode("overwrite")
+        .parquet(s"$path/routing_l1")
+      groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
+        .parquet(s"$path/routing_groups")
+    }
   }
 
   /** The sidecar's recorded routing group count (0 = no routing). */

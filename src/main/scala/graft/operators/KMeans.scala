@@ -38,6 +38,25 @@ object KMeans {
   /** Argmin-centroid as a pure projection (codegen'd NearestCentroid
     * expression; strict `<` so ties break to the lowest cid). Scales to any
     * data size: the only data movement is the scan itself. */
+  /** Per-cluster 6-decimal-rounded elementwise means via the EXACT
+    * posexplode / round(avg, 6) fold the DuckDB oracles replay
+    * (`round(avg(v_i), 6)` per dimension) — ONE definition shared by the
+    * label-centroid builders and both store upserts' centroid refresh
+    * (GraphLayout.upsert, IndexLayout.upsert/repair), so the
+    * upsert ≡ from-scratch and Spark ≡ oracle equalities cannot drift on
+    * a rounding or fold change. Input must be VALUE-space (`vec`
+    * ARRAY<numeric>; byte/half-resident frames widen first). */
+  def roundedMeans(clustered: DataFrame): Seq[(Long, Seq[Double])] =
+    clustered
+      .select(col("cluster_id").cast("long").as("cluster_id"),
+        posexplode(col("vec")))
+      .groupBy("cluster_id", "pos").agg(round(avg("col"), 6).as("m"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (cid, xs) =>
+        cid -> (xs.sortBy(_._2).map(_._3).toIndexedSeq: Seq[Double]) }
+      .toIndexedSeq.sortBy(_._1)
+
   def assignColumn(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column = {
     val sorted = centroids.sortBy(_._1)
     org.apache.spark.sql.graftbridge.Bridge.column(

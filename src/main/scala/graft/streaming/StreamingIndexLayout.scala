@@ -43,6 +43,12 @@ object StreamingIndexLayout {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // skip empty triggers BEFORE any layout open: each upsert pays a
+        // sidecar read + centroid collect (+ routing collects), and a
+        // phantom batch would pay all of it for nothing — the
+        // StreamingServe.isKnownEmpty plan check costs zero jobs for
+        // statically-empty batches, one take(1) otherwise
+        if (!StreamingServe.isKnownEmpty(batch) && !batch.isEmpty) {
         val (adds, dels) = opCol match {
           case Some(c) =>
             // null-safe: a NULL op means "plain add" (CDC sources often
@@ -56,6 +62,7 @@ object StreamingIndexLayout {
         val layout = IndexLayout.open(spark, path)
         val routed = assign(adds.select("id", "vec"), layout.centroids)
         IndexLayout.upsert(spark, path, routed, dels)
+        }
         ()
       }
       .start()

@@ -115,6 +115,67 @@ class IndexLayoutSpec extends SparkSpec {
     assert(up2.clustered.filter(col("cluster_id") === 2L).count() === 0)
   }
 
+  test("crash safety: a marked store refuses open()/upsert; repair() " +
+      "re-derives the touched shards so codes ≡ centroids ≡ rows; the " +
+      "interrupted batch then replays to the from-scratch store") {
+    val (data, cents, clustered, p) = fixture()
+    val path = "/tmp/graft_indexlayout_spec_crash"
+    IndexLayout.write(clustered, cents, path, IndexLayout.PqResC(p))
+    val added = data.filter(col("id") % 53 === 2).orderBy("id").limit(6)
+      .select((col("id") + 500000L).as("id"), col("vec"),
+        lit(0L).as("cluster_id"))
+    val noDels = added.select("id").limit(0)
+    // simulate the crash window the marker exists for: marker present,
+    // shard 0's data partition ALREADY rewritten with residual codes
+    // quantized against a SHIFTED centroid, centroid table still old
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/upsert.inprogress"),
+      """{"touched":[0]}""".getBytes)
+    val rows0 = clustered.filter(col("cluster_id") === 0L)
+      .localCheckpoint(true)
+    val shifted = cents.map { case (cid, v) =>
+      if (cid == 0L) (cid, v.map(_ + 0.5)) else (cid, v) }
+    rows0.join(Pq.encodeResiduals(rows0, shifted, p),
+        Seq("cluster_id", "id"))
+      .repartition(col("cluster_id")).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cluster_id").parquet(s"$path/data")
+    // the store is now silently WRONG (codes reference a centroid the
+    // table does not hold) — open() and upsert() must refuse it
+    val e = intercept[RuntimeException] { IndexLayout.open(spark, path) }
+    assert(e.getMessage.contains("repair"))
+    intercept[RuntimeException] {
+      IndexLayout.upsert(spark, path, added, noDels)
+    }
+    // repair: shard 0 re-derived from rows on disk — centroid = the
+    // rounded mean of its CURRENT rows, codes re-encoded against it
+    val rep = IndexLayout.repair(spark, path)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/upsert.inprogress")))
+    val repairedCent = rep.centroids.find(_._1 == 0L).get
+    assert(repairedCent ===
+      KMeans.roundedMeans(rows0).find(_._1 == 0L).get)
+    val codeCols = (0 until M).map(j => col(s"c$j"))
+    val expect0 = rows0.join(
+        Pq.encodeResiduals(rows0, rep.centroids, p),
+        Seq("cluster_id", "id"))
+      .select(col("id") +: codeCols: _*).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    val stored0 = rep.clustered.filter(col("cluster_id") === 0L)
+      .select(col("id") +: codeCols: _*).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    assert(stored0 === expect0)
+    // content restoration: the interrupted batch replays to the same
+    // store a from-scratch write of the merged corpus produces
+    val up = IndexLayout.upsert(spark, path, added, noDels)
+    val merged = clustered.unionByName(added)
+    val path2 = "/tmp/graft_indexlayout_spec_crash_fresh"
+    IndexLayout.write(merged, up.centroids, path2, IndexLayout.PqResC(p))
+    assert(served(up) === served(IndexLayout.open(spark, path2)))
+    // repair without a marker is the identity
+    assert(IndexLayout.repair(spark, path).centroids === up.centroids)
+  }
+
   test("upsert batch hygiene: duplicate identical adds collapse, delete " +
       "wins over add, conflicting payloads fail loudly") {
     val (data, cents, clustered, p) = fixture()
