@@ -175,5 +175,65 @@ object KernelBench {
           f""""gather_share":${bestGather / bestPrune}%.3f}""")
       }
     }
+
+    // Binary (Hamming) store A/B: the v1 words-as-doubles DoubleStore vs
+    // the v2 full-density WordStore (round 14) on the SAME codes — the
+    // kernel-level attribution of the walk-state halving that the 10⁸
+    // run only shows blended into probed I/O. Rows are random bit
+    // patterns; the store exceeds L2 at every dims so the resident-bytes
+    // halving shows as memory traffic, not just instruction count.
+    // Queries arrive in the v1 word-double space for BOTH stores (the
+    // walk contract; WordStore recombines once per query, identity-
+    // cached — included in the measurement, as in serving).
+    {
+      import graft.operators.VamanaKernel
+      val rnd3 = new scala.util.Random(11)
+      for (d <- Seq(64, 256, 1024)) {
+        val words64 = (d + 63) / 64
+        val words32 = (d + 31) / 32
+        val nRows = math.max(1 << 14,
+          math.min(1 << 20, (1 << 25) / (words32 * 8)))
+        val rowsL = Array.fill(nRows)(Array.fill(words64)(rnd3.nextLong()))
+        val rowsD = rowsL.map { ws =>
+          val out = new Array[Double](words32)
+          var j = 0
+          while (j < words64) {
+            out(2 * j) = (ws(j) & 0xFFFFFFFFL).toDouble
+            if (2 * j + 1 < words32) out(2 * j + 1) = (ws(j) >>> 32).toDouble
+            j += 1
+          }
+          out
+        }
+        val q = rowsD(0).clone()
+        val dStore = new VamanaKernel.DoubleStore(rowsD)
+        val wStore = new VamanaKernel.WordStore(rowsL)
+        def benchStore(st: VamanaKernel.VecStore): Double = {
+          val hamReps = 10
+          var best = Double.MaxValue
+          var sink = 0.0
+          for (_ <- 0 until rounds) {
+            val t0 = System.nanoTime()
+            var rep = 0
+            while (rep < hamReps) {
+              var i = 0
+              while (i < nRows) {
+                sink += st.dist(Metric.Hamming, q, i); i += 1 }
+              rep += 1
+            }
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          }
+          if (sink == Double.MinPositiveValue) print("")
+          nRows.toDouble * hamReps / best
+        }
+        val v1 = benchStore(dStore)
+        val v2 = benchStore(wStore)
+        println(f"""{"experiment":"hamming_store_ab","dims":$d,""" +
+          f""""rows":$nRows,"v1_bytes_per_row":${words32 * 8},""" +
+          f""""v2_bytes_per_row":${words64 * 8},""" +
+          f""""v1_pairs_per_sec":${v1.toLong},""" +
+          f""""v2_pairs_per_sec":${v2.toLong},""" +
+          f""""speedup":${v2 / v1}%.3f}""")
+      }
+    }
   }
 }
