@@ -207,6 +207,24 @@ object StreamingServe {
       .withColumn("batch_id", col("batch_id").cast("long"))
   }
 
+  /** The decision log aggregated into the capacity-planning view it
+    * exists for: one row per dispatch mode with slice/batch counts and
+    * the probed-shard / probe-union-fraction spread — the numbers that
+    * size a serving deployment (how many shards a typical batch touches,
+    * whether Auto ever flipped, how close fractions run to a
+    * `localMaxFraction` dial). Exact percentile (the log is
+    * driver-small: one row per (batch, slice)); total like
+    * [[decisions]] — an unwritten log aggregates to zero rows. */
+  def decisionStats(spark: SparkSession, logPath: String): DataFrame =
+    decisions(spark, logPath).groupBy("mode").agg(
+      count(lit(1)).as("slices"),
+      countDistinct("batch_id").as("batches"),
+      min("probed_shards").as("min_probed"),
+      expr("percentile(probed_shards, 0.5)").as("median_probed"),
+      max("probed_shards").as("max_probed"),
+      round(avg("fraction"), 6).as("avg_fraction"),
+      max("fraction").as("max_fraction"))
+
   /** Sink retention: delete every `batch_id=` partition except the
     * NEWEST `retainBatches` (by batch id), bounding a long-lived
     * stream's partition count. Returns the expired batch ids.

@@ -224,6 +224,46 @@ class IndexLayoutSpec extends SparkSpec {
     assert(routed.nonEmpty)
   }
 
+  test("property: randomized add/delete batches ≡ a from-scratch store " +
+      "of the merged corpus across seeds (IVFADC codes bit-identical); " +
+      "delete-wins holds when a batch adds and deletes the same id") {
+    val (data, cents, clustered, p) = fixture()
+    val codeCols = (0 until M).map(j => col(s"c$j"))
+    for (seed <- Seq(3, 11, 29)) {
+      val path = s"/tmp/graft_indexlayout_spec_prop_$seed"
+      IndexLayout.write(clustered, cents, path, IndexLayout.PqResC(p))
+      // pseudo-random but deterministic batch: every (id % 41 == seed)
+      // row re-added under a new id into a seed-scrambled cluster;
+      // every (id % 37 == seed) id deleted; plus ONE id both added and
+      // deleted in the same batch (delete must win)
+      val added0 = data.filter(col("id") % 41 === seed.toLong)
+        .select((col("id") + 600000L + seed * 10000L).as("id"), col("vec"),
+          ((col("id") * 7 + seed) % cents.size).cast("long")
+            .as("cluster_id"))
+      val clash = added0.orderBy("id").limit(1)
+      val deleted = clustered.filter(col("id") % 37 === seed.toLong)
+        .select("id").unionByName(clash.select("id"))
+      val up = IndexLayout.upsert(spark, path, added0, deleted)
+      // the clashing id must be absent (delete wins over add)
+      val clashId = clash.select("id").as[Long].collect().head
+      assert(up.clustered.filter(col("id") === clashId).count() === 0,
+        s"seed $seed: delete-wins violated")
+      val merged = clustered
+        .join(deleted, Seq("id"), "left_anti")
+        .unionByName(added0.join(deleted, Seq("id"), "left_anti"))
+      val path2 = s"/tmp/graft_indexlayout_spec_prop_fresh_$seed"
+      IndexLayout.write(merged, up.centroids, path2,
+        IndexLayout.PqResC(p))
+      val fresh = IndexLayout.open(spark, path2)
+      assert(served(up) === served(fresh), s"seed $seed: served rows")
+      assert(served(up).nonEmpty, s"seed $seed")
+      def codes(l: IndexLayout.Layout) = l.clustered
+        .select(col("id") +: codeCols: _*).orderBy("id")
+        .collect().map(_.toSeq).toSeq
+      assert(codes(up) === codes(fresh), s"seed $seed: code columns")
+    }
+  }
+
   test("streaming twin: micro-batched upserts through " +
       "StreamingIndexLayout ≡ one batch upsert of the union; deletes " +
       "via opCol; replayed batch converges (replace-on-add)") {

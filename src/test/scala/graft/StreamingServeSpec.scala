@@ -201,6 +201,21 @@ class StreamingServeSpec extends SparkSpec {
     val modes = StreamingServe.decisions(spark, log)
       .filter(col("batch_id") === 0L).collect().map(_.getAs[String]("mode"))
     assert(modes.nonEmpty && modes.forall(_ == "cogroup"))
+    // the capacity-planning aggregate over the same log: totals line up
+    // with the raw rows, and an unwritten log aggregates to zero rows
+    val stats = StreamingServe.decisionStats(spark, log).collect()
+      .map(r => r.getAs[String]("mode") -> r).toMap
+    val raw = StreamingServe.decisions(spark, log).collect()
+    assert(stats.values.map(_.getAs[Long]("slices")).sum === raw.length)
+    stats.foreach { case (m, r) =>
+      val ofMode = raw.filter(_.getAs[String]("mode") == m)
+      assert(r.getAs[Long]("batches") ===
+        ofMode.map(_.getAs[Long]("batch_id")).distinct.length)
+      assert(r.getAs[Int]("max_probed") ===
+        ofMode.map(_.getAs[Int]("probed_shards")).max)
+    }
+    assert(StreamingServe.decisionStats(spark,
+      "/tmp/graft_streaming_serve_no_such_log").count() === 0L)
   }
 
   test("results() is TOTAL: an unwritten sink returns an empty frame " +
