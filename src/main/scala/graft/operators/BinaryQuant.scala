@@ -66,9 +66,9 @@ object BinaryQuant {
   }
 
   /** FULL-DENSITY (64 bits per BIGINT word) encode columns — the
-    * bincodes LAYOUT v2 on-disk form (reference posture: 1 bit/dim,
-    * include/svs/quantization/binary — a 64-d store is 8 B/row, half of
-    * v1's two half-full words and smaller than m=8 PQ above ~64 dims).
+    * bincodes LAYOUT v2 on-disk form: a true 1-bit-per-dimension packing
+    * (a 64-d store is 8 B/row, half of v1's two half-full words and
+    * smaller than m=8 PQ above ~64 dims).
     * Bit rule is identical to [[codeColumns]] per DIMENSION; only the
     * word grouping changes, so v2 word j is exactly
     * `v1(2j) | (v1(2j+1) << 32)` (missing odd half = 0) and every

@@ -146,7 +146,32 @@ object GraphLayout {
         s""""half_format":${halfF.map(f => s""""$f"""").getOrElse("null")}}""")
   }
 
+  /** Re-open a written layout. FAILS LOUDLY if an upsert's in-progress
+    * marker is present: the multi-dir commit (data → graph → codes →
+    * bincodes → centroids) cannot be atomic, and a crash between the
+    * data write and a codes/bincodes write leaves touched shards' codes
+    * describing DELETED rows — a `kReorder = 0` pure-ADC/Hamming serve
+    * walks codes ⋈ graph without ever touching `data`, so it can EMIT a
+    * deleted id (reranked serves drop it in the inner data join — that
+    * window is answer-grade only on the code-only paths). Run [[repair]]
+    * to restore the codes ≡ centroids ≡ data-rows invariant, then
+    * re-apply the upsert batch (replace-on-add converges). */
   def open(spark: SparkSession, path: String): Layout = {
+    val mp = new org.apache.hadoop.fs.Path(markerPath(path))
+    val mfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mfs.exists(mp))
+      sys.error(s"graph layout at $path has an in-progress upsert marker " +
+        s"($mp): an upsert crashed mid-flight and codes/bincodes/centroids " +
+        "may describe rows the data partitions no longer hold — run " +
+        "GraphLayout.repair(spark, path), then re-apply the upsert batch " +
+        "(replace-on-add converges)")
+    openUnchecked(spark, path)
+  }
+
+  private def markerPath(path: String): String = s"$path/upsert.inprogress"
+
+  /** [[open]] minus the marker guard — [[repair]]'s entry point. */
+  private def openUnchecked(spark: SparkSession, path: String): Layout = {
     // crash recovery for the centroid swap: if an upsert died between
     // delete and rename, finish the rename (centroids.tmp holds the
     // complete new table)
@@ -791,13 +816,24 @@ object GraphLayout {
     //  3. an id in both added and deletedIds is DELETED (delete wins, so
     //     a redelivered stale add can never resurrect a deleted row).
     val addedDistinct = added.distinct()
+    // only a handful of ids are reported — bound the collect BEFORE it
+    // reaches the driver (a pathological batch could conflict en masse)
     val conflicted = addedDistinct.groupBy("id").count()
       .filter(col("count") > 1).select(col("id").cast("long"))
-      .as[Long].collect()
+      .limit(6).as[Long].collect()
     require(conflicted.isEmpty,
       s"upsert: conflicting added payloads for ids " +
-        s"${conflicted.take(5).mkString(", ")}")
-    val addedFinal = addedDistinct.join(dels, Seq("id"), "left_anti")
+        s"${conflicted.take(5).mkString(", ")}" +
+        (if (conflicted.length > 5) ", …" else ""))
+    val addedFinal0 = addedDistinct.join(dels, Seq("id"), "left_anti")
+    // delete-only batches carry a placeholder vec type (a CDC micro-batch
+    // whose adds are empty) — substitute a schema-matched empty frame
+    // (the store's own schema, marks included) so the value-space checks
+    // and the merge union below cannot fail on zero added rows
+    val addedFinal =
+      if (addedFinal0.isEmpty)
+        stored.select("id", "vec", "cluster_id").limit(0)
+      else addedFinal0
     // byte stores: added rows must DECLARE the same signedness as the
     // store (an unmarked or mismatched byte add fails loudly — mixing
     // value spaces in one store is silent corruption), and the merged
@@ -842,6 +878,15 @@ object GraphLayout {
     val nc = storedHalf.map(f => graft.functions.HalfVecs
       .markHalf(nc1, f, "vec")).getOrElse(nc1)
     if (touched.nonEmpty) {
+      // the in-progress marker brackets the multi-artifact commit
+      // (data → graph → codes → bincodes → centroids cannot commit
+      // atomically): a crash anywhere inside leaves the marker behind,
+      // open() refuses to serve the store (a kReorder=0 code-only serve
+      // of a crashed upsert can emit deleted ids), and repair()
+      // restores the codes ≡ centroids ≡ data-rows invariant from the
+      // marker's touched list
+      writeSidecar(spark, markerPath(path),
+        s"""{"touched":[${touched.mkString(",")}]}""")
       // materialize the touched shards' new rows BEFORE overwriting: the
       // plans read the very partitions the writes replace, and the source
       // DataFrames' cached file listing would otherwise chase deleted
@@ -947,7 +992,164 @@ object GraphLayout {
         groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
           .parquet(s"$path/routing_groups")
       }
+      // commit complete — the invariant holds again, lift the marker
+      val mfs = new org.apache.hadoop.fs.Path(markerPath(path))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      mfs.delete(new org.apache.hadoop.fs.Path(markerPath(path)), false)
     }
+    open(spark, path)
+  }
+
+  /** Restore a graph store whose upsert crashed mid-commit (open()
+    * refuses it by the in-progress marker): re-derive the DERIVED
+    * artifacts of the marker's touched shards FROM THE DATA ROWS
+    * CURRENTLY ON DISK — PQ codes and sign-bit word codes re-encoded
+    * (both are centroid-INDEPENDENT, so this is cheaper than
+    * [[IndexLayout.repair]]'s: no coupled centroid/code ordering),
+    * touched centroids refreshed with the shared rounded-mean fold,
+    * centroid table swapped, persisted routing retrained — so no
+    * code-only serve (ADC or Hamming, any kReorder) can ever emit an id
+    * the data partitions no longer hold, whatever subset of the five
+    * writes committed.
+    *
+    * The GRAPH gets a parameter-free CONSISTENCY pass, not a rebuild (a
+    * rebuild needs the caller's BuildParams): touched shards' graph rows
+    * are pruned to live data ids, dangling neighbor edges dropped
+    * (original order kept), and a shard whose ENTRY node died gets the
+    * smallest live graph node as its entry — without this, a
+    * post-repair walk of that shard fails loudly on the dead entry.
+    * Connectivity QUALITY stays degraded until the batch replays
+    * (pruned edges are not re-linked; data rows the crashed upsert
+    * added are code-served but unreachable by walks — both
+    * recall-grade). This restores the INVARIANT — no code-only serve
+    * can emit an id the data partitions no longer hold, and every
+    * touched shard is servable; re-applying the interrupted upsert
+    * batch afterwards restores the CONTENT (replace-on-add re-routes,
+    * rebuilds the touched shards' graphs, and converges). Idempotent; a
+    * store without a marker is returned unchanged. */
+  def repair(spark: SparkSession, path: String): Layout = {
+    import spark.implicits._
+    val mp = new org.apache.hadoop.fs.Path(markerPath(path))
+    val mfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!mfs.exists(mp)) return open(spark, path)
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val touched = (org.json4s.jackson.JsonMethods.parse(
+      readSidecar(spark, markerPath(path))) \ "touched")
+      .extract[Seq[Long]].sorted
+    val layout = openUnchecked(spark, path)
+    val touchedRows = layout.clustered
+      .select(col("id").cast("long").as("id"), col("vec"),
+        col("cluster_id").cast("long").as("cluster_id"))
+      .filter(col("cluster_id").isin(touched: _*))
+      .localCheckpoint(true)
+    lazy val touchedW = widenedForMath(touchedRows)
+    // re-encode the DERIVED code artifacts from the rows on disk, in the
+    // store's own packing — exactly the encode write()/upsert() run
+    layout.pq.foreach { p =>
+      Pq.encodeClustered(touchedW, p).repartition(col("cluster_id"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster_id").parquet(s"$path/codes")
+    }
+    layout.bin.foreach { b =>
+      val wordCols =
+        if (layout.binVersion >= 2) BinaryQuant.codeColumns64(col("vec"), b)
+        else BinaryQuant.codeColumns(col("vec"), b)
+      touchedW.select(col("cluster_id") +: col("id") +:
+          wordCols.zipWithIndex.map {
+            case (c, w) => c.as(s"w$w") }: _*)
+        .repartition(col("cluster_id"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster_id").parquet(s"$path/bincodes")
+    }
+    // graph consistency pass (parameter-free — NOT a rebuild): keep only
+    // live nodes, prune dangling neighbor edges preserving their original
+    // order, and remap a DEAD entry to the smallest live graph node so
+    // the shard stays servable (a walk fails loudly on a dead entry)
+    val liveIds = touchedRows.select(col("cluster_id"), col("id"))
+    val gTouched = layout.graph
+      .select(col("id").cast("long").as("id"),
+        col("entry_id").cast("long").as("entry_id"), col("neighbors"),
+        col("cluster_id").cast("long").as("cluster_id"))
+      .filter(col("cluster_id").isin(touched: _*))
+    val gLive = gTouched.join(liveIds, Seq("cluster_id", "id"))
+    val entryOf = gLive.groupBy(col("cluster_id")).agg(
+      coalesce(max(when(col("id") === col("entry_id"), col("id"))),
+        min(col("id"))).as("live_entry"))
+    val gFixed = gLive
+      .select(col("cluster_id"), col("id"),
+        posexplode_outer(col("neighbors")).as(Seq("pos", "nbr")))
+      .join(liveIds.withColumnRenamed("id", "nbr")
+        .withColumn("nbr_live", lit(true)),
+        Seq("cluster_id", "nbr"), "left_outer")
+      .groupBy(col("cluster_id"), col("id"))
+      .agg(expr("transform(sort_array(collect_list(" +
+        "case when nbr_live then struct(pos, nbr) end)), s -> s.nbr)")
+        .as("neighbors"))
+      .join(entryOf, Seq("cluster_id"))
+      .select(col("id"), col("live_entry").as("entry_id"),
+        col("neighbors"), col("cluster_id"))
+      .localCheckpoint(true)
+    gFixed.repartition(col("cluster_id")).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cluster_id").parquet(s"$path/graph")
+    // shards whose data partitions are gone (emptied by the crashed
+    // upsert) must lose their code partitions and centroid entries too —
+    // dynamic overwrite cannot delete a partition it never writes. The
+    // graph deletion keys on the PRUNED graph's live shards instead: a
+    // data-live shard whose every graph node died (all pre-crash rows
+    // deleted, only crashed-batch adds remain) would otherwise keep its
+    // stale dead-node partition; dropping it leaves the shard walkless
+    // (zero candidates) until the replay rebuilds it — recall-grade.
+    val liveCids = touchedRows.select(col("cluster_id")).distinct()
+      .as[Long].collect().toSet
+    val gLiveCids = gFixed.select(col("cluster_id")).distinct()
+      .as[Long].collect().toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(liveCids).foreach { cid =>
+      Seq("codes", "bincodes").foreach { sub =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$path/$sub/cluster_id=$cid"), true)
+      }
+    }
+    touched.filterNot(gLiveCids).foreach { cid =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/graph/cluster_id=$cid"), true)
+    }
+    // refresh touched centroids from the rows on disk (the ONE shared
+    // rounded-mean fold) and swap with open()-side crash recovery
+    val touchedSet = touched.toSet
+    val newCents = KMeans.roundedMeans(touchedW)
+    val kept = layout.centroids.filterNot(c => touchedSet.contains(c._1))
+    (kept ++ newCents).sortBy(_._1).toDF("id", "vec")
+      .write.mode("overwrite").parquet(s"$path/centroids.tmp")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/centroids.tmp"),
+      new org.apache.hadoop.fs.Path(s"$path/centroids")),
+      s"failed to swap $path/centroids.tmp into place")
+    // refreshed centroids make a persisted routing level stale
+    val rg = routingGroupsOf(spark, path)
+    if (rg > 0) {
+      val newCentTable = spark.read.parquet(s"$path/centroids")
+        .select("id", "vec").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+        .toIndexedSeq.sortBy(_._1)
+      val rm = layout.routingMetricName match {
+        case Some(name) => Metric.byName(name).getOrElse(sys.error(
+          s"layout routing_metric '$name' is not a routable metric"))
+        case None => Metric.L2
+      }
+      val (l1, groupOf) = Vamana.trainRoutingLevel(newCentTable, rg,
+        metric = rm)
+      l1.toDF("id", "vec").write.mode("overwrite")
+        .parquet(s"$path/routing_l1")
+      groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
+        .parquet(s"$path/routing_groups")
+    }
+    mfs.delete(mp, false)
     open(spark, path)
   }
 

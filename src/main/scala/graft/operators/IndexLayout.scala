@@ -427,13 +427,26 @@ object IndexLayout {
       .select(col("id").cast("long").as("id"), col("vec"),
         col("cluster_id").cast("long").as("cluster_id"))
       .distinct()
+    // only a handful of ids are reported — bound the collect BEFORE it
+    // reaches the driver (a pathological batch could conflict en masse)
     val conflicted = addedDistinct.groupBy("id").count()
       .filter(col("count") > 1).select(col("id").cast("long"))
-      .as[Long].collect()
+      .limit(6).as[Long].collect()
     require(conflicted.isEmpty,
       s"upsert: conflicting added payloads for ids " +
-        s"${conflicted.take(5).mkString(", ")}")
-    val addedFinal = addedDistinct.join(dels, Seq("id"), "left_anti")
+        s"${conflicted.take(5).mkString(", ")}" +
+        (if (conflicted.length > 5) ", …" else ""))
+    val addedFinal0 = addedDistinct.join(dels, Seq("id"), "left_anti")
+    // a delete-only batch (e.g. a CDC delete-only micro-batch through
+    // StreamingIndexLayout) carries a PLACEHOLDER vec type — against a
+    // byte-/half-resident store the value-space contract below would
+    // fail loudly on zero added rows, and the merge union would fail on
+    // the placeholder's type. Substitute a schema-matched empty frame
+    // (the store's own schema, marks included) so deletes just apply.
+    val addedFinal =
+      if (addedFinal0.isEmpty)
+        stored.select("id", "vec", "cluster_id").limit(0)
+      else addedFinal0
     // byte/half stores: added rows must DECLARE the same value space as
     // the store — mixing spaces in one store is silent corruption
     val storedSig =

@@ -35,9 +35,6 @@ class VectorAvgAggregator(dims: Int)
   * centroid array stays inside whole-stage codegen, no shuffle at all. */
 object KMeans {
 
-  /** Argmin-centroid as a pure projection (codegen'd NearestCentroid
-    * expression; strict `<` so ties break to the lowest cid). Scales to any
-    * data size: the only data movement is the scan itself. */
   /** Per-cluster 6-decimal-rounded elementwise means via the EXACT
     * posexplode / round(avg, 6) fold the DuckDB oracles replay
     * (`round(avg(v_i), 6)` per dimension) — ONE definition shared by the
@@ -57,6 +54,9 @@ object KMeans {
         cid -> (xs.sortBy(_._2).map(_._3).toIndexedSeq: Seq[Double]) }
       .toIndexedSeq.sortBy(_._1)
 
+  /** Argmin-centroid as a pure projection (codegen'd NearestCentroid
+    * expression; strict `<` so ties break to the lowest cid). Scales to any
+    * data size: the only data movement is the scan itself. */
   def assignColumn(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column = {
     val sorted = centroids.sortBy(_._1)
     org.apache.spark.sql.graftbridge.Bridge.column(

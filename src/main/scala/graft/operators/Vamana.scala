@@ -990,12 +990,20 @@ object Vamana {
     * walk served straight off a persisted layout's
     * `bincodes/cluster_id=c` + `graph/cluster_id=c` dirs with ZERO
     * corpus shuffle — one task per probed shard reads word codes + graph
-    * files directly into the same walk kernel the cogroup path uses
-    * (words-as-doubles `DoubleStore`, `Metric.Hamming` — exactly the
-    * frame [[graft.operators.GraphLayout.searchHamming]] builds), so
-    * candidates are bit-identical and the only exchange is the
-    * |Q|·nProbes·k top-k partials. At 100 TB this is the smallest
-    * serving I/O shape of all: 8 bytes of walk state per row.
+    * files directly into a Hamming walk kernel. With
+    * `fullDensity = false` (bincodes layout v1) that is the
+    * words-as-doubles `DoubleStore` + `Metric.Hamming` — exactly the
+    * frame [[graft.operators.GraphLayout.searchHamming]] builds; with
+    * `fullDensity = true` (layout v2, the write default) rows stay raw
+    * 64-bit words in a [[VamanaKernel.WordStore]] (native xor/popcount,
+    * half the walk state) while QUERIES remain in the v1 word-double
+    * space — the store recombines them once per search, and the
+    * word-grouping identity (BinaryQuant.codeColumns64) makes every
+    * distance bit-identical across the two paths (GraphLayoutSpec pins
+    * v2 ≡ v1 serving). Candidates are bit-identical either way and the
+    * only exchange is the |Q|·nProbes·k top-k partials. At 100 TB this
+    * is the smallest serving I/O shape of all: 8 bytes of walk state
+    * per row at 64 dims.
     * `queries` must already be word-encoded (query_id, qvec of
     * word-doubles); `wordCents` are the word-encoded centroids the probe
     * routing scores — both exactly as the cogroup path prepares them. */

@@ -273,8 +273,8 @@ object VamanaKernel {
 
   /** FULL-DENSITY binary-codes store (bincodes layout v2): rows stay as
     * raw 64-bit words — 8 B/row of walk state at 64 dims, HALF of the
-    * words-as-doubles [[DoubleStore]] the v1 layout rides (reference
-    * posture: 1 bit/dim, include/svs/quantization/binary) — and every
+    * words-as-doubles [[DoubleStore]] the v1 layout rides (a true
+    * 1-bit-per-dimension density) — and every
     * distance is the native XOR/popcount fold. Hamming-only by
     * construction (fails loudly on any other metric: bit patterns are
     * not a vector space).

@@ -233,6 +233,151 @@ class GraphLayoutSpec extends SparkSpec {
     assert(servedUp === memUp)
   }
 
+  test("crash safety: a marked graph store refuses open()/upsert; " +
+      "repair() re-encodes codes+bincodes from the data rows on disk so " +
+      "a kReorder=0 code-only serve cannot emit deleted ids; the " +
+      "interrupted batch then replays to the uninterrupted store") {
+    import graft.operators.BinaryQuant
+    val (data, cents, clustered, graph, p) = fixture()
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    val params = BuildParams(maxDegree = 24, buildWindow = 48)
+    val b = BinaryQuant.train(data)
+    val path = "/tmp/graft_graphlayout_spec_crash"
+    val pathTwin = "/tmp/graft_graphlayout_spec_crash_twin"
+    GraphLayout.write(clustered, graph, cents, path, pq = Some(p),
+      bin = Some(b))
+    GraphLayout.write(clustered, graph, cents, pathTwin, pq = Some(p),
+      bin = Some(b))
+
+    // the interrupted batch: adds into shard 0, deletes from shard 1
+    val added = data.filter(col("id") % 47 === 3).orderBy("id").limit(6)
+      .select((col("id") + 300000L).as("id"), col("vec"),
+        lit(0L).as("cluster_id"))
+    val delIds = clustered.filter(col("cluster_id") === 1L)
+      .orderBy("id").limit(5).select("id")
+    val delSeq = delIds.orderBy("id").collect().map(_.getLong(0)).toSeq
+
+    // simulate THE answer-grade crash window: marker present, the DATA
+    // write committed (adds in, deletes gone), but codes/bincodes/graph/
+    // centroids never rewritten — touched shards' code partitions still
+    // describe the deleted rows, so a kReorder=0 pure-ADC/Hamming serve
+    // (which never joins data) could emit a deleted id
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/upsert.inprogress"),
+      """{"touched":[0,1]}""".getBytes)
+    val mergedTouched = clustered
+      .join(delIds, Seq("id"), "left_anti").unionByName(added)
+      .filter(col("cluster_id").isin(0L, 1L)).localCheckpoint(true)
+    mergedTouched.repartition(col("cluster_id")).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cluster_id").parquet(s"$path/data")
+    // the hazard is real on disk: stale code partitions list deleted ids
+    assert(spark.read.parquet(s"$path/bincodes")
+      .filter(col("id").isin(delSeq: _*)).count() > 0)
+    assert(spark.read.parquet(s"$path/codes")
+      .filter(col("id").isin(delSeq: _*)).count() > 0)
+
+    // a marked store refuses to open or upsert
+    val e = intercept[RuntimeException] { GraphLayout.open(spark, path) }
+    assert(e.getMessage.contains("repair"))
+    intercept[RuntimeException] {
+      GraphLayout.upsert(spark, path, added, delIds, params, Metric.L2)
+    }
+
+    // repair: codes/bincodes/centroids of the marker's shards re-derived
+    // from the data rows on disk, bit-exactly
+    val rep = GraphLayout.repair(spark, path)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/upsert.inprogress")))
+    val touchedNow = rep.clustered.filter(col("cluster_id").isin(0L, 1L))
+    val wCols = (0 until b.words64).map(w => col(s"w$w"))
+    val expBin = touchedNow.select(col("id") +:
+        BinaryQuant.codeColumns64(col("vec"), b).zipWithIndex.map {
+          case (c, w) => c.as(s"w$w") }: _*)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val gotBin = rep.binCodes.get.filter(col("cluster_id").isin(0L, 1L))
+      .select(col("id") +: wCols: _*)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(gotBin === expBin)
+    val cCols = (0 until p.m).map(j => col(s"c$j"))
+    val expPq = Pq.encodeClustered(touchedNow, p)
+      .select(col("id") +: cCols: _*)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val gotPq = rep.codes.get.filter(col("cluster_id").isin(0L, 1L))
+      .select(col("id") +: cCols: _*)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(gotPq === expPq)
+    assert(rep.centroids.filter(c => c._1 == 0L || c._1 == 1L) ===
+      KMeans.roundedMeans(touchedNow))
+    // no deleted id survives in ANY code partition...
+    assert(spark.read.parquet(s"$path/bincodes")
+      .filter(col("id").isin(delSeq: _*)).count() === 0)
+    assert(spark.read.parquet(s"$path/codes")
+      .filter(col("id").isin(delSeq: _*)).count() === 0)
+    // ...so the kReorder=0 code-only serves cannot emit one
+    val hammed = GraphLayout.serveHamming(rep, queries, 10,
+        searchWindow = 1 << 14, nProbes = rep.centroids.size, kReorder = 0)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(hammed.intersect(delSeq.toSet).isEmpty)
+    val adced = GraphLayout.searchAdc(rep, queries, 10,
+        searchWindow = 1 << 14, nProbes = rep.centroids.size, kReorder = 0)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(adced.intersect(delSeq.toSet).isEmpty)
+
+    // content restoration: replaying the interrupted batch converges to
+    // the UNINTERRUPTED upsert of the same batch on a pristine twin
+    val up = GraphLayout.upsert(spark, path, added, delIds, params,
+      Metric.L2)
+    val twin = GraphLayout.upsert(spark, pathTwin, added, delIds, params,
+      Metric.L2)
+    assert(up.centroids === twin.centroids)
+    def servedAll(l: GraphLayout.Layout) = Seq(
+      GraphLayout.search(l, queries, 10, 1 << 14, l.centroids.size,
+        Metric.L2),
+      GraphLayout.searchAdc(l, queries, 10, 1 << 14, l.centroids.size,
+        kReorder = 4),
+      GraphLayout.serveHamming(l, queries, 10, 1 << 14, l.centroids.size,
+        kReorder = 4))
+      .map(_.orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq)
+    assert(servedAll(up) === servedAll(twin))
+    // repair without a marker is the identity
+    assert(GraphLayout.repair(spark, path).centroids === up.centroids)
+  }
+
+  test("delete-only upsert batches apply against a byte-resident store " +
+      "even when the adds frame carries a placeholder ARRAY<DOUBLE> vec " +
+      "(the CDC delete-only micro-batch shape)") {
+    import graft.functions.ByteVecs
+    val (data, _, _, _, _) = fixture()
+    val params = BuildParams(maxDegree = 24, buildWindow = 48)
+    val bytes = ByteVecs.markUnsigned(data.select(col("id"),
+      ByteVecs.quantizeUnsigned(col("vec"), 64.0).as("vec")))
+    // seed centroids in the BYTE VALUE SPACE (widened u8) — raw-double
+    // seeds would collapse the assignment
+    val cents = ByteVecs.widenedForMath(bytes, "vec")
+      .filter(col("id") < 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+      .toIndexedSeq
+    val clustered = KMeans.assign(bytes, cents)
+    val graph = Vamana.buildSharded(clustered, params, Metric.L2)
+    val path = "/tmp/graft_graphlayout_spec_delonly_u8"
+    GraphLayout.write(clustered, graph, cents, path)
+    val dels = clustered.filter(col("cluster_id") === 1L)
+      .orderBy("id").limit(3).select("id")
+    val delSeq = dels.collect().map(_.getLong(0)).toSeq
+    assert(delSeq.size === 3, "fixture must have rows to delete")
+    // adds frame is EMPTY but typed (id, vec ARRAY<DOUBLE>) — exactly
+    // what a CDC stream hands upsert on a delete-only trigger; the byte
+    // store's value-space contract must not fire on zero added rows
+    val emptyAdds = data.select(col("id"), col("vec")).limit(0)
+    val up = GraphLayout.upsert(spark, path, emptyAdds, dels, params,
+      Metric.L2)
+    assert(up.clustered.filter(col("id").isin(delSeq: _*)).count() === 0)
+    assert(up.clustered.count() === clustered.count() - 3)
+    assert(ByteVecs.signednessOf(up.clustered.schema, "vec")
+      .contains(true))
+  }
+
   test("bincodes layout versions: v2 (default) halves the word columns " +
       "and serves ≡ an explicit v1 store on every path; pre-v2 sidecars " +
       "open as v1; unknown versions fail loudly; upsert keeps each " +

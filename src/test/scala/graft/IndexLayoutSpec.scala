@@ -115,6 +115,40 @@ class IndexLayoutSpec extends SparkSpec {
     assert(up2.clustered.filter(col("cluster_id") === 2L).count() === 0)
   }
 
+  test("delete-only upsert batches apply against a byte-resident store " +
+      "even when the adds frame carries a placeholder ARRAY<DOUBLE> vec " +
+      "(the CDC delete-only micro-batch shape)") {
+    import graft.functions.ByteVecs
+    val (data, _, _, _) = fixture()
+    val bytes = ByteVecs.markUnsigned(data.select(col("id"),
+      ByteVecs.quantizeUnsigned(col("vec"), 64.0).as("vec")))
+    // seed centroids in the BYTE VALUE SPACE (widened u8), like the
+    // double fixture seeds in its own space — raw-double seeds would
+    // collapse the assignment
+    val cents = ByteVecs.widenedForMath(bytes, "vec")
+      .filter(col("id") < 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+      .toIndexedSeq
+    val clustered = KMeans.assign(bytes, cents)
+    val path = "/tmp/graft_indexlayout_spec_delonly_u8"
+    IndexLayout.write(clustered, cents, path)
+    val dels = clustered.filter(col("cluster_id") === 1L)
+      .orderBy("id").limit(3).select("id")
+    val delSeq = dels.collect().map(_.getLong(0)).toSeq
+    assert(delSeq.size === 3, "fixture must have rows to delete")
+    // the adds side of a delete-only CDC batch: EMPTY, vec typed
+    // ARRAY<DOUBLE> — the store's byte value-space contract must not
+    // fire on zero added rows
+    val emptyAdds = data
+      .select(col("id"), col("vec"), lit(0L).as("cluster_id")).limit(0)
+    val up = IndexLayout.upsert(spark, path, emptyAdds, dels)
+    assert(up.clustered.filter(col("id").isin(delSeq: _*)).count() === 0)
+    assert(up.clustered.count() === clustered.count() - 3)
+    // the store stays byte-resident with its declared signedness
+    assert(ByteVecs.signednessOf(up.clustered.schema, "vec")
+      .contains(true))
+  }
+
   test("crash safety: a marked store refuses open()/upsert; repair() " +
       "re-derives the touched shards so codes ≡ centroids ≡ rows; the " +
       "interrupted batch then replays to the from-scratch store") {
