@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.core.Metric
 import graft.operators.{GraphLayout, KMeans, VamanaKernel}
 
@@ -26,31 +26,45 @@ object StreamingGraphIndex {
     * `path`. With `opCol`, rows whose op equals `"delete"` are removed and
     * every other row is upserted; without it, all rows are upserts.
     * Routing uses the CURRENT stored centroids each batch (so mass that
-    * moved in earlier batches routes against refreshed means). Returns
-    * the running query; callers own its lifecycle. */
+    * moved in earlier batches routes against refreshed means). `trigger`
+    * passes any Structured Streaming trigger through —
+    * `Trigger.AvailableNow()` is the catch-up recipe for a maintenance
+    * backlog (drain every queued upsert batch, then stop; replay-safe:
+    * replace-on-add converges and the crash marker brackets each
+    * batch's commit). Returns the running query; callers own its
+    * lifecycle. */
   def attach(stream: DataFrame, path: String, checkpoint: String,
              params: VamanaKernel.BuildParams, metric: Metric,
-             opCol: Option[String] = None): StreamingQuery =
-    stream.writeStream
+             opCol: Option[String] = None,
+             trigger: Option[Trigger] = None): StreamingQuery = {
+    val w0 = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
+    trigger.fold(w0)(w0.trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val (adds, dels) = opCol match {
-          case Some(c) =>
-            // null-safe: a NULL op means "plain add" (CDC sources often
-            // set op only for deletes) — a bare =!= would null out the
-            // predicate and silently drop the row from BOTH sides
-            (batch.filter(coalesce(col(c) =!= "delete", lit(true))).drop(c),
-              batch.filter(col(c) === "delete").select("id"))
-          case None =>
-            (batch, batch.select("id").limit(0))
+        // skip empty triggers BEFORE any layout open (each upsert pays a
+        // sidecar read + centroid collect) — the StreamingIndexLayout
+        // guard: zero jobs for statically-empty plans, one take(1) else
+        if (!StreamingServe.isKnownEmpty(batch) && !batch.isEmpty) {
+          val (adds, dels) = opCol match {
+            case Some(c) =>
+              // null-safe: a NULL op means "plain add" (CDC sources often
+              // set op only for deletes) — a bare =!= would null out the
+              // predicate and silently drop the row from BOTH sides
+              (batch.filter(coalesce(col(c) =!= "delete", lit(true)))
+                .drop(c),
+                batch.filter(col(c) === "delete").select("id"))
+            case None =>
+              (batch, batch.select("id").limit(0))
+          }
+          val layout = GraphLayout.open(spark, path)
+          val routed = KMeans.assign(adds.select("id", "vec"),
+            layout.centroids)
+          GraphLayout.upsert(spark, path, routed, dels, params, metric)
         }
-        val layout = GraphLayout.open(spark, path)
-        val routed = KMeans.assign(adds.select("id", "vec"),
-          layout.centroids)
-        GraphLayout.upsert(spark, path, routed, dels, params, metric)
         ()
       }
       .start()
+  }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.{IndexLayout, KMeans}
 
 /** Structured Streaming maintenance of a PERSISTED [[IndexLayout]] codec
@@ -32,15 +32,23 @@ object StreamingIndexLayout {
     * stored centroid (dynamic-IVF routing; mass moved by earlier batches
     * routes against refreshed means), and a pinned router (e.g. by a
     * label column rejoined outside) slots in for deterministically
-    * sharded corpora (q192). Returns the running query; callers own its
-    * lifecycle. */
+    * sharded corpora (q192). `trigger` passes any Structured Streaming
+    * trigger through — `Trigger.AvailableNow()` is the CATCH-UP recipe
+    * for a maintenance BACKLOG (drain every queued upsert batch in
+    * rate-limited micro-batches, then stop; replay-safe: upsert's
+    * replace-on-add converges and the crash marker brackets each
+    * batch's commit), exactly the posture the serve-side twin
+    * ([[StreamingServe.attach]]) certifies for query backlogs. Returns
+    * the running query; callers own its lifecycle. */
   def attach(stream: DataFrame, path: String, checkpoint: String,
              opCol: Option[String] = None,
              assign: (DataFrame, Seq[(Long, Seq[Double])]) => DataFrame =
-               KMeans.assign(_, _)): StreamingQuery =
-    stream.writeStream
+               KMeans.assign(_, _),
+             trigger: Option[Trigger] = None): StreamingQuery = {
+    val w0 = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
+    trigger.fold(w0)(w0.trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         // skip empty triggers BEFORE any layout open: each upsert pays a
@@ -66,4 +74,5 @@ object StreamingIndexLayout {
         ()
       }
       .start()
+  }
 }

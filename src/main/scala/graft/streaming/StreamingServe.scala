@@ -65,12 +65,18 @@ object StreamingServe {
     StructField("neighbor_id", LongType),
     StructField("dist", DoubleType)))
 
-  /** Decision-log row shape ([[decisions]] on an unwritten log). */
+  /** Decision-log row shape ([[decisions]] on an unwritten log).
+    * `serve_ms` is the BATCH's measured serve wall (probe + serve +
+    * sink write, driver clock) — every slice row of one batch carries
+    * the same value because the batch's slices execute inside one sink
+    * write; it is a MEASUREMENT, not content, so a replayed batch
+    * rewrites it with the replay's own wall. */
   val decisionSchema: StructType = StructType(Seq(
     StructField("slice", IntegerType),
     StructField("mode", org.apache.spark.sql.types.StringType),
     StructField("fraction", DoubleType),
     StructField("probed_shards", IntegerType),
+    StructField("serve_ms", DoubleType),
     StructField("batch_id", LongType)))
 
   /** Attach a query stream to ANY per-batch serving function — the
@@ -104,13 +110,20 @@ object StreamingServe {
             else if (batch.isEmpty) Seq.empty[DataFrame]
             else Seq(batch)
           if (parts.nonEmpty) {
+            // the batch's serve wall spans probe-once routing (eager in
+            // serveSlice), the serve plans, and the sink write that
+            // executes them — the latency leg of the capacity-planning
+            // view (decisionStats joins it to the dispatch shape)
+            val t0 = System.nanoTime()
             val served = parts.map(serveSlice)
             writeBatch(served.map(_._1).reduce(_ union _), batchId, outPath)
+            val serveMs = (System.nanoTime() - t0) / 1e6
             decisionLog.foreach { lp =>
               val rows = served.zipWithIndex.collect {
                 case ((_, Some((m, f, ps))), i) => (i, m, f, ps) }
               if (rows.nonEmpty)
-                writeDecisions(lp, batchId, rows, batch.sparkSession)
+                writeDecisions(lp, batchId, rows, serveMs,
+                  batch.sparkSession)
             }
           }
         }
@@ -169,9 +182,11 @@ object StreamingServe {
     * alongside its results. */
   private def writeDecisions(logPath: String, batchId: Long,
                              rows: Seq[(Int, String, Double, Int)],
+                             serveMs: Double,
                              spark: SparkSession): Unit = {
     import spark.implicits._
     rows.toDF("slice", "mode", "fraction", "probed_shards")
+      .withColumn("serve_ms", lit(serveMs))
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -201,22 +216,40 @@ object StreamingServe {
     if (!fs.exists(p))
       spark.createDataFrame(spark.sparkContext
         .emptyRDD[org.apache.spark.sql.Row], decisionSchema)
-    // partition-column inference types small batch ids as INT — pin the
-    // declared long so consumers see one schema regardless of id range
-    else spark.read.parquet(logPath)
-      .withColumn("batch_id", col("batch_id").cast("long"))
+    else {
+      // partition-column inference types small batch ids as INT — pin
+      // the declared long so consumers see one schema regardless of id
+      // range; logs written before the latency leg existed read with a
+      // NULL serve_ms (percentiles skip nulls)
+      val d0 = spark.read.parquet(logPath)
+        .withColumn("batch_id", col("batch_id").cast("long"))
+      if (d0.columns.contains("serve_ms")) d0
+      else d0.withColumn("serve_ms", lit(null).cast("double"))
+        .select("slice", "mode", "fraction", "probed_shards",
+          "serve_ms", "batch_id")
+    }
   }
 
   /** The decision log aggregated into the capacity-planning view it
-    * exists for: one row per dispatch mode with slice/batch counts and
-    * the probed-shard / probe-union-fraction spread — the numbers that
-    * size a serving deployment (how many shards a typical batch touches,
-    * whether Auto ever flipped, how close fractions run to a
-    * `localMaxFraction` dial). Exact percentile (the log is
+    * exists for: one row per dispatch mode with slice/batch counts, the
+    * probed-shard / probe-union-fraction spread, AND the per-batch
+    * serve-latency spread (p50/p90/max of `serve_ms`) — dispatch shape
+    * and latency in ONE view, so a probes/rate dial choice reads
+    * directly off "local batches at fraction ≲ f run p90 X ms". The
+    * latency fold dedupes to one wall per (batch, mode) first (a
+    * batch's slice rows share its wall — counting them per slice would
+    * weight bursty batches). Exact percentiles (the log is
     * driver-small: one row per (batch, slice)); total like
-    * [[decisions]] — an unwritten log aggregates to zero rows. */
-  def decisionStats(spark: SparkSession, logPath: String): DataFrame =
-    decisions(spark, logPath).groupBy("mode").agg(
+    * [[decisions]] — an unwritten log aggregates to zero rows, and
+    * pre-latency logs aggregate with NULL latency columns. */
+  def decisionStats(spark: SparkSession, logPath: String): DataFrame = {
+    val d = decisions(spark, logPath)
+    val latency = d.select("mode", "batch_id", "serve_ms").distinct()
+      .groupBy("mode").agg(
+        expr("percentile(serve_ms, 0.5)").as("p50_serve_ms"),
+        expr("percentile(serve_ms, 0.9)").as("p90_serve_ms"),
+        max("serve_ms").as("max_serve_ms"))
+    d.groupBy("mode").agg(
       count(lit(1)).as("slices"),
       countDistinct("batch_id").as("batches"),
       min("probed_shards").as("min_probed"),
@@ -224,6 +257,8 @@ object StreamingServe {
       max("probed_shards").as("max_probed"),
       round(avg("fraction"), 6).as("avg_fraction"),
       max("fraction").as("max_fraction"))
+      .join(latency, Seq("mode"), "left_outer")
+  }
 
   /** Sink retention: delete every `batch_id=` partition except the
     * NEWEST `retainBatches` (by batch id), bounding a long-lived

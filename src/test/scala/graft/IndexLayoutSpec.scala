@@ -357,4 +357,64 @@ class IndexLayoutSpec extends SparkSpec {
     assert(streamed.clustered
       .join(delRows.map(_._1).toDF("id"), Seq("id")).count() === 0)
   }
+
+  test("Trigger.AvailableNow catch-up on the MAINTENANCE twin: a queued " +
+      "upsert backlog drains to termination and the store ≡ live " +
+      "application of the same rows (pinned router — routing policy is " +
+      "the batch-boundary-independent dial)") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (data, cents, clustered, p) = fixture()
+    val path = "/tmp/graft_indexlayout_spec_catchup"
+    val pathLive = "/tmp/graft_indexlayout_spec_catchup_live"
+    IndexLayout.write(clustered, cents, path, IndexLayout.PqResC(p))
+    IndexLayout.write(clustered, cents, pathLive, IndexLayout.PqResC(p))
+    val addRows = data.filter(col("id") % 41 === 3).orderBy("id").limit(12)
+      .collect().map(r => (r.getLong(0) + 600000L,
+        r.getSeq[Double](1), null.asInstanceOf[String])).toSeq
+    val delRows = clustered.filter(col("cluster_id") === 1L).orderBy("id")
+      .limit(3).collect().map(r => (r.getLong(0), Seq.empty[Double],
+        "delete")).toSeq
+    // a PINNED router (the q192 routing-policy dial): deterministic by
+    // id, so shard membership cannot depend on how the backlog gets
+    // sliced into micro-batches — nearest-centroid routing is
+    // boundary-dependent BY DESIGN (each batch routes against refreshed
+    // means), which is a policy choice, not a replay hazard
+    val pinned: (org.apache.spark.sql.DataFrame,
+      Seq[(Long, Seq[Double])]) => org.apache.spark.sql.DataFrame =
+      (df, _) => df.withColumn("cluster_id",
+        pmod(col("id"), lit(4)).cast("long"))
+    // queue the WHOLE backlog first, then attach — the catch-up shape
+    val mem = MemoryStream[(Long, Seq[Double], String)]
+    addRows.grouped(4).foreach(mem.addData(_))
+    mem.addData(delRows)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ivf-catchup").toString
+    val q = StreamingIndexLayout.attach(
+      mem.toDF().toDF("id", "vec", "op"), path, ckpt, opCol = Some("op"),
+      assign = pinned,
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    q.awaitTermination(180000L)
+    assert(!q.isActive, "AvailableNow must terminate once drained")
+    val caught = IndexLayout.open(spark, path)
+    // live twin: same rows, live micro-batches, same pinned router
+    val mem2 = MemoryStream[(Long, Seq[Double], String)]
+    val ckpt2 = java.nio.file.Files
+      .createTempDirectory("graft-ivf-catchup-live").toString
+    val q2 = StreamingIndexLayout.attach(
+      mem2.toDF().toDF("id", "vec", "op"), pathLive, ckpt2,
+      opCol = Some("op"), assign = pinned)
+    try {
+      addRows.grouped(4).foreach { g =>
+        mem2.addData(g); q2.processAllAvailable() }
+      mem2.addData(delRows); q2.processAllAvailable()
+    } finally q2.stop()
+    val live = IndexLayout.open(spark, pathLive)
+    assert(served(caught) === served(live))
+    assert(served(caught).nonEmpty)
+    assert(caught.clustered.filter(col("id") >= 600000L).count() ===
+      addRows.length)
+    assert(caught.clustered
+      .join(delRows.map(_._1).toDF("id"), Seq("id")).count() === 0)
+    assert(caught.centroids === live.centroids)
+  }
 }

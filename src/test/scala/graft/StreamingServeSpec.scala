@@ -178,7 +178,8 @@ class StreamingServeSpec extends SparkSpec {
     val empty = StreamingServe.decisions(spark, log)
     assert(empty.count() === 0L)
     assert(empty.columns.toSet ===
-      Set("batch_id", "slice", "mode", "fraction", "probed_shards"))
+      Set("batch_id", "slice", "mode", "fraction", "probed_shards",
+        "serve_ms"))
     val res = streamed(queryRows, 2, out)(st =>
       StreamingServe.attachGraph(st, layout, out, ckpt(), K, W,
         nProbes = 2, Metric.L2, decisionLog = Some(log)))
@@ -192,6 +193,13 @@ class StreamingServeSpec extends SparkSpec {
     assert(d.forall(_.getAs[Int]("probed_shards") >= 1))
     assert(d.map(_.getAs[Long]("batch_id")).distinct.length === d.length,
       "one decision row per (batch, slice)")
+    // the latency leg: every batch carries a positive measured serve
+    // wall, shared across its slice rows (one sink write per batch)
+    assert(d.forall(_.getAs[Double]("serve_ms") > 0.0))
+    d.groupBy(_.getAs[Long]("batch_id")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Double]("serve_ms")).distinct.length === 1,
+        "slices of one batch must share the batch's serve wall")
+    }
     // forced mode is what the log records (override honored in provenance)
     val res2 = streamed(queryRows, 1, out)(st =>
       StreamingServe.attachGraph(st, layout, out, ckpt(), K, W,
@@ -213,9 +221,32 @@ class StreamingServeSpec extends SparkSpec {
         ofMode.map(_.getAs[Long]("batch_id")).distinct.length)
       assert(r.getAs[Int]("max_probed") ===
         ofMode.map(_.getAs[Int]("probed_shards")).max)
+      // latency ties to the raw rows: one wall per batch, the stats
+      // fold over the per-batch walls of this mode
+      val walls = ofMode.map(r2 => (r2.getAs[Long]("batch_id"),
+        r2.getAs[Double]("serve_ms"))).distinct.map(_._2)
+      assert(r.getAs[Double]("max_serve_ms") === walls.max)
+      assert(r.getAs[Double]("p90_serve_ms") >= walls.min &&
+        r.getAs[Double]("p90_serve_ms") <= walls.max)
+      assert(r.getAs[Double]("p50_serve_ms") <=
+        r.getAs[Double]("p90_serve_ms"))
     }
     assert(StreamingServe.decisionStats(spark,
       "/tmp/graft_streaming_serve_no_such_log").count() === 0L)
+    // totality for PRE-LATENCY logs: a log written without serve_ms
+    // reads with a NULL column and aggregates with NULL latency stats
+    val oldLog = "/tmp/graft_streaming_serve_decisions_oldlog"
+    cleanDir(oldLog)
+    Seq((0, "local", 0.5, 2)).toDF("slice", "mode", "fraction",
+        "probed_shards")
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(oldLog)
+    val old = StreamingServe.decisions(spark, oldLog)
+    assert(old.columns.contains("serve_ms"))
+    assert(old.collect().forall(_.isNullAt(old.columns.indexOf("serve_ms"))))
+    val oldStats = StreamingServe.decisionStats(spark, oldLog).collect()
+    assert(oldStats.length === 1 &&
+      oldStats.head.isNullAt(oldStats.head.fieldIndex("p90_serve_ms")))
   }
 
   test("results() is TOTAL: an unwritten sink returns an empty frame " +
