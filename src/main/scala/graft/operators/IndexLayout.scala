@@ -479,8 +479,11 @@ object IndexLayout {
     val removed = dels
       .unionByName(addedFinal.select(col("id")))
       .distinct()
+    // delete-LOCATE via the shared fast path: micro-batch-small id sets
+    // push as a scan predicate so parquet stats prune untouched files
+    // (file-open-bound at 2×10⁴ shards otherwise — SCALE.md r15)
     val touched = addedFinal.select(col("cluster_id"))
-      .union(stored.join(removed, Seq("id")).select(col("cluster_id")))
+      .union(Vamana.locateShards(stored, removed))
       .distinct().as[Long].collect().toSeq.sorted
     if (touched.nonEmpty) {
       val nc0 = stored.join(removed, Seq("id"), "left_anti")

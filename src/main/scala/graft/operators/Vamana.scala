@@ -1377,6 +1377,35 @@ object Vamana {
     (c, g)
   }
 
+  /** Locate fast-path bound: id sets at or below this push as a scan
+    * predicate; larger sets fall back to the join. */
+  private[graft] val LocateIsinMax = 10000
+
+  /** The shards holding any of `ids` — the upsert delete-LOCATE, shared
+    * by the graph and codec stores. Fast path: delete/replace batches
+    * are micro-batch-small by the maintenance contract, so pushing the
+    * id set as a SCAN PREDICATE lets parquet row-group min/max stats
+    * (and dictionary filters) prune untouched FILES from the locate
+    * entirely — the SCALE.md r15 measurement shows the join-based
+    * full-store id scan going file-open-bound at 2×10⁴ shards. Large
+    * In sets push down as a min/max RANGE, so range-sharded /
+    * time-ordered id layouts still prune to the touched files while
+    * hash-scattered layouts degrade to today's column scan — never
+    * worse than the join. Batches above [[LocateIsinMax]] fall back to
+    * the join (a multi-million-literal predicate would bloat the plan
+    * for no pruning win). Result: a (cluster_id) frame, not collected. */
+  private[graft] def locateShards(stored: DataFrame,
+                                  ids: DataFrame): DataFrame = {
+    import stored.sparkSession.implicits._
+    val bounded = ids.select(col("id").cast("long").as("id"))
+      .distinct().limit(LocateIsinMax + 1).as[Long].collect()
+    if (bounded.isEmpty) stored.select(col("cluster_id")).limit(0)
+    else if (bounded.length <= LocateIsinMax)
+      stored.filter(col("id").isin(bounded: _*)).select(col("cluster_id"))
+    else stored.join(ids.select(col("id")), Seq("id"))
+      .select(col("cluster_id"))
+  }
+
   /** [[updateShards]] + the touched-cluster set it derived — so callers
     * that need the set (partition-scoped store rewrites) don't recompute
     * the same join + collects over the store. */
@@ -1385,7 +1414,7 @@ object Vamana {
                           params: BuildParams, metric: Metric)
       : (DataFrame, DataFrame, Seq[Long]) = {
     val touched = added.select(col("cluster_id").cast("long"))
-      .union(clustered.join(deletedIds.select("id"), Seq("id"))
+      .union(locateShards(clustered, deletedIds)
         .select(col("cluster_id").cast("long")))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     val newClustered = clustered

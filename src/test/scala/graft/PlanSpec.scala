@@ -28,6 +28,37 @@ class PlanSpec extends SparkSpec {
     assert(probed.count() === expect)
   }
 
+  test("upsert delete-LOCATE fast path: micro-batch id sets push as a " +
+      "scan predicate (parquet file pruning), oversized sets fall back " +
+      "to the join, results identical either way") {
+    import spark.implicits._
+    val path = "/tmp/graft_test_plan_locate"
+    val cents = Tables.lineitemCentroids(spark, sfDir)
+    val clustered = IvfIndex.cluster(
+      Tables.lineitemVectorsDedup(spark, sfDir), cents)
+    IvfIndex.writeClustered(clustered, path)
+    val stored = IvfIndex.readClustered(spark, path)
+    def shards(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select(col("cluster_id").cast("long"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+    val joinLocate = (ids: org.apache.spark.sql.DataFrame) =>
+      stored.join(ids.select("id"), Seq("id")).select(col("cluster_id"))
+    // small batch: the id predicate reaches the parquet scan
+    val small = clustered.select("id").orderBy("id").limit(7)
+    val fast = Vamana.locateShards(stored, small)
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(id"),
+      plan.take(600))
+    assert(shards(fast) === shards(joinLocate(small)))
+    // empty batch: empty locate, no jobs against the store
+    assert(Vamana.locateShards(stored,
+      small.limit(0)).collect().isEmpty)
+    // oversized batch (> LocateIsinMax): join fallback, same rows
+    val big = spark.range(Vamana.LocateIsinMax + 5).select(col("id"))
+    val slow = Vamana.locateShards(stored, big)
+    assert(shards(slow) === shards(joinLocate(big)))
+  }
+
   test("reorder coarse pass scans the codes column only, never vec " +
       "(column pruning reaches the parquet scan)") {
     val path = "/tmp/graft_test_plan_codes"
