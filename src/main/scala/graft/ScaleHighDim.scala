@@ -110,15 +110,9 @@ object ScaleHighDim {
       .filter(col("id") >= n)
       .select(col("id").as("query_id"), col("vec").as("qvec")).cache()
     queries.count()
-    val cents = clustered
-      .filter(col("id") % 10 === 0)
-      .select(col("cluster_id"), posexplode(col("vec")))
-      .groupBy("cluster_id", "pos").agg(round(avg("col"), 6).as("m"))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
-      .groupBy(_._1)
-      .map { case (cid, xs) =>
-        cid -> (xs.sortBy(_._2).map(_._3).toIndexedSeq: Seq[Double]) }
-      .toIndexedSeq.sortBy(_._1)
+    // sampled per-shard means through the ONE shared rounded-mean fold
+    val cents = graft.operators.KMeans.roundedMeans(
+      clustered.filter(col("id") % 10 === 0))
     println(s"""{"experiment":"scale_hd_corpus","n":$n,"dims":$dims,""" +
       s""""shards":$nShards,"gen_write_sec":$tGen,""" +
       s""""data_bytes":${duBytes(srcPath)}}""")

@@ -69,6 +69,12 @@ object GraphLayout {
       s"unknown bincodes layout version $binVersion (supported: 1, 2)")
     val spark = clustered.sparkSession
     import spark.implicits._
+    // a full REBUILD onto this path supersedes any crashed upsert: every
+    // artifact is overwritten below, so a surviving stale marker would
+    // only make open() refuse a now-consistent store — clear it first
+    val mpW = new org.apache.hadoop.fs.Path(markerPath(path))
+    mpW.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(mpW, false)
     // byte stores persist their DECLARED signedness in the sidecar: the
     // schema mark alone can be stripped by external rewrites of the data
     // dir, and a u8 store served as i8 is silent corruption — open()
@@ -162,9 +168,11 @@ object GraphLayout {
     if (mfs.exists(mp))
       sys.error(s"graph layout at $path has an in-progress upsert marker " +
         s"($mp): an upsert crashed mid-flight and codes/bincodes/centroids " +
-        "may describe rows the data partitions no longer hold — run " +
-        "GraphLayout.repair(spark, path), then re-apply the upsert batch " +
-        "(replace-on-add converges)")
+        "may describe rows the data partitions no longer hold — AFTER " +
+        "confirming no upsert is currently running (stores have a " +
+        "single-writer contract; repair under a live writer interleaves " +
+        "two commits), run GraphLayout.repair(spark, path), then re-apply " +
+        "the upsert batch (replace-on-add converges)")
     openUnchecked(spark, path)
   }
 
@@ -815,25 +823,29 @@ object GraphLayout {
     //     fail loudly rather than pick one;
     //  3. an id in both added and deletedIds is DELETED (delete wins, so
     //     a redelivered stale add can never resurrect a deleted row).
-    val addedDistinct = added.distinct()
-    // only a handful of ids are reported — bound the collect BEFORE it
-    // reaches the driver (a pathological batch could conflict en masse)
-    val conflicted = addedDistinct.groupBy("id").count()
-      .filter(col("count") > 1).select(col("id").cast("long"))
-      .limit(6).as[Long].collect()
-    require(conflicted.isEmpty,
-      s"upsert: conflicting added payloads for ids " +
-        s"${conflicted.take(5).mkString(", ")}" +
-        (if (conflicted.length > 5) ", …" else ""))
-    val addedFinal0 = addedDistinct.join(dels, Seq("id"), "left_anti")
-    // delete-only batches carry a placeholder vec type (a CDC micro-batch
-    // whose adds are empty) — substitute a schema-matched empty frame
-    // (the store's own schema, marks included) so the value-space checks
-    // and the merge union below cannot fail on zero added rows
+    // delete-only batches (CDC) carry a placeholder vec type on an
+    // EMPTY adds frame — probe the RAW frame once (the cheapest plan,
+    // and it short-circuits the distinct + conflict jobs too) and
+    // substitute a schema-matched empty frame (the store's own schema,
+    // marks included) so the value-space checks and the merge union
+    // cannot fail on zero added rows. A batch whose adds are all
+    // deleted in-batch flows the normal path: its frame carried real
+    // payloads, so it is correctly typed and the checks apply.
     val addedFinal =
-      if (addedFinal0.isEmpty)
-        stored.select("id", "vec", "cluster_id").limit(0)
-      else addedFinal0
+      if (added.isEmpty) stored.select("id", "vec", "cluster_id").limit(0)
+      else {
+        val addedDistinct = added.distinct()
+        // only a handful of ids are reported — bound the collect BEFORE
+        // it reaches the driver (a batch could conflict en masse)
+        val conflicted = addedDistinct.groupBy("id").count()
+          .filter(col("count") > 1).select(col("id").cast("long"))
+          .limit(6).as[Long].collect()
+        require(conflicted.isEmpty,
+          s"upsert: conflicting added payloads for ids " +
+            s"${conflicted.take(5).mkString(", ")}" +
+            (if (conflicted.length > 5) ", …" else ""))
+        addedDistinct.join(dels, Seq("id"), "left_anti")
+      }
     // byte stores: added rows must DECLARE the same signedness as the
     // store (an unmarked or mismatched byte add fails loudly — mixing
     // value spaces in one store is silent corruption), and the merged

@@ -93,6 +93,12 @@ object IndexLayout {
             routingMetric: Metric = Metric.L2): Unit = {
     val spark = clustered.sparkSession
     import spark.implicits._
+    // a full REBUILD onto this path supersedes any crashed upsert: every
+    // artifact is overwritten below, so a surviving stale marker would
+    // only make open() refuse a now-consistent store — clear it first
+    val mpW = new org.apache.hadoop.fs.Path(markerPath(path))
+    mpW.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(mpW, false)
     // byte stores persist their declared signedness in the sidecar (the
     // authoritative copy of the ByteVecs mark — open() restores it);
     // unmarked byte input fails loudly rather than writing ambiguity
@@ -171,8 +177,11 @@ object IndexLayout {
     if (mfs.exists(mp))
       sys.error(s"layout at $path has an in-progress upsert marker " +
         s"($mp): an upsert crashed mid-flight and codes/centroids may " +
-        "be inconsistent — run IndexLayout.repair(spark, path), then " +
-        "re-apply the upsert batch (replace-on-add converges)")
+        "be inconsistent — AFTER confirming no upsert is currently " +
+        "running (stores have a single-writer contract; repair under a " +
+        "live writer interleaves two commits), run " +
+        "IndexLayout.repair(spark, path), then re-apply the upsert " +
+        "batch (replace-on-add converges)")
     openUnchecked(spark, path)
   }
 
@@ -423,30 +432,35 @@ object IndexLayout {
       .select(col("id").cast("long").as("id"), col("vec"),
         col("cluster_id").cast("long").as("cluster_id"))
     val dels = deletedIds.select(col("id").cast("long").as("id")).distinct()
-    val addedDistinct = added
-      .select(col("id").cast("long").as("id"), col("vec"),
-        col("cluster_id").cast("long").as("cluster_id"))
-      .distinct()
-    // only a handful of ids are reported — bound the collect BEFORE it
-    // reaches the driver (a pathological batch could conflict en masse)
-    val conflicted = addedDistinct.groupBy("id").count()
-      .filter(col("count") > 1).select(col("id").cast("long"))
-      .limit(6).as[Long].collect()
-    require(conflicted.isEmpty,
-      s"upsert: conflicting added payloads for ids " +
-        s"${conflicted.take(5).mkString(", ")}" +
-        (if (conflicted.length > 5) ", …" else ""))
-    val addedFinal0 = addedDistinct.join(dels, Seq("id"), "left_anti")
     // a delete-only batch (e.g. a CDC delete-only micro-batch through
-    // StreamingIndexLayout) carries a PLACEHOLDER vec type — against a
-    // byte-/half-resident store the value-space contract below would
-    // fail loudly on zero added rows, and the merge union would fail on
-    // the placeholder's type. Substitute a schema-matched empty frame
+    // StreamingIndexLayout) carries a PLACEHOLDER vec type on an EMPTY
+    // adds frame — against a byte-/half-resident store the value-space
+    // contract below would fail loudly on zero added rows, and the
+    // merge union would fail on the placeholder's type. Probe the RAW
+    // frame once (the cheapest plan; it short-circuits the distinct +
+    // conflict jobs too) and substitute a schema-matched empty frame
     // (the store's own schema, marks included) so deletes just apply.
+    // A batch whose adds are all deleted in-batch flows the normal
+    // path: its frame carried real payloads, so it is correctly typed.
     val addedFinal =
-      if (addedFinal0.isEmpty)
+      if (added.isEmpty)
         stored.select("id", "vec", "cluster_id").limit(0)
-      else addedFinal0
+      else {
+        val addedDistinct = added
+          .select(col("id").cast("long").as("id"), col("vec"),
+            col("cluster_id").cast("long").as("cluster_id"))
+          .distinct()
+        // only a handful of ids are reported — bound the collect BEFORE
+        // it reaches the driver (a batch could conflict en masse)
+        val conflicted = addedDistinct.groupBy("id").count()
+          .filter(col("count") > 1).select(col("id").cast("long"))
+          .limit(6).as[Long].collect()
+        require(conflicted.isEmpty,
+          s"upsert: conflicting added payloads for ids " +
+            s"${conflicted.take(5).mkString(", ")}" +
+            (if (conflicted.length > 5) ", …" else ""))
+        addedDistinct.join(dels, Seq("id"), "left_anti")
+      }
     // byte/half stores: added rows must DECLARE the same value space as
     // the store — mixing spaces in one store is silent corruption
     val storedSig =

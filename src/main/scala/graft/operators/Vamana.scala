@@ -1397,13 +1397,17 @@ object Vamana {
   private[graft] def locateShards(stored: DataFrame,
                                   ids: DataFrame): DataFrame = {
     import stored.sparkSession.implicits._
-    val bounded = ids.select(col("id").cast("long").as("id"))
-      .distinct().limit(LocateIsinMax + 1).as[Long].collect()
+    // ONE deduped projection feeds both the size probe and (on
+    // fallback) the join side, so an oversized duplicate-heavy batch
+    // neither re-derives ids nor fans duplicate cluster_id rows into
+    // the downstream distinct; the bounded take is the size probe's
+    // only extra pass, and it is capped at LocateIsinMax+1 rows
+    val idsL = ids.select(col("id").cast("long").as("id")).distinct()
+    val bounded = idsL.limit(LocateIsinMax + 1).as[Long].collect()
     if (bounded.isEmpty) stored.select(col("cluster_id")).limit(0)
     else if (bounded.length <= LocateIsinMax)
       stored.filter(col("id").isin(bounded: _*)).select(col("cluster_id"))
-    else stored.join(ids.select(col("id")), Seq("id"))
-      .select(col("cluster_id"))
+    else stored.join(idsL, Seq("id")).select(col("cluster_id"))
   }
 
   /** [[updateShards]] + the touched-cluster set it derived — so callers

@@ -220,8 +220,12 @@ object StreamingServe {
       // partition-column inference types small batch ids as INT — pin
       // the declared long so consumers see one schema regardless of id
       // range; logs written before the latency leg existed read with a
-      // NULL serve_ms (percentiles skip nulls)
-      val d0 = spark.read.parquet(logPath)
+      // NULL serve_ms (percentiles skip nulls). mergeSchema matters: a
+      // MIXED log (old batches without serve_ms retained next to new
+      // ones) must not lose the column to whichever footer Spark
+      // happens to sample — merged, old rows null-fill and new rows
+      // keep their measured walls
+      val d0 = spark.read.option("mergeSchema", "true").parquet(logPath)
         .withColumn("batch_id", col("batch_id").cast("long"))
       if (d0.columns.contains("serve_ms")) d0
       else d0.withColumn("serve_ms", lit(null).cast("double"))

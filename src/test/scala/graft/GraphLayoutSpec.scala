@@ -342,6 +342,14 @@ class GraphLayoutSpec extends SparkSpec {
     assert(servedAll(up) === servedAll(twin))
     // repair without a marker is the identity
     assert(GraphLayout.repair(spark, path).centroids === up.centroids)
+    // a full REBUILD onto a crashed path supersedes the marker: write()
+    // clears it, so open() accepts the now-consistent store
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/upsert.inprogress"),
+      """{"touched":[0]}""".getBytes)
+    GraphLayout.write(clustered, graph, cents, path, pq = Some(p),
+      bin = Some(b))
+    assert(GraphLayout.open(spark, path).centroids === cents)
   }
 
   test("delete-only upsert batches apply against a byte-resident store " +

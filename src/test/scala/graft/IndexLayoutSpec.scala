@@ -208,6 +208,13 @@ class IndexLayoutSpec extends SparkSpec {
     assert(served(up) === served(IndexLayout.open(spark, path2)))
     // repair without a marker is the identity
     assert(IndexLayout.repair(spark, path).centroids === up.centroids)
+    // a full REBUILD onto a crashed path supersedes the marker: write()
+    // clears it, so open() accepts the now-consistent store
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/upsert.inprogress"),
+      """{"touched":[0]}""".getBytes)
+    IndexLayout.write(clustered, cents, path, IndexLayout.PqResC(p))
+    assert(IndexLayout.open(spark, path).centroids === cents)
   }
 
   test("upsert batch hygiene: duplicate identical adds collapse, delete " +

@@ -247,6 +247,23 @@ class StreamingServeSpec extends SparkSpec {
     val oldStats = StreamingServe.decisionStats(spark, oldLog).collect()
     assert(oldStats.length === 1 &&
       oldStats.head.isNullAt(oldStats.head.fieldIndex("p90_serve_ms")))
+    // MIXED log (old batches retained next to post-upgrade ones): the
+    // merged-schema read must keep the new rows' measured walls
+    // regardless of which parquet footer Spark samples — old rows
+    // null-fill, new rows keep serve_ms
+    Seq((0, "local", 0.5, 2, 12.5)).toDF("slice", "mode", "fraction",
+        "probed_shards", "serve_ms")
+      .withColumn("batch_id", lit(1L))
+      .write.mode("append").partitionBy("batch_id").parquet(oldLog)
+    val mixed = StreamingServe.decisions(spark, oldLog).collect()
+    assert(mixed.length === 2)
+    val newRow = mixed.find(_.getAs[Long]("batch_id") == 1L).get
+    assert(newRow.getAs[Double]("serve_ms") === 12.5)
+    assert(mixed.find(_.getAs[Long]("batch_id") == 0L).get
+      .isNullAt(newRow.fieldIndex("serve_ms")))
+    val mixedStats = StreamingServe.decisionStats(spark, oldLog)
+      .collect()
+    assert(mixedStats.head.getAs[Double]("max_serve_ms") === 12.5)
   }
 
   test("results() is TOTAL: an unwritten sink returns an empty frame " +
