@@ -65,6 +65,17 @@ object ScaleHighDim {
     val pqM = sys.env.getOrElse("SPARK_GRAFT_HD_PQM", (dims / 8).toString)
       .toInt
     require(dims % pqM == 0, s"pq m=$pqM must divide dims=$dims")
+    // SPARK_GRAFT_HD_ANISO=1 scales dim j by exp(-j/8) (the ScaleBench
+    // anisotropic-twin recipe): uniform data is simultaneously the
+    // sign-bit worst case and the trained-codebook best case, so the
+    // crossover's bit-parity gap needs this leg to bound how much of
+    // it is the generator rather than the codec
+    val aniso = sys.env.get("SPARK_GRAFT_HD_ANISO").contains("1")
+    def shaped(df: org.apache.spark.sql.DataFrame, c: String)
+        : org.apache.spark.sql.DataFrame =
+      if (!aniso) df
+      else df.withColumn(c,
+        transform(col(c), (v, i) => v * exp(i.cast("double") * lit(-0.125))))
     val k = 10
     val nq = 100
     val spark = SparkSession.builder()
@@ -100,13 +111,14 @@ object ScaleHighDim {
     // big as cached JVM objects) + sampled per-shard rounded means -------
     val (_, tGen) = time {
       graft.operators.IvfIndex.writeClustered(
-        SyntheticData.generateMixed(spark, n, dims)
+        shaped(SyntheticData.generateMixed(spark, n, dims), "vec")
           .withColumn("cluster_id", (col("id") / shardRows).cast("long")),
         srcPath)
     }
     val clustered = spark.read.parquet(srcPath)
       .withColumn("cluster_id", col("cluster_id").cast("long"))
-    val queries = SyntheticData.generateMixed(spark, n + nq, dims)
+    val queries = shaped(
+        SyntheticData.generateMixed(spark, n + nq, dims), "vec")
       .filter(col("id") >= n)
       .select(col("id").as("query_id"), col("vec").as("qvec")).cache()
     queries.count()
@@ -114,6 +126,7 @@ object ScaleHighDim {
     val cents = graft.operators.KMeans.roundedMeans(
       clustered.filter(col("id") % 10 === 0))
     println(s"""{"experiment":"scale_hd_corpus","n":$n,"dims":$dims,""" +
+      s""""aniso":$aniso,""" +
       s""""shards":$nShards,"gen_write_sec":$tGen,""" +
       s""""data_bytes":${duBytes(srcPath)}}""")
 
@@ -192,7 +205,7 @@ object ScaleHighDim {
         val rec = recallOf(res)
         res.unpersist()
         println(s"""{"experiment":"scale_hd_serve_adc","n":$n,""" +
-          s""""dims":$dims,"regime":"$regime","n_probes":$nProbes,""" +
+          s""""dims":$dims,"aniso":$aniso,"regime":"$regime","n_probes":$nProbes,""" +
           s""""k_reorder":$kr,"serve_sec":$tA,""" +
           s""""recall_at_$k":$rec,"probed_code_bytes":$adcProbed,""" +
           s""""probed_shards":${pmAdc.size},""" +
@@ -213,7 +226,7 @@ object ScaleHighDim {
         val rec = recallOf(res)
         res.unpersist()
         println(s"""{"experiment":"scale_hd_serve_hamming","n":$n,""" +
-          s""""dims":$dims,"regime":"$regime","n_probes":$nProbes,""" +
+          s""""dims":$dims,"aniso":$aniso,"regime":"$regime","n_probes":$nProbes,""" +
           s""""k_reorder":$kr,"serve_sec":$tH,""" +
           s""""recall_at_$k":$rec,"probed_code_bytes":$hProbed,""" +
           s""""probed_shards":${pmH.size},""" +
