@@ -69,12 +69,6 @@ object GraphLayout {
       s"unknown bincodes layout version $binVersion (supported: 1, 2)")
     val spark = clustered.sparkSession
     import spark.implicits._
-    // a full REBUILD onto this path supersedes any crashed upsert: every
-    // artifact is overwritten below, so a surviving stale marker would
-    // only make open() refuse a now-consistent store — clear it first
-    val mpW = new org.apache.hadoop.fs.Path(markerPath(path))
-    mpW.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(mpW, false)
     // byte stores persist their DECLARED signedness in the sidecar: the
     // schema mark alone can be stripped by external rewrites of the data
     // dir, and a u8 store served as i8 is silent corruption — open()
@@ -92,64 +86,72 @@ object GraphLayout {
         clustered.schema("vec").dataType))
         Some(graft.functions.HalfVecs.requireFormat(clustered.schema, "vec"))
       else None
-    IvfIndex.writeClustered(clustered, s"$path/data")
-    // optional persisted level-1 routing table (the 10⁵-shard dial):
-    // trained deterministically from the centroids FOR THE SERVING METRIC
-    // (similarity metrics get spherical groups), stored with that metric's
-    // name so a reopened index routes hierarchically without re-training
-    // and a metric-mismatched searchRouted fails loudly
-    if (routingGroups > 0) {
-      require(Metric.byName(routingMetric.name.stripSuffix("_simd")).isDefined,
-        s"routing metric '${routingMetric.name}' cannot round-trip the " +
-          "sidecar (Metric.byName) — route with l2/ip/cosine")
-      val (l1, groupOf) = Vamana.trainRoutingLevel(centroids, routingGroups,
-        metric = routingMetric)
-      l1.toDF("id", "vec").write.mode("overwrite")
-        .parquet(s"$path/routing_l1")
-      groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
-        .parquet(s"$path/routing_groups")
+    // the rebuild is itself a multi-artifact commit: bracket it with a
+    // rebuild-kind marker (superseding any stale upsert marker) and lift
+    // it only after the LAST artifact (the sidecar) lands — a crash
+    // mid-rebuild leaves a marked, open()-refused store instead of an
+    // unmarked inconsistent one (the pre-r16 delete-marker-first order
+    // dropped the protection exactly when the store was being remade)
+    StoreMarker.bracket(spark, path, "rebuild", Nil) {
+      IvfIndex.writeClustered(clustered, s"$path/data")
+      // optional persisted level-1 routing table (the 10⁵-shard dial):
+      // trained deterministically from the centroids FOR THE SERVING METRIC
+      // (similarity metrics get spherical groups), stored with that metric's
+      // name so a reopened index routes hierarchically without re-training
+      // and a metric-mismatched searchRouted fails loudly
+      if (routingGroups > 0) {
+        require(Metric.byName(routingMetric.name.stripSuffix("_simd")).isDefined,
+          s"routing metric '${routingMetric.name}' cannot round-trip the " +
+            "sidecar (Metric.byName) — route with l2/ip/cosine")
+        val (l1, groupOf) = Vamana.trainRoutingLevel(centroids, routingGroups,
+          metric = routingMetric)
+        l1.toDF("id", "vec").write.mode("overwrite")
+          .parquet(s"$path/routing_l1")
+        groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
+          .parquet(s"$path/routing_groups")
+      }
+      graph.write.partitionBy("cluster_id").mode("overwrite")
+        .parquet(s"$path/graph")
+      centroids.toDF("id", "vec").write.mode("overwrite")
+        .parquet(s"$path/centroids")
+      // encodes are VALUE arithmetic: widen byte-resident vecs first so
+      // u8 codes land in the unsigned value space (data stays raw on disk)
+      lazy val clusteredW = widenedForMath(clustered)
+      pq.foreach { p =>
+        Pq.encodeClustered(clusteredW, p).write.partitionBy("cluster_id")
+          .mode("overwrite").parquet(s"$path/codes")
+      }
+      bin.foreach { b =>
+        val wordCols =
+          if (binVersion >= 2) BinaryQuant.codeColumns64(col("vec"), b)
+          else BinaryQuant.codeColumns(col("vec"), b)
+        clusteredW.select(col("cluster_id") +: col("id") +:
+            wordCols.zipWithIndex.map {
+              case (c, w) => c.as(s"w$w") }: _*)
+          .write.partitionBy("cluster_id").mode("overwrite")
+          .parquet(s"$path/bincodes")
+      }
+      val pqJson = pq match {
+        case None => "null"
+        case Some(p) =>
+          s"""{"m":${p.m},"k":${p.k},"dims":${p.dims},"books":[""" +
+            p.codebooks.map(cb => "[" + cb.map(c =>
+              "[" + c.mkString(",") + "]").mkString(",") + "]")
+              .mkString(",") + "]}"
+      }
+      val binJson = bin match {
+        case None => "null"
+        case Some(b) =>
+          s"""{"version":$binVersion,"thresholds":[${
+            b.thresholds.mkString(",")}]}"""
+      }
+      writeSidecar(spark, s"$path/layout.json",
+        s"""{"pq":$pqJson,"bin":$binJson,""" +
+          s""""routing_groups":$routingGroups,""" +
+          s""""routing_metric":"${routingMetric.name.stripSuffix("_simd")}",""" +
+          s""""byte_unsigned":${byteU.map(_.toString).getOrElse("null")},""" +
+          s""""half_format":${halfF.map(f => s""""$f"""").getOrElse("null")}}""")
     }
-    graph.write.partitionBy("cluster_id").mode("overwrite")
-      .parquet(s"$path/graph")
-    centroids.toDF("id", "vec").write.mode("overwrite")
-      .parquet(s"$path/centroids")
-    // encodes are VALUE arithmetic: widen byte-resident vecs first so
-    // u8 codes land in the unsigned value space (data stays raw on disk)
-    lazy val clusteredW = widenedForMath(clustered)
-    pq.foreach { p =>
-      Pq.encodeClustered(clusteredW, p).write.partitionBy("cluster_id")
-        .mode("overwrite").parquet(s"$path/codes")
-    }
-    bin.foreach { b =>
-      val wordCols =
-        if (binVersion >= 2) BinaryQuant.codeColumns64(col("vec"), b)
-        else BinaryQuant.codeColumns(col("vec"), b)
-      clusteredW.select(col("cluster_id") +: col("id") +:
-          wordCols.zipWithIndex.map {
-            case (c, w) => c.as(s"w$w") }: _*)
-        .write.partitionBy("cluster_id").mode("overwrite")
-        .parquet(s"$path/bincodes")
-    }
-    val pqJson = pq match {
-      case None => "null"
-      case Some(p) =>
-        s"""{"m":${p.m},"k":${p.k},"dims":${p.dims},"books":[""" +
-          p.codebooks.map(cb => "[" + cb.map(c =>
-            "[" + c.mkString(",") + "]").mkString(",") + "]")
-            .mkString(",") + "]}"
-    }
-    val binJson = bin match {
-      case None => "null"
-      case Some(b) =>
-        s"""{"version":$binVersion,"thresholds":[${
-          b.thresholds.mkString(",")}]}"""
-    }
-    writeSidecar(spark, s"$path/layout.json",
-      s"""{"pq":$pqJson,"bin":$binJson,""" +
-        s""""routing_groups":$routingGroups,""" +
-        s""""routing_metric":"${routingMetric.name.stripSuffix("_simd")}",""" +
-        s""""byte_unsigned":${byteU.map(_.toString).getOrElse("null")},""" +
-        s""""half_format":${halfF.map(f => s""""$f"""").getOrElse("null")}}""")
   }
 
   /** Re-open a written layout. FAILS LOUDLY if an upsert's in-progress
@@ -163,20 +165,15 @@ object GraphLayout {
     * to restore the codes ≡ centroids ≡ data-rows invariant, then
     * re-apply the upsert batch (replace-on-add converges). */
   def open(spark: SparkSession, path: String): Layout = {
-    val mp = new org.apache.hadoop.fs.Path(markerPath(path))
-    val mfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (mfs.exists(mp))
-      sys.error(s"graph layout at $path has an in-progress upsert marker " +
-        s"($mp): an upsert crashed mid-flight and codes/bincodes/centroids " +
-        "may describe rows the data partitions no longer hold — AFTER " +
-        "confirming no upsert is currently running (stores have a " +
-        "single-writer contract; repair under a live writer interleaves " +
-        "two commits), run GraphLayout.repair(spark, path), then re-apply " +
-        "the upsert batch (replace-on-add converges)")
+    // marker triage is mechanized (StoreMarker): a fresh heartbeat means
+    // a LIVE writer (do not repair under it), a stale upsert marker
+    // directs to repair(), a stale rebuild marker to re-running write()
+    StoreMarker.guard(spark, path, "graph layout",
+      "GraphLayout.repair(spark, path)", "GraphLayout.write")
     openUnchecked(spark, path)
   }
 
-  private def markerPath(path: String): String = s"$path/upsert.inprogress"
+  private def markerPath(path: String): String = StoreMarker.markerPath(path)
 
   /** [[open]] minus the marker guard — [[repair]]'s entry point. */
   private def openUnchecked(spark: SparkSession, path: String): Layout = {
@@ -897,117 +894,113 @@ object GraphLayout {
       // of a crashed upsert can emit deleted ids), and repair()
       // restores the codes ≡ centroids ≡ data-rows invariant from the
       // marker's touched list
-      writeSidecar(spark, markerPath(path),
-        s"""{"touched":[${touched.mkString(",")}]}""")
-      // materialize the touched shards' new rows BEFORE overwriting: the
-      // plans read the very partitions the writes replace, and the source
-      // DataFrames' cached file listing would otherwise chase deleted
-      // part-files mid-job (eager localCheckpoint severs the lineage —
-      // the Dedup.jaccardPairsPrefix epilogue lesson applied to writes)
-      val ncT = nc.filter(col("cluster_id").isin(touched: _*))
-        .localCheckpoint(true)
-      val ngT = ng.filter(col("cluster_id").isin(touched: _*))
-        .localCheckpoint(true)
-      // dynamic overwrite is set PER WRITE (DataFrameWriter.option), not
-      // via the session conf — a concurrent overwrite on the same
-      // SparkSession must not inherit dynamic semantics from this job
-      ncT.repartition(col("cluster_id")).write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cluster_id").parquet(s"$path/data")
-      ngT.repartition(col("cluster_id")).write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cluster_id").parquet(s"$path/graph")
-      // VALUE arithmetic below (re-encodes, centroid means) must widen
-      // byte-resident vecs mark-aware — matching write()'s encode space;
-      // the persisted data/graph partitions above keep the raw bytes
-      lazy val ncW = widenedForMath(ncT)
-      layout.pq.foreach { p =>
-        Pq.encodeClustered(ncW, p).repartition(col("cluster_id"))
-          .write.mode("overwrite")
+      StoreMarker.bracket(spark, path, "upsert", touched) {
+        // materialize the touched shards' new rows BEFORE overwriting: the
+        // plans read the very partitions the writes replace, and the source
+        // DataFrames' cached file listing would otherwise chase deleted
+        // part-files mid-job (eager localCheckpoint severs the lineage —
+        // the Dedup.jaccardPairsPrefix epilogue lesson applied to writes)
+        val ncT = nc.filter(col("cluster_id").isin(touched: _*))
+          .localCheckpoint(true)
+        val ngT = ng.filter(col("cluster_id").isin(touched: _*))
+          .localCheckpoint(true)
+        // dynamic overwrite is set PER WRITE (DataFrameWriter.option), not
+        // via the session conf — a concurrent overwrite on the same
+        // SparkSession must not inherit dynamic semantics from this job
+        ncT.repartition(col("cluster_id")).write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cluster_id").parquet(s"$path/codes")
-      }
-      layout.bin.foreach { b =>
-        // re-encode in the STORE's word layout (sidecar version): a v1
-        // store must keep v1 words — mixed packings across partitions
-        // of one bincodes dir would be silent Hamming corruption
-        val wordCols =
-          if (layout.binVersion >= 2) BinaryQuant.codeColumns64(col("vec"), b)
-          else BinaryQuant.codeColumns(col("vec"), b)
-        ncW.select(col("cluster_id") +: col("id") +:
-            wordCols.zipWithIndex.map {
-              case (c, w) => c.as(s"w$w") }: _*)
-          .repartition(col("cluster_id"))
-          .write.mode("overwrite")
+          .partitionBy("cluster_id").parquet(s"$path/data")
+        ngT.repartition(col("cluster_id")).write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cluster_id").parquet(s"$path/bincodes")
-      }
-      // a shard emptied by deletes writes zero rows, and dynamic overwrite
-      // cannot delete a partition it never writes — drop those dirs (and
-      // their centroids, via the kept-filter below) explicitly
-      val liveCids = ncT.select(col("cluster_id")).distinct()
-        .as[Long].collect().toSet
-      val fsE = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      touched.filterNot(liveCids).foreach { cid =>
-        Seq("data", "graph", "codes", "bincodes").foreach { sub =>
-          fsE.delete(new org.apache.hadoop.fs.Path(
-            s"$path/$sub/cluster_id=$cid"), true)
+          .partitionBy("cluster_id").parquet(s"$path/graph")
+        // VALUE arithmetic below (re-encodes, centroid means) must widen
+        // byte-resident vecs mark-aware — matching write()'s encode space;
+        // the persisted data/graph partitions above keep the raw bytes
+        lazy val ncW = widenedForMath(ncT)
+        layout.pq.foreach { p =>
+          Pq.encodeClustered(ncW, p).repartition(col("cluster_id"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cluster_id").parquet(s"$path/codes")
+        }
+        layout.bin.foreach { b =>
+          // re-encode in the STORE's word layout (sidecar version): a v1
+          // store must keep v1 words — mixed packings across partitions
+          // of one bincodes dir would be silent Hamming corruption
+          val wordCols =
+            if (layout.binVersion >= 2) BinaryQuant.codeColumns64(col("vec"), b)
+            else BinaryQuant.codeColumns(col("vec"), b)
+          ncW.select(col("cluster_id") +: col("id") +:
+              wordCols.zipWithIndex.map {
+                case (c, w) => c.as(s"w$w") }: _*)
+            .repartition(col("cluster_id"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cluster_id").parquet(s"$path/bincodes")
+        }
+        // a shard emptied by deletes writes zero rows, and dynamic overwrite
+        // cannot delete a partition it never writes — drop those dirs (and
+        // their centroids, via the kept-filter below) explicitly
+        val liveCids = ncT.select(col("cluster_id")).distinct()
+          .as[Long].collect().toSet
+        val fsE = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        touched.filterNot(liveCids).foreach { cid =>
+          Seq("data", "graph", "codes", "bincodes").foreach { sub =>
+            fsE.delete(new org.apache.hadoop.fs.Path(
+              s"$path/$sub/cluster_id=$cid"), true)
+          }
+        }
+        // refresh touched centroids with the same rounded-mean fold the
+        // build used; untouched entries carry over verbatim
+        val touchedSet = touched.toSet
+        // the shared rounded-mean fold (KMeans.roundedMeans) — one
+        // definition with the oracle replays and IndexLayout's refresh
+        val newCents = KMeans.roundedMeans(ncW)
+        val kept = layout.centroids.filterNot(c => touchedSet.contains(c._1))
+        (kept ++ newCents).sortBy(_._1).toDF("id", "vec")
+          .write.mode("overwrite").parquet(s"$path/centroids.tmp")
+        // two-step swap: centroids is a whole-file artifact (no
+        // partitions). A crash between delete and rename leaves only
+        // centroids.tmp — open() recovers by completing the rename, so the
+        // store is never unopenable; the rename result is checked (HDFS
+        // returns false instead of throwing).
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true)
+        require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/centroids.tmp"),
+          new org.apache.hadoop.fs.Path(s"$path/centroids")),
+          s"failed to swap $path/centroids.tmp into place")
+        // the upsert changed centroids (refreshed / dropped), so a
+        // persisted routing level would be stale: retrain it from the new
+        // centroid table at the recorded group count (driver-side Lloyd
+        // over the broadcast-small centroids — milliseconds)
+        val rg = routingGroupsOf(spark, path)
+        if (rg > 0) {
+          val newCentTable = spark.read.parquet(s"$path/centroids")
+            .select("id", "vec").collect()
+            .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+            .toIndexedSeq.sortBy(_._1)
+          // retrain with the metric the level was written for (sidecar),
+          // not the upsert's build metric — the serving contract is the
+          // writer's; absent (pre-metric sidecars) default L2, but an
+          // unresolvable RECORDED name fails loudly rather than silently
+          // retraining L2-shaped groups under a sidecar that still
+          // advertises the original metric
+          val rm = layout.routingMetricName match {
+            case Some(name) => Metric.byName(name).getOrElse(sys.error(
+              s"layout routing_metric '$name' is not a routable metric"))
+            case None => Metric.L2
+          }
+          val (l1, groupOf) = Vamana.trainRoutingLevel(newCentTable, rg,
+            metric = rm)
+          import spark.implicits._
+          l1.toDF("id", "vec").write.mode("overwrite")
+            .parquet(s"$path/routing_l1")
+          groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
+            .parquet(s"$path/routing_groups")
         }
       }
-      // refresh touched centroids with the same rounded-mean fold the
-      // build used; untouched entries carry over verbatim
-      val touchedSet = touched.toSet
-      // the shared rounded-mean fold (KMeans.roundedMeans) — one
-      // definition with the oracle replays and IndexLayout's refresh
-      val newCents = KMeans.roundedMeans(ncW)
-      val kept = layout.centroids.filterNot(c => touchedSet.contains(c._1))
-      (kept ++ newCents).sortBy(_._1).toDF("id", "vec")
-        .write.mode("overwrite").parquet(s"$path/centroids.tmp")
-      // two-step swap: centroids is a whole-file artifact (no
-      // partitions). A crash between delete and rename leaves only
-      // centroids.tmp — open() recovers by completing the rename, so the
-      // store is never unopenable; the rename result is checked (HDFS
-      // returns false instead of throwing).
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/centroids.tmp"),
-        new org.apache.hadoop.fs.Path(s"$path/centroids")),
-        s"failed to swap $path/centroids.tmp into place")
-      // the upsert changed centroids (refreshed / dropped), so a
-      // persisted routing level would be stale: retrain it from the new
-      // centroid table at the recorded group count (driver-side Lloyd
-      // over the broadcast-small centroids — milliseconds)
-      val rg = routingGroupsOf(spark, path)
-      if (rg > 0) {
-        val newCentTable = spark.read.parquet(s"$path/centroids")
-          .select("id", "vec").collect()
-          .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
-          .toIndexedSeq.sortBy(_._1)
-        // retrain with the metric the level was written for (sidecar),
-        // not the upsert's build metric — the serving contract is the
-        // writer's; absent (pre-metric sidecars) default L2, but an
-        // unresolvable RECORDED name fails loudly rather than silently
-        // retraining L2-shaped groups under a sidecar that still
-        // advertises the original metric
-        val rm = layout.routingMetricName match {
-          case Some(name) => Metric.byName(name).getOrElse(sys.error(
-            s"layout routing_metric '$name' is not a routable metric"))
-          case None => Metric.L2
-        }
-        val (l1, groupOf) = Vamana.trainRoutingLevel(newCentTable, rg,
-          metric = rm)
-        import spark.implicits._
-        l1.toDF("id", "vec").write.mode("overwrite")
-          .parquet(s"$path/routing_l1")
-        groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
-          .parquet(s"$path/routing_groups")
-      }
-      // commit complete — the invariant holds again, lift the marker
-      val mfs = new org.apache.hadoop.fs.Path(markerPath(path))
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      mfs.delete(new org.apache.hadoop.fs.Path(markerPath(path)), false)
     }
     open(spark, path)
   }
@@ -1041,127 +1034,133 @@ object GraphLayout {
     * store without a marker is returned unchanged. */
   def repair(spark: SparkSession, path: String): Layout = {
     import spark.implicits._
-    val mp = new org.apache.hadoop.fs.Path(markerPath(path))
-    val mfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!mfs.exists(mp)) return open(spark, path)
-    import org.json4s._
-    implicit val fmts: Formats = DefaultFormats
-    val touched = (org.json4s.jackson.JsonMethods.parse(
-      readSidecar(spark, markerPath(path))) \ "touched")
-      .extract[Seq[Long]].sorted
-    val layout = openUnchecked(spark, path)
-    val touchedRows = layout.clustered
-      .select(col("id").cast("long").as("id"), col("vec"),
-        col("cluster_id").cast("long").as("cluster_id"))
-      .filter(col("cluster_id").isin(touched: _*))
-      .localCheckpoint(true)
-    lazy val touchedW = widenedForMath(touchedRows)
-    // re-encode the DERIVED code artifacts from the rows on disk, in the
-    // store's own packing — exactly the encode write()/upsert() run
-    layout.pq.foreach { p =>
-      Pq.encodeClustered(touchedW, p).repartition(col("cluster_id"))
-        .write.mode("overwrite")
+    // the guard refuses LIVE markers (repair under a running writer
+    // interleaves two commits) and stale REBUILD markers (no touched
+    // list exists — only re-running write() helps); what remains is the
+    // stale upsert marker repair exists for
+    val info = StoreMarker.guard(spark, path, "graph layout",
+      "GraphLayout.repair(spark, path)", "GraphLayout.write",
+      forRepair = true)
+    if (info.isEmpty) return open(spark, path)
+    val touched = info.get.touched.sorted
+    // re-mark with a fresh session + heartbeat for the repair's own
+    // rewrite: a crash mid-repair leaves the same stale-upsert state
+    // (repair is idempotent), and the heartbeat keeps a concurrent
+    // open() from reading "stale — repair me" under a live repair
+    StoreMarker.bracket(spark, path, "upsert", touched) {
+      val layout = openUnchecked(spark, path)
+      val touchedRows = layout.clustered
+        .select(col("id").cast("long").as("id"), col("vec"),
+          col("cluster_id").cast("long").as("cluster_id"))
+        .filter(col("cluster_id").isin(touched: _*))
+        .localCheckpoint(true)
+      lazy val touchedW = widenedForMath(touchedRows)
+      // re-encode the DERIVED code artifacts from the rows on disk, in the
+      // store's own packing — exactly the encode write()/upsert() run
+      layout.pq.foreach { p =>
+        Pq.encodeClustered(touchedW, p).repartition(col("cluster_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cluster_id").parquet(s"$path/codes")
+      }
+      layout.bin.foreach { b =>
+        val wordCols =
+          if (layout.binVersion >= 2) BinaryQuant.codeColumns64(col("vec"), b)
+          else BinaryQuant.codeColumns(col("vec"), b)
+        touchedW.select(col("cluster_id") +: col("id") +:
+            wordCols.zipWithIndex.map {
+              case (c, w) => c.as(s"w$w") }: _*)
+          .repartition(col("cluster_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cluster_id").parquet(s"$path/bincodes")
+      }
+      // graph consistency pass (parameter-free — NOT a rebuild): keep only
+      // live nodes, prune dangling neighbor edges preserving their original
+      // order, and remap a DEAD entry to the smallest live graph node so
+      // the shard stays servable (a walk fails loudly on a dead entry)
+      val liveIds = touchedRows.select(col("cluster_id"), col("id"))
+      val gTouched = layout.graph
+        .select(col("id").cast("long").as("id"),
+          col("entry_id").cast("long").as("entry_id"), col("neighbors"),
+          col("cluster_id").cast("long").as("cluster_id"))
+        .filter(col("cluster_id").isin(touched: _*))
+      val gLive = gTouched.join(liveIds, Seq("cluster_id", "id"))
+      val entryOf = gLive.groupBy(col("cluster_id")).agg(
+        coalesce(max(when(col("id") === col("entry_id"), col("id"))),
+          min(col("id"))).as("live_entry"))
+      val gFixed = gLive
+        .select(col("cluster_id"), col("id"),
+          posexplode_outer(col("neighbors")).as(Seq("pos", "nbr")))
+        .join(liveIds.withColumnRenamed("id", "nbr")
+          .withColumn("nbr_live", lit(true)),
+          Seq("cluster_id", "nbr"), "left_outer")
+        .groupBy(col("cluster_id"), col("id"))
+        .agg(expr("transform(sort_array(collect_list(" +
+          "case when nbr_live then struct(pos, nbr) end)), s -> s.nbr)")
+          .as("neighbors"))
+        .join(entryOf, Seq("cluster_id"))
+        .select(col("id"), col("live_entry").as("entry_id"),
+          col("neighbors"), col("cluster_id"))
+        .localCheckpoint(true)
+      gFixed.repartition(col("cluster_id")).write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cluster_id").parquet(s"$path/codes")
-    }
-    layout.bin.foreach { b =>
-      val wordCols =
-        if (layout.binVersion >= 2) BinaryQuant.codeColumns64(col("vec"), b)
-        else BinaryQuant.codeColumns(col("vec"), b)
-      touchedW.select(col("cluster_id") +: col("id") +:
-          wordCols.zipWithIndex.map {
-            case (c, w) => c.as(s"w$w") }: _*)
-        .repartition(col("cluster_id"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cluster_id").parquet(s"$path/bincodes")
-    }
-    // graph consistency pass (parameter-free — NOT a rebuild): keep only
-    // live nodes, prune dangling neighbor edges preserving their original
-    // order, and remap a DEAD entry to the smallest live graph node so
-    // the shard stays servable (a walk fails loudly on a dead entry)
-    val liveIds = touchedRows.select(col("cluster_id"), col("id"))
-    val gTouched = layout.graph
-      .select(col("id").cast("long").as("id"),
-        col("entry_id").cast("long").as("entry_id"), col("neighbors"),
-        col("cluster_id").cast("long").as("cluster_id"))
-      .filter(col("cluster_id").isin(touched: _*))
-    val gLive = gTouched.join(liveIds, Seq("cluster_id", "id"))
-    val entryOf = gLive.groupBy(col("cluster_id")).agg(
-      coalesce(max(when(col("id") === col("entry_id"), col("id"))),
-        min(col("id"))).as("live_entry"))
-    val gFixed = gLive
-      .select(col("cluster_id"), col("id"),
-        posexplode_outer(col("neighbors")).as(Seq("pos", "nbr")))
-      .join(liveIds.withColumnRenamed("id", "nbr")
-        .withColumn("nbr_live", lit(true)),
-        Seq("cluster_id", "nbr"), "left_outer")
-      .groupBy(col("cluster_id"), col("id"))
-      .agg(expr("transform(sort_array(collect_list(" +
-        "case when nbr_live then struct(pos, nbr) end)), s -> s.nbr)")
-        .as("neighbors"))
-      .join(entryOf, Seq("cluster_id"))
-      .select(col("id"), col("live_entry").as("entry_id"),
-        col("neighbors"), col("cluster_id"))
-      .localCheckpoint(true)
-    gFixed.repartition(col("cluster_id")).write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cluster_id").parquet(s"$path/graph")
-    // shards whose data partitions are gone (emptied by the crashed
-    // upsert) must lose their code partitions and centroid entries too —
-    // dynamic overwrite cannot delete a partition it never writes. The
-    // graph deletion keys on the PRUNED graph's live shards instead: a
-    // data-live shard whose every graph node died (all pre-crash rows
-    // deleted, only crashed-batch adds remain) would otherwise keep its
-    // stale dead-node partition; dropping it leaves the shard walkless
-    // (zero candidates) until the replay rebuilds it — recall-grade.
-    val liveCids = touchedRows.select(col("cluster_id")).distinct()
-      .as[Long].collect().toSet
-    val gLiveCids = gFixed.select(col("cluster_id")).distinct()
-      .as[Long].collect().toSet
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.filterNot(liveCids).foreach { cid =>
-      Seq("codes", "bincodes").foreach { sub =>
+        .partitionBy("cluster_id").parquet(s"$path/graph")
+      // shards whose data partitions are gone (emptied by the crashed
+      // upsert) must lose their code partitions and centroid entries too —
+      // dynamic overwrite cannot delete a partition it never writes. The
+      // graph deletion keys on the PRUNED graph's live shards instead: a
+      // data-live shard whose every graph node died (all pre-crash rows
+      // deleted, only crashed-batch adds remain) would otherwise keep its
+      // stale dead-node partition; dropping it leaves the shard walkless
+      // (zero candidates) until the replay rebuilds it — recall-grade.
+      val liveCids = touchedRows.select(col("cluster_id")).distinct()
+        .as[Long].collect().toSet
+      val gLiveCids = gFixed.select(col("cluster_id")).distinct()
+        .as[Long].collect().toSet
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.filterNot(liveCids).foreach { cid =>
+        Seq("codes", "bincodes").foreach { sub =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$path/$sub/cluster_id=$cid"), true)
+        }
+      }
+      touched.filterNot(gLiveCids).foreach { cid =>
         fs.delete(new org.apache.hadoop.fs.Path(
-          s"$path/$sub/cluster_id=$cid"), true)
+          s"$path/graph/cluster_id=$cid"), true)
+      }
+      // refresh touched centroids from the rows on disk (the ONE shared
+      // rounded-mean fold) and swap with open()-side crash recovery
+      val touchedSet = touched.toSet
+      val newCents = KMeans.roundedMeans(touchedW)
+      val kept = layout.centroids.filterNot(c => touchedSet.contains(c._1))
+      (kept ++ newCents).sortBy(_._1).toDF("id", "vec")
+        .write.mode("overwrite").parquet(s"$path/centroids.tmp")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/centroids.tmp"),
+        new org.apache.hadoop.fs.Path(s"$path/centroids")),
+        s"failed to swap $path/centroids.tmp into place")
+      // refreshed centroids make a persisted routing level stale
+      val rg = routingGroupsOf(spark, path)
+      if (rg > 0) {
+        val newCentTable = spark.read.parquet(s"$path/centroids")
+          .select("id", "vec").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+          .toIndexedSeq.sortBy(_._1)
+        val rm = layout.routingMetricName match {
+          case Some(name) => Metric.byName(name).getOrElse(sys.error(
+            s"layout routing_metric '$name' is not a routable metric"))
+          case None => Metric.L2
+        }
+        val (l1, groupOf) = Vamana.trainRoutingLevel(newCentTable, rg,
+          metric = rm)
+        l1.toDF("id", "vec").write.mode("overwrite")
+          .parquet(s"$path/routing_l1")
+        groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
+          .parquet(s"$path/routing_groups")
       }
     }
-    touched.filterNot(gLiveCids).foreach { cid =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$path/graph/cluster_id=$cid"), true)
-    }
-    // refresh touched centroids from the rows on disk (the ONE shared
-    // rounded-mean fold) and swap with open()-side crash recovery
-    val touchedSet = touched.toSet
-    val newCents = KMeans.roundedMeans(touchedW)
-    val kept = layout.centroids.filterNot(c => touchedSet.contains(c._1))
-    (kept ++ newCents).sortBy(_._1).toDF("id", "vec")
-      .write.mode("overwrite").parquet(s"$path/centroids.tmp")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/centroids.tmp"),
-      new org.apache.hadoop.fs.Path(s"$path/centroids")),
-      s"failed to swap $path/centroids.tmp into place")
-    // refreshed centroids make a persisted routing level stale
-    val rg = routingGroupsOf(spark, path)
-    if (rg > 0) {
-      val newCentTable = spark.read.parquet(s"$path/centroids")
-        .select("id", "vec").collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
-        .toIndexedSeq.sortBy(_._1)
-      val rm = layout.routingMetricName match {
-        case Some(name) => Metric.byName(name).getOrElse(sys.error(
-          s"layout routing_metric '$name' is not a routable metric"))
-        case None => Metric.L2
-      }
-      val (l1, groupOf) = Vamana.trainRoutingLevel(newCentTable, rg,
-        metric = rm)
-      l1.toDF("id", "vec").write.mode("overwrite")
-        .parquet(s"$path/routing_l1")
-      groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
-        .parquet(s"$path/routing_groups")
-    }
-    mfs.delete(mp, false)
     open(spark, path)
   }
 

@@ -93,12 +93,6 @@ object IndexLayout {
             routingMetric: Metric = Metric.L2): Unit = {
     val spark = clustered.sparkSession
     import spark.implicits._
-    // a full REBUILD onto this path supersedes any crashed upsert: every
-    // artifact is overwritten below, so a surviving stale marker would
-    // only make open() refuse a now-consistent store — clear it first
-    val mpW = new org.apache.hadoop.fs.Path(markerPath(path))
-    mpW.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(mpW, false)
     // byte stores persist their declared signedness in the sidecar (the
     // authoritative copy of the ByteVecs mark — open() restores it);
     // unmarked byte input fails loudly rather than writing ambiguity
@@ -113,53 +107,61 @@ object IndexLayout {
         clustered.schema("vec").dataType))
         Some(graft.functions.HalfVecs.requireFormat(clustered.schema, "vec"))
       else None
-    val withCodes = withCodecColumns(clustered, centroids, codec)
-    IvfIndex.writeClustered(withCodes, s"$path/data")
-    centroids.toDF("id", "vec").write.mode("overwrite")
-      .parquet(s"$path/centroids")
-    // optional persisted level-1 routing table — the stored-IVF analog of
-    // GraphLayout.write(routingGroups): trained for the serving metric,
-    // persisted with the metric's name so a reopened layout routes
-    // hierarchically without retraining and a mismatched searchRouted
-    // fails loudly (reference: index/ivf/hierarchical_kmeans.h)
-    if (routingGroups > 0) {
-      require(Metric.byName(routingMetric.name.stripSuffix("_simd")).isDefined,
-        s"routing metric '${routingMetric.name}' cannot round-trip the " +
-          "sidecar (Metric.byName) — route with l2/ip/cosine")
-      val (l1, groupOf) = Vamana.trainRoutingLevel(centroids, routingGroups,
-        metric = routingMetric)
-      l1.toDF("id", "vec").write.mode("overwrite")
-        .parquet(s"$path/routing_l1")
-      groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
-        .parquet(s"$path/routing_groups")
+    // the rebuild is itself a multi-artifact commit: bracket it with a
+    // rebuild-kind marker (superseding any stale upsert marker) and lift
+    // it only after the LAST artifact (the sidecar) lands — a crash
+    // mid-rebuild leaves a marked, open()-refused store instead of an
+    // unmarked inconsistent one (the pre-r16 delete-marker-first order
+    // dropped the protection exactly when the store was being remade)
+    StoreMarker.bracket(spark, path, "rebuild", Nil) {
+      val withCodes = withCodecColumns(clustered, centroids, codec)
+      IvfIndex.writeClustered(withCodes, s"$path/data")
+      centroids.toDF("id", "vec").write.mode("overwrite")
+        .parquet(s"$path/centroids")
+      // optional persisted level-1 routing table — the stored-IVF analog of
+      // GraphLayout.write(routingGroups): trained for the serving metric,
+      // persisted with the metric's name so a reopened layout routes
+      // hierarchically without retraining and a mismatched searchRouted
+      // fails loudly (reference: index/ivf/hierarchical_kmeans.h)
+      if (routingGroups > 0) {
+        require(Metric.byName(routingMetric.name.stripSuffix("_simd")).isDefined,
+          s"routing metric '${routingMetric.name}' cannot round-trip the " +
+            "sidecar (Metric.byName) — route with l2/ip/cosine")
+        val (l1, groupOf) = Vamana.trainRoutingLevel(centroids, routingGroups,
+          metric = routingMetric)
+        l1.toDF("id", "vec").write.mode("overwrite")
+          .parquet(s"$path/routing_l1")
+        groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
+          .parquet(s"$path/routing_groups")
+      }
+      val codecJson = codec match {
+        case Uncompressed => """{"type":"none"}"""
+        case Sq(p) =>
+          s"""{"type":"sq","scale":${p.scale},"bias":${p.bias},""" +
+            s""""bits":${p.bits}}"""
+        case LvqC(p) =>
+          s"""{"type":"lvq","bits1":${p.bits1},"bits2":${p.bits2},""" +
+            s""""mean":[${p.mean.mkString(",")}]}"""
+        case LeanVecC(m) =>
+          // Double.toString is shortest-round-trip, so the model reopens
+          // bit-exactly and re-derived reductions match the resident column
+          s"""{"type":"leanvec","mean":[${m.mean.mkString(",")}],""" +
+            s""""proj":[${m.proj.map(r => s"[${r.mkString(",")}]")
+              .mkString(",")}],""" +
+            s""""eigvals":[${m.eigvals.mkString(",")}]}"""
+        case PqResC(p) =>
+          s"""{"type":"pqres","m":${p.m},"k":${p.k},"dims":${p.dims},""" +
+            s""""books":[${p.codebooks.map(cb => "[" + cb.map(c =>
+              "[" + c.mkString(",") + "]").mkString(",") + "]")
+              .mkString(",")}]}"""
+      }
+      writeSidecar(spark, s"$path/layout.json",
+        s"""{"codec":$codecJson,""" +
+          s""""byte_unsigned":${byteU.map(_.toString).getOrElse("null")},""" +
+          s""""half_format":${halfF.map(f => s""""$f"""").getOrElse("null")},""" +
+          s""""routing_groups":$routingGroups,""" +
+          s""""routing_metric":"${routingMetric.name.stripSuffix("_simd")}"}""")
     }
-    val codecJson = codec match {
-      case Uncompressed => """{"type":"none"}"""
-      case Sq(p) =>
-        s"""{"type":"sq","scale":${p.scale},"bias":${p.bias},""" +
-          s""""bits":${p.bits}}"""
-      case LvqC(p) =>
-        s"""{"type":"lvq","bits1":${p.bits1},"bits2":${p.bits2},""" +
-          s""""mean":[${p.mean.mkString(",")}]}"""
-      case LeanVecC(m) =>
-        // Double.toString is shortest-round-trip, so the model reopens
-        // bit-exactly and re-derived reductions match the resident column
-        s"""{"type":"leanvec","mean":[${m.mean.mkString(",")}],""" +
-          s""""proj":[${m.proj.map(r => s"[${r.mkString(",")}]")
-            .mkString(",")}],""" +
-          s""""eigvals":[${m.eigvals.mkString(",")}]}"""
-      case PqResC(p) =>
-        s"""{"type":"pqres","m":${p.m},"k":${p.k},"dims":${p.dims},""" +
-          s""""books":[${p.codebooks.map(cb => "[" + cb.map(c =>
-            "[" + c.mkString(",") + "]").mkString(",") + "]")
-            .mkString(",")}]}"""
-    }
-    writeSidecar(spark, s"$path/layout.json",
-      s"""{"codec":$codecJson,""" +
-        s""""byte_unsigned":${byteU.map(_.toString).getOrElse("null")},""" +
-        s""""half_format":${halfF.map(f => s""""$f"""").getOrElse("null")},""" +
-        s""""routing_groups":$routingGroups,""" +
-        s""""routing_metric":"${routingMetric.name.stripSuffix("_simd")}"}""")
   }
 
   /** Re-open a written layout: clustered data with its resident codes, the
@@ -172,20 +174,15 @@ object IndexLayout {
     * restore the codes ≡ centroids ≡ rows invariant, then re-apply the
     * upsert batch (replace-on-add converges). */
   def open(spark: SparkSession, path: String): Layout = {
-    val mp = new org.apache.hadoop.fs.Path(markerPath(path))
-    val mfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (mfs.exists(mp))
-      sys.error(s"layout at $path has an in-progress upsert marker " +
-        s"($mp): an upsert crashed mid-flight and codes/centroids may " +
-        "be inconsistent — AFTER confirming no upsert is currently " +
-        "running (stores have a single-writer contract; repair under a " +
-        "live writer interleaves two commits), run " +
-        "IndexLayout.repair(spark, path), then re-apply the upsert " +
-        "batch (replace-on-add converges)")
+    // marker triage is mechanized (StoreMarker): a fresh heartbeat means
+    // a LIVE writer (do not repair under it), a stale upsert marker
+    // directs to repair(), a stale rebuild marker to re-running write()
+    StoreMarker.guard(spark, path, "layout",
+      "IndexLayout.repair(spark, path)", "IndexLayout.write")
     openUnchecked(spark, path)
   }
 
-  private def markerPath(path: String): String = s"$path/upsert.inprogress"
+  private def markerPath(path: String): String = StoreMarker.markerPath(path)
 
   /** [[open]] minus the marker guard — [[repair]]'s entry point. */
   private def openUnchecked(spark: SparkSession, path: String): Layout = {
@@ -509,15 +506,13 @@ object IndexLayout {
       val touchedRows = nc.filter(col("cluster_id").isin(touched: _*))
       // the in-progress marker brackets the multi-artifact commit (data
       // partitions + centroids + routing cannot commit atomically): a
-      // crash anywhere inside leaves the marker behind, open() refuses
-      // to serve the possibly code/centroid-inconsistent store, and
-      // repair() restores the invariant from the marker's touched list
-      writeSidecar(spark, markerPath(path),
-        s"""{"touched":[${touched.mkString(",")}]}""")
-      rewriteTouched(spark, path, layout, touchedRows, touched)
-      val mfs = new org.apache.hadoop.fs.Path(markerPath(path))
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      mfs.delete(new org.apache.hadoop.fs.Path(markerPath(path)), false)
+      // crash anywhere inside leaves the marker behind (heartbeat gone
+      // stale), open() refuses to serve the possibly
+      // code/centroid-inconsistent store, and repair() restores the
+      // invariant from the marker's touched list
+      StoreMarker.bracket(spark, path, "upsert", touched) {
+        rewriteTouched(spark, path, layout, touchedRows, touched)
+      }
     }
     open(spark, path)
   }
@@ -533,21 +528,27 @@ object IndexLayout {
     * Idempotent; a store without a marker is returned unchanged. */
   def repair(spark: SparkSession, path: String): Layout = {
     import org.apache.spark.sql.functions._
-    val mp = new org.apache.hadoop.fs.Path(markerPath(path))
-    val mfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!mfs.exists(mp)) return open(spark, path)
-    import org.json4s._
-    implicit val fmts: Formats = DefaultFormats
-    val touched = (org.json4s.jackson.JsonMethods.parse(
-      readSidecar(spark, markerPath(path))) \ "touched")
-      .extract[Seq[Long]].sorted
+    // the guard refuses LIVE markers (repair under a running writer
+    // interleaves two commits) and stale REBUILD markers (no touched
+    // list exists — only re-running write() helps); what remains is the
+    // stale upsert marker repair exists for
+    val info = StoreMarker.guard(spark, path, "layout",
+      "IndexLayout.repair(spark, path)", "IndexLayout.write",
+      forRepair = true)
+    if (info.isEmpty) return open(spark, path)
+    val touched = info.get.touched.sorted
     val layout = openUnchecked(spark, path)
     val touchedRows = layout.clustered
       .select(col("id").cast("long").as("id"), col("vec"),
         col("cluster_id").cast("long").as("cluster_id"))
       .filter(col("cluster_id").isin(touched: _*))
-    rewriteTouched(spark, path, layout, touchedRows, touched)
-    mfs.delete(mp, false)
+    // re-mark with a fresh session + heartbeat for the repair's own
+    // rewrite: a crash mid-repair leaves the same stale-upsert state
+    // (repair is idempotent), and the heartbeat keeps a concurrent
+    // open() from reading "stale — repair me" under a live repair
+    StoreMarker.bracket(spark, path, "upsert", touched) {
+      rewriteTouched(spark, path, layout, touchedRows, touched)
+    }
     open(spark, path)
   }
 

@@ -1401,8 +1401,13 @@ object Vamana {
     // fallback) the join side, so an oversized duplicate-heavy batch
     // neither re-derives ids nor fans duplicate cluster_id rows into
     // the downstream distinct; the bounded take is the size probe's
-    // only extra pass, and it is capped at LocateIsinMax+1 rows
-    val idsL = ids.select(col("id").cast("long").as("id")).distinct()
+    // only extra pass, and it is capped at LocateIsinMax+1 rows.
+    // NULL ids (plausible from a CDC delete feed) drop here — the
+    // pre-fast-path join ignored them silently, and a null can match
+    // no stored row either way; without the filter the typed collect
+    // fails the whole batch on "Null value in non-nullable field"
+    val idsL = ids.select(col("id").cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct()
     val bounded = idsL.limit(LocateIsinMax + 1).as[Long].collect()
     if (bounded.isEmpty) stored.select(col("cluster_id")).limit(0)
     else if (bounded.length <= LocateIsinMax)

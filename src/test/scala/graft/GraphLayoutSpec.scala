@@ -277,9 +277,25 @@ class GraphLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/codes")
       .filter(col("id").isin(delSeq: _*)).count() > 0)
 
-    // a marked store refuses to open or upsert
+    // a FRESH marker reads as a LIVE writer (heartbeat within the
+    // liveness window): open() refuses with the live-writer triage and
+    // repair() refuses too — repairing under a live writer is the
+    // single-writer hazard the heartbeat mechanizes
+    val eLive = intercept[RuntimeException] { GraphLayout.open(spark, path) }
+    assert(eLive.getMessage.contains("LIVE") &&
+      eLive.getMessage.contains("Do NOT repair"))
+    intercept[RuntimeException] { GraphLayout.repair(spark, path) }
+    // age the marker past the liveness window: the simulated writer is
+    // now CRASHED — open() directs to repair(), upsert refuses as well
+    def ageMarker(): Unit = java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$path/upsert.inprogress"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 2 * graft.operators.StoreMarker
+          .LiveWindowMs))
+    ageMarker()
     val e = intercept[RuntimeException] { GraphLayout.open(spark, path) }
-    assert(e.getMessage.contains("repair"))
+    assert(e.getMessage.contains("repair") &&
+      e.getMessage.contains("STALE upsert"))
     intercept[RuntimeException] {
       GraphLayout.upsert(spark, path, added, delIds, params, Metric.L2)
     }
@@ -342,13 +358,45 @@ class GraphLayoutSpec extends SparkSpec {
     assert(servedAll(up) === servedAll(twin))
     // repair without a marker is the identity
     assert(GraphLayout.repair(spark, path).centroids === up.centroids)
-    // a full REBUILD onto a crashed path supersedes the marker: write()
-    // clears it, so open() accepts the now-consistent store
+    // a full REBUILD onto a crashed path supersedes a STALE marker
+    // (write() refuses a LIVE one — single-writer) and lifts it after
+    // the last artifact, so open() accepts the now-consistent store
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$path/upsert.inprogress"),
       """{"touched":[0]}""".getBytes)
+    intercept[RuntimeException] {
+      GraphLayout.write(clustered, graph, cents, path, pq = Some(p),
+        bin = Some(b))
+    }
+    ageMarker()
     GraphLayout.write(clustered, graph, cents, path, pq = Some(p),
       bin = Some(b))
+    assert(GraphLayout.open(spark, path).centroids === cents)
+  }
+
+  test("rebuild crash window: a rebuild-kind marker (crashed write()) " +
+      "is refused by open() with the re-run-write() triage and by " +
+      "repair(); a completed write() lifts it") {
+    val (_, cents, clustered, graph, _) = fixture()
+    val path = "/tmp/graft_graphlayout_spec_rebuild_crash"
+    GraphLayout.write(clustered, graph, cents, path)
+    val mp = java.nio.file.Paths.get(s"$path/upsert.inprogress")
+    assert(!java.nio.file.Files.exists(mp))
+    java.nio.file.Files.write(mp,
+      """{"kind":"rebuild","session":"dead-writer","touched":[]}"""
+        .getBytes)
+    val eLive = intercept[RuntimeException] { GraphLayout.open(spark, path) }
+    assert(eLive.getMessage.contains("LIVE"))
+    java.nio.file.Files.setLastModifiedTime(mp,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 2 * graft.operators.StoreMarker
+          .LiveWindowMs))
+    val e = intercept[RuntimeException] { GraphLayout.open(spark, path) }
+    assert(e.getMessage.contains("STALE rebuild") &&
+      e.getMessage.contains("re-run"))
+    val eR = intercept[RuntimeException] { GraphLayout.repair(spark, path) }
+    assert(eR.getMessage.contains("STALE rebuild"))
+    GraphLayout.write(clustered, graph, cents, path)
     assert(GraphLayout.open(spark, path).centroids === cents)
   }
 

@@ -175,9 +175,22 @@ class IndexLayoutSpec extends SparkSpec {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cluster_id").parquet(s"$path/data")
     // the store is now silently WRONG (codes reference a centroid the
-    // table does not hold) — open() and upsert() must refuse it
+    // table does not hold) — open() and upsert() must refuse it.
+    // While the marker is FRESH the triage presumes a LIVE writer
+    // (repair refuses too); aged past the liveness window it reads as
+    // crashed and open() directs to repair()
+    val eLive = intercept[RuntimeException] { IndexLayout.open(spark, path) }
+    assert(eLive.getMessage.contains("LIVE") &&
+      eLive.getMessage.contains("Do NOT repair"))
+    intercept[RuntimeException] { IndexLayout.repair(spark, path) }
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$path/upsert.inprogress"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 2 * graft.operators.StoreMarker
+          .LiveWindowMs))
     val e = intercept[RuntimeException] { IndexLayout.open(spark, path) }
-    assert(e.getMessage.contains("repair"))
+    assert(e.getMessage.contains("repair") &&
+      e.getMessage.contains("STALE upsert"))
     intercept[RuntimeException] {
       IndexLayout.upsert(spark, path, added, noDels)
     }
@@ -208,11 +221,62 @@ class IndexLayoutSpec extends SparkSpec {
     assert(served(up) === served(IndexLayout.open(spark, path2)))
     // repair without a marker is the identity
     assert(IndexLayout.repair(spark, path).centroids === up.centroids)
-    // a full REBUILD onto a crashed path supersedes the marker: write()
-    // clears it, so open() accepts the now-consistent store
+    // a full REBUILD onto a crashed path supersedes a STALE marker
+    // (write() refuses a LIVE one — single-writer) and lifts it after
+    // the last artifact, so open() accepts the now-consistent store
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$path/upsert.inprogress"),
       """{"touched":[0]}""".getBytes)
+    intercept[RuntimeException] {
+      IndexLayout.write(clustered, cents, path, IndexLayout.PqResC(p))
+    }
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$path/upsert.inprogress"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 2 * graft.operators.StoreMarker
+          .LiveWindowMs))
+    IndexLayout.write(clustered, cents, path, IndexLayout.PqResC(p))
+    assert(IndexLayout.open(spark, path).centroids === cents)
+  }
+
+  test("rebuild crash window: write() holds a rebuild-kind marker until " +
+      "the LAST artifact lands, so a failed or crashed rebuild leaves a " +
+      "refused store (re-run write(), not repair) instead of an unmarked " +
+      "inconsistent one") {
+    val (data, cents, clustered, p) = fixture()
+    val path = "/tmp/graft_indexlayout_spec_rebuild_crash"
+    // a COMPLETED write lifts its marker
+    IndexLayout.write(clustered, cents, path, IndexLayout.PqResC(p))
+    val mp = java.nio.file.Paths.get(s"$path/upsert.inprogress")
+    assert(!java.nio.file.Files.exists(mp))
+    // a FAILED write (executor exception mid-artifact) keeps it: the
+    // data dir was being overwritten when the job died, so the store
+    // must stay refused — this is the window the pre-r16
+    // delete-marker-first order left unmarked
+    val boom = org.apache.spark.sql.functions.udf((v: Seq[Double]) =>
+      if (v == null) v else throw new RuntimeException("injected crash"))
+    intercept[Exception] {
+      IndexLayout.write(clustered.withColumn("vec", boom(col("vec"))),
+        cents, path, IndexLayout.PqResC(p))
+    }
+    assert(java.nio.file.Files.exists(mp))
+    assert(new String(java.nio.file.Files.readAllBytes(mp))
+      .contains(""""kind":"rebuild""""))
+    // fresh marker → live-writer triage; aged → stale-rebuild triage
+    // directing to write(), and repair() refuses (no touched list can
+    // reconstruct a half-written rebuild)
+    val eLive = intercept[RuntimeException] { IndexLayout.open(spark, path) }
+    assert(eLive.getMessage.contains("LIVE"))
+    java.nio.file.Files.setLastModifiedTime(mp,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 2 * graft.operators.StoreMarker
+          .LiveWindowMs))
+    val e = intercept[RuntimeException] { IndexLayout.open(spark, path) }
+    assert(e.getMessage.contains("STALE rebuild") &&
+      e.getMessage.contains("re-run"))
+    val eR = intercept[RuntimeException] { IndexLayout.repair(spark, path) }
+    assert(eR.getMessage.contains("STALE rebuild"))
+    // recovery: re-running write() supersedes and lifts the marker
     IndexLayout.write(clustered, cents, path, IndexLayout.PqResC(p))
     assert(IndexLayout.open(spark, path).centroids === cents)
   }

@@ -53,6 +53,14 @@ class PlanSpec extends SparkSpec {
     // empty batch: empty locate, no jobs against the store
     assert(Vamana.locateShards(stored,
       small.limit(0)).collect().isEmpty)
+    // NULL ids (a malformed CDC delete row) are ignored, matching the
+    // old join semantics — not a batch-failing typed-collect error
+    val withNull = small.unionByName(
+      Seq[Option[Long]](None).toDF("id"))
+    assert(shards(Vamana.locateShards(stored, withNull)) ===
+      shards(joinLocate(small)))
+    assert(Vamana.locateShards(stored,
+      Seq[Option[Long]](None, None).toDF("id")).collect().isEmpty)
     // oversized batch (> LocateIsinMax): join fallback, same rows
     val big = spark.range(Vamana.LocateIsinMax + 5).select(col("id"))
     val slow = Vamana.locateShards(stored, big)
