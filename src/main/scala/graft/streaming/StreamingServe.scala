@@ -158,8 +158,17 @@ object StreamingServe {
     val ids = batch.select(col("query_id")).distinct()
       .orderBy(col("query_id")).collect().map(_.get(0))
     if (ids.isEmpty) Seq.empty
-    else ids.grouped(maxQ)
-      .map(g => batch.filter(col("query_id").isin(g.toSeq: _*))).toSeq
+    else {
+      val groups = ids.grouped(maxQ).toSeq
+      // one source materialization per burst batch: every slice
+      // re-filters the batch frame, so a multi-slice batch carrying a
+      // heavy upstream plan would recompute that plan once per slice —
+      // sever the lineage once (eager localCheckpoint, the batch is
+      // broadcast-small by the serving contract) and slice off the
+      // checkpoint; the single-slice steady state skips the copy
+      val src = if (groups.length > 1) batch.localCheckpoint(true) else batch
+      groups.map(g => src.filter(col("query_id").isin(g.toSeq: _*)))
+    }
   }
 
   /** One micro-batch's results into its own `batch_id=` partition.
@@ -242,17 +251,32 @@ object StreamingServe {
     * directly off "local batches at fraction ≲ f run p90 X ms". The
     * latency fold dedupes to one wall per (batch, mode) first (a
     * batch's slice rows share its wall — counting them per slice would
-    * weight bursty batches). Exact percentiles (the log is
-    * driver-small: one row per (batch, slice)); total like
-    * [[decisions]] — an unwritten log aggregates to zero rows, and
-    * pre-latency logs aggregate with NULL latency columns. */
+    * weight bursty batches) and then keeps ONLY single-mode batches: a
+    * batch whose slices span modes (Auto can flip per slice) has one
+    * wall and no single mode to charge it to — attributing it to every
+    * mode present would let walls dominated by the OTHER mode's slices
+    * pollute each mode's percentiles. Excluded batches are not silent:
+    * each mode row carries `mixed_mode_batches`, the number of its
+    * batches whose wall went unattributed (per-slice walls cannot exist
+    * — a batch's slices execute inside ONE sink write). Exact
+    * percentiles (the log is driver-small: one row per (batch, slice));
+    * total like [[decisions]] — an unwritten log aggregates to zero
+    * rows, and pre-latency logs aggregate with NULL latency columns. */
   def decisionStats(spark: SparkSession, logPath: String): DataFrame = {
     val d = decisions(spark, logPath)
-    val latency = d.select("mode", "batch_id", "serve_ms").distinct()
+    val perBatch = d.select("mode", "batch_id", "serve_ms").distinct()
+    val nModes = perBatch.groupBy("batch_id")
+      .agg(countDistinct("mode").as("n_modes"))
+    val latency = perBatch.join(nModes, Seq("batch_id"))
       .groupBy("mode").agg(
-        expr("percentile(serve_ms, 0.5)").as("p50_serve_ms"),
-        expr("percentile(serve_ms, 0.9)").as("p90_serve_ms"),
-        max("serve_ms").as("max_serve_ms"))
+        expr("percentile(if(n_modes = 1, serve_ms, null), 0.5)")
+          .as("p50_serve_ms"),
+        expr("percentile(if(n_modes = 1, serve_ms, null), 0.9)")
+          .as("p90_serve_ms"),
+        max(when(col("n_modes") === 1, col("serve_ms")))
+          .as("max_serve_ms"),
+        sum(when(col("n_modes") > 1, 1L).otherwise(0L))
+          .as("mixed_mode_batches"))
     d.groupBy("mode").agg(
       count(lit(1)).as("slices"),
       countDistinct("batch_id").as("batches"),

@@ -264,6 +264,59 @@ class StreamingServeSpec extends SparkSpec {
     val mixedStats = StreamingServe.decisionStats(spark, oldLog)
       .collect()
     assert(mixedStats.head.getAs[Double]("max_serve_ms") === 12.5)
+    // a single-mode log attributes every wall: nothing lands in
+    // mixed_mode_batches
+    assert(mixedStats.forall(_.getAs[Long]("mixed_mode_batches") === 0L))
+    // a MULTI-mode batch (Auto can flip per slice) has one wall and no
+    // single mode to charge it to: its wall is EXCLUDED from every
+    // mode's latency fold and surfaced via mixed_mode_batches instead
+    // of inflating per-mode percentiles with the other mode's slices
+    val mmLog = "/tmp/graft_streaming_serve_decisions_multimode"
+    cleanDir(mmLog)
+    Seq((0, "local", 0.2, 1, 7.0), (1, "cogroup", 0.9, 4, 7.0))
+      .toDF("slice", "mode", "fraction", "probed_shards", "serve_ms")
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(mmLog)
+    Seq((0, "local", 0.3, 2, 3.0))
+      .toDF("slice", "mode", "fraction", "probed_shards", "serve_ms")
+      .withColumn("batch_id", lit(1L))
+      .write.mode("append").partitionBy("batch_id").parquet(mmLog)
+    val mm = StreamingServe.decisionStats(spark, mmLog).collect()
+      .map(r => r.getAs[String]("mode") -> r).toMap
+    assert(mm("local").getAs[Long]("mixed_mode_batches") === 1L)
+    assert(mm("cogroup").getAs[Long]("mixed_mode_batches") === 1L)
+    // local's latency comes from its single-mode batch only
+    assert(mm("local").getAs[Double]("max_serve_ms") === 3.0)
+    assert(mm("local").getAs[Double]("p50_serve_ms") === 3.0)
+    // cogroup ran only inside the mixed batch → NULL latency, counted
+    assert(mm("cogroup").isNullAt(
+      mm("cogroup").fieldIndex("max_serve_ms")))
+    // the dispatch-shape half still counts the mixed batch's slices
+    assert(mm("cogroup").getAs[Long]("slices") === 1L)
+  }
+
+  test("burst batches materialize their source plan ONCE: a multi-slice " +
+      "batch localCheckpoints before slicing, so a heavy upstream plan " +
+      "is not recomputed per slice") {
+    val out = "/tmp/graft_streaming_serve_burst_ckpt"
+    val acc = spark.sparkContext.longAccumulator("graft-burst-evals")
+    val counting = udf((v: Seq[Double]) => { acc.add(1L); v })
+    val qs = queryRows
+    assert(qs.length > 3, "need a multi-slice batch")
+    val res = streamed(qs, 1, out)(st =>
+      StreamingServe.attachHamming(
+        st.withColumn("qvec", counting(col("qvec"))), layout, out, ckpt(),
+        K, W, nProbes = 2, kReorder = 2, maxQueriesPerBatch = 3))
+    assert(tuples(res) === tuples(GraphLayout.serveHamming(layout,
+      Tables.embeddingQueries(spark, sfDir), K, W, nProbes = 2,
+      kReorder = 2)))
+    // ≤ 2 passes over the source plan: the distinct-ids pass plus the
+    // eager localCheckpoint; every slice (probe collect + rerank join +
+    // sink write) then reads the checkpoint. Without the checkpoint the
+    // same batch measured 9 full passes (ids + 4 slices × 2 actions) —
+    // 90 evals for these 10 rows
+    assert(acc.value <= 2L * qs.length,
+      s"source plan evaluated ${acc.value} times for ${qs.length} rows")
   }
 
   test("results() is TOTAL: an unwritten sink returns an empty frame " +
