@@ -31,6 +31,26 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_LOCAL.json")
+    // Scratch placement (parameterized, guide §6): Spark scratch
+    // (spark.local.dir defaults to java.io.tmpdir), streaming checkpoint
+    // fixtures and throwaway store fixtures all land under the JVM
+    // tmpdir. On this sandbox /tmp is ext4-on-VM-disk and the streaming
+    // family's per-micro-batch offset/commit/state fsyncs dominated its
+    // wall (measured 1.4–3× on q61/q84/q99) — so default the scratch to
+    // the RAM-backed /dev/shm when present, overridable with
+    // SPARK_GRAFT_SCRATCH (a production deployment points this at its
+    // fast local disks; durable checkpoints are a caller choice, and the
+    // bench fixtures are ephemeral MemoryStream replays by design).
+    sys.env.get("SPARK_GRAFT_SCRATCH")
+      .orElse(Some("/dev/shm").filter(p => {
+        val f = new java.io.File(p); f.isDirectory && f.canWrite
+      }))
+      .foreach { s =>
+        val d = new java.io.File(s, "graft-scratch")
+        d.mkdirs()
+        if (d.isDirectory && d.canWrite)
+          System.setProperty("java.io.tmpdir", d.getAbsolutePath)
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -118,6 +118,16 @@ object SparkEntry {
   /** Build-once caches (index built once, searched many times — the
     * reference's benchmark model). Keyed by sfDir; entries are cached
     * DataFrames shared across queries within one process. */
+  /** Fixture-store root: every throwaway store/egress fixture the queries
+    * write lives under the JVM's tmpdir, so the scratch-placement dial
+    * (Bench redirects java.io.tmpdir to SPARK_GRAFT_SCRATCH, default
+    * /dev/shm when writable) covers the fixture writes too — ext4 fsync
+    * latency on the sandbox's /tmp dominated the streaming + store
+    * fixtures, and production stores live on storage chosen for the
+    * deployment, not wherever the harness JVM booted. */
+  private val tmpBase: String =
+    System.getProperty("java.io.tmpdir", "/tmp").stripSuffix("/")
+
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(String, String), Any]
   private def memoized[T](kind: String, dir: String)(mk: => T): T =
@@ -626,13 +636,17 @@ object SparkEntry {
     val truth = FlatKnn.search(q, data, K, Metric.L2)
       .select("query_id", "neighbor_id").cache()
     val nq = q.count()
-    def recallOf(kr: Int): Double =
-      searchAt(kr).select("query_id", "neighbor_id").intersect(truth)
-        .count().toDouble / (K * nq)
+    // ONE memoized recall-per-dial shared between the target-setting
+    // max-dial eval, the binary search, and the kr−1 minimality probe —
+    // the max dial was previously evaluated twice and the probe's dial
+    // once more, each a full search + recall job chain
+    val recallMemo = scala.collection.mutable.Map.empty[Int, Double]
+    def recallOf(kr: Int): Double = recallMemo.getOrElseUpdate(kr,
+      Calibrate.recallPairs(searchAt(kr), truth, K, nq))
     val maxDial = 16
     val target = recallOf(maxDial) * 0.8
-    val (kr, rec) = Calibrate.calibrateReorder(searchAt, truth, K, target,
-      maxDial)
+    val (kr, rec) = Calibrate.calibrateWindowWith(recallOf, target,
+      1, maxDial)
     val minimal = if (kr <= 1) 1L
       else if (recallOf(kr - 1) < target) 1L else 0L
     val out = Seq((if (rec >= target) 1L else 0L, minimal,
@@ -695,7 +709,7 @@ object SparkEntry {
   private def binGraphLayout(s: SparkSession, dir: String)
       : graft.operators.GraphLayout.Layout =
     memoized[graft.operators.GraphLayout.Layout]("graph_layout_bin", dir) {
-      val path = "/tmp/graft_q162_bin_" +
+      val path = tmpBase + "/graft_q162_bin_" +
         dir.replaceAll("[^a-zA-Z0-9]", "_")
       graft.operators.GraphLayout.write(embLabelClustered(s, dir),
         embGraph(s, dir), embLabelCentroids(s, dir), path,
@@ -811,7 +825,7 @@ object SparkEntry {
     * query terms' hash-bucket partitions (PartitionFilters at the scan;
     * the text-index analog of the IVF cluster-partitioned layout). */
   private def postingsStoreQ(s: SparkSession, dir: String): DataFrame = {
-    val path = "/tmp/graft_q132_postings_" +
+    val path = tmpBase + "/graft_q132_postings_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_")
     TextIndex.writePostings(
       TextIndex.postings(docs(s, dir)), path, nBuckets = 16)
@@ -845,7 +859,7 @@ object SparkEntry {
     * q126's full-corpus term stats, so the lifecycle is certified to
     * converge to the from-scratch build. */
   private def postingsCompactQ(s: SparkSession, dir: String): DataFrame = {
-    val base = "/tmp/graft_q134_postings_" +
+    val base = tmpBase + "/graft_q134_postings_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_")
     val d = docs(s, dir)
     TextIndex.writePostings(
@@ -888,7 +902,7 @@ object SparkEntry {
   /** Shared on-disk text index for q137/q138 (built once per dir). */
   private def textIndexPath(s: SparkSession, dir: String): String =
     memoized[String]("ti_index", dir) {
-      val path = "/tmp/graft_ti_index_" +
+      val path = tmpBase + "/graft_ti_index_" +
         dir.replaceAll("[^a-zA-Z0-9]", "_")
       TextIndex.buildIndex(docs(s, dir), path, nBuckets = 16)
       path
@@ -1074,7 +1088,7 @@ object SparkEntry {
   private def storedGraphLayout(s: SparkSession, dir: String)
       : graft.operators.GraphLayout.Layout =
     memoized[graft.operators.GraphLayout.Layout]("graph_layout", dir) {
-      val path = "/tmp/graft_q150_graph_" +
+      val path = tmpBase + "/graft_q150_graph_" +
         dir.replaceAll("[^a-zA-Z0-9]", "_")
       graft.operators.GraphLayout.write(embLabelClustered(s, dir),
         embGraph(s, dir), embLabelCentroids(s, dir), path,
@@ -1113,7 +1127,7 @@ object SparkEntry {
       : graft.operators.GraphLayout.Layout =
     memoized[graft.operators.GraphLayout.Layout]("graph_layout_routed",
       dir) {
-      val path = "/tmp/graft_q180_graph_" +
+      val path = tmpBase + "/graft_q180_graph_" +
         dir.replaceAll("[^a-zA-Z0-9]", "_")
       graft.operators.GraphLayout.write(embLabelClustered(s, dir),
         embGraph(s, dir), embLabelCentroids(s, dir), path,
@@ -1148,7 +1162,7 @@ object SparkEntry {
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
     val layout = routedGraphLayout(s, dir)
-    val out = "/tmp/graft_q190_serve_stream_" +
+    val out = tmpBase + "/graft_q190_serve_stream_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_")
     // clean sink: a previous run's batch partitions would otherwise
     // union into this run's results
@@ -1193,7 +1207,7 @@ object SparkEntry {
     * centroids — refresh-touched-only ≡ recompute-all because untouched
     * labels' membership is unchanged. */
   private def indexUpsertQ(s: SparkSession, dir: String): DataFrame = {
-    val path = "/tmp/graft_q191_index_upsert_" +
+    val path = tmpBase + "/graft_q191_index_upsert_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_")
     graft.operators.IndexLayout.write(embLabelClustered(s, dir),
       embLabelCentroids(s, dir), path,
@@ -1222,7 +1236,7 @@ object SparkEntry {
   private def indexUpsertStreamQ(s: SparkSession, dir: String): DataFrame = {
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
-    val path = "/tmp/graft_q192_index_upsert_stream_" +
+    val path = tmpBase + "/graft_q192_index_upsert_stream_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_")
     graft.operators.IndexLayout.write(embLabelClustered(s, dir),
       embLabelCentroids(s, dir), path,
@@ -1325,7 +1339,7 @@ object SparkEntry {
     * re-derived; the served full-window search over the upserted store
     * must equal exact kNN over the merged corpus — q51's oracle. */
   private def graphUpsertQ(s: SparkSession, dir: String): DataFrame = {
-    val path = "/tmp/graft_q152_graph_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = tmpBase + "/graft_q152_graph_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
     graft.operators.GraphLayout.write(embLabelClustered(s, dir),
       embGraph(s, dir), embLabelCentroids(s, dir), path)
     val added = embVectors(s, dir).filter(col("id") % 10 === 4)
@@ -1383,7 +1397,7 @@ object SparkEntry {
     * probe-pruned residual-LUT sums reading codes of probed partitions
     * only — must equal q146's in-memory composition (same oracle). */
   private def ivfPqStoredQ(s: SparkSession, dir: String): DataFrame = {
-    val path = "/tmp/graft_q156_ivfpq_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = tmpBase + "/graft_q156_ivfpq_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
     val cents = ivfPqCents(s, dir)
     graft.operators.IndexLayout.write(
       KMeans.assign(embVectors(s, dir), cents), cents, path,
@@ -1404,7 +1418,7 @@ object SparkEntry {
     * shares q156's oracle while exercising the persisted routing path
     * end-to-end. */
   private def ivfPqRoutedQ(s: SparkSession, dir: String): DataFrame = {
-    val path = "/tmp/graft_q169_ivfpq_routed_" +
+    val path = tmpBase + "/graft_q169_ivfpq_routed_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_")
     val cents = ivfPqCents(s, dir)
     graft.operators.IndexLayout.write(
@@ -1427,7 +1441,7 @@ object SparkEntry {
     * (IndexRoutingSpec) and serve ≡ searchRouted, so q156/q169's oracle
     * certifies the dispatcher itself. */
   private def indexServeQ(s: SparkSession, dir: String): DataFrame = {
-    val path = "/tmp/graft_q186_index_serve_" +
+    val path = tmpBase + "/graft_q186_index_serve_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_")
     val cents = ivfPqCents(s, dir)
     graft.operators.IndexLayout.write(
@@ -1771,7 +1785,7 @@ object SparkEntry {
   /** Dynamic-table lifecycle round trip: two segment appends, a soft-delete
     * batch, consolidate (physical rewrite), then read back (M1-M4). */
   private def dynConsolidateQ(s: SparkSession, dir: String): DataFrame = {
-    val root = "/tmp/graft_dyn_q28"
+    val root = tmpBase + "/graft_dyn_q28"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -1792,7 +1806,7 @@ object SparkEntry {
     * and the ranking. Oracle: the q26 per-label SQL with the labels
     * filtered out. */
   private def labelDeleteQ(s: SparkSession, dir: String): DataFrame = {
-    val root = "/tmp/graft_dyn_q166"
+    val root = tmpBase + "/graft_dyn_q166"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -1813,7 +1827,7 @@ object SparkEntry {
     * post-consolidate search runs FlatKnn's byte branch. Oracle: exact
     * kNN over the i8-quantized dims excluding the deleted ids. */
   private def dynI8Q(s: SparkSession, dir: String): DataFrame = {
-    val root = "/tmp/graft_dyn_q168"
+    val root = tmpBase + "/graft_dyn_q168"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -1843,7 +1857,7 @@ object SparkEntry {
     * cast projection (bit-identical to the widened fold, F32BuildSpec).
     * Oracle: exact kNN excluding the deleted ids. */
   private def dynF32Q(s: SparkSession, dir: String): DataFrame = {
-    val root = "/tmp/graft_dyn_q78"
+    val root = tmpBase + "/graft_dyn_q78"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -1882,7 +1896,7 @@ object SparkEntry {
     * which equals vec_id because embeddings ids are dense and the write is
     * range-partitioned by id. */
   private def fvecsRoundtripQ(s: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft_fvecs_q29"
+    val out = tmpBase + "/graft_fvecs_q29"
     val orig = embVectors(s, dir).select("id", "vec")
     graft.sources.VecsIO.write(
       orig.repartitionByRange(4, col("id")), out, graft.sources.VecsIO.F32)
@@ -1899,7 +1913,7 @@ object SparkEntry {
     * certified against q29's roundtrip oracle (both readers must produce
     * the identical frame). */
   private def dsv2VecsQ(s: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft_fvecs_q139"
+    val out = tmpBase + "/graft_fvecs_q139"
     val orig = embVectors(s, dir).select("id", "vec")
     graft.sources.VecsIO.write(
       orig.repartitionByRange(4, col("id")), out, graft.sources.VecsIO.F32)
@@ -1918,7 +1932,7 @@ object SparkEntry {
     * element-wise, tying the FILE codec to the expression codec. */
   private def hvecsRoundtripQ(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.HalfFloat._
-    val out = "/tmp/graft_hvecs_q165"
+    val out = tmpBase + "/graft_hvecs_q165"
     val orig = embVectors(s, dir).select("id", "vec")
     graft.sources.VecsIO.write(
       orig.repartitionByRange(4, col("id")), out, graft.sources.VecsIO.F16)
@@ -1938,7 +1952,7 @@ object SparkEntry {
     * float32 at the source, so the `<f4` trip is bit-exact — same
     * identity claim as q29's fvecs trip. */
   private def npyRoundtripQ(s: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft_npy_q170"
+    val out = tmpBase + "/graft_npy_q170"
     val orig = embVectors(s, dir).select("id", "vec")
     graft.sources.NpyIO.write(
       orig.repartitionByRange(4, col("id")), out, "f4")
@@ -1956,7 +1970,7 @@ object SparkEntry {
     * Embeddings are float32 at the source, so the default `<f4` trip is
     * bit-exact — same identity claim as q29/q170. */
   private def dsv2NpyQ(s: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft_npy_q171"
+    val out = tmpBase + "/graft_npy_q171"
     val orig = embVectors(s, dir).select("id", "vec")
     orig.repartitionByRange(4, col("id")).sortWithinPartitions("id")
       .write.format("graftnpy").mode("overwrite").save(out)
@@ -1976,7 +1990,7 @@ object SparkEntry {
     * bit-exact (q29/q170's claim), making the stream ≡ batch ≡ source. */
   private def npyStreamQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = "/tmp/graft_npy_q172"
+    val out = tmpBase + "/graft_npy_q172"
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-npy-q172-ckpt").toString
     val fs = new org.apache.hadoop.fs.Path(out)
@@ -2021,7 +2035,7 @@ object SparkEntry {
     * certified against q164's oracle: the file round trip must feed the
     * kernel the exact same value space. */
   private def knnNpyBytesQ(s: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft_npy_q173"
+    val out = tmpBase + "/graft_npy_q173"
     val u8 = graft.functions.ByteVecs.markUnsigned(
       embVectors(s, dir).select(col("id"),
         graft.functions.ByteVecs.quantizeUnsigned(col("vec"), ByteScale)
@@ -2041,7 +2055,7 @@ object SparkEntry {
     * splitting (the Deep1B 128 GB-single-file shape), and FlatKnn's byte
     * branch serves them against q164's oracle. */
   private def knnBvecsBytesQ(s: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft_bvecs_q174"
+    val out = tmpBase + "/graft_bvecs_q174"
     val u8 = graft.functions.ByteVecs.markUnsigned(
       embVectors(s, dir).select(col("id"),
         graft.functions.ByteVecs.quantizeUnsigned(col("vec"), ByteScale)
@@ -2067,7 +2081,7 @@ object SparkEntry {
     * General (non-integer) values are pinned separately by HalfKnnSpec's
     * bit-equality against decoded-float serving. */
   private def knnHalfF16Q(s: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft_hvecs_q175"
+    val out = tmpBase + "/graft_hvecs_q175"
     val i8wide = embVectors(s, dir).select(col("id"),
       graft.functions.ByteVecs.quantizeSigned(col("vec"), ByteScale)
         .cast("array<double>").as("vec"))
@@ -2110,7 +2124,7 @@ object SparkEntry {
     * exact-within-probed-shards oracle on the quantized values. Pins the
     * whole stored-half lifecycle, not just the flat scan (q175). */
   private def vamanaStoredHalfQ(s: SparkSession, dir: String): DataFrame = {
-    val path = "/tmp/graft_q177_graph_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = tmpBase + "/graft_q177_graph_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
     val layout =
       memoized[graft.operators.GraphLayout.Layout]("graph_layout_f16", dir) {
         val clH = graft.functions.HalfVecs.toHalf(
@@ -2140,7 +2154,7 @@ object SparkEntry {
     * probe-and-walk — the bf16 truncation of these integers is exact, so
     * q177's i8 oracle certifies the whole stored-bf16 lifecycle. */
   private def vamanaStoredBf16Q(s: SparkSession, dir: String): DataFrame = {
-    val path = "/tmp/graft_q183_graph_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = tmpBase + "/graft_q183_graph_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
     val layout =
       memoized[graft.operators.GraphLayout.Layout]("graph_layout_bf16",
         dir) {
@@ -2169,7 +2183,7 @@ object SparkEntry {
     * trip is bit-exact — q170's identity claim through the
     * single-file writer instead of the shard writer. */
   private def npySingleFileQ(s: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft_npy_q178/all.npy"
+    val out = tmpBase + "/graft_npy_q178/all.npy"
     val orig = embVectors(s, dir).select("id", "vec")
     graft.sources.NpyIO.writeSingleFile(
       orig.repartition(4), out, "f4")
@@ -2190,7 +2204,7 @@ object SparkEntry {
     * source: the same stream ≡ batch ≡ source claim as q172. */
   private def npyManifestStreamQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = "/tmp/graft_npy_q179"
+    val out = tmpBase + "/graft_npy_q179"
     val mani = s"$out/manifests"
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-npy-q179-ckpt").toString
@@ -2506,7 +2520,7 @@ object SparkEntry {
     * bit-exact for the float32-sourced embeddings; .svs row ids are dense in
     * id order, which equals vec_id (dense ids). */
   private def svsRoundtripQ(s: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft_svs_q42/emb.svs"
+    val out = tmpBase + "/graft_svs_q42/emb.svs"
     val orig = embVectors(s, dir).select("id", "vec")
     graft.sources.SvsNative.write(orig, out, graft.sources.VecsIO.F32)
     val back = graft.sources.SvsNative.read(s, out)
@@ -2519,7 +2533,7 @@ object SparkEntry {
 
   /** Headerless raw-binary write→read round trip (S4). */
   private def rawBinRoundtripQ(s: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft_rawbin_q43"
+    val out = tmpBase + "/graft_rawbin_q43"
     val orig = embVectors(s, dir).select("id", "vec")
     graft.sources.VecsIO.writeRawBinary(
       orig.repartitionByRange(4, col("id")), out, Tables.embDims,
@@ -2536,7 +2550,7 @@ object SparkEntry {
   /** Directory save/load with sidecar schema check + S6 auto-dispatch
     * (open() routes a non-vecs path through the sidecar-checked load). */
   private def tableSaveLoadQ(s: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft_vtable_q44"
+    val out = tmpBase + "/graft_vtable_q44"
     val orig = embVectors(s, dir).select("id", "vec")
     val meta = graft.sources.VectorTable.save(orig, out, eltype = "float64")
     val metaOk = meta.dims == Tables.embDims && meta.count == orig.count() &&
@@ -2677,16 +2691,19 @@ object SparkEntry {
     def searchAt(w: Int): DataFrame =
       Vamana.searchPrepared(q, pre, cents, K, w, VamanaProbes, Metric.L2)
     val truth = searchAt(1 << 14).select("query_id", "neighbor_id").cache()
-    val (w, rec) = Calibrate.calibrateWindow(searchAt, truth, K, CalTarget,
+    // ONE memoized recall-per-dial shared between the binary search and
+    // the w−1 minimality probe — each evaluation is a full search + recall
+    // job chain (pure fixed cost to repeat), and the probe's dial is
+    // usually one the search already paid for
+    val nq = truth.select("query_id").distinct().count()
+    val recallMemo = scala.collection.mutable.Map.empty[Int, Double]
+    def recallOf(w: Int): Double = recallMemo.getOrElseUpdate(w,
+      Calibrate.recallPairs(searchAt(w), truth, K, nq))
+    val (w, rec) = Calibrate.calibrateWindowWith(recallOf, CalTarget,
       K, CalMaxWindow)
     val minimal =
       if (w <= K) 1L
-      else {
-        val nq = truth.select("query_id").distinct().count()
-        val below = searchAt(w - 1).select("query_id", "neighbor_id")
-          .intersect(truth).count().toDouble / (K * nq)
-        if (below < CalTarget) 1L else 0L
-      }
+      else if (recallOf(w - 1) < CalTarget) 1L else 0L
     val out = Seq((if (rec >= CalTarget) 1L else 0L, minimal,
       if (w <= CalMaxWindow) 1L else 0L))
       .toDF("achieved", "minimal", "bounded")
@@ -3101,7 +3118,7 @@ object SparkEntry {
     * add→add→delete→consolidate, then coarse-over-rvec + full re-rank at
     * the exhaustive window ≡ exact kNN over the surviving rows. */
   private def leanVecDynQ(s: SparkSession, dir: String): DataFrame = {
-    val root = "/tmp/graft_dyn_q91"
+    val root = tmpBase + "/graft_dyn_q91"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -3136,7 +3153,7 @@ object SparkEntry {
     * trip of the model (shortest-round-trip doubles) and the probe→coarse→
     * rerank plumbing in one hash. */
   private def leanVecIvfLayoutQ(s: SparkSession, dir: String): DataFrame = {
-    val path = "/tmp/graft_layout_q92"
+    val path = tmpBase + "/graft_layout_q92"
     val clustered = embLabelClustered(s, dir)
     val centroids = embLabelCentroids(s, dir)
     IndexLayout.write(clustered, centroids, path,
@@ -3159,7 +3176,7 @@ object SparkEntry {
   private def leanVecStreamIngestQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val root = "/tmp/graft_dyn_q94"
+    val root = tmpBase + "/graft_dyn_q94"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)

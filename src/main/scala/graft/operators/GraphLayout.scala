@@ -93,44 +93,56 @@ object GraphLayout {
     // unmarked inconsistent one (the pre-r16 delete-marker-first order
     // dropped the protection exactly when the store was being remade)
     StoreMarker.bracket(spark, path, "rebuild", Nil) {
-      IvfIndex.writeClustered(clustered, s"$path/data")
       // optional persisted level-1 routing table (the 10⁵-shard dial):
       // trained deterministically from the centroids FOR THE SERVING METRIC
       // (similarity metrics get spherical groups), stored with that metric's
       // name so a reopened index routes hierarchically without re-training
-      // and a metric-mismatched searchRouted fails loudly
-      if (routingGroups > 0) {
-        require(Metric.byName(routingMetric.name.stripSuffix("_simd")).isDefined,
-          s"routing metric '${routingMetric.name}' cannot round-trip the " +
-            "sidecar (Metric.byName) — route with l2/ip/cosine")
-        val (l1, groupOf) = Vamana.trainRoutingLevel(centroids, routingGroups,
-          metric = routingMetric)
-        l1.toDF("id", "vec").write.mode("overwrite")
-          .parquet(s"$path/routing_l1")
-        groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
-          .parquet(s"$path/routing_groups")
-      }
-      graph.write.partitionBy("cluster_id").mode("overwrite")
-        .parquet(s"$path/graph")
-      centroids.toDF("id", "vec").write.mode("overwrite")
-        .parquet(s"$path/centroids")
+      // and a metric-mismatched searchRouted fails loudly. Trained before
+      // the concurrent writes (driver-side, milliseconds) so its two
+      // table writes can join them.
+      val routing =
+        if (routingGroups > 0) {
+          require(
+            Metric.byName(routingMetric.name.stripSuffix("_simd")).isDefined,
+            s"routing metric '${routingMetric.name}' cannot round-trip the " +
+              "sidecar (Metric.byName) — route with l2/ip/cosine")
+          Some(Vamana.trainRoutingLevel(centroids, routingGroups,
+            metric = routingMetric))
+        } else None
       // encodes are VALUE arithmetic: widen byte-resident vecs first so
       // u8 codes land in the unsigned value space (data stays raw on disk)
       lazy val clusteredW = widenedForMath(clustered)
-      pq.foreach { p =>
-        Pq.encodeClustered(clusteredW, p).write.partitionBy("cluster_id")
-          .mode("overwrite").parquet(s"$path/codes")
-      }
-      bin.foreach { b =>
-        val wordCols =
-          if (binVersion >= 2) BinaryQuant.codeColumns64(col("vec"), b)
-          else BinaryQuant.codeColumns(col("vec"), b)
-        clusteredW.select(col("cluster_id") +: col("id") +:
-            wordCols.zipWithIndex.map {
-              case (c, w) => c.as(s"w$w") }: _*)
-          .write.partitionBy("cluster_id").mode("overwrite")
-          .parquet(s"$path/bincodes")
-      }
+      // every artifact write below is independent (disjoint dirs, shared
+      // read-only inputs) and the rebuild marker covers the whole commit —
+      // run them concurrently (guide §2.6) so the write fixture is bound
+      // by the largest artifact, not the sum; the sidecar stays LAST (its
+      // arrival plus the lifted marker is the completion signal)
+      UpsertBatch.runConcurrently(Seq(
+        () => IvfIndex.writeClustered(clustered, s"$path/data"),
+        () => graph.write.partitionBy("cluster_id").mode("overwrite")
+          .parquet(s"$path/graph"),
+        () => centroids.toDF("id", "vec").write.mode("overwrite")
+          .parquet(s"$path/centroids")) ++
+        routing.map { case (l1, groupOf) => () =>
+          l1.toDF("id", "vec").write.mode("overwrite")
+            .parquet(s"$path/routing_l1")
+          groupOf.toSeq.toDF("cluster_id", "group_id").write
+            .mode("overwrite").parquet(s"$path/routing_groups")
+        } ++
+        pq.map { p => () =>
+          Pq.encodeClustered(clusteredW, p).write.partitionBy("cluster_id")
+            .mode("overwrite").parquet(s"$path/codes")
+        } ++
+        bin.map { b => () =>
+          val wordCols =
+            if (binVersion >= 2) BinaryQuant.codeColumns64(col("vec"), b)
+            else BinaryQuant.codeColumns(col("vec"), b)
+          clusteredW.select(col("cluster_id") +: col("id") +:
+              wordCols.zipWithIndex.map {
+                case (c, w) => c.as(s"w$w") }: _*)
+            .write.partitionBy("cluster_id").mode("overwrite")
+            .parquet(s"$path/bincodes")
+        })
       val pqJson = pq match {
         case None => "null"
         case Some(p) =>
@@ -813,36 +825,52 @@ object GraphLayout {
     val stored = layout.clustered
       .select(col("id").cast("long").as("id"), col("vec"),
         col("cluster_id").cast("long").as("cluster_id"))
-    val dels = deletedIds.select(col("id").cast("long").as("id")).distinct()
     // batch hygiene, in precedence order:
     //  1. exact duplicate added rows collapse (at-least-once redelivery);
     //  2. two DIFFERENT payloads for one id in one batch is ambiguous —
     //     fail loudly rather than pick one;
     //  3. an id in both added and deletedIds is DELETED (delete wins, so
     //     a redelivered stale add can never resurrect a deleted row).
-    // delete-only batches (CDC) carry a placeholder vec type on an
-    // EMPTY adds frame — probe the RAW frame once (the cheapest plan,
-    // and it short-circuits the distinct + conflict jobs too) and
-    // substitute a schema-matched empty frame (the store's own schema,
-    // marks included) so the value-space checks and the merge union
-    // cannot fail on zero added rows. A batch whose adds are all
-    // deleted in-batch flows the normal path: its frame carried real
-    // payloads, so it is correctly typed and the checks apply.
-    val addedFinal =
-      if (added.isEmpty) stored.select("id", "vec", "cluster_id").limit(0)
-      else {
-        val addedDistinct = added.distinct()
-        // only a handful of ids are reported — bound the collect BEFORE
-        // it reaches the driver (a batch could conflict en masse)
-        val conflicted = addedDistinct.groupBy("id").count()
-          .filter(col("count") > 1).select(col("id").cast("long"))
-          .limit(6).as[Long].collect()
-        require(conflicted.isEmpty,
-          s"upsert: conflicting added payloads for ids " +
-            s"${conflicted.take(5).mkString(", ")}" +
-            (if (conflicted.length > 5) ", …" else ""))
-        addedDistinct.join(dels, Seq("id"), "left_anti")
-      }
+    // Micro-batch fast path: batches within the UpsertBatch bound collect
+    // ONCE and run that contract driver-side (the distributed twin below
+    // spent ~10 fixed-cost jobs on contractually tiny frames).
+    // delete-only batches (CDC) carry a placeholder vec type on an EMPTY
+    // adds frame — zero added rows substitute a schema-matched empty
+    // frame (the store's own schema, marks included) so the value-space
+    // checks and the merge union cannot fail. A batch whose adds are all
+    // deleted in-batch flows through typed (its frame carried payloads).
+    val (addedFinal, removed) = UpsertBatch.prep(added, deletedIds) match {
+      case Some(p) =>
+        (if (p.addedRows.isEmpty)
+          stored.select("id", "vec", "cluster_id").limit(0)
+        else p.addedDF(spark),
+          p.removedDF(spark))
+      case None => // bulk batch — the distributed path, unchanged
+        val dels = deletedIds.select(col("id").cast("long").as("id"))
+          .distinct()
+        val af =
+          if (added.isEmpty)
+            stored.select("id", "vec", "cluster_id").limit(0)
+          else {
+            val addedDistinct = added.distinct()
+            // only a handful of ids are reported — bound the collect
+            // BEFORE it reaches the driver (a batch could conflict en
+            // masse)
+            val conflicted = addedDistinct.groupBy("id").count()
+              .filter(col("count") > 1).select(col("id").cast("long"))
+              .limit(6).as[Long].collect()
+            require(conflicted.isEmpty,
+              s"upsert: conflicting added payloads for ids " +
+                s"${conflicted.take(5).mkString(", ")}" +
+                (if (conflicted.length > 5) ", …" else ""))
+            addedDistinct.join(dels, Seq("id"), "left_anti")
+          }
+        // rows to remove = explicit deletes ∪ re-added ids
+        // (replace-on-add)
+        (af, dels
+          .unionByName(af.select(col("id").cast("long").as("id")))
+          .distinct())
+    }
     // byte stores: added rows must DECLARE the same signedness as the
     // store (an unmarked or mismatched byte add fails loudly — mixing
     // value spaces in one store is silent corruption), and the merged
@@ -876,24 +904,21 @@ object GraphLayout {
       require(af == f,
         s"upsert: added rows are $af but the store is $f")
     }
-    // rows to remove = explicit deletes ∪ re-added ids (replace-on-add)
-    val removed = dels
-      .unionByName(addedFinal.select(col("id").cast("long").as("id")))
-      .distinct()
     val (nc0, ng, touched) = Vamana.updateShardsTouched(stored, layout.graph,
       addedFinal, removed, params, metric)
     val nc1 = storedSig.map(u => graft.functions.ByteVecs
       .markSignedness(nc0, "vec", u)).getOrElse(nc0)
     val nc = storedHalf.map(f => graft.functions.HalfVecs
       .markHalf(nc1, f, "vec")).getOrElse(nc1)
-    if (touched.nonEmpty) {
-      // the in-progress marker brackets the multi-artifact commit
-      // (data → graph → codes → bincodes → centroids cannot commit
-      // atomically): a crash anywhere inside leaves the marker behind,
-      // open() refuses to serve the store (a kReorder=0 code-only serve
-      // of a crashed upsert can emit deleted ids), and repair()
-      // restores the codes ≡ centroids ≡ data-rows invariant from the
-      // marker's touched list
+    if (touched.isEmpty) return layout // nothing changed on disk
+    // the in-progress marker brackets the multi-artifact commit
+    // (data → graph → codes → bincodes → centroids cannot commit
+    // atomically): a crash anywhere inside leaves the marker behind,
+    // open() refuses to serve the store (a kReorder=0 code-only serve
+    // of a crashed upsert can emit deleted ids), and repair()
+    // restores the codes ≡ centroids ≡ data-rows invariant from the
+    // marker's touched list
+    val (mergedCents, routing) =
       StoreMarker.bracket(spark, path, "upsert", touched) {
         // materialize the touched shards' new rows BEFORE overwriting: the
         // plans read the very partitions the writes replace, and the source
@@ -904,40 +929,47 @@ object GraphLayout {
           .localCheckpoint(true)
         val ngT = ng.filter(col("cluster_id").isin(touched: _*))
           .localCheckpoint(true)
-        // dynamic overwrite is set PER WRITE (DataFrameWriter.option), not
-        // via the session conf — a concurrent overwrite on the same
-        // SparkSession must not inherit dynamic semantics from this job
-        ncT.repartition(col("cluster_id")).write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cluster_id").parquet(s"$path/data")
-        ngT.repartition(col("cluster_id")).write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cluster_id").parquet(s"$path/graph")
         // VALUE arithmetic below (re-encodes, centroid means) must widen
         // byte-resident vecs mark-aware — matching write()'s encode space;
-        // the persisted data/graph partitions above keep the raw bytes
+        // the persisted data/graph partitions keep the raw bytes
         lazy val ncW = widenedForMath(ncT)
-        layout.pq.foreach { p =>
-          Pq.encodeClustered(ncW, p).repartition(col("cluster_id"))
-            .write.mode("overwrite")
+        // the four per-dir writes are independent reads of the two
+        // checkpoints targeting disjoint directories — run them
+        // concurrently so each write's task tail back-fills with the
+        // next's (marker semantics unchanged: any failure keeps the
+        // marker). Dynamic overwrite is set PER WRITE
+        // (DataFrameWriter.option), not via the session conf — a
+        // concurrent overwrite on the same SparkSession must not inherit
+        // dynamic semantics from this job.
+        UpsertBatch.runConcurrently(Seq(
+          () => ncT.repartition(col("cluster_id")).write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("cluster_id").parquet(s"$path/codes")
-        }
-        layout.bin.foreach { b =>
-          // re-encode in the STORE's word layout (sidecar version): a v1
-          // store must keep v1 words — mixed packings across partitions
-          // of one bincodes dir would be silent Hamming corruption
-          val wordCols =
-            if (layout.binVersion >= 2) BinaryQuant.codeColumns64(col("vec"), b)
-            else BinaryQuant.codeColumns(col("vec"), b)
-          ncW.select(col("cluster_id") +: col("id") +:
-              wordCols.zipWithIndex.map {
-                case (c, w) => c.as(s"w$w") }: _*)
-            .repartition(col("cluster_id"))
-            .write.mode("overwrite")
+            .partitionBy("cluster_id").parquet(s"$path/data"),
+          () => ngT.repartition(col("cluster_id")).write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("cluster_id").parquet(s"$path/bincodes")
-        }
+            .partitionBy("cluster_id").parquet(s"$path/graph")) ++
+          layout.pq.map { p => () =>
+            Pq.encodeClustered(ncW, p).repartition(col("cluster_id"))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("cluster_id").parquet(s"$path/codes")
+          } ++
+          layout.bin.map { b => () =>
+            // re-encode in the STORE's word layout (sidecar version): a v1
+            // store must keep v1 words — mixed packings across partitions
+            // of one bincodes dir would be silent Hamming corruption
+            val wordCols =
+              if (layout.binVersion >= 2)
+                BinaryQuant.codeColumns64(col("vec"), b)
+              else BinaryQuant.codeColumns(col("vec"), b)
+            ncW.select(col("cluster_id") +: col("id") +:
+                wordCols.zipWithIndex.map {
+                  case (c, w) => c.as(s"w$w") }: _*)
+              .repartition(col("cluster_id"))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("cluster_id").parquet(s"$path/bincodes")
+          })
         // a shard emptied by deletes writes zero rows, and dynamic overwrite
         // cannot delete a partition it never writes — drop those dirs (and
         // their centroids, via the kept-filter below) explicitly
@@ -958,7 +990,8 @@ object GraphLayout {
         // definition with the oracle replays and IndexLayout's refresh
         val newCents = KMeans.roundedMeans(ncW)
         val kept = layout.centroids.filterNot(c => touchedSet.contains(c._1))
-        (kept ++ newCents).sortBy(_._1).toDF("id", "vec")
+        val mergedCents = (kept ++ newCents).sortBy(_._1)
+        mergedCents.toDF("id", "vec")
           .write.mode("overwrite").parquet(s"$path/centroids.tmp")
         // two-step swap: centroids is a whole-file artifact (no
         // partitions). A crash between delete and rename leaves only
@@ -972,37 +1005,65 @@ object GraphLayout {
           new org.apache.hadoop.fs.Path(s"$path/centroids")),
           s"failed to swap $path/centroids.tmp into place")
         // the upsert changed centroids (refreshed / dropped), so a
-        // persisted routing level would be stale: retrain it from the new
-        // centroid table at the recorded group count (driver-side Lloyd
-        // over the broadcast-small centroids — milliseconds)
+        // persisted routing level would be stale: retrain it from the
+        // just-committed centroid table at the recorded group count
+        // (driver-side Lloyd over the broadcast-small centroids —
+        // milliseconds; mergedCents ≡ the parquet read-back, doubles
+        // round-trip bit-exactly)
         val rg = routingGroupsOf(spark, path)
-        if (rg > 0) {
-          val newCentTable = spark.read.parquet(s"$path/centroids")
-            .select("id", "vec").collect()
-            .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
-            .toIndexedSeq.sortBy(_._1)
-          // retrain with the metric the level was written for (sidecar),
-          // not the upsert's build metric — the serving contract is the
-          // writer's; absent (pre-metric sidecars) default L2, but an
-          // unresolvable RECORDED name fails loudly rather than silently
-          // retraining L2-shaped groups under a sidecar that still
-          // advertises the original metric
-          val rm = layout.routingMetricName match {
-            case Some(name) => Metric.byName(name).getOrElse(sys.error(
-              s"layout routing_metric '$name' is not a routable metric"))
-            case None => Metric.L2
-          }
-          val (l1, groupOf) = Vamana.trainRoutingLevel(newCentTable, rg,
-            metric = rm)
-          import spark.implicits._
-          l1.toDF("id", "vec").write.mode("overwrite")
-            .parquet(s"$path/routing_l1")
-          groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
-            .parquet(s"$path/routing_groups")
-        }
+        val routingNew =
+          if (rg > 0) {
+            // retrain with the metric the level was written for (sidecar),
+            // not the upsert's build metric — the serving contract is the
+            // writer's; absent (pre-metric sidecars) default L2, but an
+            // unresolvable RECORDED name fails loudly rather than silently
+            // retraining L2-shaped groups under a sidecar that still
+            // advertises the original metric
+            val rm = layout.routingMetricName match {
+              case Some(name) => Metric.byName(name).getOrElse(sys.error(
+                s"layout routing_metric '$name' is not a routable metric"))
+              case None => Metric.L2
+            }
+            val (l1, groupOf) = Vamana.trainRoutingLevel(mergedCents, rg,
+              metric = rm)
+            import spark.implicits._
+            l1.toDF("id", "vec").write.mode("overwrite")
+              .parquet(s"$path/routing_l1")
+            groupOf.toSeq.toDF("cluster_id", "group_id")
+              .write.mode("overwrite").parquet(s"$path/routing_groups")
+            Some((l1, groupOf))
+          } else None
+        (mergedCents, routingNew)
       }
+    // construct the reopened layout directly instead of a full open():
+    // the rewritten dirs need fresh reads (new file listings), but the
+    // centroid table, codec params and routing level are the values this
+    // very commit just wrote (parquet round-trips the doubles
+    // bit-exactly; GraphLayoutSpec pins upsert ≡ reopen) — the sidecar +
+    // centroid re-read cost several more driver jobs per upsert
+    val data0 = spark.read.parquet(s"$path/data")
+    val dataR = (storedSig, storedHalf) match {
+      case (Some(u), _) =>
+        graft.functions.ByteVecs.markSignedness(data0, "vec", u)
+      case (_, Some(f)) =>
+        graft.functions.HalfVecs.markHalf(data0, f, "vec")
+      case _ => data0
     }
-    open(spark, path)
+    val fsR = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codesR =
+      if (layout.pq.isDefined && fsR.exists(
+        new org.apache.hadoop.fs.Path(s"$path/codes")))
+        Some(spark.read.parquet(s"$path/codes"))
+      else None
+    val binCodesR =
+      if (layout.bin.isDefined && fsR.exists(
+        new org.apache.hadoop.fs.Path(s"$path/bincodes")))
+        Some(spark.read.parquet(s"$path/bincodes"))
+      else None
+    Layout(dataR, spark.read.parquet(s"$path/graph"), codesR, mergedCents,
+      layout.pq, binCodesR, layout.bin, layout.binVersion, routing,
+      layout.routingMetricName, Some(path))
   }
 
   /** Restore a graph store whose upsert crashed mid-commit (open()

@@ -114,26 +114,34 @@ object IndexLayout {
     // unmarked inconsistent one (the pre-r16 delete-marker-first order
     // dropped the protection exactly when the store was being remade)
     StoreMarker.bracket(spark, path, "rebuild", Nil) {
-      val withCodes = withCodecColumns(clustered, centroids, codec)
-      IvfIndex.writeClustered(withCodes, s"$path/data")
-      centroids.toDF("id", "vec").write.mode("overwrite")
-        .parquet(s"$path/centroids")
       // optional persisted level-1 routing table — the stored-IVF analog of
       // GraphLayout.write(routingGroups): trained for the serving metric,
       // persisted with the metric's name so a reopened layout routes
       // hierarchically without retraining and a mismatched searchRouted
-      // fails loudly (reference: index/ivf/hierarchical_kmeans.h)
-      if (routingGroups > 0) {
-        require(Metric.byName(routingMetric.name.stripSuffix("_simd")).isDefined,
-          s"routing metric '${routingMetric.name}' cannot round-trip the " +
-            "sidecar (Metric.byName) — route with l2/ip/cosine")
-        val (l1, groupOf) = Vamana.trainRoutingLevel(centroids, routingGroups,
-          metric = routingMetric)
-        l1.toDF("id", "vec").write.mode("overwrite")
-          .parquet(s"$path/routing_l1")
-        groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
-          .parquet(s"$path/routing_groups")
-      }
+      // fails loudly (reference: index/ivf/hierarchical_kmeans.h).
+      // Trained before the concurrent writes (driver-side, milliseconds).
+      val routing =
+        if (routingGroups > 0) {
+          require(
+            Metric.byName(routingMetric.name.stripSuffix("_simd")).isDefined,
+            s"routing metric '${routingMetric.name}' cannot round-trip the " +
+              "sidecar (Metric.byName) — route with l2/ip/cosine")
+          Some(Vamana.trainRoutingLevel(centroids, routingGroups,
+            metric = routingMetric))
+        } else None
+      val withCodes = withCodecColumns(clustered, centroids, codec)
+      // independent artifact writes (disjoint dirs, rebuild marker covers
+      // the commit) run concurrently — guide §2.6; sidecar stays LAST
+      UpsertBatch.runConcurrently(Seq(
+        () => IvfIndex.writeClustered(withCodes, s"$path/data"),
+        () => centroids.toDF("id", "vec").write.mode("overwrite")
+          .parquet(s"$path/centroids")) ++
+        routing.map { case (l1, groupOf) => () =>
+          l1.toDF("id", "vec").write.mode("overwrite")
+            .parquet(s"$path/routing_l1")
+          groupOf.toSeq.toDF("cluster_id", "group_id").write
+            .mode("overwrite").parquet(s"$path/routing_groups")
+        })
       val codecJson = codec match {
         case Uncompressed => """{"type":"none"}"""
         case Sq(p) =>
@@ -184,8 +192,40 @@ object IndexLayout {
 
   private def markerPath(path: String): String = StoreMarker.markerPath(path)
 
+  /** Everything [[openUnchecked]] reads EXCEPT the data directory: codec
+    * + marks from the sidecar, the centroid table, the routing level.
+    * None of it scales with shard count — the data dir's partition
+    * listing is the one open cost ∝ total shards (measured: serve
+    * 100q/8probes 2.7 → 9.2 s at 2k → 20k shards with flat bytes,
+    * SCALE.md r15), which [[serveCold]] avoids by listing only the
+    * probed `cluster_id=` dirs. */
+  private case class Meta(codec: Codec, byteU: Option[Boolean],
+                          halfF: Option[String],
+                          centroids: Seq[(Long, Seq[Double])],
+                          routing: Option[(Seq[(Long, Seq[Double])],
+                            Map[Long, Long])],
+                          routingMetricName: Option[String])
+
+  private def markVec(df: DataFrame, byteU: Option[Boolean],
+                      halfF: Option[String]): DataFrame =
+    (byteU, halfF) match {
+      case (Some(u), _) if graft.functions.ByteVecs.isByteVec(
+        df.schema("vec").dataType) =>
+        graft.functions.ByteVecs.markSignedness(df, "vec", u)
+      case (_, Some(f)) if graft.functions.HalfVecs.isShortVec(
+        df.schema("vec").dataType) =>
+        graft.functions.HalfVecs.markHalf(df, f, "vec")
+      case _ => df
+    }
+
   /** [[open]] minus the marker guard — [[repair]]'s entry point. */
   private def openUnchecked(spark: SparkSession, path: String): Layout = {
+    val m = readMeta(spark, path)
+    Layout(markVec(spark.read.parquet(s"$path/data"), m.byteU, m.halfF),
+      m.centroids, m.codec, m.routing, m.routingMetricName)
+  }
+
+  private def readMeta(spark: SparkSession, path: String): Meta = {
     // crash recovery for the upsert's centroid swap: if an upsert died
     // between delete and rename, finish the rename (centroids.tmp holds
     // the complete new table) — the GraphLayout.open recipe
@@ -224,16 +264,6 @@ object IndexLayout {
       case JNull | JNothing => None
       case node             => Some(node.extract[String])
     }
-    val data0 = spark.read.parquet(s"$path/data")
-    val data = (byteU, halfF) match {
-      case (Some(u), _) if graft.functions.ByteVecs.isByteVec(
-        data0.schema("vec").dataType) =>
-        graft.functions.ByteVecs.markSignedness(data0, "vec", u)
-      case (_, Some(f)) if graft.functions.HalfVecs.isShortVec(
-        data0.schema("vec").dataType) =>
-        graft.functions.HalfVecs.markHalf(data0, f, "vec")
-      case _ => data0
-    }
     // routing is sidecar-gated like the codec: a rewrite without
     // routingGroups records 0 and stale routing dirs are ignored
     val routingGroups = (parsed \ "routing_groups") match {
@@ -259,12 +289,61 @@ object IndexLayout {
             .select("cluster_id", "group_id").collect()
             .map(r => r.getLong(0) -> r.getLong(1)).toMap))
       else None
-    Layout(data,
+    Meta(codec, byteU, halfF,
       spark.read.parquet(s"$path/centroids").select("id", "vec").collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
         .toIndexedSeq.sortBy(_._1),
-      codec, routing,
+      routing,
       if (routingGroups > 0) routingMetricName else None)
+  }
+
+  /** Cold one-shot PROBED serve — the serve-side half of the r15 scale
+    * bend (SCALE.md: serve 100q/8probes 2.7 → 9.2 s at 2k → 20k shards
+    * with FLAT bytes, purely from `open()`'s partition discovery listing
+    * every `cluster_id=` dir). [[open]] + [[serve]] stays the right shape
+    * when one opened layout serves many batches (the StreamingServe
+    * deployment — the listing amortizes); for a COLD single batch this
+    * entry point selects the probe union driver-side from the
+    * centroid/routing tables (shard-count-independent reads) and lists
+    * ONLY the probed shards' directories, so the open cost is
+    * ∝ |Q|·nProbes instead of ∝ total shards.
+    *
+    * Row-identical to `serve(open(path), …)`: probe selection uses the
+    * SAME kernels the codec scans use ([[BatchScore.probeTopK]] /
+    * [[BatchScore.probeTopKHierarchical]] — every codec branch probes on
+    * the serve metric), and the pruned frame contains every partition
+    * any query probes, so the inner probe joins prune identically
+    * (IndexLayoutSpec pins equality). The marker guard still runs —
+    * a crashed store is refused, not partially served. */
+  def serveCold(spark: SparkSession, path: String, queries: DataFrame,
+                k: Int, nProbes: Int, metric: Metric, l1Probes: Int = 0,
+                kReorder: Int = 3): DataFrame = {
+    StoreMarker.guard(spark, path, "layout",
+      "IndexLayout.repair(spark, path)", "IndexLayout.write")
+    val m = readMeta(spark, path)
+    val centArr = m.centroids
+      .map { case (cid, cv) => (cid, cv.toArray) }.toIndexedSeq
+    import org.apache.spark.sql.functions.col
+    val qs = queries.select(col("query_id").cast("long"), col("qvec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probedPerQ: Array[Array[Long]] =
+      if (m.routing.isDefined && l1Probes > 0) {
+        val (l1, groupOf) = m.routing.get
+        val l1Arr = l1.sortBy(_._1)
+          .map { case (i, v) => (i, v.toArray) }.toIndexedSeq
+        BatchScore.probeTopKHierarchical(qs, centArr, l1Arr, groupOf,
+          l1Probes, nProbes, metric)
+      } else BatchScore.probeTopK(qs, centArr, nProbes, metric)
+    val probed = probedPerQ.iterator.flatten.toArray.distinct.sorted
+    val dirs = probed.map(c => s"$path/data/cluster_id=$c")
+    require(dirs.nonEmpty, s"serveCold: no probed shards for $path " +
+      "(empty query batch or empty centroid table)")
+    val data = markVec(
+      spark.read.option("basePath", s"$path/data").parquet(dirs: _*),
+      m.byteU, m.halfF)
+    val layout = Layout(data, m.centroids, m.codec, m.routing,
+      m.routingMetricName)
+    serve(layout, queries, k, nProbes, metric, l1Probes, kReorder)
   }
 
   /** Search the layout with the codec-matched coarse scan: SQ layouts run
@@ -428,36 +507,50 @@ object IndexLayout {
     val stored = layout.clustered
       .select(col("id").cast("long").as("id"), col("vec"),
         col("cluster_id").cast("long").as("cluster_id"))
-    val dels = deletedIds.select(col("id").cast("long").as("id")).distinct()
-    // a delete-only batch (e.g. a CDC delete-only micro-batch through
+    val addedN = added.select(col("id").cast("long").as("id"), col("vec"),
+      col("cluster_id").cast("long").as("cluster_id"))
+    // micro-batch fast path: batches within the UpsertBatch bound collect
+    // ONCE and run the hygiene contract (duplicate collapse / conflict
+    // check / delete-wins / removed set) driver-side — the distributed
+    // twin below spent ~10 fixed-cost jobs on contractually tiny frames.
+    // A delete-only batch (e.g. a CDC micro-batch through
     // StreamingIndexLayout) carries a PLACEHOLDER vec type on an EMPTY
     // adds frame — against a byte-/half-resident store the value-space
-    // contract below would fail loudly on zero added rows, and the
-    // merge union would fail on the placeholder's type. Probe the RAW
-    // frame once (the cheapest plan; it short-circuits the distinct +
-    // conflict jobs too) and substitute a schema-matched empty frame
-    // (the store's own schema, marks included) so deletes just apply.
-    // A batch whose adds are all deleted in-batch flows the normal
-    // path: its frame carried real payloads, so it is correctly typed.
-    val addedFinal =
-      if (added.isEmpty)
-        stored.select("id", "vec", "cluster_id").limit(0)
-      else {
-        val addedDistinct = added
-          .select(col("id").cast("long").as("id"), col("vec"),
-            col("cluster_id").cast("long").as("cluster_id"))
+    // contract below would fail loudly on zero added rows, and the merge
+    // union would fail on the placeholder's type — so zero added rows
+    // substitute a schema-matched empty frame (the store's own schema,
+    // marks included) and deletes just apply. A batch whose adds are all
+    // deleted in-batch flows through typed (its frame carried payloads).
+    val (addedFinal, removed) = UpsertBatch.prep(addedN, deletedIds) match {
+      case Some(p) =>
+        (if (p.addedRows.isEmpty)
+          stored.select("id", "vec", "cluster_id").limit(0)
+        else p.addedDF(spark),
+          p.removedDF(spark))
+      case None => // bulk batch — the distributed path, unchanged
+        val dels = deletedIds.select(col("id").cast("long").as("id"))
           .distinct()
-        // only a handful of ids are reported — bound the collect BEFORE
-        // it reaches the driver (a batch could conflict en masse)
-        val conflicted = addedDistinct.groupBy("id").count()
-          .filter(col("count") > 1).select(col("id").cast("long"))
-          .limit(6).as[Long].collect()
-        require(conflicted.isEmpty,
-          s"upsert: conflicting added payloads for ids " +
-            s"${conflicted.take(5).mkString(", ")}" +
-            (if (conflicted.length > 5) ", …" else ""))
-        addedDistinct.join(dels, Seq("id"), "left_anti")
-      }
+        val af =
+          if (added.isEmpty)
+            stored.select("id", "vec", "cluster_id").limit(0)
+          else {
+            val addedDistinct = addedN.distinct()
+            // only a handful of ids are reported — bound the collect
+            // BEFORE it reaches the driver (a batch could conflict en
+            // masse)
+            val conflicted = addedDistinct.groupBy("id").count()
+              .filter(col("count") > 1).select(col("id").cast("long"))
+              .limit(6).as[Long].collect()
+            require(conflicted.isEmpty,
+              s"upsert: conflicting added payloads for ids " +
+                s"${conflicted.take(5).mkString(", ")}" +
+                (if (conflicted.length > 5) ", …" else ""))
+            addedDistinct.join(dels, Seq("id"), "left_anti")
+          }
+        // rows to remove = explicit deletes ∪ re-added ids
+        // (replace-on-add)
+        (af, dels.unionByName(af.select(col("id"))).distinct())
+    }
     // byte/half stores: added rows must DECLARE the same value space as
     // the store — mixing spaces in one store is silent corruption
     val storedSig =
@@ -486,35 +579,43 @@ object IndexLayout {
         addedFinal.schema, "vec")
       require(af == f, s"upsert: added rows are $af but the store is $f")
     }
-    // rows to remove = explicit deletes ∪ re-added ids (replace-on-add)
-    val removed = dels
-      .unionByName(addedFinal.select(col("id")))
-      .distinct()
     // delete-LOCATE via the shared fast path: micro-batch-small id sets
     // push as a scan predicate so parquet stats prune untouched files
     // (file-open-bound at 2×10⁴ shards otherwise — SCALE.md r15)
     val touched = addedFinal.select(col("cluster_id"))
       .union(Vamana.locateShards(stored, removed))
       .distinct().as[Long].collect().toSeq.sorted
-    if (touched.nonEmpty) {
-      val nc0 = stored.join(removed, Seq("id"), "left_anti")
-        .unionByName(addedFinal)
-      val nc1 = storedSig.map(u => graft.functions.ByteVecs
-        .markSignedness(nc0, "vec", u)).getOrElse(nc0)
-      val nc = storedHalf.map(f => graft.functions.HalfVecs
-        .markHalf(nc1, f, "vec")).getOrElse(nc1)
-      val touchedRows = nc.filter(col("cluster_id").isin(touched: _*))
-      // the in-progress marker brackets the multi-artifact commit (data
-      // partitions + centroids + routing cannot commit atomically): a
-      // crash anywhere inside leaves the marker behind (heartbeat gone
-      // stale), open() refuses to serve the possibly
-      // code/centroid-inconsistent store, and repair() restores the
-      // invariant from the marker's touched list
+    if (touched.isEmpty) return layout // nothing changed on disk
+    val nc0 = stored.join(removed, Seq("id"), "left_anti")
+      .unionByName(addedFinal)
+    val nc1 = storedSig.map(u => graft.functions.ByteVecs
+      .markSignedness(nc0, "vec", u)).getOrElse(nc0)
+    val nc = storedHalf.map(f => graft.functions.HalfVecs
+      .markHalf(nc1, f, "vec")).getOrElse(nc1)
+    val touchedRows = nc.filter(col("cluster_id").isin(touched: _*))
+    // the in-progress marker brackets the multi-artifact commit (data
+    // partitions + centroids + routing cannot commit atomically): a
+    // crash anywhere inside leaves the marker behind (heartbeat gone
+    // stale), open() refuses to serve the possibly
+    // code/centroid-inconsistent store, and repair() restores the
+    // invariant from the marker's touched list
+    val (mergedCents, routing) =
       StoreMarker.bracket(spark, path, "upsert", touched) {
         rewriteTouched(spark, path, layout, touchedRows, touched)
       }
-    }
-    open(spark, path)
+    // construct the reopened layout directly instead of a full open():
+    // only the data dir needs a fresh read (new file listing over the
+    // rewritten partitions) — the centroid table, codec and routing level
+    // are the values this very commit just wrote (parquet round-trips the
+    // doubles bit-exactly, IndexLayoutSpec pins upsert ≡ reopen), and the
+    // sidecar/centroid re-read cost three more driver jobs per upsert
+    val data0 = spark.read.parquet(s"$path/data")
+    val data1 = storedSig.map(u => graft.functions.ByteVecs
+      .markSignedness(data0, "vec", u)).getOrElse(data0)
+    val dataR = storedHalf.map(f => graft.functions.HalfVecs
+      .markHalf(data1, f, "vec")).getOrElse(data1)
+    Layout(dataR, mergedCents, layout.codec, routing,
+      layout.routingMetricName)
   }
 
   /** Restore a store whose upsert crashed mid-commit (open() refuses it
@@ -558,10 +659,14 @@ object IndexLayout {
     * columns re-encoded through [[withCodecColumns]], emptied shard dirs
     * dropped, centroid table swapped (two-step with open()-side
     * recovery), persisted routing retrained. Callers bracket this with
-    * the in-progress marker. */
+    * the in-progress marker. Returns the committed centroid table and
+    * retrained routing level so [[upsert]] can hand back the reopened
+    * layout without re-reading what it just wrote. */
   private def rewriteTouched(spark: SparkSession, path: String,
                              layout: Layout, touchedRows: DataFrame,
-                             touched: Seq[Long]): Unit = {
+                             touched: Seq[Long])
+      : (Seq[(Long, Seq[Double])],
+         Option[(Seq[(Long, Seq[Double])], Map[Long, Long])]) = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     // value arithmetic widens byte/half marks like the build; the fold is
@@ -602,25 +707,27 @@ object IndexLayout {
       new org.apache.hadoop.fs.Path(s"$path/centroids")),
       s"failed to swap $path/centroids.tmp into place")
     // refreshed centroids make a persisted routing level stale —
-    // retrain it at the recorded group count for the recorded metric
+    // retrain it at the recorded group count for the recorded metric,
+    // from the centroid table just committed (mergedCents — parquet
+    // round-trips the doubles bit-exactly, so training on the in-memory
+    // copy ≡ the old read-back, minus a collect job)
     val rg = routingGroupsOf(spark, path)
-    if (rg > 0) {
-      val newCentTable = spark.read.parquet(s"$path/centroids")
-        .select("id", "vec").collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
-        .toIndexedSeq.sortBy(_._1)
-      val rm = layout.routingMetricName match {
-        case Some(name) => Metric.byName(name).getOrElse(sys.error(
-          s"layout routing_metric '$name' is not a routable metric"))
-        case None => Metric.L2
-      }
-      val (l1, groupOf) = Vamana.trainRoutingLevel(newCentTable, rg,
-        metric = rm)
-      l1.toDF("id", "vec").write.mode("overwrite")
-        .parquet(s"$path/routing_l1")
-      groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
-        .parquet(s"$path/routing_groups")
-    }
+    val routing =
+      if (rg > 0) {
+        val rm = layout.routingMetricName match {
+          case Some(name) => Metric.byName(name).getOrElse(sys.error(
+            s"layout routing_metric '$name' is not a routable metric"))
+          case None => Metric.L2
+        }
+        val (l1, groupOf) = Vamana.trainRoutingLevel(mergedCents, rg,
+          metric = rm)
+        l1.toDF("id", "vec").write.mode("overwrite")
+          .parquet(s"$path/routing_l1")
+        groupOf.toSeq.toDF("cluster_id", "group_id").write.mode("overwrite")
+          .parquet(s"$path/routing_groups")
+        Some((l1, groupOf))
+      } else None
+    (mergedCents, routing)
   }
 
   /** The sidecar's recorded routing group count (0 = no routing). */

@@ -213,34 +213,57 @@ object Inverted {
   * experimental_calibrate. */
 object Calibrate {
 
+  /** Recall of a ranked result against a (cached, broadcast-small) truth
+    * pair table: hits / (k·nq) with a broadcast SEMI join — identical to
+    * the intersect-count it replaces whenever the result is
+    * duplicate-free (the calibrate contract: k ranked rows per query),
+    * but one scan + one broadcast instead of two distinct aggregations
+    * and a shuffled set-op per dial evaluation. Truth is |Q|·k rows —
+    * broadcast-small at any corpus scale (queries are a batch). */
+  def recallPairs(result: DataFrame, truthPairs: DataFrame, k: Int,
+                  nq: Long): Double =
+    result.select("query_id", "neighbor_id")
+      .join(broadcast(truthPairs), Seq("query_id", "neighbor_id"),
+        "left_semi")
+      .count().toDouble / (k * nq)
+
+  /** The binary-search core of [[calibrateWindow]] with the recall
+    * evaluation exposed as a seam: callers that probe extra dials around
+    * the search (a target-setting max-dial eval, a `w−1` minimality
+    * probe) pass a MEMOIZED `recallAt` so those dials are never paid
+    * twice — each full evaluation is a search + recall job chain, pure
+    * fixed cost to repeat. Evaluations are memoized here too, so one
+    * trajectory never re-runs a dial. */
+  def calibrateWindowWith(recallAt: Int => Double, targetRecall: Double,
+                          minWindow: Int, maxWindow: Int): (Int, Double) = {
+    val memo = scala.collection.mutable.Map.empty[Int, Double]
+    def r(w: Int): Double = memo.getOrElseUpdate(w, recallAt(w))
+    var lo = minWindow
+    var hi = maxWindow
+    var best = (maxWindow, r(maxWindow))
+    if (best._2 < targetRecall) return best // unreachable target
+    while (lo < hi) {
+      val mid = lo + (hi - lo) / 2
+      val rr = r(mid)
+      if (rr >= targetRecall) { best = (mid, rr); hi = mid }
+      else lo = mid + 1
+    }
+    best
+  }
+
   /** Returns (window, recall-at-window). `search(window)` must yield
-    * (query_id, rnk, neighbor_id, ...); truth likewise with exactly k rows
-    * per query. */
+    * (query_id, rnk, neighbor_id, ...) with k DISTINCT ranked rows per
+    * query; truth likewise with exactly k rows per query. */
   def calibrateWindow(search: Int => DataFrame, truth: DataFrame, k: Int,
                       targetRecall: Double, minWindow: Int, maxWindow: Int)
       : (Int, Double) = {
     val truthPairs = truth.select("query_id", "neighbor_id").cache()
     val nq = truthPairs.select("query_id").distinct().count()
-    def recallAt(w: Int): Double = {
-      val hits = search(w).select("query_id", "neighbor_id")
-        .intersect(truthPairs).count()
-      hits.toDouble / (k * nq)
-    }
-    var lo = minWindow
-    var hi = maxWindow
-    var best = (maxWindow, recallAt(maxWindow))
-    if (best._2 < targetRecall) { // unreachable target: report max
-      truthPairs.unpersist()
-      return best
-    }
-    while (lo < hi) {
-      val mid = lo + (hi - lo) / 2
-      val r = recallAt(mid)
-      if (r >= targetRecall) { best = (mid, r); hi = mid }
-      else lo = mid + 1
-    }
+    val out = calibrateWindowWith(
+      w => recallPairs(search(w), truthPairs, k, nq),
+      targetRecall, minWindow, maxWindow)
     truthPairs.unpersist()
-    best
+    out
   }
 
   /** Split-buffer calibration (the reference's second tuning axis,
@@ -259,8 +282,7 @@ object Calibrate {
     val truthPairs = truth.select("query_id", "neighbor_id")
     val nq = truthPairs.select("query_id").distinct().count()
     def recallAt(w: Int): Double =
-      search(w, w1).select("query_id", "neighbor_id").intersect(truthPairs)
-        .count().toDouble / (k.toLong * nq)
+      recallPairs(search(w, w1), truthPairs, k, nq)
     var lo = math.max(k, minWindow / 2)
     var hi = w1
     var best = (w1, w1, r1)

@@ -35,6 +35,38 @@ class IndexLayoutSpec extends SparkSpec {
         nProbes, Metric.L2)
       .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
 
+  test("serveCold (probed-partition cold open) ≡ serve(open(path)) on " +
+      "flat and routed probes — same rows, only probed dirs listed") {
+    val (_, cents, clustered, p) = fixture()
+    val path = "/tmp/graft_indexlayout_spec_servecold"
+    IndexLayout.write(clustered, cents, path, IndexLayout.PqResC(p),
+      routingGroups = 2)
+    val q = Tables.embeddingQueries(spark, sfDir)
+    val full = IndexLayout.serve(IndexLayout.open(spark, path), q, 10, 2,
+        Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val cold = IndexLayout.serveCold(spark, path, q, 10, 2, Metric.L2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(cold == full)
+    // routed twin: level-1 routing selects probes, serveCold must follow
+    // the SAME hierarchical selection
+    val fullR = IndexLayout.serve(IndexLayout.open(spark, path), q, 10, 2,
+        Metric.L2, l1Probes = 1)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val coldR = IndexLayout.serveCold(spark, path, q, 10, 2, Metric.L2,
+        l1Probes = 1)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(coldR == fullR)
+    // a marked store is refused by serveCold exactly like open()
+    val lease = graft.operators.StoreMarker.begin(spark, path, "upsert",
+      Seq(0L))
+    lease.stop()
+    val e = intercept[Exception] {
+      IndexLayout.serveCold(spark, path, q, 10, 2, Metric.L2) }
+    assert(e.getMessage.contains("marker"))
+    lease.complete()
+  }
+
   test("upsert ≡ from-scratch layout of the merged corpus (IVFADC: " +
       "residual codes re-encoded against the REFRESHED centroid); " +
       "untouched partitions' files not rewritten; emptied shards vanish") {
