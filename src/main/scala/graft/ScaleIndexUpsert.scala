@@ -158,6 +158,11 @@ object ScaleIndexUpsert {
     out.write(s"""{"touched":[$touchedList]}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
+    // age the synthetic marker past the heartbeat liveness window (the
+    // r15 marker mechanization reads a fresh mtime as a LIVE writer and
+    // refuses repair — a real crash leaves a stale heartbeat)
+    mfs.setTimes(mp, System.currentTimeMillis -
+      2 * operators.StoreMarker.LiveWindowMs, -1)
     meter.delta()
     val (rep, tRepair) = time { IndexLayout.repair(spark, storePath) }
     val (shufRr, shufWr) = meter.delta()
@@ -176,6 +181,31 @@ object ScaleIndexUpsert {
     }
     println(s"""{"experiment":"scale_iu_serve","n":$n,""" +
       s""""served_rows":$served,"serve_sec":$tServe}""")
+
+    // ---- 6. cold-serve split: open() partition discovery vs serveCold ----
+    // (r16) the serve-side half of the r15 scale bend: open() lists every
+    // cluster_id= dir before any probe filter prunes, so a COLD one-shot
+    // serve pays listing ∝ total shards. serveCold selects the probe
+    // union driver-side and lists only the probed dirs. The session's
+    // FileStatusCache is reset before each cold timing — without that the
+    // second open reads the cache, not the filesystem.
+    def coldReset(): Unit =
+      org.apache.spark.sql.graftbridge.BridgeFiles.resetFileStatusCache()
+    coldReset()
+    val (opened, tOpenCold) = time { IndexLayout.open(spark, storePath) }
+    val (_, tServeOpened) = time {
+      IndexLayout.serve(opened, queries, k = 10, nProbes = 8,
+        graft.core.Metric.L2).count()
+    }
+    coldReset()
+    val (coldRows, tServeCold) = time {
+      IndexLayout.serveCold(spark, storePath, queries, k = 10, nProbes = 8,
+        graft.core.Metric.L2).count()
+    }
+    println(s"""{"experiment":"scale_iu_cold_serve","n":$n,""" +
+      s""""shards":$nShards,"open_cold_sec":$tOpenCold,""" +
+      s""""serve_opened_sec":$tServeOpened,""" +
+      s""""servecold_rows":$coldRows,"servecold_sec":$tServeCold}""")
     rmr(storePath)
     spark.stop()
   }
