@@ -41,16 +41,28 @@ object Bench {
     // SPARK_GRAFT_SCRATCH (a production deployment points this at its
     // fast local disks; durable checkpoints are a caller choice, and the
     // bench fixtures are ephemeral MemoryStream replays by design).
-    sys.env.get("SPARK_GRAFT_SCRATCH")
+    // The tmpfs default is SIZE-GUARDED (r16 verdict item 4 / ADVICE):
+    // shuffle scratch + streaming state in RAM competes with the heap and
+    // page cache, so auto-redirect only when /dev/shm has comfortable
+    // headroom (≥ 4 GiB usable — 2× a generous bound on the bench's
+    // scratch footprint); an explicit SPARK_GRAFT_SCRATCH always wins.
+    // The resolved path is logged AND recorded in the JSON artifact.
+    val MinShmUsable = 4L * 1024 * 1024 * 1024
+    val scratch: Option[String] = sys.env.get("SPARK_GRAFT_SCRATCH")
       .orElse(Some("/dev/shm").filter(p => {
-        val f = new java.io.File(p); f.isDirectory && f.canWrite
+        val f = new java.io.File(p)
+        f.isDirectory && f.canWrite && f.getUsableSpace >= MinShmUsable
       }))
-      .foreach { s =>
+      .flatMap { s =>
         val d = new java.io.File(s, "graft-scratch")
         d.mkdirs()
-        if (d.isDirectory && d.canWrite)
+        if (d.isDirectory && d.canWrite) {
           System.setProperty("java.io.tmpdir", d.getAbsolutePath)
+          Some(d.getAbsolutePath)
+        } else None
       }
+    System.err.println(s"[bench] scratch=" +
+      scratch.getOrElse(System.getProperty("java.io.tmpdir", "/tmp")))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -121,6 +133,20 @@ object Bench {
     // across queries and later queries pay the GC/eviction tax.
     val storageLog = sys.env.get("SPARK_GRAFT_BENCH_STORAGE")
       .exists(v => v == "1" || v == "true")
+    // Memo-pool cap (guide §5 "cached data competes with execution
+    // memory; unpersist when done"): a long single-JVM session over all
+    // 192 queries accumulates every family's memoized caches, and cached
+    // state beyond what fits comfortably taxes later queries via
+    // storage-pool eviction + old-gen GC (the r5 and r16 regression
+    // clusters). When the block manager's stored bytes exceed the cap
+    // after a query, drop ALL memos — the next family rebuilds its own
+    // (bounded, one-time) and the pool stays flat instead of monotonic.
+    // Parameterized (SPARK_GRAFT_MEMO_CAP_BYTES); the default, a quarter
+    // of the heap, never fires at bench SFs (~200 MB cached at sf0.1 on
+    // an 8 GiB heap — bench comparability is unaffected) and bounds the
+    // session at the SFs where eviction would start.
+    val memoCap = sys.env.get("SPARK_GRAFT_MEMO_CAP_BYTES").map(_.toLong)
+      .getOrElse(Runtime.getRuntime.maxMemory / 4)
     val results = selected.map {
       case (name, fn) =>
         if (clearEach) SparkEntry.clearMemos()
@@ -163,6 +189,13 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach { r =>
           if (org.apache.spark.rdd.GraftRddBridge.isLocallyCheckpointed(r))
             r.unpersist(blocking = false)
+        }
+        val storedBytes = spark.sparkContext.getExecutorMemoryStatus
+          .values.map { case (max, free) => max - free }.sum
+        if (storedBytes > memoCap) {
+          System.err.println(s"[bench] memo pool $storedBytes B over the " +
+            s"$memoCap B cap after $name — clearing memoized caches")
+          SparkEntry.clearMemos()
         }
         if (storageLog) {
           val sc = spark.sparkContext
@@ -217,6 +250,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"n_queries":${results.size},""" +
       s""""n_errors":${results.count(_._4.isDefined)}$extra,""" +
+      s""""scratch":${jstr(scratch.getOrElse(
+        System.getProperty("java.io.tmpdir", "/tmp")))},""" +
       s""""sf":${jstr(sfDir)}}"""
     try Files.writeString(Paths.get(outFile), json + "\n")
     catch { case e: Throwable =>

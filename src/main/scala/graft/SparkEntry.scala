@@ -30,8 +30,8 @@ object SparkEntry {
       : DataFrame =
     FlatKnn.search(liQueries(s, dir),
         memoized[DataFrame]("li_vectors_f32", dir) {
-          spread(Tables.lineitemVectors(s, dir)
-            .withColumn("vec", col("vec").cast("array<float>"))).cache()
+          Tables.lineitemVectors(s, dir)
+            .withColumn("vec", col("vec").cast("array<float>")).cache()
         }, K, metric)
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
@@ -52,8 +52,8 @@ object SparkEntry {
           .cache()
       },
       memoized[DataFrame]("emb_vectors_f32", dir) {
-        spread(Tables.table(s, dir, "embeddings")
-          .select(col("vec_id").as("id"), col("embedding").as("vec")))
+        Tables.table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
           .cache()
       }, K, metric)
       .select("query_id", "rnk", "neighbor_id")
@@ -133,21 +133,6 @@ object SparkEntry {
   private def memoized[T](kind: String, dir: String)(mk: => T): T =
     memo.getOrElseUpdate((kind, dir), mk).asInstanceOf[T]
 
-  /** Spread a to-be-cached corpus frame across the session's cores. The
-    * bench inputs are single-file, single-row-group parquet, so a bare
-    * scan yields 1–3 splits and every downstream compute-heavy pass
-    * (distance scans, bigram explodes) would run on 1–3 tasks no matter
-    * how many cores the session has — measured 2.9 s on 3 of 32 cores
-    * for q69's scan stage. Scale-adaptive by construction: it only
-    * WIDENS partitioning below `defaultParallelism` (guide §6's
-    * minPartitionNum posture — at real scale inputs already carry more
-    * splits than cores and this is a no-op), and the one-time shuffle is
-    * paid at memo build, amortized across every query sharing the memo. */
-  private def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-  }
-
   /** Drop every memoized cache (benchmark hygiene: a long single-JVM run
     * over all 104 queries otherwise accumulates every family's cached
     * frames, and storage-pool eviction + GC pressure taxes later queries —
@@ -164,11 +149,11 @@ object SparkEntry {
 
   private def liDedup(s: SparkSession, dir: String): DataFrame =
     memoized("li_dedup", dir) {
-      spread(Tables.lineitemVectorsDedup(s, dir)).cache() }
+      Tables.lineitemVectorsDedup(s, dir).cache() }
 
   private def liVectors(s: SparkSession, dir: String): DataFrame =
     memoized("li_vectors", dir) {
-      spread(Tables.lineitemVectors(s, dir)).cache() }
+      Tables.lineitemVectors(s, dir).cache() }
 
   // query batches are collected by every search; cache them so each of the
   // ~20 kNN-shaped queries doesn't pay a full base-table parquet scan just
@@ -185,7 +170,7 @@ object SparkEntry {
 
   private def embVectors(s: SparkSession, dir: String): DataFrame =
     memoized("emb_vectors", dir) {
-      spread(Tables.embeddingVectors(s, dir)).cache() }
+      Tables.embeddingVectors(s, dir).cache() }
 
   private def liClustered(s: SparkSession, dir: String): DataFrame =
     memoized("li_clustered", dir) {
@@ -247,20 +232,16 @@ object SparkEntry {
   // ---- text analysis / dedup (documents + embeddings tables) ------------
 
   // memoized: ~60 text queries shared a re-read of the documents parquet.
-  // NOT spread — the dedup/minhash family is stage-heavy but CPU-light at
-  // bench SFs, and widening its inputs measurably HURTS (q17 2.2×, q93
-  // 1.4×: extra tasks + shuffle blocks swamp the per-task compute win).
+  // ONE cached copy, scan-partitioned as-is: r16's widened `docsWide` twin
+  // (repartition-on-cache to defaultParallelism) won on warm reps-3 medians
+  // but REGRESSED the cold reps-1 contract — the memo build (shuffle + a
+  // second cached copy of the corpus) lands inside the first timed query,
+  // and every downstream stage schedules defaultParallelism tasks on row
+  // counts where per-task fixed cost dominates (r16 verdict: q125 0.12×,
+  // 8-core full run beat 32-core). At real scale the scan carries enough
+  // splits on its own; local parallelism is not worth two corpus copies.
   private def docs(s: SparkSession, dir: String): DataFrame =
     memoized("docs", dir) { Tables.table(s, dir, "documents").cache() }
-
-  // the SPREAD twin for the CPU-heavy LM-scoring pipelines (bigram explode
-  // → count-table join → ordered fold): their entire pre-shuffle work ran
-  // on the single parquet split (q120's 2.3 s one-task stage; measured
-  // 2.5–4× faster on the spread frame — q120 2.57→1.01 s, q125 2.39→0.62 s,
-  // q158 2.41→0.60 s, q159 3.07→1.16 s)
-  private def docsWide(s: SparkSession, dir: String): DataFrame =
-    memoized("docs_wide", dir) {
-      spread(Tables.table(s, dir, "documents")).cache() }
 
   private def tokenStatsQ(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -527,7 +508,7 @@ object SparkEntry {
     val c4ok = TextAnalysis.c4Filters(d).filter(col("kept"))
       .select("doc_id")
     val (bg, ug) = lmModel(s, dir)
-    val lm = LmScore.scoreMeanProb(docsWide(s, dir), bg, ug)
+    val lm = LmScore.scoreMeanProb(docs(s, dir), bg, ug)
     val kept = d.join(c4ok, Seq("doc_id"))
       .join(lm, Seq("doc_id"))
       .filter(col("lm_score_nano") >= ShapingLmFloorNano)
@@ -588,13 +569,13 @@ object SparkEntry {
   private def lmModel(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) =
     memoized[(DataFrame, DataFrame)]("lm_model", dir) {
-      val (bg, ug) = LmScore.trainBigrams(docsWide(s, dir))
+      val (bg, ug) = LmScore.trainBigrams(docs(s, dir))
       (bg.cache(), ug.cache())
     }
 
   private def lmScoreQ(s: SparkSession, dir: String): DataFrame = {
     val (bg, ug) = lmModel(s, dir)
-    LmScore.scoreMeanProb(docsWide(s, dir), bg, ug).orderBy("doc_id")
+    LmScore.scoreMeanProb(docs(s, dir), bg, ug).orderBy("doc_id")
   }
 
   /** q158: CCNet-style head/middle/tail corpus bucketing (Wenzek et al.
@@ -603,7 +584,7 @@ object SparkEntry {
     * LmSpec-certified. */
   private def ccnetBucketsQ(s: SparkSession, dir: String): DataFrame = {
     val (bg, ug) = lmModel(s, dir)
-    LmScore.ccnetBuckets(docsWide(s, dir), bg, ug).orderBy("doc_id")
+    LmScore.ccnetBuckets(docs(s, dir), bg, ug).orderBy("doc_id")
   }
 
   private[graft] val MrlDims = 16
@@ -743,8 +724,8 @@ object SparkEntry {
   private def dsirWeightsQ(s: SparkSession, dir: String): DataFrame = {
     val (bg, _) = lmModel(s, dir)
     val (tbg, _) = LmScore.trainBigrams(
-      docsWide(s, dir).filter(col("doc_id") % DsirTargetMod === 0))
-    LmScore.dsirWeights(docsWide(s, dir), tbg, bg).orderBy("doc_id")
+      docs(s, dir).filter(col("doc_id") % DsirTargetMod === 0))
+    LmScore.dsirWeights(docs(s, dir), tbg, bg).orderBy("doc_id")
   }
 
   private[graft] val LmLambda = 0.75
@@ -754,8 +735,8 @@ object SparkEntry {
     * the hard zero on unseen bigrams while staying hash-certifiable. */
   private def lmInterpolatedQ(s: SparkSession, dir: String): DataFrame = {
     val (bg, ug) = lmModel(s, dir)
-    LmScore.scoreInterpolated(docsWide(s, dir), bg, ug,
-        LmScore.trainUnigrams(docsWide(s, dir)), LmLambda)
+    LmScore.scoreInterpolated(docs(s, dir), bg, ug,
+        LmScore.trainUnigrams(docs(s, dir)), LmLambda)
       .orderBy("doc_id")
   }
 
