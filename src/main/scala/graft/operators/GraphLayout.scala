@@ -187,8 +187,53 @@ object GraphLayout {
 
   private def markerPath(path: String): String = StoreMarker.markerPath(path)
 
+  /** Everything [[openUnchecked]] reads EXCEPT the big cluster-partitioned
+    * directories (data/graph/codes/bincodes) — sidecar params, centroid
+    * table, routing level. None of it scales with shard count; the big
+    * dirs' partition LISTING is the one open cost ∝ total shards, which
+    * the serve*Cold twins avoid by listing only probed `cluster_id=` dirs
+    * (the [[IndexLayout.serveCold]] pattern, r15/r16 scale finding). */
+  private case class GMeta(pq: Option[Pq.Params],
+                           bin: Option[BinaryQuant.Params], binVersion: Int,
+                           centroids: IndexedSeq[(Long, Seq[Double])],
+                           routing: Option[(Seq[(Long, Seq[Double])],
+                             Map[Long, Long])],
+                           routingMetricName: Option[String],
+                           byteU: Option[Boolean], halfF: Option[String],
+                           hasCodesDir: Boolean, hasBinDir: Boolean)
+
   /** [[open]] minus the marker guard — [[repair]]'s entry point. */
   private def openUnchecked(spark: SparkSession, path: String): Layout = {
+    val m = readMetaG(spark, path)
+    assembleLayout(spark, path, m,
+      sub => spark.read.parquet(s"$path/$sub"))
+  }
+
+  /** Build the served frames from [[GMeta]] + a reader for the big
+    * cluster-partitioned dirs (full listing for [[openUnchecked]], probed
+    * dirs only for the cold serves). */
+  private def assembleLayout(spark: SparkSession, path: String, m: GMeta,
+                             readBig: String => DataFrame): Layout = {
+    val codes = if (m.pq.isDefined && m.hasCodesDir) Some(readBig("codes"))
+      else None
+    val binCodes = if (m.bin.isDefined && m.hasBinDir) Some(readBig("bincodes"))
+      else None
+    val data0 = readBig("data")
+    val data = (m.byteU, m.halfF) match {
+      case (Some(u), _) if graft.functions.ByteVecs.isByteVec(
+        data0.schema("vec").dataType) =>
+        graft.functions.ByteVecs.markSignedness(data0, "vec", u)
+      case (_, Some(f)) if graft.functions.HalfVecs.isShortVec(
+        data0.schema("vec").dataType) =>
+        graft.functions.HalfVecs.markHalf(data0, f, "vec")
+      case _ => data0
+    }
+    Layout(data, readBig("graph"), codes, m.centroids, m.pq, binCodes,
+      m.bin, m.binVersion, m.routing,
+      if (m.routing.isDefined) m.routingMetricName else None, Some(path))
+  }
+
+  private def readMetaG(spark: SparkSession, path: String): GMeta = {
     // crash recovery for the centroid swap: if an upsert died between
     // delete and rename, finish the rename (centroids.tmp holds the
     // complete new table)
@@ -212,10 +257,8 @@ object GraphLayout {
     }
     val fs = new org.apache.hadoop.fs.Path(s"$path/codes")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val codes =
-      if (pq.isDefined && fs.exists(new org.apache.hadoop.fs.Path(
-        s"$path/codes"))) Some(spark.read.parquet(s"$path/codes"))
-      else None
+    val hasCodesDir =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes"))
     val binNode = parsed \ "bin"
     val bin = binNode match {
       case JNull | JNothing => None
@@ -236,10 +279,8 @@ object GraphLayout {
       s"bincodes layout at $path has version $binVersion, which this " +
         "reader does not understand (supported: 1, 2) — refusing to " +
         "serve rather than misread the word packing")
-    val binCodes =
-      if (bin.isDefined && fs.exists(new org.apache.hadoop.fs.Path(
-        s"$path/bincodes"))) Some(spark.read.parquet(s"$path/bincodes"))
-      else None
+    val hasBinDir =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/bincodes"))
     // routing is SIDECAR-gated like pq/bin: a rewrite without
     // routingGroups records 0 and stale routing dirs are ignored rather
     // than silently served
@@ -275,24 +316,116 @@ object GraphLayout {
       case JNull | JNothing => None
       case node             => Some(node.extract[String])
     }
-    val data0 = spark.read.parquet(s"$path/data")
-    val data = (byteU, halfF) match {
-      case (Some(u), _) if graft.functions.ByteVecs.isByteVec(
-        data0.schema("vec").dataType) =>
-        graft.functions.ByteVecs.markSignedness(data0, "vec", u)
-      case (_, Some(f)) if graft.functions.HalfVecs.isShortVec(
-        data0.schema("vec").dataType) =>
-        graft.functions.HalfVecs.markHalf(data0, f, "vec")
-      case _ => data0
-    }
-    Layout(data,
-      spark.read.parquet(s"$path/graph"), codes,
+    GMeta(pq, bin, binVersion,
       spark.read.parquet(s"$path/centroids").select("id", "vec").collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
         .toIndexedSeq.sortBy(_._1),
-      pq, binCodes, bin, binVersion, routing,
-      if (routingGroups > 0) routingMetricName else None,
-      Some(path))
+      routing, if (routingGroups > 0) routingMetricName else None,
+      byteU, halfF, hasCodesDir, hasBinDir)
+  }
+
+  /** Cold one-shot serves — [[IndexLayout.serveCold]]'s graph-store twins.
+    * [[open]]'s `spark.read.parquet` over the four cluster-partitioned
+    * dirs lists EVERY `cluster_id=` partition up front, a driver-side
+    * cost ∝ total shards (measured 34.7 s at 20k shards on the IVF store,
+    * SCALE.md r16) that an amortized server pays once but a cold one-shot
+    * serve pays per call. These twins read the sidecar + centroids +
+    * routing (none of it scales with shard count), choose the probe union
+    * DRIVER-SIDE with the SAME routing kernels the warm serve uses, and
+    * build the layout over ONLY the probed `cluster_id=` dirs — then
+    * dispatch through the very same serve entry point with the probe map
+    * attached, so rows are bit-identical to `serve*(open(path), …)`
+    * (GraphLayoutSpec pins each family). Listing cost becomes ∝ probes,
+    * not shards. The marker guard still runs — a crashed store is
+    * refused, not partially served. */
+  private def coldLayout(spark: SparkSession, path: String, m: GMeta,
+                         pm: ProbeMap): (Layout, ProbeMap) = {
+    require(pm.nonEmpty, s"cold serve: no probed shards for $path " +
+      "(empty query batch or empty centroid table)")
+    val probed = pm.keySet.toSeq.sorted
+    (assembleLayout(spark, path, m, sub =>
+      spark.read.option("basePath", s"$path/$sub")
+        .parquet(probed.map(c => s"$path/$sub/cluster_id=$c"): _*)), pm)
+  }
+
+  /** Regression seam (r16 verdict: the cold path must keep its listing
+    * ∝ probes, not shards): the cold layout [[serveCold]] would build for
+    * a flat probe set, so a spec can assert every big-dir FileIndex is
+    * rooted at probed `cluster_id=` dirs — never the store-wide dir
+    * whose listing the cold twins exist to avoid. */
+  private[graft] def coldLayoutFor(spark: SparkSession, path: String,
+      queries: DataFrame, nProbes: Int, metric: Metric): Layout = {
+    val m = readMetaG(spark, path)
+    coldLayout(spark, path, m,
+      Vamana.flatProbeMap(queries, m.centroids, nProbes, metric))._1
+  }
+
+  /** Full-precision cold serve ≡ `serve(open(path), …)` (flat or routed
+    * by `l1Probes`, the [[serve]] contract). */
+  def serveCold(spark: SparkSession, path: String, queries: DataFrame,
+                k: Int, searchWindow: Int, nProbes: Int, metric: Metric,
+                l1Probes: Int = 0,
+                keep: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    StoreMarker.guard(spark, path, "graph layout",
+      "GraphLayout.repair(spark, path)", "GraphLayout.write")
+    val m = readMetaG(spark, path)
+    val routed = m.routing.isDefined && l1Probes > 0
+    if (routed) m.routingMetricName.foreach { rm =>
+      require(metric.name.stripSuffix("_simd") == rm,
+        s"layout routing level was trained for metric '$rm' but " +
+          s"serveCold got '${metric.name}' — rewrite the layout with " +
+          s"routingMetric = ${metric.name} or serve with '$rm'")
+    }
+    val pm =
+      if (routed) {
+        val (l1, groupOf) = m.routing.get
+        Vamana.hierProbeMap(queries, m.centroids, l1, groupOf,
+          l1Probes, nProbes, metric)
+      } else Vamana.flatProbeMap(queries, m.centroids, nProbes, metric)
+    val (layout, pmm) = coldLayout(spark, path, m, pm)
+    serve(layout, queries, k, searchWindow, nProbes, metric, l1Probes,
+      keep, prebuiltProbes = Some(pmm))
+  }
+
+  /** DiskANN (PQ codes) cold serve ≡ `serveAdc(open(path), …)`. */
+  def serveAdcCold(spark: SparkSession, path: String, queries: DataFrame,
+                   k: Int, searchWindow: Int, nProbes: Int,
+                   kReorder: Int = 0, metric: Metric = Metric.L2,
+                   keep: org.apache.spark.sql.Column = lit(true))
+      : DataFrame = {
+    StoreMarker.guard(spark, path, "graph layout",
+      "GraphLayout.repair(spark, path)", "GraphLayout.write")
+    val m = readMetaG(spark, path)
+    // probe on the WALK metric, exactly like serveAdc
+    val walkM =
+      if (metric == Metric.L2 || metric == Metric.IP) metric else Metric.L2
+    val pm = Vamana.flatProbeMap(queries, m.centroids, nProbes, walkM)
+    val (layout, pmm) = coldLayout(spark, path, m, pm)
+    serveAdc(layout, queries, k, searchWindow, nProbes, kReorder, metric,
+      keep, prebuiltProbes = Some(pmm))
+  }
+
+  /** Binary (sign-bit) cold serve ≡ `serveHamming(open(path), …)`. */
+  def serveHammingCold(spark: SparkSession, path: String,
+                       queries: DataFrame, k: Int, searchWindow: Int,
+                       nProbes: Int, kReorder: Int,
+                       rerankMetric: Metric = Metric.L2): DataFrame = {
+    StoreMarker.guard(spark, path, "graph layout",
+      "GraphLayout.repair(spark, path)", "GraphLayout.write")
+    val m = readMetaG(spark, path)
+    val b = m.bin.getOrElse(
+      sys.error("layout has no binary codes — write(bin = Some(...)) first"))
+    // probe ONCE in the word-encoded Hamming space, exactly like
+    // serveHamming
+    val wordCents = m.centroids.map { case (cid, cv) =>
+      (cid, BinaryQuant.encodeWords(cv, b)) }
+    val qWords = queries.select(col("query_id"),
+      array(BinaryQuant.codeColumns(col("qvec"), b)
+        .map(_.cast("double")): _*).as("qvec"))
+    val pm = Vamana.flatProbeMap(qWords, wordCents, nProbes, Metric.Hamming)
+    val (layout, pmm) = coldLayout(spark, path, m, pm)
+    serveHamming(layout, queries, k, searchWindow, nProbes, kReorder,
+      rerankMetric, prebuiltProbes = Some(pmm))
   }
 
   /** Full-precision probe-and-walk over the stored shards — identical rows
@@ -841,7 +974,11 @@ object GraphLayout {
     // deleted in-batch flows through typed (its frame carried payloads).
     val (addedFinal, removed) = UpsertBatch.prep(added, deletedIds) match {
       case Some(p) =>
-        (if (p.addedRows.isEmpty)
+        // raw-empty adds (CDC delete-only) substitute the store-schema
+        // empty frame; a batch whose adds were all deleted IN-BATCH keeps
+        // the batch's own schema (empty rows) so the value-space checks
+        // below fire exactly like the distributed path's typed flow
+        (if (p.addedRows.isEmpty && !p.hadRows)
           stored.select("id", "vec", "cluster_id").limit(0)
         else p.addedDF(spark),
           p.removedDF(spark))

@@ -321,6 +321,18 @@ object IndexLayout {
     StoreMarker.guard(spark, path, "layout",
       "IndexLayout.repair(spark, path)", "IndexLayout.write")
     val m = readMeta(spark, path)
+    val data = coldData(spark, path, m, queries, nProbes, metric, l1Probes)
+    val layout = Layout(data, m.centroids, m.codec, m.routing,
+      m.routingMetricName)
+    serve(layout, queries, k, nProbes, metric, l1Probes, kReorder)
+  }
+
+  /** [[serveCold]]'s probe-pruned clustered frame: the probe union is
+    * chosen driver-side with the SAME kernels the serve scan uses, and
+    * the read is rooted at ONLY the probed `cluster_id=` dirs. */
+  private def coldData(spark: SparkSession, path: String, m: Meta,
+                       queries: DataFrame, nProbes: Int, metric: Metric,
+                       l1Probes: Int): DataFrame = {
     val centArr = m.centroids
       .map { case (cid, cv) => (cid, cv.toArray) }.toIndexedSeq
     import org.apache.spark.sql.functions.col
@@ -338,13 +350,18 @@ object IndexLayout {
     val dirs = probed.map(c => s"$path/data/cluster_id=$c")
     require(dirs.nonEmpty, s"serveCold: no probed shards for $path " +
       "(empty query batch or empty centroid table)")
-    val data = markVec(
+    markVec(
       spark.read.option("basePath", s"$path/data").parquet(dirs: _*),
       m.byteU, m.halfF)
-    val layout = Layout(data, m.centroids, m.codec, m.routing,
-      m.routingMetricName)
-    serve(layout, queries, k, nProbes, metric, l1Probes, kReorder)
   }
+
+  /** Regression seam (r16 verdict: cold listing must stay ∝ probes, not
+    * shards): the frame [[serveCold]] scans, so a spec can assert its
+    * FileIndex is rooted at probed `cluster_id=` dirs only. */
+  private[graft] def coldClusteredFor(spark: SparkSession, path: String,
+      queries: DataFrame, nProbes: Int, metric: Metric): DataFrame =
+    coldData(spark, path, readMeta(spark, path), queries, nProbes, metric,
+      l1Probes = 0)
 
   /** Search the layout with the codec-matched coarse scan: SQ layouts run
     * the decode-free code scan + full-precision reorder, LVQ layouts the
@@ -523,7 +540,10 @@ object IndexLayout {
     // deleted in-batch flows through typed (its frame carried payloads).
     val (addedFinal, removed) = UpsertBatch.prep(addedN, deletedIds) match {
       case Some(p) =>
-        (if (p.addedRows.isEmpty)
+        // raw-empty adds substitute the store-schema empty frame; adds
+        // all deleted IN-BATCH keep the batch's schema (empty rows) so
+        // the value-space checks fire like the distributed typed flow
+        (if (p.addedRows.isEmpty && !p.hadRows)
           stored.select("id", "vec", "cluster_id").limit(0)
         else p.addedDF(spark),
           p.removedDF(spark))

@@ -225,6 +225,11 @@ object Calibrate {
     result.select("query_id", "neighbor_id")
       .join(broadcast(truthPairs), Seq("query_id", "neighbor_id"),
         "left_semi")
+      // the semi-join keeps BOTH copies of a duplicated result pair —
+      // dedupe the ≤ k·nq matched rows so a search path with
+      // tie-duplicates can't inflate recall and mis-calibrate the dial
+      // (intersect's set semantics, restored at post-join cardinality)
+      .distinct()
       .count().toDouble / (k * nq)
 
   /** The binary-search core of [[calibrateWindow]] with the recall

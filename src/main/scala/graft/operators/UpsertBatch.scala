@@ -37,9 +37,15 @@ private[operators] object UpsertBatch {
 
   /** The prepped batch: deduped, conflict-checked, delete-wins-applied
     * added rows (schema = the caller's added frame, marks included) and
-    * the removed-id set (explicit deletes ∪ re-added ids). */
+    * the removed-id set (explicit deletes ∪ re-added ids). `hadRows`
+    * distinguishes a raw-EMPTY adds frame (CDC delete-only — callers
+    * substitute their store-schema empty frame, because the placeholder
+    * vec type must not hit the value-space checks) from a batch whose
+    * adds were all deleted in-batch (payloads were present — the
+    * distributed path would have flowed them typed, so the signedness /
+    * half-format checks must still fire on the batch's schema). */
   final case class Prepped(addedRows: Array[Row], addedSchema: StructType,
-                           removedIds: Array[Long]) {
+                           removedIds: Array[Long], hadRows: Boolean) {
     /** Local-relation frame of the added rows (empty input → the caller
       * substitutes its schema-matched empty frame instead). */
     def addedDF(spark: SparkSession): DataFrame = {
@@ -74,15 +80,20 @@ private[operators] object UpsertBatch {
     * them sequentially — overlapping lets one write's task tail
     * back-fill with the next write's tasks). The writes target disjoint
     * directories, so commit protocols never interleave; the first
-    * failure propagates (callers keep their crash-marker semantics). */
+    * failure propagates (callers keep their crash-marker semantics) —
+    * but only after EVERY task has settled: a fail-fast await would let
+    * the caller's marker bracket exit (and a retry/repair begin) while a
+    * sibling write is still committing to the same store. */
   def runConcurrently(tasks: Seq[() => Unit]): Unit =
     if (tasks.lengthCompare(1) <= 0) tasks.foreach(_())
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
+      import scala.util.{Failure, Try}
       implicit val ec: ExecutionContext = ExecutionContext.global
-      Await.result(Future.sequence(tasks.map(t => Future(t()))),
-        Duration.Inf)
+      val settled = Await.result(
+        Future.sequence(tasks.map(t => Future(Try(t())))), Duration.Inf)
+      settled.collectFirst { case Failure(e) => throw e }
       ()
     }
 
@@ -91,6 +102,12 @@ private[operators] object UpsertBatch {
     * already carry the caller's (id, vec, cluster_id) shape — raw or
     * normalized, exactly what its distributed path would distinct. */
   def prep(added: DataFrame, deletedIds: DataFrame): Option[Prepped] = {
+    // size-probe on ids ONLY (8 bytes/row) before touching payloads: a
+    // bulk upsert that will take the distributed path anyway must not
+    // collect MaxRows full vector rows (tens-to-hundreds of MB of driver
+    // heap at production dims) just to learn it is over the bound
+    val idProbe = added.select(col("id")).limit(MaxRows + 1).collect()
+    if (idProbe.length > MaxRows) return None
     val aRows = added.limit(MaxRows + 1).collect()
     if (aRows.length > MaxRows) return None
     val dRows = deletedIds.select(col("id").cast("long").as("id"))
@@ -128,6 +145,6 @@ private[operators] object UpsertBatch {
     // removed = explicit deletes ∪ re-added ids (replace-on-add)
     val removed = (delIds.iterator ++
       addedFinal.iterator.flatMap(idOf)).toArray.distinct
-    Some(Prepped(addedFinal, added.schema, removed))
+    Some(Prepped(addedFinal, added.schema, removed, aRows.nonEmpty))
   }
 }

@@ -134,4 +134,26 @@ class CalibrateSpec extends SparkSpec {
     assert(math.abs(servedRec - rec) < 1e-9)
     truth.unpersist()
   }
+
+  test("calibrateWindowWith evaluates each dial AT MOST ONCE (a full " +
+      "evaluation is a search + recall job chain — r16's memo win must " +
+      "not regress): binary-search trajectory incl. the max-dial target " +
+      "eval never repeats a window") {
+    val evals = scala.collection.mutable.Map.empty[Int, Int]
+    def recallAt(w: Int): Double = {
+      evals.updateWith(w) { c => Some(c.getOrElse(0) + 1) }
+      math.min(1.0, 0.1 + 0.9 * w / 64.0) // monotone in the dial
+    }
+    val (w, rec) = Calibrate.calibrateWindowWith(recallAt,
+      targetRecall = 0.8, minWindow = 1, maxWindow = 64)
+    assert(rec >= 0.8 && w >= 1 && w <= 64)
+    assert(evals.values.forall(_ == 1),
+      s"every dial must be evaluated exactly once, got $evals")
+    // unreachable target: exactly one evaluation (the max dial), not a
+    // futile descent
+    evals.clear()
+    val (wU, _) = Calibrate.calibrateWindowWith(recallAt,
+      targetRecall = 1.01, minWindow = 1, maxWindow = 64)
+    assert(wU === 64 && evals.size === 1 && evals(64) === 1)
+  }
 }

@@ -1025,4 +1025,64 @@ class GraphLayoutSpec extends SparkSpec {
       GraphLayout.searchAdc(layout, queries, 10, 40, 2)
     }
   }
+
+  test("serveCold/serveAdcCold/serveHammingCold (probed-dir cold open) ≡ " +
+      "serve*(open(path)) on flat and routed probes; marked store refused") {
+    import graft.operators.BinaryQuant
+    val (data, cents, clustered, graph, p) = fixture()
+    val queries = Tables.embeddingQueries(spark, sfDir)
+    val b = BinaryQuant.train(data)
+    val path = "/tmp/graft_graphlayout_spec_servecold"
+    GraphLayout.write(clustered, graph, cents, path, pq = Some(p),
+      bin = Some(b), routingGroups = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val layout = GraphLayout.open(spark, path)
+
+    // full-precision, flat probes
+    assert(rows(GraphLayout.serveCold(spark, path, queries, 10, 40, 2,
+        Metric.L2)) ===
+      rows(GraphLayout.serve(layout, queries, 10, 40, 2, Metric.L2)))
+    // full-precision, ROUTED probes: cold must follow the same
+    // hierarchical selection
+    assert(rows(GraphLayout.serveCold(spark, path, queries, 10, 40, 2,
+        Metric.L2, l1Probes = 1)) ===
+      rows(GraphLayout.serve(layout, queries, 10, 40, 2, Metric.L2,
+        l1Probes = 1)))
+    // ADC walk with exact rerank
+    assert(rows(GraphLayout.serveAdcCold(spark, path, queries, 10, 40, 2,
+        kReorder = 4)) ===
+      rows(GraphLayout.serveAdc(layout, queries, 10, 40, 2, kReorder = 4)))
+    // binary Hamming walk with exact rerank
+    assert(rows(GraphLayout.serveHammingCold(spark, path, queries, 10,
+        1 << 14, 2, kReorder = 4)) ===
+      rows(GraphLayout.serveHamming(layout, queries, 10, 1 << 14, 2,
+        kReorder = 4)))
+
+    // FileIndex regression pin (r16 verdict item 9): every big-dir scan
+    // of the cold layout is rooted at probed `cluster_id=` dirs — never
+    // the store-wide dir whose listing cost ∝ total shards
+    val coldL = GraphLayout.coldLayoutFor(spark, path, queries, 2,
+      Metric.L2)
+    def scanRoots(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }.flatMap(_.relation.location.rootPaths.map(_.toString))
+    for (f <- Seq(coldL.clustered, coldL.graph) ++ coldL.codes ++
+        coldL.binCodes) {
+      val rs = scanRoots(f)
+      assert(rs.nonEmpty && rs.forall(_.contains("cluster_id=")),
+        s"cold scan roots must be probed shard dirs, got $rs")
+    }
+
+    // a marked store is refused by every cold twin exactly like open()
+    val lease = graft.operators.StoreMarker.begin(spark, path, "upsert",
+      Seq(0L))
+    lease.stop()
+    val e = intercept[Exception] {
+      GraphLayout.serveCold(spark, path, queries, 10, 40, 2, Metric.L2) }
+    assert(e.getMessage.contains("marker"))
+    lease.complete()
+  }
 }

@@ -57,6 +57,16 @@ class IndexLayoutSpec extends SparkSpec {
         l1Probes = 1)
       .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
     assert(coldR == fullR)
+    // FileIndex regression pin (r16 verdict item 9): the cold scan is
+    // rooted at probed `cluster_id=` dirs — never the store-wide data
+    // dir whose listing cost ∝ total shards
+    val coldF = IndexLayout.coldClusteredFor(spark, path, q, 2, Metric.L2)
+    val scanRoots = coldF.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(scanRoots.nonEmpty && scanRoots.forall(_.contains("cluster_id=")),
+      s"cold scan roots must be probed shard dirs, got $scanRoots")
+
     // a marked store is refused by serveCold exactly like open()
     val lease = graft.operators.StoreMarker.begin(spark, path, "upsert",
       Seq(0L))
