@@ -1983,17 +1983,19 @@ object SparkEntry {
       orig.filter(col("id") < half).repartitionByRange(2, col("id")),
       out, "f4", idShardNames = true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
-    val q = graft.streaming.StreamingShards.npyShardsWithIds(s, out)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch.collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-        buf.synchronized { buf ++= rows }
-        ()
-      }
-      .start()
+    val q = graft.streaming.StreamTuning.withStatePartitions(s) {
+      graft.streaming.StreamingShards.npyShardsWithIds(s, out)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch.collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+    }
     try {
       q.processAllAvailable()
       graft.sources.NpyIO.write(
@@ -2208,18 +2210,20 @@ object SparkEntry {
       s"$out/shards", "f4", idShardNames = true)
     val wave1 = shardPaths
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
-    val q = graft.streaming.StreamingShards
-      .npyShardsFromManifestsWithIds(s, mani)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch.collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-        buf.synchronized { buf ++= rows }
-        ()
-      }
-      .start()
+    val q = graft.streaming.StreamTuning.withStatePartitions(s) {
+      graft.streaming.StreamingShards
+        .npyShardsFromManifestsWithIds(s, mani)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch.collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+    }
     try {
       writeManifest("manifest-000.txt", Seq("# wave 1") ++ wave1)
       q.processAllAvailable()

@@ -45,10 +45,12 @@ object StreamingDedup {
           (key, merged._1, merged._2)
       }
       .toDF("key", "keep_id", "cnt")
-    updates.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (b: DataFrame, _: Long) => onBatch(b) }
-      .start()
+    StreamTuning.withStatePartitions(spark) {
+      updates.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: DataFrame, _: Long) => onBatch(b) }
+        .start()
+    }
   }
 }

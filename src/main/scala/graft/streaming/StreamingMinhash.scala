@@ -76,10 +76,12 @@ object StreamingMinhash {
           out.result().iterator
       }
       .toDF("doc_a", "doc_b")
-    pairs.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (b: DataFrame, _: Long) => onBatch(b) }
-      .start()
+    StreamTuning.withStatePartitions(spark) {
+      pairs.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: DataFrame, _: Long) => onBatch(b) }
+        .start()
+    }
   }
 }

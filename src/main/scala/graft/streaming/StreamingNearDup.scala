@@ -93,10 +93,12 @@ object StreamingNearDup {
           out.result().iterator
       }
       .toDF("id_a", "id_b")
-    pairs.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (b: DataFrame, _: Long) => onBatch(b) }
-      .start()
+    StreamTuning.withStatePartitions(spark) {
+      pairs.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: DataFrame, _: Long) => onBatch(b) }
+        .start()
+    }
   }
 }

@@ -50,10 +50,12 @@ object StreamingPacking {
           out.iterator
       }
       .toDF("grp", "ord", "sz", "bin")
-    packed.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (b: DataFrame, _: Long) => onBatch(b) }
-      .start()
+    StreamTuning.withStatePartitions(spark) {
+      packed.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: DataFrame, _: Long) => onBatch(b) }
+        .start()
+    }
   }
 }

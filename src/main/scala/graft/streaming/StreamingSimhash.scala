@@ -118,10 +118,12 @@ object StreamingSimhash {
           out.result().iterator
       }
       .toDF("doc_a", "doc_b")
-    pairs.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (b: DataFrame, _: Long) => onBatch(b) }
-      .start()
+    StreamTuning.withStatePartitions(spark) {
+      pairs.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: DataFrame, _: Long) => onBatch(b) }
+        .start()
+    }
   }
 }

@@ -111,10 +111,12 @@ object StreamingTextIndex {
     val updates = deltas
       .groupBy("term")
       .agg(sum("d_df").as("df"), sum("d_cf").as("cf"))
-    updates.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (b: DataFrame, _: Long) => onBatch(b) }
-      .start()
+    StreamTuning.withStatePartitions(spark) {
+      updates.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: DataFrame, _: Long) => onBatch(b) }
+        .start()
+    }
   }
 }
