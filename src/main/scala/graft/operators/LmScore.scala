@@ -36,9 +36,15 @@ object LmScore {
   /** Milli-scale for the certified integer score. */
   val ScoreScale = 1000000000L // 1e9: mean prob in [0,1] → long
 
+  /** See [[Width.widen]]: every pass below multiplies rows ~tokens-per-doc ×
+    * in the explode, so widen the corpus BEFORE it (no-op at real scale).
+    * Results are invariant to partition count: every consumer is a key
+    * aggregation or an order-pinned fold. */
+  private def widened(df: DataFrame): DataFrame = Width.widen(df)
+
   private def rawPairs(docs: DataFrame, textCol: String): DataFrame = {
     val toks = split(col(textCol), " ")
-    docs
+    widened(docs)
       .select(explode(when(size(toks) < 2,
           array().cast("array<struct<w1:string,w2:string>>"))
         .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
@@ -84,7 +90,7 @@ object LmScore {
       unigrams: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", hashKeys: Boolean = false): DataFrame = {
     val toks = split(col(textCol), " ")
-    val pairs = docs
+    val pairs = widened(docs)
       .select(col(idCol).cast("long").as("doc_id"),
         posexplode(when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
           .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
@@ -118,7 +124,7 @@ object LmScore {
     * probability cu/total needs no driver round-trip. */
   def trainUnigrams(docs: DataFrame, textCol: String = "text")
       : DataFrame = {
-    val counts = docs
+    val counts = widened(docs)
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("cu"))
@@ -138,7 +144,7 @@ object LmScore {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, "lambda in [0, 1]")
     val toks = split(col(textCol), " ")
-    val pairs = docs
+    val pairs = widened(docs)
       .select(col(idCol).cast("long").as("doc_id"),
         posexplode(when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
           .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
@@ -245,7 +251,7 @@ object LmScore {
     val (nt, _) = totals(targetBigrams)
     val (nr, v) = totals(rawBigrams) // smoothing vocab = RAW bigram types
     val toks = split(col(textCol), " ")
-    val pairs = docs
+    val pairs = widened(docs)
       .select(col(idCol).cast("long").as("doc_id"),
         posexplode(when(size(toks) < 2,
           array().cast("array<struct<w1:string,w2:string>>"))
@@ -280,7 +286,7 @@ object LmScore {
       idCol: String = "doc_id", textCol: String = "text",
       eps: Double = 1e-9): DataFrame = {
     val toks = split(col(textCol), " ")
-    val pairs = docs
+    val pairs = widened(docs)
       .select(col(idCol).cast("long").as("doc_id"),
         explode(when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
           .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
