@@ -31,8 +31,12 @@ object ProfileQuery {
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        val site = j.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n'))
-          .getOrElse("?") +
+        // AQE stage-materialization futures all share one callsite
+        // (withThreadLocalCaptured), so print every DISTINCT stage
+        // callsite in the job — that is what actually runs
+        val sites = j.stageInfos.map(_.name.takeWhile(_ != '\n')).distinct
+          .mkString(" | ")
+        val site = sites +
           s" [${j.stageInfos.length} stages, " +
           s"${j.stageInfos.map(_.numTasks).sum} tasks]"
         jobs.put(j.jobId, (site, System.nanoTime()))
@@ -43,7 +47,13 @@ object ProfileQuery {
           done.add((j.jobId, st._1, (System.nanoTime() - st._2) / 1000000L))
       }
     })
-    val fn = SparkEntry.queries(qname)
+    // comma-separated names run sequentially in ONE session (reps applies
+    // to the LAST name; earlier ones run once as in-bench warmup context)
+    val names = qname.split(",").toSeq
+    names.dropRight(1).foreach { n =>
+      SparkEntry.queries(n)(spark, sfDir).count()
+    }
+    val fn = SparkEntry.queries(names.last)
     (1 to reps).foreach { rep =>
       done.clear()
       val t0 = System.nanoTime()

@@ -193,6 +193,25 @@ object FlatKnn {
       elKind == 'h' && graft.functions.HalfVecs.requireFormat(
         data.schema, "vec") == graft.functions.HalfVecs.BF16
 
+    // Pre-scan width (guide §2 map-side parallelism; the r16-verdict
+    // prescription applied to the distance scan): the tile sweep is the
+    // query's CPU, and its parallelism is bounded by the INPUT's
+    // partition count — a single-row-group corpus (or its cached memo,
+    // which keeps the scan partitioning) runs the whole sweep on 1-3 of
+    // the session's cores. When the input is narrower than the session
+    // parallelism, hash-repartition on `id` BEFORE the sweep: ids are
+    // unique (the table contract), so the spread is even, hash
+    // partitioning needs no sort-before-repartition pass, and per-query
+    // results are partition-invariant (per-partition heaps + the exact
+    // id-tiebroken window merge). At real scale the scan already carries
+    // ≥ parallelism splits and this is a no-op — the columnar fast path
+    // below is then untouched. Uncached and operator-local (no
+    // cross-query cached state — the r16 regression mechanism).
+    val want = spark.sparkContext.defaultParallelism
+    val widened =
+      if (projected.rdd.getNumPartitions >= want) projected
+      else projected.repartition(want, col("id"))
+
     // Two physical scan shapes over the same tile logic ([[TileScan]]):
     //  - columnar: when the executed plan emits ColumnarBatches (parquet
     //    vectorized reader, id already BIGINT), rows are read straight off
@@ -218,11 +237,11 @@ object FlatKnn {
       case s if s.supportsColumnar         => Some(s)
       case _                               => None
     }
-    val exec = projected.queryExecution.executedPlan
+    val exec = widened.queryExecution.executedPlan
     val colSrc = columnarSource(exec).filter { s =>
       s.output.length == 2 &&
         s.output(0).dataType == org.apache.spark.sql.types.LongType &&
-        s.output(1).dataType == projected.schema("vec").dataType
+        s.output(1).dataType == widened.schema("vec").dataType
     }
     val partials = (
       if (colSrc.isDefined)
@@ -244,7 +263,7 @@ object FlatKnn {
           ts.emit()
         }
       else
-        projected.queryExecution.toRdd.mapPartitions { iter =>
+        widened.queryExecution.toRdd.mapPartitions { iter =>
           val (ids, vecs) = bc.value
           val ts = new TileScan(ids, vecs, k, asc, m, elKind, unsigned, bf16)
           while (iter.hasNext) {
