@@ -614,8 +614,12 @@ object SparkEntry {
     def searchAt(kr: Int): DataFrame =
       graft.operators.BinaryQuant.searchHammingRerank(q, codes, p, data,
         K, kr)
-    val truth = FlatKnn.search(q, data, K, Metric.L2)
-      .select("query_id", "neighbor_id").cache()
+    // truth collected ONCE to a driver set (bounded |Q|·k, the calibrate
+    // contract) — each dial's recall is then one bounded collect instead
+    // of a join + distinct + count job chain
+    val truthSet = Calibrate.truthSetOf(
+      FlatKnn.search(q, data, K, Metric.L2)
+        .select("query_id", "neighbor_id"))
     val nq = q.count()
     // ONE memoized recall-per-dial shared between the target-setting
     // max-dial eval, the binary search, and the kr−1 minimality probe —
@@ -623,7 +627,7 @@ object SparkEntry {
     // once more, each a full search + recall job chain
     val recallMemo = scala.collection.mutable.Map.empty[Int, Double]
     def recallOf(kr: Int): Double = recallMemo.getOrElseUpdate(kr,
-      Calibrate.recallPairs(searchAt(kr), truth, K, nq))
+      Calibrate.recallPairsLocal(searchAt(kr), truthSet, K, nq))
     val maxDial = 16
     val target = recallOf(maxDial) * 0.8
     val (kr, rec) = Calibrate.calibrateWindowWith(recallOf, target,
@@ -632,7 +636,7 @@ object SparkEntry {
       else if (recallOf(kr - 1) < target) 1L else 0L
     val out = Seq((if (rec >= target) 1L else 0L, minimal,
       if (kr <= maxDial) 1L else 0L)).toDF("achieved", "minimal", "bounded")
-    truth.unpersist(); codes.unpersist()
+    codes.unpersist()
     out
   }
 
@@ -2675,15 +2679,19 @@ object SparkEntry {
     val pre = Vamana.prepareShards(embLabelClustered(s, dir), embGraph(s, dir))
     def searchAt(w: Int): DataFrame =
       Vamana.searchPrepared(q, pre, cents, K, w, VamanaProbes, Metric.L2)
-    val truth = searchAt(1 << 14).select("query_id", "neighbor_id").cache()
+    // truth collected ONCE to a driver set (bounded |Q|·k, the calibrate
+    // contract); each dial's recall is one bounded collect, not a join +
+    // distinct + count chain
+    val truthSet = Calibrate.truthSetOf(
+      searchAt(1 << 14).select("query_id", "neighbor_id"))
     // ONE memoized recall-per-dial shared between the binary search and
     // the w−1 minimality probe — each evaluation is a full search + recall
     // job chain (pure fixed cost to repeat), and the probe's dial is
     // usually one the search already paid for
-    val nq = truth.select("query_id").distinct().count()
+    val nq = truthSet.iterator.map(_._1).toSet.size.toLong
     val recallMemo = scala.collection.mutable.Map.empty[Int, Double]
     def recallOf(w: Int): Double = recallMemo.getOrElseUpdate(w,
-      Calibrate.recallPairs(searchAt(w), truth, K, nq))
+      Calibrate.recallPairsLocal(searchAt(w), truthSet, K, nq))
     val (w, rec) = Calibrate.calibrateWindowWith(recallOf, CalTarget,
       K, CalMaxWindow)
     val minimal =
@@ -2692,7 +2700,6 @@ object SparkEntry {
     val out = Seq((if (rec >= CalTarget) 1L else 0L, minimal,
       if (w <= CalMaxWindow) 1L else 0L))
       .toDF("achieved", "minimal", "bounded")
-    truth.unpersist()
     pre.unpersist()
     out
   }

@@ -207,9 +207,21 @@ object FlatKnn {
     // ≥ parallelism splits and this is a no-op — the columnar fast path
     // below is then untouched. Uncached and operator-local (no
     // cross-query cached state — the r16 regression mechanism).
+    // Size-gated (the r16 lesson: widening frames whose serial sweep is
+    // already trivial only adds an exchange + AQE materialization per
+    // call — e.g. a 2 000-row code table probed once per calibration
+    // dial). The optimizer's size estimate is exact for materialized
+    // cached relations and the column-pruned file-size estimate for cold
+    // scans — the latter UNDERESTIMATES decoded width, so the threshold
+    // is deliberately low: 1 MB keeps sub-second probe frames serial
+    // while every corpus-sized sweep (cold or cached) widens.
     val want = spark.sparkContext.defaultParallelism
+    val WidenMinBytes = 1L << 20
+    def estBytes: BigInt =
+      projected.queryExecution.optimizedPlan.stats.sizeInBytes
     val widened =
-      if (projected.rdd.getNumPartitions >= want) projected
+      if (projected.rdd.getNumPartitions >= want ||
+          estBytes < WidenMinBytes) projected
       else projected.repartition(want, col("id"))
 
     // Two physical scan shapes over the same tile logic ([[TileScan]]):

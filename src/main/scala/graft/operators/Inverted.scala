@@ -232,6 +232,32 @@ object Calibrate {
       .distinct()
       .count().toDouble / (k * nq)
 
+  /** Driver-side twin of [[recallPairs]] for calibration loops (guide
+    * §1.2 fixed cost): truth AND each dial's result are ≤ |Q|·k rows by
+    * the calibrate contract (queries are a batch; k is the serving dial),
+    * so collect the ranked pairs and count set-intersection hits locally
+    * — the SAME value as [[recallPairs]] (both are |distinct matched
+    * pairs| / (k·nq)), but one bounded collect job per dial instead of a
+    * broadcast + semi-join + distinct + count chain with its 2-3 AQE
+    * stage materializations and driver replanning gaps. The collect is
+    * calibration-batch-sized at ANY corpus scale — the reference's
+    * experimental_calibrate is likewise a driver loop over a query
+    * sample. */
+  def truthSetOf(truth: DataFrame): Set[(Long, Long)] =
+    truth.select(col("query_id").cast("long"),
+        col("neighbor_id").cast("long")).collect()
+      .iterator.map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  def recallPairsLocal(result: DataFrame, truthSet: Set[(Long, Long)],
+                       k: Int, nq: Long): Double = {
+    val hits = result
+      .select(col("query_id").cast("long"),
+        col("neighbor_id").cast("long")).collect()
+      .iterator.map(r => (r.getLong(0), r.getLong(1)))
+      .filter(truthSet.contains).toSet.size
+    hits.toDouble / (k * nq)
+  }
+
   /** The binary-search core of [[calibrateWindow]] with the recall
     * evaluation exposed as a seam: callers that probe extra dials around
     * the search (a target-setting max-dial eval, a `w−1` minimality
@@ -262,13 +288,14 @@ object Calibrate {
   def calibrateWindow(search: Int => DataFrame, truth: DataFrame, k: Int,
                       targetRecall: Double, minWindow: Int, maxWindow: Int)
       : (Int, Double) = {
-    val truthPairs = truth.select("query_id", "neighbor_id").cache()
-    val nq = truthPairs.select("query_id").distinct().count()
-    val out = calibrateWindowWith(
-      w => recallPairs(search(w), truthPairs, k, nq),
+    // truth collected ONCE (bounded |Q|·k); nq = its distinct query ids —
+    // replaces the truth cache + distinct-count job and the per-dial
+    // join chain with one collect per dial
+    val truthSet = truthSetOf(truth)
+    val nq = truthSet.iterator.map(_._1).toSet.size.toLong
+    calibrateWindowWith(
+      w => recallPairsLocal(search(w), truthSet, k, nq),
       targetRecall, minWindow, maxWindow)
-    truthPairs.unpersist()
-    out
   }
 
   /** Split-buffer calibration (the reference's second tuning axis,
@@ -284,10 +311,10 @@ object Calibrate {
     val (w1, r1) = calibrateWindow(w => search(w, 0), truth, k, targetRecall,
       minWindow, maxWindow)
     if (r1 < targetRecall) return (w1, w1, r1) // unreachable: report max
-    val truthPairs = truth.select("query_id", "neighbor_id")
-    val nq = truthPairs.select("query_id").distinct().count()
+    val truthSet = truthSetOf(truth)
+    val nq = truthSet.iterator.map(_._1).toSet.size.toLong
     def recallAt(w: Int): Double =
-      recallPairs(search(w, w1), truthPairs, k, nq)
+      recallPairsLocal(search(w, w1), truthSet, k, nq)
     var lo = math.max(k, minWindow / 2)
     var hi = w1
     var best = (w1, w1, r1)
